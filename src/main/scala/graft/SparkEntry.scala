@@ -1,13 +1,246 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{IrSql, Relational}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` keys map 1:1 to SURVEY.md §2.9 query families; each has an
+  * `oracleSql` entry in DuckDB dialect over the same parquet tables
+  * (column names aliased identically on both sides — the driver compare
+  * sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the reference's headline capability — tf-idf ranked search. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    IrSql.q10TfIdf(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_filter" -> (Relational.q01ScanFilter _),
+    "q02_docid_extract" -> (IrSql.q02DocidExtract _),
+    "q03_docno_assign" -> (IrSql.q03DocnoAssign _),
+    "q04_tokenize" -> (IrSql.q04Tokenize _),
+    "q05_term_tf" -> (IrSql.q05TermTf _),
+    "q06_inverted_index" -> (IrSql.q06InvertedIndex _),
+    "q07_bigrams" -> (IrSql.q07Bigrams _),
+    "q08_chargrams" -> (IrSql.q08CharGrams _),
+    "q09_chargram_terms" -> (IrSql.q09CharGramTerms _),
+    "q10_tfidf" -> ((s: SparkSession, d: String) => IrSql.q10TfIdf(s, d)),
+    "q11_join" -> (Relational.q11Join _),
+    "q12_semi" -> (Relational.q12Semi _),
+    "q12_anti" -> (Relational.q12Anti _),
+    "q13_revenue" -> (Relational.q13Revenue _),
+    "q14_count_distinct" -> (Relational.q14CountDistinct _),
+    "q15_rollup" -> (Relational.q15Rollup _),
+    "q16_rank_windows" -> (Relational.q16RankWindows _),
+    "q17_window_frames" -> (Relational.q17WindowFrames _),
+    "q18_topk" -> (Relational.q18TopK _),
+    "q19_setops" -> (Relational.q19SetOps _),
+    "q20_strings" -> (Relational.q20Strings _),
+    "q21_math" -> (Relational.q21Math _),
+    "q22_dates" -> (Relational.q22Dates _),
+    "q22_dates_events" -> (Relational.q22DatesEvents _),
+    "q23_json" -> (Relational.q23Json _),
+    "q23_arrays" -> (Relational.q23Arrays _),
+  )
+
+  /** DuckDB dialect equivalents. Dialect notes: regexp_replace needs the
+    * 'g' flag (Spark replaces all matches by default); epoch() returns
+    * DOUBLE → cast BIGINT; generate_subscripts pairs with unnest for
+    * positional explode; narrow ints cast to BIGINT to match Spark's
+    * LongType output. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_filter" ->
+      """SELECT doc_id, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id""",
+
+    "q02_docid_extract" ->
+      """SELECT trim(regexp_extract(content, '<DOCNO>(.*?)</DOCNO>', 1)) AS docid
+         FROM (SELECT '<DOC> <DOCNO> FT-' || doc_id || ' </DOCNO> <TEXT> ' || text || ' </TEXT> </DOC>' AS content FROM documents)
+         ORDER BY docid""",
+
+    "q03_docno_assign" ->
+      """SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS docno
+         FROM documents ORDER BY doc_id""",
+
+    "q04_tokenize" ->
+      """SELECT doc_id, pos, term FROM (
+           SELECT doc_id, CAST(generate_subscripts(l, 1) AS BIGINT) AS pos, unnest(l) AS term
+           FROM (SELECT doc_id, string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ') AS l
+                 FROM documents WHERE doc_id < 100))
+         WHERE term <> '' ORDER BY doc_id, pos""",
+
+    "q05_term_tf" ->
+      """SELECT term, doc_id, count(*) AS tf FROM (
+           SELECT doc_id, unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS term
+           FROM documents)
+         WHERE term <> '' GROUP BY term, doc_id ORDER BY term, doc_id""",
+
+    "q06_inverted_index" ->
+      """WITH tf AS (
+           SELECT term, doc_id, count(*) AS tf FROM (
+             SELECT doc_id, unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS term
+             FROM documents)
+           WHERE term <> '' GROUP BY term, doc_id)
+         SELECT term, count(*) AS df,
+                string_agg(doc_id || ':' || tf, ' ' ORDER BY tf DESC, doc_id) AS postings
+         FROM tf GROUP BY term ORDER BY term""",
+
+    "q07_bigrams" ->
+      """WITH tok AS (
+           SELECT doc_id, pos, term FROM (
+             SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS term
+             FROM (SELECT doc_id, string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ') AS l
+                   FROM documents WHERE doc_id < 100))
+           WHERE term <> '')
+         SELECT a.term || ' ' || b.term AS bigram, count(*) AS cnt
+         FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         GROUP BY 1 ORDER BY bigram""",
+
+    "q08_chargrams" ->
+      """WITH terms AS (
+           SELECT DISTINCT term FROM (
+             SELECT unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS term
+             FROM documents)
+           WHERE term <> '')
+         SELECT DISTINCT substring('$' || term || '$', CAST(i AS INT), 3) AS gram, term
+         FROM (SELECT term, unnest(range(1, CAST(len(term) AS BIGINT) + 1)) AS i FROM terms)
+         ORDER BY gram, term""",
+
+    "q09_chargram_terms" ->
+      """WITH terms AS (
+           SELECT DISTINCT term FROM (
+             SELECT unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS term
+             FROM documents)
+           WHERE term <> ''),
+         grams AS (
+           SELECT DISTINCT substring('$' || term || '$', CAST(i AS INT), 3) AS gram, term
+           FROM (SELECT term, unnest(range(1, CAST(len(term) AS BIGINT) + 1)) AS i FROM terms))
+         SELECT gram, string_agg(term, ' ' ORDER BY term) AS terms
+         FROM grams GROUP BY gram ORDER BY gram""",
+
+    "q10_tfidf" ->
+      """WITH tf AS (
+           SELECT term, doc_id, count(*) AS tf FROM (
+             SELECT doc_id, unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS term
+             FROM documents)
+           WHERE term IN ('merge', 'stream') GROUP BY term, doc_id),
+         wdf AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+         n AS (SELECT count(*) AS n FROM documents)
+         SELECT doc_id, round(sum((1.0 + ln(tf)) * log10(CAST(n AS DOUBLE) / CAST(df AS DOUBLE))), 4) AS score
+         FROM wdf CROSS JOIN n
+         GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
+
+    "q11_join" ->
+      """SELECT o_orderkey, o_totalprice, c_name, n_name
+         FROM orders JOIN customer ON o_custkey = c_custkey
+                     JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_totalprice > 400000
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+
+    "q12_semi" ->
+      """SELECT o_orderkey FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+         ORDER BY o_orderkey""",
+
+    "q12_anti" ->
+      """SELECT o_orderkey FROM orders
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+         ORDER BY o_orderkey""",
+
+    "q13_revenue" ->
+      """SELECT l_orderkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderstatus = 'O'
+         GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 100""",
+
+    "q14_count_distinct" ->
+      """SELECT o_custkey, count(DISTINCT o_orderstatus) AS n_status, count(*) AS n_orders
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+
+    "q15_rollup" ->
+      """SELECT r_name, n_name, round(sum(s_acctbal), 2) AS total_bal,
+                CAST(grouping(r_name) AS BIGINT) AS g_r, CAST(grouping(n_name) AS BIGINT) AS g_n
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                       JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""",
+
+    "q16_rank_windows" ->
+      """SELECT * FROM (
+           SELECT o_custkey, o_orderkey,
+                  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+                  CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS BIGINT) AS rk,
+                  CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS BIGINT) AS drk
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+    "q17_window_frames" ->
+      """SELECT event_id, user_id,
+                round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS running_sum,
+                round(coalesce(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0), 4) AS prev_value
+         FROM events ORDER BY event_id""",
+
+    "q18_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""",
+
+    "q19_setops" ->
+      """SELECT tag, k FROM (
+           SELECT 'both' AS tag, k FROM
+             (SELECT CAST(c_nationkey AS BIGINT) AS k FROM customer INTERSECT SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+           UNION ALL
+           SELECT 'cust_only', k FROM
+             (SELECT CAST(c_nationkey AS BIGINT) AS k FROM customer EXCEPT SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+           UNION ALL
+           SELECT 'supp_only', k FROM
+             (SELECT CAST(s_nationkey AS BIGINT) AS k FROM supplier EXCEPT SELECT CAST(c_nationkey AS BIGINT) FROM customer))
+         ORDER BY tag, k""",
+
+    "q20_strings" ->
+      """SELECT p_partkey, lower(p_name) AS lo, upper(p_brand) AS up, trim(p_name) AS tr,
+                substring(p_name, 1, 8) AS sub8, CAST(instr(p_name, 'a') AS BIGINT) AS ia,
+                CAST(length(p_name) AS BIGINT) AS len, concat_ws('|', p_brand, p_type) AS cw,
+                regexp_replace(p_name, ' ', '_', 'g') AS rep,
+                regexp_extract(p_name, '([a-z]+)', 1) AS rx,
+                CASE WHEN starts_with(p_name, 'a') THEN 1 ELSE 0 END AS sw
+         FROM part ORDER BY p_partkey""",
+
+    "q21_math" ->
+      """SELECT l_orderkey, l_linenumber,
+                round(ln(l_extendedprice), 4) AS ln_price,
+                round(log10(l_extendedprice), 4) AS log10_price,
+                CAST(ceil(l_discount * 100) AS BIGINT) AS ceil_disc,
+                CAST(floor(l_tax * 100) AS BIGINT) AS floor_tax,
+                round(abs(l_discount - l_tax), 4) AS abs_diff,
+                round(least(l_quantity, 25.0), 4) AS lq,
+                round(greatest(l_quantity, 25.0), 4) AS gq,
+                (l_orderkey * l_linenumber) % 97 AS m
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "q22_dates" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y,
+                CAST(month(o_orderdate) AS BIGINT) AS m,
+                CAST(day(o_orderdate) AS BIGINT) AS d,
+                CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start
+         FROM orders ORDER BY o_orderkey""",
+
+    "q22_dates_events" ->
+      """SELECT event_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+                CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hr
+         FROM events ORDER BY event_id""",
+
+    "q23_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events ORDER BY event_id""",
+
+    "q23_arrays" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+                round(CAST(embedding[1] AS DOUBLE), 4) AS e1,
+                round(CAST(embedding[64] AS DOUBLE), 4) AS e64
+         FROM embeddings ORDER BY vec_id""",
+  )
 }

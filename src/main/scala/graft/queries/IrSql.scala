@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** SQL-subset IR pipeline (SURVEY.md §2.9 Q2–Q10): the reference's
+  * index/query dataflow re-expressed relationally over the `documents`
+  * table, oracle-checkable in DuckDB.
+  *
+  * The relational tokenizer here is the declared SQL approximation
+  * (lower + collapse non-alnum + split — SURVEY §2.2 "Tag-aware
+  * tokenizer" row); the faithful TagTokenizer/stemmer path lives in
+  * [[graft.text]] and is exercised by the non-oracle queries and specs.
+  *
+  * Scale posture: tokens/postings stay NORMALIZED (term, doc_id, tf) —
+  * never a giant per-term array except at final presentation — so the
+  * groupBys shuffle-partition by term and AQE can split skewed terms
+  * (SURVEY §7.1 step 7).
+  */
+object IrSql {
+
+  /** doc_id < bound subset used by the quadratic-ish demos (bigrams,
+    * positional self-join) to keep verify fast; full table elsewhere. */
+  private val SubsetBound = 100L
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  /** Relational tokenize: (doc_id, pos, term), pos 1-based over the raw
+    * split (empty edge tokens filtered after positioning, matching
+    * generate_subscripts semantics in the oracle). */
+  def tokens(spark: SparkSession, dir: String,
+             bound: Option[Long] = None): DataFrame = {
+    val base = docs(spark, dir)
+    val lim = bound.fold(base)(b => base.filter(col("doc_id") < b))
+    lim
+      .select(col("doc_id"),
+        posexplode(split(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "),
+          " ")).as(Seq("pos0", "term")))
+      .filter(col("term") =!= "")
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("term"))
+  }
+
+  /** Q2: TREC docid extraction semantics (SURVEY §2.1 "TREC record
+    * decode") over a corpus synthesized from documents. */
+  def q02DocidExtract(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(concat(lit("<DOC> <DOCNO> FT-"), col("doc_id"),
+        lit(" </DOCNO> <TEXT> "), col("text"),
+        lit(" </TEXT> </DOC>")).as("content"))
+      .select(trim(regexp_extract(col("content"), "<DOCNO>(.*?)</DOCNO>", 1))
+        .as("docid"))
+      .orderBy("docid")
+
+  /** Q3: dense docno assignment (SURVEY §2.4 "sequential numbering").
+    * row_number over an un-partitioned window is the one deliberate
+    * serial point (as in the reference's single reducer); the scalable
+    * variant is [[graft.corpus.DocnoAssigner.scalable]]. */
+  def q03DocnoAssign(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"))
+      .withColumn("docno",
+        row_number().over(Window.orderBy("doc_id")).cast("long"))
+      .orderBy("doc_id")
+
+  /** Q4: relational tokenization with positions. */
+  def q04Tokenize(spark: SparkSession, dir: String): DataFrame =
+    tokens(spark, dir, Some(SubsetBound)).orderBy("doc_id", "pos")
+
+  /** Q5: term frequency — groupBy(term, doc) count; Catalyst gives the
+    * map-side partial agg the reference hand-wired as a combiner. */
+  def q05TermTf(spark: SparkSession, dir: String): DataFrame =
+    tokens(spark, dir)
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .orderBy("term", "doc_id")
+
+  /** Q6: inverted index — df + postings sorted desc-tf, asc-docno
+    * (PostingWritable ordering, SURVEY §1.2), presented as a string so
+    * the oracle hash-compare is array-free. */
+  def q06InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val tf = tokens(spark, dir)
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(
+              (-col("tf")).as("negtf"), col("doc_id").as("d"),
+              concat_ws(":", col("doc_id"), col("tf")).as("p")))),
+            x => x.getField("p")),
+          " ").as("postings"))
+      .orderBy("term")
+  }
+
+  /** Q7: word bigrams via positional self-join (SURVEY §2.2 "word k-gram
+    * windows", k=2 expressed relationally; the array-slice form lives in
+    * [[graft.index.InvertedIndexBuilder]]). */
+  def q07Bigrams(spark: SparkSession, dir: String): DataFrame = {
+    val tok = tokens(spark, dir, Some(SubsetBound))
+    val a = tok.as("a")
+    val b = tok.as("b")
+    a.join(b, col("a.doc_id") === col("b.doc_id") &&
+        col("b.pos") === col("a.pos") + 1)
+      .select(concat_ws(" ", col("a.term"), col("b.term")).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bigram")
+  }
+
+  /** Q8: char 3-grams with `$` boundary markers over the distinct
+    * vocabulary (CharKGramTermIndexer semantics, SURVEY §2.2). */
+  def q08CharGrams(spark: SparkSession, dir: String): DataFrame =
+    tokens(spark, dir)
+      .select(col("term")).distinct()
+      .withColumn("g", concat(lit("$"), col("term"), lit("$")))
+      .select(col("term"),
+        explode(transform(sequence(lit(1), length(col("term"))),
+          i => col("g").substr(i, lit(3)))).as("gram"))
+      .select(col("gram"), col("term")).distinct()
+      .orderBy("gram", "term")
+
+  /** Q9: char-gram → sorted distinct term list (canonical semantics per
+    * SURVEY §2.10-Q6 decision), string-joined for the oracle. */
+  def q09CharGramTerms(spark: SparkSession, dir: String): DataFrame =
+    q08CharGrams(spark, dir)
+      .groupBy(col("gram"))
+      .agg(array_join(array_sort(collect_set(col("term"))), " ").as("terms"))
+      .orderBy("gram")
+
+  /** Default demo query terms — present in the synthetic vocabulary. */
+  val DefaultQueryTerms: Seq[String] = Seq("merge", "stream")
+
+  /** Q10: tf-idf top-10 disjunctive 1–2 term query with INTENDED-df
+    * semantics (df = postings length, true division — SURVEY §2.10
+    * Q1/Q2 primary mode). N rides the plan as a broadcast scalar, not a
+    * driver-side collect. */
+  def q10TfIdf(spark: SparkSession, dir: String,
+               terms: Seq[String] = DefaultQueryTerms): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 2,
+      "reference accepts 1-2 word queries (SURVEY §2.2 arity predicate)")
+    val tf = tokens(spark, dir)
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .filter(col("term").isin(terms: _*))
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
+    val n = docs(spark, dir).agg(count(lit(1)).as("n"))
+    withDf.join(broadcast(n))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(
+        (lit(1.0) + log(col("tf"))) *
+          log10(col("n").cast("double") / col("df").cast("double"))), 4)
+        .as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+}

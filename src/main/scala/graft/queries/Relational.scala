@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational query surface (SURVEY.md §2.9 Q1, Q11–Q23).
+  *
+  * Each query is a declarative DataFrame program: filters/projections sit
+  * directly on the parquet scan (pushdown + pruning), dimension joins are
+  * broadcast, aggregates rely on Catalyst's partial/final HashAggregate
+  * split. Every query ends with a total ORDER BY on a unique key and
+  * rounds float aggregates to 4 (money: 2) decimals for oracle parity.
+  *
+  * Scale notes (100 TB posture) are on each operator: broadcast only
+  * bounded dims (region/nation: 25 rows at any SF), never the fact side;
+  * aggregation keys are the natural shuffle keys; top-k compiles to
+  * TakeOrderedAndProject (no global sort materialization).
+  */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** Q1: scan + project + predicate; filter and 2-column projection reach
+    * the parquet scan (PushedFilters / ReadSchema). */
+  def q01ScanFilter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+
+  /** Q11: fact ⋈ dim ⋈ dim. nation is a bounded dim → broadcast; the
+    * orders⋈customer equi-join shuffles on the key at scale (AQE may still
+    * broadcast customer at small SF). */
+  def q11Join(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer")
+    val nation = t(spark, dir, "nation")
+    orders
+      .filter(col("o_totalprice") > 400000.0)
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("c_name"),
+        col("n_name"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Q12a: left-semi (EXISTS). The quantity filter is pushed below the
+    * join so the build side is pre-shrunk. */
+  def q12Semi(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(t(spark, dir, "lineitem").filter(col("l_quantity") >= 45.0),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"))
+      .orderBy("o_orderkey")
+
+  /** Q12b: left-anti (NOT EXISTS). */
+  def q12Anti(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(t(spark, dir, "lineitem").filter(col("l_quantity") >= 45.0),
+        col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"))
+      .orderBy("o_orderkey")
+
+  /** Q13: multi-way join + group agg (TPC-H Q3 shape). Aggregates on the
+    * join key, so partial aggregation happens map-side before the shuffle
+    * (the reference's combiner, for free — SURVEY §2.4/§4). */
+  def q13Revenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val orders = t(spark, dir, "orders").filter(col("o_orderstatus") === "O")
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(100)
+  }
+
+  /** Q14: hash agg with count distinct (expands to a two-phase distinct
+    * aggregate under Catalyst). */
+  def q14CountDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        countDistinct(col("o_orderstatus")).as("n_status"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+
+  /** Q15: ROLLUP over region/nation supplier balances. NULLS FIRST is
+    * explicit: Spark default is nulls-first, DuckDB's is nulls-last. */
+  def q15Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val s = t(spark, dir, "supplier")
+    val n = broadcast(t(spark, dir, "nation"))
+    val r = broadcast(t(spark, dir, "region"))
+    s.join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("s_acctbal")), 2).as("total_bal"),
+        grouping(col("r_name")).cast("long").as("g_r"),
+        grouping(col("n_name")).cast("long").as("g_n"))
+      .orderBy(col("g_r"), col("g_n"), col("r_name").asc_nulls_first,
+        col("n_name").asc_nulls_first)
+  }
+
+  /** Q16: ranking windows; one shuffle on o_custkey serves all three
+    * window functions (same partition spec). */
+  def q16RankWindows(spark: SparkSession, dir: String): DataFrame = {
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val byStatus = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderstatus"))
+    t(spark, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(byPrice).cast("long").as("rn"),
+        rank().over(byStatus).cast("long").as("rk"),
+        dense_rank().over(byStatus).cast("long").as("drk"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Q17: analytic window with a ROWS frame + lag over the events table.
+    * Ordering uses the exact nanosecond value (ts_ns) so frame contents
+    * match the oracle's ns-precision ordering; event_id breaks ties. */
+  def q17WindowFrames(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    t(spark, dir, "events")
+      .select(
+        col("event_id"), col("user_id"),
+        round(sum(col("value")).over(w.rowsBetween(-2, 0)), 4)
+          .as("running_sum"),
+        round(lag(col("value"), 1, 0.0).over(w), 4).as("prev_value"))
+      .orderBy("event_id")
+  }
+
+  /** Q18: global top-k → TakeOrderedAndProject (per-partition heaps + one
+    * driver merge of k rows; no full sort at any scale). */
+  def q18TopK(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+
+  /** Q19: set ops over customer vs supplier nation keys. */
+  def q19SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+      .select(col("c_nationkey").cast("long").as("k"))
+    val s = t(spark, dir, "supplier")
+      .select(col("s_nationkey").cast("long").as("k"))
+    val both = c.intersect(s).withColumn("tag", lit("both"))
+    val custOnly = c.except(s).withColumn("tag", lit("cust_only"))
+    val suppOnly = s.except(c).withColumn("tag", lit("supp_only"))
+    both.union(custOnly).union(suppOnly)
+      .select(col("tag"), col("k"))
+      .orderBy("tag", "k")
+  }
+
+  /** Q20: string function battery over part (SURVEY §2.8). */
+  def q20Strings(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        lower(col("p_name")).as("lo"),
+        upper(col("p_brand")).as("up"),
+        trim(col("p_name")).as("tr"),
+        substring(col("p_name"), 1, 8).as("sub8"),
+        instr(col("p_name"), "a").cast("long").as("ia"),
+        length(col("p_name")).cast("long").as("len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("cw"),
+        regexp_replace(col("p_name"), " ", "_").as("rep"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("rx"),
+        when(col("p_name").startsWith("a"), 1L).otherwise(0L).as("sw"))
+      .orderBy("p_partkey")
+
+  /** Q21: math battery over lineitem (SURVEY §2.8). */
+  def q21Math(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(log(col("l_extendedprice")), 4).as("ln_price"),
+        round(log10(col("l_extendedprice")), 4).as("log10_price"),
+        ceil(col("l_discount") * 100).cast("long").as("ceil_disc"),
+        floor(col("l_tax") * 100).cast("long").as("floor_tax"),
+        round(abs(col("l_discount") - col("l_tax")), 4).as("abs_diff"),
+        round(least(col("l_quantity"), lit(25.0)), 4).as("lq"),
+        round(greatest(col("l_quantity"), lit(25.0)), 4).as("gq"),
+        (col("l_orderkey") * col("l_linenumber") % 97).as("m"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q22a: date battery over orders (second-granularity epoch values are
+    * the cross-engine-safe representation — FIXTURES.md cautions). */
+  def q22Dates(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        unix_timestamp(date_trunc("month", col("o_orderdate")))
+          .as("month_start"))
+      .orderBy("o_orderkey")
+
+  /** Q22b: timestamp handling on the ns-precision events table; the µs
+    * `ts` derived in [[Tables.events]] truncates toward -inf exactly like
+    * the oracle's ns→second date_trunc, so second granularity agrees. */
+  def q22DatesEvents(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(
+        col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hr"))
+      .orderBy("event_id")
+
+  /** Q23a: JSON extraction from events.props. */
+  def q23Json(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")
+
+  /** Q23b: array battery over embeddings (floats promoted to double
+    * before rounding — exact promotion, both engines agree). */
+  def q23Arrays(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("e1"),
+        round(element_at(col("embedding"), 64).cast("double"), 4).as("e64"))
+      .orderBy("vec_id")
+}
