@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{IrSql, Relational}
+import graft.ops.{Dedup, Similarity, TextAnalysis, TrainingOracles}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -44,6 +45,20 @@ object SparkEntry {
     "q22_dates_events" -> (Relational.q22DatesEvents _),
     "q23_json" -> (Relational.q23Json _),
     "q23_arrays" -> (Relational.q23Arrays _),
+    // Training-data pipeline ops (dedup / similarity / text analysis)
+    "q24_dedup_exact" -> (Dedup.exact _),
+    "q24_dedup_jaccard" -> (Dedup.jaccard _),
+    "q24_dedup_minhash" -> (Dedup.minhashLsh _),
+    "q24_simhash" -> (Dedup.simhash _),
+    "q24_simhash_pairs" -> (Dedup.simhashPairs _),
+    "q25_cosine_pairs" -> (Similarity.cosinePairs _),
+    "q25_ann_topk" -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
+    "q25_embed_neardup" -> (Similarity.embedNearDup _),
+    "q25_ann_lsh" -> (Similarity.lshBucketHistogram _),
+    "q27_langid" -> (TextAnalysis.langId _),
+    "q27_quality" -> (TextAnalysis.quality _),
+    "q27_token_count" -> (TextAnalysis.tokenCount _),
+    "q27_fingerprint" -> (TextAnalysis.fingerprint _),
   )
 
   /** DuckDB dialect equivalents. Dialect notes: regexp_replace needs the
@@ -242,5 +257,5 @@ object SparkEntry {
                 round(CAST(embedding[1] AS DOUBLE), 4) AS e1,
                 round(CAST(embedding[64] AS DOUBLE), 4) AS e64
          FROM embeddings ORDER BY vec_id""",
-  )
+  ) ++ TrainingOracles.oracle
 }

@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (`ARRAY<FLOAT>` column).
+  *
+  * Dot products / norms are sequential left-folds in double arithmetic
+  * (`aggregate` over `zip_with`), bit-identical to the DuckDB oracle's
+  * `list_reduce` (see [[CrossHash]] rationale) — so cosine scores, top-k
+  * cutoffs and thresholds agree exactly across engines.
+  *
+  * Scale posture (100 TB): brute-force top-k against one query vector is
+  * a single narrow map + TakeOrderedAndProject — linear scan, no shuffle,
+  * embarrassingly parallel; that IS the right plan for one query at any
+  * scale. The quadratic pair queries are bounded samples (correctness
+  * surface). The scale path for repeated queries is [[lshBuckets]]:
+  * deterministic random-hyperplane signs bucket vectors so candidate
+  * generation is a bucket equi-join instead of all-pairs; re-rank with
+  * exact cosine inside the bucket ([[annLsh]]).
+  */
+object Similarity {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+
+  /** Σ a_i * b_i as a sequential double fold (oracle bit-parity). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact pairwise cosine over a small sample (vec_id < 100) — SURVEY
+    * §2.9 Q25 contract; deterministic pair ordering. */
+  def cosinePairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).filter(col("vec_id") < 100)
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        // + 0.0 canonicalizes IEEE -0.0 (Spark's round drops the sign
+        // via BigDecimal; DuckDB keeps it — both sides normalize).
+        (round(cosine(col("a.embedding"), col("b.embedding")), 4) + 0.0)
+          .as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Brute-force cosine top-k for the query vector vec_id=0: broadcast
+    * the 1-row query side, scan once, TakeOrderedAndProject. */
+  def annTopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), cosine(col("embedding"), col("qv")).as("c"))
+      .orderBy(col("c").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("c"), 4).as("cos"))
+  }
+
+  /** Embedding near-dup: pairs with cosine ≥ 0.35 on the vec_id < 200
+    * sample (synthetic data holds no >0.5 pairs — threshold exercises
+    * the cutoff against real value spread). */
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).filter(col("vec_id") < 200)
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .filter(col("c") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), round(col("c"), 4).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Number of random hyperplanes = LSH signature bits. */
+  val Planes = 16
+
+  /** Deterministic pseudo-random hyperplane weight for (plane j, dim d):
+    * ((j*1103515245 + d*12345) % 1001 - 500) / 500 ∈ [-1, 1]. Arithmetic
+    * only — reproducible in any engine, no stored plane matrix. */
+  private def planeWeight(j: Column, d: Column): Column =
+    (((j * 1103515245L + d * 12345L) % 1001L - 500L).cast("double")) / 500.0
+
+  /** Sign-of-projection LSH bucket id (16-bit) per vector. */
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    e.select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(Planes - 1))).as("j"))
+      .select(col("vec_id"), col("j"),
+        aggregate(
+          zip_with(col("embedding"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (x, d) => x.cast("double") * planeWeight(col("j"), d)),
+          lit(0.0), (acc, v) => acc + v).as("proj"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("proj") > 0,
+        expr("shiftleft(1L, cast(j as int))")).otherwise(0L)).as("bucket"))
+  }
+
+  /** Bucket occupancy histogram — the oracle-checked face of the LSH
+    * machinery (bucket ids and counts must match exactly). */
+  def lshBucketHistogram(spark: SparkSession, dir: String): DataFrame =
+    lshBuckets(spark, dir)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  /** LSH-accelerated ANN: candidates = vectors sharing the query's
+    * bucket; exact cosine re-rank inside the bucket. Falls back to
+    * fewer than k results if the bucket is small (standard LSH
+    * recall/latency trade — at scale, multi-probe or band OR-ing
+    * widens recall). */
+  def annLsh(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val b = lshBuckets(spark, dir)
+    val e = emb(spark, dir).join(b, "vec_id")
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("bucket").as("qb"), col("embedding").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .join(broadcast(q), col("bucket") === col("qb"))
+      .select(col("vec_id"), cosine(col("embedding"), col("qv")).as("c"))
+      .orderBy(col("c").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("c"), 4).as("cos"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import CrossHash._
+
+/** Text-analysis operators for a training-data pipeline: language-ID
+  * heuristic, quality scoring, token counting, document fingerprinting.
+  * All are narrow per-row expression pipelines (no UDFs, no shuffle
+  * except final agg/sort) — linear at any scale.
+  */
+object TextAnalysis {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  /** Tiny English function-word list for the language-ID heuristic
+    * (inline so the DuckDB oracle can embed the same list). */
+  val EnStopwords: Seq[String] = Seq(
+    "the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
+
+  /** Language-ID heuristic: fraction of tokens that are English function
+    * words; ≥ 0.03 → 'en'. (An n-gram-profile classifier would slot in
+    * the same shape: per-token feature → per-doc ratio → argmax.) */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(tokensArray(col("text"))).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(round(
+        sum(when(col("term").isin(EnStopwords: _*), 1L).otherwise(0L)) /
+          count(lit(1)).cast("double"), 4).as("stop_ratio"))
+      .withColumn("lang_pred",
+        when(col("stop_ratio") >= 0.03, "en").otherwise("other"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length / token / character-class ratios per doc. */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        tokensArray(col("text")).as("toks"))
+      .select(col("doc_id"), col("n_chars_raw"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        round(
+          aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+            .cast("double") / size(col("toks")), 4).as("avg_token_len"),
+        round((length(concat_ws(" ", col("toks"))) + 1).cast("double") /
+          (col("n_chars_raw") + 1), 4).as("alnum_ratio"))
+      .orderBy("doc_id")
+
+  /** Token counting: whitespace tokens and a BPE-ish segmentation
+    * (letter runs | digit runs | single other chars). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("ws_tokens"),
+        size(expr(
+          "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Document fingerprint: rolling polynomial hash of the normalized
+    * (tokenized, single-spaced) text — an order-sensitive content id,
+    * complementing [[Dedup.exact]]'s md5 of the raw text. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        polyHash(concat_ws(" ", tokensArray(col("text"))), P).as("fp"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,146 @@
+package graft.ops
+
+import CrossHash._
+
+/** DuckDB-dialect oracle SQL for the training-data ops, generated from
+  * the same constants ([[CrossHash.MinhashPerms]], moduli, plane
+  * formula) as the Spark implementations — one source of truth, so the
+  * two sides cannot drift.
+  */
+object TrainingOracles {
+
+  private val toks = ddbTokensArray("text")
+
+  private def dot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, len($a) + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
+      s"(acc, v) -> acc + v)"
+
+  private def cos(a: String, b: String): String =
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+
+  private val docShingles =
+    s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+       sh AS (SELECT doc_id, unnest(list_distinct(${ddbShingles3("toks")})) AS shingle FROM d)"""
+
+  val oracle: Map[String, String] = Map(
+    "q24_dedup_exact" ->
+      """SELECT md5(text) AS digest, count(*) AS n_dups, min(doc_id) AS keeper
+         FROM documents GROUP BY 1 ORDER BY digest""",
+
+    "q24_dedup_jaccard" ->
+      s"""$docShingles,
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT doc_a, doc_b, round(i / (x.n + y.n - i), 4) AS jaccard
+         FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+         WHERE round(i / (x.n + y.n - i), 4) >= 0.5
+         ORDER BY doc_a, doc_b""",
+
+    "q24_dedup_minhash" ->
+      s"""$docShingles,
+         hh AS (SELECT doc_id, ${ddbPolyHash("shingle", PM)} AS h FROM sh),
+         sig AS (SELECT doc_id, i, min((a * h + b) % $PM) AS mh
+                 FROM hh CROSS JOIN $ddbPermValues GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // $RowsPerBand AS band,
+                          string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+                   FROM sig GROUP BY doc_id, i // $RowsPerBand),
+         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                  FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+         SELECT c.doc_a, c.doc_b,
+                round(sum(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END) / ${MinhashPerms.size}.0, 4) AS est_jaccard
+         FROM cand c JOIN sig s1 ON c.doc_a = s1.doc_id
+                     JOIN sig s2 ON c.doc_b = s2.doc_id AND s1.i = s2.i
+         GROUP BY 1, 2 ORDER BY doc_a, doc_b""",
+
+    "q24_simhash" -> (simhashSql + " ORDER BY doc_id"),
+
+    "q24_simhash_pairs" ->
+      s"""WITH s AS ($simhashSql)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         ORDER BY doc_a, doc_b""",
+
+    "q25_cosine_pairs" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                round(${cos("a.embedding", "b.embedding")}, 4) + 0.0 AS cos
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         ORDER BY vec_a, vec_b""",
+
+    "q25_ann_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         s AS (SELECT vec_id, ${cos("embedding", "qv")} AS c
+               FROM embeddings CROSS JOIN q WHERE vec_id <> 0)
+         SELECT vec_id, round(c, 4) AS cos FROM s ORDER BY c DESC, vec_id LIMIT 20""",
+
+    "q25_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+         p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                      ${cos("a.embedding", "b.embedding")} AS c
+               FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         SELECT vec_a, vec_b, round(c, 4) AS cos FROM p
+         WHERE c >= 0.35 ORDER BY vec_a, vec_b""",
+
+    "q25_ann_lsh" ->
+      s"""WITH pr AS (SELECT vec_id, j,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, len(embedding) + 1),
+                    i -> CAST(embedding[i] AS DOUBLE) *
+                         (CAST((j * 1103515245 + (i - 1) * 12345) % 1001 - 500 AS DOUBLE) / 500.0))),
+                  (acc, v) -> acc + v) AS proj
+              FROM embeddings CROSS JOIN (SELECT unnest(range(${Similarity.Planes})) AS j) js),
+         b AS (SELECT vec_id,
+                      sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS bucket
+               FROM pr GROUP BY vec_id)
+         SELECT bucket, count(*) AS n FROM b GROUP BY bucket ORDER BY bucket""",
+
+    "q27_langid" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         r AS (SELECT doc_id,
+                      round(sum(CASE WHEN term IN (${TextAnalysis.EnStopwords.map("'" + _ + "'").mkString(", ")}) THEN 1 ELSE 0 END)
+                            / CAST(count(*) AS DOUBLE), 4) AS stop_ratio
+               FROM tok GROUP BY doc_id)
+         SELECT doc_id, stop_ratio,
+                CASE WHEN stop_ratio >= 0.03 THEN 'en' ELSE 'other' END AS lang_pred
+         FROM r ORDER BY doc_id""",
+
+    "q27_quality" ->
+      s"""WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw, $toks AS toks
+                     FROM documents)
+         SELECT doc_id, n_chars_raw, CAST(len(toks) AS BIGINT) AS n_tokens,
+                round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(toks, t -> CAST(length(t) AS BIGINT))), (a, b) -> a + b) AS DOUBLE)
+                      / len(toks), 4) AS avg_token_len,
+                round(CAST(length(array_to_string(toks, ' ')) + 1 AS DOUBLE) / (n_chars_raw + 1), 4) AS alnum_ratio
+         FROM d ORDER BY doc_id""",
+
+    "q27_token_count" ->
+      """SELECT doc_id,
+                CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS ws_tokens,
+                CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "q27_fingerprint" ->
+      s"""SELECT doc_id, ${ddbPolyHash("array_to_string(toks, ' ')", P)} AS fp
+         FROM (SELECT doc_id, $toks AS toks FROM documents) ORDER BY doc_id""",
+  )
+
+  private lazy val simhashSql: String =
+    s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+       tf AS (SELECT doc_id, term, count(*) AS tf
+              FROM (SELECT doc_id, unnest(toks) AS term FROM d) t GROUP BY 1, 2),
+       th AS (SELECT doc_id, tf, ${ddbPolyHash("term", P)} AS h FROM tf),
+       bits AS (SELECT doc_id, j,
+                       CASE WHEN sum(tf * (2 * ((h >> j) & 1) - 1)) > 0 THEN 1 ELSE 0 END AS bit
+                FROM th CROSS JOIN (SELECT unnest(range(${Dedup.SimhashBits})) AS j) js
+                GROUP BY doc_id, j)
+       SELECT doc_id, CAST(sum(CAST(bit AS BIGINT) << CAST(j AS INT)) AS BIGINT) AS simhash
+       FROM bits GROUP BY doc_id"""
+}
