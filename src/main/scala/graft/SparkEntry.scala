@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{IrSql, Relational}
+import graft.queries.{IrEngine, IrSql, Relational}
 import graft.ops.{Dedup, Similarity, TextAnalysis, TrainingOracles}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -55,6 +55,12 @@ object SparkEntry {
     "q25_ann_topk" -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
     "q25_embed_neardup" -> (Similarity.embedNearDup _),
     "q25_ann_lsh" -> (Similarity.lshBucketHistogram _),
+    // Faithful IR engine (tokenizer+stemmer not SQL-expressible →
+    // rows-only driver check; conformance pinned by specs)
+    "q26_ir_terms" -> (IrEngine.q26PipelineTerms _),
+    "q26_ir_index" -> (IrEngine.q26StemmedIndex _),
+    "q26_ir_search" -> (IrEngine.q26Search _),
+    "q26_ir_wildcard" -> (IrEngine.q26Wildcard _),
     "q27_langid" -> (TextAnalysis.langId _),
     "q27_quality" -> (TextAnalysis.quality _),
     "q27_token_count" -> (TextAnalysis.tokenCount _),

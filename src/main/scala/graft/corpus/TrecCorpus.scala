@@ -1,0 +1,71 @@
+package graft.corpus
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TREC corpus ingestion (SURVEY.md §2.1).
+  *
+  * The reference splits files on `<DOC>`/`</DOC>` byte patterns with a
+  * split-boundary-safe custom InputFormat
+  * (`CODE/edu/umd/cloud9/collection/XMLInputFormat.java:41-198`) and
+  * extracts the docid as the trimmed text between `<DOCNO>` tags
+  * (`CODE/edu/umd/cloud9/collection/trec/TrecDocument.java:76-89`).
+  *
+  * Spark-native equivalent: `spark.read.option("lineSep", "</DOC>")`
+  * gives the same record split (Hadoop LineRecordReader realigns
+  * records across file-split boundaries, matching the reference's
+  * boundary logic), then `regexp_extract` projects the docid. At 100 TB
+  * this scan parallelizes per file split exactly like the reference's;
+  * gzip inputs degrade to whole-file splits in both designs.
+  */
+object TrecCorpus {
+
+  /** Read a TREC corpus: one row per `<DOC>` block:
+    * (docid STRING, content STRING). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("lineSep", "</DOC>").text(path)
+      .filter(col("value").contains("<DOCNO>"))
+      .select(
+        trim(regexp_extract(col("value"), "<DOCNO>(.*?)</DOCNO>", 1))
+          .as("docid"),
+        col("value").as("content"))
+
+  /** Dense docno assignment 1..N in sorted-docid order (the reference's
+    * single-reducer `NumberTrecDocuments` — SURVEY §2.4 "sequential
+    * numbering"). `row_number` over one window partition is the same
+    * deliberate serial point; fine for the dictionary-sized doc_map.
+    */
+  def docnoMapping(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    corpus.select(col("docid"))
+      .withColumn("docno",
+        row_number().over(Window.orderBy("docid")).cast("long"))
+  }
+
+  /** Scalable docno assignment for corpora where the doc_map itself is
+    * big: range-partition by docid (sampled RangePartitioner — no single
+    * serial task), count per partition, and offset each partition by the
+    * running total. Only the per-partition counts (one long per
+    * partition) touch the driver. Same output as [[docnoMapping]]. */
+  def docnoMappingScalable(spark: SparkSession, corpus: DataFrame,
+                           partitions: Int = 0): DataFrame = {
+    import spark.implicits._
+    val p = if (partitions > 0) partitions
+            else spark.sessionState.conf.numShufflePartitions
+    // persisted so the count pass and the assign pass see identical
+    // (sampled) range-partition boundaries
+    val sorted = corpus.select(col("docid").as[String])
+      .repartitionByRange(p, col("docid"))
+      .sortWithinPartitions("docid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sorted.mapPartitions(it => Iterator.single(it.size))
+      .collect()
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var n = bc.value(pid)
+      it.map { d => n += 1; (d, n) }
+    }.toDF("docid", "docno")
+  }
+}

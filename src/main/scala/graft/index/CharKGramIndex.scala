@@ -1,0 +1,37 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.TextPipeline
+
+/** Char-k-gram → term index (SURVEY.md §2.1 R4): per distinct raw
+  * token, wrap as `$token$` and emit every k-char substring; group to a
+  * sorted distinct term list (`CharKGramTermIndexer.java:98-110`;
+  * canonical sorted/distinct semantics per SURVEY §2.10-Q6 decision).
+  *
+  * The capability R4 exists for is wildcard queries: grams of a pattern
+  * like `re*ve` → intersect the gram term lists → candidate terms (used
+  * by [[graft.query.QueryEngine.wildcardTerms]]).
+  */
+object CharKGramIndex {
+
+  /** (gram, terms ARRAY<STRING> sorted distinct) from a raw corpus. */
+  def build(spark: SparkSession, corpus: DataFrame, k: Int = 3): DataFrame = {
+    TextPipeline.register(spark)
+    val vocab = corpus
+      .select(explode(expr("graft_tokenize_raw(content)")).as("term"))
+      .distinct()
+    grams(vocab, k)
+      .groupBy(col("gram"))
+      .agg(sort_array(collect_set(col("term"))).as("terms"))
+  }
+
+  /** (gram, term) pairs for a vocabulary DF with column `term`. */
+  def grams(vocab: DataFrame, k: Int): DataFrame =
+    vocab
+      .withColumn("wrapped", concat(lit("$"), col("term"), lit("$")))
+      .select(col("term"),
+        explode(transform(sequence(lit(1), length(col("term")) + 2 - (k - 1)),
+          i => col("wrapped").substr(i, lit(k)))).as("gram"))
+      .distinct()
+}

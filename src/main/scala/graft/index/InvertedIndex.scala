@@ -1,0 +1,103 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.corpus.TrecCorpus
+import graft.text.TextPipeline
+
+/** Word-k-gram inverted index builder (SURVEY.md §2.1 R3, §7.1 step 4)
+  * — the reference's `TermKGramDocIndexer` dataflow as one declarative
+  * Spark job (the reference needed three chained MR jobs + a magic row).
+  *
+  * Layout is NORMALIZED postings `(kgram, docno, tf)` + `(kgram, df)`
+  * stats — never giant per-term arrays (SURVEY §7.1 step 7), so hot
+  * terms can't blow an executor; AQE splits skewed shuffle partitions.
+  * df is the postings-list length (intended semantics, SURVEY §2.10-Q1;
+  * the shipped reference leaves df=1 — reproduced only by
+  * [[graft.query.QueryEngine]]'s bugCompat flag). N is a real scalar,
+  * not an in-band `" "` row (§2.10-Q5).
+  */
+object InvertedIndex {
+
+  /** All index artifacts; `nDocs` is the corpus count the reference
+    * smuggled through the magic `" "` row. */
+  case class Index(postings: DataFrame, termStats: DataFrame,
+                   docMap: DataFrame, nDocs: Long)
+
+  /** Sliding k-windows over a token array, each joined with spaces
+    * (docs with < k tokens produce nothing —
+    * `TermKGramDocIndexer.java:143`). */
+  def kgramWindows(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ",
+          (0 until k).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Tokenize a corpus with the faithful pipeline:
+    * (docno, pos, term). */
+  def terms(spark: SparkSession, corpus: DataFrame,
+            docMap: DataFrame): DataFrame = {
+    TextPipeline.register(spark)
+    corpus
+      .join(broadcast(docMap), "docid")
+      .select(col("docno"),
+        expr("graft_tokenize(content)").as("toks"))
+      .select(col("docno"),
+        posexplode(col("toks")).as(Seq("pos", "term")))
+  }
+
+  /** Build the full index from a raw corpus (docid, content): one
+    * tokenize projection, one shuffle per aggregation — no intermediate
+    * materialization (the reference needed three chained MR jobs). */
+  def build(spark: SparkSession, corpus: DataFrame, k: Int = 1): Index = {
+    TextPipeline.register(spark)
+    val docMap = TrecCorpus.docnoMapping(corpus)
+    val toks = corpus
+      .join(broadcast(docMap), "docid")
+      .select(col("docno"), expr("graft_tokenize(content)").as("toks"))
+    val postings = toks
+      .select(col("docno"), explode(kgramWindows(col("toks"), k)).as("kgram"))
+      .groupBy(col("kgram"), col("docno"))
+      .agg(count(lit(1)).as("tf"))
+    val termStats = postings.groupBy(col("kgram"))
+      .agg(count(lit(1)).as("df"))
+    Index(postings, termStats, docMap, corpus.count())
+  }
+
+  /** Nested presentation form matching the reference's R3 record shape:
+    * (kgram, df, postings sorted desc-tf then asc-docno)
+    * (`PostingWritable.compareTo` ordering, SURVEY §1.2). */
+  def nested(ix: Index): DataFrame =
+    ix.postings
+      .groupBy(col("kgram"))
+      .agg(count(lit(1)).as("df"),
+        transform(
+          array_sort(collect_list(struct((-col("tf")).as("ntf"),
+            col("docno").as("docno"), col("tf").as("tf")))),
+          x => struct(x.getField("docno").as("docno"),
+            x.getField("tf").as("tf"))).as("postings"))
+
+  /** Persist as parquet, postings repartitioned+sorted by kgram so each
+    * file covers a term range (row-group min/max pruning serves point
+    * lookups — replaces the reference's byte-offset forward index R5,
+    * SURVEY §1.3). */
+  def write(ix: Index, dir: String): Unit = {
+    ix.postings.repartition(col("kgram")).sortWithinPartitions("kgram")
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    ix.termStats.write.mode("overwrite").parquet(s"$dir/term_stats")
+    ix.docMap.write.mode("overwrite").parquet(s"$dir/doc_map")
+    ix.docMap.sparkSession.range(1)
+      .select(lit(ix.nDocs).as("n_docs"))
+      .write.mode("overwrite").parquet(s"$dir/corpus_stats")
+  }
+
+  def load(spark: SparkSession, dir: String): Index = {
+    val n = spark.read.parquet(s"$dir/corpus_stats")
+      .head().getLong(0)
+    Index(
+      spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/term_stats"),
+      spark.read.parquet(s"$dir/doc_map"), n)
+  }
+}

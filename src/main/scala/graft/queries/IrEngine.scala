@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.index.{CharKGramIndex, InvertedIndex}
+import graft.query.QueryEngine
+
+/** Driver-contract queries exercising the faithful IR engine (tag-aware
+  * tokenizer + Terrier stopwords + Porter2 stemmer + index builders +
+  * query engine). No DuckDB oracle — the stemmer isn't SQL-expressible
+  * — so the driver records rows-only checks; correctness is pinned by
+  * the conformance specs against the reference implementation
+  * (PorterStemmerSpec / TextPipelineSpec / engine specs).
+  */
+object IrEngine {
+
+  /** Synthetic documents table viewed as a (docid, content) corpus. */
+  def corpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(format_string("D%05d", col("doc_id")).as("docid"),
+        col("text").as("content"))
+
+  /** Faithful-pipeline token stream: (docid, pos, term). */
+  def q26PipelineTerms(spark: SparkSession, dir: String): DataFrame = {
+    graft.text.TextPipeline.register(spark)
+    corpus(spark, dir)
+      .select(col("docid"),
+        posexplode(expr("graft_tokenize(content)")).as(Seq("pos", "term")))
+      .orderBy("docid", "pos")
+  }
+
+  /** Stemmed inverted index in nested presentation form. */
+  def q26StemmedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val ix = InvertedIndex.build(spark, corpus(spark, dir), k = 1)
+    InvertedIndex.nested(ix)
+      .select(col("kgram"), col("df"),
+        array_join(transform(col("postings"),
+          x => concat_ws(":", x.getField("docno"), x.getField("tf"))), " ")
+          .as("postings"))
+      .orderBy("kgram")
+  }
+
+  /** tf-idf search through the full engine (build + rank). */
+  def q26Search(spark: SparkSession, dir: String): DataFrame = {
+    val ix = InvertedIndex.build(spark, corpus(spark, dir), k = 1)
+    QueryEngine.search(ix, "merge stream")
+  }
+
+  /** Wildcard expansion via the char-3-gram index. */
+  def q26Wildcard(spark: SparkSession, dir: String): DataFrame = {
+    val cg = CharKGramIndex.build(spark, corpus(spark, dir), k = 3)
+    QueryEngine.wildcardTerms(cg, "st*am")
+  }
+}

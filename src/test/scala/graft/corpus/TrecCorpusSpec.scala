@@ -1,0 +1,29 @@
+package graft.corpus
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TrecCorpusSpec extends SparkSpec {
+
+  lazy val corpus = TrecCorpus.read(spark, resourcePath("/graft/sample-trec.xml"))
+
+  test("reads one row per <DOC> block with trimmed docid") {
+    val rows = corpus.orderBy("docid").collect()
+    assert(rows.length == 20)
+    assert(rows.head.getString(0) == "FT911-0001")
+    assert(rows.last.getString(0) == "FT911-0020")
+    assert(rows.forall(_.getString(1).contains("<DOCNO>")))
+  }
+
+  test("docno mapping is dense 1..N in sorted docid order") {
+    val m = TrecCorpus.docnoMapping(corpus).orderBy("docno").collect()
+    assert(m.map(_.getLong(1)).toSeq == (1L to 20L))
+    assert(m.map(_.getString(0)).toSeq == m.map(_.getString(0)).sorted.toSeq)
+  }
+
+  test("scalable docno mapping matches the windowed one") {
+    val a = TrecCorpus.docnoMapping(corpus)
+    val b = TrecCorpus.docnoMappingScalable(spark, corpus, partitions = 3)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+}

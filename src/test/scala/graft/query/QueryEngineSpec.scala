@@ -1,0 +1,61 @@
+package graft.query
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.corpus.TrecCorpus
+import graft.index.{CharKGramIndex, InvertedIndex}
+
+class QueryEngineSpec extends SparkSpec {
+
+  lazy val corpus = TrecCorpus.read(spark, resourcePath("/graft/sample-trec.xml"))
+  lazy val ix = InvertedIndex.build(spark, corpus, k = 1)
+  lazy val chargrams = CharKGramIndex.build(spark, corpus, k = 3)
+
+  test("single-term tf-idf: hand-computed golden score, top doc") {
+    val top = QueryEngine.search(ix, "merge").collect()
+    // df(merg)=4 over N=20; FT911-0017 has tf=5
+    val expected = BigDecimal((1.0 + math.log(5)) * math.log10(20.0 / 4))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(top.head.getAs[String]("docid") == "FT911-0017")
+    assert(top.head.getAs[Double]("score") == expected)
+    assert(top.length == 4)
+  }
+
+  test("two-term query is disjunctive (OR)") {
+    val docs = QueryEngine.search(ix, "merge stream")
+      .collect().map(_.getAs[String]("docid")).toSet
+    // stream-only docs appear even without 'merge'
+    assert(docs.contains("FT911-0018"))
+    assert(docs.contains("FT911-0017"))
+  }
+
+  test("query analysis shares the index pipeline") {
+    // 'Merging' stems to 'merg'; stopwords vanish
+    assert(QueryEngine.analyze("The Merging") == Seq("merg"))
+  }
+
+  test("arity guard rejects 3-word queries") {
+    intercept[IllegalArgumentException] {
+      QueryEngine.search(ix, "one two three")
+    }
+  }
+
+  test("bugCompat mode reproduces df=1 scoring: log10(N) for all terms") {
+    val got = QueryEngine.search(ix, "merge", bugCompat = true).collect()
+    val expTop = BigDecimal((1.0 + math.log(5)) * math.log10(20.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.head.getAs[Double]("score") == expTop)
+  }
+
+  test("wildcard expansion via char-gram intersection") {
+    val terms = QueryEngine.wildcardTerms(chargrams, "re*ve")
+      .collect().map(_.getString(0)).toSeq
+    assert(terms == Seq("receive", "relive", "remove", "resolve",
+      "retrieve", "revolve"))
+  }
+
+  test("wildcard search ranks the fodder doc first") {
+    val top = QueryEngine.wildcardSearch(ix, chargrams, "re*ve").collect()
+    assert(top.head.getAs[String]("docid") == "FT911-0013")
+  }
+}
