@@ -61,6 +61,7 @@ object SparkEntry {
     "q26_ir_index" -> (IrEngine.q26StemmedIndex _),
     "q26_ir_search" -> (IrEngine.q26Search _),
     "q26_ir_wildcard" -> (IrEngine.q26Wildcard _),
+    "q28_multimodal" -> (IrEngine.q28Multimodal _),
     "q27_langid" -> (TextAnalysis.langId _),
     "q27_quality" -> (TextAnalysis.quality _),
     "q27_token_count" -> (TextAnalysis.tokenCount _),

@@ -52,4 +52,17 @@ object IrEngine {
     val cg = CharKGramIndex.build(spark, corpus(spark, dir), k = 3)
     QueryEngine.wildcardTerms(cg, "st*am")
   }
+
+  /** Multimodal plumbing end-to-end: synthesize binary media, decode
+    * (stub codec), resize plan, per-kind stats. */
+  def q28Multimodal(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.mediaFromDocuments(spark, dir)
+    Multimodal.resizePlan(Multimodal.decode(media))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        max(col("out_w")).as("max_w"), max(col("out_h")).as("max_h"),
+        sum(col("n_bytes")).as("total_bytes"))
+      .orderBy("kind")
+  }
 }

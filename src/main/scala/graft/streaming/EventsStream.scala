@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming ingest of the `events` table (SURVEY.md §7.1
+  * step 8 — post-parity extension; the reference has no streaming
+  * surface, §2.10).
+  *
+  * Batch and stream share the same transform functions (the DataFrame
+  * programs are identical — only the source differs), so the batch
+  * oracle queries double as correctness checks for the streaming path.
+  *
+  * Scale posture: watermarked windows keep state bounded (late rows
+  * beyond the watermark are dropped, state for closed windows is
+  * evicted); sessionization state is one small case class per active
+  * user, timed out by event-time. Both scale horizontally on the
+  * groupBy keys.
+  */
+object EventsStream {
+
+  case class Event(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+                   value: Double)
+
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                     n_events: Long, total_value: Double)
+
+  // public: Spark's codegen must construct/inspect it from generated code
+  case class SessionState(start: Long, lastSeen: Long, n: Long,
+                          total: Double)
+
+  /** File-source streaming read of a DIRECTORY of events parquet files
+    * (the standard streaming-ingest layout — new files appear, the
+    * source picks them up per micro-batch), deriving the µs `ts` from
+    * the ns-precision files the same way as [[graft.Tables.events]]. */
+  def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(eventsDir)
+    spark.readStream
+      .schema(raw.schema)
+      .parquet(eventsDir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  /** Tumbling-window aggregate with watermark; identical transform
+    * works on batch input (spec asserts equality). */
+  def tumblingCounts(events: DataFrame, windowLen: String = "1 minute",
+                     watermark: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("total_value"))
+      .select(col("window.start").as("w_start"), col("user_id"),
+        col("n_events"), col("total_value"))
+
+  /** Sliding-window aggregate (overlapping windows). */
+  def slidingCounts(events: DataFrame, windowLen: String = "2 minutes",
+                    slide: String = "1 minute",
+                    watermark: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("w_start"), col("user_id"),
+        col("n_events"))
+
+  /** Event-time sessionization via flatMapGroupsWithState: a session
+    * closes after `gapSeconds` of inactivity (state timeout), emitting
+    * one row per closed session. */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 30)
+                (implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", s"$gapSeconds seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId,
+              new java.sql.Timestamp(s.start), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapSeconds * 1000 =>
+                  cur = Some(s.copy(lastSeen = t, n = s.n + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new java.sql.Timestamp(s.start),
+                    s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeen + gapSeconds * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

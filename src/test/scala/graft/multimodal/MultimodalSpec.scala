@@ -1,0 +1,52 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  lazy val media = Multimodal.mediaFromDocuments(spark, "/root/testdata/sf0.001")
+
+  test("media table: binary payload + typed metadata") {
+    val row = media.filter(col("media_id") === 0).head()
+    assert(row.payload.nonEmpty)
+    assert(row.kind.startsWith("img/"))
+    assert(media.count() == 500)
+  }
+
+  test("decode is deterministic and schema-typed") {
+    val d1 = Multimodal.decode(media).orderBy("media_id").collect()
+    val d2 = Multimodal.decode(media).orderBy("media_id").collect()
+    assert(d1.toSeq == d2.toSeq)
+    assert(d1.forall(d => d.width >= 16 && d.height >= 16))
+    assert(d1.forall(_.n_bytes > 0))
+  }
+
+  test("decode plan is narrow — no shuffle") {
+    val plan = Multimodal.decode(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("feature extraction emits fixed-dim embeddings") {
+    val f = Multimodal.features(media, dim = 16).head(10)
+    assert(f.forall(_.embedding.length == 16))
+    assert(f.forall(_.embedding.forall(v => v > -1.0f && v < 1.0f)))
+  }
+
+  test("frame sampling strides through payload") {
+    val frames = Multimodal.sampleFrames(media, frameBytes = 32, stride = 4)
+      .filter(col("media_id") === 1).collect()
+    assert(frames.nonEmpty)
+    assert(frames.map(_.frame_idx).toSeq ==
+      frames.map(_.frame_idx).toSeq.sorted)
+    assert(frames.forall(_.frame.length == 32))
+    assert(frames.map(_.frame_idx).forall(_ % 4 == 0))
+  }
+
+  test("resize plan computes bounded output dims in pure columns") {
+    val r = Multimodal.resizePlan(Multimodal.decode(media), maxSide = 256)
+      .collect()
+    assert(r.forall(_.getAs[Int]("out_w") <= 256))
+    assert(r.forall(_.getAs[Int]("out_h") <= 256))
+  }
+}

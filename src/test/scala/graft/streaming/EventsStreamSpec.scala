@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import EventsStream.Event
+
+class EventsStreamSpec extends SparkSpec {
+
+  // offset keeps test events above the initial watermark (=0), which
+  // would otherwise filter the very first event as late; a minute
+  // multiple so window starts still align with ts(k*60)
+  private def ts(sec: Long): Timestamp = new Timestamp((sec + 1200) * 1000)
+
+  /** Start the query, then feed each stage as its own micro-batch (so
+    * the watermark advances between stages), return the sink table. */
+  private def feed[T](input: MemoryStream[Event],
+                      df: org.apache.spark.sql.Dataset[T], name: String,
+                      stages: Seq[Seq[Event]]): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    stages.foreach { s => input.addData(s); q.processAllAvailable() }
+    // one empty-progress pass lets event-time timeouts fire
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling windows match the batch computation") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val events = (0 until 50).map(i =>
+      Event(i, i % 3, ts(i * 7), (i % 5) * 1.5))
+    val streamed = feed(input, EventsStream.tumblingCounts(input.toDF()),
+      "tumbling",
+      Seq(events, Seq(Event(999, 99, ts(100000), 0.0))))
+      .filter(col("user_id") < 99)
+    val batch = EventsStream.tumblingCounts(events.toDF())
+      .filter(col("user_id") < 99)
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
+  test("watermark drops events later than the bound") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val got = feed(input, EventsStream.tumblingCounts(input.toDF()), "late",
+      Seq(
+        Seq(Event(1, 1, ts(60), 1.0)),
+        Seq(Event(2, 1, ts(600), 1.0)),  // watermark → 480s
+        Seq(Event(3, 1, ts(60), 1.0)),   // < watermark: dropped
+        Seq(Event(4, 1, ts(1200), 1.0)))) // close all windows
+      .filter(col("w_start") === ts(60))
+    assert(got.head().getAs[Long]("n_events") == 1) // late row not counted
+  }
+
+  test("sliding windows overlap") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val got = feed(input, EventsStream.slidingCounts(input.toDF()), "sliding",
+      Seq(Seq(Event(1, 1, ts(90), 1.0)), Seq(Event(9, 9, ts(10000), 0.0))))
+      .filter(col("user_id") === 1)
+    // 2-minute window sliding by 1 minute: event at 90s lands in
+    // windows starting at 0s and 60s
+    assert(got.count() == 2)
+  }
+
+  test("sessionization closes on gap and emits totals") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val got = feed(input, EventsStream.sessionize(input.toDS()), "sessions",
+      Seq(
+        // user 1: burst at 0-20s, then burst at 100-110s
+        Seq(Event(1, 1, ts(0), 1.0), Event(2, 1, ts(10), 2.0),
+          Event(3, 1, ts(20), 3.0)),
+        Seq(Event(4, 1, ts(100), 4.0), Event(5, 1, ts(110), 5.0)),
+        // push watermark far forward so open sessions time out
+        Seq(Event(9, 9, ts(10000), 0.0)),
+        Seq(Event(10, 9, ts(20000), 0.0))))
+      .filter(col("user_id") === 1)
+      .orderBy("session_start")
+      .collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("n_events") == 3)
+    assert(got(0).getAs[Double]("total_value") == 6.0)
+    assert(got(1).getAs[Long]("n_events") == 2)
+    assert(got(1).getAs[Double]("total_value") == 9.0)
+  }
+
+  test("file-source streaming read of the real events table") {
+    // stage the single events file as a directory (the source contract)
+    val dir = java.nio.file.Files.createTempDirectory("graft_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val stream = EventsStream.readEvents(spark, dir.toString)
+    assert(stream.isStreaming)
+    val q = EventsStream.tumblingCounts(stream,
+        windowLen = "1 hour", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("filetumble")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("filetumble").count() > 0)
+  }
+}
