@@ -47,7 +47,7 @@ object SparkEntry {
     "q23_arrays" -> (Relational.q23Arrays _),
     // Training-data pipeline ops (dedup / similarity / text analysis)
     "q24_dedup_exact" -> (Dedup.exact _),
-    "q24_dedup_jaccard" -> (Dedup.jaccard _),
+    "q24_dedup_jaccard" -> ((s: SparkSession, d: String) => Dedup.jaccard(s, d)),
     "q24_dedup_minhash" -> (Dedup.minhashLsh _),
     "q24_simhash" -> (Dedup.simhash _),
     "q24_simhash_pairs" -> (Dedup.simhashPairs _),

@@ -60,6 +60,9 @@ object InvertedIndex {
       .select(col("docno"), explode(kgramWindows(col("toks"), k)).as("kgram"))
       .groupBy(col("kgram"), col("docno"))
       .agg(count(lit(1)).as("tf"))
+      // the index is the serving artifact: cache it so queries (and the
+      // df stats below) don't re-run the tokenize pipeline
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val termStats = postings.groupBy(col("kgram"))
       .agg(count(lit(1)).as("df"))
     Index(postings, termStats, docMap, corpus.count())
