@@ -21,6 +21,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter" -> (Relational.q01ScanFilter _),
     "q02_docid_extract" -> (IrSql.q02DocidExtract _),
+    "q02_trectext_fields" -> (IrSql.q02TrecTextFields _),
+    "q02_urlscrub" -> (IrSql.q02UrlScrub _),
+    "q09_wildcard" -> ((s: SparkSession, d: String) => IrSql.q09Wildcard(s, d)),
     "q03_docno_assign" -> (IrSql.q03DocnoAssign _),
     "q04_tokenize" -> (IrSql.q04Tokenize _),
     "q05_term_tf" -> (IrSql.q05TermTf _),
@@ -81,6 +84,36 @@ object SparkEntry {
       """SELECT trim(regexp_extract(content, '<DOCNO>(.*?)</DOCNO>', 1)) AS docid
          FROM (SELECT '<DOC> <DOCNO> FT-' || doc_id || ' </DOCNO> <TEXT> ' || text || ' </TEXT> </DOC>' AS content FROM documents)
          ORDER BY docid""",
+
+    "q02_trectext_fields" ->
+      """SELECT doc_id, concat_ws(' ',
+                trim(regexp_extract(content, '<HEADLINE>(.*?)</HEADLINE>', 1)),
+                trim(regexp_extract(content, '<TEXT>(.*?)</TEXT>', 1))) AS kept
+         FROM (SELECT doc_id, '<DOC> <DOCNO>D' || doc_id || '</DOCNO> <HEADLINE>h ' || doc_id ||
+                      '</HEADLINE> <TEXT>' || text || '</TEXT> <IGNORED>zzz</IGNORED> </DOC>' AS content
+               FROM documents)
+         ORDER BY doc_id""",
+
+    "q02_urlscrub" ->
+      """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(lower(url),
+                '#.*$', ''), ':80/', '/'), '/+$', '') AS scrubbed
+         FROM (SELECT doc_id, 'HTTP://Example' || doc_id || '.COM:80/Path/To/' || source || '/#Frag' AS url
+               FROM documents)
+         ORDER BY doc_id""",
+
+    "q09_wildcard" ->
+      """WITH terms AS (
+           SELECT DISTINCT term FROM (
+             SELECT unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS term
+             FROM documents)
+           WHERE term <> ''),
+         grams AS (
+           SELECT DISTINCT substring('$' || term || '$', CAST(i AS INT), 3) AS gram, term
+           FROM (SELECT term, unnest(range(1, CAST(len(term) AS BIGINT) + 1)) AS i FROM terms))
+         SELECT term FROM grams WHERE gram IN ('$st', 'am$')
+         GROUP BY term
+         HAVING count(*) = 2 AND term LIKE 'st%am'
+         ORDER BY term""",
 
     "q03_docno_assign" ->
       """SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS docno

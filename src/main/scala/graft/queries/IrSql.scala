@@ -133,6 +133,60 @@ object IrSql {
       .agg(array_join(array_sort(collect_set(col("term"))), " ").as("terms"))
       .orderBy("gram")
 
+  /** Q2b: TREC-text section parser (SURVEY §2.1 "TREC-text field
+    * parser"): keep only the whitelisted sections' content from a
+    * synthesized TREC doc. */
+  def q02TrecTextFields(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        concat(lit("<DOC> <DOCNO>D"), col("doc_id"),
+          lit("</DOCNO> <HEADLINE>h "), col("doc_id"),
+          lit("</HEADLINE> <TEXT>"), col("text"),
+          lit("</TEXT> <IGNORED>zzz</IGNORED> </DOC>")).as("content"))
+      .select(col("doc_id"),
+        concat_ws(" ",
+          trim(regexp_extract(col("content"), "<HEADLINE>(.*?)</HEADLINE>", 1)),
+          trim(regexp_extract(col("content"), "<TEXT>(.*?)</TEXT>", 1)))
+          .as("kept"))
+      .orderBy("doc_id")
+
+  /** Q2c: TREC-web URL scrub (SURVEY §2.1/2.2 `TrecWebParser.java:37-53`):
+    * lowercase, strip `:80` port, trailing `/`, and `#fragment`. */
+  def q02UrlScrub(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        concat(lit("HTTP://Example"), col("doc_id"),
+          lit(".COM:80/Path/To/"), col("source"),
+          lit("/#Frag")).as("url"))
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(col("url")), "#.*$", ""),
+            ":80/", "/"),
+          "/+$", "").as("scrubbed"))
+      .orderBy("doc_id")
+
+  /** Q9b: relational wildcard lookup — the capability the char-gram
+    * index (R4) exists for: grams of the anchored pattern segments →
+    * candidate terms containing every gram → LIKE verify. Pattern
+    * `st*am` over the SQL-subset vocabulary. */
+  def q09Wildcard(spark: SparkSession, dir: String,
+                  pattern: String = "st*am"): DataFrame = {
+    val k = 3
+    val Array(pre, post) = pattern.split("\\*", -1)
+    val segGrams = s"$$$pre*$post$$".split("\\*", -1).toSeq
+      .flatMap(s => (0 to s.length - k).map(i => s.substring(i, i + k)))
+      .distinct
+    q08CharGrams(spark, dir)
+      .filter(col("gram").isin(segGrams: _*))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("ng"))
+      .filter(col("ng") === segGrams.size &&
+        col("term").like(pattern.replace("*", "%")))
+      .select(col("term"))
+      .orderBy("term")
+  }
+
   /** Default demo query terms — present in the synthetic vocabulary. */
   val DefaultQueryTerms: Seq[String] = Seq("merge", "stream")
 

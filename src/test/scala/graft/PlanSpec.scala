@@ -1,0 +1,77 @@
+package graft
+
+import graft.queries.{IrSql, Relational}
+import graft.ops.{Dedup, Similarity}
+
+/** Physical-plan assertions: the scale properties claimed in the
+  * operator docs must actually appear in the executed plan — filters
+  * and projections reach the parquet scan, small dims broadcast, top-k
+  * compiles to TakeOrderedAndProject, narrow pipelines don't shuffle.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("Q1 scan: filter pushed down, only needed columns read") {
+    val p = plan(Relational.q01ScanFilter(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"),
+      s"missing pushdown in:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"),
+      s"column pruning failed in:\n$p")
+  }
+
+  test("Q11 join: bounded dim is broadcast, price filter pushed to scan") {
+    val p = plan(Relational.q11Join(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,400000.0)"),
+      s"price filter not pushed in:\n$p")
+  }
+
+  test("Q18 top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan(Relational.q18TopK(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not heap-based:\n$p")
+    assert(!p.replace("TakeOrderedAndProject", "").contains("Sort "),
+      s"unexpected full sort in:\n$p")
+  }
+
+  test("Q13 agg: partial aggregation before the shuffle") {
+    val p = plan(Relational.q13Revenue(spark, dir))
+    assert(p.contains("HashAggregate(keys=[l_orderkey"), p)
+    // partial + final pair
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("tf-idf query: postings filter applied before aggregation, " +
+    "stats joined broadcast") {
+    val p = plan(IrSql.q10TfIdf(spark, dir))
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin")
+      || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ANN top-k: single narrow scan + broadcast query vector + heap") {
+    val p = plan(Similarity.annTopK(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("exact dedup: one shuffle on the digest, partial agg first") {
+    val p = plan(Dedup.exact(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("minhash LSH candidates come from an equi-join, not a cross join") {
+    val p = plan(Dedup.minhashLsh(spark, dir))
+    // the only nested-loop/cartesian allowed is the tiny broadcast perm
+    // table; candidate generation must be hash-based
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("CartesianProduct"), p) // perms cross join exists
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).nonEmpty, s"no equi-join for candidates:\n$p")
+  }
+}
