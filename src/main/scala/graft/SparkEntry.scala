@@ -65,6 +65,7 @@ object SparkEntry {
     "q26_ir_search" -> (IrEngine.q26Search _),
     "q26_ir_wildcard" -> (IrEngine.q26Wildcard _),
     "q28_multimodal" -> (IrEngine.q28Multimodal _),
+    "q29_streaming" -> (IrEngine.q29Streaming _),
     "q27_langid" -> (TextAnalysis.langId _),
     "q27_quality" -> (TextAnalysis.quality _),
     "q27_token_count" -> (TextAnalysis.tokenCount _),
@@ -291,6 +292,13 @@ object SparkEntry {
     "q23_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
          FROM events ORDER BY event_id""",
+
+    // Streaming tumbling windows == batch hour-truncated aggregation
+    // (EventsStreamSpec proves stream==batch; the oracle checks batch).
+    "q29_streaming" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_sec, user_id,
+                count(*) AS n_events, round(sum(value), 4) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY w_sec, user_id""",
 
     "q23_arrays" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,

@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the engine's hot scalar functions —
+  * codegen'd (they inline into WholeStageCodegen; no UDF serialization,
+  * no codegen fence), registered either per-session
+  * ([[GraftFunctions.register]]) or via config
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+
+/** Polynomial rolling hash (acc*31 + codepoint) % p over UTF-16 chars —
+  * identical results to [[graft.ops.CrossHash.polyHash]]'s fold and the
+  * DuckDB oracle's list_reduce. */
+case class PolyHashExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_polyhash expects (string, bigint), got " +
+        s"(${left.dataType}, ${right.dataType})")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_polyhash"
+
+  override def nullSafeEval(str: Any, p: Any): Any =
+    PolyHashExpr.hash(str.asInstanceOf[UTF8String].toString,
+      p.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, p) => s"""
+      java.lang.String gfs = $s.toString();
+      long gfacc = 0L;
+      for (int gfi = 0; gfi < gfs.length(); gfi++) {
+        gfacc = (gfacc * 31L + gfs.charAt(gfi)) % $p;
+      }
+      ${ev.value} = gfacc;
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PolyHashExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object PolyHashExpr {
+  def hash(s: String, p: Long): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) { acc = (acc * 31 + s.charAt(i)) % p; i += 1 }
+    acc
+  }
+}
+
+/** Porter2 stem as a native expression (static call into the pure
+  * [[graft.text.PorterStemmer]]; the JIT inlines it inside the codegen
+  * pipeline). */
+case class StemExpr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_stem expects string, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_stem"
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      graft.text.PorterStemmer.stem(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.text.PorterStemmer.stem($c.toString()));")
+
+  override protected def withNewChildInternal(newChild: Expression): StemExpr =
+    copy(child = newChild)
+}
+
+object GraftFunctions {
+
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_polyhash" -> (args => PolyHashExpr(args(0), args(1))),
+    "graft_stem_native" -> (args => StemExpr(args(0))))
+
+  /** Idempotent per-session registration (runtime path). */
+  def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name),
+      new ExpressionInfo("graft", name), b.andThen(identity))
+  }
+
+  /** Column API over the registered functions. */
+  def polyhash(c: Column, p: Long): Column =
+    call_function("graft_polyhash", c, lit(p))
+  def stemNative(c: Column): Column = call_function("graft_stem_native", c)
+}
+
+/** `spark.sql.extensions` entry point: injects the native functions at
+  * session build (SURVEY §7.2's SparkSessionExtensions hook). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = Seq(
+    ("graft_polyhash",
+      (args: Seq[Expression]) => PolyHashExpr(args(0), args(1))),
+    ("graft_stem_native", (args: Seq[Expression]) => StemExpr(args(0))))
+    .foreach { case (name, b) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), b))
+    }
+}

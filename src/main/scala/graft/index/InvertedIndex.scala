@@ -70,16 +70,33 @@ object InvertedIndex {
 
   /** Nested presentation form matching the reference's R3 record shape:
     * (kgram, df, postings sorted desc-tf then asc-docno)
-    * (`PostingWritable.compareTo` ordering, SURVEY §1.2). */
-  def nested(ix: Index): DataFrame =
-    ix.postings
-      .groupBy(col("kgram"))
-      .agg(count(lit(1)).as("df"),
-        transform(
-          array_sort(collect_list(struct((-col("tf")).as("ntf"),
-            col("docno").as("docno"), col("tf").as("tf")))),
-          x => struct(x.getField("docno").as("docno"),
-            x.getField("tf").as("tf"))).as("postings"))
+    * (`PostingWritable.compareTo` ordering, SURVEY §1.2).
+    *
+    * `salt > 1` enables the two-phase salted collect (SURVEY §7.1 step
+    * 7): partial lists are gathered per (kgram, docno % salt) so one
+    * pathologically hot term never funnels its whole postings list
+    * through a single aggregation task, then flattened and sorted per
+    * term. Identical output; use at SFs where a stop-worded hot term
+    * could still exceed a task's memory. */
+  def nested(ix: Index, salt: Int = 1): DataFrame = {
+    val sorted: Column => Column = ps =>
+      transform(array_sort(ps),
+        x => struct(x.getField("docno").as("docno"),
+          x.getField("tf").as("tf")))
+    val keyed = struct((-col("tf")).as("ntf"),
+      col("docno").as("docno"), col("tf").as("tf"))
+    if (salt <= 1)
+      ix.postings.groupBy(col("kgram"))
+        .agg(count(lit(1)).as("df"),
+          sorted(collect_list(keyed)).as("postings"))
+    else
+      ix.postings
+        .groupBy(col("kgram"), pmod(col("docno"), lit(salt)).as("s"))
+        .agg(count(lit(1)).as("c"), collect_list(keyed).as("ps"))
+        .groupBy(col("kgram"))
+        .agg(sum(col("c")).as("df"),
+          sorted(flatten(collect_list(col("ps")))).as("postings"))
+  }
 
   /** Persist as parquet, postings repartitioned+sorted by kgram so each
     * file covers a term range (row-group min/max pruning serves point

@@ -123,10 +123,12 @@ object Dedup {
     * per-char array expression. Permutation table is broadcast. */
   def minhashSignature(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     val perms = MinhashPerms.toDF("i", "a", "b")
     val sh = docShingles(spark, dir)
     val hashed = sh.select(col("shingle")).distinct()
-      .withColumn("h", polyHashFast(PM)(col("shingle")))
+      .withColumn("h",
+        graft.functions.GraftFunctions.polyhash(col("shingle"), PM))
     sh.join(hashed, "shingle")
       .crossJoin(broadcast(perms))
       .groupBy(col("doc_id"), col("i"))
@@ -172,10 +174,12 @@ object Dedup {
     * second shuffle); the token hash is computed once per distinct
     * term. One narrow value per doc. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val tok = docs(spark, dir)
       .select(col("doc_id"), explode(tokensArray(col("text"))).as("term"))
     val hashed = tok.select(col("term")).distinct()
-      .withColumn("h", polyHashFast(P)(col("term")))
+      .withColumn("h",
+        graft.functions.GraftFunctions.polyhash(col("term"), P))
     val tf = tok
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))

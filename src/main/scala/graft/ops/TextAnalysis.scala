@@ -63,9 +63,12 @@ object TextAnalysis {
   /** Document fingerprint: rolling polynomial hash of the normalized
     * (tokenized, single-spaced) text — an order-sensitive content id,
     * complementing [[Dedup.exact]]'s md5 of the raw text. */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     docs(spark, dir)
       .select(col("doc_id"),
-        polyHash(concat_ws(" ", tokensArray(col("text"))), P).as("fp"))
+        graft.functions.GraftFunctions
+          .polyhash(concat_ws(" ", tokensArray(col("text"))), P).as("fp"))
       .orderBy("doc_id")
+  }
 }

@@ -53,6 +53,31 @@ object IrEngine {
     QueryEngine.wildcardTerms(cg, "st*am")
   }
 
+  /** Structured Streaming end-to-end through the driver contract: stage
+    * the events file as a stream-source directory, run the watermarked
+    * tumbling-window aggregation to completion, return the sink. */
+  def q29Streaming(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventsStream
+    val staged = java.nio.file.Files.createTempDirectory("graft_ev")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("part-0.parquet"))
+    val name = "q29_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = EventsStream.tumblingCounts(
+        EventsStream.readEvents(spark, staged.toString),
+        windowLen = "1 hour", watermark = "0 seconds")
+      .writeStream.format("memory").queryName(name)
+      // complete mode: a bounded replay must also emit the windows the
+      // final watermark hasn't closed yet (append would hold them back)
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+      .select(unix_timestamp(col("w_start")).as("w_sec"), col("user_id"),
+        col("n_events"), col("total_value"))
+      .orderBy("w_sec", "user_id")
+  }
+
   /** Multimodal plumbing end-to-end: synthesize binary media, decode
     * (stub codec), resize plan, per-kind stats. */
   def q28Multimodal(spark: SparkSession, dir: String): DataFrame = {

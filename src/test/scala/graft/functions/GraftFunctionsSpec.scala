@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ops.CrossHash
+import graft.text.PorterStemmer
+
+/** The native Catalyst expressions must agree exactly with their
+  * reference implementations (the fold expression that defines the
+  * DuckDB-oracle semantics, and the pure Scala stemmer). The shared
+  * test session is built WITH GraftExtensions, so SQL-name resolution
+  * itself exercises the injectFunction path. */
+class GraftFunctionsSpec extends SparkSpec {
+
+  test("graft_polyhash matches the reference fold on the vocabulary") {
+    import spark.implicits._
+    val df = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(explode(split(lower(col("text")), " ")).as("s"))
+      .distinct()
+    val mismatches = df.select(col("s"),
+        CrossHash.polyHash(col("s"), CrossHash.PM).as("ref"),
+        GraftFunctions.polyhash(col("s"), CrossHash.PM).as("native"))
+      .filter(col("ref") =!= col("native"))
+      .count()
+    assert(mismatches == 0)
+    // pinned value cross-checked with DuckDB: hash('abc') chain
+    val v = Seq("abc").toDF("s")
+      .select(GraftFunctions.polyhash(col("s"), 1000000007L)).head().getLong(0)
+    assert(v == 96354L)
+  }
+
+  test("graft_stem_native matches PorterStemmer") {
+    import spark.implicits._
+    val words = Seq("running", "generously", "communication", "skis", "abc")
+    val got = words.toDF("w")
+      .select(GraftFunctions.stemNative(col("w")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == words.map(PorterStemmer.stem))
+  }
+
+  test("functions resolve by SQL name via extensions") {
+    val r = spark.sql(
+      "SELECT graft_polyhash('abc', CAST(1000000007 AS BIGINT)) AS h, " +
+        "graft_stem_native('running') AS s").head()
+    assert(r.getLong(0) == 96354L)
+    assert(r.getString(1) == "run")
+  }
+
+  test("expressions stay inside WholeStageCodegen (no udf fence)") {
+    // parquet-backed input: literals would constant-fold to a
+    // LocalTableScan (which is itself proof of native evaluation)
+    val df = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(GraftFunctions.polyhash(col("text"), CrossHash.PM).as("h"))
+      .filter(col("h") >= 0)
+    val plan = df.queryExecution.executedPlan.toString
+    // '*(n)' marks operators fused into a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [graft_polyhash"), plan)
+    assert(plan.contains("*(1) Filter"), plan)
+    assert(df.count() > 0)
+  }
+}

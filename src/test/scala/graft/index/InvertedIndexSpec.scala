@@ -60,6 +60,12 @@ class InvertedIndexSpec extends SparkSpec {
     assert(postings.head.getLong(1) == 5) // doc 17 first
   }
 
+  test("salted nested form equals the direct one") {
+    val a = InvertedIndex.nested(ix)
+    val b = InvertedIndex.nested(ix, salt = 8)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
   test("write/load round-trip preserves the index") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ix").toString
     InvertedIndex.write(ix, dir)
