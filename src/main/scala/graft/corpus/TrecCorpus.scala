@@ -42,6 +42,15 @@ object TrecCorpus {
         row_number().over(Window.orderBy("docid")).cast("long"))
   }
 
+  /** The reference's docno-mapping text sink — `docid\tdocno` lines
+    * (`NumberTrecDocuments.java:154`); the binary re-encode post-pass is
+    * obsolete (parquet/`broadcast` replace R5, SURVEY §1.3). */
+  def writeDocMapText(docMap: DataFrame, path: String): Unit =
+    docMap.select(col("docid"), col("docno"))
+      .orderBy("docno")
+      .coalesce(1)
+      .write.mode("overwrite").option("sep", "\t").csv(path)
+
   /** Scalable docno assignment for corpora where the doc_map itself is
     * big: range-partition by docid (sampled RangePartitioner — no single
     * serial task), count per partition, and offset each partition by the

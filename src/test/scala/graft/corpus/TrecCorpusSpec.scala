@@ -21,6 +21,15 @@ class TrecCorpusSpec extends SparkSpec {
     assert(m.map(_.getString(0)).toSeq == m.map(_.getString(0)).sorted.toSeq)
   }
 
+  test("doc map text sink writes docid\\tdocno lines") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_map").toString
+    TrecCorpus.writeDocMapText(TrecCorpus.docnoMapping(corpus), dir)
+    val lines = spark.read.option("sep", "\t").csv(dir).collect()
+    assert(lines.length == 20)
+    assert(lines.exists(r =>
+      r.getString(0) == "FT911-0001" && r.getString(1) == "1"))
+  }
+
   test("scalable docno mapping matches the windowed one") {
     val a = TrecCorpus.docnoMapping(corpus)
     val b = TrecCorpus.docnoMappingScalable(spark, corpus, partitions = 3)
