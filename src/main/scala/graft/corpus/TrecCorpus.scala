@@ -42,6 +42,16 @@ object TrecCorpus {
         row_number().over(Window.orderBy("docid")).cast("long"))
   }
 
+  /** The reference's PackTextFile utility (SURVEY §2.1): text lines →
+    * `(line_no, line)` columnar table (parquet replaces SequenceFile). */
+  def packTextFile(spark: SparkSession, inPath: String,
+                   outPath: String): Unit =
+    spark.read.text(inPath)
+      .select(col("value"))
+      .withColumn("line_no", monotonically_increasing_id())
+      .select(col("line_no"), col("value").as("line"))
+      .write.mode("overwrite").parquet(outPath)
+
   /** The reference's docno-mapping text sink — `docid\tdocno` lines
     * (`NumberTrecDocuments.java:154`); the binary re-encode post-pass is
     * obsolete (parquet/`broadcast` replace R5, SURVEY §1.3). */

@@ -57,6 +57,12 @@ object InvertedIndex {
       .join(broadcast(docMap), "docid")
       .select(col("docno"), expr("graft_tokenize(content)").as("toks"))
     val postings = toks
+      // observe(): the Spark-native analog of the reference's Hadoop
+      // counters (Count.DOCS etc., SURVEY §1.3) — named metrics ride
+      // the plan and surface via QueryExecutionListener
+      .observe("graft_index_build",
+        count(lit(1)).as("docs_tokenized"),
+        sum(size(col("toks"))).as("terms_total"))
       .select(col("docno"), explode(kgramWindows(col("toks"), k)).as("kgram"))
       .groupBy(col("kgram"), col("docno"))
       .agg(count(lit(1)).as("tf"))

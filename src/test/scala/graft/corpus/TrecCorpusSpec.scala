@@ -30,6 +30,16 @@ class TrecCorpusSpec extends SparkSpec {
       r.getString(0) == "FT911-0001" && r.getString(1) == "1"))
   }
 
+  test("packTextFile converts text lines to a (line_no, line) table") {
+    val out = java.nio.file.Files.createTempDirectory("graft_pack").toString
+    TrecCorpus.packTextFile(spark,
+      resourcePath("/graft/stopwords_terrier.txt"), out)
+    val packed = spark.read.parquet(out)
+    assert(packed.columns.toSeq == Seq("line_no", "line"))
+    assert(packed.count() == 733)
+    assert(packed.select("line_no").distinct().count() == 733)
+  }
+
   test("scalable docno mapping matches the windowed one") {
     val a = TrecCorpus.docnoMapping(corpus)
     val b = TrecCorpus.docnoMappingScalable(spark, corpus, partitions = 3)
