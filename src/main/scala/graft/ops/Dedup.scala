@@ -92,6 +92,9 @@ object Dedup {
       .filter(col("pos") <=
         col("n") - ceil(lit(threshold) * col("n")) + 1)
       .select(col("doc_id"), col("shingle"))
+      // both sides of the candidate self-join read this (window + two
+      // joins otherwise run twice)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&
@@ -176,7 +179,7 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val tok = docs(spark, dir)
-      .select(col("doc_id"), explode(tokensArray(col("text"))).as("term"))
+      .select(col("doc_id"), explode(tokensArrayFast(col("text"))).as("term"))
     val hashed = tok.select(col("term")).distinct()
       .withColumn("h",
         graft.functions.GraftFunctions.polyhash(col("term"), P))

@@ -25,7 +25,7 @@ object TextAnalysis {
     * the same shape: per-token feature → per-doc ratio → argmax.) */
   def langId(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"), explode(tokensArray(col("text"))).as("term"))
+      .select(col("doc_id"), explode(tokensArrayFast(col("text"))).as("term"))
       .groupBy(col("doc_id"))
       .agg(round(
         sum(when(col("term").isin(EnStopwords: _*), 1L).otherwise(0L)) /
@@ -39,7 +39,7 @@ object TextAnalysis {
     docs(spark, dir)
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars_raw"),
-        tokensArray(col("text")).as("toks"))
+        tokensArrayFast(col("text")).as("toks"))
       .select(col("doc_id"), col("n_chars_raw"),
         size(col("toks")).cast("long").as("n_tokens"),
         round(
@@ -68,7 +68,7 @@ object TextAnalysis {
     docs(spark, dir)
       .select(col("doc_id"),
         graft.functions.GraftFunctions
-          .polyhash(concat_ws(" ", tokensArray(col("text"))), P).as("fp"))
+          .polyhash(concat_ws(" ", tokensArrayFast(col("text"))), P).as("fp"))
       .orderBy("doc_id")
   }
 }
