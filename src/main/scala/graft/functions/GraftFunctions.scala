@@ -89,7 +89,9 @@ object GraftFunctions {
 
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_polyhash" -> (args => PolyHashExpr(args(0), args(1))),
-    "graft_stem_native" -> (args => StemExpr(args(0))))
+    "graft_stem_native" -> (args => StemExpr(args(0))),
+    "graft_contains_term" ->
+      (args => graft.plans.GraftContainsTerm(args(0), args(1))))
 
   /** Idempotent per-session registration (runtime path). */
   def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
@@ -107,12 +109,20 @@ object GraftFunctions {
 /** `spark.sql.extensions` entry point: injects the native functions at
   * session build (SURVEY §7.2's SparkSessionExtensions hook). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = Seq(
-    ("graft_polyhash",
-      (args: Seq[Expression]) => PolyHashExpr(args(0), args(1))),
-    ("graft_stem_native", (args: Seq[Expression]) => StemExpr(args(0))))
-    .foreach { case (name, b) =>
-      ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo("graft", name), b))
-    }
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    Seq(
+      ("graft_polyhash",
+        (args: Seq[Expression]) => PolyHashExpr(args(0), args(1))),
+      ("graft_stem_native", (args: Seq[Expression]) => StemExpr(args(0))),
+      ("graft_contains_term", (args: Seq[Expression]) =>
+        graft.plans.GraftContainsTerm(args(0), args(1))))
+      .foreach { case (name, b) =>
+        ext.injectFunction((FunctionIdentifier(name),
+          new ExpressionInfo("graft", name), b))
+      }
+    // index-aware rewrite: full-text predicate → postings semi-join.
+    // post-hoc resolution stage — the view alias is still present and
+    // pushdown hasn't buried the predicate in the scan yet
+    ext.injectPostHocResolutionRule(_ => graft.plans.TermRewriteRule())
+  }
 }
