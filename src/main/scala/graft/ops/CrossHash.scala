@@ -31,18 +31,6 @@ object CrossHash {
     aggregate(split(s, ""), lit(0L),
       (acc, ch) => (acc * 31 + ascii(ch)) % p)
 
-  /** [[polyHash]] as a tight JVM fold (UDF): identical arithmetic over
-    * the same char sequence → identical results, without materializing
-    * a per-character array. Use on hot paths (e.g. hashing a large
-    * shingle incidence); the expression form stays the reference. */
-  def polyHashFast(p: Long): org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((s: String) => {
-      var acc = 0L
-      var i = 0
-      while (i < s.length) { acc = (acc * 31 + s.charAt(i)) % p; i += 1 }
-      acc
-    })
-
   /** DuckDB SQL fragment computing exactly [[polyHash]] of `expr`. */
   def ddbPolyHash(expr: String, p: Long = P): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +

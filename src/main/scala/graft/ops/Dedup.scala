@@ -121,9 +121,10 @@ object Dedup {
   /** MinHash signatures: (doc_id, i, mh) for 16 affine permutations of
     * the shingle polynomial hash. The hash is computed once per
     * DISTINCT shingle (the shingle universe is far smaller than the
-    * (doc, shingle) incidence) with a tight JVM fold — bit-identical to
-    * [[CrossHash.polyHash]]/the DuckDB oracle, ~100× cheaper than the
-    * per-char array expression. Permutation table is broadcast. */
+    * (doc, shingle) incidence) with the codegen'd
+    * [[graft.functions.PolyHashExpr]] — bit-identical to
+    * [[CrossHash.polyHash]]/the DuckDB oracle. Permutation table is
+    * broadcast. */
   def minhashSignature(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
