@@ -16,6 +16,9 @@ object Bench {
       try Tables.load(spark, sfDir, n).count() catch { case _: Throwable => }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // isolate queries: persisted intermediates from one query must
+      // not distort the next query's timing
+      spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

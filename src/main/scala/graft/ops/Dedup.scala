@@ -91,14 +91,17 @@ object Dedup {
       .join(sz, "doc_id")
       .filter(col("pos") <=
         col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col("doc_id"), col("shingle"))
+      .select(col("doc_id"), col("shingle"), col("n"))
       // both sides of the candidate self-join read this (window + two
       // joins otherwise run twice)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          // length filter (also lossless): J ≥ t ⟹ t ≤ |A|/|B| ≤ 1/t
+          col("a.n") * threshold <= col("b.n") &&
+          col("b.n") * threshold <= col("a.n"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val inter = cand

@@ -75,27 +75,33 @@ object Similarity {
   /** Number of random hyperplanes = LSH signature bits. */
   val Planes = 16
 
-  /** Deterministic pseudo-random hyperplane weight for (plane j, dim d):
-    * ((j*1103515245 + d*12345) % 1001 - 500) / 500 ∈ [-1, 1]. Arithmetic
-    * only — reproducible in any engine, no stored plane matrix. */
-  private def planeWeight(j: Column, d: Column): Column =
-    (((j * 1103515245L + d * 12345L) % 1001L - 500L).cast("double")) / 500.0
+  /** Single-scan bucket computation. Hyperplane weights are
+    * arithmetic-only (no stored plane matrix):
+    * w(j, d) = ((j*1103515245 + d*12345) % 1001 - 500) / 500 ∈ [-1, 1].
+    * Per plane, the projection is the same left-fold over dims (double
+    * adds in index order) as the DuckDB oracle's list_reduce —
+    * bit-identical — without a 16× row explode. */
+  private val bucketUdf = udf((e: Seq[Float]) => {
+    var bucket = 0L
+    var j = 0
+    while (j < Planes) {
+      var acc = 0.0
+      var d = 0
+      while (d < e.length) {
+        val w = ((j * 1103515245L + d * 12345L) % 1001L - 500L).toDouble / 500.0
+        acc += e(d).toDouble * w
+        d += 1
+      }
+      if (acc > 0) bucket |= 1L << j
+      j += 1
+    }
+    bucket
+  })
 
   /** Sign-of-projection LSH bucket id (16-bit) per vector. */
-  def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    e.select(col("vec_id"), col("embedding"),
-        explode(sequence(lit(0), lit(Planes - 1))).as("j"))
-      .select(col("vec_id"), col("j"),
-        aggregate(
-          zip_with(col("embedding"),
-            sequence(lit(0), size(col("embedding")) - 1),
-            (x, d) => x.cast("double") * planeWeight(col("j"), d)),
-          lit(0.0), (acc, v) => acc + v).as("proj"))
-      .groupBy(col("vec_id"))
-      .agg(sum(when(col("proj") > 0,
-        expr("shiftleft(1L, cast(j as int))")).otherwise(0L)).as("bucket"))
-  }
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("vec_id"), bucketUdf(col("embedding")).as("bucket"))
 
   /** Bucket occupancy histogram — the oracle-checked face of the LSH
     * machinery (bucket ids and counts must match exactly). */
