@@ -116,6 +116,19 @@ case class TermRewriteRule() extends Rule[LogicalPlan] {
     }
   }
 
+  /** An OR-tree whose leaves are all single-analyzed-term predicates:
+    * returns the union of their analyzed terms (stopword-only leaves
+    * contribute nothing — they are `false` in the fallback). None when
+    * any leaf is not a rewritable term predicate. */
+  private def orTermsOf(e: Expression): Option[Seq[String]] = e match {
+    case Or(l, r) =>
+      for { a <- orTermsOf(l); b <- orTermsOf(r) } yield a ++ b
+    case GraftContainsTerm(_, Literal(v: UTF8String, StringType)) =>
+      val analyzed = graft.text.TextPipeline.processContent(v.toString)
+      if (analyzed.size <= 1) Some(analyzed) else None
+    case _ => None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
     case f @ Filter(cond, child) if aliasOf(child).exists(n =>
         IndexCatalog.get(n).isDefined) &&
@@ -124,26 +137,35 @@ case class TermRewriteRule() extends Rule[LogicalPlan] {
       val docnoAttr = child.output.find(_.name == "docno")
       val (termPreds, rest) = splitConjuncts(cond).partition {
         case GraftContainsTerm(_, Literal(_, StringType)) => true
-        case _ => false
+        case e => orTermsOf(e).isDefined
       }
       if (docnoAttr.isEmpty || termPreds.isEmpty) f
       else {
+        def semiJoin(acc: LogicalPlan, terms: Seq[String]): LogicalPlan = {
+          val docnos = freshCopy(postings
+            .filter(col("kgram").isin(terms: _*)).select(col("docno"))
+            .queryExecution.analyzed)
+          val rightAttr = docnos.output.head
+          Join(acc, docnos, LeftSemi,
+            Some(EqualTo(docnoAttr.get, rightAttr)), JoinHint.NONE)
+        }
         val joined = termPreds.foldLeft(child) { (acc, pred) =>
-          val term = pred.asInstanceOf[GraftContainsTerm]
-            .right.asInstanceOf[Literal].value.toString
-          val analyzed = graft.text.TextPipeline.processContent(term)
-          // empty analysis (stopword-only term) matches nothing — the
-          // fallback's `q.nonEmpty` guard
-          if (analyzed.isEmpty) Filter(Literal.FalseLiteral, acc)
-          // one semi join per analyzed term = conjunctive containment,
-          // matching the fallback's `forall` semantics
-          else analyzed.foldLeft(acc) { (a, t) =>
-            val docnos = freshCopy(postings
-              .filter(col("kgram") === t).select(col("docno"))
-              .queryExecution.analyzed)
-            val rightAttr = docnos.output.head
-            Join(a, docnos, LeftSemi,
-              Some(EqualTo(docnoAttr.get, rightAttr)), JoinHint.NONE)
+          pred match {
+            case GraftContainsTerm(_, Literal(v: UTF8String, StringType)) =>
+              val analyzed =
+                graft.text.TextPipeline.processContent(v.toString)
+              // empty analysis (stopword-only term) matches nothing —
+              // the fallback's `q.nonEmpty` guard
+              if (analyzed.isEmpty) Filter(Literal.FalseLiteral, acc)
+              // one semi join per analyzed term = conjunctive
+              // containment, matching the fallback's `forall`
+              else analyzed.foldLeft(acc)((a, t) => semiJoin(a, Seq(t)))
+            case orTree =>
+              // disjunction: ONE semi join on the union of the terms'
+              // postings (the reference's disjunctive query semantics)
+              val terms = orTermsOf(orTree).get
+              if (terms.isEmpty) Filter(Literal.FalseLiteral, acc)
+              else semiJoin(acc, terms.distinct)
           }
         }
         rest.reduceOption(And).map(Filter(_, joined)).getOrElse(joined)

@@ -64,6 +64,28 @@ class IndexRewriteSpec extends SparkSpec {
       Seq("FT911-0010", "FT911-0017"))
   }
 
+  test("OR of term predicates rewrites to one union semi join") {
+    setup()
+    val df = spark.sql(
+      "SELECT docid FROM docs_indexed WHERE " +
+        "graft_contains_term(content, 'xylophone') OR " +
+        "graft_contains_term(content, 'pipeline')")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("graft_contains_term"), optimized)
+    // docs 14/18 contain 'pipeline(s)', 16 contains 'xylophone'
+    assert(df.collect().map(_.getString(0)).toSeq.sorted ==
+      Seq("FT911-0014", "FT911-0016", "FT911-0018"))
+  }
+
+  test("OR with a stopword leaf degenerates to the real term") {
+    setup()
+    val df = spark.sql(
+      "SELECT docid FROM docs_indexed WHERE " +
+        "graft_contains_term(content, 'the') OR " +
+        "graft_contains_term(content, 'xylophone')")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("FT911-0016"))
+  }
+
   test("stopword-only term matches nothing on both paths") {
     setup()
     val fast = spark.sql(
