@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Cross-algorithm consistency on the deterministic sf0.001 tables:
+  * the approximate structures must agree with their exact counterparts
+  * in the directions theory promises. */
+class DedupSimilaritySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("minhash LSH finds every exact-jaccard near-dup pair") {
+    val exact = Dedup.jaccard(spark, dir, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(exact.subsetOf(lsh),
+      s"missed by LSH: ${exact.diff(lsh)}")
+  }
+
+  test("minhash estimate tracks exact jaccard on shared pairs") {
+    val exact = Dedup.jaccard(spark, dir, threshold = 0.5)
+    val est = Dedup.minhashLsh(spark, dir)
+    val joined = exact.join(est, Seq("doc_a", "doc_b"))
+      .select(col("jaccard"), col("est_jaccard")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) <= 0.35,
+        s"estimate too far: $r")
+    }
+  }
+
+  test("simhash recalls most of the highest-jaccard duplicates") {
+    // simhash is tf-weighted, so docs with near-identical shingle SETS
+    // can still differ by >1 bit — high recall, not containment, is
+    // the honest property at hamming ≤ 1
+    val topDups = Dedup.jaccard(spark, dir, threshold = 0.5)
+      .filter(col("jaccard") >= 0.97)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(topDups.nonEmpty)
+    val recall = topDups.count(sim.contains).toDouble / topDups.size
+    assert(recall >= 0.8, s"recall $recall; missed: ${topDups.diff(sim)}")
+  }
+
+  test("exact dedup finds no duplicates in the synthetic corpus") {
+    assert(Dedup.exact(spark, dir).filter(col("n_dups") > 1).count() == 0)
+  }
+
+  test("LSH ANN results are a subset of brute-force ranking, same scores") {
+    val brute = Similarity.annTopK(spark, dir, k = 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = Similarity.annLsh(spark, dir, k = 10).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      assert(brute(r.getLong(0)) == r.getDouble(1),
+        s"score mismatch for vec ${r.getLong(0)}")
+    }
+    // LSH can't beat brute force: its best is at most the global best
+    val bruteBest = Similarity.annTopK(spark, dir, k = 1)
+      .head().getDouble(1)
+    assert(lsh.head.getDouble(1) <= bruteBest)
+  }
+}
