@@ -14,9 +14,11 @@ import graft.ops.{Dedup, Similarity, TextAnalysis, TrainingOracles}
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
-    * the reference's headline capability — tf-idf ranked search. */
+    * the reference's headline capability — tf-idf ranked search through
+    * the full faithful engine (tag tokenizer → Terrier stopwords →
+    * Porter2 stem → inverted index → disjunctive ranked query). */
   def entry(spark: SparkSession): DataFrame =
-    IrSql.q10TfIdf(spark, "/root/testdata/sf0.001")
+    IrEngine.q26Search(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter" -> (Relational.q01ScanFilter _),

@@ -26,6 +26,15 @@ object CharKGramIndex {
       .agg(sort_array(collect_set(col("term"))).as("terms"))
   }
 
+  /** Persist / load the chargram table (parquet, repartitioned by gram
+    * so a pattern's gram lookups touch few files). */
+  def write(chargrams: DataFrame, dir: String): Unit =
+    chargrams.repartition(col("gram")).sortWithinPartitions("gram")
+      .write.mode("overwrite").parquet(dir)
+
+  def load(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
   /** (gram, term) pairs for a vocabulary DF with column `term`. */
   def grams(vocab: DataFrame, k: Int): DataFrame =
     vocab

@@ -81,5 +81,9 @@ class InvertedIndexSpec extends SparkSpec {
     val terms = row.getAs[scala.collection.Seq[String]]("terms").toSeq
     assert(terms.contains("merge"))
     assert(terms == terms.sorted && terms.distinct == terms)
+    // persistence round-trip
+    val dir = java.nio.file.Files.createTempDirectory("graft_cg").toString
+    CharKGramIndex.write(cg, dir)
+    assert(CharKGramIndex.load(spark, dir).count() == cg.count())
   }
 }
