@@ -118,6 +118,20 @@ object InvertedIndex {
       .write.mode("overwrite").parquet(s"$dir/corpus_stats")
   }
 
+  /** Catalog-table persistence with BUCKETING on the term key: joins
+    * and aggregations on `kgram` between co-bucketed tables read
+    * pre-partitioned data — no exchange on either side (SURVEY §7.1
+    * step 7 "bucketed writes"; the 100 TB posture for repeated
+    * index-to-index joins). Requires a warehouse-backed session. */
+  def writeBucketed(ix: Index, table: String, buckets: Int = 32): Unit = {
+    ix.postings.write.mode("overwrite")
+      .bucketBy(buckets, "kgram").sortBy("kgram")
+      .format("parquet").saveAsTable(s"${table}_postings")
+    ix.termStats.write.mode("overwrite")
+      .bucketBy(buckets, "kgram").sortBy("kgram")
+      .format("parquet").saveAsTable(s"${table}_term_stats")
+  }
+
   def load(spark: SparkSession, dir: String): Index = {
     val n = spark.read.parquet(s"$dir/corpus_stats")
       .head().getLong(0)

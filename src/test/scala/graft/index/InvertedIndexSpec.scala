@@ -75,6 +75,19 @@ class InvertedIndexSpec extends SparkSpec {
     assert(back.termStats.count() == ix.termStats.count())
   }
 
+  test("bucketed tables join on the term key without any exchange") {
+    InvertedIndex.writeBucketed(ix, "ixspec", buckets = 4)
+    val p = spark.table("ixspec_postings")
+    val s = spark.table("ixspec_term_stats")
+    // force a merge join (small tables would broadcast) to show the
+    // bucketed co-location: sort-merge with NO exchange on either side
+    val joined = p.hint("merge").join(s, "kgram")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    assert(joined.count() == ix.postings.count())
+  }
+
   test("char-k-gram index: boundary-marked grams, sorted distinct terms") {
     val cg = CharKGramIndex.build(spark, corpus, k = 3)
     val row = cg.filter(col("gram") === "$me").head()
