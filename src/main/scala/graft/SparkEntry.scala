@@ -40,6 +40,10 @@ object SparkEntry {
     "q13_revenue" -> (Relational.q13Revenue _),
     "q14_count_distinct" -> (Relational.q14CountDistinct _),
     "q15_rollup" -> (Relational.q15Rollup _),
+    "q15_cube" -> (Relational.q15Cube _),
+    "q16_window_nav" -> (Relational.q16WindowNav _),
+    "q20_strings2" -> (Relational.q20Strings2 _),
+    "q21_nulls" -> (Relational.q21Nulls _),
     "q16_rank_windows" -> (Relational.q16RankWindows _),
     "q17_window_frames" -> (Relational.q17WindowFrames _),
     "q18_topk" -> (Relational.q18TopK _),
@@ -225,6 +229,44 @@ object SparkEntry {
                        JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP (r_name, n_name)
          ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""",
+
+    "q15_cube" ->
+      """SELECT r_name, n_name, count(*) AS n_supp,
+                round(avg(s_acctbal), 4) AS avg_bal,
+                CAST(grouping(r_name) AS BIGINT) AS g_r, CAST(grouping(n_name) AS BIGINT) AS g_n
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                       JOIN region ON n_regionkey = r_regionkey
+         GROUP BY CUBE (r_name, n_name)
+         ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""",
+
+    "q16_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+                lead(o_orderkey, 1) OVER w AS next_key,
+                first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key,
+                last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key,
+                CAST(ntile(4) OVER w AS BIGINT) AS quartile
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+
+    "q20_strings2" ->
+      """SELECT p_partkey,
+                lpad(p_brand, 12, '*') AS lp, rpad(p_brand, 12, '-') AS rp,
+                translate(p_name, 'aeiou', 'AEIOU') AS tr,
+                repeat(p_type, 2) AS rep2, reverse(p_name) AS rev,
+                split_part(p_name, ' ', 1) AS first_word,
+                left(p_name, 5) AS l5, right(p_name, 5) AS r5
+         FROM part ORDER BY p_partkey""",
+
+    "q21_nulls" ->
+      """SELECT l_orderkey, l_linenumber,
+                round(coalesce(CASE WHEN l_discount > 0.05 THEN l_discount END, -1.0), 4) AS c1,
+                CAST(nullif(l_linenumber, 1) AS BIGINT) AS n1,
+                CASE WHEN (CASE WHEN l_discount > 0.05 THEN l_discount END) IS NULL
+                     THEN 'none' ELSE 'some' END AS tag
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
 
     "q16_rank_windows" ->
       """SELECT * FROM (

@@ -108,6 +108,73 @@ object Relational {
         col("n_name").asc_nulls_first)
   }
 
+  /** Q15b: CUBE over region/nation (all four grouping combinations). */
+  def q15Cube(spark: SparkSession, dir: String): DataFrame = {
+    val s = t(spark, dir, "supplier")
+    val n = broadcast(t(spark, dir, "nation"))
+    val r = broadcast(t(spark, dir, "region"))
+    s.join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_supp"),
+        round(avg(col("s_acctbal")), 4).as("avg_bal"),
+        grouping(col("r_name")).cast("long").as("g_r"),
+        grouping(col("n_name")).cast("long").as("g_n"))
+      .orderBy(col("g_r"), col("g_n"), col("r_name").asc_nulls_first,
+        col("n_name").asc_nulls_first)
+  }
+
+  /** Q16b: navigation window functions (lead / first / last / ntile)
+    * over one partition spec — single shuffle serves all four. */
+  def q16WindowNav(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"),
+        first(col("o_orderkey")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("first_key"),
+        last(col("o_orderkey")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("last_key"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Q20b: extended string battery (pad/translate/repeat/reverse/
+    * split_part/left/right). */
+  def q20Strings2(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("lp"),
+        rpad(col("p_brand"), 12, "-").as("rp"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("tr"),
+        repeat(col("p_type"), 2).as("rep2"),
+        reverse(col("p_name")).as("rev"),
+        expr("split_part(p_name, ' ', 1)").as("first_word"),
+        expr("left(p_name, 5)").as("l5"),
+        expr("right(p_name, 5)").as("r5"))
+      .orderBy("p_partkey")
+
+  /** Q21b: null-handling battery (coalesce / nullif / CASE / null-safe
+    * aggregation) — nulls synthesized from data predicates. */
+  def q21Nulls(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        when(col("l_discount") > 0.05, col("l_discount")).as("disc_or_null"),
+        nullif(col("l_linenumber"), lit(1)).as("ln_not1"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(coalesce(col("disc_or_null"), lit(-1.0)), 4).as("c1"),
+        col("ln_not1").cast("long").as("n1"),
+        when(col("disc_or_null").isNull, "none")
+          .otherwise("some").as("tag"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   /** Q16: ranking windows; one shuffle on o_custkey serves all three
     * window functions (same partition spec). */
   def q16RankWindows(spark: SparkSession, dir: String): DataFrame = {
