@@ -44,6 +44,7 @@ object SparkEntry {
     "q16_window_nav" -> (Relational.q16WindowNav _),
     "q20_strings2" -> (Relational.q20Strings2 _),
     "q21_nulls" -> (Relational.q21Nulls _),
+    "q21_percentiles" -> (Relational.q21Percentiles _),
     "q16_rank_windows" -> (Relational.q16RankWindows _),
     "q17_window_frames" -> (Relational.q17WindowFrames _),
     "q18_topk" -> (Relational.q18TopK _),
@@ -267,6 +268,14 @@ object SparkEntry {
                 CASE WHEN (CASE WHEN l_discount > 0.05 THEN l_discount END) IS NULL
                      THEN 'none' ELSE 'some' END AS tag
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "q21_percentiles" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+                round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+                round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+                round(quantile_cont(l_extendedprice, 0.5), 4) AS med_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q16_rank_windows" ->
       """SELECT * FROM (

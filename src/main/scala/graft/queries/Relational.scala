@@ -175,6 +175,19 @@ object Relational {
           .otherwise("some").as("tag"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Q21c: exact percentile battery — Spark `percentile` and DuckDB
+    * `quantile_cont` share the linear-interpolation definition, so
+    * values agree exactly. */
+  def q21Percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("med_price"))
+      .orderBy("l_returnflag")
+
   /** Q16: ranking windows; one shuffle on o_custkey serves all three
     * window functions (same partition spec). */
   def q16RankWindows(spark: SparkSession, dir: String): DataFrame = {
