@@ -53,6 +53,7 @@ object SparkEntry {
     "q21_math" -> (Relational.q21Math _),
     "q22_dates" -> (Relational.q22Dates _),
     "q22_dates_events" -> (Relational.q22DatesEvents _),
+    "q22_date_arith" -> (Relational.q22DateArith _),
     "q23_json" -> (Relational.q23Json _),
     "q23_arrays" -> (Relational.q23Arrays _),
     // Training-data pipeline ops (dedup / similarity / text analysis)
@@ -341,6 +342,15 @@ object SparkEntry {
       """SELECT event_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
                 CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hr
          FROM events ORDER BY event_id""",
+
+    "q22_date_arith" ->
+      """SELECT o_orderkey,
+                CAST(datediff('day', o_orderdate, DATE '1998-01-01') AS BIGINT) AS days_to_98,
+                CAST(o_orderdate + INTERVAL 30 DAY AS DATE)::VARCHAR AS plus30,
+                CAST(o_orderdate + INTERVAL 2 MONTH AS DATE)::VARCHAR AS plus2m,
+                last_day(o_orderdate)::VARCHAR AS eom,
+                CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow
+         FROM orders ORDER BY o_orderkey""",
 
     "q23_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -287,6 +287,20 @@ object Relational {
           .as("month_start"))
       .orderBy("o_orderkey")
 
+  /** Q22c: date arithmetic battery (datediff / date_add / add_months /
+    * last_day / dayofweek) over o_orderdate. */
+  def q22DateArith(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        datediff(lit("1998-01-01").cast("date"), col("o_orderdate"))
+          .cast("long").as("days_to_98"),
+        date_add(col("o_orderdate"), 30).cast("string").as("plus30"),
+        add_months(col("o_orderdate"), 2).cast("string").as("plus2m"),
+        last_day(col("o_orderdate")).cast("string").as("eom"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"))
+      .orderBy("o_orderkey")
+
   /** Q22b: timestamp handling on the ns-precision events table; the µs
     * `ts` derived in [[Tables.events]] truncates toward -inf exactly like
     * the oracle's ns→second date_trunc, so second granularity agrees. */
