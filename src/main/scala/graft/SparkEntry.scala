@@ -55,6 +55,7 @@ object SparkEntry {
     "q22_dates_events" -> (Relational.q22DatesEvents _),
     "q22_date_arith" -> (Relational.q22DateArith _),
     "q23_json" -> (Relational.q23Json _),
+    "q23_higher_order" -> (Relational.q23HigherOrder _),
     "q23_arrays" -> (Relational.q23Arrays _),
     // Training-data pipeline ops (dedup / similarity / text analysis)
     "q24_dedup_exact" -> (Dedup.exact _),
@@ -362,6 +363,18 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_sec, user_id,
                 count(*) AS n_events, round(sum(value), 4) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY w_sec, user_id""",
+
+    "q23_higher_order" ->
+      """SELECT vec_id,
+                CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.0)) AS BIGINT) AS n_pos,
+                round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)),
+                  (acc, v) -> acc + v), 4) AS sum2x,
+                CASE WHEN len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.9)) > 0
+                     THEN 1 ELSE 0 END AS has_big,
+                round(CAST(list_max(embedding) AS DOUBLE), 4) AS mx,
+                round(CAST(list_min(embedding) AS DOUBLE), 4) AS mn
+         FROM embeddings ORDER BY vec_id""",
 
     "q23_arrays" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,

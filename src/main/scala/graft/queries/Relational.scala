@@ -312,6 +312,24 @@ object Relational {
         unix_timestamp(date_trunc("hour", col("ts"))).as("hr"))
       .orderBy("event_id")
 
+  /** Q23c: higher-order array functions (filter / transform /
+    * aggregate-fold / exists / array_max) over the embedding vectors —
+    * the fold matches the oracle's list_reduce bit-for-bit. */
+  def q23HigherOrder(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        size(filter(col("embedding"), x => x.cast("double") > 0.0)).cast("long")
+          .as("n_pos"),
+        round(aggregate(
+          transform(col("embedding"), x => x.cast("double") * 2.0),
+          lit(0.0), (acc, v) => acc + v), 4).as("sum2x"),
+        when(exists(col("embedding"), x => x.cast("double") > 0.9), 1L).otherwise(0L)
+          .as("has_big"),
+        round(array_max(col("embedding")).cast("double"), 4).as("mx"),
+        round(array_min(col("embedding")).cast("double"), 4).as("mn"))
+      .orderBy("vec_id")
+
   /** Q23a: JSON extraction from events.props. */
   def q23Json(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
