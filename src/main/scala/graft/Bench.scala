@@ -20,12 +20,20 @@ object Bench {
       // not distort the next query's timing
       spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          Some(e)
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err.isDefined)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // a failed query is reported as an explicit error marker, never as
+    // a near-zero "success" time (ADVICE r1)
+    val qs = results.map { case (k, v, failed) =>
+      if (failed) s"\"" + k + "\":\"ERROR\"" else s"\"" + k + "\":" + v
+    }.mkString("{", ",", "}")
+    val nFailed = results.count(_._3)
+    val total = results.filterNot(_._3).map(_._2).sum
     // index-build throughput vs BASELINE.md (reference: ~172 docs/s on
     // its 2011 cluster for the k=1 word index)
     val corpus = graft.queries.IrEngine.corpus(spark, sfDir)
@@ -34,7 +42,7 @@ object Bench {
     val ix = graft.index.InvertedIndex.build(spark, corpus, k = 1)
     ix.postings.count()
     val docsPerS = nDocs / ((System.nanoTime() - t0) / 1e9)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","index_docs_per_s":${docsPerS.round}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$nFailed,"index_docs_per_s":${docsPerS.round}}""")
     spark.stop()
   }
 }

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Local profiling runner: times a named subset of SparkEntry.queries
+  * under the same session config as [[Bench]]. Usage:
+  *   sbt "runMain graft.Prof q24_dedup_jaccard q24_dedup_minhash"
+  */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.names.foreach { n =>
+      try Tables.load(spark, sfDir, n).count() catch { case _: Throwable => }
+    }
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      println(f"[prof] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+    spark.stop()
+  }
+}

@@ -16,9 +16,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 
-/** Polynomial rolling hash (acc*31 + codepoint) % p over UTF-16 chars —
-  * identical results to [[graft.ops.CrossHash.polyHash]]'s fold and the
-  * DuckDB oracle's list_reduce. */
+/** Polynomial rolling hash (acc*31 + codepoint) % p over Unicode CODE
+  * POINTS (surrogate pairs fold as one step) — identical results to
+  * [[graft.ops.CrossHash.polyHash]]'s fold (Spark `split(s,'')` yields
+  * whole code points, `ascii()` their value) and the DuckDB oracle's
+  * `unicode()`-based list_reduce, for all input including non-BMP. */
 case class PolyHashExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
@@ -39,8 +41,11 @@ case class PolyHashExpr(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (s, p) => s"""
       java.lang.String gfs = $s.toString();
       long gfacc = 0L;
-      for (int gfi = 0; gfi < gfs.length(); gfi++) {
-        gfacc = (gfacc * 31L + gfs.charAt(gfi)) % $p;
+      int gfi = 0;
+      while (gfi < gfs.length()) {
+        int gfcp = gfs.codePointAt(gfi);
+        gfacc = (gfacc * 31L + gfcp) % $p;
+        gfi += java.lang.Character.charCount(gfcp);
       }
       ${ev.value} = gfacc;
     """)
@@ -54,7 +59,11 @@ object PolyHashExpr {
   def hash(s: String, p: Long): Long = {
     var acc = 0L
     var i = 0
-    while (i < s.length) { acc = (acc * 31 + s.charAt(i)) % p; i += 1 }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % p
+      i += Character.charCount(cp)
+    }
     acc
   }
 }

@@ -51,7 +51,7 @@ object CrossHash {
     udf((text: String) => {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       val sb = new StringBuilder
-      val lower = text.toLowerCase
+      val lower = text.toLowerCase(java.util.Locale.ROOT)
       var i = 0
       while (i <= lower.length) {
         val c = if (i < lower.length) lower.charAt(i) else ' '

@@ -42,7 +42,7 @@ object Dedup {
   private val distinctShingles3 = udf((text: String) => {
     val toks = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
-    val lower = text.toLowerCase
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
     var i = 0
     while (i <= lower.length) {
       val c = if (i < lower.length) lower.charAt(i) else ' '
@@ -59,6 +59,14 @@ object Dedup {
     out.toSeq
   })
 
+  /** (doc_id, sorted distinct shingle array) — ONE tokenize pass per
+    * doc; every downstream shape (incidence rows, sizes, intersection)
+    * derives from this without re-shingling. */
+  private[graft] def docShingleSets(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        array_sort(distinctShingles3(col("text"))).as("sh_set"))
+
   /** (doc_id, shingle) distinct word-3-shingles. */
   private[graft] def docShingles(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
@@ -70,30 +78,33 @@ object Dedup {
     * (df asc, shingle asc) and join only the first
     * `|S| - ceil(t*|S|) + 1` of them — any pair with J ≥ t must share a
     * prefix shingle, so candidates are exact while hot (common)
-    * shingles never drive the join. Exact |∩| is then computed for the
-    * candidate pairs only. Same output as the naive shingle join the
-    * DuckDB oracle runs; ~10× fewer join rows on skewed vocabularies.
-    */
+    * shingles never drive the join. Exact |∩| for each surviving
+    * candidate pair comes from `array_intersect` over the two per-doc
+    * shingle-set arrays (bounded by doc length), NOT from a second
+    * (doc,shingle) incidence self-join — the verify step is two narrow
+    * hash joins on doc_id plus a per-row array op, so its cost scales
+    * with |candidates|, never with shingle df skew. Same output as the
+    * naive shingle join the DuckDB oracle runs. */
   def jaccard(spark: SparkSession, dir: String,
               threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // sh feeds six plan branches (sizes, df, prefix, both intersection
-    // sides) — persist so self-joins don't recompute the shingling
-    val sh = docShingles(spark, dir)
+    // one shingling pass feeds everything (sizes, df, prefix, verify)
+    val sets = docShingleSets(spark, dir)
+      .withColumn("n", size(col("sh_set")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sh = sets.select(col("doc_id"), col("n"),
+      explode(col("sh_set")).as("shingle"))
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
     val prefix = sh
       .join(dfreq, "shingle")
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("sdf"), col("shingle"))))
-      .join(sz, "doc_id")
       .filter(col("pos") <=
         col("n") - ceil(lit(threshold) * col("n")) + 1)
       .select(col("doc_id"), col("shingle"), col("n"))
-      // both sides of the candidate self-join read this (window + two
-      // joins otherwise run twice)
+      // both sides of the candidate self-join read this (window + join
+      // otherwise run twice)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = prefix.as("a")
       .join(prefix.as("b"),
@@ -104,19 +115,15 @@ object Dedup {
           col("b.n") * threshold <= col("a.n"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val inter = cand
-      .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(sh.as("y"),
-        col("doc_b") === col("y.doc_id") &&
-          col("x.shingle") === col("y.shingle"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(sz.as("y"), col("doc_b") === col("y.doc_id"))
+    cand
+      .join(sets.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sets.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("x.sh_set"), col("y.sh_set"))).as("inter"),
+        col("x.n").as("na"), col("y.n").as("nb"))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter") /
-          (col("x.n") + col("y.n") - col("inter")), 4).as("jaccard"))
+          (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
   }

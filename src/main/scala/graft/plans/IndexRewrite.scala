@@ -63,16 +63,24 @@ case class GraftContainsTerm(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** View-name → postings DataFrame registry consulted by the rule. */
+/** View-name → (postings DataFrame, indexed content column) registry
+  * consulted by the rule. The column name records WHICH view column the
+  * index was built over — the rule only rewrites predicates whose left
+  * side is a bare reference to that column; any other shape
+  * (`graft_contains_term(docid, …)`, `…(upper(content), …)`) keeps the
+  * fallback's semantics. */
 object IndexCatalog {
-  private val indexes = TrieMap.empty[String, DataFrame]
+  final case class Entry(postings: DataFrame, contentCol: String)
+
+  private val indexes = TrieMap.empty[String, Entry]
 
   def register(viewName: String,
-               ix: graft.index.InvertedIndex.Index): Unit =
-    indexes.put(viewName.toLowerCase, ix.postings)
+               ix: graft.index.InvertedIndex.Index,
+               contentCol: String = "content"): Unit =
+    indexes.put(viewName.toLowerCase(java.util.Locale.ROOT), Entry(ix.postings, contentCol))
 
-  def get(viewName: String): Option[DataFrame] =
-    indexes.get(viewName.toLowerCase)
+  def get(viewName: String): Option[Entry] =
+    indexes.get(viewName.toLowerCase(java.util.Locale.ROOT))
 
   def clear(): Unit = indexes.clear()
 }
@@ -116,14 +124,27 @@ case class TermRewriteRule() extends Rule[LogicalPlan] {
     }
   }
 
-  /** An OR-tree whose leaves are all single-analyzed-term predicates:
-    * returns the union of their analyzed terms (stopword-only leaves
-    * contribute nothing — they are `false` in the fallback). None when
-    * any leaf is not a rewritable term predicate. */
-  private def orTermsOf(e: Expression): Option[Seq[String]] = e match {
+  /** Is `left` a bare reference to the column the index was built
+    * over? Anything else — a different column, or any computed
+    * expression (`upper(content)`) — must keep the fallback's
+    * evaluate-the-pipeline semantics, because the postings only
+    * describe the raw indexed column. */
+  private def isIndexedColumn(left: Expression, contentCol: String): Boolean =
+    left match {
+      case a: AttributeReference =>
+        a.name.equalsIgnoreCase(contentCol)
+      case _ => false
+    }
+
+  /** An OR-tree whose leaves are all single-analyzed-term predicates
+    * over the indexed column: returns the union of their analyzed terms
+    * (stopword-only leaves contribute nothing — they are `false` in the
+    * fallback). None when any leaf is not a rewritable term predicate. */
+  private def orTermsOf(e: Expression, contentCol: String): Option[Seq[String]] = e match {
     case Or(l, r) =>
-      for { a <- orTermsOf(l); b <- orTermsOf(r) } yield a ++ b
-    case GraftContainsTerm(_, Literal(v: UTF8String, StringType)) =>
+      for { a <- orTermsOf(l, contentCol); b <- orTermsOf(r, contentCol) } yield a ++ b
+    case GraftContainsTerm(left, Literal(v: UTF8String, StringType))
+        if isIndexedColumn(left, contentCol) =>
       val analyzed = graft.text.TextPipeline.processContent(v.toString)
       if (analyzed.size <= 1) Some(analyzed) else None
     case _ => None
@@ -133,11 +154,14 @@ case class TermRewriteRule() extends Rule[LogicalPlan] {
     case f @ Filter(cond, child) if aliasOf(child).exists(n =>
         IndexCatalog.get(n).isDefined) &&
         cond.exists(_.isInstanceOf[GraftContainsTerm]) =>
-      val postings = IndexCatalog.get(aliasOf(child).get).get
+      val entry = IndexCatalog.get(aliasOf(child).get).get
+      val postings = entry.postings
+      val contentCol = entry.contentCol
       val docnoAttr = child.output.find(_.name == "docno")
       val (termPreds, rest) = splitConjuncts(cond).partition {
-        case GraftContainsTerm(_, Literal(_, StringType)) => true
-        case e => orTermsOf(e).isDefined
+        case GraftContainsTerm(left, Literal(_, StringType)) =>
+          isIndexedColumn(left, contentCol)
+        case e => orTermsOf(e, contentCol).isDefined
       }
       if (docnoAttr.isEmpty || termPreds.isEmpty) f
       else {
@@ -151,7 +175,8 @@ case class TermRewriteRule() extends Rule[LogicalPlan] {
         }
         val joined = termPreds.foldLeft(child) { (acc, pred) =>
           pred match {
-            case GraftContainsTerm(_, Literal(v: UTF8String, StringType)) =>
+            case GraftContainsTerm(left, Literal(v: UTF8String, StringType))
+                if isIndexedColumn(left, contentCol) =>
               val analyzed =
                 graft.text.TextPipeline.processContent(v.toString)
               // empty analysis (stopword-only term) matches nothing —
@@ -163,7 +188,7 @@ case class TermRewriteRule() extends Rule[LogicalPlan] {
             case orTree =>
               // disjunction: ONE semi join on the union of the terms'
               // postings (the reference's disjunctive query semantics)
-              val terms = orTermsOf(orTree).get
+              val terms = orTermsOf(orTree, contentCol).get
               if (terms.isEmpty) Filter(Literal.FalseLiteral, acc)
               else semiJoin(acc, terms.distinct)
           }

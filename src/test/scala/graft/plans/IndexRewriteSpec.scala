@@ -86,6 +86,32 @@ class IndexRewriteSpec extends SparkSpec {
     assert(df.collect().map(_.getString(0)).toSeq == Seq("FT911-0016"))
   }
 
+  test("predicate over a non-indexed column is NOT rewritten (fallback)") {
+    setup()
+    // docid is not the indexed column: the docids don't tokenize to
+    // 'merging', so the fallback must return 0 rows — a (wrong) rewrite
+    // against content postings would return 4
+    val df = spark.sql(
+      "SELECT docid FROM docs_indexed WHERE graft_contains_term(docid, 'Merging')")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_contains_term"), optimized)
+    assert(df.count() == 0)
+  }
+
+  test("computed-expression predicate is NOT rewritten (fallback)") {
+    setup()
+    // upper(content) destroys the pipeline's casing assumptions only in
+    // the sense that the fallback must evaluate it as written; the
+    // rewrite may only fire on a bare reference to the indexed column
+    val df = spark.sql(
+      "SELECT docid FROM docs_indexed " +
+        "WHERE graft_contains_term(concat(content, ' xylophone'), 'xylophone') ORDER BY docid")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_contains_term"), optimized)
+    // every doc matches: the concat appends the term to all 20 docs
+    assert(df.count() == corpus.count())
+  }
+
   test("stopword-only term matches nothing on both paths") {
     setup()
     val fast = spark.sql(
