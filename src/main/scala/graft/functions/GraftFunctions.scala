@@ -94,11 +94,93 @@ case class StemExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** |A ∩ B| of two parallel-sorted (hash, string) array pairs by linear
+  * merge: compare 64-bit hashes first (primitive `getLong`, no
+  * allocation), fall back to a UTF8String compare ONLY when hashes tie
+  * — so the result is unconditionally exact (a hash collision costs
+  * one string compare, never a wrong count) while the hot loop is
+  * ~|A|+|B| long compares.
+  *
+  * Contract: both (hash, string) pairs sorted lexicographically by
+  * (hash asc, string asc), duplicate-free (set semantics) — the shape
+  * [[graft.ops.Dedup.docShingleSets]] emits.
+  *
+  * Exists because the jaccard-dedup threshold predicate collapses
+  * into a join condition (PushPredicateThroughJoin) and is evaluated
+  * per probed candidate pair, possibly twice (numerator +
+  * denominator); `size(array_intersect(...))` there cost tens of
+  * seconds at sf0.1 (per-element UTF8String materialization, hash-set
+  * build per evaluation) — this merge is ~1µs per pair, cheap enough
+  * that plan shape no longer matters. */
+case class HashedIntersectSizeExpr(first: Expression, second: Expression,
+                                   third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, IntegerType}
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(StringType, _),
+            ArrayType(LongType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_intersect_size expects (array<bigint>, array<string>, " +
+          s"array<bigint>, array<string>), got $other")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_intersect_size"
+
+  override def nullSafeEval(ha: Any, sa: Any, hb: Any, sb: Any): Any = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val xh = ha.asInstanceOf[ArrayData]; val xs = sa.asInstanceOf[ArrayData]
+    val yh = hb.asInstanceOf[ArrayData]; val ys = sb.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0
+    val n = xh.numElements(); val m = yh.numElements()
+    while (i < n && j < m) {
+      val l = xh.getLong(i); val r = yh.getLong(j)
+      if (l < r) i += 1
+      else if (l > r) j += 1
+      else {
+        val cmp = xs.getUTF8String(i).compareTo(ys.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ha, sa, hb, sb) => s"""
+      int gii = 0, gij = 0, gic = 0;
+      int gin = $ha.numElements(), gim = $hb.numElements();
+      while (gii < gin && gij < gim) {
+        long gil = $ha.getLong(gii), gir = $hb.getLong(gij);
+        if (gil < gir) gii++;
+        else if (gil > gir) gij++;
+        else {
+          int gicmp = $sa.getUTF8String(gii).compareTo($sb.getUTF8String(gij));
+          if (gicmp == 0) { gic++; gii++; gij++; }
+          else if (gicmp < 0) gii++;
+          else gij++;
+        }
+      }
+      ${ev.value} = gic;
+    """)
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): HashedIntersectSizeExpr =
+    copy(first = newFirst, second = newSecond,
+      third = newThird, fourth = newFourth)
+}
+
 object GraftFunctions {
 
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_polyhash" -> (args => PolyHashExpr(args(0), args(1))),
     "graft_stem_native" -> (args => StemExpr(args(0))),
+    "graft_intersect_size" ->
+      (args => HashedIntersectSizeExpr(args(0), args(1), args(2), args(3))),
     "graft_contains_term" ->
       (args => graft.plans.GraftContainsTerm(args(0), args(1))))
 
@@ -113,6 +195,8 @@ object GraftFunctions {
   def polyhash(c: Column, p: Long): Column =
     call_function("graft_polyhash", c, lit(p))
   def stemNative(c: Column): Column = call_function("graft_stem_native", c)
+  def intersectSize(ha: Column, sa: Column, hb: Column, sb: Column): Column =
+    call_function("graft_intersect_size", ha, sa, hb, sb)
 }
 
 /** `spark.sql.extensions` entry point: injects the native functions at
@@ -123,6 +207,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("graft_polyhash",
         (args: Seq[Expression]) => PolyHashExpr(args(0), args(1))),
       ("graft_stem_native", (args: Seq[Expression]) => StemExpr(args(0))),
+      ("graft_intersect_size", (args: Seq[Expression]) =>
+        HashedIntersectSizeExpr(args(0), args(1), args(2), args(3))),
       ("graft_contains_term", (args: Seq[Expression]) =>
         graft.plans.GraftContainsTerm(args(0), args(1))))
       .foreach { case (name, b) =>

@@ -39,7 +39,7 @@ object Dedup {
     * tokens, 3-token space-joined windows, set-dedup) but ~50× faster:
     * the expression chain costs ~3ms/doc in array allocation, and the
     * dedup self-joins recompute their input several times. */
-  private val distinctShingles3 = udf((text: String) => {
+  private def shingleSeq(text: String): Seq[String] = {
     val toks = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     val lower = text.toLowerCase(java.util.Locale.ROOT)
@@ -57,15 +57,41 @@ object Dedup {
       j += 1
     }
     out.toSeq
-  })
+  }
 
-  /** (doc_id, sorted distinct shingle array) — ONE tokenize pass per
+  private val distinctShingles3 = udf(shingleSeq _)
+
+  /** FNV-1a 64-bit over UTF-16 code units — the internal sort/merge
+    * key for [[graft.functions.HashedIntersectSizeExpr]]; never
+    * surfaced in results, so cross-engine parity is irrelevant here. */
+  private def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Per doc: distinct shingles as PARALLEL arrays (64-bit hash,
+    * shingle) sorted by (hash asc, shingle asc) — the input shape the
+    * hashed sorted-merge intersection expects. ONE tokenize pass per
     * doc; every downstream shape (incidence rows, sizes, intersection)
     * derives from this without re-shingling. */
+  private val hashedShingleSets = udf((text: String) => {
+    val sh = shingleSeq(text)
+    val arr = sh.map(s => (fnv1a64(s), s)).toArray
+    java.util.Arrays.sort(arr, (x: (Long, String), y: (Long, String)) =>
+      if (x._1 != y._1) java.lang.Long.compare(x._1, y._1)
+      else x._2.compareTo(y._2))
+    (arr.map(_._1), arr.map(_._2))
+  })
+
+  /** (doc_id, sh_hash ARRAY<LONG>, sh_set ARRAY<STRING>) parallel,
+    * (hash, shingle)-sorted. */
   private[graft] def docShingleSets(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"),
-        array_sort(distinctShingles3(col("text"))).as("sh_set"))
+      .select(col("doc_id"), hashedShingleSets(col("text")).as("hs"))
+      .select(col("doc_id"), col("hs._1").as("sh_hash"),
+        col("hs._2").as("sh_set"))
 
   /** (doc_id, shingle) distinct word-3-shingles. */
   private[graft] def docShingles(spark: SparkSession, dir: String): DataFrame =
@@ -79,8 +105,9 @@ object Dedup {
     * `|S| - ceil(t*|S|) + 1` of them — any pair with J ≥ t must share a
     * prefix shingle, so candidates are exact while hot (common)
     * shingles never drive the join. Exact |∩| for each surviving
-    * candidate pair comes from `array_intersect` over the two per-doc
-    * shingle-set arrays (bounded by doc length), NOT from a second
+    * candidate pair comes from the codegen'd hashed sorted-merge
+    * [[graft.functions.HashedIntersectSizeExpr]] over the two
+    * per-doc shingle-set arrays (bounded by doc length), NOT from a second
     * (doc,shingle) incidence self-join — the verify step is two narrow
     * hash joins on doc_id plus a per-row array op, so its cost scales
     * with |candidates|, never with shingle df skew. Same output as the
@@ -88,6 +115,7 @@ object Dedup {
   def jaccard(spark: SparkSession, dir: String,
               threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
     // one shingling pass feeds everything (sizes, df, prefix, verify)
     val sets = docShingleSets(spark, dir)
       .withColumn("n", size(col("sh_set")))
@@ -119,7 +147,9 @@ object Dedup {
       .join(sets.as("x"), col("doc_a") === col("x.doc_id"))
       .join(sets.as("y"), col("doc_b") === col("y.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("x.sh_set"), col("y.sh_set"))).as("inter"),
+        graft.functions.GraftFunctions
+          .intersectSize(col("x.sh_hash"), col("x.sh_set"),
+            col("y.sh_hash"), col("y.sh_set")).as("inter"),
         col("x.n").as("na"), col("y.n").as("nb"))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter") /

@@ -97,7 +97,7 @@ object TrainingOracles {
                   (acc, v) -> acc + v) AS proj
               FROM embeddings CROSS JOIN (SELECT unnest(range(${Similarity.Planes})) AS j) js),
          b AS (SELECT vec_id,
-                      sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS bucket
+                      CAST(sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
                FROM pr GROUP BY vec_id)
          SELECT bucket, count(*) AS n FROM b GROUP BY bucket ORDER BY bucket""",
 
