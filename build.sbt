@@ -30,4 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // heap — 8g GC-thrashed the 55-query bench run (q24_dedup_jaccard
   // 32s vs 7s in a fresh JVM); the box has 125 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // 55 queries × whole-stage codegen ≈ hundreds of Janino classes; the
+  // 240m default code cache fills mid-run and C2 stops compiling —
+  // CPU-bound queries then run 2-5× slower late in the bench sequence.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -15,6 +15,22 @@ object Bench {
     Tables.names.foreach { n =>
       try Tables.load(spark, sfDir, n).count() catch { case _: Throwable => }
     }
+    // JIT warmup: run every query once at the smallest SF. Generated
+    // code is data-size independent, so this compiles each query's
+    // Janino classes + hot UDF paths (tokenizer/stemmer) before the
+    // timed loop — first-execution interpretation otherwise dominates
+    // CPU-heavy queries mid-sequence (observed 3-6× on simhash/ir
+    // families, recovering on re-run).
+    val warmDir = {
+      val p = java.nio.file.Paths.get(sfDir).toAbsolutePath.getParent
+      val w = if (p != null) p.resolve("sf0.001") else null
+      if (w != null && java.nio.file.Files.isDirectory(w)) w.toString
+      else sfDir
+    }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      spark.sharedState.cacheManager.clearCache()
+      try fn(spark, warmDir).count() catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // isolate queries: persisted intermediates from one query must
       // not distort the next query's timing

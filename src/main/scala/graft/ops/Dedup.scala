@@ -158,54 +158,55 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** MinHash signatures: (doc_id, i, mh) for 16 affine permutations of
-    * the shingle polynomial hash. The hash is computed once per
-    * DISTINCT shingle (the shingle universe is far smaller than the
-    * (doc, shingle) incidence) with the codegen'd
+  /** WIDE MinHash signature: (doc_id, mh0..mh15) — all 16 affine
+    * permutations of the shingle polynomial hash as 16 `min` aggregate
+    * expressions in ONE HashAggregate over the (doc, hash) incidence.
+    * No 16× crossJoin row explode (the narrow (doc_id, i, mh) shape
+    * shuffled 16·|incidence| rows; this shuffles |incidence| with
+    * map-side partial mins). The shingle hash is computed once per
+    * DISTINCT shingle with the codegen'd
     * [[graft.functions.PolyHashExpr]] — bit-identical to
-    * [[CrossHash.polyHash]]/the DuckDB oracle. Permutation table is
-    * broadcast. */
-  def minhashSignature(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+    * [[CrossHash.polyHash]]/the DuckDB oracle. */
+  def minhashWide(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val perms = MinhashPerms.toDF("i", "a", "b")
     val sh = docShingles(spark, dir)
     val hashed = sh.select(col("shingle")).distinct()
       .withColumn("h",
         graft.functions.GraftFunctions.polyhash(col("shingle"), PM))
-    sh.join(hashed, "shingle")
-      .crossJoin(broadcast(perms))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min((col("a") * col("h") + col("b")) % PM).as("mh"))
+    val inc = sh.join(hashed, "shingle").select(col("doc_id"), col("h"))
+    val mins = MinhashPerms.map { case (i, a, b) =>
+      min((lit(a) * col("h") + lit(b)) % PM).as(s"mh$i") }
+    inc.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
       // reused by banding and both sides of the candidate re-score
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** MinHash + LSH near-dup: band the 16-component signature into 4
     * bands of 4; docs sharing any band bucket are candidates; estimated
-    * jaccard = fraction of matching signature components. */
+    * jaccard = fraction of matching signature components, computed
+    * straight off the wide vectors (no per-component join). */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignature(spark, dir)
-    val bands = sig
-      .withColumn("band", expr(s"i div $RowsPerBand"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-          x => x.getField("mh").cast("string")), ",").as("key"))
+    val sig = minhashWide(spark, dir)
+    val bandKeys = (0 until Bands).map { b =>
+      concat_ws(",", (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(i => col(s"mh$i").cast("string")): _*) }
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    cand.as("c")
-      .join(sig.as("s1"), col("c.doc_a") === col("s1.doc_id"))
-      .join(sig.as("s2"),
-        col("c.doc_b") === col("s2.doc_id") && col("s1.i") === col("s2.i"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(round(
-        sum(when(col("s1.mh") === col("s2.mh"), 1L).otherwise(0L)) /
-          lit(MinhashPerms.size.toDouble), 4).as("est_jaccard"))
+    val matches = MinhashPerms.map { case (i, _, _) =>
+      when(col(s"x.mh$i") === col(s"y.mh$i"), 1L).otherwise(0L) }
+      .reduce(_ + _)
+    cand
+      .join(sig.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sig.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(matches / lit(MinhashPerms.size.toDouble), 4)
+          .as("est_jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -243,25 +244,33 @@ object Dedup {
     * synthetic corpus has ~31 distinct terms, so simhashes cluster
     * tightly — ≤1 keeps near-dups meaningful.)
     *
-    * Banded by pigeonhole, never all-pairs: a pair within hamming 1
-    * differs in at most one bit, so at least one 15-bit HALF of the
-    * fingerprint matches exactly — candidates come from two equi-joins
-    * (one per half), then the exact hamming filter. Lossless, and the
-    * same rotation/banding generalizes to hamming ≤ k with k+1 bands at
-    * 100 TB. */
+    * Multi-index bit-flip probing, never all-pairs: a qualifying pair
+    * either has EQUAL fingerprints (one self-equi-join on simhash) or
+    * differs in EXACTLY one known bit — so each doc emits its 30
+    * one-bit-flipped variants and an equi-join of variants against
+    * exact fingerprints finds each hamming-1 pair exactly once (the
+    * flip that maps a onto b). Both joins are pure equi-joins on a
+    * 64-bit key: linear row expansion (31×), hash-partitionable,
+    * no quadratic half-key buckets (the previous 15-bit-half banding
+    * put 1/3 of all docs in one bucket on this corpus → ~2M junk
+    * pairs). For hamming ≤ k at scale, the same idea generalizes to
+    * multi-index hashing over ⌈bits/(k+1)⌉-bit disjoint bands. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = simhash(spark, dir)
-      .withColumn("h_hi", expr("shiftright(simhash, 15)"))
-      .withColumn("h_lo", expr("simhash & 32767"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def half(key: String) =
-      sh.as("a").join(sh.as("b"),
-        col(s"a.$key") === col(s"b.$key") &&
+    val equal = sh.as("a").join(sh.as("b"),
+        col("a.simhash") === col("b.simhash") &&
           col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
-    half("h_hi").union(half("h_lo")).distinct()
-      .filter(col("hamming") <= 1)
-      .orderBy("doc_a", "doc_b")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit(0L).as("hamming"))
+    val flips = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until SimhashBits).map(j =>
+        col("simhash").bitwiseXOR(lit(1L << j))): _*)).as("probe"))
+    val oneBit = flips.as("a").join(sh.as("b"),
+        col("a.probe") === col("b.simhash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit(1L).as("hamming"))
+    equal.union(oneBit).orderBy("doc_a", "doc_b")
   }
 }

@@ -22,16 +22,21 @@ import graft.Tables
   */
 object Similarity {
 
-  private def emb(spark: SparkSession, dir: String): DataFrame =
+  private def emb(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.load(spark, dir, "embeddings")
+  }
 
-  /** Σ a_i * b_i as a sequential double fold (oracle bit-parity). */
+  /** Σ a_i * b_i as a sequential double fold (oracle bit-parity).
+    * Declarative reference form; [[cosine]] uses the one-pass native
+    * [[graft.functions.CosineExpr]] with identical fold arithmetic
+    * (HOFs evaluate interpreted — ~6× first-run penalty). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    graft.functions.GraftFunctions.cosine(a, b)
 
   /** Exact pairwise cosine over a small sample (vec_id < 100) — SURVEY
     * §2.9 Q25 contract; deterministic pair ordering. */

@@ -67,10 +67,11 @@ class PlanSpec extends SparkSpec {
 
   test("minhash LSH candidates come from an equi-join, not a cross join") {
     val p = plan(Dedup.minhashLsh(spark, dir))
-    // the only nested-loop/cartesian allowed is the tiny broadcast perm
-    // table; candidate generation must be hash-based
-    assert(p.contains("BroadcastNestedLoopJoin") ||
-      p.contains("CartesianProduct"), p) // perms cross join exists
+    // the wide signature build has NO row-exploding perm cross join
+    // (16 min-aggregates in one HashAggregate) and candidate
+    // generation + re-score are pure equi-joins
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"nested-loop join leaked in:\n$p")
     assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
       .findAllIn(p).nonEmpty, s"no equi-join for candidates:\n$p")
   }
