@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{IrEngine, IrSql, Relational}
-import graft.ops.{Dedup, Similarity, TextAnalysis, TrainingOracles}
+import graft.ops.{Dedup, Similarity, Temporal, TextAnalysis, TrainingOracles}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -67,6 +67,7 @@ object SparkEntry {
     "q25_ann_topk" -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
     "q25_embed_neardup" -> (Similarity.embedNearDup _),
     "q25_ann_lsh" -> (Similarity.lshBucketHistogram _),
+    "q25_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     // Faithful IR engine (tokenizer+stemmer not SQL-expressible →
     // rows-only driver check; conformance pinned by specs)
     "q26_ir_terms" -> (IrEngine.q26PipelineTerms _),
@@ -75,6 +76,9 @@ object SparkEntry {
     "q26_ir_wildcard" -> (IrEngine.q26Wildcard _),
     "q28_multimodal" -> (IrEngine.q28Multimodal _),
     "q29_streaming" -> (IrEngine.q29Streaming _),
+    // Temporal joins (as-of / range) — operators Spark lacks natively
+    "q30_asof" -> (Temporal.q30AsOf _),
+    "q30_range_join" -> (Temporal.q30RangeJoin _),
     "q27_langid" -> (TextAnalysis.langId _),
     "q27_quality" -> (TextAnalysis.quality _),
     "q27_token_count" -> (TextAnalysis.tokenCount _),
@@ -381,5 +385,22 @@ object SparkEntry {
                 round(CAST(embedding[1] AS DOUBLE), 4) AS e1,
                 round(CAST(embedding[64] AS DOUBLE), 4) AS e64
          FROM embeddings ORDER BY vec_id""",
+
+    // events.ts is ns-precision: epoch_ns(ts) == Spark's ts_ns exactly
+    "q30_asof" ->
+      """WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+              p AS (SELECT user_id, ts, max(value) AS p_value FROM events
+                    WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT v.event_id, v.user_id, round(coalesce(p.p_value, -1.0), 4) AS p_value
+         FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts
+         ORDER BY event_id""",
+
+    "q30_range_join" ->
+      """SELECT a.user_id, a.event_id AS e_a, b.event_id AS e_b,
+                epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id AND a.event_id < b.event_id
+          AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= CAST(3600000000 AS BIGINT)
+         ORDER BY e_a, e_b""",
   ) ++ TrainingOracles.oracle
 }

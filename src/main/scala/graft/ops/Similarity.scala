@@ -116,6 +116,48 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
       .orderBy("bucket")
 
+  /** Number of IVF centroids (deterministic: the embeddings of
+    * vec_id 0..7 serve as fixed seed centroids, so both engines build
+    * the identical partition). */
+  val IvfCentroids = 8
+
+  /** IVF cell assignment: (vec_id, cell) where cell = the centroid
+    * with the highest cosine (ties → smallest centroid id). The
+    * centroid table is broadcast; assignment is a narrow 8-way scored
+    * scan + per-vector argmax window. At real scale (2^16 centroids,
+    * k-means-trained), the same plan holds with chunked max_by
+    * aggregation instead of the row_number window. */
+  def ivfCells(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, dir)
+    val cents = e.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        cosine(col("embedding"), col("cvec")).as("s"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("s").desc, col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+  }
+
+  /** IVF-accelerated ANN: probe only the query vector's cell, exact
+    * cosine re-rank inside it. The standard recall/latency trade —
+    * at scale, probe the nProbe nearest cells. */
+  def annIvf(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val cells = ivfCells(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = cells.filter(col("vec_id") === 0)
+      .select(col("cell").as("qcell"), col("embedding").as("qv"))
+    cells.filter(col("vec_id") =!= 0)
+      .join(broadcast(q), col("cell") === col("qcell"))
+      .select(col("vec_id"), cosine(col("embedding"), col("qv")).as("c"))
+      .orderBy(col("c").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("c"), 4).as("cos"))
+  }
+
   /** LSH-accelerated ANN: candidates = vectors sharing the query's
     * bucket; exact cosine re-rank inside the bucket. Falls back to
     * fewer than k results if the bucket is small (standard LSH

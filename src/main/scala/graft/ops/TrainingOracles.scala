@@ -101,6 +101,20 @@ object TrainingOracles {
                FROM pr GROUP BY vec_id)
          SELECT bucket, count(*) AS n FROM b GROUP BY bucket ORDER BY bucket""",
 
+    "q25_ann_ivf" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                     WHERE vec_id < ${Similarity.IvfCentroids}),
+         a AS (SELECT e.vec_id, e.embedding, c.cid,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY ${cos("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+               FROM embeddings e CROSS JOIN c),
+         cells AS (SELECT vec_id, embedding, cid AS cell FROM a WHERE rn = 1),
+         q AS (SELECT cell AS qcell, embedding AS qv FROM cells WHERE vec_id = 0)
+         SELECT x.vec_id, round(${cos("x.embedding", "qv")}, 4) AS cos
+         FROM cells x JOIN q ON x.cell = q.qcell
+         WHERE x.vec_id <> 0
+         ORDER BY ${cos("x.embedding", "qv")} DESC, x.vec_id LIMIT 10""",
+
     "q27_langid" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
          r AS (SELECT doc_id,

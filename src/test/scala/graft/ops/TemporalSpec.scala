@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Unit semantics of the temporal join operators ([[Temporal]]):
+  * hand-computed as-of matches and range-pair parity with the naive
+  * quadratic join they replace. */
+class TemporalSpec extends SparkSpec {
+
+  test("asofLeft picks the latest right row at or before each left row") {
+    import spark.implicits._
+    val left = Seq(("a", 5L, 1), ("a", 10L, 2), ("b", 3L, 3))
+      .toDF("k", "t", "id")
+    val right = Seq(("a", 5L, 50.0), ("a", 7L, 70.0), ("b", 9L, 90.0))
+      .toDF("k", "rt", "v")
+    val got = Temporal.asofLeft(left, right, by = Seq("k"),
+        leftOn = "t", rightOn = "rt", valueCols = Seq("v"))
+      .orderBy("id")
+      .select("id", "v").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getDouble(1)))
+    // (a,5) sees the simultaneous right row (inclusive >=); (a,10) the
+    // latest of {5,7}; (b,3) has no prior right row
+    assert(got.toSeq === Seq((1, 50.0), (2, 70.0), (3, null)))
+  }
+
+  test("rangePairs equals the naive quadratic range join") {
+    import spark.implicits._
+    val pts = Seq(("u", 0L, 1L), ("u", 50L, 2L), ("u", 100L, 3L),
+      ("u", 149L, 4L), ("u", 300L, 5L), ("w", 40L, 6L))
+      .toDF("k", "t", "id")
+    val got = Temporal.rangePairs(pts, by = Seq("k"), on = "t",
+        idCol = "id", window = 100L)
+      .select(col("id"), col("r_id")).as[(Long, Long)].collect().toSet
+    val naive = pts.as("a").join(pts.as("b"),
+        col("a.k") === col("b.k") && col("a.id") < col("b.id") &&
+          abs(col("b.t") - col("a.t")) <= 100L)
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+    assert(got === naive && naive.nonEmpty)
+    // boundary: |Δ|=100 inclusive, |Δ|=101 excluded, cross-key never
+    assert(got.contains((1L, 3L)) && !got.contains((1L, 4L)) &&
+      !got.contains((2L, 6L)))
+  }
+}
