@@ -75,6 +75,7 @@ object SparkEntry {
     "q26_ir_search" -> (IrEngine.q26Search _),
     "q26_ir_wildcard" -> (IrEngine.q26Wildcard _),
     "q28_multimodal" -> (IrEngine.q28Multimodal _),
+    "q31_trec_source" -> (IrEngine.q31TrecSource _),
     "q29_streaming" -> (IrEngine.q29Streaming _),
     // Temporal joins (as-of / range) — operators Spark lacks natively
     "q30_asof" -> (Temporal.q30AsOf _),
@@ -385,6 +386,13 @@ object SparkEntry {
                 round(CAST(embedding[1] AS DOUBLE), 4) AS e1,
                 round(CAST(embedding[64] AS DOUBLE), 4) AS e64
          FROM embeddings ORDER BY vec_id""",
+
+    // the staged TREC file is rebuilt relationally: docid + block length
+    "q31_trec_source" ->
+      """SELECT 'FT-' || doc_id AS docid,
+                CAST(length('<DOC> <DOCNO> FT-' || doc_id || ' </DOCNO> <TEXT> ' ||
+                            text || ' </TEXT> </DOC>') AS BIGINT) AS n_chars
+         FROM documents ORDER BY docid""",
 
     // events.ts is ns-precision: epoch_ns(ts) == Spark's ts_ns exactly
     "q30_asof" ->

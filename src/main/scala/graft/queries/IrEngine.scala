@@ -78,6 +78,25 @@ object IrEngine {
       .orderBy("w_sec", "user_id")
   }
 
+  /** TREC DataSourceV2 end-to-end: stage the documents table as a TREC
+    * XML collection (single-line `<DOC>` blocks), read it back through
+    * the split-realigning `trec` source with a small splitSize so the
+    * scan exercises multi-split boundary ownership, and project
+    * (docid, n_chars). Oracle rebuilds the same strings relationally. */
+  def q31TrecSource(spark: SparkSession, dir: String): DataFrame = {
+    val staged = java.nio.file.Files.createTempDirectory("graft_trec")
+    Tables.load(spark, dir, "documents")
+      .select(format_string(
+        "<DOC> <DOCNO> FT-%d </DOCNO> <TEXT> %s </TEXT> </DOC>",
+        col("doc_id"), col("text")).as("value"))
+      .write.mode("overwrite").text(staged.toString)
+    spark.read.format("trec")
+      .option("splitSize", "65536")
+      .load(staged.toString)
+      .select(col("docid"), length(col("content")).cast("long").as("n_chars"))
+      .orderBy("docid")
+  }
+
   /** Multimodal plumbing end-to-end: synthesize binary media, decode
     * (stub codec), resize plan, per-kind stats. */
   def q28Multimodal(spark: SparkSession, dir: String): DataFrame = {

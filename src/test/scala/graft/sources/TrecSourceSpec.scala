@@ -1,0 +1,65 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** TREC DataSourceV2: record decode, split-boundary ownership, gzip
+  * whole-file reads, and required-column pruning. */
+class TrecSourceSpec extends SparkSpec {
+
+  private def doc(id: String, body: String): String =
+    s"<DOC>\n<DOCNO> $id </DOCNO>\n<TEXT>\n$body\n</TEXT>\n</DOC>\n"
+
+  private def stage(content: String, name: String = "corpus.xml"): String = {
+    val dir = Files.createTempDirectory("trec_spec")
+    Files.write(dir.resolve(name), content.getBytes("UTF-8"))
+    dir.toString
+  }
+
+  test("decodes every record with trimmed docids and full raw content") {
+    val path = stage(doc("AP-1", "alpha beta") + doc("AP-2", "gamma") +
+      doc("AP-3", "delta epsilon zeta"))
+    val got = spark.read.format("trec").load(path)
+      .orderBy("docid").collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("AP-1", "AP-2", "AP-3"))
+    // content keeps the delimiting tags (the reference indexes raw docs)
+    assert(got.head.getString(1).startsWith("<DOC>") &&
+      got.head.getString(1).endsWith("</DOC>"))
+    assert(got.head.getString(1).contains("alpha beta"))
+  }
+
+  test("tiny splits produce multiple partitions but exactly one row per record") {
+    // ~80 docs with bodies long enough that most straddle a 256-byte
+    // split boundary; every record must appear exactly once
+    val docs = (1 to 80).map(i => doc(f"FB-$i%03d", ("word" + i + " ") * 40))
+    val path = stage(docs.mkString)
+    val df = spark.read.format("trec").option("splitSize", "256").load(path)
+    assert(df.rdd.getNumPartitions > 10, "expected many splits")
+    val ids = df.select("docid").as[String](
+      org.apache.spark.sql.Encoders.STRING).collect().sorted
+    assert(ids.toSeq === (1 to 80).map(i => f"FB-$i%03d").sorted)
+  }
+
+  test("gzip files are read whole") {
+    val body = doc("GZ-1", "squeeze me") + doc("GZ-2", "twice")
+    val dir = Files.createTempDirectory("trec_gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(dir.resolve("c.xml.gz")))
+    out.write(body.getBytes("UTF-8")); out.close()
+    val got = spark.read.format("trec")
+      .option("splitSize", "16") // must be ignored for .gz
+      .load(dir.toString).orderBy("docid")
+      .select("docid").collect().map(_.getString(0))
+    assert(got.toSeq === Seq("GZ-1", "GZ-2"))
+  }
+
+  test("column pruning reaches the reader") {
+    val path = stage(doc("PR-1", "only ids needed"))
+    val scan = spark.read.format("trec").load(path).select("docid")
+    assert(scan.queryExecution.executedPlan.toString.contains("docid"))
+    assert(!scan.queryExecution.executedPlan.schema.fieldNames
+      .contains("content"))
+    assert(scan.collect().map(_.getString(0)).toSeq === Seq("PR-1"))
+  }
+}
