@@ -77,6 +77,7 @@ object SparkEntry {
     "q28_multimodal" -> (IrEngine.q28Multimodal _),
     "q31_trec_source" -> (IrEngine.q31TrecSource _),
     "q29_streaming" -> (IrEngine.q29Streaming _),
+    "q32_sessions" -> (IrEngine.q32Sessions _),
     // Temporal joins (as-of / range) — operators Spark lacks natively
     "q30_asof" -> (Temporal.q30AsOf _),
     "q30_range_join" -> (Temporal.q30RangeJoin _),
@@ -386,6 +387,26 @@ object SparkEntry {
                 round(CAST(embedding[1] AS DOUBLE), 4) AS e1,
                 round(CAST(embedding[64] AS DOUBLE), 4) AS e64
          FROM embeddings ORDER BY vec_id""",
+
+    // sessionization: new session when the inactivity gap >= 30 min
+    // (the complement of session_window's `< gap` merge rule); both
+    // engines see identical µs timestamps
+    "q32_sessions" ->
+      """WITH o AS (SELECT user_id, ts, event_id, value,
+                           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+                    FROM events),
+              f AS (SELECT user_id, ts, event_id, value,
+                           CASE WHEN pts IS NULL
+                                  OR epoch_us(ts) - epoch_us(pts) >= 1800000000
+                                THEN 1 ELSE 0 END AS new_s
+                    FROM o),
+              s AS (SELECT user_id, ts, value,
+                           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM f)
+         SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+                count(*) AS n_events, round(sum(value), 4) AS total_value
+         FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""",
 
     // the staged TREC file is rebuilt relationally: docid + block length
     "q31_trec_source" ->

@@ -78,6 +78,14 @@ object IrEngine {
       .orderBy("w_sec", "user_id")
   }
 
+  /** Session-window aggregation over events (batch form of the
+    * streaming `session_window` transform — 30-minute inactivity gap). */
+  def q32Sessions(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventsStream
+    EventsStream.sessionWindows(Tables.load(spark, dir, "events"))
+      .orderBy("user_id", "start_us")
+  }
+
   /** TREC DataSourceV2 end-to-end: stage the documents table as a TREC
     * XML collection (single-line `<DOC>` blocks), read it back through
     * the split-realigning `trec` source with a small splitSize so the

@@ -56,15 +56,30 @@ object IrSql {
       .orderBy("docid")
 
   /** Q3: dense docno assignment (SURVEY §2.4 "sequential numbering").
-    * row_number over an un-partitioned window is the one deliberate
-    * serial point (as in the reference's single reducer); the scalable
-    * variant is [[graft.corpus.DocnoAssigner.scalable]]. */
-  def q03DocnoAssign(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(col("doc_id"))
-      .withColumn("docno",
-        row_number().over(Window.orderBy("doc_id")).cast("long"))
+    * Two-phase scalable numbering (range-partition by key, count per
+    * partition, offset by running total — the same pattern as
+    * [[graft.corpus.TrecCorpus.docnoMappingScalable]]): output is
+    * identical to `row_number() OVER (ORDER BY doc_id)` (the oracle
+    * checks that) with NO single-partition window — the reference's
+    * single-reducer serial point removed rather than reproduced. Only
+    * one long per partition touches the driver. */
+  def q03DocnoAssign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = spark.sessionState.conf.numShufflePartitions
+    val sorted = docs(spark, dir).select(col("doc_id")).as[Long]
+      .repartitionByRange(p, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sorted.mapPartitions(it => Iterator.single(it.size)).collect()
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val bc = sorted.sparkSession.sparkContext.broadcast(offsets)
+    sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var n = bc.value(pid)
+      it.map { d => n += 1; (d, n) }
+    }.toDF("doc_id", "docno")
       .orderBy("doc_id")
+  }
 
   /** Q4: relational tokenization with positions. */
   def q04Tokenize(spark: SparkSession, dir: String): DataFrame =

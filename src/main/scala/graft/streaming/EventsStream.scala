@@ -67,6 +67,21 @@ object EventsStream {
       .select(col("window.start").as("w_start"), col("user_id"),
         col("n_events"))
 
+  /** Session-window aggregation with Spark's native `session_window`
+    * (merges events whose gap to the current session end is < gap) —
+    * the same transform serves streaming and batch input; the batch
+    * form is the q32 oracle query (DuckDB: lag/cumsum sessionization,
+    * new session when the gap is >= the timeout — the complement of
+    * Spark's `< gap` merge rule, so the session sets are identical). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sv"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        col("n_events"), round(col("sv"), 4).as("total_value"))
+
   /** Event-time sessionization via flatMapGroupsWithState: a session
     * closes after `gapSeconds` of inactivity (state timeout), emitting
     * one row per closed session. */
