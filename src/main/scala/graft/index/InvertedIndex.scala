@@ -24,6 +24,8 @@ object InvertedIndex {
   case class Index(postings: DataFrame, termStats: DataFrame,
                    docMap: DataFrame, nDocs: Long)
 
+  private val buildSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Sliding k-windows over a token array, each joined with spaces
     * (docs with < k tokens produce nothing —
     * `TermKGramDocIndexer.java:143`). */
@@ -52,15 +54,21 @@ object InvertedIndex {
     * materialization (the reference needed three chained MR jobs). */
   def build(spark: SparkSession, corpus: DataFrame, k: Int = 1): Index = {
     TextPipeline.register(spark)
+    // every index artifact is a serving artifact: un-persisted, each
+    // search would re-run the corpus scan + numbering (docMap) and the
+    // stats aggregation (termStats) — ~400ms of recompute per lookup
     val docMap = TrecCorpus.docnoMapping(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val toks = corpus
       .join(broadcast(docMap), "docid")
       .select(col("docno"), expr("graft_tokenize(content)").as("toks"))
     val postings = toks
       // observe(): the Spark-native analog of the reference's Hadoop
       // counters (Count.DOCS etc., SURVEY §1.3) — named metrics ride
-      // the plan and surface via QueryExecutionListener
-      .observe("graft_index_build",
+      // the plan and surface via QueryExecutionListener. Name is
+      // unique per build so plans of two builds can be unioned
+      // (incremental merge) without DUPLICATED_METRICS_NAME.
+      .observe(s"graft_index_build_${InvertedIndex.buildSeq.incrementAndGet()}",
         count(lit(1)).as("docs_tokenized"),
         sum(size(col("toks"))).as("terms_total"))
       .select(col("docno"), explode(kgramWindows(col("toks"), k)).as("kgram"))
@@ -71,6 +79,7 @@ object InvertedIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val termStats = postings.groupBy(col("kgram"))
       .agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Index(postings, termStats, docMap, corpus.count())
   }
 
@@ -102,6 +111,36 @@ object InvertedIndex {
         .groupBy(col("kgram"))
         .agg(sum(col("c")).as("df"),
           sorted(flatten(collect_list(col("ps")))).as("postings"))
+  }
+
+  /** Incremental maintenance: merge a DELTA corpus into an existing
+    * index without re-tokenizing the old collection — the operation a
+    * continuously-crawling pipeline needs (the reference can only
+    * rebuild all three MR jobs from scratch).
+    *
+    * New docs get docnos continuing after the current max (dense
+    * continuation; existing docnos never change, so downstream
+    * artifacts stay valid). Only the delta is tokenized; postings are
+    * a pure union (docno sets are disjoint), and term stats re-sum
+    * per-term df from both sides — one narrow aggregation over the
+    * (small) stats tables, never a postings re-scan.
+    *
+    * Contract: delta docids are disjoint from the indexed corpus. */
+  def merge(spark: SparkSession, ix: Index, delta: DataFrame,
+            k: Int = 1): Index = {
+    val base = ix.docMap.agg(max(col("docno"))).head().getLong(0)
+    val deltaIx = build(spark,
+      delta, k) // its own dense 1..M numbering…
+    val shifted = deltaIx.docMap
+      .withColumn("docno", col("docno") + base) // …continued after base
+    val shiftedPostings = deltaIx.postings
+      .withColumn("docno", col("docno") + base)
+    val postings = ix.postings.unionByName(shiftedPostings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val termStats = ix.termStats.unionByName(deltaIx.termStats)
+      .groupBy(col("kgram")).agg(sum(col("df")).as("df"))
+    Index(postings, termStats, ix.docMap.unionByName(shifted),
+      ix.nDocs + deltaIx.nDocs)
   }
 
   /** Persist as parquet, postings repartitioned+sorted by kgram so each

@@ -99,4 +99,32 @@ class InvertedIndexSpec extends SparkSpec {
     CharKGramIndex.write(cg, dir)
     assert(CharKGramIndex.load(spark, dir).count() == cg.count())
   }
+
+  test("incremental merge equals a from-scratch rebuild (semantically)") {
+    val docids = corpus.select("docid").orderBy("docid")
+      .collect().map(_.getString(0))
+    val (oldIds, newIds) = docids.splitAt(14)
+    val oldIx = InvertedIndex.build(spark,
+      corpus.filter(col("docid").isin(oldIds: _*)), k = 1)
+    val merged = InvertedIndex.merge(spark, oldIx,
+      corpus.filter(col("docid").isin(newIds: _*)), k = 1)
+    // docnos differ between the two builds, so compare docid-resolved
+    // postings and per-term df
+    def resolved(ix: InvertedIndex.Index) =
+      ix.postings.join(ix.docMap, "docno")
+        .select("kgram", "docid", "tf")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+    assert(merged.nDocs == ix.nDocs)
+    assert(resolved(merged) == resolved(ix))
+    assert(merged.termStats.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSet == ix.termStats.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet)
+    // existing docnos are untouched; new docnos continue after the max
+    val oldMax = oldIx.docMap.agg(max(col("docno"))).head().getLong(0)
+    assert(merged.docMap.filter(col("docid").isin(oldIds: _*))
+      .agg(max(col("docno"))).head().getLong(0) == oldMax)
+    assert(merged.docMap.agg(max(col("docno"))).head().getLong(0)
+      == docids.length)
+  }
 }
