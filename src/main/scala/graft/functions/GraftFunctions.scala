@@ -279,5 +279,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // post-hoc resolution stage — the view alias is still present and
     // pushdown hasn't buried the predicate in the scan yet
     ext.injectPostHocResolutionRule(_ => graft.plans.TermRewriteRule())
+    // whole-operator extension: sort-merge as-of join physical plan
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -87,8 +87,40 @@ object Temporal {
       .drop("__d", "__probe", "__cell")
   }
 
+  /** [[asofLeft]] through the CUSTOM PHYSICAL OPERATOR
+    * ([[graft.plans.AsOfJoinExec]] — sort-merge as-of join planned
+    * from a custom LogicalPlan via a SparkStrategy): one linear merge
+    * per co-partitioned sorted partition instead of the union+window
+    * composition. Same contract and output as [[asofLeft]]
+    * (TemporalSpec + the q30 oracle prove it). */
+  def asofLeftMerge(left: DataFrame, right: DataFrame, by: Seq[String],
+                    leftOn: String, rightOn: String,
+                    valueCols: Seq[String]): DataFrame = {
+    import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy, PlanUtils}
+    val spark = left.sparkSession
+    // idempotent for sessions not built with GraftExtensions
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val lp = left.queryExecution.analyzed
+    // renew the right side's exprIds — both sides may share lineage
+    // (e.g. two filters of the same table)
+    val rp = PlanUtils.freshCopy(right.queryExecution.analyzed)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column $n in ${p.output}"))
+    org.apache.spark.sql.graft.Bridge.ofRows(spark,
+      AsOfJoinPlan(lp, rp,
+        by.map(attr(lp, _)), by.map(attr(rp, _)),
+        attr(lp, leftOn), attr(rp, rightOn),
+        valueCols.map(attr(rp, _))))
+  }
+
   /** q30: for each 'view' event, the value of the user's most recent
-    * 'purchase' at or before it (−1 when none). */
+    * 'purchase' at or before it (−1 when none). Runs through the
+    * custom sort-merge as-of operator — the DuckDB ASOF oracle checks
+    * the custom physical plan end-to-end. */
   def q30AsOf(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
     val views = ev.filter(col("event_type") === "view")
@@ -96,7 +128,7 @@ object Temporal {
     val purchases = ev.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"), col("ts_ns"))
       .agg(max(col("value")).as("p_value"))
-    asofLeft(views, purchases, by = Seq("user_id"),
+    asofLeftMerge(views, purchases, by = Seq("user_id"),
         leftOn = "ts_ns", rightOn = "ts_ns", valueCols = Seq("p_value"))
       .select(col("event_id"), col("user_id"),
         round(coalesce(col("p_value"), lit(-1.0)), 4).as("p_value"))

@@ -85,6 +85,27 @@ object IndexCatalog {
   def clear(): Unit = indexes.clear()
 }
 
+/** Plan-surgery helpers shared by the rewrite rule and the
+  * custom-operator builders. */
+object PlanUtils {
+  /** Deep-copy a plan with every exprId renewed, so joining it against
+    * a plan sharing ancestry cannot produce conflicting attribute
+    * references. */
+  def freshCopy(plan: LogicalPlan): LogicalPlan = {
+    val idMap = scala.collection.mutable.Map.empty[ExprId, ExprId]
+    def freshId(id: ExprId): ExprId =
+      idMap.getOrElseUpdate(id, NamedExpression.newExprId)
+    plan.transformUp { case node =>
+      node.transformExpressions {
+        case a: AttributeReference => a.withExprId(freshId(a.exprId))
+        case al: Alias =>
+          Alias(al.child, al.name)(freshId(al.exprId), al.qualifier,
+            al.explicitMetadata, al.nonInheritableMetadataKeys)
+      }
+    }
+  }
+}
+
 /** Rewrites `Filter(... graft_contains_term(content, 'w') ...)` over a
   * registered view into a left-semi join with the postings docnos of
   * the analyzed term(s).
@@ -106,23 +127,10 @@ case class TermRewriteRule() extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  /** Deep-copy a plan with every exprId renewed, so joining it against
-    * a plan sharing ancestry (the view and the postings both derive
-    * from the same index DataFrames) cannot produce conflicting
-    * attribute references. Returns the plan and its renewed output. */
-  private def freshCopy(plan: LogicalPlan): LogicalPlan = {
-    val idMap = scala.collection.mutable.Map.empty[ExprId, ExprId]
-    def freshId(id: ExprId): ExprId =
-      idMap.getOrElseUpdate(id, NamedExpression.newExprId)
-    plan.transformUp { case node =>
-      node.transformExpressions {
-        case a: AttributeReference => a.withExprId(freshId(a.exprId))
-        case al: Alias =>
-          Alias(al.child, al.name)(freshId(al.exprId), al.qualifier,
-            al.explicitMetadata, al.nonInheritableMetadataKeys)
-      }
-    }
-  }
+  /** The view and the postings both derive from the same index
+    * DataFrames — see [[PlanUtils.freshCopy]]. */
+  private def freshCopy(plan: LogicalPlan): LogicalPlan =
+    PlanUtils.freshCopy(plan)
 
   /** Is `left` a bare reference to the column the index was built
     * over? Anything else — a different column, or any computed

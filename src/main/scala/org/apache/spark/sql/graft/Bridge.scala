@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** The one `private[sql]` doorway the custom-operator API needs:
+  * wrap a hand-built (already-resolved) LogicalPlan as a DataFrame.
+  * Lives under `org.apache.spark.sql` for Scala access control; no
+  * other internals are touched from here. */
+object Bridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}

@@ -24,6 +24,28 @@ class TemporalSpec extends SparkSpec {
     assert(got.toSeq === Seq((1, 50.0), (2, 70.0), (3, null)))
   }
 
+  test("asofLeftMerge (custom physical operator) equals asofLeft") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val left = (1 to 500).map(i =>
+      ("k" + rnd.nextInt(7), rnd.nextInt(1000).toLong, i)).toDF("k", "t", "id")
+    val right = (1 to 300).map(i =>
+      ("k" + rnd.nextInt(7), rnd.nextInt(1000).toLong, rnd.nextDouble()))
+      .toDF("k", "rt", "v")
+      // contract: unique (by, rightOn)
+      .groupBy("k", "rt").agg(max("v").as("v"))
+    val viaWindow = Temporal.asofLeft(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val viaMerge = Temporal.asofLeftMerge(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(viaMerge === viaWindow)
+    // and it really is the custom operator: no window in the plan
+    val plan = Temporal.asofLeftMerge(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("rangePairs equals the naive quadratic range join") {
     import spark.implicits._
     val pts = Seq(("u", 0L, 1L), ("u", 50L, 2L), ("u", 100L, 3L),
