@@ -68,6 +68,7 @@ object SparkEntry {
     "q25_embed_neardup" -> (Similarity.embedNearDup _),
     "q25_ann_lsh" -> (Similarity.lshBucketHistogram _),
     "q25_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    "q25_centroids" -> (Similarity.labelCentroids _),
     // Faithful IR engine (tokenizer+stemmer not SQL-expressible →
     // rows-only driver check; conformance pinned by specs)
     "q26_ir_terms" -> (IrEngine.q26PipelineTerms _),

@@ -116,6 +116,33 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
       .orderBy("bucket")
 
+  /** Per-label centroid of the embedding column, exploded to scalar
+    * rows (label, dim, c, n) for oracle hashing. The element sums fold
+    * over vectors in vec_id order (collect sorted, then a sequential
+    * array fold) so the double arithmetic is bit-identical to the
+    * DuckDB `list_reduce` oracle — an unordered SUM of doubles would
+    * be partitioning-dependent on both engines. At scale the sorted
+    * collect is per-label bounded (class counts), and an
+    * order-insensitive exact alternative is summing in decimal. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val vs = e.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        transform(
+          sort_array(collect_list(struct(col("vec_id"), col("embedding")))),
+          x => transform(x.getField("embedding"), f => f.cast("double")))
+          .as("vecs"))
+    val summed = vs.select(col("label").cast("long").as("label"), col("n"),
+      aggregate(col("vecs"),
+        transform(element_at(col("vecs"), 1), v => lit(0.0)),
+        (acc, v) => zip_with(acc, v, (a, b) => a + b)).as("sum"))
+    summed.select(col("label"), col("n"),
+        posexplode(col("sum")).as(Seq("dim0", "s")))
+      .select(col("label"), (col("dim0") + 1).as("dim"),
+        round(col("s") / col("n"), 4).as("c"), col("n"))
+      .orderBy("label", "dim")
+  }
+
   /** Number of IVF centroids (deterministic: the embeddings of
     * vec_id 0..7 serve as fixed seed centroids, so both engines build
     * the identical partition). */
