@@ -163,17 +163,16 @@ object Dedup {
     * expressions in ONE HashAggregate over the (doc, hash) incidence.
     * No 16× crossJoin row explode (the narrow (doc_id, i, mh) shape
     * shuffled 16·|incidence| rows; this shuffles |incidence| with
-    * map-side partial mins). The shingle hash is computed once per
-    * DISTINCT shingle with the codegen'd
-    * [[graft.functions.PolyHashExpr]] — bit-identical to
-    * [[CrossHash.polyHash]]/the DuckDB oracle. */
+    * map-side partial mins). The shingle hash is the codegen'd
+    * [[graft.functions.PolyHashExpr]] computed INLINE on the
+    * incidence rows (~50ns each) — bit-identical to
+    * [[CrossHash.polyHash]]/the DuckDB oracle; no distinct+join
+    * detour, so the plan shape is SF-independent. */
   def minhashWide(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val sh = docShingles(spark, dir)
-    val hashed = sh.select(col("shingle")).distinct()
-      .withColumn("h",
-        graft.functions.GraftFunctions.polyhash(col("shingle"), PM))
-    val inc = sh.join(hashed, "shingle").select(col("doc_id"), col("h"))
+    val inc = docShingles(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.polyhash(col("shingle"), PM).as("h"))
     val mins = MinhashPerms.map { case (i, a, b) =>
       min((lit(a) * col("h") + lit(b)) % PM).as(s"mh$i") }
     inc.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
@@ -216,19 +215,18 @@ object Dedup {
   /** SimHash fingerprints: (doc_id, simhash) — tf-weighted sign-sum over
     * 30 bit planes of the token hash, computed as 30 aggregate
     * expressions in ONE HashAggregate (no per-bit row explode, no
-    * second shuffle); the token hash is computed once per distinct
-    * term. One narrow value per doc. */
+    * second shuffle); the token hash is the codegen'd PolyHashExpr
+    * inline on the per-(doc, term) tf rows — no distinct+join detour.
+    * One narrow value per doc. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val tok = docs(spark, dir)
       .select(col("doc_id"), explode(tokensArrayFast(col("text"))).as("term"))
-    val hashed = tok.select(col("term")).distinct()
-      .withColumn("h",
-        graft.functions.GraftFunctions.polyhash(col("term"), P))
     val tf = tok
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .join(broadcast(hashed), "term")
+      .withColumn("h",
+        graft.functions.GraftFunctions.polyhash(col("term"), P))
     val bitSums = (0 until SimhashBits).map(j =>
       sum(col("tf") * (expr(s"shiftright(h, $j) & 1") * 2 - 1)).as(s"b$j"))
     tf.groupBy(col("doc_id"))
