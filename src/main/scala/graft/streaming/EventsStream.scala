@@ -73,8 +73,10 @@ object EventsStream {
     * form is the q32 oracle query (DuckDB: lag/cumsum sessionization,
     * new session when the gap is >= the timeout — the complement of
     * Spark's `< gap` merge rule, so the session sets are identical). */
-  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     watermark: String = "1 minute"): DataFrame =
     events
+      .withWatermark("ts", watermark) // no-op on batch input
       .groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value")).as("sv"))

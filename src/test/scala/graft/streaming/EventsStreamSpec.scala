@@ -45,6 +45,29 @@ class EventsStreamSpec extends SparkSpec {
     assert(batch.except(streamed).count() == 0)
   }
 
+  test("session windows: streaming equals batch") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    // two users, sessions separated by > 30 min gaps
+    val events = Seq(
+      Event(1, 1, ts(0), 1.0), Event(2, 1, ts(60), 2.0),
+      Event(3, 1, ts(60 * 60), 3.0),                    // new session
+      Event(4, 2, ts(10), 5.0), Event(5, 2, ts(45 * 60), 7.0))
+    // sentinel far-future event advances the watermark so all real
+    // sessions close and emit in append mode; filtered back out
+    val streamed = feed(input,
+      EventsStream.sessionWindows(input.toDF()), "sessions",
+      Seq(events, Seq(Event(999, 99, ts(1000000), 0.0))))
+      .filter(col("user_id") < 99)
+    val batch = EventsStream.sessionWindows(events.toDF())
+      .filter(col("user_id") < 99)
+    assert(batch.count() == 4) // u1: {1,2},{3}; u2: {4},{5}
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
   test("watermark drops events later than the bound") {
     import spark.implicits._
     implicit val s = spark
