@@ -41,6 +41,8 @@ object SparkEntry {
     "q14_count_distinct" -> (Relational.q14CountDistinct _),
     "q15_rollup" -> (Relational.q15Rollup _),
     "q15_cube" -> (Relational.q15Cube _),
+    "q15_grouping_sets" -> (Relational.q15GroupingSets _),
+    "q21_stats" -> (Relational.q21Stats _),
     "q16_window_nav" -> (Relational.q16WindowNav _),
     "q20_strings2" -> (Relational.q20Strings2 _),
     "q21_nulls" -> (Relational.q21Nulls _),
@@ -248,6 +250,26 @@ object SparkEntry {
                        JOIN region ON n_regionkey = r_regionkey
          GROUP BY CUBE (r_name, n_name)
          ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""",
+
+    "q15_grouping_sets" ->
+      """SELECT r_name, n_name, count(*) AS n_supp,
+                round(sum(s_acctbal), 2) AS total_bal,
+                CAST(grouping(r_name) AS BIGINT) AS g_r,
+                CAST(grouping(n_name) AS BIGINT) AS g_n
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                       JOIN region ON n_regionkey = r_regionkey
+         GROUP BY GROUPING SETS ((r_name), (n_name), ())
+         ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""",
+
+    "q21_stats" ->
+      """SELECT l_returnflag,
+                round(stddev_samp(l_quantity), 4) AS sd_qty,
+                round(stddev_pop(l_quantity), 4) AS sdp_qty,
+                round(var_samp(l_quantity), 4) AS var_qty,
+                round(avg(l_quantity), 4) AS avg_qty,
+                round(corr(l_quantity, CAST(l_linenumber AS DOUBLE)), 4) AS corr_ql,
+                round(covar_samp(l_quantity, CAST(l_linenumber AS DOUBLE)), 4) AS cov_ql
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q16_window_nav" ->
       """SELECT o_custkey, o_orderkey,

@@ -188,6 +188,44 @@ object Relational {
         round(expr("percentile(l_extendedprice, 0.5)"), 4).as("med_price"))
       .orderBy("l_returnflag")
 
+  /** Q21 statistics battery: stddev/variance over INTEGRAL-valued
+    * doubles (l_quantity, l_linenumber) — their sums/co-moments stay
+    * exact in double arithmetic regardless of partition order, so
+    * round(4) is deterministic cross-engine (unlike stats over
+    * fractional columns, where summation order matters). */
+  def q21Stats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(stddev_pop(col("l_quantity")), 4).as("sdp_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(corr(col("l_quantity"), col("l_linenumber").cast("double")), 4)
+          .as("corr_ql"),
+        round(covar_samp(col("l_quantity"),
+          col("l_linenumber").cast("double")), 4).as("cov_ql"))
+      .orderBy("l_returnflag")
+
+  /** Q15 explicit GROUPING SETS (beyond rollup/cube): chosen subsets
+    * only — (r_name), (n_name), and grand total. */
+  def q15GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val s = t(spark, dir, "supplier")
+      .join(t(spark, dir, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(t(spark, dir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+    s.createOrReplaceTempView("graft_q15gs")
+    spark.sql(
+      """SELECT r_name, n_name, count(*) AS n_supp,
+                round(sum(s_acctbal), 2) AS total_bal,
+                CAST(grouping(r_name) AS BIGINT) AS g_r,
+                CAST(grouping(n_name) AS BIGINT) AS g_n
+         FROM graft_q15gs
+         GROUP BY GROUPING SETS ((r_name), (n_name), ())
+         ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""")
+  }
+
   /** Q16: ranking windows; one shuffle on o_custkey serves all three
     * window functions (same partition spec). */
   def q16RankWindows(spark: SparkSession, dir: String): DataFrame = {
