@@ -209,6 +209,50 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Duplicate-CLUSTER resolution: connected components over the
+    * near-dup pair graph (J ≥ threshold), labeling every involved doc
+    * with its component's smallest doc_id and flagging that doc as the
+    * cluster keeper — the step a dedup pipeline runs after pair
+    * generation to drop all-but-one of each duplicate group
+    * transitively (A~B, B~C ⇒ {A,B,C} one cluster even if A≁C).
+    *
+    * Min-label propagation to fixpoint: each iteration every node
+    * takes min(own label, neighbor labels) — one equi-join + one
+    * aggregation per round, O(component diameter) rounds (Pregel
+    * shape; near-dup clusters are shallow, so 2-4 rounds in
+    * practice). Only the per-round change COUNT touches the driver. */
+  def dedupClusters(spark: SparkSession, dir: String,
+                    threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pairs = jaccard(spark, dir, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(MEMORY_AND_DISK)
+    var labels = edges.select(col("doc_a").as("node")).distinct()
+      .withColumn("lab", col("node"))
+      .persist(MEMORY_AND_DISK)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      val nbrMin = edges.join(labels, col("doc_b") === col("node"))
+        .groupBy(col("doc_a")).agg(min(col("lab")).as("nlab"))
+      val next = labels.join(nbrMin, col("node") === col("doc_a"), "left")
+        .select(col("node"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+        .persist(MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("lab", "old"), "node")
+        .filter(col("lab") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    labels
+      .select(col("node").as("doc_id"), col("lab").as("cluster"),
+        when(col("node") === col("lab"), 1L).otherwise(0L).as("keeper"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash bit width (polyHash mod P is < 2^30). */
   val SimhashBits = 30
 

@@ -57,6 +57,29 @@ object TrainingOracles {
                      JOIN sig s2 ON c.doc_b = s2.doc_id AND s1.i = s2.i
          GROUP BY 1, 2 ORDER BY doc_a, doc_b""",
 
+    // same pair generation as q24_dedup_jaccard, then connected
+    // components via a recursive reachability CTE (UNION dedup
+    // terminates the recursion); cluster = min reachable doc_id
+    "q24_dedup_clusters" ->
+      s"""${docShingles.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         p AS (SELECT doc_a, doc_b
+               FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+               WHERE round(i / (x.n + y.n - i), 4) >= 0.5),
+         e AS (SELECT doc_a AS u, doc_b AS v FROM p
+               UNION ALL SELECT doc_b, doc_a FROM p),
+         nodes AS (SELECT DISTINCT u AS node FROM e),
+         r AS (SELECT node, node AS m FROM nodes
+               UNION
+               SELECT r.node, e.v FROM r JOIN e ON r.m = e.u)
+         SELECT node AS doc_id, min(m) AS cluster,
+                CASE WHEN min(m) = node THEN CAST(1 AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END AS keeper
+         FROM r GROUP BY node ORDER BY doc_id""",
+
     "q24_simhash" -> (simhashSql + " ORDER BY doc_id"),
 
     "q24_simhash_pairs" ->
