@@ -38,17 +38,22 @@ case class PolyHashExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (s, p) => s"""
-      java.lang.String gfs = $s.toString();
-      long gfacc = 0L;
-      int gfi = 0;
-      while (gfi < gfs.length()) {
-        int gfcp = gfs.codePointAt(gfi);
-        gfacc = (gfacc * 31L + gfcp) % $p;
-        gfi += java.lang.Character.charCount(gfcp);
+    nullSafeCodeGen(ctx, ev, (s, p) => {
+      // fresh locals: two instances of this expression in one
+      // whole-stage-codegen scope must not collide in Janino
+      val str = ctx.freshName("gfs"); val acc = ctx.freshName("gfacc")
+      val i = ctx.freshName("gfi"); val cp = ctx.freshName("gfcp")
+      s"""
+      java.lang.String $str = $s.toString();
+      long $acc = 0L;
+      int $i = 0;
+      while ($i < $str.length()) {
+        int $cp = $str.codePointAt($i);
+        $acc = ($acc * 31L + $cp) % $p;
+        $i += java.lang.Character.charCount($cp);
       }
-      ${ev.value} = gfacc;
-    """)
+      ${ev.value} = $acc;
+    """})
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PolyHashExpr =
@@ -150,22 +155,27 @@ case class HashedIntersectSizeExpr(first: Expression, second: Expression,
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (ha, sa, hb, sb) => s"""
-      int gii = 0, gij = 0, gic = 0;
-      int gin = $ha.numElements(), gim = $hb.numElements();
-      while (gii < gin && gij < gim) {
-        long gil = $ha.getLong(gii), gir = $hb.getLong(gij);
-        if (gil < gir) gii++;
-        else if (gil > gir) gij++;
+    nullSafeCodeGen(ctx, ev, (ha, sa, hb, sb) => {
+      val i = ctx.freshName("gii"); val j = ctx.freshName("gij")
+      val c = ctx.freshName("gic"); val n = ctx.freshName("gin")
+      val m = ctx.freshName("gim"); val l = ctx.freshName("gil")
+      val r = ctx.freshName("gir"); val cmp = ctx.freshName("gicmp")
+      s"""
+      int $i = 0, $j = 0, $c = 0;
+      int $n = $ha.numElements(), $m = $hb.numElements();
+      while ($i < $n && $j < $m) {
+        long $l = $ha.getLong($i), $r = $hb.getLong($j);
+        if ($l < $r) $i++;
+        else if ($l > $r) $j++;
         else {
-          int gicmp = $sa.getUTF8String(gii).compareTo($sb.getUTF8String(gij));
-          if (gicmp == 0) { gic++; gii++; gij++; }
-          else if (gicmp < 0) gii++;
-          else gij++;
+          int $cmp = $sa.getUTF8String($i).compareTo($sb.getUTF8String($j));
+          if ($cmp == 0) { $c++; $i++; $j++; }
+          else if ($cmp < 0) $i++;
+          else $j++;
         }
       }
-      ${ev.value} = gic;
-    """)
+      ${ev.value} = $c;
+    """})
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression,
@@ -213,16 +223,21 @@ case class CosineExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      int gcn = java.lang.Math.min($a.numElements(), $b.numElements());
-      double gcab = 0.0, gcaa = 0.0, gcbb = 0.0;
-      for (int gci = 0; gci < gcn; gci++) {
-        double gcx = (double) $a.getFloat(gci);
-        double gcy = (double) $b.getFloat(gci);
-        gcab += gcx * gcy; gcaa += gcx * gcx; gcbb += gcy * gcy;
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("gcn"); val ab = ctx.freshName("gcab")
+      val aa = ctx.freshName("gcaa"); val bb = ctx.freshName("gcbb")
+      val i = ctx.freshName("gci"); val x = ctx.freshName("gcx")
+      val y = ctx.freshName("gcy")
+      s"""
+      int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+      double $ab = 0.0, $aa = 0.0, $bb = 0.0;
+      for (int $i = 0; $i < $n; $i++) {
+        double $x = (double) $a.getFloat($i);
+        double $y = (double) $b.getFloat($i);
+        $ab += $x * $y; $aa += $x * $x; $bb += $y * $y;
       }
-      ${ev.value} = gcab / (java.lang.Math.sqrt(gcaa) * java.lang.Math.sqrt(gcbb));
-    """)
+      ${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
+    """})
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineExpr =

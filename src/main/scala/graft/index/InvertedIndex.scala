@@ -128,7 +128,11 @@ object InvertedIndex {
     * Contract: delta docids are disjoint from the indexed corpus. */
   def merge(spark: SparkSession, ix: Index, delta: DataFrame,
             k: Int = 1): Index = {
-    val base = ix.docMap.agg(max(col("docno"))).head().getLong(0)
+    // empty base (bootstrap of an incremental crawl): max() is null
+    val base = {
+      val r = ix.docMap.agg(max(col("docno"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
     val deltaIx = build(spark,
       delta, k) // its own dense 1..M numbering…
     val shifted = deltaIx.docMap

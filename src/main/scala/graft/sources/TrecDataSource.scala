@@ -186,7 +186,16 @@ private[sources] class TrecPartitionReader(part: TrecInputPartition,
       if (b < 0) return -1L
       if (b == pat(matched)) {
         matched += 1
-        if (matched == pat.length) return pos - pat.length
+        if (matched == pat.length) {
+          val startAt = pos - pat.length
+          // the mismatch-restart below can carry matched==1 across the
+          // ownership boundary (e.g. "<<DOC>" split between the two
+          // '<'), so the matched==0 gate alone is not enough: a match
+          // STARTING at/after the bound belongs to the next split —
+          // and so does every later one (records are in stream order)
+          if (bound != Long.MaxValue && startAt >= bound) return -1L
+          return startAt
+        }
       } else {
         // restart match; a byte equal to pat(0) may begin a new match
         matched = if (b == pat(0)) 1 else 0

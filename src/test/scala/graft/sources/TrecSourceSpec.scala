@@ -41,6 +41,30 @@ class TrecSourceSpec extends SparkSpec {
     assert(ids.toSeq === (1 to 80).map(i => f"FB-$i%03d").sorted)
   }
 
+  test("a partial tag prefix straddling the split end does not leak ownership") {
+    // Regression (ADVICE r3): bytes "<<DOC>" with the split boundary
+    // between the two '<' — the first split's scanner restarts its
+    // match on the second '<' with matched==1, bypassing the
+    // matched==0 bound gate, and used to claim a record whose <DOC>
+    // starts at the next split's first byte (which also claims it →
+    // duplicate row). Construct a corpus where a '<' immediately
+    // precedes a split boundary that a <DOC> tag starts on.
+    val split = 64
+    val d1 = doc("DU-1", "x")
+    // pad doc 1's tail so the NEXT doc's "<DOC>" starts exactly at a
+    // split boundary, with the padding ending in '<'-like bait: we
+    // append spaces then a stray '<' as the last byte of the split
+    val pad = " " * (split - (d1.length % split) - 1) + "<"
+    val content = d1 + pad + doc("DU-2", "y") + doc("DU-3", "z")
+    assert((d1 + pad).length % split === 0)
+    val path = stage(content)
+    val df = spark.read.format("trec")
+      .option("splitSize", split.toString).load(path)
+    val ids = df.select("docid").as[String](
+      org.apache.spark.sql.Encoders.STRING).collect().sorted.toSeq
+    assert(ids === Seq("DU-1", "DU-2", "DU-3"), s"got $ids")
+  }
+
   test("gzip files are read whole") {
     val body = doc("GZ-1", "squeeze me") + doc("GZ-2", "twice")
     val dir = Files.createTempDirectory("trec_gz")
