@@ -56,8 +56,13 @@ object InvertedIndex {
     TextPipeline.register(spark)
     // every index artifact is a serving artifact: un-persisted, each
     // search would re-run the corpus scan + numbering (docMap) and the
-    // stats aggregation (termStats) — ~400ms of recompute per lookup
-    val docMap = TrecCorpus.docnoMapping(corpus)
+    // stats aggregation (termStats) — ~400ms of recompute per lookup.
+    // Numbering is the SCALABLE two-phase range-partition form: at
+    // 100 TB the doc_map is corpus-sized, and the single-partition
+    // window form (docnoMapping, kept as the documented reference)
+    // would funnel it through one task (r3 bench logs were full of
+    // "WindowExec: No Partition Defined" from exactly this).
+    val docMap = TrecCorpus.docnoMappingScalable(spark, corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val toks = corpus
       .join(broadcast(docMap), "docid")

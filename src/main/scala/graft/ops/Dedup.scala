@@ -216,41 +216,124 @@ object Dedup {
     * generation to drop all-but-one of each duplicate group
     * transitively (A~B, B~C ⇒ {A,B,C} one cluster even if A≁C).
     *
-    * Min-label propagation to fixpoint: each iteration every node
-    * takes min(own label, neighbor labels) — one equi-join + one
-    * aggregation per round, O(component diameter) rounds (Pregel
-    * shape; near-dup clusters are shallow, so 2-4 rounds in
-    * practice). Only the per-round change COUNT touches the driver. */
+    * Two execution paths, picked by the measured edge count (the pair
+    * graph holds only near-dup MEMBERS, so it is tiny relative to the
+    * corpus at any scale — 100 TB of docs with 1% near-dups is still a
+    * graph that fits one task):
+    *  - ≤ [[SmallGraphEdges]] edges: ONE executor task runs union-find
+    *    over the edge list ([[clustersUnionFind]]) — no per-round Spark
+    *    jobs at all (the r3 iterative loop was scheduler-bound: 17.6s
+    *    of near-empty 32-partition stages for a 477-node graph);
+    *  - larger: distributed min-label propagation with pointer jumping
+    *    ([[clustersPropagate]]) — O(log diameter) rounds, one action
+    *    per round, loop parallelism sized to the graph. */
   def dedupClusters(spark: SparkSession, dir: String,
                     threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val pairs = jaccard(spark, dir, threshold)
       .select(col("doc_a"), col("doc_b"))
-    val edges = pairs.union(
-        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(MEMORY_AND_DISK)
-    var labels = edges.select(col("doc_a").as("node")).distinct()
-      .withColumn("lab", col("node"))
-      .persist(MEMORY_AND_DISK)
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 64) {
-      val nbrMin = edges.join(labels, col("doc_b") === col("node"))
-        .groupBy(col("doc_a")).agg(min(col("lab")).as("nlab"))
-      val next = labels.join(nbrMin, col("node") === col("doc_a"), "left")
-        .select(col("node"),
-          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
-        .persist(MEMORY_AND_DISK)
-      changed = next.join(labels.withColumnRenamed("lab", "old"), "node")
-        .filter(col("lab") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
-      rounds += 1
-    }
-    labels
-      .select(col("node").as("doc_id"), col("lab").as("cluster"),
-        when(col("node") === col("lab"), 1L).otherwise(0L).as("keeper"))
+    val nEdges = pairs.count() // materializes at full parallelism
+    if (nEdges <= SmallGraphEdges) clustersUnionFind(spark, pairs)
+    else clustersPropagate(spark, pairs, nEdges)
+  }
+
+  /** Edge-count bound for the single-task path: 10M (doc_a, doc_b)
+    * pairs is ~160 MB of longs plus the id→parent map — comfortable in
+    * one task, far past any plausible near-dup candidate set. */
+  val SmallGraphEdges: Long = 10000000L
+
+  /** Single-task exact connected components: union-find (union by min
+    * id, path-compressed finds) over the whole edge list in one narrow
+    * executor task — the entire loop the iterative form schedules as
+    * jobs happens in-memory here. Output identical to
+    * [[clustersPropagate]]. */
+  private[graft] def clustersUnionFind(spark: SparkSession,
+                                       pairs: DataFrame): DataFrame = {
+    import spark.implicits._
+    pairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def add(x: Long): Unit = if (!parent.contains(x)) parent(x) = x
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          add(a); add(b)
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent(rb) = ra
+          else if (rb < ra) parent(ra) = rb
+        }
+        // min-id unions ⇒ every root IS its component's smallest doc_id
+        val nodes = parent.keys.toArray
+        nodes.iterator.map { n =>
+          val c = find(n)
+          (n, c, if (n == c) 1L else 0L)
+        }
+      }
+      .toDF("doc_id", "cluster", "keeper")
       .orderBy("doc_id")
+  }
+
+  /** Distributed min-label propagation with POINTER JUMPING: each round
+    * every node takes min(own label, neighbor labels), then shortcuts
+    * through its label's label (lab(lab(node)) ≤ lab(node) always) —
+    * O(log diameter) rounds, so the 64-round cap is unreachable for any
+    * real graph; if it IS hit, throw rather than silently return split
+    * clusters (ADVICE r3). Loop parallelism is sized to the graph
+    * (`max(1, edges/100k)` shuffle partitions, conf saved/restored) and
+    * each round issues exactly ONE action: `next` is a lazy
+    * `localCheckpoint` (truncates plan growth) and the convergence
+    * count rides the filter that materializes it. */
+  private[graft] def clustersPropagate(spark: SparkSession, pairs: DataFrame,
+                                       nEdges: Long): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val parts = math.max(1, (nEdges / 100000L).toInt)
+    val shufConf = "spark.sql.shuffle.partitions"
+    val prevShuf = spark.conf.get(shufConf)
+    try {
+      spark.conf.set(shufConf, parts.toString)
+      val edges = pairs.union(
+          pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .repartition(parts, col("doc_b"))
+        .persist(MEMORY_AND_DISK)
+      var labels = edges.select(col("doc_a").as("node")).distinct()
+        .withColumn("lab", col("node"))
+        .localCheckpoint()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 64) {
+        val nbrMin = edges.join(labels, col("doc_b") === col("node"))
+          .groupBy(col("doc_a")).agg(min(col("lab")).as("nlab"))
+        val prop = labels.withColumnRenamed("lab", "old")
+          .join(nbrMin, col("node") === col("doc_a"), "left")
+          .select(col("node"), col("old"),
+            least(col("old"), coalesce(col("nlab"), col("old"))).as("lab1"))
+        val next = prop.as("a")
+          .join(prop.select(col("node").as("pn"), col("lab1").as("plab")),
+            col("a.lab1") === col("pn"), "left")
+          .select(col("a.node").as("node"), col("old"),
+            least(col("a.lab1"), coalesce(col("plab"), col("a.lab1")))
+              .as("lab"))
+          .localCheckpoint(false)
+        changed = next.filter(col("lab") =!= col("old")).count()
+        labels = next.select(col("node"), col("lab"))
+        rounds += 1
+      }
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"dedupClusters: min-label propagation not converged after " +
+            s"$rounds rounds ($changed labels still changing)")
+      labels
+        .select(col("node").as("doc_id"), col("lab").as("cluster"),
+          when(col("node") === col("lab"), 1L).otherwise(0L).as("keeper"))
+        .orderBy("doc_id")
+    } finally spark.conf.set(shufConf, prevShuf)
   }
 
   /** SimHash bit width (polyHash mod P is < 2^30). */

@@ -116,15 +116,47 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
       .orderBy("bucket")
 
+  /** Fixed-point quantization scale for [[labelCentroids]]: 2^40.
+    * A float (24-bit mantissa) times a power of two is EXACT in double
+    * arithmetic — no rounding in the multiply — so the quantized long
+    * `round(v * 2^40)` is a deterministic pure function of the input
+    * value on ANY engine, and the integer sum over a group is exact
+    * and order-insensitive. Quantization error ≤ 2^-41 per element —
+    * invisible at the 4-decimal output rounding. */
+  val CentroidScale: Double = 1099511627776.0 // 2^40
+
   /** Per-label centroid of the embedding column, exploded to scalar
-    * rows (label, dim, c, n) for oracle hashing. The element sums fold
-    * over vectors in vec_id order (collect sorted, then a sequential
-    * array fold) so the double arithmetic is bit-identical to the
-    * DuckDB `list_reduce` oracle — an unordered SUM of doubles would
-    * be partitioning-dependent on both engines. At scale the sorted
-    * collect is per-label bounded (class counts), and an
-    * order-insensitive exact alternative is summing in decimal. */
-  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    * rows (label, dim, c, n) for oracle hashing.
+    *
+    * Scale posture (the r3 fold form buffered EVERY vector of a label
+    * in one aggregation task — the one unbounded-buffer plan in the
+    * repo): quantize each element to a 2^40 fixed-point long (exact,
+    * see [[CentroidScale]]), then per-(label, dim) SUM of
+    * DECIMAL(38,0) — a plain two-phase hash aggregation with map-side
+    * partial sums, shuffle-order independent, bit-identical across
+    * engines because every step (power-of-two multiply, half-away-
+    * from-zero round, exact integer sum, one double division chain) is
+    * deterministic IEEE arithmetic on both sides. No `collect_list`
+    * anywhere in the executed plan. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim0", "v")))
+      .groupBy(col("label"), (col("dim0") + 1).as("dim"))
+      .agg(
+        sum(round(col("v").cast("double") * CentroidScale)
+          .cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        round(col("s").cast("double") / CentroidScale / col("n"), 4).as("c"),
+        col("n"))
+      .orderBy("label", "dim")
+
+  /** Documented reference form of [[labelCentroids]]: per-label sorted
+    * collect + sequential fold (bit-identical to a `list_reduce`
+    * oracle). Kept for the exact-double-fold semantics; NOT the serving
+    * path — it funnels a whole label through one aggregation buffer. */
+  def labelCentroidsFold(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val vs = e.groupBy(col("label"))
       .agg(count(lit(1)).as("n"),

@@ -124,20 +124,18 @@ object TrainingOracles {
                FROM pr GROUP BY vec_id)
          SELECT bucket, count(*) AS n FROM b GROUP BY bucket ORDER BY bucket""",
 
+    // 2^40 fixed-point quantization (exact power-of-two multiply on a
+    // float), exact integer sum per (label, dim) — order-insensitive on
+    // both engines; mirrors Similarity.labelCentroids step for step
     "q25_centroids" ->
-      """WITH g AS (SELECT label,
-                           list(list_transform(embedding, x -> CAST(x AS DOUBLE))
-                                ORDER BY vec_id) AS vs,
-                           count(*) AS n
-                    FROM embeddings GROUP BY label),
-              s AS (SELECT label, n,
-                           list_reduce(vs, (a, b) ->
-                             list_transform(range(1, len(a) + 1), i -> a[i] + b[i])) AS sm
-                    FROM g)
-         SELECT CAST(label AS BIGINT) AS label,
-                CAST(generate_subscripts(sm, 1) AS BIGINT) AS dim,
-                round(unnest(sm) / n, 4) AS c, n
-         FROM s ORDER BY label, dim""",
+      s"""WITH x AS (SELECT CAST(label AS BIGINT) AS label,
+                            CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+                            CAST(round(CAST(unnest(embedding) AS DOUBLE) * ${Similarity.CentroidScale}) AS BIGINT) AS l
+                     FROM embeddings)
+         SELECT label, dim,
+                round(CAST(sum(l) AS DOUBLE) / ${Similarity.CentroidScale} / count(*), 4) AS c,
+                count(*) AS n
+         FROM x GROUP BY label, dim ORDER BY label, dim""",
 
     "q25_ann_ivf" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings

@@ -50,6 +50,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall; missed: ${topDups.diff(sim)}")
   }
 
+  test("single-task union-find and distributed propagation produce identical clusters") {
+    val pairs = Dedup.jaccard(spark, dir, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b")).persist()
+    val n = pairs.count()
+    assert(n > 0)
+    val uf = Dedup.clustersUnionFind(spark, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val prop = Dedup.clustersPropagate(spark, pairs, n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(uf === prop)
+    pairs.unpersist()
+  }
+
+  test("fixed-point centroids match the exact-fold reference, with no collect_list in the plan") {
+    val fix = Similarity.labelCentroids(spark, dir)
+    assert(!fix.queryExecution.executedPlan.toString.contains("collect_list"),
+      "serving centroid plan must not buffer vectors per label")
+    val fold = Similarity.labelCentroidsFold(spark, dir)
+      .withColumnRenamed("c", "c_fold")
+    val joined = fix.join(fold, Seq("label", "dim", "n")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val d = math.abs(r.getAs[Double]("c") - r.getAs[Double]("c_fold"))
+      assert(d <= 1e-4, s"centroid drift $d at $r")
+    }
+  }
+
   test("exact dedup finds no duplicates in the synthetic corpus") {
     assert(Dedup.exact(spark, dir).filter(col("n_dups") > 1).count() == 0)
   }
