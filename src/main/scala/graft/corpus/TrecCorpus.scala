@@ -81,8 +81,11 @@ object TrecCorpus {
       .collect()
     val offsets = counts.scanLeft(0L)(_ + _)
     val bc = spark.sparkContext.broadcast(offsets)
-    sorted.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+    // partition id must be the RDD partition index, NOT
+    // TaskContext.getPartitionId(): under a downstream coalesce() the
+    // task id is the COALESCED partition's, which would restart every
+    // merged range-partition at the same offset (duplicate docnos)
+    sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       var n = bc.value(pid)
       it.map { d => n += 1; (d, n) }
     }.toDF("docid", "docno")

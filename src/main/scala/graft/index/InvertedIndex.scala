@@ -54,6 +54,7 @@ object InvertedIndex {
     * materialization (the reference needed three chained MR jobs). */
   def build(spark: SparkSession, corpus: DataFrame, k: Int = 1): Index = {
     TextPipeline.register(spark)
+    val nDocs = corpus.count()
     // every index artifact is a serving artifact: un-persisted, each
     // search would re-run the corpus scan + numbering (docMap) and the
     // stats aggregation (termStats) — ~400ms of recompute per lookup.
@@ -62,7 +63,15 @@ object InvertedIndex {
     // window form (docnoMapping, kept as the documented reference)
     // would funnel it through one task (r3 bench logs were full of
     // "WindowExec: No Partition Defined" from exactly this).
+    // Cache partitioning is sized to the corpus (~1M entries per
+    // partition, capped at the session default): a small corpus serves
+    // docid lookups from one task instead of a fan of empty ones,
+    // while a 100 TB doc_map stays wide.
+    val mapParts = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      nDocs / 1000000L + 1)).toInt
     val docMap = TrecCorpus.docnoMappingScalable(spark, corpus)
+      .coalesce(mapParts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val toks = corpus
       .join(broadcast(docMap), "docid")
@@ -85,7 +94,7 @@ object InvertedIndex {
     val termStats = postings.groupBy(col("kgram"))
       .agg(count(lit(1)).as("df"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Index(postings, termStats, docMap, corpus.count())
+    Index(postings, termStats, docMap, nDocs)
   }
 
   /** Nested presentation form matching the reference's R3 record shape:

@@ -39,12 +39,27 @@ object QueryEngine {
 
   /** tf-idf top-k: score(doc) = Σ_t (1+ln tf) * log10(N/df). */
   def search(ix: Index, query: String, topK: Int = 10,
-             bugCompat: Boolean = false): DataFrame = {
-    val terms = requireArity(query)
+             bugCompat: Boolean = false): DataFrame =
+    rank(ix, requireArity(query), topK, bugCompat, serve = false)
+
+  /** Latency-shaped serving variant of [[search]] — identical results,
+    * point-query plan: the ≤2 filtered postings lists are coalesced
+    * into ONE task, so score + top-k run as a single narrow stage with
+    * no exchange (SinglePartition satisfies the aggregation's
+    * distribution), and only the tiny docid-resolution join follows.
+    * A serving node funnelling one query's postings through one task
+    * is the standard trade; [[search]] keeps the fully parallel shape
+    * for analytic (hot-term / batch) use. */
+  def serveSearch(ix: Index, query: String, topK: Int = 10,
+                  bugCompat: Boolean = false): DataFrame =
+    rank(ix, requireArity(query), topK, bugCompat, serve = true)
+
+  private def rank(ix: Index, terms: Seq[String], topK: Int,
+                   bugCompat: Boolean, serve: Boolean): DataFrame = {
     if (terms.isEmpty) return ix.docMap.sparkSession.emptyDataFrame
       .select(lit(0L).as("docno"), lit("").as("docid"), lit(0.0).as("score"))
       .limit(0)
-    val hits = ix.postings.filter(col("kgram").isin(terms: _*))
+    val hits0 = ix.postings.filter(col("kgram").isin(terms: _*))
     val idf =
       if (bugCompat)
         // df stays 1 on the shipped path (SURVEY §2.10-Q1) and the
@@ -52,26 +67,48 @@ object QueryEngine {
         log10(floor(lit(ix.nDocs.toDouble)))
       else
         log10(lit(ix.nDocs.toDouble) / col("df").cast("double"))
-    val scored = hits
-      .join(broadcast(ix.termStats), "kgram")
+    val scoreInput =
+      if (serve) {
+        // single task: df (= postings-list length) is a window count
+        // over the already-coalesced hits — no stats broadcast, no
+        // extra job; the "window over one partition" is exactly the
+        // point here (a serving node scoring one query's postings)
+        import org.apache.spark.sql.expressions.Window
+        hits0.coalesce(1)
+          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("kgram"))))
+      } else {
+        // per-term df: filter the stats down to the query's terms
+        // BEFORE broadcasting — query-bounded at any corpus size
+        val stats = ix.termStats.filter(col("kgram").isin(terms: _*))
+        hits0.join(broadcast(stats), "kgram")
+      }
+    val top = scoreInput
       .groupBy(col("docno"))
-      .agg(sum((lit(1.0) + log(col("tf"))) * idf).as("score"))
-    scored
-      .join(broadcast(ix.docMap), "docno")
-      .select(col("docno"), col("docid"), round(col("score"), 4).as("score"))
+      .agg(sum((lit(1.0) + log(col("tf"))) * idf).as("score0"))
+      .select(col("docno"), round(col("score0"), 4).as("score"))
       .orderBy(col("score").desc, col("docno"))
       .limit(topK)
+    // docMap is CORPUS-sized: broadcast the ≤topK ranked rows into it,
+    // never the map itself (the r3 plan broadcast the whole docMap)
+    val resolved = ix.docMap.join(broadcast(top), "docno")
+      .select(col("docno"), col("docid"), col("score"))
+    if (serve)
+      // ≤topK rows: sort inside one task instead of a range exchange
+      resolved.coalesce(1).sortWithinPartitions(col("score").desc, col("docno"))
+    else
+      resolved.orderBy(col("score").desc, col("docno"))
   }
 
-  /** Expand a single-`*` wildcard pattern (e.g. `re*ve`) to matching
-    * vocabulary terms via the char-k-gram index: grams of the anchored
-    * pattern segments → intersect term lists → verify with LIKE.
-    * This is the lookup path R4 was built for (SURVEY §7.1 step 5). */
+  /** Expand a wildcard pattern with ANY number of `*`s (e.g. `re*ve`,
+    * `a*b*c`) to matching vocabulary terms via the char-k-gram index:
+    * grams of every $-anchored pattern segment → candidate must contain
+    * them all → verify with LIKE. This is the lookup path R4 was built
+    * for (SURVEY §7.1 step 5); segments shorter than k simply
+    * contribute no grams and are enforced by the LIKE verify alone. */
   def wildcardTerms(chargrams: DataFrame, pattern: String,
                     k: Int = 3): DataFrame = {
-    require(pattern.count(_ == '*') == 1, "exactly one * supported")
-    val Array(pre, post) = pattern.split("\\*", -1)
-    val padded = s"$$$pre*$post$$"
+    require(pattern.contains("*"), "pattern needs at least one *")
+    val padded = s"$$$pattern$$"
     val segGrams = padded.split("\\*", -1).toSeq
       .flatMap(seg => (0 to seg.length - k).map(i => seg.substring(i, i + k)))
       .distinct
@@ -95,25 +132,31 @@ object QueryEngine {
   }
 
   /** Wildcard search: expand the pattern, then disjunctive tf-idf over
-    * the expansion (collected: expansions are vocabulary-bounded and
-    * the reference's query client is likewise term-at-a-time). */
+    * the expansion — fully DISTRIBUTED: the expansion never touches the
+    * driver (the r3 form collected it). The expansion is re-analyzed
+    * with the indexing pipeline (char-gram index holds raw surface
+    * forms; postings are stemmed) via the registered `graft_tokenize`,
+    * then joined to postings/stats as vocabulary-bounded broadcasts. */
   def wildcardSearch(ix: Index, chargrams: DataFrame, pattern: String,
                      topK: Int = 10): DataFrame = {
-    // expansion yields surface forms (char-gram index is over raw
-    // tokens); the postings are stemmed → analyze each expansion with
-    // the same pipeline before lookup
-    val terms = wildcardTerms(chargrams, pattern)
-      .collect().map(_.getString(0)).toSeq
-      .flatMap(TextPipeline.processContent).distinct
-    val hits = ix.postings.filter(col("kgram").isin(terms: _*))
-    hits.join(broadcast(ix.termStats), "kgram")
+    val spark = ix.docMap.sparkSession
+    TextPipeline.register(spark)
+    val expanded = wildcardTerms(chargrams, pattern)
+      .select(explode(expr("graft_tokenize(term)")).as("kgram"))
+      .distinct()
+    // expansion-bounded (vocabulary subset) sides: broadcast them into
+    // the corpus-sized postings, never the other way around
+    val hits = ix.postings.join(broadcast(expanded), "kgram")
+    val stats = ix.termStats.join(broadcast(expanded), "kgram")
+    val top = hits.join(broadcast(stats), "kgram")
       .groupBy(col("docno"))
       .agg(round(sum((lit(1.0) + log(col("tf"))) *
         log10(lit(ix.nDocs.toDouble) / col("df").cast("double"))), 4)
         .as("score"))
-      .join(broadcast(ix.docMap), "docno")
-      .select(col("docno"), col("docid"), col("score"))
       .orderBy(col("score").desc, col("docno"))
       .limit(topK)
+    ix.docMap.join(broadcast(top), "docno")
+      .select(col("docno"), col("docid"), col("score"))
+      .orderBy(col("score").desc, col("docno"))
   }
 }

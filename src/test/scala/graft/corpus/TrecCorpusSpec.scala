@@ -45,4 +45,14 @@ class TrecCorpusSpec extends SparkSpec {
     val b = TrecCorpus.docnoMappingScalable(spark, corpus, partitions = 3)
     assert(a.except(b).count() == 0 && b.except(a).count() == 0)
   }
+
+  test("scalable docno mapping survives a downstream coalesce") {
+    // regression: numbering once keyed off TaskContext.getPartitionId,
+    // which a coalesce() rewrites — every merged range partition then
+    // restarted at the same offset (duplicate docnos)
+    val a = TrecCorpus.docnoMapping(corpus)
+    val b = TrecCorpus.docnoMappingScalable(spark, corpus, partitions = 3)
+      .coalesce(1)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
 }

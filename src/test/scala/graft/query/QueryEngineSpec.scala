@@ -58,4 +58,60 @@ class QueryEngineSpec extends SparkSpec {
     val top = QueryEngine.wildcardSearch(ix, chargrams, "re*ve").collect()
     assert(top.head.getAs[String]("docid") == "FT911-0013")
   }
+
+  test("multi-* patterns expand through every anchored segment") {
+    // r*so*ve: grams of "$r", "so", "ve$" — only 'resolve' survives;
+    // segments shorter than k contribute nothing and LIKE still verifies
+    val terms = QueryEngine.wildcardTerms(chargrams, "r*so*ve")
+      .collect().map(_.getString(0)).toSeq
+    assert(terms == Seq("resolve"))
+    // leading-* pattern: suffix anchor only
+    val tail = QueryEngine.wildcardTerms(chargrams, "*olve")
+      .collect().map(_.getString(0)).toSeq
+    assert(tail == Seq("resolve", "revolve"))
+  }
+
+  test("serve-path search returns exactly the analytic plan's results") {
+    val a = QueryEngine.search(ix, "merge stream").collect().toSeq
+    val s = QueryEngine.serveSearch(ix, "merge stream").collect().toSeq
+    assert(a == s)
+  }
+
+  test("neither search nor wildcardSearch broadcasts the corpus-sized doc map") {
+    // the docMap (the only relation producing `docid`) must be the
+    // STREAMED side of its join; broadcast build sides may only carry
+    // the ranked top-k / expansion columns. Walk the ACTIVE physical
+    // tree (descending through AQE stages; InMemoryTableScan is a leaf,
+    // so cached build lineage is naturally excluded).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    Seq(
+      QueryEngine.search(ix, "merge"),
+      QueryEngine.wildcardSearch(ix, chargrams, "re*ve")).foreach { df =>
+      df.collect() // finalize any adaptive stages
+      val joins = flatten(df.queryExecution.executedPlan)
+        .collect { case j: BroadcastHashJoinExec => j }
+      assert(joins.nonEmpty)
+      joins.foreach { j =>
+        val build = j.buildSide match {
+          case BuildLeft => j.left
+          case BuildRight => j.right
+        }
+        assert(!build.output.map(_.name).contains("docid"),
+          s"docMap on the broadcast build side:\n$j")
+      }
+    }
+  }
 }
