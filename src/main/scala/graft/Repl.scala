@@ -1,0 +1,92 @@
+package graft
+
+import java.io.{BufferedReader, PrintStream}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.index.{CharKGramIndex, InvertedIndex}
+import graft.query.QueryEngine
+
+/** Interactive query client — the reference's headline UX
+  * (`IntDocVectorsForwardIndex.java:278-321`: read line → arity check →
+  * analyze → rank → print), re-expressed over the Spark engine:
+  *
+  *  - 1–2 word queries rank through the latency-shaped
+  *    [[QueryEngine.serveSearch]] (top-10 `docid score` lines);
+  *  - patterns containing `*` route through the char-k-gram
+  *    [[QueryEngine.wildcardSearch]] (an extension the reference
+  *    lacks);
+  *  - an empty line terminates; a >2-word query terminates too, as the
+  *    reference's loop does (`:298` breaks instead of re-prompting).
+  *
+  * Run: `sbt "runMain graft.Repl <sfDir-or-indexDir>"` — a directory
+  * with a written index (`InvertedIndex.write` layout) is loaded as-is
+  * (wildcards unavailable: the char-gram index is corpus-derived); an
+  * sf directory with `documents.parquet` builds both indexes first.
+  */
+object Repl {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "false") // point-query session
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (ix, chargrams) =
+      if (java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(dir, "postings"))) {
+        (InvertedIndex.load(spark, dir), None)
+      } else {
+        val corpus = graft.queries.IrEngine.corpus(spark, dir)
+        (InvertedIndex.build(spark, corpus, k = 1),
+          Some(CharKGramIndex.build(spark, corpus, k = 3)))
+      }
+    // warm the serving caches so the first query isn't a cold build
+    ix.postings.count(); ix.termStats.count(); ix.docMap.count()
+    chargrams.foreach(_.count())
+    loop(ix, chargrams,
+      new BufferedReader(new java.io.InputStreamReader(System.in)),
+      System.out)
+    spark.stop()
+  }
+
+  /** The interaction loop, parameterized over streams for spec-ability. */
+  def loop(ix: InvertedIndex.Index, chargrams: Option[DataFrame],
+           in: BufferedReader, out: PrintStream): Unit = {
+    out.println("graft search — 1-2 word query; '*' patterns for " +
+      "wildcards; empty line quits")
+    out.print("query > "); out.flush()
+    var line = in.readLine()
+    while (line != null) {
+      val q = line.trim
+      if (q.isEmpty) return
+      if (q.contains("*")) {
+        chargrams match {
+          case Some(cg) => print10(out, q,
+            QueryEngine.wildcardSearch(ix, cg, q).collect())
+          case None => out.println(
+            "wildcard search needs a corpus-built index (no char-gram index)")
+        }
+      } else {
+        if (q.split("\\s+").length > 2) {
+          // the reference's loop terminates on an over-long query
+          out.println("query must be 1-2 words — bye")
+          return
+        }
+        print10(out, q, QueryEngine.serveSearch(ix, q).collect())
+      }
+      out.print("query > "); out.flush()
+      line = in.readLine()
+    }
+  }
+
+  private def print10(out: PrintStream, q: String,
+                      rows: Array[org.apache.spark.sql.Row]): Unit =
+    if (rows.isEmpty) out.println(s"$q: No results ...")
+    else rows.foreach { r =>
+      out.println(f"${r.getAs[String]("docid")}%s ${r.getAs[Double]("score")}%.4f")
+    }
+}

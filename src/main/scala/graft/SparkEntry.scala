@@ -25,7 +25,9 @@ object SparkEntry {
     "q02_docid_extract" -> (IrSql.q02DocidExtract _),
     "q02_trectext_fields" -> (IrSql.q02TrecTextFields _),
     "q02_urlscrub" -> (IrSql.q02UrlScrub _),
+    "q02_trecweb_meta" -> (IrSql.q02TrecWebMeta _),
     "q09_wildcard" -> ((s: SparkSession, d: String) => IrSql.q09Wildcard(s, d)),
+    "q09_wildcard_multi" -> (IrSql.q09WildcardMulti _),
     "q03_docno_assign" -> (IrSql.q03DocnoAssign _),
     "q04_tokenize" -> (IrSql.q04Tokenize _),
     "q05_term_tf" -> (IrSql.q05TermTf _),
@@ -133,6 +135,38 @@ object SparkEntry {
          SELECT term FROM grams WHERE gram IN ('$st', 'am$')
          GROUP BY term
          HAVING count(*) = 2 AND term LIKE 'st%am'
+         ORDER BY term""",
+
+    // reference scrub steps in lockstep: drop one trailing '#', lower,
+    // ':80/'->'/', drop trailing ':80', strip trailing slashes; body =
+    // 'body ' || text || '\n' (6 extra chars)
+    "q02_trecweb_meta" ->
+      """SELECT doc_id, 'WEB-' || doc_id AS web_docid,
+                regexp_replace(
+                  CASE WHEN u LIKE '%:80' THEN replace(u, ':80', '') ELSE u END,
+                  '/+$', '') AS url,
+                CAST(length(text) + 6 AS BIGINT) AS n_body
+         FROM (SELECT doc_id, text,
+                      replace(lower(regexp_replace(
+                        'HTTP://Example' || doc_id || '.COM:80/p/' || source || '/#',
+                        '#$', '')), ':80/', '/') AS u
+               FROM documents)
+         ORDER BY doc_id""",
+
+    // multi-* pattern str*ea*m: grams only from the >=3-char anchored
+    // segment ("$str" -> $st, str); short segments enforced by LIKE
+    "q09_wildcard_multi" ->
+      """WITH terms AS (
+           SELECT DISTINCT term FROM (
+             SELECT unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS term
+             FROM documents)
+           WHERE term <> ''),
+         grams AS (
+           SELECT DISTINCT substring('$' || term || '$', CAST(i AS INT), 3) AS gram, term
+           FROM (SELECT term, unnest(range(1, CAST(len(term) AS BIGINT) + 1)) AS i FROM terms))
+         SELECT term FROM grams WHERE gram IN ('$st', 'str')
+         GROUP BY term
+         HAVING count(*) = 2 AND term LIKE 'str%ea%m'
          ORDER BY term""",
 
     "q03_docno_assign" ->
@@ -438,6 +472,25 @@ object SparkEntry {
                 CAST(length('<DOC> <DOCNO> FT-' || doc_id || ' </DOCNO> <TEXT> ' ||
                             text || ' </TEXT> </DOC>') AS BIGINT) AS n_chars
          FROM documents ORDER BY docid""",
+
+    // the engine recovers (w, h) by PARSING real PNG bytes; the oracle
+    // reconstructs them from the dimension formula (dimsFor) and
+    // mirrors the resize arithmetic (48/maxSide scale, ceil)
+    "q28_multimodal" ->
+      """WITH d AS (SELECT 'img/' || source AS kind,
+                           16 + doc_id % 64 AS w,
+                           16 + (doc_id * 7) % 48 AS h
+                    FROM documents),
+              r AS (SELECT kind, w, h,
+                           least(1.0, 48 / CAST(greatest(w, h) AS DOUBLE)) AS scale
+                    FROM d)
+         SELECT kind, count(*) AS n,
+                CAST(max(w) AS BIGINT) AS max_w,
+                CAST(max(h) AS BIGINT) AS max_h,
+                CAST(max(ceil(w * scale)) AS BIGINT) AS max_out_w,
+                CAST(max(ceil(h * scale)) AS BIGINT) AS max_out_h,
+                CAST(sum(w * h) AS BIGINT) AS sum_px
+         FROM r GROUP BY kind ORDER BY kind""",
 
     // events.ts is ns-precision: epoch_ns(ts) == Spark's ts_ns exactly
     "q30_asof" ->

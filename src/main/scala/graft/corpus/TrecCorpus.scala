@@ -1,6 +1,6 @@
 package graft.corpus
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** TREC corpus ingestion (SURVEY.md §2.1).
@@ -29,6 +29,44 @@ object TrecCorpus {
         trim(regexp_extract(col("value"), "<DOCNO>(.*?)</DOCNO>", 1))
           .as("docid"),
         col("value").as("content"))
+
+  /** The reference's URL scrub (`TrecWebParser.java:37-53`,
+    * `scrubUrl`) as column expressions, step for step: drop ONE
+    * trailing `#`, lowercase, `:80/` → `/` (all occurrences), drop a
+    * trailing `:80` (Java replace-all when it ends with it), strip all
+    * trailing slashes. */
+  def scrubUrl(url: Column): Column = {
+    val lowered = lower(regexp_replace(url, "#$", ""))
+    val noPort0 = regexp_replace(lowered, ":80/", "/")
+    val noPort = when(noPort0.endsWith(":80"),
+      regexp_replace(noPort0, ":80", "")).otherwise(noPort0)
+    regexp_replace(noPort, "/+$", "")
+  }
+
+  /** TREC-web per-block projection (`TrecWebParser.java:65-96`):
+    * docid from `<DOCNO>`, url = first token of the line after the
+    * `<DOCHDR>` line (scrubbed), content = everything after the
+    * `</DOCHDR>` line, and the reference's metadata map
+    * (`url` → scrubbed url, `identifier` → docid) as a
+    * `MAP<STRING,STRING>` column. */
+  def webFields(raw: Column): Column = {
+    val docid = trim(regexp_extract(raw, "<DOCNO>(.*?)</DOCNO>", 1))
+    val urlLine = regexp_extract(raw, "(?s)<DOCHDR>[^\n]*\n([^\n]*)", 1)
+    val url = scrubUrl(regexp_extract(urlLine, "^([^ ]*)", 1))
+    val content = regexp_extract(raw, "(?s)</DOCHDR>[^\n]*\n(.*)", 1)
+    struct(docid.as("docid"), url.as("url"), content.as("content"),
+      map(lit("url"), url, lit("identifier"), docid).as("metadata"))
+  }
+
+  /** Read a TREC-WEB corpus: one row per `<DOC>` block with the parsed
+    * web fields + metadata map (SURVEY §1.3 maps the reference's
+    * `Document.metadata` to a `MapType` column). */
+  def readWeb(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("lineSep", "</DOC>").text(path)
+      .filter(col("value").contains("<DOCNO>"))
+      .select(webFields(col("value")).as("w"))
+      .select(col("w.docid").as("docid"), col("w.url").as("url"),
+        col("w.content").as("content"), col("w.metadata").as("metadata"))
 
   /** Dense docno assignment 1..N in sorted-docid order (the reference's
     * single-reducer `NumberTrecDocuments` — SURVEY §2.4 "sequential

@@ -10,12 +10,53 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing is real — schema, encoders, partition-wise
   * batched iteration (the shape a vectorized decoder needs: reuse one
   * decoder instance per partition, process fixed-size batches), narrow
-  * pipelines with no shuffle until an explicit aggregate. The actual
-  * byte decoding is a STUB (`FakeCodec`): this container has no image/
-  * audio libraries, so the codec is a deterministic fake keyed on the
-  * payload bytes. Swapping in a real codec changes only `FakeCodec`.
-  */
+  * pipelines with no shuffle until an explicit aggregate. IMAGE decode
+  * is real too: payloads are genuine PNG bytes
+  * (`javax.imageio` — pure-JDK codec) and [[decode]] parses them.
+  * Formats without a JDK codec (audio/video) still go through the
+  * declared deterministic stub (`FakeCodec`); swapping in a native
+  * binding changes only that object. */
 object Multimodal {
+
+  /** Real PNG codec on the JDK's `javax.imageio` — no external
+    * libraries. Dimensions are a deterministic function of the media id
+    * ([[dimsFor]]) so an oracle can reconstruct them relationally while
+    * the engine must actually parse the bytes to recover them. */
+  object PngCodec {
+    import java.awt.image.BufferedImage
+
+    def dimsFor(id: Long): (Int, Int) =
+      ((16 + java.lang.Math.floorMod(id, 64L)).toInt,
+        (16 + java.lang.Math.floorMod(id * 7L, 48L)).toInt)
+
+    def encode(w: Int, h: Int, seed: Long): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (x * 31 + y * 17 + seed).toInt & 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream(1 << 12)
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    def decodeDims(payload: Array[Byte]): (Int, Int) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      (img.getWidth, img.getHeight)
+    }
+
+    /** PNG signature check (89 50 4E 47): routes real images to the
+      * real decoder, everything else to the stub. */
+    def isPng(payload: Array[Byte]): Boolean =
+      payload.length >= 4 && (payload(0) & 0xff) == 0x89 &&
+        payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G'
+  }
 
   case class Media(media_id: Long, kind: String, payload: Array[Byte])
   case class Decoded(media_id: Long, kind: String, width: Int, height: Int,
@@ -27,8 +68,9 @@ object Multimodal {
     * amortizes setup across a batch (GPU/SIMD decode at scale). */
   val DecodeBatch = 64
 
-  /** STUB codec: deterministic pseudo-decode keyed on payload bytes.
-    * Replace with a real image/audio library binding in production. */
+  /** STUB codec for formats without a JDK decoder (audio/video):
+    * deterministic pseudo-decode keyed on payload bytes. Replace with
+    * a native library binding in production. */
   private[multimodal] object FakeCodec {
     def dims(payload: Array[Byte]): (Int, Int) = {
       var h = 1125899906842597L
@@ -53,19 +95,26 @@ object Multimodal {
     }
   }
 
-  /** Synthesize a media table from the documents table (payload = UTF-8
-    * text bytes — a deterministic stand-in for stored image bytes). */
+  /** Synthesize a media table from the documents table: payload = a
+    * REAL PNG (rendered + compressed per row via `javax.imageio`) whose
+    * dimensions derive from the media id. */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[Media] = {
     import spark.implicits._
+    val png = udf((id: Long) => {
+      val (w, h) = PngCodec.dimsFor(id)
+      PngCodec.encode(w, h, id)
+    })
     graft.Tables.load(spark, dir, "documents")
       .select(col("doc_id").as("media_id"),
         concat(lit("img/"), col("source")).as("kind"),
-        encode(col("text"), "UTF-8").as("payload"))
+        png(col("doc_id")).as("payload"))
       .as[Media]
   }
 
   /** Decode stage: one codec instance per partition, fixed-size batches
-    * through it — narrow (no shuffle), schema-typed output. */
+    * through it — narrow (no shuffle), schema-typed output. PNG
+    * payloads are REALLY parsed (`ImageIO.read`); other formats fall
+    * back to the declared stub. */
   def decode(media: Dataset[Media]): Dataset[Decoded] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
@@ -73,7 +122,9 @@ object Multimodal {
       // amortized across the partition — the reason for mapPartitions)
       it.grouped(DecodeBatch).flatMap { batch =>
         batch.map { m =>
-          val (w, h) = FakeCodec.dims(m.payload)
+          val (w, h) =
+            if (PngCodec.isPng(m.payload)) PngCodec.decodeDims(m.payload)
+            else FakeCodec.dims(m.payload)
           Decoded(m.media_id, m.kind, w, h, m.payload.length.toLong)
         }
       }

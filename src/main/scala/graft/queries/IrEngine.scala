@@ -131,16 +131,23 @@ object IrEngine {
       .orderBy("docid")
   }
 
-  /** Multimodal plumbing end-to-end: synthesize binary media, decode
-    * (stub codec), resize plan, per-kind stats. */
+  /** Multimodal end-to-end: synthesize REAL PNG payloads, decode them
+    * with the JDK codec (`ImageIO`), run the resize plan, and aggregate
+    * per-kind stats. Every output value derives from the decoded
+    * dimensions — which the engine must recover by actually parsing the
+    * PNG bytes, while the DuckDB oracle reconstructs them from the
+    * dimension formula relationally. */
   def q28Multimodal(spark: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.Multimodal
     val media = Multimodal.mediaFromDocuments(spark, dir)
-    Multimodal.resizePlan(Multimodal.decode(media))
+    Multimodal.resizePlan(Multimodal.decode(media), maxSide = 48)
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n"),
-        max(col("out_w")).as("max_w"), max(col("out_h")).as("max_h"),
-        sum(col("n_bytes")).as("total_bytes"))
+        max(col("width")).cast("long").as("max_w"),
+        max(col("height")).cast("long").as("max_h"),
+        max(col("out_w")).cast("long").as("max_out_w"),
+        max(col("out_h")).cast("long").as("max_out_h"),
+        sum(col("width").cast("long") * col("height")).as("sum_px"))
       .orderBy("kind")
   }
 }

@@ -181,6 +181,28 @@ object IrSql {
           "/+$", "").as("scrubbed"))
       .orderBy("doc_id")
 
+  /** Q2d: TREC-web metadata map (`TrecWebParser.java:65-96`):
+    * synthesize raw trec-web blocks (DOCHDR with a messy URL line —
+    * uppercase, `:80` port, trailing `/#`, junk after a space), parse
+    * with [[graft.corpus.TrecCorpus.webFields]], and surface the
+    * metadata MAP entries plus the body length as scalars the oracle
+    * can reconstruct relationally. */
+  def q02TrecWebMeta(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        concat(lit("<DOC>\n<DOCNO> WEB-"), col("doc_id"),
+          lit(" </DOCNO>\n<DOCHDR>\nHTTP://Example"), col("doc_id"),
+          lit(".COM:80/p/"), col("source"),
+          lit("/# trailing junk\n</DOCHDR>\nbody "), col("text"),
+          lit("\n")).as("value"))
+      .select(col("doc_id"),
+        graft.corpus.TrecCorpus.webFields(col("value")).as("w"))
+      .select(col("doc_id"),
+        element_at(col("w.metadata"), "identifier").as("web_docid"),
+        element_at(col("w.metadata"), "url").as("url"),
+        length(col("w.content")).cast("long").as("n_body"))
+      .orderBy("doc_id")
+
   /** Q9b: relational wildcard lookup — the capability the char-gram
     * index (R4) exists for: grams of the anchored pattern segments →
     * candidate terms containing every gram → LIKE verify. Pattern
@@ -188,8 +210,7 @@ object IrSql {
   def q09Wildcard(spark: SparkSession, dir: String,
                   pattern: String = "st*am"): DataFrame = {
     val k = 3
-    val Array(pre, post) = pattern.split("\\*", -1)
-    val segGrams = s"$$$pre*$post$$".split("\\*", -1).toSeq
+    val segGrams = s"$$$pattern$$".split("\\*", -1).toSeq
       .flatMap(s => (0 to s.length - k).map(i => s.substring(i, i + k)))
       .distinct
     q08CharGrams(spark, dir)
@@ -201,6 +222,13 @@ object IrSql {
       .select(col("term"))
       .orderBy("term")
   }
+
+  /** Q9c: MULTI-`*` wildcard lookup (`str*ea*m`) — three anchored
+    * segments; segments shorter than k contribute no grams and are
+    * enforced by the LIKE verify alone. Same gram-intersection plan as
+    * [[q09Wildcard]]. */
+  def q09WildcardMulti(spark: SparkSession, dir: String): DataFrame =
+    q09Wildcard(spark, dir, pattern = "str*ea*m")
 
   /** Default demo query terms — present in the synthetic vocabulary. */
   val DefaultQueryTerms: Seq[String] = Seq("merge", "stream")

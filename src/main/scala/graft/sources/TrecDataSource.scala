@@ -57,7 +57,21 @@ class TrecDataSource extends TableProvider with DataSourceRegister {
 object TrecDataSource {
   val Schema: StructType = StructType(Seq(
     StructField("docid", StringType),
-    StructField("content", StringType)))
+    StructField("content", StringType),
+    StructField("metadata", MapType(StringType, StringType))))
+
+  /** Reference URL scrub (`TrecWebParser.java:37-53`), JVM form for the
+    * reader path; the relational twin is
+    * [[graft.corpus.TrecCorpus.scrubUrl]] (spec-pinned to agree). */
+  private[sources] def scrubUrl(u0: String): String = {
+    var url = u0
+    if (url.nonEmpty && url.last == '#') url = url.dropRight(1)
+    url = url.toLowerCase(java.util.Locale.ROOT)
+    url = url.replace(":80/", "/")
+    if (url.endsWith(":80")) url = url.replace(":80", "")
+    while (url.nonEmpty && url.last == '/') url = url.dropRight(1)
+    url
+  }
 
   val DefaultSplitSize: Long = 128L * 1024 * 1024
 
@@ -146,6 +160,7 @@ private[sources] class TrecPartitionReader(part: TrecInputPartition,
 
   private val wantDocid = required.fieldNames.contains("docid")
   private val wantContent = required.fieldNames.contains("content")
+  private val wantMetadata = required.fieldNames.contains("metadata")
 
   private val in: java.io.InputStream = {
     val fs = new Path(part.path).getFileSystem(new Configuration())
@@ -232,7 +247,7 @@ private[sources] class TrecPartitionReader(part: TrecInputPartition,
     buf.write(DocOpen)
     if (!readUntil(DocClose, buf)) { done = true; return false }
     val content = new String(buf.toByteArray, "UTF-8")
-    val docid = if (wantDocid) {
+    val docid = if (wantDocid || wantMetadata) {
       val s = content.indexOf("<DOCNO>")
       val e = content.indexOf("</DOCNO>")
       if (s >= 0 && e > s) content.substring(s + 7, e).trim else null
@@ -241,9 +256,39 @@ private[sources] class TrecPartitionReader(part: TrecInputPartition,
       case "docid" => if (docid == null) null else UTF8String.fromString(docid)
       case "content" =>
         if (wantContent) UTF8String.fromString(content) else null
+      case "metadata" => if (wantMetadata) metadataMap(content, docid) else null
     }
     row = InternalRow.fromSeq(values.toIndexedSeq)
     true
+  }
+
+  /** The reference's per-doc metadata (`TrecWebParser.java:91-93`):
+    * `identifier` always; `url` (scrubbed first token of the line after
+    * `<DOCHDR>`) when the block carries a web header. Built only when
+    * the column survives pruning — a `select(docid)` pays nothing. */
+  private def metadataMap(content: String, docid: String) = {
+    import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+    val keys = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+    if (docid != null) {
+      keys += UTF8String.fromString("identifier")
+      vals += UTF8String.fromString(docid)
+    }
+    val h = content.indexOf("<DOCHDR>")
+    if (h >= 0) {
+      val nl = content.indexOf('\n', h)
+      if (nl >= 0) {
+        val end = content.indexOf('\n', nl + 1)
+        val line = if (end >= 0) content.substring(nl + 1, end)
+                   else content.substring(nl + 1)
+        val sp = line.indexOf(' ')
+        val raw = if (sp >= 0) line.substring(0, sp) else line
+        keys += UTF8String.fromString("url")
+        vals += UTF8String.fromString(TrecDataSource.scrubUrl(raw))
+      }
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys.toArray),
+      new GenericArrayData(vals.toArray))
   }
 
   override def get(): InternalRow = row

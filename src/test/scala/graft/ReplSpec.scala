@@ -1,0 +1,55 @@
+package graft
+
+import java.io.{BufferedReader, ByteArrayOutputStream, PrintStream, StringReader}
+
+import graft.corpus.TrecCorpus
+import graft.index.{CharKGramIndex, InvertedIndex}
+
+/** Drives [[Repl.loop]] through piped input, asserting the reference
+  * client's interaction shape (greeting → prompt → ranked lines →
+  * terminate on empty / over-long queries) plus the wildcard route. */
+class ReplSpec extends SparkSpec {
+
+  lazy val corpus = TrecCorpus.read(spark, resourcePath("/graft/sample-trec.xml"))
+  lazy val ix = InvertedIndex.build(spark, corpus, k = 1)
+  lazy val chargrams = CharKGramIndex.build(spark, corpus, k = 3)
+
+  private def run(input: String, withWildcards: Boolean = true): String = {
+    val out = new ByteArrayOutputStream()
+    Repl.loop(ix, if (withWildcards) Some(chargrams) else None,
+      new BufferedReader(new StringReader(input)), new PrintStream(out, true))
+    out.toString("UTF-8")
+  }
+
+  test("ranked search prints docid score lines, empty line quits") {
+    val got = run("merge\n\n")
+    assert(got.contains("query > "))
+    // the first result rides the prompt line ("query > FT911-...")
+    assert(got.contains("FT911-0017 1."), s"top doc missing in:\n$got")
+    // 4 docs contain 'merg'
+    assert(got.linesIterator.count(_.matches(".*FT911-\\d+ \\d.*")) == 4)
+  }
+
+  test("wildcard queries route through the char-gram expansion") {
+    val got = run("re*ve\n\n")
+    assert(got.contains("FT911-0013 "),
+      s"wildcard fodder doc missing in:\n$got")
+  }
+
+  test("a 3-word query terminates the loop like the reference") {
+    val got = run("one two three\nmerge\n\n")
+    assert(got.contains("1-2 words"))
+    // the 'merge' line after it must never have been served
+    assert(!got.contains("FT911-0017"))
+  }
+
+  test("stopword-only and no-hit queries report no results") {
+    val got = run("the\n\n")
+    assert(got.contains("No results"))
+  }
+
+  test("wildcards degrade gracefully without a char-gram index") {
+    val got = run("re*ve\n\n", withWildcards = false)
+    assert(got.contains("needs a corpus-built index"))
+  }
+}

@@ -40,6 +40,31 @@ class TrecCorpusSpec extends SparkSpec {
     assert(packed.select("line_no").distinct().count() == 733)
   }
 
+  test("readWeb parses docid, scrubbed url, body, and the metadata map") {
+    val block =
+      """<DOC>
+        |<DOCNO> WEB-1 </DOCNO>
+        |<DOCHDR>
+        |HTTP://WWW.Foo.COM:80/A/B/# ignored after space
+        |Content-Type: text/html
+        |</DOCHDR>
+        |line one
+        |line two
+        |</DOC>
+        |""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graft_web")
+    java.nio.file.Files.write(dir.resolve("w.xml"), block.getBytes("UTF-8"))
+    val got = TrecCorpus.readWeb(spark, dir.toString).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[String]("docid") == "WEB-1")
+    // one trailing '#' dropped, lowered, :80 port gone, trailing / gone
+    assert(r.getAs[String]("url") == "http://www.foo.com/a/b")
+    assert(r.getAs[String]("content") == "line one\nline two\n")
+    assert(r.getAs[Map[String, String]]("metadata") ==
+      Map("url" -> "http://www.foo.com/a/b", "identifier" -> "WEB-1"))
+  }
+
   test("scalable docno mapping matches the windowed one") {
     val a = TrecCorpus.docnoMapping(corpus)
     val b = TrecCorpus.docnoMappingScalable(spark, corpus, partitions = 3)

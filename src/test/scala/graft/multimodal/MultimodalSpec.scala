@@ -22,6 +22,16 @@ class MultimodalSpec extends SparkSpec {
     assert(d1.forall(_.n_bytes > 0))
   }
 
+  test("PNG payloads are real: ImageIO round-trips the formula dimensions") {
+    val p = media.filter(col("media_id") === 3).head().payload
+    assert(Multimodal.PngCodec.isPng(p), "payload is not a PNG")
+    Multimodal.decode(media).orderBy("media_id").head(20).foreach { r =>
+      val (w, h) = Multimodal.PngCodec.dimsFor(r.media_id)
+      assert((r.width, r.height) == (w, h),
+        s"decoded dims disagree with the formula for ${r.media_id}")
+    }
+  }
+
   test("decode plan is narrow — no shuffle") {
     val plan = Multimodal.decode(media).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))

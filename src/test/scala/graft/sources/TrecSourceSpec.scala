@@ -78,6 +78,31 @@ class TrecSourceSpec extends SparkSpec {
     assert(got.toSeq === Seq("GZ-1", "GZ-2"))
   }
 
+  test("metadata column carries identifier + scrubbed url, and prunes away") {
+    val content = "<DOC>\n<DOCNO> W-9 </DOCNO>\n<DOCHDR>\n" +
+      "HTTP://Ex.COM:80/Y/# junk after space\nHeader: x\n</DOCHDR>\n" +
+      "body\n</DOC>\n"
+    val path = stage(content)
+    val m = spark.read.format("trec").load(path)
+      .select("metadata").collect().head.getAs[Map[String, String]](0)
+    assert(m == Map("identifier" -> "W-9", "url" -> "http://ex.com/y"))
+    // a docid-only projection prunes both content and metadata
+    val pruned = spark.read.format("trec").load(path).select("docid")
+    assert(pruned.queryExecution.executedPlan.schema.fieldNames.toSeq ==
+      Seq("docid"))
+  }
+
+  test("JVM and relational URL scrubs agree on the reference's edge cases") {
+    val urls = Seq(
+      "HTTP://A.COM:80/X/#", "http://a.com:80", "http://a.com/x///",
+      "HTTPS://B.ORG/Path", "http://c.net:80/:80/z", "#", "")
+    val jvm = urls.map(TrecDataSource.scrubUrl)
+    import spark.implicits._
+    val rel = graft.corpus.TrecCorpus.scrubUrl(col("u"))
+    val got = urls.toDF("u").select(rel.as("s")).collect().map(_.getString(0))
+    assert(got.toSeq == jvm)
+  }
+
   test("column pruning reaches the reader") {
     val path = stage(doc("PR-1", "only ids needed"))
     val scan = spark.read.format("trec").load(path).select("docid")
