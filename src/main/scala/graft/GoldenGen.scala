@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+
+/** Generates the committed golden parquet files for the faithful-IR
+  * queries whose semantics (tag tokenizer → Terrier stopwords → Porter2
+  * stem) are not SQL-expressible, so DuckDB cannot recompute them from
+  * the raw tables. The generator itself is proven by the conformance
+  * specs: 530 reference-generated tokenizer vectors
+  * (`TextPipelineSpec`) and 38k stemmer vectors (`PorterStemmerSpec`)
+  * pin the pipeline to the reference implementation, so its sf0.01
+  * output is a legitimate fixed oracle; the driver's DuckDB check then
+  * reads the golden with a plain parquet scan (`oracleSql`) and
+  * hash-compares as usual.
+  *
+  * Regenerate (only after an intentional pipeline change):
+  *   sbt "runMain graft.GoldenGen /root/testdata/sf0.01 /root/repo/golden"
+  */
+object GoldenGen {
+
+  /** The queries with committed goldens — keep in sync with the
+    * `golden/…` entries in [[SparkEntry.oracleSql]]. */
+  val Names: Seq[String] =
+    Seq("q26_ir_terms", "q26_ir_index", "q26_ir_search", "q26_ir_wildcard")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = if (args.length > 1) args(1) else "/root/repo/golden"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Files.createDirectories(Paths.get(outDir))
+    Names.foreach { name =>
+      val tmp = Files.createTempDirectory(s"golden_$name")
+      SparkEntry.queries(name)(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.getFileName.toString
+        .matches("part-.*\\.parquet")).findFirst().get()
+      Files.move(part, Paths.get(outDir, s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      println(s"[golden] wrote $outDir/$name.parquet")
+    }
+    spark.stop()
+  }
+}

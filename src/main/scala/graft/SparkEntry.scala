@@ -466,6 +466,20 @@ object SparkEntry {
                 count(*) AS n_events, round(sum(value), 4) AS total_value
          FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""",
 
+    // Faithful-IR queries: the tokenize→stop→stem pipeline is not
+    // SQL-expressible, so the oracle is a committed GOLDEN parquet
+    // (generated by graft.GoldenGen at the driver's verify SF from the
+    // spec-pinned pipeline — 530 tokenizer + 38k stemmer reference
+    // vectors prove the generator). DuckDB reads it as a plain scan.
+    "q26_ir_terms" ->
+      """SELECT * FROM '/root/repo/golden/q26_ir_terms.parquet'""",
+    "q26_ir_index" ->
+      """SELECT * FROM '/root/repo/golden/q26_ir_index.parquet'""",
+    "q26_ir_search" ->
+      """SELECT * FROM '/root/repo/golden/q26_ir_search.parquet'""",
+    "q26_ir_wildcard" ->
+      """SELECT * FROM '/root/repo/golden/q26_ir_wildcard.parquet'""",
+
     // the staged TREC file is rebuilt relationally: docid + block length
     "q31_trec_source" ->
       """SELECT 'FT-' || doc_id AS docid,
