@@ -8,6 +8,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // the bench session executes ~270 queries (warmup + 3×67): cap
+      // the status-store retention so accumulated execution/stage
+      // bookkeeping doesn't become GC pressure that distorts
+      // late-sequence timings (observed 3-10× drift vs a short session
+      // on an unchanged plan)
+      .config("spark.sql.ui.retainedExecutions", "20")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: parquet footers/file listing + first-codegen JIT, so the

@@ -26,6 +26,7 @@ object SparkEntry {
     "q02_trectext_fields" -> (IrSql.q02TrecTextFields _),
     "q02_urlscrub" -> (IrSql.q02UrlScrub _),
     "q02_trecweb_meta" -> (IrSql.q02TrecWebMeta _),
+    "q02_trectext_full" -> (IrSql.q02TrecTextFull _),
     "q09_wildcard" -> ((s: SparkSession, d: String) => IrSql.q09Wildcard(s, d)),
     "q09_wildcard_multi" -> (IrSql.q09WildcardMulti _),
     "q03_docno_assign" -> (IrSql.q03DocnoAssign _),
@@ -136,6 +137,16 @@ object SparkEntry {
          GROUP BY term
          HAVING count(*) = 2 AND term LIKE 'st%am'
          ORDER BY term""",
+
+    // kept = whole lines of whitelisted sections INCLUDING tag lines,
+    // '\n'-terminated; <IGNORED> dropped; nested <INNER> line survives
+    "q02_trectext_full" ->
+      """SELECT doc_id, 'TT-' || doc_id AS docid,
+                '<HEADLINE>' || chr(10) || 'h ' || doc_id || chr(10) ||
+                '</HEADLINE>' || chr(10) ||
+                '<TEXT>' || chr(10) || text || chr(10) ||
+                '<INNER>kept</INNER>' || chr(10) || '</TEXT>' || chr(10) AS kept
+         FROM documents ORDER BY doc_id""",
 
     // reference scrub steps in lockstep: drop one trailing '#', lower,
     // ':80/'->'/', drop trailing ':80', strip trailing slashes; body =

@@ -68,6 +68,71 @@ object TrecCorpus {
       .select(col("w.docid").as("docid"), col("w.url").as("url"),
         col("w.content").as("content"), col("w.metadata").as("metadata"))
 
+  /** The 10 whitelisted TREC-text section start tags, in the
+    * reference's order (`TrecTextParser.java:58-63`). */
+  val TrecTextStartTags: Seq[String] = Seq(
+    "<TEXT>", "<HEADLINE>", "<TITLE>", "<HL>", "<HEAD>",
+    "<TTL>", "<DD>", "<DATE>", "<LP>", "<LEADPARA>")
+
+  /** Faithful LINE-oriented TREC-text section parser
+    * (`TrecTextParser.java:49-94`) over one raw `<DOC>` block,
+    * reproducing the reference's exact quirks:
+    *  - kept content is whole LINES of the 10 whitelisted sections,
+    *    INCLUDING the start/end tag lines, each re-terminated with \n;
+    *  - an end tag only closes its section when it STARTS a line — a
+    *    same-line `<DATE>…</DATE>` leaves the section open;
+    *  - tag lines inside an open section that don't close it are kept
+    *    (nested tags survive);
+    *  - the docno may span lines (accumulated until `</DOCNO>`).
+    * Returns (docid, kept) or None for a block with no parsable docno. */
+  def parseTrecText(block: String): Option[(String, String)] = {
+    val it = block.split("\n", -1).iterator
+    if (!it.exists(_.startsWith("<DOC>"))) return None
+    var all = it.find(_.startsWith("<DOCNO>")).getOrElse(return None)
+    while (!all.contains("</DOCNO>") && it.hasNext) all += it.next()
+    val s = all.indexOf("<DOCNO>") + 7
+    val e = all.indexOf("</DOCNO>")
+    if (e < s) return None
+    val docid = all.substring(s, e).trim
+    val endTags = TrecTextStartTags.map(t => "</" + t.substring(1))
+    val buf = new StringBuilder
+    var inTag = -1
+    var done = false
+    while (!done && it.hasNext) {
+      val line = it.next()
+      if (line.startsWith("</DOC>")) done = true
+      else {
+        if (line.startsWith("<")) {
+          if (inTag >= 0 && line.startsWith(endTags(inTag))) {
+            inTag = -1
+            buf.append(line).append('\n')
+          } else if (inTag < 0) {
+            inTag = TrecTextStartTags.indexWhere(line.startsWith)
+          }
+        }
+        if (inTag >= 0) buf.append(line).append('\n')
+      }
+    }
+    Some((docid, buf.toString))
+  }
+
+  /** [[parseTrecText]] as a UDF column: struct(docid, kept). */
+  val parseTrecTextUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((block: String) => parseTrecText(block))
+
+  /** Read a TREC-TEXT corpus through the faithful section parser:
+    * (docid, kept) — kept is the whitelisted-section content the
+    * reference indexes. */
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("lineSep", "</DOC>").text(path)
+      .filter(col("value").contains("<DOCNO>"))
+      // the lineSep split strips the closing tag; the parser's </DOC>
+      // stop condition needs it back
+      .select(parseTrecTextUdf(concat(col("value"), lit("\n</DOC>")))
+        .as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("p._1").as("docid"), col("p._2").as("kept"))
+
   /** Dense docno assignment 1..N in sorted-docid order (the reference's
     * single-reducer `NumberTrecDocuments` — SURVEY §2.4 "sequential
     * numbering"). `row_number` over one window partition is the same

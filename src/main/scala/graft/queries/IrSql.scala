@@ -181,6 +181,25 @@ object IrSql {
           "/+$", "").as("scrubbed"))
       .orderBy("doc_id")
 
+  /** Q2e: FULL multi-section TREC-text parse
+    * (`TrecTextParser.java:49-94`): synthesize real multi-section docs
+    * (headline + ignored section + text with a nested tag line) and run
+    * the faithful line-oriented parser — whole kept lines including tag
+    * lines, unlisted sections dropped, nested tags surviving. The
+    * oracle reconstructs the kept buffer relationally. */
+  def q02TrecTextFull(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        graft.corpus.TrecCorpus.parseTrecTextUdf(concat(
+          lit("<DOC>\n<DOCNO> TT-"), col("doc_id"),
+          lit(" </DOCNO>\n<HEADLINE>\nh "), col("doc_id"),
+          lit("\n</HEADLINE>\n<IGNORED>\nzzz\n</IGNORED>\n<TEXT>\n"),
+          col("text"),
+          lit("\n<INNER>kept</INNER>\n</TEXT>\n</DOC>\n"))).as("p"))
+      .select(col("doc_id"), col("p._1").as("docid"),
+        col("p._2").as("kept"))
+      .orderBy("doc_id")
+
   /** Q2d: TREC-web metadata map (`TrecWebParser.java:65-96`):
     * synthesize raw trec-web blocks (DOCHDR with a messy URL line —
     * uppercase, `:80` port, trailing `/#`, junk after a space), parse

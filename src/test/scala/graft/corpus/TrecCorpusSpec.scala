@@ -40,6 +40,51 @@ class TrecCorpusSpec extends SparkSpec {
     assert(packed.select("line_no").distinct().count() == 733)
   }
 
+  test("TREC-text parser keeps whitelisted sections with the reference's quirks") {
+    val block =
+      """<DOC>
+        |<DOCNO> TT-7
+        | </DOCNO>
+        |<HEADLINE>
+        |big news
+        |</HEADLINE>
+        |<GARBAGE>
+        |dropped
+        |</GARBAGE>
+        |<TEXT>
+        |body line
+        |<NESTED>survives</NESTED>
+        |</TEXT>
+        |<DATE>2026-08-12</DATE>
+        |after same-line close
+        |</DOC>
+        |""".stripMargin
+    val Some((docid, kept)) = TrecCorpus.parseTrecText(block)
+    // docno spans lines and is trimmed
+    assert(docid == "TT-7")
+    // whole lines kept INCLUDING tag lines; GARBAGE dropped; the nested
+    // tag line inside TEXT survives
+    assert(kept.startsWith("<HEADLINE>\nbig news\n</HEADLINE>\n"))
+    assert(!kept.contains("dropped"))
+    assert(kept.contains("<TEXT>\nbody line\n<NESTED>survives</NESTED>\n</TEXT>\n"))
+    // reference quirk: a same-line <DATE>…</DATE> does NOT close the
+    // section (end tag must START a line), so trailing lines are kept
+    assert(kept.contains("<DATE>2026-08-12</DATE>\nafter same-line close\n"))
+  }
+
+  test("readText runs the section parser over a staged TREC-text file") {
+    val file =
+      "<DOC>\n<DOCNO> A-1 </DOCNO>\n<TITLE>\nt one\n</TITLE>\n</DOC>\n" +
+      "<DOC>\n<DOCNO> A-2 </DOCNO>\n<JUNK>\nx\n</JUNK>\n<TEXT>\nt two\n</TEXT>\n</DOC>\n"
+    val dir = java.nio.file.Files.createTempDirectory("graft_tt")
+    java.nio.file.Files.write(dir.resolve("t.xml"), file.getBytes("UTF-8"))
+    val got = TrecCorpus.readText(spark, dir.toString)
+      .orderBy("docid").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("A-1", "A-2"))
+    assert(got(0).getString(1) == "<TITLE>\nt one\n</TITLE>\n")
+    assert(got(1).getString(1) == "<TEXT>\nt two\n</TEXT>\n")
+  }
+
   test("readWeb parses docid, scrubbed url, body, and the metadata map") {
     val block =
       """<DOC>
