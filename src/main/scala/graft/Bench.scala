@@ -46,6 +46,11 @@ object Bench {
     // is visible
     val runsPer = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // settle the heap between queries: the accumulated garbage of a
+      // ~270-execution session otherwise lands as full-GC pauses inside
+      // whichever query happens to allocate next (observed 3-10×
+      // medians on unchanged plans, run-to-run totals 44s↔71s)
+      System.gc()
       val times = (1 to runsPer).flatMap { _ =>
         // isolate queries: persisted intermediates from one run must
         // not distort the next run's timing
@@ -77,6 +82,7 @@ object Bench {
     // neighbor noise (observed 3× swings on an unchanged build path).
     val corpus = graft.queries.IrEngine.corpus(spark, sfDir)
     val nDocs = corpus.count()
+    System.gc() // end-of-loop garbage otherwise lands in the build timing
     var ix: graft.index.InvertedIndex.Index = null
     val docsPerS = (1 to 2).map { _ =>
       spark.sharedState.cacheManager.clearCache()
@@ -97,6 +103,7 @@ object Bench {
       "table merge", "value row", "scan key")
     val lat = try {
       spark.conf.set(aqeKey, "false")
+      System.gc()
       graft.query.QueryEngine.serveSearch(ix, "warm up").count()
       queriesToServe.map { q =>
         val s0 = System.nanoTime()

@@ -84,6 +84,7 @@ object SparkEntry {
     "q28_multimodal" -> (IrEngine.q28Multimodal _),
     "q31_trec_source" -> (IrEngine.q31TrecSource _),
     "q29_streaming" -> (IrEngine.q29Streaming _),
+    "q29_sliding" -> (IrEngine.q29Sliding _),
     "q32_sessions" -> (IrEngine.q32Sessions _),
     // Temporal joins (as-of / range) — operators Spark lacks natively
     "q30_asof" -> (Temporal.q30AsOf _),
@@ -438,6 +439,15 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_sec, user_id,
                 count(*) AS n_events, round(sum(value), 4) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY w_sec, user_id""",
+
+    // sliding windows (1h every 30min): each event belongs to exactly
+    // two slide-aligned windows — slots floor(t/30min) and the one
+    // before it; µs arithmetic matches Spark's window() alignment
+    "q29_sliding" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 1800000000 AS slot FROM events),
+              w AS (SELECT user_id, unnest([slot, slot - 1]) AS wslot FROM e)
+         SELECT wslot * 1800 AS w_sec, user_id, count(*) AS n_events
+         FROM w GROUP BY 1, 2 ORDER BY w_sec, user_id""",
 
     "q23_higher_order" ->
       """SELECT vec_id,

@@ -103,6 +103,19 @@ object IrEngine {
       .orderBy("w_sec", "user_id")
   }
 
+  /** Sliding-window aggregation over events (batch form of the
+    * streaming `slidingCounts` transform — 1 h windows every 30 min,
+    * so each event lands in exactly two overlapping windows; the
+    * oracle reconstructs the two slide-aligned slots per event). */
+  def q29Sliding(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventsStream
+    EventsStream.slidingCounts(Tables.load(spark, dir, "events"),
+        windowLen = "1 hour", slide = "30 minutes", watermark = "0 seconds")
+      .select(unix_timestamp(col("w_start")).as("w_sec"), col("user_id"),
+        col("n_events"))
+      .orderBy("w_sec", "user_id")
+  }
+
   /** Session-window aggregation over events (batch form of the
     * streaming `session_window` transform — 30-minute inactivity gap). */
   def q32Sessions(spark: SparkSession, dir: String): DataFrame = {
