@@ -33,6 +33,7 @@ object SparkEntry {
     "q04_tokenize" -> (IrSql.q04Tokenize _),
     "q05_term_tf" -> (IrSql.q05TermTf _),
     "q06_inverted_index" -> (IrSql.q06InvertedIndex _),
+    "q06_bigram_index" -> (IrSql.q06BigramIndex _),
     "q07_bigrams" -> (IrSql.q07Bigrams _),
     "q08_chargrams" -> (IrSql.q08CharGrams _),
     "q09_chargram_terms" -> (IrSql.q09CharGramTerms _),
@@ -64,6 +65,8 @@ object SparkEntry {
     "q23_arrays" -> (Relational.q23Arrays _),
     // Training-data pipeline ops (dedup / similarity / text analysis)
     "q24_dedup_exact" -> (Dedup.exact _),
+    "q24_dedup_chunks" ->
+      ((s: SparkSession, d: String) => Dedup.chunkDedup(s, d)),
     "q24_dedup_jaccard" -> ((s: SparkSession, d: String) => Dedup.jaccard(s, d)),
     "q24_dedup_minhash" -> (Dedup.minhashLsh _),
     "q24_dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
@@ -207,6 +210,20 @@ object SparkEntry {
          SELECT term, count(*) AS df,
                 string_agg(doc_id || ':' || tf, ' ' ORDER BY tf DESC, doc_id) AS postings
          FROM tf GROUP BY term ORDER BY term""",
+
+    "q06_bigram_index" ->
+      """WITH tok AS (
+           SELECT doc_id, pos, term FROM (
+             SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS term
+             FROM (SELECT doc_id, string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ') AS l
+                   FROM documents WHERE doc_id < 100))
+           WHERE term <> ''),
+         tf AS (SELECT a.term || ' ' || b.term AS bigram, a.doc_id AS doc_id, count(*) AS tf
+                FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                GROUP BY 1, 2)
+         SELECT bigram, count(*) AS df,
+                string_agg(doc_id || ':' || tf, ' ' ORDER BY tf DESC, doc_id) AS postings
+         FROM tf GROUP BY bigram ORDER BY bigram""",
 
     "q07_bigrams" ->
       """WITH tok AS (

@@ -34,6 +34,36 @@ object Dedup {
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper"))
       .orderBy("digest")
 
+  /** SUB-document exact dedup at fixed token-window granularity (the
+    * "paragraph dedup" a training-data pipeline runs to strip repeated
+    * boilerplate passages out of otherwise-distinct documents — here a
+    * chunk is `width` consecutive tokens, the sub-unit this corpus
+    * actually repeats). Tokenize once, window the array, hash each
+    * chunk, group — one shuffle on the digest, same scale shape as
+    * [[exact]]; only cross-occurring digests survive. */
+  def chunkDedup(spark: SparkSession, dir: String,
+                 width: Int = 10): DataFrame = {
+    val t = docs(spark, dir).select(col("doc_id"),
+      tokensArrayFast(col("text")).as("l"))
+    val c = t.select(col("doc_id"),
+      explode(when(size(col("l")) > 0,
+        transform(
+          sequence(lit(0),
+            floor((size(col("l")) - 1) / lit(width)).cast("int")),
+          i => array_join(
+            slice(col("l"), i * width + 1, lit(width)), " ")))
+        .otherwise(array().cast("array<string>"))).as("chunk"))
+    c.groupBy(md5(col("chunk")).as("digest"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keeper"))
+      .filter(col("n_occurrences") > 1)
+      .orderBy("digest")
+  }
+
+  /** Chunk width shared with the generated oracle SQL. */
+  val ChunkWidthDefault = 10
+
   /** Single-pass doc → distinct word-3-shingles, semantically identical
     * to `array_distinct(shingles(tokensArray(text)))` (lower, alnum-run
     * tokens, 3-token space-joined windows, set-dedup) but ~50× faster:
@@ -237,10 +267,21 @@ object Dedup {
     val pairs = jaccard(spark, dir, threshold)
       .select(col("doc_a"), col("doc_b"))
       .persist(MEMORY_AND_DISK)
-    val nEdges = pairs.count() // materializes at full parallelism
-    if (nEdges <= SmallGraphEdges) clustersUnionFind(spark, pairs)
-    else clustersPropagate(spark, pairs, nEdges)
+    // optimistic single-action path: try union-find directly (its task
+    // guard aborts past SmallGraphEdges); pair generation materializes
+    // at full parallelism into the cache either way, so the rare giant
+    // graph pays only the aborted post-shuffle task before falling back
+    try clustersUnionFind(spark, pairs, SmallGraphEdges)
+    catch {
+      case e: Throwable if graphTooLarge(e) =>
+        clustersPropagate(spark, pairs, pairs.count())
+    }
   }
+
+  private def graphTooLarge(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(t => t.getMessage != null &&
+        t.getMessage.contains("GRAFT_GRAPH_TOO_LARGE"))
 
   /** Edge-count bound for the single-task path: 10M (doc_a, doc_b)
     * pairs is ~160 MB of longs plus the id→parent map — comfortable in
@@ -251,9 +292,13 @@ object Dedup {
     * id, path-compressed finds) over the whole edge list in one narrow
     * executor task — the entire loop the iterative form schedules as
     * jobs happens in-memory here. Output identical to
-    * [[clustersPropagate]]. */
+    * [[clustersPropagate]]. `maxEdges` is a task-side guard: exceeding
+    * it aborts with a marker the caller maps to the distributed
+    * fallback, so the common (small-graph) case needs no separate
+    * edge-count action. */
   private[graft] def clustersUnionFind(spark: SparkSession,
-                                       pairs: DataFrame): DataFrame = {
+                                       pairs: DataFrame,
+                                       maxEdges: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
     pairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)]
       .coalesce(1)
@@ -267,7 +312,12 @@ object Dedup {
           while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
           r
         }
+        var m = 0L
         it.foreach { case (a, b) =>
+          m += 1
+          if (m > maxEdges) throw new IllegalStateException(
+            s"GRAFT_GRAPH_TOO_LARGE: > $maxEdges edges; " +
+              "use the distributed propagation path")
           add(a); add(b)
           val ra = find(a); val rb = find(b)
           if (ra < rb) parent(rb) = ra

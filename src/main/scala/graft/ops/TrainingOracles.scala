@@ -29,6 +29,20 @@ object TrainingOracles {
       """SELECT md5(text) AS digest, count(*) AS n_dups, min(doc_id) AS keeper
          FROM documents GROUP BY 1 ORDER BY digest""",
 
+    // sub-document exact dedup over fixed token windows; only digests
+    // seen more than once survive; counts cast BIGINT (HUGEINT rule)
+    "q24_dedup_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS l FROM documents),
+         c AS (SELECT doc_id,
+                      unnest(list_transform(range(0, (len(l)-1)//${Dedup.ChunkWidthDefault} + 1),
+                        i -> array_to_string(list_slice(l, i*${Dedup.ChunkWidthDefault}+1, i*${Dedup.ChunkWidthDefault}+${Dedup.ChunkWidthDefault}), ' '))) AS chunk
+               FROM t WHERE len(l) > 0)
+         SELECT md5(chunk) AS digest,
+                CAST(count(*) AS BIGINT) AS n_occurrences,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                min(doc_id) AS keeper
+         FROM c GROUP BY 1 HAVING count(*) > 1 ORDER BY digest""",
+
     "q24_dedup_jaccard" ->
       s"""$docShingles,
          sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

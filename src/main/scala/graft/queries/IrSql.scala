@@ -73,8 +73,9 @@ object IrSql {
     val counts = sorted.mapPartitions(it => Iterator.single(it.size)).collect()
     val offsets = counts.scanLeft(0L)(_ + _)
     val bc = sorted.sparkSession.sparkContext.broadcast(offsets)
-    sorted.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+    // RDD partition index, not TaskContext.getPartitionId — the task id
+    // is rewritten by any downstream coalesce (see docnoMappingScalable)
+    sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       var n = bc.value(pid)
       it.map { d => n += 1; (d, n) }
     }.toDF("doc_id", "docno")
@@ -111,6 +112,30 @@ object IrSql {
             x => x.getField("p")),
           " ").as("postings"))
       .orderBy("term")
+  }
+
+  /** Q6b: k=2 word-k-gram inverted index — the reference's headline
+    * `TermKGramDocIndexer` capability at k=2 (bigram postings with df
+    * and the desc-tf/asc-doc `PostingWritable` ordering), over the
+    * SQL-subset tokens bounded like q07. The faithful-pipeline k=2
+    * build lives in `InvertedIndex.build(k = 2)` (spec-covered); this
+    * is its oracle-checkable relational twin. */
+  def q06BigramIndex(spark: SparkSession, dir: String): DataFrame = {
+    val tok = tokens(spark, dir, Some(SubsetBound))
+    val tf = tok.as("a").join(tok.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.pos") === col("a.pos") + 1)
+      .select(col("a.doc_id").as("doc_id"),
+        concat_ws(" ", col("a.term"), col("b.term")).as("bigram"))
+      .groupBy(col("bigram"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("bigram"))
+      .agg(count(lit(1)).as("df"),
+        array_join(transform(array_sort(collect_list(struct(
+          (-col("tf")).as("negtf"), col("doc_id").as("d"),
+          concat_ws(":", col("doc_id"), col("tf")).as("p")))),
+          x => x.getField("p")), " ").as("postings"))
+      .orderBy("bigram")
   }
 
   /** Q7: word bigrams via positional self-join (SURVEY §2.2 "word k-gram

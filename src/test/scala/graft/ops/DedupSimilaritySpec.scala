@@ -63,6 +63,18 @@ class DedupSimilaritySpec extends SparkSpec {
     pairs.unpersist()
   }
 
+  test("union-find task guard aborts oversized graphs with the fallback marker") {
+    val pairs = Dedup.jaccard(spark, dir, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val e = intercept[Exception] {
+      Dedup.clustersUnionFind(spark, pairs, maxEdges = 1).collect()
+    }
+    def chain(t: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+    assert(chain(e).exists(t => t.getMessage != null &&
+      t.getMessage.contains("GRAFT_GRAPH_TOO_LARGE")), e.toString)
+  }
+
   test("fixed-point centroids match the exact-fold reference, with no collect_list in the plan") {
     val fix = Similarity.labelCentroids(spark, dir)
     assert(!fix.queryExecution.executedPlan.toString.contains("collect_list"),
