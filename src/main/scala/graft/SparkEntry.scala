@@ -34,6 +34,8 @@ object SparkEntry {
     "q05_term_tf" -> (IrSql.q05TermTf _),
     "q06_inverted_index" -> (IrSql.q06InvertedIndex _),
     "q06_bigram_index" -> (IrSql.q06BigramIndex _),
+    "q06_salted_index" ->
+      ((s: SparkSession, d: String) => IrSql.q06InvertedIndexSalted(s, d)),
     "q07_bigrams" -> (IrSql.q07Bigrams _),
     "q08_chargrams" -> (IrSql.q08CharGrams _),
     "q09_chargram_terms" -> (IrSql.q09CharGramTerms _),
@@ -67,6 +69,7 @@ object SparkEntry {
     "q24_dedup_exact" -> (Dedup.exact _),
     "q24_dedup_chunks" ->
       ((s: SparkSession, d: String) => Dedup.chunkDedup(s, d)),
+    "q24_dedup_apply" -> (Dedup.applyExact _),
     "q24_dedup_jaccard" -> ((s: SparkSession, d: String) => Dedup.jaccard(s, d)),
     "q24_dedup_minhash" -> (Dedup.minhashLsh _),
     "q24_dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
@@ -76,6 +79,8 @@ object SparkEntry {
     "q25_ann_topk" -> ((s: SparkSession, d: String) => Similarity.annTopK(s, d)),
     "q25_embed_neardup" -> (Similarity.embedNearDup _),
     "q25_ann_lsh" -> (Similarity.lshBucketHistogram _),
+    "q25_ann_multiprobe" ->
+      ((s: SparkSession, d: String) => Similarity.annLshMultiProbe(s, d)),
     "q25_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "q25_centroids" -> (Similarity.labelCentroids _),
     // Faithful IR engine (tokenizer+stemmer not SQL-expressible →
@@ -103,7 +108,14 @@ object SparkEntry {
     * DOUBLE → cast BIGINT; generate_subscripts pairs with unnest for
     * positional explode; narrow ints cast to BIGINT to match Spark's
     * LongType output. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = oracleBase ++ TrainingOracles.oracle
+    // the salted two-phase index is output-identical to q06 by design:
+    // the driver checks it against the SAME oracle
+    base + ("q06_salted_index" -> base("q06_inverted_index"))
+  }
+
+  private def oracleBase: Map[String, String] = Map(
     "q01_scan_filter" ->
       """SELECT doc_id, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id""",
 
@@ -560,5 +572,5 @@ object SparkEntry {
            ON a.user_id = b.user_id AND a.event_id < b.event_id
           AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= CAST(3600000000 AS BIGINT)
          ORDER BY e_a, e_b""",
-  ) ++ TrainingOracles.oracle
+  )
 }

@@ -34,6 +34,20 @@ object Dedup {
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper"))
       .orderBy("digest")
 
+  /** APPLY exact dedup — the materialization step a pipeline runs after
+    * [[exact]]: keep exactly one document per content digest (the
+    * min-doc_id keeper), semi-joining the keeper set back into the
+    * corpus. Two shuffles (digest agg, keeper semi-join on doc_id),
+    * output is the deduplicated corpus itself. */
+  def applyExact(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val keepers = d.groupBy(md5(col("text")).as("digest"))
+      .agg(min(col("doc_id")).as("keeper"))
+    d.join(keepers, col("doc_id") === col("keeper"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** SUB-document exact dedup at fixed token-window granularity (the
     * "paragraph dedup" a training-data pipeline runs to strip repeated
     * boilerplate passages out of otherwise-distinct documents — here a

@@ -220,8 +220,7 @@ object Similarity {
   /** LSH-accelerated ANN: candidates = vectors sharing the query's
     * bucket; exact cosine re-rank inside the bucket. Falls back to
     * fewer than k results if the bucket is small (standard LSH
-    * recall/latency trade — at scale, multi-probe or band OR-ing
-    * widens recall). */
+    * recall/latency trade — [[annLshMultiProbe]] widens recall). */
   def annLsh(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val b = lshBuckets(spark, dir)
     val e = emb(spark, dir).join(b, "vec_id")
@@ -229,6 +228,30 @@ object Similarity {
       .select(col("bucket").as("qb"), col("embedding").as("qv"))
     e.filter(col("vec_id") =!= 0)
       .join(broadcast(q), col("bucket") === col("qb"))
+      .select(col("vec_id"), cosine(col("embedding"), col("qv")).as("c"))
+      .orderBy(col("c").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("c"), 4).as("cos"))
+  }
+
+  /** MULTI-PROBE LSH ANN — the standard recall knob: probe the query's
+    * bucket plus its 16 one-bit-flipped neighbors (the buckets a
+    * near-neighbor most likely fell into when one hyperplane
+    * disagreed). Still a bucket equi-join — the probe set (17 rows)
+    * broadcasts into the bucketed vectors; each vector has exactly one
+    * bucket, so probes can't duplicate candidates. Exact cosine
+    * re-rank as usual. */
+  def annLshMultiProbe(spark: SparkSession, dir: String,
+                       k: Int = 10): DataFrame = {
+    val b = lshBuckets(spark, dir)
+    val e = emb(spark, dir).join(b, "vec_id")
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("bucket").as("qb"), col("embedding").as("qv"))
+    val probes = q.select(col("qv"),
+      explode(array(col("qb") +: (0 until Planes).map(j =>
+        col("qb").bitwiseXOR(lit(1L << j))): _*)).as("pb"))
+    e.filter(col("vec_id") =!= 0)
+      .join(broadcast(probes), col("bucket") === col("pb"))
       .select(col("vec_id"), cosine(col("embedding"), col("qv")).as("c"))
       .orderBy(col("c").desc, col("vec_id"))
       .limit(k)

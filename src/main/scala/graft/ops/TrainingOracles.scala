@@ -43,6 +43,12 @@ object TrainingOracles {
                 min(doc_id) AS keeper
          FROM c GROUP BY 1 HAVING count(*) > 1 ORDER BY digest""",
 
+    // dedup APPLY: the kept corpus (one doc per digest, min-id keeper)
+    "q24_dedup_apply" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+         ORDER BY doc_id""",
+
     "q24_dedup_jaccard" ->
       s"""$docShingles,
          sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -126,17 +132,25 @@ object TrainingOracles {
          WHERE c >= 0.35 ORDER BY vec_a, vec_b""",
 
     "q25_ann_lsh" ->
-      s"""WITH pr AS (SELECT vec_id, j,
-                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                  list_transform(range(1, len(embedding) + 1),
-                    i -> CAST(embedding[i] AS DOUBLE) *
-                         (CAST((j * 1103515245 + (i - 1) * 12345) % 1001 - 500 AS DOUBLE) / 500.0))),
-                  (acc, v) -> acc + v) AS proj
-              FROM embeddings CROSS JOIN (SELECT unnest(range(${Similarity.Planes})) AS j) js),
-         b AS (SELECT vec_id,
-                      CAST(sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
-               FROM pr GROUP BY vec_id)
+      s"""WITH $lshBucketCtes
          SELECT bucket, count(*) AS n FROM b GROUP BY bucket ORDER BY bucket""",
+
+    // multi-probe: query bucket + its 16 one-bit flips, broadcast-shaped
+    // probe join, exact cosine re-rank (mirrors Similarity.annLshMultiProbe)
+    "q25_ann_multiprobe" ->
+      s"""WITH $lshBucketCtes,
+         q AS (SELECT b.bucket AS qb, e.embedding AS qv
+               FROM b JOIN embeddings e USING (vec_id) WHERE e.vec_id = 0),
+         probes AS (SELECT qv,
+                           unnest(list_prepend(qb,
+                             list_transform(range(${Similarity.Planes}),
+                               j -> xor(qb, CAST(1 AS BIGINT) << CAST(j AS INT))))) AS pb
+                    FROM q),
+         s AS (SELECT e.vec_id, ${cos("e.embedding", "p.qv")} AS c
+               FROM b JOIN embeddings e USING (vec_id)
+                      JOIN probes p ON b.bucket = p.pb
+               WHERE e.vec_id <> 0)
+         SELECT vec_id, round(c, 4) AS cos FROM s ORDER BY c DESC, vec_id LIMIT 10""",
 
     // 2^40 fixed-point quantization (exact power-of-two multiply on a
     // float), exact integer sum per (label, dim) — order-insensitive on
@@ -195,6 +209,21 @@ object TrainingOracles {
       s"""SELECT doc_id, ${ddbPolyHash("array_to_string(toks, ' ')", P)} AS fp
          FROM (SELECT doc_id, $toks AS toks FROM documents) ORDER BY doc_id""",
   )
+
+  /** Shared LSH bucket CTEs (`pr`, `b`) — the hyperplane projections +
+    * sign-bit bucket of every vector, identical arithmetic to
+    * [[Similarity.lshBuckets]]. */
+  private lazy val lshBucketCtes: String =
+    s"""pr AS (SELECT vec_id, j,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, len(embedding) + 1),
+                    i -> CAST(embedding[i] AS DOUBLE) *
+                         (CAST((j * 1103515245 + (i - 1) * 12345) % 1001 - 500 AS DOUBLE) / 500.0))),
+                  (acc, v) -> acc + v) AS proj
+              FROM embeddings CROSS JOIN (SELECT unnest(range(${Similarity.Planes})) AS j) js),
+         b AS (SELECT vec_id,
+                      CAST(sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+               FROM pr GROUP BY vec_id)"""
 
   private lazy val simhashSql: String =
     s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),

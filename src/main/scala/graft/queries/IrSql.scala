@@ -114,6 +114,30 @@ object IrSql {
       .orderBy("term")
   }
 
+  /** Q6s: salted two-phase variant of [[q06InvertedIndex]] — postings
+    * gathered per (term, doc_id % salt) partial lists, then flattened
+    * and sorted per term. IDENTICAL output (the driver runs it against
+    * the same oracle SQL as q06), but no pathologically hot term ever
+    * funnels its whole postings list through a single aggregation
+    * buffer — the skew-safe shape for stop-worded terms at 100 TB
+    * (faithful-path twin: `InvertedIndex.nested(salt)`). */
+  def q06InvertedIndexSalted(spark: SparkSession, dir: String,
+                             salt: Int = 4): DataFrame = {
+    val tf = tokens(spark, dir)
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("term"), pmod(col("doc_id"), lit(salt)).as("s"))
+      .agg(count(lit(1)).as("c"),
+        collect_list(struct(
+          (-col("tf")).as("negtf"), col("doc_id").as("d"),
+          concat_ws(":", col("doc_id"), col("tf")).as("p"))).as("ps"))
+      .groupBy(col("term"))
+      .agg(sum(col("c")).as("df"),
+        array_join(transform(array_sort(flatten(collect_list(col("ps")))),
+          x => x.getField("p")), " ").as("postings"))
+      .orderBy("term")
+  }
+
   /** Q6b: k=2 word-k-gram inverted index — the reference's headline
     * `TermKGramDocIndexer` capability at k=2 (bigram postings with df
     * and the desc-tf/asc-doc `PostingWritable` ordering), over the

@@ -63,6 +63,19 @@ class DedupSimilaritySpec extends SparkSpec {
     pairs.unpersist()
   }
 
+  test("multi-probe LSH dominates single-probe positionally") {
+    // the probe set contains the query's own bucket, so candidates are
+    // a superset — every ranked score must be at least as good
+    val single = Similarity.annLsh(spark, dir, k = 10)
+      .collect().map(_.getDouble(1))
+    val multi = Similarity.annLshMultiProbe(spark, dir, k = 10)
+      .collect().map(_.getDouble(1))
+    assert(multi.length >= single.length)
+    single.zip(multi).foreach { case (s, m) =>
+      assert(m >= s - 1e-9, s"multi-probe rank worse: $m < $s")
+    }
+  }
+
   test("union-find task guard aborts oversized graphs with the fallback marker") {
     val pairs = Dedup.jaccard(spark, dir, threshold = 0.5)
       .select(col("doc_a"), col("doc_b"))
