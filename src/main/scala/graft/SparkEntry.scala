@@ -82,6 +82,8 @@ object SparkEntry {
     "q25_ann_multiprobe" ->
       ((s: SparkSession, d: String) => Similarity.annLshMultiProbe(s, d)),
     "q25_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    "q25_ann_ivf_nprobe" ->
+      ((s: SparkSession, d: String) => Similarity.annIvfProbe(s, d)),
     "q25_centroids" -> (Similarity.labelCentroids _),
     // Faithful IR engine (tokenizer+stemmer not SQL-expressible →
     // rows-only driver check; conformance pinned by specs)

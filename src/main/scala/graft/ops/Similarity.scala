@@ -217,6 +217,33 @@ object Similarity {
       .select(col("vec_id"), round(col("c"), 4).as("cos"))
   }
 
+  /** IVF ANN with nProbe > 1 — the recall knob the [[annIvf]] scaladoc
+    * documents, made real: rank ALL centroids by cosine against the
+    * query, probe the top `nProbe` cells, exact re-rank inside them.
+    * Probe set is a broadcast of nProbe rows; candidates can't
+    * duplicate (each vector lives in exactly one cell). */
+  def annIvfProbe(spark: SparkSession, dir: String, k: Int = 10,
+                  nProbe: Int = 2): DataFrame = {
+    val cells = ivfCells(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = emb(spark, dir)
+    val cents = e.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val probeCells = q.crossJoin(broadcast(cents))
+      .select(col("qv"), col("cid"), cosine(col("qv"), col("cvec")).as("s"))
+      .orderBy(col("s").desc, col("cid"))
+      .limit(nProbe)
+      .select(col("qv"), col("cid"))
+    cells.filter(col("vec_id") =!= 0)
+      .join(broadcast(probeCells), col("cell") === col("cid"))
+      .select(col("vec_id"), cosine(col("embedding"), col("qv")).as("c"))
+      .orderBy(col("c").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("c"), 4).as("cos"))
+  }
+
   /** LSH-accelerated ANN: candidates = vectors sharing the query's
     * bucket; exact cosine re-rank inside the bucket. Falls back to
     * fewer than k results if the bucket is small (standard LSH

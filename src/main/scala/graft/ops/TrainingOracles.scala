@@ -179,6 +179,24 @@ object TrainingOracles {
          WHERE x.vec_id <> 0
          ORDER BY ${cos("x.embedding", "qv")} DESC, x.vec_id LIMIT 10""",
 
+    // IVF with nProbe=2: rank all centroids against the query, probe
+    // the top two cells, exact re-rank (mirrors Similarity.annIvfProbe)
+    "q25_ann_ivf_nprobe" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                     WHERE vec_id < ${Similarity.IvfCentroids}),
+         a AS (SELECT e.vec_id, e.embedding, c.cid,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY ${cos("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+               FROM embeddings e CROSS JOIN c),
+         cells AS (SELECT vec_id, embedding, cid AS cell FROM a WHERE rn = 1),
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         qc AS (SELECT c.cid FROM c CROSS JOIN q
+                ORDER BY ${cos("q.qv", "c.cvec")} DESC, c.cid LIMIT 2),
+         s AS (SELECT x.vec_id, ${cos("x.embedding", "q.qv")} AS c
+               FROM cells x JOIN qc ON x.cell = qc.cid CROSS JOIN q
+               WHERE x.vec_id <> 0)
+         SELECT vec_id, round(c, 4) AS cos FROM s ORDER BY c DESC, vec_id LIMIT 10""",
+
     "q27_langid" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
          r AS (SELECT doc_id,

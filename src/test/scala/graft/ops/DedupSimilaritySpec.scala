@@ -76,6 +76,17 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("nProbe=2 IVF dominates single-cell probing positionally") {
+    val one = Similarity.annIvf(spark, dir, k = 10)
+      .collect().map(_.getDouble(1))
+    val two = Similarity.annIvfProbe(spark, dir, k = 10, nProbe = 2)
+      .collect().map(_.getDouble(1))
+    assert(two.length >= one.length)
+    one.zip(two).foreach { case (s, m) =>
+      assert(m >= s - 1e-9, s"nProbe=2 rank worse: $m < $s")
+    }
+  }
+
   test("union-find task guard aborts oversized graphs with the fallback marker") {
     val pairs = Dedup.jaccard(spark, dir, threshold = 0.5)
       .select(col("doc_a"), col("doc_b"))
