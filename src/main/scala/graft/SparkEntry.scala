@@ -103,6 +103,8 @@ object SparkEntry {
     "q27_quality" -> (TextAnalysis.quality _),
     "q27_token_count" -> (TextAnalysis.tokenCount _),
     "q27_fingerprint" -> (TextAnalysis.fingerprint _),
+    "q27_filter_apply" ->
+      ((s: SparkSession, d: String) => TextAnalysis.filterApply(s, d)),
   )
 
   /** DuckDB dialect equivalents. Dialect notes: regexp_replace needs the

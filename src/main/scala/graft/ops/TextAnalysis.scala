@@ -60,6 +60,23 @@ object TextAnalysis {
           .cast("long").as("bpe_tokens"))
       .orderBy("doc_id")
 
+  /** Training-data FILTER apply — the gating step that composes the
+    * analysis signals into the kept corpus: English-classified docs
+    * with sane token counts and alnum density. Joins are on doc_id
+    * (co-partitioned aggregation outputs); the kept set carries the
+    * signals it was gated on, ready to write out. */
+  def filterApply(spark: SparkSession, dir: String,
+                  minTokens: Long = 20, maxTokens: Long = 1000,
+                  minAlnum: Double = 0.7): DataFrame =
+    langId(spark, dir)
+      .join(quality(spark, dir), "doc_id")
+      .filter(col("lang_pred") === "en" &&
+        col("n_tokens").between(minTokens, maxTokens) &&
+        col("alnum_ratio") >= minAlnum)
+      .select(col("doc_id"), col("stop_ratio"), col("n_tokens"),
+        col("alnum_ratio"))
+      .orderBy("doc_id")
+
   /** Document fingerprint: rolling polynomial hash of the normalized
     * (tokenized, single-spaced) text — an order-sensitive content id,
     * complementing [[Dedup.exact]]'s md5 of the raw text. */

@@ -207,6 +207,24 @@ object TrainingOracles {
                 CASE WHEN stop_ratio >= 0.03 THEN 'en' ELSE 'other' END AS lang_pred
          FROM r ORDER BY doc_id""",
 
+    // filter apply: the lang/quality gate composed into the kept corpus
+    "q27_filter_apply" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         lid AS (SELECT doc_id,
+                        round(sum(CASE WHEN term IN (${TextAnalysis.EnStopwords.map("'" + _ + "'").mkString(", ")}) THEN 1 ELSE 0 END)
+                              / CAST(count(*) AS DOUBLE), 4) AS stop_ratio
+                 FROM tok GROUP BY doc_id),
+         q AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw, $toks AS toks
+               FROM documents),
+         qual AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                         round(CAST(length(array_to_string(toks, ' ')) + 1 AS DOUBLE) / (n_chars_raw + 1), 4) AS alnum_ratio
+                  FROM q)
+         SELECT lid.doc_id, stop_ratio, n_tokens, alnum_ratio
+         FROM lid JOIN qual ON lid.doc_id = qual.doc_id
+         WHERE stop_ratio >= 0.03 AND n_tokens BETWEEN 20 AND 1000
+           AND alnum_ratio >= 0.7
+         ORDER BY lid.doc_id""",
+
     "q27_quality" ->
       s"""WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw, $toks AS toks
                      FROM documents)
