@@ -45,6 +45,8 @@ object SparkEntry {
     "q12_anti" -> (Relational.q12Anti _),
     "q13_revenue" -> (Relational.q13Revenue _),
     "q14_count_distinct" -> (Relational.q14CountDistinct _),
+    "q14_approx_distinct" -> (Relational.q14ApproxDistinct _),
+    "q21_approx_quantiles" -> (Relational.q21ApproxQuantiles _),
     "q15_rollup" -> (Relational.q15Rollup _),
     "q15_cube" -> (Relational.q15Cube _),
     "q15_grouping_sets" -> (Relational.q15GroupingSets _),
@@ -85,16 +87,20 @@ object SparkEntry {
     "q25_ann_ivf_nprobe" ->
       ((s: SparkSession, d: String) => Similarity.annIvfProbe(s, d)),
     "q25_centroids" -> (Similarity.labelCentroids _),
+    "q25_kmeans" ->
+      ((s: SparkSession, d: String) => Similarity.kmeansCentroids(s, d)),
     // Faithful IR engine (tokenizer+stemmer not SQL-expressible →
     // rows-only driver check; conformance pinned by specs)
     "q26_ir_terms" -> (IrEngine.q26PipelineTerms _),
     "q26_ir_index" -> (IrEngine.q26StemmedIndex _),
+    "q26_ir_merged" -> (IrEngine.q26MergedIndex _),
     "q26_ir_search" -> (IrEngine.q26Search _),
     "q26_ir_wildcard" -> (IrEngine.q26Wildcard _),
     "q28_multimodal" -> (IrEngine.q28Multimodal _),
     "q31_trec_source" -> (IrEngine.q31TrecSource _),
     "q29_streaming" -> (IrEngine.q29Streaming _),
     "q29_sliding" -> (IrEngine.q29Sliding _),
+    "q29_dedup" -> (IrEngine.q29Dedup _),
     "q32_sessions" -> (IrEngine.q32Sessions _),
     // Temporal joins (as-of / range) — operators Spark lacks natively
     "q30_asof" -> (Temporal.q30AsOf _),
@@ -314,6 +320,22 @@ object SparkEntry {
       """SELECT o_custkey, count(DISTINCT o_orderstatus) AS n_status, count(*) AS n_orders
          FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
 
+    // sketch estimates are engine-specific; the oracle pins the exact
+    // values and asserts the Spark-side error-bound flags came out true
+    "q14_approx_distinct" ->
+      """SELECT l_returnflag,
+                CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_keys,
+                true AS hll_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q21_approx_quantiles" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+                true AS approx_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "q15_rollup" ->
       """SELECT r_name, n_name, round(sum(s_acctbal), 2) AS total_bal,
                 CAST(grouping(r_name) AS BIGINT) AS g_r, CAST(grouping(n_name) AS BIGINT) AS g_n
@@ -473,6 +495,13 @@ object SparkEntry {
                 count(*) AS n_events, round(sum(value), 4) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY w_sec, user_id""",
 
+    // streaming dedup emits only the key set, so the batch oracle is a
+    // plain DISTINCT over the truncated event time
+    "q29_dedup" ->
+      """SELECT DISTINCT user_id,
+                CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS min_sec
+         FROM events ORDER BY user_id, min_sec""",
+
     // sliding windows (1h every 30min): each event belongs to exactly
     // two slide-aligned windows — slots floor(t/30min) and the one
     // before it; µs arithmetic matches Spark's window() alignment
@@ -528,6 +557,9 @@ object SparkEntry {
     "q26_ir_terms" ->
       """SELECT * FROM '/root/repo/golden/q26_ir_terms.parquet'""",
     "q26_ir_index" ->
+      """SELECT * FROM '/root/repo/golden/q26_ir_index.parquet'""",
+    // incremental merge must be indistinguishable from a full rebuild
+    "q26_ir_merged" ->
       """SELECT * FROM '/root/repo/golden/q26_ir_index.parquet'""",
     "q26_ir_search" ->
       """SELECT * FROM '/root/repo/golden/q26_ir_search.parquet'""",

@@ -180,6 +180,57 @@ object Similarity {
     * the identical partition). */
   val IvfCentroids = 8
 
+  /** Lloyd's k-means over the embedding column — the training step the
+    * [[ivfCells]] scaladoc documents, made real. Deterministic end to
+    * end: seeds are the embeddings of vec_id < [[IvfCentroids]]; each
+    * iteration is
+    *   (1) assignment — broadcast the k centroids (k×dims, always
+    *       broadcastable no matter the corpus size), score with the
+    *       same sequential-fold cosine as everywhere else (norms
+    *       precomputed once per side — same double ops as the inlined
+    *       form), argmax per vector via ONE max(struct) hash
+    *       aggregation (no window, no extra shuffle), and
+    *   (2) update — 2^40 fixed-point quantization + exact integer sums
+    *       per (cell, dim) (see [[labelCentroids]]), means rounded to
+    *       4 decimals so both engines feed identical doubles into the
+    *       next iteration's folds.
+    * Each iteration = one broadcast join + two hash aggregations — the
+    * canonical distributed k-means shape at any scale. Returns the
+    * final (cid, dim, c, n) centroid rows. */
+  def kmeansCentroids(spark: SparkSession, dir: String,
+                      iters: Int = 2): DataFrame = {
+    val e = emb(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), x =>
+        x.cast("double")).as("v"))
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+    var cents = e.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cvec"))
+    var sums: DataFrame = null
+    for (_ <- 1 to iters) {
+      val c2 = cents.withColumn("nc", sqrt(dot(col("cvec"), col("cvec"))))
+      val assigned = e.crossJoin(broadcast(c2))
+        .select(col("vec_id"), col("v"),
+          struct((dot(col("v"), col("cvec")) / (col("nv") * col("nc")))
+            .as("s"), (-col("cid")).as("ncid")).as("sc"))
+        .groupBy(col("vec_id"))
+        .agg(max(col("sc")).as("m"), first(col("v")).as("v"))
+        .select((-col("m.ncid")).as("cid"), col("v"))
+      sums = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim0", "x")))
+        .groupBy(col("cid"), (col("dim0") + 1).as("dim"))
+        .agg(sum(round(col("x") * CentroidScale).cast("decimal(38,0)"))
+          .as("s"), count(lit(1)).as("n"))
+        .select(col("cid"), col("dim"),
+          (round(col("s").cast("double") / CentroidScale / col("n"), 4)
+            + 0.0).as("c"),
+          col("n"))
+      cents = sums.groupBy(col("cid"))
+        .agg(transform(sort_array(collect_list(struct(col("dim"),
+          col("c")))), x => x.getField("c")).as("cvec"))
+    }
+    sums.orderBy("cid", "dim")
+  }
+
   /** IVF cell assignment: (vec_id, cell) where cell = the centroid
     * with the highest cosine (ties → smallest centroid id). The
     * centroid table is broadcast; assignment is a narrow 8-way scored

@@ -197,6 +197,34 @@ object TrainingOracles {
                WHERE x.vec_id <> 0)
          SELECT vec_id, round(c, 4) AS cos FROM s ORDER BY c DESC, vec_id LIMIT 10""",
 
+    // Lloyd's k-means, 2 unrolled iterations: seed centroids =
+    // vec_id < IvfCentroids, argmax-cosine assignment, 2^40 fixed-point
+    // exact-sum means rounded to 4 decimals between iterations
+    // (mirrors Similarity.kmeansCentroids step for step)
+    "q25_kmeans" -> {
+      def iter(i: Int, centsCte: String): String =
+        s"""a$i AS (SELECT e.vec_id, e.v, c.cid,
+                          row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY ${cos("e.v", "c.cvec")} DESC, c.cid) AS rn
+                   FROM e CROSS JOIN $centsCte c),
+           x$i AS (SELECT cid, CAST(generate_subscripts(v, 1) AS BIGINT) AS dim,
+                          CAST(round(unnest(v) * ${Similarity.CentroidScale}) AS BIGINT) AS l
+                   FROM a$i WHERE rn = 1),
+           m$i AS (SELECT cid, dim,
+                          round(CAST(sum(l) AS DOUBLE) / ${Similarity.CentroidScale} / count(*), 4) + 0.0 AS c,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM x$i GROUP BY cid, dim)"""
+      s"""WITH e AS (SELECT vec_id,
+                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+         c0 AS (SELECT vec_id AS cid, v AS cvec FROM e
+                WHERE vec_id < ${Similarity.IvfCentroids}),
+         ${iter(1, "c0")},
+         c1 AS (SELECT cid, list(c ORDER BY dim) AS cvec FROM m1 GROUP BY cid),
+         ${iter(2, "c1")}
+         SELECT cid, dim, c, n FROM m2 ORDER BY cid, dim"""
+    },
+
     "q27_langid" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
          r AS (SELECT doc_id,

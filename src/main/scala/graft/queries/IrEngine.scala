@@ -63,6 +63,32 @@ object IrEngine {
       .orderBy("kgram")
   }
 
+  /** Incremental index maintenance end-to-end: build the index on the
+    * first half of the corpus (by docid order), then MERGE the second
+    * half in as a delta — docnos continue densely after the base,
+    * postings union, term stats re-sum, no re-tokenization of the base
+    * — and present the result in the q26 nested form. The oracle is
+    * the SAME golden parquet as q26_ir_index: an incrementally
+    * maintained index must be indistinguishable from a from-scratch
+    * build over the full corpus. */
+  def q26MergedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val dm = graft.corpus.TrecCorpus.docnoMappingScalable(spark, c)
+    val half = c.count() / 2
+    val first = c.join(dm.filter(col("docno") <= half).select("docid"),
+      "docid")
+    val second = c.join(dm.filter(col("docno") > half).select("docid"),
+      "docid")
+    val merged = InvertedIndex.merge(spark,
+      InvertedIndex.build(spark, first, k = 1), second, k = 1)
+    InvertedIndex.nested(merged)
+      .select(col("kgram"), col("df"),
+        array_join(transform(col("postings"),
+          x => concat_ws(":", x.getField("docno"), x.getField("tf"))), " ")
+          .as("postings"))
+      .orderBy("kgram")
+  }
+
   /** tf-idf search through the full engine (build + rank). */
   def q26Search(spark: SparkSession, dir: String): DataFrame = {
     val ix = InvertedIndex.build(spark, corpus(spark, dir), k = 1)
@@ -101,6 +127,28 @@ object IrEngine {
       .select(unix_timestamp(col("w_start")).as("w_sec"), col("user_id"),
         col("n_events"), col("total_value"))
       .orderBy("w_sec", "user_id")
+  }
+
+  /** Streaming stateful dedup end-to-end: replay the staged events
+    * directory, keep the first event per (user_id, minute) via
+    * watermarked dropDuplicates, emit the deduped key set. */
+  def q29Dedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventsStream
+    val staged = stagedOnce(dir, "ev") { root =>
+      java.nio.file.Files.createDirectories(root)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        root.resolve("part-0.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val name = "q29d_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = EventsStream.dedupKeys(
+        EventsStream.readEvents(spark, staged.toString))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).orderBy("user_id", "min_sec")
   }
 
   /** Sliding-window aggregation over events (batch form of the

@@ -91,6 +91,45 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy("o_custkey")
 
+  /** Q14b: approximate count-distinct (HyperLogLog++) — the 100 TB
+    * cardinality primitive: constant-size sketch, map-side partials,
+    * commutative/associative merge (order-insensitive → deterministic
+    * under any partitioning). The sketch estimate itself is
+    * engine-specific, so the oracle contract is the exact cardinality
+    * plus a checked error bound: the rsd=0.05 estimate must land
+    * within 3σ (15%) of exact. */
+  def q14ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_keys"),
+        approx_count_distinct(col("l_orderkey"), 0.05).as("hll"))
+      .select(col("l_returnflag"), col("exact_keys"),
+        (abs(col("hll") - col("exact_keys")) <=
+          col("exact_keys") * 0.15).as("hll_ok"))
+      .orderBy("l_returnflag")
+
+  /** Q21d: approximate quantiles (Greenwald-Khanna summaries,
+    * accuracy=10000 → rank error ≤ 0.01%) next to the exact
+    * percentiles — mergeable bounded-size state, the scale path when
+    * an exact sort-based percentile is too expensive. Oracle contract:
+    * exact values + a checked 1%-relative error bound on the sketch. */
+  def q21ApproxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
+          .as("ap"))
+      .select(col("l_returnflag"), col("p25"), col("p50"), col("p75"),
+        (abs(element_at(col("ap"), 1) - col("p25")) <= col("p25") * 0.01 &&
+          abs(element_at(col("ap"), 2) - col("p50")) <= col("p50") * 0.01 &&
+          abs(element_at(col("ap"), 3) - col("p75")) <= col("p75") * 0.01)
+          .as("approx_ok"))
+      .orderBy("l_returnflag")
+
   /** Q15: ROLLUP over region/nation supplier balances. NULLS FIRST is
     * explicit: Spark default is nulls-first, DuckDB's is nulls-last. */
   def q15Rollup(spark: SparkSession, dir: String): DataFrame = {

@@ -84,6 +84,22 @@ object EventsStream {
         unix_micros(col("session_window.start")).as("start_us"),
         col("n_events"), round(col("sv"), 4).as("total_value"))
 
+  /** Streaming exact dedup: watermarked `dropDuplicates` on
+    * (user_id, minute) — the stateful streaming counterpart of
+    * [[graft.ops.Dedup.exact]]. The truncated event-time column is part
+    * of the dedup key, so state for minutes behind the watermark is
+    * evicted — bounded state at any throughput. The same transform on
+    * batch input degenerates to a distinct (the batch oracle). Output
+    * is only the key set, so which duplicate arrived first doesn't
+    * affect the result. */
+  def dedupKeys(events: DataFrame,
+                watermark: String = "0 seconds"): DataFrame =
+    events
+      .withColumn("minute", date_trunc("minute", col("ts")))
+      .withWatermark("minute", watermark)
+      .dropDuplicates("user_id", "minute")
+      .select(col("user_id"), unix_timestamp(col("minute")).as("min_sec"))
+
   /** Event-time sessionization via flatMapGroupsWithState: a session
     * closes after `gapSeconds` of inactivity (state timeout), emitting
     * one row per closed session. */

@@ -113,6 +113,29 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("k-means partitions every vector into exactly one complete cell") {
+    val total = graft.Tables.load(spark, dir, "embeddings").count()
+    val cents = Similarity.kmeansCentroids(spark, dir).collect()
+    // (cid, dim) grid is complete and n is constant across a cell's dims
+    val byCell = cents.groupBy(_.getAs[Long]("cid"))
+    assert(byCell.nonEmpty && byCell.size <= Similarity.IvfCentroids)
+    byCell.values.foreach { rows =>
+      assert(rows.map(_.getAs[Number]("dim").longValue).sorted.toSeq ==
+        (1L to rows.length).toSeq)
+      assert(rows.map(_.getAs[Long]("n")).toSet.size == 1)
+    }
+    // every vector lands in exactly one cell
+    val assignedPerDim = cents
+      .filter(_.getAs[Number]("dim").longValue == 1L)
+      .map(_.getAs[Long]("n")).sum
+    assert(assignedPerDim == total)
+    // deeper iteration counts must still partition the full set
+    val s3 = Similarity.kmeansCentroids(spark, dir, iters = 3)
+      .filter(col("dim") === 1).select(col("n"))
+      .collect().map(_.getLong(0)).sum
+    assert(s3 == total)
+  }
+
   test("exact dedup finds no duplicates in the synthetic corpus") {
     assert(Dedup.exact(spark, dir).filter(col("n_dups") > 1).count() == 0)
   }

@@ -120,6 +120,30 @@ class EventsStreamSpec extends SparkSpec {
     assert(got(1).getAs[Double]("total_value") == 9.0)
   }
 
+  test("streaming dedup equals batch distinct and suppresses " +
+    "cross-batch duplicates") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    // user 1 hits minute 20 three times (twice in batch 1, once in
+    // batch 2 — the cross-batch duplicate exercises the state store);
+    // user 2 hits two distinct minutes
+    val b1 = Seq(Event(1, 1, ts(0), 1.0), Event(2, 1, ts(10), 1.0),
+      Event(3, 2, ts(0), 1.0), Event(4, 2, ts(70), 1.0))
+    val b2 = Seq(Event(5, 1, ts(20), 1.0))
+    // 10-minute watermark delay: batch 2's minute-20 duplicate stays
+    // ABOVE the watermark, so it reaches the dedup state store and is
+    // suppressed there (with 0s it would be dropped as late instead)
+    val streamed = feed(input,
+      EventsStream.dedupKeys(input.toDF(), watermark = "10 minutes"),
+      "dedupkeys", Seq(b1, b2))
+    val batch = EventsStream.dedupKeys((b1 ++ b2).toDF())
+    assert(streamed.count() == 3) // (u1,min20), (u2,min20), (u2,min21)
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
   test("file-source streaming read of the real events table") {
     // stage the single events file as a directory (the source contract)
     val dir = java.nio.file.Files.createTempDirectory("graft_events")
