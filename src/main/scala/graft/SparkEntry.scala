@@ -40,6 +40,7 @@ object SparkEntry {
     "q08_chargrams" -> (IrSql.q08CharGrams _),
     "q09_chargram_terms" -> (IrSql.q09CharGramTerms _),
     "q10_tfidf" -> ((s: SparkSession, d: String) => IrSql.q10TfIdf(s, d)),
+    "q10_bm25" -> ((s: SparkSession, d: String) => IrSql.q10Bm25(s, d)),
     "q11_join" -> (Relational.q11Join _),
     "q12_semi" -> (Relational.q12Semi _),
     "q12_anti" -> (Relational.q12Anti _),
@@ -111,6 +112,9 @@ object SparkEntry {
     "q27_fingerprint" -> (TextAnalysis.fingerprint _),
     "q27_filter_apply" ->
       ((s: SparkSession, d: String) => TextAnalysis.filterApply(s, d)),
+    "q24_sample" ->
+      ((s: SparkSession, d: String) => TextAnalysis.sampleByHash(s, d)),
+    "q27_pipeline" -> (TextAnalysis.corpusPipeline _),
   )
 
   /** DuckDB dialect equivalents. Dialect notes: regexp_replace needs the
@@ -290,6 +294,24 @@ object SparkEntry {
          n AS (SELECT count(*) AS n FROM documents)
          SELECT doc_id, round(sum((1.0 + ln(tf)) * log10(CAST(n AS DOUBLE) / CAST(df AS DOUBLE))), 4) AS score
          FROM wdf CROSS JOIN n
+         GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
+
+    // BM25 constants are interpolated from the same Scala doubles as
+    // the Spark plan (k1=1.2, b=0.75, k1+1=2.2, 1-b=0.25)
+    "q10_bm25" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS term
+           FROM documents),
+         t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+         len AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+         st AS (SELECT CAST(sum(dl) AS BIGINT) AS tt, count(*) AS nd FROM len),
+         tf AS (SELECT term, doc_id, count(*) AS tf FROM t
+                WHERE term IN ('merge', 'stream') GROUP BY term, doc_id),
+         wdf AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf)
+         SELECT doc_id,
+                round(sum(ln((nd - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+                          (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(tt AS DOUBLE) / nd)))), 4) AS score
+         FROM wdf JOIN len USING (doc_id) CROSS JOIN st
          GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
 
     "q11_join" ->

@@ -77,6 +77,47 @@ object TextAnalysis {
         col("alnum_ratio"))
       .orderBy("doc_id")
 
+  /** Deterministic hash-bucket corpus sampling — the standard way a
+    * training pipeline downsamples at scale: assign each doc a stable
+    * bucket from a content fingerprint, keep `keep` of `buckets`.
+    * A pure narrow filter (codegen'd hash, no shuffle), reproducible
+    * across runs, engines, and data relayouts — unlike rand()-based
+    * sampling, the kept set is a stable function of content. */
+  def sampleByHash(spark: SparkSession, dir: String,
+                   buckets: Int = 10, keep: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        pmod(graft.functions.GraftFunctions.polyhash(col("text"), P),
+          lit(buckets.toLong)).as("bucket"))
+      .filter(col("bucket") < keep)
+      .orderBy("doc_id")
+  }
+
+  /** The full training-data pipeline composed into ONE declarative
+    * plan: exact-dedup keepers → language/quality gate → deterministic
+    * hash-bucket sample → kept corpus. Each stage is a narrow join or
+    * filter on doc_id, so Catalyst plans the whole chain together
+    * (shared scans, pushed filters) — there is no materialization
+    * barrier between pipeline stages, which is exactly how the chain
+    * should run over 100 TB. */
+  def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val d = docs(spark, dir)
+    val keepers = d.groupBy(md5(col("text")).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val sampled = d.select(col("doc_id"),
+        pmod(graft.functions.GraftFunctions.polyhash(col("text"), P),
+          lit(10L)).as("bucket"))
+      .filter(col("bucket") < 8)
+    filterApply(spark, dir)
+      .join(keepers, "doc_id")
+      .join(sampled, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: rolling polynomial hash of the normalized
     * (tokenized, single-spaced) text — an order-sensitive content id,
     * complementing [[Dedup.exact]]'s md5 of the raw text. */

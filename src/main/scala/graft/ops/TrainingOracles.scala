@@ -20,6 +20,25 @@ object TrainingOracles {
   private def cos(a: String, b: String): String =
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
 
+  /** Shared CTE chain ending in `kept` = the lang/quality-gated corpus
+    * (doc_id, stop_ratio, n_tokens, alnum_ratio) — mirrors
+    * [[TextAnalysis.filterApply]]. */
+  private val filterKeptCtes =
+    s"""tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+       lid AS (SELECT doc_id,
+                      round(sum(CASE WHEN term IN (${TextAnalysis.EnStopwords.map("'" + _ + "'").mkString(", ")}) THEN 1 ELSE 0 END)
+                            / CAST(count(*) AS DOUBLE), 4) AS stop_ratio
+               FROM tok GROUP BY doc_id),
+       q AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw, $toks AS toks
+             FROM documents),
+       qual AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                       round(CAST(length(array_to_string(toks, ' ')) + 1 AS DOUBLE) / (n_chars_raw + 1), 4) AS alnum_ratio
+                FROM q),
+       kept AS (SELECT lid.doc_id AS doc_id, stop_ratio, n_tokens, alnum_ratio
+                FROM lid JOIN qual ON lid.doc_id = qual.doc_id
+                WHERE stop_ratio >= 0.03 AND n_tokens BETWEEN 20 AND 1000
+                  AND alnum_ratio >= 0.7)"""
+
   private val docShingles =
     s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
        sh AS (SELECT doc_id, unnest(list_distinct(${ddbShingles3("toks")})) AS shingle FROM d)"""
@@ -48,6 +67,14 @@ object TrainingOracles {
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
          ORDER BY doc_id""",
+
+    // deterministic hash-bucket sampling: stable function of content
+    "q24_sample" ->
+      s"""WITH h AS (SELECT doc_id, lang, n_chars,
+                            ${ddbPolyHash("text")} % 10 AS bucket
+                     FROM documents)
+         SELECT doc_id, lang, n_chars, bucket FROM h
+         WHERE bucket < 3 ORDER BY doc_id""",
 
     "q24_dedup_jaccard" ->
       s"""$docShingles,
@@ -237,21 +264,23 @@ object TrainingOracles {
 
     // filter apply: the lang/quality gate composed into the kept corpus
     "q27_filter_apply" ->
-      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
-         lid AS (SELECT doc_id,
-                        round(sum(CASE WHEN term IN (${TextAnalysis.EnStopwords.map("'" + _ + "'").mkString(", ")}) THEN 1 ELSE 0 END)
-                              / CAST(count(*) AS DOUBLE), 4) AS stop_ratio
-                 FROM tok GROUP BY doc_id),
-         q AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw, $toks AS toks
-               FROM documents),
-         qual AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-                         round(CAST(length(array_to_string(toks, ' ')) + 1 AS DOUBLE) / (n_chars_raw + 1), 4) AS alnum_ratio
-                  FROM q)
-         SELECT lid.doc_id, stop_ratio, n_tokens, alnum_ratio
-         FROM lid JOIN qual ON lid.doc_id = qual.doc_id
-         WHERE stop_ratio >= 0.03 AND n_tokens BETWEEN 20 AND 1000
-           AND alnum_ratio >= 0.7
-         ORDER BY lid.doc_id""",
+      s"""WITH $filterKeptCtes
+         SELECT doc_id, stop_ratio, n_tokens, alnum_ratio FROM kept
+         ORDER BY doc_id""",
+
+    // the whole pipeline (dedup keepers → quality gate → hash sample)
+    // as one statement — mirrors TextAnalysis.corpusPipeline
+    "q27_pipeline" ->
+      s"""WITH $filterKeptCtes,
+         keepers AS (SELECT min(doc_id) AS doc_id FROM documents
+                     GROUP BY md5(text)),
+         samp AS (SELECT doc_id, ${ddbPolyHash("text")} % 10 AS bucket
+                  FROM documents)
+         SELECT kept.doc_id, n_tokens, bucket
+         FROM kept JOIN keepers ON kept.doc_id = keepers.doc_id
+                   JOIN samp ON kept.doc_id = samp.doc_id
+         WHERE bucket < 8
+         ORDER BY kept.doc_id""",
 
     "q27_quality" ->
       s"""WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw, $toks AS toks

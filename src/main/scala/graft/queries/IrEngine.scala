@@ -73,12 +73,16 @@ object IrEngine {
     * build over the full corpus. */
   def q26MergedIndex(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
+    // split at the median-rank docid VALUE (docnos are assigned in
+    // docid sort order, so `docid <= boundary` ⟺ `docno <= half`):
+    // one row to the driver, then two narrow filters — no join of the
+    // corpus against its own numbering map
     val dm = graft.corpus.TrecCorpus.docnoMappingScalable(spark, c)
     val half = c.count() / 2
-    val first = c.join(dm.filter(col("docno") <= half).select("docid"),
-      "docid")
-    val second = c.join(dm.filter(col("docno") > half).select("docid"),
-      "docid")
+    val boundary =
+      dm.filter(col("docno") === half).select("docid").head().getString(0)
+    val first = c.filter(col("docid") <= boundary)
+    val second = c.filter(col("docid") > boundary)
     val merged = InvertedIndex.merge(spark,
       InvertedIndex.build(spark, first, k = 1), second, k = 1)
     InvertedIndex.nested(merged)

@@ -325,4 +325,39 @@ object IrSql {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(10)
   }
+
+  /** Q10b: BM25 top-10 for the same 1–2 term disjunctive query — the
+    * probabilistic scorer the reference's tf-idf predates (Robertson
+    * k1/b form with the Lucene `+1` inside the idf log so scores stay
+    * positive). Same normalized dataflow as [[q10TfIdf]]: per-term
+    * postings, window df, broadcast corpus stats; per-doc length joins
+    * in on doc_id. All constants are interpolated into BOTH engines
+    * from the same Scala doubles, and the ≤2-term score sum is a
+    * single commutative add — deterministic cross-engine. */
+  def q10Bm25(spark: SparkSession, dir: String,
+              terms: Seq[String] = DefaultQueryTerms,
+              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 2,
+      "reference accepts 1-2 word queries (SURVEY §2.2 arity predicate)")
+    val tok = tokens(spark, dir)
+    val len = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = len.agg(sum(col("dl")).as("tt"), count(lit(1)).as("nd"))
+    val tf = tok
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
+    withDf.join(len, "doc_id").join(broadcast(stats))
+      .select(col("doc_id"),
+        (log((col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") /
+            (col("tt").cast("double") / col("nd"))))).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("s")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
 }
