@@ -315,7 +315,11 @@ object Dedup {
                                        maxEdges: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
     pairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)]
-      .coalesce(1)
+      // repartition, NOT coalesce: coalesce(1) would pull the whole
+      // upstream final stage (candidate verify) into the single task
+      // on first materialization; the round-trip shuffle of a
+      // candidate-bounded edge list is cheap and keeps it parallel
+      .repartition(1)
       .mapPartitions { it =>
         val parent = scala.collection.mutable.LongMap.empty[Long]
         def add(x: Long): Unit = if (!parent.contains(x)) parent(x) = x

@@ -199,34 +199,69 @@ object Similarity {
     * final (cid, dim, c, n) centroid rows. */
   def kmeansCentroids(spark: SparkSession, dir: String,
                       iters: Int = 2): DataFrame = {
-    val e = emb(spark, dir)
-      .select(col("vec_id"), transform(col("embedding"), x =>
-        x.cast("double")).as("v"))
-      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
-    var cents = e.filter(col("vec_id") < IvfCentroids)
-      .select(col("vec_id").as("cid"), col("v").as("cvec"))
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    // centroids live driver-side between iterations (k×dims doubles —
+    // the MLlib pattern; broadcastable at any corpus size). Norms are
+    // the same sequential x*x fold the oracle's sqrt(dot(c,c)) runs.
+    def withNorms(cs: Array[(Long, Array[Double])])
+        : Array[(Long, Array[Double], Double)] =
+      cs.map { case (cid, cv) =>
+        var bb = 0.0; var i = 0
+        while (i < cv.length) { bb += cv(i) * cv(i); i += 1 }
+        (cid, cv, math.sqrt(bb))
+      }
+    var cents: Array[(Long, Array[Double], Double)] = withNorms(
+      e.filter(col("vec_id") < IvfCentroids)
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).toArray.map(_.toDouble))))
     var sums: DataFrame = null
-    for (_ <- 1 to iters) {
-      val c2 = cents.withColumn("nc", sqrt(dot(col("cvec"), col("cvec"))))
-      val assigned = e.crossJoin(broadcast(c2))
-        .select(col("vec_id"), col("v"),
-          struct((dot(col("v"), col("cvec")) / (col("nv") * col("nc")))
-            .as("s"), (-col("cid")).as("ncid")).as("sc"))
-        .groupBy(col("vec_id"))
-        .agg(max(col("sc")).as("m"), first(col("v")).as("v"))
-        .select((-col("m.ncid")).as("cid"), col("v"))
-      sums = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("dim0", "x")))
+    for (it <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      // one narrow scan: per vector, fold cos against each centroid in
+      // index order (bit-identical to the oracle's list_reduce), keep
+      // the argmax (ties → smallest cid). No crossJoin, no shuffle.
+      val assign = udf((v: Seq[Float]) => {
+        var aa = 0.0
+        var i = 0
+        while (i < v.length) {
+          val x = v(i).toDouble; aa += x * x; i += 1
+        }
+        val nv = math.sqrt(aa)
+        var bestS = Double.NegativeInfinity
+        var bestC = Long.MaxValue
+        for ((cid, cv, nc) <- bc.value) {
+          var ab = 0.0; var j = 0
+          while (j < cv.length) { ab += v(j).toDouble * cv(j); j += 1 }
+          val s = ab / (nv * nc)
+          if (s > bestS || (s == bestS && cid < bestC)) {
+            bestS = s; bestC = cid
+          }
+        }
+        bestC
+      })
+      sums = e
+        // cid BEFORE the explode (its own projection): inlined with
+        // the generator, the UDF would re-run once per generated row —
+        // a dims× blowup of the fold work
+        .select(assign(col("embedding")).as("cid"), col("embedding"))
+        .select(col("cid"), posexplode(col("embedding"))
+          .as(Seq("dim0", "x")))
         .groupBy(col("cid"), (col("dim0") + 1).as("dim"))
-        .agg(sum(round(col("x") * CentroidScale).cast("decimal(38,0)"))
-          .as("s"), count(lit(1)).as("n"))
+        .agg(sum(round(col("x").cast("double") * CentroidScale)
+          .cast("decimal(38,0)")).as("s"), count(lit(1)).as("n"))
         .select(col("cid"), col("dim"),
           (round(col("s").cast("double") / CentroidScale / col("n"), 4)
             + 0.0).as("c"),
           col("n"))
-      cents = sums.groupBy(col("cid"))
-        .agg(transform(sort_array(collect_list(struct(col("dim"),
-          col("c")))), x => x.getField("c")).as("cvec"))
+      if (it < iters)
+        cents = withNorms(
+          sums.orderBy("cid", "dim").collect()
+            .groupBy(_.getLong(0)).toArray.sortBy(_._1)
+            .map { case (cid, rows) =>
+              (cid, rows.sortBy(_.getAs[Number]("dim").longValue)
+                .map(_.getDouble(2)))
+            })
     }
     sums.orderBy("cid", "dim")
   }
