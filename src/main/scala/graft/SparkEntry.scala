@@ -90,6 +90,7 @@ object SparkEntry {
     "q25_centroids" -> (Similarity.labelCentroids _),
     "q25_kmeans" ->
       ((s: SparkSession, d: String) => Similarity.kmeansCentroids(s, d)),
+    "q25_semantic_clusters" -> (Similarity.semanticClusters _),
     // Faithful IR engine (tokenizer+stemmer not SQL-expressible →
     // rows-only driver check; conformance pinned by specs)
     "q26_ir_terms" -> (IrEngine.q26PipelineTerms _),

@@ -276,15 +276,21 @@ object Dedup {
     *    ([[clustersPropagate]]) — O(log diameter) rounds, one action
     *    per round, loop parallelism sized to the graph. */
   def dedupClusters(spark: SparkSession, dir: String,
-                    threshold: Double = 0.5): DataFrame = {
+                    threshold: Double = 0.5): DataFrame =
+    clusters(spark,
+      jaccard(spark, dir, threshold).select(col("doc_a"), col("doc_b")))
+
+  /** Connected components over an arbitrary (doc_a, doc_b) edge list —
+    * the shared engine behind [[dedupClusters]] and
+    * [[Similarity.semanticClusters]]. Optimistic single-action path:
+    * try union-find directly (its task guard aborts past
+    * [[SmallGraphEdges]]); pair generation materializes at full
+    * parallelism into the cache either way, so the rare giant graph
+    * pays only the aborted post-shuffle task before falling back to
+    * distributed propagation. */
+  def clusters(spark: SparkSession, pairsIn: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val pairs = jaccard(spark, dir, threshold)
-      .select(col("doc_a"), col("doc_b"))
-      .persist(MEMORY_AND_DISK)
-    // optimistic single-action path: try union-find directly (its task
-    // guard aborts past SmallGraphEdges); pair generation materializes
-    // at full parallelism into the cache either way, so the rare giant
-    // graph pays only the aborted post-shuffle task before falling back
+    val pairs = pairsIn.persist(MEMORY_AND_DISK)
     try clustersUnionFind(spark, pairs, SmallGraphEdges)
     catch {
       case e: Throwable if graphTooLarge(e) =>

@@ -77,6 +77,19 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** SemDeDup-style semantic clustering: connected components over the
+    * embedding near-dup graph ([[embedNearDup]]'s cosine ≥ 0.35 pairs)
+    * — one representative (min vec_id) per cluster of semantically
+    * near-identical items, the embedding-space counterpart of the
+    * lexical q24 duplicate clusters. Reuses the same union-find /
+    * distributed-propagation machinery. */
+  def semanticClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.clusters(spark,
+        embedNearDup(spark, dir)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster"), col("keeper"))
+      .orderBy("vec_id")
+
   /** Number of random hyperplanes = LSH signature bits. */
   val Planes = 16
 

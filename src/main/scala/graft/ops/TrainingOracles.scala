@@ -158,6 +158,25 @@ object TrainingOracles {
          SELECT vec_a, vec_b, round(c, 4) AS cos FROM p
          WHERE c >= 0.35 ORDER BY vec_a, vec_b""",
 
+    // SemDeDup clusters: recursive reachability over the cosine≥0.35
+    // pair graph (same CTE shape as q24_dedup_clusters)
+    "q25_semantic_clusters" ->
+      s"""WITH RECURSIVE em AS (SELECT vec_id, embedding FROM embeddings
+                                WHERE vec_id < 200),
+         p AS (SELECT a.vec_id AS u0, b.vec_id AS v0
+               FROM em a JOIN em b ON a.vec_id < b.vec_id
+               WHERE ${cos("a.embedding", "b.embedding")} >= 0.35),
+         e AS (SELECT u0 AS u, v0 AS v FROM p
+               UNION ALL SELECT v0, u0 FROM p),
+         nodes AS (SELECT DISTINCT u AS node FROM e),
+         r AS (SELECT node, node AS m FROM nodes
+               UNION
+               SELECT r.node, e.v FROM r JOIN e ON r.m = e.u)
+         SELECT node AS vec_id, min(m) AS cluster,
+                CASE WHEN min(m) = node THEN CAST(1 AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END AS keeper
+         FROM r GROUP BY node ORDER BY vec_id""",
+
     "q25_ann_lsh" ->
       s"""WITH $lshBucketCtes
          SELECT bucket, count(*) AS n FROM b GROUP BY bucket ORDER BY bucket""",
