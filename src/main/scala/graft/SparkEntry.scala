@@ -91,6 +91,8 @@ object SparkEntry {
     "q25_kmeans" ->
       ((s: SparkSession, d: String) => Similarity.kmeansCentroids(s, d)),
     "q25_semantic_clusters" -> (Similarity.semanticClusters _),
+    "q25_knn_join" ->
+      ((s: SparkSession, d: String) => Similarity.annKnnJoin(s, d)),
     // Faithful IR engine (tokenizer+stemmer not SQL-expressible →
     // rows-only driver check; conformance pinned by specs)
     "q26_ir_terms" -> (IrEngine.q26PipelineTerms _),

@@ -64,6 +64,31 @@ object Similarity {
       .select(col("vec_id"), round(col("c"), 4).as("cos"))
   }
 
+  /** k-NN JOIN: top-k cosine neighbors for EVERY query in a query set
+    * (vec_id < 4 here) — the batched form of [[annTopK]] and the shape
+    * a retrieval/eval pipeline actually runs. The query set broadcasts
+    * into one scan of the corpus; per-query top-k is a rank window
+    * partitioned by query id (shuffle keyed on qid — with a large
+    * query batch the key space is wide and the sort is k-bounded per
+    * group under AQE). */
+  def annKnnJoin(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    e.filter(col("vec_id") >= 4)
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("qv")).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("c").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn").cast("long").as("rn"), col("vec_id"),
+        round(col("c"), 4).as("cos"))
+      .orderBy("qid", "rn")
+  }
+
   /** Embedding near-dup: pairs with cosine ≥ 0.35 on the vec_id < 200
     * sample (synthetic data holds no >0.5 pairs — threshold exercises
     * the cutoff against real value spread). */

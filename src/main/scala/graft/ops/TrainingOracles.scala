@@ -158,6 +158,17 @@ object TrainingOracles {
          SELECT vec_a, vec_b, round(c, 4) AS cos FROM p
          WHERE c >= 0.35 ORDER BY vec_a, vec_b""",
 
+    // k-NN join: per-query rank window over the broadcast query set
+    "q25_knn_join" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                     WHERE vec_id < 4),
+         s AS (SELECT qid, vec_id, ${cos("embedding", "qv")} AS c,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY ${cos("embedding", "qv")} DESC, vec_id) AS rn
+               FROM embeddings CROSS JOIN q WHERE vec_id >= 4)
+         SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, round(c, 4) AS cos
+         FROM s WHERE rn <= 5 ORDER BY qid, rn""",
+
     // SemDeDup clusters: recursive reachability over the cosine≥0.35
     // pair graph (same CTE shape as q24_dedup_clusters)
     "q25_semantic_clusters" ->
