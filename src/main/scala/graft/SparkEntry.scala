@@ -105,6 +105,7 @@ object SparkEntry {
     "q29_streaming" -> (IrEngine.q29Streaming _),
     "q29_sliding" -> (IrEngine.q29Sliding _),
     "q29_dedup" -> (IrEngine.q29Dedup _),
+    "q29_join" -> (IrEngine.q29Join _),
     "q32_sessions" -> (IrEngine.q32Sessions _),
     // Temporal joins (as-of / range) — operators Spark lacks natively
     "q30_asof" -> (Temporal.q30AsOf _),
@@ -118,6 +119,7 @@ object SparkEntry {
     "q24_sample" ->
       ((s: SparkSession, d: String) => TextAnalysis.sampleByHash(s, d)),
     "q27_pipeline" -> (TextAnalysis.corpusPipeline _),
+    "q27_redact" -> (TextAnalysis.redactPii _),
   )
 
   /** DuckDB dialect equivalents. Dialect notes: regexp_replace needs the
@@ -519,6 +521,17 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_sec, user_id,
                 count(*) AS n_events, round(sum(value), 4) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY w_sec, user_id""",
+
+    // stream-stream interval join ≡ the batch interval self-join at µs
+    // precision (Spark's derived ts is ts_ns div 1000; epoch_us on a
+    // TIMESTAMP_NS truncates identically)
+    "q29_join" ->
+      """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id
+          AND epoch_us(b.ts) > epoch_us(a.ts)
+          AND epoch_us(b.ts) <= epoch_us(a.ts) + 60000000
+         ORDER BY a.user_id, a_id, b_id""",
 
     // streaming dedup emits only the key set, so the batch oracle is a
     // plain DISTINCT over the truncated event time

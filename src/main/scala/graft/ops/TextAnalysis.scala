@@ -118,6 +118,33 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Email/phone regexes shared by the Spark plan and the DuckDB
+    * oracle (simple enough to mean the same thing in java.util.regex
+    * and RE2). */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{4}-[0-9]{4}"
+
+  /** PII redaction — the scrubbing pass a training pipeline runs
+    * before text ships: regex replacement of emails and phone numbers,
+    * plus per-doc match counts for audit. The synthetic corpus holds
+    * no natural PII, so each doc is first enriched with a
+    * deterministic contact line — that makes the redaction observable
+    * and oracle-checkable end to end. Narrow per-row regex pipeline,
+    * no shuffle except the output sort. */
+  def redactPii(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), concat(col("text"), format_string(
+        " contact user%d@example.com or 555-0%03d-%04d.",
+        col("doc_id"), pmod(col("doc_id"), lit(1000L)),
+        pmod(col("doc_id") * 7, lit(10000L)))).as("t"))
+      .select(col("doc_id"),
+        md5(regexp_replace(
+          regexp_replace(col("t"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>")).as("clean_digest"),
+        regexp_count(col("t"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("t"), lit(PhoneRe)).cast("long").as("n_phones"))
+      .orderBy("doc_id")
+
   /** Document fingerprint: rolling polynomial hash of the normalized
     * (tokenized, single-spaced) text — an order-sensitive content id,
     * complementing [[Dedup.exact]]'s md5 of the raw text. */

@@ -312,6 +312,26 @@ object TrainingOracles {
          WHERE bucket < 8
          ORDER BY kept.doc_id""",
 
+    // PII redaction over the deterministically-enriched corpus; the
+    // regexes are shared Scala constants (same meaning in RE2/Java)
+    "q27_redact" -> {
+      // DuckDB standard strings don't process backslash escapes, so the
+      // Scala regex value (containing literal `\.`) embeds verbatim
+      val em = TextAnalysis.EmailRe
+      val ph = TextAnalysis.PhoneRe
+      s"""WITH e AS (SELECT doc_id,
+                text || ' contact user' || doc_id || '@example.com or 555-0' ||
+                printf('%03d', doc_id % 1000) || '-' ||
+                printf('%04d', (doc_id * 7) % 10000) || '.' AS t
+              FROM documents)
+         SELECT doc_id,
+                md5(regexp_replace(regexp_replace(t, '$em', '<EMAIL>', 'g'),
+                                   '$ph', '<PHONE>', 'g')) AS clean_digest,
+                CAST(len(regexp_extract_all(t, '$em')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(t, '$ph')) AS BIGINT) AS n_phones
+         FROM e ORDER BY doc_id"""
+    },
+
     "q27_quality" ->
       s"""WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw, $toks AS toks
                      FROM documents)

@@ -155,6 +155,29 @@ object IrEngine {
     spark.table(name).orderBy("user_id", "min_sec")
   }
 
+  /** Stream-stream interval join end-to-end: two file-source streams
+    * over the staged events dir, watermarked interval join (same-user
+    * events within the following minute), append sink. */
+  def q29Join(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventsStream
+    val staged = stagedOnce(dir, "ev") { root =>
+      java.nio.file.Files.createDirectories(root)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        root.resolve("part-0.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val name = "q29j_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = EventsStream.followJoin(
+        EventsStream.readEvents(spark, staged.toString),
+        EventsStream.readEvents(spark, staged.toString))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).orderBy("user_id", "a_id", "b_id")
+  }
+
   /** Sliding-window aggregation over events (batch form of the
     * streaming `slidingCounts` transform — 1 h windows every 30 min,
     * so each event lands in exactly two overlapping windows; the

@@ -84,6 +84,28 @@ object EventsStream {
         unix_micros(col("session_window.start")).as("start_us"),
         col("n_events"), round(col("sv"), 4).as("total_value"))
 
+  /** Stream-stream INTERVAL join: for each event, the events of the
+    * same user in the following minute. Both sides are watermarked and
+    * the time-range predicate is on the event-time columns, so Spark
+    * derives state-eviction bounds for both join buffers (state holds
+    * only watermark+range — bounded at any throughput). The same
+    * transform on two batch frames is the batch interval join the
+    * oracle runs (µs arithmetic on both engines). */
+  def followJoin(left: DataFrame, right: DataFrame,
+                 watermark: String = "2 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("event_id").as("a_id"), col("user_id"),
+        col("ts").as("a_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("event_id").as("b_id"),
+        col("user_id").as("r_user_id"), col("ts").as("b_ts"))
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 1 MINUTE"))
+      .select(col("user_id"), col("a_id"), col("b_id"))
+  }
+
   /** Streaming exact dedup: watermarked `dropDuplicates` on
     * (user_id, minute) — the stateful streaming counterpart of
     * [[graft.ops.Dedup.exact]]. The truncated event-time column is part

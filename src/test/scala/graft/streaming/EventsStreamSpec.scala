@@ -144,6 +144,32 @@ class EventsStreamSpec extends SparkSpec {
     assert(batch.except(streamed).count() == 0)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val inL = MemoryStream[Event]
+    val inR = MemoryStream[Event]
+    // user 1: chain at 0s/30s/70s → pairs (1,2),(2,3) within 60s but
+    // NOT (1,3) at 70s; user 2 isolated
+    val events = Seq(
+      Event(1, 1, ts(0), 1.0), Event(2, 1, ts(30), 1.0),
+      Event(3, 1, ts(70), 1.0), Event(4, 2, ts(0), 1.0))
+    val joined = EventsStream.followJoin(inL.toDF(), inR.toDF())
+    val q = joined.writeStream.format("memory").queryName("followjoin")
+      .outputMode("append").start()
+    inL.addData(events); inR.addData(events)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("followjoin")
+      .select("user_id", "a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == Set((1L, 1L, 2L), (1L, 2L, 3L)))
+    val batch = EventsStream.followJoin(events.toDF(), events.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch == streamed)
+  }
+
   test("file-source streaming read of the real events table") {
     // stage the single events file as a directory (the source contract)
     val dir = java.nio.file.Files.createTempDirectory("graft_events")
