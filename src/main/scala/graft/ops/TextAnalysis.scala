@@ -145,6 +145,16 @@ object TextAnalysis {
         regexp_count(col("t"), lit(PhoneRe)).cast("long").as("n_phones"))
       .orderBy("doc_id")
 
+  /** Materialize a corpus partitioned by language — the standard
+    * training-data layout: downstream readers prune whole partitions
+    * by `lang`, and the repartition on (lang, doc_id mod filesPerLang)
+    * bounds files per partition so one dominant language neither
+    * funnels through a single task nor produces one giant file. */
+  def writeCorpus(df: DataFrame, dir: String, filesPerLang: Int = 4): Unit =
+    df.repartition(col("lang"),
+        pmod(col("doc_id"), lit(filesPerLang.toLong)))
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+
   /** Document fingerprint: rolling polynomial hash of the normalized
     * (tokenized, single-spaced) text — an order-sensitive content id,
     * complementing [[Dedup.exact]]'s md5 of the raw text. */

@@ -136,6 +136,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(s3 == total)
   }
 
+  test("order-sensitive outputs are invariant under shuffle-partition " +
+    "count — the cross-engine determinism claim, mechanically") {
+    // the fixed-point centroid sums, k-means means, and hash folds all
+    // claim order-insensitivity; re-running under a different shuffle
+    // parallelism permutes every aggregation's input order, so equal
+    // output here is the claim made mechanical
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).sorted.toSeq
+    val conf = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(conf)
+    val at4 = Seq(
+      canon(Similarity.labelCentroids(spark, dir)),
+      canon(Similarity.kmeansCentroids(spark, dir)),
+      canon(graft.ops.TextAnalysis.sampleByHash(spark, dir)))
+    try {
+      spark.conf.set(conf, "1")
+      val at1 = Seq(
+        canon(Similarity.labelCentroids(spark, dir)),
+        canon(Similarity.kmeansCentroids(spark, dir)),
+        canon(graft.ops.TextAnalysis.sampleByHash(spark, dir)))
+      assert(at1 == at4)
+    } finally spark.conf.set(conf, before)
+  }
+
   test("exact dedup finds no duplicates in the synthetic corpus") {
     assert(Dedup.exact(spark, dir).filter(col("n_dups") > 1).count() == 0)
   }
