@@ -168,6 +168,10 @@ object IrEngine {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     val name = "q29j_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    // the dominant cost is inherent: a stream-stream join buffers BOTH
+    // inputs in the state store (~2× corpus rows of puts for a bounded
+    // replay in one micro-batch); partition-count tuning was measured
+    // flat (6.4s at 8 and at 32 partitions, sf0.1)
     val q = EventsStream.followJoin(
         EventsStream.readEvents(spark, staged.toString),
         EventsStream.readEvents(spark, staged.toString))
