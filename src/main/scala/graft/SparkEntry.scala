@@ -301,21 +301,21 @@ object SparkEntry {
          FROM wdf CROSS JOIN n
          GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
 
-    // BM25 constants are interpolated from the same Scala doubles as
-    // the Spark plan (k1=1.2, b=0.75, k1+1=2.2, 1-b=0.25)
+    // constants genuinely interpolated from IrSql.Bm25K1/Bm25B and
+    // DefaultQueryTerms — the same Scala values the plan uses
     "q10_bm25" ->
-      """WITH tok AS (
+      s"""WITH tok AS (
            SELECT doc_id, unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS term
            FROM documents),
          t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
          len AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
          st AS (SELECT CAST(sum(dl) AS BIGINT) AS tt, count(*) AS nd FROM len),
          tf AS (SELECT term, doc_id, count(*) AS tf FROM t
-                WHERE term IN ('merge', 'stream') GROUP BY term, doc_id),
+                WHERE term IN (${IrSql.DefaultQueryTerms.map("'" + _ + "'").mkString(", ")}) GROUP BY term, doc_id),
          wdf AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf)
          SELECT doc_id,
-                round(sum(ln((nd - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
-                          (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(tt AS DOUBLE) / nd)))), 4) AS score
+                round(sum(ln((nd - df + 0.5) / (df + 0.5) + 1.0) * (tf * ${IrSql.Bm25K1 + 1}) /
+                          (tf + ${IrSql.Bm25K1} * (${1 - IrSql.Bm25B} + ${IrSql.Bm25B} * dl / (CAST(tt AS DOUBLE) / nd)))), 4) AS score
          FROM wdf JOIN len USING (doc_id) CROSS JOIN st
          GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
 

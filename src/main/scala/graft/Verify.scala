@@ -6,7 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args
-    // optional trailing names: dump only that subset (local iteration)
+    // optional trailing names: dump only that subset (local iteration);
+    // a typo'd name must fail loudly, not silently dump nothing
+    val unknown = rest.toSet -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val subset: Map[String, (SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =
       if (rest.isEmpty) SparkEntry.queries

@@ -291,11 +291,20 @@ object Dedup {
   def clusters(spark: SparkSession, pairsIn: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val pairs = pairsIn.persist(MEMORY_AND_DISK)
-    try clustersUnionFind(spark, pairs, SmallGraphEdges)
-    catch {
+    try {
+      val uf = clustersUnionFind(spark, pairs, SmallGraphEdges)
+        .persist(MEMORY_AND_DISK)
+      // materialize INSIDE the try: the union-find plan is lazy, so a
+      // bare return would surface the task-side size guard at the
+      // CALLER's first action — past this fallback. The count also
+      // lets the edge cache release in `finally` (the r4 review found
+      // both: an unreachable fallback and a leaked cache).
+      uf.count()
+      uf
+    } catch {
       case e: Throwable if graphTooLarge(e) =>
         clustersPropagate(spark, pairs, pairs.count())
-    }
+    } finally pairs.unpersist()
   }
 
   private def graphTooLarge(e: Throwable): Boolean =
@@ -407,6 +416,8 @@ object Dedup {
         throw new IllegalStateException(
           s"dedupClusters: min-label propagation not converged after " +
             s"$rounds rounds ($changed labels still changing)")
+      // labels is checkpoint-backed — the edge cache is done
+      edges.unpersist()
       labels
         .select(col("node").as("doc_id"), col("lab").as("cluster"),
           when(col("node") === col("lab"), 1L).otherwise(0L).as("keeper"))

@@ -85,7 +85,8 @@ object Similarity {
           .orderBy(col("c").desc, col("vec_id"))))
       .filter(col("rn") <= k)
       .select(col("qid"), col("rn").cast("long").as("rn"), col("vec_id"),
-        round(col("c"), 4).as("cos"))
+        // + 0.0: IEEE -0.0 canonicalization (see cosinePairs)
+        (round(col("c"), 4) + 0.0).as("cos"))
       .orderBy("qid", "rn")
   }
 
@@ -237,6 +238,7 @@ object Similarity {
     * final (cid, dim, c, n) centroid rows. */
   def kmeansCentroids(spark: SparkSession, dir: String,
                       iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"kmeansCentroids needs iters >= 1, got $iters")
     val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
     // centroids live driver-side between iterations (k×dims doubles —
     // the MLlib pattern; broadcastable at any corpus size). Norms are

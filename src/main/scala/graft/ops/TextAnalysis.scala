@@ -83,13 +83,19 @@ object TextAnalysis {
     * A pure narrow filter (codegen'd hash, no shuffle), reproducible
     * across runs, engines, and data relayouts — unlike rand()-based
     * sampling, the kept set is a stable function of content. */
+  /** Stable content bucket in [0, buckets) — the one sampling key,
+    * shared by [[sampleByHash]] and [[corpusPipeline]]. */
+  private def hashBucket(text: org.apache.spark.sql.Column,
+                         buckets: Int): org.apache.spark.sql.Column =
+    pmod(graft.functions.GraftFunctions.polyhash(text, P),
+      lit(buckets.toLong))
+
   def sampleByHash(spark: SparkSession, dir: String,
                    buckets: Int = 10, keep: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     docs(spark, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"),
-        pmod(graft.functions.GraftFunctions.polyhash(col("text"), P),
-          lit(buckets.toLong)).as("bucket"))
+        hashBucket(col("text"), buckets).as("bucket"))
       .filter(col("bucket") < keep)
       .orderBy("doc_id")
   }
@@ -108,8 +114,7 @@ object TextAnalysis {
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
     val sampled = d.select(col("doc_id"),
-        pmod(graft.functions.GraftFunctions.polyhash(col("text"), P),
-          lit(10L)).as("bucket"))
+        hashBucket(col("text"), 10).as("bucket"))
       .filter(col("bucket") < 8)
     filterApply(spark, dir)
       .join(keepers, "doc_id")

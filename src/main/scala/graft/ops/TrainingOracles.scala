@@ -166,7 +166,8 @@ object TrainingOracles {
                       row_number() OVER (PARTITION BY qid
                         ORDER BY ${cos("embedding", "qv")} DESC, vec_id) AS rn
                FROM embeddings CROSS JOIN q WHERE vec_id >= 4)
-         SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, round(c, 4) AS cos
+         SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id,
+                round(c, 4) + 0.0 AS cos
          FROM s WHERE rn <= 5 ORDER BY qid, rn""",
 
     // SemDeDup clusters: recursive reachability over the cosine≥0.35

@@ -79,8 +79,11 @@ object IrEngine {
     // corpus against its own numbering map
     val dm = graft.corpus.TrecCorpus.docnoMappingScalable(spark, c)
     val half = c.count() / 2
+    // half == 0 (corpus of 0-1 docs) degenerates to an empty base +
+    // full delta, which merge's empty-base bootstrap handles
     val boundary =
-      dm.filter(col("docno") === half).select("docid").head().getString(0)
+      if (half == 0) ""
+      else dm.filter(col("docno") === half).select("docid").head().getString(0)
     val first = c.filter(col("docid") <= boundary)
     val second = c.filter(col("docid") > boundary)
     val merged = InvertedIndex.merge(spark,
@@ -105,21 +108,28 @@ object IrEngine {
     QueryEngine.wildcardTerms(cg, "st*am")
   }
 
-  /** Structured Streaming end-to-end through the driver contract: stage
-    * the events file as a stream-source directory, run the watermarked
-    * tumbling-window aggregation to completion, return the sink. */
-  def q29Streaming(spark: SparkSession, dir: String): DataFrame = {
-    import graft.streaming.EventsStream
-    val staged = stagedOnce(dir, "ev") { root =>
+  /** Stage the events table as a stream-source directory (shared by
+    * every q29 streaming query — one layout, one place to change). */
+  private def stagedEvents(dir: String): String =
+    stagedOnce(dir, "ev") { root =>
       java.nio.file.Files.createDirectories(root)
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"),
         root.resolve("part-0.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    val name = "q29_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+
+  /** Structured Streaming end-to-end through the driver contract: stage
+    * the events file as a stream-source directory, run the watermarked
+    * tumbling-window aggregation to completion, return the sink. */
+  def q29Streaming(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventsStream
+    val staged = stagedEvents(dir)
+    // fixed sink name: each run REPLACES the temp view, so repeated
+    // invocations pin at most one result copy (r4 review)
+    val name = "q29_sink"
     val q = EventsStream.tumblingCounts(
-        EventsStream.readEvents(spark, staged.toString),
+        EventsStream.readEvents(spark, staged),
         windowLen = "1 hour", watermark = "0 seconds")
       .writeStream.format("memory").queryName(name)
       // complete mode: a bounded replay must also emit the windows the
@@ -138,16 +148,10 @@ object IrEngine {
     * watermarked dropDuplicates, emit the deduped key set. */
   def q29Dedup(spark: SparkSession, dir: String): DataFrame = {
     import graft.streaming.EventsStream
-    val staged = stagedOnce(dir, "ev") { root =>
-      java.nio.file.Files.createDirectories(root)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        root.resolve("part-0.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-    val name = "q29d_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val staged = stagedEvents(dir)
+    val name = "q29d_sink"
     val q = EventsStream.dedupKeys(
-        EventsStream.readEvents(spark, staged.toString))
+        EventsStream.readEvents(spark, staged))
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     q.processAllAvailable()
@@ -160,21 +164,15 @@ object IrEngine {
     * events within the following minute), append sink. */
   def q29Join(spark: SparkSession, dir: String): DataFrame = {
     import graft.streaming.EventsStream
-    val staged = stagedOnce(dir, "ev") { root =>
-      java.nio.file.Files.createDirectories(root)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        root.resolve("part-0.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-    val name = "q29j_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val staged = stagedEvents(dir)
+    val name = "q29j_sink"
     // the dominant cost is inherent: a stream-stream join buffers BOTH
     // inputs in the state store (~2× corpus rows of puts for a bounded
     // replay in one micro-batch); partition-count tuning was measured
     // flat (6.4s at 8 and at 32 partitions, sf0.1)
     val q = EventsStream.followJoin(
-        EventsStream.readEvents(spark, staged.toString),
-        EventsStream.readEvents(spark, staged.toString))
+        EventsStream.readEvents(spark, staged),
+        EventsStream.readEvents(spark, staged))
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     q.processAllAvailable()

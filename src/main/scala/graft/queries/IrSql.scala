@@ -334,9 +334,14 @@ object IrSql {
     * in on doc_id. All constants are interpolated into BOTH engines
     * from the same Scala doubles, and the ≤2-term score sum is a
     * single commutative add — deterministic cross-engine. */
+  /** BM25 constants — referenced by BOTH the Spark plan and the
+    * generated oracle SQL so the two cannot drift. */
+  val Bm25K1: Double = 1.2
+  val Bm25B: Double = 0.75
+
   def q10Bm25(spark: SparkSession, dir: String,
               terms: Seq[String] = DefaultQueryTerms,
-              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+              k1: Double = Bm25K1, b: Double = Bm25B): DataFrame = {
     require(terms.nonEmpty && terms.size <= 2,
       "reference accepts 1-2 word queries (SURVEY §2.2 arity predicate)")
     val tok = tokens(spark, dir)
