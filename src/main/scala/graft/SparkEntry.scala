@@ -120,6 +120,9 @@ object SparkEntry {
       ((s: SparkSession, d: String) => TextAnalysis.sampleByHash(s, d)),
     "q27_pipeline" -> (TextAnalysis.corpusPipeline _),
     "q27_redact" -> (TextAnalysis.redactPii _),
+    "q27_corpus_stats" -> (TextAnalysis.corpusStats _),
+    "q24_dedup_delta" -> (Dedup.deltaDedup _),
+    "q25_joint_dedup" -> (Similarity.jointDedup _),
   )
 
   /** DuckDB dialect equivalents. Dialect notes: regexp_replace needs the

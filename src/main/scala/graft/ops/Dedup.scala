@@ -275,6 +275,26 @@ object Dedup {
     *  - larger: distributed min-label propagation with pointer jumping
     *    ([[clustersPropagate]]) — O(log diameter) rounds, one action
     *    per round, loop parallelism sized to the graph. */
+  /** INCREMENTAL dedup: check a delta (the upper half of doc ids)
+    * against the base corpus WITHOUT re-comparing base-vs-base — the
+    * operation a continuously-ingesting pipeline runs per batch. One
+    * digest semi-probe of the delta into the base's digest set (at
+    * scale: the base digests are a bucketed/indexed table, the probe
+    * is a broadcast or bucket-local join — never a corpus self-join).
+    * Output: each delta doc with its dup-in-base flag. */
+  def deltaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val half = d.count() / 2
+    val base = d.filter(col("doc_id") < half)
+      .select(md5(col("text")).as("digest")).distinct()
+    d.filter(col("doc_id") >= half)
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+      .join(base.withColumn("in_base", lit(1L)), Seq("digest"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("in_base"), lit(0L)) === 1L).as("dup_in_base"))
+      .orderBy("doc_id")
+  }
+
   def dedupClusters(spark: SparkSession, dir: String,
                     threshold: Double = 0.5): DataFrame =
     clusters(spark,

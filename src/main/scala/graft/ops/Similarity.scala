@@ -116,6 +116,27 @@ object Similarity {
       .select(col("doc_id").as("vec_id"), col("cluster"), col("keeper"))
       .orderBy("vec_id")
 
+  /** JOINT lexical+semantic dedup — the full modern pipeline gate in
+    * one plan: a doc survives if it is its exact-duplicate group's
+    * keeper (min doc_id per md5) AND not a non-keeper member of a
+    * semantic cluster ([[semanticClusters]]; vec_id aligns 1:1 with
+    * doc_id in the testdata). Docs outside the near-dup graph are
+    * trivially semantic keepers. Both gates are bounded-size joins
+    * against the corpus scan. */
+  def jointDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.load(spark, dir, "documents")
+    val lexKeepers = d.groupBy(md5(col("text")).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val semDrop = semanticClusters(spark, dir)
+      .filter(col("keeper") === 0)
+      .select(col("vec_id").as("doc_id"))
+    d.join(lexKeepers, "doc_id")
+      .join(semDrop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Number of random hyperplanes = LSH signature bits. */
   val Planes = 16
 

@@ -160,6 +160,29 @@ object TextAnalysis {
         pmod(col("doc_id"), lit(filesPerLang.toLong)))
       .write.mode("overwrite").partitionBy("lang").parquet(dir)
 
+  /** One-row corpus report — the summary panel a pipeline publishes
+    * per snapshot: doc count, token volume, vocabulary size, mean doc
+    * length, exact-duplicate rate. Single pass + one distinct-agg
+    * (vocab), all partial-aggregated. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("text"),
+        tokensArrayFast(col("text")).as("toks"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("total_tokens"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts"))
+      .crossJoin(
+        docs(spark, dir)
+          .select(explode(tokensArrayFast(col("text"))).as("term"))
+          .agg(countDistinct(col("term")).as("vocab")))
+      .select(col("n_docs"), col("total_tokens"), col("vocab"),
+        round(col("total_tokens").cast("double") / col("n_docs"), 4)
+          .as("avg_doc_tokens"),
+        round(lit(1.0) -
+          col("n_distinct_texts").cast("double") / col("n_docs"), 4)
+          .as("dup_rate"))
+
   /** Document fingerprint: rolling polynomial hash of the normalized
     * (tokenized, single-spaced) text — an order-sensitive content id,
     * complementing [[Dedup.exact]]'s md5 of the raw text. */

@@ -68,6 +68,53 @@ object TrainingOracles {
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
          ORDER BY doc_id""",
 
+    // delta-vs-base incremental dedup: digest probe, no base self-join
+    "q24_dedup_delta" ->
+      """WITH h AS (SELECT count(*) // 2 AS half FROM documents),
+         base AS (SELECT DISTINCT md5(text) AS digest
+                  FROM documents CROSS JOIN h WHERE doc_id < half)
+         SELECT doc_id,
+                md5(text) IN (SELECT digest FROM base) AS dup_in_base
+         FROM documents CROSS JOIN h WHERE doc_id >= half
+         ORDER BY doc_id""",
+
+    // joint gate: exact-dup keeper AND not a semantic-cluster member
+    // dropped by SemDeDup (recursive CTE over the cosine>=0.35 graph)
+    "q25_joint_dedup" ->
+      s"""WITH RECURSIVE em AS (SELECT vec_id, embedding FROM embeddings
+                                WHERE vec_id < 200),
+         p AS (SELECT a.vec_id AS u0, b.vec_id AS v0
+               FROM em a JOIN em b ON a.vec_id < b.vec_id
+               WHERE ${cos("a.embedding", "b.embedding")} >= 0.35),
+         e AS (SELECT u0 AS u, v0 AS v FROM p
+               UNION ALL SELECT v0, u0 FROM p),
+         nodes AS (SELECT DISTINCT u AS node FROM e),
+         r AS (SELECT node, node AS m FROM nodes
+               UNION
+               SELECT r.node, e.v FROM r JOIN e ON r.m = e.u),
+         semdrop AS (SELECT node AS doc_id FROM r GROUP BY node
+                     HAVING min(m) <> node),
+         lex AS (SELECT min(doc_id) AS doc_id FROM documents
+                 GROUP BY md5(text))
+         SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+         WHERE d.doc_id IN (SELECT doc_id FROM lex)
+           AND d.doc_id NOT IN (SELECT doc_id FROM semdrop)
+         ORDER BY d.doc_id""",
+
+    // one-row corpus report
+    "q27_corpus_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+         v AS (SELECT count(DISTINCT term) AS vocab
+               FROM (SELECT unnest(toks) AS term FROM t)),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+                      CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+               FROM t)
+         SELECT n_docs, total_tokens, CAST(vocab AS BIGINT) AS vocab,
+                round(CAST(total_tokens AS DOUBLE) / n_docs, 4) AS avg_doc_tokens,
+                round(1.0 - CAST(n_distinct AS DOUBLE) / n_docs, 4) AS dup_rate
+         FROM s CROSS JOIN v""",
+
     // deterministic hash-bucket sampling: stable function of content
     "q24_sample" ->
       s"""WITH h AS (SELECT doc_id, lang, n_chars,
