@@ -257,24 +257,6 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Duplicate-CLUSTER resolution: connected components over the
-    * near-dup pair graph (J ≥ threshold), labeling every involved doc
-    * with its component's smallest doc_id and flagging that doc as the
-    * cluster keeper — the step a dedup pipeline runs after pair
-    * generation to drop all-but-one of each duplicate group
-    * transitively (A~B, B~C ⇒ {A,B,C} one cluster even if A≁C).
-    *
-    * Two execution paths, picked by the measured edge count (the pair
-    * graph holds only near-dup MEMBERS, so it is tiny relative to the
-    * corpus at any scale — 100 TB of docs with 1% near-dups is still a
-    * graph that fits one task):
-    *  - ≤ [[SmallGraphEdges]] edges: ONE executor task runs union-find
-    *    over the edge list ([[clustersUnionFind]]) — no per-round Spark
-    *    jobs at all (the r3 iterative loop was scheduler-bound: 17.6s
-    *    of near-empty 32-partition stages for a 477-node graph);
-    *  - larger: distributed min-label propagation with pointer jumping
-    *    ([[clustersPropagate]]) — O(log diameter) rounds, one action
-    *    per round, loop parallelism sized to the graph. */
   /** INCREMENTAL dedup: check a delta (the upper half of doc ids)
     * against the base corpus WITHOUT re-comparing base-vs-base — the
     * operation a continuously-ingesting pipeline runs per batch. One
@@ -295,6 +277,24 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Duplicate-CLUSTER resolution: connected components over the
+    * near-dup pair graph (J ≥ threshold), labeling every involved doc
+    * with its component's smallest doc_id and flagging that doc as the
+    * cluster keeper — the step a dedup pipeline runs after pair
+    * generation to drop all-but-one of each duplicate group
+    * transitively (A~B, B~C ⇒ {A,B,C} one cluster even if A≁C).
+    *
+    * Two execution paths, picked by the measured edge count (the pair
+    * graph holds only near-dup MEMBERS, so it is tiny relative to the
+    * corpus at any scale — 100 TB of docs with 1% near-dups is still a
+    * graph that fits one task):
+    *  - ≤ [[SmallGraphEdges]] edges: ONE executor task runs union-find
+    *    over the edge list ([[clustersUnionFind]]) — no per-round Spark
+    *    jobs at all (the r3 iterative loop was scheduler-bound: 17.6s
+    *    of near-empty 32-partition stages for a 477-node graph);
+    *  - larger: distributed min-label propagation with pointer jumping
+    *    ([[clustersPropagate]]) — O(log diameter) rounds, one action
+    *    per round, loop parallelism sized to the graph. */
   def dedupClusters(spark: SparkSession, dir: String,
                     threshold: Double = 0.5): DataFrame =
     clusters(spark,
@@ -311,17 +311,14 @@ object Dedup {
   def clusters(spark: SparkSession, pairsIn: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val pairs = pairsIn.persist(MEMORY_AND_DISK)
-    try {
-      val uf = clustersUnionFind(spark, pairs, SmallGraphEdges)
-        .persist(MEMORY_AND_DISK)
-      // materialize INSIDE the try: the union-find plan is lazy, so a
-      // bare return would surface the task-side size guard at the
-      // CALLER's first action — past this fallback. The count also
-      // lets the edge cache release in `finally` (the r4 review found
-      // both: an unreachable fallback and a leaked cache).
-      uf.count()
-      uf
-    } catch {
+    // eager localCheckpoint: materializes INSIDE the try (the lazy plan
+    // would surface the task-side size guard at the CALLER's first
+    // action — past this fallback) and holds the per-node result
+    // without a CacheManager entry — the ContextCleaner releases it
+    // when the result goes unreferenced, so repeated invocations don't
+    // accumulate pinned caches.
+    try clustersUnionFind(spark, pairs, SmallGraphEdges).localCheckpoint()
+    catch {
       case e: Throwable if graphTooLarge(e) =>
         clustersPropagate(spark, pairs, pairs.count())
     } finally pairs.unpersist()
@@ -403,12 +400,12 @@ object Dedup {
     val parts = math.max(1, (nEdges / 100000L).toInt)
     val shufConf = "spark.sql.shuffle.partitions"
     val prevShuf = spark.conf.get(shufConf)
+    spark.conf.set(shufConf, parts.toString)
+    val edges = pairs.union(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .repartition(parts, col("doc_b"))
+      .persist(MEMORY_AND_DISK)
     try {
-      spark.conf.set(shufConf, parts.toString)
-      val edges = pairs.union(
-          pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .repartition(parts, col("doc_b"))
-        .persist(MEMORY_AND_DISK)
       var labels = edges.select(col("doc_a").as("node")).distinct()
         .withColumn("lab", col("node"))
         .localCheckpoint()
@@ -436,13 +433,16 @@ object Dedup {
         throw new IllegalStateException(
           s"dedupClusters: min-label propagation not converged after " +
             s"$rounds rounds ($changed labels still changing)")
-      // labels is checkpoint-backed — the edge cache is done
-      edges.unpersist()
       labels
         .select(col("node").as("doc_id"), col("lab").as("cluster"),
           when(col("node") === col("lab"), 1L).otherwise(0L).as("keeper"))
         .orderBy("doc_id")
-    } finally spark.conf.set(shufConf, prevShuf)
+    } finally {
+      // labels is checkpoint-backed, so the edge cache releases on the
+      // success path AND the non-convergence / job-failure paths
+      edges.unpersist()
+      spark.conf.set(shufConf, prevShuf)
+    }
   }
 
   /** SimHash bit width (polyHash mod P is < 2^30). */

@@ -77,12 +77,6 @@ object TextAnalysis {
         col("alnum_ratio"))
       .orderBy("doc_id")
 
-  /** Deterministic hash-bucket corpus sampling — the standard way a
-    * training pipeline downsamples at scale: assign each doc a stable
-    * bucket from a content fingerprint, keep `keep` of `buckets`.
-    * A pure narrow filter (codegen'd hash, no shuffle), reproducible
-    * across runs, engines, and data relayouts — unlike rand()-based
-    * sampling, the kept set is a stable function of content. */
   /** Stable content bucket in [0, buckets) — the one sampling key,
     * shared by [[sampleByHash]] and [[corpusPipeline]]. */
   private def hashBucket(text: org.apache.spark.sql.Column,
@@ -90,6 +84,12 @@ object TextAnalysis {
     pmod(graft.functions.GraftFunctions.polyhash(text, P),
       lit(buckets.toLong))
 
+  /** Deterministic hash-bucket corpus sampling — the standard way a
+    * training pipeline downsamples at scale: assign each doc a stable
+    * bucket from a content fingerprint, keep `keep` of `buckets`.
+    * A pure narrow filter (codegen'd hash, no shuffle), reproducible
+    * across runs, engines, and data relayouts — unlike rand()-based
+    * sampling, the kept set is a stable function of content. */
   def sampleByHash(spark: SparkSession, dir: String,
                    buckets: Int = 10, keep: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -162,20 +162,19 @@ object TextAnalysis {
 
   /** One-row corpus report — the summary panel a pipeline publishes
     * per snapshot: doc count, token volume, vocabulary size, mean doc
-    * length, exact-duplicate rate. Single pass + one distinct-agg
-    * (vocab), all partial-aggregated. */
+    * length, exact-duplicate rate. ONE scan and ONE tokenize pass:
+    * explode_outer keeps token-less docs (null term, skipped by the
+    * token/vocab aggregates but counted in n_docs), and all four
+    * aggregates ride the same exploded stream. */
   def corpusStats(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), col("text"),
-        tokensArrayFast(col("text")).as("toks"))
+        explode_outer(tokensArrayFast(col("text"))).as("term"))
       .agg(
-        count(lit(1)).as("n_docs"),
-        sum(size(col("toks")).cast("long")).as("total_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(col("term")).as("total_tokens"),
+        countDistinct(col("term")).as("vocab"),
         countDistinct(md5(col("text"))).as("n_distinct_texts"))
-      .crossJoin(
-        docs(spark, dir)
-          .select(explode(tokensArrayFast(col("text"))).as("term"))
-          .agg(countDistinct(col("term")).as("vocab")))
       .select(col("n_docs"), col("total_tokens"), col("vocab"),
         round(col("total_tokens").cast("double") / col("n_docs"), 4)
           .as("avg_doc_tokens"),

@@ -135,8 +135,9 @@ object IrEngine {
       // complete mode: a bounded replay must also emit the windows the
       // final watermark hasn't closed yet (append would hold them back)
       .outputMode("complete").start()
-    q.processAllAvailable()
-    q.stop()
+    // stop in finally: with fixed sink names, a failure that left the
+    // query active would block every later invocation in this JVM
+    try q.processAllAvailable() finally q.stop()
     spark.table(name)
       .select(unix_timestamp(col("w_start")).as("w_sec"), col("user_id"),
         col("n_events"), col("total_value"))
@@ -154,8 +155,9 @@ object IrEngine {
         EventsStream.readEvents(spark, staged))
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
-    q.processAllAvailable()
-    q.stop()
+    // stop in finally: with fixed sink names, a failure that left the
+    // query active would block every later invocation in this JVM
+    try q.processAllAvailable() finally q.stop()
     spark.table(name).orderBy("user_id", "min_sec")
   }
 
@@ -175,8 +177,9 @@ object IrEngine {
         EventsStream.readEvents(spark, staged))
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
-    q.processAllAvailable()
-    q.stop()
+    // stop in finally: with fixed sink names, a failure that left the
+    // query active would block every later invocation in this JVM
+    try q.processAllAvailable() finally q.stop()
     spark.table(name).orderBy("user_id", "a_id", "b_id")
   }
 

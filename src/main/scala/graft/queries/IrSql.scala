@@ -326,6 +326,11 @@ object IrSql {
       .limit(10)
   }
 
+  /** BM25 constants — referenced by BOTH the Spark plan and the
+    * generated oracle SQL so the two cannot drift. */
+  val Bm25K1: Double = 1.2
+  val Bm25B: Double = 0.75
+
   /** Q10b: BM25 top-10 for the same 1–2 term disjunctive query — the
     * probabilistic scorer the reference's tf-idf predates (Robertson
     * k1/b form with the Lucene `+1` inside the idf log so scores stay
@@ -334,11 +339,6 @@ object IrSql {
     * in on doc_id. All constants are interpolated into BOTH engines
     * from the same Scala doubles, and the ≤2-term score sum is a
     * single commutative add — deterministic cross-engine. */
-  /** BM25 constants — referenced by BOTH the Spark plan and the
-    * generated oracle SQL so the two cannot drift. */
-  val Bm25K1: Double = 1.2
-  val Bm25B: Double = 0.75
-
   def q10Bm25(spark: SparkSession, dir: String,
               terms: Seq[String] = DefaultQueryTerms,
               k1: Double = Bm25K1, b: Double = Bm25B): DataFrame = {
