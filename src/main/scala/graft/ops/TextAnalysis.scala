@@ -160,6 +160,28 @@ object TextAnalysis {
         pmod(col("doc_id"), lit(filesPerLang.toLong)))
       .write.mode("overwrite").partitionBy("lang").parquet(dir)
 
+  /** Small-file COMPACTION — the maintenance pass every long-running
+    * parquet pipeline needs: ingest and streaming sinks accumulate
+    * many small files (one per task per batch), and scan efficiency
+    * collapses when file count ≫ cores. Rewrites a directory to
+    * ⌈bytes / targetBytes⌉ files. The repartition is a round-robin
+    * shuffle of the data once — the price of restoring near-target
+    * row-group sizes for every future scan. */
+  def compact(spark: SparkSession, dir: String,
+              targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val df = spark.read.parquet(dir)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = math.max(1L, ((bytes + targetBytes - 1) / targetBytes).toLong)
+    val tmp = dir + "_compacting"
+    df.repartition(files.toInt).write.mode("overwrite").parquet(tmp)
+    // atomic-ish swap: the rewrite lands complete or not at all
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
   /** One-row corpus report — the summary panel a pipeline publishes
     * per snapshot: doc count, token volume, vocabulary size, mean doc
     * length, exact-duplicate rate. ONE scan and ONE tokenize pass:

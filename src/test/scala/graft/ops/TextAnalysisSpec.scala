@@ -35,6 +35,25 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("compaction collapses a fragmented directory without changing " +
+    "its rows") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text")
+    // fragment: one file per of 64 partitions
+    docs.repartition(64).write.mode("overwrite").parquet(out)
+    def files() = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files() == 64)
+    val before = docs.collect().map(_.getLong(0)).sorted.toSeq
+    TextAnalysis.compact(spark, out)
+    assert(files() < 8, s"still ${files()} files")
+    val after = spark.read.parquet(out)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == before)
+  }
+
   test("hash-bucket sample keeps roughly keep/buckets of the corpus") {
     val total = graft.Tables.load(spark, dir, "documents").count().toDouble
     val kept = TextAnalysis.sampleByHash(spark, dir).count().toDouble
