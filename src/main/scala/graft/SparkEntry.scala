@@ -121,6 +121,8 @@ object SparkEntry {
     "q27_pipeline" -> (TextAnalysis.corpusPipeline _),
     "q27_redact" -> (TextAnalysis.redactPii _),
     "q27_corpus_stats" -> (TextAnalysis.corpusStats _),
+    "q27_packing" ->
+      ((s: SparkSession, d: String) => TextAnalysis.packSequences(s, d)),
     "q24_dedup_delta" -> (Dedup.deltaDedup _),
     "q25_joint_dedup" -> (Similarity.jointDedup _),
   )

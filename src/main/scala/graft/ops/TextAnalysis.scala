@@ -160,6 +160,44 @@ object TextAnalysis {
         pmod(col("doc_id"), lit(filesPerLang.toLong)))
       .write.mode("overwrite").partitionBy("lang").parquet(dir)
 
+  /** SEQUENCE PACKING — the layout step of an LM training pipeline:
+    * order the corpus deterministically (content-hash shuffle — stable
+    * across runs, unlike rand()), concatenate token streams, and chunk
+    * into fixed `seqLen`-token training sequences. Emits each doc's
+    * token interval and the bins it spans. The global running total is
+    * the two-phase scalable cumsum (range-partition by order key,
+    * per-partition sums, broadcast offsets) — the weighted
+    * generalization of the docno numbering; NO single-partition
+    * window, one long per partition to the driver. */
+  def packSequences(spark: SparkSession, dir: String,
+                    seqLen: Long = 512): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val p = spark.sessionState.conf.numShufflePartitions
+    val sorted = docs(spark, dir)
+      .select(col("doc_id"),
+        size(tokensArrayFast(col("text"))).cast("long").as("n"),
+        graft.functions.GraftFunctions.polyhash(col("text"), P).as("h"))
+      .filter(col("n") > 0)
+      .select(col("h"), col("doc_id"), col("n"))
+      .as[(Long, Long, Long)]
+      .repartitionByRange(p, col("h"), col("doc_id"))
+      .sortWithinPartitions("h", "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sums = sorted
+      .mapPartitions(it => Iterator.single(it.map(_._3).sum)).collect()
+    val bc = spark.sparkContext.broadcast(sums.scanLeft(0L)(_ + _))
+    sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cum = bc.value(pid)
+      it.map { case (_, d, n) =>
+        val start = cum
+        cum += n
+        (d, start, n, start / seqLen, (cum - 1) / seqLen)
+      }
+    }.toDF("doc_id", "start_tok", "n_tokens", "first_bin", "last_bin")
+      .orderBy("doc_id")
+  }
+
   /** Small-file COMPACTION — the maintenance pass every long-running
     * parquet pipeline needs: ingest and streaming sinks accumulate
     * many small files (one per task per batch), and scan efficiency

@@ -101,6 +101,22 @@ object TrainingOracles {
            AND d.doc_id NOT IN (SELECT doc_id FROM semdrop)
          ORDER BY d.doc_id""",
 
+    // sequence packing: hash-shuffled order, windowed cumsum (the
+    // oracle's single window ≡ the engine's two-phase scalable cumsum)
+    "q27_packing" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n,
+                            ${ddbPolyHash("text")} AS h
+                     FROM documents),
+         f AS (SELECT * FROM t WHERE n > 0),
+         o AS (SELECT doc_id, n,
+                      sum(n) OVER (ORDER BY h, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM f)
+         SELECT doc_id, CAST(cum - n AS BIGINT) AS start_tok, n AS n_tokens,
+                CAST((cum - n) // 512 AS BIGINT) AS first_bin,
+                CAST((cum - 1) // 512 AS BIGINT) AS last_bin
+         FROM o ORDER BY doc_id""",
+
     // one-row corpus report
     "q27_corpus_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
