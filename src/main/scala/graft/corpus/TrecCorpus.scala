@@ -146,14 +146,22 @@ object TrecCorpus {
   }
 
   /** The reference's PackTextFile utility (SURVEY §2.1): text lines →
-    * `(line_no, line)` columnar table (parquet replaces SequenceFile). */
+    * `(line_no, line)` columnar table (parquet replaces SequenceFile).
+    * line_no is a TRUE sequential ordinal via zipWithIndex (two jobs:
+    * per-partition counts, then assignment) — monotonically_
+    * increasing_id leaves 2^33-sized gaps between input splits and is
+    * layout-dependent, which breaks any consumer joining on expected
+    * ordinals (r4 review). */
   def packTextFile(spark: SparkSession, inPath: String,
-                   outPath: String): Unit =
+                   outPath: String): Unit = {
+    import spark.implicits._
     spark.read.text(inPath)
-      .select(col("value"))
-      .withColumn("line_no", monotonically_increasing_id())
-      .select(col("line_no"), col("value").as("line"))
+      .select(col("value")).as[String]
+      .rdd.zipWithIndex()
+      .toDF("line", "line_no")
+      .select(col("line_no"), col("line"))
       .write.mode("overwrite").parquet(outPath)
+  }
 
   /** The reference's docno-mapping text sink — `docid\tdocno` lines
     * (`NumberTrecDocuments.java:154`); the binary re-encode post-pass is
@@ -188,9 +196,16 @@ object TrecCorpus {
     // TaskContext.getPartitionId(): under a downstream coalesce() the
     // task id is the COALESCED partition's, which would restart every
     // merged range-partition at the same offset (duplicate docnos)
-    sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    // eager localCheckpoint: the numbering materializes here, the
+    // range-partitioned staging cache releases immediately (it used to
+    // stay pinned for the JVM lifetime, one copy per index build — r4
+    // review), and the returned frame is lineage-free (ContextCleaner
+    // collects it once unreferenced)
+    val out = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       var n = bc.value(pid)
       it.map { d => n += 1; (d, n) }
-    }.toDF("docid", "docno")
+    }.toDF("docid", "docno").localCheckpoint()
+    sorted.unpersist()
+    out
   }
 }

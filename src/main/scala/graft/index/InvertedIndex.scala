@@ -36,25 +36,22 @@ object InvertedIndex {
           (0 until k).map(j => element_at(toks, i + j)): _*)))
       .otherwise(array().cast("array<string>"))
 
-  /** Tokenize a corpus with the faithful pipeline:
-    * (docno, pos, term). */
-  def terms(spark: SparkSession, corpus: DataFrame,
-            docMap: DataFrame): DataFrame = {
-    TextPipeline.register(spark)
-    corpus
-      .join(broadcast(docMap), "docid")
-      .select(col("docno"),
-        expr("graft_tokenize(content)").as("toks"))
-      .select(col("docno"),
-        posexplode(col("toks")).as(Seq("pos", "term")))
-  }
+  /** docMap broadcast bound for [[build]]: up to this many docs the
+    * (docid, docno) map is a few hundred MB and broadcasting removes
+    * the corpus-side shuffle; above it, forcing the hint would ship a
+    * corpus-sized table to every executor (or die at Spark's broadcast
+    * limit) — the planner's shuffle join is the right plan there. */
+  val BroadcastDocs: Long = 10000000L
 
   /** Build the full index from a raw corpus (docid, content): one
     * tokenize projection, one shuffle per aggregation — no intermediate
     * materialization (the reference needed three chained MR jobs). */
   def build(spark: SparkSession, corpus: DataFrame, k: Int = 1): Index = {
     TextPipeline.register(spark)
-    val nDocs = corpus.count()
+    // numbering first; its checkpoint makes the count a cheap cached
+    // action instead of a second full corpus parse (r4 review)
+    val dm = TrecCorpus.docnoMappingScalable(spark, corpus)
+    val nDocs = dm.count()
     // every index artifact is a serving artifact: un-persisted, each
     // search would re-run the corpus scan + numbering (docMap) and the
     // stats aggregation (termStats) — ~400ms of recompute per lookup.
@@ -70,11 +67,16 @@ object InvertedIndex {
     val mapParts = math.max(1L, math.min(
       spark.sessionState.conf.numShufflePartitions.toLong,
       nDocs / 1000000L + 1)).toInt
-    val docMap = TrecCorpus.docnoMappingScalable(spark, corpus)
+    val docMap = dm
       .coalesce(mapParts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val toks = corpus
-      .join(broadcast(docMap), "docid")
+    // docMap is CORPUS-sized: broadcast it only while it provably fits
+    // ([[BroadcastDocs]]); forcing the hint at any size is exactly the
+    // failure mode the serving path documents for its own joins
+    val joined =
+      if (nDocs <= BroadcastDocs) corpus.join(broadcast(docMap), "docid")
+      else corpus.join(docMap, "docid")
+    val toks = joined
       .select(col("docno"), expr("graft_tokenize(content)").as("toks"))
     val postings = toks
       // observe(): the Spark-native analog of the reference's Hadoop
@@ -166,7 +168,13 @@ object InvertedIndex {
     * lookups — replaces the reference's byte-offset forward index R5,
     * SURVEY §1.3). */
   def write(ix: Index, dir: String): Unit = {
-    ix.postings.repartition(col("kgram")).sortWithinPartitions("kgram")
+    // RANGE partition (not hash): each output file then covers one
+    // contiguous term range, so a point lookup prunes to a single file
+    // via parquet min/max — hash repartition scattered every term
+    // range across all files, defeating the documented pruning (r4
+    // review)
+    ix.postings.repartitionByRange(col("kgram"))
+      .sortWithinPartitions("kgram")
       .write.mode("overwrite").parquet(s"$dir/postings")
     ix.termStats.write.mode("overwrite").parquet(s"$dir/term_stats")
     ix.docMap.write.mode("overwrite").parquet(s"$dir/doc_map")

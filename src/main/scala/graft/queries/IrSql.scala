@@ -75,11 +75,15 @@ object IrSql {
     val bc = sorted.sparkSession.sparkContext.broadcast(offsets)
     // RDD partition index, not TaskContext.getPartitionId — the task id
     // is rewritten by any downstream coalesce (see docnoMappingScalable)
-    sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val out = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       var n = bc.value(pid)
       it.map { d => n += 1; (d, n) }
     }.toDF("doc_id", "docno")
-      .orderBy("doc_id")
+      // eager checkpoint → the staging cache releases now instead of
+      // leaking one copy per invocation (see docnoMappingScalable)
+      .localCheckpoint()
+    sorted.unpersist()
+    out.orderBy("doc_id")
   }
 
   /** Q4: relational tokenization with positions. */

@@ -82,19 +82,32 @@ object QueryEngine {
         val stats = ix.termStats.filter(col("kgram").isin(terms: _*))
         hits0.join(broadcast(stats), "kgram")
       }
+    topAndResolve(ix, scoreInput, topK, idf, serve)
+  }
+
+  /** Shared tail of every ranked lookup ([[rank]] and
+    * [[wildcardSearch]]): per-doc score sum, round, top-k, docid
+    * resolution. docMap is CORPUS-sized: broadcast the ≤topK ranked
+    * rows into it, never the map itself (the r3 plan broadcast the
+    * whole docMap). */
+  private def topAndResolve(ix: Index, scoreInput: DataFrame, topK: Int,
+                            idf: org.apache.spark.sql.Column,
+                            serve: Boolean): DataFrame = {
     val top = scoreInput
       .groupBy(col("docno"))
       .agg(sum((lit(1.0) + log(col("tf"))) * idf).as("score0"))
       .select(col("docno"), round(col("score0"), 4).as("score"))
       .orderBy(col("score").desc, col("docno"))
       .limit(topK)
-    // docMap is CORPUS-sized: broadcast the ≤topK ranked rows into it,
-    // never the map itself (the r3 plan broadcast the whole docMap)
     val resolved = ix.docMap.join(broadcast(top), "docno")
       .select(col("docno"), col("docid"), col("score"))
     if (serve)
-      // ≤topK rows: sort inside one task instead of a range exchange
-      resolved.coalesce(1).sortWithinPartitions(col("score").desc, col("docno"))
+      // repartition, NOT coalesce: coalesce(1) would drag the whole
+      // docMap-side probe scan into the single task; the round-trip
+      // shuffle of ≤topK rows keeps the scan parallel and the final
+      // sort is one tiny task (r4 review)
+      resolved.repartition(1)
+        .sortWithinPartitions(col("score").desc, col("docno"))
     else
       resolved.orderBy(col("score").desc, col("docno"))
   }
@@ -108,11 +121,21 @@ object QueryEngine {
   def wildcardTerms(chargrams: DataFrame, pattern: String,
                     k: Int = 3): DataFrame = {
     require(pattern.contains("*"), "pattern needs at least one *")
-    val padded = s"$$$pattern$$"
+    // normalize like every other query path: the vocabulary is
+    // lowercased by the pipeline, so 'St*am' must behave as 'st*am'
+    // (the raw pattern used to silently match nothing — r4 review)
+    val pat = pattern.toLowerCase(java.util.Locale.ROOT)
+    val padded = s"$$$pat$$"
     val segGrams = padded.split("\\*", -1).toSeq
       .flatMap(seg => (0 to seg.length - k).map(i => seg.substring(i, i + k)))
       .distinct
-    val verify = col("term").like(pattern.replace("*", "%"))
+    // regex verify with quoted segments: LIKE's `_`/`%` metacharacters
+    // in a pattern would silently over-match (vocab terms are
+    // alnum-only, so a literal `_` must match nothing)
+    val verify = col("term").rlike(
+      "^" + pat.split("\\*", -1)
+        .map(seg => if (seg.isEmpty) "" else java.util.regex.Pattern.quote(seg))
+        .mkString(".*") + "$")
     if (segGrams.isEmpty) {
       // pattern shorter than k on both sides: scan the vocabulary
       chargrams.select(explode(col("terms")).as("term"))
@@ -148,15 +171,10 @@ object QueryEngine {
     // the corpus-sized postings, never the other way around
     val hits = ix.postings.join(broadcast(expanded), "kgram")
     val stats = ix.termStats.join(broadcast(expanded), "kgram")
-    val top = hits.join(broadcast(stats), "kgram")
-      .groupBy(col("docno"))
-      .agg(round(sum((lit(1.0) + log(col("tf"))) *
-        log10(lit(ix.nDocs.toDouble) / col("df").cast("double"))), 4)
-        .as("score"))
-      .orderBy(col("score").desc, col("docno"))
-      .limit(topK)
-    ix.docMap.join(broadcast(top), "docno")
-      .select(col("docno"), col("docid"), col("score"))
-      .orderBy(col("score").desc, col("docno"))
+    // same scoring/top-k/resolve tail as the non-wildcard path — one
+    // place for the tf-idf formula, tiebreak and rounding
+    topAndResolve(ix, hits.join(broadcast(stats), "kgram"), topK,
+      log10(lit(ix.nDocs.toDouble) / col("df").cast("double")),
+      serve = false)
   }
 }

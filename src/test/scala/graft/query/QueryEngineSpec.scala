@@ -71,6 +71,22 @@ class QueryEngineSpec extends SparkSpec {
     assert(tail == Seq("resolve", "revolve"))
   }
 
+  test("wildcard patterns are case-normalized and LIKE metacharacters " +
+    "stay literal") {
+    // the vocabulary is lowercased by the pipeline: 'Re*Ve' must behave
+    // as 're*ve' (the raw pattern used to silently match nothing)
+    val upper = QueryEngine.wildcardTerms(chargrams, "Re*Ve")
+      .collect().map(_.getString(0)).toSeq
+    val lower = QueryEngine.wildcardTerms(chargrams, "re*ve")
+      .collect().map(_.getString(0)).toSeq
+    assert(upper == lower && lower.nonEmpty)
+    // '_' can never appear in an alnum-only vocab term, so it must
+    // match nothing — naive LIKE translation would read '_%olve' as
+    // one-any-char and wrongly return resolve/revolve (the '$_'
+    // segment is shorter than k, so only the verify enforces it)
+    assert(QueryEngine.wildcardTerms(chargrams, "_*olve").count() == 0)
+  }
+
   test("serve-path search returns exactly the analytic plan's results") {
     val a = QueryEngine.search(ix, "merge stream").collect().toSeq
     val s = QueryEngine.serveSearch(ix, "merge stream").collect().toSeq
