@@ -120,6 +120,9 @@ object SparkEntry {
       ((s: SparkSession, d: String) => TextAnalysis.sampleByHash(s, d)),
     "q27_pipeline" -> (TextAnalysis.corpusPipeline _),
     "q27_redact" -> (TextAnalysis.redactPii _),
+    "q27_repetition" -> (TextAnalysis.repetition _),
+    "q27_contamination" -> (TextAnalysis.contamination _),
+    "q27_mixture" -> (TextAnalysis.mixCorpus _),
     "q27_corpus_stats" -> (TextAnalysis.corpusStats _),
     "q27_packing" ->
       ((s: SparkSession, d: String) => TextAnalysis.packSequences(s, d)),

@@ -242,6 +242,104 @@ object TextAnalysis {
           col("n_distinct_texts").cast("double") / col("n_docs"), 4)
           .as("dup_rate"))
 
+  /** REPETITION signals (Gopher-style quality rules): per document,
+    * the fraction of tokens covered by the single most frequent word
+    * bigram, and the fraction of trigram occurrences that are repeats
+    * of an earlier trigram in the same document. High values flag
+    * boilerplate / degenerate text a training pipeline drops. Both
+    * signals group on (doc_id, gram) — partial aggregation does the
+    * heavy lifting map-side, and every shuffle is keyed by doc_id
+    * prefix, so the plan holds at any corpus size. Documents shorter
+    * than 3 tokens carry no signal and are excluded on both engines. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val t = docs(spark, dir)
+      .select(col("doc_id"), tokensArrayFast(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        col("toks"))
+    val bi = t
+      .select(col("doc_id"), col("n_tokens"),
+        explode(shingles(col("toks"), 2)).as("g"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("g")).count()
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(round(max(col("count")).cast("double") * 2 / col("n_tokens"), 4)
+        .as("top_bigram_frac"))
+    val tri = t
+      .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(round(lit(1.0) -
+        countDistinct(col("g")).cast("double") / count(lit(1)), 4)
+        .as("dup_trigram_frac"))
+    bi.join(tri, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("top_bigram_frac"),
+        col("dup_trigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark CONTAMINATION detection — the eval-leakage check every
+    * serious pretraining pipeline runs: find training documents whose
+    * token trigrams overlap a benchmark set's. The benchmark here is
+    * the deterministic slice doc_id ≡ 0 (mod [[ContamMod]]) standing in
+    * for an external eval suite. The benchmark's distinct-trigram set
+    * is eval-suite-sized (small by construction at any corpus scale),
+    * so it broadcasts; the training side streams through one hash join
+    * plus doc_id-keyed aggregations — no all-pairs comparison anywhere.
+    * Emits each flagged doc with its overlap count and ratio. */
+  val ContamMod = 47L
+
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docs(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(tokensArrayFast(col("text")), 3)))
+          .as("shingle"))
+    val bench = sh.filter(pmod(col("doc_id"), lit(ContamMod)) === 0)
+      .select("shingle").distinct()
+    val train = sh.filter(pmod(col("doc_id"), lit(ContamMod)) =!= 0)
+    val totals = train.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"))
+    val hits = train.join(broadcast(bench), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    totals.join(hits, "doc_id")
+      .select(col("doc_id"), col("n_trigrams"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_trigrams"), 4)
+          .as("contam_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Target language proportions for [[mixCorpus]] — a constant so the
+    * DuckDB oracle embeds the identical weights. */
+  val MixTargets: Seq[(String, Double)] = Seq(
+    ("en", 0.30), ("de", 0.20), ("es", 0.20), ("fr", 0.15), ("zh", 0.15))
+
+  /** Deterministic corpus MIXING — hit a target language (or domain)
+    * distribution by downsampling over-represented groups, never
+    * upsampling: the achievable total T = min over groups of
+    * count/weight, and each group keeps T·w/count of its docs, chosen
+    * by a stable content-hash threshold (reproducible across runs,
+    * engines, and relayouts — unlike rand()). The per-group stats and
+    * keep rates are a handful of rows (broadcast); the corpus side is
+    * one narrow filtered scan. */
+  def mixCorpus(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"),
+      pmod(graft.functions.GraftFunctions.polyhash(col("text"), P),
+        lit(10000L)).as("h"))
+    val w = MixTargets.toDF("lang", "w")
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("cnt"))
+    val total = counts.join(w, "lang")
+      .agg(min(col("cnt") / col("w")).as("t_total"))
+    val keep = counts.join(broadcast(w), "lang")
+      .crossJoin(broadcast(total))
+      .select(col("lang"),
+        least(lit(1.0), col("t_total") * col("w") / col("cnt"))
+          .as("keep_p"))
+    d.join(broadcast(keep), "lang")
+      .filter(col("h") < col("keep_p") * 10000)
+      .select(col("doc_id"), col("lang"), col("h"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: rolling polynomial hash of the normalized
     * (tokenized, single-spaced) text — an order-sensitive content id,
     * complementing [[Dedup.exact]]'s md5 of the raw text. */

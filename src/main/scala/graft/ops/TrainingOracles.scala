@@ -415,6 +415,70 @@ object TrainingOracles {
     "q27_fingerprint" ->
       s"""SELECT doc_id, ${ddbPolyHash("array_to_string(toks, ' ')", P)} AS fp
          FROM (SELECT doc_id, $toks AS toks FROM documents) ORDER BY doc_id""",
+
+    // Gopher-style repetition signals: top-bigram coverage and
+    // duplicate-trigram fraction per doc (≥3-token docs only)
+    "q27_repetition" ->
+      s"""WITH d AS (SELECT doc_id, toks FROM
+                       (SELECT doc_id, $toks AS toks FROM documents)
+                     WHERE len(toks) >= 3),
+         bi AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                       unnest(list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i+1])) AS g
+                FROM d),
+         bic AS (SELECT doc_id, n_tokens, g, count(*) AS c
+                 FROM bi GROUP BY 1, 2, 3),
+         bia AS (SELECT doc_id, n_tokens,
+                        round(CAST(max(c) AS DOUBLE) * 2 / n_tokens, 4)
+                          AS top_bigram_frac
+                 FROM bic GROUP BY doc_id, n_tokens),
+         tri AS (SELECT doc_id, unnest(${ddbShingles3("toks")}) AS g FROM d),
+         tria AS (SELECT doc_id,
+                         round(1.0 - CAST(count(DISTINCT g) AS DOUBLE)
+                               / count(*), 4) AS dup_trigram_frac
+                  FROM tri GROUP BY doc_id)
+         SELECT bia.doc_id AS doc_id, n_tokens, top_bigram_frac,
+                dup_trigram_frac
+         FROM bia JOIN tria ON bia.doc_id = tria.doc_id
+         ORDER BY doc_id""",
+
+    // benchmark contamination: training docs sharing trigrams with the
+    // doc_id % ContamMod == 0 benchmark slice
+    "q27_contamination" ->
+      s"""$docShingles,
+         bench AS (SELECT DISTINCT shingle FROM sh
+                   WHERE doc_id % ${TextAnalysis.ContamMod} = 0),
+         train AS (SELECT * FROM sh
+                   WHERE doc_id % ${TextAnalysis.ContamMod} <> 0),
+         tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams
+                 FROM train GROUP BY doc_id),
+         hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+                 FROM train JOIN bench USING (shingle) GROUP BY doc_id)
+         SELECT doc_id, n_trigrams, n_shared,
+                round(CAST(n_shared AS DOUBLE) / n_trigrams, 4)
+                  AS contam_ratio
+         FROM tot JOIN hit USING (doc_id) ORDER BY doc_id""",
+
+    // deterministic language-mix downsampling to the MixTargets weights
+    "q27_mixture" -> {
+      val wvals = TextAnalysis.MixTargets
+        .map { case (l, w) => s"('$l', CAST($w AS DOUBLE))" }
+        .mkString(", ")
+      s"""WITH d AS (SELECT doc_id, lang,
+                       ${ddbPolyHash("text", P)} % 10000 AS h
+                     FROM documents),
+         w(lang, w) AS (VALUES $wvals),
+         c AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+               FROM d GROUP BY lang),
+         t AS (SELECT min(cnt / w) AS t_total FROM c JOIN w USING (lang)),
+         keep AS (SELECT lang,
+                         least(CAST(1.0 AS DOUBLE), t_total * w / cnt)
+                           AS keep_p
+                  FROM c JOIN w USING (lang) CROSS JOIN t)
+         SELECT doc_id, d.lang AS lang, h
+         FROM d JOIN keep ON d.lang = keep.lang
+         WHERE h < keep_p * 10000 ORDER BY doc_id"""
+    },
   )
 
   /** Shared LSH bucket CTEs (`pr`, `b`) — the hyperplane projections +

@@ -61,4 +61,49 @@ class TextAnalysisSpec extends SparkSpec {
     // 3 of 10 buckets; the polynomial hash should spread text uniformly
     assert(frac > 0.15 && frac < 0.45, s"sample fraction $frac")
   }
+
+  test("repetition signals stay in range and cover every ≥3-token doc") {
+    val reps = TextAnalysis.repetition(spark, dir).collect()
+    val eligible = graft.Tables.load(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.size(
+        graft.ops.CrossHash.tokensArrayFast(col("text"))) >= 3).count()
+    assert(reps.length == eligible)
+    reps.foreach { r =>
+      val top = r.getAs[Double]("top_bigram_frac")
+      val dup = r.getAs[Double]("dup_trigram_frac")
+      assert(top > 0.0 && top <= 1.0, s"top_bigram_frac $top")
+      assert(dup >= 0.0 && dup < 1.0, s"dup_trigram_frac $dup")
+    }
+  }
+
+  test("contamination never flags benchmark docs and bounds overlap") {
+    val rows = TextAnalysis.contamination(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % TextAnalysis.ContamMod != 0)
+      val shared = r.getAs[Long]("n_shared")
+      assert(shared >= 1 && shared <= r.getAs[Long]("n_trigrams"))
+    }
+  }
+
+  test("mixture downsamples toward targets without upsampling and " +
+    "keeps the binding language whole") {
+    val d = graft.Tables.load(spark, dir, "documents")
+    val totals = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = TextAnalysis.mixCorpus(spark, dir).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // never upsample
+    kept.foreach { case (l, k) => assert(k <= totals(l), s"$l kept $k") }
+    // the binding language (min count/weight) is kept whole
+    val w = TextAnalysis.MixTargets.toMap
+    val binding = totals.keys.filter(w.contains)
+      .minBy(l => totals(l) / w(l))
+    assert(kept(binding) == totals(binding),
+      s"binding $binding kept ${kept(binding)} of ${totals(binding)}")
+    // deterministic: a second run returns the identical kept set
+    val a = TextAnalysis.mixCorpus(spark, dir).collect().toSeq
+    val b = TextAnalysis.mixCorpus(spark, dir).collect().toSeq
+    assert(a == b)
+  }
 }
