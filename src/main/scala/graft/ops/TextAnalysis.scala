@@ -251,21 +251,28 @@ object TextAnalysis {
     * heavy lifting map-side, and every shuffle is keyed by doc_id
     * prefix, so the plan holds at any corpus size. Documents shorter
     * than 3 tokens carry no signal and are excluded on both engines. */
+  private def gramsUdf(k: Int) =
+    udf((toks: Seq[String]) =>
+      toks.sliding(k).filter(_.length == k).map(_.mkString(" ")).toSeq)
+
   def repetition(spark: SparkSession, dir: String): DataFrame = {
+    // tokenization is the dominant cost; both gram aggregations read
+    // the same token arrays, so materialize them once
     val t = docs(spark, dir)
       .select(col("doc_id"), tokensArrayFast(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
         col("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bi = t
       .select(col("doc_id"), col("n_tokens"),
-        explode(shingles(col("toks"), 2)).as("g"))
+        explode(gramsUdf(2)(col("toks"))).as("g"))
       .groupBy(col("doc_id"), col("n_tokens"), col("g")).count()
       .groupBy(col("doc_id"), col("n_tokens"))
       .agg(round(max(col("count")).cast("double") * 2 / col("n_tokens"), 4)
         .as("top_bigram_frac"))
     val tri = t
-      .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("g"))
+      .select(col("doc_id"), explode(gramsUdf(3)(col("toks"))).as("g"))
       .groupBy(col("doc_id"))
       .agg(round(lit(1.0) -
         countDistinct(col("g")).cast("double") / count(lit(1)), 4)
@@ -288,10 +295,12 @@ object TextAnalysis {
   val ContamMod = 47L
 
   def contamination(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docs(spark, dir)
-      .select(col("doc_id"),
-        explode(array_distinct(shingles(tokensArrayFast(col("text")), 3)))
-          .as("shingle"))
+    // the tokenize+shingle subtree feeds three consumers (benchmark
+    // set, per-doc totals, overlap join) — materialize it once; the
+    // single-pass shingle UDF beats the equivalent HOF chain (which
+    // Spark evaluates interpreted) by a wide margin
+    val sh = Dedup.docShingles(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bench = sh.filter(pmod(col("doc_id"), lit(ContamMod)) === 0)
       .select("shingle").distinct()
     val train = sh.filter(pmod(col("doc_id"), lit(ContamMod)) =!= 0)
