@@ -25,9 +25,27 @@ object Tables {
     * collisions), and derive a µs `ts` TIMESTAMP for the datetime API. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumnRenamed("ts", "ts_ns")
+    deriveEventTime(spark.read.parquet(s"$sfDir/events.parquet"))
+  }
+
+  /** The ns→µs event-time derivation shared by the batch loader above
+    * and the streaming reader ([[graft.streaming.EventsStream]]): one
+    * definition, so batch oracle and stream can never disagree on event
+    * time. */
+  def deriveEventTime(raw: DataFrame): DataFrame =
+    raw.withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+
+  /** Schema of the raw events parquet under `nanosAsLong` (ts reads as
+    * a plain long) — lets a streaming reader start on a still-empty
+    * ingest directory, where schema inference has nothing to read. */
+  val eventsRawSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
   }
 
   /** Register every table as a temp view (idempotent) and return the dir. */

@@ -25,6 +25,11 @@ object Multimodal {
   object PngCodec {
     import java.awt.image.BufferedImage
 
+    // ImageIO's default stream cache spools every read/write through a
+    // temp FILE on disk — per row, on the decode hot path. In-memory
+    // streams only.
+    javax.imageio.ImageIO.setUseCache(false)
+
     def dimsFor(id: Long): (Int, Int) =
       ((16 + java.lang.Math.floorMod(id, 64L)).toInt,
         (16 + java.lang.Math.floorMod(id * 7L, 48L)).toInt)
@@ -45,11 +50,13 @@ object Multimodal {
       bos.toByteArray
     }
 
-    def decodeDims(payload: Array[Byte]): (Int, Int) = {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(payload))
-      (img.getWidth, img.getHeight)
-    }
+    /** None when no reader can decode the stream (corrupt/truncated
+      * payload that merely begins with the PNG signature) — the caller
+      * falls back rather than NPE-ing the task. */
+    def decodeDims(payload: Array[Byte]): Option[(Int, Int)] =
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+        .map(img => (img.getWidth, img.getHeight))
 
     /** PNG signature check (89 50 4E 47): routes real images to the
       * real decoder, everything else to the stub. */
@@ -72,19 +79,21 @@ object Multimodal {
     * deterministic pseudo-decode keyed on payload bytes. Replace with
     * a native library binding in production. */
   private[multimodal] object FakeCodec {
-    def dims(payload: Array[Byte]): (Int, Int) = {
+    private def hash(payload: Array[Byte]): Long = {
       var h = 1125899906842597L
       var i = 0
       while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+      h
+    }
+    def dims(payload: Array[Byte]): (Int, Int) = {
+      val h = hash(payload)
       val w = 16 + math.floorMod(h, 1920).toInt
       val ht = 16 + math.floorMod(h >> 16, 1080).toInt
       (w, ht)
     }
     def embed(payload: Array[Byte], dim: Int): Array[Float] = {
       val out = new Array[Float](dim)
-      var h = 1125899906842597L
-      var i = 0
-      while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+      var h = hash(payload)
       var j = 0
       while (j < dim) {
         h = h * 6364136223846793005L + 1442695040888963407L
@@ -123,8 +132,8 @@ object Multimodal {
       it.grouped(DecodeBatch).flatMap { batch =>
         batch.map { m =>
           val (w, h) =
-            if (PngCodec.isPng(m.payload)) PngCodec.decodeDims(m.payload)
-            else FakeCodec.dims(m.payload)
+            (if (PngCodec.isPng(m.payload)) PngCodec.decodeDims(m.payload)
+             else None).getOrElse(FakeCodec.dims(m.payload))
           Decoded(m.media_id, m.kind, w, h, m.payload.length.toLong)
         }
       }

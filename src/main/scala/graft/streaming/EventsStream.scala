@@ -36,12 +36,12 @@ object EventsStream {
     * the ns-precision files the same way as [[graft.Tables.events]]. */
   def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(eventsDir)
-    spark.readStream
-      .schema(raw.schema)
-      .parquet(eventsDir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    // static schema: a streaming source must be definable before the
+    // first ingest file lands, so nothing is inferred from the dir
+    graft.Tables.deriveEventTime(
+      spark.readStream
+        .schema(graft.Tables.eventsRawSchema)
+        .parquet(eventsDir))
   }
 
   /** Tumbling-window aggregate with watermark; identical transform
@@ -113,9 +113,12 @@ object EventsStream {
     * evicted — bounded state at any throughput. The same transform on
     * batch input degenerates to a distinct (the batch oracle). Output
     * is only the key set, so which duplicate arrived first doesn't
-    * affect the result. */
+    * affect the result. The default watermark keeps a 10-minute
+    * lateness allowance: a "0 seconds" watermark equals the max event
+    * time seen, so any out-of-order KEY arriving in a later micro-batch
+    * would be silently dropped as late — not deduplicated, lost. */
   def dedupKeys(events: DataFrame,
-                watermark: String = "0 seconds"): DataFrame =
+                watermark: String = "10 minutes"): DataFrame =
     events
       .withColumn("minute", date_trunc("minute", col("ts")))
       .withWatermark("minute", watermark)
@@ -124,10 +127,21 @@ object EventsStream {
 
   /** Event-time sessionization via flatMapGroupsWithState: a session
     * closes after `gapSeconds` of inactivity (state timeout), emitting
-    * one row per closed session. */
+    * one row per closed session.
+    *
+    * Merge rule is the canonical strict `< gap` (same as
+    * [[sessionWindows]] and the q32 oracle: two events exactly
+    * `gapSeconds` apart are separate sessions). Out-of-order events
+    * admitted by the watermark are handled: an event landing within
+    * the open session's interval — or within the gap on EITHER side —
+    * extends it (start may move earlier, lastSeen never regresses); a
+    * late event entirely more than a gap BEFORE the open session
+    * belongs to an older, already-emitted timeline and is emitted as
+    * its own single-event session rather than corrupting open state. */
   def sessionize(events: Dataset[Event], gapSeconds: Long = 30)
                 (implicit spark: SparkSession): Dataset[Session] = {
     import spark.implicits._
+    val gapMs = gapSeconds * 1000
     events
       .withWatermark("ts", s"$gapSeconds seconds")
       .groupByKey(_.user_id)
@@ -147,9 +161,13 @@ object EventsStream {
             for (e <- sorted) {
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.lastSeen <= gapSeconds * 1000 =>
-                  cur = Some(s.copy(lastSeen = t, n = s.n + 1,
-                    total = s.total + e.value))
+                case Some(s) if t > s.start - gapMs &&
+                  t < s.lastSeen + gapMs =>
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.lastSeen, t), s.n + 1, s.total + e.value))
+                case Some(s) if t <= s.start - gapMs =>
+                  closed ::= Session(userId, new java.sql.Timestamp(t),
+                    1, e.value)
                 case Some(s) =>
                   closed ::= Session(userId, new java.sql.Timestamp(s.start),
                     s.n, s.total)
@@ -160,7 +178,7 @@ object EventsStream {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastSeen + gapSeconds * 1000)
+              state.setTimeoutTimestamp(s.lastSeen + gapMs)
             }
             closed.reverseIterator
           }

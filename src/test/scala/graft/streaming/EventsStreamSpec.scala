@@ -120,6 +120,50 @@ class EventsStreamSpec extends SparkSpec {
     assert(got(1).getAs[Double]("total_value") == 9.0)
   }
 
+  test("sessionize merges out-of-order events admitted by the watermark") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    // batch 2's event at 80s is BEHIND batch 1's 100s but above the
+    // watermark (70s): it must extend the open session backwards, so
+    // batch 3's 125s event (25s after 100s) still merges — one session
+    // of 3 starting at 80s, exactly what the batch order gives
+    val got = feed(input, EventsStream.sessionize(input.toDS()), "oossess",
+      Seq(
+        Seq(Event(1, 1, ts(100), 1.0)),
+        Seq(Event(2, 1, ts(80), 2.0)),
+        Seq(Event(3, 1, ts(125), 4.0)),
+        Seq(Event(9, 9, ts(10000), 0.0)),
+        Seq(Event(10, 9, ts(20000), 0.0))))
+      .filter(col("user_id") === 1)
+      .collect()
+    assert(got.length == 1, got.mkString(", "))
+    assert(got(0).getAs[Timestamp]("session_start") == ts(80))
+    assert(got(0).getAs[Long]("n_events") == 3)
+    assert(got(0).getAs[Double]("total_value") == 7.0)
+  }
+
+  test("sessionize splits at exactly the gap, matching session_window") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    // two events exactly gapSeconds (30s) apart: the canonical strict
+    // `< gap` merge rule makes them SEPARATE sessions — same behavior
+    // as sessionWindows and the q32 oracle
+    val got = feed(input, EventsStream.sessionize(input.toDS()), "gapsess",
+      Seq(
+        Seq(Event(1, 1, ts(0), 1.0), Event(2, 1, ts(30), 2.0)),
+        Seq(Event(9, 9, ts(10000), 0.0)),
+        Seq(Event(10, 9, ts(20000), 0.0))))
+      .filter(col("user_id") === 1)
+      .orderBy("session_start")
+      .collect()
+    assert(got.length == 2, got.mkString(", "))
+    assert(got.forall(_.getAs[Long]("n_events") == 1))
+  }
+
   test("streaming dedup equals batch distinct and suppresses " +
     "cross-batch duplicates") {
     import spark.implicits._
