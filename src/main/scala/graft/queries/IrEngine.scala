@@ -170,8 +170,12 @@ object IrEngine {
     val name = "q29j_sink"
     // the dominant cost is inherent: a stream-stream join buffers BOTH
     // inputs in the state store (~2× corpus rows of puts for a bounded
-    // replay in one micro-batch); partition-count tuning was measured
-    // flat (6.4s at 8 and at 32 partitions, sf0.1)
+    // replay in one micro-batch). Levers measured at sf0.1: partition
+    // count flat (6.4s at 8 and 32); RocksDB state store flat (~7.3s);
+    // a time-sorted 8-file replay with maxFilesPerTrigger=1 — the
+    // state-bounding layout that IS right for an unbounded stream —
+    // 3× WORSE here (23.8s: micro-batch scheduling dominates a
+    // bounded replay of this size)
     val q = EventsStream.followJoin(
         EventsStream.readEvents(spark, staged),
         EventsStream.readEvents(spark, staged))
