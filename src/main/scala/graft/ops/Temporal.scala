@@ -25,6 +25,11 @@ import graft.Tables
   */
 object Temporal {
 
+  /** Rows whose `by` keys are all non-null (no-op for empty `by`). */
+  private def nonNullKeys(df: DataFrame, by: Seq[String]): DataFrame =
+    if (by.isEmpty) df
+    else df.filter(by.map(col(_).isNotNull).reduce(_ && _))
+
   /** Left as-of join: for every `left` row, attach `valueCols` from the
     * LATEST `right` row with `right(rightOn) <= left(leftOn)` within
     * the same `by` group (inclusive, matching DuckDB `ASOF ... ON l.t
@@ -32,17 +37,24 @@ object Temporal {
     *
     * Contract: `right` has at most one row per (by, rightOn) — pre-
     * aggregate otherwise — and non-null `valueCols` (a null value is
-    * indistinguishable from "no match" to the ignoreNulls fill). */
+    * indistinguishable from "no match" to the ignoreNulls fill).
+    *
+    * NULL `by` keys follow SQL equality (as DuckDB ASOF does): a
+    * null-keyed right row matches nothing, a null-keyed left row gets
+    * the null fill — enforced by dropping null-keyed right rows before
+    * the merge ([[nonNullKeys]]), since a window/merge grouping would
+    * otherwise treat NULL = NULL as a joinable group. */
   def asofLeft(left: DataFrame, right: DataFrame, by: Seq[String],
                leftOn: String, rightOn: String,
                valueCols: Seq[String]): DataFrame = {
+    val rightNN = nonNullKeys(right, by)
     val lCols = left.columns.toSeq
     val lTagged = left.select(
       lCols.map(col) ++
         valueCols.map(c =>
           lit(null).cast(right.schema(c).dataType).as(s"__asof_$c")) ++
         Seq(lit(1).as("__asof_tag"), col(leftOn).as("__asof_t")): _*)
-    val rTagged = right.select(
+    val rTagged = rightNN.select(
       lCols.map { c =>
         if (by.contains(c)) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)
@@ -70,6 +82,9 @@ object Temporal {
     * size == window. */
   def rangePairs(df: DataFrame, by: Seq[String], on: String,
                  idCol: String, window: Long): DataFrame = {
+    require(window > 0,
+      s"rangePairs window must be positive, got $window " +
+        "(window = 0 would divide by zero in the cell bucketing)")
     // integer div — double division would lose ns precision at 2^60
     val cell = (name: String) => expr(s"`$name` div ${window}L")
     val probes = df.select(
@@ -98,14 +113,20 @@ object Temporal {
                     valueCols: Seq[String]): DataFrame = {
     import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy, PlanUtils}
     val spark = left.sparkSession
-    // idempotent for sessions not built with GraftExtensions
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // idempotent for sessions not built with GraftExtensions; the
+    // lock closes the check-then-act race between concurrent callers
+    // (an unsynchronized read-modify-write could drop a registration)
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
     val lp = left.queryExecution.analyzed
     // renew the right side's exprIds — both sides may share lineage
-    // (e.g. two filters of the same table)
-    val rp = PlanUtils.freshCopy(right.queryExecution.analyzed)
+    // (e.g. two filters of the same table); null-keyed right rows are
+    // dropped for SQL equality semantics (see asofLeft)
+    val rp = PlanUtils.freshCopy(
+      nonNullKeys(right, by).queryExecution.analyzed)
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
              n: String) =
       p.output.find(_.name == n).getOrElse(

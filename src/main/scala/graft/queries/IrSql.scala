@@ -70,7 +70,13 @@ object IrSql {
       .repartitionByRange(p, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = sorted.mapPartitions(it => Iterator.single(it.size)).collect()
+    // manual Long count: Iterator.size returns Int and would silently
+    // wrap past 2^31 rows per partition
+    val counts = sorted.mapPartitions { it =>
+      var n = 0L
+      while (it.hasNext) { it.next(); n += 1 }
+      Iterator.single(n)
+    }.collect()
     val offsets = counts.scanLeft(0L)(_ + _)
     val bc = sorted.sparkSession.sparkContext.broadcast(offsets)
     // RDD partition index, not TaskContext.getPartitionId — the task id
@@ -90,33 +96,41 @@ object IrSql {
   def q04Tokenize(spark: SparkSession, dir: String): DataFrame =
     tokens(spark, dir, Some(SubsetBound)).orderBy("doc_id", "pos")
 
-  /** Q5: term frequency — groupBy(term, doc) count; Catalyst gives the
+  /** (term, doc_id, tf) counts — the shared input of every postings /
+    * scoring query (q05/q06/q06s/q10/q10b); Catalyst gives the
     * map-side partial agg the reference hand-wired as a combiner. */
-  def q05TermTf(spark: SparkSession, dir: String): DataFrame =
+  private def termTf(spark: SparkSession, dir: String): DataFrame =
     tokens(spark, dir)
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
-      .orderBy("term", "doc_id")
+
+  /** One posting as a sortable struct: the negated tf then doc_id key
+    * IS the PostingWritable ordering (desc-tf, asc-docno — SURVEY
+    * §1.2); `p` carries the rendered `doc:tf` cell. Defined ONCE so
+    * the oracle-critical ordering cannot drift between the index
+    * variants. */
+  private val postingStruct =
+    struct((-col("tf")).as("negtf"), col("doc_id").as("d"),
+      concat_ws(":", col("doc_id"), col("tf")).as("p"))
+
+  /** Render a collected array of [[postingStruct]]s: sort by the
+    * (negtf, d) prefix, join the `p` cells. */
+  private def postingsJoin(collected: org.apache.spark.sql.Column) =
+    array_join(transform(array_sort(collected), x => x.getField("p")), " ")
+
+  /** Q5: term frequency. */
+  def q05TermTf(spark: SparkSession, dir: String): DataFrame =
+    termTf(spark, dir).orderBy("term", "doc_id")
 
   /** Q6: inverted index — df + postings sorted desc-tf, asc-docno
     * (PostingWritable ordering, SURVEY §1.2), presented as a string so
     * the oracle hash-compare is array-free. */
-  def q06InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
-    val tf = tokens(spark, dir)
-      .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
-    tf.groupBy(col("term"))
-      .agg(
-        count(lit(1)).as("df"),
-        array_join(
-          transform(
-            array_sort(collect_list(struct(
-              (-col("tf")).as("negtf"), col("doc_id").as("d"),
-              concat_ws(":", col("doc_id"), col("tf")).as("p")))),
-            x => x.getField("p")),
-          " ").as("postings"))
+  def q06InvertedIndex(spark: SparkSession, dir: String): DataFrame =
+    termTf(spark, dir)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        postingsJoin(collect_list(postingStruct)).as("postings"))
       .orderBy("term")
-  }
 
   /** Q6s: salted two-phase variant of [[q06InvertedIndex]] — postings
     * gathered per (term, doc_id % salt) partial lists, then flattened
@@ -126,21 +140,14 @@ object IrSql {
     * buffer — the skew-safe shape for stop-worded terms at 100 TB
     * (faithful-path twin: `InvertedIndex.nested(salt)`). */
   def q06InvertedIndexSalted(spark: SparkSession, dir: String,
-                             salt: Int = 4): DataFrame = {
-    val tf = tokens(spark, dir)
-      .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
-    tf.groupBy(col("term"), pmod(col("doc_id"), lit(salt)).as("s"))
-      .agg(count(lit(1)).as("c"),
-        collect_list(struct(
-          (-col("tf")).as("negtf"), col("doc_id").as("d"),
-          concat_ws(":", col("doc_id"), col("tf")).as("p"))).as("ps"))
+                             salt: Int = 4): DataFrame =
+    termTf(spark, dir)
+      .groupBy(col("term"), pmod(col("doc_id"), lit(salt)).as("s"))
+      .agg(count(lit(1)).as("c"), collect_list(postingStruct).as("ps"))
       .groupBy(col("term"))
       .agg(sum(col("c")).as("df"),
-        array_join(transform(array_sort(flatten(collect_list(col("ps")))),
-          x => x.getField("p")), " ").as("postings"))
+        postingsJoin(flatten(collect_list(col("ps")))).as("postings"))
       .orderBy("term")
-  }
 
   /** Q6b: k=2 word-k-gram inverted index — the reference's headline
     * `TermKGramDocIndexer` capability at k=2 (bigram postings with df
@@ -159,10 +166,7 @@ object IrSql {
       .agg(count(lit(1)).as("tf"))
     tf.groupBy(col("bigram"))
       .agg(count(lit(1)).as("df"),
-        array_join(transform(array_sort(collect_list(struct(
-          (-col("tf")).as("negtf"), col("doc_id").as("d"),
-          concat_ws(":", col("doc_id"), col("tf")).as("p")))),
-          x => x.getField("p")), " ").as("postings"))
+        postingsJoin(collect_list(postingStruct)).as("postings"))
       .orderBy("bigram")
   }
 
@@ -285,13 +289,22 @@ object IrSql {
     val segGrams = s"$$$pattern$$".split("\\*", -1).toSeq
       .flatMap(s => (0 to s.length - k).map(i => s.substring(i, i + k)))
       .distinct
-    q08CharGrams(spark, dir)
-      .filter(col("gram").isin(segGrams: _*))
-      .groupBy(col("term"))
-      .agg(count(lit(1)).as("ng"))
-      .filter(col("ng") === segGrams.size &&
-        col("term").like(pattern.replace("*", "%")))
-      .select(col("term"))
+    // a pattern whose anchored segments are ALL shorter than k (e.g.
+    // `a*b`) contributes no grams: the candidate set is then the whole
+    // vocabulary and the LIKE verify does the filtering alone — an
+    // empty gram-intersection would (wrongly) return nothing
+    val candidates =
+      if (segGrams.isEmpty)
+        q08CharGrams(spark, dir).select(col("term")).distinct()
+      else
+        q08CharGrams(spark, dir)
+          .filter(col("gram").isin(segGrams: _*))
+          .groupBy(col("term"))
+          .agg(count(lit(1)).as("ng"))
+          .filter(col("ng") === segGrams.size)
+          .select(col("term"))
+    candidates
+      .filter(col("term").like(pattern.replace("*", "%")))
       .orderBy("term")
   }
 
@@ -313,10 +326,7 @@ object IrSql {
                terms: Seq[String] = DefaultQueryTerms): DataFrame = {
     require(terms.nonEmpty && terms.size <= 2,
       "reference accepts 1-2 word queries (SURVEY §2.2 arity predicate)")
-    val tf = tokens(spark, dir)
-      .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
-      .filter(col("term").isin(terms: _*))
+    val tf = termTf(spark, dir).filter(col("term").isin(terms: _*))
     val withDf = tf.withColumn("df",
       count(lit(1)).over(Window.partitionBy(col("term"))))
     val n = docs(spark, dir).agg(count(lit(1)).as("n"))
@@ -348,13 +358,14 @@ object IrSql {
               k1: Double = Bm25K1, b: Double = Bm25B): DataFrame = {
     require(terms.nonEmpty && terms.size <= 2,
       "reference accepts 1-2 word queries (SURVEY §2.2 arity predicate)")
-    val tok = tokens(spark, dir)
-    val len = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // len feeds the stats aggregate AND the per-doc join; materialize
+    // the small per-doc aggregate once instead of tokenizing the
+    // corpus a second time for it
+    val len = tokens(spark, dir)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = len.agg(sum(col("dl")).as("tt"), count(lit(1)).as("nd"))
-    val tf = tok
-      .filter(col("term").isin(terms: _*))
-      .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = termTf(spark, dir).filter(col("term").isin(terms: _*))
     val withDf = tf.withColumn("df",
       count(lit(1)).over(Window.partitionBy(col("term"))))
     withDf.join(len, "doc_id").join(broadcast(stats))

@@ -254,15 +254,18 @@ object Relational {
         col("s_nationkey") === col("n_nationkey"))
       .join(t(spark, dir, "region"),
         col("n_regionkey") === col("r_regionkey"))
-    s.createOrReplaceTempView("graft_q15gs")
-    spark.sql(
-      """SELECT r_name, n_name, count(*) AS n_supp,
-                round(sum(s_acctbal), 2) AS total_bal,
-                CAST(grouping(r_name) AS BIGINT) AS g_r,
-                CAST(grouping(n_name) AS BIGINT) AS g_n
-         FROM graft_q15gs
-         GROUP BY GROUPING SETS ((r_name), (n_name), ())
-         ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""")
+    // Dataset groupingSets API (Spark 4): no temp-view registration —
+    // a view would mutate the session catalog as a hidden side effect
+    // and race between interleaved invocations
+    s.groupingSets(
+        Seq(Seq(col("r_name")), Seq(col("n_name")), Seq.empty),
+        col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_supp"),
+        round(sum(col("s_acctbal")), 2).as("total_bal"),
+        grouping(col("r_name")).cast("long").as("g_r"),
+        grouping(col("n_name")).cast("long").as("g_n"))
+      .orderBy(col("g_r"), col("g_n"),
+        col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
   /** Q16: ranking windows; one shuffle on o_custkey serves all three

@@ -46,6 +46,31 @@ class TemporalSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("NULL by-keys never match, in both as-of forms (SQL equality)") {
+    import spark.implicits._
+    val left = Seq((Some("a"), 10L, 1), (None, 10L, 2))
+      .toDF("k", "t", "id")
+    val right = Seq((Some("a"), 5L, 1.0), (None, 5L, 9.9))
+      .toDF("k", "rt", "v")
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.orderBy("id").select("id", "v").collect()
+        .map(r => (r.getInt(0), if (r.isNullAt(1)) None
+          else Some(r.getDouble(1)))).toSeq
+    val expect = Seq((1, Some(1.0)), (2, None)) // null key: null fill
+    assert(run(Temporal.asofLeft(left, right, Seq("k"), "t", "rt",
+      Seq("v"))) == expect)
+    assert(run(Temporal.asofLeftMerge(left, right, Seq("k"), "t", "rt",
+      Seq("v"))) == expect)
+  }
+
+  test("rangePairs rejects a non-positive window") {
+    import spark.implicits._
+    val pts = Seq(("u", 0L, 1L)).toDF("k", "t", "id")
+    intercept[IllegalArgumentException] {
+      Temporal.rangePairs(pts, Seq("k"), "t", "id", window = 0L)
+    }
+  }
+
   test("rangePairs equals the naive quadratic range join") {
     import spark.implicits._
     val pts = Seq(("u", 0L, 1L), ("u", 50L, 2L), ("u", 100L, 3L),
