@@ -50,13 +50,16 @@ object Multimodal {
       bos.toByteArray
     }
 
-    /** None when no reader can decode the stream (corrupt/truncated
-      * payload that merely begins with the PNG signature) — the caller
-      * falls back rather than NPE-ing the task. */
+    /** None when the stream can't be decoded — either no reader claims
+      * it (`ImageIO.read` returns null) or the claimed reader throws on
+      * a corrupt/truncated payload that merely begins with the PNG
+      * signature (`IIOException`). A bad row falls back to the stub
+      * instead of failing the whole task. */
     def decodeDims(payload: Array[Byte]): Option[(Int, Int)] =
-      Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(payload)))
+      try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload)))
         .map(img => (img.getWidth, img.getHeight))
+      catch { case scala.util.control.NonFatal(_) => None }
 
     /** PNG signature check (89 50 4E 47): routes real images to the
       * real decoder, everything else to the stub. */

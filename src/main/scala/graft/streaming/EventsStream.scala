@@ -26,9 +26,22 @@ object EventsStream {
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
                      n_events: Long, total_value: Double)
 
-  // public: Spark's codegen must construct/inspect it from generated code
+  // public: Spark's codegen must construct/inspect it from generated
+  // code. start/lastSeen are event-time MICROSECONDS (the precision the
+  // µs-derived `ts` column actually carries — ms arithmetic would
+  // diverge from `sessionWindows`/the q32 oracle at sub-ms gaps).
   case class SessionState(start: Long, lastSeen: Long, n: Long,
                           total: Double)
+
+  /** Event-time µs of a timestamp (getTime alone floors to ms). */
+  private def micros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def tsOfMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** File-source streaming read of a DIRECTORY of events parquet files
     * (the standard streaming-ingest layout — new files appear, the
@@ -131,17 +144,20 @@ object EventsStream {
     *
     * Merge rule is the canonical strict `< gap` (same as
     * [[sessionWindows]] and the q32 oracle: two events exactly
-    * `gapSeconds` apart are separate sessions). Out-of-order events
-    * admitted by the watermark are handled: an event landing within
-    * the open session's interval — or within the gap on EITHER side —
-    * extends it (start may move earlier, lastSeen never regresses); a
-    * late event entirely more than a gap BEFORE the open session
-    * belongs to an older, already-emitted timeline and is emitted as
-    * its own single-event session rather than corrupting open state. */
+    * `gapSeconds` apart are separate sessions), evaluated in event-time
+    * MICROSECONDS to match the µs-derived `ts` column. Each batch runs
+    * a full interval merge over {batch events} ∪ {open session}: events
+    * within the gap on either side of the open session extend it (start
+    * may move earlier, lastSeen never regresses), and late events that
+    * belong to an older timeline sessionize among THEMSELVES (a late
+    * chain forms one session, not one per event) before being emitted.
+    * The single-session-per-key state means an already-emitted older
+    * session can never be reopened — the inherent approximation of this
+    * shape; [[sessionWindows]] is the exact multi-session form. */
   def sessionize(events: Dataset[Event], gapSeconds: Long = 30)
                 (implicit spark: SparkSession): Dataset[Session] = {
     import spark.implicits._
-    val gapMs = gapSeconds * 1000
+    val gapUs = gapSeconds * 1000000L
     events
       .withWatermark("ts", s"$gapSeconds seconds")
       .groupByKey(_.user_id)
@@ -152,35 +168,32 @@ object EventsStream {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(Session(userId,
-              new java.sql.Timestamp(s.start), s.n, s.total))
+            Iterator.single(Session(userId, tsOfMicros(s.start), s.n,
+              s.total))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            var closed = List.empty[Session]
-            var cur = state.getOption
-            for (e <- sorted) {
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t > s.start - gapMs &&
-                  t < s.lastSeen + gapMs =>
-                  cur = Some(SessionState(math.min(s.start, t),
-                    math.max(s.lastSeen, t), s.n + 1, s.total + e.value))
-                case Some(s) if t <= s.start - gapMs =>
-                  closed ::= Session(userId, new java.sql.Timestamp(t),
-                    1, e.value)
-                case Some(s) =>
-                  closed ::= Session(userId, new java.sql.Timestamp(s.start),
-                    s.n, s.total)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
+            // interval merge: singleton intervals for the batch events
+            // plus the open session, sorted by start; adjacent items
+            // merge when the gap between them is < gapUs
+            val items = (rows.map(e =>
+                SessionState(micros(e.ts), micros(e.ts), 1, e.value))
+              ++ state.getOption.iterator).toArray
+              .sortBy(s => (s.start, s.lastSeen))
+            var merged = List.empty[SessionState] // newest-first
+            for (s <- items) merged = merged match {
+              case h :: t if s.start < h.lastSeen + gapUs =>
+                SessionState(h.start, math.max(h.lastSeen, s.lastSeen),
+                  h.n + s.n, h.total + s.total) :: t
+              case other => s :: other
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.lastSeen + gapMs)
+            // everything but the newest group is a closed session
+            merged.headOption.foreach { open =>
+              state.update(open)
+              // ceil µs→ms so the event-time timeout never fires early
+              state.setTimeoutTimestamp(
+                Math.floorDiv(open.lastSeen + gapUs + 999L, 1000L))
             }
-            closed.reverseIterator
+            merged.drop(1).reverseIterator.map(s =>
+              Session(userId, tsOfMicros(s.start), s.n, s.total))
           }
       }
   }

@@ -32,6 +32,19 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("corrupt payload with a valid PNG signature falls back, not crash") {
+    import spark.implicits._
+    // signature intact, truncated mid-stream: the JDK reader claims it
+    // and throws — decode must fall back to the stub per row, never
+    // fail the task
+    val truncated = Multimodal.PngCodec.encode(20, 20, 1L).take(20)
+    assert(Multimodal.PngCodec.isPng(truncated))
+    assert(Multimodal.PngCodec.decodeDims(truncated).isEmpty)
+    val d = Multimodal.decode(
+      Seq(Multimodal.Media(1L, "img/x", truncated)).toDS()).head()
+    assert((d.width, d.height) == Multimodal.FakeCodec.dims(truncated))
+  }
+
   test("decode plan is narrow — no shuffle") {
     val plan = Multimodal.decode(media).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))

@@ -144,6 +144,57 @@ class EventsStreamSpec extends SparkSpec {
     assert(got(0).getAs[Double]("total_value") == 7.0)
   }
 
+  test("sessionize late chain merges with the back-extended session") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    // batch 1 opens a session at 1000s (watermark → 970s); batch 2
+    // delivers 970s (exactly start - gap — old timeline under the
+    // per-event rule) and 995s together. The interval merge must
+    // chain 970 ↔ 995 ↔ 1000 into ONE session — the old per-event
+    // ascending pass emitted {970} as a spurious singleton before 995
+    // back-extended the open session into its range
+    val got = feed(input, EventsStream.sessionize(input.toDS()), "latechain",
+      Seq(
+        Seq(Event(1, 1, ts(1000), 1.0)),
+        Seq(Event(2, 1, ts(970), 2.0), Event(3, 1, ts(995), 4.0)),
+        Seq(Event(9, 9, ts(10000), 0.0)),
+        Seq(Event(10, 9, ts(20000), 0.0))))
+      .filter(col("user_id") === 1)
+      .collect()
+    assert(got.length == 1, got.mkString(", "))
+    // 3 if the boundary event (ts == watermark) is admitted, 2 if the
+    // source drops it as late — either way it must not split
+    assert(got(0).getAs[Long]("n_events") >= 2)
+  }
+
+  test("sessionize evaluates the gap in microseconds") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def tsUs(us: Long): Timestamp = {
+      val base = (1200L + us / 1000000L) * 1000L
+      val t = new Timestamp(base)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    val input = MemoryStream[Event]
+    // events at 500µs and 30.000100s: true gap 29.9996s < 30s — the µs
+    // strict `< gap` rule merges them (ms-floored arithmetic would see
+    // exactly 30s and split, diverging from session_window and q32)
+    val got = feed(input, EventsStream.sessionize(input.toDS()), "ussess",
+      Seq(
+        Seq(Event(1, 1, tsUs(500), 1.0), Event(2, 1, tsUs(30000100L), 2.0)),
+        Seq(Event(9, 9, ts(10000), 0.0)),
+        Seq(Event(10, 9, ts(20000), 0.0))))
+      .filter(col("user_id") === 1)
+      .collect()
+    assert(got.length == 1, got.mkString(", "))
+    assert(got(0).getAs[Long]("n_events") == 2)
+    assert(got(0).getAs[Timestamp]("session_start") == tsUs(500))
+  }
+
   test("sessionize splits at exactly the gap, matching session_window") {
     import spark.implicits._
     implicit val s = spark
