@@ -445,6 +445,30 @@ object Dedup {
     }
   }
 
+  /** Quality-aware SURVIVOR selection over the near-dup clusters: per
+    * duplicate cluster keep the doc with the MOST tokens (the standard
+    * keep-longest heuristic — near-dup groups usually contain truncated
+    * or boilerplate-stripped variants of one document, and a pipeline
+    * wants the fullest copy, not the smallest id), ties broken by min
+    * doc_id. One hash aggregate per cluster via `max(struct(...))` —
+    * no per-cluster window, no row buffering — so the selection adds a
+    * single shuffle on the (tiny, near-dup-members-only) cluster
+    * labeling regardless of corpus scale. */
+  def survivors(spark: SparkSession, dir: String,
+                threshold: Double = 0.5): DataFrame = {
+    val cl = dedupClusters(spark, dir, threshold)
+    val lens = docs(spark, dir).select(col("doc_id"),
+      size(tokensArrayFast(col("text"))).cast("long").as("n_tokens"))
+    cl.join(lens, "doc_id")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_tokens").as("nt"),
+          (-col("doc_id")).as("nd"))).as("m"))
+      .select(col("cluster"), (-col("m.nd")).as("survivor"),
+        col("m.nt").as("survivor_tokens"), col("n_members"))
+      .orderBy("cluster")
+  }
+
   /** SimHash bit width (polyHash mod P is < 2^30). */
   val SimhashBits = 30
 

@@ -171,24 +171,31 @@ object TrainingOracles {
     // components via a recursive reachability CTE (UNION dedup
     // terminates the recursion); cluster = min reachable doc_id
     "q24_dedup_clusters" ->
-      s"""${docShingles.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2),
-         p AS (SELECT doc_a, doc_b
-               FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
-               WHERE round(i / (x.n + y.n - i), 4) >= 0.5),
-         e AS (SELECT doc_a AS u, doc_b AS v FROM p
-               UNION ALL SELECT doc_b, doc_a FROM p),
-         nodes AS (SELECT DISTINCT u AS node FROM e),
-         r AS (SELECT node, node AS m FROM nodes
-               UNION
-               SELECT r.node, e.v FROM r JOIN e ON r.m = e.u)
+      s"""$clusterCtes
          SELECT node AS doc_id, min(m) AS cluster,
                 CASE WHEN min(m) = node THEN CAST(1 AS BIGINT)
                      ELSE CAST(0 AS BIGINT) END AS keeper
          FROM r GROUP BY node ORDER BY doc_id""",
+
+    // quality-aware survivor per near-dup cluster: keep-longest (token
+    // count), tie-broken by min doc_id — the window form here is
+    // output-identical to the engine's single max(struct) aggregate
+    "q24_dedup_survivors" ->
+      s"""$clusterCtes,
+         lab AS (SELECT node AS doc_id, min(m) AS cluster
+                 FROM r GROUP BY node),
+         tl AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens
+                FROM documents),
+         j AS (SELECT cluster, lab.doc_id AS doc_id, n_tokens
+               FROM lab JOIN tl ON lab.doc_id = tl.doc_id),
+         sel AS (SELECT cluster, doc_id, n_tokens,
+                        row_number() OVER (PARTITION BY cluster
+                          ORDER BY n_tokens DESC, doc_id) AS rn,
+                        count(*) OVER (PARTITION BY cluster) AS nm
+                 FROM j)
+         SELECT cluster, doc_id AS survivor, n_tokens AS survivor_tokens,
+                CAST(nm AS BIGINT) AS n_members
+         FROM sel WHERE rn = 1 ORDER BY cluster""",
 
     "q24_simhash" -> (simhashSql + " ORDER BY doc_id"),
 
@@ -480,6 +487,26 @@ object TrainingOracles {
          WHERE h < keep_p * 10000 ORDER BY doc_id"""
     },
   )
+
+  /** Shared near-dup cluster CTE chain ending in `r` = the recursive
+    * reachability relation over the Jaccard≥0.5 pair graph
+    * (`min(m) GROUP BY node` = the component label) — the base of
+    * q24_dedup_clusters and q24_dedup_survivors. */
+  private lazy val clusterCtes: String =
+    s"""${docShingles.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+       p AS (SELECT doc_a, doc_b
+             FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+             WHERE round(i / (x.n + y.n - i), 4) >= 0.5),
+       e AS (SELECT doc_a AS u, doc_b AS v FROM p
+             UNION ALL SELECT doc_b, doc_a FROM p),
+       nodes AS (SELECT DISTINCT u AS node FROM e),
+       r AS (SELECT node, node AS m FROM nodes
+             UNION
+             SELECT r.node, e.v FROM r JOIN e ON r.m = e.u)"""
 
   /** Shared LSH bucket CTEs (`pr`, `b`) — the hyperplane projections +
     * sign-bit bucket of every vector, identical arithmetic to

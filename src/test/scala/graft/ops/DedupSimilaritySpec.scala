@@ -63,6 +63,30 @@ class DedupSimilaritySpec extends SparkSpec {
     pairs.unpersist()
   }
 
+  test("survivors: one keep-longest doc per cluster, from its own members") {
+    import graft.ops.CrossHash.tokensArrayFast
+    val cl = Dedup.dedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq // (doc_id, cluster)
+    val byCluster = cl.groupMap(_._2)(_._1)
+    val lens = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), size(tokensArrayFast(col("text"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sv = Dedup.survivors(spark, dir).collect()
+    assert(sv.map(_.getLong(0)).toSet == byCluster.keySet) // one per cluster
+    sv.foreach { r =>
+      val (cluster, survivor, nTok, nMembers) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val members = byCluster(cluster)
+      assert(members.contains(survivor), s"survivor $survivor not in $cluster")
+      assert(nMembers == members.length)
+      assert(nTok == lens(survivor))
+      val best = members.map(lens).max
+      assert(nTok == best, s"cluster $cluster kept $nTok, best is $best")
+      // tie-break: smallest doc_id among the longest members
+      assert(survivor == members.filter(lens(_) == best).min)
+    }
+  }
+
   test("multi-probe LSH dominates single-probe positionally") {
     // the probe set contains the query's own bucket, so candidates are
     // a superset — every ranked score must be at least as good
