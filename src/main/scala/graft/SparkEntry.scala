@@ -85,6 +85,8 @@ object SparkEntry {
     "q25_ann_lsh" -> (Similarity.lshBucketHistogram _),
     "q25_ann_multiprobe" ->
       ((s: SparkSession, d: String) => Similarity.annLshMultiProbe(s, d)),
+    "q25_ann_quantized" ->
+      ((s: SparkSession, d: String) => Similarity.annQuantized(s, d)),
     "q25_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "q25_ann_ivf_nprobe" ->
       ((s: SparkSession, d: String) => Similarity.annIvfProbe(s, d)),

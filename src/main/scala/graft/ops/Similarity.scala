@@ -408,6 +408,71 @@ object Similarity {
       .select(col("vec_id"), round(col("c"), 4).as("cos"))
   }
 
+  /** Int8 scalar quantization of a float vector: scale = max|v|,
+    * code_i = floor(v_i * 127 / scale + 0.5) ∈ [-127, 127]. The half
+    * rule is floor(x + 0.5) — the one rounding with identical semantics
+    * on both engines (Scala math.round and DuckDB round disagree on
+    * negative halves). A float times/over exact small ints stays
+    * deterministic IEEE double arithmetic, so the codes are a pure
+    * function of the input on any engine. The scale CANCELS in cosine,
+    * so quantized scoring needs only the codes; scale is kept for
+    * dot-product/L2 reconstruction. */
+  private val quantize8 = udf((v: Seq[Float]) => {
+    var sc = 0.0
+    v.foreach(x => sc = math.max(sc, math.abs(x.toDouble)))
+    val codes = new Array[Byte](v.length)
+    if (sc > 0) {
+      var i = 0
+      while (i < codes.length) {
+        codes(i) = math.floor(v(i).toDouble * 127.0 / sc + 0.5).toInt.toByte
+        i += 1
+      }
+    }
+    (sc / 127.0, codes)
+  })
+
+  /** Cosine of two int8 code vectors: integer dot/norm sums in long
+    * arithmetic (≤ 127²·dims — exact, order-free), one double division
+    * chain at the end. Bit-identical to the oracle's double folds
+    * because every summand is an integer far below 2^53. */
+  private val qcosUdf = udf((a: Array[Byte], b: Array[Byte]) => {
+    var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+    while (i < a.length) {
+      dot += a(i).toLong * b(i)
+      na += a(i).toLong * a(i)
+      nb += b(i).toLong * b(i)
+      i += 1
+    }
+    if (na == 0L || nb == 0L) 0.0
+    else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  })
+
+  /** The int8-quantized embedding store: (vec_id, scale DOUBLE,
+    * qvec BINARY) — ONE BYTE per dimension, a 4× scan-size reduction
+    * over fp32. Zero vectors (scale 0) are unquantizable and dropped on
+    * both engines. */
+  def quantized(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("vec_id"), quantize8(col("embedding")).as("q"))
+      .select(col("vec_id"), col("q._1").as("scale"), col("q._2").as("qvec"))
+      .filter(col("scale") > 0)
+
+  /** Brute-force ANN over the int8 store: the [[annTopK]] plan
+    * (broadcast 1-row query, narrow scan, TakeOrderedAndProject)
+    * reading a quarter of the bytes — at 100 TB of fp32 embeddings
+    * THIS is the store the first-stage scan reads; exact fp re-rank of
+    * the short list is the optional second stage. */
+  def annQuantized(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = quantized(spark, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("qvec").as("qq"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), qcosUdf(col("qvec"), col("qq")).as("c"))
+      .orderBy(col("c").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), (round(col("c"), 4) + 0.0).as("qcos"))
+  }
+
   /** MULTI-PROBE LSH ANN — the standard recall knob: probe the query's
     * bucket plus its 16 one-bit-flipped neighbors (the buckets a
     * near-neighbor most likely fell into when one hyperplane

@@ -259,6 +259,28 @@ object TrainingOracles {
                      ELSE CAST(0 AS BIGINT) END AS keeper
          FROM r GROUP BY node ORDER BY vec_id""",
 
+    // int8-quantized brute-force ANN: scale = max|v|, codes =
+    // floor(v*127/sc + 0.5); cosine over the integer codes (scale
+    // cancels), integer sums exact in double folds
+    "q25_ann_quantized" ->
+      s"""WITH e AS (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+         s AS (SELECT vec_id, v,
+                      list_aggregate(list_transform(v, x -> abs(x)), 'max') AS sc
+               FROM e),
+         q8 AS (SELECT vec_id,
+                       list_transform(v, x -> floor(x * 127 / sc + 0.5)) AS q
+                FROM s WHERE sc > 0),
+         qq AS (SELECT q AS qv FROM q8 WHERE vec_id = 0),
+         sc2 AS (SELECT vec_id,
+                        ${dot("q", "qv")} AS d,
+                        ${dot("q", "q")} AS na,
+                        ${dot("qv", "qv")} AS nb
+                 FROM q8 CROSS JOIN qq WHERE vec_id <> 0)
+         SELECT vec_id, round(d / (sqrt(na) * sqrt(nb)), 4) + 0.0 AS qcos
+         FROM sc2 ORDER BY d / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 10""",
+
     "q25_ann_lsh" ->
       s"""WITH $lshBucketCtes
          SELECT bucket, count(*) AS n FROM b GROUP BY bucket ORDER BY bucket""",

@@ -87,6 +87,22 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8-quantized cosine tracks exact cosine within quantization error") {
+    val exact = Similarity.annTopK(spark, dir, k = 1000000).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val quant = Similarity.annQuantized(spark, dir, k = 10).collect()
+    assert(quant.length == 10)
+    quant.foreach { r =>
+      val (id, qc) = (r.getLong(0), r.getDouble(1))
+      assert(math.abs(qc - exact(id)) < 0.02,
+        s"vec $id: quantized $qc vs exact ${exact(id)}")
+    }
+    // the quantized top-10 should mostly agree with the exact top-10
+    val exactTop = Similarity.annTopK(spark, dir, k = 10).collect()
+      .map(_.getLong(0)).toSet
+    assert(quant.map(_.getLong(0)).count(exactTop) >= 7)
+  }
+
   test("multi-probe LSH dominates single-probe positionally") {
     // the probe set contains the query's own bucket, so candidates are
     // a superset — every ranked score must be at least as good
