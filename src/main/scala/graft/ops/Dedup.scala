@@ -457,9 +457,12 @@ object Dedup {
   def survivors(spark: SparkSession, dir: String,
                 threshold: Double = 0.5): DataFrame = {
     val cl = dedupClusters(spark, dir, threshold)
-    val lens = docs(spark, dir).select(col("doc_id"),
-      size(tokensArrayFast(col("text"))).cast("long").as("n_tokens"))
-    cl.join(lens, "doc_id")
+    // join the (tiny, members-only) labeling into the corpus FIRST and
+    // tokenize after it: the token-count pass then reads |members|
+    // docs, not a full extra tokenize scan of the corpus
+    cl.join(docs(spark, dir), "doc_id")
+      .select(col("doc_id"), col("cluster"),
+        size(tokensArrayFast(col("text"))).cast("long").as("n_tokens"))
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_members"),
         max(struct(col("n_tokens").as("nt"),
