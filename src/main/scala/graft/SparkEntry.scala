@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{IrEngine, IrSql, Relational}
-import graft.ops.{Dedup, Similarity, Temporal, TextAnalysis, TrainingOracles}
+import graft.ops.{Dedup, Graph, Similarity, Temporal, TextAnalysis, TrainingOracles}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -130,7 +130,13 @@ object SparkEntry {
     "q27_packing" ->
       ((s: SparkSession, d: String) => TextAnalysis.packSequences(s, d)),
     "q24_dedup_delta" -> (Dedup.deltaDedup _),
+    "q24_bloom_probe" ->
+      ((s: SparkSession, d: String) => Dedup.bloomProbe(s, d)),
     "q25_joint_dedup" -> (Similarity.jointDedup _),
+    "q14_heavy_hitters" ->
+      ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
+    "q27_lm_score" -> (TextAnalysis.lmScore _),
+    "q33_pagerank" -> (Graph.q33PageRank _),
   )
 
   /** DuckDB dialect equivalents. Dialect notes: regexp_replace needs the

@@ -277,6 +277,40 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Bloom-filter DELTA probe — the no-shuffle form of [[deltaDedup]]
+    * and the right first pass at 100 TB: build a Bloom filter over the
+    * base corpus's content digests once (one aggregation, mergeable
+    * sketch), broadcast it, and probe each delta document map-side.
+    * Probing is a narrow scan — no join, no shuffle of the delta — and
+    * the filter is ~1.2 GB per billion base digests at 1% fpp, i.e.
+    * broadcastable where the base digest SET is not. Docs the filter
+    * rejects are GUARANTEED new (Bloom filters have no false
+    * negatives); only the "maybe" fraction (true dups + ~fpp of the
+    * rest) needs the exact digest join. The oracle contract mirrors
+    * the sketch queries: exact membership per doc plus a checked
+    * no-false-negative flag (`maybe_dup` must hold wherever
+    * `dup_in_base` does). */
+  def bloomProbe(spark: SparkSession, dir: String,
+                 fpp: Double = 0.03): DataFrame = {
+    val d = docs(spark, dir)
+    val half = d.count() / 2
+    val base = d.filter(col("doc_id") < half)
+      .select(md5(col("text")).as("digest"))
+    val bloom = base.stat.bloomFilter("digest", math.max(half, 1L), fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val maybe = udf((s: String) => bc.value.mightContainString(s))
+    val exactBase = base.distinct().withColumn("in_base", lit(1L))
+    d.filter(col("doc_id") >= half)
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+      .withColumn("maybe_dup", maybe(col("digest")))
+      .join(exactBase, Seq("digest"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("in_base"), lit(0L)) === 1L).as("dup_in_base"),
+        (col("maybe_dup") || coalesce(col("in_base"), lit(0L)) === 0L)
+          .as("no_false_neg"))
+      .orderBy("doc_id")
+  }
+
   /** Duplicate-CLUSTER resolution: connected components over the
     * near-dup pair graph (J ≥ threshold), labeling every involved doc
     * with its component's smallest doc_id and flagging that doc as the

@@ -349,6 +349,76 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** HEAVY HITTERS via count-min sketch — the bounded-memory way to
+    * find hot terms at 100 TB: one pass builds a fixed-size (eps,
+    * confidence) sketch (mergeable across partitions, so it
+    * map-side-combines like any partial agg), and point estimates come
+    * from the sketch without re-scanning. The exact top-k groupBy here
+    * is the verification side; in production only the sketch pass
+    * runs. Oracle contract (as for HLL/GK): exact counts plus the two
+    * CMS guarantees checked on the Spark side — estimates never
+    * under-count, and over-count by at most eps·N (with prob ≥
+    * confidence; eps·N is ~59 tokens per term at sf0.1). */
+  def heavyHitters(spark: SparkSession, dir: String,
+                   k: Int = 20, eps: Double = 0.0001): DataFrame = {
+    import spark.implicits._
+    val toks = docs(spark, dir)
+      .select(explode(tokensArrayFast(col("text"))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = toks.count()
+      val sketch = toks.stat.countMinSketch(
+        col("term"), eps, 0.999, seed = 42)
+      val top = toks.groupBy("term").count()
+        .orderBy(col("count").desc, col("term")).limit(k)
+        .as[(String, Long)].collect()
+      top.toSeq.map { case (term, cnt) =>
+        val est = sketch.estimateCount(term)
+        (term, cnt, est >= cnt, est <= cnt + (eps * total).toLong)
+      }.toDF("term", "cnt", "cms_lower_ok", "cms_upper_ok")
+        .orderBy(col("cnt").desc, col("term"))
+    } finally { toks.unpersist(); () }
+  }
+
+  /** Bigram LANGUAGE-MODEL quality score — perplexity-style filtering,
+    * the model-based quality signal next to [[quality]]'s rule-based
+    * one: train add-one-smoothed bigram probabilities on the corpus
+    * itself and score each document by its mean log P(w_i | w_{i-1}).
+    * Unusually low scores flag degenerate/boilerplate text. The model
+    * IS a DataFrame (unigram + bigram count tables), scoring is one
+    * equi-join of the doc's bigram instances against it — partial
+    * aggregation builds the counts map-side, nothing driver-side, and
+    * the join keys are (w1, w2) so vocabulary skew (stopword bigrams)
+    * stays inside Spark's AQE skew handling. Per-doc log-prob sums use
+    * the sanctioned fixed-point pattern (round to 1e-6, sum BIGINTs)
+    * so the result is order-insensitive and engine-exact. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    // the token stream feeds four consumers (instances, unigrams,
+    // vocab, and the scoring join) — materialize it once; the bench
+    // clears caches between queries
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), posexplode(tokensArrayFast(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inst = tok.as("a").join(tok.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.pos") === col("a.pos") + 1)
+      .select(col("a.doc_id").as("doc_id"), col("a.term").as("w1"),
+        col("b.term").as("w2"))
+    val uni = tok.groupBy(col("term").as("w1"))
+      .agg(count(lit(1)).as("cu"))
+    val vocab = tok.select("term").distinct().count()
+    val bi = inst.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    inst.join(bi, Seq("w1", "w2")).join(uni, "w1")
+      .select(col("doc_id"),
+        round(log((col("cb") + 1.0) / (col("cu") + vocab)) * 1e6, 0)
+          .cast("long").as("q"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        (round(sum(col("q")) / 1e6 / count(lit(1)), 4) + 0.0).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: rolling polynomial hash of the normalized
     * (tokenized, single-spaced) text — an order-sensitive content id,
     * complementing [[Dedup.exact]]'s md5 of the raw text. */

@@ -78,6 +78,80 @@ object TrainingOracles {
          FROM documents CROSS JOIN h WHERE doc_id >= half
          ORDER BY doc_id""",
 
+    // Bloom delta probe: exact membership (the verification side) plus
+    // the checked no-false-negative guarantee of the sketch — the same
+    // exact-value-plus-bound-flag contract as the HLL/GK oracles
+    "q24_bloom_probe" ->
+      """WITH h AS (SELECT count(*) // 2 AS half FROM documents),
+         base AS (SELECT DISTINCT md5(text) AS digest
+                  FROM documents CROSS JOIN h WHERE doc_id < half)
+         SELECT doc_id,
+                md5(text) IN (SELECT digest FROM base) AS dup_in_base,
+                true AS no_false_neg
+         FROM documents CROSS JOIN h WHERE doc_id >= half
+         ORDER BY doc_id""",
+
+    // heavy hitters: exact top-k terms + the two checked CMS bounds
+    "q14_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($toks) AS term FROM documents)
+         SELECT term, CAST(count(*) AS BIGINT) AS cnt,
+                true AS cms_lower_ok, true AS cms_upper_ok
+         FROM tok GROUP BY term
+         ORDER BY cnt DESC, term LIMIT 20""",
+
+    // bigram LM score: add-one-smoothed log-probs, fixed-point 1e-6
+    // quantization before the per-doc sum (order-insensitive on both
+    // engines); positions from the same filtered token list, so the
+    // 0-vs-1-based offset cancels in the adjacency join
+    "q27_lm_score" ->
+      s"""WITH tok AS (SELECT doc_id, generate_subscripts(l, 1) AS pos,
+                              unnest(l) AS term
+                       FROM (SELECT doc_id, $toks AS l FROM documents)),
+         inst AS (SELECT a.doc_id AS doc_id, a.term AS w1, b.term AS w2
+                  FROM tok a JOIN tok b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         uni AS (SELECT term AS w1, count(*) AS cu FROM tok GROUP BY 1),
+         v AS (SELECT count(DISTINCT term) AS vs FROM tok),
+         bic AS (SELECT w1, w2, count(*) AS cb FROM inst GROUP BY 1, 2),
+         q AS (SELECT i.doc_id AS doc_id,
+                      CAST(round(ln((cb + 1.0) / (cu + vs)) * 1e6, 0) AS BIGINT) AS q
+               FROM inst i JOIN bic USING (w1, w2) JOIN uni USING (w1)
+                    CROSS JOIN v)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+                round(CAST(sum(q) AS DOUBLE) / 1e6 / count(*), 4) + 0.0 AS avg_logp
+         FROM q GROUP BY doc_id ORDER BY doc_id""",
+
+    // PageRank: the identical fixed-point integer recurrence unrolled
+    // ten levels deep — every division is integer division, so the
+    // ranks are bit-exact across engines and summation orders
+    "q33_pagerank" -> {
+      val rounds = (1 to 10).map { i =>
+        s"""r$i AS (SELECT n.node AS node,
+                  CAST(${Graph.Teleport} + (${Graph.DampNum} * coalesce(s.s, 0)) // ${Graph.DampDen} AS BIGINT) AS r
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst AS node, sum(p.r // e.deg) AS s
+             FROM ed e JOIN r${i - 1} p ON e.src = p.node
+             GROUP BY e.dst) s ON n.node = s.node)"""
+      }.mkString(",\n         ")
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         e0 AS (SELECT doc_id AS src, (doc_id * 7 + 3) % n AS dst
+                FROM documents CROSS JOIN nn
+                UNION ALL
+                SELECT doc_id, (doc_id * 13 + 5) % n FROM documents CROSS JOIN nn
+                UNION ALL
+                SELECT doc_id, (doc_id * 31 + 11) % n FROM documents CROSS JOIN nn),
+         edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         ed AS (SELECT e.src, e.dst, d.deg
+                FROM edges e JOIN deg d ON e.src = d.src),
+         nodes AS (SELECT DISTINCT node FROM
+                     (SELECT src AS node FROM edges
+                      UNION ALL SELECT dst FROM edges)),
+         r0 AS (SELECT node, CAST(${Graph.RankOne} AS BIGINT) AS r FROM nodes),
+         $rounds
+         SELECT node, r FROM r10 ORDER BY r DESC, node"""
+    },
+
     // joint gate: exact-dup keeper AND not a semantic-cluster member
     // dropped by SemDeDup (recursive CTE over the cosine>=0.35 graph)
     "q25_joint_dedup" ->

@@ -218,4 +218,17 @@ class DedupSimilaritySpec extends SparkSpec {
       .head().getDouble(1)
     assert(lsh.head.getDouble(1) <= bruteBest)
   }
+
+  test("bloom probe never misses a true duplicate and agrees with the " +
+    "exact delta join") {
+    val bloom = Dedup.bloomProbe(spark, dir).collect()
+    assert(bloom.nonEmpty)
+    // the no-false-negative guarantee must hold row by row
+    assert(bloom.forall(_.getBoolean(2)))
+    val exact = Dedup.deltaDedup(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    bloom.foreach { r =>
+      assert(exact(r.getLong(0)) == r.getBoolean(1))
+    }
+  }
 }

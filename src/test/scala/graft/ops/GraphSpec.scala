@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("pageRank concentrates rank on the sink of a fan-in graph") {
+    import spark.implicits._
+    // A->B, C->B: B collects from both donors; A and C have no
+    // in-links and settle at exactly the teleport mass
+    val edges = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst")
+    val r = Graph.pageRank(spark, edges, iters = 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.keySet == Set(1L, 2L, 3L))
+    assert(r(1L) == Graph.Teleport && r(3L) == Graph.Teleport, s"ranks $r")
+    // steady state: 0.15 + 0.85 * (0.15 + 0.15) = 0.405
+    assert(r(2L) == Graph.Teleport +
+      Graph.DampNum * (2 * Graph.Teleport) / Graph.DampDen, s"ranks $r")
+  }
+
+  test("pageRank is invariant under shuffle partitioning") {
+    val edges = Graph.linkEdges(spark, dir)
+    val a = Graph.q33PageRank(spark, dir).collect().toSeq
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = Graph.q33PageRank(spark, dir).collect().toSeq
+      assert(a == b)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // every node keeps at least the teleport mass, and total mass stays
+    // below the initial budget (integer division only loses mass)
+    val n = edges.select(col("src")).union(edges.select(col("dst")))
+      .distinct().count()
+    val rs = a.map(_.getLong(1))
+    assert(rs.forall(_ >= Graph.Teleport))
+    assert(rs.sum <= n * Graph.RankOne)
+  }
+
+  test("link graph has no self loops and no duplicate edges") {
+    val e = Graph.linkEdges(spark, dir)
+    assert(e.filter(col("src") === col("dst")).count() == 0)
+    assert(e.count() == e.distinct().count())
+  }
+}

@@ -106,4 +106,34 @@ class TextAnalysisSpec extends SparkSpec {
     val b = TextAnalysis.mixCorpus(spark, dir).collect().toSeq
     assert(a == b)
   }
+
+  test("heavy hitters: CMS bounds hold and counts equal the exact agg") {
+    val hh = TextAnalysis.heavyHitters(spark, dir, k = 10).collect()
+    assert(hh.length == 10)
+    assert(hh.forall(r => r.getBoolean(2) && r.getBoolean(3)))
+    val exact = graft.Tables.load(spark, dir, "documents")
+      .select(explode(CrossHash.tokensArrayFast(col("text"))).as("term"))
+      .groupBy("term").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    hh.foreach(r => assert(exact(r.getString(0)) == r.getLong(1)))
+    // descending and deterministically tie-broken
+    val counts = hh.map(_.getLong(1)).toSeq
+    assert(counts == counts.sorted.reverse)
+  }
+
+  test("LM score: every multi-token doc scored, log-probs negative, " +
+    "pair counts match token counts") {
+    val lm = TextAnalysis.lmScore(spark, dir).collect()
+    val nToks = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(CrossHash.tokensArrayFast(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val eligible = nToks.count(_._2 >= 2)
+    assert(lm.length == eligible)
+    lm.foreach { r =>
+      assert(r.getLong(1) == nToks(r.getLong(0)) - 1,
+        s"doc ${r.getLong(0)}: ${r.getLong(1)} pairs")
+      assert(r.getDouble(2) < 0.0, s"doc ${r.getLong(0)} non-negative")
+    }
+  }
 }
