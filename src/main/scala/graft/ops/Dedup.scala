@@ -264,13 +264,22 @@ object Dedup {
     * scale: the base digests are a bucketed/indexed table, the probe
     * is a broadcast or bucket-local join — never a corpus self-join).
     * Output: each delta doc with its dup-in-base flag. */
-  def deltaDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** The delta-dedup fixture shared by [[deltaDedup]] and
+    * [[bloomProbe]]: the corpus split at its median doc_id into
+    * (distinct base digests, per-doc delta digests). */
+  private def deltaParts(spark: SparkSession,
+                         dir: String): (DataFrame, DataFrame) = {
     val d = docs(spark, dir)
     val half = d.count() / 2
-    val base = d.filter(col("doc_id") < half)
-      .select(md5(col("text")).as("digest")).distinct()
-    d.filter(col("doc_id") >= half)
-      .select(col("doc_id"), md5(col("text")).as("digest"))
+    (d.filter(col("doc_id") < half)
+       .select(md5(col("text")).as("digest")).distinct(),
+     d.filter(col("doc_id") >= half)
+       .select(col("doc_id"), md5(col("text")).as("digest")))
+  }
+
+  def deltaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val (base, delta) = deltaParts(spark, dir)
+    delta
       .join(base.withColumn("in_base", lit(1L)), Seq("digest"), "left")
       .select(col("doc_id"),
         (coalesce(col("in_base"), lit(0L)) === 1L).as("dup_in_base"))
@@ -292,18 +301,18 @@ object Dedup {
     * `dup_in_base` does). */
   def bloomProbe(spark: SparkSession, dir: String,
                  fpp: Double = 0.03): DataFrame = {
-    val d = docs(spark, dir)
-    val half = d.count() / 2
-    val base = d.filter(col("doc_id") < half)
-      .select(md5(col("text")).as("digest"))
-    val bloom = base.stat.bloomFilter("digest", math.max(half, 1L), fpp)
+    // materialize the distinct base digests once: the bloom-filter
+    // aggregation and the exact verification join both read them
+    val (base0, delta) = deltaParts(spark, dir)
+    val base = base0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBase = base.count()
+    val bloom = base.stat.bloomFilter("digest", math.max(nBase, 1L), fpp)
     val bc = spark.sparkContext.broadcast(bloom)
     val maybe = udf((s: String) => bc.value.mightContainString(s))
-    val exactBase = base.distinct().withColumn("in_base", lit(1L))
-    d.filter(col("doc_id") >= half)
-      .select(col("doc_id"), md5(col("text")).as("digest"))
+    delta
       .withColumn("maybe_dup", maybe(col("digest")))
-      .join(exactBase, Seq("digest"), "left")
+      .join(base.withColumn("in_base", lit(1L)), Seq("digest"), "left")
       .select(col("doc_id"),
         (coalesce(col("in_base"), lit(0L)) === 1L).as("dup_in_base"),
         (col("maybe_dup") || coalesce(col("in_base"), lit(0L)) === 0L)

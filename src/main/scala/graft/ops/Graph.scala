@@ -28,10 +28,22 @@ object Graph {
   val RankOne: Long = 1000000000L
 
   /** Damping factor 0.85 as a fixed-point pair: r' = Teleport +
-    * (DampNum * Σ contrib) div DampDen. */
+    * DampNum * (Σ contrib div DampDen). Dividing the sum BEFORE the
+    * multiply keeps the intermediate within one rank-sum of Long range
+    * (the sum itself overflows only past ~9e9 nodes' mass on a single
+    * hub); the truncation this order costs is < DampNum fixed-point
+    * units (1e-7 of a rank) and is applied identically in the oracle. */
   val Teleport: Long = 150000000L
   val DampNum: Long = 85L
   val DampDen: Long = 100L
+
+  /** Bulk-synchronous rounds for [[q33PageRank]] — shared with the
+    * oracle's unrolled CTE depth so the two sides cannot drift. */
+  val DefaultIters = 10
+
+  /** Affine link-map coefficients (a, b): each doc links to
+    * (doc_id * a + b) mod N for each pair — shared with the oracle. */
+  val LinkCoeffs: Seq[(Long, Long)] = Seq((7L, 3L), (13L, 5L), (31L, 11L))
 
   /** Synthetic hyperlink graph over the documents table: each doc
     * links to three deterministic targets (affine maps mod N), self
@@ -42,23 +54,91 @@ object Graph {
     val d = Tables.load(spark, dir, "documents").select(col("doc_id"))
     val n = d.count()
     d.select(col("doc_id").as("src"), explode(array(
-        pmod(col("doc_id") * 7 + 3, lit(n)),
-        pmod(col("doc_id") * 13 + 5, lit(n)),
-        pmod(col("doc_id") * 31 + 11, lit(n)))).as("dst"))
+        LinkCoeffs.map { case (a, b) =>
+          pmod(col("doc_id") * a + b, lit(n))
+        }: _*)).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
   }
 
+  /** Edge-count bound for the single-task path — same rationale as
+    * [[Dedup.SmallGraphEdges]]: a graph this small is cheaper to
+    * iterate in one task than to schedule 10 rounds of near-empty
+    * distributed stages for. */
+  val SmallGraphEdges: Long = 10000000L
+
   /** Fixed-point PageRank over an arbitrary (src, dst) edge list.
     * Returns (node, r) with r in 1e9 units after `iters` full
-    * bulk-synchronous rounds. */
+    * bulk-synchronous rounds.
+    *
+    * Two execution paths, picked by the measured edge count (the same
+    * two-path design as [[Dedup.clusters]]): ≤ [[SmallGraphEdges]]
+    * edges run the whole iteration in ONE executor task (no per-round
+    * Spark jobs — the distributed loop's ~10 rounds of tiny stages
+    * cost ~3s of pure scheduling at verify SF); larger graphs run the
+    * bulk-synchronous loop. The two are spec-pinned to agree. */
   def pageRank(spark: SparkSession, edges: DataFrame,
-               iters: Int = 10): DataFrame = {
-    val nEdges = edges.count()
+               iters: Int = DefaultIters): DataFrame = {
+    val cached = edges
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nEdges = cached.count()
+      if (nEdges <= SmallGraphEdges) pageRankSingleTask(spark, cached, iters)
+      else pageRankLoop(spark, cached, nEdges, iters)
+    } finally { edges.unpersist(); () }
+  }
+
+  /** Single-task path: the full integer recurrence over an in-memory
+    * edge array — identical arithmetic to [[pageRankLoop]], zero
+    * per-round jobs. The result is materialized by the task before the
+    * input cache is dropped (the caller localCheckpoints). */
+  private[graft] def pageRankSingleTask(spark: SparkSession,
+                                        edges: DataFrame,
+                                        iters: Int): DataFrame = {
+    import spark.implicits._
+    edges.select(col("src"), col("dst")).as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val es = it.toArray
+        val deg = scala.collection.mutable.LongMap.empty[Long]
+        val nodes = scala.collection.mutable.LongMap.empty[Long]
+        es.foreach { case (s, d) =>
+          deg(s) = deg.getOrElse(s, 0L) + 1L
+          nodes(s) = RankOne; nodes(d) = RankOne
+        }
+        var ranks = nodes
+        for (_ <- 1 to iters) {
+          val sums = scala.collection.mutable.LongMap.empty[Long]
+          es.foreach { case (s, d) =>
+            sums(d) = sums.getOrElse(d, 0L) + ranks(s) / deg(s)
+          }
+          val next = scala.collection.mutable.LongMap.empty[Long]
+          ranks.foreachKey { n =>
+            next(n) = Teleport + DampNum * (sums.getOrElse(n, 0L) / DampDen)
+          }
+          ranks = next
+        }
+        ranks.iterator.map { case (n, r) => (n, r) }
+      }
+      .toDF("node", "r")
+      .localCheckpoint()
+  }
+
+  /** Distributed bulk-synchronous path (see [[pageRank]]); `edges` is
+    * already cached and counted by the caller. */
+  private[graft] def pageRankLoop(spark: SparkSession, edges: DataFrame,
+                                  nEdges: Long,
+                                  iters: Int = DefaultIters): DataFrame = {
     // size the loop's parallelism to the graph, not the session
     // default: tiny graphs at verify SF otherwise pay ~32 near-empty
-    // tasks per stage per round (the r3 clusters-loop lesson)
+    // tasks per stage per round (the r3 clusters-loop lesson). The
+    // conf governs the join/agg shuffles INSIDE the loop — the
+    // explicit repartitions alone don't reach those (saved/restored,
+    // as in Dedup.clustersPropagate)
     val p = math.max(1L, nEdges / 100000L).toInt
+    val shufConf = "spark.sql.shuffle.partitions"
+    val prevShuf = spark.conf.get(shufConf)
+    spark.conf.set(shufConf, p.toString)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val ed = edges.join(deg, "src")
       .repartition(p, col("src"))
@@ -68,26 +148,33 @@ object Graph {
       .distinct()
       .repartition(p, col("node"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var ranks = nodes.select(col("node"), lit(RankOne).as("r"))
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
-      val contrib = ed.join(ranks, col("src") === col("node"))
-        .select(col("dst").as("node"), expr("r div deg").as("c"))
-        .groupBy("node").agg(sum(col("c")).as("s"))
-      // localCheckpoint per round: truncates lineage (plan depth stays
-      // O(1)) and is the round barrier — one job per iteration
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(Teleport) +
-            expr(s"($DampNum * coalesce(s, 0L)) div $DampDen")).as("r"))
+    try {
+      var ranks = nodes.select(col("node"), lit(RankOne).as("r"))
         .localCheckpoint()
+      for (_ <- 1 to iters) {
+        val contrib = ed.join(ranks, col("src") === col("node"))
+          .select(col("dst").as("node"), expr("r div deg").as("c"))
+          .groupBy("node").agg(sum(col("c")).as("s"))
+        // localCheckpoint per round: truncates lineage (plan depth
+        // stays O(1)) and is the round barrier — one job per
+        // iteration; the final ranks are lineage-free, so the
+        // caches can be dropped on exit
+        ranks = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(Teleport) + lit(DampNum) *
+              expr(s"coalesce(s, 0L) div $DampDen")).as("r"))
+          .localCheckpoint()
+      }
+      ranks
+    } finally {
+      spark.conf.set(shufConf, prevShuf)
+      ed.unpersist(); nodes.unpersist(); ()
     }
-    ranks
   }
 
-  /** Q33: PageRank over the synthetic document link graph — 10 rounds,
-    * ranked output. Oracle: the identical integer recurrence unrolled
-    * as a 10-level CTE in DuckDB. */
+  /** Q33: PageRank over the synthetic document link graph —
+    * [[DefaultIters]] rounds, ranked output. Oracle: the identical
+    * integer recurrence unrolled as a CTE of the same depth. */
   def q33PageRank(spark: SparkSession, dir: String): DataFrame =
     pageRank(spark, linkEdges(spark, dir))
       .orderBy(col("r").desc, col("node"))

@@ -359,8 +359,12 @@ object TextAnalysis {
     * CMS guarantees checked on the Spark side — estimates never
     * under-count, and over-count by at most eps·N (with prob ≥
     * confidence; eps·N is ~59 tokens per term at sf0.1). */
+  /** Default top-k for [[heavyHitters]] — shared with the oracle's
+    * LIMIT so the two sides cannot drift. */
+  val HeavyHittersK = 20
+
   def heavyHitters(spark: SparkSession, dir: String,
-                   k: Int = 20, eps: Double = 0.0001): DataFrame = {
+                   k: Int = HeavyHittersK, eps: Double = 0.0001): DataFrame = {
     import spark.implicits._
     val toks = docs(spark, dir)
       .select(explode(tokensArrayFast(col("text"))).as("term"))
@@ -393,18 +397,20 @@ object TextAnalysis {
     * the sanctioned fixed-point pattern (round to 1e-6, sum BIGINTs)
     * so the result is order-insensitive and engine-exact. */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
-    // the token stream feeds four consumers (instances, unigrams,
-    // vocab, and the scoring join) — materialize it once; the bench
-    // clears caches between queries
-    val tok = docs(spark, dir)
-      .select(col("doc_id"), posexplode(tokensArrayFast(col("text"))))
-      .select(col("doc_id"), col("pos"), col("col").as("term"))
+    // the token arrays feed three consumers (bigram instances,
+    // unigrams, vocab) — materialize them once; the bench clears
+    // caches between queries
+    val t = docs(spark, dir)
+      .select(col("doc_id"), tokensArrayFast(col("text")).as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val inst = tok.as("a").join(tok.as("b"),
-        col("a.doc_id") === col("b.doc_id") &&
-          col("b.pos") === col("a.pos") + 1)
-      .select(col("a.doc_id").as("doc_id"), col("a.term").as("w1"),
-        col("b.term").as("w2"))
+    val tok = t.select(col("doc_id"), explode(col("toks")).as("term"))
+    // adjacency map-side via the sliding-window gram UDF (tokens are
+    // [a-z0-9]+ so the joining space splits back unambiguously) — no
+    // positional self-join of the exploded token table
+    val inst = t
+      .select(col("doc_id"), explode(gramsUdf(2)(col("toks"))).as("g"))
+      .select(col("doc_id"), split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"))
     val uni = tok.groupBy(col("term").as("w1"))
       .agg(count(lit(1)).as("cu"))
     val vocab = tok.select("term").distinct().count()

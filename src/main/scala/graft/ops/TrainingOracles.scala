@@ -97,7 +97,7 @@ object TrainingOracles {
          SELECT term, CAST(count(*) AS BIGINT) AS cnt,
                 true AS cms_lower_ok, true AS cms_upper_ok
          FROM tok GROUP BY term
-         ORDER BY cnt DESC, term LIMIT 20""",
+         ORDER BY cnt DESC, term LIMIT ${TextAnalysis.HeavyHittersK}""",
 
     // bigram LM score: add-one-smoothed log-probs, fixed-point 1e-6
     // quantization before the per-doc sum (order-insensitive on both
@@ -125,21 +125,19 @@ object TrainingOracles {
     // ten levels deep — every division is integer division, so the
     // ranks are bit-exact across engines and summation orders
     "q33_pagerank" -> {
-      val rounds = (1 to 10).map { i =>
+      val rounds = (1 to Graph.DefaultIters).map { i =>
         s"""r$i AS (SELECT n.node AS node,
-                  CAST(${Graph.Teleport} + (${Graph.DampNum} * coalesce(s.s, 0)) // ${Graph.DampDen} AS BIGINT) AS r
+                  CAST(${Graph.Teleport} + ${Graph.DampNum} * (coalesce(s.s, 0) // ${Graph.DampDen}) AS BIGINT) AS r
            FROM nodes n LEFT JOIN (
              SELECT e.dst AS node, sum(p.r // e.deg) AS s
              FROM ed e JOIN r${i - 1} p ON e.src = p.node
              GROUP BY e.dst) s ON n.node = s.node)"""
       }.mkString(",\n         ")
+      val links = Graph.LinkCoeffs.map { case (a, b) =>
+        s"SELECT doc_id AS src, (doc_id * $a + $b) % n AS dst FROM documents CROSS JOIN nn"
+      }.mkString("\n                UNION ALL\n                ")
       s"""WITH nn AS (SELECT count(*) AS n FROM documents),
-         e0 AS (SELECT doc_id AS src, (doc_id * 7 + 3) % n AS dst
-                FROM documents CROSS JOIN nn
-                UNION ALL
-                SELECT doc_id, (doc_id * 13 + 5) % n FROM documents CROSS JOIN nn
-                UNION ALL
-                SELECT doc_id, (doc_id * 31 + 11) % n FROM documents CROSS JOIN nn),
+         e0 AS ($links),
          edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
          deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
          ed AS (SELECT e.src, e.dst, d.deg
@@ -149,7 +147,7 @@ object TrainingOracles {
                       UNION ALL SELECT dst FROM edges)),
          r0 AS (SELECT node, CAST(${Graph.RankOne} AS BIGINT) AS r FROM nodes),
          $rounds
-         SELECT node, r FROM r10 ORDER BY r DESC, node"""
+         SELECT node, r FROM r${Graph.DefaultIters} ORDER BY r DESC, node"""
     },
 
     // joint gate: exact-dup keeper AND not a semantic-cluster member

@@ -39,6 +39,17 @@ class GraphSpec extends SparkSpec {
     assert(rs.sum <= n * Graph.RankOne)
   }
 
+  test("single-task and distributed pageRank paths agree exactly") {
+    val edges = Graph.linkEdges(spark, dir).persist()
+    val n = edges.count()
+    val a = Graph.pageRankSingleTask(spark, edges, Graph.DefaultIters)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Graph.pageRankLoop(spark, edges, n, Graph.DefaultIters)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    edges.unpersist()
+  }
+
   test("link graph has no self loops and no duplicate edges") {
     val e = Graph.linkEdges(spark, dir)
     assert(e.filter(col("src") === col("dst")).count() == 0)
