@@ -137,6 +137,7 @@ object SparkEntry {
       ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
     "q27_lm_score" -> (TextAnalysis.lmScore _),
     "q33_pagerank" -> (Graph.q33PageRank _),
+    "q33_triangles" -> (Graph.q33Triangles _),
   )
 
   /** DuckDB dialect equivalents. Dialect notes: regexp_replace needs the

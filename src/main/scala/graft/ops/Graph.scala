@@ -42,8 +42,12 @@ object Graph {
   val DefaultIters = 10
 
   /** Affine link-map coefficients (a, b): each doc links to
-    * (doc_id * a + b) mod N for each pair — shared with the oracle. */
-  val LinkCoeffs: Seq[(Long, Long)] = Seq((7L, 3L), (13L, 5L), (31L, 11L))
+    * (doc_id * a + b) mod N for each pair — shared with the oracle.
+    * The two successor maps guarantee short cycles (every consecutive
+    * id triple closes a triangle); the multiplicative maps add
+    * long-range cross edges. */
+  val LinkCoeffs: Seq[(Long, Long)] =
+    Seq((1L, 1L), (1L, 2L), (7L, 3L), (13L, 5L), (31L, 11L))
 
   /** Synthetic hyperlink graph over the documents table: each doc
     * links to three deterministic targets (affine maps mod N), self
@@ -178,4 +182,57 @@ object Graph {
   def q33PageRank(spark: SparkSession, dir: String): DataFrame =
     pageRank(spark, linkEdges(spark, dir))
       .orderBy(col("r").desc, col("node"))
+
+  /** TRIANGLE COUNTING per node — the classic clustering-coefficient
+    * building block, via DEGREE ORDERING: orient every undirected edge
+    * from its lower-(degree, id) endpoint to the higher one, build
+    * wedges only from each node's out-edges, and close them with one
+    * more equi-join. Orientation bounds every node's out-degree by
+    * O(√m) on any graph, so no wedge explosion on high-degree hubs —
+    * the reason this shape (and not the naive a<b<c self-join) is the
+    * one that survives skewed graphs at scale. Three equi-joins, all
+    * on node keys; each triangle found exactly once. */
+  def triangleCounts(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): carry both endpoints' degrees for the
+    // canonical wedge ordering downstream
+    val ori = und
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("t"),
+        // the target t is always the higher-(deg, id) endpoint, so its
+        // degree is the pairwise max
+        greatest(col("du"), col("dv")).as("dt"))
+    // wedges: two out-edges of s, canonicalized by (deg, id) of the tips
+    val wedges = ori.as("a").join(ori.as("b"),
+        col("a.s") === col("b.s") &&
+          (col("a.dt") < col("b.dt") ||
+            (col("a.dt") === col("b.dt") && col("a.t") < col("b.t"))))
+      .select(col("a.s").as("x"), col("a.t").as("y"), col("b.t").as("z"))
+    // close: the (y, z) edge, if present, is oriented y → z by the
+    // same (deg, id) rule the wedge was canonicalized with
+    val tri = wedges.join(ori.select(col("s").as("y"), col("t").as("z")),
+      Seq("y", "z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      .orderBy("node")
+  }
+
+  /** Q33b: per-node triangle counts over the synthetic link graph. */
+  def q33Triangles(spark: SparkSession, dir: String): DataFrame =
+    triangleCounts(spark, linkEdges(spark, dir))
 }

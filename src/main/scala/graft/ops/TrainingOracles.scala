@@ -133,12 +133,7 @@ object TrainingOracles {
              FROM ed e JOIN r${i - 1} p ON e.src = p.node
              GROUP BY e.dst) s ON n.node = s.node)"""
       }.mkString(",\n         ")
-      val links = Graph.LinkCoeffs.map { case (a, b) =>
-        s"SELECT doc_id AS src, (doc_id * $a + $b) % n AS dst FROM documents CROSS JOIN nn"
-      }.mkString("\n                UNION ALL\n                ")
-      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
-         e0 AS ($links),
-         edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+      s"""WITH $linkEdgeCtes,
          deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
          ed AS (SELECT e.src, e.dst, d.deg
                 FROM edges e JOIN deg d ON e.src = d.src),
@@ -149,6 +144,22 @@ object TrainingOracles {
          $rounds
          SELECT node, r FROM r${Graph.DefaultIters} ORDER BY r DESC, node"""
     },
+
+    // per-node triangle counts; the oracle enumerates each triangle
+    // once in id-canonical form (x<y<z with all three edges present) —
+    // output-identical to the engine's degree-ordered enumeration
+    "q33_triangles" ->
+      s"""WITH $linkEdgeCtes,
+         und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                 FROM edges),
+         tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+                 FROM und a JOIN und b ON a.v = b.u
+                            JOIN und c ON c.u = a.u AND c.v = b.v),
+         n3 AS (SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri)
+         SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+         FROM n3 GROUP BY node ORDER BY node""",
 
     // joint gate: exact-dup keeper AND not a semantic-cluster member
     // dropped by SemDeDup (recursive CTE over the cosine>=0.35 graph)
@@ -581,6 +592,18 @@ object TrainingOracles {
          WHERE h < keep_p * 10000 ORDER BY doc_id"""
     },
   )
+
+  /** Shared synthetic link-graph CTEs ending in `edges` — identical
+    * affine maps to [[Graph.linkEdges]] (UNION ALL rather than unnest:
+    * DuckDB's binder mishandles DISTINCT over unnest-derived columns). */
+  private lazy val linkEdgeCtes: String = {
+    val links = Graph.LinkCoeffs.map { case (a, b) =>
+      s"SELECT doc_id AS src, (doc_id * $a + $b) % n AS dst FROM documents CROSS JOIN nn"
+    }.mkString("\n                UNION ALL\n                ")
+    s"""nn AS (SELECT count(*) AS n FROM documents),
+       e0 AS ($links),
+       edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst)"""
+  }
 
   /** Shared near-dup cluster CTE chain ending in `r` = the recursive
     * reachability relation over the Jaccard≥0.5 pair graph

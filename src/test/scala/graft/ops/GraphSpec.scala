@@ -50,6 +50,35 @@ class GraphSpec extends SparkSpec {
     edges.unpersist()
   }
 
+  test("triangle counts match hand-counted fixture") {
+    import spark.implicits._
+    // K4 minus edge {3,4}: triangles {1,2,3} and {1,2,4}
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("src", "dst")
+    val r = Graph.triangleCounts(spark, edges)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L), s"got $r")
+  }
+
+  test("degree-ordered triangles equal the naive id-ordered enumeration") {
+    import org.apache.spark.sql.functions._
+    val und = Graph.linkEdges(spark, dir)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val naive = und.as("a")
+      .join(und.as("b"), col("a.v") === col("b.u"))
+      .join(und.as("c"),
+        col("c.u") === col("a.u") && col("c.v") === col("b.v"))
+      .select(explode(array(col("a.u"), col("a.v"), col("b.v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val fast = Graph.q33Triangles(spark, dir)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(fast == naive)
+    assert(fast.nonEmpty)
+  }
+
   test("link graph has no self loops and no duplicate edges") {
     val e = Graph.linkEdges(spark, dir)
     assert(e.filter(col("src") === col("dst")).count() == 0)
