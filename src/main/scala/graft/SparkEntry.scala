@@ -59,6 +59,8 @@ object SparkEntry {
     "q16_rank_windows" -> (Relational.q16RankWindows _),
     "q17_window_frames" -> (Relational.q17WindowFrames _),
     "q18_topk" -> (Relational.q18TopK _),
+    "q18_topk_group" ->
+      ((s: SparkSession, d: String) => Relational.q18TopKGroup(s, d)),
     "q19_setops" -> (Relational.q19SetOps _),
     "q20_strings" -> (Relational.q20Strings _),
     "q21_math" -> (Relational.q21Math _),
@@ -474,6 +476,17 @@ object SparkEntry {
     "q18_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""",
+
+    // top-k per group: the oracle's window form is output-identical to
+    // the engine's bounded-heap aggregate (same desc-score, asc-key
+    // tie-break)
+    "q18_topk_group" ->
+      """SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                      row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+               FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
 
     "q19_setops" ->
       """SELECT tag, k FROM (

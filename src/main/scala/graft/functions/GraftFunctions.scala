@@ -252,6 +252,7 @@ object GraftFunctions {
     "graft_intersect_size" ->
       (args => HashedIntersectSizeExpr(args(0), args(1), args(2), args(3))),
     "graft_cosine" -> (args => CosineExpr(args(0), args(1))),
+    "graft_topk" -> (args => TopKByAgg(args(0), args(1), args(2))),
     "graft_contains_term" ->
       (args => graft.plans.GraftContainsTerm(args(0), args(1))))
 
@@ -270,6 +271,8 @@ object GraftFunctions {
     call_function("graft_intersect_size", ha, sa, hb, sb)
   def cosine(a: Column, b: Column): Column =
     call_function("graft_cosine", a, b)
+  def topkBy(score: Column, id: Column, k: Int): Column =
+    call_function("graft_topk", score, id, lit(k))
 }
 
 /** `spark.sql.extensions` entry point: injects the native functions at
@@ -284,6 +287,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         HashedIntersectSizeExpr(args(0), args(1), args(2), args(3))),
       ("graft_cosine", (args: Seq[Expression]) =>
         CosineExpr(args(0), args(1))),
+      ("graft_topk", (args: Seq[Expression]) =>
+        TopKByAgg(args(0), args(1), args(2))),
       ("graft_contains_term", (args: Seq[Expression]) =>
         graft.plans.GraftContainsTerm(args(0), args(1))))
       .foreach { case (name, b) =>

@@ -308,6 +308,26 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(25)
 
+  /** Q18b: top-k PER GROUP through the custom bounded-heap aggregate
+    * (`graft_topk`, a TypedImperativeAggregate) — the scale-right form
+    * of the window `row_number() <= k` pattern: state is O(k) per
+    * group per partition with map-side partial aggregation, instead of
+    * a full shuffle-and-sort of every group. PlanSpec asserts the
+    * ObjectHashAggregate partial/final pair and the absence of any
+    * WindowExec. */
+  def q18TopKGroup(spark: SparkSession, dir: String,
+                   k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(graft.functions.GraftFunctions
+        .topkBy(col("o_totalprice"), col("o_orderkey"), k).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rn"),
+        col("col.id").as("o_orderkey"), col("col.score").as("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+  }
+
   /** Q19: set ops over customer vs supplier nation keys. */
   def q19SetOps(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer")

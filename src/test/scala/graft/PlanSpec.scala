@@ -37,6 +37,28 @@ class PlanSpec extends SparkSpec {
       s"unexpected full sort in:\n$p")
   }
 
+  test("Q18b per-group top-k: bounded-heap ObjectHashAggregate " +
+    "partial/final pair, no window sort") {
+    val p = plan(Relational.q18TopKGroup(spark, dir))
+    assert(p.contains("ObjectHashAggregate"), s"no object agg in:\n$p")
+    assert("partial_graft_topk".r.findAllIn(p).nonEmpty,
+      s"no map-side partial top-k in:\n$p")
+    assert(!p.contains("Window"), s"window leaked into:\n$p")
+    // agreement with the window form (same desc-score asc-key order)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Tables.load(spark, dir, "orders")
+      .withColumn("rn", row_number().over(Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn").cast("long").as("rn"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+      .collect().toSeq
+    val a = Relational.q18TopKGroup(spark, dir).collect().toSeq
+    assert(a == w)
+  }
+
   test("Q13 agg: partial aggregation before the shuffle") {
     val p = plan(Relational.q13Revenue(spark, dir))
     assert(p.contains("HashAggregate(keys=[l_orderkey"), p)
