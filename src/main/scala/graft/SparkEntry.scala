@@ -103,6 +103,7 @@ object SparkEntry {
     "q26_ir_terms" -> (IrEngine.q26PipelineTerms _),
     "q26_ir_index" -> (IrEngine.q26StemmedIndex _),
     "q26_ir_merged" -> (IrEngine.q26MergedIndex _),
+    "q26_ir_stream" -> (IrEngine.q26StreamedIndex _),
     "q26_ir_search" -> (IrEngine.q26Search _),
     "q26_ir_wildcard" -> (IrEngine.q26Wildcard _),
     "q28_multimodal" -> (IrEngine.q28Multimodal _),
@@ -629,6 +630,9 @@ object SparkEntry {
       """SELECT * FROM '/root/repo/golden/q26_ir_index.parquet'""",
     // incremental merge must be indistinguishable from a full rebuild
     "q26_ir_merged" ->
+      """SELECT * FROM '/root/repo/golden/q26_ir_index.parquet'""",
+    // ... and so must the streaming foreachBatch build+merge ingest
+    "q26_ir_stream" ->
       """SELECT * FROM '/root/repo/golden/q26_ir_index.parquet'""",
     "q26_ir_search" ->
       """SELECT * FROM '/root/repo/golden/q26_ir_search.parquet'""",

@@ -67,12 +67,13 @@ object Similarity {
   /** k-NN JOIN: top-k cosine neighbors for EVERY query in a query set
     * (vec_id < 4 here) — the batched form of [[annTopK]] and the shape
     * a retrieval/eval pipeline actually runs. The query set broadcasts
-    * into one scan of the corpus; per-query top-k is a rank window
-    * partitioned by query id (shuffle keyed on qid — with a large
-    * query batch the key space is wide and the sort is k-bounded per
-    * group under AQE). */
+    * into one scan of the corpus; per-query top-k rides the custom
+    * bounded-heap aggregate (`graft_topk`: O(k) state per query per
+    * partition, map-side partials through ObjectHashAggregate) — with
+    * a large query batch this shuffles k rows per (query, partition)
+    * instead of window-sorting every scored row. */
   def annKnnJoin(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
     val e = emb(spark, dir)
     val q = e.filter(col("vec_id") < 4)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -80,13 +81,14 @@ object Similarity {
       .crossJoin(broadcast(q))
       .select(col("qid"), col("vec_id"),
         cosine(col("embedding"), col("qv")).as("c"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("qid"))
-          .orderBy(col("c").desc, col("vec_id"))))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("rn").cast("long").as("rn"), col("vec_id"),
+      .groupBy(col("qid"))
+      .agg(graft.functions.GraftFunctions
+        .topkBy(col("c"), col("vec_id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rn"),
+        col("col.id").as("vec_id"),
         // + 0.0: IEEE -0.0 canonicalization (see cosinePairs)
-        (round(col("c"), 4) + 0.0).as("cos"))
+        (round(col("col.score"), 4) + 0.0).as("cos"))
       .orderBy("qid", "rn")
   }
 

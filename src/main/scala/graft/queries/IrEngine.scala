@@ -96,6 +96,79 @@ object IrEngine {
       .orderBy("kgram")
   }
 
+  /** STREAMING index maintenance end-to-end: the corpus arrives as a
+    * file STREAM (three docid-range chunk files, one micro-batch each
+    * via `maxFilesPerTrigger=1`, ordered by file mtime), and
+    * `foreachBatch` builds the index on the first batch then MERGEs
+    * every later batch in — the standing ingest loop of a live search
+    * index (crawl lands → index advances, no re-tokenization of what's
+    * already indexed). Chunk boundaries are docno-range cuts, so the
+    * incrementally-grown index must be INDISTINGUISHABLE from the
+    * from-scratch build: the oracle is the SAME golden parquet as
+    * q26_ir_index, like q26_ir_merged. */
+  def q26StreamedIndex(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val c = corpus(spark, dir)
+    val staged = stagedOnce(dir, "ixstream") { root =>
+      val dm = graft.corpus.TrecCorpus.docnoMappingScalable(spark, c)
+      val n = c.count()
+      // docid values at the docno third-points: range filters on docid
+      // then cut exactly at docno boundaries (docnos follow docid order)
+      def cut(at: Long): String =
+        if (at <= 0) ""
+        else dm.filter(col("docno") === at).select("docid").head().getString(0)
+      val (b1, b2) = (cut(n / 3), cut(2 * n / 3))
+      val chunks = Seq(
+        c.filter(col("docid") <= b1),
+        c.filter(col("docid") > b1 && col("docid") <= b2),
+        c.filter(col("docid") > b2))
+      Files.createDirectories(root)
+      chunks.zipWithIndex.foreach { case (chunk, i) =>
+        val tmp = root.resolve(s"_build$i")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val ls = Files.list(tmp)
+        val part =
+          try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+          finally ls.close()
+        val dst = root.resolve(s"chunk-$i.parquet")
+        Files.move(part, dst)
+        // the file source orders batches by modification time: make the
+        // chunk order explicit and deterministic
+        dst.toFile.setLastModified(1000000000000L + i * 60000L)
+        // clean the scratch dir so only the chunk files remain
+        val wk = Files.walk(tmp)
+        try wk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { Files.deleteIfExists(p); () })
+        finally wk.close()
+      }
+    }
+    var ix: InvertedIndex.Index = null
+    // the micro-batch engine runs against a CLONED session state
+    // snapshotted at start(): the tokenizer UDFs must be registered in
+    // the outer session BEFORE the clone is taken, and batch-side plans
+    // must resolve against the batch's own (cloned) session
+    graft.text.TextPipeline.register(spark)
+    val q = spark.readStream
+      .schema("docid STRING, content STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bs = batch.sparkSession
+        ix = if (ix == null) InvertedIndex.build(bs, batch, k = 1)
+             else InvertedIndex.merge(bs, ix, batch, k = 1)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    InvertedIndex.nested(ix)
+      .select(col("kgram"), col("df"),
+        array_join(transform(col("postings"),
+          x => concat_ws(":", x.getField("docno"), x.getField("tf"))), " ")
+          .as("postings"))
+      .orderBy("kgram")
+  }
+
   /** tf-idf search through the full engine (build + rank). */
   def q26Search(spark: SparkSession, dir: String): DataFrame = {
     val ix = InvertedIndex.build(spark, corpus(spark, dir), k = 1)

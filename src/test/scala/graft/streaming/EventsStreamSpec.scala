@@ -281,4 +281,15 @@ class EventsStreamSpec extends SparkSpec {
     q.stop()
     assert(spark.table("filetumble").count() > 0)
   }
+
+  test("streaming foreachBatch index ingest equals the from-scratch " +
+    "build") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.queries.IrEngine.q26StreamedIndex(spark, dir)
+      .collect().toSeq
+    val direct = graft.queries.IrEngine.q26StemmedIndex(spark, dir)
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == direct)
+  }
 }
