@@ -42,13 +42,19 @@ case class TopKByAgg(
     else if (id.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(
         s"graft_topk id must be BIGINT, got ${id.dataType.sql}")
-    else if (!kExpr.foldable || kExpr.dataType != IntegerType)
+    else if (!kExpr.foldable || kExpr.dataType != IntegerType ||
+      kExpr.eval() == null)
       TypeCheckResult.TypeCheckFailure(
-        "graft_topk k must be a foldable INT literal")
+        "graft_topk k must be a non-null foldable INT literal")
     else TypeCheckResult.TypeCheckSuccess
 
-  /** Dequeue order = worst first: lowest score, then highest id. */
-  private val worstFirst: Ordering[(Double, Long)] =
+  /** The one ordering both heap and output use, so retention and
+    * presentation cannot disagree: as a COMPARATOR its maximum is the
+    * group's worst retained entry (dequeue target); as a SORT it
+    * yields score desc (NaN first, as both Spark and DuckDB order a
+    * DESC sort), then id asc — exactly the `row_number()` window
+    * order the oracles equate this aggregate with. */
+  private val heapOrd: Ordering[(Double, Long)] =
     new Ordering[(Double, Long)] {
       override def compare(a: (Double, Long), b: (Double, Long)): Int = {
         val c = java.lang.Double.compare(b._1, a._1)
@@ -58,7 +64,7 @@ case class TopKByAgg(
 
   override def createAggregationBuffer()
       : scala.collection.mutable.PriorityQueue[(Double, Long)] =
-    scala.collection.mutable.PriorityQueue.empty(worstFirst)
+    scala.collection.mutable.PriorityQueue.empty(heapOrd)
 
   override def update(
       buf: scala.collection.mutable.PriorityQueue[(Double, Long)],
@@ -86,7 +92,7 @@ case class TopKByAgg(
 
   override def eval(
       buf: scala.collection.mutable.PriorityQueue[(Double, Long)]): Any = {
-    val sorted = buf.toArray.sortBy { case (s, i) => (-s, i) }
+    val sorted = buf.toArray.sorted(heapOrd)
     new GenericArrayData(sorted.map { case (s, i) =>
       InternalRow(s, i)
     }.asInstanceOf[Array[Any]])

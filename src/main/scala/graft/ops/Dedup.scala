@@ -257,13 +257,6 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** INCREMENTAL dedup: check a delta (the upper half of doc ids)
-    * against the base corpus WITHOUT re-comparing base-vs-base — the
-    * operation a continuously-ingesting pipeline runs per batch. One
-    * digest semi-probe of the delta into the base's digest set (at
-    * scale: the base digests are a bucketed/indexed table, the probe
-    * is a broadcast or bucket-local join — never a corpus self-join).
-    * Output: each delta doc with its dup-in-base flag. */
   /** The delta-dedup fixture shared by [[deltaDedup]] and
     * [[bloomProbe]]: the corpus split at its median doc_id into
     * (distinct base digests, per-doc delta digests). */
@@ -277,6 +270,13 @@ object Dedup {
        .select(col("doc_id"), md5(col("text")).as("digest")))
   }
 
+  /** INCREMENTAL dedup: check a delta (the upper half of doc ids)
+    * against the base corpus WITHOUT re-comparing base-vs-base — the
+    * operation a continuously-ingesting pipeline runs per batch. One
+    * digest semi-probe of the delta into the base's digest set (at
+    * scale: the base digests are a bucketed/indexed table, the probe
+    * is a broadcast or bucket-local join — never a corpus self-join).
+    * Output: each delta doc with its dup-in-base flag. */
   def deltaDedup(spark: SparkSession, dir: String): DataFrame = {
     val (base, delta) = deltaParts(spark, dir)
     delta

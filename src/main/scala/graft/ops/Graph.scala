@@ -65,11 +65,11 @@ object Graph {
       .distinct()
   }
 
-  /** Edge-count bound for the single-task path — same rationale as
-    * [[Dedup.SmallGraphEdges]]: a graph this small is cheaper to
-    * iterate in one task than to schedule 10 rounds of near-empty
-    * distributed stages for. */
-  val SmallGraphEdges: Long = 10000000L
+  /** Edge-count bound for the single-task path — THE
+    * [[Dedup.SmallGraphEdges]] threshold (one constant, one retuning
+    * point): a graph this small is cheaper to iterate in one task than
+    * to schedule 10 rounds of near-empty distributed stages for. */
+  val SmallGraphEdges: Long = Dedup.SmallGraphEdges
 
   /** Fixed-point PageRank over an arbitrary (src, dst) edge list.
     * Returns (node, r) with r in 1e9 units after `iters` full
@@ -83,13 +83,19 @@ object Graph {
     * bulk-synchronous loop. The two are spec-pinned to agree. */
   def pageRank(spark: SparkSession, edges: DataFrame,
                iters: Int = DefaultIters): DataFrame = {
-    val cached = edges
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cache the edge plan across (count, degree join, node set) — but
+    // only if the CALLER hasn't already: unpersisting a caller-owned
+    // cache entry would silently drop it for them
+    val callerCached =
+      edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val cached =
+      if (callerCached) edges
+      else edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val nEdges = cached.count()
       if (nEdges <= SmallGraphEdges) pageRankSingleTask(spark, cached, iters)
       else pageRankLoop(spark, cached, nEdges, iters)
-    } finally { edges.unpersist(); () }
+    } finally { if (!callerCached) { cached.unpersist(); () } }
   }
 
   /** Single-task path: the full integer recurrence over an in-memory

@@ -349,6 +349,10 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Default top-k for [[heavyHitters]] — shared with the oracle's
+    * LIMIT so the two sides cannot drift. */
+  val HeavyHittersK = 20
+
   /** HEAVY HITTERS via count-min sketch — the bounded-memory way to
     * find hot terms at 100 TB: one pass builds a fixed-size (eps,
     * confidence) sketch (mergeable across partitions, so it
@@ -359,10 +363,6 @@ object TextAnalysis {
     * CMS guarantees checked on the Spark side — estimates never
     * under-count, and over-count by at most eps·N (with prob ≥
     * confidence; eps·N is ~59 tokens per term at sf0.1). */
-  /** Default top-k for [[heavyHitters]] — shared with the oracle's
-    * LIMIT so the two sides cannot drift. */
-  val HeavyHittersK = 20
-
   def heavyHitters(spark: SparkSession, dir: String,
                    k: Int = HeavyHittersK, eps: Double = 0.0001): DataFrame = {
     import spark.implicits._

@@ -131,7 +131,10 @@ object IrEngine {
           try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
           finally ls.close()
         val dst = root.resolve(s"chunk-$i.parquet")
-        Files.move(part, dst)
+        // REPLACE_EXISTING: a run killed mid-staging leaves no marker,
+        // so the next run re-enters this closure and must overwrite
+        Files.move(part, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         // the file source orders batches by modification time: make the
         // chunk order explicit and deterministic
         dst.toFile.setLastModified(1000000000000L + i * 60000L)
