@@ -199,12 +199,18 @@ object Graph {
     * one that survives skewed graphs at scale. Three equi-joins, all
     * on node keys; each triangle found exactly once. */
   def triangleCounts(spark: SparkSession, edges: DataFrame): DataFrame = {
+    // eager localCheckpoints, not persist: und feeds deg (twice, one
+    // per rename) and ori, and ori feeds three join instances — left
+    // lazy, the scan+distinct subtree re-executes per reference
+    // (measured 4-7s instead of <1s at sf0.1); checkpointed results
+    // are lineage-free and the ContextCleaner reclaims them when the
+    // result goes unreferenced
     val und = edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -223,6 +229,7 @@ object Graph {
         // the target t is always the higher-(deg, id) endpoint, so its
         // degree is the pairwise max
         greatest(col("du"), col("dv")).as("dt"))
+      .localCheckpoint()
     // wedges: two out-edges of s, canonicalized by (deg, id) of the tips
     val wedges = ori.as("a").join(ori.as("b"),
         col("a.s") === col("b.s") &&

@@ -58,4 +58,23 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(plan.contains("*(1) Filter"), plan)
     assert(df.count() > 0)
   }
+
+  test("graft_topk orders NaN scores like a DESC window (retention " +
+    "and presentation agree)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, Double.NaN, 10L), (1L, 5.0, 11L), (1L, 3.0, 12L),
+      (2L, 1.0, 20L), (2L, 2.0, 21L))
+      .toDF("g", "s", "i")
+    val got = df.groupBy("g")
+      .agg(GraftFunctions.topkBy(col("s"), col("i"), 2).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), col("pos"), col("col.id").as("id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // group 1: NaN ranks FIRST (window DESC order), 5.0 second,
+    // 3.0 evicted; group 2: 2.0 then 1.0
+    assert(got == Set((1L, 0, 10L), (1L, 1, 11L),
+      (2L, 0, 21L), (2L, 1, 20L)), s"got $got")
+  }
 }
