@@ -45,6 +45,7 @@ object SparkEntry {
     "q12_semi" -> (Relational.q12Semi _),
     "q12_anti" -> (Relational.q12Anti _),
     "q13_revenue" -> (Relational.q13Revenue _),
+    "q13_tpch_pricing" -> (Relational.q13TpchPricing _),
     "q14_count_distinct" -> (Relational.q14CountDistinct _),
     "q14_approx_distinct" -> (Relational.q14ApproxDistinct _),
     "q21_approx_quantiles" -> (Relational.q21ApproxQuantiles _),
@@ -141,6 +142,7 @@ object SparkEntry {
     "q27_lm_score" -> (TextAnalysis.lmScore _),
     "q33_pagerank" -> (Graph.q33PageRank _),
     "q33_triangles" -> (Graph.q33Triangles _),
+    "q33_clustering" -> (Graph.q33Clustering _),
   )
 
   /** DuckDB dialect equivalents. Dialect notes: regexp_replace needs the
@@ -367,6 +369,24 @@ object SparkEntry {
     "q14_count_distinct" ->
       """SELECT o_custkey, count(DISTINCT o_orderstatus) AS n_status, count(*) AS n_orders
          FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+
+    // TPC-H Q1: money sums ride the fixed-point pattern (cents-exact
+    // data, so per-row quantization is the identity; BIGINT sums are
+    // engine-exact where raw double sums drift past round(2) here)
+    "q13_tpch_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
+                round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_base_price,
+                round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e4, 0) AS BIGINT)) AS DOUBLE) / 1e4, 2) AS sum_disc_price,
+                round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6, 2) AS sum_charge,
+                round(CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS DOUBLE) / count(*), 4) AS avg_qty,
+                round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 / count(*), 4) AS avg_price,
+                round(CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 / count(*), 4) AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
 
     // sketch estimates are engine-specific; the oracle pins the exact
     // values and asserts the Spark-side error-bound flags came out true

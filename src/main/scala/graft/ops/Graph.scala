@@ -248,4 +248,34 @@ object Graph {
   /** Q33b: per-node triangle counts over the synthetic link graph. */
   def q33Triangles(spark: SparkSession, dir: String): DataFrame =
     triangleCounts(spark, linkEdges(spark, dir))
+
+  /** Q33c: LOCAL CLUSTERING COEFFICIENT — triangles through a node
+    * over its wedge capacity, cc = 2·T / (deg·(deg−1)): the standard
+    * "how clique-like is this neighborhood" signal (spam-farm link
+    * rings score near 1, organic hubs near 0). One extra degree join
+    * over [[triangleCounts]]; rows are triangle members (any node in a
+    * triangle has deg ≥ 2, so the denominator never vanishes). */
+  def clusteringCoefficient(spark: SparkSession,
+                            edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    triangleCounts(spark, und.select(col("u").as("src"),
+        col("v").as("dst")))
+      .join(deg, "node")
+      .select(col("node"), col("n_tri"), col("deg"),
+        round(lit(2.0) * col("n_tri") /
+          (col("deg") * (col("deg") - 1)), 4).as("cc"))
+      .orderBy("node")
+  }
+
+  /** Q33c entry over the synthetic link graph. */
+  def q33Clustering(spark: SparkSession, dir: String): DataFrame =
+    clusteringCoefficient(spark, linkEdges(spark, dir))
 }

@@ -161,6 +161,27 @@ object TrainingOracles {
          SELECT node, CAST(count(*) AS BIGINT) AS n_tri
          FROM n3 GROUP BY node ORDER BY node""",
 
+    // local clustering coefficient: triangles over wedge capacity per
+    // node (triangle members only, so deg >= 2 always)
+    "q33_clustering" ->
+      s"""WITH $linkEdgeCtes,
+         und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                 FROM edges),
+         degs AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+                    (SELECT u AS node FROM und
+                     UNION ALL SELECT v FROM und) GROUP BY node),
+         tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+                 FROM und a JOIN und b ON a.v = b.u
+                            JOIN und c ON c.u = a.u AND c.v = b.v),
+         n3 AS (SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri),
+         tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+                FROM n3 GROUP BY node)
+         SELECT node, n_tri, deg,
+                round(2.0 * n_tri / (deg * (deg - 1)), 4) AS cc
+         FROM tc JOIN degs USING (node) ORDER BY node""",
+
     // joint gate: exact-dup keeper AND not a semantic-cluster member
     // dropped by SemDeDup (recursive CTE over the cosine>=0.35 graph)
     "q25_joint_dedup" ->

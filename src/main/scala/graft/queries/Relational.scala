@@ -308,6 +308,37 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(25)
 
+  /** Q13b: the canonical TPC-H Q1 pricing summary — the industry's
+    * reference "one wide scan, partial-agg everything" report. Money
+    * sums use the sanctioned fixed-point pattern (the synthetic data
+    * is cents-exact, so per-row quantization to 1e2/1e4/1e6 units is
+    * the identity and the BIGINT sums are engine-exact — a raw
+    * double sum over a whole-table group drifts past round(2) at this
+    * row count). One scan, map-side partials, 4-row output. */
+  def q13TpchPricing(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+    val disc = lit(1) - col("l_discount")
+    val charge = disc * (lit(1) + col("l_tax"))
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(round(col("l_quantity"), 0).cast("long")).as("sum_qty"),
+        round(sum(round(col("l_extendedprice") * 100, 0).cast("long")) /
+          100.0, 2).as("sum_base_price"),
+        round(sum(round(col("l_extendedprice") * disc * 1e4, 0)
+          .cast("long")) / 1e4, 2).as("sum_disc_price"),
+        round(sum(round(col("l_extendedprice") * charge * 1e6, 0)
+          .cast("long")) / 1e6, 2).as("sum_charge"),
+        round(sum(round(col("l_quantity"), 0).cast("long")) /
+          count(lit(1)).cast("double"), 4).as("avg_qty"),
+        round(sum(round(col("l_extendedprice") * 100, 0).cast("long")) /
+          100.0 / count(lit(1)), 4).as("avg_price"),
+        round(sum(round(col("l_discount") * 100, 0).cast("long")) /
+          100.0 / count(lit(1)), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   /** Q18b: top-k PER GROUP through the custom bounded-heap aggregate
     * (`graft_topk`, a TypedImperativeAggregate) — the scale-right form
     * of the window `row_number() <= k` pattern: state is O(k) per

@@ -79,6 +79,18 @@ class GraphSpec extends SparkSpec {
     assert(fast.nonEmpty)
   }
 
+  test("clustering coefficient is in (0, 1] and covers every " +
+    "triangle member") {
+    val cc = Graph.q33Clustering(spark, dir).collect()
+    val tri = Graph.q33Triangles(spark, dir).count()
+    assert(cc.length == tri)
+    cc.foreach { r =>
+      val v = r.getDouble(3)
+      assert(v > 0.0 && v <= 1.0, s"node ${r.getLong(0)}: cc $v")
+      assert(r.getLong(2) >= 2, "triangle member with deg < 2")
+    }
+  }
+
   test("link graph has no self loops and no duplicate edges") {
     val e = Graph.linkEdges(spark, dir)
     assert(e.filter(col("src") === col("dst")).count() == 0)
