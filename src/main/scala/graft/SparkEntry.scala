@@ -143,6 +143,7 @@ object SparkEntry {
     "q33_pagerank" -> (Graph.q33PageRank _),
     "q33_triangles" -> (Graph.q33Triangles _),
     "q33_clustering" -> (Graph.q33Clustering _),
+    "q34_zorder" -> (graft.ops.Layout.q34ZValue _),
   )
 
   /** DuckDB dialect equivalents. Dialect notes: regexp_replace needs the
@@ -693,6 +694,12 @@ object SparkEntry {
          SELECT v.event_id, v.user_id, round(coalesce(p.p_value, -1.0), 4) AS p_value
          FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts
          ORDER BY event_id""",
+
+    // z-order: the identical bit-interleave generated from MortonBits
+    "q34_zorder" ->
+      s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                ${graft.ops.Layout.ddbMorton("(l_orderkey % 65536)", "(l_partkey % 65536)")} AS zval
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
 
     "q30_range_join" ->
       """SELECT a.user_id, a.event_id AS e_a, b.event_id AS e_b,
