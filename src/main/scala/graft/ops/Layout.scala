@@ -32,15 +32,20 @@ object Layout {
           shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
 
-  /** DuckDB fragment computing exactly [[morton]]. */
-  def ddbMorton(a: String, b: String, bits: Int = MortonBits): String =
+  /** DuckDB fragment computing exactly [[morton]]. Arguments are cast
+    * to BIGINT first — over INT32 inputs DuckDB's `<< 31` overflows. */
+  def ddbMorton(a: String, b: String, bits: Int = MortonBits): String = {
+    val (ab, bb) = (s"CAST($a AS BIGINT)", s"CAST($b AS BIGINT)")
     (0 until bits).map { i =>
-      s"((($a >> $i) & 1) << ${2 * i}) | ((($b >> $i) & 1) << ${2 * i + 1})"
+      s"((($ab >> $i) & 1) << ${2 * i}) | ((($bb >> $i) & 1) << ${2 * i + 1})"
     }.mkString("(", " | ", ")")
+  }
 
   /** Q34: z-values for lineitem's (orderkey, partkey) — the filter
     * columns a mixed workload hits. Keys fold into the 16-bit grid by
-    * modulus; the oracle embeds the identical interleave. */
+    * modulus; the oracle embeds the identical interleave (identical on
+    * the NON-NEGATIVE keys here — Spark `pmod` and DuckDB `%` diverge
+    * below zero). */
   def q34ZValue(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
@@ -64,17 +69,29 @@ object Layout {
     * leaves the default 128 MB. */
   def writeZOrdered(df: DataFrame, path: String, a: String, b: String,
                     files: Int, blockSize: Long = 128L * 1024 * 1024): Unit = {
-    val r = df.agg(min(col(a)), max(col(a)), min(col(b)), max(col(b))).head()
+    val zc = "_graft_z"
+    require(!df.columns.contains(zc),
+      s"input already has a $zc column — it would be overwritten")
+    // cast to long up front: int key columns otherwise ClassCastException
+    // out of the min/max Row below
+    val r = df.agg(min(col(a).cast("long")), max(col(a).cast("long")),
+      min(col(b).cast("long")), max(col(b).cast("long"))).head()
+    if (r.isNullAt(0)) {
+      // empty input: nothing to order; write the (empty) dataset as-is
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val (aLo, aHi, bLo, bHi) =
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     def scaled(c: String, lo: Long, hi: Long): Column =
       if (hi == lo) lit(0L)
       // double division (Column./ is Divide): monotone onto 0..65535
-      else ((col(c) - lo).cast("double") * 65535.0 / (hi - lo)).cast("long")
-    df.withColumn("_z", morton(scaled(a, aLo, aHi), scaled(b, bLo, bHi)))
-      .repartitionByRange(files, col("_z"))
-      .sortWithinPartitions("_z")
-      .drop("_z")
+      else ((col(c).cast("long") - lo).cast("double") * 65535.0 / (hi - lo))
+        .cast("long")
+    df.withColumn(zc, morton(scaled(a, aLo, aHi), scaled(b, bLo, bHi)))
+      .repartitionByRange(files, col(zc))
+      .sortWithinPartitions(zc)
+      .drop(zc)
       .write.option("parquet.block.size", blockSize)
       .mode("overwrite").parquet(path)
   }

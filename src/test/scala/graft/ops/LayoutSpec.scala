@@ -57,19 +57,35 @@ class LayoutSpec extends SparkSpec {
       } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
     }
 
-    // a narrow partkey slice: natural layout cannot skip for it
-    val pred = col("l_partkey") <= 50
-    val (rowsN, scanN) = scanned(natural, pred)
-    val (rowsZ, scanZ) = scanned(zed, pred)
-    assert(rowsN == rowsZ, s"layouts disagree: $rowsN vs $rowsZ")
-    assert(rowsN > 0)
-    assert(scanZ < scanN / 2,
-      s"z-order skipped nothing: scanned $scanZ vs natural $scanN")
-    // and the z-layout still skips on the OTHER dimension too
-    val predA = col("l_orderkey") <= 100
-    val (ra, sa) = scanned(zed, predA)
-    val (rn, sn) = scanned(natural, predA)
-    assert(ra == rn)
-    assert(sa < li.count(), "orderkey predicate scanned everything")
+    try {
+      val total = li.count()
+      // a narrow partkey slice: natural layout cannot skip for it
+      val pred = col("l_partkey") <= 50
+      val (rowsN, scanN) = scanned(natural, pred)
+      val (rowsZ, scanZ) = scanned(zed, pred)
+      assert(rowsN == rowsZ, s"layouts disagree: $rowsN vs $rowsZ")
+      assert(rowsN > 0)
+      assert(scanZ < scanN / 2,
+        s"z-order skipped nothing: scanned $scanZ vs natural $scanN")
+      // the z-layout still skips substantially on the OTHER dimension
+      // (it cannot beat natural there — natural IS sorted by orderkey,
+      // the optimal single-column layout; z trades a bounded loss on
+      // the sort key for skipping on both)
+      val predA = col("l_orderkey") <= 100
+      val (ra, sa) = scanned(zed, predA)
+      val (rn, sn) = scanned(natural, predA)
+      assert(ra == rn)
+      assert(sn <= sa, s"natural lost on its own sort key: $sn vs $sa")
+      // at 16 coarse row groups the z-rectangles still cover about
+      // half the groups for a narrow slice; the bound tightens with
+      // granularity (production row groups are far finer-grained)
+      assert(sa < total * 2 / 3,
+        s"z-order scanned $sa of $total rows for a narrow orderkey slice")
+    } finally {
+      val wk = java.nio.file.Files.walk(base)
+      try wk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally wk.close()
+    }
   }
 }
