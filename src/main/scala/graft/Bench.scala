@@ -17,6 +17,10 @@ object Bench {
       .config("spark.ui.retainedJobs", "100")
       .config("spark.ui.retainedStages", "200")
       .config("spark.ui.retainedTasks", "2000")
+      // default is 30min: out-of-scope shuffle/broadcast/checkpoint
+      // state from ~430 query executions otherwise accumulates for the
+      // whole session before the ContextCleaner asks for a GC
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: parquet footers/file listing + first-codegen JIT, so the
@@ -45,12 +49,22 @@ object Bench {
     // spread = (max-min)/median, reported so the driver signal's trust
     // is visible
     val runsPer = 3
+    // JVM-wide GC time: lets the report ATTRIBUTE a slow row to
+    // collector pauses (the recurring long-session failure mode —
+    // 2-10× medians on unchanged plans) instead of leaving it to read
+    // as a plan regression
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // settle the heap between queries: the accumulated garbage of a
-      // ~270-execution session otherwise lands as full-GC pauses inside
+      // ~430-execution session otherwise lands as full-GC pauses inside
       // whichever query happens to allocate next (observed 3-10×
       // medians on unchanged plans, run-to-run totals 44s↔71s)
       System.gc()
+      val gc0 = gcMillis
       val times = (1 to runsPer).flatMap { _ =>
         // isolate queries: persisted intermediates from one run must
         // not distort the next run's timing
@@ -61,18 +75,23 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: $e"); None
         }
       }
-      (name, times.sorted)
+      (name, times.sorted, (gcMillis - gc0) / 1e3)
     }
     // a failed query is reported as an explicit error marker, never as
     // a near-zero "success" time (ADVICE r1)
     def median(ts: Seq[Double]): Double = ts(ts.size / 2)
-    val qs = results.map { case (k, ts) =>
+    val qs = results.map { case (k, ts, _) =>
       if (ts.size < runsPer) s"\"" + k + "\":\"ERROR\""
       else s"\"" + k + "\":" + median(ts)
     }.mkString("{", ",", "}")
-    val spread = results.collect { case (k, ts) if ts.size == runsPer =>
+    val spread = results.collect { case (k, ts, _) if ts.size == runsPer =>
       val rel = if (median(ts) > 0) (ts.last - ts.head) / median(ts) else 0.0
       s"\"" + k + "\":" + math.rint(rel * 100) / 100
+    }.mkString("{", ",", "}")
+    // per-query GC seconds across its 3 runs — a slow row with most of
+    // its time here is collector noise, not a plan regression
+    val gc = results.collect { case (k, ts, g) if ts.size == runsPer =>
+      s"\"" + k + "\":" + math.rint(g * 100) / 100
     }.mkString("{", ",", "}")
     val nFailed = results.count(_._2.size < runsPer)
     val total = results.filter(_._2.size == runsPer).map(r => median(r._2)).sum
@@ -112,7 +131,7 @@ object Bench {
       }.sorted
     } finally spark.conf.set(aqeKey, prevAqe)
     val medianUs = lat(lat.size / 2).round
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","failed":$nFailed,"index_docs_per_s":${docsPerS.round},"warm_search_us":$medianUs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"gc_sec":$gc,"sf":"$sfDir","failed":$nFailed,"index_docs_per_s":${docsPerS.round},"warm_search_us":$medianUs}""")
     spark.stop()
   }
 }

@@ -130,6 +130,8 @@ object SparkEntry {
     "q27_repetition" -> (TextAnalysis.repetition _),
     "q27_contamination" -> (TextAnalysis.contamination _),
     "q27_mixture" -> (TextAnalysis.mixCorpus _),
+    "q27_mixture_alpha" ->
+      ((s: SparkSession, d: String) => TextAnalysis.mixCorpusAlpha(s, d)),
     "q27_corpus_stats" -> (TextAnalysis.corpusStats _),
     "q27_packing" ->
       ((s: SparkSession, d: String) => TextAnalysis.packSequences(s, d)),

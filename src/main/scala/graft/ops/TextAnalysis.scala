@@ -425,6 +425,44 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Temperature exponent for [[mixCorpusAlpha]] — shared with the
+    * oracle. */
+  val MixAlpha = 0.3
+
+  /** TEMPERATURE-SCALED corpus mixing — the multilingual rebalancing
+    * scheme (α-sampling): target shares are the EMPIRICAL language
+    * distribution raised to α < 1 and renormalized, flattening head
+    * languages toward the tail without hand-set weights. Same
+    * downsample-only, stable-hash-threshold machinery as
+    * [[mixCorpus]]. Cross-engine determinism: the tempered weights are
+    * quantized to 1e-6 BIGINTs right after the `pow`, so every later
+    * ratio is computed from identical integers on both engines. */
+  def mixCorpusAlpha(spark: SparkSession, dir: String,
+                     alpha: Double = MixAlpha): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"),
+      pmod(graft.functions.GraftFunctions.polyhash(col("text"), P),
+        lit(10000L)).as("h"))
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("cnt"))
+    val n = counts.agg(sum(col("cnt")).as("nd"))
+    val wq = counts.crossJoin(broadcast(n))
+      .select(col("lang"), col("cnt"),
+        round(pow(col("cnt").cast("double") / col("nd"), alpha) * 1e6, 0)
+          .cast("long").as("wq"))
+    val ws = wq.agg(sum(col("wq")).as("ws"))
+    val shares = wq.crossJoin(broadcast(ws))
+      .select(col("lang"), col("cnt"),
+        (col("wq").cast("double") / col("ws")).as("s"))
+    val tt = shares.agg(min(col("cnt") / col("s")).as("tt"))
+    val keep = shares.crossJoin(broadcast(tt))
+      .select(col("lang"),
+        least(lit(1.0), col("tt") * col("s") / col("cnt")).as("keep_p"))
+    d.join(broadcast(keep), "lang")
+      .filter(col("h") < col("keep_p") * 10000)
+      .select(col("doc_id"), col("lang"), col("h"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: rolling polynomial hash of the normalized
     * (tokenized, single-spaced) text — an order-sensitive content id,
     * complementing [[Dedup.exact]]'s md5 of the raw text. */

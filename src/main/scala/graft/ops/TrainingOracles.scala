@@ -592,6 +592,29 @@ object TrainingOracles {
                   AS contam_ratio
          FROM tot JOIN hit USING (doc_id) ORDER BY doc_id""",
 
+    // temperature-scaled (α) mixing: empirical shares^α, weights
+    // quantized to 1e-6 BIGINTs immediately after pow so both engines
+    // ratio identical integers; expression order mirrors the Spark plan
+    "q27_mixture_alpha" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+                       ${ddbPolyHash("text", P)} % 10000 AS h
+                     FROM documents),
+         c AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+               FROM d GROUP BY lang),
+         n AS (SELECT CAST(sum(cnt) AS BIGINT) AS nd FROM c),
+         wq AS (SELECT lang, cnt,
+                       CAST(round(pow(CAST(cnt AS DOUBLE) / nd, ${TextAnalysis.MixAlpha}) * 1e6, 0) AS BIGINT) AS wq
+                FROM c CROSS JOIN n),
+         ws AS (SELECT CAST(sum(wq) AS BIGINT) AS ws FROM wq),
+         sh AS (SELECT lang, cnt, CAST(wq AS DOUBLE) / ws AS s
+                FROM wq CROSS JOIN ws),
+         t AS (SELECT min(cnt / s) AS tt FROM sh),
+         keep AS (SELECT lang, least(1.0, tt * s / cnt) AS keep_p
+                  FROM sh CROSS JOIN t)
+         SELECT doc_id, d.lang AS lang, h
+         FROM d JOIN keep ON d.lang = keep.lang
+         WHERE h < keep_p * 10000 ORDER BY doc_id""",
+
     // deterministic language-mix downsampling to the MixTargets weights
     "q27_mixture" -> {
       val wvals = TextAnalysis.MixTargets

@@ -107,6 +107,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("alpha mixing flattens language shares toward uniform, " +
+    "downsample-only") {
+    val before = graft.Tables.load(spark, dir, "documents")
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = TextAnalysis.mixCorpusAlpha(spark, dir)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    after.foreach { case (l, k) =>
+      assert(k <= before(l), s"$l upsampled: $k > ${before(l)}")
+    }
+    // temperature < 1 flattens: the head/tail imbalance must shrink
+    def ratio(m: Map[String, Long]) =
+      m.values.max.toDouble / m.values.min
+    assert(ratio(after) <= ratio(before) + 1e-9,
+      s"not flattened: ${ratio(after)} vs ${ratio(before)}")
+  }
+
   test("heavy hitters: CMS bounds hold and counts equal the exact agg") {
     val hh = TextAnalysis.heavyHitters(spark, dir, k = 10).collect()
     assert(hh.length == 10)
