@@ -132,6 +132,7 @@ object SparkEntry {
     "q27_mixture" -> (TextAnalysis.mixCorpus _),
     "q27_mixture_alpha" ->
       ((s: SparkSession, d: String) => TextAnalysis.mixCorpusAlpha(s, d)),
+    "q27_split" -> (TextAnalysis.trainValTestSplit _),
     "q27_corpus_stats" -> (TextAnalysis.corpusStats _),
     "q27_packing" ->
       ((s: SparkSession, d: String) => TextAnalysis.packSequences(s, d)),

@@ -425,6 +425,29 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** TRAIN/VAL/TEST SPLIT — the reproducible three-way partition a
+    * training pipeline cuts before anything else: a stable content
+    * hash in [0, 100) maps to train (< 80) / val (< 90) / test. A
+    * pure narrow expression (no shuffle, no rand()): the same document
+    * lands in the same split across runs, engines, relayouts, and
+    * corpus growth — new documents never move old ones between splits
+    * (the property rand()-based splitting silently lacks). Summary
+    * rows report per-(lang, split) counts for audit. */
+  def trainValTestSplit(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        pmod(graft.functions.GraftFunctions.polyhash(col("text"), P),
+          lit(100L)).as("h"))
+      .select(col("doc_id"), col("lang"),
+        when(col("h") < 80, "train")
+          .when(col("h") < 90, "val")
+          .otherwise("test").as("split"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+      .orderBy("lang", "split")
+  }
+
   /** Temperature exponent for [[mixCorpusAlpha]] — shared with the
     * oracle. */
   val MixAlpha = 0.3

@@ -592,6 +592,19 @@ object TrainingOracles {
                   AS contam_ratio
          FROM tot JOIN hit USING (doc_id) ORDER BY doc_id""",
 
+    // stable-hash train/val/test split, per-(lang, split) audit counts
+    "q27_split" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+                       ${ddbPolyHash("text", P)} % 100 AS h
+                     FROM documents),
+         s AS (SELECT doc_id, lang,
+                      CASE WHEN h < 80 THEN 'train'
+                           WHEN h < 90 THEN 'val'
+                           ELSE 'test' END AS split
+               FROM d)
+         SELECT lang, split, count(*) AS n, min(doc_id) AS first_doc
+         FROM s GROUP BY lang, split ORDER BY lang, split""",
+
     // temperature-scaled (α) mixing: empirical shares^α, weights
     // quantized to 1e-6 BIGINTs immediately after pow so both engines
     // ratio identical integers; expression order mirrors the Spark plan

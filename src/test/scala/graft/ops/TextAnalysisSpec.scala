@@ -107,6 +107,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("train/val/test split covers every doc with roughly 80/10/10 " +
+    "shares, deterministically") {
+    val rows = TextAnalysis.trainValTestSplit(spark, dir).collect()
+    val bySplit = rows.groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val total = bySplit.values.sum
+    assert(total == graft.Tables.load(spark, dir, "documents").count())
+    val trainFrac = bySplit("train").toDouble / total
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train share $trainFrac")
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    val again = TextAnalysis.trainValTestSplit(spark, dir).collect()
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("alpha mixing flattens language shares toward uniform, " +
     "downsample-only") {
     val before = graft.Tables.load(spark, dir, "documents")
