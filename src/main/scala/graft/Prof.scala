@@ -18,6 +18,10 @@ object Prof {
       .config("spark.ui.retainedJobs", "100")
       .config("spark.ui.retainedStages", "200")
       .config("spark.ui.retainedTasks", "2000")
+      // same as Bench: out-of-scope shuffle/broadcast/checkpoint state
+      // otherwise accumulates and degrades LATER queries (measured:
+      // a repeated heavy query 3× slower on its second run)
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.names.foreach { n =>
@@ -26,6 +30,7 @@ object Prof {
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
       spark.sharedState.cacheManager.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       println(f"[prof] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
