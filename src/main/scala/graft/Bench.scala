@@ -88,10 +88,11 @@ object Bench {
       val rel = if (median(ts) > 0) (ts.last - ts.head) / median(ts) else 0.0
       s"\"" + k + "\":" + math.rint(rel * 100) / 100
     }.mkString("{", ",", "}")
-    // per-query GC seconds across its 3 runs — a slow row with most of
-    // its time here is collector noise, not a plan regression
+    // per-query GC seconds PER RUN (the 3-run delta divided by the run
+    // count, comparable to the per-run median) — a slow row with most
+    // of its time here is collector noise, not a plan regression
     val gc = results.collect { case (k, ts, g) if ts.size == runsPer =>
-      s"\"" + k + "\":" + math.rint(g * 100) / 100
+      s"\"" + k + "\":" + math.rint(g / runsPer * 100) / 100
     }.mkString("{", ",", "}")
     val nFailed = results.count(_._2.size < runsPer)
     val total = results.filter(_._2.size == runsPer).map(r => median(r._2)).sum

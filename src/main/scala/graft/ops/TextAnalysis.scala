@@ -332,21 +332,13 @@ object TextAnalysis {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
     val d = docs(spark, dir).select(col("doc_id"), col("lang"),
-      pmod(graft.functions.GraftFunctions.polyhash(col("text"), P),
-        lit(10000L)).as("h"))
+      hashBucket(col("text"), 10000).as("h"))
     val w = MixTargets.toDF("lang", "w")
-    val counts = d.groupBy("lang").agg(count(lit(1)).as("cnt"))
-    val total = counts.join(w, "lang")
-      .agg(min(col("cnt") / col("w")).as("t_total"))
-    val keep = counts.join(broadcast(w), "lang")
-      .crossJoin(broadcast(total))
-      .select(col("lang"),
-        least(lit(1.0), col("t_total") * col("w") / col("cnt"))
-          .as("keep_p"))
-    d.join(broadcast(keep), "lang")
-      .filter(col("h") < col("keep_p") * 10000)
-      .select(col("doc_id"), col("lang"), col("h"))
-      .orderBy("doc_id")
+    val shares = docs(spark, dir).groupBy("lang")
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(w), "lang")
+      .select(col("lang"), col("cnt"), col("w").as("s"))
+    keepByShares(d, shares)
   }
 
   /** Default top-k for [[heavyHitters]] — shared with the oracle's
@@ -437,8 +429,7 @@ object TextAnalysis {
     graft.functions.GraftFunctions.register(spark)
     docs(spark, dir)
       .select(col("doc_id"), col("lang"),
-        pmod(graft.functions.GraftFunctions.polyhash(col("text"), P),
-          lit(100L)).as("h"))
+        hashBucket(col("text"), 100).as("h"))
       .select(col("doc_id"), col("lang"),
         when(col("h") < 80, "train")
           .when(col("h") < 90, "val")
@@ -459,23 +450,35 @@ object TextAnalysis {
     * downsample-only, stable-hash-threshold machinery as
     * [[mixCorpus]]. Cross-engine determinism: the tempered weights are
     * quantized to 1e-6 BIGINTs right after the `pow`, so every later
-    * ratio is computed from identical integers on both engines. */
+    * ratio is computed from identical integers on both engines. The
+    * residual risk is `pow` itself differing in the last ulp ACROSS a
+    * .5 rounding boundary — measured margin on the test corpora is
+    * ≥ 0.0125 at the 1e6 scale vs ~1e-4 worst-case pow divergence
+    * (~100× headroom). */
   def mixCorpusAlpha(spark: SparkSession, dir: String,
                      alpha: Double = MixAlpha): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val d = docs(spark, dir).select(col("doc_id"), col("lang"),
-      pmod(graft.functions.GraftFunctions.polyhash(col("text"), P),
-        lit(10000L)).as("h"))
+      hashBucket(col("text"), 10000).as("h"))
     val counts = d.groupBy("lang").agg(count(lit(1)).as("cnt"))
     val n = counts.agg(sum(col("cnt")).as("nd"))
-    val wq = counts.crossJoin(broadcast(n))
+    val shares = counts.crossJoin(broadcast(n))
       .select(col("lang"), col("cnt"),
         round(pow(col("cnt").cast("double") / col("nd"), alpha) * 1e6, 0)
           .cast("long").as("wq"))
-    val ws = wq.agg(sum(col("wq")).as("ws"))
-    val shares = wq.crossJoin(broadcast(ws))
+    val ws = shares.agg(sum(col("wq")).as("ws"))
+    val withShare = shares.crossJoin(broadcast(ws))
       .select(col("lang"), col("cnt"),
         (col("wq").cast("double") / col("ws")).as("s"))
+    keepByShares(d, withShare)
+  }
+
+  /** The shared downsample tail of [[mixCorpus]] / [[mixCorpusAlpha]]:
+    * achievable total = min over groups of cnt/share, per-group keep
+    * rate = min(1, total·share/cnt), applied as a stable-hash
+    * threshold. `shares` carries (lang, cnt, s); `d` carries
+    * (doc_id, lang, h) with h in [0, 10000). */
+  private def keepByShares(d: DataFrame, shares: DataFrame): DataFrame = {
     val tt = shares.agg(min(col("cnt") / col("s")).as("tt"))
     val keep = shares.crossJoin(broadcast(tt))
       .select(col("lang"),
