@@ -59,6 +59,42 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("graft_topk equals the row_number window on randomized data " +
+    "(ties, duplicates, skewed groups)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    GraftFunctions.register(spark)
+    val rowGen = for {
+      g <- Gen.chooseNum(0L, 7L)
+      // small score domain forces plenty of exact ties
+      s <- Gen.chooseNum(0, 5).map(_ * 0.5)
+      i <- Gen.chooseNum(0L, 1000L)
+    } yield (g, s, i)
+    val rows = (0 until 400).flatMap(n =>
+      rowGen.apply(Gen.Parameters.default, Seed(n.toLong)))
+    // duplicate (score, id) pairs within a group are possible above —
+    // the window then numbers them distinctly while the heap keeps
+    // both; dedup to keep the comparison well-defined
+    val df = rows.distinct.toDF("g", "s", "i")
+    val viaAgg = df.groupBy("g")
+      .agg(GraftFunctions.topkBy(col("s"), col("i"), 3).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), (col("pos") + 1).cast("long").as("rn"),
+        col("col.id").as("i"), col("col.score").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val viaWindow = df.withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("s").desc, col("i"))))
+      .filter(col("rn") <= 3)
+      .select(col("g"), col("rn").cast("long"), col("i"), col("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(viaAgg == viaWindow)
+    assert(viaAgg.nonEmpty)
+  }
+
   test("graft_topk orders NaN scores like a DESC window (retention " +
     "and presentation agree)") {
     import spark.implicits._

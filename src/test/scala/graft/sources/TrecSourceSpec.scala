@@ -41,6 +41,33 @@ class TrecSourceSpec extends SparkSpec {
     assert(ids.toSeq === (1 to 80).map(i => f"FB-$i%03d").sorted)
   }
 
+  test("record set is invariant under EVERY split size (boundary sweep)") {
+    // adversarial corpus: '<'-runs before tags, bodies containing the
+    // literal strings "<DOC" and "</DOC" fragments inside text, plus
+    // varied record lengths — then sweep splitSize so every byte
+    // offset of the first few records serves as a boundary at least
+    // once. Any ownership bug (double emit or drop) shows as a
+    // changed multiset of docids.
+    val docs = (1 to 12).map { i =>
+      val noise = "<" * (i % 4) + " not a <DOC tag " + "x" * (i * 7)
+      doc(f"SW-$i%02d", noise)
+    }
+    val content = docs.mkString
+    val path = stage(content)
+    val expect = (1 to 12).map(i => f"SW-$i%02d").sorted
+    // every size from 1 byte past trivial up to just beyond one record,
+    // plus a few larger strides — boundaries land on every offset mod
+    // size, covering all alignments of "<DOC>" and "</DOC>"
+    val sizes = (17 to 97 by 8) ++ Seq(128, 200, 333, content.length - 1)
+    sizes.foreach { s =>
+      val ids = spark.read.format("trec")
+        .option("splitSize", s.toString).load(path)
+        .select("docid").as[String](
+          org.apache.spark.sql.Encoders.STRING).collect().sorted.toSeq
+      assert(ids == expect, s"splitSize=$s: got $ids")
+    }
+  }
+
   test("a partial tag prefix straddling the split end does not leak ownership") {
     // Regression (ADVICE r3): bytes "<<DOC>" with the split boundary
     // between the two '<' — the first split's scanner restarts its
