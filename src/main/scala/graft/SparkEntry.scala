@@ -71,6 +71,7 @@ object SparkEntry {
     "q23_json" -> (Relational.q23Json _),
     "q23_higher_order" -> (Relational.q23HigherOrder _),
     "q23_arrays" -> (Relational.q23Arrays _),
+    "q23_maps" -> (Relational.q23Maps _),
     // Training-data pipeline ops (dedup / similarity / text analysis)
     "q24_dedup_exact" -> (Dedup.exact _),
     "q24_dedup_chunks" ->
@@ -604,6 +605,17 @@ object SparkEntry {
               w AS (SELECT user_id, unnest([slot, slot - 1]) AS wslot FROM e)
          SELECT wslot * 1800 AS w_sec, user_id, count(*) AS n_events
          FROM w GROUP BY 1, 2 ORDER BY w_sec, user_id""",
+
+    // the oracle rebuilds every map-derived value relationally — the
+    // engine side proves the MAP functions, the compare needs no maps
+    "q23_maps" ->
+      """SELECT doc_id, lang AS lang_v, CAST(2 AS BIGINT) AS n_keys,
+                'lang,src' AS keys,
+                CASE WHEN upper(lang) < upper(source)
+                     THEN upper(lang) || ',' || upper(source)
+                     ELSE upper(source) || ',' || upper(lang) END AS upper_vals,
+                true AS has_src
+         FROM documents ORDER BY doc_id""",
 
     "q23_higher_order" ->
       """SELECT vec_id,

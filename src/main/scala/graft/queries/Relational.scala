@@ -479,4 +479,25 @@ object Relational {
         round(element_at(col("embedding"), 1).cast("double"), 4).as("e1"),
         round(element_at(col("embedding"), 64).cast("double"), 4).as("e64"))
       .orderBy("vec_id")
+
+  /** Q23d: MAP column battery — construct, merge, look up, transform,
+    * and explode string-keyed maps (the Document.metadata shape from
+    * SURVEY §1.3). Map iteration order is engine-specific, so every
+    * order-sensitive output goes through sorted keys; the oracle
+    * rebuilds each value relationally without map types at all. */
+  def q23Maps(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        map_concat(
+          map(lit("lang"), col("lang")),
+          map(lit("src"), col("source"))).as("m"))
+      .select(col("doc_id"),
+        element_at(col("m"), "lang").as("lang_v"),
+        size(col("m")).cast("long").as("n_keys"),
+        array_join(array_sort(map_keys(col("m"))), ",").as("keys"),
+        array_join(array_sort(map_values(
+          transform_values(col("m"), (_, v) => upper(v)))), ",")
+          .as("upper_vals"),
+        map_contains_key(col("m"), "src").as("has_src"))
+      .orderBy("doc_id")
 }
