@@ -35,9 +35,14 @@ object CharKGramIndex {
   def load(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 
-  /** (gram, term) pairs for a vocabulary DF with column `term`. */
+  /** (gram, term) pairs for a vocabulary DF with column `term`. Terms
+    * whose wrapped form is shorter than k produce NOTHING: without the
+    * filter, `sequence(1, n)` with n < 1 counts DOWN by default and
+    * the negative positions emit wrong-length garbage grams (relevant
+    * only for k > 3; the k=3 floor is a 1-char term, wrapped to 3). */
   def grams(vocab: DataFrame, k: Int): DataFrame =
     vocab
+      .filter(length(col("term")) + 2 >= k)
       .withColumn("wrapped", concat(lit("$"), col("term"), lit("$")))
       .select(col("term"),
         explode(transform(sequence(lit(1), length(col("term")) + 2 - (k - 1)),

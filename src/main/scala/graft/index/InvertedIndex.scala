@@ -155,12 +155,42 @@ object InvertedIndex {
       .withColumn("docno", col("docno") + base) // …continued after base
     val shiftedPostings = deltaIx.postings
       .withColumn("docno", col("docno") + base)
+    // every merged artifact is a serving artifact like build()'s:
+    // un-persisted termStats would re-run the stats aggregation per
+    // lookup, an un-persisted docMap the numbering union per resolve
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val postings = ix.postings.unionByName(shiftedPostings)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(MEMORY_AND_DISK)
     val termStats = ix.termStats.unionByName(deltaIx.termStats)
       .groupBy(col("kgram")).agg(sum(col("df")).as("df"))
-    Index(postings, termStats, ix.docMap.unionByName(shifted),
+      .persist(MEMORY_AND_DISK)
+    val merged = Index(postings, termStats,
+      ix.docMap.unionByName(shifted).persist(MEMORY_AND_DISK),
       ix.nDocs + deltaIx.nDocs)
+    // materialize the merged generation, then drop the delta build's
+    // internal caches — a standing ingest otherwise pins one delta
+    // index per batch forever; the BASE's caches stay with the caller
+    // (release a superseded generation via [[unpersist]])
+    materialize(merged)
+    unpersist(deltaIx)
+    merged
+  }
+
+  /** Release an index generation's cached artifacts — the standing
+    * merge loop (see `IrEngine.q26StreamedIndex`) otherwise pins every
+    * superseded cumulative postings copy for the session's lifetime.
+    * Safe only AFTER the successor's artifacts are materialized (the
+    * successor's plans read these caches). */
+  def unpersist(ix: Index): Unit = {
+    ix.postings.unpersist(); ix.termStats.unpersist()
+    ix.docMap.unpersist(); ()
+  }
+
+  /** Force an index's cached artifacts to materialize (one action per
+    * artifact) — the barrier a merge loop runs before releasing the
+    * previous generation. */
+  def materialize(ix: Index): Unit = {
+    ix.postings.count(); ix.termStats.count(); ix.docMap.count(); ()
   }
 
   /** Persist as parquet, postings repartitioned+sorted by kgram so each

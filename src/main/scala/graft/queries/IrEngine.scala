@@ -158,8 +158,15 @@ object IrEngine {
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val bs = batch.sparkSession
-        ix = if (ix == null) InvertedIndex.build(bs, batch, k = 1)
-             else InvertedIndex.merge(bs, ix, batch, k = 1)
+        if (ix == null) ix = InvertedIndex.build(bs, batch, k = 1)
+        else {
+          // merge materializes the new generation itself; releasing
+          // the superseded one keeps the standing ingest's cache
+          // footprint at one cumulative index, not one per batch
+          val next = InvertedIndex.merge(bs, ix, batch, k = 1)
+          InvertedIndex.unpersist(ix)
+          ix = next
+        }
         ()
       }
       .start()

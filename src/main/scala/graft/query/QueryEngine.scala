@@ -31,7 +31,9 @@ object QueryEngine {
   /** The reference accepts only 1-2 word raw queries
     * (`IntDocVectorsForwardIndex.java:292-297`). */
   def requireArity(query: String): Seq[String] = {
-    val words = query.trim.split("\\s+").toSeq
+    // filter the empty token: "".split gives Array("") — an all-blank
+    // query must count as 0 words, not 1
+    val words = query.trim.split("\\s+").toSeq.filter(_.nonEmpty)
     require(words.nonEmpty && words.size <= 2,
       s"query must be 1-2 words, got ${words.size}")
     analyze(query)
@@ -161,19 +163,22 @@ object QueryEngine {
     * forms; postings are stemmed) via the registered `graft_tokenize`,
     * then joined to postings/stats as vocabulary-bounded broadcasts. */
   def wildcardSearch(ix: Index, chargrams: DataFrame, pattern: String,
-                     topK: Int = 10): DataFrame = {
+                     topK: Int = 10, k: Int = 3): DataFrame = {
     val spark = ix.docMap.sparkSession
     TextPipeline.register(spark)
-    val expanded = wildcardTerms(chargrams, pattern)
+    // k must match the chargram index's gram length — mismatched
+    // lengths would silently expand to nothing
+    val expanded = wildcardTerms(chargrams, pattern, k)
       .select(explode(expr("graft_tokenize(term)")).as("kgram"))
       .distinct()
-    // expansion-bounded (vocabulary subset) sides: broadcast them into
-    // the corpus-sized postings, never the other way around
-    val hits = ix.postings.join(broadcast(expanded), "kgram")
+    // the expansion-bounded stats (vocabulary subset) restrict the
+    // corpus-sized postings in ONE broadcast probe — a separate
+    // postings⋈expansion join would re-probe the same scan for rows
+    // the stats join already bounds (r4 review)
     val stats = ix.termStats.join(broadcast(expanded), "kgram")
     // same scoring/top-k/resolve tail as the non-wildcard path — one
     // place for the tf-idf formula, tiebreak and rounding
-    topAndResolve(ix, hits.join(broadcast(stats), "kgram"), topK,
+    topAndResolve(ix, ix.postings.join(broadcast(stats), "kgram"), topK,
       log10(lit(ix.nDocs.toDouble) / col("df").cast("double")),
       serve = false)
   }

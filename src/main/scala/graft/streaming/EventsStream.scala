@@ -153,7 +153,12 @@ object EventsStream {
     * chain forms one session, not one per event) before being emitted.
     * The single-session-per-key state means an already-emitted older
     * session can never be reopened — the inherent approximation of this
-    * shape; [[sessionWindows]] is the exact multi-session form. */
+    * shape. Concretely: a non-newest merged group is emitted at batch
+    * end even when the watermark has not yet passed its lastSeen+gap,
+    * so a still-admissible later event that would have bridged into it
+    * starts a fresh session instead (holding it back would need
+    * multi-session state). [[sessionWindows]] is the exact
+    * multi-session form and the oracle-checked q32 path. */
   def sessionize(events: Dataset[Event], gapSeconds: Long = 30)
                 (implicit spark: SparkSession): Dataset[Session] = {
     import spark.implicits._

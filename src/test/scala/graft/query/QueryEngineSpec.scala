@@ -130,4 +130,34 @@ class QueryEngineSpec extends SparkSpec {
       }
     }
   }
+
+  test("blank queries are rejected as 0 words, not passed as 1") {
+    Seq("", "   ", "\t").foreach { q =>
+      val e = intercept[IllegalArgumentException](
+        QueryEngine.requireArity(q))
+      assert(e.getMessage.contains("got 0"), e.getMessage)
+    }
+  }
+
+  test("char-gram index with k=4 produces no garbage grams and serves " +
+    "wildcards when k is threaded through") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vocab = Seq("a", "ab", "stream", "steam").toDF("term")
+    val g4 = graft.index.CharKGramIndex.grams(vocab, k = 4)
+    // wrapped "a" = "$a$" (3 chars) must contribute nothing at k=4
+    assert(g4.filter(col("term") === "a").count() == 0)
+    assert(g4.filter(length(col("gram")) =!= 4).count() == 0)
+    // the k=4 gram set still expands a wildcard when the SAME k flows
+    // through the lookup ("st*am" matches both: str-e-am and st-e-am)
+    val cg4 = g4.groupBy("gram")
+      .agg(sort_array(collect_set(col("term"))).as("terms"))
+    val terms = QueryEngine.wildcardTerms(cg4, "st*am", k = 4)
+      .collect().map(_.getString(0)).toSeq
+    assert(terms == Seq("steam", "stream"))
+    // a pattern with a ≥4-char segment exercises the gram path at k=4
+    val viaGrams = QueryEngine.wildcardTerms(cg4, "stre*", k = 4)
+      .collect().map(_.getString(0)).toSeq
+    assert(viaGrams == Seq("stream"))
+  }
 }
