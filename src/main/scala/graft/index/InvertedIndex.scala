@@ -143,7 +143,7 @@ object InvertedIndex {
     *
     * Contract: delta docids are disjoint from the indexed corpus. */
   def merge(spark: SparkSession, ix: Index, delta: DataFrame,
-            k: Int = 1): Index = {
+            k: Int = 1, eager: Boolean = false): Index = {
     // empty base (bootstrap of an incremental crawl): max() is null
     val base = {
       val r = ix.docMap.agg(max(col("docno"))).head()
@@ -167,12 +167,14 @@ object InvertedIndex {
     val merged = Index(postings, termStats,
       ix.docMap.unionByName(shifted).persist(MEMORY_AND_DISK),
       ix.nDocs + deltaIx.nDocs)
-    // materialize the merged generation, then drop the delta build's
-    // internal caches — a standing ingest otherwise pins one delta
-    // index per batch forever; the BASE's caches stay with the caller
-    // (release a superseded generation via [[unpersist]])
-    materialize(merged)
-    unpersist(deltaIx)
+    // eager = the STANDING-INGEST mode (q26_ir_stream): materialize
+    // the merged generation now and drop the delta build's internal
+    // caches — a merge-per-batch loop otherwise pins one delta index
+    // per batch forever. One-shot merges stay lazy (their first action
+    // materializes everything once; the extra eager actions are pure
+    // cost there). The BASE's caches stay with the caller either way
+    // (release a superseded generation via [[unpersist]]).
+    if (eager) { materialize(merged); unpersist(deltaIx) }
     merged
   }
 

@@ -160,10 +160,11 @@ object IrEngine {
         val bs = batch.sparkSession
         if (ix == null) ix = InvertedIndex.build(bs, batch, k = 1)
         else {
-          // merge materializes the new generation itself; releasing
-          // the superseded one keeps the standing ingest's cache
-          // footprint at one cumulative index, not one per batch
-          val next = InvertedIndex.merge(bs, ix, batch, k = 1)
+          // eager merge materializes the new generation and drops its
+          // delta caches; releasing the superseded base keeps the
+          // standing ingest's footprint at ONE cumulative index
+          val next = InvertedIndex.merge(bs, ix, batch, k = 1,
+            eager = true)
           InvertedIndex.unpersist(ix)
           ix = next
         }
