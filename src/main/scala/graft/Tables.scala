@@ -20,13 +20,16 @@ object Tables {
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** events.ts is nanosecond-precision parquet, which Spark 4 refuses to
-    * read as TIMESTAMP. Read it as a long (legacy nanosAsLong), keep the
-    * exact value as `ts_ns` (total ordering without µs-truncation
-    * collisions), and derive a µs `ts` TIMESTAMP for the datetime API. */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    deriveEventTime(spark.read.parquet(s"$sfDir/events.parquet"))
-  }
+    * read as TIMESTAMP. Read it as a long via an EXPLICIT user schema
+    * (ts: LONG) — no session conf involved (the legacy `nanosAsLong`
+    * toggle this used to flip globally is unnecessary when the schema
+    * is supplied, and flipping shared-session conf inside a reader was
+    * a scoping bug) — keep the exact value as `ts_ns` (total ordering
+    * without µs-truncation collisions), and derive a µs `ts` TIMESTAMP
+    * for the datetime API. */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    deriveEventTime(spark.read.schema(eventsRawSchema)
+      .parquet(s"$sfDir/events.parquet"))
 
   /** The ns→µs event-time derivation shared by the batch loader above
     * and the streaming reader ([[graft.streaming.EventsStream]]): one
@@ -36,9 +39,10 @@ object Tables {
     raw.withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
 
-  /** Schema of the raw events parquet under `nanosAsLong` (ts reads as
-    * a plain long) — lets a streaming reader start on a still-empty
-    * ingest directory, where schema inference has nothing to read. */
+  /** Explicit schema of the raw events parquet (ns-precision ts read
+    * as a plain long) — supplied to every events read so no legacy
+    * session conf is needed, and lets a streaming reader start on a
+    * still-empty ingest directory, where inference has nothing to read. */
   val eventsRawSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     StructType(Seq(

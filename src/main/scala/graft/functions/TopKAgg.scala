@@ -20,7 +20,14 @@ import org.apache.spark.sql.types._
   * and the work O(n log k) — no per-group sort, no window exchange.
   *
   * The heap keeps the WORST retained entry on top (min-score, then
-  * max-id), so admission is one peek and replacement one dequeue. */
+  * max-id), so admission is one peek and replacement one dequeue.
+  *
+  * Null handling: rows with a null score or id are DROPPED (a window
+  * form would rank null scores nulls-last instead — callers that can
+  * see null scores and want them retained must coalesce first).
+  * Signed zero: scores are canonicalized `-0.0 → 0.0` on enqueue so
+  * the heap's total order agrees with Spark SQL / DuckDB comparisons,
+  * which treat the two as equal and fall through to the id tiebreak. */
 case class TopKByAgg(
     score: Expression, id: Expression, kExpr: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
@@ -73,7 +80,8 @@ case class TopKByAgg(
     val s = score.eval(input)
     val i = id.eval(input)
     if (s != null && i != null) {
-      buf.enqueue((s.asInstanceOf[Double], i.asInstanceOf[Long]))
+      // + 0.0 canonicalizes -0.0 so heap order matches SQL comparison
+      buf.enqueue((s.asInstanceOf[Double] + 0.0, i.asInstanceOf[Long]))
       if (buf.size > k) { buf.dequeue(); () }
     }
     buf

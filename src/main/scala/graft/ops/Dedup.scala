@@ -300,12 +300,15 @@ object Dedup {
     * no-false-negative flag (`maybe_dup` must hold wherever
     * `dup_in_base` does). */
   def bloomProbe(spark: SparkSession, dir: String,
-                 fpp: Double = 0.03): DataFrame = {
+                 fpp: Double = 0.01): DataFrame = {
     // materialize the distinct base digests once: the bloom-filter
-    // aggregation and the exact verification join both read them
+    // aggregation and the exact verification join both read them.
+    // localCheckpoint (not persist): the returned DataFrame keeps
+    // reading these blocks lazily, so there is no point to unpersist
+    // in a finally — checkpointed blocks are reclaimed by the
+    // ContextCleaner once the result goes unreferenced.
     val (base0, delta) = deltaParts(spark, dir)
-    val base = base0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = base0.localCheckpoint()
     val nBase = base.count()
     val bloom = base.stat.bloomFilter("digest", math.max(nBase, 1L), fpp)
     val bc = spark.sparkContext.broadcast(bloom)

@@ -50,7 +50,7 @@ object Graph {
     Seq((1L, 1L), (1L, 2L), (7L, 3L), (13L, 5L), (31L, 11L))
 
   /** Synthetic hyperlink graph over the documents table: each doc
-    * links to three deterministic targets (affine maps mod N), self
+    * links to |LinkCoeffs| (five) deterministic targets (affine maps mod N), self
     * loops dropped, parallel edges deduplicated. Stands in for a real
     * crawl's link extraction — the formulas are corpus-size-covariant
     * so the graph scales with the table. */

@@ -332,22 +332,30 @@ object Similarity {
   /** IVF cell assignment: (vec_id, cell) where cell = the centroid
     * with the highest cosine (ties → smallest centroid id). The
     * centroid table is broadcast; assignment is a narrow 8-way scored
-    * scan + per-vector argmax window. At real scale (2^16 centroids,
-    * k-means-trained), the same plan holds with chunked max_by
-    * aggregation instead of the row_number window. */
+    * scan + per-vector `max(struct)` argmax aggregation (the same
+    * shape as [[kmeansCentroids]]' assignment step) — partial
+    * aggregation collapses each vector to ONE candidate map-side, so
+    * the single shuffle moves one row per vector, where the old
+    * row_number window form moved every (vector × centroid) row into
+    * a sort exchange. The embedding rides inside the struct: struct
+    * max compares field-by-field, and (s, -cid) is unique per vector,
+    * so the array field is never reached by the comparator. NaN
+    * cosines (zero vectors) sort largest under both the window's DESC
+    * order and struct max — same ties, same oracle. */
   def ivfCells(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = emb(spark, dir)
     val cents = e.filter(col("vec_id") < IvfCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        cosine(col("embedding"), col("cvec")).as("s"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("s").desc, col("cid"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+      .select(col("vec_id"),
+        struct(
+          cosine(col("embedding"), col("cvec")).as("s"),
+          (-col("cid")).as("neg_cid"),
+          col("embedding").as("embedding")).as("cand"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        (-col("best.neg_cid")).as("cell"))
   }
 
   /** IVF-accelerated ANN: probe only the query vector's cell, exact

@@ -390,11 +390,13 @@ object TextAnalysis {
     * so the result is order-insensitive and engine-exact. */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
     // the token arrays feed three consumers (bigram instances,
-    // unigrams, vocab) — materialize them once; the bench clears
-    // caches between queries
+    // unigrams, vocab) — materialize them once via localCheckpoint:
+    // the returned plan reads these blocks lazily, so an unpersist
+    // here would race the caller; checkpoint blocks are reclaimed by
+    // the ContextCleaner when the result goes unreferenced
     val t = docs(spark, dir)
       .select(col("doc_id"), tokensArrayFast(col("text")).as("toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val tok = t.select(col("doc_id"), explode(col("toks")).as("term"))
     // adjacency map-side via the sliding-window gram UDF (tokens are
     // [a-z0-9]+ so the joining space splits back unambiguously) — no

@@ -48,9 +48,10 @@ object EventsStream {
     * source picks them up per micro-batch), deriving the µs `ts` from
     * the ns-precision files the same way as [[graft.Tables.events]]. */
   def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // static schema: a streaming source must be definable before the
-    // first ingest file lands, so nothing is inferred from the dir
+    // first ingest file lands, so nothing is inferred from the dir —
+    // and the explicit ts:LONG schema reads the ns-precision files
+    // without touching any session conf (see [[graft.Tables.events]])
     graft.Tables.deriveEventTime(
       spark.readStream
         .schema(graft.Tables.eventsRawSchema)

@@ -97,4 +97,16 @@ class PlanSpec extends SparkSpec {
     assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
       .findAllIn(p).nonEmpty, s"no equi-join for candidates:\n$p")
   }
+
+  test("IVF cell assignment: max(struct) argmax aggregation, no window") {
+    val p = plan(Similarity.ivfCells(spark, dir))
+    assert(!p.contains("Window"), s"window argmax leaked back into:\n$p")
+    // map-side partial max collapses each vector to one candidate
+    // before the single shuffle on vec_id
+    assert("partial_max".r.findAllIn(p).nonEmpty,
+      s"no map-side partial argmax in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"centroids not broadcast in:\n$p")
+  }
 }
