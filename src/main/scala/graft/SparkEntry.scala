@@ -109,6 +109,7 @@ object SparkEntry {
     "q26_ir_search" -> (IrEngine.q26Search _),
     "q26_ir_wildcard" -> (IrEngine.q26Wildcard _),
     "q28_multimodal" -> (IrEngine.q28Multimodal _),
+    "q28_audio" -> (IrEngine.q28Audio _),
     "q31_trec_source" -> (IrEngine.q31TrecSource _),
     "q29_streaming" -> (IrEngine.q29Streaming _),
     "q29_sliding" -> (IrEngine.q29Sliding _),
@@ -700,6 +701,18 @@ object SparkEntry {
                 CAST(max(ceil(h * scale)) AS BIGINT) AS max_out_h,
                 CAST(sum(w * h) AS BIGINT) AS sum_px
          FROM r GROUP BY kind ORDER BY kind""",
+
+    // the engine recovers (rate, channels, frames) by PARSING real WAV
+    // bytes; the oracle reconstructs them from the parameter formula
+    // (WavCodec.paramsFor) — duration is integer-floored ms
+    "q28_audio" ->
+      """SELECT doc_id AS media_id, 'aud/' || source AS kind,
+                CAST(8000 + (doc_id % 5) * 2000 AS BIGINT) AS sample_rate,
+                CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+                CAST(300 + (doc_id * 13) % 700 AS BIGINT) AS n_frames,
+                CAST((300 + (doc_id * 13) % 700) * 1000
+                     // (8000 + (doc_id % 5) * 2000) AS BIGINT) AS duration_ms
+         FROM documents ORDER BY media_id""",
 
     // events.ts is ns-precision: epoch_ns(ts) == Spark's ts_ns exactly
     "q30_asof" ->

@@ -83,7 +83,14 @@ object Dedup {
     * tokens, 3-token space-joined windows, set-dedup) but ~50× faster:
     * the expression chain costs ~3ms/doc in array allocation, and the
     * dedup self-joins recompute their input several times. */
-  private def shingleSeq(text: String): Seq[String] = {
+  private def shingleSeq(text: String): Seq[String] =
+    shingleSeqCounted(text)._1
+
+  /** [[shingleSeq]] plus the raw token count (before shingle dedup) —
+    * tokenization identical to [[CrossHash.tokensArrayFast]], so the
+    * count matches `size(tokensArrayFast(text))` without a second
+    * tokenize pass. */
+  private def shingleSeqCounted(text: String): (Seq[String], Int) = {
     val toks = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     val lower = text.toLowerCase(java.util.Locale.ROOT)
@@ -100,7 +107,7 @@ object Dedup {
       out += s"${toks(j)} ${toks(j + 1)} ${toks(j + 2)}"
       j += 1
     }
-    out.toSeq
+    (out.toSeq, toks.length)
   }
 
   private val distinctShingles3 = udf(shingleSeq _)
@@ -117,25 +124,27 @@ object Dedup {
 
   /** Per doc: distinct shingles as PARALLEL arrays (64-bit hash,
     * shingle) sorted by (hash asc, shingle asc) — the input shape the
-    * hashed sorted-merge intersection expects. ONE tokenize pass per
-    * doc; every downstream shape (incidence rows, sizes, intersection)
-    * derives from this without re-shingling. */
+    * hashed sorted-merge intersection expects — plus the doc's raw
+    * TOKEN count (same alnum-run tokenization, counted before the
+    * shingle dedup). ONE tokenize pass per doc; every downstream shape
+    * (incidence rows, sizes, intersection, survivor token counts)
+    * derives from this without re-tokenizing. */
   private val hashedShingleSets = udf((text: String) => {
-    val sh = shingleSeq(text)
+    val (sh, nToks) = shingleSeqCounted(text)
     val arr = sh.map(s => (fnv1a64(s), s)).toArray
     java.util.Arrays.sort(arr, (x: (Long, String), y: (Long, String)) =>
       if (x._1 != y._1) java.lang.Long.compare(x._1, y._1)
       else x._2.compareTo(y._2))
-    (arr.map(_._1), arr.map(_._2))
+    (arr.map(_._1), arr.map(_._2), nToks.toLong)
   })
 
-  /** (doc_id, sh_hash ARRAY<LONG>, sh_set ARRAY<STRING>) parallel,
-    * (hash, shingle)-sorted. */
+  /** (doc_id, sh_hash ARRAY<LONG>, sh_set ARRAY<STRING>, n_tokens)
+    * parallel arrays, (hash, shingle)-sorted. */
   private[graft] def docShingleSets(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), hashedShingleSets(col("text")).as("hs"))
       .select(col("doc_id"), col("hs._1").as("sh_hash"),
-        col("hs._2").as("sh_set"))
+        col("hs._2").as("sh_set"), col("hs._3").as("n_tokens"))
 
   /** (doc_id, shingle) distinct word-3-shingles. */
   private[graft] def docShingles(spark: SparkSession, dir: String): DataFrame =
@@ -157,7 +166,17 @@ object Dedup {
     * with |candidates|, never with shingle df skew. Same output as the
     * naive shingle join the DuckDB oracle runs. */
   def jaccard(spark: SparkSession, dir: String,
-              threshold: Double = 0.5): DataFrame = {
+              threshold: Double = 0.5): DataFrame =
+    jaccardStages(spark, dir, threshold)._1.orderBy("doc_a", "doc_b")
+
+  /** The jaccard pipeline with its reusable stages exposed: (scored
+    * near-dup pairs ≥ threshold, UNordered; the persisted per-doc set
+    * table (doc_id, sh_hash, sh_set, n, n_tokens)). [[survivors]] and
+    * [[dedupClusters]] build on the pair stage, and survivor selection
+    * reads token counts straight off the cached set table instead of
+    * re-tokenizing cluster members. */
+  private[graft] def jaccardStages(spark: SparkSession, dir: String,
+                                   threshold: Double): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
     // one shingling pass feeds everything (sizes, df, prefix, verify)
@@ -191,7 +210,7 @@ object Dedup {
           col("b.n") * threshold <= col("a.n"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cand
+    val scored = cand
       .join(sets.as("x"), col("doc_a") === col("x.doc_id"))
       .join(sets.as("y"), col("doc_b") === col("y.doc_id"))
       .select(col("doc_a"), col("doc_b"),
@@ -203,7 +222,7 @@ object Dedup {
         round(col("inter") /
           (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy("doc_a", "doc_b")
+    (scored, sets)
   }
 
   /** WIDE MinHash signature: (doc_id, mh0..mh15) — all 16 affine
@@ -344,7 +363,8 @@ object Dedup {
   def dedupClusters(spark: SparkSession, dir: String,
                     threshold: Double = 0.5): DataFrame =
     clusters(spark,
-      jaccard(spark, dir, threshold).select(col("doc_a"), col("doc_b")))
+      jaccardStages(spark, dir, threshold)._1
+        .select(col("doc_a"), col("doc_b")))
 
   /** Connected components over an arbitrary (doc_a, doc_b) edge list —
     * the shared engine behind [[dedupClusters]] and
@@ -502,13 +522,14 @@ object Dedup {
     * labeling regardless of corpus scale. */
   def survivors(spark: SparkSession, dir: String,
                 threshold: Double = 0.5): DataFrame = {
-    val cl = dedupClusters(spark, dir, threshold)
-    // join the (tiny, members-only) labeling into the corpus FIRST and
-    // tokenize after it: the token-count pass then reads |members|
-    // docs, not a full extra tokenize scan of the corpus
-    cl.join(docs(spark, dir), "doc_id")
-      .select(col("doc_id"), col("cluster"),
-        size(tokensArrayFast(col("text"))).cast("long").as("n_tokens"))
+    // one shared pipeline: the pair stage's cached per-doc set table
+    // already carries each doc's token count (counted inside the same
+    // UDF pass that shingles it), so survivor selection is ONE join of
+    // the (tiny, members-only) labeling against the cached sets plus
+    // one aggregate — no re-tokenize of members, no second corpus scan
+    val (scored, sets) = jaccardStages(spark, dir, threshold)
+    val cl = clusters(spark, scored.select(col("doc_a"), col("doc_b")))
+    cl.join(sets.select(col("doc_id"), col("n_tokens")), "doc_id")
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_members"),
         max(struct(col("n_tokens").as("nt"),

@@ -331,4 +331,17 @@ object IrEngine {
         sum(col("width").cast("long") * col("height")).as("sum_px"))
       .orderBy("kind")
   }
+
+  /** Audio end-to-end: synthesize REAL WAV payloads (16-bit PCM via
+    * `javax.sound.sampled`), decode them with the JDK sound stack, and
+    * emit the per-row decoded properties. The engine recovers sample
+    * rate / channels / frame count by actually parsing the RIFF
+    * header; the DuckDB oracle reconstructs them from the parameter
+    * formula ([[graft.multimodal.Multimodal.WavCodec.paramsFor]]). */
+  def q28Audio(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    Multimodal.decodeAudio(Multimodal.audioFromDocuments(spark, dir))
+      .toDF()
+      .orderBy("media_id")
+  }
 }
