@@ -23,7 +23,18 @@ object GoldenGen {
   /** The queries with committed goldens — keep in sync with the
     * `golden/…` entries in [[SparkEntry.oracleSql]]. */
   val Names: Seq[String] =
-    Seq("q26_ir_terms", "q26_ir_index", "q26_ir_search", "q26_ir_wildcard")
+    Seq("q26_ir_terms", "q26_ir_index", "q26_ir_search", "q26_ir_wildcard",
+      "q35_rewrite_wildcard")
+
+  /** Golden generators. Most goldens come from the query itself (the
+    * pipeline is vector-pinned by the conformance specs); the rewrite
+    * query's golden deliberately comes from the UN-rewritten fallback
+    * path, so the driver compare proves rewritten == fallback. */
+  private def gen(name: String): (SparkSession, String) =>
+      org.apache.spark.sql.DataFrame =
+    if (name == "q35_rewrite_wildcard")
+      (s, d) => graft.queries.IrEngine.q35Fallback(s, d)
+    else SparkEntry.queries(name)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -39,7 +50,7 @@ object GoldenGen {
     Files.createDirectories(Paths.get(outDir))
     Names.foreach { name =>
       val tmp = Files.createTempDirectory(s"golden_$name")
-      SparkEntry.queries(name)(spark, sfDir)
+      gen(name)(spark, sfDir)
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = Files.list(tmp).filter(_.getFileName.toString
         .matches("part-.*\\.parquet")).findFirst().get()

@@ -110,6 +110,7 @@ object SparkEntry {
     "q26_ir_wildcard" -> (IrEngine.q26Wildcard _),
     "q28_multimodal" -> (IrEngine.q28Multimodal _),
     "q28_audio" -> (IrEngine.q28Audio _),
+    "q35_rewrite_wildcard" -> (IrEngine.q35RewriteWildcard _),
     "q31_trec_source" -> (IrEngine.q31TrecSource _),
     "q29_streaming" -> (IrEngine.q29Streaming _),
     "q29_sliding" -> (IrEngine.q29Sliding _),
@@ -675,6 +676,10 @@ object SparkEntry {
       """SELECT * FROM '/root/repo/golden/q26_ir_search.parquet'""",
     "q26_ir_wildcard" ->
       """SELECT * FROM '/root/repo/golden/q26_ir_wildcard.parquet'""",
+    // golden generated from the UN-rewritten fallback evaluation, so
+    // the compare proves the index rewrite == per-row predicate
+    "q35_rewrite_wildcard" ->
+      """SELECT * FROM '/root/repo/golden/q35_rewrite_wildcard.parquet'""",
 
     // the staged TREC file is rebuilt relationally: docid + block length
     "q31_trec_source" ->

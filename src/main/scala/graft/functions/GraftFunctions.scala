@@ -254,7 +254,9 @@ object GraftFunctions {
     "graft_cosine" -> (args => CosineExpr(args(0), args(1))),
     "graft_topk" -> (args => TopKByAgg(args(0), args(1), args(2))),
     "graft_contains_term" ->
-      (args => graft.plans.GraftContainsTerm(args(0), args(1))))
+      (args => graft.plans.GraftContainsTerm(args(0), args(1))),
+    "graft_matches_term_like" ->
+      (args => graft.plans.GraftMatchesTermLike(args(0), args(1))))
 
   /** Idempotent per-session registration (runtime path). */
   def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
@@ -290,7 +292,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("graft_topk", (args: Seq[Expression]) =>
         TopKByAgg(args(0), args(1), args(2))),
       ("graft_contains_term", (args: Seq[Expression]) =>
-        graft.plans.GraftContainsTerm(args(0), args(1))))
+        graft.plans.GraftContainsTerm(args(0), args(1))),
+      ("graft_matches_term_like", (args: Seq[Expression]) =>
+        graft.plans.GraftMatchesTermLike(args(0), args(1))))
       .foreach { case (name, b) =>
         ext.injectFunction((FunctionIdentifier(name),
           new ExpressionInfo("graft", name), b))

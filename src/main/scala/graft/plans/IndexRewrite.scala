@@ -63,6 +63,60 @@ case class GraftContainsTerm(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Wildcard-pattern predicate: does `content` contain a RAW token
+  * (faithful tag-aware tokenization) that survives the stopword filter
+  * and matches `pattern` — literal segments joined by any number of
+  * `*`s (e.g. `st*am`, `a*b*c`)? The fallback evaluation tokenizes the
+  * row (correct anywhere, O(doc) per row); with a registered char-gram
+  * index, [[TermRewriteRule]] prepends an index-driven LEFT SEMI
+  * candidate join and keeps this predicate as the exact RECHECK —
+  * the classic lossy-index + recheck shape (the stemmed postings can
+  * over-approximate raw-token membership, never under-approximate it,
+  * so the semi join is a sound prefilter and the recheck restores
+  * exactness while running on candidates only).
+  *
+  * `recheck=true` marks an instance the rule already processed, making
+  * the rewrite idempotent (the retained copy must not re-fire). */
+case class GraftMatchesTermLike(left: Expression, right: Expression,
+                                recheck: Boolean = false)
+    extends BinaryExpression with Predicate with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_matches_term_like expects (string, string)")
+
+  override def prettyName: String = "graft_matches_term_like"
+
+  private def compile(p: String): java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(
+      "^" + p.toLowerCase(java.util.Locale.ROOT).split("\\*", -1)
+        .map(seg => if (seg.isEmpty) ""
+                    else java.util.regex.Pattern.quote(seg))
+        .mkString(".*") + "$")
+
+  @transient private lazy val compiledPattern: java.util.regex.Pattern =
+    right match {
+      case Literal(v: UTF8String, StringType) => compile(v.toString)
+      case _ => null
+    }
+
+  override def nullSafeEval(content: Any, pattern: Any): Any = {
+    val rx =
+      if (compiledPattern != null) compiledPattern
+      else compile(pattern.toString)
+    graft.text.TextPipeline
+      .tokenizeOnly(content.asInstanceOf[UTF8String].toString)
+      .exists(t => rx.matcher(t).matches() &&
+        !graft.text.TextPipeline.stopwords.contains(t))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftMatchesTermLike =
+    copy(left = newLeft, right = newRight)
+}
+
 /** View-name → (postings DataFrame, indexed content column) registry
   * consulted by the rule. The column name records WHICH view column the
   * index was built over — the rule only rewrites predicates whose left
@@ -70,14 +124,20 @@ case class GraftContainsTerm(left: Expression, right: Expression)
   * (`graft_contains_term(docid, …)`, `…(upper(content), …)`) keeps the
   * fallback's semantics. */
 object IndexCatalog {
-  final case class Entry(postings: DataFrame, contentCol: String)
+  /** `chargrams` (the [[graft.index.CharKGramIndex]] table built over
+    * the SAME corpus/column) additionally enables the wildcard-pattern
+    * rewrite ([[GraftMatchesTermLike]]). */
+  final case class Entry(postings: DataFrame, contentCol: String,
+                         chargrams: Option[DataFrame] = None)
 
   private val indexes = TrieMap.empty[String, Entry]
 
   def register(viewName: String,
                ix: graft.index.InvertedIndex.Index,
-               contentCol: String = "content"): Unit =
-    indexes.put(viewName.toLowerCase(java.util.Locale.ROOT), Entry(ix.postings, contentCol))
+               contentCol: String = "content",
+               chargrams: Option[DataFrame] = None): Unit =
+    indexes.put(viewName.toLowerCase(java.util.Locale.ROOT),
+      Entry(ix.postings, contentCol, chargrams))
 
   def get(viewName: String): Option[Entry] =
     indexes.get(viewName.toLowerCase(java.util.Locale.ROOT))
@@ -158,29 +218,63 @@ case class TermRewriteRule() extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Is `e` a wildcard-pattern predicate the rule can accelerate?
+    * Requires a registered char-gram table, a bare indexed-column
+    * reference, a literal pattern containing at least one `*`, and no
+    * recheck marker (already-processed copies must not re-fire). */
+  private def isRewritableLike(e: Expression, entry: IndexCatalog.Entry): Boolean =
+    e match {
+      case g @ GraftMatchesTermLike(left, Literal(v: UTF8String, StringType), false) =>
+        isIndexedColumn(left, entry.contentCol) &&
+          entry.chargrams.isDefined && v.toString.contains("*")
+      case _ => false
+    }
+
+  /** Candidate docnos for a wildcard pattern, as a lazy logical plan:
+    * char-gram expansion of the pattern ([[graft.query.QueryEngine
+    * .wildcardTerms]]: gram intersection + regex verify over the
+    * vocabulary), re-analyzed to the postings' stemmed term space, then
+    * one broadcast probe into the postings — vocabulary-bounded at any
+    * corpus size, mirroring `wildcardSearch`'s serving plan. */
+  private def wildcardDocnos(entry: IndexCatalog.Entry,
+                             pattern: String): LogicalPlan = {
+    import org.apache.spark.sql.functions.{broadcast, explode, udf}
+    val analyzeTerm = udf((t: String) =>
+      graft.text.TextPipeline.processContent(t))
+    val expanded = graft.query.QueryEngine
+      .wildcardTerms(entry.chargrams.get, pattern)
+      .select(explode(analyzeTerm(col("term"))).as("kgram"))
+      .distinct()
+    freshCopy(entry.postings.join(broadcast(expanded), "kgram")
+      .select(col("docno"))
+      .queryExecution.analyzed)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
     case f @ Filter(cond, child) if aliasOf(child).exists(n =>
         IndexCatalog.get(n).isDefined) &&
-        cond.exists(_.isInstanceOf[GraftContainsTerm]) =>
+        cond.exists(e => e.isInstanceOf[GraftContainsTerm] ||
+          e.isInstanceOf[GraftMatchesTermLike]) =>
       val entry = IndexCatalog.get(aliasOf(child).get).get
       val postings = entry.postings
       val contentCol = entry.contentCol
       val docnoAttr = child.output.find(_.name == "docno")
-      val (termPreds, rest) = splitConjuncts(cond).partition {
+      val conjuncts = splitConjuncts(cond)
+      val (termPreds, nonTerm) = conjuncts.partition {
         case GraftContainsTerm(left, Literal(_, StringType)) =>
           isIndexedColumn(left, contentCol)
         case e => orTermsOf(e, contentCol).isDefined
       }
-      if (docnoAttr.isEmpty || termPreds.isEmpty) f
+      val (likePreds, rest) = nonTerm.partition(isRewritableLike(_, entry))
+      if (docnoAttr.isEmpty || (termPreds.isEmpty && likePreds.isEmpty)) f
       else {
-        def semiJoin(acc: LogicalPlan, terms: Seq[String]): LogicalPlan = {
-          val docnos = freshCopy(postings
+        def semiJoin(acc: LogicalPlan, right: LogicalPlan): LogicalPlan =
+          Join(acc, right, LeftSemi,
+            Some(EqualTo(docnoAttr.get, right.output.head)), JoinHint.NONE)
+        def termDocnos(terms: Seq[String]): LogicalPlan =
+          freshCopy(postings
             .filter(col("kgram").isin(terms: _*)).select(col("docno"))
             .queryExecution.analyzed)
-          val rightAttr = docnos.output.head
-          Join(acc, docnos, LeftSemi,
-            Some(EqualTo(docnoAttr.get, rightAttr)), JoinHint.NONE)
-        }
         val joined = termPreds.foldLeft(child) { (acc, pred) =>
           pred match {
             case GraftContainsTerm(left, Literal(v: UTF8String, StringType))
@@ -192,16 +286,33 @@ case class TermRewriteRule() extends Rule[LogicalPlan] {
               if (analyzed.isEmpty) Filter(Literal.FalseLiteral, acc)
               // one semi join per analyzed term = conjunctive
               // containment, matching the fallback's `forall`
-              else analyzed.foldLeft(acc)((a, t) => semiJoin(a, Seq(t)))
+              else analyzed.foldLeft(acc)((a, t) =>
+                semiJoin(a, termDocnos(Seq(t))))
             case orTree =>
               // disjunction: ONE semi join on the union of the terms'
               // postings (the reference's disjunctive query semantics)
               val terms = orTermsOf(orTree, contentCol).get
               if (terms.isEmpty) Filter(Literal.FalseLiteral, acc)
-              else semiJoin(acc, terms.distinct)
+              else semiJoin(acc, termDocnos(terms.distinct))
           }
         }
-        rest.reduceOption(And).map(Filter(_, joined)).getOrElse(joined)
+        // wildcard predicates: index-driven candidate semi join, then
+        // KEEP the predicate (marked) as the exact recheck — stemming
+        // can merge distinct raw surface forms into one postings term,
+        // so the candidate set is a superset and the recheck restores
+        // raw-token exactness on candidates only
+        val wildJoined = likePreds.foldLeft(joined) { (acc, pred) =>
+          pred match {
+            case GraftMatchesTermLike(_, Literal(v: UTF8String, StringType), _) =>
+              semiJoin(acc, wildcardDocnos(entry, v.toString))
+            case _ => acc // unreachable: isRewritableLike pinned the shape
+          }
+        }
+        val kept = rest ++ likePreds.map {
+          case g: GraftMatchesTermLike => g.copy(recheck = true)
+          case other => other
+        }
+        kept.reduceOption(And).map(Filter(_, wildJoined)).getOrElse(wildJoined)
       }
   }
 }

@@ -192,6 +192,43 @@ object IrEngine {
     QueryEngine.wildcardTerms(cg, "st*am")
   }
 
+  /** Index-aware WILDCARD predicate planning end-to-end: a SQL query
+    * with `graft_matches_term_like(content, 'st*am')` over a view with
+    * a registered inverted + char-gram index pair. [[graft.plans
+    * .TermRewriteRule]] turns the predicate into a char-gram-driven
+    * candidate SEMI JOIN (gram intersection + verify + stem + postings
+    * probe) and keeps the predicate as the exact recheck on candidates.
+    * The rule is applied explicitly so the query also rewrites in a
+    * session built without `GraftExtensions` (idempotent: the recheck
+    * marker stops a second application) — its GOLDEN oracle is
+    * generated from the UN-rewritten fallback path
+    * ([[q35Fallback]]), so the driver compare proves
+    * rewritten == fallback at the verify SF. */
+  def q35RewriteWildcard(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val c = corpus(spark, dir)
+    val ix = InvertedIndex.build(spark, c, k = 1)
+    val cg = CharKGramIndex.build(spark, c, k = 3)
+    val view = "graft_docs_wild"
+    c.join(ix.docMap, "docid")
+      .select(col("docno"), col("docid"), col("content"))
+      .createOrReplaceTempView(view)
+    graft.plans.IndexCatalog.register(view, ix, "content", Some(cg))
+    val df = spark.sql(s"SELECT docid FROM $view WHERE " +
+      "graft_matches_term_like(content, 'st*am') ORDER BY docid")
+    org.apache.spark.sql.graft.Bridge.ofRows(spark,
+      graft.plans.TermRewriteRule()(df.queryExecution.analyzed))
+  }
+
+  /** The same predicate evaluated WITHOUT any index (per-row tokenize)
+    * — the golden generator's path, never the serving path. */
+  private[graft] def q35Fallback(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    corpus(spark, dir).createOrReplaceTempView("graft_docs_wild_plain")
+    spark.sql("SELECT docid FROM graft_docs_wild_plain WHERE " +
+      "graft_matches_term_like(content, 'st*am') ORDER BY docid")
+  }
+
   /** Stage the events table as a stream-source directory (shared by
     * every q29 streaming query — one layout, one place to change). */
   private def stagedEvents(dir: String): String =

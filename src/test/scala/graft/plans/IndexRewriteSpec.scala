@@ -3,18 +3,20 @@ package graft.plans
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.corpus.TrecCorpus
-import graft.index.InvertedIndex
+import graft.index.{CharKGramIndex, InvertedIndex}
 
 class IndexRewriteSpec extends SparkSpec {
 
   lazy val corpus = TrecCorpus.read(spark, resourcePath("/graft/sample-trec.xml"))
   lazy val ix = InvertedIndex.build(spark, corpus, k = 1)
+  lazy val chargrams = CharKGramIndex.build(spark, corpus, k = 3)
 
-  private def setup(): Unit = {
+  private def setup(withChargrams: Boolean = false): Unit = {
     corpus.join(broadcast(ix.docMap), "docid")
       .select(col("docno"), col("docid"), col("content"))
       .createOrReplaceTempView("docs_indexed")
-    IndexCatalog.register("docs_indexed", ix)
+    IndexCatalog.register("docs_indexed", ix,
+      chargrams = if (withChargrams) Some(chargrams) else None)
   }
 
   test("fallback evaluation works without any registered index") {
@@ -117,5 +119,67 @@ class IndexRewriteSpec extends SparkSpec {
     val fast = spark.sql(
       "SELECT docid FROM docs_indexed WHERE graft_contains_term(content, 'the')")
     assert(fast.count() == 0)
+  }
+
+  test("wildcard predicate rewrites to a candidate semi join + recheck") {
+    setup(withChargrams = true)
+    val df = spark.sql(
+      "SELECT docid FROM docs_indexed WHERE " +
+        "graft_matches_term_like(content, 'mer*ng') ORDER BY docid")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // candidate prefilter present AND the predicate retained as recheck
+    assert(optimized.contains("LeftSemi"), optimized)
+    assert(optimized.contains("graft_matches_term_like"), optimized)
+    IndexCatalog.clear()
+    corpus.createOrReplaceTempView("docs_plain")
+    val slow = spark.sql(
+      "SELECT docid FROM docs_plain WHERE " +
+        "graft_matches_term_like(content, 'mer*ng') ORDER BY docid")
+      .collect().map(_.getString(0)).toSeq
+    assert(slow.nonEmpty) // the corpus really has mer*ng tokens
+    assert(df.collect().map(_.getString(0)).toSeq == slow)
+  }
+
+  test("wildcard rewrite and fallback agree across pattern shapes") {
+    // *ing forces the stopword path (e.g. 'during' matches the pattern
+    // but must not count); st*am the stemming-collapse recheck path;
+    // zz* the empty-expansion path
+    val patterns = Seq("mer*ng", "st*am", "*ing", "a*b*c", "zz*")
+    patterns.foreach { p =>
+      IndexCatalog.clear()
+      corpus.createOrReplaceTempView("docs_plain")
+      val slow = spark.sql(
+        s"SELECT docid FROM docs_plain WHERE graft_matches_term_like(content, '$p')")
+        .collect().map(_.getString(0)).toSet
+      setup(withChargrams = true)
+      val fast = spark.sql(
+        s"SELECT docid FROM docs_indexed WHERE graft_matches_term_like(content, '$p')")
+      assert(fast.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+      val got = fast.collect().map(_.getString(0)).toSet
+      IndexCatalog.clear()
+      assert(got == slow, s"pattern [$p]: fast=$got slow=$slow")
+    }
+  }
+
+  test("wildcard predicate without a registered char-gram index falls back") {
+    setup(withChargrams = false)
+    val df = spark.sql(
+      "SELECT docid FROM docs_indexed WHERE " +
+        "graft_matches_term_like(content, 'mer*ng')")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("LeftSemi"), optimized)
+    assert(df.count() > 0)
+  }
+
+  test("explicit rule application is idempotent (recheck marker)") {
+    setup(withChargrams = true)
+    val df = spark.sql(
+      "SELECT docid FROM docs_indexed WHERE " +
+        "graft_matches_term_like(content, 'mer*ng')")
+    // the session extension already rewrote; a second manual pass must
+    // not add another semi join
+    val once = df.queryExecution.analyzed
+    val twice = TermRewriteRule()(once)
+    assert(twice.fastEquals(once), twice.toString)
   }
 }
