@@ -1,6 +1,7 @@
 package graft
 
 import java.io.{BufferedReader, PrintStream}
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.index.{CharKGramIndex, InvertedIndex}
@@ -14,16 +15,45 @@ import graft.query.QueryEngine
   *    [[QueryEngine.serveSearch]] (top-10 `docid score` lines);
   *  - patterns containing `*` route through the char-k-gram
   *    [[QueryEngine.wildcardSearch]] (an extension the reference
-  *    lacks);
+  *    lacks) — on a built corpus AND on a loaded written index whose
+  *    directory carries the durable char-gram table;
   *  - an empty line terminates; a >2-word query terminates too, as the
   *    reference's loop does (`:298` breaks instead of re-prompting).
   *
   * Run: `sbt "runMain graft.Repl <sfDir-or-indexDir>"` — a directory
   * with a written index (`InvertedIndex.write` layout) is loaded as-is
-  * (wildcards unavailable: the char-gram index is corpus-derived); an
-  * sf directory with `documents.parquet` builds both indexes first.
+  * (wildcards too, when `<dir>/chargrams` exists — see [[persist]]);
+  * an sf directory with `documents.parquet` builds both indexes.
   */
 object Repl {
+
+  /** Load-or-build: a written-index dir (`InvertedIndex.write` layout)
+    * loads the parquet artifacts as-is — including the durable
+    * char-gram table when `<dir>/chargrams` exists — while an sf data
+    * dir builds both indexes from the corpus. */
+  def open(spark: SparkSession,
+           dir: String): (InvertedIndex.Index, Option[DataFrame]) =
+    if (Files.isDirectory(Paths.get(dir, "postings"))) {
+      val cg = Paths.get(dir, "chargrams")
+      (InvertedIndex.load(spark, dir),
+        if (Files.isDirectory(cg)) Some(CharKGramIndex.load(spark, cg.toString))
+        else None)
+    } else {
+      val corpus = graft.queries.IrEngine.corpus(spark, dir)
+      (InvertedIndex.build(spark, corpus, k = 1),
+        Some(CharKGramIndex.build(spark, corpus, k = 3)))
+    }
+
+  /** Persist a fully servable index directory: the inverted-index
+    * artifacts ([[InvertedIndex.write]] — range-partitioned sorted
+    * parquet, point lookups prune to one file) plus the char-gram
+    * table, so a later [[open]] serves ranked AND wildcard queries
+    * without the corpus. */
+  def persist(ix: InvertedIndex.Index, chargrams: Option[DataFrame],
+              dir: String): Unit = {
+    InvertedIndex.write(ix, dir)
+    chargrams.foreach(CharKGramIndex.write(_, s"$dir/chargrams"))
+  }
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -35,15 +65,7 @@ object Repl {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val (ix, chargrams) =
-      if (java.nio.file.Files.isDirectory(
-          java.nio.file.Paths.get(dir, "postings"))) {
-        (InvertedIndex.load(spark, dir), None)
-      } else {
-        val corpus = graft.queries.IrEngine.corpus(spark, dir)
-        (InvertedIndex.build(spark, corpus, k = 1),
-          Some(CharKGramIndex.build(spark, corpus, k = 3)))
-      }
+    val (ix, chargrams) = open(spark, dir)
     // warm the serving caches so the first query isn't a cold build
     ix.postings.count(); ix.termStats.count(); ix.docMap.count()
     chargrams.foreach(_.count())
@@ -68,7 +90,8 @@ object Repl {
           case Some(cg) => print10(out, q,
             QueryEngine.wildcardSearch(ix, cg, q).collect())
           case None => out.println(
-            "wildcard search needs a corpus-built index (no char-gram index)")
+            "wildcard search needs a char-gram index (build from a " +
+              "corpus dir, or persist one alongside the written index)")
         }
       } else {
         if (q.split("\\s+").length > 2) {

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-factor amplifier for scale-up measurements
+  * (SCALING.md): writes `<out>` as `factor`× the `<in>` corpus.
+  *
+  *  - `documents`: each copy `i` offsets doc_id by i·10M and rewrites
+  *    `text` through a letter-ROTATION cipher (rot-i over a-z). A
+  *    substitution cipher keeps every copy internally ISOMORPHIC to
+  *    the original (same token structure, lengths, duplicate pairs,
+  *    shingle relationships — so per-copy near-dup density is exactly
+  *    the original's) while cross-copy vocabularies are disjoint
+  *    (copies don't near-dup against each other) — i.e. 10× data
+  *    means 10× clusters of the same size, not clusters 10× as big,
+  *    which is what "more of the same corpus" means for a dedup
+  *    pipeline. `n_chars` stays valid (translate preserves length).
+  *  - `embeddings`: copies with vec_id offset by i·10M (vector values
+  *    reused — ANN/centroid scale drivers are row count and dims).
+  *  - every other table: copied verbatim (their queries aren't part of
+  *    the scale-up study; copying keeps the directory a complete,
+  *    loadable SF dir for Bench/Prof warmup).
+  *
+  * Usage: `sbt "runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/graft_sf1 10"`
+  */
+object ScaleGen {
+
+  val IdStride = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val in = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Files.createDirectories(Paths.get(out))
+
+    val az = "abcdefghijklmnopqrstuvwxyz"
+    def rot(i: Int): String = az.drop(i % 26) + az.take(i % 26)
+
+    val docs = Tables.load(spark, in, "documents")
+    (0 until factor).map { i =>
+      docs.select((col("doc_id") + lit(i * IdStride)).as("doc_id"),
+        translate(col("text"), az, rot(i)).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = Tables.load(spark, in, "embeddings")
+    (0 until factor).map { i =>
+      emb.select((col("vec_id") + lit(i * IdStride)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events").foreach { t =>
+      Files.copy(Paths.get(s"$in/$t.parquet"),
+        Paths.get(s"$out/$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    }
+    println(s"[scalegen] wrote $out = $factor x $in")
+    spark.stop()
+  }
+}

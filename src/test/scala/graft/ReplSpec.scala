@@ -50,6 +50,27 @@ class ReplSpec extends SparkSpec {
 
   test("wildcards degrade gracefully without a char-gram index") {
     val got = run("re*ve\n\n", withWildcards = false)
-    assert(got.contains("needs a corpus-built index"))
+    assert(got.contains("needs a char-gram index"))
+  }
+
+  test("persist + open serves ranked AND wildcard queries from the written index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ixstore").toString
+    Repl.persist(ix, Some(chargrams), dir)
+    val (lx, lcg) = Repl.open(spark, dir)
+    assert(lcg.isDefined, "durable char-gram table not loaded")
+    // ranked search parity: loaded parquet artifacts == built index
+    val built = query.QueryEngine.serveSearch(ix, "merge")
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toSeq
+    val loaded = query.QueryEngine.serveSearch(lx, "merge")
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toSeq
+    assert(loaded == built, s"loaded=$loaded built=$built")
+    // wildcard on the LOADED index (r4 gap: the load path had no
+    // char-gram table, so '*' patterns only worked corpus-built)
+    val out = new ByteArrayOutputStream()
+    Repl.loop(lx, lcg,
+      new BufferedReader(new StringReader("re*ve\n\n")),
+      new PrintStream(out, true))
+    assert(out.toString("UTF-8").contains("FT911-0013 "),
+      s"wildcard miss on loaded index:\n$out")
   }
 }

@@ -1,0 +1,41 @@
+package graft.query
+
+import graft.SparkSpec
+import graft.corpus.TrecCorpus
+import graft.index.InvertedIndex
+
+/** Pins [[PointServer]] to [[QueryEngine.serveSearch]]: the reused
+  * templates must return identical rankings for EVERY query in a
+  * sequence — the stale-state trap this design dodges is an exchange
+  * node caching the first query's result, which would surface here as
+  * query 2+ returning query 1's ranking. */
+class PointServerSpec extends SparkSpec {
+
+  lazy val corpus = TrecCorpus.read(spark, resourcePath("/graft/sample-trec.xml"))
+  lazy val ix = InvertedIndex.build(spark, corpus, k = 1)
+
+  test("template reuse matches serveSearch across a query sequence") {
+    val ps = new PointServer(ix)
+    val queries = Seq("merge", "stream buffer", "pipeline", "merge",
+      "xylophone", "data stream")
+    queries.foreach { q =>
+      val want = QueryEngine.serveSearch(ix, q).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      val got = ps.search(q)
+      assert(got == want, s"query [$q]: got=$got want=$want")
+    }
+  }
+
+  test("stopword-only and no-hit queries return empty without failing") {
+    val ps = new PointServer(ix)
+    assert(ps.search("the").isEmpty)
+    assert(ps.search("zzzqqq").isEmpty)
+    // and the server still works after the empty cases
+    assert(ps.search("merge").nonEmpty)
+  }
+
+  test("arity contract matches the engine (3 words rejected)") {
+    val ps = new PointServer(ix)
+    intercept[IllegalArgumentException](ps.search("one two three"))
+  }
+}
