@@ -28,6 +28,20 @@ object Prof {
       try Tables.load(spark, sfDir, n).count() catch { case _: Throwable => }
     }
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    // JIT/codegen warmup at the smallest SF (generated code is
+    // data-size independent, same strategy as Bench): without it the
+    // first execution pays Janino compile + interpreted generated code,
+    // which dominates CPU-heavy queries (measured 10-25s of fixed
+    // overhead in a cold JVM) and flattens cross-SF ratios — an
+    // overhead-dominated pair of timings reads as "sublinear scaling"
+    // while measuring nothing but the overhead
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
+    names.foreach { n =>
+      spark.sharedState.cacheManager.clearCache()
+      try SparkEntry.queries(n)(spark, warmDir).count()
+      catch { case _: Throwable => }
+    }
     names.foreach { name =>
       spark.sharedState.cacheManager.clearCache()
       System.gc()
