@@ -75,9 +75,14 @@ object Repl {
     spark.stop()
   }
 
-  /** The interaction loop, parameterized over streams for spec-ability. */
+  /** The interaction loop, parameterized over streams for spec-ability.
+    * Ranked queries go through a [[graft.query.PointServer]] — a
+    * standing REPL is exactly the prepared-template case: plan +
+    * codegen built once at loop start, every later query is two small
+    * jobs (identical output to serveSearch, spec-pinned). */
   def loop(ix: InvertedIndex.Index, chargrams: Option[DataFrame],
            in: BufferedReader, out: PrintStream): Unit = {
+    val server = new graft.query.PointServer(ix)
     out.println("graft search — 1-2 word query; '*' patterns for " +
       "wildcards; empty line quits")
     out.print("query > "); out.flush()
@@ -88,7 +93,8 @@ object Repl {
       if (q.contains("*")) {
         chargrams match {
           case Some(cg) => print10(out, q,
-            QueryEngine.wildcardSearch(ix, cg, q).collect())
+            QueryEngine.wildcardSearch(ix, cg, q).collect()
+              .map(r => (r.getAs[String]("docid"), r.getAs[Double]("score"))))
           case None => out.println(
             "wildcard search needs a char-gram index (build from a " +
               "corpus dir, or persist one alongside the written index)")
@@ -99,7 +105,7 @@ object Repl {
           out.println("query must be 1-2 words — bye")
           return
         }
-        print10(out, q, QueryEngine.serveSearch(ix, q).collect())
+        print10(out, q, server.search(q).map(t => (t._2, t._3)).toArray)
       }
       out.print("query > "); out.flush()
       line = in.readLine()
@@ -107,9 +113,9 @@ object Repl {
   }
 
   private def print10(out: PrintStream, q: String,
-                      rows: Array[org.apache.spark.sql.Row]): Unit =
+                      rows: Array[(String, Double)]): Unit =
     if (rows.isEmpty) out.println(s"$q: No results ...")
-    else rows.foreach { r =>
-      out.println(f"${r.getAs[String]("docid")}%s ${r.getAs[Double]("score")}%.4f")
+    else rows.foreach { case (docid, score) =>
+      out.println(f"$docid%s $score%.4f")
     }
 }
