@@ -65,19 +65,28 @@ object Bench {
       // whichever query happens to allocate next (observed 3-10×
       // medians on unchanged plans, run-to-run totals 44s↔71s)
       if (!gcEachRun) System.gc()
-      val gc0 = gcMillis
+      // per-run GC deltas (measured INSIDE each timed run): the settle
+      // System.gc() calls between runs must not be attributed to the
+      // query, or a resampled row would publish its own settle pauses
+      // as "collector noise during the query"
+      var gcInRuns = 0L
       val times = (1 to runsPer).flatMap { _ =>
         // isolate queries: persisted intermediates from one run must
         // not distort the next run's timing
         spark.sharedState.cacheManager.clearCache()
         if (gcEachRun) System.gc()
+        val g0 = gcMillis
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          gcInRuns += gcMillis - g0
+          Some(dt)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: $e"); None
         }
       }
-      (times.sorted, (gcMillis - gc0) / 1e3)
+      (times.sorted, gcInRuns / 1e3)
     }
     def median(ts: Seq[Double]): Double = ts(ts.size / 2)
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map {

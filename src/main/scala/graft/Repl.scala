@@ -65,24 +65,34 @@ object Repl {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loaded = Files.isDirectory(Paths.get(dir, "postings"))
     val (ix, chargrams) = open(spark, dir)
     // warm the serving caches so the first query isn't a cold build
     ix.postings.count(); ix.termStats.count(); ix.docMap.count()
     chargrams.foreach(_.count())
     loop(ix, chargrams,
       new BufferedReader(new java.io.InputStreamReader(System.in)),
-      System.out)
+      System.out,
+      // a LOADED (parquet-backed) index must keep literal predicates
+      // so the range-partitioned files prune; the template's opaque
+      // predicate would force a full postings scan per query
+      usePointServer = !loaded)
     spark.stop()
   }
 
   /** The interaction loop, parameterized over streams for spec-ability.
-    * Ranked queries go through a [[graft.query.PointServer]] — a
-    * standing REPL is exactly the prepared-template case: plan +
-    * codegen built once at loop start, every later query is two small
-    * jobs (identical output to serveSearch, spec-pinned). */
+    * With `usePointServer` (the cached/corpus-built case), ranked
+    * queries go through a [[graft.query.PointServer]] — a standing
+    * REPL is exactly the prepared-template case: plan + codegen built
+    * once at loop start, every later query is two small jobs
+    * (identical output to serveSearch, spec-pinned). A parquet-backed
+    * LOADED index passes `usePointServer = false` to keep literal,
+    * pushdown-able term predicates (file/row-group pruning). */
   def loop(ix: InvertedIndex.Index, chargrams: Option[DataFrame],
-           in: BufferedReader, out: PrintStream): Unit = {
-    val server = new graft.query.PointServer(ix)
+           in: BufferedReader, out: PrintStream,
+           usePointServer: Boolean = true): Unit = {
+    val server =
+      if (usePointServer) Some(new graft.query.PointServer(ix)) else None
     out.println("graft search — 1-2 word query; '*' patterns for " +
       "wildcards; empty line quits")
     out.print("query > "); out.flush()
@@ -105,7 +115,11 @@ object Repl {
           out.println("query must be 1-2 words — bye")
           return
         }
-        print10(out, q, server.search(q).map(t => (t._2, t._3)).toArray)
+        print10(out, q, server match {
+          case Some(ps) => ps.search(q).map(t => (t._2, t._3)).toArray
+          case None => QueryEngine.serveSearch(ix, q).collect()
+            .map(r => (r.getAs[String]("docid"), r.getAs[Double]("score")))
+        })
       }
       out.print("query > "); out.flush()
       line = in.readLine()

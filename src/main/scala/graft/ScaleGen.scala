@@ -14,7 +14,13 @@ import org.apache.spark.sql.functions._
   *    the original (same token structure, lengths, duplicate pairs,
   *    shingle relationships — so per-copy near-dup density is exactly
   *    the original's) while cross-copy vocabularies are disjoint
-  *    (copies don't near-dup against each other) — i.e. 10× data
+  *    (copies don't near-dup against each other). The cipher only
+  *    substitutes lowercase a–z: tokens made of digits or uppercase
+  *    would be fixed points shared across copies — the synthetic
+  *    documents corpus is all-lowercase words (verified: 0 shared
+  *    tokens between copies at factor 10), so the invariant holds
+  *    here; a corpus with significant non-lowercase vocabulary would
+  *    need a stronger transform — i.e. 10× data
   *    means 10× clusters of the same size, not clusters 10× as big,
   *    which is what "more of the same corpus" means for a dedup
   *    pipeline. `n_chars` stays valid (translate preserves length).
@@ -34,6 +40,10 @@ object ScaleGen {
     val in = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    // rot(i) wraps at 26: copy 26 would be byte-identical to copy 0,
+    // silently injecting a full corpus of exact duplicates
+    require(factor >= 1 && factor <= 26,
+      s"factor must be in [1, 26] (rotation cipher has 26 distinct keys), got $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

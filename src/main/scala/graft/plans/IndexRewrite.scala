@@ -90,11 +90,8 @@ case class GraftMatchesTermLike(left: Expression, right: Expression,
   override def prettyName: String = "graft_matches_term_like"
 
   private def compile(p: String): java.util.regex.Pattern =
-    java.util.regex.Pattern.compile(
-      "^" + p.toLowerCase(java.util.Locale.ROOT).split("\\*", -1)
-        .map(seg => if (seg.isEmpty) ""
-                    else java.util.regex.Pattern.quote(seg))
-        .mkString(".*") + "$")
+    java.util.regex.Pattern.compile(graft.query.QueryEngine
+      .wildcardRegex(p.toLowerCase(java.util.Locale.ROOT)))
 
   @transient private lazy val compiledPattern: java.util.regex.Pattern =
     right match {
@@ -102,10 +99,21 @@ case class GraftMatchesTermLike(left: Expression, right: Expression,
       case _ => null
     }
 
+  // last-value cache for NON-literal patterns (e.g. a column-valued
+  // pattern): without it every row of an O(corpus) scan would re-split
+  // + re-quote + Pattern.compile. Single (src, compiled) cell so a
+  // racy double-compute can never pair a pattern with the wrong regex.
+  @transient private var cached: (String, java.util.regex.Pattern) = _
+
   override def nullSafeEval(content: Any, pattern: Any): Any = {
     val rx =
       if (compiledPattern != null) compiledPattern
-      else compile(pattern.toString)
+      else {
+        val p = pattern.toString
+        val c = cached
+        if (c != null && c._1 == p) c._2
+        else { val rc = compile(p); cached = (p, rc); rc }
+      }
     graft.text.TextPipeline
       .tokenizeOnly(content.asInstanceOf[UTF8String].toString)
       .exists(t => rx.matcher(t).matches() &&

@@ -67,6 +67,13 @@ private[query] case class RefSetContains(
   * serveSearch (spec-pinned, including the stopword-only → empty
   * case). `bugCompat` scoring stays on serveSearch — a standing
   * serving endpoint wants the intended semantics.
+  *
+  * Intended for a CACHED (in-memory) index: the reference-reading
+  * predicates are opaque to parquet pushdown and cached-batch stats,
+  * so over a parquet-backed loaded index this template would scan the
+  * full postings per query — there, [[QueryEngine.serveSearch]]'s
+  * literal filters keep file/row-group pruning (Repl selects
+  * accordingly).
   */
 final class PointServer(ix: Index, topK: Int = 10) {
 
@@ -100,8 +107,14 @@ final class PointServer(ix: Index, topK: Int = 10) {
   resolveTemplate.queryExecution.executedPlan
 
   /** (docno, docid, score) rows, score desc then docno asc — the same
-    * output (and arity contract) as [[QueryEngine.serveSearch]]. */
-  def search(query: String): Seq[(Long, String, Double)] = {
+    * output (and arity contract) as [[QueryEngine.serveSearch]].
+    *
+    * `synchronized`: the two reference cells are set-then-collected,
+    * so an unguarded concurrent caller could have its job submitted
+    * after another caller swapped the refs and silently receive that
+    * caller's results. One in-flight query per server instance; a
+    * concurrent serving node runs one PointServer per worker. */
+  def search(query: String): Seq[(Long, String, Double)] = synchronized {
     val terms = QueryEngine.requireArity(query)
     if (terms.isEmpty) return Seq.empty // stopword-only: no job at all
     val set = new java.util.HashSet[UTF8String]()

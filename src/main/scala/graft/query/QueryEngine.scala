@@ -120,6 +120,16 @@ object QueryEngine {
     * them all → verify with LIKE. This is the lookup path R4 was built
     * for (SURVEY §7.1 step 5); segments shorter than k simply
     * contribute no grams and are enforced by the LIKE verify alone. */
+  /** Anchored regex source for a `*`-wildcard pattern over the
+    * (lowercase) vocabulary — quoted literal segments joined by `.*`.
+    * Shared by [[wildcardTerms]]' verify and the
+    * `graft_matches_term_like` predicate so the two paths can never
+    * drift. Expects an already-lowercased pattern. */
+  private[graft] def wildcardRegex(pat: String): String =
+    "^" + pat.split("\\*", -1)
+      .map(seg => if (seg.isEmpty) "" else java.util.regex.Pattern.quote(seg))
+      .mkString(".*") + "$"
+
   def wildcardTerms(chargrams: DataFrame, pattern: String,
                     k: Int = 3): DataFrame = {
     require(pattern.contains("*"), "pattern needs at least one *")
@@ -134,10 +144,7 @@ object QueryEngine {
     // regex verify with quoted segments: LIKE's `_`/`%` metacharacters
     // in a pattern would silently over-match (vocab terms are
     // alnum-only, so a literal `_` must match nothing)
-    val verify = col("term").rlike(
-      "^" + pat.split("\\*", -1)
-        .map(seg => if (seg.isEmpty) "" else java.util.regex.Pattern.quote(seg))
-        .mkString(".*") + "$")
+    val verify = col("term").rlike(wildcardRegex(pat))
     if (segGrams.isEmpty) {
       // pattern shorter than k on both sides: scan the vocabulary
       chargrams.select(explode(col("terms")).as("term"))

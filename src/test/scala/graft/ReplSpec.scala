@@ -67,9 +67,11 @@ class ReplSpec extends SparkSpec {
     // wildcard on the LOADED index (r4 gap: the load path had no
     // char-gram table, so '*' patterns only worked corpus-built)
     val out = new ByteArrayOutputStream()
+    // loaded indexes serve through literal predicates (pushdown), as
+    // Repl.main selects for a written-index dir
     Repl.loop(lx, lcg,
-      new BufferedReader(new StringReader("re*ve\n\n")),
-      new PrintStream(out, true))
+      new BufferedReader(new StringReader("merge\nre*ve\n\n")),
+      new PrintStream(out, true), usePointServer = false)
     assert(out.toString("UTF-8").contains("FT911-0013 "),
       s"wildcard miss on loaded index:\n$out")
   }
