@@ -28,14 +28,25 @@ import graft.query.QueryEngine
 object Repl {
 
   /** Load-or-build: a written-index dir (`InvertedIndex.write` layout)
-    * loads the parquet artifacts as-is — including the durable
-    * char-gram table when `<dir>/chargrams` exists — while an sf data
-    * dir builds both indexes from the corpus. */
+    * loads the parquet artifacts — including the durable char-gram
+    * table when `<dir>/chargrams` exists — while an sf data dir builds
+    * both indexes from the corpus.
+    *
+    * The loaded artifacts are PERSISTED: a standing serving session
+    * reads them on every query, and caching converts the per-query
+    * parquet scan into the same batch-stat-prunable in-memory form the
+    * built path serves from (one warm-up scan, paid by the greeter's
+    * count()s). Session-lifetime caches are the serving pattern here,
+    * exactly as `InvertedIndex.build` documents for its own artifacts. */
   def open(spark: SparkSession,
            dir: String): (InvertedIndex.Index, Option[DataFrame]) =
     if (Files.isDirectory(Paths.get(dir, "postings"))) {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val cg = Paths.get(dir, "chargrams")
-      (InvertedIndex.load(spark, dir),
+      val lx = InvertedIndex.load(spark, dir)
+      (lx.copy(postings = lx.postings.persist(MEMORY_AND_DISK),
+          termStats = lx.termStats.persist(MEMORY_AND_DISK),
+          docMap = lx.docMap.persist(MEMORY_AND_DISK)),
         if (Files.isDirectory(cg)) Some(CharKGramIndex.load(spark, cg.toString))
         else None)
     } else {
@@ -65,29 +76,27 @@ object Repl {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val loaded = Files.isDirectory(Paths.get(dir, "postings"))
     val (ix, chargrams) = open(spark, dir)
     // warm the serving caches so the first query isn't a cold build
+    // (for a loaded index this is the one full scan that populates
+    // open()'s session caches)
     ix.postings.count(); ix.termStats.count(); ix.docMap.count()
     chargrams.foreach(_.count())
     loop(ix, chargrams,
       new BufferedReader(new java.io.InputStreamReader(System.in)),
-      System.out,
-      // a LOADED (parquet-backed) index must keep literal predicates
-      // so the range-partitioned files prune; the template's opaque
-      // predicate would force a full postings scan per query
-      usePointServer = !loaded)
+      System.out)
     spark.stop()
   }
 
   /** The interaction loop, parameterized over streams for spec-ability.
-    * With `usePointServer` (the cached/corpus-built case), ranked
-    * queries go through a [[graft.query.PointServer]] — a standing
-    * REPL is exactly the prepared-template case: plan + codegen built
-    * once at loop start, every later query is two small jobs
-    * (identical output to serveSearch, spec-pinned). A parquet-backed
-    * LOADED index passes `usePointServer = false` to keep literal,
-    * pushdown-able term predicates (file/row-group pruning). */
+    * With `usePointServer` (the default — both built and
+    * loaded-then-cached indexes, see [[open]]), ranked queries go
+    * through a [[graft.query.PointServer]]: a standing REPL is exactly
+    * the prepared-template case — plan + codegen built once at loop
+    * start, every later query is two small jobs (identical output to
+    * serveSearch, spec-pinned). Pass `usePointServer = false` to serve
+    * an UNcached parquet-backed index with literal, pushdown-able term
+    * predicates (file/row-group pruning) instead. */
   def loop(ix: InvertedIndex.Index, chargrams: Option[DataFrame],
            in: BufferedReader, out: PrintStream,
            usePointServer: Boolean = true): Unit = {

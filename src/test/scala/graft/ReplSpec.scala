@@ -58,12 +58,17 @@ class ReplSpec extends SparkSpec {
     Repl.persist(ix, Some(chargrams), dir)
     val (lx, lcg) = Repl.open(spark, dir)
     assert(lcg.isDefined, "durable char-gram table not loaded")
-    // ranked search parity: loaded parquet artifacts == built index
+    // ranked search parity: loaded parquet artifacts == built index,
+    // on BOTH serving paths (pushdown serveSearch and the cached
+    // template the REPL defaults to)
     val built = query.QueryEngine.serveSearch(ix, "merge")
       .collect().map(r => (r.getString(1), r.getDouble(2))).toSeq
     val loaded = query.QueryEngine.serveSearch(lx, "merge")
       .collect().map(r => (r.getString(1), r.getDouble(2))).toSeq
     assert(loaded == built, s"loaded=$loaded built=$built")
+    val template = new query.PointServer(lx).search("merge")
+      .map(t => (t._2, t._3))
+    assert(template == built, s"template=$template built=$built")
     // wildcard on the LOADED index (r4 gap: the load path had no
     // char-gram table, so '*' patterns only worked corpus-built)
     val out = new ByteArrayOutputStream()
