@@ -26,7 +26,10 @@ import org.apache.spark.sql.functions._
   *    pipeline. `n_chars` stays valid (translate preserves length).
   *  - `embeddings`: copies with vec_id offset by i·10M (vector values
   *    reused — ANN/centroid scale drivers are row count and dims).
-  *  - every other table: copied verbatim (their queries aren't part of
+  *  - `events`: copies with event_id/user_id offsets and UNCHANGED
+  *    timestamps — the streaming scale model (same horizon, N× the
+  *    concurrent users → N× window groups and state).
+  *  - TPC-H tables: copied verbatim (their queries aren't part of
   *    the scale-up study; copying keeps the directory a complete,
   *    loadable SF dir for Bench/Prof warmup).
   *
@@ -73,8 +76,35 @@ object ScaleGen {
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
+    // events: copies shift user_id/event_id, timestamps UNCHANGED —
+    // the streaming scale model (same wall-clock horizon, N× the
+    // concurrent users, so window groups and join/dedup state grow
+    // with users while watermark behavior is identical). Written back
+    // as a single raw-schema file (ts stays a ns LONG) because the
+    // q29 staging path copies `events.parquet` as one file.
+    val ev = spark.read.schema(Tables.eventsRawSchema)
+      .parquet(s"$in/events.parquet")
+    val evOut = (0 until factor).map { i =>
+      ev.select((col("event_id") + lit(i * IdStride)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(i * IdStride)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+    val evTmp = Paths.get(out, "_events_build")
+    evOut.coalesce(1).write.mode("overwrite").parquet(evTmp.toString)
+    val ls = Files.list(evTmp)
+    val part =
+      try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally ls.close()
+    Files.move(part, Paths.get(out, "events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val wk = Files.walk(evTmp)
+    try wk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { Files.deleteIfExists(p); () })
+    finally wk.close()
+
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events").foreach { t =>
+      "lineitem").foreach { t =>
       Files.copy(Paths.get(s"$in/$t.parquet"),
         Paths.get(s"$out/$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
     }

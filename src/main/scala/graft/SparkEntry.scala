@@ -731,7 +731,9 @@ object SparkEntry {
     // z-order: the identical bit-interleave generated from MortonBits
     "q34_zorder" ->
       s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-                ${graft.ops.Layout.ddbMorton("(l_orderkey % 65536)", "(l_partkey % 65536)")} AS zval
+                ${graft.ops.Layout.ddbMorton(
+                  s"(l_orderkey % ${graft.ops.Layout.MortonGrid})",
+                  s"(l_partkey % ${graft.ops.Layout.MortonGrid})")} AS zval
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
 
     "q30_range_join" ->

@@ -21,6 +21,11 @@ object Layout {
     * codes) — shared with the DuckDB oracle. */
   val MortonBits = 16
 
+  /** Grid size per dimension (2^bits) — every fold/scale onto the grid
+    * derives from this so the modulus and the interleave width can
+    * never silently diverge. */
+  val MortonGrid: Long = 1L << MortonBits
+
   /** Morton/Z interleave of the low [[MortonBits]] bits of two
     * non-negative longs: bit i of `a` lands at position 2i, bit i of
     * `b` at 2i+1. A flat bitwise-OR expression tree — codegen'd,
@@ -49,8 +54,8 @@ object Layout {
   def q34ZValue(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
-        morton(pmod(col("l_orderkey"), lit(65536L)),
-          pmod(col("l_partkey"), lit(65536L))).as("zval"))
+        morton(pmod(col("l_orderkey"), lit(MortonGrid)),
+          pmod(col("l_partkey"), lit(MortonGrid))).as("zval"))
       .orderBy("l_orderkey", "l_linenumber")
 
   /** Rewrite a DataFrame into `files` parquet files z-ordered on
@@ -76,8 +81,10 @@ object Layout {
     // out of the min/max Row below
     val r = df.agg(min(col(a).cast("long")), max(col(a).cast("long")),
       min(col(b).cast("long")), max(col(b).cast("long"))).head()
-    if (r.isNullAt(0)) {
-      // empty input: nothing to order; write the (empty) dataset as-is
+    if (r.isNullAt(0) || r.isNullAt(2)) {
+      // empty input, or a key column with no non-null values: there is
+      // no (a, b) grid to order on; write the dataset as-is (checking
+      // BOTH mins — an all-null b used to NPE out of getLong below)
       df.write.mode("overwrite").parquet(path)
       return
     }
@@ -85,9 +92,9 @@ object Layout {
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     def scaled(c: String, lo: Long, hi: Long): Column =
       if (hi == lo) lit(0L)
-      // double division (Column./ is Divide): monotone onto 0..65535
-      else ((col(c).cast("long") - lo).cast("double") * 65535.0 / (hi - lo))
-        .cast("long")
+      // double division (Column./ is Divide): monotone onto the grid
+      else ((col(c).cast("long") - lo).cast("double") *
+        (MortonGrid - 1).toDouble / (hi - lo)).cast("long")
     df.withColumn(zc, morton(scaled(a, aLo, aHi), scaled(b, bLo, bHi)))
       .repartitionByRange(files, col(zc))
       .sortWithinPartitions(zc)

@@ -30,6 +30,18 @@ object Temporal {
     if (by.isEmpty) df
     else df.filter(by.map(col(_).isNotNull).reduce(_ && _))
 
+  /** Right-side rows an as-of join can ever match: non-null `by` keys
+    * (SQL equality — NULL = NULL is not a joinable group) AND a
+    * non-null time (`l.t >= NULL` is never true in the DuckDB ASOF
+    * semantics both forms mirror; an unfiltered null-time right row
+    * would sort NULLS-FIRST into every window frame / merge head and
+    * its value would masquerade as the fill for left rows with no real
+    * prior match). A null-time LEFT row needs no special case after
+    * this: nothing sorts at-or-before it, so it gets the null fill. */
+  private def matchableRight(right: DataFrame, by: Seq[String],
+                             rightOn: String): DataFrame =
+    nonNullKeys(right, by).filter(col(rightOn).isNotNull)
+
   /** Left as-of join: for every `left` row, attach `valueCols` from the
     * LATEST `right` row with `right(rightOn) <= left(leftOn)` within
     * the same `by` group (inclusive, matching DuckDB `ASOF ... ON l.t
@@ -39,15 +51,20 @@ object Temporal {
     * aggregate otherwise — and non-null `valueCols` (a null value is
     * indistinguishable from "no match" to the ignoreNulls fill).
     *
-    * NULL `by` keys follow SQL equality (as DuckDB ASOF does): a
-    * null-keyed right row matches nothing, a null-keyed left row gets
-    * the null fill — enforced by dropping null-keyed right rows before
-    * the merge ([[nonNullKeys]]), since a window/merge grouping would
-    * otherwise treat NULL = NULL as a joinable group. */
+    * NULL `by` keys and NULL times follow SQL semantics (as DuckDB
+    * ASOF does): a null-keyed or null-time right row matches nothing,
+    * a null-keyed or null-time left row gets the null fill — enforced
+    * by dropping unmatchable right rows before the merge
+    * ([[matchableRight]]), since the window's NULLS-FIRST sort would
+    * otherwise surface a null-time right row's value as every
+    * unmatched left row's fill. */
   def asofLeft(left: DataFrame, right: DataFrame, by: Seq[String],
                leftOn: String, rightOn: String,
                valueCols: Seq[String]): DataFrame = {
-    val rightNN = nonNullKeys(right, by)
+    require(valueCols.forall(c => !left.columns.contains(c)),
+      s"valueCols ${valueCols.filter(left.columns.contains)} collide " +
+        "with left columns — the output would be ambiguous; rename first")
+    val rightNN = matchableRight(right, by, rightOn)
     val lCols = left.columns.toSeq
     val lTagged = left.select(
       lCols.map(col) ++
@@ -85,6 +102,15 @@ object Temporal {
     require(window > 0,
       s"rangePairs window must be positive, got $window " +
         "(window = 0 would divide by zero in the cell bucketing)")
+    // helper/build column names must not collide with the input's —
+    // an ambiguous-reference failure deep in the join would otherwise
+    // surface with no hint at the cause (same guard as writeZOrdered)
+    val clash = df.columns.filter(c =>
+      c == "__d" || c == "__probe" || c == "__cell" ||
+        df.columns.contains(s"r_$c"))
+    require(clash.isEmpty,
+      s"rangePairs reserves __d/__probe/__cell and the r_ prefix; " +
+        s"rename input column(s) ${clash.mkString(", ")}")
     // integer div — double division would lose ns precision at 2^60
     val cell = (name: String) => expr(s"`$name` div ${window}L")
     val probes = df.select(
@@ -107,11 +133,16 @@ object Temporal {
     * from a custom LogicalPlan via a SparkStrategy): one linear merge
     * per co-partitioned sorted partition instead of the union+window
     * composition. Same contract and output as [[asofLeft]]
-    * (TemporalSpec + the q30 oracle prove it). */
+    * (TemporalSpec + the q30 oracle prove it), except that `by` must
+    * be non-empty — the operator's ClusteredDistribution needs a key
+    * (use [[asofLeft]] for a global, un-keyed as-of). */
   def asofLeftMerge(left: DataFrame, right: DataFrame, by: Seq[String],
                     leftOn: String, rightOn: String,
                     valueCols: Seq[String]): DataFrame = {
     import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy, PlanUtils}
+    require(by.nonEmpty,
+      "asofLeftMerge needs at least one by key (ClusteredDistribution " +
+        "cannot be empty) — use asofLeft for an un-keyed as-of")
     val spark = left.sparkSession
     // idempotent for sessions not built with GraftExtensions; the
     // lock closes the check-then-act race between concurrent callers
@@ -123,13 +154,16 @@ object Temporal {
     }
     val lp = left.queryExecution.analyzed
     // renew the right side's exprIds — both sides may share lineage
-    // (e.g. two filters of the same table); null-keyed right rows are
-    // dropped for SQL equality semantics (see asofLeft)
+    // (e.g. two filters of the same table); null-keyed and null-time
+    // right rows are dropped for SQL semantics (see asofLeft)
     val rp = PlanUtils.freshCopy(
-      nonNullKeys(right, by).queryExecution.analyzed)
+      matchableRight(right, by, rightOn).queryExecution.analyzed)
+    // resolve with the session's resolver so name-casing behaves like
+    // every other DataFrame API (case-insensitive by default)
+    val resolver = spark.sessionState.analyzer.resolver
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
              n: String) =
-      p.output.find(_.name == n).getOrElse(
+      p.output.find(a => resolver(a.name, n)).getOrElse(
         throw new IllegalArgumentException(s"no column $n in ${p.output}"))
     org.apache.spark.sql.graft.Bridge.ofRows(spark,
       AsOfJoinPlan(lp, rp,

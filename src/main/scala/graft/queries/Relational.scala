@@ -320,21 +320,28 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-02"))
     val disc = lit(1) - col("l_discount")
     val charge = disc * (lit(1) + col("l_tax"))
+    // DECIMAL(38,0) accumulators, not sum(long): Spark's long sum wraps
+    // silently in non-ANSI mode while DuckDB's BIGINT sum widens to
+    // HUGEINT — a whole-table group of ~1e8 cents-scaled rows would
+    // overflow the long on the Spark side only. Same overflow-proof
+    // pattern as the fixed-point label centroids.
+    def dsum(c: Column) = sum(c.cast("decimal(38,0)"))
     li.groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(round(col("l_quantity"), 0).cast("long")).as("sum_qty"),
-        round(sum(round(col("l_extendedprice") * 100, 0).cast("long")) /
-          100.0, 2).as("sum_base_price"),
-        round(sum(round(col("l_extendedprice") * disc * 1e4, 0)
-          .cast("long")) / 1e4, 2).as("sum_disc_price"),
-        round(sum(round(col("l_extendedprice") * charge * 1e6, 0)
-          .cast("long")) / 1e6, 2).as("sum_charge"),
-        round(sum(round(col("l_quantity"), 0).cast("long")) /
+        dsum(round(col("l_quantity"), 0).cast("long"))
+          .cast("long").as("sum_qty"),
+        round(dsum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .cast("double") / 100.0, 2).as("sum_base_price"),
+        round(dsum(round(col("l_extendedprice") * disc * 1e4, 0)
+          .cast("long")).cast("double") / 1e4, 2).as("sum_disc_price"),
+        round(dsum(round(col("l_extendedprice") * charge * 1e6, 0)
+          .cast("long")).cast("double") / 1e6, 2).as("sum_charge"),
+        round(dsum(round(col("l_quantity"), 0).cast("long")).cast("double") /
           count(lit(1)).cast("double"), 4).as("avg_qty"),
-        round(sum(round(col("l_extendedprice") * 100, 0).cast("long")) /
-          100.0 / count(lit(1)), 4).as("avg_price"),
-        round(sum(round(col("l_discount") * 100, 0).cast("long")) /
-          100.0 / count(lit(1)), 4).as("avg_disc"),
+        round(dsum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .cast("double") / 100.0 / count(lit(1)), 4).as("avg_price"),
+        round(dsum(round(col("l_discount") * 100, 0).cast("long"))
+          .cast("double") / 100.0 / count(lit(1)), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }

@@ -65,7 +65,11 @@ class LayoutSpec extends SparkSpec {
       val (rowsZ, scanZ) = scanned(zed, pred)
       assert(rowsN == rowsZ, s"layouts disagree: $rowsN vs $rowsZ")
       assert(rowsN > 0)
-      assert(scanZ < scanN / 2,
+      // threshold leaves slack over the ~50% typical skip at this
+      // granularity: repartitionByRange samples with a random seed, so
+      // file (and hence row-group) boundaries shift slightly per run —
+      // a hard 50% line flaked at 50.4% depending on the draw
+      assert(scanZ < scanN * 2 / 3,
         s"z-order skipped nothing: scanned $scanZ vs natural $scanN")
       // the z-layout still skips substantially on the OTHER dimension
       // (it cannot beat natural there — natural IS sorted by orderkey,

@@ -63,6 +63,34 @@ class TemporalSpec extends SparkSpec {
       Seq("v"))) == expect)
   }
 
+  test("NULL time values never match, in both as-of forms (l.t >= NULL is false)") {
+    import spark.implicits._
+    // right row with null rt would sort NULLS-FIRST into every frame
+    // and masquerade as the fill for unmatched left rows; left row with
+    // null t must get the null fill (nothing is at-or-before NULL)
+    val left = Seq(("a", Some(50L), 1), ("a", None, 2))
+      .toDF("k", "t", "id")
+    val right = Seq(("a", Option.empty[Long], 9.9), ("a", Some(100L), 1.0))
+      .toDF("k", "rt", "v")
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.orderBy("id").select("id", "v").collect()
+        .map(r => (r.getInt(0), if (r.isNullAt(1)) None
+          else Some(r.getDouble(1)))).toSeq
+    val expect = Seq((1, None), (2, None))
+    assert(run(Temporal.asofLeft(left, right, Seq("k"), "t", "rt",
+      Seq("v"))) == expect)
+    assert(run(Temporal.asofLeftMerge(left, right, Seq("k"), "t", "rt",
+      Seq("v"))) == expect)
+  }
+
+  test("rangePairs rejects reserved/colliding column names") {
+    import spark.implicits._
+    val pts = Seq(("u", 0L, 1L)).toDF("k", "t", "__probe")
+    intercept[IllegalArgumentException] {
+      Temporal.rangePairs(pts, Seq("k"), "t", "__probe", window = 10L)
+    }
+  }
+
   test("rangePairs rejects a non-positive window") {
     import spark.implicits._
     val pts = Seq(("u", 0L, 1L)).toDF("k", "t", "id")
