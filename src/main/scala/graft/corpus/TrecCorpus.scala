@@ -188,8 +188,15 @@ object TrecCorpus {
       .repartitionByRange(p, col("docid"))
       .sortWithinPartitions("docid")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = sorted.mapPartitions(it => Iterator.single(it.size))
-      .collect()
+    // LONG per-partition counts: Iterator.size returns Int and would
+    // wrap negative past 2^31 rows in one range partition, corrupting
+    // every downstream offset (duplicate/negative docnos) at exactly
+    // the corpus sizes this two-phase form exists for
+    val counts = sorted.mapPartitions { it =>
+      var n = 0L
+      while (it.hasNext) { it.next(); n += 1 }
+      Iterator.single(n)
+    }.collect()
     val offsets = counts.scanLeft(0L)(_ + _)
     val bc = spark.sparkContext.broadcast(offsets)
     // partition id must be the RDD partition index, NOT

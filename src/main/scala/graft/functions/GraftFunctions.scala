@@ -193,7 +193,11 @@ case class HashedIntersectSizeExpr(first: Expression, second: Expression,
   * evaluates higher-order functions interpreted (outside
   * WholeStageCodegen) — three HOF folds per row made first-run cosine
   * queries ~6× slower than this loop. Null elements are not expected
-  * (embedding arrays are dense); a null array yields null. */
+  * (embedding arrays are dense); a null array yields null, and so does
+  * a LENGTH MISMATCH — the declarative `zip_with` pads the shorter
+  * array with nulls and the fold returns null, so a malformed
+  * mixed-dimension pair must surface as a loud, filterable null here
+  * too, never as a plausible-looking cosine over a truncated prefix. */
 case class CosineExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
@@ -207,10 +211,13 @@ case class CosineExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     import org.apache.spark.sql.catalyst.util.ArrayData
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var ab = 0.0; var aa = 0.0; var bb = 0.0
     var i = 0
     while (i < n) {
@@ -229,14 +236,18 @@ case class CosineExpr(left: Expression, right: Expression)
       val i = ctx.freshName("gci"); val x = ctx.freshName("gcx")
       val y = ctx.freshName("gcy")
       s"""
-      int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-      double $ab = 0.0, $aa = 0.0, $bb = 0.0;
-      for (int $i = 0; $i < $n; $i++) {
-        double $x = (double) $a.getFloat($i);
-        double $y = (double) $b.getFloat($i);
-        $ab += $x * $y; $aa += $x * $x; $bb += $y * $y;
+      int $n = $a.numElements();
+      if ($b.numElements() != $n) {
+        ${ev.isNull} = true;
+      } else {
+        double $ab = 0.0, $aa = 0.0, $bb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $x = (double) $a.getFloat($i);
+          double $y = (double) $b.getFloat($i);
+          $ab += $x * $y; $aa += $x * $x; $bb += $y * $y;
+        }
+        ${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
       }
-      ${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
     """})
 
   override protected def withNewChildrenInternal(
@@ -246,24 +257,41 @@ case class CosineExpr(left: Expression, right: Expression)
 
 object GraftFunctions {
 
-  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_polyhash" -> (args => PolyHashExpr(args(0), args(1))),
-    "graft_stem_native" -> (args => StemExpr(args(0))),
-    "graft_intersect_size" ->
-      (args => HashedIntersectSizeExpr(args(0), args(1), args(2), args(3))),
-    "graft_cosine" -> (args => CosineExpr(args(0), args(1))),
-    "graft_topk" -> (args => TopKByAgg(args(0), args(1), args(2))),
-    "graft_contains_term" ->
-      (args => graft.plans.GraftContainsTerm(args(0), args(1))),
-    "graft_matches_term_like" ->
-      (args => graft.plans.GraftMatchesTermLike(args(0), args(1))))
+  /** THE function table — (name, arity, builder), defined once so the
+    * runtime `register` path and the `GraftExtensions` injection path
+    * can never drift (a function present in one and not the other
+    * would pass every register()-based test and fail only in
+    * `spark.sql.extensions`-configured deployments). */
+  private[functions] val fns: Seq[(String, Int, Seq[Expression] => Expression)] = Seq(
+    ("graft_polyhash", 2, args => PolyHashExpr(args(0), args(1))),
+    ("graft_stem_native", 1, args => StemExpr(args(0))),
+    ("graft_intersect_size", 4,
+      args => HashedIntersectSizeExpr(args(0), args(1), args(2), args(3))),
+    ("graft_cosine", 2, args => CosineExpr(args(0), args(1))),
+    ("graft_topk", 3, args => TopKByAgg(args(0), args(1), args(2))),
+    ("graft_contains_term", 2,
+      args => graft.plans.GraftContainsTerm(args(0), args(1))),
+    ("graft_matches_term_like", 2,
+      args => graft.plans.GraftMatchesTermLike(args(0), args(1))))
+
+  /** Arity guard: a wrong-arity SQL call should fail with the function
+    * name and expected signature, not an IndexOutOfBoundsException
+    * from a positional args(i). */
+  private[functions] def checked(name: String, arity: Int,
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      if (args.size != arity) throw new IllegalArgumentException(
+        s"$name expects $arity argument(s), got ${args.size}")
+      b(args)
+    }
 
   /** Idempotent per-session registration (runtime path). */
-  def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier(name),
-      new ExpressionInfo("graft", name), b.andThen(identity))
-  }
+  def register(spark: SparkSession): Unit =
+    fns.foreach { case (name, arity, b) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), checked(name, arity, b))
+    }
 
   /** Column API over the registered functions. */
   def polyhash(c: Column, p: Long): Column =
@@ -281,24 +309,12 @@ object GraftFunctions {
   * session build (SURVEY §7.2's SparkSessionExtensions hook). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    Seq(
-      ("graft_polyhash",
-        (args: Seq[Expression]) => PolyHashExpr(args(0), args(1))),
-      ("graft_stem_native", (args: Seq[Expression]) => StemExpr(args(0))),
-      ("graft_intersect_size", (args: Seq[Expression]) =>
-        HashedIntersectSizeExpr(args(0), args(1), args(2), args(3))),
-      ("graft_cosine", (args: Seq[Expression]) =>
-        CosineExpr(args(0), args(1))),
-      ("graft_topk", (args: Seq[Expression]) =>
-        TopKByAgg(args(0), args(1), args(2))),
-      ("graft_contains_term", (args: Seq[Expression]) =>
-        graft.plans.GraftContainsTerm(args(0), args(1))),
-      ("graft_matches_term_like", (args: Seq[Expression]) =>
-        graft.plans.GraftMatchesTermLike(args(0), args(1))))
-      .foreach { case (name, b) =>
-        ext.injectFunction((FunctionIdentifier(name),
-          new ExpressionInfo("graft", name), b))
-      }
+    // the ONE function table (GraftFunctions.fns) — not a copy
+    GraftFunctions.fns.foreach { case (name, arity, b) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        GraftFunctions.checked(name, arity, b)))
+    }
     // index-aware rewrite: full-text predicate → postings semi-join.
     // post-hoc resolution stage — the view alias is still present and
     // pushdown hasn't buried the predicate in the scan yet

@@ -21,16 +21,26 @@ object IrEngine {
       .select(format_string("D%05d", col("doc_id")).as("docid"),
         col("text").as("content"))
 
-  /** Deterministic staging dir per (SF dir, kind), built at most once
-    * per JVM lifetime: repeated invocations (bench warmup + median-of-3
-    * loops) must NOT accumulate full staged corpus copies in /tmp
-    * (ADVICE r3). `write` populates the dir; a marker file flags
-    * completion so a partially-written dir is rebuilt. */
-  private def stagedOnce(dir: String, kind: String)
+  /** Deterministic staging dir per (SF dir, kind, SOURCE fingerprint),
+    * built at most once: repeated invocations (bench warmup +
+    * median-of-3 loops) must NOT accumulate full staged corpus copies
+    * in /tmp (ADVICE r3). `write` populates the dir; a marker file
+    * flags completion so a partially-written dir is rebuilt.
+    *
+    * The key is a SHA-256 of the absolute path PLUS the caller's
+    * source fingerprint ([[sourceStamp]]): a 32-bit path hash could
+    * collide two datasets onto one staging dir, and a path-only key
+    * served STALE staged copies after the dataset at that path was
+    * regenerated (markers persist across JVMs in tmpdir). A changed
+    * source re-stages under a new key; the superseded dir stays until
+    * tmp cleanup, which bounded staging sizes make acceptable. */
+  private def stagedOnce(dir: String, kind: String, fingerprint: String)
                         (write: java.nio.file.Path => Unit): String = {
     import java.nio.file.{Files, Paths}
-    val key = java.lang.Integer.toHexString(
-      Paths.get(dir).toAbsolutePath.toString.hashCode)
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest((Paths.get(dir).toAbsolutePath.toString + "|" + fingerprint)
+        .getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
     val root = Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_stage_${kind}_$key")
     val marker = root.resolve("_GRAFT_STAGED")
@@ -41,6 +51,24 @@ object IrEngine {
       }
     }
     root.toString
+  }
+
+  /** Source-data fingerprint for [[stagedOnce]]: (name, size, mtime)
+    * of the table's parquet file, or of every part file when the table
+    * is a directory (ScaleGen output). */
+  private def sourceStamp(dir: String, table: String): String = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def one(p: java.nio.file.Path): String =
+      s"${p.getFileName}:${Files.size(p)}:" +
+        s"${Files.getLastModifiedTime(p).toMillis}"
+    val p = Paths.get(dir, s"$table.parquet")
+    if (Files.isDirectory(p)) {
+      val ls = Files.list(p)
+      try ls.iterator().asScala.toSeq.sortBy(_.toString)
+        .filter(_.toString.endsWith(".parquet")).map(one).mkString(",")
+      finally ls.close()
+    } else one(p)
   }
 
   /** Faithful-pipeline token stream: (docid, pos, term). */
@@ -78,7 +106,9 @@ object IrEngine {
     // one row to the driver, then two narrow filters — no join of the
     // corpus against its own numbering map
     val dm = graft.corpus.TrecCorpus.docnoMappingScalable(spark, c)
-    val half = c.count() / 2
+    // count from the numbering's checkpoint, not a second corpus parse
+    // (same fix InvertedIndex.build got in r4)
+    val half = dm.count() / 2
     // half == 0 (corpus of 0-1 docs) degenerates to an empty base +
     // full delta, which merge's empty-base bootstrap handles
     val boundary =
@@ -109,9 +139,10 @@ object IrEngine {
   def q26StreamedIndex(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val c = corpus(spark, dir)
-    val staged = stagedOnce(dir, "ixstream") { root =>
+    val staged = stagedOnce(dir, "ixstream",
+        sourceStamp(dir, "documents")) { root =>
       val dm = graft.corpus.TrecCorpus.docnoMappingScalable(spark, c)
-      val n = c.count()
+      val n = dm.count()
       // docid values at the docno third-points: range filters on docid
       // then cut exactly at docno boundaries (docnos follow docid order)
       def cut(at: Long): String =
@@ -232,7 +263,7 @@ object IrEngine {
   /** Stage the events table as a stream-source directory (shared by
     * every q29 streaming query — one layout, one place to change). */
   private def stagedEvents(dir: String): String =
-    stagedOnce(dir, "ev") { root =>
+    stagedOnce(dir, "ev", sourceStamp(dir, "events")) { root =>
       java.nio.file.Files.createDirectories(root)
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"),
@@ -335,7 +366,8 @@ object IrEngine {
     * scan exercises multi-split boundary ownership, and project
     * (docid, n_chars). Oracle rebuilds the same strings relationally. */
   def q31TrecSource(spark: SparkSession, dir: String): DataFrame = {
-    val staged = stagedOnce(dir, "trec") { root =>
+    val staged = stagedOnce(dir, "trec",
+        sourceStamp(dir, "documents")) { root =>
       Tables.load(spark, dir, "documents")
         .select(format_string(
           "<DOC> <DOCNO> FT-%d </DOCNO> <TEXT> %s </TEXT> </DOC>",
