@@ -54,7 +54,10 @@ object Dedup {
     * chunk is `width` consecutive tokens, the sub-unit this corpus
     * actually repeats). Tokenize once, window the array, hash each
     * chunk, group — one shuffle on the digest, same scale shape as
-    * [[exact]]; only cross-occurring digests survive. */
+    * [[exact]]. REPEATED digests survive (`n_occurrences > 1`) —
+    * including a chunk repeated within ONE document, boilerplate worth
+    * flagging too; `n_docs` separates cross-document repeats for
+    * callers that only want those. */
   def chunkDedup(spark: SparkSession, dir: String,
                  width: Int = 10): DataFrame = {
     val t = docs(spark, dir).select(col("doc_id"),
@@ -179,10 +182,14 @@ object Dedup {
                                    threshold: Double): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
-    // one shingling pass feeds everything (sizes, df, prefix, verify)
+    // one shingling pass feeds everything (sizes, df, prefix, verify).
+    // Lazy localCheckpoint, not persist: the returned pair/set frames
+    // read these blocks, so a persist() has no release point and pins
+    // a CacheManager entry per invocation — checkpointed blocks are
+    // ContextCleaner-reclaimed once the results go unreferenced
     val sets = docShingleSets(spark, dir)
       .withColumn("n", size(col("sh_set")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val sh = sets.select(col("doc_id"), col("n"),
       explode(col("sh_set")).as("shingle"))
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
@@ -199,8 +206,9 @@ object Dedup {
         col("n") - ceil(lit(threshold) * col("n")) + 1)
       .select(col("doc_id"), col("shingle"), col("n"))
       // both sides of the candidate self-join read this (window + join
-      // otherwise run twice)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // otherwise run twice); lazy checkpoint for the same lifecycle
+      // reason as `sets` above
+      .localCheckpoint(false)
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&
@@ -219,9 +227,14 @@ object Dedup {
             col("y.sh_hash"), col("y.sh_set")).as("inter"),
         col("x.n").as("na"), col("y.n").as("nb"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("inter") /
-          (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("j"))
+      // threshold the TRUE jaccard: the prefix/length pruning is
+      // lossless exactly for J >= t, so thresholding the ROUNDED value
+      // would admit borderline pairs (J < t rounding up to t) that the
+      // pruning already dropped — a cross-engine divergence at the
+      // boundary; the oracle filters unrounded too
+      .filter(col("j") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
     (scored, sets)
   }
 
@@ -243,8 +256,9 @@ object Dedup {
     val mins = MinhashPerms.map { case (i, a, b) =>
       min((lit(a) * col("h") + lit(b)) % PM).as(s"mh$i") }
     inc.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-      // reused by banding and both sides of the candidate re-score
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // reused by banding and both sides of the candidate re-score;
+      // lazy checkpoint so repeated invocations don't pin caches
+      .localCheckpoint(false)
   }
 
   /** MinHash + LSH near-dup: band the 16-component signature into 4
@@ -584,8 +598,8 @@ object Dedup {
     * pairs). For hamming ≤ k at scale, the same idea generalizes to
     * multi-index hashing over ⌈bits/(k+1)⌉-bit disjoint bands. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhash(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // lazy checkpoint (read by three join sides; no release point)
+    val sh = simhash(spark, dir).localCheckpoint(false)
     val equal = sh.as("a").join(sh.as("b"),
         col("a.simhash") === col("b.simhash") &&
           col("a.doc_id") < col("b.doc_id"))

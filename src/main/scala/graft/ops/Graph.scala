@@ -109,18 +109,31 @@ object Graph {
     edges.select(col("src"), col("dst")).as[(Long, Long)]
       .repartition(1)
       .mapPartitions { it =>
-        val es = it.toArray
+        // PRIMITIVE edge arrays, not Array[Tuple2]: boxed tuples cost
+        // ~55 bytes/edge (≈550 MB at the 10M-edge bound) where two
+        // long arrays cost 16 — the "~160 MB of longs" calibration the
+        // shared SmallGraphEdges constant was justified with
+        val sb = new scala.collection.mutable.ArrayBuilder.ofLong
+        val db = new scala.collection.mutable.ArrayBuilder.ofLong
+        it.foreach { case (s, d) => sb += s; db += d }
+        val srcs = sb.result(); val dsts = db.result()
+        val m = srcs.length
         val deg = scala.collection.mutable.LongMap.empty[Long]
         val nodes = scala.collection.mutable.LongMap.empty[Long]
-        es.foreach { case (s, d) =>
-          deg(s) = deg.getOrElse(s, 0L) + 1L
-          nodes(s) = RankOne; nodes(d) = RankOne
+        var i = 0
+        while (i < m) {
+          deg(srcs(i)) = deg.getOrElse(srcs(i), 0L) + 1L
+          nodes(srcs(i)) = RankOne; nodes(dsts(i)) = RankOne
+          i += 1
         }
         var ranks = nodes
         for (_ <- 1 to iters) {
           val sums = scala.collection.mutable.LongMap.empty[Long]
-          es.foreach { case (s, d) =>
-            sums(d) = sums.getOrElse(d, 0L) + ranks(s) / deg(s)
+          i = 0
+          while (i < m) {
+            sums(dsts(i)) = sums.getOrElse(dsts(i), 0L) +
+              ranks(srcs(i)) / deg(srcs(i))
+            i += 1
           }
           val next = scala.collection.mutable.LongMap.empty[Long]
           ranks.foreachKey { n =>
@@ -199,21 +212,33 @@ object Graph {
     * one that survives skewed graphs at scale. Three equi-joins, all
     * on node keys; each triangle found exactly once. */
   def triangleCounts(spark: SparkSession, edges: DataFrame): DataFrame = {
-    // eager localCheckpoints, not persist: und feeds deg (twice, one
-    // per rename) and ori, and ori feeds three join instances — left
-    // lazy, the scan+distinct subtree re-executes per reference
-    // (measured 4-7s instead of <1s at sf0.1); checkpointed results
-    // are lineage-free and the ContextCleaner reclaims them when the
-    // result goes unreferenced
-    val und = edges
+    val und = canonicalUndirected(edges)
+    triangleCountsOn(und, degreesOf(und))
+  }
+
+  /** Canonical undirected edge set (u < v, deduped), eagerly
+    * checkpointed — it feeds the degree aggregation and the
+    * orientation join; left lazy, the scan+distinct subtree
+    * re-executes per reference (measured 4-7s instead of <1s at
+    * sf0.1). Checkpointed results are lineage-free and the
+    * ContextCleaner reclaims them when unreferenced. */
+  private def canonicalUndirected(edges: DataFrame): DataFrame =
+    edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
-    val deg = und.select(col("u").as("node"))
+
+  private def degreesOf(und: DataFrame): DataFrame =
+    und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+
+  /** [[triangleCounts]] over a PREBUILT canonical edge set + degree
+    * table — lets [[clusteringCoefficient]] share them instead of
+    * re-deriving and re-checkpointing the same inputs. */
+  private def triangleCountsOn(und: DataFrame, deg: DataFrame): DataFrame = {
     // orient by (deg, id): carry both endpoints' degrees for the
     // canonical wedge ordering downstream
     val ori = und
@@ -257,17 +282,11 @@ object Graph {
     * triangle has deg ≥ 2, so the denominator never vanishes). */
   def clusteringCoefficient(spark: SparkSession,
                             edges: DataFrame): DataFrame = {
-    val und = edges
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
-    val deg = und.select(col("u").as("node"))
-      .union(und.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-    triangleCounts(spark, und.select(col("u").as("src"),
-        col("v").as("dst")))
+    // ONE canonical edge set + degree table, shared with the triangle
+    // pass (the previous form re-derived and re-checkpointed both)
+    val und = canonicalUndirected(edges)
+    val deg = degreesOf(und)
+    triangleCountsOn(und, deg)
       .join(deg, "node")
       .select(col("node"), col("n_tri"), col("deg"),
         round(lit(2.0) * col("n_tri") /

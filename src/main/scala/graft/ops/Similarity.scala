@@ -291,14 +291,26 @@ object Similarity {
           val x = v(i).toDouble; aa += x * x; i += 1
         }
         val nv = math.sqrt(aa)
-        var bestS = Double.NegativeInfinity
-        var bestC = Long.MaxValue
+        var bestK = Double.NegativeInfinity
+        var bestC = Long.MinValue
         for ((cid, cv, nc) <- bc.value) {
-          var ab = 0.0; var j = 0
-          while (j < cv.length) { ab += v(j).toDouble * cv(j); j += 1 }
-          val s = ab / (nv * nc)
-          if (s > bestS || (s == bestS && cid < bestC)) {
-            bestS = s; bestC = cid
+          // dimension-mismatched centroids are skipped (a truncated-
+          // prefix cosine would be silently wrong — CosineExpr's
+          // loud-null contract, adapted to an argmax)
+          if (cv.length == v.length) {
+            var ab = 0.0; var j = 0
+            while (j < cv.length) { ab += v(j).toDouble * cv(j); j += 1 }
+            val s = ab / (nv * nc)
+            // NaN (zero vector or zero-norm centroid) ranks LARGEST,
+            // matching the oracle's ORDER BY cos DESC (DuckDB sorts
+            // NaN above +inf) — `s > best` comparisons would silently
+            // DROP NaN and emit a phantom sentinel cid instead
+            val k = if (java.lang.Double.isNaN(s))
+              Double.PositiveInfinity else s
+            if (k > bestK || (k == bestK && cid < bestC) ||
+                bestC == Long.MinValue) {
+              bestK = k; bestC = cid
+            }
           }
         }
         bestC
@@ -362,8 +374,12 @@ object Similarity {
     * cosine re-rank inside it. The standard recall/latency trade —
     * at scale, probe the nProbe nearest cells. */
   def annIvf(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val cells = ivfCells(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // lazy localCheckpoint, not persist: the returned plan reads these
+    // blocks, so there is no release point — checkpointed blocks are
+    // reclaimed by the ContextCleaner once the result goes
+    // unreferenced, where a persist() would pin a CacheManager entry
+    // per invocation for the session lifetime (the bloomProbe pattern)
+    val cells = ivfCells(spark, dir).localCheckpoint(false)
     val q = cells.filter(col("vec_id") === 0)
       .select(col("cell").as("qcell"), col("embedding").as("qv"))
     cells.filter(col("vec_id") =!= 0)
@@ -381,8 +397,8 @@ object Similarity {
     * duplicate (each vector lives in exactly one cell). */
   def annIvfProbe(spark: SparkSession, dir: String, k: Int = 10,
                   nProbe: Int = 2): DataFrame = {
-    val cells = ivfCells(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // lazy localCheckpoint, not persist — see annIvf
+    val cells = ivfCells(spark, dir).localCheckpoint(false)
     val e = emb(spark, dir)
     val cents = e.filter(col("vec_id") < IvfCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
@@ -406,8 +422,11 @@ object Similarity {
     * fewer than k results if the bucket is small (standard LSH
     * recall/latency trade — [[annLshMultiProbe]] widens recall). */
   def annLsh(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val b = lshBuckets(spark, dir)
-    val e = emb(spark, dir).join(b, "vec_id")
+    // bucket computed IN the scan projection: joining the corpus back
+    // against lshBuckets re-attached a column derivable from the row
+    // itself, at the cost of a second scan + a full corpus shuffle
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"),
+      bucketUdf(col("embedding")).as("bucket"))
     val q = e.filter(col("vec_id") === 0)
       .select(col("bucket").as("qb"), col("embedding").as("qv"))
     e.filter(col("vec_id") =!= 0)
@@ -492,8 +511,9 @@ object Similarity {
     * re-rank as usual. */
   def annLshMultiProbe(spark: SparkSession, dir: String,
                        k: Int = 10): DataFrame = {
-    val b = lshBuckets(spark, dir)
-    val e = emb(spark, dir).join(b, "vec_id")
+    // same narrow bucket projection as annLsh — no corpus self-join
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"),
+      bucketUdf(col("embedding")).as("bucket"))
     val q = e.filter(col("vec_id") === 0)
       .select(col("bucket").as("qb"), col("embedding").as("qv"))
     val probes = q.select(col("qv"),

@@ -251,7 +251,7 @@ object TrainingOracles {
                    GROUP BY 1, 2)
          SELECT doc_a, doc_b, round(i / (x.n + y.n - i), 4) AS jaccard
          FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
-         WHERE round(i / (x.n + y.n - i), 4) >= 0.5
+         WHERE i / (x.n + y.n - i) >= 0.5
          ORDER BY doc_a, doc_b""",
 
     "q24_dedup_minhash" ->
@@ -674,7 +674,7 @@ object TrainingOracles {
                  GROUP BY 1, 2),
        p AS (SELECT doc_a, doc_b
              FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
-             WHERE round(i / (x.n + y.n - i), 4) >= 0.5),
+             WHERE i / (x.n + y.n - i) >= 0.5),
        e AS (SELECT doc_a AS u, doc_b AS v FROM p
              UNION ALL SELECT doc_b, doc_a FROM p),
        nodes AS (SELECT DISTINCT u AS node FROM e),
