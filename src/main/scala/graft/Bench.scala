@@ -177,16 +177,26 @@ object Bench {
       // sorted parquet), load it back, and run the same point queries
       // against the parquet artifacts — row-group-pruned point scans,
       // no cached corpus anywhere in the lineage
-      val ixDir = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_bench_ixstore").toString
-      graft.index.InvertedIndex.write(ix, ixDir)
-      val lx = graft.index.InvertedIndex.load(spark, ixDir)
-      graft.query.QueryEngine.serveSearch(lx, "warm up").count()
-      val loaded = queriesToServe.map { q =>
-        val s0 = System.nanoTime()
-        graft.query.QueryEngine.serveSearch(lx, q).count()
-        (System.nanoTime() - s0) / 1e3
-      }.sorted
+      // per-run temp dir: a fixed shared path would let two concurrent
+      // bench processes overwrite each other's index mid-serve, and
+      // would never be cleaned up
+      val ixPath = java.nio.file.Files.createTempDirectory("graft_bench_ix")
+      val loaded = try {
+        val ixDir = ixPath.toString
+        graft.index.InvertedIndex.write(ix, ixDir)
+        val lx = graft.index.InvertedIndex.load(spark, ixDir)
+        graft.query.QueryEngine.serveSearch(lx, "warm up").count()
+        queriesToServe.map { q =>
+          val s0 = System.nanoTime()
+          graft.query.QueryEngine.serveSearch(lx, q).count()
+          (System.nanoTime() - s0) / 1e3
+        }.sorted
+      } finally {
+        val wk = java.nio.file.Files.walk(ixPath)
+        try wk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        finally wk.close()
+      }
       (perQuery, tmpl, loaded)
     } finally spark.conf.set(aqeKey, prevAqe)
     val medianUs = lat(lat.size / 2).round

@@ -59,7 +59,20 @@ object ScaleGen {
     val az = "abcdefghijklmnopqrstuvwxyz"
     def rot(i: Int): String = az.drop(i % 26) + az.take(i % 26)
 
+    // the i·IdStride offsets are collision-free only if every input id
+    // fits under the stride — an oversized id would silently land in
+    // another copy's range (duplicate keys, phantom exact-dup pairs)
+    def requireIdsUnder(df: org.apache.spark.sql.DataFrame,
+                        idCol: String, table: String): Unit = {
+      val mx = df.agg(max(col(idCol))).collect()(0)
+      if (!mx.isNullAt(0))
+        require(mx.getLong(0) < IdStride,
+          s"$table.$idCol max ${mx.getLong(0)} >= IdStride $IdStride: " +
+            "copy offsets would collide; raise IdStride")
+    }
+
     val docs = Tables.load(spark, in, "documents")
+    requireIdsUnder(docs, "doc_id", "documents")
     (0 until factor).map { i =>
       docs.select((col("doc_id") + lit(i * IdStride)).as("doc_id"),
         translate(col("text"), az, rot(i)).as("text"),
@@ -69,6 +82,7 @@ object ScaleGen {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val emb = Tables.load(spark, in, "embeddings")
+    requireIdsUnder(emb, "vec_id", "embeddings")
     (0 until factor).map { i =>
       emb.select((col("vec_id") + lit(i * IdStride)).as("vec_id"),
         col("embedding"), col("label"))
@@ -84,6 +98,8 @@ object ScaleGen {
     // q29 staging path copies `events.parquet` as one file.
     val ev = spark.read.schema(Tables.eventsRawSchema)
       .parquet(s"$in/events.parquet")
+    requireIdsUnder(ev, "event_id", "events")
+    requireIdsUnder(ev, "user_id", "events")
     val evOut = (0 until factor).map { i =>
       ev.select((col("event_id") + lit(i * IdStride)).as("event_id"),
         col("ts"),

@@ -2,6 +2,7 @@ package graft.corpus
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Stage.StageOps
 
 /** TREC corpus ingestion (SURVEY.md §2.1).
   *
@@ -211,7 +212,7 @@ object TrecCorpus {
     val out = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       var n = bc.value(pid)
       it.map { d => n += 1; (d, n) }
-    }.toDF("docid", "docno").localCheckpoint()
+    }.toDF("docid", "docno").stageEager()
     sorted.unpersist()
     out
   }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import Stage.StageOps
 import graft.Tables
 import CrossHash._
 
@@ -189,7 +190,7 @@ object Dedup {
     // ContextCleaner-reclaimed once the results go unreferenced
     val sets = docShingleSets(spark, dir)
       .withColumn("n", size(col("sh_set")))
-      .localCheckpoint(false)
+      .stage()
     val sh = sets.select(col("doc_id"), col("n"),
       explode(col("sh_set")).as("shingle"))
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
@@ -208,7 +209,7 @@ object Dedup {
       // both sides of the candidate self-join read this (window + join
       // otherwise run twice); lazy checkpoint for the same lifecycle
       // reason as `sets` above
-      .localCheckpoint(false)
+      .stage()
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&
@@ -258,7 +259,7 @@ object Dedup {
     inc.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
       // reused by banding and both sides of the candidate re-score;
       // lazy checkpoint so repeated invocations don't pin caches
-      .localCheckpoint(false)
+      .stage()
   }
 
   /** MinHash + LSH near-dup: band the 16-component signature into 4
@@ -341,7 +342,7 @@ object Dedup {
     // in a finally — checkpointed blocks are reclaimed by the
     // ContextCleaner once the result goes unreferenced.
     val (base0, delta) = deltaParts(spark, dir)
-    val base = base0.localCheckpoint()
+    val base = base0.stageEager()
     val nBase = base.count()
     val bloom = base.stat.bloomFilter("digest", math.max(nBase, 1L), fpp)
     val bc = spark.sparkContext.broadcast(bloom)
@@ -397,7 +398,7 @@ object Dedup {
     // without a CacheManager entry — the ContextCleaner releases it
     // when the result goes unreferenced, so repeated invocations don't
     // accumulate pinned caches.
-    try clustersUnionFind(spark, pairs, SmallGraphEdges).localCheckpoint()
+    try clustersUnionFind(spark, pairs, SmallGraphEdges).stageEager()
     catch {
       case e: Throwable if graphTooLarge(e) =>
         clustersPropagate(spark, pairs, pairs.count())
@@ -488,7 +489,7 @@ object Dedup {
     try {
       var labels = edges.select(col("doc_a").as("node")).distinct()
         .withColumn("lab", col("node"))
-        .localCheckpoint()
+        .stageEager()
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 64) {
@@ -504,7 +505,7 @@ object Dedup {
           .select(col("a.node").as("node"), col("old"),
             least(col("a.lab1"), coalesce(col("plab"), col("a.lab1")))
               .as("lab"))
-          .localCheckpoint(false)
+          .stage()
         changed = next.filter(col("lab") =!= col("old")).count()
         labels = next.select(col("node"), col("lab"))
         rounds += 1
@@ -599,7 +600,7 @@ object Dedup {
     * multi-index hashing over ⌈bits/(k+1)⌉-bit disjoint bands. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // lazy checkpoint (read by three join sides; no release point)
-    val sh = simhash(spark, dir).localCheckpoint(false)
+    val sh = simhash(spark, dir).stage()
     val equal = sh.as("a").join(sh.as("b"),
         col("a.simhash") === col("b.simhash") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import Stage.StageOps
 import graft.Tables
 
 /** Link-analysis operators — the graph side of an IR / training-data
@@ -144,7 +145,7 @@ object Graph {
         ranks.iterator.map { case (n, r) => (n, r) }
       }
       .toDF("node", "r")
-      .localCheckpoint()
+      .stageEager()
   }
 
   /** Distributed bulk-synchronous path (see [[pageRank]]); `edges` is
@@ -173,7 +174,7 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var ranks = nodes.select(col("node"), lit(RankOne).as("r"))
-        .localCheckpoint()
+        .stageEager()
       for (_ <- 1 to iters) {
         val contrib = ed.join(ranks, col("src") === col("node"))
           .select(col("dst").as("node"), expr("r div deg").as("c"))
@@ -186,7 +187,7 @@ object Graph {
           .select(col("node"),
             (lit(Teleport) + lit(DampNum) *
               expr(s"coalesce(s, 0L) div $DampDen")).as("r"))
-          .localCheckpoint()
+          .stageEager()
       }
       ranks
     } finally {
@@ -228,7 +229,7 @@ object Graph {
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .stageEager()
 
   private def degreesOf(und: DataFrame): DataFrame =
     und.select(col("u").as("node"))
@@ -254,7 +255,7 @@ object Graph {
         // the target t is always the higher-(deg, id) endpoint, so its
         // degree is the pairwise max
         greatest(col("du"), col("dv")).as("dt"))
-      .localCheckpoint()
+      .stageEager()
     // wedges: two out-edges of s, canonicalized by (deg, id) of the tips
     val wedges = ori.as("a").join(ori.as("b"),
         col("a.s") === col("b.s") &&

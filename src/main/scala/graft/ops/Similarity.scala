@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import Stage.StageOps
 import graft.Tables
 
 /** Similarity search over the `embeddings` table (`ARRAY<FLOAT>` column).
@@ -313,6 +314,12 @@ object Similarity {
             }
           }
         }
+        // every centroid dimension-mismatched → FAIL LOUDLY: the
+        // sentinel would otherwise masquerade as a plausible cid and
+        // feed a phantom group into the next iteration's means
+        if (bestC == Long.MinValue)
+          throw new IllegalStateException(
+            s"kmeans: no centroid matches vector dimension ${v.length}")
         bestC
       })
       sums = e
@@ -379,7 +386,7 @@ object Similarity {
     // reclaimed by the ContextCleaner once the result goes
     // unreferenced, where a persist() would pin a CacheManager entry
     // per invocation for the session lifetime (the bloomProbe pattern)
-    val cells = ivfCells(spark, dir).localCheckpoint(false)
+    val cells = ivfCells(spark, dir).stage()
     val q = cells.filter(col("vec_id") === 0)
       .select(col("cell").as("qcell"), col("embedding").as("qv"))
     cells.filter(col("vec_id") =!= 0)
@@ -398,7 +405,7 @@ object Similarity {
   def annIvfProbe(spark: SparkSession, dir: String, k: Int = 10,
                   nProbe: Int = 2): DataFrame = {
     // lazy localCheckpoint, not persist — see annIvf
-    val cells = ivfCells(spark, dir).localCheckpoint(false)
+    val cells = ivfCells(spark, dir).stage()
     val e = emb(spark, dir)
     val cents = e.filter(col("vec_id") < IvfCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import Stage.StageOps
 import graft.Tables
 import CrossHash._
 
@@ -183,7 +184,10 @@ object TextAnalysis {
       .as[(Long, Long, Long)]
       .repartitionByRange(p, col("h"), col("doc_id"))
       .sortWithinPartitions("h", "doc_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // lazy stage (localCheckpoint), not persist: the returned frame
+      // reads these partitions, so a persist() has no release point —
+      // staged blocks are ContextCleaner-reclaimed once unreferenced
+      .stage()
     val sums = sorted
       .mapPartitions(it => Iterator.single(it.map(_._3).sum)).collect()
     val bc = spark.sparkContext.broadcast(sums.scanLeft(0L)(_ + _))
@@ -257,13 +261,16 @@ object TextAnalysis {
 
   def repetition(spark: SparkSession, dir: String): DataFrame = {
     // tokenization is the dominant cost; both gram aggregations read
-    // the same token arrays, so materialize them once
+    // the same token arrays, so materialize them once — staged (lazy
+    // localCheckpoint), not persist(): the returned join reads the
+    // blocks, so there is no unpersist point and a persist would pin a
+    // CacheManager entry for the session lifetime
     val t = docs(spark, dir)
       .select(col("doc_id"), tokensArrayFast(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
         col("toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .stage()
     val bi = t
       .select(col("doc_id"), col("n_tokens"),
         explode(gramsUdf(2)(col("toks"))).as("g"))
@@ -296,11 +303,12 @@ object TextAnalysis {
 
   def contamination(spark: SparkSession, dir: String): DataFrame = {
     // the tokenize+shingle subtree feeds three consumers (benchmark
-    // set, per-doc totals, overlap join) — materialize it once; the
-    // single-pass shingle UDF beats the equivalent HOF chain (which
-    // Spark evaluates interpreted) by a wide margin
+    // set, per-doc totals, overlap join) — staged once (the returned
+    // frame reads the blocks, so persist() would have no release
+    // point); the single-pass shingle UDF beats the equivalent HOF
+    // chain (which Spark evaluates interpreted) by a wide margin
     val sh = Dedup.docShingles(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .stage()
     val bench = sh.filter(pmod(col("doc_id"), lit(ContamMod)) === 0)
       .select("shingle").distinct()
     val train = sh.filter(pmod(col("doc_id"), lit(ContamMod)) =!= 0)
@@ -396,7 +404,7 @@ object TextAnalysis {
     // the ContextCleaner when the result goes unreferenced
     val t = docs(spark, dir)
       .select(col("doc_id"), tokensArrayFast(col("text")).as("toks"))
-      .localCheckpoint()
+      .stageEager()
     val tok = t.select(col("doc_id"), explode(col("toks")).as("term"))
     // adjacency map-side via the sliding-window gram UDF (tokens are
     // [a-z0-9]+ so the joining space splits back unambiguously) — no

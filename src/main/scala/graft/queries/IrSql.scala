@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Stage.StageOps
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
@@ -87,7 +88,7 @@ object IrSql {
     }.toDF("doc_id", "docno")
       // eager checkpoint → the staging cache releases now instead of
       // leaking one copy per invocation (see docnoMappingScalable)
-      .localCheckpoint()
+      .stageEager()
     sorted.unpersist()
     out.orderBy("doc_id")
   }

@@ -49,17 +49,27 @@ private[query] case class RefSetContains(
   *
   *  - score template: postings → term-set filter (a predicate reading
   *    an [[AtomicReference]] at job submit) → coalesce(1) → window df
-  *    → per-doc score aggregate → top-k;
-  *  - resolve template: docMap → docno-set filter.
+  *    → per-doc score aggregate → top-k.
   *
-  * Re-executing a cached physical plan is only safe because BOTH
-  * templates are EXCHANGE-FREE: broadcast/shuffle exchange nodes cache
+  * Re-executing a cached physical plan is only safe because the
+  * template is EXCHANGE-FREE: broadcast/shuffle exchange nodes cache
   * their first result and would serve the first query's data to every
   * later query. The single-partition scoring plan satisfies all
   * distribution requirements without an exchange (the same trade
   * serveSearch documents: a serving node funnels one query's postings
-  * through one task), and the resolve is a narrow filter; the tiny
-  * (≤ topK) join of the two runs on the driver.
+  * through one task).
+  *
+  * Docid RESOLUTION is NOT a template: it builds a fresh tiny
+  * `isin(literal docnos)` plan per query. Only the score side needs
+  * the zero-Catalyst trick (it scans postings); resolve touches ≤ topK
+  * rows, so fresh planning costs microseconds and the LITERAL
+  * predicate keeps what an opaque reference-reading one forfeits —
+  * cached-batch min/max stat pruning (and parquet row-group pruning on
+  * a loaded index). A templated UDF filter here was O(corpus) per
+  * query: free at 50k docs, the serving path's linear term at 10⁹.
+  * Unresolvable docnos are DROPPED, matching serveSearch's inner-join
+  * semantics (unreachable with a well-formed index). The tiny (≤ topK)
+  * join of the two runs on the driver.
   *
   * Each query's term/docno set is captured when its job is submitted
   * (task closures are serialized per job), so the pattern holds on a
@@ -79,7 +89,6 @@ final class PointServer(ix: Index, topK: Int = 10) {
 
   private val termsRef =
     new AtomicReference[java.util.HashSet[UTF8String]](new java.util.HashSet)
-  private val docnosRef = new AtomicReference[Set[Long]](Set.empty)
 
   private val scoreTemplate: DataFrame = {
     val inTerms =
@@ -95,16 +104,8 @@ final class PointServer(ix: Index, topK: Int = 10) {
       .limit(topK)
   }
 
-  private val resolveTemplate: DataFrame = {
-    val ref = docnosRef
-    val inDocnos = udf((d: Long) => ref.get.contains(d))
-    ix.docMap.filter(inDocnos(col("docno")))
-      .select(col("docno"), col("docid"))
-  }
-
   // force planning + codegen at construction, not on the first query
   scoreTemplate.queryExecution.executedPlan
-  resolveTemplate.queryExecution.executedPlan
 
   /** (docno, docid, score) rows, score desc then docno asc — the same
     * output (and arity contract) as [[QueryEngine.serveSearch]].
@@ -123,9 +124,14 @@ final class PointServer(ix: Index, topK: Int = 10) {
     val top = scoreTemplate.collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
     if (top.isEmpty) return Seq.empty
-    docnosRef.set(top.map(_._1).toSet)
-    val ids = resolveTemplate.collect()
+    // fresh tiny plan per query — literal isin keeps stat/row-group
+    // pruning (see class doc); ≤ topK rows, planning cost is noise
+    val ids = ix.docMap
+      .filter(col("docno").isin(top.map(_._1).toSeq: _*))
+      .select(col("docno"), col("docid"))
+      .collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    top.toSeq.map { case (d, s) => (d, ids.getOrElse(d, ""), s) }
+    // inner-join semantics: a docno the map cannot resolve is dropped
+    top.toSeq.flatMap { case (d, s) => ids.get(d).map(id => (d, id, s)) }
   }
 }
