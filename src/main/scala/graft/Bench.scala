@@ -4,7 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = ExtraConf(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -20,7 +20,7 @@ object Bench {
       // default is 30min: out-of-scope shuffle/broadcast/checkpoint
       // state from ~430 query executions otherwise accumulates for the
       // whole session before the ContextCleaner asks for a GC
-      .config("spark.cleaner.periodicGC.interval", "1min")
+      .config("spark.cleaner.periodicGC.interval", "1min"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: parquet footers/file listing + first-codegen JIT, so the

@@ -10,7 +10,7 @@ object Prof {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = ExtraConf(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -21,7 +21,7 @@ object Prof {
       // same as Bench: out-of-scope shuffle/broadcast/checkpoint state
       // otherwise accumulates and degrades LATER queries (measured:
       // a repeated heavy query 3× slower on its second run)
-      .config("spark.cleaner.periodicGC.interval", "1min")
+      .config("spark.cleaner.periodicGC.interval", "1min"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.names.foreach { n =>

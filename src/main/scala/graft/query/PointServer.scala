@@ -107,6 +107,13 @@ final class PointServer(ix: Index, topK: Int = 10) {
   // force planning + codegen at construction, not on the first query
   scoreTemplate.queryExecution.executedPlan
 
+  /** The reused physical plan, exposed so specs can assert the
+    * exchange-free invariant under any session conf (AQE, partition
+    * counts) — an exchange sneaking in here is the stale-result trap
+    * the class doc describes. */
+  private[graft] def templatePlan: org.apache.spark.sql.execution.SparkPlan =
+    scoreTemplate.queryExecution.executedPlan
+
   /** (docno, docid, score) rows, score desc then docno asc — the same
     * output (and arity contract) as [[QueryEngine.serveSearch]].
     *
