@@ -171,6 +171,51 @@ class IndexRewriteSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("rewrite over a LOADED (parquet) index fires, pushes the term " +
+    "filter into the postings scan, and matches the built path") {
+    // the durable-serving shape: Repl.persist writes the range-
+    // partitioned artifacts, the catalog registers the LOADED frames —
+    // the rewrite must still fire, and its postings probe must reach
+    // the parquet scan as a literal kgram filter (file/row-group
+    // pruning on the sorted layout), not a post-scan filter
+    val dir = java.nio.file.Files.createTempDirectory("graft_ixrw").toString
+    graft.Repl.persist(ix, Some(chargrams), dir)
+    val loaded = InvertedIndex.load(spark, dir)
+    val loadedCg = CharKGramIndex.load(spark, s"$dir/chargrams")
+    corpus.join(broadcast(loaded.docMap), "docid")
+      .select(col("docno"), col("docid"), col("content"))
+      .createOrReplaceTempView("docs_loaded")
+    IndexCatalog.register("docs_loaded", loaded, chargrams = Some(loadedCg))
+
+    val df = spark.sql(
+      "SELECT docid FROM docs_loaded WHERE " +
+        "graft_contains_term(content, 'Merging') ORDER BY docid")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("graft_contains_term"), optimized)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("EqualTo(kgram") || phys.contains("In(kgram"),
+      s"term filter not pushed to the loaded postings scan:\n$phys")
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("FT911-0001", "FT911-0010", "FT911-0017", "FT911-0020"))
+
+    // wildcard route: candidate semi join + recheck over the loaded
+    // char-gram table, agreeing with the built-index rewrite
+    val wdf = spark.sql(
+      "SELECT docid FROM docs_loaded WHERE " +
+        "graft_matches_term_like(content, 'mer*ng') ORDER BY docid")
+    val wopt = wdf.queryExecution.optimizedPlan.toString
+    assert(wopt.contains("LeftSemi"), wopt)
+    assert(wopt.contains("graft_matches_term_like"), wopt)
+    val gotLoaded = wdf.collect().map(_.getString(0)).toSeq
+    setup(withChargrams = true)
+    val gotBuilt = spark.sql(
+      "SELECT docid FROM docs_indexed WHERE " +
+        "graft_matches_term_like(content, 'mer*ng') ORDER BY docid")
+      .collect().map(_.getString(0)).toSeq
+    IndexCatalog.clear()
+    assert(gotLoaded == gotBuilt, s"loaded=$gotLoaded built=$gotBuilt")
+  }
+
   test("explicit rule application is idempotent (recheck marker)") {
     setup(withChargrams = true)
     val df = spark.sql(
