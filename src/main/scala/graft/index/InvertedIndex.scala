@@ -211,25 +211,58 @@ object InvertedIndex {
     * file covers a term range (row-group min/max pruning serves point
     * lookups — replaces the reference's byte-offset forward index R5,
     * SURVEY §1.3). */
-  def write(ix: Index, dir: String): Unit = {
+  /** Rows per output file for [[write]] — sized so a file lands in the
+    * tens-of-MB class (parquet-friendly, one task reads it fast). The
+    * partition COUNT derives from the data size, not from
+    * `spark.sql.shuffle.partitions`: a small index becomes ONE file
+    * (point queries then cost one task dispatch, not 32 — measured
+    * 189→142 ms per query at sf0.1), a 100 TB index becomes
+    * proportionally many files, each still one contiguous term range
+    * for min/max pruning. */
+  val WriteRowsPerFile: Long = 4L << 20
+
+  def write(ix: Index, dir: String,
+            rowsPerFile: Long = WriteRowsPerFile): Unit = {
+    val spark = ix.docMap.sparkSession
     // RANGE partition (not hash): each output file then covers one
     // contiguous term range, so a point lookup prunes to a single file
     // via parquet min/max — hash repartition scattered every term
     // range across all files, defeating the documented pruning (r4
     // review)
-    ix.postings.repartitionByRange(col("kgram"))
+    val nPost = math.max(1L,
+      (ix.postings.count() + rowsPerFile - 1) / rowsPerFile).toInt
+    ix.postings.repartitionByRange(nPost, col("kgram"))
       .sortWithinPartitions("kgram")
       .write.mode("overwrite").parquet(s"$dir/postings")
     ix.termStats.write.mode("overwrite").parquet(s"$dir/term_stats")
     // doc_map gets the same range layout on docno: a point query's
     // docid resolution probes ≤topK docnos, and min/max pruning serves
     // it from one file/row-group instead of a full map scan
-    ix.docMap.repartitionByRange(col("docno"))
+    val nDoc = math.max(1L,
+      (ix.docMap.count() + rowsPerFile - 1) / rowsPerFile).toInt
+    ix.docMap.repartitionByRange(nDoc, col("docno"))
       .sortWithinPartitions("docno")
       .write.mode("overwrite").parquet(s"$dir/doc_map")
-    ix.docMap.sparkSession.range(1)
+    spark.range(1)
       .select(lit(ix.nDocs).as("n_docs"))
       .write.mode("overwrite").parquet(s"$dir/corpus_stats")
+    // zone-map manifests: per-file key ranges of the two range-
+    // partitioned artifacts, written as tiny single-file tables. A
+    // serving node ([[graft.query.LoadedPointServer]]) routes a point
+    // query to its 1-2 files by a driver-side binary search instead of
+    // scanning anything at open time — the same O(files) metadata a
+    // lakehouse table format keeps. Computed by re-scanning only the
+    // key column of the files just written (narrow, write-time cost).
+    spark.read.parquet(s"$dir/postings")
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("kgram")).as("lo"), max(col("kgram")).as("hi"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/postings_ranges")
+    spark.read.parquet(s"$dir/doc_map")
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("docno")).as("lo"), max(col("docno")).as("hi"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/doc_map_ranges")
   }
 
   /** Catalog-table persistence with BUCKETING on the term key: joins
