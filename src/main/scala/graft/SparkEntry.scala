@@ -110,6 +110,7 @@ object SparkEntry {
     "q26_ir_wildcard" -> (IrEngine.q26Wildcard _),
     "q28_multimodal" -> (IrEngine.q28Multimodal _),
     "q28_audio" -> (IrEngine.q28Audio _),
+    "q28_video" -> (IrEngine.q28Video _),
     "q35_rewrite_wildcard" -> (IrEngine.q35RewriteWildcard _),
     "q31_trec_source" -> (IrEngine.q31TrecSource _),
     "q29_streaming" -> (IrEngine.q29Streaming _),
@@ -717,6 +718,21 @@ object SparkEntry {
                 CAST(300 + (doc_id * 13) % 700 AS BIGINT) AS n_frames,
                 CAST((300 + (doc_id * 13) % 700) * 1000
                      // (8000 + (doc_id % 5) * 2000) AS BIGINT) AS duration_ms
+         FROM documents ORDER BY media_id""",
+
+    // the engine recovers (w, h, frames, fps) by PARSING real AVI
+    // bytes — RIFF walk + JPEG decode of every frame; the oracle
+    // reconstructs them from the parameter formula (AviCodec.paramsFor)
+    // — duration is integer-floored ms, sampled = every 2nd frame
+    "q28_video" ->
+      """SELECT doc_id AS media_id, 'vid/' || source AS kind,
+                CAST(16 + doc_id % 32 AS BIGINT) AS width,
+                CAST(16 + (doc_id * 5) % 24 AS BIGINT) AS height,
+                CAST(3 + doc_id % 6 AS BIGINT) AS n_frames,
+                CAST(10 + (doc_id % 4) * 5 AS BIGINT) AS fps,
+                CAST((3 + doc_id % 6) * 1000
+                     // (10 + (doc_id % 4) * 5) AS BIGINT) AS duration_ms,
+                CAST((3 + doc_id % 6 + 1) // 2 AS BIGINT) AS sampled
          FROM documents ORDER BY media_id""",
 
     // events.ts is ns-precision: epoch_ns(ts) == Spark's ts_ns exactly

@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   * is real: payloads are genuine PNG bytes (`javax.imageio` — pure-JDK
   * codec) and [[decode]] parses them. AUDIO decode is real too:
   * payloads are genuine RIFF/WAVE PCM files (`javax.sound.sampled`)
-  * and [[decodeAudio]] parses them. Only formats without any JDK codec
-  * (video) still go through the declared deterministic stub
-  * (`FakeCodec`); swapping in a native binding changes only that
-  * object. */
+  * and [[decodeAudio]] parses them. VIDEO decode is real as well:
+  * payloads are genuine MJPEG-in-AVI files (hand-walked RIFF container
+  * + per-frame JDK JPEG codec) and [[decodeVideo]] /
+  * [[sampleVideoFrames]] parse them. The deterministic stub
+  * (`FakeCodec`) remains only as the declared fallback for payloads no
+  * codec claims. */
 object Multimodal {
 
   /** Real PNG codec on the JDK's `javax.imageio` — no external
@@ -126,11 +128,169 @@ object Multimodal {
         p(11) == 'E'
   }
 
+  /** Real MJPEG-in-AVI codec on the JDK alone — the RIFF container is
+    * walked by hand (no JDK AVI demuxer exists), each frame is a
+    * genuine JPEG decoded/encoded via `javax.imageio` (the JDK ships a
+    * JPEG codec), same pattern as [[PngCodec]]/[[WavCodec]]: payloads
+    * are real AVI files synthesized from id-derived parameters
+    * ([[paramsFor]]) so an oracle can reconstruct the decoded
+    * properties relationally while the engine must actually parse the
+    * container and decode the frames to recover them. */
+  object AviCodec {
+    import java.awt.image.BufferedImage
+
+    /** (width, height, n_frames, fps) as a function of the media id —
+      * mirrored by the q28_video DuckDB oracle. fps ∈ {10,15,20,25}. */
+    def paramsFor(id: Long): (Int, Int, Int, Int) =
+      ((16 + java.lang.Math.floorMod(id, 32L)).toInt,
+        (16 + java.lang.Math.floorMod(id * 5L, 24L)).toInt,
+        (3 + java.lang.Math.floorMod(id, 6L)).toInt,
+        (10 + java.lang.Math.floorMod(id, 4L) * 5).toInt)
+
+    private def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    private def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+    private def jpegFrame(w: Int, h: Int, seed: Long, idx: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (x * 31 + y * 17 + seed + idx * 101).toInt & 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream(1 << 10)
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+
+    private def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1 // RIFF chunks are word-aligned
+      val out = new Array[Byte](8 + body.length + pad)
+      System.arraycopy(fcc(id), 0, out, 0, 4)
+      System.arraycopy(le32(body.length), 0, out, 4, 4)
+      System.arraycopy(body, 0, out, 8, body.length)
+      out
+    }
+    private def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", fcc(kind) ++ body)
+
+    /** Minimal standards-shaped AVI: RIFF('AVI ') → LIST(hdrl){avih,
+      * LIST(strl){strh,strf}} → LIST(movi){'00dc' JPEG × n}. */
+    def encode(w: Int, h: Int, nFrames: Int, fps: Int,
+               seed: Long): Array[Byte] = {
+      val usPerFrame = 1000000 / fps
+      val avih = le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(nFrames) ++ le32(0) ++ le32(1) ++ le32(0) ++
+        le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      val strh = fcc("vids") ++ fcc("MJPG") ++ le32(0) ++
+        le16(0) ++ le16(0) ++ le32(0) ++
+        le32(1) ++ le32(fps) ++ // dwScale=1, dwRate=fps
+        le32(0) ++ le32(nFrames) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+      val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+        fcc("MJPG") ++ le32(w * h * 3) ++ le32(0) ++ le32(0) ++
+        le32(0) ++ le32(0)
+      val hdrl = list("hdrl",
+        chunk("avih", avih) ++
+          list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+      val movi = list("movi",
+        (0 until nFrames).toArray
+          .flatMap(i => chunk("00dc", jpegFrame(w, h, seed, i))))
+      val body = fcc("AVI ") ++ hdrl ++ movi
+      fcc("RIFF") ++ le32(body.length) ++ body
+    }
+
+    private def u32(p: Array[Byte], off: Int): Long =
+      (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
+        ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
+    private def isFcc(p: Array[Byte], off: Int, s: String): Boolean =
+      off + 4 <= p.length && p(off) == s.charAt(0).toByte &&
+        p(off + 1) == s.charAt(1).toByte && p(off + 2) == s.charAt(2).toByte &&
+        p(off + 3) == s.charAt(3).toByte
+
+    /** RIFF/AVI signature check: routes real video to the real
+      * decoder, everything else to the stub. */
+    def isAvi(p: Array[Byte]): Boolean =
+      p.length >= 12 && isFcc(p, 0, "RIFF") && isFcc(p, 8, "AVI ")
+
+    /** The '00dc' frame payloads (JPEG bytes), in stream order, by
+      * walking the RIFF chunk tree — the real frame-iteration path
+      * [[sampleVideoFrames]] and [[decodeVideo]] share. */
+    def frames(p: Array[Byte]): Seq[Array[Byte]] = {
+      val out = Seq.newBuilder[Array[Byte]]
+      def walk(from: Int, to: Int): Unit = {
+        var pos = from
+        while (pos + 8 <= to) {
+          val size = u32(p, pos + 4).toInt
+          val end = math.min(pos + 8 + size, to)
+          if (isFcc(p, pos, "LIST")) walk(pos + 12, end)
+          else if (isFcc(p, pos, "00dc") && size > 0)
+            out += java.util.Arrays.copyOfRange(p, pos + 8, end)
+          pos += 8 + size + (size & 1)
+        }
+      }
+      if (isAvi(p)) walk(12, p.length)
+      out.result()
+    }
+
+    /** µs-per-frame from the 'avih' main header, or None when the walk
+      * finds none. */
+    private def usPerFrame(p: Array[Byte]): Option[Long] = {
+      var found: Option[Long] = None
+      def walk(from: Int, to: Int): Unit = {
+        var pos = from
+        while (pos + 8 <= to && found.isEmpty) {
+          val size = u32(p, pos + 4).toInt
+          val end = math.min(pos + 8 + size, to)
+          if (isFcc(p, pos, "LIST")) walk(pos + 12, end)
+          else if (isFcc(p, pos, "avih") && size >= 4)
+            found = Some(u32(p, pos + 8))
+          pos += 8 + size + (size & 1)
+        }
+      }
+      walk(12, p.length)
+      found
+    }
+
+    /** (width, height, n_frames, fps) decoded from the AVI bytes —
+      * dimensions come from REALLY decoding every JPEG frame
+      * (`ImageIO.read`; all frames must agree), the frame count from
+      * the '00dc' chunk walk, fps from the avih µs-per-frame. None on
+      * any malformed layer — a bad row falls back to the stub, like
+      * PNG/WAV decode. */
+    def decodeProps(payload: Array[Byte]): Option[(Int, Int, Int, Int)] =
+      try {
+        val fs = frames(payload)
+        if (fs.isEmpty) return None
+        val dims = fs.map { f =>
+          Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(f)))
+            .map(img => (img.getWidth, img.getHeight))
+        }
+        if (dims.exists(_.isEmpty)) return None
+        val ds = dims.flatten.distinct
+        if (ds.size != 1) return None // MJPEG stream with drifting dims
+        usPerFrame(payload).filter(_ > 0).map { us =>
+          (ds.head._1, ds.head._2, fs.size, (1000000L / us).toInt)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   case class Media(media_id: Long, kind: String, payload: Array[Byte])
   case class Decoded(media_id: Long, kind: String, width: Int, height: Int,
                      n_bytes: Long)
   case class DecodedAudio(media_id: Long, kind: String, sample_rate: Long,
                           channels: Long, n_frames: Long, duration_ms: Long)
+  case class DecodedVideo(media_id: Long, kind: String, width: Long,
+                          height: Long, n_frames: Long, fps: Long,
+                          duration_ms: Long)
   case class Feature(media_id: Long, embedding: Array[Float])
   case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
@@ -138,9 +298,10 @@ object Multimodal {
     * amortizes setup across a batch (GPU/SIMD decode at scale). */
   val DecodeBatch = 64
 
-  /** STUB codec for formats without a JDK decoder (video):
-    * deterministic pseudo-decode keyed on payload bytes. Replace with
-    * a native library binding in production. */
+  /** STUB fallback codec for payloads no real codec claims:
+    * deterministic pseudo-decode keyed on payload bytes. Every media
+    * family's happy path (PNG, WAV, AVI) is a real parse; this keeps a
+    * bad row from failing the task. */
   private[multimodal] object FakeCodec {
     private def hash(payload: Array[Byte]): Long = {
       var h = 1125899906842597L
@@ -198,6 +359,65 @@ object Multimodal {
         concat(lit("aud/"), col("source")).as("kind"),
         wav(col("doc_id")).as("payload"))
       .as[Media]
+  }
+
+  /** Synthesize a video media table from the documents table: payload
+    * = a REAL MJPEG-in-AVI file (RIFF container + JPEG frames via
+    * `javax.imageio`) whose dimensions / frame count / frame rate
+    * derive from the media id. */
+  def videoFromDocuments(spark: SparkSession, dir: String): Dataset[Media] = {
+    import spark.implicits._
+    val avi = udf((id: Long) => {
+      val (w, h, frames, fps) = AviCodec.paramsFor(id)
+      AviCodec.encode(w, h, frames, fps, id)
+    })
+    graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        concat(lit("vid/"), col("source")).as("kind"),
+        avi(col("doc_id")).as("payload"))
+      .as[Media]
+  }
+
+  /** Video decode stage: same batched-`mapPartitions` shape as
+    * [[decode]]. AVI payloads are REALLY parsed — the RIFF chunk tree
+    * is walked for the frame chunks and the avih header, and every
+    * JPEG frame is decoded for its dimensions; other formats fall back
+    * to the declared stub. `duration_ms` = floor(frames·1000/fps). */
+  def decodeVideo(media: Dataset[Media]): Dataset[DecodedVideo] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(DecodeBatch).flatMap { batch =>
+        batch.map { m =>
+          val (w, h, frames, fps) =
+            (if (AviCodec.isAvi(m.payload)) AviCodec.decodeProps(m.payload)
+             else None).getOrElse {
+              val (fw, fh) = FakeCodec.dims(m.payload)
+              (fw, fh, 3 + fw % 6, 10 + (fh % 4) * 5)
+            }
+          DecodedVideo(m.media_id, m.kind, w.toLong, h.toLong,
+            frames.toLong, fps.toLong, frames * 1000L / fps)
+        }
+      }
+    }
+  }
+
+  /** REAL frame sampling for AVI payloads: walk the RIFF chunk tree
+    * and emit every `stride`-th '00dc' frame's JPEG bytes — one row
+    * per sampled frame, narrow (no shuffle). Non-AVI payloads fall
+    * back to [[sampleFrames]]' byte-slicing stub shape. */
+  def sampleVideoFrames(media: Dataset[Media],
+                        stride: Int = 2): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      if (AviCodec.isAvi(m.payload)) {
+        val fs = AviCodec.frames(m.payload)
+        fs.indices.by(stride).map(i => Frame(m.media_id, i, fs(i)))
+      } else {
+        val n = m.payload.length / 32
+        (0 until n by stride).map(i =>
+          Frame(m.media_id, i, m.payload.slice(i * 32, (i + 1) * 32)))
+      }
+    }
   }
 
   /** Audio decode stage: same batched-`mapPartitions` shape as

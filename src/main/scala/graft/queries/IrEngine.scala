@@ -413,4 +413,25 @@ object IrEngine {
       .toDF()
       .orderBy("media_id")
   }
+
+  /** Video end-to-end: synthesize REAL MJPEG-in-AVI payloads (RIFF
+    * container + JDK JPEG frames), decode them by walking the chunk
+    * tree and decoding every frame, and join against the real
+    * frame-sampling stage. The engine recovers width / height / frame
+    * count / fps by actually parsing the container (dims from JPEG
+    * decode of each frame, count from the '00dc' walk, fps from the
+    * avih header) and `sampled` by emitting every 2nd frame; the
+    * DuckDB oracle reconstructs all of it from the parameter formula
+    * ([[graft.multimodal.Multimodal.AviCodec.paramsFor]]). */
+  def q28Video(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.videoFromDocuments(spark, dir)
+    val sampled = Multimodal.sampleVideoFrames(media, stride = 2)
+      .groupBy(col("media_id")).agg(count(lit(1)).as("sampled"))
+    Multimodal.decodeVideo(media).toDF()
+      .join(sampled, "media_id")
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("n_frames"), col("fps"), col("duration_ms"), col("sampled"))
+      .orderBy("media_id")
+  }
 }

@@ -66,6 +66,54 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.frame_idx).forall(_ % 4 == 0))
   }
 
+  lazy val videos = Multimodal.videoFromDocuments(spark, "/root/testdata/sf0.001")
+
+  test("AVI payloads are real: RIFF walk + frame decode round-trip the formula") {
+    val p = videos.filter(col("media_id") === 3).head().payload
+    assert(Multimodal.AviCodec.isAvi(p), "payload is not a RIFF/AVI file")
+    Multimodal.decodeVideo(videos).orderBy("media_id").head(20).foreach { r =>
+      val (w, h, n, fps) = Multimodal.AviCodec.paramsFor(r.media_id)
+      assert((r.width, r.height, r.n_frames, r.fps) ==
+        (w.toLong, h.toLong, n.toLong, fps.toLong),
+        s"decoded props disagree with the formula for ${r.media_id}")
+      assert(r.duration_ms == n * 1000L / fps)
+    }
+  }
+
+  test("sampled video frames are genuine standalone JPEGs at the stride") {
+    val fs = Multimodal.sampleVideoFrames(videos, stride = 2)
+      .filter(col("media_id") === 7).collect()
+    val (w, h, n, _) = Multimodal.AviCodec.paramsFor(7L)
+    assert(fs.map(_.frame_idx).toSeq == (0 until n by 2))
+    fs.foreach { f =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(f.frame))
+      assert(img != null, s"frame ${f.frame_idx} is not a decodable image")
+      assert((img.getWidth, img.getHeight) == (w, h))
+    }
+  }
+
+  test("corrupt AVI with a valid signature falls back, not crash") {
+    import spark.implicits._
+    val (w, h, n, fps) = Multimodal.AviCodec.paramsFor(5L)
+    // signature intact, truncated mid-container: the chunk walk finds
+    // frames but the JPEG decode fails → decodeProps None → stub row
+    val truncated = Multimodal.AviCodec.encode(w, h, n, fps, 5L).take(200)
+    assert(Multimodal.AviCodec.isAvi(truncated))
+    assert(Multimodal.AviCodec.decodeProps(truncated).isEmpty)
+    val d = Multimodal.decodeVideo(
+      Seq(Multimodal.Media(5L, "vid/x", truncated)).toDS()).head()
+    val (fw, fh) = Multimodal.FakeCodec.dims(truncated)
+    assert((d.width, d.height) == (fw.toLong, fh.toLong))
+  }
+
+  test("video decode and frame sampling plans are narrow — no shuffle") {
+    assert(!Multimodal.decodeVideo(videos)
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(!Multimodal.sampleVideoFrames(videos)
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("resize plan computes bounded output dims in pure columns") {
     val r = Multimodal.resizePlan(Multimodal.decode(media), maxSide = 256)
       .collect()
