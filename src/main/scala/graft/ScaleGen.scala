@@ -29,9 +29,12 @@ import org.apache.spark.sql.functions._
   *  - `events`: copies with event_id/user_id offsets and UNCHANGED
   *    timestamps — the streaming scale model (same horizon, N× the
   *    concurrent users → N× window groups and state).
-  *  - TPC-H tables: copied verbatim (their queries aren't part of
-  *    the scale-up study; copying keeps the directory a complete,
-  *    loadable SF dir for Bench/Prof warmup).
+  *  - `orders`/`lineitem`: copies offset only o_orderkey/l_orderkey
+  *    (the fact-side keys), preserving each copy's exact 1:N
+  *    orders↔lineitem structure; dim keys stay unchanged against the
+  *    verbatim dims — the "N× facts, same dims" model (a fact table
+  *    grows by more orders per customer, not more customers).
+  *  - dims (`region nation customer supplier part`): copied verbatim.
   *
   * Usage: `sbt "runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/graft_sf1 10"`
   */
@@ -119,8 +122,36 @@ object ScaleGen {
       .forEach(p => { Files.deleteIfExists(p); () })
     finally wk.close()
 
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem").foreach { t =>
+    // TPC-H facts: the "N× facts, same dims" scale model — orders and
+    // lineitem copies offset ONLY the orderkey (the fact-side key), so
+    // each copy keeps the exact orders↔lineitem 1:N structure, while
+    // dim keys (custkey/partkey/suppkey) stay unchanged against the
+    // verbatim dim tables: joins stay valid with N× fan-in per dim row
+    // (more orders per customer — how a fact table actually grows),
+    // filter selectivities and value distributions are the original's
+    val ord = Tables.load(spark, in, "orders")
+    requireIdsUnder(ord, "o_orderkey", "orders")
+    (0 until factor).map { i =>
+      ord.select((col("o_orderkey") + lit(i * IdStride)).as("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+    }.reduce(_ unionByName _)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    val li = Tables.load(spark, in, "lineitem")
+    requireIdsUnder(li, "l_orderkey", "lineitem")
+    (0 until factor).map { i =>
+      li.select((col("l_orderkey") + lit(i * IdStride)).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate"))
+    }.reduce(_ unionByName _)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
       Files.copy(Paths.get(s"$in/$t.parquet"),
         Paths.get(s"$out/$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
     }
