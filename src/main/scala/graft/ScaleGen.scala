@@ -97,8 +97,8 @@ object ScaleGen {
     // the streaming scale model (same wall-clock horizon, N× the
     // concurrent users, so window groups and join/dedup state grow
     // with users while watermark behavior is identical). Written back
-    // as a single raw-schema file (ts stays a ns LONG) because the
-    // q29 staging path copies `events.parquet` as one file.
+    // as a single raw-schema file (ts stays a µs TIMESTAMP) because
+    // the q29 staging path copies `events.parquet` as one file.
     val ev = spark.read.schema(Tables.eventsRawSchema)
       .parquet(s"$in/events.parquet")
     requireIdsUnder(ev, "event_id", "events")

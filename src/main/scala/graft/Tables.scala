@@ -19,34 +19,49 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.ts is nanosecond-precision parquet, which Spark 4 refuses to
-    * read as TIMESTAMP. Read it as a long via an EXPLICIT user schema
-    * (ts: LONG) — no session conf involved (the legacy `nanosAsLong`
-    * toggle this used to flip globally is unnecessary when the schema
-    * is supplied, and flipping shared-session conf inside a reader was
-    * a scoping bug) — keep the exact value as `ts_ns` (total ordering
-    * without µs-truncation collisions), and derive a µs `ts` TIMESTAMP
-    * for the datetime API. */
+  /** events.ts is a native µs TIMESTAMP in the current testdata (older
+    * generations stored ns-precision int64, which Spark 4 refuses to read
+    * as TIMESTAMP — [[deriveEventTime]] still accepts that layout). The
+    * footer schema decides; both layouts surface the same two columns:
+    * `ts` (µs TIMESTAMP, the datetime-API column) and `ts_ns` (exact
+    * ns-scaled long — a total ordering key that is stable across the two
+    * layouts and equals DuckDB's `epoch_ns(ts)`). */
   def events(spark: SparkSession, sfDir: String): DataFrame =
-    deriveEventTime(spark.read.schema(eventsRawSchema)
-      .parquet(s"$sfDir/events.parquet"))
+    deriveEventTime(spark.read.parquet(s"$sfDir/events.parquet"))
 
-  /** The ns→µs event-time derivation shared by the batch loader above
-    * and the streaming reader ([[graft.streaming.EventsStream]]): one
-    * definition, so batch oracle and stream can never disagree on event
-    * time. */
+  /** The event-time derivation shared by the batch loader above and the
+    * streaming reader ([[graft.streaming.EventsStream]]): one definition,
+    * so batch oracle and stream can never disagree on event time.
+    * Branches on the stored type of `ts`: µs TIMESTAMP (current testdata)
+    * gets `ts_ns = unix_micros(ts) * 1000`; legacy ns-long gets the
+    * rename + `ts_ns div 1000` truncation (toward -inf on the synthetic
+    * post-epoch data) to a µs TIMESTAMP. */
   def deriveEventTime(raw: DataFrame): DataFrame =
-    raw.withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        // stored as TIMESTAMP_NTZ (written without a zone); the session
+        // zone is pinned UTC everywhere, so the cast to the zoned type is
+        // the identity on the wall-clock value — and restores the exact
+        // type the legacy derivation produced (timestamp_micros → LTZ),
+        // which unix_micros and the datetime battery accept
+        raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+    }
 
-  /** Explicit schema of the raw events parquet (ns-precision ts read
-    * as a plain long) — supplied to every events read so no legacy
-    * session conf is needed, and lets a streaming reader start on a
-    * still-empty ingest directory, where inference has nothing to read. */
+  /** Explicit schema of the raw events parquet — supplied to streaming
+    * reads (a stream can start on a still-empty ingest directory, where
+    * inference has nothing to read) and to [[graft.ScaleGen]]'s
+    * pass-through copy. Matches the current testdata layout (µs
+    * TIMESTAMP ts). */
   val eventsRawSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
       StructField("user_id", LongType),
       StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))

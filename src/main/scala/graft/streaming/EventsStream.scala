@@ -46,12 +46,11 @@ object EventsStream {
   /** File-source streaming read of a DIRECTORY of events parquet files
     * (the standard streaming-ingest layout — new files appear, the
     * source picks them up per micro-batch), deriving the µs `ts` from
-    * the ns-precision files the same way as [[graft.Tables.events]]. */
+    * deriving `ts_ns` the same way as [[graft.Tables.events]]. */
   def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
     // static schema: a streaming source must be definable before the
-    // first ingest file lands, so nothing is inferred from the dir —
-    // and the explicit ts:LONG schema reads the ns-precision files
-    // without touching any session conf (see [[graft.Tables.events]])
+    // first ingest file lands, so nothing is inferred from the dir
+    // (see [[graft.Tables.eventsRawSchema]])
     graft.Tables.deriveEventTime(
       spark.readStream
         .schema(graft.Tables.eventsRawSchema)

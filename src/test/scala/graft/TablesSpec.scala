@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pins [[Tables.deriveEventTime]] across the two events.parquet layouts
+  * that have existed: legacy ns-precision int64 `ts` and the current
+  * native µs TIMESTAMP (written zone-less, i.e. TIMESTAMP_NTZ). Both must
+  * surface identical (ts: µs TIMESTAMP, ts_ns: long) columns — the batch
+  * oracle, the streaming reader, and every temporal operator key off
+  * these two.
+  */
+class TablesSpec extends SparkSpec {
+
+  // one row whose µs value exercises sub-second precision
+  private val micros = Seq(
+    1700000000000001L, 1700000000999999L, 1700003600123456L)
+
+  private def writeLegacyNs(): String = {
+    val dir = Files.createTempDirectory("ev_ns").toString
+    val rows = micros.zipWithIndex.map { case (us, i) =>
+      Row(i.toLong, us * 1000L, 10L + i, "view", 1.5, "{}")
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def writeCurrentUs(): String = {
+    val dir = Files.createTempDirectory("ev_us").toString
+    val rows = micros.zipWithIndex.map { case (us, i) =>
+      Row(i.toLong, java.time.LocalDateTime.ofEpochSecond(
+        us / 1000000L, (us % 1000000L).toInt * 1000,
+        java.time.ZoneOffset.UTC), 10L + i, "view", 1.5, "{}")
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampNTZType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def derived(dir: String): Seq[(Long, Long, Long)] =
+    Tables.deriveEventTime(spark.read.parquet(dir))
+      .select(col("event_id"), col("ts_ns"),
+        expr("unix_micros(ts)").as("ts_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+
+  test("both events layouts derive identical ts / ts_ns") {
+    val legacy = derived(writeLegacyNs())
+    val current = derived(writeCurrentUs())
+    assert(legacy == current)
+    assert(current.map(_._2) == micros.map(_ * 1000L))
+    assert(current.map(_._3) == micros)
+  }
+
+  test("derived ts is the zoned timestamp type both layouts agreed on") {
+    val df = Tables.deriveEventTime(spark.read.parquet(writeCurrentUs()))
+    assert(df.schema("ts").dataType == TimestampType)
+    assert(df.schema("ts_ns").dataType == LongType)
+  }
+
+  test("testdata events load surfaces ts_ns aligned with ts") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val bad = ev.filter(expr("unix_micros(ts) * 1000L != ts_ns")).count()
+    assert(bad == 0L)
+  }
+}
