@@ -76,6 +76,10 @@ object SparkEntry {
     "q24_dedup_exact" -> (Dedup.exact _),
     "q24_dedup_chunks" ->
       ((s: SparkSession, d: String) => Dedup.chunkDedup(s, d)),
+    "q24_span_dedup" ->
+      ((s: SparkSession, d: String) => Dedup.spanDedup(s, d)),
+    "q24_span_apply" ->
+      ((s: SparkSession, d: String) => Dedup.spanDedupApply(s, d)),
     "q24_dedup_apply" -> (Dedup.applyExact _),
     "q24_dedup_jaccard" -> ((s: SparkSession, d: String) => Dedup.jaccard(s, d)),
     "q24_dedup_minhash" -> (Dedup.minhashLsh _),

@@ -616,4 +616,133 @@ object Dedup {
         lit(1L).as("hamming"))
     equal.union(oneBit).orderBy("doc_a", "doc_b")
   }
+
+  /** Window width for [[spanDedup]], shared with the generated oracle
+    * SQL. The published exact-substring-dedup recipe uses 50-token
+    * spans on web-scale text; this corpus's documents are 10–99 tokens,
+    * so 20 keeps the same "longer than any plausible coincidental
+    * overlap" intent at the test scale. */
+  val SpanWidthDefault = 20
+
+  /** EXACT duplicated-SPAN detection over OVERLAPPING token windows —
+    * the substring-level dedup a training pipeline runs so a passage
+    * repeated across (or within) otherwise-distinct documents is kept
+    * ONCE and stripped everywhere else (the suffix-array exact-substring
+    * dedup of the "Deduplicating Training Data" recipe, re-expressed as
+    * a sliding-window grouping — the relational-scale equivalent:
+    * every length-`width` token window, grouped by content).
+    *
+    * Differs from [[chunkDedup]] (non-overlapping fixed chunks, report
+    * only): windows overlap, so a repeated passage is caught at ANY
+    * alignment, and the output is per-DOCUMENT removal accounting: which
+    * windows are non-canonical repeats and how many tokens they cover
+    * after interval union.
+    *
+    * Semantics: a window instance is a removable duplicate iff its gram
+    * occurs ≥2 times corpus-wide AND the instance is not the canonical
+    * (smallest (doc_id, pos)) occurrence — the canonical copy survives.
+    * `dup_tokens` is the size of the union of the removable windows'
+    * [pos, pos+width-1] intervals (overlapping windows don't double-
+    * count), computed per doc by a gaps-and-islands pass.
+    *
+    * Scale shape: tokenize is narrow; the gram grouping is ONE shuffle
+    * with map-side partial aggregation (skew-safe: a boilerplate gram
+    * repeated millions of times still partial-aggregates); the
+    * instances→stats join shuffles on gram where AQE's skew-join
+    * splitting applies (a window-function formulation was rejected —
+    * count()-over-gram-partition puts the whole hot gram in one task
+    * with no partial-agg or skew-split escape); the island pass
+    * partitions by doc_id — per-doc state is O(doc windows), never
+    * corpus-wide. No all-pairs stage anywhere. */
+  def spanDedup(spark: SparkSession, dir: String,
+                width: Int = SpanWidthDefault): DataFrame =
+    spanStages(spark, dir, width)._1
+
+  /** APPLY [[spanDedup]] — the materialization step: every token
+    * covered by a removable (non-canonical) duplicated window is
+    * dropped, the rest re-joined by single spaces. The canonical copy
+    * of each repeated passage survives untouched, so no content is
+    * lost corpus-wide — the exact-substring-dedup contract.
+    *
+    * Scale shape: the merged removal intervals are collected PER DOC
+    * (`collect_list` after the per-doc island pass — bounded by that
+    * doc's window count, never corpus-wide), joined back on doc_id, and
+    * the strip itself is a narrow per-row array filter; the range
+    * predicate lives inside the row's own interval list, so no
+    * inequality join (a broadcast-nested-loop trap) ever forms. */
+  def spanDedupApply(spark: SparkSession, dir: String,
+                     width: Int = SpanWidthDefault): DataFrame = {
+    val (_, t, islands) = spanStages(spark, dir, width)
+    val ivs = islands
+      .groupBy(col("doc_id"), col("iid"))
+      .agg(min(col("pos")).cast("long").as("s"),
+        max(col("e")).cast("long").as("e"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("ivs"))
+    t.join(ivs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        filter(col("l"), (tok, i) =>
+          !exists(coalesce(col("ivs"),
+              array().cast("array<struct<s:long,e:long>>")),
+            iv => i >= iv("s") && i <= iv("e"))).as("kept"))
+      .select(col("doc_id"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), " ").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared pipeline behind [[spanDedup]] / [[spanDedupApply]]:
+    * (per-doc report, tokenized docs, per-doc islands of removable
+    * window intervals). */
+  private def spanStages(spark: SparkSession, dir: String,
+                         width: Int): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs(spark, dir).select(col("doc_id"),
+      tokensArrayFast(col("text")).as("l"))
+    // (doc_id, pos, gram): pos is the 0-based token index the window
+    // starts at; posexplode over the shingle array supplies it directly
+    val inst = t.select(col("doc_id"),
+        posexplode(shingles(col("l"), width)))
+      .select(col("doc_id"), col("pos"), col("col").as("gram"))
+    // gram → (occurrence count, canonical first instance); struct min
+    // is lexicographic (doc_id, pos) — the survivor everyone else is a
+    // repeat of. Only duplicated grams survive the filter, so the join
+    // back touches instances of repeated passages only.
+    val stats = inst.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("pos"))).as("canon"))
+      .filter(col("n_occ") >= 2)
+    val dup = inst.join(stats, "gram")
+      .filter(!(col("doc_id") === col("canon.doc_id") &&
+        col("pos") === col("canon.pos")))
+      .select(col("doc_id"), col("pos"),
+        (col("pos") + lit(width - 1)).as("e"))
+    // gaps-and-islands: union the removable intervals per doc. pos is
+    // unique per doc (one window per start), so the order is total.
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val isl = dup
+      .withColumn("pme", max(col("e")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("iid", sum(
+        when(col("pme").isNull || col("pos") > col("pme") + 1, 1L)
+          .otherwise(0L)).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perDoc = isl.groupBy(col("doc_id"), col("iid"))
+      .agg((max(col("e")) - min(col("pos")) + 1).as("tkns"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tkns")).as("dup_tokens"))
+    val nDup = dup.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_windows"))
+    val report = t
+      .select(col("doc_id"), size(col("l")).cast("long").as("n_tokens"),
+        greatest(size(col("l")) - lit(width - 1), lit(0)).cast("long")
+          .as("n_windows"))
+      .join(nDup, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .orderBy("doc_id")
+    (report, t, isl)
+  }
 }

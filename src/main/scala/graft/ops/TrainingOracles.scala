@@ -39,6 +39,28 @@ object TrainingOracles {
                 WHERE stop_ratio >= 0.03 AND n_tokens BETWEEN 20 AND 1000
                   AND alnum_ratio >= 0.7)"""
 
+  /** Shared CTE chain for the span-dedup pair, ending in `isl` = the
+    * removable (non-canonical, duplicated) window instances with island
+    * ids per doc — mirrors [[Dedup.spanDedup]]'s stages exactly. */
+  private val spanIslandCtes: String = {
+    val w = Dedup.SpanWidthDefault
+    s"""t AS (SELECT doc_id, $toks AS l FROM documents),
+       w AS (SELECT doc_id, unnest(range(1, len(l) - $w + 2)) AS i, l FROM t),
+       g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                    array_to_string(list_slice(l, i, i + $w - 1), ' ') AS gram FROM w),
+       m AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS n_occ,
+                    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+             FROM g),
+       dup AS (SELECT doc_id, pos, pos + ${w - 1} AS e FROM m WHERE n_occ >= 2 AND rn > 1),
+       gi AS (SELECT doc_id, pos, e,
+                    max(e) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+              FROM dup),
+       isl AS (SELECT doc_id, pos, e,
+                    sum(CASE WHEN pme IS NULL OR pos > pme + 1 THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS iid
+               FROM gi)"""
+  }
+
   private val docShingles =
     s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
        sh AS (SELECT doc_id, unnest(list_distinct(${ddbShingles3("toks")})) AS shingle FROM d)"""
@@ -61,6 +83,43 @@ object TrainingOracles {
                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
                 min(doc_id) AS keeper
          FROM c GROUP BY 1 HAVING count(*) > 1 ORDER BY digest""",
+
+    // duplicated-SPAN detection over overlapping token windows: the
+    // window grouping is rebuilt relationally (range → list_slice),
+    // canonical-first semantics via row_number over (doc_id, pos), the
+    // per-doc interval union via the same gaps-and-islands the engine
+    // runs — all-integer output, so the hash compare is exact
+    "q24_span_dedup" ->
+      s"""WITH $spanIslandCtes,
+         cov AS (SELECT doc_id, sum(tk) AS dup_tokens FROM
+                   (SELECT doc_id, iid, max(e) - min(pos) + 1 AS tk FROM isl GROUP BY doc_id, iid)
+                 GROUP BY doc_id),
+         ndw AS (SELECT doc_id, count(*) AS n_dup_windows FROM dup GROUP BY doc_id)
+         SELECT t.doc_id AS doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+                CAST(greatest(len(l) - ${Dedup.SpanWidthDefault - 1}, 0) AS BIGINT) AS n_windows,
+                CAST(coalesce(n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+                CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens
+         FROM t LEFT JOIN ndw ON t.doc_id = ndw.doc_id
+                LEFT JOIN cov ON t.doc_id = cov.doc_id
+         ORDER BY doc_id""",
+
+    // span-dedup APPLY: token positions inside any merged removal
+    // interval are dropped, the rest re-joined ordered by position —
+    // the NOT EXISTS probe is per-doc against that doc's few intervals
+    "q24_span_apply" ->
+      s"""WITH $spanIslandCtes,
+         iv AS (SELECT doc_id, iid, min(pos) AS s, max(e) AS e FROM isl GROUP BY doc_id, iid),
+         tokpos AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) - 1 AS p FROM t),
+         kept AS (SELECT tp.doc_id, tp.tok, tp.p FROM tokpos tp
+                  WHERE NOT EXISTS (SELECT 1 FROM iv
+                                    WHERE iv.doc_id = tp.doc_id AND tp.p BETWEEN iv.s AND iv.e))
+         SELECT t.doc_id AS doc_id,
+                CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+                coalesce(k.clean_text, '') AS clean_text
+         FROM t LEFT JOIN (SELECT doc_id, count(*) AS n_kept,
+                                  string_agg(tok, ' ' ORDER BY p) AS clean_text
+                           FROM kept GROUP BY doc_id) k ON t.doc_id = k.doc_id
+         ORDER BY doc_id""",
 
     // dedup APPLY: the kept corpus (one doc per digest, min-id keeper)
     "q24_dedup_apply" ->

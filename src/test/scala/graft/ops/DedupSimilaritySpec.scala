@@ -219,6 +219,52 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh.head.getDouble(1) <= bruteBest)
   }
 
+  test("span dedup: canonical copy survives, repeats are interval-counted") {
+    // constructed corpus with exactly-known overlap at width 20:
+    //   doc 0: t1..t30                       — all windows canonical
+    //   doc 1: identical to doc 0            — every window a repeat
+    //   doc 2: u1..u5, t1..t20, v1..v5       — ONE embedded 20-token span
+    //   doc 3: five tokens                   — shorter than the window
+    val a = (1 to 30).map("t" + _).mkString(" ")
+    val c = ((1 to 5).map("u" + _) ++ (1 to 20).map("t" + _) ++
+      (1 to 5).map("v" + _)).mkString(" ")
+    val d = (1 to 5).map("s" + _).mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("span_docs").toString
+    spark.createDataFrame(Seq((0L, a), (1L, a), (2L, c), (3L, d)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.spanDedup(spark, tmp, width = 20)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(0L) == ((30L, 11L, 0L, 0L)))   // canonical: nothing removed
+    assert(got(1L) == ((30L, 11L, 11L, 30L))) // full doc covered by union
+    assert(got(2L) == ((30L, 11L, 1L, 20L)))  // embedded span only
+    assert(got(3L) == ((5L, 0L, 0L, 0L)))     // no window fits
+    val cleaned = Dedup.spanDedupApply(spark, tmp, width = 20)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(cleaned(0L) == ((30L, a)))         // canonical text untouched
+    assert(cleaned(1L) == ((0L, "")))         // exact dup fully stripped
+    assert(cleaned(2L) == ((10L,              // embedded span cut out
+      ((1 to 5).map("u" + _) ++ (1 to 5).map("v" + _)).mkString(" "))))
+    assert(cleaned(3L) == ((5L, d)))
+  }
+
+  test("span dedup flags the corpus's exact duplicates as fully covered") {
+    val full = Dedup.spanDedup(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    val exactDups = Dedup.exact(spark, dir)
+      .filter(col("n_dups") > 1).select(col("keeper")).collect()
+    // the sf0.001 corpus has no exact dups (pinned below), but every
+    // doc must satisfy the coverage bound either way
+    full.values.foreach { case (n, _, cov) => assert(cov <= n) }
+    assert(exactDups.isEmpty || exactDups.forall { r =>
+      full(r.getLong(0))._3 == full(r.getLong(0))._1
+    })
+  }
+
   test("bloom probe never misses a true duplicate and agrees with the " +
     "exact delta join") {
     val bloom = Dedup.bloomProbe(spark, dir).collect()
