@@ -24,7 +24,7 @@ object GoldenGen {
     * `golden/…` entries in [[SparkEntry.oracleSql]]. */
   val Names: Seq[String] =
     Seq("q26_ir_terms", "q26_ir_index", "q26_ir_search", "q26_ir_wildcard",
-      "q35_rewrite_wildcard")
+      "q35_rewrite_wildcard", "q36_phrase", "q36_near")
 
   /** Golden generators. Most goldens come from the query itself (the
     * pipeline is vector-pinned by the conformance specs); the rewrite
@@ -34,11 +34,21 @@ object GoldenGen {
       org.apache.spark.sql.DataFrame =
     if (name == "q35_rewrite_wildcard")
       (s, d) => graft.queries.IrEngine.q35Fallback(s, d)
+    else if (name == "q36_phrase")
+      (s, d) => graft.queries.IrEngine.q36PhraseBrute(s, d)
+    else if (name == "q36_near")
+      (s, d) => graft.queries.IrEngine.q36NearBrute(s, d)
     else SparkEntry.queries(name)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val outDir = if (args.length > 1) args(1) else "/root/repo/golden"
+    // optional trailing names: regenerate only that subset (a new
+    // query's golden shouldn't force rewriting every committed one)
+    val subset = args.drop(2).toSet
+    val unknown = subset -- Names.toSet
+    require(unknown.isEmpty, s"unknown goldens: ${unknown.mkString(", ")}")
+    val selected = if (subset.isEmpty) Names else Names.filter(subset)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -48,7 +58,7 @@ object GoldenGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
-    Names.foreach { name =>
+    selected.foreach { name =>
       val tmp = Files.createTempDirectory(s"golden_$name")
       gen(name)(spark, sfDir)
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)

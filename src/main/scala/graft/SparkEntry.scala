@@ -116,6 +116,8 @@ object SparkEntry {
     "q28_audio" -> (IrEngine.q28Audio _),
     "q28_video" -> (IrEngine.q28Video _),
     "q35_rewrite_wildcard" -> (IrEngine.q35RewriteWildcard _),
+    "q36_phrase" -> (IrEngine.q36Phrase _),
+    "q36_near" -> (IrEngine.q36Near _),
     "q31_trec_source" -> (IrEngine.q31TrecSource _),
     "q29_streaming" -> (IrEngine.q29Streaming _),
     "q29_sliding" -> (IrEngine.q29Sliding _),
@@ -685,6 +687,13 @@ object SparkEntry {
     // the compare proves the index rewrite == per-row predicate
     "q35_rewrite_wildcard" ->
       """SELECT * FROM '/root/repo/golden/q35_rewrite_wildcard.parquet'""",
+    // goldens generated from the index-free brute evaluations
+    // (windowed scan / row-level position join), so the compare proves
+    // positional-index phrase/proximity == full-scan semantics
+    "q36_phrase" ->
+      """SELECT * FROM '/root/repo/golden/q36_phrase.parquet'""",
+    "q36_near" ->
+      """SELECT * FROM '/root/repo/golden/q36_near.parquet'""",
 
     // the staged TREC file is rebuilt relationally: docid + block length
     "q31_trec_source" ->

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.index.{CharKGramIndex, InvertedIndex}
+import graft.index.{CharKGramIndex, InvertedIndex, PositionalIndex}
 import graft.query.QueryEngine
 
 /** Driver-contract queries exercising the faithful IR engine (tag-aware
@@ -249,6 +249,69 @@ object IrEngine {
       "graft_matches_term_like(content, 'st*am') ORDER BY docid")
     org.apache.spark.sql.graft.Bridge.ofRows(spark,
       graft.plans.TermRewriteRule()(df.queryExecution.analyzed))
+  }
+
+  /** Phrase / proximity parameters shared by the serving queries and
+    * their brute-force golden generators. The phrase is mid-frequency
+    * in the synthetic corpus (df=8 at sf0.01) so the result is
+    * non-trivial without being the whole corpus. */
+  private[graft] val PhraseQuery = "agg hash window"
+  private[graft] val NearTerms = ("spark", "hash")
+  private[graft] val NearWindow = 3
+
+  /** Exact phrase search through the POSITIONAL index
+    * ([[graft.index.PositionalIndex]]): postings pruned per term,
+    * docno joins, one shifted-array intersection per doc. Golden comes
+    * from [[q36PhraseBrute]] — a windowed full scan with no positional
+    * machinery — so the driver compare proves index == scan. */
+  def q36Phrase(spark: SparkSession, dir: String): DataFrame = {
+    val ix = PositionalIndex.build(spark, corpus(spark, dir))
+    PositionalIndex.phrase(ix, PhraseQuery)
+  }
+
+  /** The same phrase evaluated with NO positional index: every
+    * m-token window of the pipeline token sequence, string-compared to
+    * the phrase — the independent path the golden is generated from. */
+  private[graft] def q36PhraseBrute(spark: SparkSession,
+                                    dir: String): DataFrame = {
+    graft.text.TextPipeline.register(spark)
+    val terms = graft.text.TextPipeline.processContent(PhraseQuery)
+    val toks = corpus(spark, dir).select(col("docid"),
+      expr("graft_tokenize(content)").as("toks"))
+    toks.select(col("docid"),
+        explode(InvertedIndex.kgramWindows(col("toks"), terms.size))
+          .as("w"))
+      .filter(col("w") === terms.mkString(" "))
+      .groupBy(col("docid"))
+      .agg(count(lit(1)).as("phrase_tf"))
+      .orderBy(col("phrase_tf").desc, col("docid"))
+  }
+
+  /** Proximity search (terms within [[NearWindow]] pipeline tokens,
+    * either order) through the positional index; golden from
+    * [[q36NearBrute]]'s row-level position join — no arrays, no index. */
+  def q36Near(spark: SparkSession, dir: String): DataFrame = {
+    val ix = PositionalIndex.build(spark, corpus(spark, dir))
+    PositionalIndex.near(ix, NearTerms._1, NearTerms._2, NearWindow)
+  }
+
+  /** Independent proximity evaluation: explode every token with its
+    * offset, self-join the two terms' occurrence ROWS per doc, keep
+    * docs with any pair within the window. */
+  private[graft] def q36NearBrute(spark: SparkSession,
+                                  dir: String): DataFrame = {
+    graft.text.TextPipeline.register(spark)
+    val a = graft.text.TextPipeline.processContent(NearTerms._1).head
+    val b = graft.text.TextPipeline.processContent(NearTerms._2).head
+    val tp = corpus(spark, dir).select(col("docid"),
+        posexplode(expr("graft_tokenize(content)")))
+      .select(col("docid"), col("pos"), col("col").as("term"))
+    tp.filter(col("term") === a).select(col("docid"), col("pos").as("pa"))
+      .join(tp.filter(col("term") === b)
+        .select(col("docid"), col("pos").as("pb")), "docid")
+      .filter(abs(col("pa") - col("pb")) <= NearWindow)
+      .select(col("docid")).distinct()
+      .orderBy("docid")
   }
 
   /** The same predicate evaluated WITHOUT any index (per-row tokenize)

@@ -1,0 +1,69 @@
+package graft.index
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Positional index: known-position phrase/proximity semantics on a
+  * constructed corpus, and full-corpus parity of the index paths
+  * against the index-free brute evaluations the goldens come from. */
+class PositionalIndexSpec extends SparkSpec {
+
+  private lazy val ix = {
+    val corpus = spark.createDataFrame(Seq(
+      ("A", "alpha beta gamma alpha beta delta"),
+      ("B", "gamma delta gamma"),
+      ("C", "beta alpha beta"))).toDF("docid", "content")
+    PositionalIndex.build(spark, corpus)
+  }
+
+  private def phraseHits(q: String): Map[String, Long] =
+    PositionalIndex.phrase(ix, q).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("postings carry sorted occurrence positions") {
+    val rows = ix.postings.collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[Int](2).toList, r.getLong(3)))
+    val byTerm = rows.groupBy(_._1)
+    // doc A is docno of "A" — resolve through the map
+    val docnoA = ix.docMap.filter(col("docid") === "A")
+      .head().getAs[Long]("docno")
+    val alphaA = byTerm("alpha").find(_._2 == docnoA).get
+    assert(alphaA._3 == List(0, 3) && alphaA._4 == 2L)
+    rows.foreach { case (_, _, ps, tf) =>
+      assert(ps == ps.sorted && ps.size == tf)
+    }
+  }
+
+  test("phrase intersection counts every occurrence, at any length") {
+    assert(phraseHits("alpha beta") == Map("A" -> 2L, "C" -> 1L))
+    assert(phraseHits("beta gamma") == Map("A" -> 1L))
+    assert(phraseHits("alpha beta delta") == Map("A" -> 1L))
+    assert(phraseHits("delta alpha").isEmpty)
+  }
+
+  test("proximity respects the window bound in either order") {
+    def near(a: String, b: String, w: Int): Set[String] =
+      PositionalIndex.near(ix, a, b, w).collect()
+        .map(_.getString(0)).toSet
+    assert(near("alpha", "delta", 2) == Set("A"))
+    assert(near("alpha", "delta", 1) == Set.empty[String])
+    assert(near("gamma", "delta", 1) == Set("B"))
+    assert(near("gamma", "delta", 3) == Set("A", "B"))
+  }
+
+  test("index phrase/proximity == brute full-scan on the test corpus") {
+    val dir = "/root/testdata/sf0.001"
+    import graft.queries.IrEngine
+    val idx = IrEngine.q36Phrase(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val brute = IrEngine.q36PhraseBrute(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(idx == brute)
+    val idxN = IrEngine.q36Near(spark, dir).collect()
+      .map(_.getString(0)).toSet
+    val bruteN = IrEngine.q36NearBrute(spark, dir).collect()
+      .map(_.getString(0)).toSet
+    assert(idxN == bruteN && idxN.nonEmpty)
+  }
+}
