@@ -52,6 +52,29 @@ class PositionalIndexSpec extends SparkSpec {
     assert(near("gamma", "delta", 3) == Set("A", "B"))
   }
 
+  test("merge of a split corpus == full rebuild; write/load round-trips") {
+    val full = spark.createDataFrame(Seq(
+      ("A", "alpha beta gamma alpha beta delta"),
+      ("B", "gamma delta gamma"),
+      ("C", "beta alpha beta"),
+      ("D", "alpha beta epsilon"))).toDF("docid", "content")
+    val basePart = full.filter(col("docid") < "C")
+    val deltaPart = full.filter(col("docid") >= "C")
+    val merged = PositionalIndex.merge(spark,
+      PositionalIndex.build(spark, basePart), deltaPart)
+    val rebuilt = PositionalIndex.build(spark, full)
+    def hits(ix: PositionalIndex.PIndex): Map[String, Long] =
+      PositionalIndex.phrase(ix, "alpha beta").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.nDocs == rebuilt.nDocs)
+    assert(hits(merged) == hits(rebuilt))
+    assert(hits(merged) == Map("A" -> 2L, "C" -> 1L, "D" -> 1L))
+    val tmp = java.nio.file.Files.createTempDirectory("pos_ix").toString
+    PositionalIndex.write(merged, tmp)
+    val loaded = PositionalIndex.load(spark, tmp)
+    assert(hits(loaded) == hits(merged) && loaded.nDocs == merged.nDocs)
+  }
+
   test("index phrase/proximity == brute full-scan on the test corpus") {
     val dir = "/root/testdata/sf0.001"
     import graft.queries.IrEngine
