@@ -165,10 +165,20 @@ object PositionalIndex {
     val hits = joinedAll
       .select(col("docno"), size(phrasePos).cast("long").as("phrase_tf"))
       .filter(col("phrase_tf") > 0)
-    ix.docMap.join(broadcast(hits), "docno")
-      .select(col("docid"), col("phrase_tf"))
+    resolve(ix, hits).select(col("docid"), col("phrase_tf"))
       .orderBy(col("phrase_tf").desc, col("docid"))
   }
+
+  /** Docid resolution with the engine's broadcast discipline: the hit
+    * set is query-bounded (≤ df of the rarest term) but NOT k-bounded —
+    * a one-term "phrase" of a hot term can approach corpus scale, so
+    * the broadcast is size-guarded exactly like the build-side docMap
+    * join; past the bound the planner's shuffle join is the right
+    * plan. */
+  private def resolve(ix: PIndex, hits: DataFrame): DataFrame =
+    if (ix.nDocs <= InvertedIndex.BroadcastDocs)
+      ix.docMap.join(broadcast(hits), "docno")
+    else ix.docMap.join(hits, "docno")
 
   /** Proximity search: documents where `termA` and `termB` (pipeline-
     * analyzed single words) occur within `window` pipeline tokens of
@@ -192,8 +202,6 @@ object PositionalIndex {
       .filter(exists(col("pa"), x =>
         exists(col("pb"), y => abs(x - y) <= window)))
       .select(col("docno"))
-    ix.docMap.join(broadcast(hits), "docno")
-      .select(col("docid"))
-      .orderBy("docid")
+    resolve(ix, hits).select(col("docid")).orderBy("docid")
   }
 }
