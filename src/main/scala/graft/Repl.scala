@@ -4,7 +4,7 @@ import java.io.{BufferedReader, PrintStream}
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.index.{CharKGramIndex, InvertedIndex}
+import graft.index.{CharKGramIndex, InvertedIndex, PositionalIndex}
 import graft.query.QueryEngine
 
 /** Interactive query client — the reference's headline UX
@@ -17,6 +17,10 @@ import graft.query.QueryEngine
   *    [[QueryEngine.wildcardSearch]] (an extension the reference
   *    lacks) — on a built corpus AND on a loaded written index whose
   *    directory carries the durable char-gram table;
+  *  - `"quoted phrases"` (any length) route through the POSITIONAL
+  *    index ([[PositionalIndex.phrase]]) — another extension the
+  *    reference cannot express (it would need a word-k-gram index
+  *    pre-built per phrase length);
   *  - an empty line terminates; a >2-word query terminates too, as the
   *    reference's loop does (`:298` breaks instead of re-prompting).
   *
@@ -38,32 +42,49 @@ object Repl {
     * built path serves from (one warm-up scan, paid by the greeter's
     * count()s). Session-lifetime caches are the serving pattern here,
     * exactly as `InvertedIndex.build` documents for its own artifacts. */
-  def open(spark: SparkSession,
-           dir: String): (InvertedIndex.Index, Option[DataFrame]) =
+  /** Everything a serving session needs: ranked index, optional
+    * wildcard char-gram table, optional positional index for quoted
+    * phrase queries. */
+  case class Session(ix: InvertedIndex.Index,
+                     chargrams: Option[DataFrame],
+                     positional: Option[PositionalIndex.PIndex])
+
+  def open(spark: SparkSession, dir: String): Session =
     if (Files.isDirectory(Paths.get(dir, "postings"))) {
       import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val cg = Paths.get(dir, "chargrams")
+      val pos = Paths.get(dir, "positional")
       val lx = InvertedIndex.load(spark, dir)
-      (lx.copy(postings = lx.postings.persist(MEMORY_AND_DISK),
+      Session(
+        lx.copy(postings = lx.postings.persist(MEMORY_AND_DISK),
           termStats = lx.termStats.persist(MEMORY_AND_DISK),
           docMap = lx.docMap.persist(MEMORY_AND_DISK)),
         if (Files.isDirectory(cg)) Some(CharKGramIndex.load(spark, cg.toString))
-        else None)
+        else None,
+        if (Files.isDirectory(pos)) {
+          val p = PositionalIndex.load(spark, pos.toString)
+          Some(p.copy(postings = p.postings.persist(MEMORY_AND_DISK),
+            docMap = p.docMap.persist(MEMORY_AND_DISK)))
+        } else None)
     } else {
       val corpus = graft.queries.IrEngine.corpus(spark, dir)
-      (InvertedIndex.build(spark, corpus, k = 1),
-        Some(CharKGramIndex.build(spark, corpus, k = 3)))
+      Session(InvertedIndex.build(spark, corpus, k = 1),
+        Some(CharKGramIndex.build(spark, corpus, k = 3)),
+        Some(PositionalIndex.build(spark, corpus)))
     }
 
   /** Persist a fully servable index directory: the inverted-index
     * artifacts ([[InvertedIndex.write]] — range-partitioned sorted
     * parquet, point lookups prune to one file) plus the char-gram
-    * table, so a later [[open]] serves ranked AND wildcard queries
-    * without the corpus. */
+    * table and the positional index, so a later [[open]] serves
+    * ranked AND wildcard AND quoted-phrase queries without the
+    * corpus. */
   def persist(ix: InvertedIndex.Index, chargrams: Option[DataFrame],
-              dir: String): Unit = {
+              dir: String,
+              positional: Option[PositionalIndex.PIndex] = None): Unit = {
     InvertedIndex.write(ix, dir)
     chargrams.foreach(CharKGramIndex.write(_, s"$dir/chargrams"))
+    positional.foreach(PositionalIndex.write(_, s"$dir/positional"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -76,15 +97,17 @@ object Repl {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val (ix, chargrams) = open(spark, dir)
+    val s = open(spark, dir)
+    val (ix, chargrams) = (s.ix, s.chargrams)
     // warm the serving caches so the first query isn't a cold build
     // (for a loaded index this is the one full scan that populates
     // open()'s session caches)
     ix.postings.count(); ix.termStats.count(); ix.docMap.count()
     chargrams.foreach(_.count())
+    s.positional.foreach(p => { p.postings.count(); () })
     loop(ix, chargrams,
       new BufferedReader(new java.io.InputStreamReader(System.in)),
-      System.out)
+      System.out, positional = s.positional)
     spark.stop()
   }
 
@@ -99,17 +122,34 @@ object Repl {
     * predicates (file/row-group pruning) instead. */
   def loop(ix: InvertedIndex.Index, chargrams: Option[DataFrame],
            in: BufferedReader, out: PrintStream,
-           usePointServer: Boolean = true): Unit = {
+           usePointServer: Boolean = true,
+           positional: Option[PositionalIndex.PIndex] = None): Unit = {
     val server =
       if (usePointServer) Some(new graft.query.PointServer(ix)) else None
     out.println("graft search — 1-2 word query; '*' patterns for " +
-      "wildcards; empty line quits")
+      "wildcards; \"quoted phrases\" for exact phrase; empty line quits")
     out.print("query > "); out.flush()
     var line = in.readLine()
     while (line != null) {
       val q = line.trim
       if (q.isEmpty) return
-      if (q.contains("*")) {
+      if (q.length > 1 && q.startsWith("\"") && q.endsWith("\"")) {
+        val phrase = q.substring(1, q.length - 1).trim
+        positional match {
+          // an all-stopword phrase analyzes to nothing — report "no
+          // results" like a no-hit query instead of erroring the loop
+          case Some(pix)
+            if graft.text.TextPipeline.processContent(phrase).nonEmpty =>
+            print10(out, phrase,
+              PositionalIndex.phrase(pix, phrase).limit(10).collect()
+                .map(r => (r.getAs[String]("docid"),
+                  r.getAs[Long]("phrase_tf").toDouble)))
+          case Some(_) => print10(out, phrase, Array.empty)
+          case None => out.println(
+            "phrase search needs a positional index (build from a " +
+              "corpus dir, or persist one alongside the written index)")
+        }
+      } else if (q.contains("*")) {
         chargrams match {
           case Some(cg) => print10(out, q,
             QueryEngine.wildcardSearch(ix, cg, q).collect()

@@ -13,11 +13,14 @@ class ReplSpec extends SparkSpec {
   lazy val corpus = TrecCorpus.read(spark, resourcePath("/graft/sample-trec.xml"))
   lazy val ix = InvertedIndex.build(spark, corpus, k = 1)
   lazy val chargrams = CharKGramIndex.build(spark, corpus, k = 3)
+  lazy val positional = graft.index.PositionalIndex.build(spark, corpus)
 
-  private def run(input: String, withWildcards: Boolean = true): String = {
+  private def run(input: String, withWildcards: Boolean = true,
+                  withPositional: Boolean = true): String = {
     val out = new ByteArrayOutputStream()
     Repl.loop(ix, if (withWildcards) Some(chargrams) else None,
-      new BufferedReader(new StringReader(input)), new PrintStream(out, true))
+      new BufferedReader(new StringReader(input)), new PrintStream(out, true),
+      positional = if (withPositional) Some(positional) else None)
     out.toString("UTF-8")
   }
 
@@ -53,11 +56,34 @@ class ReplSpec extends SparkSpec {
     assert(got.contains("needs a char-gram index"))
   }
 
+  test("quoted phrases route through the positional index") {
+    val got = run("\"merge engine\"\n\n")
+    assert(got.contains("FT911-0001 1."), s"phrase hit missing in:\n$got")
+    // adjacency matters: both words occur in doc 1, never consecutively
+    assert(run("\"sorted buffers\"\n\n").contains("No results"))
+    // an all-stopword phrase reports no results instead of erroring
+    assert(run("\"the of\"\n\n").contains("No results"))
+  }
+
+  test("phrases degrade gracefully without a positional index") {
+    val got = run("\"merge engine\"\n\n", withPositional = false)
+    assert(got.contains("needs a positional index"))
+  }
+
   test("persist + open serves ranked AND wildcard queries from the written index") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ixstore").toString
-    Repl.persist(ix, Some(chargrams), dir)
-    val (lx, lcg) = Repl.open(spark, dir)
+    Repl.persist(ix, Some(chargrams), dir, Some(positional))
+    val Repl.Session(lx, lcg, lpos) = Repl.open(spark, dir)
     assert(lcg.isDefined, "durable char-gram table not loaded")
+    assert(lpos.isDefined, "durable positional index not loaded")
+    // phrase parity on the loaded positional artifacts
+    val builtPhrase = graft.index.PositionalIndex
+      .phrase(positional, "merge engine").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val loadedPhrase = graft.index.PositionalIndex
+      .phrase(lpos.get, "merge engine").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(loadedPhrase == builtPhrase && builtPhrase.nonEmpty)
     // ranked search parity: loaded parquet artifacts == built index,
     // on BOTH serving paths (pushdown serveSearch and the cached
     // template the REPL defaults to)
