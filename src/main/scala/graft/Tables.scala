@@ -36,21 +36,29 @@ object Tables {
     * gets `ts_ns = unix_micros(ts) * 1000`; legacy ns-long gets the
     * rename + `ts_ns div 1000` truncation (toward -inf on the synthetic
     * post-epoch data) to a µs TIMESTAMP. */
-  def deriveEventTime(raw: DataFrame): DataFrame =
+  def deriveEventTime(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         raw.withColumnRenamed("ts", "ts_ns")
           .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-      case _ =>
-        // stored as TIMESTAMP_NTZ (written without a zone); the session
-        // zone is pinned UTC everywhere, so the cast to the zoned type is
-        // the identity on the wall-clock value — and restores the exact
-        // type the legacy derivation produced (timestamp_micros → LTZ),
-        // which unix_micros and the datetime battery accept
-        raw.withColumn("ts",
-            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case TimestampType | TimestampNTZType =>
+        // stored µs, possibly TIMESTAMP_NTZ (written without a zone);
+        // the session zone is pinned UTC everywhere, so the cast to the
+        // zoned type is the identity on the wall-clock value — and
+        // restores the exact type the legacy derivation produced
+        // (timestamp_micros → LTZ), which unix_micros and the datetime
+        // battery accept
+        raw.withColumn("ts", col("ts").cast(TimestampType))
           .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+      case other =>
+        // fail LOUDLY on an unrecognized regen: a silent mis-scale here
+        // cost a full correctness round (see STATE.md round-7 note)
+        throw new IllegalArgumentException(
+          s"events.ts has unsupported stored type $other; " +
+            "expected ns-long or µs timestamp")
     }
+  }
 
   /** Explicit schema of the raw events parquet — supplied to streaming
     * reads (a stream can start on a still-empty ingest directory, where
