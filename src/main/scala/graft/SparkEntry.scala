@@ -130,6 +130,8 @@ object SparkEntry {
     "q27_langid" -> (TextAnalysis.langId _),
     "q27_quality" -> (TextAnalysis.quality _),
     "q27_token_count" -> (TextAnalysis.tokenCount _),
+    "q27_vocab" ->
+      ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
     "q27_fingerprint" -> (TextAnalysis.fingerprint _),
     "q27_filter_apply" ->
       ((s: SparkSession, d: String) => TextAnalysis.filterApply(s, d)),

@@ -510,4 +510,44 @@ object TextAnalysis {
           .polyhash(concat_ws(" ", tokensArrayFast(col("text"))), P).as("fp"))
       .orderBy("doc_id")
   }
+
+  /** Vocabulary size for [[vocabCoverage]], shared with the oracle.
+    * 20 of the synthetic corpus's 31 distinct terms → real OOV rates
+    * at the test scale; production would use 10⁵–10⁶. */
+  val VocabSize = 20
+
+  /** VOCABULARY INDUCTION + coverage — the tokenizer-prep step of a
+    * training pipeline: the vocabulary is the top-`v` terms by corpus
+    * occurrence count (count desc, term asc ties — deterministic), and
+    * every document reports how much of it the vocabulary covers
+    * (in-vocab occurrence count, OOV rate).
+    *
+    * Scale shape: term counting is one partial-agg shuffle; the top-v
+    * cut is a bounded TakeOrdered (v rows to the driver, constant);
+    * coverage joins the token stream against the BROADCAST v-row
+    * vocabulary — no second corpus-keyed shuffle beyond the per-doc
+    * aggregation. */
+  def vocabCoverage(spark: SparkSession, dir: String,
+                    v: Int = VocabSize): DataFrame = {
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), explode(tokensArrayFast(col("text"))).as("term"))
+    val vocab = tok.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(v)
+      .select(col("term"))
+    val cov = tok.join(broadcast(vocab).withColumn("iv", lit(1L)),
+        Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("iv"), lit(0L))).as("in_vocab"))
+    docs(spark, dir).select(col("doc_id"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("in_vocab"), lit(0L)).as("in_vocab"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0L, 0.0)
+          .otherwise(round(lit(1.0) -
+            col("in_vocab") / col("n_tokens").cast("double"), 4))
+          .as("oov_rate"))
+      .orderBy("doc_id")
+  }
 }

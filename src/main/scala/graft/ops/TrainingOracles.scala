@@ -150,6 +150,24 @@ object TrainingOracles {
          FROM documents CROSS JOIN h WHERE doc_id >= half
          ORDER BY doc_id""",
 
+    // vocabulary induction + coverage: top-V terms by occurrence count
+    // (count desc, term asc — the engine's exact tie-break), per-doc
+    // in-vocab occurrences and OOV rate
+    "q27_vocab" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         v AS (SELECT term FROM (SELECT term, count(*) AS c FROM tok GROUP BY term
+                                 ORDER BY c DESC, term LIMIT ${TextAnalysis.VocabSize})),
+         d AS (SELECT doc_id, count(*) AS n_tokens,
+                      sum(CASE WHEN term IN (SELECT term FROM v) THEN 1 ELSE 0 END) AS in_vocab
+               FROM tok GROUP BY doc_id)
+         SELECT documents.doc_id AS doc_id,
+                CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+                CAST(coalesce(in_vocab, 0) AS BIGINT) AS in_vocab,
+                CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
+                     ELSE round(1.0 - in_vocab / CAST(n_tokens AS DOUBLE), 4) END AS oov_rate
+         FROM documents LEFT JOIN d ON documents.doc_id = d.doc_id
+         ORDER BY doc_id""",
+
     // heavy hitters: exact top-k terms + the two checked CMS bounds
     "q14_heavy_hitters" ->
       s"""WITH tok AS (SELECT unnest($toks) AS term FROM documents)

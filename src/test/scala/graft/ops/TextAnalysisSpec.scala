@@ -168,4 +168,16 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getDouble(2) < 0.0, s"doc ${r.getLong(0)} non-negative")
     }
   }
+
+  test("vocab coverage: OOV vanishes once the vocabulary holds every term") {
+    val full = TextAnalysis.vocabCoverage(spark, dir, v = 100000).collect()
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1), s"doc ${r.getLong(0)} oov")
+      assert(r.getDouble(3) == 0.0)
+    }
+    val cut = TextAnalysis.vocabCoverage(spark, dir, v = 5).collect()
+    assert(cut.exists(_.getDouble(3) > 0.0), "a 5-term vocab must miss")
+    cut.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
 }
