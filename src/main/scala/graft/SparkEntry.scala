@@ -132,6 +132,7 @@ object SparkEntry {
     "q27_token_count" -> (TextAnalysis.tokenCount _),
     "q27_vocab" ->
       ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
+    "q27_langid_ngram" -> (TextAnalysis.langIdNgram _),
     "q27_fingerprint" -> (TextAnalysis.fingerprint _),
     "q27_filter_apply" ->
       ((s: SparkSession, d: String) => TextAnalysis.filterApply(s, d)),

@@ -511,6 +511,59 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** TRAINED n-gram language classifier — the profile-based lang-ID
+    * next to [[langId]]'s function-word heuristic: per-language char-
+    * TRIGRAM profiles are trained from the corpus's own labels
+    * (add-one-smoothed over the global trigram vocabulary), and each
+    * document is classified by summed log-likelihood, ties to the
+    * lexicographically smallest language. Output: (doc_id, lang,
+    * pred_lang, match).
+    *
+    * Scale shape: trigram instances are a narrow projection of the
+    * normalized token string; profile training is one partial-agg
+    * shuffle on (lang, gram); scoring joins instances against the
+    * BROADCAST profile (|langs|·|gram vocab| rows — bounded by the
+    * writing system, not the corpus) so no second corpus-keyed shuffle
+    * before the per-doc aggregation. Log-likelihood sums use the
+    * sanctioned fixed-point pattern (round·1e6 → BIGINT) so the argmax
+    * is order-insensitive and engine-exact; the argmax itself is a
+    * `min(struct(-score, lang))` hash agg, no per-doc window. */
+  def langIdNgram(spark: SparkSession, dir: String): DataFrame = {
+    val t = docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        array_join(tokensArrayFast(col("text")), " ").as("s"))
+      .stageEager() // feeds instances AND profiles; one tokenize pass
+    val inst = t
+      .select(col("doc_id"), col("lang"),
+        explode(when(length(col("s")) >= 3,
+          transform(sequence(lit(1), length(col("s")) - 2),
+            i => col("s").substr(i, lit(3))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      .stageEager() // read by profiles, totals, vocab AND scoring
+    val profile = inst.groupBy(col("lang").as("plang"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val totals = inst.groupBy(col("lang").as("plang"))
+      .agg(count(lit(1)).as("t"))
+    val vocabSize = inst.select(col("g")).distinct().count()
+    val langs = totals.select(col("plang"), col("t"))
+    // score every (instance, candidate lang): smoothed fixed-point
+    // log-likelihood; absent (lang, gram) counts coalesce to 0
+    val scored = inst
+      .crossJoin(broadcast(langs))
+      .join(broadcast(profile), Seq("plang", "g"), "left")
+      .select(col("doc_id"), col("lang"), col("plang"),
+        round(log((coalesce(col("c"), lit(0L)) + 1.0) /
+          (col("t") + vocabSize)) * 1e6, 0).cast("long").as("q"))
+      .groupBy(col("doc_id"), col("lang"), col("plang"))
+      .agg(sum(col("q")).as("score"))
+    scored.groupBy(col("doc_id"), col("lang"))
+      .agg(min(struct((-col("score")).as("ns"),
+        col("plang").as("pl"))).as("m"))
+      .select(col("doc_id"), col("lang"), col("m.pl").as("pred_lang"),
+        (col("m.pl") === col("lang")).as("match"))
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary size for [[vocabCoverage]], shared with the oracle.
     * 20 of the synthetic corpus's 31 distinct terms → real OOV rates
     * at the test scale; production would use 10⁵–10⁶. */

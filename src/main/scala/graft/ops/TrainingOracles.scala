@@ -150,6 +150,30 @@ object TrainingOracles {
          FROM documents CROSS JOIN h WHERE doc_id >= half
          ORDER BY doc_id""",
 
+    // trained n-gram lang-ID: per-language char-trigram profiles over
+    // the normalized token string, add-one smoothing over the global
+    // trigram vocab, fixed-point log-likelihood argmax (ties to the
+    // smallest language) — the window formulation here equals the
+    // engine's min(struct(-score, lang)) agg
+    "q27_langid_ngram" ->
+      s"""WITH t AS (SELECT doc_id, lang, array_to_string($toks, ' ') AS s FROM documents),
+         inst AS (SELECT doc_id, lang, substring(s, i, 3) AS g
+                  FROM (SELECT doc_id, lang, s, unnest(range(1, length(s) - 1)) AS i
+                        FROM t WHERE length(s) >= 3)),
+         prof AS (SELECT lang AS plang, g, count(*) AS c FROM inst GROUP BY 1, 2),
+         tot AS (SELECT lang AS plang, count(*) AS t FROM inst GROUP BY 1),
+         v AS (SELECT count(DISTINCT g) AS vs FROM inst),
+         scored AS (SELECT i.doc_id AS doc_id, i.lang AS lang, l.plang AS plang,
+                           sum(CAST(round(ln((coalesce(p.c, 0) + 1.0) / (l.t + v.vs)) * 1e6, 0) AS BIGINT)) AS score
+                    FROM inst i CROSS JOIN tot l CROSS JOIN v
+                         LEFT JOIN prof p ON p.plang = l.plang AND p.g = i.g
+                    GROUP BY 1, 2, 3),
+         pick AS (SELECT doc_id, lang, plang,
+                         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+                  FROM scored)
+         SELECT doc_id, lang, plang AS pred_lang, plang = lang AS match
+         FROM pick WHERE rn = 1 ORDER BY doc_id""",
+
     // vocabulary induction + coverage: top-V terms by occurrence count
     // (count desc, term asc — the engine's exact tie-break), per-doc
     // in-vocab occurrences and OOV rate

@@ -169,6 +169,22 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("n-gram lang-ID separates disjoint-alphabet languages perfectly") {
+    val tmp = java.nio.file.Files.createTempDirectory("lid_docs").toString
+    val rows = (0 until 6).map { i =>
+      if (i % 2 == 0) (i.toLong, "abba bacca cabba abba cab", "aa")
+      else (i.toLong, "xyzzy zyxxy yzxxz xyzzy zyx", "zz")
+    }
+    spark.createDataFrame(rows).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.langIdNgram(spark, tmp).collect()
+    assert(got.length == 6)
+    got.foreach { r =>
+      assert(r.getBoolean(3), s"doc ${r.getLong(0)} misclassified " +
+        s"as ${r.getString(2)} (true ${r.getString(1)})")
+    }
+  }
+
   test("vocab coverage: OOV vanishes once the vocabulary holds every term") {
     val full = TextAnalysis.vocabCoverage(spark, dir, v = 100000).collect()
     assert(full.nonEmpty)
