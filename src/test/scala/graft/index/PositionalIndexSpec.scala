@@ -75,6 +75,54 @@ class PositionalIndexSpec extends SparkSpec {
     assert(hits(loaded) == hits(merged) && loaded.nDocs == merged.nDocs)
   }
 
+  test("streamed positional ingest: cumulative merge == full rebuild") {
+    import java.nio.file.Files
+    val full = spark.createDataFrame(Seq(
+      ("A", "alpha beta gamma alpha beta delta"),
+      ("B", "gamma delta gamma"),
+      ("C", "beta alpha beta"),
+      ("D", "alpha beta epsilon"))).toDF("docid", "content")
+    val ingest = Files.createTempDirectory("pos_stream").toString
+    Seq(full.filter(col("docid") < "C"), full.filter(col("docid") >= "C"))
+      .zipWithIndex.foreach { case (chunk, i) =>
+        val tmp = Files.createTempDirectory(s"pos_chunk$i")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val ls = Files.list(tmp)
+        val part =
+          try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+          finally ls.close()
+        val dst = java.nio.file.Paths.get(ingest, s"chunk-$i.parquet")
+        Files.move(part, dst)
+        // deterministic batch order for the file source
+        dst.toFile.setLastModified(1000000000000L + i * 60000L)
+        ()
+      }
+    // UDFs must exist before the micro-batch engine clones the session
+    graft.text.TextPipeline.register(spark)
+    var streamed: PositionalIndex.PIndex = null
+    val q = spark.readStream
+      .schema("docid STRING, content STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(ingest)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val bs = batch.sparkSession
+        streamed =
+          if (streamed == null) PositionalIndex.build(bs, batch)
+          else PositionalIndex.merge(bs, streamed, batch)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def hits(ix: PositionalIndex.PIndex): Map[String, Long] =
+      PositionalIndex.phrase(ix, "alpha beta").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rebuilt = PositionalIndex.build(spark, full)
+    assert(streamed != null && streamed.nDocs == rebuilt.nDocs)
+    assert(hits(streamed) == hits(rebuilt))
+  }
+
   test("index phrase/proximity == brute full-scan on the test corpus") {
     val dir = "/root/testdata/sf0.001"
     import graft.queries.IrEngine
