@@ -126,6 +126,12 @@ object Repl {
            positional: Option[PositionalIndex.PIndex] = None): Unit = {
     val server =
       if (usePointServer) Some(new graft.query.PointServer(ix)) else None
+    // 2-word quoted phrases get the prepared template on cached
+    // indexes; the fresh-plan path stays for loaded/pushdown serving
+    val phraseServer =
+      if (usePointServer)
+        positional.map(p => new graft.query.PhraseServer(p))
+      else None
     out.println("graft search — 1-2 word query; '*' patterns for " +
       "wildcards; \"quoted phrases\" for exact phrase; empty line quits")
     out.print("query > "); out.flush()
@@ -140,10 +146,14 @@ object Repl {
           // results" like a no-hit query instead of erroring the loop
           case Some(pix)
             if graft.text.TextPipeline.processContent(phrase).nonEmpty =>
-            print10(out, phrase,
-              PositionalIndex.phrase(pix, phrase).limit(10).collect()
-                .map(r => (r.getAs[String]("docid"),
-                  r.getAs[Long]("phrase_tf").toDouble)))
+            print10(out, phrase, phraseServer match {
+              case Some(ps) =>
+                ps.phrase(phrase).map(t => (t._1, t._2.toDouble)).toArray
+              case None =>
+                PositionalIndex.phrase(pix, phrase).limit(10).collect()
+                  .map(r => (r.getAs[String]("docid"),
+                    r.getAs[Long]("phrase_tf").toDouble))
+            })
           case Some(_) => print10(out, phrase, Array.empty)
           case None => out.println(
             "phrase search needs a positional index (build from a " +
