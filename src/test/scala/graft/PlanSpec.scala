@@ -98,6 +98,43 @@ class PlanSpec extends SparkSpec {
       .findAllIn(p).nonEmpty, s"no equi-join for candidates:\n$p")
   }
 
+  test("span dedup: pruned scan, partial agg on gram, no nested-loop join") {
+    val p = plan(Dedup.spanDedup(spark, dir))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"span scan not pruned to (doc_id, text):\n$p")
+    assert(p.contains("partial_count"), s"no partial agg in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in span plan:\n$p")
+  }
+
+  test("span apply: the interval strip is a per-row filter, " +
+    "no inequality join") {
+    val p = plan(Dedup.spanDedupApply(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"range-predicate join materialized in apply plan:\n$p")
+  }
+
+  test("positional build: no shuffle anywhere in the postings lineage") {
+    // build() persists postings; the cached build lineage sits under
+    // the InMemoryRelation — assert on the UNCACHED equivalent plan,
+    // which is what the cache materializes from (STATE.md gotcha:
+    // plan strings of cached frames show the stored lineage)
+    import org.apache.spark.sql.functions._
+    graft.text.TextPipeline.register(spark)
+    val c = graft.queries.IrEngine.corpus(spark, dir)
+    val ix = graft.index.PositionalIndex.build(spark, c)
+    val p = ix.postings.queryExecution.withCachedData.toString
+    assert(p.contains("InMemoryRelation"), s"postings not cached:\n$p")
+    // the size-guarded docMap BROADCAST is expected; the claim is that
+    // the per-doc positional grouping shuffles nothing
+    assert(!p.contains("ShuffleExchange") &&
+      !p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"),
+      s"shuffle in the positional build lineage:\n$p")
+    ix.postings.unpersist(); ix.docMap.unpersist(); ()
+  }
+
   test("IVF cell assignment: max(struct) argmax aggregation, no window") {
     val p = plan(Similarity.ivfCells(spark, dir))
     assert(!p.contains("Window"), s"window argmax leaked back into:\n$p")
