@@ -24,7 +24,8 @@ object GoldenGen {
     * `golden/…` entries in [[SparkEntry.oracleSql]]. */
   val Names: Seq[String] =
     Seq("q26_ir_terms", "q26_ir_index", "q26_ir_search", "q26_ir_wildcard",
-      "q35_rewrite_wildcard", "q36_phrase", "q36_near")
+      "q35_rewrite_wildcard", "q36_phrase", "q36_near",
+      "q36_near_ordered")
 
   /** Golden generators. Most goldens come from the query itself (the
     * pipeline is vector-pinned by the conformance specs); the rewrite
@@ -38,6 +39,8 @@ object GoldenGen {
       (s, d) => graft.queries.IrEngine.q36PhraseBrute(s, d)
     else if (name == "q36_near")
       (s, d) => graft.queries.IrEngine.q36NearBrute(s, d)
+    else if (name == "q36_near_ordered")
+      (s, d) => graft.queries.IrEngine.q36NearOrderedBrute(s, d)
     else SparkEntry.queries(name)
 
   def main(args: Array[String]): Unit = {

@@ -204,4 +204,25 @@ object PositionalIndex {
       .select(col("docno"))
     resolve(ix, hits).select(col("docid")).orderBy("docid")
   }
+
+  /** ORDERED proximity: `termA` strictly before `termB`, at most
+    * `window` pipeline tokens later — the directional variant of
+    * [[near]] (same pruned-scan + docno-join shape, the existential
+    * keeps only forward gaps in (0, window]). */
+  def nearOrdered(ix: PIndex, termA: String, termB: String,
+                  window: Int): DataFrame = {
+    val ta = TextPipeline.processContent(termA)
+    val tb = TextPipeline.processContent(termB)
+    require(ta.size == 1 && tb.size == 1,
+      s"nearOrdered() takes single non-stopword terms, got '$termA'/'$termB'")
+    val pa = ix.postings.filter(col("term") === ta.head)
+      .select(col("docno"), col("positions").as("pa"))
+    val pb = ix.postings.filter(col("term") === tb.head)
+      .select(col("docno"), col("positions").as("pb"))
+    val hits = pa.join(pb, "docno")
+      .filter(exists(col("pa"), x =>
+        exists(col("pb"), y => y > x && y - x <= window)))
+      .select(col("docno"))
+    resolve(ix, hits).select(col("docid")).orderBy("docid")
+  }
 }

@@ -295,6 +295,33 @@ object IrEngine {
     PositionalIndex.near(ix, NearTerms._1, NearTerms._2, NearWindow)
   }
 
+  /** Ordered proximity ([[NearTerms]]._1 strictly before ._2 within
+    * [[NearWindow]]) through the positional index; golden from
+    * [[q36NearOrderedBrute]]. */
+  def q36NearOrdered(spark: SparkSession, dir: String): DataFrame = {
+    val ix = PositionalIndex.build(spark, corpus(spark, dir))
+    PositionalIndex.nearOrdered(ix, NearTerms._1, NearTerms._2, NearWindow)
+  }
+
+  /** Independent ordered-proximity evaluation (row-level position
+    * join, forward gaps only). */
+  private[graft] def q36NearOrderedBrute(spark: SparkSession,
+                                         dir: String): DataFrame = {
+    graft.text.TextPipeline.register(spark)
+    val a = graft.text.TextPipeline.processContent(NearTerms._1).head
+    val b = graft.text.TextPipeline.processContent(NearTerms._2).head
+    val tp = corpus(spark, dir).select(col("docid"),
+        posexplode(expr("graft_tokenize(content)")))
+      .select(col("docid"), col("pos"), col("col").as("term"))
+    tp.filter(col("term") === a).select(col("docid"), col("pos").as("pa"))
+      .join(tp.filter(col("term") === b)
+        .select(col("docid"), col("pos").as("pb")), "docid")
+      .filter(col("pb") > col("pa") &&
+        col("pb") - col("pa") <= NearWindow)
+      .select(col("docid")).distinct()
+      .orderBy("docid")
+  }
+
   /** Independent proximity evaluation: explode every token with its
     * offset, self-join the two terms' occurrence ROWS per doc, keep
     * docs with any pair within the window. */

@@ -52,6 +52,23 @@ class PositionalIndexSpec extends SparkSpec {
     assert(near("gamma", "delta", 3) == Set("A", "B"))
   }
 
+  test("ordered proximity keeps only forward matches and is a subset " +
+    "of unordered") {
+    def ord(a: String, b: String, w: Int): Set[String] =
+      PositionalIndex.nearOrdered(ix, a, b, w).collect()
+        .map(_.getString(0)).toSet
+    // doc B = "gamma delta gamma": delta AFTER gamma at gap 1, and
+    // gamma AFTER delta at gap 1 — both directions hit
+    assert(ord("gamma", "delta", 1) == Set("B"))
+    assert(ord("delta", "gamma", 1) == Set("B"))
+    // doc A: delta (5) is after gamma (2) at gap 3 — only one direction
+    assert(ord("gamma", "delta", 3) == Set("A", "B"))
+    assert(ord("delta", "gamma", 3) == Set("B"))
+    val un = PositionalIndex.near(ix, "gamma", "delta", 3).collect()
+      .map(_.getString(0)).toSet
+    assert(ord("gamma", "delta", 3).subsetOf(un))
+  }
+
   test("merge of a split corpus == full rebuild; write/load round-trips") {
     val full = spark.createDataFrame(Seq(
       ("A", "alpha beta gamma alpha beta delta"),
