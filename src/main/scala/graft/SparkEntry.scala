@@ -119,6 +119,7 @@ object SparkEntry {
     "q36_phrase" -> (IrEngine.q36Phrase _),
     "q36_near" -> (IrEngine.q36Near _),
     "q36_near_ordered" -> (IrEngine.q36NearOrdered _),
+    "q36_snippet" -> (IrEngine.q36Snippet _),
     "q31_trec_source" -> (IrEngine.q31TrecSource _),
     "q29_streaming" -> (IrEngine.q29Streaming _),
     "q29_sliding" -> (IrEngine.q29Sliding _),
@@ -700,6 +701,8 @@ object SparkEntry {
       """SELECT * FROM '/root/repo/golden/q36_near.parquet'""",
     "q36_near_ordered" ->
       """SELECT * FROM '/root/repo/golden/q36_near_ordered.parquet'""",
+    "q36_snippet" ->
+      """SELECT * FROM '/root/repo/golden/q36_snippet.parquet'""",
 
     // the staged TREC file is rebuilt relationally: docid + block length
     "q31_trec_source" ->

@@ -169,6 +169,54 @@ object PositionalIndex {
       .orderBy(col("phrase_tf").desc, col("docid"))
   }
 
+  /** KWIC SNIPPET extraction — `context` pipeline tokens around the
+    * FIRST phrase occurrence of each matching document, served entirely
+    * from the index: the positional postings invert back into the
+    * ordered token stream (explode positions → sort), so no corpus
+    * access and no stored forward index is needed — the structure the
+    * reference keeps a separate byte-offset forward index for (R5,
+    * SURVEY §1.1) falls out of the positional layout.
+    *
+    * Output (docid, first_pos, snippet), snippet = tokens
+    * [first_pos - context, first_pos + m - 1 + context] joined by
+    * single spaces (clamped at the doc edges). Plan: the phrase-hit
+    * set (query-bounded) broadcasts into a postings scan restricted to
+    * the hit docnos; per-doc window reconstruction explodes only the
+    * in-range positions. */
+  def snippet(ix: PIndex, phraseText: String,
+              context: Int = 3): DataFrame = {
+    val terms = TextPipeline.processContent(phraseText)
+    require(terms.nonEmpty, s"phrase analyzed to no terms: '$phraseText'")
+    val m = terms.size
+    val lists = terms.zipWithIndex.map { case (t, i) =>
+      ix.postings.filter(col("term") === t)
+        .select(col("docno"), col("positions").as(s"p$i"))
+    }
+    val joinedAll = lists.reduce((a, b) => a.join(b, "docno"))
+    val phrasePos = (1 until m).foldLeft[Column](col("p0")) {
+      case (acc, i) =>
+        array_intersect(acc, transform(col(s"p$i"), x => x - i))
+    }
+    val hits = joinedAll
+      .select(col("docno"), array_min(phrasePos).as("first_pos"))
+      .filter(col("first_pos").isNotNull)
+    val inRange = ix.postings
+      .join(broadcast(hits), "docno")
+      .select(col("docno"), col("first_pos"),
+        explode(filter(col("positions"), p =>
+          p >= col("first_pos") - context &&
+            p <= col("first_pos") + (m - 1) + context)).as("pos"),
+        col("term"))
+    val snip = inRange.groupBy(col("docno"), col("first_pos"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("term")))),
+        s => s.getField("term")), " ").as("snippet"))
+    resolve(ix, snip)
+      .select(col("docid"), col("first_pos").cast("long").as("first_pos"),
+        col("snippet"))
+      .orderBy("docid")
+  }
+
   /** Docid resolution with the engine's broadcast discipline: the hit
     * set is query-bounded (≤ df of the rarest term) but NOT k-bounded —
     * a one-term "phrase" of a hot term can approach corpus scale, so

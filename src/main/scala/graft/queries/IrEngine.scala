@@ -322,6 +322,40 @@ object IrEngine {
       .orderBy("docid")
   }
 
+  /** KWIC snippets for [[PhraseQuery]] served entirely from the
+    * positional index (postings inverted back to the token stream);
+    * golden from [[q36SnippetBrute]]'s direct token-array slicing. */
+  def q36Snippet(spark: SparkSession, dir: String): DataFrame = {
+    val ix = PositionalIndex.build(spark, corpus(spark, dir))
+    PositionalIndex.snippet(ix, PhraseQuery)
+  }
+
+  /** Independent snippet evaluation: no index — find the first phrase
+    * window in the tokenized doc and slice the token array around it. */
+  private[graft] def q36SnippetBrute(spark: SparkSession,
+                                     dir: String): DataFrame = {
+    graft.text.TextPipeline.register(spark)
+    val terms = graft.text.TextPipeline.processContent(PhraseQuery)
+    val m = terms.size
+    val ctx = 3
+    val toks = corpus(spark, dir).select(col("docid"),
+      expr("graft_tokenize(content)").as("toks"))
+    val firsts = toks.select(col("docid"), col("toks"),
+        posexplode(InvertedIndex.kgramWindows(col("toks"), m)))
+      .filter(col("col") === terms.mkString(" "))
+      .groupBy(col("docid"))
+      .agg(min(col("pos")).as("first_pos"), first(col("toks")).as("toks"))
+    firsts.select(col("docid"),
+        col("first_pos").cast("long").as("first_pos"),
+        array_join(slice(col("toks"),
+          greatest(col("first_pos") - ctx, lit(0)) + 1,
+          least(col("first_pos") + (m - 1) + ctx,
+            size(col("toks")) - 1) -
+            greatest(col("first_pos") - ctx, lit(0)) + 1), " ")
+          .as("snippet"))
+      .orderBy("docid")
+  }
+
   /** Independent proximity evaluation: explode every token with its
     * offset, self-join the two terms' occurrence ROWS per doc, keep
     * docs with any pair within the window. */

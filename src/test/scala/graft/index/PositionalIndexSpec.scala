@@ -69,6 +69,19 @@ class PositionalIndexSpec extends SparkSpec {
     assert(ord("gamma", "delta", 3).subsetOf(un))
   }
 
+  test("snippets window the reconstructed token stream, clamped at edges") {
+    def snips(q: String, ctx: Int): Map[String, (Long, String)] =
+      PositionalIndex.snippet(ix, q, ctx).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    // doc A tokens: alpha beta gamma alpha beta delta
+    val s = snips("beta gamma", 1)
+    assert(s("A") == ((1L, "alpha beta gamma alpha")))
+    // left edge clamps: phrase at pos 0
+    val s2 = snips("alpha beta", 1)
+    assert(s2("A") == ((0L, "alpha beta gamma")))
+    assert(s2("C") == ((1L, "beta alpha beta"))) // right edge clamps
+  }
+
   test("merge of a split corpus == full rebuild; write/load round-trips") {
     val full = spark.createDataFrame(Seq(
       ("A", "alpha beta gamma alpha beta delta"),
