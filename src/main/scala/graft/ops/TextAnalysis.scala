@@ -533,27 +533,38 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"),
         array_join(tokensArrayFast(col("text")), " ").as("s"))
       .stageEager() // feeds instances AND profiles; one tokenize pass
-    val inst = t
+    // per-(doc, gram) OCCURRENCE COUNTS, not occurrence rows: every
+    // downstream consumer (profiles, totals, vocab, scoring) needs
+    // only the counts, and each occurrence of a gram contributes the
+    // SAME fixed-point log-prob — so weighting by n is exact and the
+    // cross-with-languages volume halves (2.07× fewer rows at sf0.1).
+    // The pre-agg shuffle costs more than it saves at sf0.1 (4.7 s vs
+    // 3.5 s) but wins 1.6× at 26× data (15.1 s vs 23.7 s, exponent
+    // 0.59 → 0.36) — the occurrence-row form re-crossed every
+    // occurrence with every language, which is the term that grows
+    val cnt = t
       .select(col("doc_id"), col("lang"),
         explode(when(length(col("s")) >= 3,
           transform(sequence(lit(1), length(col("s")) - 2),
             i => col("s").substr(i, lit(3))))
           .otherwise(array().cast("array<string>"))).as("g"))
+      .groupBy(col("doc_id"), col("lang"), col("g"))
+      .agg(count(lit(1)).as("n"))
       .stageEager() // read by profiles, totals, vocab AND scoring
-    val profile = inst.groupBy(col("lang").as("plang"), col("g"))
-      .agg(count(lit(1)).as("c"))
-    val totals = inst.groupBy(col("lang").as("plang"))
-      .agg(count(lit(1)).as("t"))
-    val vocabSize = inst.select(col("g")).distinct().count()
-    val langs = totals.select(col("plang"), col("t"))
-    // score every (instance, candidate lang): smoothed fixed-point
-    // log-likelihood; absent (lang, gram) counts coalesce to 0
-    val scored = inst
+    val profile = cnt.groupBy(col("lang").as("plang"), col("g"))
+      .agg(sum(col("n")).as("c"))
+    val langs = cnt.groupBy(col("lang").as("plang"))
+      .agg(sum(col("n")).as("t"))
+    val vocabSize = cnt.select(col("g")).distinct().count()
+    // score every (doc-gram, candidate lang): smoothed fixed-point
+    // log-likelihood × occurrence count; absent (lang, gram) counts
+    // coalesce to 0
+    val scored = cnt
       .crossJoin(broadcast(langs))
       .join(broadcast(profile), Seq("plang", "g"), "left")
       .select(col("doc_id"), col("lang"), col("plang"),
-        round(log((coalesce(col("c"), lit(0L)) + 1.0) /
-          (col("t") + vocabSize)) * 1e6, 0).cast("long").as("q"))
+        (col("n") * round(log((coalesce(col("c"), lit(0L)) + 1.0) /
+          (col("t") + vocabSize)) * 1e6, 0).cast("long")).as("q"))
       .groupBy(col("doc_id"), col("lang"), col("plang"))
       .agg(sum(col("q")).as("score"))
     scored.groupBy(col("doc_id"), col("lang"))
