@@ -65,6 +65,27 @@ class ClusterConfSpec extends SparkSpec {
     }
   }
 
+  test("PhraseServer template stays exchange-free and matches the " +
+    "fresh phrase plan under AQE + 200 shuffle partitions") {
+    withClusterConf {
+      val corpus =
+        TrecCorpus.read(spark, resourcePath("/graft/sample-trec.xml"))
+      val pix = graft.index.PositionalIndex.build(spark, corpus)
+      val ps = new graft.query.PhraseServer(pix)
+      val exchanges = ps.templatePlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      assert(exchanges.isEmpty,
+        s"exchange leaked into the phrase template:\n${ps.templatePlan}")
+      Seq("merge engine", "sorted streams", "merge engine").foreach { q =>
+        val want = graft.index.PositionalIndex.phrase(pix, q)
+          .limit(10).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        assert(ps.phrase(q) == want, s"divergence on '$q'")
+      }
+    }
+  }
+
   test("size-guarded broadcasts and pushdown survive the cluster conf") {
     withClusterConf {
       val p = Relational.q11Join(spark, dir)
