@@ -251,6 +251,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cleaned(3L) == ((5L, d)))
   }
 
+  test("span report and span apply agree doc-by-doc: " +
+    "n_kept == n_tokens - dup_tokens") {
+    val report = Dedup.spanDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1) - r.getLong(4))).toMap
+    val kept = Dedup.spanDedupApply(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(report.keySet == kept.keySet && report.nonEmpty)
+    report.foreach { case (doc, expected) =>
+      assert(kept(doc) == expected,
+        s"doc $doc: apply kept ${kept(doc)}, report implies $expected")
+    }
+  }
+
   test("span dedup flags the corpus's exact duplicates as fully covered") {
     val full = Dedup.spanDedup(spark, dir).collect()
       .map(r => r.getLong(0) ->
