@@ -42,6 +42,18 @@ class PositionalIndexSpec extends SparkSpec {
     assert(phraseHits("delta alpha").isEmpty)
   }
 
+  test("a single-term phrase degenerates to the term's tf") {
+    val hits = phraseHits("alpha")
+    assert(hits == Map("A" -> 2L, "C" -> 1L))
+    // cross-check against the raw postings
+    val docnoToId = ix.docMap.collect()
+      .map(r => r.getAs[Long]("docno") -> r.getAs[String]("docid")).toMap
+    val tfs = ix.postings.filter(col("term") === "alpha").collect()
+      .map(r => docnoToId(r.getAs[Long]("docno")) -> r.getAs[Long]("tf"))
+      .toMap
+    assert(hits == tfs)
+  }
+
   test("proximity respects the window bound in either order") {
     def near(a: String, b: String, w: Int): Set[String] =
       PositionalIndex.near(ix, a, b, w).collect()
