@@ -93,15 +93,18 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
-  /** Embedding near-dup: pairs with cosine ≥ 0.35 on the vec_id < 200
-    * sample (synthetic data holds no >0.5 pairs — threshold exercises
-    * the cutoff against real value spread). */
+  /** Embedding near-dup: pairs with cosine ≥ [[SemDedupThreshold]] on
+    * the vec_id < 200 sample — the EXACT-all-pairs correctness surface
+    * (every pair's cosine is checked, nothing cell-bounded). The
+    * corpus-scale path over the full table is [[semDedupPairs]] /
+    * [[semDedupFull]]; this sampled form stays as the exhaustive
+    * cross-check of the pair scores themselves. */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).filter(col("vec_id") < 200)
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         cosine(col("a.embedding"), col("b.embedding")).as("c"))
-      .filter(col("c") >= 0.35)
+      .filter(col("c") >= SemDedupThreshold)
       .select(col("vec_a"), col("vec_b"), round(col("c"), 4).as("cos"))
       .orderBy("vec_a", "vec_b")
   }
@@ -361,9 +364,14 @@ object Similarity {
     * so the array field is never reached by the comparator. NaN
     * cosines (zero vectors) sort largest under both the window's DESC
     * order and struct max — same ties, same oracle. */
-  def ivfCells(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val cents = e.filter(col("vec_id") < IvfCentroids)
+  def ivfCells(spark: SparkSession, dir: String): DataFrame =
+    argmaxCells(emb(spark, dir), IvfCentroids.toLong)
+
+  /** Shared argmax-cosine cell assignment against the seed centroids
+    * `vec_id < k` (see [[ivfCells]] for the plan-shape rationale —
+    * broadcast centroids, one scored scan, `max(struct)` argmax). */
+  private def argmaxCells(e: DataFrame, k: Long): DataFrame = {
+    val cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     e.crossJoin(broadcast(cents))
       .select(col("vec_id"),
@@ -376,6 +384,78 @@ object Similarity {
       .select(col("vec_id"), col("best.embedding").as("embedding"),
         (-col("best.neg_cid")).as("cell"))
   }
+
+  /** Target EXPECTED cell size for corpus-scale SemDeDup: the cell
+    * count k = max([[IvfCentroids]], ceil(n / SemDedupCellSize)) grows
+    * WITH the corpus, so within-cell pairwise work stays
+    * ~n·SemDedupCellSize/2 — LINEAR in corpus size — where a fixed k
+    * would reintroduce the O(n²/k) all-pairs term the sample gate of
+    * [[embedNearDup]] merely hides. */
+  val SemDedupCellSize = 128L
+
+  /** Cosine threshold above which two vectors count as semantic
+    * near-duplicates (shared by the sampled [[embedNearDup]] and the
+    * corpus-scale [[semDedupPairs]]; the synthetic data holds no >0.5
+    * pairs, so 0.35 exercises the cutoff against real value spread). */
+  val SemDedupThreshold = 0.35
+
+  /** Dynamic-k cell assignment for corpus-scale SemDeDup
+    * ([[semDedupPairs]]): seeds are the first k = ceil(n/128) vectors,
+    * so both engines build the identical partition at ANY corpus size
+    * and expected occupancy stays ~[[SemDedupCellSize]].
+    *
+    * Scale posture: the centroid table is k×dims ≈ n/128 vectors —
+    * broadcastable far past any single-table corpus here (at 10M
+    * centroids × 64 dims ≈ 2.5 GB it crosses the practical broadcast
+    * bound; past that, the SemDeDup-paper recipe fixes k to the
+    * largest value whose cells fit executor memory and accepts
+    * O(n²/k) in-cell work, or pre-routes assignment through a coarse
+    * quantizer — the knob is this one constant either way). The n×k
+    * assignment scan is the dominant cost and is embarrassingly
+    * parallel (no shuffle before the one-row-per-vector argmax). */
+  def semDedupCells(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val k = math.max(IvfCentroids.toLong,
+      (e.count() + SemDedupCellSize - 1) / SemDedupCellSize)
+    argmaxCells(e, k)
+  }
+
+  /** CORPUS-SCALE SemDeDup candidate pairs: exact cosine ≥
+    * [[SemDedupThreshold]] computed only WITHIN a [[semDedupCells]]
+    * cell — the actual SemDeDup recipe (Abbas et al.: k-means cells,
+    * pairwise similarity inside each cell) — over the ENTIRE
+    * embeddings table, no sample gate. The cell equi-join replaces the
+    * all-pairs inequality self-join: candidate count is
+    * ~n·cellSize/2, linear in n because k grows with the corpus
+    * ([[SemDedupCellSize]]). Recall trade (inherent to the recipe):
+    * a near-dup pair straddling a cell boundary is missed; the
+    * verbatim-duplicate pairs dedup actually targets always
+    * co-locate (identical vectors score identically → same argmax
+    * cell). */
+  def semDedupPairs(spark: SparkSession, dir: String): DataFrame = {
+    // stage(): the self-join reads the assignment blocks twice; without
+    // the cut the n×k argmax scan would run once per side
+    val cells = semDedupCells(spark, dir).stage()
+    cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .filter(col("c") >= SemDedupThreshold)
+      .select(col("vec_a"), col("vec_b"), round(col("c"), 4).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Full-corpus SemDeDup: connected components + keeper flag over the
+    * cell-bounded near-dup graph ([[semDedupPairs]]) — the
+    * corpus-scale form of [[semanticClusters]], every stage bounded
+    * (grows-with-n cells, linear candidate set, union-find with
+    * distributed-propagate fallback). */
+  def semDedupFull(spark: SparkSession, dir: String): DataFrame =
+    Dedup.clusters(spark,
+        semDedupPairs(spark, dir)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster"), col("keeper"))
+      .orderBy("vec_id")
 
   /** IVF-accelerated ANN: probe only the query vector's cell, exact
     * cosine re-rank inside it. The standard recall/latency trade —

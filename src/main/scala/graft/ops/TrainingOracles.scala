@@ -464,6 +464,33 @@ object TrainingOracles {
                      ELSE CAST(0 AS BIGINT) END AS keeper
          FROM r GROUP BY node ORDER BY vec_id""",
 
+    // corpus-scale SemDeDup candidate pairs: dynamic-k argmax-cosine
+    // cells (k = max(IvfCentroids, ceil(n/SemDedupCellSize)), seeds =
+    // first k vectors), exact cosine only WITHIN a cell — mirrors
+    // Similarity.semDedupPairs over the ENTIRE table, no sample gate
+    "q25_semdedup_pairs" ->
+      s"""WITH $semDedupPairCtes
+         SELECT vec_a, vec_b, round(c, 4) AS cos FROM p
+         WHERE c >= ${Similarity.SemDedupThreshold} ORDER BY vec_a, vec_b""",
+
+    // full-corpus SemDeDup: recursive reachability + keeper flag over
+    // the cell-bounded pair graph (same cluster CTE shape as
+    // q25_semantic_clusters; mirrors Similarity.semDedupFull)
+    "q25_semdedup_full" ->
+      s"""WITH RECURSIVE $semDedupPairCtes,
+         g AS (SELECT vec_a AS u0, vec_b AS v0 FROM p
+               WHERE c >= ${Similarity.SemDedupThreshold}),
+         e AS (SELECT u0 AS u, v0 AS v FROM g
+               UNION ALL SELECT v0, u0 FROM g),
+         nodes AS (SELECT DISTINCT u AS node FROM e),
+         r AS (SELECT node, node AS m FROM nodes
+               UNION
+               SELECT r.node, e.v FROM r JOIN e ON r.m = e.u)
+         SELECT node AS vec_id, min(m) AS cluster,
+                CASE WHEN min(m) = node THEN CAST(1 AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END AS keeper
+         FROM r GROUP BY node ORDER BY vec_id""",
+
     // int8-quantized brute-force ANN: scale = max|v|, codes =
     // floor(v*127/sc + 0.5); cosine over the integer codes (scale
     // cancels), integer sums exact in double folds
@@ -750,6 +777,28 @@ object TrainingOracles {
          WHERE h < keep_p * 10000 ORDER BY doc_id"""
     },
   )
+
+  /** Shared corpus-scale SemDeDup CTE chain ending in `p` =
+    * (vec_a, vec_b, c): dynamic-k seed centroids (k = max(IvfCentroids,
+    * ceil(n / SemDedupCellSize)) — grows with the corpus so expected
+    * cell size stays ~constant), argmax-cosine cell assignment
+    * (row_number DESC ↔ Spark's max(struct): NaN ranks largest, ties →
+    * smallest cid), exact cosine on within-cell pairs only — mirrors
+    * [[Similarity.semDedupCells]]/[[Similarity.semDedupPairs]]. */
+  private lazy val semDedupPairCtes: String =
+    s"""c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+              WHERE vec_id < (SELECT greatest(${Similarity.IvfCentroids},
+                CAST(ceil(count(*) / ${Similarity.SemDedupCellSize}.0) AS BIGINT))
+                FROM embeddings)),
+       a AS (SELECT e.vec_id, e.embedding, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${cos("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+             FROM embeddings e CROSS JOIN c),
+       cells AS (SELECT vec_id, embedding, cid AS cell FROM a WHERE rn = 1),
+       p AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+                    ${cos("x.embedding", "y.embedding")} AS c
+             FROM cells x JOIN cells y
+               ON x.cell = y.cell AND x.vec_id < y.vec_id)"""
 
   /** Shared synthetic link-graph CTEs ending in `edges` — identical
     * affine maps to [[Graph.linkEdges]] (UNION ALL rather than unnest:

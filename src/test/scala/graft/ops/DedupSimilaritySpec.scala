@@ -127,6 +127,57 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semDedup cells degenerate to ivfCells at sub-threshold corpus size") {
+    // n=500 → k = max(IvfCentroids, ceil(500/128)) = IvfCentroids: the
+    // dynamic-k path must reproduce the pinned 8-cell assignment exactly
+    val ivf = Similarity.ivfCells(spark, dir)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val sem = Similarity.semDedupCells(spark, dir)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sem.size == 500)
+    assert(sem == ivf)
+  }
+
+  test("semDedup pairs are the cell-gated subset of brute all-pairs, scores exact") {
+    val brute = {
+      val e = graft.Tables.load(spark, dir, "embeddings")
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id"), col("b.vec_id"),
+          round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 4)
+            .as("cos"))
+        .filter(col("cos") >= Similarity.SemDedupThreshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+    }
+    val cellBounded = Similarity.semDedupPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(cellBounded.nonEmpty)
+    // cell-bounding only REMOVES candidates (boundary-straddling pairs);
+    // every surviving pair's cosine must equal the brute value exactly
+    cellBounded.foreach { case (k, c) =>
+      assert(brute.contains(k), s"pair $k not in brute all-pairs set")
+      assert(brute(k) == c, s"score drift on $k: brute ${brute(k)} vs $c")
+    }
+  }
+
+  test("semDedupFull clusters: one keeper per cluster, label = min member") {
+    val rows = Similarity.semDedupFull(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (cluster, members) =>
+      assert(members.map(_._1).min == cluster,
+        s"cluster $cluster label is not its min member")
+      assert(members.count(_._3 == 1L) == 1,
+        s"cluster $cluster keeper count != 1")
+      members.foreach { case (vid, _, keeper) =>
+        assert((keeper == 1L) == (vid == cluster))
+      }
+    }
+  }
+
   test("union-find task guard aborts oversized graphs with the fallback marker") {
     val pairs = Dedup.jaccard(spark, dir, threshold = 0.5)
       .select(col("doc_a"), col("doc_b"))
