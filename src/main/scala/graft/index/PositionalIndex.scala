@@ -45,10 +45,7 @@ object PositionalIndex {
       nDocs / 1000000L + 1)).toInt
     val docMap = dm.coalesce(mapParts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val joined =
-      if (nDocs <= InvertedIndex.BroadcastDocs)
-        corpus.join(broadcast(docMap), "docid")
-      else corpus.join(docMap, "docid")
+    val joined = InvertedIndex.corpusDocJoin(corpus, docMap, nDocs)
     // a doc's occurrence lists are complete within its own row, so the
     // (term → sorted positions) grouping happens entirely MAP-SIDE in
     // one scan — the build has NO exchange at all (a posexplode +
@@ -126,6 +123,21 @@ object PositionalIndex {
       .write.mode("overwrite").parquet(s"$dir/doc_map")
     spark.range(1).select(lit(ix.nDocs).as("n_docs"))
       .write.mode("overwrite").parquet(s"$dir/corpus_stats")
+    // zone-map manifests, the [[InvertedIndex.write]] convention: per-
+    // file key ranges of the two range-partitioned artifacts, so a
+    // serving node ([[graft.query.LoadedPhraseServer]]) routes a
+    // phrase's terms (and the result docnos) to their 1-2 files driver-
+    // side instead of scanning the index per query.
+    spark.read.parquet(s"$dir/pos_postings")
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("term")).as("lo"), max(col("term")).as("hi"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/pos_postings_ranges")
+    spark.read.parquet(s"$dir/doc_map")
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("docno")).as("lo"), max(col("docno")).as("hi"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/doc_map_ranges")
   }
 
   /** Load a [[write]]-layout index; scans stay parquet-pruned (no
@@ -159,6 +171,60 @@ object PositionalIndex {
     // a repeated query term produces two identical column names from
     // one list each — zipWithIndex aliases keep them distinct
     val phrasePos = (1 until terms.size).foldLeft[Column](col("p0")) {
+      case (acc, i) =>
+        array_intersect(acc, transform(col(s"p$i"), x => x - i))
+    }
+    val hits = joinedAll
+      .select(col("docno"), size(phrasePos).cast("long").as("phrase_tf"))
+      .filter(col("phrase_tf") > 0)
+    resolve(ix, hits).select(col("docid"), col("phrase_tf"))
+      .orderBy(col("phrase_tf").desc, col("docid"))
+  }
+
+  /** WILDCARD phrase search: any word of the phrase may be a
+    * `*`-wildcard pattern (`"info* retrieval"`), expanded through the
+    * char-k-gram index ([[graft.query.QueryEngine.wildcardTerms]] —
+    * grams of the anchored segments → candidate raw vocabulary terms →
+    * regex verify), re-analyzed to stemmed index terms (the
+    * wildcardSearch discipline: the R4 index holds raw surface forms,
+    * postings are stemmed), then matched positionally: a phrase starts
+    * at p iff for every slot i SOME of its terms occurs at p+i.
+    *
+    * Plan: a literal slot is a pruned postings point-scan (as in
+    * [[phrase]]); a wildcard slot joins postings against its
+    * vocabulary-bounded broadcast expansion and unions the matching
+    * occurrence lists per doc (position lists of distinct terms are
+    * disjoint — one term per offset — so `flatten` + sort IS the
+    * union). The slot frames then follow [[phrase]]'s docno-join +
+    * shifted-array-intersection tail unchanged. Stopword words drop,
+    * preserving [[phrase]]'s adjacency-after-the-pipeline semantics. */
+  def phraseWildcard(ix: PIndex, chargrams: DataFrame, phraseText: String,
+                     k: Int = 3): DataFrame = {
+    val spark = ix.postings.sparkSession
+    TextPipeline.register(spark)
+    val words = phraseText.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    require(words.nonEmpty, s"phrase has no words: '$phraseText'")
+    val slots: Seq[Either[String, DataFrame]] = words.flatMap { w =>
+      if (w.contains("*"))
+        Seq(Right(
+          graft.query.QueryEngine.wildcardTerms(chargrams, w, k)
+            .select(explode(expr("graft_tokenize(term)")).as("term"))
+            .distinct()))
+      else TextPipeline.processContent(w).map(Left(_))
+    }
+    require(slots.nonEmpty, s"phrase analyzed to no terms: '$phraseText'")
+    val lists = slots.zipWithIndex.map {
+      case (Left(t), i) =>
+        ix.postings.filter(col("term") === t)
+          .select(col("docno"), col("positions").as(s"p$i"))
+      case (Right(exp), i) =>
+        ix.postings.join(broadcast(exp), "term")
+          .groupBy(col("docno"))
+          .agg(array_sort(flatten(collect_list(col("positions"))))
+            .as(s"p$i"))
+    }
+    val joinedAll = lists.reduce((a, b) => a.join(b, "docno"))
+    val phrasePos = (1 until slots.size).foldLeft[Column](col("p0")) {
       case (acc, i) =>
         array_intersect(acc, transform(col(s"p$i"), x => x - i))
     }

@@ -1,0 +1,157 @@
+package graft.query
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.unsafe.types.UTF8String
+import graft.index.PositionalIndex
+import graft.text.TextPipeline
+
+/** Routed prepared-plan phrase serving over a LOADED (pure-parquet)
+  * positional index — [[LoadedPointServer]]'s zone-map pattern applied
+  * to [[PhraseServer]]'s exchange-free two-word template.
+  *
+  * [[PhraseServer]] is documented cached-only: its opaque
+  * [[RefSetContains]] predicate defeats parquet pushdown, so over
+  * written artifacts every query would scan the WHOLE positional
+  * postings (and positional rows carry position arrays — heavier than
+  * the ranked index's, so the O(index) per-query cost grows faster).
+  * Here the pruning happens DRIVER-SIDE before the plan is chosen:
+  *
+  *  - [[PositionalIndex.write]] persists per-file term-range manifests
+  *    (`pos_postings_ranges`); opening the server reads them once.
+  *  - A phrase's two terms route to their covering files by range
+  *    lookup — the prepared scan is file-bounded BY CONSTRUCTION, so
+  *    the opaque predicate no longer needs pushdown.
+  *  - Per file set, an LRU-cached template runs the same exchange-free
+  *    shape as [[PhraseServer]]: one coalesced scan, per-docno
+  *    conditional slot aggregate (`first(when(term == slot ref))`),
+  *    shifted-array intersection, top-k. No join, no exchange — safe
+  *    to re-execute with updated refs.
+  *  - Result docnos resolve through the `doc_map_ranges` manifest the
+  *    same way ([[RefLongSetContains]]); unresolved docnos drop
+  *    (inner-join semantics, as everywhere).
+  *
+  * Phrases of length ≠ 2 fall back to the fresh-plan
+  * [[PositionalIndex.phrase]] over the loaded frames — literal term
+  * filters there keep native parquet pruning, so the fallback is
+  * file-bounded too, just re-planned per query.
+  *
+  * Same concurrency contract as [[PointServer]]: one in-flight query
+  * per instance (set-then-collect reference cells). */
+final class LoadedPhraseServer(spark: SparkSession, dir: String,
+                               topK: Int = 10, maxPlans: Int = 64) {
+
+  private val pix = PositionalIndex.load(spark, dir)
+
+  private val postRanges = Routing.stringRanges(spark, s"$dir/pos_postings_ranges")
+  private val docRanges = Routing.longRanges(spark, s"$dir/doc_map_ranges")
+
+  private def newRef() =
+    new AtomicReference[java.util.HashSet[UTF8String]](new java.util.HashSet)
+
+  private final case class PhraseTmpl(
+      both: AtomicReference[java.util.HashSet[UTF8String]],
+      slotA: AtomicReference[java.util.HashSet[UTF8String]],
+      slotB: AtomicReference[java.util.HashSet[UTF8String]],
+      df: DataFrame)
+  private final case class ResolveTmpl(
+      ref: AtomicReference[java.util.HashSet[java.lang.Long]], df: DataFrame)
+
+  private val phrasePlans = Routing.lru[PhraseTmpl](maxPlans)
+  private val resolvePlans = Routing.lru[ResolveTmpl](maxPlans)
+
+  private def phraseTmpl(files: Seq[String]): PhraseTmpl = {
+    val hit = phrasePlans.get(files)
+    if (hit != null) return hit
+    val (both, slotA, slotB) = (newRef(), newRef(), newRef())
+    def in(ref: AtomicReference[java.util.HashSet[UTF8String]]) =
+      Bridge.column(RefSetContains(Bridge.expression(col("term")), ref))
+    // explicit schema: no inference job when the plan is first built
+    val df = spark.read.schema(pix.postings.schema).parquet(files: _*)
+      .filter(in(both)).coalesce(1)
+      .groupBy(col("docno"))
+      .agg(
+        first(when(in(slotA), col("positions")), ignoreNulls = true).as("p0"),
+        first(when(in(slotB), col("positions")), ignoreNulls = true).as("p1"))
+      .filter(col("p0").isNotNull && col("p1").isNotNull)
+      .select(col("docno"),
+        size(array_intersect(col("p0"),
+          transform(col("p1"), x => x - 1))).cast("long").as("phrase_tf"))
+      .filter(col("phrase_tf") > 0)
+      .orderBy(col("phrase_tf").desc, col("docno"))
+      .limit(topK)
+    df.queryExecution.executedPlan // plan + codegen now, not per query
+    val t = PhraseTmpl(both, slotA, slotB, df)
+    phrasePlans.put(files, t)
+    t
+  }
+
+  private def resolveTmpl(files: Seq[String]): ResolveTmpl = {
+    val hit = resolvePlans.get(files)
+    if (hit != null) return hit
+    val ref = new AtomicReference[java.util.HashSet[java.lang.Long]](
+      new java.util.HashSet)
+    val inDocs =
+      Bridge.column(RefLongSetContains(Bridge.expression(col("docno")), ref))
+    val df = spark.read.schema(pix.docMap.schema).parquet(files: _*)
+      .filter(inDocs).coalesce(1)
+      .select(col("docno"), col("docid"))
+    df.queryExecution.executedPlan
+    val t = ResolveTmpl(ref, df)
+    resolvePlans.put(files, t)
+    t
+  }
+
+  /** The loaded index, for callers that also want analytic plans (near/
+    * nearOrdered/snippet — literal-filtered, parquet-pruned) over the
+    * same artifacts. */
+  def index: PositionalIndex.PIndex = pix
+
+  /** Exposed for the exchange-free plan-walk assertion (see
+    * [[PointServer.templatePlan]]). */
+  private[graft] def templatePlan(files: Seq[String])
+      : org.apache.spark.sql.execution.SparkPlan =
+    phraseTmpl(files).df.queryExecution.executedPlan
+
+  /** Top-k (docid, phrase_tf), tf desc then docid asc — the
+    * [[PhraseServer.phrase]] output contract, served from pure parquet
+    * artifacts. */
+  def phrase(phraseText: String): Seq[(String, Long)] = synchronized {
+    val terms = TextPipeline.processContent(phraseText)
+    if (terms.isEmpty) return Seq.empty
+    if (terms.size != 2)
+      return PositionalIndex.phrase(pix, phraseText)
+        .limit(topK).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val routed = terms.map(t => Routing.route(postRanges, t))
+    // a term outside every file's range has no postings, so no doc can
+    // hold the phrase — answer without running any job
+    if (routed.exists(_.isEmpty)) return Seq.empty
+    val files = routed.flatten.distinct.sorted
+    val t = phraseTmpl(files)
+    def set(ts: String*) = {
+      val s = new java.util.HashSet[UTF8String]()
+      ts.foreach(x => s.add(UTF8String.fromString(x)))
+      s
+    }
+    t.both.set(set(terms: _*))
+    t.slotA.set(set(terms.head))
+    t.slotB.set(set(terms(1)))
+    val top = t.df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (top.isEmpty) return Seq.empty
+    val docFiles = top.map(_._1).toSeq
+      .flatMap(Routing.route(docRanges, _)).distinct.sorted
+    if (docFiles.isEmpty) return Seq.empty
+    val rt = resolveTmpl(docFiles)
+    val dset = new java.util.HashSet[java.lang.Long]()
+    top.foreach(x => dset.add(x._1))
+    rt.ref.set(dset)
+    val ids = rt.df.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    top.toSeq.flatMap { case (d, tf) => ids.get(d).map(id => (id, tf)) }
+      .sortBy { case (docid, tf) => (-tf, docid) }
+  }
+}

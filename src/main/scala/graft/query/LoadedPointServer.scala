@@ -79,52 +79,23 @@ final class LoadedPointServer(spark: SparkSession, dir: String,
 
   private val ix = graft.index.InvertedIndex.load(spark, dir)
 
-  /** Sorted (lo, hi, file) ranges of a range-partitioned artifact,
-    * from its write-time manifest. */
-  private def ranges(name: String): Array[(String, String, String)] =
-    spark.read.parquet(s"$dir/$name")
-      .select(col("lo").cast("string"), col("hi").cast("string"), col("file"))
-      .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
-      .sortBy(_._1)
+  // write-time zone-map manifests → driver-side routing ([[Routing]])
+  private val postRanges = Routing.stringRanges(spark, s"$dir/postings_ranges")
+  private val docRanges = Routing.longRanges(spark, s"$dir/doc_map_ranges")
 
-  private val postRanges = ranges("postings_ranges")
-  private val docRanges: Array[(Long, Long, String)] =
-    spark.read.parquet(s"$dir/doc_map_ranges")
-      .collect()
-      .map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi"),
-        r.getAs[String]("file")))
-      .sortBy(_._1)
-
-  /** Files whose [lo, hi] range covers the key — normally one (range
-    * partitioning gives disjoint ranges); linear scan over the file
-    * list is fine at any realistic file count (a 100 TB index at 4M
-    * rows/file is ~10⁵ entries; swap in a binary search then). */
   private def routeTerm(t: String): Seq[String] =
-    postRanges.iterator
-      .filter(r => r._1 <= t && t <= r._2).map(_._3).toSeq
+    Routing.route(postRanges, t)
 
   private def routeDocno(d: Long): Seq[String] =
-    docRanges.iterator
-      .filter(r => r._1 <= d && d <= r._2).map(_._3).toSeq
+    Routing.route(docRanges, d)
 
   private final case class ScoreTmpl(
       ref: AtomicReference[java.util.HashSet[UTF8String]], df: DataFrame)
   private final case class ResolveTmpl(
       ref: AtomicReference[java.util.HashSet[java.lang.Long]], df: DataFrame)
 
-  // LRU over file-set keys: access-ordered LinkedHashMap with eldest
-  // eviction — hot file sets keep their prepared plans, cold ones
-  // rebuild on next touch
-  private def lru[V](): java.util.LinkedHashMap[Seq[String], V] =
-    new java.util.LinkedHashMap[Seq[String], V](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[Seq[String], V]): Boolean =
-        size() > maxPlans
-    }
-
-  private val scorePlans = lru[ScoreTmpl]()
-  private val resolvePlans = lru[ResolveTmpl]()
+  private val scorePlans = Routing.lru[ScoreTmpl](maxPlans)
+  private val resolvePlans = Routing.lru[ResolveTmpl](maxPlans)
 
   private def scoreTmpl(files: Seq[String]): ScoreTmpl = {
     val hit = scorePlans.get(files)

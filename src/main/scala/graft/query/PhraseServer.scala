@@ -35,6 +35,15 @@ import graft.index.PositionalIndex.PIndex
   * plan per query (≤ topK rows — planning is microseconds and literals
   * keep stat pruning; an opaque templated filter here would be
   * O(corpus) per query).
+  *
+  * Index-size scaling limit (cached-only, like [[PointServer]]): the
+  * opaque ref predicate defeats batch-stat pruning, so each query reads
+  * the full CACHED positional postings single-threaded — and positional
+  * rows carry whole position arrays, so this per-query O(index) term
+  * grows faster with corpus size than PointServer's over the ranked
+  * postings. Fine at the benchmarked scales; for a big written index,
+  * serve through [[LoadedPhraseServer]], whose driver-side zone-map
+  * routing bounds each query's scan to the 1-2 files holding its terms.
   */
 final class PhraseServer(pix: PIndex, topK: Int = 10) {
 
