@@ -145,112 +145,165 @@ object Bench {
       ix.postings.count()
       nDocs / ((System.nanoTime() - t0) / 1e9)
     }.max
-    // warm serve-path latency: median of 11 tf-idf point queries
-    // through the latency-shaped serveSearch plan (single-stage score +
-    // top-k, broadcast docid resolution) against the cached index. AQE
-    // is off for this block only — a point query has nothing to
-    // re-plan and the re-optimization round-trips dominate its floor.
+    // warm serve-path latency: median of 11 point queries per serving
+    // surface, measured as THREE full sweeps with the same resample
+    // discipline as the query medians (VERDICT r7 #3: the driver's
+    // 124→147 ms template move was unattributable because warm rows
+    // published a single sweep with no spread/GC columns). Each metric
+    // publishes: median of sweep-medians, spread across sweeps, GC
+    // seconds per sweep, and a resampled flag — a noisy first triple
+    // (spread > warmSpreadLimit) is re-measured with a settle-GC before
+    // every sweep and the better median wins. AQE is off for this block
+    // only — a point query has nothing to re-plan and the
+    // re-optimization round-trips dominate its floor.
+    // (name, spread, gcPerSweepSec, resampled) per warm metric
+    val warmRows =
+      scala.collection.mutable.ArrayBuffer[(String, Double, Double, Boolean)]()
+    // warm sweeps are medians-of-11 — far stabler than single-query
+    // runs, so the noise gate is proportionally tighter than the query
+    // rows' 0.7
+    val warmSpreadLimit = 0.25
+    def sweep3(name: String, sweepOnce: () => Double): Long = {
+      def passes(gcEach: Boolean): (Seq[Double], Double) = {
+        if (!gcEach) System.gc()
+        var gcIn = 0L
+        val ms = (1 to 3).map { _ =>
+          if (gcEach) System.gc()
+          val g0 = gcMillis
+          val m = sweepOnce()
+          gcIn += gcMillis - g0
+          m
+        }
+        (ms.sorted, gcIn / 1e3)
+      }
+      def rel(ts: Seq[Double]): Double =
+        if (median(ts) > 0) (ts.last - ts.head) / median(ts) else 0.0
+      val (ts, g) = passes(gcEach = false)
+      val (fts, fg, res) =
+        if (rel(ts) <= warmSpreadLimit) (ts, g, false)
+        else {
+          val (ts2, g2) = passes(gcEach = true)
+          if (median(ts2) < median(ts)) (ts2, g2, true) else (ts, g, true)
+        }
+      warmRows += ((name, math.rint(rel(fts) * 100) / 100,
+        math.rint(fg / 3 * 100) / 100, res))
+      median(fts).round
+    }
+    def sweepOf(queries: Seq[String], serve: String => Unit): () => Double =
+      () => {
+        val ls = queries.map { q =>
+          val s0 = System.nanoTime()
+          serve(q)
+          (System.nanoTime() - s0) / 1e3
+        }.sorted
+        ls(ls.size / 2)
+      }
     val aqeKey = "spark.sql.adaptive.enabled"
     val prevAqe = spark.conf.get(aqeKey)
     val queriesToServe = Seq("merge stream", "data table", "sort filter",
       "spark", "key value", "row scan", "index term", "stream filter",
       "table merge", "value row", "scan key")
-    val (lat, latTemplate, latLoaded, latLoadedRouted) = try {
-      spark.conf.set(aqeKey, "false")
-      System.gc()
-      graft.query.QueryEngine.serveSearch(ix, "warm up").count()
-      val perQuery = queriesToServe.map { q =>
-        val s0 = System.nanoTime()
-        graft.query.QueryEngine.serveSearch(ix, q).count()
-        (System.nanoTime() - s0) / 1e3
-      }.sorted
-      // reusable-template serving (PointServer): plan+codegen amortized
-      // across queries, per query only the two exchange-free jobs run
-      val ps = new graft.query.PointServer(ix)
-      ps.search("warm up")
-      val tmpl = queriesToServe.map { q =>
-        val s0 = System.nanoTime()
-        ps.search(q)
-        (System.nanoTime() - s0) / 1e3
-      }.sorted
-      // durable-index serving: write the index (range-partitioned
-      // sorted parquet), load it back, and run the same point queries
-      // against the parquet artifacts — row-group-pruned point scans,
-      // no cached corpus anywhere in the lineage
-      // per-run temp dir: a fixed shared path would let two concurrent
-      // bench processes overwrite each other's index mid-serve, and
-      // would never be cleaned up
-      val ixPath = java.nio.file.Files.createTempDirectory("graft_bench_ix")
-      val (loaded, loadedRouted) = try {
-        val ixDir = ixPath.toString
-        graft.index.InvertedIndex.write(ix, ixDir)
-        val lx = graft.index.InvertedIndex.load(spark, ixDir)
-        graft.query.QueryEngine.serveSearch(lx, "warm up").count()
-        val fresh = queriesToServe.map { q =>
-          val s0 = System.nanoTime()
-          graft.query.QueryEngine.serveSearch(lx, q).count()
-          (System.nanoTime() - s0) / 1e3
-        }.sorted
-        // routed prepared-plan serving over the same artifacts: zone-
-        // map file routing + LRU'd exchange-free templates (planning
-        // amortized, scans file-bounded)
-        val lps = new graft.query.LoadedPointServer(spark, ixDir)
-        lps.search("warm up")
-        val routed = queriesToServe.map { q =>
-          val s0 = System.nanoTime()
-          lps.search(q)
-          (System.nanoTime() - s0) / 1e3
-        }.sorted
-        (fresh, routed)
-      } finally {
-        val wk = java.nio.file.Files.walk(ixPath)
-        try wk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-        finally wk.close()
-      }
-      (perQuery, tmpl, loaded, loadedRouted)
-    } finally spark.conf.set(aqeKey, prevAqe)
-    // phrase serving over the cached POSITIONAL index: fresh-plan
-    // latency per phrase query (pruned per-term postings scans + docno
-    // joins + one shifted-array intersection). Raw phrases analyze to
-    // mid-frequency stem trigrams of the synthetic corpus.
-    val (latPhrase, latPhraseTemplate) = {
-      val prev = spark.conf.get(aqeKey)
+    // phrase queries analyze to mid-frequency stem trigrams/pairs of
+    // the synthetic corpus
+    val phrases = Seq("agg hash window", "spark table hash",
+      "slow key column", "row vector slow", "part filter scan",
+      "stream table hash", "row column sort", "custom join vector",
+      "window fast query", "table value query", "batch fast agg")
+    val twoWord = Seq("agg hash", "spark table", "slow key",
+      "row vector", "part filter", "stream table", "row column",
+      "custom join", "window fast", "table value", "batch fast")
+    val (medianUs, medianTemplateUs, medianLoadedUs, medianLoadedRoutedUs,
+        medianPhraseUs, medianPhraseTemplateUs, medianPhraseLoadedRoutedUs) =
       try {
         spark.conf.set(aqeKey, "false")
+        System.gc()
+        // fresh-plan serving against the cached index (single-stage
+        // score + top-k, broadcast docid resolution; planning per query)
+        graft.query.QueryEngine.serveSearch(ix, "warm up").count()
+        val mUs = sweep3("warm_search_us", sweepOf(queriesToServe,
+          q => { graft.query.QueryEngine.serveSearch(ix, q).count(); () }))
+        // reusable-template serving (PointServer): plan+codegen
+        // amortized, per query only the two exchange-free jobs run
+        val ps = new graft.query.PointServer(ix)
+        ps.search("warm up")
+        val mTmplUs = sweep3("warm_search_template_us",
+          sweepOf(queriesToServe, q => { ps.search(q); () }))
+        // durable-index serving: write the index (range-partitioned
+        // sorted parquet), load it back, serve against the parquet
+        // artifacts — row-group-pruned scans, no cached corpus anywhere.
+        // per-run temp dir: a fixed shared path would let two
+        // concurrent bench processes overwrite each other's index
+        // mid-serve, and would never be cleaned up
+        val ixPath = java.nio.file.Files.createTempDirectory("graft_bench_ix")
+        val (mLoadUs, mRoutedUs) = try {
+          val ixDir = ixPath.toString
+          graft.index.InvertedIndex.write(ix, ixDir)
+          val lx = graft.index.InvertedIndex.load(spark, ixDir)
+          graft.query.QueryEngine.serveSearch(lx, "warm up").count()
+          val fresh = sweep3("warm_search_loaded_us", sweepOf(queriesToServe,
+            q => { graft.query.QueryEngine.serveSearch(lx, q).count(); () }))
+          // routed prepared-plan serving over the same artifacts: zone-
+          // map file routing + LRU'd exchange-free templates (planning
+          // amortized, scans file-bounded)
+          val lps = new graft.query.LoadedPointServer(spark, ixDir)
+          lps.search("warm up")
+          val routed = sweep3("warm_search_loaded_routed_us",
+            sweepOf(queriesToServe, q => { lps.search(q); () }))
+          (fresh, routed)
+        } finally {
+          val wk = java.nio.file.Files.walk(ixPath)
+          try wk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+          finally wk.close()
+        }
+        // phrase serving over the cached POSITIONAL index: fresh-plan
+        // (pruned per-term scans + docno joins + shifted-array
+        // intersection), prepared 2-word template, and the routed
+        // loaded-artifact server
         val pix = graft.index.PositionalIndex.build(spark, corpus)
         graft.index.PositionalIndex.phrase(pix, "warm up query").count()
-        val phrases = Seq("agg hash window", "spark table hash",
-          "slow key column", "row vector slow", "part filter scan",
-          "stream table hash", "row column sort", "custom join vector",
-          "window fast query", "table value query", "batch fast agg")
-        val freshLat = phrases.map { p =>
-          val s0 = System.nanoTime()
-          graft.index.PositionalIndex.phrase(pix, p).count()
-          (System.nanoTime() - s0) / 1e3
-        }.sorted
-        // prepared 2-word template (the dominant interactive shape)
-        val ps = new graft.query.PhraseServer(pix)
-        val twoWord = Seq("agg hash", "spark table", "slow key",
-          "row vector", "part filter", "stream table", "row column",
-          "custom join", "window fast", "table value", "batch fast")
-        ps.phrase("warm up")
-        val tmplLat = twoWord.map { p =>
-          val s0 = System.nanoTime()
-          ps.phrase(p)
-          (System.nanoTime() - s0) / 1e3
-        }.sorted
-        (freshLat, tmplLat)
-      } finally spark.conf.set(aqeKey, prev)
+        val mPhraseUs = sweep3("warm_phrase_us", sweepOf(phrases,
+          p => { graft.index.PositionalIndex.phrase(pix, p).count(); () }))
+        val phs = new graft.query.PhraseServer(pix)
+        phs.phrase("warm up")
+        val mPhraseTmplUs = sweep3("warm_phrase_template_us",
+          sweepOf(twoWord, p => { phs.phrase(p); () }))
+        val posPath = java.nio.file.Files.createTempDirectory("graft_bench_pos")
+        val mPhraseRoutedUs = try {
+          graft.index.PositionalIndex.write(pix, posPath.toString)
+          val lphs = new graft.query.LoadedPhraseServer(spark, posPath.toString)
+          lphs.phrase("warm up")
+          sweep3("warm_phrase_loaded_routed_us",
+            sweepOf(twoWord, p => { lphs.phrase(p); () }))
+        } finally {
+          val wk = java.nio.file.Files.walk(posPath)
+          try wk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+          finally wk.close()
+        }
+        (mUs, mTmplUs, mLoadUs, mRoutedUs,
+          mPhraseUs, mPhraseTmplUs, mPhraseRoutedUs)
+      } finally spark.conf.set(aqeKey, prevAqe)
+    // warm rows join the per-query attribution maps under their metric
+    // names, so a driver-vs-local delta is diagnosable from the
+    // artifact alone (spread/gc/resampled for EVERY published number)
+    val warmSpread = warmRows.map { case (k, sp, _, _) =>
+      s"\"" + k + "\":" + sp
     }
-    val medianPhraseUs = latPhrase(latPhrase.size / 2).round
-    val medianPhraseTemplateUs =
-      latPhraseTemplate(latPhraseTemplate.size / 2).round
-    val medianUs = lat(lat.size / 2).round
-    val medianTemplateUs = latTemplate(latTemplate.size / 2).round
-    val medianLoadedUs = latLoaded(latLoaded.size / 2).round
-    val medianLoadedRoutedUs = latLoadedRouted(latLoadedRouted.size / 2).round
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"gc_sec":$gc,"resampled":$resampled,"sf":"$sfDir","failed":$nFailed,"index_docs_per_s":${docsPerS.round},"warm_search_us":$medianUs,"warm_search_template_us":$medianTemplateUs,"warm_search_loaded_us":$medianLoadedUs,"warm_search_loaded_routed_us":$medianLoadedRoutedUs,"warm_phrase_us":$medianPhraseUs,"warm_phrase_template_us":$medianPhraseTemplateUs}""")
+    val warmGc = warmRows.map { case (k, _, g, _) => s"\"" + k + "\":" + g }
+    val warmResampled = warmRows.collect { case (k, _, _, true) => "\"" + k + "\"" }
+    def mergeJson(obj: String, extra: Seq[String]): String =
+      if (extra.isEmpty) obj
+      else obj.dropRight(1) + (if (obj == "{}") "" else ",") +
+        extra.mkString(",") + "}"
+    def mergeArr(arr: String, extra: Seq[String]): String =
+      if (extra.isEmpty) arr
+      else arr.dropRight(1) + (if (arr == "[]") "" else ",") +
+        extra.mkString(",") + "]"
+    val spreadAll = mergeJson(spread, warmSpread.toSeq)
+    val gcAll = mergeJson(gc, warmGc.toSeq)
+    val resampledAll = mergeArr(resampled, warmResampled.toSeq)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadAll,"gc_sec":$gcAll,"resampled":$resampledAll,"sf":"$sfDir","failed":$nFailed,"index_docs_per_s":${docsPerS.round},"warm_search_us":$medianUs,"warm_search_template_us":$medianTemplateUs,"warm_search_loaded_us":$medianLoadedUs,"warm_search_loaded_routed_us":$medianLoadedRoutedUs,"warm_phrase_us":$medianPhraseUs,"warm_phrase_template_us":$medianPhraseTemplateUs,"warm_phrase_loaded_routed_us":$medianPhraseLoadedRoutedUs}""")
     spark.stop()
   }
 }

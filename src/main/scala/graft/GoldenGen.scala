@@ -25,7 +25,7 @@ object GoldenGen {
   val Names: Seq[String] =
     Seq("q26_ir_terms", "q26_ir_index", "q26_ir_search", "q26_ir_wildcard",
       "q35_rewrite_wildcard", "q36_phrase", "q36_near",
-      "q36_near_ordered", "q36_snippet")
+      "q36_near_ordered", "q36_snippet", "q36_phrase_wildcard")
 
   /** Golden generators. Most goldens come from the query itself (the
     * pipeline is vector-pinned by the conformance specs); the rewrite
@@ -43,6 +43,8 @@ object GoldenGen {
       (s, d) => graft.queries.IrEngine.q36NearOrderedBrute(s, d)
     else if (name == "q36_snippet")
       (s, d) => graft.queries.IrEngine.q36SnippetBrute(s, d)
+    else if (name == "q36_phrase_wildcard")
+      (s, d) => graft.queries.IrEngine.q36PhraseWildcardBrute(s, d)
     else SparkEntry.queries(name)
 
   def main(args: Array[String]): Unit = {

@@ -122,6 +122,7 @@ object SparkEntry {
     "q36_near" -> (IrEngine.q36Near _),
     "q36_near_ordered" -> (IrEngine.q36NearOrdered _),
     "q36_snippet" -> (IrEngine.q36Snippet _),
+    "q36_phrase_wildcard" -> (IrEngine.q36PhraseWildcard _),
     "q31_trec_source" -> (IrEngine.q31TrecSource _),
     "q29_streaming" -> (IrEngine.q29Streaming _),
     "q29_sliding" -> (IrEngine.q29Sliding _),
@@ -705,6 +706,11 @@ object SparkEntry {
       """SELECT * FROM '/root/repo/golden/q36_near_ordered.parquet'""",
     "q36_snippet" ->
       """SELECT * FROM '/root/repo/golden/q36_snippet.parquet'""",
+    // golden from the doubly index-free brute (regex over the raw
+    // vocabulary + windowed scan): compare proves char-gram expansion
+    // composed with positional intersection == index-free semantics
+    "q36_phrase_wildcard" ->
+      """SELECT * FROM '/root/repo/golden/q36_phrase_wildcard.parquet'""",
 
     // the staged TREC file is rebuilt relationally: docid + block length
     "q31_trec_source" ->

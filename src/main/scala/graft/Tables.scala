@@ -20,14 +20,34 @@ object Tables {
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** events.ts is a native µs TIMESTAMP in the current testdata (older
-    * generations stored ns-precision int64, which Spark 4 refuses to read
-    * as TIMESTAMP — [[deriveEventTime]] still accepts that layout). The
-    * footer schema decides; both layouts surface the same two columns:
-    * `ts` (µs TIMESTAMP, the datetime-API column) and `ts_ns` (exact
-    * ns-scaled long — a total ordering key that is stable across the two
-    * layouts and equals DuckDB's `epoch_ns(ts)`). */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    deriveEventTime(spark.read.parquet(s"$sfDir/events.parquet"))
+    * generations stored ns-precision int64 — [[deriveEventTime]] still
+    * accepts that layout). The footer schema decides; both layouts
+    * surface the same two columns: `ts` (µs TIMESTAMP, the datetime-API
+    * column) and `ts_ns` (exact ns-scaled long — a total ordering key
+    * that is stable across the two layouts and equals DuckDB's
+    * `epoch_ns(ts)`).
+    *
+    * Legacy ns files come in TWO parquet spellings: plain INT64 (the
+    * ScaleGen-era layout — inference succeeds and the LongType branch
+    * of [[deriveEventTime]] applies) and INT64 annotated
+    * TIMESTAMP(NANOS) (arrow-based writers), which Spark 4 REFUSES at
+    * schema inference. That specific failure is caught here and the
+    * read retried with a forced `ts: LONG` schema, so the annotated
+    * file surfaces through the same LongType derivation (TablesSpec
+    * pins all three layouts to identical (ts, ts_ns)). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val raw =
+      try spark.read.parquet(path)
+      catch {
+        case e: Throwable if Iterator.iterate(e)(_.getCause)
+            .takeWhile(_ != null).take(8)
+            .exists(t => t.getMessage != null &&
+              t.getMessage.contains("NANOS")) =>
+          spark.read.schema(eventsLegacyNsSchema).parquet(path)
+      }
+    deriveEventTime(raw)
+  }
 
   /** The event-time derivation shared by the batch loader above and the
     * streaming reader ([[graft.streaming.EventsStream]]): one definition,
@@ -73,6 +93,18 @@ object Tables {
       StructField("user_id", LongType),
       StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
+  }
+
+  /** [[eventsRawSchema]] with `ts` as a plain LONG — the forced read
+    * schema for legacy files whose footer annotates the int64 as
+    * TIMESTAMP(NANOS) (Spark 4 cannot infer that type; reading the
+    * raw int64 recovers the exact ns values). */
+  val eventsLegacyNsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(eventsRawSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f => f
+    })
   }
 
   /** Register every table as a temp view (idempotent) and return the dir. */

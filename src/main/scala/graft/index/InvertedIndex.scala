@@ -43,6 +43,18 @@ object InvertedIndex {
     * limit) — the planner's shuffle join is the right plan there. */
   val BroadcastDocs: Long = 10000000L
 
+  /** The corpus↔docMap equi-join with the [[BroadcastDocs]] guard
+    * applied — factored so BOTH branches are plan-testable (PlanSpec
+    * pins that the >bound branch carries no broadcast, without
+    * building 10M docs): up to the bound the broadcast hint removes
+    * the corpus-side shuffle; past it the hint would ship a
+    * corpus-sized table to every executor, so the planner's shuffle
+    * join is the right plan. */
+  private[graft] def corpusDocJoin(corpus: DataFrame, docMap: DataFrame,
+                                   nDocs: Long): DataFrame =
+    if (nDocs <= BroadcastDocs) corpus.join(broadcast(docMap), "docid")
+    else corpus.join(docMap, "docid")
+
   /** Build the full index from a raw corpus (docid, content): one
     * tokenize projection, one shuffle per aggregation — no intermediate
     * materialization (the reference needed three chained MR jobs). */
@@ -71,11 +83,9 @@ object InvertedIndex {
       .coalesce(mapParts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // docMap is CORPUS-sized: broadcast it only while it provably fits
-    // ([[BroadcastDocs]]); forcing the hint at any size is exactly the
+    // ([[corpusDocJoin]]); forcing the hint at any size is exactly the
     // failure mode the serving path documents for its own joins
-    val joined =
-      if (nDocs <= BroadcastDocs) corpus.join(broadcast(docMap), "docid")
-      else corpus.join(docMap, "docid")
+    val joined = corpusDocJoin(corpus, docMap, nDocs)
     val toks = joined
       .select(col("docno"), expr("graft_tokenize(content)").as("toks"))
     val postings = toks

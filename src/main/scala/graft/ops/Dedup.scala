@@ -660,9 +660,14 @@ object Dedup {
 
   /** APPLY [[spanDedup]] — the materialization step: every token
     * covered by a removable (non-canonical) duplicated window is
-    * dropped, the rest re-joined by single spaces. The canonical copy
-    * of each repeated passage survives untouched, so no content is
-    * lost corpus-wide — the exact-substring-dedup contract.
+    * dropped, the rest re-joined by single spaces. Canonicity is
+    * PER-GRAM: each repeated gram's smallest-(doc_id, pos) window is
+    * exempt from removal, but removable windows of OTHER grams may
+    * overlap a canonical window and strip tokens inside it — so in
+    * pathological overlaps a passage can lose tokens from every copy.
+    * This matches the published exact-substring-dedup recipe (Lee et
+    * al. cut each duplicated span independently); the oracle computes
+    * the same semantics, so the engines agree by construction.
     *
     * Scale shape: the merged removal intervals are collected PER DOC
     * (`collect_list` after the per-doc island pass — bounded by that

@@ -287,6 +287,56 @@ object IrEngine {
       .orderBy(col("phrase_tf").desc, col("docid"))
   }
 
+  /** Wildcard-phrase parameters: `s*` expands to six surface terms of
+    * the synthetic vocabulary (scan/slow/small/sort/spark/stream), so
+    * the expansion is genuinely disjunctive; the literal second slot
+    * keeps the intersection non-trivial. */
+  private[graft] val PhraseWildcardQuery = "s* window"
+
+  /** Wildcard phrase through the positional index composed with the R4
+    * char-gram expansion ([[PositionalIndex.phraseWildcard]]). Golden
+    * from [[q36PhraseWildcardBrute]] — regex over the raw vocabulary +
+    * a windowed scan, no positional and no char-gram index — so the
+    * driver compare proves the composed index path == the index-free
+    * evaluation (the q35/q36 pattern). */
+  def q36PhraseWildcard(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val ix = PositionalIndex.build(spark, c)
+    val cg = CharKGramIndex.build(spark, c, k = 3)
+    PositionalIndex.phraseWildcard(ix, cg, PhraseWildcardQuery)
+  }
+
+  /** The same wildcard phrase with NO index of either kind: slot 1's
+    * term set is the anchored regex over the distinct raw vocabulary
+    * (re-analyzed to stems — the same two-step the engine's expansion
+    * performs, computed independently), slot 2 the pipeline literal;
+    * every adjacent token pair of the pipeline stream is then tested
+    * directly. */
+  private[graft] def q36PhraseWildcardBrute(spark: SparkSession,
+                                            dir: String): DataFrame = {
+    graft.text.TextPipeline.register(spark)
+    val c = corpus(spark, dir)
+    val Array(wildPat, litWord) = PhraseWildcardQuery.split(" ")
+    val wildSet = c
+      .select(explode(expr("graft_tokenize_raw(content)")).as("t"))
+      .distinct()
+      .filter(col("t").rlike(graft.query.QueryEngine.wildcardRegex(
+        wildPat.toLowerCase(java.util.Locale.ROOT))))
+      .select(explode(expr("graft_tokenize(t)")).as("t")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val litTerm = graft.text.TextPipeline.processContent(litWord).head
+    c.select(col("docid"), expr("graft_tokenize(content)").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= 2) // sequence(1, 0) would count DOWN
+      .select(col("docid"),
+        size(filter(sequence(lit(1), col("n") - 1), p =>
+          element_at(col("toks"), p).isInCollection(wildSet) &&
+            element_at(col("toks"), p + 1) === litTerm))
+          .cast("long").as("phrase_tf"))
+      .filter(col("phrase_tf") > 0)
+      .orderBy(col("phrase_tf").desc, col("docid"))
+  }
+
   /** Proximity search (terms within [[NearWindow]] pipeline tokens,
     * either order) through the positional index; golden from
     * [[q36NearBrute]]'s row-level position join — no arrays, no index. */

@@ -135,6 +135,30 @@ class PlanSpec extends SparkSpec {
     ix.postings.unpersist(); ix.docMap.unpersist(); ()
   }
 
+  test("past BroadcastDocs the corpus join plans NO broadcast exchange") {
+    import org.apache.spark.sql.functions._
+    val corpus = spark.range(20)
+      .select(concat(lit("D"), col("id")).as("docid"),
+        lit("alpha beta").as("content"))
+    val dm = spark.range(20)
+      .select(concat(lit("D"), col("id")).as("docid"), col("id").as("docno"))
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      // emulate the corpus-sized docMap: stats-based broadcast election
+      // is off, so ONLY the guard's hint could introduce an exchange
+      spark.conf.set(key, "-1")
+      val small = plan(graft.index.InvertedIndex
+        .corpusDocJoin(corpus, dm, nDocs = 20))
+      assert(small.contains("BroadcastExchange"),
+        s"guarded hint missing below the bound:\n$small")
+      val large = plan(graft.index.InvertedIndex.corpusDocJoin(
+        corpus, dm, nDocs = graft.index.InvertedIndex.BroadcastDocs + 1))
+      assert(!large.contains("BroadcastExchange"),
+        s"corpus-sized broadcast reintroduced past the bound:\n$large")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("IVF cell assignment: max(struct) argmax aggregation, no window") {
     val p = plan(Similarity.ivfCells(spark, dir))
     assert(!p.contains("Window"), s"window argmax leaked back into:\n$p")

@@ -76,6 +76,31 @@ class TablesSpec extends SparkSpec {
     assert(df.schema("ts_ns").dataType == LongType)
   }
 
+  test("annotated TIMESTAMP(NANOS) legacy files read via the forced long schema") {
+    // fixture: int64 ns annotated TIMESTAMP(NANOS) in the footer (the
+    // arrow-writer legacy spelling; generated with pyarrow) — Spark 4
+    // refuses this at schema inference, which guards the premise…
+    val fixture = resourcePath("/graft/events_ns_annotated.parquet")
+    intercept[Exception] {
+      spark.read.parquet(fixture).count()
+    }
+    // …and Tables.events must recover by retrying with ts:LONG
+    val tmp = Files.createTempDirectory("ev_annot").toString
+    val dst = java.nio.file.Paths.get(tmp, "events.parquet")
+    Files.createDirectories(dst)
+    Files.copy(java.nio.file.Paths.get(fixture, "part-0.parquet"),
+      dst.resolve("part-0.parquet"))
+    val rows = Tables.events(spark, tmp)
+      .select(col("event_id"), col("ts_ns"),
+        expr("unix_micros(ts)").as("ts_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val expectedNs = (0 until 4).map(i => 1700000000000000000L + i * 1000000000L)
+    assert(rows.map(_._2) == expectedNs)
+    assert(rows.map(_._3) == expectedNs.map(_ / 1000L))
+  }
+
   test("testdata events load surfaces ts_ns aligned with ts") {
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
     val bad = ev.filter(expr("unix_micros(ts) * 1000L != ts_ns")).count()

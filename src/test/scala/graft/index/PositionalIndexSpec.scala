@@ -54,6 +54,25 @@ class PositionalIndexSpec extends SparkSpec {
     assert(hits == tfs)
   }
 
+  test("wildcard phrase composes char-gram expansion with position intersection") {
+    val corpus = spark.createDataFrame(Seq(
+      ("A", "alpha beta gamma alpha beta delta"),
+      ("B", "gamma delta gamma"),
+      ("C", "beta alpha beta"))).toDF("docid", "content")
+    val cg = CharKGramIndex.build(spark, corpus, k = 3)
+    def wild(q: String): Map[String, Long] =
+      PositionalIndex.phraseWildcard(ix, cg, q).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "*ta" expands to {beta, delta}: disjunctive second slot
+    assert(wild("alpha *ta") == Map("A" -> 2L, "C" -> 1L))
+    // wildcard in the FIRST slot: beta|delta followed by gamma
+    assert(wild("*ta gamma") == Map("A" -> 1L, "B" -> 1L))
+    // no wildcard degenerates to the exact phrase path
+    assert(wild("alpha beta") == phraseHits("alpha beta"))
+    // an expansion matching nothing yields no hits
+    assert(wild("zz* alpha").isEmpty)
+  }
+
   test("proximity respects the window bound in either order") {
     def near(a: String, b: String, w: Int): Set[String] =
       PositionalIndex.near(ix, a, b, w).collect()
