@@ -104,6 +104,7 @@ object SparkEntry {
     "q25_semantic_clusters" -> (Similarity.semanticClusters _),
     "q25_semdedup_pairs" -> (Similarity.semDedupPairs _),
     "q25_semdedup_full" -> (Similarity.semDedupFull _),
+    "q25_semdedup_survivors" -> (Similarity.semDedupSurvivors _),
     "q25_knn_join" ->
       ((s: SparkSession, d: String) => Similarity.annKnnJoin(s, d)),
     // Faithful IR engine (tokenizer+stemmer not SQL-expressible →

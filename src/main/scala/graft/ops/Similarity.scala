@@ -457,6 +457,24 @@ object Similarity {
       .select(col("doc_id").as("vec_id"), col("cluster"), col("keeper"))
       .orderBy("vec_id")
 
+  /** Corpus-scale SemDeDup APPLIED to the corpus — the report→apply
+    * pattern of the q24 dedup family: a doc survives unless it is a
+    * non-keeper member of a [[semDedupFull]] semantic cluster (vec_id
+    * aligns 1:1 with doc_id in the testdata; docs outside the
+    * near-dup graph are trivial keepers). One left-anti join of the
+    * corpus scan against the cluster non-keepers — the drop set is
+    * bounded by the (duplicate-density-bounded) pair graph, so the
+    * apply stays a single equi-join at any corpus size. */
+  def semDedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.load(spark, dir, "documents")
+    val drop = semDedupFull(spark, dir)
+      .filter(col("keeper") === 0)
+      .select(col("vec_id").as("doc_id"))
+    d.join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** IVF-accelerated ANN: probe only the query vector's cell, exact
     * cosine re-rank inside it. The standard recall/latency trade —
     * at scale, probe the nProbe nearest cells. */

@@ -491,6 +491,25 @@ object TrainingOracles {
                      ELSE CAST(0 AS BIGINT) END AS keeper
          FROM r GROUP BY node ORDER BY vec_id""",
 
+    // corpus-scale SemDeDup applied: docs surviving the semantic gate
+    // (drop = non-keeper cluster members; vec_id aligns 1:1 with
+    // doc_id in the testdata — mirrors Similarity.semDedupSurvivors)
+    "q25_semdedup_survivors" ->
+      s"""WITH RECURSIVE $semDedupPairCtes,
+         g AS (SELECT vec_a AS u0, vec_b AS v0 FROM p
+               WHERE c >= ${Similarity.SemDedupThreshold}),
+         e AS (SELECT u0 AS u, v0 AS v FROM g
+               UNION ALL SELECT v0, u0 FROM g),
+         nodes AS (SELECT DISTINCT u AS node FROM e),
+         r AS (SELECT node, node AS m FROM nodes
+               UNION
+               SELECT r.node, e.v FROM r JOIN e ON r.m = e.u),
+         dropset AS (SELECT node AS doc_id FROM r
+                     GROUP BY node HAVING min(m) <> node)
+         SELECT d.doc_id, d.lang, d.n_chars
+         FROM documents d LEFT JOIN dropset USING (doc_id)
+         WHERE dropset.doc_id IS NULL ORDER BY d.doc_id""",
+
     // int8-quantized brute-force ANN: scale = max|v|, codes =
     // floor(v*127/sc + 0.5); cosine over the integer codes (scale
     // cancels), integer sums exact in double folds

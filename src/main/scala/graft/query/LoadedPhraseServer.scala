@@ -34,10 +34,16 @@ import graft.text.TextPipeline
   *    same way ([[RefLongSetContains]]); unresolved docnos drop
   *    (inner-join semantics, as everywhere).
   *
-  * Phrases of length ≠ 2 fall back to the fresh-plan
-  * [[PositionalIndex.phrase]] over the loaded frames — literal term
-  * filters there keep native parquet pruning, so the fallback is
-  * file-bounded too, just re-planned per query.
+  * Templates exist per (file set, phrase length) — any length up to
+  * [[PhraseServer.MaxSlots]] serves through a prepared plan whose
+  * per-docno aggregate holds one conditional slot per word and whose
+  * phrase count is the left-fold shifted-array intersection of the
+  * slots (exactly [[PositionalIndex.phrase]]'s formulation; a
+  * single-term phrase degenerates to the term's tf). Longer phrases
+  * fall back to the fresh-plan [[PositionalIndex.phrase]] over the
+  * loaded frames — literal term filters there keep native parquet
+  * pruning, so the fallback is file-bounded too, just re-planned per
+  * query.
   *
   * Same concurrency contract as [[PointServer]]: one in-flight query
   * per instance (set-then-collect reference cells). */
@@ -54,38 +60,44 @@ final class LoadedPhraseServer(spark: SparkSession, dir: String,
 
   private final case class PhraseTmpl(
       both: AtomicReference[java.util.HashSet[UTF8String]],
-      slotA: AtomicReference[java.util.HashSet[UTF8String]],
-      slotB: AtomicReference[java.util.HashSet[UTF8String]],
+      slots: IndexedSeq[AtomicReference[java.util.HashSet[UTF8String]]],
       df: DataFrame)
   private final case class ResolveTmpl(
       ref: AtomicReference[java.util.HashSet[java.lang.Long]], df: DataFrame)
 
-  private val phrasePlans = Routing.lru[PhraseTmpl](maxPlans)
-  private val resolvePlans = Routing.lru[ResolveTmpl](maxPlans)
+  private val phrasePlans =
+    Routing.lru[(Seq[String], Int), PhraseTmpl](maxPlans)
+  private val resolvePlans = Routing.lru[Seq[String], ResolveTmpl](maxPlans)
 
-  private def phraseTmpl(files: Seq[String]): PhraseTmpl = {
-    val hit = phrasePlans.get(files)
+  private def phraseTmpl(files: Seq[String], n: Int): PhraseTmpl = {
+    val hit = phrasePlans.get((files, n))
     if (hit != null) return hit
-    val (both, slotA, slotB) = (newRef(), newRef(), newRef())
+    val both = newRef()
+    val slots = IndexedSeq.fill(n)(newRef())
     def in(ref: AtomicReference[java.util.HashSet[UTF8String]]) =
       Bridge.column(RefSetContains(Bridge.expression(col("term")), ref))
+    val slotAggs = (0 until n).map { i =>
+      first(when(in(slots(i)), col("positions")), ignoreNulls = true)
+        .as(s"p$i")
+    }
+    val allPresent = (0 until n).map(i => col(s"p$i").isNotNull)
+      .reduce(_ && _)
+    val run = (1 until n).foldLeft(col("p0")) { (acc, i) =>
+      array_intersect(acc, transform(col(s"p$i"), x => x - i))
+    }
     // explicit schema: no inference job when the plan is first built
     val df = spark.read.schema(pix.postings.schema).parquet(files: _*)
       .filter(in(both)).coalesce(1)
       .groupBy(col("docno"))
-      .agg(
-        first(when(in(slotA), col("positions")), ignoreNulls = true).as("p0"),
-        first(when(in(slotB), col("positions")), ignoreNulls = true).as("p1"))
-      .filter(col("p0").isNotNull && col("p1").isNotNull)
-      .select(col("docno"),
-        size(array_intersect(col("p0"),
-          transform(col("p1"), x => x - 1))).cast("long").as("phrase_tf"))
+      .agg(slotAggs.head, slotAggs.tail: _*)
+      .filter(allPresent)
+      .select(col("docno"), size(run).cast("long").as("phrase_tf"))
       .filter(col("phrase_tf") > 0)
       .orderBy(col("phrase_tf").desc, col("docno"))
       .limit(topK)
     df.queryExecution.executedPlan // plan + codegen now, not per query
-    val t = PhraseTmpl(both, slotA, slotB, df)
-    phrasePlans.put(files, t)
+    val t = PhraseTmpl(both, slots, df)
+    phrasePlans.put((files, n), t)
     t
   }
 
@@ -112,9 +124,9 @@ final class LoadedPhraseServer(spark: SparkSession, dir: String,
 
   /** Exposed for the exchange-free plan-walk assertion (see
     * [[PointServer.templatePlan]]). */
-  private[graft] def templatePlan(files: Seq[String])
+  private[graft] def templatePlan(files: Seq[String], n: Int = 2)
       : org.apache.spark.sql.execution.SparkPlan =
-    phraseTmpl(files).df.queryExecution.executedPlan
+    phraseTmpl(files, n).df.queryExecution.executedPlan
 
   /** Top-k (docid, phrase_tf), tf desc then docid asc — the
     * [[PhraseServer.phrase]] output contract, served from pure parquet
@@ -122,7 +134,7 @@ final class LoadedPhraseServer(spark: SparkSession, dir: String,
   def phrase(phraseText: String): Seq[(String, Long)] = synchronized {
     val terms = TextPipeline.processContent(phraseText)
     if (terms.isEmpty) return Seq.empty
-    if (terms.size != 2)
+    if (terms.size > PhraseServer.MaxSlots)
       return PositionalIndex.phrase(pix, phraseText)
         .limit(topK).collect()
         .map(r => (r.getString(0), r.getLong(1))).toSeq
@@ -131,15 +143,14 @@ final class LoadedPhraseServer(spark: SparkSession, dir: String,
     // hold the phrase — answer without running any job
     if (routed.exists(_.isEmpty)) return Seq.empty
     val files = routed.flatten.distinct.sorted
-    val t = phraseTmpl(files)
+    val t = phraseTmpl(files, terms.size)
     def set(ts: String*) = {
       val s = new java.util.HashSet[UTF8String]()
       ts.foreach(x => s.add(UTF8String.fromString(x)))
       s
     }
     t.both.set(set(terms: _*))
-    t.slotA.set(set(terms.head))
-    t.slotB.set(set(terms(1)))
+    terms.indices.foreach(i => t.slots(i).set(set(terms(i))))
     val top = t.df.collect().map(r => (r.getLong(0), r.getLong(1)))
     if (top.isEmpty) return Seq.empty
     val docFiles = top.map(_._1).toSeq

@@ -94,8 +94,8 @@ final class LoadedPointServer(spark: SparkSession, dir: String,
   private final case class ResolveTmpl(
       ref: AtomicReference[java.util.HashSet[java.lang.Long]], df: DataFrame)
 
-  private val scorePlans = Routing.lru[ScoreTmpl](maxPlans)
-  private val resolvePlans = Routing.lru[ResolveTmpl](maxPlans)
+  private val scorePlans = Routing.lru[Seq[String], ScoreTmpl](maxPlans)
+  private val resolvePlans = Routing.lru[Seq[String], ResolveTmpl](maxPlans)
 
   private def scoreTmpl(files: Seq[String]): ScoreTmpl = {
     val hit = scorePlans.get(files)

@@ -2,32 +2,37 @@ package graft.query
 
 import java.util.concurrent.atomic.AtomicReference
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.unsafe.types.UTF8String
 import graft.index.PositionalIndex
 import graft.index.PositionalIndex.PIndex
 
-/** Prepared-statement serving for TWO-WORD phrase queries over a cached
+/** Prepared-statement serving for phrase queries over a cached
   * positional index — [[PointServer]]'s zero-per-query-Catalyst pattern
-  * applied to [[PositionalIndex.phrase]].
+  * applied to [[PositionalIndex.phrase]], one template per phrase
+  * LENGTH (1..[[PhraseServer.MaxSlots]]; built lazily, so unused
+  * lengths cost nothing).
   *
   * The fresh-plan phrase path joins one pruned postings scan per term;
   * a join needs co-location, and co-location under a reused physical
   * plan means an exchange — the stale-result trap the PointServer doc
   * describes. The template dodges the join entirely: ONE scan filtered
-  * to the phrase's term pair (driver-updated [[RefSetContains]]),
+  * to the phrase's term set (driver-updated [[RefSetContains]]),
   * coalesced to a single partition, then a per-docno aggregate picks
   * each slot's position list CONDITIONALLY (`first(when(term == slot
-  * ref, positions))`) — both lists of a doc meet in the same aggregate
-  * row without any exchange. The phrase count is the shifted-array
-  * intersection of the two slots; docs missing either term drop on the
-  * non-null filter. Two words is the dominant interactive phrase shape;
-  * other lengths fall back to the fresh-plan
-  * [[PositionalIndex.phrase]] (same results, full parallelism).
+  * ref, positions))`) — all n lists of a doc meet in the same aggregate
+  * row without any exchange. The phrase count is the left-fold
+  * shifted-array intersection of the slots (slot i's positions shifted
+  * by −i, exactly [[PositionalIndex.phrase]]'s formulation); docs
+  * missing any term drop on the non-null filter. A single-term
+  * "phrase" degenerates to the term's tf, matching the fresh path.
+  * Phrases longer than [[PhraseServer.MaxSlots]] fall back to the
+  * fresh-plan [[PositionalIndex.phrase]] (same results, full
+  * parallelism).
   *
-  * A repeated pair ("merge merge") works: both slot refs hold the same
+  * A repeated term ("merge merge") works: both slot refs hold the same
   * term, both slots pick the same list, and the shifted intersection
   * counts exactly the immediate self-adjacencies.
   *
@@ -46,40 +51,60 @@ import graft.index.PositionalIndex.PIndex
   * routing bounds each query's scan to the 1-2 files holding its terms.
   */
 final class PhraseServer(pix: PIndex, topK: Int = 10) {
+  import PhraseServer.MaxSlots
 
   private def newRef() =
     new AtomicReference[java.util.HashSet[UTF8String]](new java.util.HashSet)
 
-  private val bothRef = newRef()
-  private val slotARef = newRef()
-  private val slotBRef = newRef()
+  private final case class Tmpl(
+      both: AtomicReference[java.util.HashSet[UTF8String]],
+      slots: IndexedSeq[AtomicReference[java.util.HashSet[UTF8String]]],
+      df: DataFrame)
 
-  private val template: DataFrame = {
-    def in(ref: AtomicReference[java.util.HashSet[UTF8String]]) =
-      Bridge.column(RefSetContains(Bridge.expression(col("term")), ref))
-    pix.postings.filter(in(bothRef)).coalesce(1)
+  // phrase length → template; populated lazily under `synchronized`
+  // (phrase() already serializes queries, so no concurrent build)
+  private val templates = new java.util.HashMap[Int, Tmpl]
+
+  private def in(ref: AtomicReference[java.util.HashSet[UTF8String]]): Column =
+    Bridge.column(RefSetContains(Bridge.expression(col("term")), ref))
+
+  private def build(n: Int): Tmpl = {
+    val both = newRef()
+    val slots = IndexedSeq.fill(n)(newRef())
+    val slotAggs = (0 until n).map { i =>
+      first(when(in(slots(i)), col("positions")), ignoreNulls = true)
+        .as(s"p$i")
+    }
+    val allPresent = (0 until n).map(i => col(s"p$i").isNotNull)
+      .reduce(_ && _)
+    // left-fold shifted intersection: positions where term_0 starts a
+    // full n-term run — identical to PositionalIndex.phrase's fold
+    val run = (1 until n).foldLeft(col("p0")) { (acc, i) =>
+      array_intersect(acc, transform(col(s"p$i"), x => x - i))
+    }
+    val df = pix.postings.filter(in(both)).coalesce(1)
       .groupBy(col("docno"))
-      .agg(
-        first(when(in(slotARef), col("positions")), ignoreNulls = true)
-          .as("p0"),
-        first(when(in(slotBRef), col("positions")), ignoreNulls = true)
-          .as("p1"))
-      .filter(col("p0").isNotNull && col("p1").isNotNull)
-      .select(col("docno"),
-        size(array_intersect(col("p0"),
-          transform(col("p1"), x => x - 1))).cast("long").as("phrase_tf"))
+      .agg(slotAggs.head, slotAggs.tail: _*)
+      .filter(allPresent)
+      .select(col("docno"), size(run).cast("long").as("phrase_tf"))
       .filter(col("phrase_tf") > 0)
       .orderBy(col("phrase_tf").desc, col("docno"))
       .limit(topK)
+    df.queryExecution.executedPlan // plan + codegen now, not per query
+    Tmpl(both, slots, df)
   }
 
-  // plan + codegen once, at construction
-  template.queryExecution.executedPlan
+  private def tmpl(n: Int): Tmpl = {
+    val hit = templates.get(n)
+    if (hit != null) hit
+    else { val t = build(n); templates.put(n, t); t }
+  }
 
   /** Exposed for the exchange-free plan-walk assertion (see
     * [[PointServer.templatePlan]]). */
-  private[graft] def templatePlan: org.apache.spark.sql.execution.SparkPlan =
-    template.queryExecution.executedPlan
+  private[graft] def templatePlan(n: Int = 2)
+      : org.apache.spark.sql.execution.SparkPlan =
+    synchronized { tmpl(n).df.queryExecution.executedPlan }
 
   /** Top-k (docid, phrase_tf), tf desc then docid asc — the same
     * ordering contract as [[PositionalIndex.phrase]] limited to topK.
@@ -88,7 +113,7 @@ final class PhraseServer(pix: PIndex, topK: Int = 10) {
   def phrase(phraseText: String): Seq[(String, Long)] = synchronized {
     val terms = graft.text.TextPipeline.processContent(phraseText)
     if (terms.isEmpty) return Seq.empty
-    if (terms.size != 2)
+    if (terms.size > MaxSlots)
       return PositionalIndex.phrase(pix, phraseText)
         .limit(topK).collect()
         .map(r => (r.getString(0), r.getLong(1))).toSeq
@@ -97,10 +122,10 @@ final class PhraseServer(pix: PIndex, topK: Int = 10) {
       ts.foreach(t => s.add(UTF8String.fromString(t)))
       s
     }
-    bothRef.set(set(terms: _*))
-    slotARef.set(set(terms.head))
-    slotBRef.set(set(terms(1)))
-    val top = template.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val t = tmpl(terms.size)
+    t.both.set(set(terms: _*))
+    terms.indices.foreach(i => t.slots(i).set(set(terms(i))))
+    val top = t.df.collect().map(r => (r.getLong(0), r.getLong(1)))
     if (top.isEmpty) return Seq.empty
     val ids = pix.docMap
       .filter(col("docno").isin(top.map(_._1).toSeq: _*))
@@ -110,4 +135,12 @@ final class PhraseServer(pix: PIndex, topK: Int = 10) {
     top.flatMap { case (docno, tf) => ids.get(docno).map((_, tf)) }
       .sortBy { case (docid, tf) => (-tf, docid) }.toSeq
   }
+}
+
+object PhraseServer {
+  /** Longest phrase served through a prepared template; longer phrases
+    * fall back to the fresh plan. 8 covers interactive phrase queries
+    * with room to spare; templates build lazily per length actually
+    * queried, so the bound costs nothing until used. */
+  val MaxSlots = 8
 }

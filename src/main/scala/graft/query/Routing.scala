@@ -36,13 +36,13 @@ private[query] object Routing {
   def route(ranges: Array[(Long, Long, String)], key: Long): Seq[String] =
     ranges.iterator.filter(r => r._1 <= key && key <= r._2).map(_._3).toSeq
 
-  /** Access-ordered LRU with eldest eviction, for per-file-set prepared
-    * plans: hot file sets keep their plans, cold ones rebuild on next
-    * touch. */
-  def lru[V](maxPlans: Int): java.util.LinkedHashMap[Seq[String], V] =
-    new java.util.LinkedHashMap[Seq[String], V](16, 0.75f, true) {
+  /** Access-ordered LRU with eldest eviction, for prepared plans keyed
+    * by file set (and, for phrase templates, phrase length): hot keys
+    * keep their plans, cold ones rebuild on next touch. */
+  def lru[K, V](maxPlans: Int): java.util.LinkedHashMap[K, V] =
+    new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[Seq[String], V]): Boolean =
+          e: java.util.Map.Entry[K, V]): Boolean =
         size() > maxPlans
     }
 }

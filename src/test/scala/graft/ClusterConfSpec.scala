@@ -72,11 +72,13 @@ class ClusterConfSpec extends SparkSpec {
         TrecCorpus.read(spark, resourcePath("/graft/sample-trec.xml"))
       val pix = graft.index.PositionalIndex.build(spark, corpus)
       val ps = new graft.query.PhraseServer(pix)
-      val exchanges = ps.templatePlan.collect {
-        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      Seq(2, 3).foreach { n =>
+        val exchanges = ps.templatePlan(n).collect {
+          case e: org.apache.spark.sql.execution.exchange.Exchange => e
+        }
+        assert(exchanges.isEmpty,
+          s"exchange leaked into the $n-slot phrase template:\n${ps.templatePlan(n)}")
       }
-      assert(exchanges.isEmpty,
-        s"exchange leaked into the phrase template:\n${ps.templatePlan}")
       Seq("merge engine", "sorted streams", "merge engine").foreach { q =>
         val want = graft.index.PositionalIndex.phrase(pix, q)
           .limit(10).collect()

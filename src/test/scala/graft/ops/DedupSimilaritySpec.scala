@@ -178,6 +178,20 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semDedupSurvivors = documents minus cluster non-keepers, exactly") {
+    val full = Similarity.semDedupFull(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val dropped = full.collect { case (vid, 0L) => vid }.toSet
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val survivors = Similarity.semDedupSurvivors(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(survivors == docs -- dropped)
+    // keepers (and untouched docs) all survive; every drop is a real doc
+    assert(full.collect { case (vid, 1L) => vid }.toSet.subsetOf(survivors))
+    assert(dropped.subsetOf(docs))
+  }
+
   test("union-find task guard aborts oversized graphs with the fallback marker") {
     val pairs = Dedup.jaccard(spark, dir, threshold = 0.5)
       .select(col("doc_a"), col("doc_b"))

@@ -38,10 +38,18 @@ class LoadedPhraseServerSpec extends SparkSpec {
     assert(server.phrase("the") == Seq.empty)
   }
 
-  test("repeated-term and non-2-word phrases match the cached paths") {
+  test("repeated-term and other-length phrases match the cached paths") {
     assert(server.phrase("merging merges") == cached("merging merges"))
+    // 3 words serve through a 3-slot routed template; 1 word
+    // degenerates to the term's tf; interleaved with 2-word queries so
+    // templates of different lengths can't cross-contaminate
     assert(server.phrase("merge engine merges") ==
       cached("merge engine merges"))
+    assert(server.phrase("merge") == cached("merge"))
+    assert(server.phrase("merge engine") == cached("merge engine"))
+    // beyond MaxSlots → fresh-plan fallback over the loaded frames
+    val long = Seq.fill(PhraseServer.MaxSlots + 1)("merge").mkString(" ")
+    assert(server.phrase(long) == cached(long))
   }
 
   test("loaded == cached for phrase, near, nearOrdered and snippet") {

@@ -35,21 +35,35 @@ class PhraseServerSpec extends SparkSpec {
     assert(server.phrase("merging merges") == fresh("merging merges"))
   }
 
-  test("non-2-word phrases fall back to the fresh plan, same results") {
-    assert(server.phrase("merge engine merges") ==
-      fresh("merge engine merges"))
+  test("every template length 1..MaxSlots matches the fresh plan") {
+    // 1-word degenerates to the term's tf; 3 words exercise the
+    // fold-intersection with a middle slot; the others interleave
+    // hits and misses across lengths (stale-state check across n)
+    val phrases = Seq("merge", "merge engine merges",
+      "sorted streams of", "merge engine", "engine merges sorted streams")
+    phrases.foreach { p =>
+      assert(server.phrase(p) == fresh(p), s"divergence on '$p'")
+    }
+    assert(phrases.exists(p => server.phrase(p).nonEmpty))
     assert(server.phrase("the") == Seq.empty) // stopword-only
   }
 
-  test("the reused plan contains no exchange node") {
+  test("phrases beyond MaxSlots fall back to the fresh plan") {
+    val long = Seq.fill(PhraseServer.MaxSlots + 1)("merge").mkString(" ")
+    assert(server.phrase(long) == fresh(long))
+  }
+
+  test("the reused plans contain no exchange node (lengths 1, 2, 3)") {
     def walk(p: org.apache.spark.sql.execution.SparkPlan)
         : Seq[org.apache.spark.sql.execution.SparkPlan] =
       p +: p.children.flatMap(walk)
-    val nodes = walk(server.templatePlan)
-    assert(nodes.nonEmpty)
-    nodes.foreach { n =>
-      assert(!n.getClass.getName.contains("Exchange"),
-        s"exchange in template: ${n.getClass.getName}")
+    Seq(1, 2, 3).foreach { n =>
+      val nodes = walk(server.templatePlan(n))
+      assert(nodes.nonEmpty)
+      nodes.foreach { nd =>
+        assert(!nd.getClass.getName.contains("Exchange"),
+          s"exchange in $n-slot template: ${nd.getClass.getName}")
+      }
     }
   }
 }
