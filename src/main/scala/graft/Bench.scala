@@ -213,7 +213,9 @@ object Bench {
       "row vector", "part filter", "stream table", "row column",
       "custom join", "window fast", "table value", "batch fast")
     val (medianUs, medianTemplateUs, medianLoadedUs, medianLoadedRoutedUs,
-        medianPhraseUs, medianPhraseTemplateUs, medianPhraseLoadedRoutedUs) =
+        medianPhraseUs, medianPhraseTemplateUs, medianPhrase3TemplateUs,
+        medianNearTemplateUs, medianPhraseLoadedRoutedUs,
+        medianNearLoadedRoutedUs) =
       try {
         spark.conf.set(aqeKey, "false")
         System.gc()
@@ -268,13 +270,25 @@ object Bench {
         phs.phrase("warm up")
         val mPhraseTmplUs = sweep3("warm_phrase_template_us",
           sweepOf(twoWord, p => { phs.phrase(p); () }))
+        // the r8 n-slot templates: 3-word phrases through a prepared
+        // 3-slot plan (previously fresh-plan-only), and proximity
+        // (near, window 3) through the (window, ordered)-keyed template
+        val mPhrase3TmplUs = sweep3("warm_phrase3_template_us",
+          sweepOf(phrases, p => { phs.phrase(p); () }))
+        val mNearTmplUs = sweep3("warm_near_template_us",
+          sweepOf(twoWord, p => { val Array(a, b) = p.split(" ")
+            phs.near(a, b, 3); () }))
         val posPath = java.nio.file.Files.createTempDirectory("graft_bench_pos")
-        val mPhraseRoutedUs = try {
+        val (mPhraseRoutedUs, mNearRoutedUs) = try {
           graft.index.PositionalIndex.write(pix, posPath.toString)
           val lphs = new graft.query.LoadedPhraseServer(spark, posPath.toString)
           lphs.phrase("warm up")
-          sweep3("warm_phrase_loaded_routed_us",
+          val pr = sweep3("warm_phrase_loaded_routed_us",
             sweepOf(twoWord, p => { lphs.phrase(p); () }))
+          val nr = sweep3("warm_near_loaded_routed_us",
+            sweepOf(twoWord, p => { val Array(a, b) = p.split(" ")
+              lphs.near(a, b, 3); () }))
+          (pr, nr)
         } finally {
           val wk = java.nio.file.Files.walk(posPath)
           try wk.sorted(java.util.Comparator.reverseOrder())
@@ -282,7 +296,8 @@ object Bench {
           finally wk.close()
         }
         (mUs, mTmplUs, mLoadUs, mRoutedUs,
-          mPhraseUs, mPhraseTmplUs, mPhraseRoutedUs)
+          mPhraseUs, mPhraseTmplUs, mPhrase3TmplUs, mNearTmplUs,
+          mPhraseRoutedUs, mNearRoutedUs)
       } finally spark.conf.set(aqeKey, prevAqe)
     // warm rows join the per-query attribution maps under their metric
     // names, so a driver-vs-local delta is diagnosable from the
@@ -303,7 +318,7 @@ object Bench {
     val spreadAll = mergeJson(spread, warmSpread.toSeq)
     val gcAll = mergeJson(gc, warmGc.toSeq)
     val resampledAll = mergeArr(resampled, warmResampled.toSeq)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadAll,"gc_sec":$gcAll,"resampled":$resampledAll,"sf":"$sfDir","failed":$nFailed,"index_docs_per_s":${docsPerS.round},"warm_search_us":$medianUs,"warm_search_template_us":$medianTemplateUs,"warm_search_loaded_us":$medianLoadedUs,"warm_search_loaded_routed_us":$medianLoadedRoutedUs,"warm_phrase_us":$medianPhraseUs,"warm_phrase_template_us":$medianPhraseTemplateUs,"warm_phrase_loaded_routed_us":$medianPhraseLoadedRoutedUs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadAll,"gc_sec":$gcAll,"resampled":$resampledAll,"sf":"$sfDir","failed":$nFailed,"index_docs_per_s":${docsPerS.round},"warm_search_us":$medianUs,"warm_search_template_us":$medianTemplateUs,"warm_search_loaded_us":$medianLoadedUs,"warm_search_loaded_routed_us":$medianLoadedRoutedUs,"warm_phrase_us":$medianPhraseUs,"warm_phrase_template_us":$medianPhraseTemplateUs,"warm_phrase3_template_us":$medianPhrase3TemplateUs,"warm_near_template_us":$medianNearTemplateUs,"warm_phrase_loaded_routed_us":$medianPhraseLoadedRoutedUs,"warm_near_loaded_routed_us":$medianNearLoadedRoutedUs}""")
     spark.stop()
   }
 }

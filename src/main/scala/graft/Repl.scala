@@ -126,14 +126,16 @@ object Repl {
            positional: Option[PositionalIndex.PIndex] = None): Unit = {
     val server =
       if (usePointServer) Some(new graft.query.PointServer(ix)) else None
-    // 2-word quoted phrases get the prepared template on cached
-    // indexes; the fresh-plan path stays for loaded/pushdown serving
+    // quoted phrases (any length up to PhraseServer.MaxSlots) get the
+    // prepared per-length template on cached indexes; the fresh-plan
+    // path stays for loaded/pushdown serving
     val phraseServer =
       if (usePointServer)
         positional.map(p => new graft.query.PhraseServer(p))
       else None
     out.println("graft search — 1-2 word query; '*' patterns for " +
-      "wildcards; \"quoted phrases\" for exact phrase; empty line quits")
+      "wildcards; \"quoted phrases\" for exact phrase; a NEAR/3 b for " +
+      "proximity; empty line quits")
     out.print("query > "); out.flush()
     var line = in.readLine()
     while (line != null) {
@@ -157,6 +159,30 @@ object Repl {
           case Some(_) => print10(out, phrase, Array.empty)
           case None => out.println(
             "phrase search needs a positional index (build from a " +
+              "corpus dir, or persist one alongside the written index)")
+        }
+      } else if (q.matches("(?i)^\\S+\\s+near(/\\d+)?\\s+\\S+$")) {
+        // proximity operator: `a NEAR b` (window 3) or `a NEAR/k b` —
+        // a filter, not a ranking, so hits print without scores
+        val m = "(?i)^(\\S+)\\s+near(?:/(\\d+))?\\s+(\\S+)$".r
+          .findFirstMatchIn(q).get
+        val (a, w, b) = (m.group(1), Option(m.group(2)), m.group(3))
+        val window = w.map(_.toInt).getOrElse(3)
+        positional match {
+          case Some(pix) =>
+            try {
+              val hits = phraseServer match {
+                case Some(ps) => ps.near(a, b, window)
+                case None => PositionalIndex.near(pix, a, b, window)
+                  .collect().map(_.getString(0)).toSeq
+              }
+              if (hits.isEmpty) out.println(s"$q: No results ...")
+              else hits.foreach(out.println)
+            } catch { case e: IllegalArgumentException =>
+              out.println(e.getMessage)
+            }
+          case None => out.println(
+            "proximity search needs a positional index (build from a " +
               "corpus dir, or persist one alongside the written index)")
         }
       } else if (q.contains("*")) {

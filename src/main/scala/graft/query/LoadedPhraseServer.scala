@@ -122,6 +122,86 @@ final class LoadedPhraseServer(spark: SparkSession, dir: String,
     * same artifacts. */
   def index: PositionalIndex.PIndex = pix
 
+  // near/nearOrdered routed templates: same slot-aggregate shape, the
+  // window bound baked in as a literal — keyed by (file set, window,
+  // ordered); see PhraseServer.near for the semantics contract
+  private final case class NearTmpl(
+      both: AtomicReference[java.util.HashSet[UTF8String]],
+      slotA: AtomicReference[java.util.HashSet[UTF8String]],
+      slotB: AtomicReference[java.util.HashSet[UTF8String]],
+      df: DataFrame)
+
+  private val nearPlans =
+    Routing.lru[(Seq[String], Int, Boolean), NearTmpl](maxPlans)
+
+  private def nearTmpl(files: Seq[String], window: Int,
+                       ordered: Boolean): NearTmpl = {
+    val key = (files, window, ordered)
+    val hit = nearPlans.get(key)
+    if (hit != null) return hit
+    val both = newRef()
+    val slotA = newRef()
+    val slotB = newRef()
+    def in(ref: AtomicReference[java.util.HashSet[UTF8String]]) =
+      Bridge.column(RefSetContains(Bridge.expression(col("term")), ref))
+    val pred =
+      if (ordered)
+        exists(col("p0"), x =>
+          exists(col("p1"), y => y > x && y - x <= lit(window)))
+      else
+        exists(col("p0"), x =>
+          exists(col("p1"), y => abs(x - y) <= lit(window)))
+    val df = spark.read.schema(pix.postings.schema).parquet(files: _*)
+      .filter(in(both)).coalesce(1)
+      .groupBy(col("docno"))
+      .agg(
+        first(when(in(slotA), col("positions")), ignoreNulls = true)
+          .as("p0"),
+        first(when(in(slotB), col("positions")), ignoreNulls = true)
+          .as("p1"))
+      .filter(col("p0").isNotNull && col("p1").isNotNull)
+      .filter(pred)
+      .select(col("docno"))
+    df.queryExecution.executedPlan
+    val t = NearTmpl(both, slotA, slotB, df)
+    nearPlans.put(key, t)
+    t
+  }
+
+  /** All docids with `termA` within `window` tokens of `termB`
+    * (`ordered`: termB strictly after), ascending — the
+    * [[PositionalIndex.near]] contract served from pure parquet through
+    * routed exchange-free templates. */
+  def near(termA: String, termB: String, window: Int,
+           ordered: Boolean = false): Seq[String] = synchronized {
+    val ta = TextPipeline.processContent(termA)
+    val tb = TextPipeline.processContent(termB)
+    require(ta.size == 1 && tb.size == 1,
+      s"near takes single non-stopword terms, got '$termA'/'$termB'")
+    val routed = Seq(ta.head, tb.head).map(t => Routing.route(postRanges, t))
+    if (routed.exists(_.isEmpty)) return Seq.empty
+    val files = routed.flatten.distinct.sorted
+    val t = nearTmpl(files, window, ordered)
+    def set(ts: String*) = {
+      val s = new java.util.HashSet[UTF8String]()
+      ts.foreach(x => s.add(UTF8String.fromString(x)))
+      s
+    }
+    t.both.set(set(ta.head, tb.head))
+    t.slotA.set(set(ta.head))
+    t.slotB.set(set(tb.head))
+    val docnos = t.df.collect().map(_.getLong(0))
+    if (docnos.isEmpty) return Seq.empty
+    val docFiles = docnos.toSeq
+      .flatMap(Routing.route(docRanges, _)).distinct.sorted
+    if (docFiles.isEmpty) return Seq.empty
+    val rt = resolveTmpl(docFiles)
+    val dset = new java.util.HashSet[java.lang.Long]()
+    docnos.foreach(d => dset.add(d))
+    rt.ref.set(dset)
+    rt.df.collect().map(_.getString(1)).toSeq.sorted
+  }
+
   /** Exposed for the exchange-free plan-walk assertion (see
     * [[PointServer.templatePlan]]). */
   private[graft] def templatePlan(files: Seq[String], n: Int = 2)

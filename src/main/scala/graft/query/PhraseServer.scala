@@ -100,11 +100,91 @@ final class PhraseServer(pix: PIndex, topK: Int = 10) {
     else { val t = build(n); templates.put(n, t); t }
   }
 
+  // ---- proximity templates -------------------------------------------
+  // near/nearOrdered share the slot-aggregate shape; the window bound
+  // is baked into the plan as a LITERAL (codegen-friendly, and the
+  // per-doc predicate is then identical to PositionalIndex.near's), so
+  // templates key on (window, ordered). Interactive use touches a
+  // handful of window values; each builds once, lazily.
+  private final case class NearTmpl(
+      both: AtomicReference[java.util.HashSet[UTF8String]],
+      slotA: AtomicReference[java.util.HashSet[UTF8String]],
+      slotB: AtomicReference[java.util.HashSet[UTF8String]],
+      df: DataFrame)
+
+  private val nearTemplates = new java.util.HashMap[(Int, Boolean), NearTmpl]
+
+  private def buildNear(window: Int, ordered: Boolean): NearTmpl = {
+    val both = newRef()
+    val slotA = newRef()
+    val slotB = newRef()
+    val pred =
+      if (ordered)
+        exists(col("p0"), x =>
+          exists(col("p1"), y => y > x && y - x <= lit(window)))
+      else
+        exists(col("p0"), x =>
+          exists(col("p1"), y => abs(x - y) <= lit(window)))
+    val df = pix.postings.filter(in(both)).coalesce(1)
+      .groupBy(col("docno"))
+      .agg(
+        first(when(in(slotA), col("positions")), ignoreNulls = true)
+          .as("p0"),
+        first(when(in(slotB), col("positions")), ignoreNulls = true)
+          .as("p1"))
+      .filter(col("p0").isNotNull && col("p1").isNotNull)
+      .filter(pred)
+      .select(col("docno"))
+    df.queryExecution.executedPlan
+    NearTmpl(both, slotA, slotB, df)
+  }
+
+  private def nearTmpl(window: Int, ordered: Boolean): NearTmpl = {
+    val key = (window, ordered)
+    val hit = nearTemplates.get(key)
+    if (hit != null) hit
+    else { val t = buildNear(window, ordered); nearTemplates.put(key, t); t }
+  }
+
+  /** All docids whose doc holds `termA` within `window` tokens of
+    * `termB` (`ordered`: termB strictly after), ascending — the
+    * [[PositionalIndex.near]]/[[PositionalIndex.nearOrdered]] output
+    * contract served through a prepared exchange-free plan. Result
+    * size is hit-bounded (no topK: proximity is a filter, not a
+    * ranking). */
+  def near(termA: String, termB: String, window: Int,
+           ordered: Boolean = false): Seq[String] = synchronized {
+    val ta = graft.text.TextPipeline.processContent(termA)
+    val tb = graft.text.TextPipeline.processContent(termB)
+    require(ta.size == 1 && tb.size == 1,
+      s"near takes single non-stopword terms, got '$termA'/'$termB'")
+    def set(ts: String*) = {
+      val s = new java.util.HashSet[UTF8String]()
+      ts.foreach(t => s.add(UTF8String.fromString(t)))
+      s
+    }
+    val t = nearTmpl(window, ordered)
+    t.both.set(set(ta.head, tb.head))
+    t.slotA.set(set(ta.head))
+    t.slotB.set(set(tb.head))
+    val docnos = t.df.collect().map(_.getLong(0))
+    if (docnos.isEmpty) return Seq.empty
+    pix.docMap
+      .filter(col("docno").isin(docnos.toSeq: _*))
+      .select(col("docid"))
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
   /** Exposed for the exchange-free plan-walk assertion (see
     * [[PointServer.templatePlan]]). */
   private[graft] def templatePlan(n: Int = 2)
       : org.apache.spark.sql.execution.SparkPlan =
     synchronized { tmpl(n).df.queryExecution.executedPlan }
+
+  /** The proximity template's plan, for the same assertion. */
+  private[graft] def nearTemplatePlan(window: Int, ordered: Boolean)
+      : org.apache.spark.sql.execution.SparkPlan =
+    synchronized { nearTmpl(window, ordered).df.queryExecution.executedPlan }
 
   /** Top-k (docid, phrase_tf), tf desc then docid asc — the same
     * ordering contract as [[PositionalIndex.phrase]] limited to topK.

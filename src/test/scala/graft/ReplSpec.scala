@@ -65,6 +65,30 @@ class ReplSpec extends SparkSpec {
     assert(run("\"the of\"\n\n").contains("No results"))
   }
 
+  test("NEAR queries route through the proximity templates") {
+    // doc 1 holds merg and engin within 3 tokens; template and fresh
+    // paths must agree with PositionalIndex.near
+    val want = graft.index.PositionalIndex.near(positional, "merge", "engine", 3)
+      .collect().map(_.getString(0)).toSeq
+    assert(want.nonEmpty)
+    val got = run("merge NEAR/3 engine\n\n")
+    want.foreach(d => assert(got.contains(d), s"missing $d in:\n$got"))
+    // window 0 can never hit (distinct positions), and the default
+    // window is 3 (`a NEAR b` == `a NEAR/3 b`)
+    assert(run("merge NEAR/0 engine\n\n").contains("No results"))
+    val gotDefault = run("merge near engine\n\n")
+    want.foreach(d => assert(gotDefault.contains(d)))
+    // a stopword side reports the arity error without killing the loop
+    val afterErr = run("the NEAR merge\nmerge\n\n")
+    assert(afterErr.contains("single non-stopword"))
+    assert(afterErr.contains("FT911-0017"), "loop died after NEAR error")
+  }
+
+  test("NEAR degrades gracefully without a positional index") {
+    val got = run("merge NEAR/3 engine\n\n", withPositional = false)
+    assert(got.contains("needs a positional index"))
+  }
+
   test("phrases degrade gracefully without a positional index") {
     val got = run("\"merge engine\"\n\n", withPositional = false)
     assert(got.contains("needs a positional index"))

@@ -52,6 +52,23 @@ class LoadedPhraseServerSpec extends SparkSpec {
     assert(server.phrase(long) == cached(long))
   }
 
+  test("routed near/nearOrdered templates match the cached proximity plans") {
+    def freshNear(a: String, b: String, w: Int, ordered: Boolean) = {
+      val df = if (ordered) PositionalIndex.nearOrdered(pix, a, b, w)
+               else PositionalIndex.near(pix, a, b, w)
+      df.collect().map(_.getString(0)).toSeq
+    }
+    val cases = Seq(("merge", "engine", 3, false), ("merge", "engine", 1, true),
+      ("sorted", "streams", 2, false), ("merge", "engine", 3, false))
+    cases.foreach { case (a, b, w, o) =>
+      assert(server.near(a, b, w, o) == freshNear(a, b, w, o),
+        s"divergence on near($a, $b, $w, ordered=$o)")
+    }
+    assert(cases.exists { case (a, b, w, o) => server.near(a, b, w, o).nonEmpty })
+    // unknown term routes nowhere → empty without a job
+    assert(server.near("zzzzunknown", "merge", 3) == Seq.empty)
+  }
+
   test("loaded == cached for phrase, near, nearOrdered and snippet") {
     val loaded = server.index
     def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =

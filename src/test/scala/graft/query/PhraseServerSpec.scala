@@ -53,6 +53,24 @@ class PhraseServerSpec extends SparkSpec {
     assert(server.phrase(long) == fresh(long))
   }
 
+  test("near/nearOrdered templates match the fresh proximity plans") {
+    def freshNear(a: String, b: String, w: Int, ordered: Boolean) = {
+      val df = if (ordered) PositionalIndex.nearOrdered(pix, a, b, w)
+               else PositionalIndex.near(pix, a, b, w)
+      df.collect().map(_.getString(0)).toSeq
+    }
+    // interleave windows/orderings so (window, ordered) templates
+    // can't serve each other's state; repeat a pair to hit the cache
+    val cases = Seq(("merge", "engine", 3, false), ("merge", "engine", 1, true),
+      ("sorted", "streams", 2, false), ("merge", "engine", 3, false),
+      ("merge", "merge", 5, false))
+    cases.foreach { case (a, b, w, o) =>
+      assert(server.near(a, b, w, o) == freshNear(a, b, w, o),
+        s"divergence on near($a, $b, $w, ordered=$o)")
+    }
+    assert(cases.exists { case (a, b, w, o) => server.near(a, b, w, o).nonEmpty })
+  }
+
   test("the reused plans contain no exchange node (lengths 1, 2, 3)") {
     def walk(p: org.apache.spark.sql.execution.SparkPlan)
         : Seq[org.apache.spark.sql.execution.SparkPlan] =
@@ -63,6 +81,12 @@ class PhraseServerSpec extends SparkSpec {
       nodes.foreach { nd =>
         assert(!nd.getClass.getName.contains("Exchange"),
           s"exchange in $n-slot template: ${nd.getClass.getName}")
+      }
+    }
+    Seq((3, false), (1, true)).foreach { case (w, o) =>
+      walk(server.nearTemplatePlan(w, o)).foreach { nd =>
+        assert(!nd.getClass.getName.contains("Exchange"),
+          s"exchange in near($w, $o) template: ${nd.getClass.getName}")
       }
     }
   }
