@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import CrossHash._
+
+/** Distributed BPE (byte-pair-encoding) tokenizer TRAINING and
+  * application — the vocabulary-learning step of an LLM data pipeline,
+  * next to [[TextAnalysis.vocab]]'s word-level induction.
+  *
+  * The published recipe (Sennrich et al., "Neural Machine Translation
+  * of Rare Words with Subword Units") trains on the WORD-FREQUENCY
+  * table, not the raw corpus — and that is exactly what makes it
+  * scale: the corpus is touched ONCE (tokenize → word counts, one
+  * shuffle with map-side partial aggregation); every merge iteration
+  * after that runs over the vocabulary table, which is orders of
+  * magnitude smaller than the corpus (and sublinear in corpus size —
+  * Heaps' law). Per iteration: one vocab-size pair-count aggregation
+  * (partial-agg'd, skew-free — pair keys are near-uniform), one 1-row
+  * argmax collect, one narrow column rewrite. Nothing corpus-scale
+  * ever repeats.
+  *
+  * Cross-engine determinism (the CrossHash discipline): a word's
+  * symbol sequence is a `'|'`-delimited string (`"the"` →
+  * `"|t|h|e|"`); applying a merge (l, r) is TWO left-to-right
+  * non-overlapping string replaces of `"|l|r|"` with `"|lr|"` —
+  * `String.replace` (Java) and `replace()` (DuckDB) share those
+  * semantics exactly, so both engines produce the identical
+  * tokenization. One pass alone can miss an occurrence whose leading
+  * delimiter was consumed by the previous match (`"|a|a|a|a|"` →
+  * `"|aa|a|a|"`); the second pass picks those up ([[ReplacePasses]] is
+  * part of the algorithm spec — both engines run the same count, so
+  * any residual unmerged occurrence is residual on BOTH sides). Ties
+  * in pair counts break on (lhs, rhs) ascending — pure-ASCII symbols,
+  * so Spark's UTF8 ordering and DuckDB's default collation agree.
+  *
+  * Application back to the corpus ([[bpeApply]]) needs NO join and no
+  * dictionary: the learned merge table (a few hundred rules at most)
+  * folds into a chain of literal `replace` columns applied map-side —
+  * embarrassingly parallel, zero shuffle, the 100 TB shape.
+  */
+object Bpe {
+
+  /** Number of merge rules learned — mirrored by the oracle's unrolled
+    * CTE chain ([[TrainingOracles]]), so keep the two in sync. */
+  val Merges = 10
+
+  /** Merge application = this many left-to-right replace passes (see
+    * class doc — part of the cross-engine algorithm spec). */
+  val ReplacePasses = 2
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  /** One learned merge rule. */
+  final case class Rule(rank: Int, lhs: String, rhs: String, count: Long)
+
+  /** `'|'`-delimited character sequence of a word:
+    * `"the"` → `"|t|h|e|"`. */
+  private[ops] def initSeq(word: Column): Column =
+    concat(lit("|"), regexp_replace(word, "(.)", "$1|"))
+
+  /** Apply one merge rule to a delimited sequence column
+    * ([[ReplacePasses]] passes, see class doc). */
+  private[ops] def applyRule(seq: Column, l: String, r: String): Column = {
+    val pat = lit(s"|$l|$r|")
+    val rep = lit(s"|$l$r|")
+    (1 to ReplacePasses).foldLeft(seq)((c, _) => replace(c, pat, rep))
+  }
+
+  /** The word-frequency table with initial character sequences — the
+    * ONE corpus-scale pass (tokenize is narrow; the word grouping is
+    * one shuffle with map-side combine). */
+  private def wordSeqs(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(tokensArrayFast(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("seq", initSeq(col("word")))
+
+  /** Train `merges` BPE rules. Returns the learned rules (rank order)
+    * and the final per-word sequence table. Each iteration materializes
+    * the rewritten vocab through [[Stage.cut]] (lineage stays constant-
+    * depth; blocks are executor-resident and cleaner-reclaimed). The
+    * per-iteration collect is ONE row — the argmax pair. */
+  def train(spark: SparkSession, dir: String,
+            merges: Int = Merges): (Seq[Rule], DataFrame) = {
+    require(merges >= 1, s"train needs merges >= 1, got $merges")
+    var seqs = Stage.cut(wordSeqs(spark, dir), eager = false)
+    val rules = Seq.newBuilder[Rule]
+    for (rank <- 1 to merges) {
+      // adjacent symbol pairs of each word, weighted by word count;
+      // guard: sequence(1, n-1) DESCENDS when n < 2 — emit no pairs
+      val sym = slice(split(col("seq"), "\\|"), lit(2),
+        size(split(col("seq"), "\\|")) - 2)
+      val top = seqs
+        .select(col("cnt"), sym.as("sym"))
+        .select(col("cnt"), explode(when(size(col("sym")) >= 2,
+          transform(sequence(lit(1), size(col("sym")) - 1),
+            i => struct(element_at(col("sym"), i).as("lhs"),
+              element_at(col("sym"), i + 1).as("rhs"))))
+          .otherwise(array().cast("array<struct<lhs:string,rhs:string>>")))
+          .as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("lhs"), col("rhs"))
+        .limit(1)
+        .collect()
+      require(top.nonEmpty,
+        s"BPE ran out of pairs at rank $rank — corpus too small for $merges merges")
+      val (l, r, pc) =
+        (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      rules += Rule(rank, l, r, pc)
+      val next = Stage.cut(
+        seqs.withColumn("seq", applyRule(col("seq"), l, r)), eager = false)
+      seqs = next
+    }
+    (rules.result(), seqs)
+  }
+
+  /** q27_bpe_train: the learned merge table — (rank, lhs, rhs, merged,
+    * pc), the artifact a tokenizer ships. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (rules, _) = train(spark, dir)
+    rules.map(r => (r.rank, r.lhs, r.rhs, r.lhs + r.rhs, r.count))
+      .toDF("rank", "lhs", "rhs", "merged", "pc")
+      .orderBy("rank")
+  }
+
+  /** q27_bpe_apply: per-document BPE token counts — the learned rules
+    * fold into a literal replace chain applied MAP-SIDE to each word
+    * (no join, no dictionary broadcast, zero shuffle beyond the final
+    * per-doc aggregation). Identical to joining the trained sequence
+    * table by construction: the chain is exactly how that table's
+    * sequences were computed. */
+  def bpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val (rules, _) = train(spark, dir)
+    val seqFinal = rules.foldLeft(initSeq(col("word")))(
+      (c, r) => applyRule(c, r.lhs, r.rhs))
+    docs(spark, dir)
+      .select(col("doc_id"), explode(tokensArrayFast(col("text"))).as("word"))
+      .select(col("doc_id"),
+        (size(split(seqFinal, "\\|")) - 2).cast("long").as("syms"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("syms")).as("bpe_tokens"))
+      .orderBy("doc_id")
+  }
+}

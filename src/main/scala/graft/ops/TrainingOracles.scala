@@ -192,6 +192,30 @@ object TrainingOracles {
          FROM documents LEFT JOIN d ON documents.doc_id = d.doc_id
          ORDER BY doc_id""",
 
+    // BPE training — the merge loop unrolled to Bpe.Merges CTE
+    // triplets (pairs → argmax → rewrite); merge application is the
+    // same two-pass left-to-right replace the engine runs (shared
+    // semantics of Java String.replace / DuckDB replace — see the
+    // Bpe class doc), so sequences stay engine-identical through
+    // every iteration
+    "q27_bpe_train" -> {
+      val sel = (1 to Bpe.Merges)
+        .map(i => s"SELECT $i AS rank, lhs, rhs, lhs||rhs AS merged, pc FROM m$i")
+        .mkString(" UNION ALL ")
+      s"""WITH $bpeCtes
+         SELECT * FROM ($sel) ORDER BY rank"""
+    },
+
+    // BPE application: per-doc subword counts; the oracle joins each
+    // corpus word to its trained final sequence (sN) — the engine's
+    // map-side replace chain equals that join by construction
+    "q27_bpe_apply" ->
+      s"""WITH $bpeCtes
+         SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(len(string_split(s.seq, '|')) - 2) AS BIGINT) AS bpe_tokens
+         FROM tok t JOIN s${Bpe.Merges} s USING (word)
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
+
     // heavy hitters: exact top-k terms + the two checked CMS bounds
     "q14_heavy_hitters" ->
       s"""WITH tok AS (SELECT unnest($toks) AS term FROM documents)
@@ -865,6 +889,33 @@ object TrainingOracles {
          b AS (SELECT vec_id,
                       CAST(sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
                FROM pr GROUP BY vec_id)"""
+
+  /** BPE CTE chain: `tok` (corpus words), `s0` (word counts + initial
+    * `'|'`-delimited char sequences), then per merge-iteration i:
+    * `p_i` adjacent weighted pairs, `m_i` the argmax pair (count desc,
+    * (lhs, rhs) asc — ASCII, so collations agree), `s_i` the rewritten
+    * vocabulary. Mirrors [[Bpe.train]] step for step. */
+  private lazy val bpeCtes: String = {
+    def iter(i: Int): String =
+      s"""p$i AS (
+           SELECT s.cnt, s.sym[u.r] AS lhs, s.sym[u.r+1] AS rhs
+           FROM (SELECT cnt, list_slice(string_split(seq, '|'), 2,
+                          len(string_split(seq, '|')) - 1) AS sym
+                 FROM s${i - 1}) s,
+                LATERAL (SELECT unnest(range(1, len(s.sym))) AS r) u),
+         m$i AS (SELECT lhs, rhs, CAST(sum(cnt) AS BIGINT) AS pc
+                 FROM p$i GROUP BY lhs, rhs
+                 ORDER BY pc DESC, lhs, rhs LIMIT 1),
+         s$i AS (SELECT word, cnt,
+                   replace(replace(seq, '|'||lhs||'|'||rhs||'|', '|'||lhs||rhs||'|'),
+                                        '|'||lhs||'|'||rhs||'|', '|'||lhs||rhs||'|') AS seq
+                 FROM s${i - 1} CROSS JOIN m$i)"""
+    s"""tok AS (SELECT doc_id, unnest($toks) AS word FROM documents),
+       s0 AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+                     '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS seq
+              FROM tok GROUP BY word),
+       ${(1 to Bpe.Merges).map(iter).mkString(",\n       ")}"""
+  }
 
   private lazy val simhashSql: String =
     s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
