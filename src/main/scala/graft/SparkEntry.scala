@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{IrEngine, IrSql, Relational}
-import graft.ops.{Bpe, Dedup, Graph, Similarity, Temporal, TextAnalysis, TrainingOracles}
+import graft.ops.{Bpe, Dedup, Graph, Pq, Similarity, Temporal, TextAnalysis, TrainingOracles}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -164,6 +164,9 @@ object SparkEntry {
     "q27_lm_score" -> (TextAnalysis.lmScore _),
     "q27_bpe_train" -> (Bpe.bpeTrain _),
     "q27_bpe_apply" -> (Bpe.bpeApply _),
+    "q25_pq_codes" -> (Pq.pqCodes _),
+    "q25_ann_pq" ->
+      ((s: SparkSession, d: String) => Pq.annPq(s, d)),
     "q33_pagerank" -> (Graph.q33PageRank _),
     "q33_triangles" -> (Graph.q33Triangles _),
     "q33_clustering" -> (Graph.q33Clustering _),

@@ -1,0 +1,187 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Product quantization (PQ) over the embedding table — the
+  * memory-budget ANN store for corpora where even int8 scalar
+  * quantization ([[Similarity.quantized]]) is too big: each vector is
+  * split into [[Subspaces]] contiguous subvectors, each subvector
+  * replaced by the id of its nearest codebook centroid, so a vector
+  * costs [[Subspaces]] small integers (here 4 bytes for 64 fp32 dims —
+  * a 64× reduction). Queries run ADC (asymmetric distance
+  * computation): the query stays exact, one distance TABLE of
+  * [[Subspaces]]×[[Codebook]] entries is computed once, and each
+  * candidate's approximate distance is [[Subspaces]] table lookups —
+  * no float math per candidate. (Jégou et al., "Product Quantization
+  * for Nearest Neighbor Search".)
+  *
+  * Scale posture: codebook training collates only k×dims fixed-point
+  * sum rows per iteration (the [[Similarity.kmeansCentroids]]
+  * pattern — bounded driver state no matter the corpus); code
+  * assignment and ADC scoring are NARROW one-pass scans with the
+  * codebooks/distance table broadcast (m×k×subdim doubles — KBs);
+  * the only shuffle anywhere is the final top-k
+  * TakeOrderedAndProject. At 100 TB the PQ code table is the store
+  * the first-stage scan reads; exact re-rank of the short list runs
+  * against the fp32 originals.
+  *
+  * Cross-engine determinism (the CrossHash discipline): L2 distances
+  * are sequential left-folds of `(v_i − c_i)²` in dimension order;
+  * centroid updates use the sanctioned 2^40 fixed-point integer sums
+  * rounded to 4 decimals between iterations; assignment ties break on
+  * smallest centroid id; the ADC total sums the [[Subspaces]] lookups
+  * in subspace order. Every step matches the unrolled-CTE oracle
+  * bit for bit.
+  */
+object Pq {
+
+  /** Number of subvector blocks (m). Embedding dims must divide. */
+  val Subspaces = 4
+
+  /** Centroids per subspace codebook (k). Seeds: the subvectors of
+    * vec_id < k — deterministic on both engines. */
+  val Codebook = 8
+
+  /** Lloyd iterations per codebook (matches the q25_kmeans oracle's
+    * unroll depth). */
+  val Iters = 2
+
+  val TopK = 10
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+
+  /** Sequential-fold squared L2 — the exact arithmetic of the oracle's
+    * `list_reduce` (dimension order, one running double). */
+  private def l2(v: Seq[Float], off: Int, c: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < c.length) {
+      val d = v(off + i).toDouble - c(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** Argmin centroid (ties → smallest cid) — `ORDER BY dist, cid`. */
+  private def assignOne(v: Seq[Float], off: Int,
+                        cents: Array[(Long, Array[Double])]): Long = {
+    var bestD = Double.PositiveInfinity
+    var bestC = Long.MinValue
+    for ((cid, cv) <- cents) {
+      val d = l2(v, off, cv)
+      if (bestC == Long.MinValue || d < bestD) { bestD = d; bestC = cid }
+    }
+    bestC
+  }
+
+  /** Train the [[Subspaces]] codebooks: per iteration ONE narrow
+    * assignment scan over (vector × subspace) rows and ONE fixed-point
+    * hash aggregation; the per-iteration collect is ≤ m×k×subdim rows
+    * (= full-vector k×dims — bounded at any corpus size). Returns
+    * subspace → sorted (cid, centroid) arrays. */
+  def codebooks(spark: SparkSession, dir: String)
+      : Array[Array[(Long, Array[Double])]] = {
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    val dims = e.select(size(col("embedding"))).head().getInt(0)
+    require(dims % Subspaces == 0,
+      s"embedding dims $dims not divisible by $Subspaces subspaces")
+    val sd = dims / Subspaces
+    // exploded (vec_id, sub, subvector) view — one row per block
+    val subv = e.select(col("vec_id"),
+      posexplode(array((0 until Subspaces).map(s =>
+        slice(col("embedding"), s * sd + 1, sd)): _*))
+        .as(Seq("sub", "sv")))
+    // seeds: raw double subvectors of vec_id < Codebook
+    var cents: Array[Array[(Long, Array[Double])]] =
+      Array.tabulate(Subspaces) { s =>
+        e.filter(col("vec_id") < Codebook).orderBy("vec_id")
+          .select(col("vec_id"), slice(col("embedding"), s * sd + 1, sd))
+          .collect()
+          .map(r => (r.getLong(0),
+            r.getSeq[Float](1).toArray.map(_.toDouble)))
+      }
+    for (_ <- 1 to Iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val assign = udf((s: Int, v: Seq[Float]) =>
+        assignOne(v, 0, bc.value(s)))
+      val sums = subv
+        .select(col("sub"), assign(col("sub"), col("sv")).as("cid"),
+          col("sv"))
+        .select(col("sub"), col("cid"),
+          posexplode(col("sv")).as(Seq("dim0", "x")))
+        .groupBy(col("sub"), col("cid"), (col("dim0") + 1).as("dim"))
+        .agg(sum(round(col("x").cast("double") * Similarity.CentroidScale)
+          .cast("decimal(38,0)")).as("s"), count(lit(1)).as("n"))
+        .select(col("sub"), col("cid"), col("dim"),
+          (round(col("s").cast("double") / Similarity.CentroidScale /
+            col("n"), 4) + 0.0).as("c"))
+        .orderBy("sub", "cid", "dim")
+        .collect()
+      cents = Array.tabulate(Subspaces) { s =>
+        sums.filter(_.getInt(0) == s)
+          .groupBy(_.getLong(1)).toArray.sortBy(_._1)
+          .map { case (cid, rows) =>
+            (cid, rows.sortBy(_.getAs[Number]("dim").longValue)
+              .map(_.getDouble(3)))
+          }
+      }
+    }
+    cents
+  }
+
+  /** q25_pq_codes: the quantized store — each vector's per-subspace
+    * centroid ids. A narrow one-pass scan with the codebooks
+    * broadcast; at scale THIS table (m small ints per vector) is what
+    * gets written and served. */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val cents = codebooks(spark, dir)
+    val sd = cents(0)(0)._2.length
+    val bc = emb(spark, dir).sparkSession.sparkContext.broadcast(cents)
+    val codes = udf((v: Seq[Float]) =>
+      (0 until Subspaces).map(s => assignOne(v, s * sd, bc.value(s))))
+    emb(spark, dir)
+      .select(col("vec_id"), codes(col("embedding")).as("cs"))
+      .select(col("vec_id") +:
+        (0 until Subspaces).map(s =>
+          element_at(col("cs"), s + 1).as(s"c$s")): _*)
+      .orderBy("vec_id")
+  }
+
+  /** q25_ann_pq: ADC top-k for the query vector (vec_id 0) — distance
+    * table built driver-side from the trained codebooks (m×k doubles),
+    * then ONE narrow scored scan + TakeOrderedAndProject. The
+    * candidate's [[Subspaces]] lookups sum in subspace order (the
+    * oracle's left-assoc `d0 + d1 + …`). */
+  def annPq(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    val cents = codebooks(spark, dir)
+    val sd = cents(0)(0)._2.length
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0)
+    // dtable(s): cid → ADC distance of the exact query subvector
+    val dtable: Array[Map[Long, Double]] =
+      Array.tabulate(Subspaces) { s =>
+        cents(s).map { case (cid, cv) => cid -> l2(q, s * sd, cv) }.toMap
+      }
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcD = spark.sparkContext.broadcast(dtable)
+    val score = udf((v: Seq[Float]) => {
+      var acc = 0.0
+      var s = 0
+      while (s < Subspaces) {
+        acc += bcD.value(s)(assignOne(v, s * sd, bcC.value(s)))
+        s += 1
+      }
+      acc
+    })
+    e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), score(col("embedding")).as("d"))
+      .orderBy(col("d"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), (round(col("d"), 4) + 0.0).as("pq_dist"))
+  }
+}

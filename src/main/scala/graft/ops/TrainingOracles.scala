@@ -216,6 +216,32 @@ object TrainingOracles {
          FROM tok t JOIN s${Bpe.Merges} s USING (word)
          GROUP BY t.doc_id ORDER BY t.doc_id""",
 
+    // product quantization: the per-subspace code assignment of every
+    // vector (the compact ANN store)
+    "q25_pq_codes" -> {
+      val joins = (0 until Pq.Subspaces)
+        .map(s => s"JOIN code_$s ON code_$s.vec_id = e.vec_id")
+        .mkString(" ")
+      val cols = (0 until Pq.Subspaces)
+        .map(s => s"code_$s.cid AS c$s").mkString(", ")
+      s"""WITH $pqCtes
+         SELECT e.vec_id, $cols FROM e $joins ORDER BY e.vec_id"""
+    },
+
+    // PQ ADC top-k: per-candidate distance = sum of the query's
+    // per-subspace distance-table lookups (left-assoc, subspace order)
+    "q25_ann_pq" -> {
+      val joins = (0 until Pq.Subspaces).map(s =>
+        s"JOIN code_$s ON code_$s.vec_id = e.vec_id " +
+          s"JOIN qd_$s ON qd_$s.cid = code_$s.cid").mkString(" ")
+      val total = (0 until Pq.Subspaces).map(s => s"qd_$s.d").mkString(" + ")
+      s"""WITH $pqCtes
+         SELECT e.vec_id, round($total, 4) + 0.0 AS pq_dist
+         FROM e $joins
+         WHERE e.vec_id <> 0
+         ORDER BY $total, e.vec_id LIMIT ${Pq.TopK}"""
+    },
+
     // heavy hitters: exact top-k terms + the two checked CMS bounds
     "q14_heavy_hitters" ->
       s"""WITH tok AS (SELECT unnest($toks) AS term FROM documents)
@@ -915,6 +941,54 @@ object TrainingOracles {
                      '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS seq
               FROM tok GROUP BY word),
        ${(1 to Bpe.Merges).map(iter).mkString(",\n       ")}"""
+  }
+
+  /** Sequential-fold squared L2 between two double-list exprs — the
+    * dimension-order running sum [[Pq]] uses. */
+  private def ddbL2(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, len($a) + 1), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, x) -> acc + x)"
+
+  /** Product-quantization CTE chain — [[Pq]] unrolled: per subspace s,
+    * the subvector view `e_s`, seed codebook `c0_s`, [[Pq.Iters]]
+    * Lloyd iterations (argmin-L2 assignment + 2^40 fixed-point means),
+    * final code assignment `code_s`, and the query's ADC distance
+    * table `qd_s`. */
+  private lazy val pqCtes: String = {
+    val m = Pq.Subspaces
+    val k = Pq.Codebook
+    def sub(s: Int): String = {
+      def iter(i: Int): String =
+        s"""a${i}_$s AS (SELECT e.vec_id, e.v, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${ddbL2("e.v", "c.cvec")}, c.cid) AS rn
+               FROM e_$s e CROSS JOIN c${i - 1}_$s c),
+           x${i}_$s AS (SELECT cid, CAST(generate_subscripts(v, 1) AS BIGINT) AS dim,
+                 CAST(round(unnest(v) * ${Similarity.CentroidScale}) AS BIGINT) AS l
+               FROM a${i}_$s WHERE rn = 1),
+           m${i}_$s AS (SELECT cid, dim,
+                 round(CAST(sum(l) AS DOUBLE) / ${Similarity.CentroidScale} / count(*), 4) + 0.0 AS c
+               FROM x${i}_$s GROUP BY cid, dim),
+           c${i}_$s AS (SELECT cid, list(c ORDER BY dim) AS cvec FROM m${i}_$s GROUP BY cid)"""
+      s"""e_$s AS (SELECT vec_id,
+               list_slice(v, $s * (len(v) // $m) + 1, ${s + 1} * (len(v) // $m)) AS v
+             FROM e),
+         c0_$s AS (SELECT vec_id AS cid, v AS cvec FROM e_$s WHERE vec_id < $k),
+         ${(1 to Pq.Iters).map(iter).mkString(",\n         ")},
+         code_$s AS (SELECT vec_id, cid FROM
+               (SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY ${ddbL2("e.v", "c.cvec")}, c.cid) AS rn
+                FROM e_$s e CROSS JOIN c${Pq.Iters}_$s c) WHERE rn = 1),
+         qd_$s AS (SELECT c.cid, ${ddbL2("q.v", "c.cvec")} AS d
+               FROM c${Pq.Iters}_$s c
+                    CROSS JOIN (SELECT v FROM e_$s WHERE vec_id = 0) q)"""
+    }
+    s"""e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+       ${(0 until m).map(sub).mkString(",\n       ")}"""
   }
 
   private lazy val simhashSql: String =

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PqSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("codebooks: one per subspace, bounded size, subdim = dims/m") {
+    val cb = Pq.codebooks(spark, dir)
+    assert(cb.length == Pq.Subspaces)
+    cb.foreach { cents =>
+      assert(cents.nonEmpty && cents.length <= Pq.Codebook)
+      assert(cents.forall(_._2.length == 64 / Pq.Subspaces))
+      // cids are a subset of the seed ids, sorted
+      assert(cents.map(_._1).toSeq == cents.map(_._1).sorted.toSeq)
+      assert(cents.forall(c => c._1 >= 0 && c._1 < Pq.Codebook))
+    }
+  }
+
+  test("pq codes reference live centroids only") {
+    val cb = Pq.codebooks(spark, dir)
+    val live = cb.map(_.map(_._1).toSet)
+    val rows = Pq.pqCodes(spark, dir).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      (0 until Pq.Subspaces).foreach { s =>
+        assert(live(s).contains(r.getLong(1 + s)),
+          s"vec ${r.getLong(0)} sub $s code ${r.getLong(1 + s)} not a centroid")
+      }
+    }
+  }
+
+  test("ADC result = per-subspace distance-table lookups of the " +
+    "assigned codes (recomputed independently)") {
+    val cb = Pq.codebooks(spark, dir)
+    val sd = 64 / Pq.Subspaces
+    val e = graft.Tables.load(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .head().getSeq[Float](e.columns.indexOf("embedding"))
+    val codes = Pq.pqCodes(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (0 until Pq.Subspaces).map(s => r.getLong(1 + s))).toMap
+    val vecs = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def l2(a: Seq[Float], off: Int, c: Array[Double]): Double = {
+      var acc = 0.0
+      for (i <- c.indices) {
+        val d = a(off + i).toDouble - c(i); acc += d * d
+      }
+      acc
+    }
+    val got = Pq.annPq(spark, dir).collect()
+    assert(got.length == Pq.TopK)
+    got.foreach { r =>
+      val vid = r.getLong(0)
+      val want = (0 until Pq.Subspaces).foldLeft(0.0) { (acc, s) =>
+        val cid = codes(vid)(s)
+        val cv = cb(s).find(_._1 == cid).get._2
+        acc + l2(q, s * sd, cv)
+      }
+      assert(math.abs(r.getDouble(1) - (math.rint(want * 1e4) / 1e4)) < 1e-9 ||
+        math.abs(r.getDouble(1) - want) < 1e-4,
+        s"vec $vid: got ${r.getDouble(1)}, want ~$want")
+    }
+    // distances non-decreasing down the top-k
+    val ds = got.map(_.getDouble(1)).toSeq
+    assert(ds == ds.sorted)
+  }
+
+  test("ADC scan plan is shuffle-free (broadcast tables + TakeOrdered)") {
+    val plan = Pq.annPq(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange "),
+      s"unexpected exchange in ADC plan:\n$plan")
+  }
+}
