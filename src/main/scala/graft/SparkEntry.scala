@@ -164,6 +164,8 @@ object SparkEntry {
     "q27_lm_score" -> (TextAnalysis.lmScore _),
     "q27_bpe_train" -> (Bpe.bpeTrain _),
     "q27_bpe_apply" -> (Bpe.bpeApply _),
+    "q27_dsir" ->
+      ((s: SparkSession, d: String) => TextAnalysis.dsirSelect(s, d)),
     "q25_pq_codes" -> (Pq.pqCodes _),
     "q25_ann_pq" ->
       ((s: SparkSession, d: String) => Pq.annPq(s, d)),

@@ -427,6 +427,72 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Hashed-feature buckets for [[dsirSelect]] — small enough that the
+    * per-bucket distribution table always broadcasts, large enough to
+    * keep collisions tolerable for a ratio estimator. */
+  val DsirBuckets = 4096L
+
+  /** Documents kept by [[dsirSelect]]. */
+  val DsirKeep = 100
+
+  /** DSIR-style data selection (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by the log-likelihood ratio of its hashed bigram features under a
+    * TARGET distribution (here: the corpus subset passing the
+    * [[filterApply]] quality gate) vs the SOURCE distribution (the
+    * whole corpus), then keep the top scorers. The deterministic
+    * top-k selection replaces the paper's Gumbel resampling — same
+    * scoring model, reproducible output (the repo-wide no-rand rule).
+    *
+    * Scale shape: the target flag attaches at DOC level before the
+    * feature explode (never a per-feature join against a doc-level
+    * table); feature instances partial-aggregate into a bucket table
+    * of at most [[DsirBuckets]] rows — which therefore ALWAYS
+    * broadcasts back for scoring, no matter the corpus size; per-doc
+    * scores are one hash aggregation; selection is a
+    * TakeOrderedAndProject. Two corpus-scale shuffles total, both
+    * bounded-output. Laplace-smoothed log ratios use the sanctioned
+    * 1e6 fixed-point so per-doc sums are order-free and engine-exact.
+    */
+  def dsirSelect(spark: SparkSession, dir: String,
+                 k: Int = DsirKeep): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val B = DsirBuckets
+    val kept = filterApply(spark, dir).select(col("doc_id"))
+      .withColumn("is_t", lit(1L))
+    val t = docs(spark, dir)
+      .select(col("doc_id"), tokensArrayFast(col("text")).as("toks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("is_t"), lit(0L)).as("is_t"),
+        col("toks"))
+      .stageEager()
+    val inst = t
+      .select(col("doc_id"), col("is_t"),
+        explode(gramsUdf(2)(col("toks"))).as("g"))
+      .select(col("doc_id"), col("is_t"),
+        pmod(graft.functions.GraftFunctions.polyhash(col("g"), P),
+          lit(B)).as("h"))
+    val buckets = inst.groupBy(col("h"))
+      .agg(sum(col("is_t")).as("ct"), count(lit(1)).as("cs"))
+      .stageEager()
+    val Array(tTot, sTot) = buckets
+      .agg(sum("ct"), sum("cs")).head() match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+    val lr = buckets.select(col("h"),
+      round((log((col("ct") + 1.0) / (tTot + B).toDouble) -
+        log((col("cs") + 1.0) / (sTot + B).toDouble)) * 1e6, 0)
+        .cast("long").as("lr"))
+    inst.join(broadcast(lr), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lr")).as("sfp"))
+      .select(col("doc_id"), col("n_feats"),
+        (round(col("sfp") / 1e6 / col("n_feats"), 4) + 0.0)
+          .as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** TRAIN/VAL/TEST SPLIT — the reproducible three-way partition a
     * training pipeline cuts before anything else: a stable content
     * hash in [0, 100) maps to train (< 80) / val (< 90) / test. A

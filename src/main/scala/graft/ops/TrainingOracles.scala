@@ -216,6 +216,35 @@ object TrainingOracles {
          FROM tok t JOIN s${Bpe.Merges} s USING (word)
          GROUP BY t.doc_id ORDER BY t.doc_id""",
 
+    // DSIR data selection: hashed-bigram log-likelihood ratio of the
+    // quality-kept target distribution vs the whole corpus, Laplace-
+    // smoothed, 1e6 fixed-point sums, deterministic top-k
+    "q27_dsir" ->
+      s"""WITH $filterKeptCtes,
+         ptok AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS term
+                  FROM (SELECT doc_id, $toks AS l FROM documents)),
+         big AS (SELECT a.doc_id AS doc_id, a.term || ' ' || b.term AS g
+                 FROM ptok a JOIN ptok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         inst AS (SELECT big.doc_id AS doc_id,
+                         CASE WHEN kept.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_t,
+                         ${ddbPolyHash("g", P)} % ${TextAnalysis.DsirBuckets} AS h
+                  FROM big LEFT JOIN kept ON big.doc_id = kept.doc_id),
+         bkt AS (SELECT h, CAST(sum(is_t) AS BIGINT) AS ct,
+                        CAST(count(*) AS BIGINT) AS cs
+                 FROM inst GROUP BY h),
+         tots AS (SELECT CAST(sum(ct) AS BIGINT) AS t,
+                         CAST(sum(cs) AS BIGINT) AS s FROM bkt),
+         lr AS (SELECT h,
+                       CAST(round((ln((ct + 1.0) / (t + ${TextAnalysis.DsirBuckets}))
+                                 - ln((cs + 1.0) / (s + ${TextAnalysis.DsirBuckets}))) * 1e6, 0) AS BIGINT) AS lr
+                FROM bkt CROSS JOIN tots),
+         sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                       CAST(sum(lr) AS BIGINT) AS sfp
+                FROM inst JOIN lr USING (h) GROUP BY doc_id)
+         SELECT doc_id, n_feats,
+                round(CAST(sfp AS DOUBLE) / 1e6 / n_feats, 4) + 0.0 AS dsir_score
+         FROM sc ORDER BY dsir_score DESC, doc_id LIMIT ${TextAnalysis.DsirKeep}""",
+
     // product quantization: the per-subspace code assignment of every
     // vector (the compact ANN store)
     "q25_pq_codes" -> {

@@ -196,4 +196,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(cut.exists(_.getDouble(3) > 0.0), "a 5-term vocab must miss")
     cut.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
   }
+
+  test("DSIR selection overrepresents the target (quality-kept) docs " +
+    "and scores come back sorted") {
+    val sel = TextAnalysis.dsirSelect(spark, dir).collect()
+    assert(sel.length == TextAnalysis.DsirKeep)
+    val scores = sel.map(_.getDouble(2)).toSeq
+    assert(scores == scores.sorted.reverse, "scores not descending")
+    val kept = TextAnalysis.filterApply(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val total = graft.Tables.load(spark, dir, "documents").count().toDouble
+    val fracSel = sel.count(r => kept.contains(r.getLong(0))) /
+      sel.length.toDouble
+    val fracAll = kept.size / total
+    assert(fracSel > fracAll,
+      s"selection ($fracSel) no better than base rate ($fracAll)")
+  }
+
+  test("DSIR scoring joins the bucket table by broadcast (the table " +
+    "is bounded by DsirBuckets, so this holds at any corpus size)") {
+    val plan = TextAnalysis.dsirSelect(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
 }
