@@ -120,6 +120,7 @@ object SparkEntry {
     "q28_video" -> (IrEngine.q28Video _),
     "q35_rewrite_wildcard" -> (IrEngine.q35RewriteWildcard _),
     "q36_phrase" -> (IrEngine.q36Phrase _),
+    "q36_phrase_compressed" -> (IrEngine.q36PhraseCompressed _),
     "q36_near" -> (IrEngine.q36Near _),
     "q36_near_ordered" -> (IrEngine.q36NearOrdered _),
     "q36_snippet" -> (IrEngine.q36Snippet _),
@@ -707,6 +708,9 @@ object SparkEntry {
     // (windowed scan / row-level position join), so the compare proves
     // positional-index phrase/proximity == full-scan semantics
     "q36_phrase" ->
+      """SELECT * FROM '/root/repo/golden/q36_phrase.parquet'""",
+    // same golden: proves the varint-gap compressed layout round-trips
+    "q36_phrase_compressed" ->
       """SELECT * FROM '/root/repo/golden/q36_phrase.parquet'""",
     "q36_near" ->
       """SELECT * FROM '/root/repo/golden/q36_near.parquet'""",

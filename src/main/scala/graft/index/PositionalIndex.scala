@@ -104,16 +104,78 @@ object PositionalIndex {
       ix.nDocs + deltaIx.nDocs)
   }
 
+  /** Varint delta-encode a SORTED ascending position array: first
+    * value absolute, then gaps — all non-negative, so each fits 1–2
+    * bytes for typical in-doc offsets (the classic gap + vbyte
+    * postings codec).
+    *
+    * MEASURED, and NOT the default ([[graft.PosSizeProf]]): on this
+    * corpus the varint layout is 1.34× LARGER than the plain
+    * `ARRAY<INT>` layout at sf0.1 — parquet's own encodings
+    * (RLE'd repetition levels + dictionary + snappy) win on the short
+    * position lists this corpus produces, and the opaque BINARY blob
+    * defeats them. Gap-vbyte pays off only for long per-doc occurrence
+    * lists (dense boilerplate terms) or row-oriented export targets
+    * that can't columnar-decode; measure with PosSizeProf per corpus
+    * before flipping the flag. */
+  private[index] val posEnc =
+    udf((ps: Seq[Int]) => {
+      val out = new java.io.ByteArrayOutputStream(ps.length * 2)
+      var prev = 0
+      ps.foreach { p =>
+        var v = p - prev
+        prev = p
+        while ((v & ~0x7f) != 0) { out.write((v & 0x7f) | 0x80); v >>>= 7 }
+        out.write(v)
+      }
+      out.toByteArray
+    })
+
+  /** Inverse of [[posEnc]]. */
+  private[index] val posDec =
+    udf((bs: Array[Byte]) => {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      var prev = 0
+      while (i < bs.length) {
+        var v = 0
+        var shift = 0
+        var b = 0
+        do {
+          b = bs(i); i += 1
+          v |= (b & 0x7f) << shift; shift += 7
+        } while ((b & 0x80) != 0)
+        prev += v
+        out += prev
+      }
+      out.toSeq
+    })
+
   /** Durable layout, same conventions as [[InvertedIndex.write]]:
     * postings range-partitioned + sorted on term (a phrase query's
     * per-term literal filters prune to one file / row group each),
-    * doc_map range-partitioned on docno, scalar corpus stats. */
+    * doc_map range-partitioned on docno, scalar corpus stats.
+    *
+    * `compressed = true` stores position lists as varint gap bytes
+    * (`pos_z` BINARY) instead of `positions ARRAY<INT>` — [[load]]
+    * branches on the stored schema (the [[graft.Tables]] footer-schema
+    * convention) and surfaces the identical PIndex either way. The
+    * compressed layout is the batch/storage form; the routed serving
+    * path ([[graft.query.LoadedPhraseServer]]) reads the plain layout
+    * (its pruned scans want the array column directly — a missing
+    * `positions` column fails loudly, never silently). */
   def write(ix: PIndex, dir: String,
-            rowsPerFile: Long = InvertedIndex.WriteRowsPerFile): Unit = {
+            rowsPerFile: Long = InvertedIndex.WriteRowsPerFile,
+            compressed: Boolean = false): Unit = {
     val spark = ix.docMap.sparkSession
+    val post0 =
+      if (compressed)
+        ix.postings.select(col("term"), col("docno"),
+          posEnc(col("positions")).as("pos_z"), col("tf"))
+      else ix.postings
     val nPost = math.max(1L,
       (ix.postings.count() + rowsPerFile - 1) / rowsPerFile).toInt
-    ix.postings.repartitionByRange(nPost, col("term"))
+    post0.repartitionByRange(nPost, col("term"))
       .sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$dir/pos_postings")
     val nDoc = math.max(1L,
@@ -145,8 +207,15 @@ object PositionalIndex {
   def load(spark: SparkSession, dir: String): PIndex = {
     val n = spark.read.parquet(s"$dir/corpus_stats")
       .head().getAs[Long]("n_docs")
-    PIndex(spark.read.parquet(s"$dir/pos_postings"),
-      spark.read.parquet(s"$dir/doc_map"), n)
+    val raw = spark.read.parquet(s"$dir/pos_postings")
+    // footer schema decides the layout (see [[write]]): varint-gap
+    // postings decode in one narrow projection
+    val post =
+      if (raw.columns.contains("pos_z"))
+        raw.select(col("term"), col("docno"),
+          posDec(col("pos_z")).as("positions"), col("tf"))
+      else raw
+    PIndex(post, spark.read.parquet(s"$dir/doc_map"), n)
   }
 
   /** Exact phrase search: documents containing the query terms at

@@ -269,6 +269,18 @@ object IrEngine {
     PositionalIndex.phrase(ix, PhraseQuery)
   }
 
+  /** The q36 phrase served through the COMPRESSED durable layout:
+    * build → varint-gap write → schema-branched load → phrase. Checked
+    * against the same brute-scan golden as q36_phrase, so the driver
+    * compare proves the gap codec round-trips exactly. */
+  def q36PhraseCompressed(spark: SparkSession, dir: String): DataFrame = {
+    val ix = PositionalIndex.build(spark, corpus(spark, dir))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_posz").toString
+    PositionalIndex.write(ix, tmp, compressed = true)
+    PositionalIndex.phrase(PositionalIndex.load(spark, tmp), PhraseQuery)
+  }
+
   /** The same phrase evaluated with NO positional index: every
     * m-token window of the pipeline token sequence, string-compared to
     * the phrase — the independent path the golden is generated from. */

@@ -136,6 +136,45 @@ class PositionalIndexSpec extends SparkSpec {
     assert(hits(loaded) == hits(merged) && loaded.nDocs == merged.nDocs)
   }
 
+  test("varint gap codec round-trips sorted position lists exactly") {
+    import spark.implicits._
+    val cases = Seq(Seq(0), Seq(5), Seq(0, 1, 2, 3), Seq(7, 7 + 127),
+      Seq(1, 200, 16500, 2000000), Seq.range(0, 300), Seq.empty[Int])
+    val got = cases.toDF("ps")
+      .select(PositionalIndex.posDec(
+        PositionalIndex.posEnc(col("ps"))).as("rt"))
+      .as[Seq[Int]].collect().toSeq
+    assert(got == cases)
+  }
+
+  test("compressed layout: load decodes to the identical postings and " +
+    "every query path agrees") {
+    val dirSrc = "/root/testdata/sf0.001"
+    val full = graft.queries.IrEngine.corpus(spark, dirSrc).limit(120)
+    val built = PositionalIndex.build(spark, full)
+    val plain = java.nio.file.Files.createTempDirectory("pos_p").toString
+    val comp = java.nio.file.Files.createTempDirectory("pos_z").toString
+    PositionalIndex.write(built, plain)
+    PositionalIndex.write(built, comp, compressed = true)
+    val lp = PositionalIndex.load(spark, plain)
+    val lz = PositionalIndex.load(spark, comp)
+    // postings identical row for row after decode
+    assert(lz.postings.exceptAll(lp.postings).isEmpty &&
+      lp.postings.exceptAll(lz.postings).isEmpty)
+    // phrase + proximity identical through the compressed path
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m(PositionalIndex.phrase(lz, "hash join")) ==
+      m(PositionalIndex.phrase(lp, "hash join")))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("docid").collect().map(_.getString(0)).toSet
+    assert(ids(PositionalIndex.near(lz, "hash", "join", 3)) ==
+      ids(PositionalIndex.near(lp, "hash", "join", 3)))
+    // size is corpus-shaped and measured, not asserted: PosSizeProf
+    // found parquet-native encodings BEAT the varint blob on this
+    // corpus's short position lists (see posEnc's scaladoc)
+  }
+
   test("streamed positional ingest: cumulative merge == full rebuild") {
     import java.nio.file.Files
     val full = spark.createDataFrame(Seq(
