@@ -167,6 +167,8 @@ object SparkEntry {
     "q27_bpe_apply" -> (Bpe.bpeApply _),
     "q27_dsir" ->
       ((s: SparkSession, d: String) => TextAnalysis.dsirSelect(s, d)),
+    "q37_hybrid_rrf" ->
+      ((s: SparkSession, d: String) => Similarity.hybridRrf(s, d)),
     "q25_pq_codes" -> (Pq.pqCodes _),
     "q25_ann_pq" ->
       ((s: SparkSession, d: String) => Pq.annPq(s, d)),
@@ -187,6 +189,24 @@ object SparkEntry {
     // the driver checks it against the SAME oracle
     base + ("q06_salted_index" -> base("q06_inverted_index"))
   }
+
+  /** The BM25 ranking oracle — shared by q10_bm25 and the lexical arm
+    * of q37_hybrid_rrf. */
+  private def bm25Sql: String =
+    s"""WITH tok AS (
+         SELECT doc_id, unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS term
+         FROM documents),
+       t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+       len AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+       st AS (SELECT CAST(sum(dl) AS BIGINT) AS tt, count(*) AS nd FROM len),
+       tf AS (SELECT term, doc_id, count(*) AS tf FROM t
+              WHERE term IN (${IrSql.DefaultQueryTerms.map("'" + _ + "'").mkString(", ")}) GROUP BY term, doc_id),
+       wdf AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf)
+       SELECT doc_id,
+              round(sum(ln((nd - df + 0.5) / (df + 0.5) + 1.0) * (tf * ${IrSql.Bm25K1 + 1}) /
+                        (tf + ${IrSql.Bm25K1} * (${1 - IrSql.Bm25B} + ${IrSql.Bm25B} * dl / (CAST(tt AS DOUBLE) / nd)))), 4) AS score
+       FROM wdf JOIN len USING (doc_id) CROSS JOIN st
+       GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"""
 
   private def oracleBase: Map[String, String] = Map(
     "q01_scan_filter" ->
@@ -357,21 +377,42 @@ object SparkEntry {
 
     // constants genuinely interpolated from IrSql.Bm25K1/Bm25B and
     // DefaultQueryTerms — the same Scala values the plan uses
-    "q10_bm25" ->
-      s"""WITH tok AS (
-           SELECT doc_id, unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS term
-           FROM documents),
-         t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
-         len AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
-         st AS (SELECT CAST(sum(dl) AS BIGINT) AS tt, count(*) AS nd FROM len),
-         tf AS (SELECT term, doc_id, count(*) AS tf FROM t
-                WHERE term IN (${IrSql.DefaultQueryTerms.map("'" + _ + "'").mkString(", ")}) GROUP BY term, doc_id),
-         wdf AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf)
-         SELECT doc_id,
-                round(sum(ln((nd - df + 0.5) / (df + 0.5) + 1.0) * (tf * ${IrSql.Bm25K1 + 1}) /
-                          (tf + ${IrSql.Bm25K1} * (${1 - IrSql.Bm25B} + ${IrSql.Bm25B} * dl / (CAST(tt AS DOUBLE) / nd)))), 4) AS score
-         FROM wdf JOIN len USING (doc_id) CROSS JOIN st
-         GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
+    "q10_bm25" -> bm25Sql,
+
+    // RRF fusion of the BM25 arm and the dense ANN arm: ranks from
+    // each arm's top-10 output, floor(1e6/(rank+60)) contributions
+    // (floor, not cast — DuckDB's double→BIGINT cast rounds where
+    // Spark truncates), full outer join so single-arm docs fuse
+    "q37_hybrid_rrf" ->
+      s"""WITH lex AS (SELECT doc_id,
+                       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+                FROM ($bm25Sql)),
+         semall AS (SELECT vec_id, round(c, 4) AS cos
+                FROM (SELECT vec_id,
+                             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                               list_transform(range(1, len(embedding) + 1),
+                                 i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))),
+                               (acc, x) -> acc + x)
+                             / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                 list_transform(range(1, len(embedding) + 1),
+                                   i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+                                 (acc, x) -> acc + x)) *
+                                sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                 list_transform(range(1, len(qv) + 1),
+                                   i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))),
+                                 (acc, x) -> acc + x))) AS c
+                      FROM embeddings CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+                      WHERE vec_id <> 0)
+                ORDER BY c DESC, vec_id LIMIT 10),
+         sem AS (SELECT vec_id AS doc_id,
+                       CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS sem_rank
+                FROM semall),
+         f AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+                      coalesce(CAST(floor(1000000 / (lex_rank + 60)) AS BIGINT), 0) +
+                      coalesce(CAST(floor(1000000 / (sem_rank + 60)) AS BIGINT), 0) AS rrf
+               FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+         SELECT doc_id, lex_rank, sem_rank, rrf FROM f
+         ORDER BY rrf DESC, doc_id LIMIT 10""",
 
     "q11_join" ->
       """SELECT o_orderkey, o_totalprice, c_name, n_name

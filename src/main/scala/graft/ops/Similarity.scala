@@ -631,4 +631,43 @@ object Similarity {
       .limit(k)
       .select(col("vec_id"), round(col("c"), 4).as("cos"))
   }
+
+  /** HYBRID retrieval via reciprocal rank fusion (RRF, Cormack et al.):
+    * fuse the lexical BM25 ranking ([[graft.queries.IrSql.q10Bm25]])
+    * with the semantic ANN ranking ([[annTopK]]) by summing
+    * `1/(60 + rank)` per arm — the standard score-free fusion of a
+    * sparse and a dense retriever (rank-based, so the arms'
+    * incomparable score scales never meet). Documents surfacing in one
+    * arm only still fuse (full outer join, missing arm contributes 0).
+    *
+    * Determinism: ranks come from row_number over (rounded score desc,
+    * id) on each arm's top-k OUTPUT; contributions are
+    * `floor(1e6/(rank+60))` — floor, not cast: DuckDB's double→BIGINT
+    * cast ROUNDS where Spark's truncates, floor agrees everywhere.
+    *
+    * Scale shape: each arm ends in a TakeOrderedAndProject, so the
+    * rank windows and the fusion join run over ≤topK-row bounded
+    * frames — the single-partition window is bounded by construction,
+    * never corpus-sized. */
+  def hybridRrf(spark: SparkSession, dir: String, k: Int = 10,
+                kRrf: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = graft.queries.IrSql.q10Bm25(spark, dir)
+      .withColumn("lex_rank", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id")))
+        .cast("long"))
+    val sem = annTopK(spark, dir, k = 10)
+      .withColumn("sem_rank", row_number()
+        .over(Window.orderBy(col("cos").desc, col("vec_id")))
+        .cast("long"))
+    def contrib(r: Column): Column =
+      coalesce(floor(lit(1000000.0) / (r + lit(kRrf))).cast("long"), lit(0L))
+    lex.select(col("doc_id"), col("lex_rank"))
+      .join(sem.select(col("vec_id").as("doc_id"), col("sem_rank")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        (contrib(col("lex_rank")) + contrib(col("sem_rank"))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
 }

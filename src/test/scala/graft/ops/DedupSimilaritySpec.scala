@@ -355,4 +355,24 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(exact(r.getLong(0)) == r.getBoolean(1))
     }
   }
+
+  test("hybrid RRF: fused scores recompute from the arm ranks, " +
+    "descending, no rankless rows") {
+    val rows = Similarity.hybridRrf(spark, dir).collect()
+    assert(rows.length == 10)
+    def c(r: Any): Long = r match {
+      case null      => 0L
+      case l: Long   => 1000000L / (l + 60L)
+    }
+    rows.foreach { r =>
+      val (lr, sr) = (r.get(1), r.get(2))
+      assert(lr != null || sr != null, "a fused row must rank in an arm")
+      Seq(lr, sr).collect { case l: Long => l }
+        .foreach(l => assert(l >= 1 && l <= 10))
+      assert(r.getLong(3) == c(lr) + c(sr),
+        s"doc ${r.getLong(0)}: rrf ${r.getLong(3)} != ${c(lr) + c(sr)}")
+    }
+    val scores = rows.map(_.getLong(3)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
 }
