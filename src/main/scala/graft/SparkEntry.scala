@@ -116,6 +116,7 @@ object SparkEntry {
     "q26_ir_search" -> (IrEngine.q26Search _),
     "q26_ir_wildcard" -> (IrEngine.q26Wildcard _),
     "q28_multimodal" -> (IrEngine.q28Multimodal _),
+    "q28_resize" -> (IrEngine.q28Resize _),
     "q28_audio" -> (IrEngine.q28Audio _),
     "q28_video" -> (IrEngine.q28Video _),
     "q35_rewrite_wildcard" -> (IrEngine.q35RewriteWildcard _),
@@ -790,6 +791,30 @@ object SparkEntry {
                 CAST(max(ceil(h * scale)) AS BIGINT) AS max_out_h,
                 CAST(sum(w * h) AS BIGINT) AS sum_px
          FROM r GROUP BY kind ORDER BY kind""",
+
+    // the engine decodes REAL PNG pixels, nearest-neighbor resamples,
+    // re-encodes, re-decodes and checksums; the oracle reconstructs
+    // dims (PngCodec.dimsFor) AND the exact 24-bit pixel checksum from
+    // the generative formula (x*31 + y*17 + id) & 0xffffff with the
+    // same integer-division NN source mapping
+    "q28_resize" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+                  CAST(16 + doc_id % 64 AS BIGINT) AS w,
+                  CAST(16 + (doc_id * 7) % 48 AS BIGINT) AS h
+           FROM documents),
+         d AS (SELECT media_id, w, h,
+                  CAST(ceil(w * least(1.0, 24.0 / greatest(w, h))) AS BIGINT) AS ow,
+                  CAST(ceil(h * least(1.0, 24.0 / greatest(w, h))) AS BIGINT) AS oh
+               FROM m),
+         px AS (SELECT media_id, w, h, ow, oh,
+                  ((((xs.x * w) // ow) * 31 + ((ys.y * h) // oh) * 17 + media_id) & 16777215) AS v
+                FROM d,
+                     LATERAL (SELECT unnest(range(d.ow)) AS x) xs,
+                     LATERAL (SELECT unnest(range(d.oh)) AS y) ys)
+         SELECT media_id, w AS width, h AS height, ow AS out_w, oh AS out_h,
+                CAST(sum(v) AS BIGINT) AS pix_sum
+         FROM px GROUP BY media_id, w, h, ow, oh
+         ORDER BY media_id""",
 
     // the engine recovers (rate, channels, frames) by PARSING real WAV
     // bytes; the oracle reconstructs them from the parameter formula

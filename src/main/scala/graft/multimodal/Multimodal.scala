@@ -486,6 +486,65 @@ object Multimodal {
     }
   }
 
+  /** REAL pixel-level image resize — the materialized counterpart of
+    * [[resizePlan]]'s metadata arithmetic: each PNG payload is decoded
+    * (`ImageIO`, pure JDK), resampled by deterministic nearest
+    * neighbor (`src = (dst * srcDim) / dstDim`, integer division — no
+    * AA filter whose kernel could vary across JVMs), re-encoded as
+    * PNG, then RE-decoded to report the output dims plus an exact
+    * 24-bit-pixel checksum. The checksum is the proof knob: the DuckDB
+    * oracle reconstructs it from the synthetic pixel formula
+    * ([[PngCodec.encode]]: `(x*31 + y*17 + id) & 0xffffff`), so a
+    * hash-match certifies the whole decode → resample → encode →
+    * decode chain touched real pixels correctly.
+    *
+    * Scale shape: one `mapPartitions` pass, per-row state = one image;
+    * non-PNG payloads drop (the signature-routing convention). */
+  def resizeImages(media: Dataset[Media], maxSide: Int = 24): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(DecodeBatch).flatMap(_.flatMap { m =>
+        if (!PngCodec.isPng(m.payload)) None
+        else try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.payload))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val s = math.min(1.0, maxSide.toDouble / math.max(w, h))
+          val ow = math.ceil(w * s).toInt
+          val oh = math.ceil(h * s).toInt
+          val out = new java.awt.image.BufferedImage(ow, oh,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < oh) {
+            var x = 0
+            while (x < ow) {
+              out.setRGB(x, y, img.getRGB(x * w / ow, y * h / oh) & 0xffffff)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream(1 << 12)
+          javax.imageio.ImageIO.write(out, "png", bos)
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          var sum = 0L
+          y = 0
+          while (y < back.getHeight) {
+            var x = 0
+            while (x < back.getWidth) {
+              sum += (back.getRGB(x, y) & 0xffffff).toLong
+              x += 1
+            }
+            y += 1
+          }
+          Some((m.media_id, m.kind, w, h,
+            back.getWidth, back.getHeight, sum))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      })
+    }.toDF("media_id", "kind", "width", "height", "out_w", "out_h",
+      "pix_sum")
+  }
+
   /** Metadata "resize": pure column arithmetic on decoded dims (no
     * payload touch — the plan stays narrow and codegen'd). */
   def resizePlan(decoded: Dataset[Decoded], maxSide: Int = 256): DataFrame =

@@ -587,6 +587,21 @@ object IrEngine {
       .orderBy("kind")
   }
 
+  /** Image resize end-to-end: decode REAL PNG pixels, nearest-neighbor
+    * resample, re-encode, re-decode, exact pixel checksum — the DuckDB
+    * oracle recomputes the checksum from the generative pixel formula,
+    * so the hash-match certifies the whole pixel path (see
+    * [[graft.multimodal.Multimodal.resizeImages]]). */
+  def q28Resize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    Multimodal.resizeImages(Multimodal.mediaFromDocuments(spark, dir))
+      .select(col("media_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("out_w").cast("long").as("out_w"),
+        col("out_h").cast("long").as("out_h"), col("pix_sum"))
+      .orderBy("media_id")
+  }
+
   /** Audio end-to-end: synthesize REAL WAV payloads (16-bit PCM via
     * `javax.sound.sampled`), decode them with the JDK sound stack, and
     * emit the per-row decoded properties. The engine recovers sample

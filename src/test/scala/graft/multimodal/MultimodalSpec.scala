@@ -120,4 +120,25 @@ class MultimodalSpec extends SparkSpec {
     assert(r.forall(_.getAs[Int]("out_w") <= 256))
     assert(r.forall(_.getAs[Int]("out_h") <= 256))
   }
+
+  test("pixel resize: output dims bounded, identity below the bound, " +
+    "checksum stable across runs") {
+    import org.apache.spark.sql.functions._
+    val media = Multimodal
+      .mediaFromDocuments(spark, "/root/testdata/sf0.001").limit(40)
+    val a = Multimodal.resizeImages(media, maxSide = 24).orderBy("media_id")
+    val rows = a.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h, ow, oh) = (r.getAs[Int]("width"), r.getAs[Int]("height"),
+        r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
+      assert(ow <= 24 && oh <= 24 && ow >= 1 && oh >= 1)
+      if (math.max(w, h) <= 24) assert(ow == w && oh == h,
+        s"media ${r.getLong(0)}: identity resize changed dims")
+    }
+    val again = Multimodal.resizeImages(media, maxSide = 24)
+      .orderBy("media_id").collect()
+    assert(rows.map(_.getLong(6)).toSeq == again.map(_.getLong(6)).toSeq,
+      "pixel checksums not deterministic")
+  }
 }
