@@ -117,6 +117,7 @@ object SparkEntry {
     "q26_ir_wildcard" -> (IrEngine.q26Wildcard _),
     "q28_multimodal" -> (IrEngine.q28Multimodal _),
     "q28_resize" -> (IrEngine.q28Resize _),
+    "q28_features" -> (IrEngine.q28Features _),
     "q28_audio" -> (IrEngine.q28Audio _),
     "q28_video" -> (IrEngine.q28Video _),
     "q35_rewrite_wildcard" -> (IrEngine.q35RewriteWildcard _),
@@ -815,6 +816,26 @@ object SparkEntry {
                 CAST(sum(v) AS BIGINT) AS pix_sum
          FROM px GROUP BY media_id, w, h, ow, oh
          ORDER BY media_id""",
+
+    // real-pixel grid features: the oracle rebuilds each 2x2 cell's
+    // pixel count and exact 24-bit value sum from the generative
+    // formula; the engine must read the same numbers out of decoded
+    // PNG pixels
+    "q28_features" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+                  CAST(16 + doc_id % 64 AS BIGINT) AS w,
+                  CAST(16 + (doc_id * 7) % 48 AS BIGINT) AS h
+           FROM documents),
+         px AS (SELECT media_id,
+                  CAST(((ys.y * 2) // h) * 2 + (xs.x * 2) // w AS BIGINT) AS cell,
+                  ((xs.x * 31 + ys.y * 17 + media_id) & 16777215) AS v
+                FROM m,
+                     LATERAL (SELECT unnest(range(m.w)) AS x) xs,
+                     LATERAL (SELECT unnest(range(m.h)) AS y) ys)
+         SELECT media_id, cell, CAST(count(*) AS BIGINT) AS n_px,
+                CAST(sum(v) AS BIGINT) AS vsum
+         FROM px GROUP BY media_id, cell
+         ORDER BY media_id, cell""",
 
     // the engine recovers (rate, channels, frames) by PARSING real WAV
     // bytes; the oracle reconstructs them from the parameter formula

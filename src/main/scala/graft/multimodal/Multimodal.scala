@@ -545,6 +545,44 @@ object Multimodal {
       "pix_sum")
   }
 
+  /** REAL pixel feature extraction — grid statistics over the decoded
+    * image: the image is cut into `grid`×`grid` cells by integer
+    * division (`cellRow = y*grid/h`), and each cell emits its pixel
+    * count and the exact sum of its 24-bit RGB values. All-integer, so
+    * the DuckDB oracle recomputes the identical rows from the
+    * generative pixel formula — a hash-match proves the feature stage
+    * reads real decoded pixels (where [[features]]' fixed-dim
+    * embedding stub only proved plumbing). One `mapPartitions` pass,
+    * per-row state = one image; non-PNG payloads drop. */
+  def imageFeatureGrid(media: Dataset[Media], grid: Int = 2): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(DecodeBatch).flatMap(_.flatMap { m =>
+        if (!PngCodec.isPng(m.payload)) Iterator.empty
+        else try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.payload))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val n = new Array[Long](grid * grid)
+          val s = new Array[Long](grid * grid)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val c = (y * grid / h) * grid + (x * grid / w)
+              n(c) += 1
+              s(c) += (img.getRGB(x, y) & 0xffffff).toLong
+              x += 1
+            }
+            y += 1
+          }
+          (0 until grid * grid).iterator
+            .map(c => (m.media_id, c.toLong, n(c), s(c)))
+        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+      })
+    }.toDF("media_id", "cell", "n_px", "vsum")
+  }
+
   /** Metadata "resize": pure column arithmetic on decoded dims (no
     * payload touch — the plan stays narrow and codegen'd). */
   def resizePlan(decoded: Dataset[Decoded], maxSide: Int = 256): DataFrame =

@@ -602,6 +602,15 @@ object IrEngine {
       .orderBy("media_id")
   }
 
+  /** Real-pixel feature extraction: 2×2 grid cell statistics over the
+    * decoded PNGs, all-integer, oracle-recomputed from the generative
+    * formula ([[graft.multimodal.Multimodal.imageFeatureGrid]]). */
+  def q28Features(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    Multimodal.imageFeatureGrid(Multimodal.mediaFromDocuments(spark, dir))
+      .orderBy("media_id", "cell")
+  }
+
   /** Audio end-to-end: synthesize REAL WAV payloads (16-bit PCM via
     * `javax.sound.sampled`), decode them with the JDK sound stack, and
     * emit the per-row decoded properties. The engine recovers sample
