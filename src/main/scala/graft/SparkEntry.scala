@@ -96,6 +96,8 @@ object SparkEntry {
     "q25_ann_quantized" ->
       ((s: SparkSession, d: String) => Similarity.annQuantized(s, d)),
     "q25_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    "q25_ann_ivf_loaded" ->
+      ((s: SparkSession, d: String) => Similarity.annIvfLoaded(s, d)),
     "q25_ann_ivf_nprobe" ->
       ((s: SparkSession, d: String) => Similarity.annIvfProbe(s, d)),
     "q25_centroids" -> (Similarity.labelCentroids _),
@@ -187,9 +189,11 @@ object SparkEntry {
     * LongType output. */
   def oracleSql: Map[String, String] = {
     val base = oracleBase ++ TrainingOracles.oracle
-    // the salted two-phase index is output-identical to q06 by design:
-    // the driver checks it against the SAME oracle
-    base + ("q06_salted_index" -> base("q06_inverted_index"))
+    // output-identical variants checked against the SAME oracle: the
+    // salted two-phase index == q06 by design; the durable
+    // partition-pruned IVF store == the cached IVF probe by design
+    base + ("q06_salted_index" -> base("q06_inverted_index")) +
+      ("q25_ann_ivf_loaded" -> base("q25_ann_ivf"))
   }
 
   /** The BM25 ranking oracle — shared by q10_bm25 and the lexical arm

@@ -495,6 +495,42 @@ object Similarity {
       .select(col("vec_id"), round(col("c"), 4).as("cos"))
   }
 
+  /** DURABLE IVF layout: the embedding table written
+    * `partitionBy(cell)` — one directory per IVF cell, the vector-store
+    * layout a 100 TB ANN service actually reads. A probe then carries
+    * its cell as a LITERAL partition filter, so the scan touches ONE
+    * cell directory (`PartitionFilters` in the plan — spec-pinned) and
+    * the other k−1/k of the corpus is never opened. This is
+    * [[graft.query.LoadedPointServer]]'s zone-map idea expressed
+    * through Hive-style partition pruning instead of driver routing. */
+  def writeIvfLayout(spark: SparkSession, dir: String,
+                     outDir: String): Unit =
+    ivfCells(spark, dir)
+      .write.partitionBy("cell").mode("overwrite").parquet(outDir)
+
+  /** [[annIvf]] served from the durable [[writeIvfLayout]] store with
+    * NO cached corpus: the query row (vec 0) is read first (its own
+    * partition prune), then the probe scans only `cell=<qcell>`.
+    * Output-identical to [[annIvf]] by construction — the driver
+    * checks it against the SAME oracle. */
+  def annIvfLoaded(spark: SparkSession, dir: String,
+                   k: Int = 10): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ivf_store").toString
+    writeIvfLayout(spark, dir, out)
+    val stored = spark.read.parquet(out)
+    val qRow = stored.filter(col("vec_id") === 0)
+      .select(col("cell"), col("embedding")).head()
+    val qcell = qRow.getAs[Number]("cell").longValue
+    val qv = qRow.getSeq[Float](1)
+    stored.filter(col("cell") === qcell && col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        cosine(col("embedding"), typedLit(qv)).as("c"))
+      .orderBy(col("c").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("c"), 4).as("cos"))
+  }
+
   /** IVF ANN with nProbe > 1 — the recall knob the [[annIvf]] scaladoc
     * documents, made real: rank ALL centroids by cosine against the
     * query, probe the top `nProbe` cells, exact re-rank inside them.

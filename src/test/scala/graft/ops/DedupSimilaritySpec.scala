@@ -356,6 +356,24 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("durable IVF store: probe plan prunes to the query's cell " +
+    "partition and matches the cached path exactly") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ivf_spec").toString
+    Similarity.writeIvfLayout(spark, dir, out)
+    // one directory per cell on disk
+    val cellDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.length > 1, "expected multiple cell partitions")
+    val loaded = Similarity.annIvfLoaded(spark, dir)
+    val plan = loaded.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"no partition pruning in probe plan:\n$plan")
+    val cached = Similarity.annIvf(spark, dir)
+    assert(loaded.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      cached.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
   test("hybrid RRF: fused scores recompute from the arm ranks, " +
     "descending, no rankless rows") {
     val rows = Similarity.hybridRrf(spark, dir).collect()
