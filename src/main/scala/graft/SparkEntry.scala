@@ -176,6 +176,8 @@ object SparkEntry {
     "q25_pq_codes" -> (Pq.pqCodes _),
     "q25_ann_pq" ->
       ((s: SparkSession, d: String) => Pq.annPq(s, d)),
+    "q25_ann_ivfpq" ->
+      ((s: SparkSession, d: String) => Pq.annIvfPq(s, d)),
     "q33_pagerank" -> (Graph.q33PageRank _),
     "q33_triangles" -> (Graph.q33Triangles _),
     "q33_clustering" -> (Graph.q33Clustering _),

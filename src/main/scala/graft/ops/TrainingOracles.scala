@@ -271,6 +271,32 @@ object TrainingOracles {
          ORDER BY $total, e.vec_id LIMIT ${Pq.TopK}"""
     },
 
+    // IVF-PQ composition: coarse argmax-cosine routing to the query's
+    // top-2 cells, then ADC scoring only over those cells' candidates
+    "q25_ann_ivfpq" -> {
+      val joins = (0 until Pq.Subspaces).map(s =>
+        s"JOIN code_$s ON code_$s.vec_id = cand.vec_id " +
+          s"JOIN qd_$s ON qd_$s.cid = code_$s.cid").mkString(" ")
+      val total = (0 until Pq.Subspaces).map(s => s"qd_$s.d").mkString(" + ")
+      s"""WITH $pqCtes,
+         co AS (SELECT vec_id AS ccid, v AS cvec FROM e
+                WHERE vec_id < ${Similarity.IvfCentroids}),
+         asg AS (SELECT e.vec_id, co.ccid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${cos("e.v", "co.cvec")} DESC, co.ccid) AS rn
+                 FROM e CROSS JOIN co),
+         cells AS (SELECT vec_id, ccid AS cell FROM asg WHERE rn = 1),
+         qc AS (SELECT co.ccid FROM co
+                     CROSS JOIN (SELECT v FROM e WHERE vec_id = 0) q
+                ORDER BY ${cos("q.v", "co.cvec")} DESC, co.ccid LIMIT 2),
+         cand AS (SELECT cells.vec_id AS vec_id FROM cells
+                  JOIN qc ON cells.cell = qc.ccid
+                  WHERE cells.vec_id <> 0)
+         SELECT cand.vec_id, round($total, 4) + 0.0 AS pq_dist
+         FROM cand $joins
+         ORDER BY $total, cand.vec_id LIMIT ${Pq.TopK}"""
+    },
+
     // heavy hitters: exact top-k terms + the two checked CMS bounds
     "q14_heavy_hitters" ->
       s"""WITH tok AS (SELECT unnest($toks) AS term FROM documents)

@@ -69,6 +69,20 @@ class PqSpec extends SparkSpec {
     assert(ds == ds.sorted)
   }
 
+  test("IVF-PQ: results are the ADC scores of exactly the probed " +
+    "cells' candidates — a subset of full-corpus ADC scoring") {
+    val full = Pq.annPq(spark, dir, k = 500).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = Pq.annIvfPq(spark, dir).collect()
+    assert(got.length == Pq.TopK)
+    // every IVF-PQ hit carries its full-ADC distance (routing only
+    // restricts the candidate set, never changes a score)
+    got.foreach(r => assert(full(r.getLong(0)) == r.getDouble(1),
+      s"vec ${r.getLong(0)}: cell-routed ${r.getDouble(1)} != ADC ${full(r.getLong(0))}"))
+    val ds = got.map(_.getDouble(1)).toSeq
+    assert(ds == ds.sorted)
+  }
+
   test("ADC scan plan is shuffle-free (broadcast tables + TakeOrdered)") {
     val plan = Pq.annPq(spark, dir).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
