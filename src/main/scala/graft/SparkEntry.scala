@@ -133,6 +133,8 @@ object SparkEntry {
     "q29_streaming" -> (IrEngine.q29Streaming _),
     "q29_sliding" -> (IrEngine.q29Sliding _),
     "q29_dedup" -> (IrEngine.q29Dedup _),
+    "q29_topk" ->
+      ((s: SparkSession, d: String) => IrEngine.q29TopUsers(s, d)),
     "q29_join" -> (IrEngine.q29Join _),
     "q32_sessions" -> (IrEngine.q32Sessions _),
     // Temporal joins (as-of / range) — operators Spark lacks natively
@@ -653,6 +655,20 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_sec, user_id,
                 count(*) AS n_events, round(sum(value), 4) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY w_sec, user_id""",
+
+    // streaming per-window top-3 users == batch rank over the same
+    // hourly counts (score desc, id asc — graft_topk's tie rule)
+    "q29_topk" ->
+      """WITH w AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_sec,
+                           user_id, count(*) AS n
+                    FROM events GROUP BY 1, 2)
+         SELECT w_sec, CAST(rn AS BIGINT) AS rn, user_id,
+                CAST(n AS BIGINT) AS n_events
+         FROM (SELECT w_sec, user_id, n,
+                      row_number() OVER (PARTITION BY w_sec
+                        ORDER BY n DESC, user_id) AS rn
+               FROM w)
+         WHERE rn <= 3 ORDER BY w_sec, rn""",
 
     // stream-stream interval join ≡ the batch interval self-join at µs
     // precision (Spark's derived ts is ts_ns div 1000; epoch_us on a

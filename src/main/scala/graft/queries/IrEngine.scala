@@ -482,6 +482,38 @@ object IrEngine {
       .orderBy("w_sec", "user_id")
   }
 
+  /** Streaming per-window top-k: the tumbling 1 h count stream (same
+    * pipeline as q29_streaming), then per-window top-3 users ride the
+    * bounded-heap `graft_topk` aggregate — O(k) state per window per
+    * partition instead of a window-function sort of every (window,
+    * user) row. The streaming stage holds watermark-bounded count
+    * state; the rank stage reads the bounded sink. */
+  def q29TopUsers(spark: SparkSession, dir: String,
+                  k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.streaming.EventsStream
+    val staged = stagedEvents(dir)
+    val name = "q29t_sink"
+    val q = EventsStream.tumblingCounts(
+        EventsStream.readEvents(spark, staged),
+        windowLen = "1 hour", watermark = "0 seconds")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(unix_timestamp(col("w_start")).as("w_sec"),
+        col("user_id"), col("n_events"))
+      .groupBy(col("w_sec"))
+      .agg(graft.functions.GraftFunctions
+        .topkBy(col("n_events").cast("double"), col("user_id"), k)
+        .as("top"))
+      .select(col("w_sec"), posexplode(col("top")))
+      .select(col("w_sec"), (col("pos") + 1).cast("long").as("rn"),
+        col("col.id").as("user_id"),
+        col("col.score").cast("long").as("n_events"))
+      .orderBy("w_sec", "rn")
+  }
+
   /** Streaming stateful dedup end-to-end: replay the staged events
     * directory, keep the first event per (user_id, minute) via
     * watermarked dropDuplicates, emit the deduped key set. */

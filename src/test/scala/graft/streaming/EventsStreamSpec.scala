@@ -292,4 +292,29 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed == direct)
   }
+
+  test("streaming per-window top-k: at most k rows per window, ranks " +
+    "contiguous, counts equal the batch recompute") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.IrEngine.q29TopUsers(spark, dir).collect()
+    assert(got.nonEmpty)
+    val byWindow = got.groupBy(_.getLong(0))
+    byWindow.foreach { case (w, rows) =>
+      assert(rows.length <= 3, s"window $w emitted ${rows.length} rows")
+      assert(rows.map(_.getLong(1)).sorted.toSeq ==
+        (1L to rows.length.toLong))
+    }
+    val batch = graft.Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w")).as("w_sec"), col("user_id"),
+        col("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    got.foreach { r =>
+      assert(batch((r.getLong(0), r.getLong(2))) == r.getLong(3))
+    }
+  }
 }
