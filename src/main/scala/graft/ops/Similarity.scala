@@ -508,17 +508,47 @@ object Similarity {
     ivfCells(spark, dir)
       .write.partitionBy("cell").mode("overwrite").parquet(outDir)
 
-  /** [[annIvf]] served from the durable [[writeIvfLayout]] store with
-    * NO cached corpus: the query row (vec 0) is read first (its own
-    * partition prune), then the probe scans only `cell=<qcell>`.
-    * Output-identical to [[annIvf]] by construction — the driver
-    * checks it against the SAME oracle. */
-  def annIvfLoaded(spark: SparkSession, dir: String,
-                   k: Int = 10): DataFrame = {
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_ivf_store").toString
-    writeIvfLayout(spark, dir, out)
-    val stored = spark.read.parquet(out)
+  /** Assign an arbitrary vector batch to the SEED-centroid cells of
+    * `dir`'s embedding table — the delta-ingest half of the durable
+    * store: new vectors join the fixed coarse partition without
+    * touching (or re-reading) the base. Same argmax-cosine semantics
+    * as [[ivfCells]]. */
+  def assignCells(spark: SparkSession, dir: String,
+                  vectors: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val seeds = emb(spark, dir)
+      .filter(col("vec_id") < IvfCentroids.toLong)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    vectors.crossJoin(broadcast(seeds))
+      .select(col("vec_id"),
+        struct(
+          cosine(col("embedding"), col("cvec")).as("s"),
+          (-col("cid")).as("neg_cid"),
+          col("embedding").as("embedding")).as("cand"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        (-col("best.neg_cid")).as("cell"))
+  }
+
+  /** Append a delta vector batch into a [[writeIvfLayout]] store:
+    * assign ONLY the delta against the fixed seed centroids, then
+    * partition-append — new files land inside the existing `cell=`
+    * directories, the base is never rewritten or re-read. The
+    * incremental path of the vector store (the [[graft.index
+    * .PositionalIndex.merge]] idea applied to embeddings); a spec pins
+    * incremental == written-at-once. */
+  def appendIvfLayout(spark: SparkSession, dir: String, outDir: String,
+                      delta: DataFrame): Unit =
+    assignCells(spark, dir, delta)
+      .write.partitionBy("cell").mode("append").parquet(outDir)
+
+  /** Probe an EXISTING [[writeIvfLayout]] store: the query row (vec 0)
+    * is read first (its own partition prune), then the probe scans
+    * only `cell=<qcell>`. */
+  def probeIvfStore(spark: SparkSession, storeDir: String,
+                    k: Int = 10): DataFrame = {
+    val stored = spark.read.parquet(storeDir)
     val qRow = stored.filter(col("vec_id") === 0)
       .select(col("cell"), col("embedding")).head()
     val qcell = qRow.getAs[Number]("cell").longValue
@@ -529,6 +559,17 @@ object Similarity {
       .orderBy(col("c").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), round(col("c"), 4).as("cos"))
+  }
+
+  /** [[annIvf]] served from the durable [[writeIvfLayout]] store with
+    * NO cached corpus. Output-identical to [[annIvf]] by
+    * construction — the driver checks it against the SAME oracle. */
+  def annIvfLoaded(spark: SparkSession, dir: String,
+                   k: Int = 10): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ivf_store").toString
+    writeIvfLayout(spark, dir, out)
+    probeIvfStore(spark, out, k)
   }
 
   /** IVF ANN with nProbe > 1 — the recall knob the [[annIvf]] scaladoc

@@ -374,6 +374,37 @@ class DedupSimilaritySpec extends SparkSpec {
       cached.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("incremental IVF store: delta append-assign == written-at-once " +
+    "(probe results identical; base files untouched)") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.load(spark, dir, "embeddings")
+    // base keeps the seeds (vec_id < 8) and the query (0); ~10% delta
+    val isDelta = pmod(xxhash64(col("vec_id")), lit(10)) === 0 &&
+      col("vec_id") >= Similarity.IvfCentroids.toLong
+    val base = e.filter(!isDelta)
+    val delta = e.filter(isDelta)
+    assert(delta.count() > 0)
+    val inc = java.nio.file.Files
+      .createTempDirectory("graft_ivf_inc").toString
+    Similarity.assignCells(spark, dir, base)
+      .write.partitionBy("cell").mode("overwrite").parquet(inc)
+    val baseFiles = new java.io.File(inc).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .map(f => f.getPath -> f.lastModified).toMap
+    Similarity.appendIvfLayout(spark, dir, inc, delta)
+    // the append never rewrote a base file
+    baseFiles.foreach { case (p, m) =>
+      val f = new java.io.File(p)
+      assert(f.exists && f.lastModified == m, s"base file touched: $p")
+    }
+    val full = java.nio.file.Files
+      .createTempDirectory("graft_ivf_full").toString
+    Similarity.writeIvfLayout(spark, dir, full)
+    def res(d: String) = Similarity.probeIvfStore(spark, d).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(res(inc) == res(full))
+  }
+
   test("hybrid RRF: fused scores recompute from the arm ranks, " +
     "descending, no rankless rows") {
     val rows = Similarity.hybridRrf(spark, dir).collect()
