@@ -215,7 +215,7 @@ object Bench {
     val (medianUs, medianTemplateUs, medianLoadedUs, medianLoadedRoutedUs,
         medianPhraseUs, medianPhraseTemplateUs, medianPhrase3TemplateUs,
         medianNearTemplateUs, medianPhraseLoadedRoutedUs,
-        medianNearLoadedRoutedUs) =
+        medianNearLoadedRoutedUs, medianAnnProbeUs, medianAnnServedUs) =
       try {
         spark.conf.set(aqeKey, "false")
         System.gc()
@@ -295,9 +295,44 @@ object Bench {
             .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
           finally wk.close()
         }
+        // durable ANN serving: probe the cell-partitioned vector store
+        // (partition-pruned scan + exact re-rank); the query vector
+        // varies per sweep entry so no result caching flatters the
+        // number
+        val annPath = java.nio.file.Files.createTempDirectory("graft_bench_ann")
+        val (mAnnProbeUs, mAnnServedUs) = try {
+          graft.ops.Similarity.writeIvfLayout(spark, sfDir, annPath.toString)
+          graft.ops.Similarity.probeIvfStore(spark, annPath.toString).count()
+          val qids = Seq("0", "11", "23", "47", "89", "101", "131",
+            "173", "211", "257", "307")
+          // fresh-form probe: store re-listed, query row resolved by a
+          // pruned job, then the pruned scan — two jobs + planning
+          val fresh = sweep3("warm_ann_ivf_probe_us", sweepOf(qids,
+            q => { graft.ops.Similarity
+              .probeIvfStore(spark, annPath.toString, qId = q.toLong)
+              .count(); () }))
+          // served form (IvfServer): query VECTORS arrive driver-side
+          // (resolved once here — client work in a real service), cell
+          // routed on the driver, ONE job per probe over one cell dir
+          val srv = new graft.query.IvfServer(spark, annPath.toString)
+          val qvecs: Map[String, Seq[Float]] = spark.read
+            .parquet(annPath.toString)
+            .filter(org.apache.spark.sql.functions.col("vec_id").isin(qids.map(_.toLong): _*))
+            .select("vec_id", "embedding").collect()
+            .map(r => r.getLong(0).toString -> r.getSeq[Float](1)).toMap
+          srv.probe(qvecs(qids.head)).count()
+          val served = sweep3("warm_ann_ivf_served_us", sweepOf(qids,
+            q => { srv.probe(qvecs(q), excludeId = q.toLong).count(); () }))
+          (fresh, served)
+        } finally {
+          val wk = java.nio.file.Files.walk(annPath)
+          try wk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+          finally wk.close()
+        }
         (mUs, mTmplUs, mLoadUs, mRoutedUs,
           mPhraseUs, mPhraseTmplUs, mPhrase3TmplUs, mNearTmplUs,
-          mPhraseRoutedUs, mNearRoutedUs)
+          mPhraseRoutedUs, mNearRoutedUs, mAnnProbeUs, mAnnServedUs)
       } finally spark.conf.set(aqeKey, prevAqe)
     // warm rows join the per-query attribution maps under their metric
     // names, so a driver-vs-local delta is diagnosable from the
@@ -318,7 +353,7 @@ object Bench {
     val spreadAll = mergeJson(spread, warmSpread.toSeq)
     val gcAll = mergeJson(gc, warmGc.toSeq)
     val resampledAll = mergeArr(resampled, warmResampled.toSeq)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadAll,"gc_sec":$gcAll,"resampled":$resampledAll,"sf":"$sfDir","failed":$nFailed,"index_docs_per_s":${docsPerS.round},"warm_search_us":$medianUs,"warm_search_template_us":$medianTemplateUs,"warm_search_loaded_us":$medianLoadedUs,"warm_search_loaded_routed_us":$medianLoadedRoutedUs,"warm_phrase_us":$medianPhraseUs,"warm_phrase_template_us":$medianPhraseTemplateUs,"warm_phrase3_template_us":$medianPhrase3TemplateUs,"warm_near_template_us":$medianNearTemplateUs,"warm_phrase_loaded_routed_us":$medianPhraseLoadedRoutedUs,"warm_near_loaded_routed_us":$medianNearLoadedRoutedUs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadAll,"gc_sec":$gcAll,"resampled":$resampledAll,"sf":"$sfDir","failed":$nFailed,"index_docs_per_s":${docsPerS.round},"warm_search_us":$medianUs,"warm_search_template_us":$medianTemplateUs,"warm_search_loaded_us":$medianLoadedUs,"warm_search_loaded_routed_us":$medianLoadedRoutedUs,"warm_phrase_us":$medianPhraseUs,"warm_phrase_template_us":$medianPhraseTemplateUs,"warm_phrase3_template_us":$medianPhrase3TemplateUs,"warm_near_template_us":$medianNearTemplateUs,"warm_phrase_loaded_routed_us":$medianPhraseLoadedRoutedUs,"warm_near_loaded_routed_us":$medianNearLoadedRoutedUs,"warm_ann_ivf_probe_us":$medianAnnProbeUs,"warm_ann_ivf_served_us":$medianAnnServedUs}""")
     spark.stop()
   }
 }

@@ -547,13 +547,13 @@ object Similarity {
     * is read first (its own partition prune), then the probe scans
     * only `cell=<qcell>`. */
   def probeIvfStore(spark: SparkSession, storeDir: String,
-                    k: Int = 10): DataFrame = {
+                    k: Int = 10, qId: Long = 0L): DataFrame = {
     val stored = spark.read.parquet(storeDir)
-    val qRow = stored.filter(col("vec_id") === 0)
+    val qRow = stored.filter(col("vec_id") === qId)
       .select(col("cell"), col("embedding")).head()
     val qcell = qRow.getAs[Number]("cell").longValue
     val qv = qRow.getSeq[Float](1)
-    stored.filter(col("cell") === qcell && col("vec_id") =!= 0)
+    stored.filter(col("cell") === qcell && col("vec_id") =!= qId)
       .select(col("vec_id"),
         cosine(col("embedding"), typedLit(qv)).as("c"))
       .orderBy(col("c").desc, col("vec_id"))

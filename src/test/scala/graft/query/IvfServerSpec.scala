@@ -1,0 +1,58 @@
+package graft.query
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ops.Similarity
+
+class IvfServerSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val store = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ivf_srv").toString
+    Similarity.writeIvfLayout(spark, dir, out)
+    out
+  }
+
+  test("served probe == the oracle-checked store probe, for several " +
+    "query vectors") {
+    val srv = new IvfServer(spark, store)
+    val vecs = spark.read.parquet(store)
+      .filter(col("vec_id").isin(0L, 7L, 42L, 123L, 321L))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    vecs.foreach { case (id, qv) =>
+      val served = srv.probe(qv, excludeId = id).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val checked = Similarity.probeIvfStore(spark, store, qId = id)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(served == checked, s"query $id diverged")
+    }
+  }
+
+  test("driver-side cell routing agrees with the store's assignment") {
+    val srv = new IvfServer(spark, store)
+    val rows = spark.read.parquet(store)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .limit(200).collect()
+    rows.foreach { r =>
+      assert(srv.cellOf(r.getSeq[Float](1)) ==
+        r.getAs[Number]("cell").longValue,
+        s"vec ${r.getLong(0)}: driver routing != stored cell")
+    }
+  }
+
+  test("a probe is one job over one cell directory") {
+    val srv = new IvfServer(spark, store)
+    val qv = spark.read.parquet(store).filter(col("vec_id") === 0L)
+      .head().getSeq[Float](
+        spark.read.parquet(store).columns.indexOf("embedding"))
+    val df = srv.probe(qv)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the scan location is the single cell directory, not the store root
+    assert(plan.contains(s"cell=${srv.cellOf(qv)}"),
+      s"scan not bounded to the routed cell dir:\n$plan")
+  }
+}
