@@ -215,7 +215,8 @@ object Bench {
     val (medianUs, medianTemplateUs, medianLoadedUs, medianLoadedRoutedUs,
         medianPhraseUs, medianPhraseTemplateUs, medianPhrase3TemplateUs,
         medianNearTemplateUs, medianPhraseLoadedRoutedUs,
-        medianNearLoadedRoutedUs, medianAnnProbeUs, medianAnnServedUs) =
+        medianNearLoadedRoutedUs, medianAnnProbeUs, medianAnnServedUs,
+        medianAnnTmplUs) =
       try {
         spark.conf.set(aqeKey, "false")
         System.gc()
@@ -300,7 +301,7 @@ object Bench {
         // varies per sweep entry so no result caching flatters the
         // number
         val annPath = java.nio.file.Files.createTempDirectory("graft_bench_ann")
-        val (mAnnProbeUs, mAnnServedUs) = try {
+        val (mAnnProbeUs, mAnnServedUs, mAnnTmplUs) = try {
           graft.ops.Similarity.writeIvfLayout(spark, sfDir, annPath.toString)
           graft.ops.Similarity.probeIvfStore(spark, annPath.toString).count()
           val qids = Seq("0", "11", "23", "47", "89", "101", "131",
@@ -323,7 +324,11 @@ object Bench {
           srv.probe(qvecs(qids.head)).count()
           val served = sweep3("warm_ann_ivf_served_us", sweepOf(qids,
             q => { srv.probe(qvecs(q), excludeId = q.toLong).count(); () }))
-          (fresh, served)
+          // prepared per-cell template: zero per-query Catalyst work
+          srv.probeTemplate(qvecs(qids.head))
+          val tmpl = sweep3("warm_ann_ivf_template_us", sweepOf(qids,
+            q => { srv.probeTemplate(qvecs(q), excludeId = q.toLong); () }))
+          (fresh, served, tmpl)
         } finally {
           val wk = java.nio.file.Files.walk(annPath)
           try wk.sorted(java.util.Comparator.reverseOrder())
@@ -332,7 +337,7 @@ object Bench {
         }
         (mUs, mTmplUs, mLoadUs, mRoutedUs,
           mPhraseUs, mPhraseTmplUs, mPhrase3TmplUs, mNearTmplUs,
-          mPhraseRoutedUs, mNearRoutedUs, mAnnProbeUs, mAnnServedUs)
+          mPhraseRoutedUs, mNearRoutedUs, mAnnProbeUs, mAnnServedUs, mAnnTmplUs)
       } finally spark.conf.set(aqeKey, prevAqe)
     // warm rows join the per-query attribution maps under their metric
     // names, so a driver-vs-local delta is diagnosable from the
@@ -353,7 +358,7 @@ object Bench {
     val spreadAll = mergeJson(spread, warmSpread.toSeq)
     val gcAll = mergeJson(gc, warmGc.toSeq)
     val resampledAll = mergeArr(resampled, warmResampled.toSeq)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadAll,"gc_sec":$gcAll,"resampled":$resampledAll,"sf":"$sfDir","failed":$nFailed,"index_docs_per_s":${docsPerS.round},"warm_search_us":$medianUs,"warm_search_template_us":$medianTemplateUs,"warm_search_loaded_us":$medianLoadedUs,"warm_search_loaded_routed_us":$medianLoadedRoutedUs,"warm_phrase_us":$medianPhraseUs,"warm_phrase_template_us":$medianPhraseTemplateUs,"warm_phrase3_template_us":$medianPhrase3TemplateUs,"warm_near_template_us":$medianNearTemplateUs,"warm_phrase_loaded_routed_us":$medianPhraseLoadedRoutedUs,"warm_near_loaded_routed_us":$medianNearLoadedRoutedUs,"warm_ann_ivf_probe_us":$medianAnnProbeUs,"warm_ann_ivf_served_us":$medianAnnServedUs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadAll,"gc_sec":$gcAll,"resampled":$resampledAll,"sf":"$sfDir","failed":$nFailed,"index_docs_per_s":${docsPerS.round},"warm_search_us":$medianUs,"warm_search_template_us":$medianTemplateUs,"warm_search_loaded_us":$medianLoadedUs,"warm_search_loaded_routed_us":$medianLoadedRoutedUs,"warm_phrase_us":$medianPhraseUs,"warm_phrase_template_us":$medianPhraseTemplateUs,"warm_phrase3_template_us":$medianPhrase3TemplateUs,"warm_near_template_us":$medianNearTemplateUs,"warm_phrase_loaded_routed_us":$medianPhraseLoadedRoutedUs,"warm_near_loaded_routed_us":$medianNearLoadedRoutedUs,"warm_ann_ivf_probe_us":$medianAnnProbeUs,"warm_ann_ivf_served_us":$medianAnnServedUs,"warm_ann_ivf_template_us":$medianAnnTmplUs}""")
     spark.stop()
   }
 }

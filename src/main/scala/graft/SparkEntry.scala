@@ -184,6 +184,7 @@ object SparkEntry {
     "q33_triangles" -> (Graph.q33Triangles _),
     "q33_clustering" -> (Graph.q33Clustering _),
     "q34_zorder" -> (graft.ops.Layout.q34ZValue _),
+    "q38_formats" -> (graft.ops.Formats.roundTrip _),
   )
 
   /** DuckDB dialect equivalents. Dialect notes: regexp_replace needs the
@@ -388,6 +389,22 @@ object SparkEntry {
     // constants genuinely interpolated from IrSql.Bm25K1/Bm25B and
     // DefaultQueryTerms — the same Scala values the plan uses
     "q10_bm25" -> bm25Sql,
+
+    // interchange round-trips: the engine must write+read each format;
+    // the oracle computes the expected (count, order-free content
+    // hash) once per format straight from the source table — equality
+    // proves lossless round-trips
+    "q38_formats" -> {
+      val fmts = graft.ops.Formats.RoundTripFormats
+        .map("('" + _ + "')").mkString(", ")
+      s"""WITH f(format) AS (VALUES $fmts),
+         d AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                      CAST(sum(${graft.ops.CrossHash.ddbPolyHash(
+                        "CAST(doc_id AS VARCHAR) || ' ' || lang || ' ' || text")}) AS BIGINT) AS hash_sum
+               FROM documents)
+         SELECT format, n_rows, hash_sum FROM f CROSS JOIN d
+         ORDER BY format"""
+    },
 
     // RRF fusion of the BM25 arm and the dense ANN arm: ranks from
     // each arm's top-10 output, floor(1e6/(rank+60)) contributions

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import CrossHash._
+
+/** Interchange-format round-trips: the documents table written to and
+  * read back from CSV, JSON and ORC — the sources/sinks a data
+  * pipeline meets beyond parquet. The probe emits, per format, the
+  * row count and an ORDER-FREE exact content hash (sum of per-row
+  * polynomial hashes — BIGINT, no overflow at P² × corpus): the DuckDB
+  * oracle computes the same pair straight from the source table, so a
+  * hash-match proves each format preserved every row byte-for-byte
+  * through write → read (schema supplied on read; CSV/JSON carry no
+  * types of their own).
+  *
+  * Scale shape: each leg is one narrow write and one narrow
+  * aggregate-only read; formats differ only in the codec. (Writes go
+  * to a per-run temp dir — this is a conformance probe, not a sink
+  * recommendation; columnar parquet remains the layout everywhere
+  * else.)
+  */
+object Formats {
+
+  val RoundTripFormats: Seq[String] = Seq("csv", "json", "orc")
+
+  def roundTrip(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_formats").toString
+    def digest(df: DataFrame, fmt: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        sum(graft.functions.GraftFunctions.polyhash(
+          concat_ws(" ", col("doc_id"), col("lang"), col("text")), P))
+          .as("hash_sum"))
+        .select(lit(fmt).as("format"), col("n_rows"), col("hash_sum"))
+    RoundTripFormats.map { fmt =>
+      val p = s"$base/$fmt"
+      val w = docs.write.mode("overwrite")
+      (fmt match {
+        case "csv" => w.option("header", "true")
+        case _     => w
+      }).format(fmt).save(p)
+      val back = fmt match {
+        case "csv"  => spark.read.option("header", "true")
+          .schema(docs.schema).csv(p)
+        case "json" => spark.read.schema(docs.schema).json(p)
+        case _      => spark.read.orc(p)
+      }
+      digest(back, fmt)
+    }.reduce(_ unionByName _)
+      .orderBy("format")
+  }
+}

@@ -43,6 +43,31 @@ class IvfServerSpec extends SparkSpec {
     }
   }
 
+  test("prepared template: sequential queries return each its own " +
+    "results (no stale plan state), equal to the fresh probe") {
+    val srv = new IvfServer(spark, store)
+    val vecs = spark.read.parquet(store)
+      .filter(col("vec_id").isin(0L, 7L, 42L, 123L, 321L))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // interleave queries (some land in the same cell — template reuse)
+    (vecs.toSeq ++ vecs.toSeq.reverse).foreach { case (id, qv) =>
+      val tpl = srv.probeTemplate(qv, excludeId = id)
+      val fresh = srv.probe(qv, excludeId = id).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(tpl == fresh, s"query $id: template diverged from fresh")
+    }
+  }
+
+  test("the template plan is exchange-free (safe to re-execute)") {
+    val srv = new IvfServer(spark, store)
+    val qv = spark.read.parquet(store).filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    val plan = srv.templatePlan(qv)
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("a probe is one job over one cell directory") {
     val srv = new IvfServer(spark, store)
     val qv = spark.read.parquet(store).filter(col("vec_id") === 0L)
