@@ -29,8 +29,7 @@ object Formats {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
-    val base = java.nio.file.Files
-      .createTempDirectory("graft_formats").toString
+    val base = graft.TempDirs.scratch("graft_formats")
     def digest(df: DataFrame, fmt: String): DataFrame =
       df.agg(count(lit(1)).as("n_rows"),
         sum(graft.functions.GraftFunctions.polyhash(
@@ -41,11 +40,22 @@ object Formats {
       val p = s"$base/$fmt"
       val w = docs.write.mode("overwrite")
       (fmt match {
+        // CSV needs its lossy defaults disabled for a fair conformance
+        // probe: the writer trims leading/trailing whitespace unless
+        // told otherwise, a bare empty field reads back as null, and
+        // embedded newlines need multiLine on the read side — without
+        // these, representable text would false-fail the round-trip
         case "csv" => w.option("header", "true")
-        case _     => w
+          .option("ignoreLeadingWhiteSpace", "false")
+          .option("ignoreTrailingWhiteSpace", "false")
+          .option("emptyValue", "\"\"")
+        case _ => w
       }).format(fmt).save(p)
       val back = fmt match {
         case "csv"  => spark.read.option("header", "true")
+          .option("multiLine", "true")
+          .option("ignoreLeadingWhiteSpace", "false")
+          .option("ignoreTrailingWhiteSpace", "false")
           .schema(docs.schema).csv(p)
         case "json" => spark.read.schema(docs.schema).json(p)
         case _      => spark.read.orc(p)

@@ -156,20 +156,24 @@ object Pq {
     * then ONE narrow scored scan + TakeOrderedAndProject. The
     * candidate's [[Subspaces]] lookups sum in subspace order (the
     * oracle's left-assoc `d0 + d1 + …`). */
-  def annPq(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
-    val cents = codebooks(spark, dir)
+  /** THE ADC scoring column: distance table built driver-side from
+    * the trained codebooks (m×k doubles, broadcast), per-candidate
+    * score = the [[Subspaces]] table lookups summed in subspace order
+    * (the oracle's left-assoc `d0 + d1 + …`). One definition shared
+    * by [[annPq]] and [[annIvfPq]] so the determinism-critical fold
+    * can never fork. */
+  private def adcScore(spark: SparkSession,
+                       cents: Array[Array[(Long, Array[Double])]],
+                       q: Seq[Float]): org.apache.spark.sql.expressions
+                         .UserDefinedFunction = {
     val sd = cents(0)(0)._2.length
-    val e = emb(spark, dir)
-    val q = e.filter(col("vec_id") === 0).select(col("embedding"))
-      .head().getSeq[Float](0)
-    // dtable(s): cid → ADC distance of the exact query subvector
     val dtable: Array[Map[Long, Double]] =
       Array.tabulate(Subspaces) { s =>
         cents(s).map { case (cid, cv) => cid -> l2(q, s * sd, cv) }.toMap
       }
     val bcC = spark.sparkContext.broadcast(cents)
     val bcD = spark.sparkContext.broadcast(dtable)
-    val score = udf((v: Seq[Float]) => {
+    udf((v: Seq[Float]) => {
       var acc = 0.0
       var s = 0
       while (s < Subspaces) {
@@ -178,24 +182,19 @@ object Pq {
       }
       acc
     })
+  }
+
+  def annPq(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    val cents = codebooks(spark, dir)
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0)
+    val score = adcScore(spark, cents, q)
     e.filter(col("vec_id") =!= 0)
       .select(col("vec_id"), score(col("embedding")).as("d"))
       .orderBy(col("d"), col("vec_id"))
       .limit(k)
       .select(col("vec_id"), (round(col("d"), 4) + 0.0).as("pq_dist"))
-  }
-
-  /** Sequential-fold cosine (dimension order — the oracle's
-    * `list_reduce` arithmetic), NaN → +∞ so zero vectors rank first
-    * like the DESC sort on both engines. */
-  private def cosSeq(a: Seq[Float], b: Seq[Float]): Double = {
-    var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
-    while (i < a.length) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      ab += x * y; aa += x * x; bb += y * y; i += 1
-    }
-    val c = ab / (math.sqrt(aa) * math.sqrt(bb))
-    if (java.lang.Double.isNaN(c)) Double.PositiveInfinity else c
   }
 
   /** q25_ann_ivfpq — the IVF-PQ composition (the FAISS serving
@@ -211,7 +210,6 @@ object Pq {
   def annIvfPq(spark: SparkSession, dir: String, k: Int = TopK,
                nProbe: Int = 2): DataFrame = {
     val cents = codebooks(spark, dir)
-    val sd = cents(0)(0)._2.length
     val e = emb(spark, dir)
     val q = e.filter(col("vec_id") === 0).select(col("embedding"))
       .head().getSeq[Float](0)
@@ -219,24 +217,10 @@ object Pq {
     val probed = e.filter(col("vec_id") < Similarity.IvfCentroids)
       .orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
-      .map { case (cid, cv) => (cid, cosSeq(q, cv)) }
+      .map { case (cid, cv) => (cid, Similarity.cosSeqInf(q, cv)) }
       .sortBy { case (cid, c) => (-c, cid) }
       .take(nProbe).map(_._1)
-    val dtable: Array[Map[Long, Double]] =
-      Array.tabulate(Subspaces) { s =>
-        cents(s).map { case (cid, cv) => cid -> l2(q, s * sd, cv) }.toMap
-      }
-    val bcC = spark.sparkContext.broadcast(cents)
-    val bcD = spark.sparkContext.broadcast(dtable)
-    val score = udf((v: Seq[Float]) => {
-      var acc = 0.0
-      var s = 0
-      while (s < Subspaces) {
-        acc += bcD.value(s)(assignOne(v, s * sd, bcC.value(s)))
-        s += 1
-      }
-      acc
-    })
+    val score = adcScore(spark, cents, q)
     Similarity.ivfCells(spark, dir)
       .filter(col("cell").isin(probed.map(Long.box): _*) &&
         col("vec_id") =!= 0)

@@ -39,6 +39,22 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.cosine(a, b)
 
+  /** THE driver-side sequential-fold cosine (dimension order, one
+    * running double per term — the oracle's `list_reduce` arithmetic),
+    * NaN → +∞ so zero vectors rank first like the engines' DESC sorts.
+    * Single definition shared by every driver-side ranking ([[graft
+    * .ops.Pq]] coarse probes, [[graft.query.IvfServer]] routing) so
+    * the determinism-critical fold can never fork. */
+  private[graft] def cosSeqInf(a: Seq[Float], b: Seq[Float]): Double = {
+    var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      ab += x * y; aa += x * x; bb += y * y; i += 1
+    }
+    val c = ab / (math.sqrt(aa) * math.sqrt(bb))
+    if (java.lang.Double.isNaN(c)) Double.PositiveInfinity else c
+  }
+
   /** Exact pairwise cosine over a small sample (vec_id < 100) — SURVEY
     * §2.9 Q25 contract; deterministic pair ordering. */
   def cosinePairs(spark: SparkSession, dir: String): DataFrame = {
@@ -370,10 +386,18 @@ object Similarity {
   /** Shared argmax-cosine cell assignment against the seed centroids
     * `vec_id < k` (see [[ivfCells]] for the plan-shape rationale —
     * broadcast centroids, one scored scan, `max(struct)` argmax). */
-  private def argmaxCells(e: DataFrame, k: Long): DataFrame = {
-    val cents = e.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    e.crossJoin(broadcast(cents))
+  private def argmaxCells(e: DataFrame, k: Long): DataFrame =
+    argmaxCellsAgainst(e,
+      e.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
+
+  /** The ONE argmax-cosine assignment block — shared by the
+    * whole-table form above and [[assignCells]]' delta-ingest form, so
+    * the tie/NaN semantics can never desynchronize between them (the
+    * incremental==full store invariant depends on it). */
+  private def argmaxCellsAgainst(vectors: DataFrame,
+                                 cents: DataFrame): DataFrame =
+    vectors.crossJoin(broadcast(cents))
       .select(col("vec_id"),
         struct(
           cosine(col("embedding"), col("cvec")).as("s"),
@@ -383,7 +407,6 @@ object Similarity {
       .agg(max(col("cand")).as("best"))
       .select(col("vec_id"), col("best.embedding").as("embedding"),
         (-col("best.neg_cid")).as("cell"))
-  }
 
   /** Target EXPECTED cell size for corpus-scale SemDeDup: the cell
     * count k = max([[IvfCentroids]], ceil(n / SemDedupCellSize)) grows
@@ -516,19 +539,9 @@ object Similarity {
   def assignCells(spark: SparkSession, dir: String,
                   vectors: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val seeds = emb(spark, dir)
-      .filter(col("vec_id") < IvfCentroids.toLong)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    vectors.crossJoin(broadcast(seeds))
-      .select(col("vec_id"),
-        struct(
-          cosine(col("embedding"), col("cvec")).as("s"),
-          (-col("cid")).as("neg_cid"),
-          col("embedding").as("embedding")).as("cand"))
-      .groupBy(col("vec_id"))
-      .agg(max(col("cand")).as("best"))
-      .select(col("vec_id"), col("best.embedding").as("embedding"),
-        (-col("best.neg_cid")).as("cell"))
+    argmaxCellsAgainst(vectors,
+      emb(spark, dir).filter(col("vec_id") < IvfCentroids.toLong)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
   }
 
   /** Append a delta vector batch into a [[writeIvfLayout]] store:
@@ -566,8 +579,7 @@ object Similarity {
     * construction — the driver checks it against the SAME oracle. */
   def annIvfLoaded(spark: SparkSession, dir: String,
                    k: Int = 10): DataFrame = {
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_ivf_store").toString
+    val out = graft.TempDirs.scratch("graft_ivf_store")
     writeIvfLayout(spark, dir, out)
     probeIvfStore(spark, out, k)
   }
@@ -728,6 +740,10 @@ object Similarity {
     * never corpus-sized. */
   def hybridRrf(spark: SparkSession, dir: String, k: Int = 10,
                 kRrf: Int = 60): DataFrame = {
+    // both arms are top-10 (q10Bm25's fixed LIMIT); fusing deeper than
+    // the arms would silently compute wrong RRF scores for ranks past
+    // the truncation — refuse instead
+    require(k <= 10, s"hybridRrf fuses top-10 arms; k=$k would read past them")
     import org.apache.spark.sql.expressions.Window
     val lex = graft.queries.IrSql.q10Bm25(spark, dir)
       .withColumn("lex_rank", row_number()

@@ -275,8 +275,7 @@ object IrEngine {
     * compare proves the gap codec round-trips exactly. */
   def q36PhraseCompressed(spark: SparkSession, dir: String): DataFrame = {
     val ix = PositionalIndex.build(spark, corpus(spark, dir))
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_posz").toString
+    val tmp = graft.TempDirs.scratch("graft_posz")
     PositionalIndex.write(ix, tmp, compressed = true)
     PositionalIndex.phrase(PositionalIndex.load(spark, tmp), PhraseQuery)
   }

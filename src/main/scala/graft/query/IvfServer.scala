@@ -82,22 +82,13 @@ final class IvfServer(spark: SparkSession, storeDir: String) {
 
   require(seeds.nonEmpty, s"no seed centroids found in $storeDir")
 
-  /** Driver-side sequential-fold cosine (dimension order), NaN → +∞ —
-    * the [[Similarity.ivfCells]] ranking semantics. */
-  private def cosSeq(a: Seq[Float], b: Array[Float]): Double = {
-    var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
-    while (i < b.length) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      ab += x * y; aa += x * x; bb += y * y; i += 1
-    }
-    val c = ab / (math.sqrt(aa) * math.sqrt(bb))
-    if (java.lang.Double.isNaN(c)) Double.PositiveInfinity else c
-  }
-
-  /** The cell the store's assignment would give this vector. */
+  /** The cell the store's assignment would give this vector (the ONE
+    * shared driver fold — [[Similarity.cosSeqInf]]). */
   def cellOf(qv: Seq[Float]): Long =
-    seeds.map { case (cid, cv) => (cid, cosSeq(qv, cv)) }
-      .maxBy { case (cid, c) => (c, -cid) }._1
+    seeds.map { case (cid, cv) =>
+      (cid, Similarity.cosSeqInf(qv, scala.collection.immutable
+        .ArraySeq.unsafeWrapArray(cv)))
+    }.maxBy { case (cid, c) => (c, -cid) }._1
 
   /** Top-k exact-cosine neighbors of `qv` inside its cell. `excludeId`
     * drops the query's own row when probing with a stored vector. */
@@ -125,10 +116,18 @@ final class IvfServer(spark: SparkSession, storeDir: String) {
         size > MaxTemplates
     }
 
+  /** Drop every cached template. A template's file listing is pinned
+    * at creation, so after [[Similarity.appendIvfLayout]] grows the
+    * store, templates would keep serving the PRE-append files while
+    * [[probe]] (which re-lists per call) sees the new ones — call this
+    * after any store mutation to realign the two paths (spec-pinned). */
+  def refresh(): Unit = synchronized { templates.clear() }
+
   /** [[probe]] through the cell's prepared plan — zero per-query
     * Catalyst work once a cell's template exists. One in-flight query
     * per server instance (the [[PointServer]] discipline: the ref and
-    * the job must pair atomically). */
+    * the job must pair atomically). After mutating the store
+    * ([[Similarity.appendIvfLayout]]), call [[refresh]] — see there. */
   def probeTemplate(qv: Seq[Float], k: Int = 10,
                     excludeId: Long = -1L): Seq[(Long, Double)] =
     synchronized {

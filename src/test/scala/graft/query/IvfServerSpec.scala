@@ -68,6 +68,29 @@ class IvfServerSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("refresh() realigns templates with a mutated store (append " +
+    "then refresh: template == fresh probe again)") {
+    // private store copy — the shared `store` must stay immutable for
+    // the other tests
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ivf_mut").toString
+    val e = graft.Tables.load(spark, dir, "embeddings")
+    val isDelta = pmod(xxhash64(col("vec_id")), lit(10)) === 0 &&
+      col("vec_id") >= Similarity.IvfCentroids.toLong
+    Similarity.assignCells(spark, dir, e.filter(!isDelta))
+      .write.partitionBy("cell").mode("overwrite").parquet(out)
+    val srv = new IvfServer(spark, out)
+    val qv = spark.read.parquet(out).filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    srv.probeTemplate(qv, excludeId = 0L) // template now caches pre-append files
+    Similarity.appendIvfLayout(spark, dir, out, e.filter(isDelta))
+    srv.refresh()
+    val tpl = srv.probeTemplate(qv, excludeId = 0L)
+    val fresh = srv.probe(qv, excludeId = 0L).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(tpl == fresh, "refreshed template diverged from fresh probe")
+  }
+
   test("a probe is one job over one cell directory") {
     val srv = new IvfServer(spark, store)
     val qv = spark.read.parquet(store).filter(col("vec_id") === 0L)
