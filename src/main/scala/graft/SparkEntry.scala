@@ -171,6 +171,8 @@ object SparkEntry {
     "q27_lm_score" -> (TextAnalysis.lmScore _),
     "q27_bpe_train" -> (Bpe.bpeTrain _),
     "q27_bpe_apply" -> (Bpe.bpeApply _),
+    "q27_bpe_pack" ->
+      ((s: SparkSession, d: String) => Bpe.bpePack(s, d)),
     "q27_dsir" ->
       ((s: SparkSession, d: String) => TextAnalysis.dsirSelect(s, d)),
     "q37_hybrid_rrf" ->

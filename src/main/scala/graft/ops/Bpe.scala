@@ -135,6 +135,31 @@ object Bpe {
     * per-doc aggregation). Identical to joining the trained sequence
     * table by construction: the chain is exactly how that table's
     * sequences were computed. */
+  /** q27_bpe_pack: the packed-sequence layout of the BPE-TOKENIZED
+    * corpus — [[TextAnalysis.packSequences]]' two-phase scalable
+    * cumsum over SUBWORD counts instead of word counts: the layout a
+    * training run actually consumes, where sequence length is counted
+    * in tokenizer units. Per-doc subword counts come from a pure
+    * per-row fold (the learned replace chain applied INSIDE a
+    * `transform` lambda over the token array — no explode, no extra
+    * shuffle before the layout's own). */
+  def bpePack(spark: SparkSession, dir: String,
+              seqLen: Long = 512): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val (rules, _) = train(spark, dir)
+    val counts = docs(spark, dir)
+      .select(col("doc_id"),
+        aggregate(
+          transform(tokensArrayFast(col("text")), w => {
+            val seqFinal = rules.foldLeft(initSeq(w))(
+              (c, r) => applyRule(c, r.lhs, r.rhs))
+            (size(split(seqFinal, "\\|")) - 2).cast("long")
+          }),
+          lit(0L), (a, b) => a + b).as("n"),
+        graft.functions.GraftFunctions.polyhash(col("text"), P).as("h"))
+    TextAnalysis.packLayout(spark, counts, seqLen)
+  }
+
   def bpeApply(spark: SparkSession, dir: String): DataFrame = {
     val (rules, _) = train(spark, dir)
     val seqFinal = rules.foldLeft(initSeq(col("word")))(

@@ -171,14 +171,25 @@ object TextAnalysis {
     * generalization of the docno numbering; NO single-partition
     * window, one long per partition to the driver. */
   def packSequences(spark: SparkSession, dir: String,
-                    seqLen: Long = 512): DataFrame = {
+                    seqLen: Long = 512): DataFrame =
+    packLayout(spark,
+      docs(spark, dir).select(col("doc_id"),
+        size(tokensArrayFast(col("text"))).cast("long").as("n"),
+        graft.functions.GraftFunctions.polyhash(col("text"), P).as("h")),
+      seqLen)
+
+  /** The packing LAYOUT machinery shared by [[packSequences]] (word
+    * counts) and [[Bpe.bpePack]] (subword counts): hash-shuffled doc
+    * order, two-phase scalable weighted cumsum (per-partition sums →
+    * driver scan of ≤ numShufflePartitions longs → per-partition
+    * offset replay — never a single-partition window), bin spans at
+    * `seqLen`. Counts frame contract: (doc_id, n, h). */
+  private[ops] def packLayout(spark: SparkSession, counts: DataFrame,
+                              seqLen: Long): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     val p = spark.sessionState.conf.numShufflePartitions
-    val sorted = docs(spark, dir)
-      .select(col("doc_id"),
-        size(tokensArrayFast(col("text"))).cast("long").as("n"),
-        graft.functions.GraftFunctions.polyhash(col("text"), P).as("h"))
+    val sorted = counts
       .filter(col("n") > 0)
       .select(col("h"), col("doc_id"), col("n"))
       .as[(Long, Long, Long)]

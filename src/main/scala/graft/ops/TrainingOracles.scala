@@ -206,6 +206,27 @@ object TrainingOracles {
          SELECT * FROM ($sel) ORDER BY rank"""
     },
 
+    // BPE-tokenized packing layout: q27_packing's hash-ordered cumsum
+    // with per-doc SUBWORD counts (from the trained sequences) as the
+    // weights
+    "q27_bpe_pack" ->
+      s"""WITH $bpeCtes,
+         bpc AS (SELECT t.doc_id AS doc_id,
+                        CAST(sum(len(string_split(s.seq, '|')) - 2) AS BIGINT) AS n
+                 FROM tok t JOIN s${Bpe.Merges} s USING (word)
+                 GROUP BY t.doc_id),
+         wt AS (SELECT d.doc_id AS doc_id, bpc.n AS n, ${ddbPolyHash("d.text")} AS h
+                FROM documents d JOIN bpc ON d.doc_id = bpc.doc_id
+                WHERE bpc.n > 0),
+         o AS (SELECT doc_id, n,
+                      sum(n) OVER (ORDER BY h, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM wt)
+         SELECT doc_id, CAST(cum - n AS BIGINT) AS start_tok, n AS n_tokens,
+                CAST((cum - n) // 512 AS BIGINT) AS first_bin,
+                CAST((cum - 1) // 512 AS BIGINT) AS last_bin
+         FROM o ORDER BY doc_id""",
+
     // BPE application: per-doc subword counts; the oracle joins each
     // corpus word to its trained final sequence (sN) — the engine's
     // map-side replace chain equals that join by construction

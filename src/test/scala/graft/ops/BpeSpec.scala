@@ -60,6 +60,27 @@ class BpeSpec extends SparkSpec {
     assert(rules.size == Bpe.Merges)
   }
 
+  test("BPE packing: layout weights equal bpeApply's subword counts, " +
+    "offsets are a gapless permutation, bins span correctly") {
+    val layout = Bpe.bpePack(spark, dir).collect()
+    val counts = Bpe.bpeApply(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(layout.nonEmpty && layout.length == counts.size)
+    var total = 0L
+    layout.foreach { r =>
+      assert(counts(r.getLong(0)) == r.getLong(2),
+        s"doc ${r.getLong(0)}: layout weight != bpeApply count")
+      assert(r.getLong(3) == r.getLong(1) / 512 &&
+        r.getLong(4) == (r.getLong(1) + r.getLong(2) - 1) / 512)
+      total += r.getLong(2)
+    }
+    // offsets tile [0, total) exactly: sorted starts are the running sum
+    val spans = layout.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    var cum = 0L
+    spans.foreach { case (s, n) => assert(s == cum); cum += n }
+    assert(cum == total)
+  }
+
   test("BPE shortens every document's token stream, never below the " +
     "word count") {
     val df = Bpe.bpeApply(spark, dir)
