@@ -147,15 +147,35 @@ object Bpe {
               seqLen: Long = 512): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val (rules, _) = train(spark, dir)
+    // JVM fold, not a Catalyst HOF: the transform/aggregate form
+    // evaluates interpreted (20 replace nodes per token — measured
+    // 5.4 s at sf0.1); Java String.replace has the IDENTICAL
+    // left-to-right non-overlapping semantics the oracle's replace
+    // runs, so the counts are unchanged (the sanctioned
+    // hot-HOF-chain→UDF trade, and BpeSpec pins layout weights ==
+    // bpeApply counts)
+    val ruleArr = rules.map(r =>
+      (s"|${r.lhs}|${r.rhs}|", s"|${r.lhs}${r.rhs}|")).toArray
+    val subwordCount = udf((toks: Seq[String]) => {
+      var total = 0L
+      toks.foreach { w =>
+        val sb = new StringBuilder(w.length * 2 + 1).append('|')
+        w.foreach(c => sb.append(c).append('|'))
+        var s = sb.toString
+        var i = 0
+        while (i < ruleArr.length) {
+          val (pat, rep) = ruleArr(i)
+          var p = 0
+          while (p < ReplacePasses) { s = s.replace(pat, rep); p += 1 }
+          i += 1
+        }
+        total += s.split("\\|", -1).length - 2
+      }
+      total
+    })
     val counts = docs(spark, dir)
       .select(col("doc_id"),
-        aggregate(
-          transform(tokensArrayFast(col("text")), w => {
-            val seqFinal = rules.foldLeft(initSeq(w))(
-              (c, r) => applyRule(c, r.lhs, r.rhs))
-            (size(split(seqFinal, "\\|")) - 2).cast("long")
-          }),
-          lit(0L), (a, b) => a + b).as("n"),
+        subwordCount(tokensArrayFast(col("text"))).as("n"),
         graft.functions.GraftFunctions.polyhash(col("text"), P).as("h"))
     TextAnalysis.packLayout(spark, counts, seqLen)
   }
