@@ -76,6 +76,7 @@ object SparkEntry {
     "q24_dedup_exact" -> (Dedup.exact _),
     "q24_dedup_chunks" ->
       ((s: SparkSession, d: String) => Dedup.chunkDedup(s, d)),
+    "q24_cdc_chunks" -> (Dedup.cdcChunks _),
     "q24_span_dedup" ->
       ((s: SparkSession, d: String) => Dedup.spanDedup(s, d)),
     "q24_span_apply" ->

@@ -82,6 +82,66 @@ object Dedup {
   /** Chunk width shared with the generated oracle SQL. */
   val ChunkWidthDefault = 10
 
+  /** CDC rolling window (tokens) / boundary divisor — shared with the
+    * oracle. Expected chunk length ≈ divisor tokens. */
+  val CdcWindow = 4
+  val CdcDivisor = 16L
+
+  /** CONTENT-DEFINED chunking dedup — the shift-robust member of the
+    * chunking family: boundaries fall where the rolling hash of the
+    * last [[CdcWindow]] tokens is ≡ 0 mod [[CdcDivisor]], so a chunk
+    * edge is a function of LOCAL content, not of absolute offsets.
+    * [[chunkDedup]]'s fixed windows lose every boundary downstream of
+    * a single inserted token; CDC boundaries re-align immediately
+    * (the storage-dedup / rsync recipe, applied at token level —
+    * spec-pinned: a head insertion changes O(1) chunks). Same output
+    * contract as [[chunkDedup]].
+    *
+    * Scale shape: cut detection and span slicing are narrow per-row
+    * array expressions (per-doc state only); the single shuffle is
+    * the digest group-by with map-side partial aggregation. */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    cdcChunksOf(docs(spark, dir).select(col("doc_id"),
+      tokensArrayFast(col("text")).as("l")))
+  }
+
+  /** [[cdcChunks]] over an explicit (doc_id, l ARRAY<STRING>) frame —
+    * the spec hook for constructed corpora. */
+  private[ops] def cdcChunksOf(t0: DataFrame): DataFrame = {
+    val w = CdcWindow
+    val t = t0.filter(size(col("l")) > 0)
+    // cut AFTER token e (= i + w - 1 for gram start i) when the gram
+    // hash divides; never at the last token (the final span ends there
+    // anyway). sequence() DESCENDS when size < w — guard to empty.
+    val cuts = when(size(col("l")) >= w,
+      filter(
+        transform(sequence(lit(1), size(col("l")) - (w - 1)),
+          i => (i + (w - 1)).cast("int")),
+        e => pmod(graft.functions.GraftFunctions.polyhash(
+          array_join(slice(col("l"), e - (w - 1), lit(w)), " "), CrossHash.P),
+          lit(CdcDivisor)) === 0 && e < size(col("l"))))
+      .otherwise(array().cast("array<int>"))
+    val sp = t
+      .select(col("doc_id"), col("l"),
+        concat(array(lit(0)), cuts,
+          array(size(col("l")))).as("bounds"))
+      .select(col("doc_id"), col("l"),
+        explode(transform(sequence(lit(1), size(col("bounds")) - 1),
+          j => struct(
+            (element_at(col("bounds"), j) + 1).as("s"),
+            element_at(col("bounds"), j + 1).as("e")))).as("sp"))
+      .select(col("doc_id"),
+        array_join(slice(col("l"), col("sp.s"),
+          col("sp.e") - col("sp.s") + 1), " ").as("chunk"))
+    sp.groupBy(md5(col("chunk")).as("digest"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keeper"))
+      .filter(col("n_occurrences") > 1)
+      .orderBy("digest")
+  }
+
   /** Single-pass doc → distinct word-3-shingles, semantically identical
     * to `array_distinct(shingles(tokensArray(text)))` (lower, alnum-run
     * tokens, 3-token space-joined windows, set-dedup) but ~50× faster:

@@ -84,6 +84,33 @@ object TrainingOracles {
                 min(doc_id) AS keeper
          FROM c GROUP BY 1 HAVING count(*) > 1 ORDER BY digest""",
 
+    // content-defined chunking: boundaries where the rolling 4-token
+    // hash divides — the shift-robust chunker; same output contract as
+    // q24_dedup_chunks
+    "q24_cdc_chunks" -> {
+      val w = Dedup.CdcWindow
+      val gram = s"array_to_string(list_slice(l, e - ${w - 1}, e), ' ')"
+      s"""WITH t AS (SELECT doc_id, $toks AS l FROM documents
+                     WHERE len($toks) > 0),
+         g AS (SELECT doc_id, l, CAST(len(l) AS BIGINT) AS n,
+                 list_filter(
+                   list_transform(range(1, len(l) - ${w - 1} + 1), i -> i + ${w - 1}),
+                   e -> ${ddbPolyHash(gram)} % ${Dedup.CdcDivisor} = 0
+                        AND e < len(l)) AS cuts
+               FROM t),
+         b AS (SELECT doc_id, l,
+                 list_concat(list_concat([CAST(0 AS BIGINT)], cuts), [n]) AS bounds
+               FROM g),
+         sp AS (SELECT b.doc_id AS doc_id,
+                  array_to_string(list_slice(b.l, b.bounds[u.j] + 1, b.bounds[u.j + 1]), ' ') AS chunk
+                FROM b, LATERAL (SELECT unnest(range(1, len(b.bounds))) AS j) u)
+         SELECT md5(chunk) AS digest,
+                CAST(count(*) AS BIGINT) AS n_occurrences,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                min(doc_id) AS keeper
+         FROM sp GROUP BY 1 HAVING count(*) > 1 ORDER BY digest"""
+    },
+
     // duplicated-SPAN detection over overlapping token windows: the
     // window grouping is rebuilt relationally (range → list_slice),
     // canonical-first semantics via row_number over (doc_id, pos), the
