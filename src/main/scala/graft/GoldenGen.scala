@@ -25,7 +25,8 @@ object GoldenGen {
   val Names: Seq[String] =
     Seq("q26_ir_terms", "q26_ir_index", "q26_ir_search", "q26_ir_wildcard",
       "q35_rewrite_wildcard", "q36_phrase", "q36_near",
-      "q36_near_ordered", "q36_snippet", "q36_phrase_wildcard")
+      "q36_near_ordered", "q36_near_topk", "q36_snippet",
+      "q36_phrase_wildcard")
 
   /** Golden generators. Most goldens come from the query itself (the
     * pipeline is vector-pinned by the conformance specs); the rewrite
@@ -41,6 +42,8 @@ object GoldenGen {
       (s, d) => graft.queries.IrEngine.q36NearBrute(s, d)
     else if (name == "q36_near_ordered")
       (s, d) => graft.queries.IrEngine.q36NearOrderedBrute(s, d)
+    else if (name == "q36_near_topk")
+      (s, d) => graft.queries.IrEngine.q36NearTopKBrute(s, d)
     else if (name == "q36_snippet")
       (s, d) => graft.queries.IrEngine.q36SnippetBrute(s, d)
     else if (name == "q36_phrase_wildcard")

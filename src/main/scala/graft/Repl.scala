@@ -163,7 +163,8 @@ object Repl {
         }
       } else if (q.matches("(?i)^\\S+\\s+near(/\\d+)?\\s+\\S+$")) {
         // proximity operator: `a NEAR b` (window 3) or `a NEAR/k b` —
-        // a filter, not a ranking, so hits print without scores
+        // the RANKED serving contract: top-10 docs by qualifying-pair
+        // count (k-bounded whatever the pair's corpus frequency)
         val m = "(?i)^(\\S+)\\s+near(?:/(\\d+))?\\s+(\\S+)$".r
           .findFirstMatchIn(q).get
         val (a, w, b) = (m.group(1), Option(m.group(2)), m.group(3))
@@ -173,11 +174,11 @@ object Repl {
             try {
               val hits = phraseServer match {
                 case Some(ps) => ps.near(a, b, window)
-                case None => PositionalIndex.near(pix, a, b, window)
-                  .collect().map(_.getString(0)).toSeq
+                case None => PositionalIndex.nearTopK(pix, a, b, window)
+                  .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
               }
               if (hits.isEmpty) out.println(s"$q: No results ...")
-              else hits.foreach(out.println)
+              else hits.foreach { case (id, tf) => out.println(s"$id\t$tf") }
             } catch { case e: IllegalArgumentException =>
               out.println(e.getMessage)
             }

@@ -77,6 +77,7 @@ object SparkEntry {
     "q24_dedup_chunks" ->
       ((s: SparkSession, d: String) => Dedup.chunkDedup(s, d)),
     "q24_cdc_chunks" -> (Dedup.cdcChunks _),
+    "q24_cdc_apply" -> (Dedup.cdcApply _),
     "q24_span_dedup" ->
       ((s: SparkSession, d: String) => Dedup.spanDedup(s, d)),
     "q24_span_apply" ->
@@ -128,6 +129,7 @@ object SparkEntry {
     "q36_phrase_compressed" -> (IrEngine.q36PhraseCompressed _),
     "q36_near" -> (IrEngine.q36Near _),
     "q36_near_ordered" -> (IrEngine.q36NearOrdered _),
+    "q36_near_topk" -> (IrEngine.q36NearTopK _),
     "q36_snippet" -> (IrEngine.q36Snippet _),
     "q36_phrase_wildcard" -> (IrEngine.q36PhraseWildcard _),
     "q31_trec_source" -> (IrEngine.q31TrecSource _),
@@ -801,6 +803,11 @@ object SparkEntry {
       """SELECT * FROM '/root/repo/golden/q36_near.parquet'""",
     "q36_near_ordered" ->
       """SELECT * FROM '/root/repo/golden/q36_near_ordered.parquet'""",
+    // golden from the index-free ranked brute (row-level pair COUNT +
+    // the same total order and limit): proves the bounded NEAR serving
+    // contract == brute-scan semantics
+    "q36_near_topk" ->
+      """SELECT * FROM '/root/repo/golden/q36_near_topk.parquet'""",
     "q36_snippet" ->
       """SELECT * FROM '/root/repo/golden/q36_snippet.parquet'""",
     // golden from the doubly index-free brute (regex over the raw

@@ -388,6 +388,53 @@ object PositionalIndex {
     resolve(ix, hits).select(col("docid")).orderBy("docid")
   }
 
+  /** RANKED top-k proximity — the SERVING contract for NEAR queries
+    * (the phrase contract applied to proximity): each qualifying doc
+    * scores `near_tf` = the number of qualifying position PAIRS
+    * (x ∈ positions(termA), y ∈ positions(termB), |x−y| ≤ window; the
+    * ordered form keeps only y > x ∧ y − x ≤ window), output
+    * (docid, near_tf) ordered tf desc then docid asc, LIMITED to topK.
+    *
+    * [[near]] is the analytic filter form (every matching doc — fine
+    * as a batch operator feeding a downstream join); this is what a
+    * serving path must run instead: a hot term pair's hit set grows
+    * with the corpus, and an unbounded driver collect of it is the
+    * scale-killer the round-8 audit flagged. The pair count is one
+    * `aggregate` fold over the two per-doc (doc-length-bounded)
+    * occurrence lists — per-row compute, and the TakeOrdered keeps
+    * everything after it k-bounded. */
+  def nearTopK(ix: PIndex, termA: String, termB: String, window: Int,
+               ordered: Boolean = false, topK: Int = 10): DataFrame = {
+    val ta = TextPipeline.processContent(termA)
+    val tb = TextPipeline.processContent(termB)
+    require(ta.size == 1 && tb.size == 1,
+      s"nearTopK() takes single non-stopword terms, got '$termA'/'$termB'")
+    val pa = ix.postings.filter(col("term") === ta.head)
+      .select(col("docno"), col("positions").as("pa"))
+    val pb = ix.postings.filter(col("term") === tb.head)
+      .select(col("docno"), col("positions").as("pb"))
+    val hits = pa.join(pb, "docno")
+      .select(col("docno"),
+        nearPairCount(col("pa"), col("pb"), window, ordered).as("near_tf"))
+      .filter(col("near_tf") > 0)
+      .orderBy(col("near_tf").desc, col("docno"))
+      .limit(topK)
+    resolve(ix, hits).select(col("docid"), col("near_tf"))
+      .orderBy(col("near_tf").desc, col("docid"))
+  }
+
+  /** The one qualifying-pair-count formulation, shared by [[nearTopK]]
+    * and the serving templates ([[graft.query.PhraseServer]] /
+    * [[graft.query.LoadedPhraseServer]]) so the ranked contract cannot
+    * drift between fresh, cached, and loaded paths. */
+  private[graft] def nearPairCount(pa: Column, pb: Column, window: Int,
+                                   ordered: Boolean): Column = {
+    val perX: Column => Column =
+      if (ordered) x => size(filter(pb, y => y > x && y - x <= lit(window)))
+      else x => size(filter(pb, y => abs(x - y) <= lit(window)))
+    aggregate(pa, lit(0L), (acc, x) => acc + perX(x))
+  }
+
   /** ORDERED proximity: `termA` strictly before `termB`, at most
     * `window` pipeline tokens later — the directional variant of
     * [[near]] (same pruned-scan + docno-join shape, the existential

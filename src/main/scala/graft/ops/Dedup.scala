@@ -108,7 +108,19 @@ object Dedup {
 
   /** [[cdcChunks]] over an explicit (doc_id, l ARRAY<STRING>) frame —
     * the spec hook for constructed corpora. */
-  private[ops] def cdcChunksOf(t0: DataFrame): DataFrame = {
+  private[ops] def cdcChunksOf(t0: DataFrame): DataFrame =
+    cdcSpans(t0).groupBy(md5(col("chunk")).as("digest"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keeper"))
+      .filter(col("n_occurrences") > 1)
+      .orderBy("digest")
+
+  /** The CDC span table shared by [[cdcChunksOf]] and [[cdcApply]]:
+    * one row per content-defined chunk, with its 1-based inclusive
+    * token interval [s, e] — so the report and the apply cut the
+    * corpus at IDENTICAL boundaries by construction. */
+  private[ops] def cdcSpans(t0: DataFrame): DataFrame = {
     val w = CdcWindow
     val t = t0.filter(size(col("l")) > 0)
     // cut AFTER token e (= i + w - 1 for gram start i) when the gram
@@ -122,8 +134,7 @@ object Dedup {
           array_join(slice(col("l"), e - (w - 1), lit(w)), " "), CrossHash.P),
           lit(CdcDivisor)) === 0 && e < size(col("l"))))
       .otherwise(array().cast("array<int>"))
-    val sp = t
-      .select(col("doc_id"), col("l"),
+    t.select(col("doc_id"), col("l"),
         concat(array(lit(0)), cuts,
           array(size(col("l")))).as("bounds"))
       .select(col("doc_id"), col("l"),
@@ -131,15 +142,68 @@ object Dedup {
           j => struct(
             (element_at(col("bounds"), j) + 1).as("s"),
             element_at(col("bounds"), j + 1).as("e")))).as("sp"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("sp.s").as("s"), col("sp.e").as("e"),
         array_join(slice(col("l"), col("sp.s"),
           col("sp.e") - col("sp.s") + 1), " ").as("chunk"))
-    sp.groupBy(md5(col("chunk")).as("digest"))
-      .agg(count(lit(1)).as("n_occurrences"),
-        count_distinct(col("doc_id")).as("n_docs"),
-        min(col("doc_id")).as("keeper"))
-      .filter(col("n_occurrences") > 1)
-      .orderBy("digest")
+  }
+
+  /** APPLY content-defined chunking dedup — the materialization step
+    * [[cdcChunks]] reports on, closing the CDC family's report→apply
+    * gap (the [[spanDedupApply]] contract at content-defined
+    * boundaries): every token inside a REMOVABLE chunk — an instance
+    * of a digest occurring ≥2 times corpus-wide that is not the
+    * canonical smallest-(doc_id, start) occurrence — is dropped, the
+    * rest re-joined by single spaces. The canonical copy of each
+    * repeated chunk survives, so repeated passages are kept exactly
+    * once; because the boundaries are content-defined, a passage
+    * shifted by an insertion still dedups (the fixed-window apply
+    * would miss every realigned copy).
+    *
+    * Output (doc_id, n_kept, clean_text); docs with no removable
+    * chunk (or no tokens) pass through intact.
+    *
+    * Scale shape (the spanDedupApply discipline): the digest stats
+    * and the instances→stats join are EQUI-joins on the digest (one
+    * shuffle each, map-side partial agg, AQE skew-split applies); a
+    * doc's removal intervals are collected per doc (bounded by its
+    * own chunk count — CDC chunks are disjoint within a doc, so no
+    * interval union is even needed); the strip is a narrow per-row
+    * array filter against the row's own interval list — no
+    * inequality join anywhere. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    cdcApplyOf(docs(spark, dir).select(col("doc_id"),
+      tokensArrayFast(col("text")).as("l")))
+  }
+
+  /** [[cdcApply]] over an explicit (doc_id, l ARRAY<STRING>) frame —
+    * the spec hook for constructed corpora. */
+  private[ops] def cdcApplyOf(t: DataFrame): DataFrame = {
+    val sp = cdcSpans(t)
+      .select(col("doc_id"), col("s"), col("e"),
+        md5(col("chunk")).as("digest"))
+    val stats = sp.groupBy(col("digest"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("s"))).as("canon"))
+      .filter(col("n_occ") >= 2)
+    val ivs = sp.join(stats, "digest")
+      .filter(!(col("doc_id") === col("canon.doc_id") &&
+        col("s") === col("canon.s")))
+      .select(col("doc_id"),
+        struct((col("s") - 1).cast("long").as("s"),
+          (col("e") - 1).cast("long").as("e")).as("iv"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("iv")).as("ivs"))
+    t.join(ivs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        filter(col("l"), (tok, i) =>
+          !exists(coalesce(col("ivs"),
+              array().cast("array<struct<s:long,e:long>>")),
+            iv => i >= iv("s") && i <= iv("e"))).as("kept"))
+      .select(col("doc_id"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), " ").as("clean_text"))
+      .orderBy("doc_id")
   }
 
   /** Single-pass doc → distinct word-3-shingles, semantically identical

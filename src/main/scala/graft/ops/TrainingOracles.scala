@@ -111,6 +111,50 @@ object TrainingOracles {
          FROM sp GROUP BY 1 HAVING count(*) > 1 ORDER BY digest"""
     },
 
+    // CDC APPLY: same span chain, then canonical-first removal (the
+    // q24_span_apply semantics at content-defined boundaries) — each
+    // repeated chunk digest keeps its smallest-(doc_id, start)
+    // instance, every other instance's token interval is stripped
+    "q24_cdc_apply" -> {
+      val w = Dedup.CdcWindow
+      val gram = s"array_to_string(list_slice(l, e - ${w - 1}, e), ' ')"
+      s"""WITH tall AS (SELECT doc_id, $toks AS l FROM documents),
+         t AS (SELECT doc_id, l FROM tall WHERE len(l) > 0),
+         g AS (SELECT doc_id, l, CAST(len(l) AS BIGINT) AS n,
+                 list_filter(
+                   list_transform(range(1, len(l) - ${w - 1} + 1), i -> i + ${w - 1}),
+                   e -> ${ddbPolyHash(gram)} % ${Dedup.CdcDivisor} = 0
+                        AND e < len(l)) AS cuts
+               FROM t),
+         b AS (SELECT doc_id, l,
+                 list_concat(list_concat([CAST(0 AS BIGINT)], cuts), [n]) AS bounds
+               FROM g),
+         sp AS (SELECT b.doc_id AS doc_id,
+                  b.bounds[u.j] + 1 AS s, b.bounds[u.j + 1] AS e,
+                  md5(array_to_string(list_slice(b.l, b.bounds[u.j] + 1, b.bounds[u.j + 1]), ' ')) AS digest
+                FROM b, LATERAL (SELECT unnest(range(1, len(b.bounds))) AS j) u),
+         m AS (SELECT doc_id, s, e,
+                      count(*) OVER (PARTITION BY digest) AS n_occ,
+                      row_number() OVER (PARTITION BY digest ORDER BY doc_id, s) AS rn
+               FROM sp),
+         rem AS (SELECT doc_id, s - 1 AS s0, e - 1 AS e0 FROM m
+                 WHERE n_occ >= 2 AND rn > 1),
+         tokpos AS (SELECT doc_id, unnest(l) AS tok,
+                           generate_subscripts(l, 1) - 1 AS p FROM tall),
+         kept AS (SELECT tp.doc_id, tp.tok, tp.p FROM tokpos tp
+                  WHERE NOT EXISTS (SELECT 1 FROM rem
+                                    WHERE rem.doc_id = tp.doc_id
+                                      AND tp.p BETWEEN rem.s0 AND rem.e0))
+         SELECT tall.doc_id AS doc_id,
+                CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+                coalesce(k.clean_text, '') AS clean_text
+         FROM tall LEFT JOIN (SELECT doc_id, count(*) AS n_kept,
+                                     string_agg(tok, ' ' ORDER BY p) AS clean_text
+                              FROM kept GROUP BY doc_id) k
+              ON tall.doc_id = k.doc_id
+         ORDER BY doc_id"""
+    },
+
     // duplicated-SPAN detection over overlapping token windows: the
     // window grouping is rebuilt relationally (range → list_slice),
     // canonical-first semantics via row_number over (doc_id, pos), the

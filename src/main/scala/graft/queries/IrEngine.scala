@@ -417,6 +417,38 @@ object IrEngine {
       .orderBy("docid")
   }
 
+  /** RANKED top-k proximity — the bounded NEAR serving contract
+    * ([[PositionalIndex.nearTopK]]: near_tf = qualifying-pair count,
+    * tf desc then docid asc, limit 10) through the positional index;
+    * golden from [[q36NearTopKBrute]]'s index-free row-level pair
+    * count, so the driver compare proves the ranked index path == the
+    * brute scan (the established q36 pattern). */
+  def q36NearTopK(spark: SparkSession, dir: String): DataFrame = {
+    val ix = PositionalIndex.build(spark, corpus(spark, dir))
+    PositionalIndex.nearTopK(ix, NearTerms._1, NearTerms._2, NearWindow)
+  }
+
+  /** Independent ranked-proximity evaluation: row-level occurrence
+    * join, COUNT the qualifying pairs per doc (no arrays, no index),
+    * same total order and limit as the serving contract. */
+  private[graft] def q36NearTopKBrute(spark: SparkSession,
+                                      dir: String): DataFrame = {
+    graft.text.TextPipeline.register(spark)
+    val a = graft.text.TextPipeline.processContent(NearTerms._1).head
+    val b = graft.text.TextPipeline.processContent(NearTerms._2).head
+    val tp = corpus(spark, dir).select(col("docid"),
+        posexplode(expr("graft_tokenize(content)")))
+      .select(col("docid"), col("pos"), col("col").as("term"))
+    tp.filter(col("term") === a).select(col("docid"), col("pos").as("pa"))
+      .join(tp.filter(col("term") === b)
+        .select(col("docid"), col("pos").as("pb")), "docid")
+      .filter(abs(col("pa") - col("pb")) <= NearWindow)
+      .groupBy(col("docid"))
+      .agg(count(lit(1)).as("near_tf"))
+      .orderBy(col("near_tf").desc, col("docid"))
+      .limit(10)
+  }
+
   /** Independent proximity evaluation: explode every token with its
     * offset, self-join the two terms' occurrence ROWS per doc, keep
     * docs with any pair within the window. */

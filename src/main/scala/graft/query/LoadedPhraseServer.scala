@@ -144,13 +144,6 @@ final class LoadedPhraseServer(spark: SparkSession, dir: String,
     val slotB = newRef()
     def in(ref: AtomicReference[java.util.HashSet[UTF8String]]) =
       Bridge.column(RefSetContains(Bridge.expression(col("term")), ref))
-    val pred =
-      if (ordered)
-        exists(col("p0"), x =>
-          exists(col("p1"), y => y > x && y - x <= lit(window)))
-      else
-        exists(col("p0"), x =>
-          exists(col("p1"), y => abs(x - y) <= lit(window)))
     val df = spark.read.schema(pix.postings.schema).parquet(files: _*)
       .filter(in(both)).coalesce(1)
       .groupBy(col("docno"))
@@ -160,20 +153,26 @@ final class LoadedPhraseServer(spark: SparkSession, dir: String,
         first(when(in(slotB), col("positions")), ignoreNulls = true)
           .as("p1"))
       .filter(col("p0").isNotNull && col("p1").isNotNull)
-      .filter(pred)
-      .select(col("docno"))
+      .select(col("docno"),
+        PositionalIndex.nearPairCount(col("p0"), col("p1"),
+          window, ordered).as("near_tf"))
+      .filter(col("near_tf") > 0)
+      .orderBy(col("near_tf").desc, col("docno"))
+      .limit(topK)
     df.queryExecution.executedPlan
     val t = NearTmpl(both, slotA, slotB, df)
     nearPlans.put(key, t)
     t
   }
 
-  /** All docids with `termA` within `window` tokens of `termB`
-    * (`ordered`: termB strictly after), ascending — the
-    * [[PositionalIndex.near]] contract served from pure parquet through
-    * routed exchange-free templates. */
+  /** Top-k (docid, near_tf), tf desc then docid asc — the
+    * [[PositionalIndex.nearTopK]] RANKED serving contract from pure
+    * parquet through routed exchange-free templates. `limit(topK)` is
+    * INSIDE the template: the driver collect, the docno file routing,
+    * and the resolution scan are all ≤ topK rows regardless of the
+    * term pair's corpus frequency. */
   def near(termA: String, termB: String, window: Int,
-           ordered: Boolean = false): Seq[String] = synchronized {
+           ordered: Boolean = false): Seq[(String, Long)] = synchronized {
     val ta = TextPipeline.processContent(termA)
     val tb = TextPipeline.processContent(termB)
     require(ta.size == 1 && tb.size == 1,
@@ -190,16 +189,19 @@ final class LoadedPhraseServer(spark: SparkSession, dir: String,
     t.both.set(set(ta.head, tb.head))
     t.slotA.set(set(ta.head))
     t.slotB.set(set(tb.head))
-    val docnos = t.df.collect().map(_.getLong(0))
-    if (docnos.isEmpty) return Seq.empty
-    val docFiles = docnos.toSeq
+    val top = t.df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (top.isEmpty) return Seq.empty
+    val docFiles = top.map(_._1).toSeq
       .flatMap(Routing.route(docRanges, _)).distinct.sorted
     if (docFiles.isEmpty) return Seq.empty
     val rt = resolveTmpl(docFiles)
     val dset = new java.util.HashSet[java.lang.Long]()
-    docnos.foreach(d => dset.add(d))
+    top.foreach(x => dset.add(x._1))
     rt.ref.set(dset)
-    rt.df.collect().map(_.getString(1)).toSeq.sorted
+    val ids = rt.df.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    top.toSeq.flatMap { case (d, tf) => ids.get(d).map(id => (id, tf)) }
+      .sortBy { case (docid, tf) => (-tf, docid) }
   }
 
   /** Exposed for the exchange-free plan-walk assertion (see

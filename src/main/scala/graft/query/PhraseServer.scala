@@ -46,12 +46,24 @@ import graft.index.PositionalIndex.PIndex
   * the full CACHED positional postings single-threaded — and positional
   * rows carry whole position arrays, so this per-query O(index) term
   * grows faster with corpus size than PointServer's over the ranked
-  * postings. Fine at the benchmarked scales; for a big written index,
-  * serve through [[LoadedPhraseServer]], whose driver-side zone-map
-  * routing bounds each query's scan to the 1-2 files holding its terms.
+  * postings. The limit is therefore GUARDED, not just documented
+  * (the [[graft.index.InvertedIndex.BroadcastDocs]] discipline): past
+  * `maxTemplateDocs` the templates are disabled and every query serves
+  * through the fresh-plan [[PositionalIndex]] paths, whose literal term
+  * filters keep batch-stat pruning and full parallelism — same
+  * results, per-query planning instead of a per-query O(index) scan.
+  * For a big WRITTEN index, serve through [[LoadedPhraseServer]],
+  * whose driver-side zone-map routing bounds each query's scan to the
+  * 1-2 files holding its terms.
   */
-final class PhraseServer(pix: PIndex, topK: Int = 10) {
+final class PhraseServer(pix: PIndex, topK: Int = 10,
+                         maxTemplateDocs: Long = PhraseServer.MaxTemplateDocs) {
   import PhraseServer.MaxSlots
+
+  /** Whether prepared templates serve queries (corpus under the
+    * guard); past the bound everything routes to the fresh plans.
+    * Exposed for the guard spec. */
+  private[graft] val usesTemplates: Boolean = pix.nDocs <= maxTemplateDocs
 
   private def newRef() =
     new AtomicReference[java.util.HashSet[UTF8String]](new java.util.HashSet)
@@ -103,8 +115,8 @@ final class PhraseServer(pix: PIndex, topK: Int = 10) {
   // ---- proximity templates -------------------------------------------
   // near/nearOrdered share the slot-aggregate shape; the window bound
   // is baked into the plan as a LITERAL (codegen-friendly, and the
-  // per-doc predicate is then identical to PositionalIndex.near's), so
-  // templates key on (window, ordered). Interactive use touches a
+  // per-doc scoring is then identical to PositionalIndex.nearTopK's),
+  // so templates key on (window, ordered). Interactive use touches a
   // handful of window values; each builds once, lazily.
   private final case class NearTmpl(
       both: AtomicReference[java.util.HashSet[UTF8String]],
@@ -118,13 +130,6 @@ final class PhraseServer(pix: PIndex, topK: Int = 10) {
     val both = newRef()
     val slotA = newRef()
     val slotB = newRef()
-    val pred =
-      if (ordered)
-        exists(col("p0"), x =>
-          exists(col("p1"), y => y > x && y - x <= lit(window)))
-      else
-        exists(col("p0"), x =>
-          exists(col("p1"), y => abs(x - y) <= lit(window)))
     val df = pix.postings.filter(in(both)).coalesce(1)
       .groupBy(col("docno"))
       .agg(
@@ -133,8 +138,12 @@ final class PhraseServer(pix: PIndex, topK: Int = 10) {
         first(when(in(slotB), col("positions")), ignoreNulls = true)
           .as("p1"))
       .filter(col("p0").isNotNull && col("p1").isNotNull)
-      .filter(pred)
-      .select(col("docno"))
+      .select(col("docno"),
+        PositionalIndex.nearPairCount(col("p0"), col("p1"),
+          window, ordered).as("near_tf"))
+      .filter(col("near_tf") > 0)
+      .orderBy(col("near_tf").desc, col("docno"))
+      .limit(topK)
     df.queryExecution.executedPlan
     NearTmpl(both, slotA, slotB, df)
   }
@@ -146,14 +155,17 @@ final class PhraseServer(pix: PIndex, topK: Int = 10) {
     else { val t = buildNear(window, ordered); nearTemplates.put(key, t); t }
   }
 
-  /** All docids whose doc holds `termA` within `window` tokens of
-    * `termB` (`ordered`: termB strictly after), ascending — the
-    * [[PositionalIndex.near]]/[[PositionalIndex.nearOrdered]] output
-    * contract served through a prepared exchange-free plan. Result
-    * size is hit-bounded (no topK: proximity is a filter, not a
-    * ranking). */
+  /** Top-k (docid, near_tf) for docs holding `termA` within `window`
+    * tokens of `termB` (`ordered`: termB strictly after), near_tf =
+    * qualifying-pair count, tf desc then docid asc — the
+    * [[PositionalIndex.nearTopK]] RANKED serving contract through a
+    * prepared exchange-free plan. The `limit(topK)` lives INSIDE the
+    * template, so the driver collect and the docid resolution are both
+    * ≤ topK rows whatever the term pair's corpus frequency (the
+    * round-8 audit's unbounded-hit-set fix); the full matching set
+    * stays available through the analytic [[PositionalIndex.near]]. */
   def near(termA: String, termB: String, window: Int,
-           ordered: Boolean = false): Seq[String] = synchronized {
+           ordered: Boolean = false): Seq[(String, Long)] = synchronized {
     val ta = graft.text.TextPipeline.processContent(termA)
     val tb = graft.text.TextPipeline.processContent(termB)
     require(ta.size == 1 && tb.size == 1,
@@ -163,16 +175,23 @@ final class PhraseServer(pix: PIndex, topK: Int = 10) {
       ts.foreach(t => s.add(UTF8String.fromString(t)))
       s
     }
+    if (!usesTemplates)
+      return PositionalIndex.nearTopK(pix, termA, termB, window,
+          ordered, topK)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val t = nearTmpl(window, ordered)
     t.both.set(set(ta.head, tb.head))
     t.slotA.set(set(ta.head))
     t.slotB.set(set(tb.head))
-    val docnos = t.df.collect().map(_.getLong(0))
-    if (docnos.isEmpty) return Seq.empty
-    pix.docMap
-      .filter(col("docno").isin(docnos.toSeq: _*))
-      .select(col("docid"))
-      .collect().map(_.getString(0)).toSeq.sorted
+    val top = t.df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (top.isEmpty) return Seq.empty
+    val ids = pix.docMap
+      .filter(col("docno").isin(top.map(_._1).toSeq: _*))
+      .select(col("docno"), col("docid"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    top.flatMap { case (docno, tf) => ids.get(docno).map((_, tf)) }
+      .sortBy { case (docid, tf) => (-tf, docid) }.toSeq
   }
 
   /** Exposed for the exchange-free plan-walk assertion (see
@@ -193,7 +212,7 @@ final class PhraseServer(pix: PIndex, topK: Int = 10) {
   def phrase(phraseText: String): Seq[(String, Long)] = synchronized {
     val terms = graft.text.TextPipeline.processContent(phraseText)
     if (terms.isEmpty) return Seq.empty
-    if (terms.size > MaxSlots)
+    if (terms.size > MaxSlots || !usesTemplates)
       return PositionalIndex.phrase(pix, phraseText)
         .limit(topK).collect()
         .map(r => (r.getString(0), r.getLong(1))).toSeq
@@ -223,4 +242,14 @@ object PhraseServer {
     * with room to spare; templates build lazily per length actually
     * queried, so the bound costs nothing until used. */
   val MaxSlots = 8
+
+  /** Largest corpus (docs) the cached templates serve: each templated
+    * query scans the full cached positional postings single-threaded
+    * (the opaque ref predicate defeats batch-stat pruning), so past
+    * this bound the per-query O(index) term beats the fresh plan's
+    * per-query planning cost and the server routes to the pruned,
+    * parallel fresh paths instead. Same order of magnitude as
+    * [[graft.index.InvertedIndex.BroadcastDocs]] — both guard a
+    * convenience that is only cheap while the corpus is. */
+  val MaxTemplateDocs = 10000000L
 }

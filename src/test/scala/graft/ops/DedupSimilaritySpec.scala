@@ -408,6 +408,65 @@ class DedupSimilaritySpec extends SparkSpec {
       s"fixed chunking unexpectedly survived the shift (${fCommon.size})")
   }
 
+  test("CDC apply: canonical copies survive, non-canonical duplicates " +
+    "strip, untouched docs pass through intact") {
+    import spark.implicits._
+    // constructed corpus: B is an exact copy of A (all of B's chunks
+    // are non-canonical), C shares nothing
+    val a = (1 to 300).map(i => s"w${i % 57}x${(i * 7) % 31}")
+    val c = (1 to 120).map(i => s"q${i % 41}z${(i * 11) % 29}")
+    val out = Dedup.cdcApplyOf(
+        Seq((1L, a), (2L, a), (3L, c)).toDF("doc_id", "l"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(out(1L) == ((a.size.toLong, a.mkString(" "))),
+      "canonical copy must survive intact")
+    assert(out(2L) == ((0L, "")), "full duplicate must strip entirely")
+    assert(out(3L) == ((c.size.toLong, c.mkString(" "))),
+      "doc sharing no digest must pass through verbatim")
+
+    // table-level invariants at sf0.001: every doc present, kept
+    // bounds respected, report and apply agree on who is touched
+    val applied = Dedup.cdcApply(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val toks = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), CrossHash.tokensArrayFast(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(applied.keySet == toks.keySet)
+    applied.foreach { case (id, (nKept, clean)) =>
+      assert(nKept <= toks(id).size)
+      assert(clean.isEmpty || clean.split(" ").length.toLong == nKept)
+    }
+    val touched = applied.filter { case (id, (n, _)) => n < toks(id).size }
+      .keySet
+    // a doc the apply left alone reads back verbatim
+    (toks.keySet -- touched).take(5).foreach { id =>
+      assert(applied(id)._2 == toks(id).mkString(" "))
+    }
+    // the report and the apply must agree: stripping happens iff some
+    // digest is duplicated
+    val reported = Dedup.cdcChunks(spark, dir).collect()
+    assert(reported.nonEmpty == touched.nonEmpty,
+      s"report (${reported.length} dup digests) vs apply " +
+        s"(${touched.size} touched docs) disagree")
+  }
+
+  test("CDC apply is shift-robust: an inserted token still dedups the " +
+    "copy against the original") {
+    import spark.implicits._
+    val words = (1 to 400).map(i => s"w${i % 57}x${(i * 7) % 31}")
+    val df = Seq((1L, words), (2L, "inserted" +: words))
+      .toDF("doc_id", "l")
+    val out = Dedup.cdcApplyOf(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 is canonical everywhere → intact; doc 2 re-aligns after
+    // the head edit, so all but the first chunk (and the inserted
+    // token's own chunk) strip away
+    assert(out(1L) == words.size.toLong)
+    assert(out(2L) <= (words.size + 1) / 10,
+      s"shifted copy kept ${out(2L)} of ${words.size + 1} tokens")
+  }
+
   test("incremental IVF store: delta append-assign == written-at-once " +
     "(probe results identical; base files untouched)") {
     import org.apache.spark.sql.functions._

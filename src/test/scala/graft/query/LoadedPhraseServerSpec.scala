@@ -52,17 +52,22 @@ class LoadedPhraseServerSpec extends SparkSpec {
     assert(server.phrase(long) == cached(long))
   }
 
-  test("routed near/nearOrdered templates match the cached proximity plans") {
-    def freshNear(a: String, b: String, w: Int, ordered: Boolean) = {
-      val df = if (ordered) PositionalIndex.nearOrdered(pix, a, b, w)
-               else PositionalIndex.near(pix, a, b, w)
-      df.collect().map(_.getString(0)).toSeq
-    }
+  test("routed near/nearOrdered templates match the RANKED fresh plan") {
+    // the three paths of the ranked serving contract agree: fresh
+    // nearTopK over the cached index == the cached PhraseServer
+    // template == this routed loaded template
+    def freshNear(a: String, b: String, w: Int, ordered: Boolean) =
+      PositionalIndex.nearTopK(pix, a, b, w, ordered).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val cachedServer = new PhraseServer(pix)
     val cases = Seq(("merge", "engine", 3, false), ("merge", "engine", 1, true),
       ("sorted", "streams", 2, false), ("merge", "engine", 3, false))
     cases.foreach { case (a, b, w, o) =>
-      assert(server.near(a, b, w, o) == freshNear(a, b, w, o),
-        s"divergence on near($a, $b, $w, ordered=$o)")
+      val want = freshNear(a, b, w, o)
+      assert(server.near(a, b, w, o) == want,
+        s"loaded divergence on near($a, $b, $w, ordered=$o)")
+      assert(cachedServer.near(a, b, w, o) == want,
+        s"cached divergence on near($a, $b, $w, ordered=$o)")
     }
     assert(cases.exists { case (a, b, w, o) => server.near(a, b, w, o).nonEmpty })
     // unknown term routes nowhere → empty without a job

@@ -53,12 +53,10 @@ class PhraseServerSpec extends SparkSpec {
     assert(server.phrase(long) == fresh(long))
   }
 
-  test("near/nearOrdered templates match the fresh proximity plans") {
-    def freshNear(a: String, b: String, w: Int, ordered: Boolean) = {
-      val df = if (ordered) PositionalIndex.nearOrdered(pix, a, b, w)
-               else PositionalIndex.near(pix, a, b, w)
-      df.collect().map(_.getString(0)).toSeq
-    }
+  test("near/nearOrdered templates match the fresh RANKED proximity plan") {
+    def freshNear(a: String, b: String, w: Int, ordered: Boolean) =
+      PositionalIndex.nearTopK(pix, a, b, w, ordered).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
     // interleave windows/orderings so (window, ordered) templates
     // can't serve each other's state; repeat a pair to hit the cache
     val cases = Seq(("merge", "engine", 3, false), ("merge", "engine", 1, true),
@@ -69,6 +67,19 @@ class PhraseServerSpec extends SparkSpec {
         s"divergence on near($a, $b, $w, ordered=$o)")
     }
     assert(cases.exists { case (a, b, w, o) => server.near(a, b, w, o).nonEmpty })
+  }
+
+  test("index-size guard routes past-bound corpora to the fresh plans") {
+    // a bound below the corpus size disables the O(index) cached
+    // templates (the BroadcastDocs discipline); results are identical
+    // through the fresh pruned plans
+    val guarded = new PhraseServer(pix, maxTemplateDocs = 1L)
+    assert(!guarded.usesTemplates)
+    assert(server.usesTemplates) // default bound far above the corpus
+    assert(guarded.phrase("merge engine") == server.phrase("merge engine"))
+    assert(guarded.near("merge", "engine", 3) ==
+      server.near("merge", "engine", 3))
+    assert(guarded.phrase("merge engine").nonEmpty)
   }
 
   test("the reused plans contain no exchange node (lengths 1, 2, 3)") {
