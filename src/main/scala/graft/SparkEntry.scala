@@ -102,6 +102,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Similarity.annIvfLoaded(s, d)),
     "q25_ann_ivf_nprobe" ->
       ((s: SparkSession, d: String) => Similarity.annIvfProbe(s, d)),
+    "q25_ann_ivf_loaded_nprobe" ->
+      ((s: SparkSession, d: String) => Similarity.annIvfLoadedNprobe(s, d)),
     "q25_centroids" -> (Similarity.labelCentroids _),
     "q25_kmeans" ->
       ((s: SparkSession, d: String) => Similarity.kmeansCentroids(s, d)),
@@ -203,7 +205,9 @@ object SparkEntry {
     // salted two-phase index == q06 by design; the durable
     // partition-pruned IVF store == the cached IVF probe by design
     base + ("q06_salted_index" -> base("q06_inverted_index")) +
-      ("q25_ann_ivf_loaded" -> base("q25_ann_ivf"))
+      ("q25_ann_ivf_loaded" -> base("q25_ann_ivf")) +
+      // the durable-store nProbe path == the in-memory nProbe ranking
+      ("q25_ann_ivf_loaded_nprobe" -> base("q25_ann_ivf_nprobe"))
   }
 
   /** The BM25 ranking oracle — shared by q10_bm25 and the lexical arm
@@ -402,10 +406,26 @@ object SparkEntry {
     "q38_formats" -> {
       val fmts = graft.ops.Formats.RoundTripFormats
         .map("('" + _ + "')").mkString(", ")
+      // the null sentinel rendered as a DuckDB expression, DERIVED
+      // from the engine's constant so the two sides cannot drift
+      // (control chars via chr(), printable runs quoted)
+      val sent = graft.ops.Formats.NullSentinel
+        .foldLeft(List.empty[(Boolean, String)]) { (acc, c) =>
+          val ctl = c < ' '
+          acc match {
+            case (false, s) :: t if !ctl => (false, s + c) :: t
+            case _ if ctl => (true, s"chr(${c.toInt})") :: acc
+            case _ => (false, c.toString) :: acc
+          }
+        }.reverse
+        .map { case (ctl, s) => if (ctl) s else s"'$s'" }
+        .mkString("(", " || ", ")")
       s"""WITH f(format) AS (VALUES $fmts),
          d AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
                       CAST(sum(${graft.ops.CrossHash.ddbPolyHash(
-                        "CAST(doc_id AS VARCHAR) || ' ' || lang || ' ' || text")}) AS BIGINT) AS hash_sum
+                        "CAST(doc_id AS VARCHAR) || ' ' || " +
+                          s"coalesce(lang, $sent) || ' ' || " +
+                          s"coalesce(text, $sent)")}) AS BIGINT) AS hash_sum
                FROM documents)
          SELECT format, n_rows, hash_sum FROM f CROSS JOIN d
          ORDER BY format"""

@@ -25,15 +25,30 @@ object Formats {
 
   val RoundTripFormats: Seq[String] = Seq("csv", "json", "orc")
 
+  /** Shared null sentinel for the digest (see the null-homogeneity
+    * note in [[roundTrip]]). Applied AFTER the read, so it never
+    * rides through a format itself; the control-char framing cannot
+    * collide with any representable field value in these formats. */
+  val NullSentinel = "\u0001null\u0001"
+
   def roundTrip(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
     val base = graft.TempDirs.scratch("graft_formats")
+    // NULL-homogeneous hashing (ADVICE r8): Spark's concat_ws SKIPS
+    // null fields while the oracle's '||' nulls the whole row and
+    // drops it from the sum — a null lang/text would fail the probe
+    // for a reason unrelated to format fidelity (and CSV additionally
+    // conflates null with '' on read). Both engines coalesce each
+    // field to the same sentinel before hashing, so the probe measures
+    // round-trip fidelity of the content and nothing else.
     def digest(df: DataFrame, fmt: String): DataFrame =
       df.agg(count(lit(1)).as("n_rows"),
         sum(graft.functions.GraftFunctions.polyhash(
-          concat_ws(" ", col("doc_id"), col("lang"), col("text")), P))
+          concat_ws(" ", col("doc_id"),
+            coalesce(col("lang"), lit(NullSentinel)),
+            coalesce(col("text"), lit(NullSentinel))), P))
           .as("hash_sum"))
         .select(lit(fmt).as("format"), col("n_rows"), col("hash_sum"))
     RoundTripFormats.map { fmt =>

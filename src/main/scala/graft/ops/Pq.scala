@@ -78,12 +78,47 @@ object Pq {
     bestC
   }
 
+  /** Session-lifetime codebook cache: [[pqCodes]], [[annPq]] and
+    * [[annIvfPq]] each need the trained codebooks, and a conformance
+    * run invoking all three would otherwise run the full Lloyd
+    * training (multiple jobs + collects) three times. Keyed by the
+    * SOURCE fingerprint (path + per-file size/mtime of the embeddings
+    * table), so a regenerated dataset retrains instead of serving a
+    * stale codebook; a benign double-train under a race returns the
+    * identical (deterministic fixed-point) result. */
+  private val codebookCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[(Long, Array[Double])]]]
+
+  private def embStamp(dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def one(p: java.nio.file.Path): String =
+      s"${p.getFileName}:${Files.size(p)}:" +
+        s"${Files.getLastModifiedTime(p).toMillis}"
+    val p = Paths.get(dir, "embeddings.parquet")
+    val stamp =
+      if (Files.isDirectory(p)) {
+        val ls = Files.list(p)
+        try ls.iterator().asScala.toSeq.sortBy(_.toString)
+          .filter(_.toString.endsWith(".parquet")).map(one).mkString(",")
+        finally ls.close()
+      } else one(p)
+    s"${Paths.get(dir).toAbsolutePath}|$stamp"
+  }
+
+  /** [[trainCodebooks]] memoized per embeddings-table fingerprint —
+    * the entry point every consumer uses. */
+  def codebooks(spark: SparkSession, dir: String)
+      : Array[Array[(Long, Array[Double])]] =
+    codebookCache.computeIfAbsent(embStamp(dir),
+      _ => trainCodebooks(spark, dir))
+
   /** Train the [[Subspaces]] codebooks: per iteration ONE narrow
     * assignment scan over (vector × subspace) rows and ONE fixed-point
     * hash aggregation; the per-iteration collect is ≤ m×k×subdim rows
     * (= full-vector k×dims — bounded at any corpus size). Returns
     * subspace → sorted (cid, centroid) arrays. */
-  def codebooks(spark: SparkSession, dir: String)
+  private[ops] def trainCodebooks(spark: SparkSession, dir: String)
       : Array[Array[(Long, Array[Double])]] = {
     val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
     val dims = e.select(size(col("embedding"))).head().getInt(0)

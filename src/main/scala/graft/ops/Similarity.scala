@@ -558,20 +558,101 @@ object Similarity {
 
   /** Probe an EXISTING [[writeIvfLayout]] store: the query row (vec 0)
     * is read first (its own partition prune), then the probe scans
-    * only `cell=<qcell>`. */
+    * only its nearest `nProbe` cell directories — the recall knob of
+    * [[annIvfProbe]] on the partition-pruned path. nProbe = 1 reads
+    * exactly the query's own cell (its argmax centroid); nProbe > 1
+    * ranks ALL seed centroids against the query driver-side (k×dims —
+    * bounded at any corpus size, the [[graft.query.IvfServer]]
+    * routing) and filters the scan with an `isin` of nProbe cell
+    * LITERALS, so partition pruning still applies and the probe is
+    * still one job over nProbe directories. */
   def probeIvfStore(spark: SparkSession, storeDir: String,
-                    k: Int = 10, qId: Long = 0L): DataFrame = {
+                    k: Int = 10, qId: Long = 0L,
+                    nProbe: Int = 1): DataFrame = {
     val stored = spark.read.parquet(storeDir)
     val qRow = stored.filter(col("vec_id") === qId)
       .select(col("cell"), col("embedding")).head()
-    val qcell = qRow.getAs[Number]("cell").longValue
     val qv = qRow.getSeq[Float](1)
-    stored.filter(col("cell") === qcell && col("vec_id") =!= qId)
+    val cells: Seq[Long] =
+      if (nProbe <= 1) Seq(qRow.getAs[Number]("cell").longValue)
+      else probeCellsOf(spark, storeDir, qv, nProbe)
+    stored.filter(col("cell").isin(cells: _*) && col("vec_id") =!= qId)
       .select(col("vec_id"),
         cosine(col("embedding"), typedLit(qv)).as("c"))
       .orderBy(col("c").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), round(col("c"), 4).as("cos"))
+  }
+
+  /** The top-`nProbe` cells for a query vector against a store's seed
+    * centroids — same (cosine desc, cid asc) order as [[annIvfProbe]]'s
+    * relational centroid ranking and the same [[cosSeqInf]] arithmetic
+    * as [[graft.query.IvfServer.cellOf]], so the three probe paths
+    * choose identical cell sets. */
+  private[graft] def probeCellsOf(spark: SparkSession, storeDir: String,
+                                  qv: Seq[Float], nProbe: Int): Seq[Long] =
+    spark.read.parquet(storeDir)
+      .filter(col("vec_id") < IvfCentroids.toLong)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy { case (cid, cv) => (-cosSeqInf(qv, cv), cid) }
+      .take(nProbe).map(_._1).toSeq
+
+  /** [[annIvfProbe]] served from the durable store — the nProbe recall
+    * knob on the partition-pruned path. Output-identical to the
+    * in-memory [[annIvfProbe]] by construction; the driver checks it
+    * against the SAME oracle. */
+  def annIvfLoadedNprobe(spark: SparkSession, dir: String,
+                         k: Int = 10, nProbe: Int = 2): DataFrame = {
+    val out = graft.TempDirs.scratch("graft_ivf_store")
+    writeIvfLayout(spark, dir, out)
+    probeIvfStore(spark, out, k, nProbe = nProbe)
+  }
+
+  /** COMPACT a [[writeIvfLayout]] store in place: each
+    * [[appendIvfLayout]] delta lands one small file per touched cell,
+    * so a long-lived store's partition-pruned probe degrades from a
+    * one-directory scan to a many-small-files scan. Cells whose file
+    * count exceeds `maxFilesPerCell` are rewritten as a single file
+    * (per-cell coalesce — cell contents are probe-bounded by the IVF
+    * design, so one file per cell is the right post-compaction shape
+    * until a cell approaches file-size limits); cells under the bound
+    * are left byte-identical. Rewrite-then-swap per cell: the new file
+    * lands under a scratch name inside the cell directory, the old
+    * files are removed, the scratch renames in — a reader mid-swap
+    * sees a complete copy of the data either way on a rename-atomic
+    * store. Probe results are IDENTICAL pre/post (spec-pinned); a
+    * serving [[graft.query.IvfServer]] notices the mutation through
+    * its per-cell version stamps (or an explicit `refresh()`).
+    * Returns the number of cells rewritten. */
+  def compactIvfStore(spark: SparkSession, storeDir: String,
+                      maxFilesPerCell: Int = 8): Int = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cellDirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+    var rewritten = 0
+    cellDirs.foreach { cd =>
+      val dataFiles = fs.listStatus(cd.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (dataFiles.length > maxFilesPerCell) {
+        val tmp = new Path(cd.getPath, "_graft_compact_tmp")
+        spark.read.parquet(cd.getPath.toString)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val newFile = fs.listStatus(tmp)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .head.getPath
+        dataFiles.foreach(f => fs.delete(f.getPath, false))
+        fs.rename(newFile,
+          new Path(cd.getPath, s"compact-${newFile.getName}"))
+        fs.delete(tmp, true)
+        rewritten += 1
+      }
+    }
+    rewritten
   }
 
   /** [[annIvf]] served from the durable [[writeIvfLayout]] store with

@@ -1063,6 +1063,18 @@ object TrainingOracles {
                       CAST(sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
                FROM pr GROUP BY vec_id)"""
 
+  /** The merge-application replace chain, nested exactly
+    * [[Bpe.ReplacePasses]] deep — GENERATED from the engine's
+    * constant (ADVICE r8: a hardcoded two-level nest would silently
+    * desync the oracle if the pass count ever changed). DuckDB
+    * `replace` and Java `String.replace` share left-to-right
+    * non-overlapping semantics, which is what makes the chain a
+    * faithful mirror of [[Bpe]]'s fold. */
+  private lazy val bpeReplaceChain: String =
+    (1 to Bpe.ReplacePasses).foldLeft("seq") { (acc, _) =>
+      s"replace($acc, '|'||lhs||'|'||rhs||'|', '|'||lhs||rhs||'|')"
+    }
+
   /** BPE CTE chain: `tok` (corpus words), `s0` (word counts + initial
     * `'|'`-delimited char sequences), then per merge-iteration i:
     * `p_i` adjacent weighted pairs, `m_i` the argmax pair (count desc,
@@ -1080,8 +1092,7 @@ object TrainingOracles {
                  FROM p$i GROUP BY lhs, rhs
                  ORDER BY pc DESC, lhs, rhs LIMIT 1),
          s$i AS (SELECT word, cnt,
-                   replace(replace(seq, '|'||lhs||'|'||rhs||'|', '|'||lhs||rhs||'|'),
-                                        '|'||lhs||'|'||rhs||'|', '|'||lhs||rhs||'|') AS seq
+                   $bpeReplaceChain AS seq
                  FROM s${i - 1} CROSS JOIN m$i)"""
     s"""tok AS (SELECT doc_id, unnest($toks) AS word FROM documents),
        s0 AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt,

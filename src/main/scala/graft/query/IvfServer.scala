@@ -84,16 +84,27 @@ final class IvfServer(spark: SparkSession, storeDir: String) {
 
   /** The cell the store's assignment would give this vector (the ONE
     * shared driver fold — [[Similarity.cosSeqInf]]). */
-  def cellOf(qv: Seq[Float]): Long =
+  def cellOf(qv: Seq[Float]): Long = cellsOf(qv, 1).head
+
+  /** The query's top-`nProbe` cells by centroid cosine, (cosine desc,
+    * cid asc) — the same order as [[Similarity.annIvfProbe]]'s
+    * relational centroid ranking and [[Similarity.probeCellsOf]], so
+    * every probe path chooses identical cell sets. */
+  def cellsOf(qv: Seq[Float], nProbe: Int): Seq[Long] =
     seeds.map { case (cid, cv) =>
       (cid, Similarity.cosSeqInf(qv, scala.collection.immutable
         .ArraySeq.unsafeWrapArray(cv)))
-    }.maxBy { case (cid, c) => (c, -cid) }._1
+    }.sortBy { case (cid, c) => (-c, cid) }
+      .take(nProbe).map(_._1).toSeq
 
-  /** Top-k exact-cosine neighbors of `qv` inside its cell. `excludeId`
-    * drops the query's own row when probing with a stored vector. */
-  def probe(qv: Seq[Float], k: Int = 10, excludeId: Long = -1L): DataFrame =
-    spark.read.parquet(s"$storeDir/cell=${cellOf(qv)}")
+  /** Top-k exact-cosine neighbors of `qv` inside its `nProbe` nearest
+    * cells (one job over nProbe directories — the recall knob on the
+    * served path). `excludeId` drops the query's own row when probing
+    * with a stored vector. */
+  def probe(qv: Seq[Float], k: Int = 10, excludeId: Long = -1L,
+            nProbe: Int = 1): DataFrame =
+    spark.read.parquet(
+        cellsOf(qv, nProbe).map(c => s"$storeDir/cell=$c"): _*)
       .filter(col("vec_id") =!= excludeId)
       .select(col("vec_id"),
         Similarity.cosine(col("embedding"), typedLit(qv)).as("c"))
@@ -101,61 +112,117 @@ final class IvfServer(spark: SparkSession, storeDir: String) {
       .limit(k)
       .select(col("vec_id"), round(col("c"), 4).as("cos"))
 
-  // ---- prepared templates: one EXCHANGE-FREE plan per cell (scan →
-  // RefVecCosine project → TakeOrderedAndProject), LRU-bounded; per
-  // query only the driver-side vector reference changes. k+1 rows come
-  // back so the query's own row can drop without a templated filter.
-  private final case class Tmpl(ref: AtomicReference[Array[Float]],
-                                df: DataFrame, k: Int)
+  // ---- prepared templates: EXCHANGE-FREE plans per (cell set, k)
+  // (scan → RefLongSetContains exclude → RefVecCosine project →
+  // TakeOrderedAndProject); per query only the two driver-side
+  // references change. CONCURRENCY: templates live in small per-key
+  // POOLS — a probe borrows an instance (building one if none is
+  // free), runs its set-refs-then-collect privately, and returns it —
+  // so N threads probe N borrowed templates in parallel with no
+  // shared-ref race (replacing the one-in-flight `synchronized` of
+  // the single-template design). STALENESS: each template carries the
+  // max modification time of its cell directories at build; a borrow
+  // re-stats the directories (microseconds, driver-side) and discards
+  // the template if the store mutated underneath it
+  // ([[Similarity.appendIvfLayout]] / [[Similarity.compactIvfStore]]
+  // both touch the cell dirs) — [[refresh]] stays as the explicit big
+  // hammer for stores where directory mtimes don't move (object
+  // stores without real directories).
+  private final case class Tmpl(
+      ref: AtomicReference[Array[Float]],
+      exclude: AtomicReference[java.util.HashSet[java.lang.Long]],
+      df: DataFrame, version: Long)
 
-  private val MaxTemplates = 32
-  private val templates =
-    new java.util.LinkedHashMap[Long, Tmpl](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[Long, Tmpl]): Boolean =
-        size > MaxTemplates
-    }
+  private val PoolPerKey = 8
+  private val MaxKeys = 32
+  private val pools = new java.util.LinkedHashMap[
+      (Seq[Long], Int),
+      java.util.concurrent.ArrayBlockingQueue[Tmpl]](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(Seq[Long], Int),
+          java.util.concurrent.ArrayBlockingQueue[Tmpl]]): Boolean =
+      size > MaxKeys
+  }
 
-  /** Drop every cached template. A template's file listing is pinned
-    * at creation, so after [[Similarity.appendIvfLayout]] grows the
-    * store, templates would keep serving the PRE-append files while
-    * [[probe]] (which re-lists per call) sees the new ones — call this
-    * after any store mutation to realign the two paths (spec-pinned). */
-  def refresh(): Unit = synchronized { templates.clear() }
+  private val hfs = new org.apache.hadoop.fs.Path(storeDir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** [[probe]] through the cell's prepared plan — zero per-query
-    * Catalyst work once a cell's template exists. One in-flight query
-    * per server instance (the [[PointServer]] discipline: the ref and
-    * the job must pair atomically). After mutating the store
-    * ([[Similarity.appendIvfLayout]]), call [[refresh]] — see there. */
-  def probeTemplate(qv: Seq[Float], k: Int = 10,
-                    excludeId: Long = -1L): Seq[(Long, Double)] =
-    synchronized {
-      val cell = cellOf(qv)
-      var t = templates.get(cell)
-      if (t == null || t.k != k) {
-        val ref = new AtomicReference[Array[Float]](Array.empty[Float])
-        val df = spark.read.parquet(s"$storeDir/cell=$cell")
-          .select(col("vec_id"),
-            Bridge.column(RefVecCosine(
-              Bridge.expression(col("embedding")), ref)).as("c"))
-          .orderBy(col("c").desc, col("vec_id"))
-          .limit(k + 1)
-          .select(col("vec_id"), round(col("c"), 4).as("cos"))
-        t = Tmpl(ref, df, k)
-        templates.put(cell, t)
+  private def cellsVersion(cells: Seq[Long]): Long =
+    cells.map { c =>
+      try hfs.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$storeDir/cell=$c"))
+        .getModificationTime
+      catch { case _: java.io.FileNotFoundException => -1L }
+    }.max
+
+  /** Drop every pooled template. Staleness after a store mutation is
+    * normally caught by the per-borrow version stamp (see the pool
+    * comment); call this where directory modification times can't
+    * reflect mutations, or to release plans eagerly. */
+  def refresh(): Unit = pools.synchronized { pools.clear() }
+
+  private def pool(cells: Seq[Long], k: Int)
+      : java.util.concurrent.ArrayBlockingQueue[Tmpl] =
+    pools.synchronized {
+      val key = (cells, k)
+      val hit = pools.get(key)
+      if (hit != null) hit
+      else {
+        val q = new java.util.concurrent.ArrayBlockingQueue[Tmpl](PoolPerKey)
+        pools.put(key, q)
+        q
       }
-      t.ref.set(qv.toArray)
-      t.df.collect().iterator
-        .map(r => (r.getLong(0), r.getDouble(1)))
-        .filter(_._1 != excludeId)
-        .take(k).toSeq
     }
+
+  private def buildTmpl(cells: Seq[Long], k: Int): Tmpl = {
+    val ref = new AtomicReference[Array[Float]](Array.empty[Float])
+    val ex = new AtomicReference[java.util.HashSet[java.lang.Long]](
+      new java.util.HashSet)
+    val df = spark.read.parquet(cells.map(c => s"$storeDir/cell=$c"): _*)
+      .filter(!Bridge.column(RefLongSetContains(
+        Bridge.expression(col("vec_id")), ex)))
+      .select(col("vec_id"),
+        Bridge.column(RefVecCosine(
+          Bridge.expression(col("embedding")), ref)).as("c"))
+      .orderBy(col("c").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("c"), 4).as("cos"))
+    df.queryExecution.executedPlan // plan + codegen now, not per query
+    Tmpl(ref, ex, df, cellsVersion(cells))
+  }
+
+  /** [[probe]] through a borrowed prepared plan — zero per-query
+    * Catalyst work once the (cell set, k) pool is warm, and SAFE to
+    * call from concurrent threads (each call owns its borrowed
+    * template for the set-then-collect window). The exclusion happens
+    * INSIDE the template (driver-updated id set), so exactly k rows
+    * come back even if a delta append introduced duplicate vec_ids in
+    * a cell. */
+  def probeTemplate(qv: Seq[Float], k: Int = 10, excludeId: Long = -1L,
+                    nProbe: Int = 1): Seq[(Long, Double)] = {
+    val cells = cellsOf(qv, nProbe)
+    val p = pool(cells, k)
+    var t = p.poll()
+    if (t == null || t.version != cellsVersion(cells))
+      t = buildTmpl(cells, k)
+    try {
+      t.ref.set(qv.toArray)
+      val ex = new java.util.HashSet[java.lang.Long]()
+      if (excludeId != -1L) ex.add(excludeId)
+      t.exclude.set(ex)
+      t.df.collect().iterator
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    } finally { p.offer(t); () }
+  }
 
   /** The executed plan of `qv`'s cell template (spec hook: the
     * exchange-free invariant that makes plan reuse safe). */
-  private[query] def templatePlan(qv: Seq[Float]): String = synchronized {
-    probeTemplate(qv)
-    templates.get(cellOf(qv)).df.queryExecution.executedPlan.toString
+  private[query] def templatePlan(qv: Seq[Float]): String = {
+    val cells = cellsOf(qv, 1)
+    val p = pool(cells, 10)
+    var t = p.poll()
+    if (t == null) t = buildTmpl(cells, 10)
+    try t.df.queryExecution.executedPlan.toString
+    finally { p.offer(t); () }
   }
 }

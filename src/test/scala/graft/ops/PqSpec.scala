@@ -7,12 +7,19 @@ class PqSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  // derived from the table, not hardcoded: the spec must break on a
+  // real PQ regression, not on a regenerated test corpus (ADVICE r8)
+  private lazy val embTable = graft.Tables.load(spark, dir, "embeddings")
+  private lazy val nVecs = embTable.count()
+  private lazy val dims =
+    embTable.select(size(col("embedding"))).head().getInt(0)
+
   test("codebooks: one per subspace, bounded size, subdim = dims/m") {
     val cb = Pq.codebooks(spark, dir)
     assert(cb.length == Pq.Subspaces)
     cb.foreach { cents =>
       assert(cents.nonEmpty && cents.length <= Pq.Codebook)
-      assert(cents.forall(_._2.length == 64 / Pq.Subspaces))
+      assert(cents.forall(_._2.length == dims / Pq.Subspaces))
       // cids are a subset of the seed ids, sorted
       assert(cents.map(_._1).toSeq == cents.map(_._1).sorted.toSeq)
       assert(cents.forall(c => c._1 >= 0 && c._1 < Pq.Codebook))
@@ -23,7 +30,7 @@ class PqSpec extends SparkSpec {
     val cb = Pq.codebooks(spark, dir)
     val live = cb.map(_.map(_._1).toSet)
     val rows = Pq.pqCodes(spark, dir).collect()
-    assert(rows.length == 500)
+    assert(rows.length.toLong == nVecs)
     rows.foreach { r =>
       (0 until Pq.Subspaces).foreach { s =>
         assert(live(s).contains(r.getLong(1 + s)),
@@ -35,7 +42,7 @@ class PqSpec extends SparkSpec {
   test("ADC result = per-subspace distance-table lookups of the " +
     "assigned codes (recomputed independently)") {
     val cb = Pq.codebooks(spark, dir)
-    val sd = 64 / Pq.Subspaces
+    val sd = dims / Pq.Subspaces
     val e = graft.Tables.load(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0)
       .head().getSeq[Float](e.columns.indexOf("embedding"))

@@ -91,6 +91,110 @@ class IvfServerSpec extends SparkSpec {
     assert(tpl == fresh, "refreshed template diverged from fresh probe")
   }
 
+  test("version stamps catch a store mutation WITHOUT an explicit " +
+    "refresh (append → next template borrow rebuilds)") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ivf_mut2").toString
+    val e = graft.Tables.load(spark, dir, "embeddings")
+    val isDelta = pmod(xxhash64(col("vec_id")), lit(10)) === 0 &&
+      col("vec_id") >= Similarity.IvfCentroids.toLong
+    Similarity.assignCells(spark, dir, e.filter(!isDelta))
+      .write.partitionBy("cell").mode("overwrite").parquet(out)
+    val srv = new IvfServer(spark, out)
+    val qv = spark.read.parquet(out).filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    srv.probeTemplate(qv, excludeId = 0L) // pools a pre-append template
+    Similarity.appendIvfLayout(spark, dir, out, e.filter(isDelta))
+    // NO refresh(): the borrow's cell-dir version stat must notice
+    val tpl = srv.probeTemplate(qv, excludeId = 0L)
+    val fresh = srv.probe(qv, excludeId = 0L).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(tpl == fresh, "stale template served after store mutation")
+  }
+
+  test("nProbe: served template == durable-store probe == the " +
+    "in-memory relational ranking") {
+    val srv = new IvfServer(spark, store)
+    val qv = spark.read.parquet(store).filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    val relational = Similarity.annIvfProbe(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val stored = Similarity.probeIvfStore(spark, store, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val servedTpl = srv.probeTemplate(qv, excludeId = 0L, nProbe = 2)
+    val served = srv.probe(qv, excludeId = 0L, nProbe = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored == relational, "store nProbe diverged from in-memory")
+    assert(served == relational, "served nProbe diverged")
+    assert(servedTpl == relational, "served nProbe template diverged")
+    // nProbe=2 must widen (or equal) recall vs nProbe=1: the top-k of
+    // the 2-cell candidate set dominates the 1-cell set's
+    val one = srv.probeTemplate(qv, excludeId = 0L)
+    assert(servedTpl.map(_._2).sum >= one.map(_._2).sum - 1e-9)
+  }
+
+  test("8 concurrent template probes return each its own correct " +
+    "results (pooled templates, no shared-ref race)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val srv = new IvfServer(spark, store)
+    val vecs = spark.read.parquet(store)
+      .filter(col("vec_id").isin(0L, 7L, 42L, 123L, 321L, 11L, 99L, 200L))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq
+    assert(vecs.size == 8)
+    // sequential golden answers first
+    val want = vecs.map { case (id, qv) =>
+      id -> srv.probeTemplate(qv, excludeId = id)
+    }.toMap
+    // 3 rounds of 8 parallel probes, every thread its own query
+    (1 to 3).foreach { _ =>
+      val got = Await.result(
+        Future.sequence(vecs.map { case (id, qv) =>
+          Future(id -> srv.probeTemplate(qv, excludeId = id))
+        }), 120.seconds).toMap
+      vecs.foreach { case (id, _) =>
+        assert(got(id) == want(id), s"concurrent probe $id diverged")
+      }
+    }
+  }
+
+  test("compaction: many-delta cells rewrite to one file, probe " +
+    "results identical pre/post, version stamps notice") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ivf_cpt").toString
+    val e = graft.Tables.load(spark, dir, "embeddings")
+    val slot = pmod(xxhash64(col("vec_id")), lit(6))
+    Similarity.assignCells(spark, dir,
+        e.filter(slot === 0 || col("vec_id") < Similarity.IvfCentroids.toLong))
+      .write.partitionBy("cell").mode("overwrite").parquet(out)
+    // five delta appends → up to 6 files per touched cell
+    (1 to 5).foreach { i =>
+      Similarity.appendIvfLayout(spark, dir, out,
+        e.filter(slot === i && col("vec_id") >= Similarity.IvfCentroids.toLong))
+    }
+    val srv = new IvfServer(spark, out)
+    val qv = spark.read.parquet(out).filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    def files(): Int = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+    assert(files() > 3, s"append sequence should fragment cells (max=${files()})")
+    val pre = srv.probeTemplate(qv, excludeId = 0L, nProbe = 2)
+    val preStored = Similarity.probeIvfStore(spark, out, qId = 0L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val n = Similarity.compactIvfStore(spark, out, maxFilesPerCell = 3)
+    assert(n > 0, "no cell was compacted")
+    assert(files() <= 3, s"cells still fragmented after compaction (${files()})")
+    // version stamp notices the rewrite — no refresh() call
+    val post = srv.probeTemplate(qv, excludeId = 0L, nProbe = 2)
+    val postStored = Similarity.probeIvfStore(spark, out, qId = 0L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(post == pre, "probe results changed across compaction")
+    assert(postStored == preStored, "store probe changed across compaction")
+  }
+
   test("a probe is one job over one cell directory") {
     val srv = new IvfServer(spark, store)
     val qv = spark.read.parquet(store).filter(col("vec_id") === 0L)
