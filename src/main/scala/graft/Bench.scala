@@ -216,7 +216,7 @@ object Bench {
         medianPhraseUs, medianPhraseTemplateUs, medianPhrase3TemplateUs,
         medianNearTemplateUs, medianPhraseLoadedRoutedUs,
         medianNearLoadedRoutedUs, medianAnnProbeUs, medianAnnServedUs,
-        medianAnnTmplUs) =
+        medianAnnTmplUs, medianAnnTmplN2Us, annConc8PerS) =
       try {
         spark.conf.set(aqeKey, "false")
         System.gc()
@@ -301,7 +301,8 @@ object Bench {
         // varies per sweep entry so no result caching flatters the
         // number
         val annPath = java.nio.file.Files.createTempDirectory("graft_bench_ann")
-        val (mAnnProbeUs, mAnnServedUs, mAnnTmplUs) = try {
+        val (mAnnProbeUs, mAnnServedUs, mAnnTmplUs, mAnnTmplN2Us,
+            mAnnConc8) = try {
           graft.ops.Similarity.writeIvfLayout(spark, sfDir, annPath.toString)
           graft.ops.Similarity.probeIvfStore(spark, annPath.toString).count()
           val qids = Seq("0", "11", "23", "47", "89", "101", "131",
@@ -328,7 +329,33 @@ object Bench {
           srv.probeTemplate(qvecs(qids.head))
           val tmpl = sweep3("warm_ann_ivf_template_us", sweepOf(qids,
             q => { srv.probeTemplate(qvecs(q), excludeId = q.toLong); () }))
-          (fresh, served, tmpl)
+          // the recall knob: same templates, two cell directories per
+          // probe — the latency step nProbe=1→2 readers pay for recall
+          srv.probeTemplate(qvecs(qids.head), nProbe = 2)
+          val tmplN2 = sweep3("warm_ann_ivf_nprobe2_us", sweepOf(qids,
+            q => { srv.probeTemplate(qvecs(q), excludeId = q.toLong,
+              nProbe = 2); () }))
+          // concurrent serving throughput: 8 threads × the 11-query
+          // sweep through pooled templates (each thread borrows its
+          // own), reported as probes/second
+          val conc8 = {
+            import scala.concurrent.{Await, Future}
+            import scala.concurrent.duration._
+            import scala.concurrent.ExecutionContext.Implicits.global
+            // warm the pool so the measurement is serving, not builds
+            qids.foreach(q => srv.probeTemplate(qvecs(q)))
+            System.gc()
+            val rounds = 3
+            val t0 = System.nanoTime()
+            Await.result(Future.sequence((1 to 8).map(i => Future {
+              (1 to rounds).foreach(_ =>
+                qids.foreach(q =>
+                  srv.probeTemplate(qvecs(q), excludeId = q.toLong)))
+            })), 600.seconds)
+            val secs = (System.nanoTime() - t0) / 1e9
+            math.rint(8 * rounds * qids.size / secs * 10) / 10
+          }
+          (fresh, served, tmpl, tmplN2, conc8)
         } finally {
           val wk = java.nio.file.Files.walk(annPath)
           try wk.sorted(java.util.Comparator.reverseOrder())
@@ -337,7 +364,8 @@ object Bench {
         }
         (mUs, mTmplUs, mLoadUs, mRoutedUs,
           mPhraseUs, mPhraseTmplUs, mPhrase3TmplUs, mNearTmplUs,
-          mPhraseRoutedUs, mNearRoutedUs, mAnnProbeUs, mAnnServedUs, mAnnTmplUs)
+          mPhraseRoutedUs, mNearRoutedUs, mAnnProbeUs, mAnnServedUs,
+          mAnnTmplUs, mAnnTmplN2Us, mAnnConc8)
       } finally spark.conf.set(aqeKey, prevAqe)
     // warm rows join the per-query attribution maps under their metric
     // names, so a driver-vs-local delta is diagnosable from the
@@ -358,7 +386,7 @@ object Bench {
     val spreadAll = mergeJson(spread, warmSpread.toSeq)
     val gcAll = mergeJson(gc, warmGc.toSeq)
     val resampledAll = mergeArr(resampled, warmResampled.toSeq)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadAll,"gc_sec":$gcAll,"resampled":$resampledAll,"sf":"$sfDir","failed":$nFailed,"index_docs_per_s":${docsPerS.round},"warm_search_us":$medianUs,"warm_search_template_us":$medianTemplateUs,"warm_search_loaded_us":$medianLoadedUs,"warm_search_loaded_routed_us":$medianLoadedRoutedUs,"warm_phrase_us":$medianPhraseUs,"warm_phrase_template_us":$medianPhraseTemplateUs,"warm_phrase3_template_us":$medianPhrase3TemplateUs,"warm_near_template_us":$medianNearTemplateUs,"warm_phrase_loaded_routed_us":$medianPhraseLoadedRoutedUs,"warm_near_loaded_routed_us":$medianNearLoadedRoutedUs,"warm_ann_ivf_probe_us":$medianAnnProbeUs,"warm_ann_ivf_served_us":$medianAnnServedUs,"warm_ann_ivf_template_us":$medianAnnTmplUs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadAll,"gc_sec":$gcAll,"resampled":$resampledAll,"sf":"$sfDir","failed":$nFailed,"index_docs_per_s":${docsPerS.round},"warm_search_us":$medianUs,"warm_search_template_us":$medianTemplateUs,"warm_search_loaded_us":$medianLoadedUs,"warm_search_loaded_routed_us":$medianLoadedRoutedUs,"warm_phrase_us":$medianPhraseUs,"warm_phrase_template_us":$medianPhraseTemplateUs,"warm_phrase3_template_us":$medianPhrase3TemplateUs,"warm_near_template_us":$medianNearTemplateUs,"warm_phrase_loaded_routed_us":$medianPhraseLoadedRoutedUs,"warm_near_loaded_routed_us":$medianNearLoadedRoutedUs,"warm_ann_ivf_probe_us":$medianAnnProbeUs,"warm_ann_ivf_served_us":$medianAnnServedUs,"warm_ann_ivf_template_us":$medianAnnTmplUs,"warm_ann_ivf_nprobe2_us":$medianAnnTmplN2Us,"ann_conc8_probes_per_s":$annConc8PerS}""")
     spark.stop()
   }
 }

@@ -24,8 +24,20 @@ import org.apache.spark.sql.functions._
   *    means 10× clusters of the same size, not clusters 10× as big,
   *    which is what "more of the same corpus" means for a dedup
   *    pipeline. `n_chars` stays valid (translate preserves length).
-  *  - `embeddings`: copies with vec_id offset by i·10M (vector values
-  *    reused — ANN/centroid scale drivers are row count and dims).
+  *  - `embeddings`: copies with vec_id offset by i·10M. By default the
+  *    vector VALUES are reused verbatim — every copy is an exact
+  *    duplicate of the original, so cross-copy near-dup pairs grow
+  *    QUADRATICALLY with the factor (the round-8 semdedup scale rows
+  *    measured against exactly that adversarial amplification). The
+  *    optional 4th argument `dupCopies` fixes the duplicate DENSITY
+  *    instead: the first `dupCopies` copies stay verbatim, and every
+  *    later copy gets a per-copy DIMENSION ROTATION (dims cyclically
+  *    shifted by 7·i mod dims — cosine between two vectors is
+  *    invariant under a common permutation, so each copy's INTERNAL
+  *    pair structure is exactly the original's, while cross-copy
+  *    cosines scramble; the rot-cipher idea applied to vectors). With
+  *    dupCopies held constant across factors, duplicate pairs grow
+  *    LINEARLY — the constant-density regime a real corpus exhibits.
   *  - `events`: copies with event_id/user_id offsets and UNCHANGED
   *    timestamps — the streaming scale model (same horizon, N× the
   *    concurrent users → N× window groups and state).
@@ -36,7 +48,7 @@ import org.apache.spark.sql.functions._
   *    grows by more orders per customer, not more customers).
   *  - dims (`region nation customer supplier part`): copied verbatim.
   *
-  * Usage: `sbt "runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/graft_sf1 10"`
+  * Usage: `sbt "runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/graft_sf1 10 [dupCopies]"`
   */
 object ScaleGen {
 
@@ -46,6 +58,10 @@ object ScaleGen {
     val in = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    // embedding copies kept verbatim (exact duplicates); the rest are
+    // dimension-rotated. Default = factor, i.e. the historical
+    // all-duplicates behavior.
+    val dupCopies = if (args.length > 3) args(3).toInt else factor
     // rot(i) wraps at 26: copy 26 would be byte-identical to copy 0,
     // silently injecting a full corpus of exact duplicates
     require(factor >= 1 && factor <= 26,
@@ -86,9 +102,20 @@ object ScaleGen {
 
     val emb = Tables.load(spark, in, "embeddings")
     requireIdsUnder(emb, "vec_id", "embeddings")
+    val dims = emb.select(size(col("embedding"))).head().getInt(0)
     (0 until factor).map { i =>
+      // copies < dupCopies: verbatim (exact cross-copy duplicates);
+      // later copies: dims rotated by 7·i mod dims — internal cosine
+      // structure preserved exactly, cross-copy pairs scrambled
+      val v =
+        if (i < dupCopies) col("embedding")
+        else {
+          val shift = (7 * i) % dims
+          concat(slice(col("embedding"), shift + 1, dims - shift),
+            slice(col("embedding"), 1, shift))
+        }
       emb.select((col("vec_id") + lit(i * IdStride)).as("vec_id"),
-        col("embedding"), col("label"))
+        v.as("embedding"), col("label"))
     }.reduce(_ unionByName _)
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")

@@ -154,9 +154,23 @@ object Bpe {
     // runs, so the counts are unchanged (the sanctioned
     // hot-HOF-chain→UDF trade, and BpeSpec pins layout weights ==
     // bpeApply counts)
+    val subwordCount = subwordCounter(rules)
+    val counts = docs(spark, dir)
+      .select(col("doc_id"),
+        subwordCount(tokensArrayFast(col("text"))).as("n"),
+        graft.functions.GraftFunctions.polyhash(col("text"), P).as("h"))
+    TextAnalysis.packLayout(spark, counts, seqLen)
+  }
+
+  /** The per-doc subword-count fold over a token array for a learned
+    * rule chain — shared by [[bpePack]] and the merge-depth
+    * measurements ([[graft.BpeProf]]), so the apply arithmetic under
+    * test is the shipped one. */
+  def subwordCounter(rules: Seq[Rule])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val ruleArr = rules.map(r =>
       (s"|${r.lhs}|${r.rhs}|", s"|${r.lhs}${r.rhs}|")).toArray
-    val subwordCount = udf((toks: Seq[String]) => {
+    udf((toks: Seq[String]) => {
       var total = 0L
       toks.foreach { w =>
         val sb = new StringBuilder(w.length * 2 + 1).append('|')
@@ -173,11 +187,6 @@ object Bpe {
       }
       total
     })
-    val counts = docs(spark, dir)
-      .select(col("doc_id"),
-        subwordCount(tokensArrayFast(col("text"))).as("n"),
-        graft.functions.GraftFunctions.polyhash(col("text"), P).as("h"))
-    TextAnalysis.packLayout(spark, counts, seqLen)
   }
 
   def bpeApply(spark: SparkSession, dir: String): DataFrame = {
