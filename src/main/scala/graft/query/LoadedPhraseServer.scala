@@ -45,8 +45,9 @@ import graft.text.TextPipeline
   * pruning, so the fallback is file-bounded too, just re-planned per
   * query.
   *
-  * Same concurrency contract as [[PointServer]]: one in-flight query
-  * per instance (set-then-collect reference cells). */
+  * Safe for concurrent callers: templates live in per-(file set,
+  * shape) [[TemplatePool]]s — each query borrows its own instance
+  * for the set-refs-then-collect window. */
 final class LoadedPhraseServer(spark: SparkSession, dir: String,
                                topK: Int = 10, maxPlans: Int = 64) {
 
@@ -66,12 +67,13 @@ final class LoadedPhraseServer(spark: SparkSession, dir: String,
       ref: AtomicReference[java.util.HashSet[java.lang.Long]], df: DataFrame)
 
   private val phrasePlans =
-    Routing.lru[(Seq[String], Int), PhraseTmpl](maxPlans)
-  private val resolvePlans = Routing.lru[Seq[String], ResolveTmpl](maxPlans)
+    new TemplatePool[(Seq[String], Int), PhraseTmpl](
+      { case (files, n) => buildPhrase(files, n) }, maxKeys = maxPlans)
+  private val resolvePlans =
+    new TemplatePool[Seq[String], ResolveTmpl](buildResolve,
+      maxKeys = maxPlans)
 
-  private def phraseTmpl(files: Seq[String], n: Int): PhraseTmpl = {
-    val hit = phrasePlans.get((files, n))
-    if (hit != null) return hit
+  private def buildPhrase(files: Seq[String], n: Int): PhraseTmpl = {
     val both = newRef()
     val slots = IndexedSeq.fill(n)(newRef())
     def in(ref: AtomicReference[java.util.HashSet[UTF8String]]) =
@@ -96,14 +98,10 @@ final class LoadedPhraseServer(spark: SparkSession, dir: String,
       .orderBy(col("phrase_tf").desc, col("docno"))
       .limit(topK)
     df.queryExecution.executedPlan // plan + codegen now, not per query
-    val t = PhraseTmpl(both, slots, df)
-    phrasePlans.put((files, n), t)
-    t
+    PhraseTmpl(both, slots, df)
   }
 
-  private def resolveTmpl(files: Seq[String]): ResolveTmpl = {
-    val hit = resolvePlans.get(files)
-    if (hit != null) return hit
+  private def buildResolve(files: Seq[String]): ResolveTmpl = {
     val ref = new AtomicReference[java.util.HashSet[java.lang.Long]](
       new java.util.HashSet)
     val inDocs =
@@ -112,9 +110,7 @@ final class LoadedPhraseServer(spark: SparkSession, dir: String,
       .filter(inDocs).coalesce(1)
       .select(col("docno"), col("docid"))
     df.queryExecution.executedPlan
-    val t = ResolveTmpl(ref, df)
-    resolvePlans.put(files, t)
-    t
+    ResolveTmpl(ref, df)
   }
 
   /** The loaded index, for callers that also want analytic plans (near/
@@ -132,13 +128,11 @@ final class LoadedPhraseServer(spark: SparkSession, dir: String,
       df: DataFrame)
 
   private val nearPlans =
-    Routing.lru[(Seq[String], Int, Boolean), NearTmpl](maxPlans)
+    new TemplatePool[(Seq[String], Int, Boolean), NearTmpl](
+      { case (files, w, o) => buildNear(files, w, o) }, maxKeys = maxPlans)
 
-  private def nearTmpl(files: Seq[String], window: Int,
-                       ordered: Boolean): NearTmpl = {
-    val key = (files, window, ordered)
-    val hit = nearPlans.get(key)
-    if (hit != null) return hit
+  private def buildNear(files: Seq[String], window: Int,
+                        ordered: Boolean): NearTmpl = {
     val both = newRef()
     val slotA = newRef()
     val slotB = newRef()
@@ -160,9 +154,7 @@ final class LoadedPhraseServer(spark: SparkSession, dir: String,
       .orderBy(col("near_tf").desc, col("docno"))
       .limit(topK)
     df.queryExecution.executedPlan
-    val t = NearTmpl(both, slotA, slotB, df)
-    nearPlans.put(key, t)
-    t
+    NearTmpl(both, slotA, slotB, df)
   }
 
   /** Top-k (docid, near_tf), tf desc then docid asc — the
@@ -172,7 +164,7 @@ final class LoadedPhraseServer(spark: SparkSession, dir: String,
     * and the resolution scan are all ≤ topK rows regardless of the
     * term pair's corpus frequency. */
   def near(termA: String, termB: String, window: Int,
-           ordered: Boolean = false): Seq[(String, Long)] = synchronized {
+           ordered: Boolean = false): Seq[(String, Long)] = {
     val ta = TextPipeline.processContent(termA)
     val tb = TextPipeline.processContent(termB)
     require(ta.size == 1 && tb.size == 1,
@@ -180,26 +172,27 @@ final class LoadedPhraseServer(spark: SparkSession, dir: String,
     val routed = Seq(ta.head, tb.head).map(t => Routing.route(postRanges, t))
     if (routed.exists(_.isEmpty)) return Seq.empty
     val files = routed.flatten.distinct.sorted
-    val t = nearTmpl(files, window, ordered)
     def set(ts: String*) = {
       val s = new java.util.HashSet[UTF8String]()
       ts.foreach(x => s.add(UTF8String.fromString(x)))
       s
     }
-    t.both.set(set(ta.head, tb.head))
-    t.slotA.set(set(ta.head))
-    t.slotB.set(set(tb.head))
-    val top = t.df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val top = nearPlans.withInstance((files, window, ordered)) { t =>
+      t.both.set(set(ta.head, tb.head))
+      t.slotA.set(set(ta.head))
+      t.slotB.set(set(tb.head))
+      t.df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
     if (top.isEmpty) return Seq.empty
     val docFiles = top.map(_._1).toSeq
       .flatMap(Routing.route(docRanges, _)).distinct.sorted
     if (docFiles.isEmpty) return Seq.empty
-    val rt = resolveTmpl(docFiles)
     val dset = new java.util.HashSet[java.lang.Long]()
     top.foreach(x => dset.add(x._1))
-    rt.ref.set(dset)
-    val ids = rt.df.collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ids = resolvePlans.withInstance(docFiles) { rt =>
+      rt.ref.set(dset)
+      rt.df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
     top.toSeq.flatMap { case (d, tf) => ids.get(d).map(id => (id, tf)) }
       .sortBy { case (docid, tf) => (-tf, docid) }
   }
@@ -208,12 +201,12 @@ final class LoadedPhraseServer(spark: SparkSession, dir: String,
     * [[PointServer.templatePlan]]). */
   private[graft] def templatePlan(files: Seq[String], n: Int = 2)
       : org.apache.spark.sql.execution.SparkPlan =
-    phraseTmpl(files, n).df.queryExecution.executedPlan
+    phrasePlans.withInstance((files, n))(_.df.queryExecution.executedPlan)
 
   /** Top-k (docid, phrase_tf), tf desc then docid asc — the
     * [[PhraseServer.phrase]] output contract, served from pure parquet
     * artifacts. */
-  def phrase(phraseText: String): Seq[(String, Long)] = synchronized {
+  def phrase(phraseText: String): Seq[(String, Long)] = {
     val terms = TextPipeline.processContent(phraseText)
     if (terms.isEmpty) return Seq.empty
     if (terms.size > PhraseServer.MaxSlots)
@@ -225,25 +218,26 @@ final class LoadedPhraseServer(spark: SparkSession, dir: String,
     // hold the phrase — answer without running any job
     if (routed.exists(_.isEmpty)) return Seq.empty
     val files = routed.flatten.distinct.sorted
-    val t = phraseTmpl(files, terms.size)
     def set(ts: String*) = {
       val s = new java.util.HashSet[UTF8String]()
       ts.foreach(x => s.add(UTF8String.fromString(x)))
       s
     }
-    t.both.set(set(terms: _*))
-    terms.indices.foreach(i => t.slots(i).set(set(terms(i))))
-    val top = t.df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val top = phrasePlans.withInstance((files, terms.size)) { t =>
+      t.both.set(set(terms: _*))
+      terms.indices.foreach(i => t.slots(i).set(set(terms(i))))
+      t.df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
     if (top.isEmpty) return Seq.empty
     val docFiles = top.map(_._1).toSeq
       .flatMap(Routing.route(docRanges, _)).distinct.sorted
     if (docFiles.isEmpty) return Seq.empty
-    val rt = resolveTmpl(docFiles)
     val dset = new java.util.HashSet[java.lang.Long]()
     top.foreach(x => dset.add(x._1))
-    rt.ref.set(dset)
-    val ids = rt.df.collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ids = resolvePlans.withInstance(docFiles) { rt =>
+      rt.ref.set(dset)
+      rt.df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
     top.toSeq.flatMap { case (d, tf) => ids.get(d).map(id => (id, tf)) }
       .sortBy { case (docid, tf) => (-tf, docid) }
   }

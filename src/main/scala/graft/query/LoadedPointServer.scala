@@ -71,9 +71,9 @@ private[query] case class RefLongSetContains(
   * one per query. Results are spec-pinned identical to
   * [[QueryEngine.serveSearch]] on the same loaded index.
   *
-  * Same concurrency contract as [[PointServer]]: one in-flight query
-  * per instance (`synchronized` — the reference cells are
-  * set-then-collected). */
+  * Safe for concurrent callers: templates live in per-file-set
+  * [[TemplatePool]]s — each query borrows its own instance for the
+  * set-refs-then-collect window. */
 final class LoadedPointServer(spark: SparkSession, dir: String,
                               topK: Int = 10, maxPlans: Int = 64) {
 
@@ -94,12 +94,13 @@ final class LoadedPointServer(spark: SparkSession, dir: String,
   private final case class ResolveTmpl(
       ref: AtomicReference[java.util.HashSet[java.lang.Long]], df: DataFrame)
 
-  private val scorePlans = Routing.lru[Seq[String], ScoreTmpl](maxPlans)
-  private val resolvePlans = Routing.lru[Seq[String], ResolveTmpl](maxPlans)
+  private val scorePlans =
+    new TemplatePool[Seq[String], ScoreTmpl](buildScore, maxKeys = maxPlans)
+  private val resolvePlans =
+    new TemplatePool[Seq[String], ResolveTmpl](buildResolve,
+      maxKeys = maxPlans)
 
-  private def scoreTmpl(files: Seq[String]): ScoreTmpl = {
-    val hit = scorePlans.get(files)
-    if (hit != null) return hit
+  private def buildScore(files: Seq[String]): ScoreTmpl = {
     val ref =
       new AtomicReference[java.util.HashSet[UTF8String]](new java.util.HashSet)
     val inTerms =
@@ -116,14 +117,10 @@ final class LoadedPointServer(spark: SparkSession, dir: String,
       .orderBy(col("score").desc, col("docno"))
       .limit(topK)
     df.queryExecution.executedPlan // plan + codegen now, not per query
-    val t = ScoreTmpl(ref, df)
-    scorePlans.put(files, t)
-    t
+    ScoreTmpl(ref, df)
   }
 
-  private def resolveTmpl(files: Seq[String]): ResolveTmpl = {
-    val hit = resolvePlans.get(files)
-    if (hit != null) return hit
+  private def buildResolve(files: Seq[String]): ResolveTmpl = {
     val ref = new AtomicReference[java.util.HashSet[java.lang.Long]](
       new java.util.HashSet)
     val inDocs =
@@ -132,37 +129,45 @@ final class LoadedPointServer(spark: SparkSession, dir: String,
       .filter(inDocs).coalesce(1)
       .select(col("docno"), col("docid"))
     df.queryExecution.executedPlan
-    val t = ResolveTmpl(ref, df)
-    resolvePlans.put(files, t)
-    t
+    ResolveTmpl(ref, df)
   }
 
   /** The loaded index, for callers that also want analytic plans over
     * the same artifacts. */
   def index: graft.index.InvertedIndex.Index = ix
 
+  /** The score template's executed plan for a term's file set (spec
+    * hook: the exchange-free invariant that makes plan reuse safe). */
+  private[graft] def templatePlan(query: String)
+      : org.apache.spark.sql.execution.SparkPlan = {
+    val files = QueryEngine.requireArity(query)
+      .flatMap(routeTerm).distinct.sorted
+    scorePlans.withInstance(files)(_.df.queryExecution.executedPlan)
+  }
+
   /** (docno, docid, score) rows, score desc then docno asc — the same
     * output contract as [[QueryEngine.serveSearch]] /
     * [[PointServer.search]]. */
-  def search(query: String): Seq[(Long, String, Double)] = synchronized {
+  def search(query: String): Seq[(Long, String, Double)] = {
     val terms = QueryEngine.requireArity(query)
     if (terms.isEmpty) return Seq.empty // stopword-only: no job at all
     val files = terms.flatMap(routeTerm).distinct.sorted
     if (files.isEmpty) return Seq.empty // no term in any file's range
-    val st = scoreTmpl(files)
     val set = new java.util.HashSet[UTF8String]()
     terms.foreach(t => set.add(UTF8String.fromString(t)))
-    st.ref.set(set)
-    val top = st.df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val top = scorePlans.withInstance(files) { st =>
+      st.ref.set(set)
+      st.df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    }
     if (top.isEmpty) return Seq.empty
     val docFiles = top.map(_._1).toSeq.flatMap(routeDocno).distinct.sorted
     if (docFiles.isEmpty) return Seq.empty
-    val rt = resolveTmpl(docFiles)
     val dset = new java.util.HashSet[java.lang.Long]()
     top.foreach(t => dset.add(t._1))
-    rt.ref.set(dset)
-    val ids = rt.df.collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ids = resolvePlans.withInstance(docFiles) { rt =>
+      rt.ref.set(dset)
+      rt.df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
     // inner-join semantics: a docno the map cannot resolve is dropped
     top.toSeq.flatMap { case (d, s) => ids.get(d).map(id => (d, id, s)) }
   }

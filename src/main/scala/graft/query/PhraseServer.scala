@@ -73,9 +73,10 @@ final class PhraseServer(pix: PIndex, topK: Int = 10,
       slots: IndexedSeq[AtomicReference[java.util.HashSet[UTF8String]]],
       df: DataFrame)
 
-  // phrase length → template; populated lazily under `synchronized`
-  // (phrase() already serializes queries, so no concurrent build)
-  private val templates = new java.util.HashMap[Int, Tmpl]
+  // phrase length → POOLED templates (round 9): each query borrows
+  // its own instance for the set-refs-then-collect window, so
+  // concurrent callers don't race on shared reference cells
+  private val templates = new TemplatePool[Int, Tmpl](build)
 
   private def in(ref: AtomicReference[java.util.HashSet[UTF8String]]): Column =
     Bridge.column(RefSetContains(Bridge.expression(col("term")), ref))
@@ -106,12 +107,6 @@ final class PhraseServer(pix: PIndex, topK: Int = 10,
     Tmpl(both, slots, df)
   }
 
-  private def tmpl(n: Int): Tmpl = {
-    val hit = templates.get(n)
-    if (hit != null) hit
-    else { val t = build(n); templates.put(n, t); t }
-  }
-
   // ---- proximity templates -------------------------------------------
   // near/nearOrdered share the slot-aggregate shape; the window bound
   // is baked into the plan as a LITERAL (codegen-friendly, and the
@@ -124,7 +119,8 @@ final class PhraseServer(pix: PIndex, topK: Int = 10,
       slotB: AtomicReference[java.util.HashSet[UTF8String]],
       df: DataFrame)
 
-  private val nearTemplates = new java.util.HashMap[(Int, Boolean), NearTmpl]
+  private val nearTemplates = new TemplatePool[(Int, Boolean), NearTmpl](
+    { case (w, o) => buildNear(w, o) })
 
   private def buildNear(window: Int, ordered: Boolean): NearTmpl = {
     val both = newRef()
@@ -148,13 +144,6 @@ final class PhraseServer(pix: PIndex, topK: Int = 10,
     NearTmpl(both, slotA, slotB, df)
   }
 
-  private def nearTmpl(window: Int, ordered: Boolean): NearTmpl = {
-    val key = (window, ordered)
-    val hit = nearTemplates.get(key)
-    if (hit != null) hit
-    else { val t = buildNear(window, ordered); nearTemplates.put(key, t); t }
-  }
-
   /** Top-k (docid, near_tf) for docs holding `termA` within `window`
     * tokens of `termB` (`ordered`: termB strictly after), near_tf =
     * qualifying-pair count, tf desc then docid asc — the
@@ -163,9 +152,10 @@ final class PhraseServer(pix: PIndex, topK: Int = 10,
     * template, so the driver collect and the docid resolution are both
     * ≤ topK rows whatever the term pair's corpus frequency (the
     * round-8 audit's unbounded-hit-set fix); the full matching set
-    * stays available through the analytic [[PositionalIndex.near]]. */
+    * stays available through the analytic [[PositionalIndex.near]].
+    * Safe for concurrent callers (pooled templates). */
   def near(termA: String, termB: String, window: Int,
-           ordered: Boolean = false): Seq[(String, Long)] = synchronized {
+           ordered: Boolean = false): Seq[(String, Long)] = {
     val ta = graft.text.TextPipeline.processContent(termA)
     val tb = graft.text.TextPipeline.processContent(termB)
     require(ta.size == 1 && tb.size == 1,
@@ -179,11 +169,12 @@ final class PhraseServer(pix: PIndex, topK: Int = 10,
       return PositionalIndex.nearTopK(pix, termA, termB, window,
           ordered, topK)
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val t = nearTmpl(window, ordered)
-    t.both.set(set(ta.head, tb.head))
-    t.slotA.set(set(ta.head))
-    t.slotB.set(set(tb.head))
-    val top = t.df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val top = nearTemplates.withInstance((window, ordered)) { t =>
+      t.both.set(set(ta.head, tb.head))
+      t.slotA.set(set(ta.head))
+      t.slotB.set(set(tb.head))
+      t.df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
     if (top.isEmpty) return Seq.empty
     val ids = pix.docMap
       .filter(col("docno").isin(top.map(_._1).toSeq: _*))
@@ -198,18 +189,18 @@ final class PhraseServer(pix: PIndex, topK: Int = 10,
     * [[PointServer.templatePlan]]). */
   private[graft] def templatePlan(n: Int = 2)
       : org.apache.spark.sql.execution.SparkPlan =
-    synchronized { tmpl(n).df.queryExecution.executedPlan }
+    templates.withInstance(n)(_.df.queryExecution.executedPlan)
 
   /** The proximity template's plan, for the same assertion. */
   private[graft] def nearTemplatePlan(window: Int, ordered: Boolean)
       : org.apache.spark.sql.execution.SparkPlan =
-    synchronized { nearTmpl(window, ordered).df.queryExecution.executedPlan }
+    nearTemplates.withInstance((window, ordered))(
+      _.df.queryExecution.executedPlan)
 
   /** Top-k (docid, phrase_tf), tf desc then docid asc — the same
     * ordering contract as [[PositionalIndex.phrase]] limited to topK.
-    * `synchronized` for the same set-then-collect race PointServer
-    * documents. */
-  def phrase(phraseText: String): Seq[(String, Long)] = synchronized {
+    * Safe for concurrent callers (pooled templates). */
+  def phrase(phraseText: String): Seq[(String, Long)] = {
     val terms = graft.text.TextPipeline.processContent(phraseText)
     if (terms.isEmpty) return Seq.empty
     if (terms.size > MaxSlots || !usesTemplates)
@@ -221,10 +212,11 @@ final class PhraseServer(pix: PIndex, topK: Int = 10,
       ts.foreach(t => s.add(UTF8String.fromString(t)))
       s
     }
-    val t = tmpl(terms.size)
-    t.both.set(set(terms: _*))
-    terms.indices.foreach(i => t.slots(i).set(set(terms(i))))
-    val top = t.df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val top = templates.withInstance(terms.size) { t =>
+      t.both.set(set(terms: _*))
+      terms.indices.foreach(i => t.slots(i).set(set(terms(i))))
+      t.df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
     if (top.isEmpty) return Seq.empty
     val ids = pix.docMap
       .filter(col("docno").isin(top.map(_._1).toSeq: _*))

@@ -87,13 +87,15 @@ private[query] case class RefSetContains(
   */
 final class PointServer(ix: Index, topK: Int = 10) {
 
-  private val termsRef =
-    new AtomicReference[java.util.HashSet[UTF8String]](new java.util.HashSet)
+  private final case class Tmpl(
+      ref: AtomicReference[java.util.HashSet[UTF8String]], df: DataFrame)
 
-  private val scoreTemplate: DataFrame = {
+  private def buildTmpl(): Tmpl = {
+    val termsRef = new AtomicReference[java.util.HashSet[UTF8String]](
+      new java.util.HashSet)
     val inTerms =
       Bridge.column(RefSetContains(Bridge.expression(col("kgram")), termsRef))
-    ix.postings.filter(inTerms).coalesce(1)
+    val df = ix.postings.filter(inTerms).coalesce(1)
       .withColumn("df",
         count(lit(1)).over(Window.partitionBy(col("kgram"))))
       .groupBy(col("docno"))
@@ -102,34 +104,41 @@ final class PointServer(ix: Index, topK: Int = 10) {
       .select(col("docno"), round(col("s0"), 4).as("score"))
       .orderBy(col("score").desc, col("docno"))
       .limit(topK)
+    // force planning + codegen at build, not on the instance's first query
+    df.queryExecution.executedPlan
+    Tmpl(termsRef, df)
   }
 
-  // force planning + codegen at construction, not on the first query
-  scoreTemplate.queryExecution.executedPlan
+  // CONCURRENCY (round 9): score templates live in a pool — each
+  // search() borrows its own instance for the set-refs-then-collect
+  // window, so concurrent callers can't race on a shared reference
+  // cell (previously a class-wide `synchronized`, one in-flight query
+  // per server). Single shape → single key.
+  private val pool = new TemplatePool[Unit, Tmpl](_ => buildTmpl(),
+    maxKeys = 1)
+
+  pool.withInstance(())(_ => ()) // plan + codegen at construction
 
   /** The reused physical plan, exposed so specs can assert the
     * exchange-free invariant under any session conf (AQE, partition
     * counts) — an exchange sneaking in here is the stale-result trap
     * the class doc describes. */
   private[graft] def templatePlan: org.apache.spark.sql.execution.SparkPlan =
-    scoreTemplate.queryExecution.executedPlan
+    pool.withInstance(())(_.df.queryExecution.executedPlan)
 
   /** (docno, docid, score) rows, score desc then docno asc — the same
     * output (and arity contract) as [[QueryEngine.serveSearch]].
-    *
-    * `synchronized`: the two reference cells are set-then-collected,
-    * so an unguarded concurrent caller could have its job submitted
-    * after another caller swapped the refs and silently receive that
-    * caller's results. One in-flight query per server instance; a
-    * concurrent serving node runs one PointServer per worker. */
-  def search(query: String): Seq[(Long, String, Double)] = synchronized {
+    * Safe for concurrent callers: each borrows a pooled template
+    * instance (see [[TemplatePool]]). */
+  def search(query: String): Seq[(Long, String, Double)] = {
     val terms = QueryEngine.requireArity(query)
     if (terms.isEmpty) return Seq.empty // stopword-only: no job at all
     val set = new java.util.HashSet[UTF8String]()
     terms.foreach(t => set.add(UTF8String.fromString(t)))
-    termsRef.set(set)
-    val top = scoreTemplate.collect()
-      .map(r => (r.getLong(0), r.getDouble(1)))
+    val top = pool.withInstance(()) { t =>
+      t.ref.set(set)
+      t.df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    }
     if (top.isEmpty) return Seq.empty
     // fresh tiny plan per query — literal isin keeps stat/row-group
     // pruning (see class doc); ≤ topK rows, planning cost is noise

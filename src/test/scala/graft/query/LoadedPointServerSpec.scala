@@ -70,21 +70,31 @@ class LoadedPointServerSpec extends SparkSpec {
     withWritten(rowsPerFile = 50L) { dir =>
       val lps = new LoadedPointServer(spark, dir)
       assert(lps.search("data stream").nonEmpty)
-      // the cached plans must hold no exchange: an exchange node would
+      // the pooled plans must hold no exchange: an exchange node would
       // serve the first query's data to every later query
-      import scala.jdk.CollectionConverters._
-      val fld = lps.getClass.getDeclaredField("scorePlans")
-      fld.setAccessible(true)
-      val plans = fld.get(lps)
-        .asInstanceOf[java.util.LinkedHashMap[Seq[String], AnyRef]]
-      assert(!plans.isEmpty)
-      plans.values.asScala.foreach { t =>
-        val df = t.getClass.getMethod("df").invoke(t)
-          .asInstanceOf[org.apache.spark.sql.DataFrame]
-        val hasExchange = df.queryExecution.executedPlan.collect {
-          case e: org.apache.spark.sql.execution.exchange.Exchange => e
-        }.nonEmpty
-        assert(!hasExchange, "score template must stay exchange-free")
+      val hasExchange = lps.templatePlan("data stream").collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }.nonEmpty
+      assert(!hasExchange, "score template must stay exchange-free")
+    }
+  }
+
+  test("8 concurrent routed searches return each its own results") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    withWritten(rowsPerFile = 50L) { dir =>
+      val lps = new LoadedPointServer(spark, dir)
+      val queries = Seq("merge", "stream buffer", "pipeline",
+        "data stream", "merge engine", "sorted", "buffer", "engine")
+      val want = queries.map(q => q -> lps.search(q)).toMap
+      (1 to 3).foreach { _ =>
+        val got = Await.result(
+          Future.sequence(queries.map(q => Future(q -> lps.search(q)))),
+          120.seconds).toMap
+        queries.foreach { q =>
+          assert(got(q) == want(q), s"concurrent loaded search [$q] diverged")
+        }
       }
     }
   }

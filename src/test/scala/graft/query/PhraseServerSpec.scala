@@ -82,6 +82,34 @@ class PhraseServerSpec extends SparkSpec {
     assert(guarded.phrase("merge engine").nonEmpty)
   }
 
+  test("8 concurrent phrase/near queries return each its own correct " +
+    "results (pooled templates)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // mixed shapes: 2-word and 3-word phrases (distinct pool keys) and
+    // proximity queries — interleaved across 8 threads
+    val phraseQs = Seq("merge engine", "sorted streams",
+      "merge engine merges", "engine merges")
+    val nearQs = Seq(("merge", "engine", 3, false),
+      ("sorted", "streams", 2, false), ("merge", "engine", 1, true),
+      ("merge", "merge", 5, false))
+    val wantP = phraseQs.map(p => p -> server.phrase(p)).toMap
+    val wantN = nearQs.map(c => c ->
+      server.near(c._1, c._2, c._3, c._4)).toMap
+    (1 to 3).foreach { _ =>
+      val futs = phraseQs.map(p => Future(Left(p -> server.phrase(p)))) ++
+        nearQs.map(c =>
+          Future(Right(c -> server.near(c._1, c._2, c._3, c._4))))
+      Await.result(Future.sequence(futs), 120.seconds).foreach {
+        case Left((p, got)) =>
+          assert(got == wantP(p), s"concurrent phrase [$p] diverged")
+        case Right((c, got)) =>
+          assert(got == wantN(c), s"concurrent near $c diverged")
+      }
+    }
+  }
+
   test("the reused plans contain no exchange node (lengths 1, 2, 3)") {
     def walk(p: org.apache.spark.sql.execution.SparkPlan)
         : Seq[org.apache.spark.sql.execution.SparkPlan] =

@@ -38,4 +38,23 @@ class PointServerSpec extends SparkSpec {
     val ps = new PointServer(ix)
     intercept[IllegalArgumentException](ps.search("one two three"))
   }
+
+  test("8 concurrent searches return each its own correct results " +
+    "(pooled templates, no shared-ref race)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val ps = new PointServer(ix)
+    val queries = Seq("merge", "stream buffer", "pipeline", "data stream",
+      "merge engine", "sorted", "buffer", "engine")
+    val want = queries.map(q => q -> ps.search(q)).toMap
+    (1 to 3).foreach { _ =>
+      val got = Await.result(
+        Future.sequence(queries.map(q => Future(q -> ps.search(q)))),
+        120.seconds).toMap
+      queries.foreach { q =>
+        assert(got(q) == want(q), s"concurrent search [$q] diverged")
+      }
+    }
+  }
 }
