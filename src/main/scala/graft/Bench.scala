@@ -342,16 +342,22 @@ object Bench {
             import scala.concurrent.{Await, Future}
             import scala.concurrent.duration._
             import scala.concurrent.ExecutionContext.Implicits.global
-            // warm the pool so the measurement is serving, not builds
-            qids.foreach(q => srv.probeTemplate(qvecs(q)))
+            // per-thread STAGGERED orders: identical orders would make
+            // all 8 threads hit the same cell simultaneously every
+            // step — maximal pool contention that measures duplicate
+            // template builds, not serving
+            def order(i: Int): Seq[String] =
+              qids.drop(i % qids.size) ++ qids.take(i % qids.size)
+            def round(): Unit = Await.result(
+              Future.sequence((0 until 8).map(i => Future {
+                order(i).foreach(q =>
+                  srv.probeTemplate(qvecs(q), excludeId = q.toLong))
+              })), 600.seconds)
+            round() // unmeasured: fills pools to their steady depth
             System.gc()
             val rounds = 3
             val t0 = System.nanoTime()
-            Await.result(Future.sequence((1 to 8).map(i => Future {
-              (1 to rounds).foreach(_ =>
-                qids.foreach(q =>
-                  srv.probeTemplate(qvecs(q), excludeId = q.toLong)))
-            })), 600.seconds)
+            (1 to rounds).foreach(_ => round())
             val secs = (System.nanoTime() - t0) / 1e9
             math.rint(8 * rounds * qids.size / secs * 10) / 10
           }

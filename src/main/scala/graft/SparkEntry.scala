@@ -78,6 +78,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Dedup.chunkDedup(s, d)),
     "q24_cdc_chunks" -> (Dedup.cdcChunks _),
     "q24_cdc_apply" -> (Dedup.cdcApply _),
+    "q24_sample_stratified" ->
+      ((s: SparkSession, d: String) => TextAnalysis.stratifiedSample(s, d)),
     "q24_span_dedup" ->
       ((s: SparkSession, d: String) => Dedup.spanDedup(s, d)),
     "q24_span_apply" ->

@@ -101,6 +101,37 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** STRATIFIED deterministic sampling — exactly `k` docs per stratum
+    * (language), chosen by content-hash order: within each lang the
+    * kept set is the k smallest `polyhash(text)` values (ties by
+    * doc_id), so the sample is a stable function of content per
+    * stratum — the per-group form of [[sampleByHash]], used when a
+    * pipeline needs balanced per-language (or per-source) quotas
+    * rather than a global rate.
+    *
+    * Scale shape: rides the bounded-heap `graft_topk`
+    * TypedImperativeAggregate — O(k) state per stratum per partition
+    * with map-side partial aggregation, ONE shuffle of k-entry
+    * buffers. The window formulation (`row_number() ≤ k`) would
+    * shuffle and SORT every row of every stratum; the oracle uses
+    * exactly that window form, so the compare also re-proves
+    * aggregate == window. */
+  def stratifiedSample(spark: SparkSession, dir: String,
+                       k: Int = 50): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    docs(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        graft.functions.GraftFunctions.polyhash(col("text"), P).as("h"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.GraftFunctions
+        .topkBy((-col("h")).cast("double"), col("doc_id"), k).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("doc_id"),
+        (-col("col.score")).cast("long").as("hash_val"))
+      .orderBy("lang", "rank")
+  }
+
   /** The full training-data pipeline composed into ONE declarative
     * plan: exact-dedup keepers → language/quality gate → deterministic
     * hash-bucket sample → kept corpus. Each stage is a narrow join or

@@ -533,6 +533,20 @@ object TrainingOracles {
                 round(1.0 - CAST(n_distinct AS DOUBLE) / n_docs, 4) AS dup_rate
          FROM s CROSS JOIN v""",
 
+    // stratified deterministic sampling: k smallest content hashes
+    // per lang (ties by doc_id) — the WINDOW form, so the compare
+    // proves the engine's bounded-heap aggregate == row_number()
+    "q24_sample_stratified" ->
+      s"""WITH h AS (SELECT lang, doc_id, ${ddbPolyHash("text")} AS hv
+                     FROM documents),
+         r AS (SELECT lang, doc_id, hv,
+                      row_number() OVER (PARTITION BY lang
+                        ORDER BY hv, doc_id) AS rank
+               FROM h)
+         SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id,
+                CAST(hv AS BIGINT) AS hash_val
+         FROM r WHERE rank <= 50 ORDER BY lang, rank""",
+
     // deterministic hash-bucket sampling: stable function of content
     "q24_sample" ->
       s"""WITH h AS (SELECT doc_id, lang, n_chars,

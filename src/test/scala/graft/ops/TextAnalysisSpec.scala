@@ -219,4 +219,31 @@ class TextAnalysisSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
   }
+
+  test("stratified sample: exactly min(k, stratum size) per lang, " +
+    "deterministic, served by the bounded-heap aggregate (no window)") {
+    val k = 7
+    val got = TextAnalysis.stratifiedSample(spark, dir, k).collect()
+    val sizes = graft.Tables.load(spark, dir, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perLang = got.groupBy(_.getString(0))
+    assert(perLang.keySet == sizes.keySet)
+    perLang.foreach { case (lang, rows) =>
+      assert(rows.length.toLong == math.min(k.toLong, sizes(lang)),
+        s"$lang: ${rows.length} sampled")
+      // ranks dense from 1, hashes ascending (smallest-k contract)
+      assert(rows.map(_.getLong(1)).toSeq == (1L to rows.length).toSeq)
+      val hs = rows.map(_.getLong(3)).toSeq
+      assert(hs == hs.sorted, s"$lang hash order broken")
+    }
+    // deterministic: a second run returns the identical sample
+    val again = TextAnalysis.stratifiedSample(spark, dir, k).collect()
+    assert(got.map(_.toSeq.toList).toSeq == again.map(_.toSeq.toList).toSeq)
+    // the plan rides the O(k)-state aggregate, not a window sort
+    val plan = TextAnalysis.stratifiedSample(spark, dir, k)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"no bounded-heap agg:\n$plan")
+    assert(!plan.contains("Window"), s"window exec in sample plan:\n$plan")
+  }
 }
