@@ -110,6 +110,8 @@ object SparkEntry {
     "q25_kmeans" ->
       ((s: SparkSession, d: String) => Similarity.kmeansCentroids(s, d)),
     "q25_semantic_clusters" -> (Similarity.semanticClusters _),
+    "q25_semdedup_cells" -> (Similarity.semDedupCellTable _),
+    "q25_semdedup_cells_coarse" -> (Similarity.semDedupCellsCoarse _),
     "q25_semdedup_pairs" -> (Similarity.semDedupPairs _),
     "q25_semdedup_full" -> (Similarity.semDedupFull _),
     "q25_semdedup_survivors" -> (Similarity.semDedupSurvivors _),

@@ -443,6 +443,69 @@ object Similarity {
     argmaxCells(e, k)
   }
 
+  /** The [[semDedupCells]] assignment as a DRIVER-CONTRACT query:
+    * (vec_id, cell), the partition every SemDeDup stage derives from.
+    * Exposed so the exact and coarse assignments can be measured and
+    * oracle-checked side by side. */
+  def semDedupCellTable(spark: SparkSession, dir: String): DataFrame =
+    semDedupCells(spark, dir)
+      .select(col("vec_id"), col("cell"))
+      .orderBy("vec_id")
+
+  /** TWO-LEVEL (coarse-routed) SemDeDup cell assignment — the
+    * pre-router the [[semDedupCells]] scaladoc names for the regime
+    * where the flat n×k argmax scan dominates (k = n/128 grows with
+    * the corpus → n²/128 cosines; measured as the dominant
+    * fixed-density term in SCALING.md round-9). Seeds split into
+    * ⌈√k⌉-wide BLOCKS; a vector first argmaxes over the ⌈k/B⌉ block
+    * leaders (every B-th seed), then over the B seeds of the winning
+    * block — n·(k/B + B) ≈ 2n·√k cosines instead of n·k, with the
+    * same (cosine desc, cid asc) tie order at both levels.
+    *
+    * The trade is recall-shaped, not correctness-shaped: a vector may
+    * land in a different (still nearby) cell than the flat argmax
+    * would give, moving some near-dup pairs across cell boundaries —
+    * the same boundary-miss class the recipe already accepts.
+    * Identical vectors still co-locate (same two argmaxes), so
+    * verbatim duplicates are never lost. The DuckDB oracle mirrors
+    * both levels exactly, so the assignment itself is hash-checked.
+    *
+    * Plan shape: one broadcast of the k/B block leaders (coarse scan),
+    * then a broadcast EQUI-join on the block id (seeds bounded) + one
+    * more argmax — no corpus-side shuffle before the one-row-per-
+    * vector aggregates. */
+  def semDedupCellsCoarse(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val n = e.count()
+    val k = math.max(IvfCentroids.toLong,
+      (n + SemDedupCellSize - 1) / SemDedupCellSize)
+    val b = math.ceil(math.sqrt(k.toDouble)).toLong
+    val seeds = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
+        expr(s"vec_id DIV $b").as("blk"))
+    val leaders = seeds.filter(pmod(col("cid"), lit(b)) === 0)
+    val coarse = e.crossJoin(broadcast(leaders))
+      .select(col("vec_id"),
+        struct(
+          cosine(col("embedding"), col("cvec")).as("s"),
+          (-col("cid")).as("neg_cid"),
+          col("blk").as("blk"),
+          col("embedding").as("embedding")).as("cand"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.blk").as("blk"))
+    coarse.join(broadcast(seeds), "blk")
+      .select(col("vec_id"),
+        struct(
+          cosine(col("embedding"), col("cvec")).as("s"),
+          (-col("cid")).as("neg_cid")).as("cand"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("vec_id"), (-col("best.neg_cid")).as("cell"))
+      .orderBy("vec_id")
+  }
+
   /** CORPUS-SCALE SemDeDup candidate pairs: exact cosine ≥
     * [[SemDedupThreshold]] computed only WITHIN a [[semDedupCells]]
     * cell — the actual SemDeDup recipe (Abbas et al.: k-means cells,

@@ -679,6 +679,37 @@ object TrainingOracles {
     // cells (k = max(IvfCentroids, ceil(n/SemDedupCellSize)), seeds =
     // first k vectors), exact cosine only WITHIN a cell — mirrors
     // Similarity.semDedupPairs over the ENTIRE table, no sample gate
+    // the flat exact assignment as its own checked artifact
+    "q25_semdedup_cells" ->
+      s"""WITH $semDedupPairCtes
+         SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM cells
+         ORDER BY vec_id""",
+
+    // two-level coarse-routed assignment: argmax over every-B-th seed
+    // (block leaders), then argmax within the winning ⌈√k⌉-wide seed
+    // block — both levels (cos desc, cid asc), mirroring
+    // Similarity.semDedupCellsCoarse exactly
+    "q25_semdedup_cells_coarse" ->
+      s"""WITH kk AS (SELECT greatest(${Similarity.IvfCentroids},
+                CAST(ceil(count(*) / ${Similarity.SemDedupCellSize}.0) AS BIGINT)) AS k,
+                CAST(ceil(sqrt(greatest(${Similarity.IvfCentroids},
+                  CAST(ceil(count(*) / ${Similarity.SemDedupCellSize}.0) AS BIGINT)))) AS BIGINT) AS b
+              FROM embeddings),
+         s AS (SELECT vec_id AS cid, embedding AS cvec, vec_id // b AS blk
+               FROM embeddings CROSS JOIN kk WHERE vec_id < k),
+         ld AS (SELECT s.* FROM s CROSS JOIN kk WHERE cid % b = 0),
+         a0 AS (SELECT e.vec_id, e.embedding, ld.blk,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY ${cos("e.embedding", "ld.cvec")} DESC, ld.cid) AS rn
+                FROM embeddings e CROSS JOIN ld),
+         r0 AS (SELECT vec_id, embedding, blk FROM a0 WHERE rn = 1),
+         a1 AS (SELECT r0.vec_id, s.cid,
+                       row_number() OVER (PARTITION BY r0.vec_id
+                         ORDER BY ${cos("r0.embedding", "s.cvec")} DESC, s.cid) AS rn
+                FROM r0 JOIN s ON r0.blk = s.blk)
+         SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM a1 WHERE rn = 1
+         ORDER BY vec_id""",
+
     "q25_semdedup_pairs" ->
       s"""WITH $semDedupPairCtes
          SELECT vec_a, vec_b, round(c, 4) AS cos FROM p

@@ -408,6 +408,29 @@ class DedupSimilaritySpec extends SparkSpec {
       s"fixed chunking unexpectedly survived the shift (${fCommon.size})")
   }
 
+  test("coarse-routed SemDeDup cells: verbatim duplicates co-locate, " +
+    "assignment agrees with the flat argmax on most vectors") {
+    val exact = Similarity.semDedupCellTable(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val coarse = Similarity.semDedupCellsCoarse(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == coarse.keySet)
+    // identical vectors take identical argmax paths → same cell (the
+    // property that keeps verbatim duplicates dedupable)
+    val e = graft.Tables.load(spark, dir, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    e.groupBy(_._2).values.filter(_.size > 1).foreach { grp =>
+      val cells = grp.map(g => coarse(g._1)).distinct
+      assert(cells.size == 1, s"identical vectors split: ${grp.map(_._1)}")
+    }
+    // the pre-router is a recall trade, not a scramble: the two
+    // assignments agree on a solid majority (measured 0.74 on this
+    // corpus; bound set loose so data regeneration doesn't flap it)
+    val agree = exact.count { case (v, c) => coarse(v) == c }
+    assert(agree.toDouble / exact.size > 0.5,
+      s"agreement ${agree.toDouble / exact.size}")
+  }
+
   test("CDC apply: canonical copies survive, non-canonical duplicates " +
     "strip, untouched docs pass through intact") {
     import spark.implicits._
