@@ -415,6 +415,53 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** NEAR-DUP delta probe — the incremental form of [[minhashLsh]],
+    * completing the delta-dedup family: [[deltaDedup]]/[[bloomProbe]]
+    * catch EXACT duplicates of a new batch against the indexed base;
+    * this catches NEAR duplicates, by probing the delta's minhash
+    * band keys into the base's banded signature table (the standing
+    * LSH index an ingest pipeline maintains). Same half-split fixture
+    * as the exact probes (doc_id < half = base).
+    *
+    * Output (delta_doc, base_doc, est_jaccard) for every
+    * band-colliding cross pair — the candidate set a pipeline then
+    * gates (est ≥ t → reject/cluster the new doc).
+    *
+    * Scale shape: the base band table is a precomputable durable
+    * artifact (at 100 TB: written once, bucketed/partitioned by band
+    * key, appended per batch like the base digest set); a probe is
+    * ONE equi-join of the (batch-sized) delta bands against it plus a
+    * signature re-join on the bounded candidate set — the base is
+    * never self-joined per batch, and the delta never joins the base
+    * CORPUS, only its band index. Identical banding/permutations to
+    * [[minhashLsh]] ([[CrossHash.MinhashPerms]]), so recall follows
+    * the same S-curve. */
+  def neardupProbe(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashWide(spark, dir).stage()
+    val half = docs(spark, dir).count() / 2
+    val bandKeys = (0 until Bands).map { b =>
+      concat_ws(",", (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(i => col(s"mh$i").cast("string")): _*) }
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+    val cand = bands.filter(col("doc_id") >= half).as("y")
+      .join(bands.filter(col("doc_id") < half).as("x"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("y.doc_id").as("delta_doc"),
+        col("x.doc_id").as("base_doc"))
+      .distinct()
+    val matches = MinhashPerms.map { case (i, _, _) =>
+      when(col(s"x.mh$i") === col(s"y.mh$i"), 1L).otherwise(0L) }
+      .reduce(_ + _)
+    cand
+      .join(sig.as("y"), col("delta_doc") === col("y.doc_id"))
+      .join(sig.as("x"), col("base_doc") === col("x.doc_id"))
+      .select(col("delta_doc"), col("base_doc"),
+        round(matches / lit(MinhashPerms.size.toDouble), 4)
+          .as("est_jaccard"))
+      .orderBy("delta_doc", "base_doc")
+  }
+
   /** The delta-dedup fixture shared by [[deltaDedup]] and
     * [[bloomProbe]]: the corpus split at its median doc_id into
     * (distinct base digests, per-doc delta digests). */

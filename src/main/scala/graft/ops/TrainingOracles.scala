@@ -583,6 +583,29 @@ object TrainingOracles {
                      JOIN sig s2 ON c.doc_b = s2.doc_id AND s1.i = s2.i
          GROUP BY 1, 2 ORDER BY doc_a, doc_b""",
 
+    // near-dup DELTA probe: delta band keys joined into the base's
+    // banded signature table (same half split as q24_dedup_delta,
+    // same banding as q24_dedup_minhash)
+    "q24_neardup_probe" ->
+      s"""$docShingles,
+         hh AS (SELECT doc_id, ${ddbPolyHash("shingle", PM)} AS h FROM sh),
+         sig AS (SELECT doc_id, i, min((a * h + b) % $PM) AS mh
+                 FROM hh CROSS JOIN $ddbPermValues GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // $RowsPerBand AS band,
+                          string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+                   FROM sig GROUP BY doc_id, i // $RowsPerBand),
+         hl AS (SELECT count(*) // 2 AS half FROM documents),
+         cand AS (SELECT DISTINCT y.doc_id AS delta_doc, x.doc_id AS base_doc
+                  FROM bands x JOIN bands y
+                    ON x.band = y.band AND x.bkey = y.bkey
+                  CROSS JOIN hl
+                  WHERE x.doc_id < half AND y.doc_id >= half)
+         SELECT c.delta_doc, c.base_doc,
+                round(sum(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END) / ${MinhashPerms.size}.0, 4) AS est_jaccard
+         FROM cand c JOIN sig s1 ON c.delta_doc = s1.doc_id
+                     JOIN sig s2 ON c.base_doc = s2.doc_id AND s1.i = s2.i
+         GROUP BY 1, 2 ORDER BY delta_doc, base_doc""",
+
     // same pair generation as q24_dedup_jaccard, then connected
     // components via a recursive reachability CTE (UNION dedup
     // terminates the recursion); cluster = min reachable doc_id

@@ -408,6 +408,20 @@ class DedupSimilaritySpec extends SparkSpec {
       s"fixed chunking unexpectedly survived the shift (${fCommon.size})")
   }
 
+  test("near-dup delta probe == the full LSH restricted to cross-half " +
+    "pairs (the incremental probe loses nothing the batch run finds)") {
+    val half = graft.Tables.load(spark, dir, "documents").count() / 2
+    val full = Dedup.minhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a < half && b >= half }
+      .map { case (a, b, j) => (b, a, j) } // (delta, base, est)
+      .sortBy(t => (t._1, t._2)).toSeq
+    val probe = Dedup.neardupProbe(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(probe == full, "delta probe diverged from batch LSH cross pairs")
+    assert(probe.nonEmpty, "fixture should hold cross-half near-dups")
+  }
+
   test("coarse-routed SemDeDup cells: verbatim duplicates co-locate, " +
     "assignment agrees with the flat argmax on most vectors") {
     val exact = Similarity.semDedupCellTable(spark, dir).collect()
