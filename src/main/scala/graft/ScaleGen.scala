@@ -103,6 +103,22 @@ object ScaleGen {
     val emb = Tables.load(spark, in, "embeddings")
     requireIdsUnder(emb, "vec_id", "embeddings")
     val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    // the rotation guard mirrors rot(i)'s factor<=26 wrap guard: a
+    // rotated copy whose shift is 0 (7i ≡ 0 mod dims) would be a
+    // VERBATIM duplicate past dupCopies, and two rotated copies
+    // sharing a shift are exact duplicates of each other — both
+    // silently reintroduce the quadratic duplicate growth dupCopies
+    // exists to remove
+    locally {
+      val shifts = (dupCopies until factor).map(i => (7 * i) % dims)
+      require(!shifts.contains(0),
+        s"dimension rotation wraps to 0 for some copy (dims=$dims): " +
+          "a 'rotated' copy would be verbatim; use a corpus whose " +
+          "dims is coprime with 7 or lower the factor")
+      require(shifts.distinct.size == shifts.size,
+        s"two rotated copies share a shift (dims=$dims): they would " +
+          "be exact duplicates of each other; lower the factor")
+    }
     (0 until factor).map { i =>
       // copies < dupCopies: verbatim (exact cross-copy duplicates);
       // later copies: dims rotated by 7·i mod dims — internal cosine

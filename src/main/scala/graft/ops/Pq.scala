@@ -89,28 +89,29 @@ object Pq {
   private val codebookCache = new java.util.concurrent.ConcurrentHashMap[
     String, Array[Array[(Long, Array[Double])]]]
 
-  private def embStamp(dir: String): String = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    def one(p: java.nio.file.Path): String =
-      s"${p.getFileName}:${Files.size(p)}:" +
-        s"${Files.getLastModifiedTime(p).toMillis}"
-    val p = Paths.get(dir, "embeddings.parquet")
+  /** Source fingerprint via the Hadoop FileSystem API, so the cache
+    * key works for any scheme `spark.read` can reach (hdfs://,
+    * s3a://, …), not just the local filesystem. */
+  private def embStamp(spark: SparkSession, dir: String): String = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir, "embeddings.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def one(s: org.apache.hadoop.fs.FileStatus): String =
+      s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}"
+    val st = fs.getFileStatus(p)
     val stamp =
-      if (Files.isDirectory(p)) {
-        val ls = Files.list(p)
-        try ls.iterator().asScala.toSeq.sortBy(_.toString)
-          .filter(_.toString.endsWith(".parquet")).map(one).mkString(",")
-        finally ls.close()
-      } else one(p)
-    s"${Paths.get(dir).toAbsolutePath}|$stamp"
+      if (st.isDirectory)
+        fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.toString).map(one).mkString(",")
+      else one(st)
+    s"${fs.makeQualified(p)}|$stamp"
   }
 
   /** [[trainCodebooks]] memoized per embeddings-table fingerprint —
     * the entry point every consumer uses. */
   def codebooks(spark: SparkSession, dir: String)
       : Array[Array[(Long, Array[Double])]] =
-    codebookCache.computeIfAbsent(embStamp(dir),
+    codebookCache.computeIfAbsent(embStamp(spark, dir),
       _ => trainCodebooks(spark, dir))
 
   /** Train the [[Subspaces]] codebooks: per iteration ONE narrow

@@ -638,7 +638,7 @@ object Similarity {
     val qv = qRow.getSeq[Float](1)
     val cells: Seq[Long] =
       if (nProbe <= 1) Seq(qRow.getAs[Number]("cell").longValue)
-      else probeCellsOf(spark, storeDir, qv, nProbe)
+      else probeCellsOf(stored, qv, nProbe)
     stored.filter(col("cell").isin(cells: _*) && col("vec_id") =!= qId)
       .select(col("vec_id"),
         cosine(col("embedding"), typedLit(qv)).as("c"))
@@ -652,9 +652,9 @@ object Similarity {
     * relational centroid ranking and the same [[cosSeqInf]] arithmetic
     * as [[graft.query.IvfServer.cellOf]], so the three probe paths
     * choose identical cell sets. */
-  private[graft] def probeCellsOf(spark: SparkSession, storeDir: String,
+  private[graft] def probeCellsOf(stored: DataFrame,
                                   qv: Seq[Float], nProbe: Int): Seq[Long] =
-    spark.read.parquet(storeDir)
+    stored
       .filter(col("vec_id") < IvfCentroids.toLong)
       .select(col("vec_id"), col("embedding"))
       .collect()
@@ -681,14 +681,33 @@ object Similarity {
     * (per-cell coalesce — cell contents are probe-bounded by the IVF
     * design, so one file per cell is the right post-compaction shape
     * until a cell approaches file-size limits); cells under the bound
-    * are left byte-identical. Rewrite-then-swap per cell: the new file
-    * lands under a scratch name inside the cell directory, the old
-    * files are removed, the scratch renames in — a reader mid-swap
-    * sees a complete copy of the data either way on a rename-atomic
-    * store. Probe results are IDENTICAL pre/post (spec-pinned); a
-    * serving [[graft.query.IvfServer]] notices the mutation through
+    * are left byte-identical.
+    *
+    * SWAP PROTOCOL (crash-safe, per cell — nothing is DELETED until
+    * the replacement is visible):
+    *  1. write the replacement into `_graft_compact_tmp` (hidden from
+    *     Spark readers; carries a `_SUCCESS` marker),
+    *  2. MOVE the old visible files into `_graft_swap` (renames —
+    *     also hidden),
+    *  3. rename the replacement in as `compact-*.parquet`,
+    *  4. delete the two hidden dirs.
+    * A crash at ANY point leaves every row present in either the
+    * visible or a hidden location, and the RECOVERY pass at the next
+    * [[compactIvfStore]] entry finishes or rolls back from the
+    * markers: `_graft_swap` present + replacement visible → finish
+    * cleanup; + complete tmp → redo step 3; otherwise move the old
+    * files back. No state loses data.
+    *
+    * CONCURRENCY: compaction is a MAINTENANCE operation — a probe
+    * running concurrently with steps 2–3 can transiently see a
+    * partial cell (files are moved one rename at a time; no
+    * multi-file atomicity exists on a plain filesystem). Run it
+    * behind the serving path's quiesce, or accept transiently
+    * reduced recall during the seconds a cell swaps; a serving
+    * [[graft.query.IvfServer]] notices the finished mutation through
     * its per-cell version stamps (or an explicit `refresh()`).
-    * Returns the number of cells rewritten. */
+    * Probe results are IDENTICAL pre/post (spec-pinned). Returns the
+    * number of cells rewritten. */
   def compactIvfStore(spark: SparkSession, storeDir: String,
                       maxFilesPerCell: Int = 8): Int = {
     import org.apache.hadoop.fs.Path
@@ -696,21 +715,47 @@ object Similarity {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cellDirs = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+    def parquets(p: Path) = fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     var rewritten = 0
     cellDirs.foreach { cd =>
-      val dataFiles = fs.listStatus(cd.getPath)
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      val tmp = new Path(cd.getPath, "_graft_compact_tmp")
+      val swap = new Path(cd.getPath, "_graft_swap")
+      // RECOVERY from a previous crash (see protocol above)
+      if (fs.exists(swap)) {
+        val visible = parquets(cd.getPath)
+        val tmpComplete = fs.exists(new Path(tmp, "_SUCCESS"))
+        if (visible.exists(_.getPath.getName.startsWith("compact-"))) {
+          // step 3 completed — just clean up
+          fs.delete(swap, true); fs.delete(tmp, true)
+        } else if (tmpComplete) {
+          // step 2 done, 3 not — redo 3, then clean up
+          val nf = parquets(tmp).head.getPath
+          fs.rename(nf, new Path(cd.getPath, s"compact-${nf.getName}"))
+          fs.delete(swap, true); fs.delete(tmp, true)
+        } else {
+          // crashed mid step 2 with no usable replacement — roll back
+          parquets(swap).foreach(f =>
+            fs.rename(f.getPath, new Path(cd.getPath, f.getPath.getName)))
+          fs.delete(swap, true); fs.delete(tmp, true)
+        }
+      } else if (fs.exists(tmp)) fs.delete(tmp, true)
+      val dataFiles = parquets(cd.getPath)
       if (dataFiles.length > maxFilesPerCell) {
-        val tmp = new Path(cd.getPath, "_graft_compact_tmp")
+        // 1. replacement (hidden)
         spark.read.parquet(cd.getPath.toString)
           .coalesce(1)
           .write.mode("overwrite").parquet(tmp.toString)
-        val newFile = fs.listStatus(tmp)
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .head.getPath
-        dataFiles.foreach(f => fs.delete(f.getPath, false))
+        val newFile = parquets(tmp).head.getPath
+        // 2. old files move (not delete) into the hidden swap dir
+        fs.mkdirs(swap)
+        dataFiles.foreach(f =>
+          fs.rename(f.getPath, new Path(swap, f.getPath.getName)))
+        // 3. replacement becomes visible
         fs.rename(newFile,
           new Path(cd.getPath, s"compact-${newFile.getName}"))
+        // 4. cleanup — only now is anything deleted
+        fs.delete(swap, true)
         fs.delete(tmp, true)
         rewritten += 1
       }

@@ -119,9 +119,14 @@ object TextAnalysis {
   def stratifiedSample(spark: SparkSession, dir: String,
                        k: Int = 50): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    // coalesce BEFORE hashing: graft_topk DROPS null scores while the
+    // oracle's row_number ranks null hashes — a null text would
+    // silently shrink a stratum on one side only (the q38 null-
+    // homogeneity class); hashing '' keeps the row on both engines
     docs(spark, dir)
       .select(col("lang"), col("doc_id"),
-        graft.functions.GraftFunctions.polyhash(col("text"), P).as("h"))
+        graft.functions.GraftFunctions
+          .polyhash(coalesce(col("text"), lit("")), P).as("h"))
       .groupBy(col("lang"))
       .agg(graft.functions.GraftFunctions
         .topkBy((-col("h")).cast("double"), col("doc_id"), k).as("top"))

@@ -537,7 +537,8 @@ object TrainingOracles {
     // per lang (ties by doc_id) — the WINDOW form, so the compare
     // proves the engine's bounded-heap aggregate == row_number()
     "q24_sample_stratified" ->
-      s"""WITH h AS (SELECT lang, doc_id, ${ddbPolyHash("text")} AS hv
+      s"""WITH h AS (SELECT lang, doc_id,
+                            ${ddbPolyHash("coalesce(text, '')")} AS hv
                      FROM documents),
          r AS (SELECT lang, doc_id, hv,
                       row_number() OVER (PARTITION BY lang

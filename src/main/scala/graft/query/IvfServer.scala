@@ -97,52 +97,56 @@ final class IvfServer(spark: SparkSession, storeDir: String) {
     }.sortBy { case (cid, c) => (-c, cid) }
       .take(nProbe).map(_._1).toSeq
 
+  /** The constructed cell paths that EXIST — a ranked centroid's cell
+    * can be empty (`partitionBy` writes no directory for it, e.g. a
+    * duplicate seed whose ties all break to the lower cid), and a
+    * probe must skip it rather than fail the read. */
+  private def existingCellPaths(cells: Seq[Long]): Seq[String] =
+    cells.map(c => s"$storeDir/cell=$c")
+      .filter(p => hfs.exists(new org.apache.hadoop.fs.Path(p)))
+
+  /** An empty (vec_id, cos) result for probes whose ranked cells all
+    * turn out directory-less. */
+  private def emptyResult: DataFrame =
+    spark.range(0).selectExpr("id AS vec_id",
+      "CAST(0.0 AS DOUBLE) AS cos")
+
   /** Top-k exact-cosine neighbors of `qv` inside its `nProbe` nearest
     * cells (one job over nProbe directories — the recall knob on the
     * served path). `excludeId` drops the query's own row when probing
     * with a stored vector. */
   def probe(qv: Seq[Float], k: Int = 10, excludeId: Long = -1L,
-            nProbe: Int = 1): DataFrame =
-    spark.read.parquet(
-        cellsOf(qv, nProbe).map(c => s"$storeDir/cell=$c"): _*)
+            nProbe: Int = 1): DataFrame = {
+    val paths = existingCellPaths(cellsOf(qv, nProbe))
+    if (paths.isEmpty) return emptyResult
+    spark.read.parquet(paths: _*)
       .filter(col("vec_id") =!= excludeId)
       .select(col("vec_id"),
         Similarity.cosine(col("embedding"), typedLit(qv)).as("c"))
       .orderBy(col("c").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), round(col("c"), 4).as("cos"))
+  }
 
   // ---- prepared templates: EXCHANGE-FREE plans per (cell set, k)
   // (scan → RefLongSetContains exclude → RefVecCosine project →
   // TakeOrderedAndProject); per query only the two driver-side
-  // references change. CONCURRENCY: templates live in small per-key
-  // POOLS — a probe borrows an instance (building one if none is
-  // free), runs its set-refs-then-collect privately, and returns it —
-  // so N threads probe N borrowed templates in parallel with no
-  // shared-ref race (replacing the one-in-flight `synchronized` of
-  // the single-template design). STALENESS: each template carries the
-  // max modification time of its cell directories at build; a borrow
-  // re-stats the directories (microseconds, driver-side) and discards
-  // the template if the store mutated underneath it
-  // ([[Similarity.appendIvfLayout]] / [[Similarity.compactIvfStore]]
-  // both touch the cell dirs) — [[refresh]] stays as the explicit big
+  // references change. CONCURRENCY: the shared [[TemplatePool]] —
+  // each probe borrows its own instance for the set-refs-then-collect
+  // window. STALENESS: each template carries the max modification
+  // time of its cell directories, stamped BEFORE the scan pins its
+  // file listing (a mutation landing in between leaves the stamp
+  // strictly older than the files, so the next borrow's validate
+  // rebuilds — the safe direction of the race); the validate hook
+  // re-stats the directories per borrow (microseconds, driver-side).
+  // [[Similarity.appendIvfLayout]] / [[Similarity.compactIvfStore]]
+  // both touch the cell dirs; [[refresh]] stays as the explicit big
   // hammer for stores where directory mtimes don't move (object
   // stores without real directories).
   private final case class Tmpl(
       ref: AtomicReference[Array[Float]],
       exclude: AtomicReference[java.util.HashSet[java.lang.Long]],
       df: DataFrame, version: Long)
-
-  private val PoolPerKey = 8
-  private val MaxKeys = 32
-  private val pools = new java.util.LinkedHashMap[
-      (Seq[Long], Int),
-      java.util.concurrent.ArrayBlockingQueue[Tmpl]](16, 0.75f, true) {
-    override def removeEldestEntry(
-        e: java.util.Map.Entry[(Seq[Long], Int),
-          java.util.concurrent.ArrayBlockingQueue[Tmpl]]): Boolean =
-      size > MaxKeys
-  }
 
   private val hfs = new org.apache.hadoop.fs.Path(storeDir)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -155,40 +159,35 @@ final class IvfServer(spark: SparkSession, storeDir: String) {
       catch { case _: java.io.FileNotFoundException => -1L }
     }.max
 
+  private val pools = new TemplatePool[(Seq[Long], Int), Tmpl](
+    { case (cells, k) => buildTmpl(cells, k) }, maxKeys = 32)
+
   /** Drop every pooled template. Staleness after a store mutation is
     * normally caught by the per-borrow version stamp (see the pool
     * comment); call this where directory modification times can't
     * reflect mutations, or to release plans eagerly. */
-  def refresh(): Unit = pools.synchronized { pools.clear() }
-
-  private def pool(cells: Seq[Long], k: Int)
-      : java.util.concurrent.ArrayBlockingQueue[Tmpl] =
-    pools.synchronized {
-      val key = (cells, k)
-      val hit = pools.get(key)
-      if (hit != null) hit
-      else {
-        val q = new java.util.concurrent.ArrayBlockingQueue[Tmpl](PoolPerKey)
-        pools.put(key, q)
-        q
-      }
-    }
+  def refresh(): Unit = pools.clear()
 
   private def buildTmpl(cells: Seq[Long], k: Int): Tmpl = {
+    // version BEFORE the read: see the staleness note above
+    val version = cellsVersion(cells)
     val ref = new AtomicReference[Array[Float]](Array.empty[Float])
     val ex = new AtomicReference[java.util.HashSet[java.lang.Long]](
       new java.util.HashSet)
-    val df = spark.read.parquet(cells.map(c => s"$storeDir/cell=$c"): _*)
-      .filter(!Bridge.column(RefLongSetContains(
-        Bridge.expression(col("vec_id")), ex)))
-      .select(col("vec_id"),
-        Bridge.column(RefVecCosine(
-          Bridge.expression(col("embedding")), ref)).as("c"))
-      .orderBy(col("c").desc, col("vec_id"))
-      .limit(k)
-      .select(col("vec_id"), round(col("c"), 4).as("cos"))
+    val paths = existingCellPaths(cells)
+    val df =
+      if (paths.isEmpty) emptyResult
+      else spark.read.parquet(paths: _*)
+        .filter(!Bridge.column(RefLongSetContains(
+          Bridge.expression(col("vec_id")), ex)))
+        .select(col("vec_id"),
+          Bridge.column(RefVecCosine(
+            Bridge.expression(col("embedding")), ref)).as("c"))
+        .orderBy(col("c").desc, col("vec_id"))
+        .limit(k)
+        .select(col("vec_id"), round(col("c"), 4).as("cos"))
     df.queryExecution.executedPlan // plan + codegen now, not per query
-    Tmpl(ref, ex, df, cellsVersion(cells))
+    Tmpl(ref, ex, df, version)
   }
 
   /** [[probe]] through a borrowed prepared plan — zero per-query
@@ -201,28 +200,20 @@ final class IvfServer(spark: SparkSession, storeDir: String) {
   def probeTemplate(qv: Seq[Float], k: Int = 10, excludeId: Long = -1L,
                     nProbe: Int = 1): Seq[(Long, Double)] = {
     val cells = cellsOf(qv, nProbe)
-    val p = pool(cells, k)
-    var t = p.poll()
-    if (t == null || t.version != cellsVersion(cells))
-      t = buildTmpl(cells, k)
-    try {
+    pools.withInstance((cells, k),
+        (t: Tmpl) => t.version == cellsVersion(cells)) { t =>
       t.ref.set(qv.toArray)
       val ex = new java.util.HashSet[java.lang.Long]()
       if (excludeId != -1L) ex.add(excludeId)
       t.exclude.set(ex)
       t.df.collect().iterator
         .map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    } finally { p.offer(t); () }
+    }
   }
 
   /** The executed plan of `qv`'s cell template (spec hook: the
     * exchange-free invariant that makes plan reuse safe). */
-  private[query] def templatePlan(qv: Seq[Float]): String = {
-    val cells = cellsOf(qv, 1)
-    val p = pool(cells, 10)
-    var t = p.poll()
-    if (t == null) t = buildTmpl(cells, 10)
-    try t.df.queryExecution.executedPlan.toString
-    finally { p.offer(t); () }
-  }
+  private[query] def templatePlan(qv: Seq[Float]): String =
+    pools.withInstance((cellsOf(qv, 1), 10))(
+      _.df.queryExecution.executedPlan.toString)
 }

@@ -195,6 +195,47 @@ class IvfServerSpec extends SparkSpec {
     assert(postStored == preStored, "store probe changed across compaction")
   }
 
+  test("compaction crash recovery: an interrupted swap rolls back or " +
+    "completes, never losing rows") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ivf_rcv").toString
+    Similarity.writeIvfLayout(spark, dir, out)
+    val before = spark.read.parquet(out).count()
+    val cellDir = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .maxBy(_.listFiles().count(_.getName.endsWith(".parquet")))
+    // simulate a crash mid step 2 (files moved to _graft_swap, no
+    // usable replacement): recovery must roll the files BACK
+    val swap = new java.io.File(cellDir, "_graft_swap")
+    swap.mkdirs()
+    val moved = cellDir.listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(moved.nonEmpty)
+    moved.foreach(f => assert(
+      f.renameTo(new java.io.File(swap, f.getName))))
+    assert(cellDir.listFiles().count(_.getName.endsWith(".parquet")) == 0)
+    Similarity.compactIvfStore(spark, out, maxFilesPerCell = 1000)
+    assert(!swap.exists, "swap marker not cleaned up")
+    assert(spark.read.parquet(out).count() == before,
+      "rows lost across crash recovery")
+    // simulate a crash between steps 2 and 3 (complete replacement in
+    // tmp, old files in swap): recovery must FINISH the swap
+    val tmp = new java.io.File(cellDir, "_graft_compact_tmp")
+    spark.read.parquet(cellDir.toString).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val swap2 = new java.io.File(cellDir, "_graft_swap")
+    swap2.mkdirs()
+    cellDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => assert(f.renameTo(new java.io.File(swap2, f.getName))))
+    Similarity.compactIvfStore(spark, out, maxFilesPerCell = 1000)
+    assert(!swap2.exists && !tmp.exists, "markers not cleaned up")
+    assert(spark.read.parquet(out).count() == before,
+      "rows lost finishing an interrupted swap")
+    assert(cellDir.listFiles()
+      .exists(_.getName.startsWith("compact-")),
+      "replacement not made visible")
+  }
+
   test("a probe is one job over one cell directory") {
     val srv = new IvfServer(spark, store)
     val qv = spark.read.parquet(store).filter(col("vec_id") === 0L)
