@@ -146,6 +146,7 @@ object SparkEntry {
     "q29_topk" ->
       ((s: SparkSession, d: String) => IrEngine.q29TopUsers(s, d)),
     "q29_join" -> (IrEngine.q29Join _),
+    "q29_neardup_stream" -> (IrEngine.q29NeardupStream _),
     "q32_sessions" -> (IrEngine.q32Sessions _),
     // Temporal joins (as-of / range) — operators Spark lacks natively
     "q30_asof" -> (Temporal.q30AsOf _),

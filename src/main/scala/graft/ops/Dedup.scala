@@ -462,6 +462,39 @@ object Dedup {
       .orderBy("delta_doc", "base_doc")
   }
 
+  /** Minhash band-key rows over an arbitrary (doc_id, text) frame,
+    * with the full wide signature carried on every row:
+    * (doc_id, band, key, mh0..mh15). The batch-side building block of
+    * the STREAMING near-dup ingest gate
+    * ([[graft.queries.IrEngine.q29NeardupStream]]): per ingest batch
+    * these rows are (a) probed against the accumulated durable band
+    * index and (b) appended to it. Carrying the signature on the band
+    * rows makes the candidate est-jaccard computable straight off the
+    * matched rows — no second signature join against the base; the 4×
+    * signature redundancy is the classic space-for-joins index trade. */
+  private[graft] def bandRowsOf(df: DataFrame): DataFrame = {
+    val inc = df.select(col("doc_id"),
+        explode(distinctShingles3(col("text"))).as("shingle"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.polyhash(col("shingle"), PM).as("h"))
+    val mins = MinhashPerms.map { case (i, a, b) =>
+      min((lit(a) * col("h") + lit(b)) % PM).as(s"mh$i") }
+    val sig = inc.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandKeys = (0 until Bands).map { b =>
+      concat_ws(",", (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(i => col(s"mh$i").cast("string")): _*) }
+    sig.select(col("doc_id") +:
+      posexplode(array(bandKeys: _*)).as(Seq("band", "key")) +:
+      MinhashPerms.map { case (i, _, _) => col(s"mh$i") }: _*)
+  }
+
+  /** The signature-match fraction between the x/y sides of a joined
+    * [[bandRowsOf]] pair — shared by the streaming gate's probe. */
+  private[graft] def bandMatchFraction: org.apache.spark.sql.Column =
+    round(MinhashPerms.map { case (i, _, _) =>
+      when(col(s"x.mh$i") === col(s"y.mh$i"), 1L).otherwise(0L) }
+      .reduce(_ + _) / lit(MinhashPerms.size.toDouble), 4)
+
   /** The delta-dedup fixture shared by [[deltaDedup]] and
     * [[bloomProbe]]: the corpus split at its median doc_id into
     * (distinct base digests, per-doc delta digests). */

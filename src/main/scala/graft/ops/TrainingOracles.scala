@@ -607,6 +607,28 @@ object TrainingOracles {
                      JOIN sig s2 ON c.base_doc = s2.doc_id AND s1.i = s2.i
          GROUP BY 1, 2 ORDER BY delta_doc, base_doc""",
 
+    // streaming near-dup ingest gate: docs arrive in chunk order
+    // doc_id % 3; each batch probes the band index accumulated from
+    // EARLIER chunks — so a pair reports iff it band-collides and the
+    // base's chunk precedes the delta's
+    "q29_neardup_stream" ->
+      s"""$docShingles,
+         hh AS (SELECT doc_id, ${ddbPolyHash("shingle", PM)} AS h FROM sh),
+         sig AS (SELECT doc_id, i, min((a * h + b) % $PM) AS mh
+                 FROM hh CROSS JOIN $ddbPermValues GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // $RowsPerBand AS band,
+                          string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+                   FROM sig GROUP BY doc_id, i // $RowsPerBand),
+         cand AS (SELECT DISTINCT y.doc_id AS delta_doc, x.doc_id AS base_doc
+                  FROM bands x JOIN bands y
+                    ON x.band = y.band AND x.bkey = y.bkey
+                  WHERE x.doc_id % 3 < y.doc_id % 3)
+         SELECT c.delta_doc, c.base_doc,
+                round(sum(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END) / ${MinhashPerms.size}.0, 4) AS est_jaccard
+         FROM cand c JOIN sig s1 ON c.delta_doc = s1.doc_id
+                     JOIN sig s2 ON c.base_doc = s2.doc_id AND s1.i = s2.i
+         GROUP BY 1, 2 ORDER BY delta_doc, base_doc""",
+
     // same pair generation as q24_dedup_jaccard, then connected
     // components via a recursive reachability CTE (UNION dedup
     // terminates the recursion); cluster = min reachable doc_id

@@ -588,6 +588,87 @@ object IrEngine {
     spark.table(name).orderBy("user_id", "a_id", "b_id")
   }
 
+  /** STREAMING NEAR-DUP ingest gate end-to-end — the incremental LSH
+    * probe ([[graft.ops.Dedup.neardupProbe]]) inside the standing
+    * ingest loop: the corpus arrives as a file stream (three chunks,
+    * docs routed by `doc_id % 3`, one micro-batch each), and
+    * `foreachBatch` (a) probes the batch's minhash band keys against
+    * the DURABLE accumulated band index — flagging each new doc's
+    * near-duplicates among everything ingested before it — then
+    * (b) appends the batch's band rows to the index, exactly the
+    * append-only maintenance [[graft.ops.Similarity.appendIvfLayout]]
+    * runs for vectors. Emits (delta_doc, base_doc, est_jaccard) for
+    * every cross-batch band collision where the base arrived in an
+    * earlier batch; the oracle recomputes the same contract
+    * relationally (base chunk < delta chunk). Candidate sets are
+    * duplicate-density-bounded, so the per-batch collect is the same
+    * bounded driver hop the batch probe takes. */
+  def q29NeardupStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    graft.functions.GraftFunctions.register(spark)
+    val staged = stagedOnce(dir, "nds", sourceStamp(dir, "documents")) {
+      root =>
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        Files.createDirectories(root)
+        (0 until 3).foreach { i =>
+          val tmp = root.resolve(s"_build$i")
+          d.filter(pmod(col("doc_id"), lit(3)) === i)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val ls = Files.list(tmp)
+          val part =
+            try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+            finally ls.close()
+          val dst = root.resolve(s"chunk-$i.parquet")
+          Files.move(part, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.toFile.setLastModified(1000000000000L + i * 60000L)
+          val wk = Files.walk(tmp)
+          try wk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { Files.deleteIfExists(p); () })
+          finally wk.close()
+        }
+    }
+    // the durable band index this run accumulates (per-run scratch)
+    val ixDir = graft.TempDirs.scratch("graft_nds_ix")
+    val found =
+      scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    var indexNonEmpty = false
+    val q = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bs = batch.sparkSession
+        graft.functions.GraftFunctions.register(bs)
+        val bands = graft.ops.Dedup.bandRowsOf(batch)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (indexNonEmpty) {
+            val base = bs.read.parquet(ixDir)
+            found ++= bands.as("y").join(base.as("x"),
+                col("x.band") === col("y.band") &&
+                  col("x.key") === col("y.key"))
+              .select(col("y.doc_id").as("delta_doc"),
+                col("x.doc_id").as("base_doc"),
+                graft.ops.Dedup.bandMatchFraction.as("est"))
+              .distinct()
+              .collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          }
+          bands.write.mode("append").parquet(ixDir)
+          indexNonEmpty = true
+        } finally { bands.unpersist(); () }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    import spark.implicits._
+    found.toSeq.toDF("delta_doc", "base_doc", "est_jaccard")
+      .orderBy("delta_doc", "base_doc")
+  }
+
   /** Sliding-window aggregation over events (batch form of the
     * streaming `slidingCounts` transform — 1 h windows every 30 min,
     * so each event lands in exactly two overlapping windows; the
