@@ -23,7 +23,8 @@ object GoldenGen {
   /** The queries with committed goldens — keep in sync with the
     * `golden/…` entries in [[SparkEntry.oracleSql]]. */
   val Names: Seq[String] =
-    Seq("q26_ir_terms", "q26_ir_index", "q26_ir_search", "q26_ir_wildcard",
+    Seq("q26_ir_terms", "q26_ir_index", "q26_ir_search", "q26_ir_rm3",
+      "q26_ir_wildcard",
       "q35_rewrite_wildcard", "q36_phrase", "q36_near",
       "q36_near_ordered", "q36_near_topk", "q36_snippet",
       "q36_phrase_wildcard")

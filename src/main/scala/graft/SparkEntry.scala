@@ -125,6 +125,7 @@ object SparkEntry {
     "q26_ir_merged" -> (IrEngine.q26MergedIndex _),
     "q26_ir_stream" -> (IrEngine.q26StreamedIndex _),
     "q26_ir_search" -> (IrEngine.q26Search _),
+    "q26_ir_rm3" -> (IrEngine.q26Rm3 _),
     "q26_ir_wildcard" -> (IrEngine.q26Wildcard _),
     "q28_multimodal" -> (IrEngine.q28Multimodal _),
     "q28_resize" -> (IrEngine.q28Resize _),
@@ -811,6 +812,8 @@ object SparkEntry {
       """SELECT * FROM '/root/repo/golden/q26_ir_index.parquet'""",
     "q26_ir_search" ->
       """SELECT * FROM '/root/repo/golden/q26_ir_search.parquet'""",
+    "q26_ir_rm3" ->
+      """SELECT * FROM '/root/repo/golden/q26_ir_rm3.parquet'""",
     "q26_ir_wildcard" ->
       """SELECT * FROM '/root/repo/golden/q26_ir_wildcard.parquet'""",
     // golden generated from the UN-rewritten fallback evaluation, so

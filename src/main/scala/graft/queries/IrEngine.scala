@@ -217,6 +217,17 @@ object IrEngine {
     QueryEngine.search(ix, "merge stream")
   }
 
+  /** RM3 pseudo-relevance-feedback search through the full engine
+    * (build → initial tf-idf pass → relevance-model expansion →
+    * weighted re-ranking; [[graft.query.QueryEngine.rm3Search]]).
+    * Golden-parquet oracle like the rest of the q26 family (the
+    * stemming pipeline is not SQL-expressible); the λ=1 ≡ plain-search
+    * identity and the feedback bounds are spec-pinned. */
+  def q26Rm3(spark: SparkSession, dir: String): DataFrame = {
+    val ix = InvertedIndex.build(spark, corpus(spark, dir), k = 1)
+    QueryEngine.rm3Search(ix, "merge stream")
+  }
+
   /** Wildcard expansion via the char-3-gram index. */
   def q26Wildcard(spark: SparkSession, dir: String): DataFrame = {
     val cg = CharKGramIndex.build(spark, corpus(spark, dir), k = 3)

@@ -114,6 +114,87 @@ object QueryEngine {
       resolved.orderBy(col("score").desc, col("docno"))
   }
 
+  /** RM3 PSEUDO-RELEVANCE FEEDBACK — the classic query-expansion
+    * retrieval of the reference's Galago lineage, as a deterministic
+    * two-pass DataFrame program:
+    *
+    *  1. initial retrieval: the engine's tf-idf top-`fbDocs`
+    *     (scores already rounded 4 dp — the feedback inputs are
+    *     conf-stable),
+    *  2. relevance model over the feedback docs:
+    *     rm(t) = Σ_d (tf(t,d)/len(d))·s(d); keep the top `fbTerms`
+    *     by (rm desc, term asc), normalize to sum 1, round 6 dp
+    *     (driver-side — `fbTerms` values, bounded),
+    *  3. expanded weighted query: q(t) = λ·1/|Q| for original terms
+    *     plus (1−λ)·rm̃(t) for expansion terms (summed where both),
+    *  4. final ranking: score(d) = Σ_t q(t)·(1+ln tf)·log10(N/df) —
+    *     the engine's intended per-term contribution, weighted —
+    *     top-`topK`, (score desc, docno asc), same output contract
+    *     as [[search]].
+    *
+    * Scale shape: pass 1 is [[search]]; the feedback-doc postings
+    * filter is `docno isin(fbDocs literals)` — over THIS index layout
+    * (term-sorted) that is a scan-shaped filter, and a deployment
+    * serving RM3 hot would keep the docno-keyed forward projection
+    * (the same artifact [[graft.index.PositionalIndex.snippet]]
+    * reconstructs on the fly); everything after is bounded by
+    * fbDocs·vocab-per-doc and fbTerms. Driver hops: the fbDocs score
+    * rows and the fbTerms weight rows — both k-bounded. */
+  def rm3Search(ix: Index, query: String, topK: Int = 10,
+                fbDocs: Int = 5, fbTerms: Int = 10,
+                lambda: Double = 0.5): DataFrame = {
+    val spark = ix.docMap.sparkSession
+    import spark.implicits._
+    val qTerms = requireArity(query).distinct
+    if (qTerms.isEmpty) return search(ix, query, topK)
+    val fb = search(ix, query, fbDocs)
+      .select(col("docno"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    if (fb.isEmpty) return search(ix, query, topK)
+    val fbPost = ix.postings
+      .filter(col("docno").isin(fb.map(_._1).toSeq: _*))
+    val dlen = fbPost.groupBy(col("docno"))
+      .agg(sum(col("tf")).as("dlen"))
+    val sdf = fb.toSeq.toDF("docno", "s")
+    val rm = fbPost
+      .join(broadcast(dlen), "docno")
+      .join(broadcast(sdf), "docno")
+      .groupBy(col("kgram"))
+      .agg(sum(col("tf").cast("double") / col("dlen") * col("s"))
+        .as("rm0"))
+      .orderBy(col("rm0").desc, col("kgram"))
+      .limit(fbTerms)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val rmSum = rm.map(_._2).sum
+    val rmW =
+      if (rmSum <= 0) Map.empty[String, Double]
+      else rm.map { case (t, v) =>
+        t -> math.rint(v / rmSum * 1e6) / 1e6 }.toMap
+    val origW = qTerms.map(t => t -> lambda / qTerms.size).toMap
+    // zero-weight terms are dropped: they contribute nothing to any
+    // score by definition, but would otherwise ADMIT their documents
+    // with score 0 (visible at λ=1, where rm3 must reduce to the
+    // plain ranking — spec-pinned)
+    val weights = (origW.keySet ++ rmW.keySet).toSeq.sorted.map { t =>
+      (t, origW.getOrElse(t, 0.0) + (1 - lambda) * rmW.getOrElse(t, 0.0))
+    }.filter(_._2 > 0)
+    val wDf = weights.toDF("kgram", "w")
+    val terms = weights.map(_._1)
+    val hits = ix.postings.filter(col("kgram").isin(terms: _*))
+      .join(broadcast(ix.termStats.filter(col("kgram").isin(terms: _*))),
+        "kgram")
+      .join(broadcast(wDf), "kgram")
+    val idf = log10(lit(ix.nDocs.toDouble) / col("df").cast("double"))
+    val top = hits.groupBy(col("docno"))
+      .agg(sum(col("w") * (lit(1.0) + log(col("tf"))) * idf).as("score0"))
+      .select(col("docno"), round(col("score0"), 4).as("score"))
+      .orderBy(col("score").desc, col("docno"))
+      .limit(topK)
+    ix.docMap.join(broadcast(top), "docno")
+      .select(col("docno"), col("docid"), col("score"))
+      .orderBy(col("score").desc, col("docno"))
+  }
+
   /** Expand a wildcard pattern with ANY number of `*`s (e.g. `re*ve`,
     * `a*b*c`) to matching vocabulary terms via the char-k-gram index:
     * grams of every $-anchored pattern segment → candidate must contain

