@@ -640,10 +640,14 @@ object IrEngine {
           finally wk.close()
         }
     }
-    // the durable band index this run accumulates (per-run scratch)
+    // the durable band index this run accumulates (per-run scratch),
+    // and the RESULTS sink the gate appends matched pairs to — both
+    // are tables, never driver state: a real ingest run flags pairs
+    // for the whole corpus lifetime, so the result channel must scale
+    // with storage, not driver heap (the per-batch probe itself is
+    // density-bounded; the pair VOLUME over months is not)
     val ixDir = graft.TempDirs.scratch("graft_nds_ix")
-    val found =
-      scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val pairsDir = graft.TempDirs.scratch("graft_nds_pairs")
     var indexNonEmpty = false
     val q = spark.readStream
       .schema("doc_id BIGINT, text STRING")
@@ -658,15 +662,14 @@ object IrEngine {
         try {
           if (indexNonEmpty) {
             val base = bs.read.parquet(ixDir)
-            found ++= bands.as("y").join(base.as("x"),
+            bands.as("y").join(base.as("x"),
                 col("x.band") === col("y.band") &&
                   col("x.key") === col("y.key"))
               .select(col("y.doc_id").as("delta_doc"),
                 col("x.doc_id").as("base_doc"),
-                graft.ops.Dedup.bandMatchFraction.as("est"))
+                graft.ops.Dedup.bandMatchFraction.as("est_jaccard"))
               .distinct()
-              .collect()
-              .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+              .write.mode("append").parquet(pairsDir)
           }
           bands.write.mode("append").parquet(ixDir)
           indexNonEmpty = true
@@ -675,9 +678,13 @@ object IrEngine {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    import spark.implicits._
-    found.toSeq.toDF("delta_doc", "base_doc", "est_jaccard")
-      .orderBy("delta_doc", "base_doc")
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(pairsDir)))
+      spark.read.parquet(pairsDir).orderBy("delta_doc", "base_doc")
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "delta_doc BIGINT, base_doc BIGINT, est_jaccard DOUBLE"))
   }
 
   /** Sliding-window aggregation over events (batch form of the

@@ -317,4 +317,33 @@ class EventsStreamSpec extends SparkSpec {
       assert(batch((r.getLong(0), r.getLong(2))) == r.getLong(3))
     }
   }
+
+  test("streaming near-dup gate: pairs come from the parquet results " +
+    "sink (no driver accumulation) and match the batch recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val result = graft.queries.IrEngine.q29NeardupStream(spark, dir)
+    // the result channel must be the sink table, not driver memory:
+    // the plan reads the per-run pairs parquet directory
+    assert(result.inputFiles.nonEmpty &&
+      result.inputFiles.forall(_.contains("graft_nds_pairs")))
+    val got = result.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // batch recompute of the same contract: band collisions where the
+    // base doc's chunk (doc_id % 3 = ingest order) precedes the delta's
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val bands = graft.ops.Dedup.bandRowsOf(docs)
+    val exp = bands.as("y").join(bands.as("x"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          pmod(col("x.doc_id"), lit(3)) < pmod(col("y.doc_id"), lit(3)))
+      .select(col("y.doc_id").as("delta_doc"),
+        col("x.doc_id").as("base_doc"),
+        graft.ops.Dedup.bandMatchFraction.as("est_jaccard"))
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      .sorted
+    assert(got.sorted == exp)
+    assert(exp.nonEmpty)
+  }
 }
