@@ -638,7 +638,7 @@ object Similarity {
     val qv = qRow.getSeq[Float](1)
     val cells: Seq[Long] =
       if (nProbe <= 1) Seq(qRow.getAs[Number]("cell").longValue)
-      else probeCellsOf(stored, qv, nProbe)
+      else probeCellsOf(spark, storeDir, qv, nProbe)
     stored.filter(col("cell").isin(cells: _*) && col("vec_id") =!= qId)
       .select(col("vec_id"),
         cosine(col("embedding"), typedLit(qv)).as("c"))
@@ -647,18 +647,29 @@ object Similarity {
       .select(col("vec_id"), round(col("c"), 4).as("cos"))
   }
 
+  /** Session cache of a durable store's seed centroids, keyed by store
+    * path. Seeds are the store's FIXED coordinate system — writes
+    * create them once and [[appendIvfLayout]] assigns deltas AGAINST
+    * them without ever rewriting them — so one collect per store per
+    * session is sound, and repeat probes skip the every-cell centroid
+    * scan ([[graft.query.IvfServer]] already holds its seeds; this
+    * gives the entry-point path the same discipline). */
+  private[graft] val storeSeedCache = new java.util.concurrent
+    .ConcurrentHashMap[String, Array[(Long, Seq[Float])]]()
+
   /** The top-`nProbe` cells for a query vector against a store's seed
     * centroids — same (cosine desc, cid asc) order as [[annIvfProbe]]'s
     * relational centroid ranking and the same [[cosSeqInf]] arithmetic
     * as [[graft.query.IvfServer.cellOf]], so the three probe paths
     * choose identical cell sets. */
-  private[graft] def probeCellsOf(stored: DataFrame,
+  private[graft] def probeCellsOf(spark: SparkSession, storeDir: String,
                                   qv: Seq[Float], nProbe: Int): Seq[Long] =
-    stored
-      .filter(col("vec_id") < IvfCentroids.toLong)
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    storeSeedCache.computeIfAbsent(storeDir, _ =>
+        spark.read.parquet(storeDir)
+          .filter(col("vec_id") < IvfCentroids.toLong)
+          .select(col("vec_id"), col("embedding"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1))))
       .sortBy { case (cid, cv) => (-cosSeqInf(qv, cv), cid) }
       .take(nProbe).map(_._1).toSeq
 
@@ -687,16 +698,27 @@ object Similarity {
     * the replacement is visible):
     *  1. write the replacement into `_graft_compact_tmp` (hidden from
     *     Spark readers; carries a `_SUCCESS` marker),
-    *  2. MOVE the old visible files into `_graft_swap` (renames —
+    *  2. write `_graft_swap_manifest` (hidden): line 1 the ATTEMPT'S
+    *     unique replacement name (Spark part names embed a per-job
+    *     UUID — a re-compaction of a cell that already holds an older
+    *     `compact-*` file cannot be confused with it), then the exact
+    *     names of the visible files this attempt will move,
+    *  3. MOVE the manifest-listed files into `_graft_swap` (renames —
     *     also hidden),
-    *  3. rename the replacement in as `compact-*.parquet`,
-    *  4. delete the two hidden dirs.
+    *  4. rename the replacement in under the manifest's name,
+    *  5. delete the hidden dirs + manifest.
     * A crash at ANY point leaves every row present in either the
     * visible or a hidden location, and the RECOVERY pass at the next
     * [[compactIvfStore]] entry finishes or rolls back from the
-    * markers: `_graft_swap` present + replacement visible → finish
-    * cleanup; + complete tmp → redo step 3; otherwise move the old
-    * files back. No state loses data.
+    * markers, keyed on the MANIFEST (never on a name prefix):
+    * manifest's replacement visible → the swap is complete, clean up;
+    * replacement not visible but tmp complete → first finish moving
+    * EVERY still-visible manifest-listed file into `_graft_swap`
+    * (otherwise their rows would duplicate the replacement's), then
+    * redo step 4; tmp incomplete → move the swap contents back.
+    * A manifest with no swap dir means nothing moved yet — the
+    * attempt is abandoned wholesale. No state loses or duplicates
+    * data.
     *
     * CONCURRENCY: compaction is a MAINTENANCE operation — a probe
     * running concurrently with steps 2–3 can transiently see a
@@ -721,24 +743,54 @@ object Similarity {
     cellDirs.foreach { cd =>
       val tmp = new Path(cd.getPath, "_graft_compact_tmp")
       val swap = new Path(cd.getPath, "_graft_swap")
+      val manifest = new Path(cd.getPath, "_graft_swap_manifest")
+      def cleanup(): Unit = {
+        fs.delete(swap, true); fs.delete(tmp, true)
+        fs.delete(manifest, false); ()
+      }
       // RECOVERY from a previous crash (see protocol above)
-      if (fs.exists(swap)) {
-        val visible = parquets(cd.getPath)
+      if (fs.exists(manifest) && !fs.exists(swap)) {
+        // manifest written, nothing moved yet — abandon the attempt
+        cleanup()
+      } else if (fs.exists(swap) && fs.exists(manifest)) {
+        val in = fs.open(manifest)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toVector
+          finally in.close()
+        val target = new Path(cd.getPath, lines.head)
+        val listed = lines.tail
         val tmpComplete = fs.exists(new Path(tmp, "_SUCCESS"))
-        if (visible.exists(_.getPath.getName.startsWith("compact-"))) {
-          // step 3 completed — just clean up
-          fs.delete(swap, true); fs.delete(tmp, true)
+        if (fs.exists(target)) {
+          // step 4 completed under THIS attempt's name; any
+          // manifest-listed straggler still visible holds rows the
+          // replacement already carries — park it in swap, clean up
+          listed.foreach { n =>
+            val p = new Path(cd.getPath, n)
+            if (fs.exists(p)) { fs.rename(p, new Path(swap, n)); () }
+          }
+          cleanup()
         } else if (tmpComplete) {
-          // step 2 done, 3 not — redo 3, then clean up
-          val nf = parquets(tmp).head.getPath
-          fs.rename(nf, new Path(cd.getPath, s"compact-${nf.getName}"))
-          fs.delete(swap, true); fs.delete(tmp, true)
+          // finish step 3 for every still-visible listed file (a bare
+          // rename-in here would duplicate their rows), then redo 4
+          listed.foreach { n =>
+            val p = new Path(cd.getPath, n)
+            if (fs.exists(p)) { fs.rename(p, new Path(swap, n)); () }
+          }
+          fs.rename(parquets(tmp).head.getPath, target)
+          cleanup()
         } else {
-          // crashed mid step 2 with no usable replacement — roll back
+          // no usable replacement — roll the moved files back
           parquets(swap).foreach(f =>
             fs.rename(f.getPath, new Path(cd.getPath, f.getPath.getName)))
-          fs.delete(swap, true); fs.delete(tmp, true)
+          cleanup()
         }
+      } else if (fs.exists(swap)) {
+        // swap without a manifest (pre-manifest layout): by that
+        // protocol nothing was renamed in yet — roll back
+        parquets(swap).foreach(f =>
+          fs.rename(f.getPath, new Path(cd.getPath, f.getPath.getName)))
+        cleanup()
       } else if (fs.exists(tmp)) fs.delete(tmp, true)
       val dataFiles = parquets(cd.getPath)
       if (dataFiles.length > maxFilesPerCell) {
@@ -747,16 +799,23 @@ object Similarity {
           .coalesce(1)
           .write.mode("overwrite").parquet(tmp.toString)
         val newFile = parquets(tmp).head.getPath
-        // 2. old files move (not delete) into the hidden swap dir
+        // 2. manifest: the attempt's unique target name + exactly the
+        //    files being swapped out (closed before any file moves)
+        val mo = fs.create(manifest, true)
+        try mo.write(
+          (s"compact-${newFile.getName}" +:
+            dataFiles.map(_.getPath.getName).toVector)
+            .mkString("\n").getBytes("UTF-8"))
+        finally mo.close()
+        // 3. old files move (not delete) into the hidden swap dir
         fs.mkdirs(swap)
         dataFiles.foreach(f =>
           fs.rename(f.getPath, new Path(swap, f.getPath.getName)))
-        // 3. replacement becomes visible
+        // 4. replacement becomes visible under the manifest's name
         fs.rename(newFile,
           new Path(cd.getPath, s"compact-${newFile.getName}"))
-        // 4. cleanup — only now is anything deleted
-        fs.delete(swap, true)
-        fs.delete(tmp, true)
+        // 5. cleanup — only now is anything deleted
+        cleanup()
         rewritten += 1
       }
     }

@@ -133,16 +133,17 @@ final class IvfServer(spark: SparkSession, storeDir: String) {
   // TakeOrderedAndProject); per query only the two driver-side
   // references change. CONCURRENCY: the shared [[TemplatePool]] —
   // each probe borrows its own instance for the set-refs-then-collect
-  // window. STALENESS: each template carries the max modification
-  // time of its cell directories, stamped BEFORE the scan pins its
-  // file listing (a mutation landing in between leaves the stamp
-  // strictly older than the files, so the next borrow's validate
-  // rebuilds — the safe direction of the race); the validate hook
-  // re-stats the directories per borrow (microseconds, driver-side).
+  // window. STALENESS: each template carries a version stamp of its
+  // cell directories (per-cell parquet file count + sizes + mtimes,
+  // see cellsVersion), taken BEFORE the scan pins its file listing (a
+  // mutation landing in between leaves the stamp mismatched with the
+  // files, so the next borrow's validate rebuilds — the safe
+  // direction of the race); the validate hook re-lists the
+  // directories per borrow (driver-side metadata only).
   // [[Similarity.appendIvfLayout]] / [[Similarity.compactIvfStore]]
-  // both touch the cell dirs; [[refresh]] stays as the explicit big
-  // hammer for stores where directory mtimes don't move (object
-  // stores without real directories).
+  // both change a touched cell's file list; [[refresh]] stays as the
+  // explicit big hammer for layouts where listings can lag
+  // (eventually consistent object stores).
   private final case class Tmpl(
       ref: AtomicReference[Array[Float]],
       exclude: AtomicReference[java.util.HashSet[java.lang.Long]],
@@ -151,13 +152,23 @@ final class IvfServer(spark: SparkSession, storeDir: String) {
   private val hfs = new org.apache.hadoop.fs.Path(storeDir)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // the stamp folds per-cell parquet FILE COUNT, total BYTES, and the
+  // max file mtime — a mutation landing within the directory-mtime's
+  // timestamp tick (ms locally, 1 s on some filesystems) still changes
+  // the file list or its sizes, so equality can't pass stale
   private def cellsVersion(cells: Seq[Long]): Long =
-    cells.map { c =>
-      try hfs.getFileStatus(
-        new org.apache.hadoop.fs.Path(s"$storeDir/cell=$c"))
-        .getModificationTime
-      catch { case _: java.io.FileNotFoundException => -1L }
-    }.max
+    cells.foldLeft(17L) { (acc, c) =>
+      val h =
+        try {
+          val fsx = hfs.listStatus(
+            new org.apache.hadoop.fs.Path(s"$storeDir/cell=$c"))
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .sortBy(_.getPath.getName)
+          fsx.foldLeft(fsx.length.toLong)((a, f) =>
+            (a * 31 + f.getModificationTime) * 31 + f.getLen)
+        } catch { case _: java.io.FileNotFoundException => -1L }
+      acc * 1000003 + h
+    }
 
   private val pools = new TemplatePool[(Seq[Long], Int), Tmpl](
     { case (cells, k) => buildTmpl(cells, k) }, maxKeys = 32)
@@ -194,21 +205,35 @@ final class IvfServer(spark: SparkSession, storeDir: String) {
     * Catalyst work once the (cell set, k) pool is warm, and SAFE to
     * call from concurrent threads (each call owns its borrowed
     * template for the set-then-collect window). The exclusion happens
-    * INSIDE the template (driver-updated id set), so exactly k rows
-    * come back even if a delta append introduced duplicate vec_ids in
-    * a cell. */
+    * INSIDE the template (driver-updated id set). DUPLICATE vec_ids —
+    * an append replaying a batch lands the same id twice in a cell —
+    * are collapsed driver-side to the highest-cosine occurrence; when
+    * collapsing leaves fewer than k distinct ids AND the fetch was
+    * full (more rows may exist), the fetch doubles and retries through
+    * the pool, so callers always see k distinct neighbors when the
+    * probed cells hold that many. */
   def probeTemplate(qv: Seq[Float], k: Int = 10, excludeId: Long = -1L,
                     nProbe: Int = 1): Seq[(Long, Double)] = {
     val cells = cellsOf(qv, nProbe)
-    pools.withInstance((cells, k),
-        (t: Tmpl) => t.version == cellsVersion(cells)) { t =>
-      t.ref.set(qv.toArray)
-      val ex = new java.util.HashSet[java.lang.Long]()
-      if (excludeId != -1L) ex.add(excludeId)
-      t.exclude.set(ex)
-      t.df.collect().iterator
-        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    var fetch = k
+    while (true) {
+      val rows = pools.withInstance((cells, fetch),
+          (t: Tmpl) => t.version == cellsVersion(cells)) { t =>
+        t.ref.set(qv.toArray)
+        val ex = new java.util.HashSet[java.lang.Long]()
+        if (excludeId != -1L) ex.add(excludeId)
+        t.exclude.set(ex)
+        t.df.collect().iterator
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      }
+      // rows arrive (cos desc, vec_id asc): first occurrence per id wins
+      val seen = new java.util.HashSet[Long]()
+      val distinct = rows.filter(r => seen.add(r._1))
+      if (distinct.length >= k || rows.length < fetch)
+        return distinct.take(k)
+      fetch *= 2
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** The executed plan of `qv`'s cell template (spec hook: the

@@ -535,6 +535,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(res(inc) == res(full))
   }
 
+  test("durable-store centroid ranking collects seeds ONCE per store " +
+    "per session (repeat probes hit the cache)") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ivf_seedcache").toString
+    Similarity.writeIvfLayout(spark, dir, out)
+    Similarity.storeSeedCache.remove(out)
+    val first = Similarity.probeIvfStore(spark, out, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val cached = Similarity.storeSeedCache.get(out)
+    assert(cached != null, "probe did not populate the seed cache")
+    val second = Similarity.probeIvfStore(spark, out, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(Similarity.storeSeedCache.get(out) eq cached,
+      "repeat probe re-collected the store's seed centroids")
+    assert(second == first)
+  }
+
   test("hybrid RRF: fused scores recompute from the arm ranks, " +
     "descending, no rankless rows") {
     val rows = Similarity.hybridRrf(spark, dir).collect()

@@ -112,6 +112,63 @@ class IvfServerSpec extends SparkSpec {
     assert(tpl == fresh, "stale template served after store mutation")
   }
 
+  test("a delta append replaying an existing vec_id: template still " +
+    "returns exactly k DISTINCT neighbors, same set as pre-append") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ivf_dup").toString
+    Similarity.writeIvfLayout(spark, dir, out)
+    val srv = new IvfServer(spark, out)
+    val qv = spark.read.parquet(out).filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    val pre = srv.probeTemplate(qv, excludeId = 0L)
+    assert(pre.length == 10)
+    // replay the TOP neighbor's row through the append path — it lands
+    // in the same cell (same argmax assignment), inside the top-k
+    // fetch window, as a second physical row with the same vec_id
+    val dupId = pre.head._1
+    val dupRow = spark.read.parquet(out)
+      .filter(col("vec_id") === dupId)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.appendIvfLayout(spark, dir, out, dupRow)
+    val post = srv.probeTemplate(qv, excludeId = 0L)
+    assert(post.map(_._1).distinct.length == 10,
+      s"duplicate vec_id shrank the distinct result set: $post")
+    assert(post == pre,
+      "replaying an existing row changed the neighbor set")
+  }
+
+  test("version stamp catches a mutation even when file mtimes do not " +
+    "move (same-timestamp-tick append)") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ivf_tick").toString
+    val e = graft.Tables.load(spark, dir, "embeddings")
+    val isDelta = pmod(xxhash64(col("vec_id")), lit(10)) === 0 &&
+      col("vec_id") >= Similarity.IvfCentroids.toLong
+    Similarity.assignCells(spark, dir, e.filter(!isDelta))
+      .write.partitionBy("cell").mode("overwrite").parquet(out)
+    // freeze EVERY file and dir mtime to one instant, before AND after
+    // the mutation — the stamp must notice through file count/bytes,
+    // not timestamps
+    val t0 = 1700000000000L
+    def freeze(): Unit = {
+      val wk = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      try wk.forEach(p => { p.toFile.setLastModified(t0); () })
+      finally wk.close()
+    }
+    freeze()
+    val srv = new IvfServer(spark, out)
+    val qv = spark.read.parquet(out).filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    srv.probeTemplate(qv, excludeId = 0L) // pools a pre-append template
+    Similarity.appendIvfLayout(spark, dir, out, e.filter(isDelta))
+    freeze()
+    val tpl = srv.probeTemplate(qv, excludeId = 0L)
+    val fresh = srv.probe(qv, excludeId = 0L).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(tpl == fresh,
+      "stale template served when mtimes were unchanged by a mutation")
+  }
+
   test("nProbe: served template == durable-store probe == the " +
     "in-memory relational ranking") {
     val srv = new IvfServer(spark, store)
@@ -218,22 +275,100 @@ class IvfServerSpec extends SparkSpec {
     assert(!swap.exists, "swap marker not cleaned up")
     assert(spark.read.parquet(out).count() == before,
       "rows lost across crash recovery")
-    // simulate a crash between steps 2 and 3 (complete replacement in
-    // tmp, old files in swap): recovery must FINISH the swap
+    // simulate a crash PARTWAY through step 3 (complete replacement in
+    // tmp, manifest written, only SOME listed files moved): recovery
+    // must finish moving the stragglers before renaming the
+    // replacement in — a bare rename would duplicate their rows
     val tmp = new java.io.File(cellDir, "_graft_compact_tmp")
     spark.read.parquet(cellDir.toString).coalesce(1)
       .write.mode("overwrite").parquet(tmp.toString)
+    val tmpPart = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val visible = cellDir.listFiles().filter(_.getName.endsWith(".parquet"))
+    val manifest = new java.io.File(cellDir, "_graft_swap_manifest")
+    java.nio.file.Files.write(manifest.toPath,
+      (s"compact-${tmpPart.getName}" +: visible.map(_.getName).toVector)
+        .mkString("\n").getBytes("UTF-8"))
     val swap2 = new java.io.File(cellDir, "_graft_swap")
     swap2.mkdirs()
-    cellDir.listFiles().filter(_.getName.endsWith(".parquet"))
-      .foreach(f => assert(f.renameTo(new java.io.File(swap2, f.getName))))
+    // move only half the listed files — the rest stay visible
+    val (movedHalf, stayed) = visible.splitAt(visible.length / 2)
+    movedHalf.foreach(f =>
+      assert(f.renameTo(new java.io.File(swap2, f.getName))))
+    assert(stayed.nonEmpty && stayed.forall(_.exists))
     Similarity.compactIvfStore(spark, out, maxFilesPerCell = 1000)
-    assert(!swap2.exists && !tmp.exists, "markers not cleaned up")
+    assert(!swap2.exists && !tmp.exists && !manifest.exists,
+      "markers not cleaned up")
     assert(spark.read.parquet(out).count() == before,
-      "rows lost finishing an interrupted swap")
+      "rows lost or DUPLICATED finishing an interrupted swap")
     assert(cellDir.listFiles()
-      .exists(_.getName.startsWith("compact-")),
-      "replacement not made visible")
+      .exists(_.getName == s"compact-${tmpPart.getName}"),
+      "replacement not made visible under the manifest's name")
+  }
+
+  test("compaction crash recovery: a re-compaction crash with an OLDER " +
+    "compact- file still visible completes without losing swap rows") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ivf_rcv2").toString
+    Similarity.writeIvfLayout(spark, dir, out)
+    val cellDir = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .maxBy(_.listFiles().count(_.getName.endsWith(".parquet")))
+    // make the cell look post-compaction: its file carries the
+    // reusable compact- prefix an earlier attempt left behind
+    val first = cellDir.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(first.renameTo(
+      new java.io.File(cellDir, s"compact-old-${first.getName}")))
+    val before = spark.read.parquet(out).count()
+    // a NEW compaction attempt crashes partway through step 3: the
+    // old compact- file is still visible, a fresh non-compact file
+    // has already moved to swap. Pre-manifest recovery misread the
+    // visible compact- prefix as "step completed" and DELETED swap.
+    val extraSrc = new java.io.File(cellDir, "_x")
+    spark.read.parquet(cellDir.toString).limit(5).coalesce(1)
+      .write.mode("overwrite").parquet(extraSrc.toString)
+    val extraPart = extraSrc.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val extra = new java.io.File(cellDir, s"delta-${extraPart.getName}")
+    assert(extraPart.renameTo(extra))
+    org.apache.commons.io.FileUtils.deleteDirectory(extraSrc)
+    val before2 = spark.read.parquet(out).count()
+    assert(before2 == before + 5)
+    val tmp = new java.io.File(cellDir, "_graft_compact_tmp")
+    spark.read.parquet(cellDir.toString).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val tmpPart = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val listed = cellDir.listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toVector
+    java.nio.file.Files.write(
+      new java.io.File(cellDir, "_graft_swap_manifest").toPath,
+      (s"compact-${tmpPart.getName}" +: listed)
+        .mkString("\n").getBytes("UTF-8"))
+    val swap = new java.io.File(cellDir, "_graft_swap")
+    swap.mkdirs()
+    assert(extra.renameTo(new java.io.File(swap, extra.getName)))
+    // recovery: must NOT take the "completed" branch off the stale
+    // compact- prefix (that deleted swap, losing the 5 moved rows)
+    Similarity.compactIvfStore(spark, out, maxFilesPerCell = 1000)
+    assert(!swap.exists && !tmp.exists)
+    assert(spark.read.parquet(out).count() == before2,
+      "rows lost to the stale compact- prefix misclassification")
+  }
+
+  test("compaction crash recovery: a manifest with no swap dir means " +
+    "nothing moved — the attempt is abandoned, store untouched") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ivf_rcv3").toString
+    Similarity.writeIvfLayout(spark, dir, out)
+    val before = spark.read.parquet(out).count()
+    val cellDir = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).head
+    val manifest = new java.io.File(cellDir, "_graft_swap_manifest")
+    java.nio.file.Files.write(manifest.toPath,
+      "compact-ghost.parquet\nnot-a-file.parquet".getBytes("UTF-8"))
+    Similarity.compactIvfStore(spark, out, maxFilesPerCell = 1000)
+    assert(!manifest.exists, "abandoned manifest not cleaned up")
+    assert(spark.read.parquet(out).count() == before)
   }
 
   test("a probe is one job over one cell directory") {
