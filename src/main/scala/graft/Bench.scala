@@ -130,21 +130,41 @@ object Bench {
       .mkString("[", ",", "]")
     val nFailed = results.count(_._2.size < runsPer)
     val total = results.filter(_._2.size == runsPer).map(r => median(r._2)).sum
+    // (name, spread, gcPerRunSec, resampled) attribution rows for every
+    // non-query metric (warm serving + index build) — merged into the
+    // spread/gc/resampled maps so a driver-vs-local delta is
+    // diagnosable from the artifact alone
+    val warmRows =
+      scala.collection.mutable.ArrayBuffer[(String, Double, Double, Boolean)]()
     // index-build throughput vs BASELINE.md (reference: ~172 docs/s on
-    // its 2011 cluster for the k=1 word index). Best of 2 builds: one
-    // measurement after the 63-query loop is hostage to residual GC /
-    // neighbor noise (observed 3× swings on an unchanged build path).
+    // its 2011 cluster for the k=1 word index). MEDIAN of 3 settled
+    // builds with a published spread (VERDICT r9 #6: the single-sample
+    // rate swung 7.2k→4.6k docs/s round-over-round on byte-similar
+    // build code; a median with its spread row makes that variance
+    // visible instead of reading as a regression).
     val corpus = graft.queries.IrEngine.corpus(spark, sfDir)
     val nDocs = corpus.count()
-    System.gc() // end-of-loop garbage otherwise lands in the build timing
     var ix: graft.index.InvertedIndex.Index = null
-    val docsPerS = (1 to 2).map { _ =>
-      spark.sharedState.cacheManager.clearCache()
-      val t0 = System.nanoTime()
-      ix = graft.index.InvertedIndex.build(spark, corpus, k = 1)
-      ix.postings.count()
-      nDocs / ((System.nanoTime() - t0) / 1e9)
-    }.max
+    val docsPerS = {
+      var gcIn = 0L
+      val rates = (1 to 3).map { _ =>
+        spark.sharedState.cacheManager.clearCache()
+        // settle between builds: end-of-loop garbage otherwise lands
+        // in whichever build allocates next
+        System.gc()
+        val g0 = gcMillis
+        val t0 = System.nanoTime()
+        ix = graft.index.InvertedIndex.build(spark, corpus, k = 1)
+        ix.postings.count()
+        gcIn += gcMillis - g0
+        nDocs / ((System.nanoTime() - t0) / 1e9)
+      }.sorted
+      val med = rates(rates.size / 2)
+      val rel = if (med > 0) (rates.last - rates.head) / med else 0.0
+      warmRows += (("index_docs_per_s", math.rint(rel * 100) / 100,
+        math.rint(gcIn / 3.0 / 1000 * 100) / 100, false))
+      med
+    }
     // warm serve-path latency: median of 11 point queries per serving
     // surface, measured as THREE full sweeps with the same resample
     // discipline as the query medians (VERDICT r7 #3: the driver's
@@ -156,9 +176,6 @@ object Bench {
     // every sweep and the better median wins. AQE is off for this block
     // only — a point query has nothing to re-plan and the
     // re-optimization round-trips dominate its floor.
-    // (name, spread, gcPerSweepSec, resampled) per warm metric
-    val warmRows =
-      scala.collection.mutable.ArrayBuffer[(String, Double, Double, Boolean)]()
     // warm sweeps are medians-of-11 — far stabler than single-query
     // runs, so the noise gate is proportionally tighter than the query
     // rows' 0.7
@@ -212,7 +229,8 @@ object Bench {
     val twoWord = Seq("agg hash", "spark table", "slow key",
       "row vector", "part filter", "stream table", "row column",
       "custom join", "window fast", "table value", "batch fast")
-    val (medianUs, medianTemplateUs, medianLoadedUs, medianLoadedRoutedUs,
+    val (medianUs, medianTemplateUs, medianRm3Us, medianRm3TemplateUs,
+        medianLoadedUs, medianLoadedRoutedUs,
         medianPhraseUs, medianPhraseTemplateUs, medianPhrase3TemplateUs,
         medianNearTemplateUs, medianPhraseLoadedRoutedUs,
         medianNearLoadedRoutedUs, medianAnnProbeUs, medianAnnServedUs,
@@ -231,6 +249,15 @@ object Bench {
         ps.search("warm up")
         val mTmplUs = sweep3("warm_search_template_us",
           sweepOf(queriesToServe, q => { ps.search(q); () }))
+        // RM3 serving: fresh two-pass replanning vs the three prepared
+        // exchange-free templates (Rm3Server)
+        graft.query.QueryEngine.rm3Search(ix, "warm up").count()
+        val mRm3Us = sweep3("warm_rm3_us", sweepOf(queriesToServe,
+          q => { graft.query.QueryEngine.rm3Search(ix, q).count(); () }))
+        val rms = new graft.query.Rm3Server(ix)
+        rms.search("warm up")
+        val mRm3TmplUs = sweep3("warm_rm3_template_us",
+          sweepOf(queriesToServe, q => { rms.search(q); () }))
         // durable-index serving: write the index (range-partitioned
         // sorted parquet), load it back, serve against the parquet
         // artifacts — row-group-pruned scans, no cached corpus anywhere.
@@ -368,7 +395,7 @@ object Bench {
             .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
           finally wk.close()
         }
-        (mUs, mTmplUs, mLoadUs, mRoutedUs,
+        (mUs, mTmplUs, mRm3Us, mRm3TmplUs, mLoadUs, mRoutedUs,
           mPhraseUs, mPhraseTmplUs, mPhrase3TmplUs, mNearTmplUs,
           mPhraseRoutedUs, mNearRoutedUs, mAnnProbeUs, mAnnServedUs,
           mAnnTmplUs, mAnnTmplN2Us, mAnnConc8)
@@ -392,7 +419,7 @@ object Bench {
     val spreadAll = mergeJson(spread, warmSpread.toSeq)
     val gcAll = mergeJson(gc, warmGc.toSeq)
     val resampledAll = mergeArr(resampled, warmResampled.toSeq)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadAll,"gc_sec":$gcAll,"resampled":$resampledAll,"sf":"$sfDir","failed":$nFailed,"index_docs_per_s":${docsPerS.round},"warm_search_us":$medianUs,"warm_search_template_us":$medianTemplateUs,"warm_search_loaded_us":$medianLoadedUs,"warm_search_loaded_routed_us":$medianLoadedRoutedUs,"warm_phrase_us":$medianPhraseUs,"warm_phrase_template_us":$medianPhraseTemplateUs,"warm_phrase3_template_us":$medianPhrase3TemplateUs,"warm_near_template_us":$medianNearTemplateUs,"warm_phrase_loaded_routed_us":$medianPhraseLoadedRoutedUs,"warm_near_loaded_routed_us":$medianNearLoadedRoutedUs,"warm_ann_ivf_probe_us":$medianAnnProbeUs,"warm_ann_ivf_served_us":$medianAnnServedUs,"warm_ann_ivf_template_us":$medianAnnTmplUs,"warm_ann_ivf_nprobe2_us":$medianAnnTmplN2Us,"ann_conc8_probes_per_s":$annConc8PerS}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadAll,"gc_sec":$gcAll,"resampled":$resampledAll,"sf":"$sfDir","failed":$nFailed,"index_docs_per_s":${docsPerS.round},"warm_search_us":$medianUs,"warm_search_template_us":$medianTemplateUs,"warm_rm3_us":$medianRm3Us,"warm_rm3_template_us":$medianRm3TemplateUs,"warm_search_loaded_us":$medianLoadedUs,"warm_search_loaded_routed_us":$medianLoadedRoutedUs,"warm_phrase_us":$medianPhraseUs,"warm_phrase_template_us":$medianPhraseTemplateUs,"warm_phrase3_template_us":$medianPhrase3TemplateUs,"warm_near_template_us":$medianNearTemplateUs,"warm_phrase_loaded_routed_us":$medianPhraseLoadedRoutedUs,"warm_near_loaded_routed_us":$medianNearLoadedRoutedUs,"warm_ann_ivf_probe_us":$medianAnnProbeUs,"warm_ann_ivf_served_us":$medianAnnServedUs,"warm_ann_ivf_template_us":$medianAnnTmplUs,"warm_ann_ivf_nprobe2_us":$medianAnnTmplN2Us,"ann_conc8_probes_per_s":$annConc8PerS}""")
     spark.stop()
   }
 }

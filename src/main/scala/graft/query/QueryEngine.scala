@@ -165,19 +165,7 @@ object QueryEngine {
       .orderBy(col("rm0").desc, col("kgram"))
       .limit(fbTerms)
       .collect().map(r => (r.getString(0), r.getDouble(1)))
-    val rmSum = rm.map(_._2).sum
-    val rmW =
-      if (rmSum <= 0) Map.empty[String, Double]
-      else rm.map { case (t, v) =>
-        t -> math.rint(v / rmSum * 1e6) / 1e6 }.toMap
-    val origW = qTerms.map(t => t -> lambda / qTerms.size).toMap
-    // zero-weight terms are dropped: they contribute nothing to any
-    // score by definition, but would otherwise ADMIT their documents
-    // with score 0 (visible at λ=1, where rm3 must reduce to the
-    // plain ranking — spec-pinned)
-    val weights = (origW.keySet ++ rmW.keySet).toSeq.sorted.map { t =>
-      (t, origW.getOrElse(t, 0.0) + (1 - lambda) * rmW.getOrElse(t, 0.0))
-    }.filter(_._2 > 0)
+    val weights = rm3Weights(qTerms, rm.toSeq, lambda)
     val wDf = weights.toDF("kgram", "w")
     val terms = weights.map(_._1)
     val hits = ix.postings.filter(col("kgram").isin(terms: _*))
@@ -193,6 +181,27 @@ object QueryEngine {
     ix.docMap.join(broadcast(top), "docno")
       .select(col("docno"), col("docid"), col("score"))
       .orderBy(col("score").desc, col("docno"))
+  }
+
+  /** RM3 driver-side weight merge (normalize the relevance model to
+    * sum 1, round 6 dp, blend λ·1/|Q| original + (1−λ)·rm̃) — shared
+    * by [[rm3Search]] and [[Rm3Server]] so the two paths cannot drift.
+    * Zero-weight terms are dropped: they contribute nothing to any
+    * score by definition, but would otherwise ADMIT their documents
+    * with score 0 (visible at λ=1, where rm3 must reduce to the plain
+    * ranking — spec-pinned). */
+  private[query] def rm3Weights(qTerms: Seq[String],
+                                rm: Seq[(String, Double)],
+                                lambda: Double): Seq[(String, Double)] = {
+    val rmSum = rm.map(_._2).sum
+    val rmW =
+      if (rmSum <= 0) Map.empty[String, Double]
+      else rm.map { case (t, v) =>
+        t -> math.rint(v / rmSum * 1e6) / 1e6 }.toMap
+    val origW = qTerms.map(t => t -> lambda / qTerms.size).toMap
+    (origW.keySet ++ rmW.keySet).toSeq.sorted.map { t =>
+      (t, origW.getOrElse(t, 0.0) + (1 - lambda) * rmW.getOrElse(t, 0.0))
+    }.filter(_._2 > 0)
   }
 
   /** Expand a wildcard pattern with ANY number of `*`s (e.g. `re*ve`,
