@@ -148,6 +148,7 @@ object SparkEntry {
       ((s: SparkSession, d: String) => IrEngine.q29TopUsers(s, d)),
     "q29_join" -> (IrEngine.q29Join _),
     "q29_neardup_stream" -> (IrEngine.q29NeardupStream _),
+    "q29_ann_stream" -> (IrEngine.q29AnnStream _),
     "q32_sessions" -> (IrEngine.q32Sessions _),
     // Temporal joins (as-of / range) — operators Spark lacks natively
     "q30_asof" -> (Temporal.q30AsOf _),
@@ -174,6 +175,8 @@ object SparkEntry {
     "q27_corpus_stats" -> (TextAnalysis.corpusStats _),
     "q27_packing" ->
       ((s: SparkSession, d: String) => TextAnalysis.packSequences(s, d)),
+    "q27_chunk" -> (TextAnalysis.chunk _),
+    "q27_upsample" -> (TextAnalysis.upsample _),
     "q24_dedup_delta" -> (Dedup.deltaDedup _),
     "q24_bloom_probe" ->
       ((s: SparkSession, d: String) => Dedup.bloomProbe(s, d)),

@@ -61,6 +61,76 @@ object TextAnalysis {
           .cast("long").as("bpe_tokens"))
       .orderBy("doc_id")
 
+  /** RAG/training chunking geometry (shared with the oracle
+    * generator — one definition). 64-token windows every 48 tokens:
+    * 16 tokens of overlap carry context across chunk boundaries. */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  /** Sliding-window document CHUNKING — the retrieval/pretraining
+    * segmentation step: each document's token array is cut into
+    * [[ChunkTokens]]-token windows every [[ChunkStride]] tokens,
+    * emitting (doc_id, chunk_id, start_tok, n_tokens, chunk_text).
+    * Pure per-row expression work (windows explode from each row in
+    * place — no shuffle, no UDF beyond the shared tokenizer), so the
+    * operator scales linearly and stays inside whole-stage codegen.
+    * Empty docs produce no chunks; a final short window keeps the
+    * deterministic `start < n` rule. */
+  def chunk(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), tokensArrayFast(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L),
+          ((col("n") - 1) / ChunkStride).cast("long"))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * ChunkStride).as("start_tok"),
+        least(lit(ChunkTokens.toLong),
+          col("n") - col("chunk_id") * ChunkStride).as("n_tokens"),
+        concat_ws(" ", slice(col("toks"),
+          (col("chunk_id") * ChunkStride + 1).cast("int"),
+          lit(ChunkTokens))).as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+
+  /** Per-language UPSAMPLING weights (shared with the oracle
+    * generator): (lang, whole copies, extra-copy percentage). A
+    * weight w is split as ⌊w⌋ copies for every doc plus one extra
+    * copy for the deterministic hash-gated (w−⌊w⌋) fraction —
+    * fractions below 1 DOWN-sample the same way (en 2.3×, de 1.5×,
+    * zh 0.4×, everything else 1×). */
+  val UpsampleWeights: Seq[(String, Long, Long)] =
+    Seq(("en", 2L, 30L), ("de", 1L, 50L), ("zh", 0L, 40L))
+  val UpsampleDefault: (Long, Long) = (1L, 0L)
+
+  /** Epoch-weighted corpus materialization — the mixture REPLAY step
+    * of a training pipeline (sources repeated fractional numbers of
+    * times): emits (doc_id, copy, lang) with each doc's copy count
+    * fixed by [[UpsampleWeights]] and the deterministic content-hash
+    * gate (`polyHash(text) % 100 < extraPct`), so the materialized
+    * epoch is reproducible run-over-run and engine-over-engine. Narrow
+    * per-row explode — no shuffle; output volume is Σ w_lang·n_lang
+    * by construction. */
+  def upsample(spark: SparkSession, dir: String): DataFrame = {
+    val base = UpsampleWeights.foldLeft(lit(UpsampleDefault._1)) {
+      case (acc, (l, b, _)) => when(col("lang") === l, lit(b)).otherwise(acc)
+    }
+    val extraPct = UpsampleWeights.foldLeft(lit(UpsampleDefault._2)) {
+      case (acc, (l, _, e)) => when(col("lang") === l, lit(e)).otherwise(acc)
+    }
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        (polyHash(col("text")) % 100).as("hv"))
+      .withColumn("copies",
+        base + when(col("hv") < extraPct, 1L).otherwise(0L))
+      .filter(col("copies") > 0)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), col("copies"))).as("copy"))
+      .select(col("doc_id"), col("copy"), col("lang"))
+      .orderBy("doc_id", "copy")
+  }
+
   /** Training-data FILTER apply — the gating step that composes the
     * analysis signals into the kept corpus: English-classified docs
     * with sane token counts and alnum density. Joins are on doc_id

@@ -629,6 +629,70 @@ object TrainingOracles {
                      JOIN sig s2 ON c.base_doc = s2.doc_id AND s1.i = s2.i
          GROUP BY 1, 2 ORDER BY delta_doc, base_doc""",
 
+    // streaming ANN ingest gate: vectors arrive in chunk order
+    // vec_id % 3; a pair reports iff both land in the SAME IVF cell
+    // (argmax assignment against the fixed seed centroids — the
+    // q25_ann_ivf cells CTE), exact cosine >= AnnStreamTau, and the
+    // base's chunk precedes the delta's
+    "q29_ann_stream" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                     WHERE vec_id < ${Similarity.IvfCentroids}),
+         a AS (SELECT e.vec_id, e.embedding, c.cid,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY ${cos("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+               FROM embeddings e CROSS JOIN c),
+         cells AS (SELECT vec_id, embedding, cid AS cell FROM a WHERE rn = 1),
+         p AS (SELECT y.vec_id AS delta_vec, x.vec_id AS base_vec,
+                      ${cos("x.embedding", "y.embedding")} AS c
+               FROM cells x JOIN cells y
+                 ON x.cell = y.cell AND x.vec_id % 3 < y.vec_id % 3)
+         SELECT delta_vec, base_vec, round(c, 4) AS cos FROM p
+         WHERE c >= ${graft.queries.IrEngine.AnnStreamTau}
+         ORDER BY delta_vec, base_vec""",
+
+    // sliding-window chunking: geometry generated from the engine's
+    // ChunkTokens/ChunkStride constants
+    "q27_chunk" -> {
+      val w = TextAnalysis.ChunkTokens
+      val s = TextAnalysis.ChunkStride
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         f AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+               FROM t WHERE len(toks) > 0),
+         cx AS (SELECT doc_id, toks, n,
+                       unnest(range(0, (n - 1) // $s + 1)) AS chunk_id
+                FROM f)
+         SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                CAST(chunk_id * $s AS BIGINT) AS start_tok,
+                CAST(least($w, n - chunk_id * $s) AS BIGINT) AS n_tokens,
+                array_to_string(
+                  list_slice(toks, chunk_id * $s + 1, chunk_id * $s + $w),
+                  ' ') AS chunk_text
+         FROM cx ORDER BY doc_id, chunk_id"""
+    },
+
+    // epoch-weighted upsampling: the per-lang CASE chains are
+    // generated from UpsampleWeights (one definition)
+    "q27_upsample" -> {
+      val baseCase = TextAnalysis.UpsampleWeights
+        .map { case (l, b, _) => s"WHEN lang = '$l' THEN $b" }
+        .mkString("CASE ", " ", s" ELSE ${TextAnalysis.UpsampleDefault._1} END")
+      val pctCase = TextAnalysis.UpsampleWeights
+        .map { case (l, _, e) => s"WHEN lang = '$l' THEN $e" }
+        .mkString("CASE ", " ", s" ELSE ${TextAnalysis.UpsampleDefault._2} END")
+      s"""WITH h AS (SELECT doc_id, lang,
+                            ${ddbPolyHash("text")} % 100 AS hv
+                     FROM documents),
+         w AS (SELECT doc_id, lang,
+                      ($baseCase) +
+                      (CASE WHEN hv < ($pctCase) THEN 1 ELSE 0 END) AS copies
+               FROM h),
+         cx AS (SELECT doc_id, lang,
+                       unnest(range(1, copies + 1)) AS copy
+                FROM w WHERE copies > 0)
+         SELECT doc_id, CAST(copy AS BIGINT) AS copy, lang
+         FROM cx ORDER BY doc_id, copy"""
+    },
+
     // same pair generation as q24_dedup_jaccard, then connected
     // components via a recursive reachability CTE (UNION dedup
     // terminates the recursion); cluster = min reachable doc_id

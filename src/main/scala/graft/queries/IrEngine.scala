@@ -687,6 +687,109 @@ object IrEngine {
           "delta_doc BIGINT, base_doc BIGINT, est_jaccard DOUBLE"))
   }
 
+  /** Exact-cosine threshold of the STREAMING vector ingest gate —
+    * shared with the [[graft.ops.TrainingOracles]] SQL (embedded as a
+    * literal there via the generator, one definition). */
+  val AnnStreamTau = 0.35
+
+  /** STREAMING ANN ingest gate end-to-end — [[q29NeardupStream]]'s
+    * vector twin: embeddings arrive as a file stream (three chunks,
+    * vectors routed by `vec_id % 3`, one micro-batch each), and
+    * `foreachBatch` (a) assigns the batch its IVF cells against the
+    * table's fixed seed centroids ([[graft.ops.Similarity
+    * .assignCells]]), (b) probes the batch against the DURABLE
+    * accumulated cell-partitioned store — same-cell exact cosine ≥
+    * [[AnnStreamTau]] flags each new vector's near-duplicates among
+    * everything ingested before it — appending the matched pairs to a
+    * RESULTS sink table (never driver state), then (c) appends the
+    * batch's assigned rows to the store (the [[graft.ops.Similarity
+    * .appendIvfLayout]] maintenance). Emits (delta_vec, base_vec, cos)
+    * for every cross-batch same-cell pair over the threshold; the
+    * oracle recomputes the contract relationally (cell assignment via
+    * the argmax CTE, base chunk < delta chunk). Per-batch probe work
+    * is cell-bounded (batch rows × their cells' occupancy — the IVF
+    * probe shape), and both the vector store and the result channel
+    * are tables, never driver buffers.
+    *
+    * SIZING k AT SCALE: cell occupancy is n/k, so per-batch probe
+    * work is |batch|·n/k cosines — with the test corpus's FIXED
+    * [[graft.ops.Similarity.IvfCentroids]] seeds that term grows with
+    * the corpus. A production gate sizes the store's centroid count
+    * to the corpus (k ≈ n/128, the [[graft.ops.Similarity
+    * .SemDedupCellSize]] discipline, re-clustering periodically as
+    * part of store maintenance), pinning per-batch work at
+    * |batch|·128 regardless of corpus size. The contract here runs on
+    * the same fixed seeds as the whole q25 store family so all probe
+    * paths share one oracle-checked assignment. */
+  def q29AnnStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    graft.functions.GraftFunctions.register(spark)
+    val staged = stagedOnce(dir, "ans", sourceStamp(dir, "embeddings")) {
+      root =>
+        val e = Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        Files.createDirectories(root)
+        (0 until 3).foreach { i =>
+          val tmp = root.resolve(s"_build$i")
+          e.filter(pmod(col("vec_id"), lit(3)) === i)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val ls = Files.list(tmp)
+          val part =
+            try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+            finally ls.close()
+          val dst = root.resolve(s"chunk-$i.parquet")
+          Files.move(part, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.toFile.setLastModified(1000000000000L + i * 60000L)
+          val wk = Files.walk(tmp)
+          try wk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { Files.deleteIfExists(p); () })
+          finally wk.close()
+        }
+    }
+    val storeDir = graft.TempDirs.scratch("graft_ans_store")
+    val pairsDir = graft.TempDirs.scratch("graft_ans_pairs")
+    var storeNonEmpty = false
+    val q = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bs = batch.sparkSession
+        graft.functions.GraftFunctions.register(bs)
+        val assigned = graft.ops.Similarity.assignCells(bs, dir, batch)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (storeNonEmpty) {
+            val base = bs.read.parquet(storeDir)
+            assigned.as("y").join(base.as("x"),
+                col("x.cell") === col("y.cell"))
+              .select(col("y.vec_id").as("delta_vec"),
+                col("x.vec_id").as("base_vec"),
+                graft.ops.Similarity.cosine(
+                  col("x.embedding"), col("y.embedding")).as("c"))
+              .filter(col("c") >= AnnStreamTau)
+              .select(col("delta_vec"), col("base_vec"),
+                round(col("c"), 4).as("cos"))
+              .write.mode("append").parquet(pairsDir)
+          }
+          assigned.write.partitionBy("cell").mode("append").parquet(storeDir)
+          storeNonEmpty = true
+        } finally { assigned.unpersist(); () }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(pairsDir)))
+      spark.read.parquet(pairsDir).orderBy("delta_vec", "base_vec")
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "delta_vec BIGINT, base_vec BIGINT, cos DOUBLE"))
+  }
+
   /** Sliding-window aggregation over events (batch form of the
     * streaming `slidingCounts` transform — 1 h windows every 30 min,
     * so each event lands in exactly two overlapping windows; the

@@ -246,4 +246,65 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), s"no bounded-heap agg:\n$plan")
     assert(!plan.contains("Window"), s"window exec in sample plan:\n$plan")
   }
+
+  test("chunking: windows tile every doc's tokens at the stride, " +
+    "overlap carries, text slices reconstruct exactly") {
+    import graft.ops.CrossHash
+    val w = TextAnalysis.ChunkTokens
+    val s = TextAnalysis.ChunkStride
+    val got = TextAnalysis.chunk(spark, dir).collect()
+    assert(got.nonEmpty)
+    val toks = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), CrossHash.tokensArrayFast(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val byDoc = got.groupBy(_.getLong(0))
+    toks.filter(_._2.nonEmpty).foreach { case (id, ts) =>
+      val rows = byDoc(id).sortBy(_.getLong(1))
+      val n = ts.length
+      assert(rows.length == (n - 1) / s + 1, s"doc $id: chunk count")
+      rows.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) == i)
+        val start = i.toLong * s
+        assert(r.getLong(2) == start)
+        val len = math.min(w.toLong, n - start)
+        assert(r.getLong(3) == len, s"doc $id chunk $i: n_tokens")
+        assert(r.getString(4) ==
+          ts.slice(start.toInt, start.toInt + w).mkString(" "),
+          s"doc $id chunk $i: text slice")
+      }
+      // coverage: the last chunk reaches the final token
+      assert(rows.last.getLong(2) + rows.last.getLong(3) == n)
+    }
+    // empty docs produce no chunks
+    assert(byDoc.keySet == toks.filter(_._2.nonEmpty).keySet)
+  }
+
+  test("upsampling: per-doc copy counts follow the lang weights and " +
+    "the deterministic hash gate; copies dense from 1") {
+    import graft.ops.CrossHash
+    val got = TextAnalysis.upsample(spark, dir).collect()
+    assert(got.nonEmpty)
+    val wmap = TextAnalysis.UpsampleWeights
+      .map { case (l, b, e) => l -> (b, e) }.toMap
+    val hv = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        (CrossHash.polyHash(col("text")) % 100).as("hv"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    val byDoc = got.groupBy(_.getLong(0))
+    hv.foreach { case (id, (lang, h)) =>
+      val (b, e) = wmap.getOrElse(lang, TextAnalysis.UpsampleDefault)
+      val want = b + (if (h < e) 1L else 0L)
+      val copies = byDoc.get(id).map(_.length.toLong).getOrElse(0L)
+      assert(copies == want, s"doc $id ($lang, hv=$h): $copies != $want")
+      if (want > 0)
+        assert(byDoc(id).map(_.getLong(1)).sorted.toSeq == (1L to want),
+          s"doc $id: copy numbering")
+    }
+    // at least one doc must actually downsample (weight < 1) and one
+    // must upsample past 2 — otherwise the fixture isn't exercising
+    // the fractional arithmetic
+    assert(hv.exists { case (id, _) => !byDoc.contains(id) })
+    assert(byDoc.values.exists(_.length >= 3))
+  }
 }

@@ -346,4 +346,35 @@ class EventsStreamSpec extends SparkSpec {
     assert(got.sorted == exp)
     assert(exp.nonEmpty)
   }
+
+  test("streaming ANN ingest gate: pairs come from the parquet sink " +
+    "and match the same-cell cross-chunk batch recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val result = graft.queries.IrEngine.q29AnnStream(spark, dir)
+    assert(result.inputFiles.nonEmpty &&
+      result.inputFiles.forall(_.contains("graft_ans_pairs")))
+    val got = result.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // batch recompute of the contract: same IVF cell (argmax against
+    // the table's fixed seeds), exact cosine over the threshold, base
+    // chunk (vec_id % 3 = ingest order) before delta chunk
+    val e = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cells = graft.ops.Similarity.assignCells(spark, dir, e)
+    val exp = cells.as("y").join(cells.as("x"),
+        col("x.cell") === col("y.cell") &&
+          pmod(col("x.vec_id"), lit(3)) < pmod(col("y.vec_id"), lit(3)))
+      .select(col("y.vec_id").as("delta_vec"),
+        col("x.vec_id").as("base_vec"),
+        graft.ops.Similarity.cosine(
+          col("x.embedding"), col("y.embedding")).as("c"))
+      .filter(col("c") >= graft.queries.IrEngine.AnnStreamTau)
+      .select(col("delta_vec"), col("base_vec"),
+        round(col("c"), 4).as("cos"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      .sorted
+    assert(got.sorted == exp)
+    assert(exp.nonEmpty)
+  }
 }
