@@ -598,12 +598,15 @@ object Similarity {
     * `dir`'s embedding table — the delta-ingest half of the durable
     * store: new vectors join the fixed coarse partition without
     * touching (or re-reading) the base. Same argmax-cosine semantics
-    * as [[ivfCells]]. */
-  def assignCells(spark: SparkSession, dir: String,
-                  vectors: DataFrame): DataFrame = {
+    * as [[ivfCells]]. `k` defaults to the store family's fixed
+    * [[IvfCentroids]]; a corpus-sized k (the [[SemDedupCellSize]]
+    * discipline) pins cell occupancy — the knob the streaming gate's
+    * scale study measures. */
+  def assignCells(spark: SparkSession, dir: String, vectors: DataFrame,
+                  k: Long = IvfCentroids.toLong): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     argmaxCellsAgainst(vectors,
-      emb(spark, dir).filter(col("vec_id") < IvfCentroids.toLong)
+      emb(spark, dir).filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
   }
 

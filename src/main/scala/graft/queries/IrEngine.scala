@@ -721,7 +721,14 @@ object IrEngine {
     * |batch|·128 regardless of corpus size. The contract here runs on
     * the same fixed seeds as the whole q25 store family so all probe
     * paths share one oracle-checked assignment. */
-  def q29AnnStream(spark: SparkSession, dir: String): DataFrame = {
+  def q29AnnStream(spark: SparkSession, dir: String): DataFrame =
+    annStreamGate(spark, dir, graft.ops.Similarity.IvfCentroids.toLong)
+
+  /** [[q29AnnStream]] with the centroid count as a knob — the scale
+    * study runs the gate at the fixed store k AND at corpus-sized k
+    * (n/128) to measure the occupancy term the scaladoc describes. */
+  private[graft] def annStreamGate(spark: SparkSession, dir: String,
+                                   k: Long): DataFrame = {
     import java.nio.file.Files
     graft.functions.GraftFunctions.register(spark)
     val staged = stagedOnce(dir, "ans", sourceStamp(dir, "embeddings")) {
@@ -758,7 +765,7 @@ object IrEngine {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val bs = batch.sparkSession
         graft.functions.GraftFunctions.register(bs)
-        val assigned = graft.ops.Similarity.assignCells(bs, dir, batch)
+        val assigned = graft.ops.Similarity.assignCells(bs, dir, batch, k)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           if (storeNonEmpty) {
