@@ -28,19 +28,21 @@ object AnnGateProf {
     val sizedK = math.max(fixedK,
       (n + graft.ops.Similarity.SemDedupCellSize - 1) /
         graft.ops.Similarity.SemDedupCellSize)
-    def time(k: Long): Double = {
+    def time(k: Long, coarse: Boolean): Double = {
       val t0 = System.nanoTime()
-      val c = graft.queries.IrEngine.annStreamGate(spark, sfDir, k).count()
+      val c = graft.queries.IrEngine.annStreamGate(spark, sfDir, k, coarse)
+        .count()
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[anngate] k=$k%d pairs=$c%d time=$dt%.2f s")
+      println(f"[anngate] k=$k%d coarse=$coarse pairs=$c%d time=$dt%.2f s")
       dt
     }
     // warm pass (codegen/JIT + staging), then two timed runs each
-    time(fixedK)
-    val fixed = (1 to 2).map(_ => time(fixedK)).min
-    val sized = (1 to 2).map(_ => time(sizedK)).min
+    time(fixedK, coarse = false)
+    val fixed = (1 to 2).map(_ => time(fixedK, coarse = false)).min
+    val sized = (1 to 2).map(_ => time(sizedK, coarse = false)).min
+    val sizedC = (1 to 2).map(_ => time(sizedK, coarse = true)).min
     println(f"[anngate] n=$n%d fixed_k=$fixedK%d best=$fixed%.2f s; " +
-      f"sized_k=$sizedK%d best=$sized%.2f s")
+      f"sized_k=$sizedK%d flat=$sized%.2f s coarse=$sizedC%.2f s")
     spark.stop()
   }
 }

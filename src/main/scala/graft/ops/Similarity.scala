@@ -506,6 +506,49 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** [[assignCells]]' COARSE-ROUTED twin for corpus-sized k — the
+    * [[semDedupCellsCoarse]] two-level argmax applied to an arbitrary
+    * delta batch: block leaders first (n·k/B cosines), then the
+    * winning block's B seeds (n·B), ≈ 2n·√k instead of n·k — and the
+    * wide embedding-carrying struct agg shrinks by the same factor,
+    * which is the term that actually dominates a flat per-batch
+    * assignment at large k (measured in SCALING.md round-10: the
+    * streaming gate at corpus-sized k=407 paid 14× wall-time through
+    * the flat path). Same (cos desc, cid asc) ties at both levels;
+    * same recall trade as the coarse SemDeDup assignment. Returns
+    * (vec_id, embedding, cell). */
+  private[graft] def assignCellsCoarse(spark: SparkSession, dir: String,
+                                       vectors: DataFrame,
+                                       k: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val b = math.ceil(math.sqrt(k.toDouble)).toLong
+    val seeds = emb(spark, dir).filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
+        expr(s"vec_id DIV $b").as("blk"))
+    val leaders = seeds.filter(pmod(col("cid"), lit(b)) === 0)
+    val coarse = vectors.crossJoin(broadcast(leaders))
+      .select(col("vec_id"),
+        struct(
+          cosine(col("embedding"), col("cvec")).as("s"),
+          (-col("cid")).as("neg_cid"),
+          col("blk").as("blk"),
+          col("embedding").as("embedding")).as("cand"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.blk").as("blk"))
+    coarse.join(broadcast(seeds), "blk")
+      .select(col("vec_id"),
+        struct(
+          cosine(col("embedding"), col("cvec")).as("s"),
+          (-col("cid")).as("neg_cid"),
+          col("embedding").as("embedding")).as("cand"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        (-col("best.neg_cid")).as("cell"))
+  }
+
   /** CORPUS-SCALE SemDeDup candidate pairs: exact cosine ≥
     * [[SemDedupThreshold]] computed only WITHIN a [[semDedupCells]]
     * cell — the actual SemDeDup recipe (Abbas et al.: k-means cells,

@@ -726,9 +726,13 @@ object IrEngine {
 
   /** [[q29AnnStream]] with the centroid count as a knob — the scale
     * study runs the gate at the fixed store k AND at corpus-sized k
-    * (n/128) to measure the occupancy term the scaladoc describes. */
+    * (n/128) to measure the occupancy term the scaladoc describes.
+    * `coarse` routes the per-batch assignment through the two-level
+    * [[graft.ops.Similarity.assignCellsCoarse]] (2n√k vs n·k) — the
+    * production shape at corpus-sized k. */
   private[graft] def annStreamGate(spark: SparkSession, dir: String,
-                                   k: Long): DataFrame = {
+                                   k: Long,
+                                   coarse: Boolean = false): DataFrame = {
     import java.nio.file.Files
     graft.functions.GraftFunctions.register(spark)
     val staged = stagedOnce(dir, "ans", sourceStamp(dir, "embeddings")) {
@@ -765,7 +769,9 @@ object IrEngine {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val bs = batch.sparkSession
         graft.functions.GraftFunctions.register(bs)
-        val assigned = graft.ops.Similarity.assignCells(bs, dir, batch, k)
+        val assigned = (if (coarse)
+            graft.ops.Similarity.assignCellsCoarse(bs, dir, batch, k)
+          else graft.ops.Similarity.assignCells(bs, dir, batch, k))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           if (storeNonEmpty) {
@@ -781,7 +787,13 @@ object IrEngine {
                 round(col("c"), 4).as("cos"))
               .write.mode("append").parquet(pairsDir)
           }
-          assigned.write.partitionBy("cell").mode("append").parquet(storeDir)
+          // repartition by cell before the partitioned append: with
+          // corpus-sized k, un-clustered upstream partitioning writes
+          // up to (tasks × touched cells) small files per batch —
+          // clustering bounds it at one file per cell per batch (the
+          // fragmentation compactIvfStore otherwise repairs post-hoc)
+          assigned.repartition(col("cell"))
+            .write.partitionBy("cell").mode("append").parquet(storeDir)
           storeNonEmpty = true
         } finally { assigned.unpersist(); () }
         ()

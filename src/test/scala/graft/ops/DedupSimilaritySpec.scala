@@ -535,6 +535,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(res(inc) == res(full))
   }
 
+  test("coarse DELTA assignment == the whole-table coarse assignment " +
+    "at the same k (the gate's corpus-sized-k routing cannot drift)") {
+    val e = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val k = math.max(Similarity.IvfCentroids.toLong,
+      (n + Similarity.SemDedupCellSize - 1) / Similarity.SemDedupCellSize)
+    val viaDelta = Similarity.assignCellsCoarse(spark, dir, e, k)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue)).toMap
+    val whole = Similarity.semDedupCellsCoarse(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue)).toMap
+    assert(viaDelta == whole)
+  }
+
   test("durable-store centroid ranking collects seeds ONCE per store " +
     "per session (repeat probes hit the cache)") {
     val out = java.nio.file.Files
