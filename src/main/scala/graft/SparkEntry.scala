@@ -181,6 +181,8 @@ object SparkEntry {
     "q24_bloom_probe" ->
       ((s: SparkSession, d: String) => Dedup.bloomProbe(s, d)),
     "q25_joint_dedup" -> (Similarity.jointDedup _),
+    "q25_knn_graph" ->
+      ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
     "q14_heavy_hitters" ->
       ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
     "q27_lm_score" -> (TextAnalysis.lmScore _),

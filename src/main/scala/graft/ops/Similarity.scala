@@ -549,6 +549,37 @@ object Similarity {
         (-col("best.neg_cid")).as("cell"))
   }
 
+  /** Cell-bounded k-NN GRAPH — the materialized neighbor table a
+    * curation pipeline builds once and reuses (near-dup graphs,
+    * diversity sampling, hard-negative mining): for EVERY vector, its
+    * top-`k` exact-cosine neighbors among its own IVF cell's vectors.
+    * The same-cell equi-join replaces the all-pairs self-join
+    * (candidates = n·occupancy, linear when k grows with the corpus —
+    * the [[semDedupPairs]] discipline), and per-vector top-k rides the
+    * bounded-heap `graft_topk` aggregate — O(k) state per vector with
+    * map-side partial aggregation, no window shuffle-and-sort (the
+    * oracle IS the window form, so the compare re-proves heap ==
+    * row_number on this shape too). Boundary neighbors (nearest
+    * vector in a DIFFERENT cell) are missed — the standard IVF recall
+    * trade; nProbe-style widening composes if needed. */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val cells = ivfCells(spark, dir)
+    val scored = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("nbr"),
+        cosine(col("a.embedding"), col("b.embedding")).as("c"))
+    scored.groupBy(col("src"))
+      .agg(graft.functions.GraftFunctions
+        .topkBy(col("c"), col("nbr"), k).as("top"))
+      .select(col("src"), posexplode(col("top")))
+      .select(col("src").as("vec_id"),
+        (col("pos") + 1).cast("long").as("rn"),
+        col("col.id").as("nbr"), round(col("col.score"), 4).as("cos"))
+      .orderBy("vec_id", "rn")
+  }
+
   /** CORPUS-SCALE SemDeDup candidate pairs: exact cosine ≥
     * [[SemDedupThreshold]] computed only WITHIN a [[semDedupCells]]
     * cell — the actual SemDeDup recipe (Abbas et al.: k-means cells,

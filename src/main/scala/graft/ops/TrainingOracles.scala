@@ -629,6 +629,29 @@ object TrainingOracles {
                      JOIN sig s2 ON c.base_doc = s2.doc_id AND s1.i = s2.i
          GROUP BY 1, 2 ORDER BY delta_doc, base_doc""",
 
+    // cell-bounded k-NN graph: the engine's bounded-heap top-k per
+    // vector vs the WINDOW form over the same same-cell candidates —
+    // the compare re-proves heap == row_number on this shape
+    "q25_knn_graph" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                     WHERE vec_id < ${Similarity.IvfCentroids}),
+         a AS (SELECT e.vec_id, e.embedding, c.cid,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY ${cos("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+               FROM embeddings e CROSS JOIN c),
+         cells AS (SELECT vec_id, embedding, cid AS cell FROM a WHERE rn = 1),
+         p AS (SELECT x.vec_id AS src, y.vec_id AS nbr,
+                      ${cos("x.embedding", "y.embedding")} AS c
+               FROM cells x JOIN cells y
+                 ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+         r AS (SELECT src, nbr, c,
+                      row_number() OVER (PARTITION BY src
+                        ORDER BY c DESC, nbr) AS rn
+               FROM p)
+         SELECT src AS vec_id, CAST(rn AS BIGINT) AS rn, nbr,
+                round(c, 4) AS cos
+         FROM r WHERE rn <= 3 ORDER BY vec_id, rn""",
+
     // streaming ANN ingest gate: vectors arrive in chunk order
     // vec_id % 3; a pair reports iff both land in the SAME IVF cell
     // (argmax assignment against the fixed seed centroids — the

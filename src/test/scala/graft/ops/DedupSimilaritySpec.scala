@@ -550,6 +550,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(viaDelta == whole)
   }
 
+  test("knn graph: <=k dense-ranked same-cell neighbors per vector, " +
+    "served by the bounded-heap aggregate (no window exec)") {
+    val k = 3
+    val got = Similarity.knnGraph(spark, dir, k).collect()
+    assert(got.nonEmpty)
+    val cells = Similarity.ivfCells(spark, dir)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val occupancy = cells.groupBy(_._2).map { case (c, m) => c -> m.size }
+    val byVec = got.groupBy(_.getLong(0))
+    byVec.foreach { case (v, rows) =>
+      val want = math.min(k, occupancy(cells(v)) - 1)
+      assert(rows.length == want, s"vec $v: ${rows.length} != $want")
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to want),
+        s"vec $v: ranks not dense")
+      // neighbors stay inside the vector's own cell
+      rows.foreach(r => assert(cells(r.getLong(2)) == cells(v)))
+    }
+    // every vector with a non-singleton cell appears
+    assert(byVec.keySet == cells.keySet.filter(v => occupancy(cells(v)) > 1))
+    val plan = Similarity.knnGraph(spark, dir, k)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"no bounded heap:\n$plan")
+    assert(!plan.contains("Window"), s"window exec leaked:\n$plan")
+  }
+
   test("durable-store centroid ranking collects seeds ONCE per store " +
     "per session (repeat probes hit the cache)") {
     val out = java.nio.file.Files

@@ -42,6 +42,25 @@ class Rm3ServerSpec extends SparkSpec {
     }
   }
 
+  test("8 concurrent RM3 searches return each its own correct results " +
+    "(pooled three-stage templates, no shared-ref race)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val srv = new Rm3Server(ix)
+    val queries = Seq("merge", "stream buffer", "pipeline", "data stream",
+      "merge engine", "sorted", "buffer", "engine")
+    val expect = queries.map(q => q -> srv.search(q)).toMap
+    (1 to 3).foreach { _ =>
+      val got = Await.result(
+        Future.sequence(queries.map(q => Future(q -> srv.search(q)))),
+        120.seconds).toMap
+      queries.foreach { q =>
+        assert(got(q) == expect(q), s"concurrent rm3 [$q] diverged")
+      }
+    }
+  }
+
   test("stopword-only and no-hit queries return empty; arity enforced; " +
     "server keeps working after the empty cases") {
     val srv = new Rm3Server(ix)
