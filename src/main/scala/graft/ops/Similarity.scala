@@ -559,12 +559,16 @@ object Similarity {
     * bounded-heap `graft_topk` aggregate — O(k) state per vector with
     * map-side partial aggregation, no window shuffle-and-sort (the
     * oracle IS the window form, so the compare re-proves heap ==
-    * row_number on this shape too). Boundary neighbors (nearest
-    * vector in a DIFFERENT cell) are missed — the standard IVF recall
-    * trade; nProbe-style widening composes if needed. */
+    * row_number on this shape too). Cells come from the DYNAMIC-k
+    * assignment ([[semDedupCells]] — k = n/128 grows with the
+    * corpus), so candidate volume stays linear at any scale;
+    * at the test SFs (n ≤ 1024) the dynamic k equals the fixed store
+    * k. Boundary neighbors (nearest vector in a DIFFERENT cell) are
+    * missed — the standard IVF recall trade; nProbe-style widening
+    * composes if needed. */
   def knnGraph(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val cells = ivfCells(spark, dir)
+    val cells = semDedupCells(spark, dir)
     val scored = cells.as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") &&
           col("a.vec_id") =!= col("b.vec_id"))

@@ -631,10 +631,14 @@ object TrainingOracles {
 
     // cell-bounded k-NN graph: the engine's bounded-heap top-k per
     // vector vs the WINDOW form over the same same-cell candidates —
-    // the compare re-proves heap == row_number on this shape
+    // the compare re-proves heap == row_number on this shape. Cells
+    // use the DYNAMIC k (n/128, the semdedup discipline) so the
+    // oracle stays correct at any SF
     "q25_knn_graph" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-                     WHERE vec_id < ${Similarity.IvfCentroids}),
+                     WHERE vec_id < (SELECT greatest(${Similarity.IvfCentroids},
+                       CAST(ceil(count(*) / ${Similarity.SemDedupCellSize}.0) AS BIGINT))
+                       FROM embeddings)),
          a AS (SELECT e.vec_id, e.embedding, c.cid,
                       row_number() OVER (PARTITION BY e.vec_id
                         ORDER BY ${cos("e.embedding", "c.cvec")} DESC, c.cid) AS rn

@@ -555,7 +555,7 @@ class DedupSimilaritySpec extends SparkSpec {
     val k = 3
     val got = Similarity.knnGraph(spark, dir, k).collect()
     assert(got.nonEmpty)
-    val cells = Similarity.ivfCells(spark, dir)
+    val cells = Similarity.semDedupCells(spark, dir)
       .select("vec_id", "cell").collect()
       .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
     val occupancy = cells.groupBy(_._2).map { case (c, m) => c -> m.size }
