@@ -183,6 +183,8 @@ object SparkEntry {
     "q25_joint_dedup" -> (Similarity.jointDedup _),
     "q25_knn_graph" ->
       ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
+    "q25_ann_mrl" ->
+      ((s: SparkSession, d: String) => Similarity.annMrl(s, d)),
     "q14_heavy_hitters" ->
       ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
     "q27_lm_score" -> (TextAnalysis.lmScore _),

@@ -81,6 +81,30 @@ object Similarity {
       .select(col("vec_id"), round(col("c"), 4).as("cos"))
   }
 
+  /** Matryoshka-style TRUNCATED-dimension ANN: rank by exact cosine
+    * over only the FIRST `dims` dimensions of each embedding — the
+    * memory/bandwidth knob of MRL-trained models, where prefixes are
+    * usable sub-embeddings (Kusupati et al.), orthogonal to int8/PQ
+    * compression: nothing is re-encoded, the scorer just folds fewer
+    * dimensions (dims/D of the arithmetic and, with a prefix-sliced
+    * stored column, dims/D of the scan bytes). Same plan shape as
+    * [[annTopK]] (broadcast 1-row query, one scan,
+    * TakeOrderedAndProject); recall vs the full-dim ranking is the
+    * measured trade (spec reports overlap@k). */
+  def annMrl(spark: SparkSession, dir: String, k: Int = 10,
+             dims: Int = 8): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(slice(col("embedding"), 1, dims).as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        cosine(slice(col("embedding"), 1, dims), col("qv")).as("c"))
+      .orderBy(col("c").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("c"), 4).as("cos"))
+  }
+
   /** k-NN JOIN: top-k cosine neighbors for EVERY query in a query set
     * (vec_id < 4 here) — the batched form of [[annTopK]] and the shape
     * a retrieval/eval pipeline actually runs. The query set broadcasts

@@ -629,6 +629,17 @@ object TrainingOracles {
                      JOIN sig s2 ON c.base_doc = s2.doc_id AND s1.i = s2.i
          GROUP BY 1, 2 ORDER BY delta_doc, base_doc""",
 
+    // Matryoshka truncated-dimension ANN: exact cosine over the first
+    // 8 dims only (list_slice prefixes on both sides)
+    "q25_ann_mrl" ->
+      s"""WITH q AS (SELECT list_slice(embedding, 1, 8) AS qv
+                     FROM embeddings WHERE vec_id = 0),
+         s AS (SELECT vec_id,
+                      ${cos("list_slice(embedding, 1, 8)", "qv")} AS c
+               FROM embeddings CROSS JOIN q WHERE vec_id <> 0)
+         SELECT vec_id, round(c, 4) AS cos FROM s
+         ORDER BY c DESC, vec_id LIMIT 10""",
+
     // cell-bounded k-NN graph: the engine's bounded-heap top-k per
     // vector vs the WINDOW form over the same same-cell candidates —
     // the compare re-proves heap == row_number on this shape. Cells

@@ -576,6 +576,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!plan.contains("Window"), s"window exec leaked:\n$plan")
   }
 
+  test("MRL truncated-dim ANN: exact top-k over 8-dim prefixes, " +
+    "matches a driver recompute; full-dim ranking differs (real knob)") {
+    val dims = 8
+    val got = Similarity.annMrl(spark, dir, k = 10, dims = dims).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.length == 10 && got.map(_._1).distinct.length == 10)
+    val vecs = graft.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).take(dims)).toMap
+    def cosP(a: Seq[Float], b: Seq[Float]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0
+      a.indices.foreach { i =>
+        val x = a(i).toDouble; val y = b(i).toDouble
+        ab += x * y; aa += x * x; bb += y * y
+      }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    val q = vecs(0L)
+    val want = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cosP(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10)
+      .map { case (id, c) => (id, math.rint(c * 1e4) / 1e4) }
+    assert(got == want, s"got=$got want=$want")
+    // the truncation is a real ranking knob on this fixture, not a
+    // no-op: the full-dim top-10 differs
+    val full = Similarity.annTopK(spark, dir, 10).collect()
+      .map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet != full)
+  }
+
   test("durable-store centroid ranking collects seeds ONCE per store " +
     "per session (repeat probes hit the cache)") {
     val out = java.nio.file.Files
