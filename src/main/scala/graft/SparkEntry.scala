@@ -206,6 +206,8 @@ object SparkEntry {
     "q33_clustering" -> (Graph.q33Clustering _),
     "q34_zorder" -> (graft.ops.Layout.q34ZValue _),
     "q38_formats" -> (graft.ops.Formats.roundTrip _),
+    "q39_ir_eval" ->
+      ((s: SparkSession, d: String) => IrSql.q39IrEval(s, d)),
   )
 
   /** DuckDB dialect equivalents. Dialect notes: regexp_replace needs the

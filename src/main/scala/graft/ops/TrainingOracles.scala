@@ -629,6 +629,49 @@ object TrainingOracles {
                      JOIN sig s2 ON c.base_doc = s2.doc_id AND s1.i = s2.i
          GROUP BY 1, 2 ORDER BY delta_doc, base_doc""",
 
+    // IR evaluation battery: rank by the q10 tf-idf dataflow, score
+    // top-10 against the deterministic tf>=EvalRelMinTf qrels —
+    // recall@10 / MRR / nDCG@10 per query; the row_number window here
+    // re-proves the engine's bounded-heap top-k a third time
+    "q39_ir_eval" -> {
+      val terms = graft.queries.IrSql.EvalQueryTerms
+        .map("'" + _ + "'").mkString(", ")
+      val minTf = graft.queries.IrSql.EvalRelMinTf
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS term
+                   FROM documents),
+         tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
+                WHERE term IN ($terms) GROUP BY 1, 2),
+         wdf AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+         nn AS (SELECT count(*) AS n FROM documents),
+         scored AS (SELECT term, doc_id,
+                           round((1.0 + ln(tf)) * log10(CAST(n AS DOUBLE) / df), 4) AS score
+                    FROM wdf CROSS JOIN nn),
+         ranked AS (SELECT term, doc_id,
+                           row_number() OVER (PARTITION BY term
+                             ORDER BY score DESC, doc_id) AS rank
+                    FROM scored),
+         top AS (SELECT * FROM ranked WHERE rank <= 10),
+         rel AS (SELECT term, doc_id FROM tf WHERE tf >= $minTf),
+         nrel AS (SELECT term, CAST(count(*) AS BIGINT) AS n_rel
+                  FROM rel GROUP BY term),
+         h AS (SELECT t.term, t.rank,
+                      CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS is_rel
+               FROM top t LEFT JOIN rel r
+                 ON t.term = r.term AND t.doc_id = r.doc_id),
+         m AS (SELECT term, CAST(sum(is_rel) AS DOUBLE) AS hits,
+                      max(CASE WHEN is_rel = 1 THEN 1.0 / rank ELSE 0.0 END) AS mrr0,
+                      sum(CAST(is_rel AS DOUBLE) / log2(rank + 1.0)) AS dcg
+               FROM h GROUP BY term)
+         SELECT m.term, nrel.n_rel,
+                round(m.hits / nrel.n_rel, 4) AS recall10,
+                round(m.mrr0, 4) AS mrr,
+                round(m.dcg / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, CAST(least(10, nrel.n_rel) AS BIGINT) + 1),
+                    i -> 1.0 / log2(CAST(i AS DOUBLE) + 1.0))),
+                  (a, b) -> a + b), 4) AS ndcg10
+         FROM m JOIN nrel ON m.term = nrel.term ORDER BY m.term"""
+    },
+
     // Matryoshka truncated-dimension ANN: exact cosine over the first
     // 8 dims only (list_slice prefixes on both sides)
     "q25_ann_mrl" ->

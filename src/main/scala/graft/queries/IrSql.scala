@@ -341,6 +341,71 @@ object IrSql {
       .limit(10)
   }
 
+  /** Evaluation query set + binary-relevance rule (tf ≥ [[EvalRelMinTf]])
+    * for [[q39IrEval]] — shared with the generated oracle SQL. */
+  val EvalQueryTerms: Seq[String] =
+    Seq("filter", "hash", "merge", "stream", "table")
+  val EvalRelMinTf = 2L
+
+  /** Q39: IR EVALUATION battery — the measurement half an engine user
+    * runs beside retrieval: for each evaluation query, rank the corpus
+    * by the engine's intended tf-idf and score the top-10 against a
+    * deterministic binary qrels set (docs with tf ≥ [[EvalRelMinTf]]
+    * for the term), emitting recall@10, MRR and nDCG@10 per query.
+    *
+    * Shapes: scoring is the [[q10TfIdf]] dataflow generalized to the
+    * query SET (one pruned scan, window df, broadcast N); per-query
+    * top-10 rides the bounded-heap `graft_topk` aggregate (O(k) state,
+    * no window shuffle-and-sort — the oracle's row_number window
+    * re-proves the heap a third time); metrics are per-query ≤10-row
+    * aggregates; IDCG folds a ≤10-element generated sequence per query
+    * row. Everything is query-set-bounded after the one postings scan —
+    * the corpus-size-independent serving shape. Scores round 4 dp
+    * BEFORE ranking (cross-engine tie stability, the q10 discipline);
+    * binary relevance keeps DCG gains exact. */
+  def q39IrEval(spark: SparkSession, dir: String,
+                k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val tf = termTf(spark, dir)
+      .filter(col("term").isin(EvalQueryTerms: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
+    val n = docs(spark, dir).agg(count(lit(1)).as("n"))
+    val scored = withDf.join(broadcast(n))
+      .select(col("term"), col("doc_id"),
+        round((lit(1.0) + log(col("tf"))) *
+          log10(col("n").cast("double") / col("df").cast("double")), 4)
+          .as("score"))
+    val top = scored.groupBy(col("term"))
+      .agg(graft.functions.GraftFunctions
+        .topkBy(col("score"), col("doc_id"), k).as("top"))
+      .select(col("term"), posexplode(col("top")))
+      .select(col("term"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("doc_id"))
+    val rel = tf.filter(col("tf") >= EvalRelMinTf)
+      .select(col("term"), col("doc_id"), lit(1L).as("is_rel"))
+    val nrel = rel.groupBy(col("term")).agg(count(lit(1)).as("n_rel"))
+    val h = top.join(rel, Seq("term", "doc_id"), "left")
+      .na.fill(0L, Seq("is_rel"))
+    val perQuery = h.groupBy(col("term"))
+      .agg(sum(col("is_rel")).cast("double").as("hits"),
+        max(when(col("is_rel") === 1L,
+          lit(1.0) / col("rank")).otherwise(lit(0.0))).as("mrr0"),
+        sum(col("is_rel").cast("double") /
+          log2(col("rank").cast("double") + lit(1.0))).as("dcg"))
+    val idcg = aggregate(
+      transform(sequence(lit(1L), least(lit(k.toLong), col("n_rel"))),
+        i => lit(1.0) / log2(i.cast("double") + lit(1.0))),
+      lit(0.0), (a, b) => a + b)
+    perQuery.join(nrel, "term")
+      .select(col("term"), col("n_rel"),
+        round(col("hits") / col("n_rel"), 4).as("recall10"),
+        round(col("mrr0"), 4).as("mrr"),
+        round(col("dcg") / idcg, 4).as("ndcg10"))
+      .orderBy("term")
+  }
+
   /** BM25 constants — referenced by BOTH the Spark plan and the
     * generated oracle SQL so the two cannot drift. */
   val Bm25K1: Double = 1.2

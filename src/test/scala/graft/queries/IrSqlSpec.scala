@@ -31,4 +31,46 @@ class IrSqlSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(got == expected && got.nonEmpty)
   }
+
+  test("IR eval battery: one row per query term, metrics in [0,1], " +
+    "MRR/recall consistent with a driver recompute of the ranking") {
+    val got = IrSql.q39IrEval(spark, dir).collect()
+    assert(got.map(_.getString(0)).toSeq == IrSql.EvalQueryTerms.sorted)
+    got.foreach { r =>
+      val (nRel, rec, mrr, ndcg) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(nRel > 0)
+      Seq(rec, mrr, ndcg).foreach(m => assert(m >= 0.0 && m <= 1.0,
+        s"${r.getString(0)}: metric out of range: $r"))
+      // recall@10 can't exceed 10/n_rel
+      assert(rec <= math.rint(10.0 / nRel * 1e4) / 1e4 + 1e-9)
+    }
+    // driver recompute of MRR and recall for one term from the raw
+    // tf table (independent of the engine's heap/window machinery)
+    val term = IrSql.EvalQueryTerms.head
+    val tf = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.ops.CrossHash.tokensArray(col("text"))).as("t"))
+      .filter(col("t") === term)
+      .groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = graft.Tables.load(spark, dir, "documents").count().toDouble
+    val df = tf.size.toDouble
+    def score(c: Long): Double =
+      math.rint((1.0 + math.log(c)) * math.log10(n / df) * 1e4) / 1e4
+    val top = tf.toSeq.map { case (d, c) => (d, score(c)) }
+      .sortBy { case (d, s) => (-s, d) }.take(10).map(_._1)
+    val rel = tf.filter(_._2 >= IrSql.EvalRelMinTf).keySet
+    val wantRec = math.rint(
+      top.count(rel.contains).toDouble / rel.size * 1e4) / 1e4
+    val firstRel = top.zipWithIndex.collectFirst {
+      case (d, i) if rel.contains(d) => 1.0 / (i + 1) }.getOrElse(0.0)
+    val row = got.find(_.getString(0) == term).get
+    assert(row.getDouble(2) == wantRec, s"recall: ${row.getDouble(2)} != $wantRec")
+    assert(row.getDouble(3) == math.rint(firstRel * 1e4) / 1e4)
+    // per-query top-k rides the bounded heap
+    val plan = IrSql.q39IrEval(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"no bounded heap:\n$plan")
+  }
 }
