@@ -168,6 +168,7 @@ object SparkEntry {
     "q27_redact" -> (TextAnalysis.redactPii _),
     "q27_repetition" -> (TextAnalysis.repetition _),
     "q27_contamination" -> (TextAnalysis.contamination _),
+    "q27_decontaminate" -> (TextAnalysis.decontaminate _),
     "q27_mixture" -> (TextAnalysis.mixCorpus _),
     "q27_mixture_alpha" ->
       ((s: SparkSession, d: String) => TextAnalysis.mixCorpusAlpha(s, d)),
@@ -185,6 +186,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
     "q25_ann_mrl" ->
       ((s: SparkSession, d: String) => Similarity.annMrl(s, d)),
+    "q25_negatives" ->
+      ((s: SparkSession, d: String) => Similarity.negatives(s, d)),
     "q14_heavy_hitters" ->
       ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
     "q27_lm_score" -> (TextAnalysis.lmScore _),

@@ -105,6 +105,52 @@ object Similarity {
       .select(col("vec_id"), round(col("c"), 4).as("cos"))
   }
 
+  /** Deterministic probe coefficients for [[negatives]] — fixed so the
+    * DuckDB oracle embeds the identical affine maps. */
+  val NegativeCoeffs: Seq[(Long, Long)] =
+    Seq((7L, 3L), (11L, 5L), (13L, 9L), (17L, 2L), (19L, 6L), (23L, 4L))
+
+  /** CONTRASTIVE NEGATIVE SAMPLING — the training-pair miner beside
+    * [[knnGraph]]'s positives: for each anchor vector, up to `k`
+    * deterministic pseudo-random negatives drawn by fixed affine
+    * probes (cand = (vec_id·a + b) mod n), REJECTING candidates in
+    * the anchor's own cell (a same-cell candidate is plausibly a
+    * near-duplicate — the false-negative trap of random sampling).
+    * Reproducible run-over-run and engine-over-engine (no rand());
+    * per-anchor work is |coeffs| probes + two bounded equi-joins, and
+    * the first-k-by-probe-order selection rides the bounded-heap
+    * aggregate (score = −probe), not a window sort. Anchors whose six
+    * probes all land in-cell or on themselves yield fewer than k
+    * rows — the contract, mirrored by the oracle. */
+  def negatives(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val cells = semDedupCells(spark, dir).select(col("vec_id"), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = cells.count()
+    val probes = NegativeCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i.toLong).as("p"),
+        pmod(col("vec_id") * a + b, lit(n)).as("cand"))
+    }
+    val cand = cells.select(col("vec_id"), col("cell").as("acell"),
+        explode(array(probes: _*)).as("pc"))
+      .select(col("vec_id"), col("acell"),
+        col("pc.p").as("p"), col("pc.cand").as("cand"))
+      .filter(col("cand") =!= col("vec_id"))
+      .join(cells.select(col("vec_id").as("cand"),
+        col("cell").as("ccell")), "cand")
+      .filter(col("ccell") =!= col("acell"))
+      // two probes can map to the same candidate: keep its first probe
+      .groupBy(col("vec_id"), col("cand"))
+      .agg(min(col("p")).as("p"))
+    cand.groupBy(col("vec_id"))
+      .agg(graft.functions.GraftFunctions
+        .topkBy((-col("p")).cast("double"), col("cand"), k).as("top"))
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("neg_rank"),
+        col("col.id").as("neg_id"))
+      .orderBy("vec_id", "neg_rank")
+  }
+
   /** k-NN JOIN: top-k cosine neighbors for EVERY query in a query set
     * (vec_id < 4 here) — the batched form of [[annTopK]] and the shape
     * a retrieval/eval pipeline actually runs. The query set broadcasts

@@ -418,7 +418,11 @@ object TextAnalysis {
     * Emits each flagged doc with its overlap count and ratio. */
   val ContamMod = 47L
 
-  def contamination(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared contamination frame: EVERY training doc with at least one
+    * trigram, with its benchmark overlap (0 for untouched docs) and
+    * rounded ratio — [[contamination]] reports the flagged subset,
+    * [[decontaminate]] keeps the clean one. */
+  private def contamFrame(spark: SparkSession, dir: String): DataFrame = {
     // the tokenize+shingle subtree feeds three consumers (benchmark
     // set, per-doc totals, overlap join) — staged once (the returned
     // frame reads the blocks, so persist() would have no release
@@ -433,12 +437,36 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_trigrams"))
     val hits = train.join(broadcast(bench), "shingle")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-    totals.join(hits, "doc_id")
+    totals.join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_shared"))
       .select(col("doc_id"), col("n_trigrams"), col("n_shared"),
         round(col("n_shared").cast("double") / col("n_trigrams"), 4)
           .as("contam_ratio"))
-      .orderBy("doc_id")
   }
+
+  def contamination(spark: SparkSession, dir: String): DataFrame =
+    contamFrame(spark, dir)
+      .filter(col("n_shared") > 0)
+      .orderBy("doc_id")
+
+  /** Decontamination threshold on the ROUNDED ratio (both engines
+    * round the identical IEEE division to 4 dp before comparing, so
+    * the keep/drop decision can't straddle a ulp). */
+  val ContamDropThreshold = 0.05
+
+  /** Decontamination APPLY — the benchmark-leak gate a training
+    * pipeline actually ships (the GPT-3-style n-gram decontamination
+    * pass): keep every training doc whose benchmark trigram-overlap
+    * ratio stays below [[ContamDropThreshold]]; zero-overlap docs are
+    * kept with explicit zeros. Same broadcast-benchmark / one-hash-join
+    * dataflow as [[contamination]] — no all-pairs anywhere. Docs with
+    * fewer than 3 tokens have no trigrams and fall outside the
+    * contract (no evidence either way — route them through a length
+    * gate instead). */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    contamFrame(spark, dir)
+      .filter(col("contam_ratio") < ContamDropThreshold)
+      .orderBy("doc_id")
 
   /** Target language proportions for [[mixCorpus]] — a constant so the
     * DuckDB oracle embeds the identical weights. */

@@ -629,6 +629,41 @@ object TrainingOracles {
                      JOIN sig s2 ON c.base_doc = s2.doc_id AND s1.i = s2.i
          GROUP BY 1, 2 ORDER BY delta_doc, base_doc""",
 
+    // contrastive negative sampling: fixed affine probes, same-cell
+    // candidates rejected, first-k by probe order (the heap's
+    // score=-p vs this window — a fourth heap==row_number re-proof)
+    "q25_negatives" -> {
+      val probes = Similarity.NegativeCoeffs.zipWithIndex
+        .map { case ((a, b), i) =>
+          s"SELECT vec_id, $i AS p, (vec_id * $a + $b) % n AS cand " +
+            "FROM cells CROSS JOIN nn" }
+        .mkString(" UNION ALL ")
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                     WHERE vec_id < (SELECT greatest(${Similarity.IvfCentroids},
+                       CAST(ceil(count(*) / ${Similarity.SemDedupCellSize}.0) AS BIGINT))
+                       FROM embeddings)),
+         a AS (SELECT e.vec_id, e.embedding, c.cid,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY ${cos("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+               FROM embeddings e CROSS JOIN c),
+         cells AS (SELECT vec_id, cid AS cell FROM a WHERE rn = 1),
+         nn AS (SELECT count(*) AS n FROM embeddings),
+         pr AS ($probes),
+         j AS (SELECT pr.vec_id, pr.p, pr.cand
+               FROM pr
+               JOIN cells x ON pr.vec_id = x.vec_id
+               JOIN cells y ON pr.cand = y.vec_id
+               WHERE pr.cand <> pr.vec_id AND y.cell <> x.cell),
+         d AS (SELECT vec_id, cand, min(p) AS p FROM j GROUP BY 1, 2),
+         r AS (SELECT vec_id, cand,
+                      row_number() OVER (PARTITION BY vec_id
+                        ORDER BY p, cand) AS neg_rank
+               FROM d)
+         SELECT vec_id, CAST(neg_rank AS BIGINT) AS neg_rank,
+                cand AS neg_id
+         FROM r WHERE neg_rank <= 3 ORDER BY vec_id, neg_rank"""
+    },
+
     // IR evaluation battery: rank by the q10 tf-idf dataflow, score
     // top-10 against the deterministic tf>=EvalRelMinTf qrels —
     // recall@10 / MRR / nDCG@10 per query; the row_number window here
@@ -1171,6 +1206,29 @@ object TrainingOracles {
                 round(CAST(n_shared AS DOUBLE) / n_trigrams, 4)
                   AS contam_ratio
          FROM tot JOIN hit USING (doc_id) ORDER BY doc_id""",
+
+    // decontamination APPLY: keep training docs under the threshold
+    // (LEFT join so zero-overlap docs survive with explicit zeros);
+    // threshold compares the ROUNDED ratio on both engines
+    "q27_decontaminate" ->
+      s"""$docShingles,
+         bench AS (SELECT DISTINCT shingle FROM sh
+                   WHERE doc_id % ${TextAnalysis.ContamMod} = 0),
+         train AS (SELECT * FROM sh
+                   WHERE doc_id % ${TextAnalysis.ContamMod} <> 0),
+         tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams
+                 FROM train GROUP BY doc_id),
+         hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+                 FROM train JOIN bench USING (shingle) GROUP BY doc_id),
+         f AS (SELECT tot.doc_id, n_trigrams,
+                      coalesce(n_shared, 0) AS n_shared,
+                      round(CAST(coalesce(n_shared, 0) AS DOUBLE)
+                        / n_trigrams, 4) AS contam_ratio
+               FROM tot LEFT JOIN hit USING (doc_id))
+         SELECT doc_id, n_trigrams, CAST(n_shared AS BIGINT) AS n_shared,
+                contam_ratio
+         FROM f WHERE contam_ratio < ${TextAnalysis.ContamDropThreshold}
+         ORDER BY doc_id""",
 
     // stable-hash train/val/test split, per-(lang, split) audit counts
     "q27_split" ->

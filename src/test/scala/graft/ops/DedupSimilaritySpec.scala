@@ -576,6 +576,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!plan.contains("Window"), s"window exec leaked:\n$plan")
   }
 
+  test("negative sampling: cross-cell only, first-k by probe order, " +
+    "matches a driver recompute") {
+    val rows = Similarity.negatives(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val cells = Similarity.semDedupCells(spark, dir)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val n = cells.size.toLong
+    val byAnchor = rows.groupBy(_.getLong(0))
+    byAnchor.foreach { case (v, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length))
+      rs.foreach(r => assert(cells(r.getLong(2)) != cells(v),
+        s"anchor $v got a same-cell negative ${r.getLong(2)}"))
+    }
+    // driver recompute for every anchor
+    cells.keySet.foreach { v =>
+      val cands = Similarity.NegativeCoeffs.zipWithIndex
+        .map { case ((a, b), i) => (i, ((v * a + b) % n + n) % n) }
+        .filter { case (_, c) => c != v && cells(c) != cells(v) }
+        .groupBy(_._2).map { case (c, ps) => (ps.map(_._1).min, c) }
+        .toSeq.sorted.take(3).map(_._2)
+      val want = cands
+      val gotIds = byAnchor.get(v).map(_.sortBy(_.getLong(1))
+        .map(_.getLong(2)).toSeq).getOrElse(Seq.empty)
+      assert(gotIds == want, s"anchor $v: $gotIds != $want")
+    }
+  }
+
   test("MRL truncated-dim ANN: exact top-k over 8-dim prefixes, " +
     "matches a driver recompute; full-dim ranking differs (real knob)") {
     val dims = 8

@@ -247,6 +247,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"window exec in sample plan:\n$plan")
   }
 
+  test("decontamination apply: keeps exactly the under-threshold docs, " +
+    "zero-overlap docs survive with explicit zeros") {
+    val kept = TextAnalysis.decontaminate(spark, dir).collect()
+    assert(kept.nonEmpty)
+    kept.foreach(r => assert(
+      r.getDouble(3) < TextAnalysis.ContamDropThreshold, r.toString))
+    // zero-overlap docs are in the kept set with n_shared = 0
+    assert(kept.exists(r => r.getLong(2) == 0L))
+    // flagged docs over the threshold are exactly the ones missing
+    val flagged = TextAnalysis.contamination(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val keptIds = kept.map(_.getLong(0)).toSet
+    flagged.foreach { case (id, ratio) =>
+      assert(keptIds.contains(id) ==
+        (ratio < TextAnalysis.ContamDropThreshold),
+        s"doc $id ratio $ratio kept=${keptIds.contains(id)}")
+    }
+    // the contamination report itself is unchanged by the refactor:
+    // every reported row has shared trigrams
+    assert(flagged.nonEmpty)
+  }
+
   test("chunking: windows tile every doc's tokens at the stride, " +
     "overlap carries, text slices reconstruct exactly") {
     import graft.ops.CrossHash
