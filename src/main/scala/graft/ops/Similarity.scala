@@ -121,7 +121,11 @@ object Similarity {
     * the first-k-by-probe-order selection rides the bounded-heap
     * aggregate (score = −probe), not a window sort. Anchors whose six
     * probes all land in-cell or on themselves yield fewer than k
-    * rows — the contract, mirrored by the oracle. */
+    * rows — the contract, mirrored by the oracle. The probes assume a
+    * DENSE id space 0..n−1 (a probe landing on a nonexistent id is
+    * dropped by the candidate join — deterministic, but sparse id
+    * layouts get fewer negatives; remap ids densely first, the usual
+    * discipline for any modular probing). */
   def negatives(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val cells = semDedupCells(spark, dir).select(col("vec_id"), col("cell"))
