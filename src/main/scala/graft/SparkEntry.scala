@@ -188,6 +188,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Similarity.annMrl(s, d)),
     "q25_negatives" ->
       ((s: SparkSession, d: String) => Similarity.negatives(s, d)),
+    "q25_ann_recall" ->
+      ((s: SparkSession, d: String) => Similarity.annRecallEval(s, d)),
     "q14_heavy_hitters" ->
       ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
     "q27_lm_score" -> (TextAnalysis.lmScore _),

@@ -183,6 +183,42 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** ANN RECALL EVALUATION — [[graft.queries.IrSql.q39IrEval]]'s
+    * vector twin: for each query in the evaluation set (vec_id < 4,
+    * the [[annKnnJoin]] batch), compare the IVF single-cell ranking
+    * against ground-truth brute force over the IDENTICAL candidate
+    * pool and report recall@k — the number every ANN deployment tracks
+    * beside its latency. One broadcast of the query set into one
+    * scored scan feeds BOTH arms (the ivf arm just adds the cell
+    * filter); per-query top-k rides the bounded heap on each side.
+    * Query-set-bounded everywhere after the scan. */
+  def annRecallEval(spark: SparkSession, dir: String,
+                    k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val cells = ivfCells(spark, dir)
+    val q = cells.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("cell").as("qcell"))
+    val scored = cells.filter(col("vec_id") >= 4)
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("qcell"), col("vec_id"), col("cell"),
+        cosine(col("embedding"), col("qv")).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def topk(df: DataFrame): DataFrame = df.groupBy(col("qid"))
+      .agg(graft.functions.GraftFunctions
+        .topkBy(col("c"), col("vec_id"), k).as("top"))
+      .select(col("qid"), explode(col("top.id")).as("vec_id"))
+    val brute = topk(scored)
+    val ivf = topk(scored.filter(col("cell") === col("qcell")))
+    val hits = brute.join(ivf, Seq("qid", "vec_id"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    q.select(col("qid")).join(hits, Seq("qid"), "left")
+      .na.fill(0L, Seq("hits"))
+      .select(col("qid"), col("hits"),
+        round(col("hits").cast("double") / k, 4).as("recall10"))
+      .orderBy("qid")
+  }
+
   /** Embedding near-dup: pairs with cosine ≥ [[SemDedupThreshold]] on
     * the vec_id < 200 sample — the EXACT-all-pairs correctness surface
     * (every pair's cosine is checked, nothing cell-bounded). The

@@ -629,6 +629,37 @@ object TrainingOracles {
                      JOIN sig s2 ON c.base_doc = s2.doc_id AND s1.i = s2.i
          GROUP BY 1, 2 ORDER BY delta_doc, base_doc""",
 
+    // ANN recall evaluation: IVF single-cell ranking vs brute-force
+    // ground truth over the identical candidate pool, recall@10 per
+    // query — both arms' top-k as row_number windows vs the engine's
+    // bounded heaps
+    "q25_ann_recall" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                     WHERE vec_id < ${Similarity.IvfCentroids}),
+         a AS (SELECT e.vec_id, e.embedding, c.cid,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY ${cos("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+               FROM embeddings e CROSS JOIN c),
+         cells AS (SELECT vec_id, embedding, cid AS cell FROM a WHERE rn = 1),
+         q AS (SELECT vec_id AS qid, embedding AS qv, cell AS qcell
+               FROM cells WHERE vec_id < 4),
+         s AS (SELECT q.qid, q.qcell, x.vec_id, x.cell,
+                      ${cos("x.embedding", "q.qv")} AS c
+               FROM cells x CROSS JOIN q WHERE x.vec_id >= 4),
+         b AS (SELECT qid, vec_id FROM (
+                 SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                   ORDER BY c DESC, vec_id) AS rn FROM s) WHERE rn <= 10),
+         i AS (SELECT qid, vec_id FROM (
+                 SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                   ORDER BY c DESC, vec_id) AS rn FROM s
+                 WHERE cell = qcell) WHERE rn <= 10),
+         h AS (SELECT b.qid, CAST(count(*) AS BIGINT) AS hits
+               FROM b JOIN i ON b.qid = i.qid AND b.vec_id = i.vec_id
+               GROUP BY b.qid)
+         SELECT q.qid, coalesce(h.hits, 0) AS hits,
+                round(coalesce(h.hits, 0) / 10.0, 4) AS recall10
+         FROM q LEFT JOIN h ON q.qid = h.qid ORDER BY q.qid""",
+
     // contrastive negative sampling: fixed affine probes, same-cell
     // candidates rejected, first-k by probe order (the heap's
     // score=-p vs this window — a fourth heap==row_number re-proof)

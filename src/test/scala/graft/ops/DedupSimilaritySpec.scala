@@ -605,6 +605,35 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ANN recall eval: one row per eval query, hits = |ivf ∩ brute| " +
+    "by driver recompute, recall = hits/10") {
+    val got = Similarity.annRecallEval(spark, dir).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    val cells = Similarity.ivfCells(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1),
+        r.getAs[Number](2).longValue))
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0
+      a.indices.foreach { i =>
+        ab += a(i).toDouble * b(i); aa += a(i).toDouble * a(i)
+        bb += b(i).toDouble * b(i) }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    got.foreach { r =>
+      val qid = r.getLong(0)
+      val (_, qv, qcell) = cells.find(_._1 == qid).get
+      val scored = cells.filter(_._1 >= 4)
+        .map { case (id, v, cl) => (id, cl, cos(qv, v)) }
+      def topk(xs: Seq[(Long, Long, Double)]): Set[Long] =
+        xs.sortBy { case (id, _, c) => (-c, id) }.take(10).map(_._1).toSet
+      val brute = topk(scored.toSeq)
+      val ivf = topk(scored.filter(_._2 == qcell).toSeq)
+      val hits = (brute & ivf).size.toLong
+      assert(r.getLong(1) == hits, s"q$qid hits ${r.getLong(1)} != $hits")
+      assert(r.getDouble(2) == math.rint(hits / 10.0 * 1e4) / 1e4)
+    }
+  }
+
   test("MRL truncated-dim ANN: exact top-k over 8-dim prefixes, " +
     "matches a driver recompute; full-dim ranking differs (real knob)") {
     val dims = 8
