@@ -87,6 +87,7 @@ object SparkEntry {
     "q24_dedup_apply" -> (Dedup.applyExact _),
     "q24_dedup_jaccard" -> ((s: SparkSession, d: String) => Dedup.jaccard(s, d)),
     "q24_dedup_minhash" -> (Dedup.minhashLsh _),
+    "q24_dedup_eval" -> (Dedup.dedupEval _),
     "q24_neardup_probe" -> (Dedup.neardupProbe _),
     "q24_dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
     "q24_dedup_survivors" -> ((s: SparkSession, d: String) => Dedup.survivors(s, d)),

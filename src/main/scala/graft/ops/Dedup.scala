@@ -297,6 +297,31 @@ object Dedup {
               threshold: Double = 0.5): DataFrame =
     jaccardStages(spark, dir, threshold)._1.orderBy("doc_a", "doc_b")
 
+  /** DEDUP QUALITY EVALUATION — the third eval battery beside
+    * retrieval ([[graft.queries.IrSql.q39IrEval]]) and ANN recall
+    * ([[Similarity.annRecallEval]]): score the MinHash+LSH candidate
+    * pairs against exact-Jaccard ground truth (pairs with true
+    * Jaccard ≥ 0.5 — the [[jaccard]] contract) and report the one-row
+    * precision/recall panel every dedup deployment tunes its
+    * bands/rows against. Both arms are the existing candidate-bounded
+    * pipelines; the compare is one equi-join on the pair key. */
+  def dedupEval(spark: SparkSession, dir: String): DataFrame = {
+    val lsh = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val truth = jaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val nL = lsh.count()
+    val nT = truth.count()
+    val hit = lsh.join(truth, Seq("doc_a", "doc_b")).count()
+    import spark.implicits._
+    // ratios round through the SQL round (HALF_UP, same as DuckDB's)
+    // rather than driver math — the cross-engine discipline
+    Seq((nL, nT, hit)).toDF("n_candidates", "n_true", "n_hit")
+      .select(col("n_candidates"), col("n_true"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_candidates"), 4)
+          .as("lsh_precision"),
+        round(col("n_hit").cast("double") / col("n_true"), 4)
+          .as("lsh_recall"))
+  }
+
   /** The jaccard pipeline with its reusable stages exposed: (scored
     * near-dup pairs ≥ threshold, UNordered; the persisted per-doc set
     * table (doc_id, sh_hash, sh_set, n, n_tokens)). [[survivors]] and

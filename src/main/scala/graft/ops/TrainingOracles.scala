@@ -584,6 +584,39 @@ object TrainingOracles {
                      JOIN sig s2 ON c.doc_b = s2.doc_id AND s1.i = s2.i
          GROUP BY 1, 2 ORDER BY doc_a, doc_b""",
 
+    // dedup quality evaluation: LSH candidate pairs vs exact-Jaccard
+    // >= 0.5 ground truth — the precision/recall panel bands/rows get
+    // tuned against (same CTEs as q24_dedup_minhash / q24_dedup_jaccard)
+    "q24_dedup_eval" ->
+      s"""$docShingles,
+         hh AS (SELECT doc_id, ${ddbPolyHash("shingle", PM)} AS h FROM sh),
+         sig AS (SELECT doc_id, i, min((a * h + b) % $PM) AS mh
+                 FROM hh CROSS JOIN $ddbPermValues GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // $RowsPerBand AS band,
+                          string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+                   FROM sig GROUP BY doc_id, i // $RowsPerBand),
+         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                  FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         truth AS (SELECT doc_a, doc_b
+                   FROM inter JOIN sz x ON doc_a = x.doc_id
+                              JOIN sz y ON doc_b = y.doc_id
+                   WHERE i / (x.n + y.n - i) >= 0.5),
+         m AS (SELECT (SELECT count(*) FROM cand) AS nl,
+                      (SELECT count(*) FROM truth) AS nt,
+                      (SELECT count(*) FROM cand
+                       JOIN truth USING (doc_a, doc_b)) AS nh)
+         SELECT CAST(nl AS BIGINT) AS n_candidates,
+                CAST(nt AS BIGINT) AS n_true,
+                CAST(nh AS BIGINT) AS n_hit,
+                round(CAST(nh AS DOUBLE) / nl, 4) AS lsh_precision,
+                round(CAST(nh AS DOUBLE) / nt, 4) AS lsh_recall
+         FROM m""",
+
     // near-dup DELTA probe: delta band keys joined into the base's
     // banded signature table (same half split as q24_dedup_delta,
     // same banding as q24_dedup_minhash)

@@ -605,6 +605,21 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("dedup eval: one-row panel consistent with the two pair sets " +
+    "it compares") {
+    val r = Dedup.dedupEval(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val lsh = Dedup.minhashLsh(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val truth = Dedup.jaccard(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(row.getLong(0) == lsh.size && row.getLong(1) == truth.size)
+    assert(row.getLong(2) == (lsh & truth).size)
+    assert(row.getDouble(3) >= 0 && row.getDouble(3) <= 1)
+    assert(row.getDouble(4) >= 0 && row.getDouble(4) <= 1)
+  }
+
   test("ANN recall eval: one row per eval query, hits = |ivf ∩ brute| " +
     "by driver recompute, recall = hits/10") {
     val got = Similarity.annRecallEval(spark, dir).collect()
