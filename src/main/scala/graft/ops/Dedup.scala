@@ -306,8 +306,16 @@ object Dedup {
     * bands/rows against. Both arms are the existing candidate-bounded
     * pipelines; the compare is one equi-join on the pair key. */
   def dedupEval(spark: SparkSession, dir: String): DataFrame = {
+    // stage() both arms: each pair frame feeds a count AND the hit
+    // join — unstaged, the banded-LSH and exact-Jaccard pipelines
+    // would each evaluate twice (lazy localCheckpoint, not persist —
+    // the jaccardStages lifecycle rationale: no release point exists
+    // for a CacheManager pin, checkpointed blocks are
+    // ContextCleaner-reclaimed once the counts and join complete)
     val lsh = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+      .stage()
     val truth = jaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+      .stage()
     val nL = lsh.count()
     val nT = truth.count()
     val hit = lsh.join(truth, Seq("doc_a", "doc_b")).count()

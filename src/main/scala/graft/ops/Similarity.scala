@@ -778,9 +778,17 @@ object Similarity {
     * [[graft.query.LoadedPointServer]]'s zone-map idea expressed
     * through Hive-style partition pruning instead of driver routing. */
   def writeIvfLayout(spark: SparkSession, dir: String,
-                     outDir: String): Unit =
+                     outDir: String): Unit = {
     ivfCells(spark, dir)
       .write.partitionBy("cell").mode("overwrite").parquet(outDir)
+    // a full-store rewrite REPLACES the seed coordinate system, so the
+    // session seed cache must drop the path — otherwise rebuilding a
+    // store at a previously-probed path serves stale centroids to
+    // nProbe routing (the 'seeds fixed per store' invariant is about
+    // appends, not rewrites)
+    storeSeedCache.remove(outDir)
+    ()
+  }
 
   /** Assign an arbitrary vector batch to the SEED-centroid cells of
     * `dir`'s embedding table — the delta-ingest half of the durable
@@ -977,10 +985,22 @@ object Similarity {
           cleanup()
         }
       } else if (fs.exists(swap)) {
-        // swap without a manifest (pre-manifest layout): by that
-        // protocol nothing was renamed in yet — roll back
-        parquets(swap).foreach(f =>
-          fs.rename(f.getPath, new Path(cd.getPath, f.getPath.getName)))
+        // swap without a manifest (pre-manifest layout). That protocol
+        // could crash BETWEEN its rename-in and its cleanup, leaving
+        // the replacement visible with swap still present — rolling
+        // the swap back then would duplicate every compacted row. The
+        // discriminator is the tmp dir: the replacement part is
+        // renamed OUT of a completed tmp, so a `_SUCCESS`-marked tmp
+        // with no parquet left inside means the rename-in happened
+        // (the part went to the one place renames send it — the cell
+        // dir) and the swap is completed garbage; a tmp still holding
+        // its parquet (or absent) means nothing was renamed in — roll
+        // the swap files back.
+        val renamedIn = fs.exists(new Path(tmp, "_SUCCESS")) &&
+          parquets(tmp).isEmpty
+        if (!renamedIn)
+          parquets(swap).foreach(f =>
+            fs.rename(f.getPath, new Path(cd.getPath, f.getPath.getName)))
         cleanup()
       } else if (fs.exists(tmp)) fs.delete(tmp, true)
       val dataFiles = parquets(cd.getPath)

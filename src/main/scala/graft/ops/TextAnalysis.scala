@@ -74,8 +74,13 @@ object TextAnalysis {
     * Pure per-row expression work (windows explode from each row in
     * place — no shuffle, no UDF beyond the shared tokenizer), so the
     * operator scales linearly and stays inside whole-stage codegen.
-    * Empty docs produce no chunks; a final short window keeps the
-    * deterministic `start < n` rule. */
+    * Empty docs produce no chunks; a trailing window is emitted only
+    * when it EXTENDS coverage — the last chunk_id is
+    * `ceil((n - ChunkTokens) / ChunkStride)` (0 for docs that fit one
+    * window), so a final window wholly contained in the previous one
+    * (every token already covered — e.g. n = 64 would otherwise add
+    * chunk 1 = tokens 48..63, all inside chunk 0) is suppressed
+    * rather than shipped as redundant training/retrieval content. */
   def chunk(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), tokensArrayFast(col("text")).as("toks"))
@@ -84,7 +89,10 @@ object TextAnalysis {
       .filter(col("n") > 0)
       .select(col("doc_id"), col("toks"), col("n"),
         explode(sequence(lit(0L),
-          ((col("n") - 1) / ChunkStride).cast("long"))).as("chunk_id"))
+          when(col("n") <= ChunkTokens, lit(0L))
+            .otherwise(expr(
+              s"(n - $ChunkTokens + $ChunkStride - 1) DIV $ChunkStride"))))
+          .as("chunk_id"))
       .select(col("doc_id"), col("chunk_id"),
         (col("chunk_id") * ChunkStride).as("start_tok"),
         least(lit(ChunkTokens.toLong),

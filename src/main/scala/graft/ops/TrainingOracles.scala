@@ -831,7 +831,9 @@ object TrainingOracles {
          ORDER BY delta_vec, base_vec""",
 
     // sliding-window chunking: geometry generated from the engine's
-    // ChunkTokens/ChunkStride constants
+    // ChunkTokens/ChunkStride constants; the last chunk_id is
+    // ceil((n - w) / s) so a trailing window wholly contained in the
+    // previous one is suppressed (mirrors TextAnalysis.chunk)
     "q27_chunk" -> {
       val w = TextAnalysis.ChunkTokens
       val s = TextAnalysis.ChunkStride
@@ -839,7 +841,8 @@ object TrainingOracles {
          f AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
                FROM t WHERE len(toks) > 0),
          cx AS (SELECT doc_id, toks, n,
-                       unnest(range(0, (n - 1) // $s + 1)) AS chunk_id
+                       unnest(range(0, CASE WHEN n <= $w THEN 1
+                         ELSE (n - $w + $s - 1) // $s + 1 END)) AS chunk_id
                 FROM f)
          SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
                 CAST(chunk_id * $s AS BIGINT) AS start_tok,

@@ -678,13 +678,28 @@ object IrEngine {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(pairsDir)))
+    if (sinkHasParquet(pairsDir))
       spark.read.parquet(pairsDir).orderBy("delta_doc", "base_doc")
     else
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           "delta_doc BIGINT, base_doc BIGINT, est_jaccard DOUBLE"))
+  }
+
+  /** True iff a gate's results sink holds at least one parquet part —
+    * the guard the typed-empty fallback keys on. [[graft.TempDirs
+    * .scratch]] PRE-CREATES the sink directory, so a bare
+    * `Files.exists` is always true and the fallback would be dead
+    * code; correctness of the no-pairs case would then silently
+    * depend on Spark writing schema-bearing empty part files. */
+  private def sinkHasParquet(dirPath: String): Boolean = {
+    val p = java.nio.file.Paths.get(dirPath)
+    java.nio.file.Files.isDirectory(p) && {
+      val s = java.nio.file.Files.list(p)
+      try s.anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
   }
 
   /** Exact-cosine threshold of the STREAMING vector ingest gate —
@@ -800,7 +815,7 @@ object IrEngine {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(pairsDir)))
+    if (sinkHasParquet(pairsDir))
       spark.read.parquet(pairsDir).orderBy("delta_vec", "base_vec")
     else
       spark.createDataFrame(

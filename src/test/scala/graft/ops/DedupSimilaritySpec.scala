@@ -684,7 +684,6 @@ class DedupSimilaritySpec extends SparkSpec {
     val out = java.nio.file.Files
       .createTempDirectory("graft_ivf_seedcache").toString
     Similarity.writeIvfLayout(spark, dir, out)
-    Similarity.storeSeedCache.remove(out)
     val first = Similarity.probeIvfStore(spark, out, nProbe = 2)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val cached = Similarity.storeSeedCache.get(out)
@@ -694,6 +693,11 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Similarity.storeSeedCache.get(out) eq cached,
       "repeat probe re-collected the store's seed centroids")
     assert(second == first)
+    // a full-store REWRITE at the same path invalidates the cache —
+    // the writeIvfLayout contract, not a caller discipline
+    Similarity.writeIvfLayout(spark, dir, out)
+    assert(Similarity.storeSeedCache.get(out) == null,
+      "store rewrite left stale seed centroids cached")
   }
 
   test("hybrid RRF: fused scores recompute from the arm ranks, " +

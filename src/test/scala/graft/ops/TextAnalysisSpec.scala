@@ -283,7 +283,16 @@ class TextAnalysisSpec extends SparkSpec {
     toks.filter(_._2.nonEmpty).foreach { case (id, ts) =>
       val rows = byDoc(id).sortBy(_.getLong(1))
       val n = ts.length
-      assert(rows.length == (n - 1) / s + 1, s"doc $id: chunk count")
+      // a trailing window wholly inside the previous one is suppressed:
+      // chunk count = 1 + ceil((n - w) / s) clamped at 1
+      val expect = if (n <= w) 1 else (n - w + s - 1) / s + 1
+      assert(rows.length == expect, s"doc $id: chunk count")
+      // every emitted chunk EXTENDS coverage past its predecessor
+      rows.sliding(2).filter(_.length == 2).foreach { pc =>
+        val (p, c) = (pc(0), pc(1))
+        assert(c.getLong(2) + c.getLong(3) > p.getLong(2) + p.getLong(3),
+          s"doc $id chunk ${c.getLong(1)} adds no new tokens")
+      }
       rows.zipWithIndex.foreach { case (r, i) =>
         assert(r.getLong(1) == i)
         val start = i.toLong * s
