@@ -114,9 +114,12 @@ object SparkEntry {
     "q25_semantic_clusters" -> (Similarity.semanticClusters _),
     "q25_semdedup_cells" -> (Similarity.semDedupCellTable _),
     "q25_semdedup_cells_coarse" -> (Similarity.semDedupCellsCoarse _),
-    "q25_semdedup_pairs" -> (Similarity.semDedupPairs _),
-    "q25_semdedup_full" -> (Similarity.semDedupFull _),
-    "q25_semdedup_survivors" -> (Similarity.semDedupSurvivors _),
+    "q25_semdedup_pairs" ->
+      ((s: SparkSession, d: String) => Similarity.semDedupPairs(s, d)),
+    "q25_semdedup_full" ->
+      ((s: SparkSession, d: String) => Similarity.semDedupFull(s, d)),
+    "q25_semdedup_survivors" ->
+      ((s: SparkSession, d: String) => Similarity.semDedupSurvivors(s, d)),
     "q25_knn_join" ->
       ((s: SparkSession, d: String) => Similarity.annKnnJoin(s, d)),
     // Faithful IR engine (tokenizer+stemmer not SQL-expressible →
@@ -185,10 +188,18 @@ object SparkEntry {
     "q25_joint_dedup" -> (Similarity.jointDedup _),
     "q25_knn_graph" ->
       ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
+    "q25_knn_graph_coarse" ->
+      ((s: SparkSession, d: String) =>
+        Similarity.knnGraph(s, d, coarse = Some(true))),
     "q25_ann_mrl" ->
       ((s: SparkSession, d: String) => Similarity.annMrl(s, d)),
     "q25_negatives" ->
       ((s: SparkSession, d: String) => Similarity.negatives(s, d)),
+    "q25_negatives_coarse" ->
+      ((s: SparkSession, d: String) =>
+        Similarity.negatives(s, d, coarse = Some(true))),
+    "q25_negatives_dense" ->
+      ((s: SparkSession, d: String) => Similarity.negativesDense(s, d)),
     "q25_ann_recall" ->
       ((s: SparkSession, d: String) => Similarity.annRecallEval(s, d)),
     "q14_heavy_hitters" ->

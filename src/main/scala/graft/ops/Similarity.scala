@@ -124,11 +124,25 @@ object Similarity {
     * rows — the contract, mirrored by the oracle. The probes assume a
     * DENSE id space 0..n−1 (a probe landing on a nonexistent id is
     * dropped by the candidate join — deterministic, but sparse id
-    * layouts get fewer negatives; remap ids densely first, the usual
-    * discipline for any modular probing). */
-  def negatives(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    * layouts get fewer negatives; [[negativesDense]] composes the
+    * [[remapDense]] renumbering in front for exactly that case). The
+    * `coarse` knob routes the cell assignment through the two-level
+    * router ([[semDedupCellsOf]]; `None` auto-selects past
+    * [[CoarseAssignCrossover]]). */
+  def negatives(spark: SparkSession, dir: String, k: Int = 3,
+                coarse: Option[Boolean] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val cells = semDedupCells(spark, dir).select(col("vec_id"), col("cell"))
+    negativesFromCells(
+      semDedupCellsOf(spark, dir, coarse)
+        .select(col("vec_id"), col("cell")), k)
+  }
+
+  /** The probe miner shared by [[negatives]] (raw ids) and
+    * [[negativesDense]] (remapped ids): fixed affine probes mod n over
+    * a (vec_id, cell) assignment, same-cell rejection, first-k by
+    * probe order through the bounded heap. */
+  private def negativesFromCells(cellsIn: DataFrame, k: Int): DataFrame = {
+    val cells = cellsIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = cells.count()
     val probes = NegativeCoeffs.zipWithIndex.map { case ((a, b), i) =>
@@ -152,6 +166,89 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("top")))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("neg_rank"),
         col("col.id").as("neg_id"))
+      .orderBy("vec_id", "neg_rank")
+  }
+
+  /** DENSE-ID REMAP — deterministic rank-by-id renumbering of a
+    * vector frame onto the contiguous space 0..n−1, appended as a
+    * `dense_id` column: the standard precondition of any MODULAR
+    * probing scheme ([[negatives]]' affine probes land mostly on
+    * nonexistent ids under sparse layouts — post-dedup corpora,
+    * strided shards — silently shrinking the yield). Two-phase like
+    * the q03 docno numbering: range-partition by vec_id, count per
+    * partition (one long each to the driver), offset each partition
+    * by the running total — no global window, no serial task, exactly
+    * one shuffle at any corpus size. Output is eagerly cut
+    * (lineage-free; the range-partitioned staging cache releases
+    * immediately). */
+  def remapDense(spark: SparkSession, vectors: DataFrame): DataFrame = {
+    val p = spark.sessionState.conf.numShufflePartitions
+    val sorted = vectors
+      .repartitionByRange(p, col("vec_id"))
+      .sortWithinPartitions("vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // LONG per-partition counts (Iterator.size wraps past 2^31 — the
+    // docnoMappingScalable rationale)
+    val counts = sorted.rdd.mapPartitions { it =>
+      var n = 0L
+      while (it.hasNext) { it.next(); n += 1 }
+      Iterator.single(n)
+    }.collect()
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types
+        .StructField("dense_id", org.apache.spark.sql.types.LongType,
+          nullable = false))
+    // partition id = the RDD partition index, NOT TaskContext (the
+    // coalesce trap documented at the q03 numbering)
+    val out = spark.createDataFrame(
+      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var n = bc.value(pid) - 1
+        it.map { r =>
+          n += 1
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ n)
+        }
+      }, schema).stageEager()
+    sorted.unpersist()
+    out
+  }
+
+  /** [[negatives]] over a DENSELY REMAPPED id space — the full-yield
+    * form for sparse vec_id layouts: [[remapDense]] renumbers the
+    * corpus to 0..n−1, the probe miner runs entirely in dense space
+    * (seeds, cells, affine probes — so every probe lands on a real
+    * vector and yield returns to ~k per anchor), and the emitted
+    * anchor/negative ids translate back to the ORIGINAL vec_ids
+    * through two bounded equi-joins against the map. On an
+    * already-dense corpus this is [[negatives]] exactly (the remap is
+    * the identity). */
+  def negativesDense(spark: SparkSession, dir: String,
+                     k: Int = 3,
+                     coarse: Option[Boolean] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val dense = remapDense(spark,
+      emb(spark, dir).select(col("vec_id"), col("embedding")))
+    val m = dense.select(col("vec_id").as("orig_id"), col("dense_id"))
+    val e2 = dense.select(col("dense_id").as("vec_id"), col("embedding"))
+    val n = e2.count()
+    val kCells = math.max(IvfCentroids.toLong,
+      (n + SemDedupCellSize - 1) / SemDedupCellSize)
+    val cells =
+      (if (coarse.getOrElse(n >= CoarseAssignCrossover))
+        coarseCellsAgainst(e2,
+          e2.filter(col("vec_id") < kCells)
+            .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          kCells)
+      else argmaxCells(e2, kCells))
+        .select(col("vec_id"), col("cell"))
+    negativesFromCells(cells, k)
+      .join(m.withColumnRenamed("dense_id", "vec_id")
+        .withColumnRenamed("orig_id", "anchor"), "vec_id")
+      .join(m.select(col("dense_id").as("neg_id"),
+        col("orig_id").as("neg")), "neg_id")
+      .select(col("anchor").as("vec_id"), col("neg_rank"),
+        col("neg").as("neg_id"))
       .orderBy("vec_id", "neg_rank")
   }
 
@@ -553,6 +650,37 @@ object Similarity {
     argmaxCells(e, k)
   }
 
+  /** Corpus size past which the dynamic-k consumers default to the
+    * COARSE two-level assignment: below it the flat n·k argmax is
+    * faster (the coarse path's second aggregate stage + block
+    * equi-join cost ~0.9 s fixed, measured in SCALING.md round-9);
+    * past it the flat path's n²/[[SemDedupCellSize]] cosines dominate
+    * everything (~80 s of cosines at n = 500k vs ~3.5 s coarse at the
+    * measured ~24M cosines/s). The knob every dynamic-k entry point
+    * ([[knnGraph]], [[negatives]], [[semDedupPairs]] and its
+    * derivatives) threads: explicit `Some(...)` forces a path, `None`
+    * auto-selects on this crossover. */
+  val CoarseAssignCrossover = 500000L
+
+  /** The dynamic-k cell assignment behind every batch SemDeDup-family
+    * consumer, with the flat/coarse routing in ONE place: k = n/128
+    * ([[SemDedupCellSize]] discipline), flat argmax below
+    * [[CoarseAssignCrossover]], the 2n·√k two-level router
+    * ([[assignCellsCoarse]] — spec-pinned identical to
+    * [[semDedupCellsCoarse]]) past it. Returns
+    * (vec_id, embedding, cell). */
+  private[graft] def semDedupCellsOf(spark: SparkSession, dir: String,
+                                     coarse: Option[Boolean]): DataFrame = {
+    val e = emb(spark, dir)
+    val n = e.count()
+    val k = math.max(IvfCentroids.toLong,
+      (n + SemDedupCellSize - 1) / SemDedupCellSize)
+    if (coarse.getOrElse(n >= CoarseAssignCrossover))
+      assignCellsCoarse(spark, dir,
+        e.select(col("vec_id"), col("embedding")), k)
+    else argmaxCells(e, k)
+  }
+
   /** The [[semDedupCells]] assignment as a DRIVER-CONTRACT query:
     * (vec_id, cell), the partition every SemDeDup stage derives from.
     * Exposed so the exact and coarse assignments can be measured and
@@ -589,30 +717,9 @@ object Similarity {
     val n = e.count()
     val k = math.max(IvfCentroids.toLong,
       (n + SemDedupCellSize - 1) / SemDedupCellSize)
-    val b = math.ceil(math.sqrt(k.toDouble)).toLong
-    val seeds = e.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
-        expr(s"vec_id DIV $b").as("blk"))
-    val leaders = seeds.filter(pmod(col("cid"), lit(b)) === 0)
-    val coarse = e.crossJoin(broadcast(leaders))
-      .select(col("vec_id"),
-        struct(
-          cosine(col("embedding"), col("cvec")).as("s"),
-          (-col("cid")).as("neg_cid"),
-          col("blk").as("blk"),
-          col("embedding").as("embedding")).as("cand"))
-      .groupBy(col("vec_id"))
-      .agg(max(col("cand")).as("best"))
-      .select(col("vec_id"), col("best.embedding").as("embedding"),
-        col("best.blk").as("blk"))
-    coarse.join(broadcast(seeds), "blk")
-      .select(col("vec_id"),
-        struct(
-          cosine(col("embedding"), col("cvec")).as("s"),
-          (-col("cid")).as("neg_cid")).as("cand"))
-      .groupBy(col("vec_id"))
-      .agg(max(col("cand")).as("best"))
-      .select(col("vec_id"), (-col("best.neg_cid")).as("cell"))
+    assignCellsCoarse(spark, dir,
+        e.select(col("vec_id"), col("embedding")), k)
+      .select(col("vec_id"), col("cell"))
       .orderBy("vec_id")
   }
 
@@ -631,10 +738,20 @@ object Similarity {
                                        vectors: DataFrame,
                                        k: Long): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    coarseCellsAgainst(vectors,
+      emb(spark, dir).filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec")), k)
+  }
+
+  /** The two-level argmax itself, against an ARBITRARY (cid, cvec)
+    * seed frame — [[assignCellsCoarse]] binds it to a table's own
+    * seeds; [[negativesDense]] binds it to remapped-id seeds. Blocks
+    * are ⌈√k⌉ wide over the seed ids. */
+  private def coarseCellsAgainst(vectors: DataFrame, seedsIn: DataFrame,
+                                 k: Long): DataFrame = {
     val b = math.ceil(math.sqrt(k.toDouble)).toLong
-    val seeds = emb(spark, dir).filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
-        expr(s"vec_id DIV $b").as("blk"))
+    val seeds = seedsIn
+      .select(col("cid"), col("cvec"), expr(s"cid DIV $b").as("blk"))
     val leaders = seeds.filter(pmod(col("cid"), lit(b)) === 0)
     val coarse = vectors.crossJoin(broadcast(leaders))
       .select(col("vec_id"),
@@ -670,15 +787,19 @@ object Similarity {
     * map-side partial aggregation, no window shuffle-and-sort (the
     * oracle IS the window form, so the compare re-proves heap ==
     * row_number on this shape too). Cells come from the DYNAMIC-k
-    * assignment ([[semDedupCells]] — k = n/128 grows with the
-    * corpus), so candidate volume stays linear at any scale;
-    * at the test SFs (n ≤ 1024) the dynamic k equals the fixed store
-    * k. Boundary neighbors (nearest vector in a DIFFERENT cell) are
-    * missed — the standard IVF recall trade; nProbe-style widening
-    * composes if needed. */
-  def knnGraph(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    * assignment ([[semDedupCellsOf]] — k = n/128 grows with the
+    * corpus), so candidate volume stays linear at any scale; the
+    * `coarse` knob routes the assignment itself through the 2n·√k
+    * two-level router (`None` auto-selects past
+    * [[CoarseAssignCrossover]] — past there the flat n·k argmax IS
+    * the query). At the test SFs (n ≤ 1024) the dynamic k equals the
+    * fixed store k. Boundary neighbors (nearest vector in a DIFFERENT
+    * cell) are missed — the standard IVF recall trade; nProbe-style
+    * widening composes if needed. */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 3,
+               coarse: Option[Boolean] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val cells = semDedupCells(spark, dir)
+    val cells = semDedupCellsOf(spark, dir, coarse)
     val scored = cells.as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") &&
           col("a.vec_id") =!= col("b.vec_id"))
@@ -706,10 +827,11 @@ object Similarity {
     * verbatim-duplicate pairs dedup actually targets always
     * co-locate (identical vectors score identically → same argmax
     * cell). */
-  def semDedupPairs(spark: SparkSession, dir: String): DataFrame = {
+  def semDedupPairs(spark: SparkSession, dir: String,
+                    coarse: Option[Boolean] = None): DataFrame = {
     // stage(): the self-join reads the assignment blocks twice; without
     // the cut the n×k argmax scan would run once per side
-    val cells = semDedupCells(spark, dir).stage()
+    val cells = semDedupCellsOf(spark, dir, coarse).stage()
     cells.as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -724,9 +846,10 @@ object Similarity {
     * corpus-scale form of [[semanticClusters]], every stage bounded
     * (grows-with-n cells, linear candidate set, union-find with
     * distributed-propagate fallback). */
-  def semDedupFull(spark: SparkSession, dir: String): DataFrame =
+  def semDedupFull(spark: SparkSession, dir: String,
+                   coarse: Option[Boolean] = None): DataFrame =
     Dedup.clusters(spark,
-        semDedupPairs(spark, dir)
+        semDedupPairs(spark, dir, coarse)
           .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       .select(col("doc_id").as("vec_id"), col("cluster"), col("keeper"))
       .orderBy("vec_id")
@@ -739,9 +862,10 @@ object Similarity {
     * corpus scan against the cluster non-keepers — the drop set is
     * bounded by the (duplicate-density-bounded) pair graph, so the
     * apply stays a single equi-join at any corpus size. */
-  def semDedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+  def semDedupSurvivors(spark: SparkSession, dir: String,
+                        coarse: Option[Boolean] = None): DataFrame = {
     val d = graft.Tables.load(spark, dir, "documents")
-    val drop = semDedupFull(spark, dir)
+    val drop = semDedupFull(spark, dir, coarse)
       .filter(col("keeper") === 0)
       .select(col("vec_id").as("doc_id"))
     d.join(drop, Seq("doc_id"), "left_anti")

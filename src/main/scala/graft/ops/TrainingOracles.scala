@@ -20,6 +20,71 @@ object TrainingOracles {
   private def cos(a: String, b: String): String =
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
 
+  /** Dynamic-k FLAT argmax cell assignment over `src` (a relation with
+    * vec_id + embedding) — CTE chain ending in
+    * `cells(vec_id, embedding, cell)`. Mirrors
+    * [[Similarity.semDedupCells]]: seeds are vec_id < k, k = n/128
+    * clamped at [[Similarity.IvfCentroids]]. */
+  private def flatCellCtes(src: String): String =
+    s"""c AS (SELECT vec_id AS cid, embedding AS cvec FROM $src
+              WHERE vec_id < (SELECT greatest(${Similarity.IvfCentroids},
+                CAST(ceil(count(*) / ${Similarity.SemDedupCellSize}.0) AS BIGINT))
+                FROM $src)),
+       a AS (SELECT e.vec_id, e.embedding, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${cos("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+             FROM $src e CROSS JOIN c),
+       cells AS (SELECT vec_id, embedding, cid AS cell FROM a WHERE rn = 1)"""
+
+  /** Dynamic-k COARSE (two-level) cell assignment over `src` — argmax
+    * over every-B-th seed (block leaders), then within the winning
+    * ⌈√k⌉-wide seed block; ends in `cells(vec_id, embedding, cell)`.
+    * Mirrors [[Similarity.assignCellsCoarse]] exactly (both levels
+    * (cos desc, cid asc)). */
+  private def coarseCellCtes(src: String): String =
+    s"""kk AS (SELECT greatest(${Similarity.IvfCentroids},
+              CAST(ceil(count(*) / ${Similarity.SemDedupCellSize}.0) AS BIGINT)) AS k,
+              CAST(ceil(sqrt(greatest(${Similarity.IvfCentroids},
+                CAST(ceil(count(*) / ${Similarity.SemDedupCellSize}.0) AS BIGINT)))) AS BIGINT) AS b
+            FROM $src),
+       s AS (SELECT vec_id AS cid, embedding AS cvec, vec_id // b AS blk
+             FROM $src CROSS JOIN kk WHERE vec_id < k),
+       ld AS (SELECT s.* FROM s CROSS JOIN kk WHERE cid % b = 0),
+       a0 AS (SELECT e.vec_id, e.embedding, ld.blk,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY ${cos("e.embedding", "ld.cvec")} DESC, ld.cid) AS rn
+              FROM $src e CROSS JOIN ld),
+       r0 AS (SELECT vec_id, embedding, blk FROM a0 WHERE rn = 1),
+       a1 AS (SELECT r0.vec_id, r0.embedding, s.cid,
+                     row_number() OVER (PARTITION BY r0.vec_id
+                       ORDER BY ${cos("r0.embedding", "s.cvec")} DESC, s.cid) AS rn
+              FROM r0 JOIN s ON r0.blk = s.blk),
+       cells AS (SELECT vec_id, embedding, cid AS cell FROM a1 WHERE rn = 1)"""
+
+  /** The negatives probe chain over a preceding `cells` CTE — affine
+    * probes mod n, self/same-cell rejection, first-probe dedup, probe
+    * -order ranking; ends in `r(vec_id, cand, neg_rank)`. Mirrors
+    * [[Similarity.negativesFromCells]]. */
+  private def negativesTail(src: String): String = {
+    val probes = Similarity.NegativeCoeffs.zipWithIndex
+      .map { case ((a, b), i) =>
+        s"SELECT vec_id, $i AS p, (vec_id * $a + $b) % n AS cand " +
+          "FROM cells CROSS JOIN nn" }
+      .mkString(" UNION ALL ")
+    s"""nn AS (SELECT count(*) AS n FROM $src),
+       pr AS ($probes),
+       j AS (SELECT pr.vec_id, pr.p, pr.cand
+             FROM pr
+             JOIN cells x ON pr.vec_id = x.vec_id
+             JOIN cells y ON pr.cand = y.vec_id
+             WHERE pr.cand <> pr.vec_id AND y.cell <> x.cell),
+       d AS (SELECT vec_id, cand, min(p) AS p FROM j GROUP BY 1, 2),
+       r AS (SELECT vec_id, cand,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY p, cand) AS neg_rank
+             FROM d)"""
+  }
+
   /** Shared CTE chain ending in `kept` = the lang/quality-gated corpus
     * (doc_id, stop_ratio, n_tokens, alnum_ratio) — mirrors
     * [[TextAnalysis.filterApply]]. */
@@ -696,37 +761,41 @@ object TrainingOracles {
     // contrastive negative sampling: fixed affine probes, same-cell
     // candidates rejected, first-k by probe order (the heap's
     // score=-p vs this window — a fourth heap==row_number re-proof)
-    "q25_negatives" -> {
-      val probes = Similarity.NegativeCoeffs.zipWithIndex
-        .map { case ((a, b), i) =>
-          s"SELECT vec_id, $i AS p, (vec_id * $a + $b) % n AS cand " +
-            "FROM cells CROSS JOIN nn" }
-        .mkString(" UNION ALL ")
-      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-                     WHERE vec_id < (SELECT greatest(${Similarity.IvfCentroids},
-                       CAST(ceil(count(*) / ${Similarity.SemDedupCellSize}.0) AS BIGINT))
-                       FROM embeddings)),
-         a AS (SELECT e.vec_id, e.embedding, c.cid,
-                      row_number() OVER (PARTITION BY e.vec_id
-                        ORDER BY ${cos("e.embedding", "c.cvec")} DESC, c.cid) AS rn
-               FROM embeddings e CROSS JOIN c),
-         cells AS (SELECT vec_id, cid AS cell FROM a WHERE rn = 1),
-         nn AS (SELECT count(*) AS n FROM embeddings),
-         pr AS ($probes),
-         j AS (SELECT pr.vec_id, pr.p, pr.cand
-               FROM pr
-               JOIN cells x ON pr.vec_id = x.vec_id
-               JOIN cells y ON pr.cand = y.vec_id
-               WHERE pr.cand <> pr.vec_id AND y.cell <> x.cell),
-         d AS (SELECT vec_id, cand, min(p) AS p FROM j GROUP BY 1, 2),
-         r AS (SELECT vec_id, cand,
-                      row_number() OVER (PARTITION BY vec_id
-                        ORDER BY p, cand) AS neg_rank
-               FROM d)
+    "q25_negatives" ->
+      s"""WITH ${flatCellCtes("embeddings")},
+         ${negativesTail("embeddings")}
          SELECT vec_id, CAST(neg_rank AS BIGINT) AS neg_rank,
                 cand AS neg_id
-         FROM r WHERE neg_rank <= 3 ORDER BY vec_id, neg_rank"""
-    },
+         FROM r WHERE neg_rank <= 3 ORDER BY vec_id, neg_rank""",
+
+    // negatives with the cell assignment routed through the COARSE
+    // two-level argmax (block leaders, then the winning block) — the
+    // past-crossover production shape; same probe/rejection/first-k
+    // contract over the coarse cells
+    "q25_negatives_coarse" ->
+      s"""WITH ${coarseCellCtes("embeddings")},
+         ${negativesTail("embeddings")}
+         SELECT vec_id, CAST(neg_rank AS BIGINT) AS neg_rank,
+                cand AS neg_id
+         FROM r WHERE neg_rank <= 3 ORDER BY vec_id, neg_rank""",
+
+    // negatives over the DENSELY REMAPPED id space (rank-by-vec_id →
+    // 0..n−1): the whole probe chain runs on dense ids, the output
+    // maps back to original ids — mirrors Similarity.negativesDense;
+    // on the (already dense) testdata this equals q25_negatives
+    "q25_negatives_dense" ->
+      s"""WITH dm AS (SELECT vec_id,
+                row_number() OVER (ORDER BY vec_id) - 1 AS did
+              FROM embeddings),
+         de AS (SELECT dm.did AS vec_id, e.embedding
+                FROM embeddings e JOIN dm ON e.vec_id = dm.vec_id),
+         ${flatCellCtes("de")},
+         ${negativesTail("de")}
+         SELECT ma.vec_id, CAST(r.neg_rank AS BIGINT) AS neg_rank,
+                mb.vec_id AS neg_id
+         FROM r JOIN dm ma ON r.vec_id = ma.did
+                JOIN dm mb ON r.cand = mb.did
+         WHERE r.neg_rank <= 3 ORDER BY ma.vec_id, neg_rank""",
 
     // IR evaluation battery: rank by the q10 tf-idf dataflow, score
     // top-10 against the deterministic tf>=EvalRelMinTf qrels —
@@ -788,15 +857,25 @@ object TrainingOracles {
     // use the DYNAMIC k (n/128, the semdedup discipline) so the
     // oracle stays correct at any SF
     "q25_knn_graph" ->
-      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-                     WHERE vec_id < (SELECT greatest(${Similarity.IvfCentroids},
-                       CAST(ceil(count(*) / ${Similarity.SemDedupCellSize}.0) AS BIGINT))
-                       FROM embeddings)),
-         a AS (SELECT e.vec_id, e.embedding, c.cid,
-                      row_number() OVER (PARTITION BY e.vec_id
-                        ORDER BY ${cos("e.embedding", "c.cvec")} DESC, c.cid) AS rn
-               FROM embeddings e CROSS JOIN c),
-         cells AS (SELECT vec_id, embedding, cid AS cell FROM a WHERE rn = 1),
+      s"""WITH ${flatCellCtes("embeddings")},
+         p AS (SELECT x.vec_id AS src, y.vec_id AS nbr,
+                      ${cos("x.embedding", "y.embedding")} AS c
+               FROM cells x JOIN cells y
+                 ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+         r AS (SELECT src, nbr, c,
+                      row_number() OVER (PARTITION BY src
+                        ORDER BY c DESC, nbr) AS rn
+               FROM p)
+         SELECT src AS vec_id, CAST(rn AS BIGINT) AS rn, nbr,
+                round(c, 4) AS cos
+         FROM r WHERE rn <= 3 ORDER BY vec_id, rn""",
+
+    // the k-NN graph with the cell assignment routed through the
+    // COARSE two-level argmax — the past-crossover production shape;
+    // same same-cell candidate generation and top-3 contract over the
+    // coarse cells
+    "q25_knn_graph_coarse" ->
+      s"""WITH ${coarseCellCtes("embeddings")},
          p AS (SELECT x.vec_id AS src, y.vec_id AS nbr,
                       ${cos("x.embedding", "y.embedding")} AS c
                FROM cells x JOIN cells y

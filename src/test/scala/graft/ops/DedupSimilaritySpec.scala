@@ -605,6 +605,95 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("coarse knob: auto-select equals flat below the crossover; " +
+    "forced-coarse consumers ride the two-level cells") {
+    // n << CoarseAssignCrossover here, so the default (None) must
+    // resolve to the flat assignment bit-for-bit
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(Similarity.knnGraph(spark, dir)) ==
+      rows(Similarity.knnGraph(spark, dir, coarse = Some(false))))
+    assert(rows(Similarity.negatives(spark, dir)) ==
+      rows(Similarity.negatives(spark, dir, coarse = Some(false))))
+    assert(rows(Similarity.semDedupPairs(spark, dir)) ==
+      rows(Similarity.semDedupPairs(spark, dir, coarse = Some(false))))
+    // forced coarse: the graph's neighbor sets are same-cell under the
+    // COARSE assignment (and the corpora differ enough here that the
+    // two assignments are not identical — the knob is observable)
+    val coarseCells = Similarity.semDedupCellsCoarse(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val flatCells = Similarity.semDedupCells(spark, dir)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    assert(coarseCells != flatCells,
+      "fixture too small to distinguish the assignments")
+    val g = Similarity.knnGraph(spark, dir, coarse = Some(true)).collect()
+    assert(g.nonEmpty)
+    g.foreach(r => assert(coarseCells(r.getLong(2)) ==
+      coarseCells(r.getLong(0)),
+      s"coarse graph edge ${r.getLong(0)}->${r.getLong(2)} crosses cells"))
+    val occ = coarseCells.groupBy(_._2).map { case (c, m) => c -> m.size }
+    assert(g.map(_.getLong(0)).toSet ==
+      coarseCells.keySet.filter(v => occ(coarseCells(v)) > 1))
+    // forced-coarse negatives reject same-cell under the coarse cells
+    val neg = Similarity.negatives(spark, dir, coarse = Some(true))
+      .collect()
+    assert(neg.nonEmpty)
+    neg.foreach(r => assert(coarseCells(r.getLong(2)) !=
+      coarseCells(r.getLong(0)),
+      s"coarse negatives kept a same-cell candidate for ${r.getLong(0)}"))
+  }
+
+  test("remapDense: rank-by-id renumbering to 0..n-1, payload columns " +
+    "preserved, stable under a sparse stride layout") {
+    val e = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val sparse = e.select((col("vec_id") * 1000 + 3).as("vec_id"),
+      col("embedding"))
+    val out = Similarity.remapDense(spark, sparse).collect()
+    val n = out.length
+    assert(n == e.count())
+    // dense_id is exactly the rank of vec_id
+    val byId = out.sortBy(_.getLong(0))
+    byId.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("dense_id") == i.toLong,
+        s"vec ${r.getLong(0)}: dense_id ${r.getAs[Long]("dense_id")} != $i")
+    }
+    // the embedding column rides through untouched
+    val orig = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    byId.foreach { r =>
+      assert(r.getSeq[Float](1) == orig((r.getLong(0) - 3) / 1000))
+    }
+  }
+
+  test("negativesDense: identity on a dense layout; restores the full " +
+    "probe yield on a sparse stride layout (mapped-id parity)") {
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    val dense = tuples(Similarity.negatives(spark, dir))
+    assert(tuples(Similarity.negativesDense(spark, dir)) == dense,
+      "dense-layout negativesDense must equal negatives (identity remap)")
+    // sparse twin corpus: same vectors, ids strided — modular probes
+    // land mostly on nonexistent ids, so the RAW path under-yields
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_sparse_emb").toString
+    graft.Tables.load(spark, dir, "embeddings")
+      .select((col("vec_id") * 1000 + 3).as("vec_id"),
+        col("embedding"), col("label"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val raw = tuples(Similarity.negatives(spark, tmp))
+    val viaDense = tuples(Similarity.negativesDense(spark, tmp))
+    assert(raw.size < dense.size / 2,
+      s"sparse layout should starve the raw probes (got ${raw.size})")
+    // the dense path recovers EXACTLY the dense-layout mining, with
+    // both id columns mapped through the stride
+    assert(viaDense ==
+      dense.map { case (v, r, g) => (v * 1000 + 3, r, g * 1000 + 3) },
+      "negativesDense did not recover the dense-space mining")
+  }
+
   test("dedup eval: one-row panel consistent with the two pair sets " +
     "it compares") {
     val r = Dedup.dedupEval(spark, dir).collect()
