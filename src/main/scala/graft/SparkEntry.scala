@@ -173,6 +173,7 @@ object SparkEntry {
     "q27_repetition" -> (TextAnalysis.repetition _),
     "q27_contamination" -> (TextAnalysis.contamination _),
     "q27_decontaminate" -> (TextAnalysis.decontaminate _),
+    "q27_decontaminate_multi" -> (TextAnalysis.decontaminateMulti _),
     "q27_mixture" -> (TextAnalysis.mixCorpus _),
     "q27_mixture_alpha" ->
       ((s: SparkSession, d: String) => TextAnalysis.mixCorpusAlpha(s, d)),

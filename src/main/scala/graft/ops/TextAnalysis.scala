@@ -476,6 +476,54 @@ object TextAnalysis {
       .filter(col("contam_ratio") < ContamDropThreshold)
       .orderBy("doc_id")
 
+  /** The synthetic benchmark SUITE for [[decontaminateMulti]]: two
+    * deterministic slices doc_id ≡ b (mod [[ContamMod]]) stand in for
+    * distinct eval benchmarks (shared with the oracle generator). */
+  val MultiBenchIds: Seq[Long] = Seq(0L, 1L)
+
+  /** MULTI-BENCHMARK decontamination — the shape real pipelines run
+    * (the GPT-3 report sweeps a benchmark SUITE, not one set): each
+    * benchmark contributes its own distinct-trigram set; a training
+    * doc survives only if its overlap ratio stays below
+    * [[ContamDropThreshold]] against EVERY benchmark, and the output
+    * carries per-benchmark overlap columns so the drop reason is
+    * attributable. Dataflow is the [[contamination]] discipline once,
+    * not per benchmark: ONE broadcast of the (bench_id, trigram)
+    * union (each benchmark is eval-suite-sized at any corpus scale),
+    * one hash join, and the per-benchmark split is a conditional
+    * aggregation of the join output — adding a benchmark adds a
+    * column, not a pass. Zero-overlap docs survive via the left join
+    * with explicit zeros. */
+  def decontaminateMulti(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.docShingles(spark, dir).stage()
+    val benchId = pmod(col("doc_id"), lit(ContamMod))
+    val bench = sh.filter(benchId.isin(MultiBenchIds: _*))
+      .select(benchId.as("bench_id"), col("shingle"))
+      .distinct()
+    val train = sh.filter(!benchId.isin(MultiBenchIds: _*))
+    val totals = train.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"))
+    val perBench = MultiBenchIds.map(b =>
+      sum(when(col("bench_id") === b, 1L).otherwise(0L))
+        .as(s"n_shared_b$b"))
+    val hits = train.join(broadcast(bench), "shingle")
+      .groupBy("doc_id")
+      .agg(perBench.head, perBench.tail: _*)
+    val filled = totals.join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, MultiBenchIds.map(b => s"n_shared_b$b"))
+    val withRatios = MultiBenchIds.foldLeft(filled)((df, b) =>
+      df.withColumn(s"ratio_b$b",
+        round(col(s"n_shared_b$b").cast("double") / col("n_trigrams"), 4)))
+    withRatios
+      .filter(MultiBenchIds
+        .map(b => col(s"ratio_b$b") < ContamDropThreshold)
+        .reduce(_ && _))
+      .select(col("doc_id") +: col("n_trigrams") +:
+        MultiBenchIds.flatMap(b =>
+          Seq(col(s"n_shared_b$b"), col(s"ratio_b$b"))): _*)
+      .orderBy("doc_id")
+  }
+
   /** Target language proportions for [[mixCorpus]] — a constant so the
     * DuckDB oracle embeds the identical weights. */
   val MixTargets: Seq[(String, Double)] = Seq(

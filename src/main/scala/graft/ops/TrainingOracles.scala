@@ -1376,6 +1376,43 @@ object TrainingOracles {
          FROM f WHERE contam_ratio < ${TextAnalysis.ContamDropThreshold}
          ORDER BY doc_id""",
 
+    // multi-benchmark decontamination: one broadcast-suite join, a
+    // conditional aggregate per benchmark, keep-if-ALL-below gate —
+    // per-benchmark columns generated from MultiBenchIds
+    "q27_decontaminate_multi" -> {
+      val ids = TextAnalysis.MultiBenchIds
+      val inList = ids.mkString(", ")
+      val shareCols = ids.map(b =>
+          s"CAST(sum(CASE WHEN bench_id = $b THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_b$b")
+        .mkString(", ")
+      val fillCols = ids.map(b =>
+          s"coalesce(n_shared_b$b, 0) AS n_shared_b$b, " +
+            s"round(CAST(coalesce(n_shared_b$b, 0) AS DOUBLE) / n_trigrams, 4) AS ratio_b$b")
+        .mkString(", ")
+      val keep = ids
+        .map(b => s"ratio_b$b < ${TextAnalysis.ContamDropThreshold}")
+        .mkString(" AND ")
+      val outCols = ids
+        .map(b => s"CAST(n_shared_b$b AS BIGINT) AS n_shared_b$b, ratio_b$b")
+        .mkString(", ")
+      s"""$docShingles,
+         bench AS (SELECT DISTINCT doc_id % ${TextAnalysis.ContamMod} AS bench_id,
+                          shingle
+                   FROM sh
+                   WHERE doc_id % ${TextAnalysis.ContamMod} IN ($inList)),
+         train AS (SELECT * FROM sh
+                   WHERE doc_id % ${TextAnalysis.ContamMod} NOT IN ($inList)),
+         tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams
+                 FROM train GROUP BY doc_id),
+         hit AS (SELECT doc_id, $shareCols
+                 FROM train JOIN bench USING (shingle) GROUP BY doc_id),
+         f AS (SELECT tot.doc_id, n_trigrams, $fillCols
+               FROM tot LEFT JOIN hit USING (doc_id))
+         SELECT doc_id, n_trigrams, $outCols
+         FROM f WHERE $keep
+         ORDER BY doc_id"""
+    },
+
     // stable-hash train/val/test split, per-(lang, split) audit counts
     "q27_split" ->
       s"""WITH d AS (SELECT doc_id, lang,

@@ -269,6 +269,58 @@ class TextAnalysisSpec extends SparkSpec {
     assert(flagged.nonEmpty)
   }
 
+  test("multi-benchmark decontamination: keep-if-ALL-below gate, " +
+    "per-benchmark overlap columns match a driver recompute") {
+    val mod = TextAnalysis.ContamMod
+    val thr = TextAnalysis.ContamDropThreshold
+    val benchIds = TextAnalysis.MultiBenchIds
+    val got = TextAnalysis.decontaminateMulti(spark, dir).collect()
+    assert(got.nonEmpty)
+    // driver recompute from the same shingle stream
+    val sh = Dedup.docShingles(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bench = benchIds.map(b =>
+      b -> sh.filter(_._1 % mod == b).map(_._2).toSet).toMap
+    val train = sh.filter(t => !benchIds.contains(t._1 % mod))
+      .groupBy(_._1)
+    def ratio(shared: Long, total: Long): Double =
+      BigDecimal(shared.toDouble / total)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = train.map { case (id, rows) =>
+      val total = rows.size.toLong
+      val shares = benchIds.map(b =>
+        rows.count(t => bench(b).contains(t._2)).toLong)
+      (id, total, shares)
+    }.filter { case (_, total, shares) =>
+      shares.forall(s => ratio(s, total) < thr)
+    }
+    assert(got.map(_.getLong(0)).toSet == expect.map(_._1).toSet,
+      "kept-doc set diverged from the recompute")
+    // no training doc from either benchmark slice leaks in, and every
+    // kept row's per-benchmark columns reproduce
+    val expById = expect.map(e => e._1 -> e).toMap
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(!benchIds.contains(id % mod), s"benchmark doc $id in output")
+      val (_, total, shares) = expById(id)
+      assert(r.getLong(1) == total, s"doc $id n_trigrams")
+      benchIds.zipWithIndex.foreach { case (b, i) =>
+        assert(r.getLong(2 + 2 * i) == shares(i), s"doc $id n_shared_b$b")
+        assert(r.getDouble(3 + 2 * i) == ratio(shares(i), total),
+          s"doc $id ratio_b$b")
+      }
+    }
+    // the gate is genuinely multi-benchmark on this corpus: some doc
+    // passes one benchmark's threshold but not another's
+    val mixed = train.exists { case (_, rows) =>
+      val total = rows.size.toLong
+      val rs = benchIds.map(b =>
+        ratio(rows.count(t => bench(b).contains(t._2)).toLong, total))
+      rs.exists(_ < thr) && rs.exists(_ >= thr)
+    }
+    assert(mixed, "fixture never distinguishes the benchmarks")
+  }
+
   test("chunking: windows tile every doc's tokens at the stride, " +
     "overlap carries, text slices reconstruct exactly") {
     import graft.ops.CrossHash
