@@ -902,9 +902,24 @@ object Similarity {
     * [[graft.query.LoadedPointServer]]'s zone-map idea expressed
     * through Hive-style partition pruning instead of driver routing. */
   def writeIvfLayout(spark: SparkSession, dir: String,
-                     outDir: String): Unit = {
-    ivfCells(spark, dir)
+                     outDir: String): Unit =
+    writeIvfLayoutK(spark, dir, outDir, IvfCentroids.toLong)
+
+  /** [[writeIvfLayout]] with the centroid count as a knob — the
+    * store-creation half of the k ≈ n/128 sizing discipline (and the
+    * parity reference for [[reclusterIvfStore]]: a reclustered store
+    * must probe identically to one written at the new k from
+    * scratch). Writes the store's `_graft_store_meta` (its k) so
+    * probe routing reads the store's OWN seed count instead of
+    * assuming the fixed family default. */
+  def writeIvfLayoutK(spark: SparkSession, dir: String,
+                      outDir: String, k: Long): Unit = {
+    assignCells(spark, dir,
+        emb(spark, dir).select(col("vec_id"), col("embedding")), k)
       .write.partitionBy("cell").mode("overwrite").parquet(outDir)
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    writeStoreMeta(
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration), root, k)
     // a full-store rewrite REPLACES the seed coordinate system, so the
     // session seed cache must drop the path — otherwise rebuilding a
     // store at a previously-probed path serves stale centroids to
@@ -912,6 +927,34 @@ object Similarity {
     // appends, not rewrites)
     storeSeedCache.remove(outDir)
     ()
+  }
+
+  /** Store metadata file: the centroid count k this store's layout was
+    * built (or last re-clustered) at. Underscore-prefixed, so Spark
+    * parquet readers never see it. Absent on pre-meta stores →
+    * [[IvfCentroids]] (the fixed family default). */
+  private[graft] val StoreMetaName = "_graft_store_meta"
+
+  private def writeStoreMeta(fs: org.apache.hadoop.fs.FileSystem,
+                             root: org.apache.hadoop.fs.Path,
+                             k: Long): Unit = {
+    val o = fs.create(new org.apache.hadoop.fs.Path(root, StoreMetaName),
+      true)
+    try o.write(k.toString.getBytes("UTF-8")) finally o.close()
+  }
+
+  /** The centroid count of a durable store (its own meta, or the
+    * family default for pre-meta stores). */
+  private[graft] def storeK(spark: SparkSession, storeDir: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(root, StoreMetaName)
+    if (!fs.exists(p)) IvfCentroids.toLong
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
   }
 
   /** Assign an arbitrary vector batch to the SEED-centroid cells of
@@ -985,14 +1028,26 @@ object Similarity {
     * relational centroid ranking and the same [[cosSeqInf]] arithmetic
     * as [[graft.query.IvfServer.cellOf]], so the three probe paths
     * choose identical cell sets. */
+  /** A store's seed centroids, session-cached: the store's OWN k
+    * (meta; family default pre-meta), seeds = its k smallest
+    * vec_ids — the dense-layout `vec_id < k` discipline generalized
+    * to arbitrary id sets, so routing stays correct after a
+    * re-clustering changed k. */
+  private[graft] def storeSeeds(spark: SparkSession,
+                                storeDir: String): Array[(Long, Seq[Float])] =
+    storeSeedCache.computeIfAbsent(storeDir, _ => {
+      val k = storeK(spark, storeDir)
+      require(k <= Int.MaxValue, s"store k $k exceeds collect bound")
+      spark.read.parquet(storeDir)
+        .select(col("vec_id"), col("embedding"))
+        .orderBy("vec_id").limit(k.toInt)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    })
+
   private[graft] def probeCellsOf(spark: SparkSession, storeDir: String,
                                   qv: Seq[Float], nProbe: Int): Seq[Long] =
-    storeSeedCache.computeIfAbsent(storeDir, _ =>
-        spark.read.parquet(storeDir)
-          .filter(col("vec_id") < IvfCentroids.toLong)
-          .select(col("vec_id"), col("embedding"))
-          .collect()
-          .map(r => (r.getLong(0), r.getSeq[Float](1))))
+    storeSeeds(spark, storeDir)
       .sortBy { case (cid, cv) => (-cosSeqInf(qv, cv), cid) }
       .take(nProbe).map(_._1).toSeq
 
@@ -1155,6 +1210,170 @@ object Similarity {
       }
     }
     rewritten
+  }
+
+  /** RE-CLUSTER a durable store in place — the maintenance step the
+    * streaming gate's sizing discipline prescribes (k ≈ n/128, so
+    * per-probe work stays ~[[SemDedupCellSize]] as the corpus grows):
+    * re-seed at the corpus-sized k from the store's CURRENT contents
+    * (seeds = its k smallest vec_ids — the dense-layout `vec_id < k`
+    * rule generalized), reassign every stored vector (flat argmax;
+    * the coarse two-level router past [[CoarseAssignCrossover]]), and
+    * swap the new `cell=` layout in under a crash-safe protocol. A
+    * store built at a small k whose occupancy has drifted probes
+    * identically to one built at the new k from scratch
+    * (spec-pinned against [[writeIvfLayoutK]]).
+    *
+    * SWAP PROTOCOL (store-level twin of [[compactIvfStore]]'s —
+    * nothing is deleted until the replacement layout is visible):
+    *  1. write the replacement layout into `_graft_recluster_tmp`
+    *     (hidden; `repartition(cell)` first — one file per cell),
+    *  2. write `_graft_recluster_manifest`: line 1 the new k, then
+    *     the names of the visible `cell=` dirs being replaced,
+    *  3. MOVE the old cell dirs into `_graft_recluster_swap`, then
+    *     touch `_graft_recluster_moved` — the marker that separates
+    *     "old dirs leaving" from "new dirs arriving" (old and new
+    *     dirs share names, so without it a recovery could not tell
+    *     which generation a visible dir belongs to),
+    *  4. move the tmp layout's cell dirs in, write the store meta
+    *     (new k), invalidate the session seed cache,
+    *  5. delete the hidden dirs and markers.
+    * RECOVERY (at the next recluster entry): moved-marker present →
+    * every visible cell dir is already new, finish step 4; swap
+    * without the marker → mid-step-3 crash, roll the swap dirs back;
+    * manifest without swap → nothing moved, abandon the attempt.
+    *
+    * CONCURRENCY: like compaction, a maintenance operation — run it
+    * behind the serving path's quiesce; a serving
+    * [[graft.query.IvfServer]] notices the mutation through its
+    * version stamps. Returns the new k. */
+  def reclusterIvfStore(spark: SparkSession, storeDir: String,
+                        k: Option[Long] = None): Long = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverRecluster(spark, fs, root, storeDir)
+    val stored = spark.read.parquet(storeDir)
+      .select(col("vec_id"), col("embedding"))
+    val n = stored.count()
+    val newK = k.getOrElse(math.max(IvfCentroids.toLong,
+      (n + SemDedupCellSize - 1) / SemDedupCellSize))
+    require(newK <= Int.MaxValue, s"recluster k $newK exceeds seed bound")
+    val seeds = stored.orderBy("vec_id").limit(newK.toInt)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val assigned =
+      if (n >= CoarseAssignCrossover) coarseCellsAgainst(stored, seeds, newK)
+      else argmaxCellsAgainst(stored, seeds)
+    val tmp = new Path(root, "_graft_recluster_tmp")
+    val swap = new Path(root, "_graft_recluster_swap")
+    val manifest = new Path(root, "_graft_recluster_manifest")
+    val moved = new Path(root, "_graft_recluster_moved")
+    // 1. replacement layout, hidden (this WRITE is also the action
+    // that materializes the reassignment — the old layout is still
+    // fully in place while it reads)
+    assigned.repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(tmp.toString)
+    // 2. manifest (closed before anything moves)
+    val oldCells = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+    val mo = fs.create(manifest, true)
+    try mo.write(
+      (newK.toString +: oldCells.map(_.getPath.getName).toVector)
+        .mkString("\n").getBytes("UTF-8"))
+    finally mo.close()
+    // 3. old cell dirs move OUT (renames), then the generation marker
+    fs.mkdirs(swap)
+    oldCells.foreach(cd =>
+      fs.rename(cd.getPath, new Path(swap, cd.getPath.getName)))
+    fs.create(moved, true).close()
+    // 4.–5. new dirs in, meta, cache invalidation, cleanup
+    finishRecluster(fs, root, storeDir, newK)
+    newK
+  }
+
+  /** Steps 4–5 of the recluster protocol — also the recovery tail for
+    * a crash after the moved-marker: every visible `cell=` dir is
+    * already the new generation; move the remaining tmp dirs in
+    * (renames are atomic — a dir lives on exactly one side), write
+    * the meta, drop the seed cache, delete the markers. */
+  private def finishRecluster(fs: org.apache.hadoop.fs.FileSystem,
+                              root: org.apache.hadoop.fs.Path,
+                              storeDir: String, newK: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(root, "_graft_recluster_tmp")
+    // tmp may already be drained AND deleted by a recovery that
+    // crashed mid-cleanup — the remaining steps are idempotent
+    if (fs.exists(tmp))
+      fs.listStatus(tmp)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+        .foreach(cd =>
+          fs.rename(cd.getPath, new Path(root, cd.getPath.getName)))
+    writeStoreMeta(fs, root, newK)
+    storeSeedCache.remove(storeDir)
+    fs.delete(new Path(root, "_graft_recluster_swap"), true)
+    fs.delete(tmp, true)
+    fs.delete(new Path(root, "_graft_recluster_moved"), false)
+    fs.delete(new Path(root, "_graft_recluster_manifest"), false)
+    ()
+  }
+
+  /** Crash recovery for [[reclusterIvfStore]] (see its protocol). */
+  private def recoverRecluster(spark: SparkSession,
+                               fs: org.apache.hadoop.fs.FileSystem,
+                               root: org.apache.hadoop.fs.Path,
+                               storeDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(root, "_graft_recluster_tmp")
+    val swap = new Path(root, "_graft_recluster_swap")
+    val manifest = new Path(root, "_graft_recluster_manifest")
+    val moved = new Path(root, "_graft_recluster_moved")
+    if (!fs.exists(manifest)) {
+      // a tmp with no manifest: the attempt died before anything
+      // could move — abandon the replacement wholesale
+      if (fs.exists(tmp)) { fs.delete(tmp, true); () }
+    } else if (fs.exists(moved)) {
+      // all old dirs are in swap; visible cell dirs are new — finish
+      val in = fs.open(manifest)
+      val newK =
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().next().trim.toLong
+        finally in.close()
+      finishRecluster(fs, root, storeDir, newK)
+    } else if (fs.exists(swap)) {
+      // mid-step-3 crash: nothing renamed in yet — roll the swap back
+      // (manifest-listed dirs still visible never moved; renames are
+      // atomic so each dir is on exactly one side)
+      fs.listStatus(swap)
+        .filter(_.isDirectory)
+        .foreach(cd =>
+          fs.rename(cd.getPath, new Path(root, cd.getPath.getName)))
+      fs.delete(swap, true); fs.delete(tmp, true)
+      fs.delete(manifest, false)
+      ()
+    } else {
+      // manifest with no swap: nothing moved — abandon
+      fs.delete(tmp, true); fs.delete(manifest, false)
+      ()
+    }
+  }
+
+  /** Append a delta batch against a store's OWN seed system — the
+    * maintenance-correct twin of [[appendIvfLayout]] for stores whose
+    * k no longer matches the source table's family default (i.e.
+    * after [[reclusterIvfStore]]): the delta is argmax-assigned
+    * against the store's cached seed centroids (meta-k smallest
+    * vec_ids — exactly the coordinate system its probes route by),
+    * then partition-appended. */
+  def appendIvfStore(spark: SparkSession, storeDir: String,
+                     delta: DataFrame): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val seeds = storeSeeds(spark, storeDir).toSeq
+      .toDF("cid", "cvec")
+      .select(col("cid"), col("cvec").cast("array<float>").as("cvec"))
+    argmaxCellsAgainst(delta, seeds)
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("append").parquet(storeDir)
   }
 
   /** [[annIvf]] served from the durable [[writeIvfLayout]] store with

@@ -371,6 +371,142 @@ class IvfServerSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == before)
   }
 
+  private def probeSig(out: String, nProbe: Int = 1): Seq[(Long, Double)] =
+    Similarity.probeIvfStore(spark, out, nProbe = nProbe)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("recluster: a drifted small-k store probes identically to a " +
+    "fresh store written at the new k; meta + seed routing follow") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ivf_recl").toString
+    Similarity.writeIvfLayoutK(spark, dir, out, 4)
+    assert(Similarity.storeK(spark, out) == 4)
+    val rows = spark.read.parquet(out).count()
+    val newK = Similarity.reclusterIvfStore(spark, out, Some(16))
+    assert(newK == 16 && Similarity.storeK(spark, out) == 16)
+    assert(spark.read.parquet(out).count() == rows,
+      "recluster changed the row count")
+    // no markers left behind
+    val leftovers = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("_graft_recluster"))
+    assert(leftovers.isEmpty, leftovers.mkString(", "))
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft_ivf_recl_fresh").toString
+    Similarity.writeIvfLayoutK(spark, dir, fresh, 16)
+    assert(probeSig(out) == probeSig(fresh), "nProbe=1 parity")
+    assert(probeSig(out, 2) == probeSig(fresh, 2), "nProbe=2 parity")
+    // the k-sizing default: auto recluster picks max(8, ceil(n/128))
+    assert(Similarity.reclusterIvfStore(spark, out) == 8L)
+    assert(Similarity.storeK(spark, out) == 8)
+    assert(probeSig(out, 2) == {
+      val f8 = java.nio.file.Files
+        .createTempDirectory("graft_ivf_recl_f8").toString
+      Similarity.writeIvfLayout(spark, dir, f8)
+      probeSig(f8, 2)
+    }, "auto-k recluster != family-default store")
+  }
+
+  test("recluster + appendIvfStore: a delta appended AFTER recluster " +
+    "is assigned in the store's own (new) seed system") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ivf_recl_app").toString
+    val e = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // base = all but the top-20 ids; store starts at the family k then
+    // re-clusters to 16 — the appended delta must follow the NEW cells
+    val base = e.filter(col("vec_id") < 480)
+    val delta = e.filter(col("vec_id") >= 480)
+    Similarity.assignCells(spark, dir, base)
+      .write.partitionBy("cell").mode("overwrite").parquet(out)
+    Similarity.reclusterIvfStore(spark, out, Some(16))
+    Similarity.appendIvfStore(spark, out, delta)
+    val stored = spark.read.parquet(out)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    assert(stored.size == 500)
+    // driver recompute: argmax cosine against the store's 16 seeds
+    val seeds = Similarity.storeSeeds(spark, out)
+    assert(seeds.length == 16)
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+      .toMap
+    delta.collect().map(_.getLong(0)).foreach { v =>
+      val want = seeds.map { case (cid, cv) =>
+        (Similarity.cosSeqInf(vecs(v), cv), cid)
+      }.maxBy { case (s, cid) => (s, -cid) }._2
+      assert(stored(v) == want, s"delta vec $v cell ${stored(v)} != $want")
+    }
+  }
+
+  test("recluster crash recovery: a mid-move-out crash (swap, no " +
+    "moved-marker) rolls back; re-clustering then converges") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ivf_recl_rb").toString
+    Similarity.writeIvfLayout(spark, dir, out)
+    val before = spark.read.parquet(out).count()
+    val sig = probeSig(out, 2)
+    val rootF = new java.io.File(out)
+    // fake a crashed attempt: manifest listing the cell dirs, HALF of
+    // them already moved into swap, no moved-marker, stale tmp
+    val cells = rootF.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    val manifest = new java.io.File(rootF, "_graft_recluster_manifest")
+    java.nio.file.Files.write(manifest.toPath,
+      ("16" +: cells.map(_.getName).toVector).mkString("\n")
+        .getBytes("UTF-8"))
+    val swap = new java.io.File(rootF, "_graft_recluster_swap")
+    swap.mkdirs()
+    val tmpDir = new java.io.File(rootF, "_graft_recluster_tmp")
+    tmpDir.mkdirs()
+    cells.take(cells.length / 2).foreach(c =>
+      assert(c.renameTo(new java.io.File(swap, c.getName))))
+    Similarity.storeSeedCache.remove(out)
+    // recovery rolls back, then the requested recluster (same k as the
+    // original family store) must land on the identical layout
+    Similarity.reclusterIvfStore(spark, out, Some(8))
+    assert(spark.read.parquet(out).count() == before,
+      "rows lost or duplicated across rollback")
+    assert(probeSig(out, 2) == sig, "rollback+recluster diverged")
+    assert(!swap.exists && !tmpDir.exists && !manifest.exists)
+  }
+
+  test("recluster crash recovery: a crash AFTER the moved-marker " +
+    "completes the new generation (no row loss, new meta)") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ivf_recl_fin").toString
+    Similarity.writeIvfLayoutK(spark, dir, out, 4)
+    val before = spark.read.parquet(out).count()
+    val rootF = new java.io.File(out)
+    // build the would-be replacement layout in tmp (same contents the
+    // real step 1 writes: the k=16 assignment of the same vectors)
+    val tmp = new java.io.File(rootF, "_graft_recluster_tmp")
+    Similarity.writeIvfLayoutK(spark, dir, tmp.toString, 16)
+    // manifest + ALL old cell dirs moved out + moved-marker = the
+    // state immediately before step 4
+    val cells = rootF.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    val manifest = new java.io.File(rootF, "_graft_recluster_manifest")
+    java.nio.file.Files.write(manifest.toPath,
+      ("16" +: cells.map(_.getName).toVector).mkString("\n")
+        .getBytes("UTF-8"))
+    val swap = new java.io.File(rootF, "_graft_recluster_swap")
+    swap.mkdirs()
+    cells.foreach(c => assert(c.renameTo(new java.io.File(swap, c.getName))))
+    new java.io.File(rootF, "_graft_recluster_moved").createNewFile()
+    Similarity.storeSeedCache.remove(out)
+    // ANY maintenance entry recovers it — recluster at the same k is
+    // then a no-op relayout of the recovered generation
+    Similarity.reclusterIvfStore(spark, out, Some(16))
+    assert(Similarity.storeK(spark, out) == 16)
+    assert(spark.read.parquet(out).count() == before,
+      "rows lost or duplicated completing the moved generation")
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft_ivf_recl_fin_f").toString
+    Similarity.writeIvfLayoutK(spark, dir, fresh, 16)
+    assert(probeSig(out, 2) == probeSig(fresh, 2))
+    assert(rootF.listFiles()
+      .forall(f => !f.getName.startsWith("_graft_recluster")))
+  }
+
   test("a probe is one job over one cell directory") {
     val srv = new IvfServer(spark, store)
     val qv = spark.read.parquet(store).filter(col("vec_id") === 0L)
