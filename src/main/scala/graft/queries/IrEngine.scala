@@ -747,7 +747,17 @@ object IrEngine {
     * production shape at corpus-sized k. */
   private[graft] def annStreamGate(spark: SparkSession, dir: String,
                                    k: Long,
-                                   coarse: Boolean = false): DataFrame = {
+                                   coarse: Boolean = false,
+                                   maxFilesPerCell: Int = 8): DataFrame =
+    annStreamGateWithStore(spark, dir, k, coarse, maxFilesPerCell)._1
+
+  /** [[annStreamGate]] exposing the durable store's path alongside
+    * the pairs — the maintenance spec inspects per-cell file counts
+    * after the run. */
+  private[graft] def annStreamGateWithStore(
+      spark: SparkSession, dir: String, k: Long,
+      coarse: Boolean = false,
+      maxFilesPerCell: Int = 8): (DataFrame, String) = {
     import java.nio.file.Files
     graft.functions.GraftFunctions.register(spark)
     val staged = stagedOnce(dir, "ans", sourceStamp(dir, "embeddings")) {
@@ -810,18 +820,31 @@ object IrEngine {
           assigned.repartition(col("cell"))
             .write.partitionBy("cell").mode("append").parquet(storeDir)
           storeNonEmpty = true
+          // AUTO-COMPACTION: even clustered appends accrete one file
+          // per touched cell per batch, and fragmentation was measured
+          // at 2.2× probe degradation by 24 appends (IvfCompactProf) —
+          // a long-lived gate must bound it as part of the loop, not
+          // rely on an operator remembering the manual maintenance
+          // call. compactIvfStore only rewrites cells OVER the bound
+          // (a per-cell listing otherwise), so under the default
+          // bound this is a cheap no-op check per batch; probe results
+          // are identical pre/post compaction (spec-pinned).
+          graft.ops.Similarity.compactIvfStore(bs, storeDir,
+            maxFilesPerCell)
         } finally { assigned.unpersist(); () }
         ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    if (sinkHasParquet(pairsDir))
-      spark.read.parquet(pairsDir).orderBy("delta_vec", "base_vec")
-    else
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "delta_vec BIGINT, base_vec BIGINT, cos DOUBLE"))
+    val pairs =
+      if (sinkHasParquet(pairsDir))
+        spark.read.parquet(pairsDir).orderBy("delta_vec", "base_vec")
+      else
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "delta_vec BIGINT, base_vec BIGINT, cos DOUBLE"))
+    (pairs, storeDir)
   }
 
   /** Sliding-window aggregation over events (batch form of the

@@ -377,4 +377,31 @@ class EventsStreamSpec extends SparkSpec {
     assert(got.sorted == exp)
     assert(exp.nonEmpty)
   }
+
+  test("ANN gate auto-compaction: a tight file bound keeps every cell " +
+    "compacted through the append loop without changing the pairs") {
+    val dir = "/root/testdata/sf0.001"
+    val k = graft.ops.Similarity.IvfCentroids.toLong
+    val (loose, _) = graft.queries.IrEngine
+      .annStreamGateWithStore(spark, dir, k)
+    val (tight, store) = graft.queries.IrEngine
+      .annStreamGateWithStore(spark, dir, k, maxFilesPerCell = 1)
+    def sig(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    assert(sig(tight) == sig(loose),
+      "in-loop compaction changed the gate's pairs")
+    // the final batch compacts after its append, so every cell holds
+    // exactly one file — fragmentation stays bounded by the LOOP, not
+    // by an operator remembering the manual maintenance call
+    val cellDirs = new java.io.File(store).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { cd =>
+      val n = cd.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n == 1, s"${cd.getName}: $n files after compacted loop")
+    }
+    // the store still holds every ingested vector exactly once
+    assert(spark.read.parquet(store).count() ==
+      graft.Tables.load(spark, dir, "embeddings").count())
+  }
 }
