@@ -64,12 +64,50 @@ object ReclusterProf {
           f"(3 sweeps: ${meds.map(m => f"$m%.1f").mkString("/")})")
       }
     }
+    // The gate-shaped PER-BATCH probe — what the k ≈ n/128 sizing
+    // discipline actually bounds (per-batch work = |batch|·occupancy
+    // cosines): a 2% hash slice of the corpus cell-assigned at the
+    // store's k, then the same-cell exact-cosine threshold join
+    // against the whole store. The single-query probe above is
+    // FIXED-COST dominated at this corpus size (hundreds of cell
+    // directories to list vs sub-ms of cosines), so it measures the
+    // partition-count overhead, not the occupancy term; this row
+    // measures the occupancy term.
+    def measureBatchProbe(tag: String): Unit = {
+      val k = Similarity.storeK(spark, out)
+      val delta = Tables.load(spark, sfDir, "embeddings")
+        .filter(pmod(xxhash64(col("vec_id")), lit(50)) === 7)
+        .select(col("vec_id"), col("embedding"))
+      def run(): Long = {
+        val assigned = Similarity.assignCells(spark, sfDir, delta, k)
+        val base = spark.read.parquet(out)
+        assigned.as("y").join(base.as("x"),
+            col("x.cell") === col("y.cell") &&
+              col("x.vec_id") =!= col("y.vec_id"))
+          .filter(Similarity.cosine(
+            col("x.embedding"), col("y.embedding")) >= 0.35)
+          .count()
+      }
+      run() // warm
+      System.gc()
+      val ts = (1 to 3).map { _ =>
+        val s = System.nanoTime()
+        val pairs = run()
+        ((System.nanoTime() - s) / 1e9, pairs)
+      }
+      val meds = ts.map(_._1).sorted
+      println(f"[rprof] $tag%-34s k=$k%5d  batch probe median " +
+        f"${meds(1)}%6.2f s (${ts.map(t => f"${t._1}%.2f").mkString("/")}; " +
+        s"pairs=${ts.head._2})")
+    }
     measure(s"family-k store (n=$n, occ~${n / Similarity.IvfCentroids})")
+    measureBatchProbe("family-k store")
     val t1 = System.nanoTime()
     val newK = Similarity.reclusterIvfStore(spark, out)
     println(f"[rprof] recluster to k=$newK " +
       f"${(System.nanoTime() - t1) / 1e9}%.2f s")
     measure(s"re-clustered store (occ~${n / newK})")
+    measureBatchProbe("re-clustered store")
     spark.stop()
   }
 }
