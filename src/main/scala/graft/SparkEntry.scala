@@ -116,6 +116,9 @@ object SparkEntry {
     "q25_semdedup_cells_coarse" -> (Similarity.semDedupCellsCoarse _),
     "q25_semdedup_pairs" ->
       ((s: SparkSession, d: String) => Similarity.semDedupPairs(s, d)),
+    "q25_semdedup_pairs_coarse" ->
+      ((s: SparkSession, d: String) =>
+        Similarity.semDedupPairs(s, d, coarse = Some(true))),
     "q25_semdedup_full" ->
       ((s: SparkSession, d: String) => Similarity.semDedupFull(s, d)),
     "q25_semdedup_survivors" ->

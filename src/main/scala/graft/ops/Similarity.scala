@@ -1357,6 +1357,31 @@ object Similarity {
     }
   }
 
+  /** ONE-CALL store maintenance — the documented cadence API behind
+    * a long-lived store (the streaming gate runs the compaction half
+    * in-loop; an operator or scheduler runs THIS on whatever cadence
+    * the ingest rate warrants): finish any crashed re-clustering
+    * (recovery is [[reclusterIvfStore]]'s entry pass), compact cells
+    * past the file bound, then RE-CLUSTER iff occupancy has drifted
+    * past `driftFactor` × [[SemDedupCellSize]] AND the corpus-sized k
+    * actually exceeds the current k (a store already at its sized k
+    * is left alone — re-clustering is a full rewrite, not a tick).
+    * Returns (cells compacted, the store's k after maintenance). */
+  def maintainIvfStore(spark: SparkSession, storeDir: String,
+                       maxFilesPerCell: Int = 8,
+                       driftFactor: Double = 2.0): (Int, Long) = {
+    val compacted = compactIvfStore(spark, storeDir, maxFilesPerCell)
+    val n = spark.read.parquet(storeDir).count()
+    val k = storeK(spark, storeDir)
+    val target = math.max(IvfCentroids.toLong,
+      (n + SemDedupCellSize - 1) / SemDedupCellSize)
+    val newK =
+      if (target > k && n.toDouble / k > driftFactor * SemDedupCellSize)
+        reclusterIvfStore(spark, storeDir)
+      else k
+    (compacted, newK)
+  }
+
   /** Append a delta batch against a store's OWN seed system — the
     * maintenance-correct twin of [[appendIvfLayout]] for stores whose
     * k no longer matches the source table's family default (i.e.

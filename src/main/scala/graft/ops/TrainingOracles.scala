@@ -1087,6 +1087,18 @@ object TrainingOracles {
          SELECT vec_a, vec_b, round(c, 4) AS cos FROM p
          WHERE c >= ${Similarity.SemDedupThreshold} ORDER BY vec_a, vec_b""",
 
+    // the SemDeDup pair stage with the COARSE-routed cells — the
+    // knob hash-checked through the pipeline's candidate generation,
+    // not just the assignment artifact
+    "q25_semdedup_pairs_coarse" ->
+      s"""WITH ${coarseCellCtes("embeddings")},
+         p AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+                      ${cos("x.embedding", "y.embedding")} AS c
+               FROM cells x JOIN cells y
+                 ON x.cell = y.cell AND x.vec_id < y.vec_id)
+         SELECT vec_a, vec_b, round(c, 4) AS cos FROM p
+         WHERE c >= ${Similarity.SemDedupThreshold} ORDER BY vec_a, vec_b""",
+
     // full-corpus SemDeDup: recursive reachability + keeper flag over
     // the cell-bounded pair graph (same cluster CTE shape as
     // q25_semantic_clusters; mirrors Similarity.semDedupFull)

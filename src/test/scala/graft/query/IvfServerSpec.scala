@@ -507,6 +507,47 @@ class IvfServerSpec extends SparkSpec {
       .forall(f => !f.getName.startsWith("_graft_recluster")))
   }
 
+  test("maintainIvfStore: one call compacts past the file bound and " +
+    "re-clusters on occupancy drift; settled stores are left alone") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ivf_maint").toString
+    Similarity.writeIvfLayoutK(spark, dir, out, 4) // occupancy ~125
+    // default drift factor 2.0: 125 < 256 → no recluster, k stays
+    val (_, k0) = Similarity.maintainIvfStore(spark, out)
+    assert(k0 == 4L && Similarity.storeK(spark, out) == 4)
+    // tighter factor: 125 > 0.5·128 AND sized k (8) > 4 → recluster
+    val (_, k1) = Similarity.maintainIvfStore(spark, out,
+      driftFactor = 0.5)
+    assert(k1 == 8L && Similarity.storeK(spark, out) == 8)
+    // already at the sized k: a repeat call leaves the store alone
+    // (occupancy 62.5 and target == k — both gates hold it)
+    val (_, k2) = Similarity.maintainIvfStore(spark, out,
+      driftFactor = 0.5)
+    assert(k2 == 8L)
+    // the maintained store probes like a fresh family store
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft_ivf_maint_f").toString
+    Similarity.writeIvfLayout(spark, dir, fresh)
+    assert(probeSig(out, 2) == probeSig(fresh, 2))
+    // fragmentation half: appends accrete files, maintenance at a
+    // tight bound compacts them without changing contents
+    val delta = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") >= 490)
+    (1 to 3).foreach(_ => Similarity.appendIvfStore(spark, out, delta))
+    val before = spark.read.parquet(out).count()
+    val (compacted, _) = Similarity.maintainIvfStore(spark, out,
+      maxFilesPerCell = 1, driftFactor = 0.5)
+    assert(compacted > 0, "no cell compacted after 3 appends")
+    assert(spark.read.parquet(out).count() == before)
+    new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .foreach { cd =>
+        val n = cd.listFiles().count(_.getName.endsWith(".parquet"))
+        assert(n == 1, s"${cd.getName}: $n files after maintenance")
+      }
+  }
+
   test("a probe is one job over one cell directory") {
     val srv = new IvfServer(spark, store)
     val qv = spark.read.parquet(store).filter(col("vec_id") === 0L)
