@@ -119,6 +119,8 @@ object SparkEntry {
     "q25_semdedup_pairs_coarse" ->
       ((s: SparkSession, d: String) =>
         Similarity.semDedupPairs(s, d, coarse = Some(true))),
+    "q25_semdedup_eval" ->
+      ((s: SparkSession, d: String) => Similarity.semDedupEval(s, d)),
     "q25_semdedup_full" ->
       ((s: SparkSession, d: String) => Similarity.semDedupFull(s, d)),
     "q25_semdedup_survivors" ->

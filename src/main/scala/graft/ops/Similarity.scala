@@ -841,6 +841,40 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** SEMDEDUP RECALL EVALUATION — the boundary-miss measurement the
+    * cell-bounded recipe's scaladocs keep referencing, computed: over
+    * the exact-check sample (vec_id < 200, where the all-pairs truth
+    * of [[embedNearDup]] is affordable), compare the corpus-scale
+    * cell-bounded pairs ([[semDedupPairs]] restricted to the sample)
+    * against the exact pair set and report recall — the fraction of
+    * true near-dup pairs that did NOT straddle a cell boundary.
+    * Precision is structurally 1 (cell pairs score with the same
+    * exact cosine and threshold, so they are a SUBSET of truth —
+    * n_hit == n_cell_pairs, asserted by spec); recall is the recipe's
+    * one trade, now a tracked number beside the ANN-recall and
+    * LSH-precision/recall panels. Both arms staged (each feeds a
+    * count and the hit join). The `coarse` knob threads so the
+    * two assignment paths' recall can be compared directly. */
+  def semDedupEval(spark: SparkSession, dir: String,
+                   coarse: Option[Boolean] = None): DataFrame = {
+    val sample = 200
+    val cell = semDedupPairs(spark, dir, coarse)
+      .filter(col("vec_a") < sample && col("vec_b") < sample)
+      .select(col("vec_a"), col("vec_b"))
+      .stage()
+    val truth = embedNearDup(spark, dir)
+      .select(col("vec_a"), col("vec_b"))
+      .stage()
+    val nC = cell.count()
+    val nT = truth.count()
+    val hit = cell.join(truth, Seq("vec_a", "vec_b")).count()
+    import spark.implicits._
+    Seq((nC, nT, hit)).toDF("n_cell_pairs", "n_true_pairs", "n_hit")
+      .select(col("n_cell_pairs"), col("n_true_pairs"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_true_pairs"), 4)
+          .as("cell_recall"))
+  }
+
   /** Full-corpus SemDeDup: connected components + keeper flag over the
     * cell-bounded near-dup graph ([[semDedupPairs]]) — the
     * corpus-scale form of [[semanticClusters]], every stage bounded

@@ -1087,6 +1087,31 @@ object TrainingOracles {
          SELECT vec_a, vec_b, round(c, 4) AS cos FROM p
          WHERE c >= ${Similarity.SemDedupThreshold} ORDER BY vec_a, vec_b""",
 
+    // SemDeDup recall eval: cell-bounded pairs vs exact all-pairs
+    // truth on the vec_id<200 sample — the boundary-miss panel
+    // (precision is structurally 1: cell pairs are exact-scored, a
+    // subset of truth)
+    "q25_semdedup_eval" ->
+      s"""WITH $semDedupPairCtes,
+         cp AS (SELECT vec_a, vec_b FROM p
+                WHERE c >= ${Similarity.SemDedupThreshold}
+                  AND vec_a < 200 AND vec_b < 200),
+         t AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+               FROM embeddings a JOIN embeddings b
+                 ON a.vec_id < b.vec_id
+               WHERE a.vec_id < 200 AND b.vec_id < 200
+                 AND ${cos("a.embedding", "b.embedding")}
+                   >= ${Similarity.SemDedupThreshold}),
+         m AS (SELECT (SELECT count(*) FROM cp) AS nc,
+                      (SELECT count(*) FROM t) AS nt,
+                      (SELECT count(*) FROM cp
+                       JOIN t USING (vec_a, vec_b)) AS nh)
+         SELECT CAST(nc AS BIGINT) AS n_cell_pairs,
+                CAST(nt AS BIGINT) AS n_true_pairs,
+                CAST(nh AS BIGINT) AS n_hit,
+                round(CAST(nh AS DOUBLE) / nt, 4) AS cell_recall
+         FROM m""",
+
     // the SemDeDup pair stage with the COARSE-routed cells — the
     // knob hash-checked through the pipeline's candidate generation,
     // not just the assignment artifact

@@ -72,13 +72,21 @@ private[query] case class RefVecCosine(
   */
 final class IvfServer(spark: SparkSession, storeDir: String) {
 
-  private val seeds: Array[(Long, Array[Float])] =
+  // the store's OWN seed system: meta-k (family default pre-meta)
+  // smallest vec_ids — so the server routes correctly on stores
+  // created at any k and on re-clustered stores (a recluster changes
+  // both k and the layout; construct a fresh server, or refresh()
+  // after the stamp invalidation catches the mutation)
+  private val seeds: Array[(Long, Array[Float])] = {
+    val k = Similarity.storeK(spark, storeDir)
+    require(k <= Int.MaxValue, s"store k $k exceeds seed bound")
     spark.read.parquet(storeDir)
-      .filter(col("vec_id") < Similarity.IvfCentroids.toLong)
       .select(col("vec_id"), col("embedding"))
       .orderBy("vec_id")
+      .limit(k.toInt)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+  }
 
   require(seeds.nonEmpty, s"no seed centroids found in $storeDir")
 

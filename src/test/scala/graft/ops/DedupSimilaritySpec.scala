@@ -694,6 +694,24 @@ class DedupSimilaritySpec extends SparkSpec {
       "negativesDense did not recover the dense-space mining")
   }
 
+  test("semDedup recall eval: cell pairs are a SUBSET of exact truth " +
+    "(precision structurally 1), counts reproduce, coarse comparable") {
+    val r = Similarity.semDedupEval(spark, dir).head()
+    val (nc, nt, nh, rec) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(nh == nc, "a cell-bounded pair failed the exact truth check")
+    assert(nt > 0 && nh <= nt && rec > 0.0 && rec <= 1.0)
+    assert(nt == Similarity.embedNearDup(spark, dir).count())
+    assert(nc == Similarity.semDedupPairs(spark, dir)
+      .filter(col("vec_a") < 200 && col("vec_b") < 200).count())
+    // the coarse-routed panel holds the same subset property; its
+    // recall may differ (different boundaries — that's the point of
+    // measuring both)
+    val c = Similarity.semDedupEval(spark, dir, Some(true)).head()
+    assert(c.getLong(2) == c.getLong(0))
+    assert(c.getLong(1) == nt, "truth arm must not depend on the knob")
+  }
+
   test("dedup eval: one-row panel consistent with the two pair sets " +
     "it compares") {
     val r = Dedup.dedupEval(spark, dir).collect()

@@ -507,6 +507,36 @@ class IvfServerSpec extends SparkSpec {
       .forall(f => !f.getName.startsWith("_graft_recluster")))
   }
 
+  test("IvfServer serves a meta-k (re-clustered) store: routing reads " +
+    "the store's own seeds; served == store probe at both nProbe") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ivf_srv_meta").toString
+    Similarity.writeIvfLayoutK(spark, dir, out, 4)
+    Similarity.reclusterIvfStore(spark, out, Some(16))
+    val srv = new IvfServer(spark, out)
+    // routing agrees with the stored assignment for every vector
+    spark.read.parquet(out)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .limit(100).collect().foreach { r =>
+        assert(srv.cellOf(r.getSeq[Float](1)) ==
+          r.getAs[Number]("cell").longValue,
+          s"vec ${r.getLong(0)}: routing != stored cell on meta-k store")
+      }
+    val vecs = spark.read.parquet(out)
+      .filter(col("vec_id").isin(0L, 42L, 321L))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    vecs.foreach { case (id, qv) =>
+      Seq(1, 2).foreach { np =>
+        val served = srv.probeTemplate(qv, excludeId = id, nProbe = np)
+        val checked = Similarity
+          .probeIvfStore(spark, out, qId = id, nProbe = np)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(served == checked, s"query $id nProbe=$np diverged")
+      }
+    }
+  }
+
   test("maintainIvfStore: one call compacts past the file bound and " +
     "re-clusters on occupancy drift; settled stores are left alone") {
     val out = java.nio.file.Files
