@@ -101,6 +101,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Similarity.annLshMultiProbe(s, d)),
     "q25_ann_quantized" ->
       ((s: SparkSession, d: String) => Similarity.annQuantized(s, d)),
+    "q25_ann_binary" ->
+      ((s: SparkSession, d: String) => Similarity.annBinary(s, d)),
     "q25_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "q25_ann_ivf_loaded" ->
       ((s: SparkSession, d: String) => Similarity.annIvfLoaded(s, d)),
@@ -164,6 +166,8 @@ object SparkEntry {
     "q30_range_join" -> (Temporal.q30RangeJoin _),
     "q27_langid" -> (TextAnalysis.langId _),
     "q27_quality" -> (TextAnalysis.quality _),
+    "q27_domain_topq" -> (TextAnalysis.domainTopQuality _),
+    "q27_token_drift" -> (TextAnalysis.tokenDrift _),
     "q27_token_count" -> (TextAnalysis.tokenCount _),
     "q27_vocab" ->
       ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
@@ -224,6 +228,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Pq.annPq(s, d)),
     "q25_ann_ivfpq" ->
       ((s: SparkSession, d: String) => Pq.annIvfPq(s, d)),
+    "q25_ann_ivfpq_loaded" ->
+      ((s: SparkSession, d: String) => Pq.annIvfPqLoaded(s, d)),
     "q33_pagerank" -> (Graph.q33PageRank _),
     "q33_triangles" -> (Graph.q33Triangles _),
     "q33_clustering" -> (Graph.q33Clustering _),
@@ -246,7 +252,10 @@ object SparkEntry {
     base + ("q06_salted_index" -> base("q06_inverted_index")) +
       ("q25_ann_ivf_loaded" -> base("q25_ann_ivf")) +
       // the durable-store nProbe path == the in-memory nProbe ranking
-      ("q25_ann_ivf_loaded_nprobe" -> base("q25_ann_ivf_nprobe"))
+      ("q25_ann_ivf_loaded_nprobe" -> base("q25_ann_ivf_nprobe")) +
+      // the PQ-CODED durable store == the in-memory IVF-PQ ADC scan
+      // (same codes, same distance table, same fold order)
+      ("q25_ann_ivfpq_loaded" -> base("q25_ann_ivfpq"))
   }
 
   /** The BM25 ranking oracle — shared by q10_bm25 and the lexical arm

@@ -249,13 +249,7 @@ object Pq {
     val e = emb(spark, dir)
     val q = e.filter(col("vec_id") === 0).select(col("embedding"))
       .head().getSeq[Float](0)
-    // coarse probe: rank the seed centroids by cosine against the query
-    val probed = e.filter(col("vec_id") < Similarity.IvfCentroids)
-      .orderBy("vec_id").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
-      .map { case (cid, cv) => (cid, Similarity.cosSeqInf(q, cv)) }
-      .sortBy { case (cid, c) => (-c, cid) }
-      .take(nProbe).map(_._1)
+    val probed = coarseProbeCells(e, q, nProbe)
     val score = adcScore(spark, cents, q)
     Similarity.ivfCells(spark, dir)
       .filter(col("cell").isin(probed.map(Long.box): _*) &&
@@ -264,5 +258,96 @@ object Pq {
       .orderBy(col("d"), col("vec_id"))
       .limit(k)
       .select(col("vec_id"), (round(col("d"), 4) + 0.0).as("pq_dist"))
+  }
+
+  /** The coarse quantizer's probe-cell choice: rank the seed
+    * centroids by cosine against the query driver-side (k rows —
+    * bounded at any corpus size), same (cosine desc, cid asc) order as
+    * every other probe path. One definition shared by [[annIvfPq]] and
+    * [[probeIvfPqStore]] so the in-memory and loaded paths can never
+    * route to different cells. */
+  private def coarseProbeCells(e: DataFrame, q: Seq[Float],
+                               nProbe: Int): Seq[Long] =
+    e.filter(col("vec_id") < Similarity.IvfCentroids)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .map { case (cid, cv) => (cid, Similarity.cosSeqInf(q, cv)) }
+      .sortBy { case (cid, c) => (-c, cid) }
+      .take(nProbe).map(_._1).toSeq
+
+  /** PQ-CODED DURABLE STORE: the [[Similarity.writeIvfLayout]] cell
+    * layout carrying [[pqCodes]]' m-small-int payload INSTEAD of the
+    * raw fp32 vectors — the serving store a 100 TB ANN deployment
+    * actually keeps hot. The raw layout costs dims×4 bytes per vector
+    * (256 B here); this one costs [[Subspaces]] codes (4 B at the
+    * byte-wide codebook) — the 64× compression applied to the STORE,
+    * not just the in-memory scan, so a probe's IO is
+    * nProbe/k of the corpus × m bytes per vector. One assignment scan
+    * computes both the coarse cell and the PQ codes (codebooks
+    * broadcast); `partitionBy(cell)` gives probes the same Hive-style
+    * partition pruning as the raw store. The fp32 originals stay in
+    * the source table for the exact re-rank stage of a two-stage
+    * pipeline — this store serves the first-stage ADC scan. */
+  def writeIvfPqStore(spark: SparkSession, dir: String,
+                      outDir: String): Unit = {
+    val cents = codebooks(spark, dir)
+    val sd = cents(0)(0)._2.length
+    val bc = spark.sparkContext.broadcast(cents)
+    val codes = udf((v: Seq[Float]) =>
+      (0 until Subspaces).map(s => assignOne(v, s * sd, bc.value(s))))
+    Similarity.assignCells(spark, dir,
+        emb(spark, dir).select(col("vec_id"), col("embedding")))
+      .withColumn("cs", codes(col("embedding")))
+      .select(col("vec_id") +:
+        (0 until Subspaces).map(s =>
+          element_at(col("cs"), s + 1).as(s"c$s")) :+
+        col("cell"): _*)
+      .write.partitionBy("cell").mode("overwrite").parquet(outDir)
+  }
+
+  /** Probe a [[writeIvfPqStore]] store: the coarse quantizer routes
+    * the query to its top-`nProbe` cells (partition-pruned literals),
+    * and the scan scores each candidate as [[Subspaces]] distance-
+    * table MAP LOOKUPS on the stored codes — a pure Catalyst
+    * expression (`element_at` on broadcast map literals, summed in
+    * subspace order), so the serving scan stays inside whole-stage
+    * codegen with NO per-candidate float math and never touches an
+    * embedding column. Output-identical to [[annIvfPq]] by
+    * construction (same codes, same table, same fold order) — the
+    * driver checks it against the SAME oracle. */
+  def probeIvfPqStore(spark: SparkSession, dir: String, storeDir: String,
+                      k: Int = TopK, nProbe: Int = 2): DataFrame = {
+    val cents = codebooks(spark, dir)
+    val sd = cents(0)(0)._2.length
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0)
+    val probed = coarseProbeCells(e, q, nProbe)
+    val dtable: Array[Map[Long, Double]] =
+      Array.tabulate(Subspaces) { s =>
+        cents(s).map { case (cid, cv) => cid -> l2(q, s * sd, cv) }.toMap
+      }
+    val score = (0 until Subspaces)
+      .map(s => element_at(typedLit(dtable(s)), col(s"c$s")))
+      .reduce(_ + _)
+    spark.read.parquet(storeDir)
+      .filter(col("cell").isin(probed.map(Long.box): _*) &&
+        col("vec_id") =!= 0)
+      .select(col("vec_id"), score.as("d"))
+      .orderBy(col("d"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), (round(col("d"), 4) + 0.0).as("pq_dist"))
+  }
+
+  /** [[annIvfPq]] served from the durable PQ-coded store — write the
+    * compressed layout, then answer from it alone. Output-identical
+    * to the in-memory [[annIvfPq]]; the driver checks it against the
+    * SAME oracle (the q25_ann_ivf_loaded pattern applied to the
+    * compressed store). */
+  def annIvfPqLoaded(spark: SparkSession, dir: String, k: Int = TopK,
+                     nProbe: Int = 2): DataFrame = {
+    val out = graft.TempDirs.scratch("graft_ivfpq_store")
+    writeIvfPqStore(spark, dir, out)
+    probeIvfPqStore(spark, dir, out, k, nProbe)
   }
 }

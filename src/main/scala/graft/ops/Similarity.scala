@@ -1557,6 +1557,56 @@ object Similarity {
       .select(col("vec_id"), (round(col("c"), 4) + 0.0).as("qcos"))
   }
 
+  /** Hamming-rerank candidate-list size (the recall knob of
+    * [[annBinary]]): the exact re-rank stage reads this many fp32
+    * vectors, no matter the corpus size. */
+  val BinaryCandidates = 50
+
+  /** BINARY (sign-bit) quantization: each dimension collapses to its
+    * sign, packed MSB-first into one LONG per 64 dims — a 32×
+    * reduction over fp32 (here: 64 dims → exactly one long). Pure
+    * Catalyst fold (`aggregate` + shiftleft/bitwiseOR — bit ops, so no
+    * ANSI overflow on the top bit), codegen'd, no UDF. */
+  def binaryCode(v: Column): Column =
+    aggregate(v, lit(0L), (acc, x) =>
+      shiftleft(acc, 1).bitwiseOR(when(x >= 0f, lit(1L)).otherwise(lit(0L))))
+
+  /** BINARY-QUANTIZED ANN — the memory-floor point of the quantization
+    * ladder (fp32 → int8 [[annQuantized]] → PQ [[Pq.annPq]] → 1 bit):
+    * stage 1 ranks the WHOLE corpus by Hamming distance on the packed
+    * sign codes — `bit_count(code XOR qcode)`, one xor+popcount per
+    * candidate over an 8-byte column, the cheapest possible
+    * first-stage scan — and keeps the [[BinaryCandidates]] best
+    * (hamming asc, vec_id asc — deterministic cut); stage 2 joins the
+    * BOUNDED candidate list (broadcast) back to the fp32 table for the
+    * exact-cosine top-k. At 100 TB the stage-1 scan reads 1/32 of the
+    * embedding bytes and the fp32 table is touched for exactly
+    * [[BinaryCandidates]] rows. */
+  def annBinary(spark: SparkSession, dir: String, k: Int = 10,
+                c: Int = BinaryCandidates): DataFrame = {
+    val e = emb(spark, dir)
+    // the codes projection — at scale this is the persisted 8 B/vector
+    // sign store, not a recompute
+    val codes = e.select(col("vec_id"), binaryCode(col("embedding")).as("code"))
+    val q = codes.filter(col("vec_id") === 0).select(col("code").as("qcode"))
+    val cand = codes.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        call_function("bit_count", col("code").bitwiseXOR(col("qcode")))
+          .cast("long").as("hamming"))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(c)
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.join(broadcast(cand), Seq("vec_id"))
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("hamming"),
+        cosine(col("embedding"), col("qv")).as("c0"))
+      .orderBy(col("c0").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("hamming"),
+        (round(col("c0"), 4) + 0.0).as("cos"))
+  }
+
   /** MULTI-PROBE LSH ANN — the standard recall knob: probe the query's
     * bucket plus its 16 one-bit-flipped neighbors (the buckets a
     * near-neighbor most likely fell into when one hyperplane

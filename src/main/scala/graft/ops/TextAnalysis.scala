@@ -50,6 +50,83 @@ object TextAnalysis {
           (col("n_chars_raw") + 1), 4).as("alnum_ratio"))
       .orderBy("doc_id")
 
+  /** Per-domain quality-gate percentile (keep the top quarter of each
+    * source by score — the CCNet/FineWeb "best p% per dump" shape). */
+  val DomainQualityPct = 0.75
+
+  /** PER-DOMAIN quality quantile gate — the curation step real
+    * pretraining pipelines run per SOURCE, not globally (a global
+    * threshold lets a high-scoring domain crowd out every other one):
+    * score each doc (mean token length — any [[quality]] column slots
+    * in), compute each source's [[DomainQualityPct]] percentile, keep
+    * docs at-or-above their OWN domain's bar. Plan shape for scale:
+    * `groupBy(source).agg(percentile)` — the exact-percentile
+    * aggregation state is bounded because scores are 4-decimal
+    * QUANTIZED (the counts-map holds one entry per distinct score, not
+    * per row) — then the tiny per-source threshold table BROADCASTS
+    * back into the scan; no corpus-wide window sort anywhere. */
+  def domainTopQuality(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        tokensArrayFast(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("source"),
+        round(
+          aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+            .cast("double") / size(col("toks")), 4).as("score"))
+    val thr = scored.groupBy("source")
+      .agg(round(expr(s"percentile(score, $DomainQualityPct)"), 4)
+        .as("thr"))
+    scored.join(broadcast(thr), Seq("source"))
+      .filter(col("score") >= col("thr"))
+      .select(col("doc_id"), col("source"), col("score"), col("thr"))
+      .orderBy("doc_id")
+  }
+
+  /** Fixed-point scale for the drift panel's cross-engine-exact JS
+    * divergence sum: per-token contributions round to 1e-9 before the
+    * integer sum, so the total is independent of summation order on
+    * both engines (the [[Similarity.CentroidScale]] discipline; libm
+    * log2 engine differences sit ~1e-16 relative — far below the
+    * quantum). */
+  val DriftScale: Double = 1e9
+
+  /** TOKEN-DISTRIBUTION DRIFT panel — the mixture-monitoring number a
+    * training pipeline tracks between two corpus snapshots (or two
+    * mixture components): Jensen–Shannon divergence (base 2, so 0 ≤
+    * JSD ≤ 1) between the unigram distributions of the even-doc_id
+    * half (snapshot A) and the odd half (snapshot B), plus the vocab
+    * overlap counts. ONE token-explode scan → ONE groupBy(term) with
+    * both sides' counts as conditional sums (a second snapshot adds a
+    * column, not a pass) → one final single-row aggregate; the only
+    * shuffle is the term groupBy. Zero-probability terms contribute
+    * only through the side that has them (0·log0 := 0). */
+  def tokenDrift(spark: SparkSession, dir: String): DataFrame = {
+    val counts = docs(spark, dir)
+      .select((col("doc_id") % 2 === 0).as("is_a"),
+        explode(tokensArrayFast(col("text"))).as("term"))
+      .groupBy("term")
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+    val tot = counts.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+    val p = col("ca").cast("double") / col("ta")
+    val q = col("cb").cast("double") / col("tb")
+    val contrib =
+      when(col("ca") > 0, p * log2(lit(2) * p / (p + q))).otherwise(0.0) *
+        0.5 +
+      when(col("cb") > 0, q * log2(lit(2) * q / (p + q))).otherwise(0.0) *
+        0.5
+    counts.crossJoin(broadcast(tot))
+      .select(col("ca"), col("cb"), col("ta"), col("tb"),
+        round(contrib * DriftScale).cast("decimal(38,0)").as("c9"))
+      .agg(max(col("ta")).as("n_tokens_a"), max(col("tb")).as("n_tokens_b"),
+        sum(when(col("ca") > 0, 1L).otherwise(0L)).as("vocab_a"),
+        sum(when(col("cb") > 0, 1L).otherwise(0L)).as("vocab_b"),
+        sum(when(col("ca") > 0 && col("cb") > 0, 1L).otherwise(0L))
+          .as("vocab_shared"),
+        round(sum(col("c9")).cast("double") / DriftScale, 4).as("jsd"))
+  }
+
   /** Token counting: whitespace tokens and a BPE-ish segmentation
     * (letter runs | digit runs | single other chars). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =

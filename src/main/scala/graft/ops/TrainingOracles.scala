@@ -1183,6 +1183,30 @@ object TrainingOracles {
          SELECT vec_id, round(d / (sqrt(na) * sqrt(nb)), 4) + 0.0 AS qcos
          FROM sc2 ORDER BY d / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 10""",
 
+    // binary (sign-bit) ANN: Hamming pre-rank over the packed sign
+    // codes (here unpacked per-dim — the COUNT is identical to
+    // bit_count(xor) on the packed longs), deterministic candidate
+    // cut, exact-cosine re-rank of the bounded list
+    "q25_ann_binary" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         h AS (SELECT e.vec_id,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, len(e.embedding) + 1),
+                     i -> CASE WHEN (e.embedding[i] >= 0) <> (qv[i] >= 0)
+                          THEN CAST(1 AS BIGINT)
+                          ELSE CAST(0 AS BIGINT) END)),
+                   (acc, v) -> acc + v) AS hamming
+               FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+         cand AS (SELECT vec_id, hamming FROM h
+                  ORDER BY hamming, vec_id
+                  LIMIT ${Similarity.BinaryCandidates}),
+         rr AS (SELECT c.vec_id, c.hamming,
+                       ${cos("e.embedding", "qv")} AS cs
+                FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+                CROSS JOIN q)
+         SELECT vec_id, hamming, round(cs, 4) + 0.0 AS cos
+         FROM rr ORDER BY cs DESC, vec_id LIMIT 10""",
+
     "q25_ann_lsh" ->
       s"""WITH $lshBucketCtes
          SELECT bucket, count(*) AS n FROM b GROUP BY bucket ORDER BY bucket""",
@@ -1342,6 +1366,60 @@ object TrainingOracles {
                 CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS ws_tokens,
                 CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
          FROM documents ORDER BY doc_id""",
+
+    // per-domain quality quantile gate: mean token length scored per
+    // doc, each source's p75 as its own bar (quantile_cont == Spark's
+    // exact linear-interpolation percentile on the 4-rounded scores)
+    "q27_domain_topq" ->
+      s"""WITH s AS (SELECT doc_id, source,
+                round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+                        (a, b) -> a + b) AS DOUBLE)
+                      / len(toks), 4) AS score
+              FROM (SELECT doc_id, source, $toks AS toks FROM documents)
+              WHERE len(toks) > 0),
+         th AS (SELECT source,
+                       round(quantile_cont(score,
+                         ${TextAnalysis.DomainQualityPct}), 4) AS thr
+                FROM s GROUP BY source)
+         SELECT s.doc_id, s.source, s.score, th.thr
+         FROM s JOIN th USING (source)
+         WHERE s.score >= th.thr ORDER BY doc_id""",
+
+    // token-distribution drift panel: JS divergence (base 2) between
+    // the even- and odd-doc_id halves' unigram distributions, summed
+    // in 1e-9 fixed point so the total is summation-order-exact
+    "q27_token_drift" ->
+      s"""WITH tok AS (SELECT doc_id % 2 = 0 AS is_a, unnest($toks) AS term
+                       FROM documents),
+         c AS (SELECT term,
+                 CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                 CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+               FROM tok GROUP BY term),
+         t AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+                      CAST(sum(cb) AS BIGINT) AS tb FROM c),
+         k AS (SELECT ca, cb, ta, tb,
+                 CAST(round((
+                   (CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / ta) *
+                      log2(2 * (CAST(ca AS DOUBLE) / ta) /
+                        ((CAST(ca AS DOUBLE) / ta) + (CAST(cb AS DOUBLE) / tb)))
+                    ELSE 0 END) * 0.5 +
+                   (CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / tb) *
+                      log2(2 * (CAST(cb AS DOUBLE) / tb) /
+                        ((CAST(ca AS DOUBLE) / ta) + (CAST(cb AS DOUBLE) / tb)))
+                    ELSE 0 END) * 0.5) * ${TextAnalysis.DriftScale})
+                   AS BIGINT) AS c9
+               FROM c CROSS JOIN t)
+         SELECT max(ta) AS n_tokens_a, max(tb) AS n_tokens_b,
+                CAST(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS vocab_a,
+                CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS vocab_b,
+                CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS vocab_shared,
+                round(CAST(sum(c9) AS DOUBLE) /
+                  ${TextAnalysis.DriftScale}, 4) AS jsd
+         FROM k""",
 
     "q27_fingerprint" ->
       s"""SELECT doc_id, ${ddbPolyHash("array_to_string(toks, ' ')", P)} AS fp

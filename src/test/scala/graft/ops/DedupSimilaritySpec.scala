@@ -694,6 +694,38 @@ class DedupSimilaritySpec extends SparkSpec {
       "negativesDense did not recover the dense-space mining")
   }
 
+  test("binary ANN: packed sign codes give per-dim mismatch hamming; " +
+    "result is the exact-cosine top-k of the bounded hamming candidates") {
+    val vecs = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val qv = vecs(0L)
+    def ham(v: Seq[Float]): Long =
+      v.indices.count(i => (v(i) >= 0) != (qv(i) >= 0)).toLong
+    val cand = vecs.keys.filter(_ != 0L).toSeq
+      .map(id => (id, ham(vecs(id))))
+      .sortBy { case (id, h) => (h, id) }
+      .take(Similarity.BinaryCandidates)
+    val want = cand
+      .map { case (id, h) => (id, h, Similarity.cosSeqInf(vecs(id), qv)) }
+      .sortBy { case (id, _, c) => (-c, id) }
+      .take(10)
+      .map { case (id, h, c) =>
+        (id, h, BigDecimal(c).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0) }
+    val got = Similarity.annBinary(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want, s"binary ANN diverged from driver recompute")
+    // the packed-long XOR/popcount path really is what ran: recompute
+    // one code from the column expression and from the sign bits
+    val code0 = graft.Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") === 1L)
+      .select(Similarity.binaryCode(col("embedding"))).head().getLong(0)
+    val wantCode = vecs(1L).foldLeft(0L)((acc, x) =>
+      (acc << 1) | (if (x >= 0) 1L else 0L))
+    assert(code0 == wantCode, "packed sign code mismatch")
+  }
+
   test("semDedup recall eval: cell pairs are a SUBSET of exact truth " +
     "(precision structurally 1), counts reproduce, coarse comparable") {
     val r = Similarity.semDedupEval(spark, dir).head()

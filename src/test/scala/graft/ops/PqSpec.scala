@@ -90,6 +90,32 @@ class PqSpec extends SparkSpec {
     assert(ds == ds.sorted)
   }
 
+  test("PQ-coded durable store: schema is codes-only (no embedding), " +
+    "probe is partition-pruned and == in-memory IVF-PQ at nProbe 1 and 2") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_store").toString
+    Pq.writeIvfPqStore(spark, dir, out)
+    // the compressed layout holds vec_id + m codes + the partition
+    // column — the raw fp32 vectors never land in the serving store
+    val stored = spark.read.parquet(out)
+    assert(stored.columns.sorted.toSeq ==
+      (Seq("vec_id", "cell") ++
+        (0 until Pq.Subspaces).map(s => s"c$s")).sorted)
+    assert(stored.count() == nVecs)
+    Seq(1, 2).foreach { np =>
+      val got = Pq.probeIvfPqStore(spark, dir, out, nProbe = np).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val mem = Pq.annIvfPq(spark, dir, nProbe = np).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == mem, s"nProbe=$np: store probe diverged from in-memory")
+    }
+    // the probe scan prunes to the probed cell directories
+    val plan = Pq.probeIvfPqStore(spark, dir, out)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"PQ store probe did not partition-prune:\n$plan")
+  }
+
   test("ADC scan plan is shuffle-free (broadcast tables + TakeOrdered)") {
     val plan = Pq.annPq(spark, dir).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)

@@ -35,6 +35,87 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("domain quality gate: every kept doc clears its OWN source's " +
+    "p75 bar; thresholds reproduce from a driver percentile recompute") {
+    val kept = TextAnalysis.domainTopQuality(spark, dir).collect()
+    assert(kept.nonEmpty)
+    kept.foreach(r => assert(r.getDouble(2) >= r.getDouble(3),
+      s"doc ${r.getLong(0)} below its domain bar"))
+    // independent recompute: score = round(mean token length, 4),
+    // thr = linear-interpolation p75 per source, rounded
+    val scores = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(2).toLowerCase
+          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        (r.getLong(0), r.getString(1),
+          BigDecimal(toks.map(_.length.toLong).sum.toDouble / toks.length)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    val thrBySrc = scores.groupBy(_._2).map { case (src, rs) =>
+      val v = rs.map(_._3).sorted
+      val pos = TextAnalysis.DomainQualityPct * (v.length - 1)
+      val lo = v(pos.toInt)
+      val hi = v(math.min(pos.toInt + 1, v.length - 1))
+      src -> BigDecimal(lo + (hi - lo) * (pos - pos.toInt))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val wantKept = scores.filter { case (_, src, s) => s >= thrBySrc(src) }
+      .map(_._1).toSet
+    assert(kept.map(_.getLong(0)).toSet == wantKept)
+    kept.foreach(r =>
+      assert(r.getDouble(3) == thrBySrc(r.getString(1)),
+        s"source ${r.getString(1)} threshold diverged"))
+    // the gate keeps roughly the top quarter of each source — never
+    // everything (a constant-score domain would; mean token length
+    // varies in this corpus)
+    assert(kept.length < scores.length)
+  }
+
+  test("token drift: one-row JSD panel consistent with a driver " +
+    "recompute of the two unigram distributions") {
+    val r = TextAnalysis.tokenDrift(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (ta, tb) = (row.getLong(0), row.getLong(1))
+    val (va, vb, vs) = (row.getLong(2), row.getLong(3), row.getLong(4))
+    val jsd = row.getDouble(5)
+    assert(jsd >= 0.0 && jsd <= 1.0)
+    assert(vs <= math.min(va, vb))
+    // driver recompute with the same 1e-9 fixed-point sum
+    val counts = scala.collection.mutable.Map
+      .empty[String, (Long, Long)].withDefaultValue((0L, 0L))
+    graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect().foreach { d =>
+        val isA = d.getLong(0) % 2 == 0
+        d.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+          .foreach { t =>
+            val (a, b) = counts(t)
+            counts(t) = if (isA) (a + 1, b) else (a, b + 1)
+          }
+      }
+    val wta = counts.values.map(_._1).sum
+    val wtb = counts.values.map(_._2).sum
+    assert((ta, tb) == (wta, wtb))
+    assert(va == counts.values.count(_._1 > 0).toLong)
+    assert(vb == counts.values.count(_._2 > 0).toLong)
+    assert(vs == counts.values.count(v => v._1 > 0 && v._2 > 0).toLong)
+    val sum9 = counts.values.map { case (ca, cb) =>
+      val p = ca.toDouble / wta
+      val q = cb.toDouble / wtb
+      val c =
+        (if (ca > 0) p * (math.log(2 * p / (p + q)) / math.log(2.0))
+         else 0.0) * 0.5 +
+        (if (cb > 0) q * (math.log(2 * q / (p + q)) / math.log(2.0))
+         else 0.0) * 0.5
+      math.rint(c * TextAnalysis.DriftScale).toLong
+    }.sum
+    val wantJsd = BigDecimal(sum9.toDouble / TextAnalysis.DriftScale)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(jsd - wantJsd) <= 1e-4,
+      s"jsd $jsd vs driver recompute $wantJsd")
+  }
+
   test("compaction collapses a fragmented directory without changing " +
     "its rows") {
     val out = java.nio.file.Files
