@@ -234,7 +234,8 @@ object Bench {
         medianPhraseUs, medianPhraseTemplateUs, medianPhrase3TemplateUs,
         medianNearTemplateUs, medianPhraseLoadedRoutedUs,
         medianNearLoadedRoutedUs, medianAnnProbeUs, medianAnnServedUs,
-        medianAnnTmplUs, medianAnnTmplN2Us, annConc8PerS) =
+        medianAnnTmplUs, medianAnnTmplN2Us,
+        medianPqServedUs, medianPqTmplUs, annConc8PerS) =
       try {
         spark.conf.set(aqeKey, "false")
         System.gc()
@@ -329,7 +330,7 @@ object Bench {
         // number
         val annPath = java.nio.file.Files.createTempDirectory("graft_bench_ann")
         val (mAnnProbeUs, mAnnServedUs, mAnnTmplUs, mAnnTmplN2Us,
-            mAnnConc8) = try {
+            mPqServedUs, mPqTmplUs, mAnnConc8) = try {
           graft.ops.Similarity.writeIvfLayout(spark, sfDir, annPath.toString)
           graft.ops.Similarity.probeIvfStore(spark, annPath.toString).count()
           val qids = Seq("0", "11", "23", "47", "89", "101", "131",
@@ -362,6 +363,30 @@ object Bench {
           val tmplN2 = sweep3("warm_ann_ivf_nprobe2_us", sweepOf(qids,
             q => { srv.probeTemplate(qvecs(q), excludeId = q.toLong,
               nProbe = 2); () }))
+          // the COMPRESSED serving store (PQ codes instead of fp32):
+          // same cells, 64x smaller payload, ADC table lookups per
+          // probe — fresh plan vs prepared template
+          val pqPath = java.nio.file.Files
+            .createTempDirectory("graft_bench_ivfpq")
+          val (mPqServed, mPqTmpl) = try {
+            graft.ops.Pq.writeIvfPqStore(spark, sfDir, pqPath.toString)
+            val psrv = new graft.query.IvfPqServer(spark, sfDir,
+              pqPath.toString)
+            psrv.probe(qvecs(qids.head)).count()
+            val pqServed = sweep3("warm_ann_ivfpq_served_us",
+              sweepOf(qids, q => { psrv.probe(qvecs(q),
+                excludeId = q.toLong).count(); () }))
+            psrv.probeTemplate(qvecs(qids.head))
+            val pqTmpl = sweep3("warm_ann_ivfpq_template_us",
+              sweepOf(qids, q => { psrv.probeTemplate(qvecs(q),
+                excludeId = q.toLong); () }))
+            (pqServed, pqTmpl)
+          } finally {
+            val wk = java.nio.file.Files.walk(pqPath)
+            try wk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+            finally wk.close()
+          }
           // concurrent serving throughput: 8 threads × the 11-query
           // sweep through pooled templates (each thread borrows its
           // own), reported as probes/second
@@ -388,7 +413,7 @@ object Bench {
             val secs = (System.nanoTime() - t0) / 1e9
             math.rint(8 * rounds * qids.size / secs * 10) / 10
           }
-          (fresh, served, tmpl, tmplN2, conc8)
+          (fresh, served, tmpl, tmplN2, mPqServed, mPqTmpl, conc8)
         } finally {
           val wk = java.nio.file.Files.walk(annPath)
           try wk.sorted(java.util.Comparator.reverseOrder())
@@ -398,7 +423,7 @@ object Bench {
         (mUs, mTmplUs, mRm3Us, mRm3TmplUs, mLoadUs, mRoutedUs,
           mPhraseUs, mPhraseTmplUs, mPhrase3TmplUs, mNearTmplUs,
           mPhraseRoutedUs, mNearRoutedUs, mAnnProbeUs, mAnnServedUs,
-          mAnnTmplUs, mAnnTmplN2Us, mAnnConc8)
+          mAnnTmplUs, mAnnTmplN2Us, mPqServedUs, mPqTmplUs, mAnnConc8)
       } finally spark.conf.set(aqeKey, prevAqe)
     // warm rows join the per-query attribution maps under their metric
     // names, so a driver-vs-local delta is diagnosable from the
@@ -419,7 +444,7 @@ object Bench {
     val spreadAll = mergeJson(spread, warmSpread.toSeq)
     val gcAll = mergeJson(gc, warmGc.toSeq)
     val resampledAll = mergeArr(resampled, warmResampled.toSeq)
-    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadAll,"gc_sec":$gcAll,"resampled":$resampledAll,"sf":"$sfDir","failed":$nFailed,"index_docs_per_s":${docsPerS.round},"warm_search_us":$medianUs,"warm_search_template_us":$medianTemplateUs,"warm_rm3_us":$medianRm3Us,"warm_rm3_template_us":$medianRm3TemplateUs,"warm_search_loaded_us":$medianLoadedUs,"warm_search_loaded_routed_us":$medianLoadedRoutedUs,"warm_phrase_us":$medianPhraseUs,"warm_phrase_template_us":$medianPhraseTemplateUs,"warm_phrase3_template_us":$medianPhrase3TemplateUs,"warm_near_template_us":$medianNearTemplateUs,"warm_phrase_loaded_routed_us":$medianPhraseLoadedRoutedUs,"warm_near_loaded_routed_us":$medianNearLoadedRoutedUs,"warm_ann_ivf_probe_us":$medianAnnProbeUs,"warm_ann_ivf_served_us":$medianAnnServedUs,"warm_ann_ivf_template_us":$medianAnnTmplUs,"warm_ann_ivf_nprobe2_us":$medianAnnTmplN2Us,"ann_conc8_probes_per_s":$annConc8PerS}"""
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadAll,"gc_sec":$gcAll,"resampled":$resampledAll,"sf":"$sfDir","failed":$nFailed,"index_docs_per_s":${docsPerS.round},"warm_search_us":$medianUs,"warm_search_template_us":$medianTemplateUs,"warm_rm3_us":$medianRm3Us,"warm_rm3_template_us":$medianRm3TemplateUs,"warm_search_loaded_us":$medianLoadedUs,"warm_search_loaded_routed_us":$medianLoadedRoutedUs,"warm_phrase_us":$medianPhraseUs,"warm_phrase_template_us":$medianPhraseTemplateUs,"warm_phrase3_template_us":$medianPhrase3TemplateUs,"warm_near_template_us":$medianNearTemplateUs,"warm_phrase_loaded_routed_us":$medianPhraseLoadedRoutedUs,"warm_near_loaded_routed_us":$medianNearLoadedRoutedUs,"warm_ann_ivf_probe_us":$medianAnnProbeUs,"warm_ann_ivf_served_us":$medianAnnServedUs,"warm_ann_ivf_template_us":$medianAnnTmplUs,"warm_ann_ivf_nprobe2_us":$medianAnnTmplN2Us,"warm_ann_ivfpq_served_us":$medianPqServedUs,"warm_ann_ivfpq_template_us":$medianPqTmplUs,"ann_conc8_probes_per_s":$annConc8PerS}"""
     println(jsonLine)
     // the stdout line survives only as a 2000-char tail in the
     // driver's BENCH_r{N}.json (parsed: null every round) — persist

@@ -54,8 +54,10 @@ object Pq {
     Tables.load(spark, dir, "embeddings")
 
   /** Sequential-fold squared L2 — the exact arithmetic of the oracle's
-    * `list_reduce` (dimension order, one running double). */
-  private def l2(v: Seq[Float], off: Int, c: Array[Double]): Double = {
+    * `list_reduce` (dimension order, one running double). Shared with
+    * [[graft.query.IvfPqServer]]'s per-query distance tables so the
+    * served fold can't drift from the oracle-checked one. */
+  private[graft] def l2(v: Seq[Float], off: Int, c: Array[Double]): Double = {
     var acc = 0.0
     var i = 0
     while (i < c.length) {

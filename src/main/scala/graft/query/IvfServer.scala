@@ -164,19 +164,9 @@ final class IvfServer(spark: SparkSession, storeDir: String) {
   // max file mtime — a mutation landing within the directory-mtime's
   // timestamp tick (ms locally, 1 s on some filesystems) still changes
   // the file list or its sizes, so equality can't pass stale
+  // (definition shared with [[IvfPqServer]] via [[CellVersion]])
   private def cellsVersion(cells: Seq[Long]): Long =
-    cells.foldLeft(17L) { (acc, c) =>
-      val h =
-        try {
-          val fsx = hfs.listStatus(
-            new org.apache.hadoop.fs.Path(s"$storeDir/cell=$c"))
-            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-            .sortBy(_.getPath.getName)
-          fsx.foldLeft(fsx.length.toLong)((a, f) =>
-            (a * 31 + f.getModificationTime) * 31 + f.getLen)
-        } catch { case _: java.io.FileNotFoundException => -1L }
-      acc * 1000003 + h
-    }
+    CellVersion.of(hfs, storeDir, cells)
 
   private val pools = new TemplatePool[(Seq[Long], Int), Tmpl](
     { case (cells, k) => buildTmpl(cells, k) }, maxKeys = 32)
