@@ -103,6 +103,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Similarity.annQuantized(s, d)),
     "q25_ann_binary" ->
       ((s: SparkSession, d: String) => Similarity.annBinary(s, d)),
+    "q25_quant_recall" ->
+      ((s: SparkSession, d: String) => Similarity.quantRecallEval(s, d)),
     "q25_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "q25_ann_ivf_loaded" ->
       ((s: SparkSession, d: String) => Similarity.annIvfLoaded(s, d)),

@@ -316,6 +316,34 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** QUANTIZATION-LADDER recall panel — the measurement that pairs
+    * with [[annRecallEval]]: that one isolates ROUTING loss (IVF cell
+    * restriction vs brute force over identical scoring); this one
+    * isolates QUANTIZATION loss — recall@k of each compressed
+    * representation's full-corpus ranking (int8 [[annQuantized]],
+    * PQ-ADC [[Pq.annPq]], sign-bit [[annBinary]], MRL prefix
+    * [[annMrl]]) against the exact fp32 top-k ([[annTopK]]). One row
+    * per method — the table a deployment reads to pick its point on
+    * the memory/recall curve. Every arm IS the already-oracle-checked
+    * standalone query (no re-implementation to drift); each is a
+    * bounded top-k scan, the truth list broadcasts (k rows), so the
+    * panel costs the sum of its arms at any corpus size. */
+  def quantRecallEval(spark: SparkSession, dir: String,
+                      k: Int = 10): DataFrame = {
+    val truth = broadcast(annTopK(spark, dir, k).select(col("vec_id")))
+    val arms: Seq[(String, DataFrame)] = Seq(
+      "binary" -> annBinary(spark, dir),
+      "int8" -> annQuantized(spark, dir),
+      "mrl8" -> annMrl(spark, dir),
+      "pq_adc" -> Pq.annPq(spark, dir))
+    arms.map { case (name, df) =>
+      df.select(col("vec_id")).join(truth, Seq("vec_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(name).as("method"), col("hits"),
+          round(col("hits").cast("double") / k, 4).as("recall10"))
+    }.reduce(_ unionByName _).orderBy("method")
+  }
+
   /** Embedding near-dup: pairs with cosine ≥ [[SemDedupThreshold]] on
     * the vec_id < 200 sample — the EXACT-all-pairs correctness surface
     * (every pair's cosine is checked, nothing cell-bounded). The

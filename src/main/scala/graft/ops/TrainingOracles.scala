@@ -130,7 +130,7 @@ object TrainingOracles {
     s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
        sh AS (SELECT doc_id, unnest(list_distinct(${ddbShingles3("toks")})) AS shingle FROM d)"""
 
-  val oracle: Map[String, String] = Map(
+  private val oracleMain: Map[String, String] = Map(
     "q24_dedup_exact" ->
       """SELECT md5(text) AS digest, count(*) AS n_dups, min(doc_id) AS keeper
          FROM documents GROUP BY 1 ORDER BY digest""",
@@ -1740,6 +1740,42 @@ object TrainingOracles {
            FROM embeddings),
        ${(0 until m).map(sub).mkString(",\n       ")}"""
   }
+
+  /** q25_quant_recall: the quantization-ladder recall panel, built by
+    * WRAPPING the four already-hash-checked per-method oracles as
+    * subqueries (DuckDB allows a full WITH query inside a derived
+    * table) — the panel's arm definitions can never drift from the
+    * standalone q25_ann_* entries, and `truth` is the exact-cosine
+    * top-10 (the q25_ann_topk ranking at k=10). */
+  private def quantRecallSql: String = {
+    val arms = Seq(
+      "binary" -> oracleMain("q25_ann_binary"),
+      "int8" -> oracleMain("q25_ann_quantized"),
+      "mrl8" -> oracleMain("q25_ann_mrl"),
+      "pq_adc" -> oracleMain("q25_ann_pq"))
+    val armCtes = arms.map { case (n, sel) =>
+      s"m_$n AS (SELECT vec_id FROM ($sel) sub_$n)"
+    }.mkString(",\n       ")
+    val unions = arms.map { case (n, _) =>
+      s"""SELECT '$n' AS method,
+            CAST((SELECT count(*) FROM m_$n JOIN truth USING (vec_id))
+              AS BIGINT) AS hits"""
+    }.mkString(" UNION ALL ")
+    s"""WITH truth AS (SELECT vec_id FROM (
+           WITH q AS (SELECT embedding AS qv FROM embeddings
+                      WHERE vec_id = 0),
+           s AS (SELECT vec_id, ${cos("embedding", "qv")} AS c
+                 FROM embeddings CROSS JOIN q WHERE vec_id <> 0)
+           SELECT vec_id FROM s ORDER BY c DESC, vec_id LIMIT 10) tt),
+       $armCtes,
+       h AS ($unions)
+       SELECT method, hits,
+              round(CAST(hits AS DOUBLE) / 10, 4) AS recall10
+       FROM h ORDER BY method"""
+  }
+
+  val oracle: Map[String, String] =
+    oracleMain + ("q25_quant_recall" -> quantRecallSql)
 
   private lazy val simhashSql: String =
     s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),

@@ -726,6 +726,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(code0 == wantCode, "packed sign code mismatch")
   }
 
+  test("quant recall panel: one row per method, hits reproduce from " +
+    "the component queries' own outputs vs the exact top-10") {
+    val rows = Similarity.quantRecallEval(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq ==
+      Seq("binary", "int8", "mrl8", "pq_adc"))
+    val truth = Similarity.annTopK(spark, dir, 10).collect()
+      .map(_.getLong(0)).toSet
+    val armIds = Map(
+      "binary" -> Similarity.annBinary(spark, dir),
+      "int8" -> Similarity.annQuantized(spark, dir),
+      "mrl8" -> Similarity.annMrl(spark, dir),
+      "pq_adc" -> Pq.annPq(spark, dir)
+    ).map { case (n, df) =>
+      n -> df.select("vec_id").collect().map(_.getLong(0)).toSet }
+    rows.foreach { case (m, hits, rec) =>
+      assert(hits == (armIds(m) & truth).size.toLong,
+        s"$m hits diverged from component recompute")
+      assert(rec == math.rint(hits.toDouble / 10 * 10000) / 10000)
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // the ladder ordering sanity on THIS corpus: int8 (least lossy)
+    // should not trail the 1-bit code
+    val byM = rows.map(r => r._1 -> r._3).toMap
+    assert(byM("int8") >= byM("binary"))
+  }
+
   test("semDedup recall eval: cell pairs are a SUBSET of exact truth " +
     "(precision structurally 1), counts reproduce, coarse comparable") {
     val r = Similarity.semDedupEval(spark, dir).head()
