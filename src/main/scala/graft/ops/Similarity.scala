@@ -1500,6 +1500,83 @@ object Similarity {
       .select(col("vec_id"), round(col("c"), 4).as("cos"))
   }
 
+  /** Metadata predicate for the FILTERED-ANN family — the "vector
+    * search with a WHERE clause" every production store serves
+    * (per-tenant / language / length gates). Fixed so the DuckDB
+    * oracle embeds the identical predicate: document is [[FilterLang]]
+    * with at least [[FilterMinChars]] chars (~28% of the test corpus —
+    * selective enough that filtering matters, dense enough that a
+    * probed cell still fills k). */
+  val FilterLang = "en"
+  val FilterMinChars = 200L
+
+  /** The filter side of every filtered-ANN variant: a documents scan
+    * whose predicate PUSHES DOWN (both columns are plain parquet
+    * attributes — `PushedFilters` in the plan, spec-pinned) projecting
+    * only the id. vec_id aligns 1:1 with doc_id in the testdata; a
+    * corpus with separate id spaces swaps in its mapping join here. */
+  private def filterIds(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.load(spark, dir, "documents")
+      .filter(col("lang") === FilterLang &&
+        col("n_chars") >= FilterMinChars)
+      .select(col("doc_id").as("vec_id"))
+
+  /** FILTERED exact ANN — brute-force cosine top-k restricted to
+    * vectors passing [[filterIds]]: the PRE-FILTER ground truth (filter
+    * first, then rank — never misses a qualifying vector, unlike
+    * post-filtering a fixed-size unfiltered candidate list). Plan: one
+    * embeddings scan equi-joined with the pushed-down metadata scan
+    * (at warehouse scale the two tables co-partition/bucket on the id,
+    * so this join never shuffles the big side twice), broadcast 1-row
+    * query, TakeOrderedAndProject. */
+  def annFiltered(spark: SparkSession, dir: String,
+                  k: Int = 10): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .join(filterIds(spark, dir), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), cosine(col("embedding"), col("qv")).as("c"))
+      .orderBy(col("c").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("c"), 4).as("cos"))
+  }
+
+  /** FILTERED IVF ANN — the scale path for [[annFiltered]]: probe the
+    * query's nProbe nearest cells ([[annIvfProbe]]'s routing), apply
+    * the metadata filter INSIDE the probed-cell candidate set (the
+    * filter frame equi-joins the already-cell-restricted scan — on the
+    * durable layout the cell restriction is partition pruning, so the
+    * filter join touches nProbe directories of vectors, not the
+    * corpus), exact cosine re-rank. Semantics = pre-filter within the
+    * probed cells; like every IVF query it trades recall for the
+    * (1 − nProbe/k) of the corpus never opened, and a highly selective
+    * filter empties cells faster — the standard operational answer is
+    * raising nProbe, which is the knob here. */
+  def annIvfFiltered(spark: SparkSession, dir: String, k: Int = 10,
+                     nProbe: Int = 2): DataFrame = {
+    // lazy localCheckpoint, not persist — see annIvf
+    val cells = ivfCells(spark, dir).stage()
+    val e = emb(spark, dir)
+    val cents = e.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val probeCells = q.crossJoin(broadcast(cents))
+      .select(col("qv"), col("cid"), cosine(col("qv"), col("cvec")).as("s"))
+      .orderBy(col("s").desc, col("cid"))
+      .limit(nProbe)
+      .select(col("qv"), col("cid"))
+    cells.filter(col("vec_id") =!= 0)
+      .join(broadcast(probeCells), col("cell") === col("cid"))
+      .join(filterIds(spark, dir), Seq("vec_id"))
+      .select(col("vec_id"), cosine(col("embedding"), col("qv")).as("c"))
+      .orderBy(col("c").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("c"), 4).as("cos"))
+  }
+
   /** LSH-accelerated ANN: candidates = vectors sharing the query's
     * bucket; exact cosine re-rank inside the bucket. Falls back to
     * fewer than k results if the bucket is small (standard LSH

@@ -1255,6 +1255,45 @@ object TrainingOracles {
          WHERE x.vec_id <> 0
          ORDER BY ${cos("x.embedding", "qv")} DESC, x.vec_id LIMIT 10""",
 
+    // filtered exact ANN: pre-filter semantics — rank only vectors
+    // whose 1:1 document passes the metadata predicate (mirrors
+    // Similarity.annFiltered; predicate constants shared)
+    "q25_ann_filtered" ->
+      s"""WITH f AS (SELECT doc_id AS vec_id FROM documents
+                     WHERE lang = '${Similarity.FilterLang}'
+                       AND n_chars >= ${Similarity.FilterMinChars}),
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         s AS (SELECT e.vec_id, ${cos("e.embedding", "qv")} AS c
+               FROM embeddings e JOIN f USING (vec_id) CROSS JOIN q
+               WHERE e.vec_id <> 0)
+         SELECT vec_id, round(c, 4) AS cos FROM s
+         ORDER BY c DESC, vec_id LIMIT 10""",
+
+    // filtered IVF ANN: nProbe=2 cell routing as q25_ann_ivf_nprobe,
+    // metadata filter applied inside the probed-cell candidate set
+    // (mirrors Similarity.annIvfFiltered)
+    "q25_ann_ivf_filtered" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                     WHERE vec_id < ${Similarity.IvfCentroids}),
+         a AS (SELECT e.vec_id, e.embedding, c.cid,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY ${cos("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+               FROM embeddings e CROSS JOIN c),
+         cells AS (SELECT vec_id, embedding, cid AS cell FROM a WHERE rn = 1),
+         f AS (SELECT doc_id AS vec_id FROM documents
+               WHERE lang = '${Similarity.FilterLang}'
+                 AND n_chars >= ${Similarity.FilterMinChars}),
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         qc AS (SELECT c.cid FROM c CROSS JOIN q
+                ORDER BY ${cos("q.qv", "c.cvec")} DESC, c.cid LIMIT 2),
+         s AS (SELECT x.vec_id, ${cos("x.embedding", "q.qv")} AS c
+               FROM cells x JOIN qc ON x.cell = qc.cid
+                      JOIN f ON x.vec_id = f.vec_id
+                      CROSS JOIN q
+               WHERE x.vec_id <> 0)
+         SELECT vec_id, round(c, 4) AS cos FROM s
+         ORDER BY c DESC, vec_id LIMIT 10""",
+
     // IVF with nProbe=2: rank all centroids against the query, probe
     // the top two cells, exact re-rank (mirrors Similarity.annIvfProbe)
     "q25_ann_ivf_nprobe" ->

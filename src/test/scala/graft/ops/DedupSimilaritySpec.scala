@@ -753,6 +753,52 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(byM("int8") >= byM("binary"))
   }
 
+  test("filtered ANN: exact arm == driver recompute, IVF arm == " +
+    "probed-cells recompute, predicate pushed to the documents scan") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val pass = docs.filter { case (_, l, n) =>
+      l == Similarity.FilterLang && n >= Similarity.FilterMinChars }
+      .map(_._1).toSet
+    assert(pass.nonEmpty && pass.size < docs.length,
+      "predicate must be selective but non-empty at spec scale")
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val qv = vecs.find(_._1 == 0L).get._2
+    def top10(ids: Set[Long]): Seq[Long] =
+      vecs.filter(v => v._1 != 0L && ids(v._1))
+        .map(v => (v._1, Similarity.cosSeqInf(v._2, qv)))
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+
+    val exact = Similarity.annFiltered(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(exact == top10(pass), "exact filtered arm diverged")
+
+    // IVF arm: argmax cell per vector vs the 8 seed centroids, top-2
+    // probed cells for the query, filter inside the probed candidates
+    val cents = vecs.filter(_._1 < Similarity.IvfCentroids)
+    def cellOf(v: Seq[Float]): Long =
+      cents.map(c => (c._1, Similarity.cosSeqInf(v, c._2)))
+        .maxBy { case (cid, s) => (s, -cid) }._1
+    val probed = cents.map(c => (c._1, Similarity.cosSeqInf(qv, c._2)))
+      .sortBy { case (cid, s) => (-s, cid) }.take(2).map(_._1).toSet
+    val inProbed = vecs.filter(v => probed(cellOf(v._2))).map(_._1).toSet
+    val wantIvf = top10(pass & inProbed)
+    val ivf = Similarity.annIvfFiltered(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ivf == wantIvf, "IVF filtered arm diverged from recompute")
+    assert(ivf.forall(pass), "IVF result leaked a filtered-out vector")
+
+    // the metadata predicate must reach the parquet scan
+    val plan = Similarity.annFiltered(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(n_chars"),
+      "documents predicate not pushed to the scan")
+  }
+
   test("semDedup recall eval: cell pairs are a SUBSET of exact truth " +
     "(precision structurally 1), counts reproduce, coarse comparable") {
     val r = Similarity.semDedupEval(spark, dir).head()
