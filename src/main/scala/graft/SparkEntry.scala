@@ -41,6 +41,10 @@ object SparkEntry {
     "q09_chargram_terms" -> (IrSql.q09CharGramTerms _),
     "q10_tfidf" -> ((s: SparkSession, d: String) => IrSql.q10TfIdf(s, d)),
     "q10_bm25" -> ((s: SparkSession, d: String) => IrSql.q10Bm25(s, d)),
+    "q10_bm25_multi" ->
+      ((s: SparkSession, d: String) => IrSql.q10Bm25Multi(s, d)),
+    "q10_bm25_pruned" ->
+      ((s: SparkSession, d: String) => IrSql.q10Bm25Pruned(s, d)),
     "q11_join" -> (Relational.q11Join _),
     "q12_semi" -> (Relational.q12Semi _),
     "q12_anti" -> (Relational.q12Anti _),
@@ -110,6 +114,10 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Similarity.annIvfLoaded(s, d)),
     "q25_ann_ivf_nprobe" ->
       ((s: SparkSession, d: String) => Similarity.annIvfProbe(s, d)),
+    "q25_ann_filtered" ->
+      ((s: SparkSession, d: String) => Similarity.annFiltered(s, d)),
+    "q25_ann_ivf_filtered" ->
+      ((s: SparkSession, d: String) => Similarity.annIvfFiltered(s, d)),
     "q25_ann_ivf_loaded_nprobe" ->
       ((s: SparkSession, d: String) => Similarity.annIvfLoadedNprobe(s, d)),
     "q25_centroids" -> (Similarity.labelCentroids _),
@@ -277,6 +285,30 @@ object SparkEntry {
                         (tf + ${IrSql.Bm25K1} * (${1 - IrSql.Bm25B} + ${IrSql.Bm25B} * dl / (CAST(tt AS DOUBLE) / nd)))), 4) AS score
        FROM wdf JOIN len USING (doc_id) CROSS JOIN st
        GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"""
+
+  /** The MULTI-TERM BM25 oracle (q10_bm25_multi == q10_bm25_pruned —
+    * pruning is result-invariant, so both entries share this one SQL):
+    * same scoring arithmetic as [[bm25Sql]] but per-posting
+    * contributions quantized to 1e-9 and integer-summed
+    * ([[IrSql.Bm25Scale]]) so the 8-term per-doc total is
+    * aggregation-order-exact on both engines. */
+  private def bm25MultiSql: String =
+    s"""WITH tok AS (
+         SELECT doc_id, unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS term
+         FROM documents),
+       t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+       len AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+       st AS (SELECT CAST(sum(dl) AS BIGINT) AS tt, count(*) AS nd FROM len),
+       tf AS (SELECT term, doc_id, count(*) AS tf FROM t
+              WHERE term IN (${IrSql.ExpandedQueryTerms.map("'" + _ + "'").mkString(", ")}) GROUP BY term, doc_id),
+       wdf AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+       s AS (SELECT doc_id,
+                    CAST(round(ln((nd - df + 0.5) / (df + 0.5) + 1.0) * (tf * ${IrSql.Bm25K1 + 1}) /
+                               (tf + ${IrSql.Bm25K1} * (${1 - IrSql.Bm25B} + ${IrSql.Bm25B} * dl / (CAST(tt AS DOUBLE) / nd)))
+                               * ${IrSql.Bm25Scale}) AS BIGINT) AS s9
+             FROM wdf JOIN len USING (doc_id) CROSS JOIN st)
+       SELECT doc_id, round(CAST(sum(s9) AS DOUBLE) / ${IrSql.Bm25Scale}, 4) AS score
+       FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"""
 
   private def oracleBase: Map[String, String] = Map(
     "q01_scan_filter" ->
@@ -448,6 +480,9 @@ object SparkEntry {
     // constants genuinely interpolated from IrSql.Bm25K1/Bm25B and
     // DefaultQueryTerms — the same Scala values the plan uses
     "q10_bm25" -> bm25Sql,
+    // the pruned plan is result-invariant ⇒ one oracle for both
+    "q10_bm25_multi" -> bm25MultiSql,
+    "q10_bm25_pruned" -> bm25MultiSql,
 
     // interchange round-trips: the engine must write+read each format;
     // the oracle computes the expected (count, order-free content

@@ -446,4 +446,184 @@ object IrSql {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(10)
   }
+
+  /** Expanded multi-term query for the MaxScore family — the
+    * RM3-expanded shape (one discriminative term + a tail of common
+    * terms) where bound pruning has real work to do; the 2-term
+    * [[q10Bm25]] arity is the reference's interactive client, not the
+    * expanded-retrieval batch shape. */
+  val ExpandedQueryTerms: Seq[String] =
+    Seq("dup", "merge", "stream", "join", "filter", "sort", "window",
+      "hash")
+
+  /** Fixed-point scale for the multi-term score sum: per-posting
+    * contributions round to 1e-9 before an integer sum, so an 8-term
+    * per-doc total is independent of aggregation order on both engines
+    * AND between the pruned/unpruned plans (the
+    * [[graft.ops.TextAnalysis.DriftScale]] discipline; the 2-term
+    * [[q10Bm25]] predates it and keeps its pinned double sum). */
+  val Bm25Scale: Double = 1e9
+
+  /** The exact BM25 posting score, from (tf, df, dl, tt, nd) columns —
+    * ONE definition shared by the full scorer, the impact-bound
+    * builder, and the θ pass, so the pruning-safety arithmetic can
+    * never fork from the scoring arithmetic. */
+  private def bm25S(k1: Double, b: Double): org.apache.spark.sql.Column =
+    log((col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+      + lit(1.0)) *
+      (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") /
+        (col("tt").cast("double") / col("nd"))))
+
+  /** Fixed-point per-doc score aggregation + top-k tail shared by
+    * [[q10Bm25Multi]] and [[q10Bm25Pruned]] — identical expression
+    * tree ⇒ identical doubles ⇒ the pruned/unpruned parity is exact,
+    * not approximate. */
+  private def bm25Top(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .select(col("doc_id"),
+        round(bm25S(Bm25K1, Bm25B) * Bm25Scale).cast("long").as("s9"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("s9")).cast("double") / Bm25Scale, 4)
+        .as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+
+  /** Q10c: FULL multi-term BM25 top-k (no arity cap) — the
+    * RM3-expanded batch-retrieval shape and [[q10Bm25Pruned]]'s parity
+    * baseline. Scores every posting of every query term: per-term df
+    * is a query-bounded aggregate broadcast back in, corpus stats one
+    * broadcast row — the only wide shuffle is the per-doc score agg. */
+  def q10Bm25Multi(spark: SparkSession, dir: String,
+                   terms: Seq[String] = ExpandedQueryTerms,
+                   k: Int = 10): DataFrame = {
+    val len = tokens(spark, dir)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = len.agg(sum(col("dl")).as("tt"), count(lit(1)).as("nd"))
+    val tf = termTf(spark, dir).filter(col("term").isin(terms: _*))
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    bm25Top(
+      tf.join(broadcast(dfs), "term").join(len, "doc_id")
+        .join(broadcast(stats)), k)
+  }
+
+  /** INDEX-TIME artifacts for MaxScore retrieval, written as a durable
+    * store (the side files a real index carries so query time never
+    * rescans the corpus):
+    *  - `postings/` (term, doc_id, tf) RANGE-LAID by term (repartition
+    *    by range + sorted within partitions ⇒ parquet min/max zone
+    *    maps prune non-query terms' row groups — the
+    *    [[graft.index.InvertedIndex]] layout discipline),
+    *  - `doclen/` (doc_id, dl),
+    *  - `stats/` (term, df, impact, tt, nd): impact = the term's MAX
+    *    exact posting score — the per-term upper bound MaxScore
+    *    orders terms by (Turtle & Flood's original uses exactly this
+    *    index-time statistic).
+    * Vocab-bounded stats, corpus-bounded narrow doclen; built once per
+    * corpus (session-memoized in [[q10Bm25Pruned]]). */
+  def writeBm25Stats(spark: SparkSession, dir: String, outDir: String,
+                     k1: Double = Bm25K1, b: Double = Bm25B): Unit = {
+    val len = tokens(spark, dir)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .stage()
+    val stats = len.agg(sum(col("dl")).as("tt"), count(lit(1)).as("nd"))
+    val tf = termTf(spark, dir).stage()
+    tf.repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$outDir/postings")
+    len.write.mode("overwrite").parquet(s"$outDir/doclen")
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(dfs, "term").join(len, "doc_id").join(broadcast(stats))
+      .select(col("term"), col("df"), bm25S(k1, b).as("s"),
+        col("tt"), col("nd"))
+      .groupBy(col("term"))
+      .agg(max(col("df")).as("df"), max(col("s")).as("impact"),
+        max(col("tt")).as("tt"), max(col("nd")).as("nd"))
+      .write.mode("overwrite").parquet(s"$outDir/stats")
+  }
+
+  private val bm25StatsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The MaxScore essential/non-essential split, as a pure function
+    * spec-testable in isolation: given (term, impact) DESCENDING by
+    * impact and a score threshold θ, return the ESSENTIAL prefix —
+    * the non-essential suffix is the maximal tail whose summed bounds
+    * stay strictly below θ (a doc containing only those terms scores
+    * < θ and can never enter the top-k). θ = -∞ (under-filled θ pass)
+    * keeps every term essential — pruning degrades to the full scan,
+    * never to a wrong answer. */
+  private[graft] def maxScoreEssential(byImpactDesc: Seq[(String, Double)],
+                                       theta: Double): Seq[String] = {
+    var tailSum = 0.0
+    var cut = byImpactDesc.length
+    while (cut > 1 && tailSum + byImpactDesc(cut - 1)._2 < theta) {
+      tailSum += byImpactDesc(cut - 1)._2
+      cut -= 1
+    }
+    byImpactDesc.take(cut).map(_._1)
+  }
+
+  /** Q10d: MaxScore-PRUNED multi-term BM25 — identical results to
+    * [[q10Bm25Multi]] (spec-pinned, same oracle), touching only the
+    * postings the bounds cannot exclude. Query time against the
+    * [[writeBm25Stats]] store:
+    *  1. stats lookup for the query's terms (pushed-down vocab-table
+    *     point reads, ≤|terms| rows collected),
+    *  2. θ pass: exact single-term scores over the TOP-impact term's
+    *     postings only — each is a LOWER bound of that doc's full
+    *     score, so the k-th best is a valid threshold,
+    *  3. driver-side [[maxScoreEssential]] split (≤|terms| numbers),
+    *  4. candidates = docs holding ≥1 essential term; final scoring
+    *     re-reads only candidate docs' postings (left-semi) with df
+    *     from the stats store — never a corpus rescan.
+    * SAFETY: a doc with no essential term scores ≤ Σ(non-essential
+    * impacts) < θ ≤ true k-th best, so it cannot displace the top-k;
+    * every pruned plan returns the EXACT unpruned ranking. At 100 TB
+    * the high-df low-idf terms (the expensive postings lists) are
+    * precisely the low-impact ones the split drops. */
+  def q10Bm25Pruned(spark: SparkSession, dir: String,
+                    terms: Seq[String] = ExpandedQueryTerms,
+                    k: Int = 10): DataFrame = {
+    val store = bm25StatsCache.computeIfAbsent(dir, _ => {
+      val o = graft.TempDirs.scratch("graft_bm25_stats")
+      writeBm25Stats(spark, dir, o)
+      o
+    })
+    val stats = spark.read.parquet(s"$store/stats")
+      .filter(col("term").isin(terms: _*))
+    val rows = stats.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3), r.getLong(4)))
+      .sortBy { case (t, _, imp, _, _) => (-imp, t) }
+    if (rows.isEmpty)
+      return spark.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0.0).as("score")).limit(0)
+    val (tt, nd) = (rows.head._4, rows.head._5)
+    val postings = spark.read.parquet(s"$store/postings")
+    val doclen = spark.read.parquet(s"$store/doclen")
+    val topTerm = rows.head._1
+    val thetaRows = postings.filter(col("term") === topTerm)
+      .join(doclen, "doc_id")
+      .withColumn("df", lit(rows.head._2))
+      .withColumn("tt", lit(tt)).withColumn("nd", lit(nd))
+      .select(bm25S(Bm25K1, Bm25B).as("s"), col("doc_id"))
+      .orderBy(col("s").desc, col("doc_id"))
+      .limit(k).collect()
+    val theta =
+      if (thetaRows.length < k) Double.NegativeInfinity
+      else thetaRows.last.getDouble(0)
+    val ess =
+      maxScoreEssential(rows.map(r => (r._1, r._3)).toSeq, theta)
+    val hits = postings.filter(col("term").isin(terms: _*))
+    val pruned =
+      if (ess.length == terms.length) hits
+      else hits.join(
+        postings.filter(col("term").isin(ess: _*))
+          .select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+    val dfCols = stats.select(col("term"), col("df"))
+    bm25Top(
+      pruned.join(broadcast(dfCols), "term").join(doclen, "doc_id")
+        .withColumn("tt", lit(tt)).withColumn("nd", lit(nd)), k)
+  }
 }

@@ -73,4 +73,64 @@ class IrSqlSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"), s"no bounded heap:\n$plan")
   }
+
+  test("maxScoreEssential: -inf keeps all terms, a huge threshold " +
+    "keeps only the top term, the tail sum stops strictly below") {
+    val imps = Seq("a" -> 5.0, "b" -> 1.0, "c" -> 0.5, "d" -> 0.4)
+    assert(IrSql.maxScoreEssential(imps, Double.NegativeInfinity) ==
+      Seq("a", "b", "c", "d"))
+    assert(IrSql.maxScoreEssential(imps, 100.0) == Seq("a"))
+    // tail d+c = 0.9 < 1.0 but +b = 1.9 ≥ 1.0 → b stays essential
+    assert(IrSql.maxScoreEssential(imps, 1.0) == Seq("a", "b"))
+  }
+
+  test("MaxScore-pruned BM25 == full multi-term ranking, pruning " +
+    "engages on this corpus, and the bound argument verifies") {
+    val multi = IrSql.q10Bm25Multi(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val pruned = IrSql.q10Bm25Pruned(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(multi.size == 10)
+    assert(pruned == multi, "pruned ranking diverged from full scorer")
+
+    // driver recompute of the index-time stats from raw tokens
+    val k1 = IrSql.Bm25K1; val b = IrSql.Bm25B
+    val toks = IrSql.tokens(spark, dir).select("doc_id", "term")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val dl = toks.groupBy(_._1).map { case (d, xs) => d -> xs.length }
+    val tt = dl.values.map(_.toLong).sum.toDouble
+    val nd = dl.size.toDouble
+    val terms = IrSql.ExpandedQueryTerms
+    val tf = toks.filter(t => terms.contains(t._2))
+      .groupBy(identity).map { case ((d, t), xs) => (t, d, xs.length) }
+      .toSeq
+    val dfm = tf.groupBy(_._1).map { case (t, xs) => t -> xs.size }
+    def s(t: String, d: Long, c: Int): Double =
+      math.log((nd - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1.0) *
+        (c * (k1 + 1)) /
+        (c + k1 * ((1 - b) + b * dl(d) / (tt / nd)))
+    val byDesc = terms
+      .map(t => t -> tf.filter(_._1 == t).map(x => s(t, x._2, x._3)).max)
+      .sortBy { case (t, i) => (-i, t) }
+    val thetaTop = tf.filter(_._1 == byDesc.head._1)
+      .map(x => (s(byDesc.head._1, x._2, x._3), x._2))
+      .sortBy { case (sc, d) => (-sc, d) }.take(10)
+    val theta =
+      if (thetaTop.size < 10) Double.NegativeInfinity
+      else thetaTop.last._1
+    val ess = IrSql.maxScoreEssential(byDesc, theta)
+    assert(ess.size < terms.size,
+      s"pruning should engage here (essential = $ess)")
+    // safety: every doc holding NO essential term scores strictly
+    // below θ — the docs the pruned plan never reads cannot place
+    val essSet = ess.toSet
+    val byDoc = tf.groupBy(_._2)
+    val excluded = byDoc.filter { case (_, xs) =>
+      !xs.exists(x => essSet(x._1)) }
+    assert(excluded.nonEmpty, "some docs should actually be pruned")
+    excluded.foreach { case (d, xs) =>
+      val full = xs.map(x => s(x._1, d, x._3)).sum
+      assert(full < theta, s"doc $d bound violated: $full >= $theta")
+    }
+  }
 }
