@@ -170,6 +170,7 @@ object SparkEntry {
     "q29_join" -> (IrEngine.q29Join _),
     "q29_neardup_stream" -> (IrEngine.q29NeardupStream _),
     "q29_ann_stream" -> (IrEngine.q29AnnStream _),
+    "q29_decontam_stream" -> (IrEngine.q29DecontamStream _),
     "q32_sessions" -> (IrEngine.q32Sessions _),
     // Temporal joins (as-of / range) — operators Spark lacks natively
     "q30_asof" -> (Temporal.q30AsOf _),
@@ -193,6 +194,7 @@ object SparkEntry {
     "q27_contamination" -> (TextAnalysis.contamination _),
     "q27_decontaminate" -> (TextAnalysis.decontaminate _),
     "q27_decontaminate_multi" -> (TextAnalysis.decontaminateMulti _),
+    "q27_funnel" -> (TextAnalysis.curationFunnel _),
     "q27_mixture" -> (TextAnalysis.mixCorpus _),
     "q27_mixture_alpha" ->
       ((s: SparkSession, d: String) => TextAnalysis.mixCorpusAlpha(s, d)),

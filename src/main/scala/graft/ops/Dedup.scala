@@ -276,9 +276,14 @@ object Dedup {
 
   /** (doc_id, shingle) distinct word-3-shingles. */
   private[graft] def docShingles(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(col("doc_id"),
-        explode(distinctShingles3(col("text"))).as("shingle"))
+    docShinglesOf(docs(spark, dir))
+
+  /** [[docShingles]] over an arbitrary (doc_id, text) frame — the
+    * per-micro-batch form the streaming decontamination gate shingles
+    * with (same expression ⇒ stream/batch shingle parity). */
+  private[graft] def docShinglesOf(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      explode(distinctShingles3(col("text"))).as("shingle"))
 
   /** n-gram Jaccard near-dup with PREFIX FILTERING (lossless for a
     * Jaccard threshold): order each doc's shingles by global rarity

@@ -315,6 +315,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** CURATION FUNNEL — the per-stage observability row every
+    * large-scale data-prep run reports: how many docs survive each
+    * gate CUMULATIVELY (language-ID → quality → exact-dedup keeper →
+    * benchmark decontamination), the numbers a pipeline owner reads
+    * before anything ships. Computed as per-doc gate FLAGS on one
+    * joined frame + ONE conditional single-row aggregate — adding a
+    * gate adds a flag column and a sum, never a pass, and no gate
+    * materializes an intermediate corpus. Counts are monotone
+    * non-increasing by construction (each sum conjoins the previous
+    * gates). Gate constants are [[filterApply]]'s defaults and
+    * [[ContamDropThreshold]], shared with the oracle. */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val lid = langId(spark, dir).select(col("doc_id"), col("lang_pred"))
+    val qual = quality(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("alnum_ratio"))
+    val keepers = docs(spark, dir)
+      .groupBy(md5(col("text")).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("k"))
+    val dec = decontaminate(spark, dir)
+      .select(col("doc_id"), lit(1L).as("c"))
+    val g1 = col("lang_pred") === "en"
+    val g2 = col("n_tokens").between(20, 1000) &&
+      col("alnum_ratio") >= 0.7
+    val g3 = col("k").isNotNull
+    val g4 = col("c").isNotNull
+    lid.join(qual, "doc_id")
+      .join(keepers, Seq("doc_id"), "left")
+      .join(dec, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(g1, 1L).otherwise(0L)).as("n_lang"),
+        sum(when(g1 && g2, 1L).otherwise(0L)).as("n_quality"),
+        sum(when(g1 && g2 && g3, 1L).otherwise(0L)).as("n_dedup"),
+        sum(when(g1 && g2 && g3 && g4, 1L).otherwise(0L)).as("n_final"))
+  }
+
   /** Email/phone regexes shared by the Spark plan and the DuckDB
     * oracle (simple enough to mean the same thing in java.util.regex
     * and RE2). */

@@ -130,6 +130,30 @@ object TrainingOracles {
     s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
        sh AS (SELECT doc_id, unnest(list_distinct(${ddbShingles3("toks")})) AS shingle FROM d)"""
 
+  /** The decontamination-apply SQL, shared verbatim by the batch
+    * entry (q27_decontaminate) and the streaming gate
+    * (q29_decontam_stream) — the stream admits exactly the batch
+    * keep-set, so one oracle pins both. */
+  private def decontaminateSql: String =
+    s"""$docShingles,
+       bench AS (SELECT DISTINCT shingle FROM sh
+                 WHERE doc_id % ${TextAnalysis.ContamMod} = 0),
+       train AS (SELECT * FROM sh
+                 WHERE doc_id % ${TextAnalysis.ContamMod} <> 0),
+       tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams
+               FROM train GROUP BY doc_id),
+       hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+               FROM train JOIN bench USING (shingle) GROUP BY doc_id),
+       f AS (SELECT tot.doc_id, n_trigrams,
+                    coalesce(n_shared, 0) AS n_shared,
+                    round(CAST(coalesce(n_shared, 0) AS DOUBLE)
+                      / n_trigrams, 4) AS contam_ratio
+             FROM tot LEFT JOIN hit USING (doc_id))
+       SELECT doc_id, n_trigrams, CAST(n_shared AS BIGINT) AS n_shared,
+              contam_ratio
+       FROM f WHERE contam_ratio < ${TextAnalysis.ContamDropThreshold}
+       ORDER BY doc_id"""
+
   private val oracleMain: Map[String, String] = Map(
     "q24_dedup_exact" ->
       """SELECT md5(text) AS digest, count(*) AS n_dups, min(doc_id) AS keeper
@@ -1510,7 +1534,17 @@ object TrainingOracles {
     // decontamination APPLY: keep training docs under the threshold
     // (LEFT join so zero-overlap docs survive with explicit zeros);
     // threshold compares the ROUNDED ratio on both engines
-    "q27_decontaminate" ->
+    "q27_decontaminate" -> decontaminateSql,
+
+    // the streaming gate admits exactly the docs the batch operator
+    // keeps (per-doc decisions against a static benchmark set) — one
+    // shared oracle proves the stream==batch parity cross-engine
+    "q29_decontam_stream" -> decontaminateSql,
+
+    // curation funnel: cumulative per-gate survivor counts (lang →
+    // quality → dedup keeper → decontamination) as one conditional
+    // aggregate — mirrors TextAnalysis.curationFunnel flag for flag
+    "q27_funnel" ->
       s"""$docShingles,
          bench AS (SELECT DISTINCT shingle FROM sh
                    WHERE doc_id % ${TextAnalysis.ContamMod} = 0),
@@ -1520,15 +1554,39 @@ object TrainingOracles {
                  FROM train GROUP BY doc_id),
          hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
                  FROM train JOIN bench USING (shingle) GROUP BY doc_id),
-         f AS (SELECT tot.doc_id, n_trigrams,
-                      coalesce(n_shared, 0) AS n_shared,
-                      round(CAST(coalesce(n_shared, 0) AS DOUBLE)
-                        / n_trigrams, 4) AS contam_ratio
-               FROM tot LEFT JOIN hit USING (doc_id))
-         SELECT doc_id, n_trigrams, CAST(n_shared AS BIGINT) AS n_shared,
-                contam_ratio
-         FROM f WHERE contam_ratio < ${TextAnalysis.ContamDropThreshold}
-         ORDER BY doc_id""",
+         dec AS (SELECT tot.doc_id FROM tot LEFT JOIN hit USING (doc_id)
+                 WHERE round(CAST(coalesce(n_shared, 0) AS DOUBLE)
+                         / n_trigrams, 4)
+                       < ${TextAnalysis.ContamDropThreshold}),
+         tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         lid AS (SELECT doc_id,
+                        round(sum(CASE WHEN term IN (${TextAnalysis.EnStopwords.map("'" + _ + "'").mkString(", ")}) THEN 1 ELSE 0 END)
+                              / CAST(count(*) AS DOUBLE), 4) AS stop_ratio
+                 FROM tok GROUP BY doc_id),
+         q2 AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw,
+                       $toks AS toks2
+                FROM documents),
+         qual AS (SELECT doc_id, CAST(len(toks2) AS BIGINT) AS n_tokens,
+                         round(CAST(length(array_to_string(toks2, ' ')) + 1 AS DOUBLE)
+                               / (n_chars_raw + 1), 4) AS alnum_ratio
+                  FROM q2),
+         keep AS (SELECT min(doc_id) AS doc_id FROM documents
+                  GROUP BY md5(text)),
+         fl AS (SELECT lid.doc_id,
+                       (stop_ratio >= 0.03) AS g1,
+                       (n_tokens BETWEEN 20 AND 1000
+                        AND alnum_ratio >= 0.7) AS g2,
+                       (keep.doc_id IS NOT NULL) AS g3,
+                       (dec.doc_id IS NOT NULL) AS g4
+                FROM lid JOIN qual ON lid.doc_id = qual.doc_id
+                LEFT JOIN keep ON lid.doc_id = keep.doc_id
+                LEFT JOIN dec ON lid.doc_id = dec.doc_id)
+         SELECT CAST(count(*) AS BIGINT) AS n_total,
+                CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+                CAST(sum(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+                CAST(sum(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+                CAST(sum(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+         FROM fl""",
 
     // multi-benchmark decontamination: one broadcast-suite join, a
     // conditional aggregate per benchmark, keep-if-ALL-below gate —

@@ -614,10 +614,14 @@ object IrEngine {
     * relationally (base chunk < delta chunk). Candidate sets are
     * duplicate-density-bounded, so the per-batch collect is the same
     * bounded driver hop the batch probe takes. */
-  def q29NeardupStream(spark: SparkSession, dir: String): DataFrame = {
+  /** The 3-chunk staged documents source shared by the document-stream
+    * gates ([[q29NeardupStream]], [[q29DecontamStream]]): the corpus
+    * split into three mtime-ordered parquet chunks so
+    * `maxFilesPerTrigger=1` replays it as three deterministic
+    * micro-batches. Staged once per (dir, corpus-stamp). */
+  private def stagedDocChunks(spark: SparkSession, dir: String): String = {
     import java.nio.file.Files
-    graft.functions.GraftFunctions.register(spark)
-    val staged = stagedOnce(dir, "nds", sourceStamp(dir, "documents")) {
+    stagedOnce(dir, "nds", sourceStamp(dir, "documents")) {
       root =>
         val d = Tables.load(spark, dir, "documents")
           .select(col("doc_id"), col("text"))
@@ -640,6 +644,11 @@ object IrEngine {
           finally wk.close()
         }
     }
+  }
+
+  def q29NeardupStream(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val staged = stagedDocChunks(spark, dir)
     // the durable band index this run accumulates (per-run scratch),
     // and the RESULTS sink the gate appends matched pairs to — both
     // are tables, never driver state: a real ingest run flags pairs
@@ -685,6 +694,72 @@ object IrEngine {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           "delta_doc BIGINT, base_doc BIGINT, est_jaccard DOUBLE"))
+  }
+
+  /** STREAMING DECONTAMINATION GATE — the [[graft.ops.TextAnalysis
+    * .decontaminate]] policy applied at INGEST time, the third
+    * document-stream gate beside near-dup and ANN: a training doc is
+    * admitted or dropped the moment it arrives, not in a later batch
+    * sweep. The benchmark suite's distinct-trigram set is STATIC (an
+    * eval suite doesn't grow with the corpus), so it is built once and
+    * written as a table; each micro-batch shingles its own docs
+    * ([[graft.ops.Dedup.docShinglesOf]] — the batch operator's exact
+    * expression), joins them against the broadcast suite (suite-sized
+    * at any corpus scale), decides keep/drop per doc, and APPENDS the
+    * admitted rows with their audit columns to a parquet results sink.
+    * Per-doc decisions against static state make the gate
+    * embarrassingly parallel — no cross-batch index, no watermark
+    * state — and the stream output equals the batch operator
+    * row-for-row (they share one oracle). Both channels are tables
+    * (the r9/r10 gate discipline): nothing accumulates on the
+    * driver. */
+  def q29DecontamStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextAnalysis.{ContamMod, ContamDropThreshold}
+    graft.functions.GraftFunctions.register(spark)
+    val staged = stagedDocChunks(spark, dir)
+    val benchDir = graft.TempDirs.scratch("graft_dec_bench")
+    graft.ops.Dedup.docShingles(spark, dir)
+      .filter(pmod(col("doc_id"), lit(ContamMod)) === 0)
+      .select("shingle").distinct()
+      .write.mode("overwrite").parquet(benchDir)
+    val keptDir = graft.TempDirs.scratch("graft_dec_kept")
+    val q = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bs = batch.sparkSession
+        graft.functions.GraftFunctions.register(bs)
+        val sh = graft.ops.Dedup.docShinglesOf(
+            batch.filter(pmod(col("doc_id"), lit(ContamMod)) =!= 0))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val bench = bs.read.parquet(benchDir)
+          val tot = sh.groupBy("doc_id")
+            .agg(count(lit(1)).as("n_trigrams"))
+          val hit = sh.join(broadcast(bench), "shingle")
+            .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+          tot.join(hit, Seq("doc_id"), "left")
+            .na.fill(0L, Seq("n_shared"))
+            .select(col("doc_id"), col("n_trigrams"), col("n_shared"),
+              round(col("n_shared").cast("double") / col("n_trigrams"), 4)
+                .as("contam_ratio"))
+            .filter(col("contam_ratio") < ContamDropThreshold)
+            .write.mode("append").parquet(keptDir)
+        } finally { sh.unpersist(); () }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    if (sinkHasParquet(keptDir))
+      spark.read.parquet(keptDir).orderBy("doc_id")
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, n_trigrams BIGINT, n_shared BIGINT, " +
+            "contam_ratio DOUBLE"))
   }
 
   /** True iff a gate's results sink holds at least one parquet part —

@@ -471,4 +471,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(hv.exists { case (id, _) => !byDoc.contains(id) })
     assert(byDoc.values.exists(_.length >= 3))
   }
+
+  test("curation funnel: one monotone row whose stage counts " +
+    "reproduce from the standalone component queries") {
+    val r = TextAnalysis.curationFunnel(spark, dir).head()
+    val (nTotal, nLang, nQual, nDedup, nFinal) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+    assert(nTotal >= nLang && nLang >= nQual && nQual >= nDedup &&
+      nDedup >= nFinal, s"funnel not monotone: $r")
+    assert(nTotal ==
+      graft.Tables.load(spark, dir, "documents").count())
+    assert(nLang == TextAnalysis.langId(spark, dir)
+      .filter(col("lang_pred") === "en").count())
+    // lang ∧ quality is exactly filterApply's kept set
+    val kept = TextAnalysis.filterApply(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(nQual == kept.size.toLong)
+    val keeperSet = spark.read
+      .parquet(s"$dir/documents.parquet")
+      .groupBy(md5(col("text"))).agg(min(col("doc_id")).as("d"))
+      .collect().map(_.getLong(1)).toSet
+    assert(nDedup == (kept & keeperSet).size.toLong)
+    val decSet = TextAnalysis.decontaminate(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(nFinal == (kept & keeperSet & decSet).size.toLong)
+    // the funnel must actually discriminate at every stage on this
+    // corpus — all-equal counts would mean the gates test nothing
+    assert(nFinal < nTotal)
+  }
 }

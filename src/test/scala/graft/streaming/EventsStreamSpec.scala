@@ -347,6 +347,31 @@ class EventsStreamSpec extends SparkSpec {
     assert(exp.nonEmpty)
   }
 
+  test("streaming decontamination gate: admissions come from the " +
+    "parquet sink and equal the batch operator row-for-row") {
+    val dir = "/root/testdata/sf0.001"
+    val result = graft.queries.IrEngine.q29DecontamStream(spark, dir)
+    assert(result.inputFiles.nonEmpty &&
+      result.inputFiles.forall(_.contains("graft_dec_kept")),
+      "result channel must be the sink table, not driver memory")
+    val got = result.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val batch = graft.ops.TextAnalysis.decontaminate(spark, dir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(batch.nonEmpty)
+    assert(got == batch,
+      "streamed admissions diverged from the batch keep-set")
+    // the gate must actually drop something here — an all-pass corpus
+    // would prove nothing about the reject path
+    val trainDocs = graft.ops.Dedup.docShingles(spark, dir)
+      .filter(pmod(col("doc_id"),
+        lit(graft.ops.TextAnalysis.ContamMod)) =!= 0)
+      .select("doc_id").distinct().count()
+    assert(got.size < trainDocs,
+      s"no doc rejected (${got.size} of $trainDocs)")
+  }
+
   test("streaming ANN ingest gate: pairs come from the parquet sink " +
     "and match the same-cell cross-chunk batch recompute") {
     val dir = "/root/testdata/sf0.001"
