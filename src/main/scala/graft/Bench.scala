@@ -425,6 +425,37 @@ object Bench {
           mPhraseRoutedUs, mNearRoutedUs, mAnnProbeUs, mAnnServedUs,
           mAnnTmplUs, mAnnTmplN2Us, mPqServedUs, mPqTmplUs, mAnnConc8)
       } finally spark.conf.set(aqeKey, prevAqe)
+    // MaxScore serving pair: the full multi-term scorer (re-tokenizes
+    // the corpus every query) vs the bound-pruned plan over the
+    // prebuilt index-time stats store — identical results by
+    // construction, so the delta prices SAFE pruning, not a recall
+    // trade. Five 8-term queries (one discriminative + common tail,
+    // the RM3-expanded shape) rotate so no per-query artifact caching
+    // flatters the number.
+    val bm25Queries: Vector[Seq[String]] = Vector(
+      Seq("dup", "merge", "stream", "join", "filter", "sort", "window",
+        "hash"),
+      Seq("dup", "data", "table", "scan", "row", "key", "value",
+        "batch"),
+      Seq("dup", "spark", "query", "group", "column", "order", "part",
+        "line"),
+      Seq("dup", "big", "small", "fast", "slow", "agg", "vector",
+        "customer"),
+      Seq("dup", "merge", "data", "spark", "big", "join", "scan",
+        "window"))
+    val (medianBm25MultiUs, medianBm25PrunedUs) = {
+      // one unmeasured call builds + memoizes the stats store (the
+      // index-time artifact a serving node holds before traffic)
+      graft.queries.IrSql.q10Bm25Pruned(spark, sfDir).count()
+      val idx = bm25Queries.indices.map(_.toString)
+      val mMulti = sweep3("warm_bm25_multi_us", sweepOf(idx,
+        i => { graft.queries.IrSql
+          .q10Bm25Multi(spark, sfDir, bm25Queries(i.toInt)).count(); () }))
+      val mPruned = sweep3("warm_bm25_pruned_us", sweepOf(idx,
+        i => { graft.queries.IrSql
+          .q10Bm25Pruned(spark, sfDir, bm25Queries(i.toInt)).count(); () }))
+      (mMulti, mPruned)
+    }
     // warm rows join the per-query attribution maps under their metric
     // names, so a driver-vs-local delta is diagnosable from the
     // artifact alone (spread/gc/resampled for EVERY published number)
@@ -444,7 +475,7 @@ object Bench {
     val spreadAll = mergeJson(spread, warmSpread.toSeq)
     val gcAll = mergeJson(gc, warmGc.toSeq)
     val resampledAll = mergeArr(resampled, warmResampled.toSeq)
-    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadAll,"gc_sec":$gcAll,"resampled":$resampledAll,"sf":"$sfDir","failed":$nFailed,"index_docs_per_s":${docsPerS.round},"warm_search_us":$medianUs,"warm_search_template_us":$medianTemplateUs,"warm_rm3_us":$medianRm3Us,"warm_rm3_template_us":$medianRm3TemplateUs,"warm_search_loaded_us":$medianLoadedUs,"warm_search_loaded_routed_us":$medianLoadedRoutedUs,"warm_phrase_us":$medianPhraseUs,"warm_phrase_template_us":$medianPhraseTemplateUs,"warm_phrase3_template_us":$medianPhrase3TemplateUs,"warm_near_template_us":$medianNearTemplateUs,"warm_phrase_loaded_routed_us":$medianPhraseLoadedRoutedUs,"warm_near_loaded_routed_us":$medianNearLoadedRoutedUs,"warm_ann_ivf_probe_us":$medianAnnProbeUs,"warm_ann_ivf_served_us":$medianAnnServedUs,"warm_ann_ivf_template_us":$medianAnnTmplUs,"warm_ann_ivf_nprobe2_us":$medianAnnTmplN2Us,"warm_ann_ivfpq_served_us":$medianPqServedUs,"warm_ann_ivfpq_template_us":$medianPqTmplUs,"ann_conc8_probes_per_s":$annConc8PerS}"""
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadAll,"gc_sec":$gcAll,"resampled":$resampledAll,"sf":"$sfDir","failed":$nFailed,"index_docs_per_s":${docsPerS.round},"warm_search_us":$medianUs,"warm_search_template_us":$medianTemplateUs,"warm_rm3_us":$medianRm3Us,"warm_rm3_template_us":$medianRm3TemplateUs,"warm_search_loaded_us":$medianLoadedUs,"warm_search_loaded_routed_us":$medianLoadedRoutedUs,"warm_phrase_us":$medianPhraseUs,"warm_phrase_template_us":$medianPhraseTemplateUs,"warm_phrase3_template_us":$medianPhrase3TemplateUs,"warm_near_template_us":$medianNearTemplateUs,"warm_phrase_loaded_routed_us":$medianPhraseLoadedRoutedUs,"warm_near_loaded_routed_us":$medianNearLoadedRoutedUs,"warm_ann_ivf_probe_us":$medianAnnProbeUs,"warm_ann_ivf_served_us":$medianAnnServedUs,"warm_ann_ivf_template_us":$medianAnnTmplUs,"warm_ann_ivf_nprobe2_us":$medianAnnTmplN2Us,"warm_ann_ivfpq_served_us":$medianPqServedUs,"warm_ann_ivfpq_template_us":$medianPqTmplUs,"warm_bm25_multi_us":$medianBm25MultiUs,"warm_bm25_pruned_us":$medianBm25PrunedUs,"ann_conc8_probes_per_s":$annConc8PerS}"""
     println(jsonLine)
     // the stdout line survives only as a 2000-char tail in the
     // driver's BENCH_r{N}.json (parsed: null every round) — persist

@@ -545,6 +545,28 @@ object IrSql {
   private val bm25StatsCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Cache key for the per-corpus stats store: the documents table's
+    * file names + sizes + mtimes ride along with the path, so a
+    * corpus rewritten at the same dir builds a FRESH store instead of
+    * serving stale index-time statistics (the storeSeedCache lesson —
+    * 'built once per corpus' must mean corpus CONTENT, not path). */
+  private def bm25StoreKey(dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(dir, "documents.parquet")
+    val stamp =
+      if (Files.isDirectory(p)) {
+        val ls = Files.list(p)
+        try ls.iterator().asScala.toSeq.sortBy(_.toString)
+          .filter(_.toString.endsWith(".parquet"))
+          .map(f => s"${f.getFileName}:${Files.size(f)}:" +
+            s"${Files.getLastModifiedTime(f).toMillis}")
+          .mkString(",")
+        finally ls.close()
+      } else s"${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+    s"$dir|$stamp"
+  }
+
   /** The MaxScore essential/non-essential split, as a pure function
     * spec-testable in isolation: given (term, impact) DESCENDING by
     * impact and a score threshold θ, return the ESSENTIAL prefix —
@@ -585,7 +607,7 @@ object IrSql {
   def q10Bm25Pruned(spark: SparkSession, dir: String,
                     terms: Seq[String] = ExpandedQueryTerms,
                     k: Int = 10): DataFrame = {
-    val store = bm25StatsCache.computeIfAbsent(dir, _ => {
+    val store = bm25StatsCache.computeIfAbsent(bm25StoreKey(dir), _ => {
       val o = graft.TempDirs.scratch("graft_bm25_stats")
       writeBm25Stats(spark, dir, o)
       o

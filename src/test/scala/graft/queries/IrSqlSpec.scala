@@ -74,6 +74,28 @@ class IrSqlSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), s"no bounded heap:\n$plan")
   }
 
+  test("bm25 stats store rebuilds when the corpus at a path changes " +
+    "(cache keys on content stamp, not path)") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_bm25_mut").toString
+    def writeCorpus(bound: Long): Unit =
+      spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < bound)
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def top(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    writeCorpus(400)
+    val first = top(IrSql.q10Bm25Pruned(spark, tmp))
+    assert(first == top(IrSql.q10Bm25Multi(spark, tmp)))
+    writeCorpus(200)
+    val second = top(IrSql.q10Bm25Pruned(spark, tmp))
+    // the full scorer recomputes from text every call — if the pruned
+    // path still matches it after the rewrite, the store was rebuilt
+    assert(second == top(IrSql.q10Bm25Multi(spark, tmp)),
+      "pruned path served the stale pre-rewrite store")
+    assert(first != second, "fixture must change the ranking")
+  }
+
   test("maxScoreEssential: -inf keeps all terms, a huge threshold " +
     "keeps only the top term, the tail sum stops strictly below") {
     val imps = Seq("a" -> 5.0, "b" -> 1.0, "c" -> 0.5, "d" -> 0.4)
