@@ -118,6 +118,9 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Similarity.annFiltered(s, d)),
     "q25_ann_ivf_filtered" ->
       ((s: SparkSession, d: String) => Similarity.annIvfFiltered(s, d)),
+    "q25_ann_filtered_loaded" ->
+      ((s: SparkSession, d: String) =>
+        Similarity.annIvfFilteredLoaded(s, d)),
     "q25_ann_ivf_loaded_nprobe" ->
       ((s: SparkSession, d: String) => Similarity.annIvfLoadedNprobe(s, d)),
     "q25_centroids" -> (Similarity.labelCentroids _),
@@ -267,7 +270,10 @@ object SparkEntry {
       ("q25_ann_ivf_loaded_nprobe" -> base("q25_ann_ivf_nprobe")) +
       // the PQ-CODED durable store == the in-memory IVF-PQ ADC scan
       // (same codes, same distance table, same fold order)
-      ("q25_ann_ivfpq_loaded" -> base("q25_ann_ivfpq"))
+      ("q25_ann_ivfpq_loaded" -> base("q25_ann_ivfpq")) +
+      // the durable-store filtered probe == the in-memory filtered
+      // nProbe ranking (same seeds, routing order, and predicate)
+      ("q25_ann_filtered_loaded" -> base("q25_ann_ivf_filtered"))
   }
 
   /** The BM25 ranking oracle — shared by q10_bm25 and the lexical arm

@@ -1124,6 +1124,40 @@ object Similarity {
     probeIvfStore(spark, out, k, nProbe = nProbe)
   }
 
+  /** [[probeIvfStore]] with the metadata pre-filter applied INSIDE the
+    * partition-pruned cell scan — the durable-store form of
+    * [[annIvfFiltered]]: the probe carries its nProbe cells as
+    * partition filters (only those directories ever open), and the
+    * pushed-down filtered documents scan equi-joins the already
+    * cell-restricted candidates — at store scale the filter join
+    * touches nProbe directories of vectors, never the corpus. */
+  def probeIvfStoreFiltered(spark: SparkSession, storeDir: String,
+                            dir: String, k: Int = 10, qId: Long = 0L,
+                            nProbe: Int = 2): DataFrame = {
+    val stored = spark.read.parquet(storeDir)
+    val qv = stored.filter(col("vec_id") === qId)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val cells = probeCellsOf(spark, storeDir, qv, nProbe)
+    stored.filter(col("cell").isin(cells: _*) && col("vec_id") =!= qId)
+      .join(filterIds(spark, dir), Seq("vec_id"))
+      .select(col("vec_id"),
+        cosine(col("embedding"), typedLit(qv)).as("c"))
+      .orderBy(col("c").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("c"), 4).as("cos"))
+  }
+
+  /** [[annIvfFiltered]] served from the durable store — output-
+    * identical by construction (same seed system, same routing order,
+    * same filter predicate), so the driver checks it against the SAME
+    * oracle (the annIvfLoaded pattern). */
+  def annIvfFilteredLoaded(spark: SparkSession, dir: String,
+                           k: Int = 10, nProbe: Int = 2): DataFrame = {
+    val out = graft.TempDirs.scratch("graft_ivf_store")
+    writeIvfLayout(spark, dir, out)
+    probeIvfStoreFiltered(spark, out, dir, k, nProbe = nProbe)
+  }
+
   /** COMPACT a [[writeIvfLayout]] store in place: each
     * [[appendIvfLayout]] delta lands one small file per touched cell,
     * so a long-lived store's partition-pruned probe degrades from a
@@ -1553,7 +1587,10 @@ object Similarity {
     * probed cells; like every IVF query it trades recall for the
     * (1 − nProbe/k) of the corpus never opened, and a highly selective
     * filter empties cells faster — the standard operational answer is
-    * raising nProbe, which is the knob here. */
+    * raising nProbe, which is the knob here.
+    * [[probeIvfStoreFiltered]] is this query against the durable
+    * layout, where the cell restriction is literal partition
+    * pruning. */
   def annIvfFiltered(spark: SparkSession, dir: String, k: Int = 10,
                      nProbe: Int = 2): DataFrame = {
     // lazy localCheckpoint, not persist — see annIvf

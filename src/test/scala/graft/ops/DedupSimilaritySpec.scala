@@ -799,6 +799,22 @@ class DedupSimilaritySpec extends SparkSpec {
       "documents predicate not pushed to the scan")
   }
 
+  test("filtered ANN durable-store probe == in-memory filtered " +
+    "ranking, and its scan is partition-pruned to the probed cells") {
+    val mem = Similarity.annIvfFiltered(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val out = graft.TempDirs.scratch("graft_fann_store")
+    Similarity.writeIvfLayout(spark, dir, out)
+    val loadedDf = Similarity.probeIvfStoreFiltered(spark, out, dir)
+    val loaded = loadedDf.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(loaded == mem,
+      "durable filtered probe diverged from the in-memory ranking")
+    val plan = loadedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"store scan not partition-pruned:\n$plan")
+  }
+
   test("semDedup recall eval: cell pairs are a SUBSET of exact truth " +
     "(precision structurally 1), counts reproduce, coarse comparable") {
     val r = Similarity.semDedupEval(spark, dir).head()
