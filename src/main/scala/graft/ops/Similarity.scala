@@ -235,7 +235,7 @@ object Similarity {
     val kCells = math.max(IvfCentroids.toLong,
       (n + SemDedupCellSize - 1) / SemDedupCellSize)
     val cells =
-      (if (coarse.getOrElse(n >= CoarseAssignCrossover))
+      (if (coarse.getOrElse(n >= CoarseConsumerCrossover))
         coarseCellsAgainst(e2,
           e2.filter(col("vec_id") < kCells)
             .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
@@ -684,16 +684,35 @@ object Similarity {
     * equi-join cost ~0.9 s fixed, measured in SCALING.md round-9);
     * past it the flat path's n²/[[SemDedupCellSize]] cosines dominate
     * everything (~80 s of cosines at n = 500k vs ~3.5 s coarse at the
-    * measured ~24M cosines/s). The knob every dynamic-k entry point
-    * ([[knnGraph]], [[negatives]], [[semDedupPairs]] and its
-    * derivatives) threads: explicit `Some(...)` forces a path, `None`
-    * auto-selects on this crossover. */
+    * measured ~24M cosines/s). This is the STANDALONE-assignment
+    * ledger (output read once); the dynamic-k consumer entry points
+    * auto-select on the much lower [[CoarseConsumerCrossover]] —
+    * explicit `Some(...)` forces a path on every knob either way. */
   val CoarseAssignCrossover = 500000L
+
+  /** The auto-select crossover for the CONSUMER paths ([[knnGraph]],
+    * [[negatives]], [[semDedupPairs]] and derivatives — everything
+    * routed through [[semDedupCellsOf]]): in those queries the
+    * assignment's embedding-carrying argmax structs feed a staged
+    * frame read twice as the self-join sides, so the coarse router's
+    * 2n·√k candidate cut pays off FAR earlier than the bare-assignment
+    * arithmetic behind [[CoarseAssignCrossover]] predicts — measured
+    * (SCALING.md round-11): a wash at 2k vectors (±3%), coarse 2.4×
+    * (knnGraph) to 3.4× (negatives) faster at 52k. 16k splits the
+    * bracket conservatively: the worst case below it is the measured
+    * wash, the win above it grows with n. Standalone assignments
+    * ([[semDedupCellTable]], [[reclusterIvfStore]]'s one-shot
+    * reassignment) keep the bare crossover — their output is read
+    * once, so the original ledger applies. */
+  val CoarseConsumerCrossover = 16384L
 
   /** The dynamic-k cell assignment behind every batch SemDeDup-family
     * consumer, with the flat/coarse routing in ONE place: k = n/128
     * ([[SemDedupCellSize]] discipline), flat argmax below
-    * [[CoarseAssignCrossover]], the 2n·√k two-level router
+    * [[CoarseConsumerCrossover]] (the CONSUMER crossover — these
+    * callers stage + self-join the assignment, where the coarse
+    * candidate cut pays off at the measured 16k-class sizes, not the
+    * bare-assignment 500k), the 2n·√k two-level router
     * ([[assignCellsCoarse]] — spec-pinned identical to
     * [[semDedupCellsCoarse]]) past it. Returns
     * (vec_id, embedding, cell). */
@@ -703,7 +722,7 @@ object Similarity {
     val n = e.count()
     val k = math.max(IvfCentroids.toLong,
       (n + SemDedupCellSize - 1) / SemDedupCellSize)
-    if (coarse.getOrElse(n >= CoarseAssignCrossover))
+    if (coarse.getOrElse(n >= CoarseConsumerCrossover))
       assignCellsCoarse(spark, dir,
         e.select(col("vec_id"), col("embedding")), k)
     else argmaxCells(e, k)

@@ -607,7 +607,7 @@ class DedupSimilaritySpec extends SparkSpec {
 
   test("coarse knob: auto-select equals flat below the crossover; " +
     "forced-coarse consumers ride the two-level cells") {
-    // n << CoarseAssignCrossover here, so the default (None) must
+    // n << CoarseConsumerCrossover here, so the default (None) must
     // resolve to the flat assignment bit-for-bit
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSeq
