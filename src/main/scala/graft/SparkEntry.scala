@@ -121,6 +121,9 @@ object SparkEntry {
     "q25_ann_filtered_loaded" ->
       ((s: SparkSession, d: String) =>
         Similarity.annIvfFilteredLoaded(s, d)),
+    "q25_ann_filtered_recall" ->
+      ((s: SparkSession, d: String) =>
+        Similarity.annFilteredRecallEval(s, d)),
     "q25_ann_ivf_loaded_nprobe" ->
       ((s: SparkSession, d: String) => Similarity.annIvfLoadedNprobe(s, d)),
     "q25_centroids" -> (Similarity.labelCentroids _),

@@ -1633,6 +1633,28 @@ object Similarity {
       .select(col("vec_id"), round(col("c"), 4).as("cos"))
   }
 
+  /** FILTERED-ANN recall panel — the operational question of filtered
+    * vector search measured: does the metadata filter empty the probed
+    * cells, and does raising nProbe recover it? One row per nProbe
+    * (1, 2): hits of [[annIvfFiltered]]'s top-k within the exact
+    * pre-filtered truth ([[annFiltered]]). Recall is MONOTONE in
+    * nProbe by construction (a truth vector inside the candidate set
+    * is always inside its top-k — fewer than k corpus vectors beat
+    * it), so the panel reads as the knob's recovery curve. Arms ARE
+    * the standalone oracle-checked queries; the truth list broadcasts
+    * (k rows). */
+  def annFilteredRecallEval(spark: SparkSession, dir: String,
+                            k: Int = 10): DataFrame = {
+    val truth = broadcast(annFiltered(spark, dir, k).select(col("vec_id")))
+    Seq(1, 2).map { np =>
+      annIvfFiltered(spark, dir, k, nProbe = np)
+        .select(col("vec_id")).join(truth, Seq("vec_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(s"nprobe$np").as("method"), col("hits"),
+          round(col("hits").cast("double") / k, 4).as("recall10"))
+    }.reduce(_ unionByName _).orderBy("method")
+  }
+
   /** LSH-accelerated ANN: candidates = vectors sharing the query's
     * bucket; exact cosine re-rank inside the bucket. Falls back to
     * fewer than k results if the bucket is small (standard LSH

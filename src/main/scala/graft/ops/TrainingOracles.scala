@@ -154,6 +154,41 @@ object TrainingOracles {
        FROM f WHERE contam_ratio < ${TextAnalysis.ContamDropThreshold}
        ORDER BY doc_id"""
 
+  /** Filtered-ANN SQL, shared by the standalone entries and the
+    * recall panel (arm definitions can never drift). */
+  private def annFilteredSql: String =
+    s"""WITH f AS (SELECT doc_id AS vec_id FROM documents
+                   WHERE lang = '${Similarity.FilterLang}'
+                     AND n_chars >= ${Similarity.FilterMinChars}),
+       q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       s AS (SELECT e.vec_id, ${cos("e.embedding", "qv")} AS c
+             FROM embeddings e JOIN f USING (vec_id) CROSS JOIN q
+             WHERE e.vec_id <> 0)
+       SELECT vec_id, round(c, 4) AS cos FROM s
+       ORDER BY c DESC, vec_id LIMIT 10"""
+
+  private def annIvfFilteredSql(nProbe: Int): String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                   WHERE vec_id < ${Similarity.IvfCentroids}),
+       a AS (SELECT e.vec_id, e.embedding, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${cos("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+             FROM embeddings e CROSS JOIN c),
+       cells AS (SELECT vec_id, embedding, cid AS cell FROM a WHERE rn = 1),
+       f AS (SELECT doc_id AS vec_id FROM documents
+             WHERE lang = '${Similarity.FilterLang}'
+               AND n_chars >= ${Similarity.FilterMinChars}),
+       q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       qc AS (SELECT c.cid FROM c CROSS JOIN q
+              ORDER BY ${cos("q.qv", "c.cvec")} DESC, c.cid LIMIT $nProbe),
+       s AS (SELECT x.vec_id, ${cos("x.embedding", "q.qv")} AS c
+             FROM cells x JOIN qc ON x.cell = qc.cid
+                    JOIN f ON x.vec_id = f.vec_id
+                    CROSS JOIN q
+             WHERE x.vec_id <> 0)
+       SELECT vec_id, round(c, 4) AS cos FROM s
+       ORDER BY c DESC, vec_id LIMIT 10"""
+
   private val oracleMain: Map[String, String] = Map(
     "q24_dedup_exact" ->
       """SELECT md5(text) AS digest, count(*) AS n_dups, min(doc_id) AS keeper
@@ -1282,41 +1317,30 @@ object TrainingOracles {
     // filtered exact ANN: pre-filter semantics — rank only vectors
     // whose 1:1 document passes the metadata predicate (mirrors
     // Similarity.annFiltered; predicate constants shared)
-    "q25_ann_filtered" ->
-      s"""WITH f AS (SELECT doc_id AS vec_id FROM documents
-                     WHERE lang = '${Similarity.FilterLang}'
-                       AND n_chars >= ${Similarity.FilterMinChars}),
-         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         s AS (SELECT e.vec_id, ${cos("e.embedding", "qv")} AS c
-               FROM embeddings e JOIN f USING (vec_id) CROSS JOIN q
-               WHERE e.vec_id <> 0)
-         SELECT vec_id, round(c, 4) AS cos FROM s
-         ORDER BY c DESC, vec_id LIMIT 10""",
+    "q25_ann_filtered" -> annFilteredSql,
 
     // filtered IVF ANN: nProbe=2 cell routing as q25_ann_ivf_nprobe,
     // metadata filter applied inside the probed-cell candidate set
     // (mirrors Similarity.annIvfFiltered)
-    "q25_ann_ivf_filtered" ->
-      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-                     WHERE vec_id < ${Similarity.IvfCentroids}),
-         a AS (SELECT e.vec_id, e.embedding, c.cid,
-                      row_number() OVER (PARTITION BY e.vec_id
-                        ORDER BY ${cos("e.embedding", "c.cvec")} DESC, c.cid) AS rn
-               FROM embeddings e CROSS JOIN c),
-         cells AS (SELECT vec_id, embedding, cid AS cell FROM a WHERE rn = 1),
-         f AS (SELECT doc_id AS vec_id FROM documents
-               WHERE lang = '${Similarity.FilterLang}'
-                 AND n_chars >= ${Similarity.FilterMinChars}),
-         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         qc AS (SELECT c.cid FROM c CROSS JOIN q
-                ORDER BY ${cos("q.qv", "c.cvec")} DESC, c.cid LIMIT 2),
-         s AS (SELECT x.vec_id, ${cos("x.embedding", "q.qv")} AS c
-               FROM cells x JOIN qc ON x.cell = qc.cid
-                      JOIN f ON x.vec_id = f.vec_id
-                      CROSS JOIN q
-               WHERE x.vec_id <> 0)
-         SELECT vec_id, round(c, 4) AS cos FROM s
-         ORDER BY c DESC, vec_id LIMIT 10""",
+    "q25_ann_ivf_filtered" -> annIvfFilteredSql(2),
+
+    // filtered-ANN recall panel: both arms wrap the SAME SQL the
+    // standalone entries run (annIvfFilteredSql at nProbe 1 and 2)
+    // against the exact pre-filtered truth — mirrors
+    // Similarity.annFilteredRecallEval
+    "q25_ann_filtered_recall" -> {
+      val arms = Seq(1, 2).map { np =>
+        s"""SELECT 'nprobe$np' AS method,
+              CAST((SELECT count(*)
+                    FROM (${annIvfFilteredSql(np)}) m$np
+                    JOIN truth USING (vec_id)) AS BIGINT) AS hits"""
+      }.mkString(" UNION ALL ")
+      s"""WITH truth AS (SELECT vec_id FROM ($annFilteredSql) tt),
+         h AS ($arms)
+         SELECT method, hits,
+                round(CAST(hits AS DOUBLE) / 10, 4) AS recall10
+         FROM h ORDER BY method"""
+    },
 
     // IVF with nProbe=2: rank all centroids against the query, probe
     // the top two cells, exact re-rank (mirrors Similarity.annIvfProbe)

@@ -799,6 +799,26 @@ class DedupSimilaritySpec extends SparkSpec {
       "documents predicate not pushed to the scan")
   }
 
+  test("filtered ANN recall panel: hits reproduce from the component " +
+    "queries and recall is monotone in nProbe") {
+    val rows = Similarity.annFilteredRecallEval(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq("nprobe1", "nprobe2"))
+    val truth = Similarity.annFiltered(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    rows.foreach { case (m, hits, rec) =>
+      val np = m.stripPrefix("nprobe").toInt
+      val arm = Similarity.annIvfFiltered(spark, dir, nProbe = np)
+        .collect().map(_.getLong(0)).toSet
+      assert(hits == (arm & truth).size.toLong,
+        s"$m hits diverged from component recompute")
+      assert(rec == math.rint(hits.toDouble / 10 * 10000) / 10000)
+    }
+    val byM = rows.map(r => r._1 -> r._2).toMap
+    assert(byM("nprobe2") >= byM("nprobe1"),
+      "recall must be monotone in nProbe")
+  }
+
   test("filtered ANN durable-store probe == in-memory filtered " +
     "ranking, and its scan is partition-pruned to the probed cells") {
     val mem = Similarity.annIvfFiltered(spark, dir)
