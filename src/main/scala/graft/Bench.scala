@@ -443,7 +443,8 @@ object Bench {
         "customer"),
       Seq("dup", "merge", "data", "spark", "big", "join", "scan",
         "window"))
-    val (medianBm25MultiUs, medianBm25PrunedUs) = {
+    val (medianBm25MultiUs, medianBm25PrunedUs,
+        medianBm25ServedUs, medianBm25TmplUs) = {
       // one unmeasured call builds + memoizes the stats store (the
       // index-time artifact a serving node holds before traffic)
       graft.queries.IrSql.q10Bm25Pruned(spark, sfDir).count()
@@ -454,7 +455,52 @@ object Bench {
       val mPruned = sweep3("warm_bm25_pruned_us", sweepOf(idx,
         i => { graft.queries.IrSql
           .q10Bm25Pruned(spark, sfDir, bm25Queries(i.toInt)).count(); () }))
-      (mMulti, mPruned)
+      // served form: fresh Catalyst per query against the HELD store
+      // (no content-stamp relisting) — isolates planning tax from
+      // store-key bookkeeping; template form: the prepared Bm25Server
+      // (two exchange-free jobs per query, zero Catalyst work)
+      val store = graft.queries.IrSql.bm25StatsStore(spark, sfDir)
+      val mServed = sweep3("warm_bm25_served_us", sweepOf(idx,
+        i => { graft.queries.IrSql
+          .q10Bm25PrunedAt(spark, store, bm25Queries(i.toInt), 10)
+          .count(); () }))
+      val bsrv = new graft.query.Bm25Server(spark, store)
+      bsrv.search(bm25Queries.head)
+      val mTmpl = sweep3("warm_bm25_template_us", sweepOf(idx,
+        i => { bsrv.search(bm25Queries(i.toInt)); () }))
+      (mMulti, mPruned, mServed, mTmpl)
+    }
+    // CALIBRATION rows (r11 VERDICT #6): two fixed-work baselines so a
+    // round-over-round warm-row swing is attributable from the artifact
+    // alone — calib_cpu_ms prices raw host speed (pure driver-side
+    // arithmetic, no Spark), calib_shuffle_ms prices JVM+Spark overhead
+    // (a canonical tiny two-stage shuffle). Identical work every round;
+    // read warm rows normalized by these before calling a regression.
+    val calibCpuMs = {
+      def spin(): Double = {
+        val t0 = System.nanoTime()
+        var x = 0x9E3779B97F4A7C15L; var i = 0
+        while (i < 200000000) { // xorshift64*, fixed 2e8 steps
+          x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+          i += 1
+        }
+        if (x == 42L) println("") // keep the loop live
+        (System.nanoTime() - t0) / 1e6
+      }
+      spin() // warm the JIT
+      val ts = (1 to 3).map(_ => spin()).sorted
+      math.rint(ts(1) * 10) / 10
+    }
+    val calibShuffleMs = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(1000000).selectExpr("id % 97 AS k", "id AS v")
+          .groupBy("k").count().count()
+        (System.nanoTime() - t0) / 1e6
+      }
+      once() // warm
+      val ts = (1 to 3).map(_ => once()).sorted
+      math.rint(ts(1) * 10) / 10
     }
     // warm rows join the per-query attribution maps under their metric
     // names, so a driver-vs-local delta is diagnosable from the
@@ -475,7 +521,7 @@ object Bench {
     val spreadAll = mergeJson(spread, warmSpread.toSeq)
     val gcAll = mergeJson(gc, warmGc.toSeq)
     val resampledAll = mergeArr(resampled, warmResampled.toSeq)
-    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadAll,"gc_sec":$gcAll,"resampled":$resampledAll,"sf":"$sfDir","failed":$nFailed,"index_docs_per_s":${docsPerS.round},"warm_search_us":$medianUs,"warm_search_template_us":$medianTemplateUs,"warm_rm3_us":$medianRm3Us,"warm_rm3_template_us":$medianRm3TemplateUs,"warm_search_loaded_us":$medianLoadedUs,"warm_search_loaded_routed_us":$medianLoadedRoutedUs,"warm_phrase_us":$medianPhraseUs,"warm_phrase_template_us":$medianPhraseTemplateUs,"warm_phrase3_template_us":$medianPhrase3TemplateUs,"warm_near_template_us":$medianNearTemplateUs,"warm_phrase_loaded_routed_us":$medianPhraseLoadedRoutedUs,"warm_near_loaded_routed_us":$medianNearLoadedRoutedUs,"warm_ann_ivf_probe_us":$medianAnnProbeUs,"warm_ann_ivf_served_us":$medianAnnServedUs,"warm_ann_ivf_template_us":$medianAnnTmplUs,"warm_ann_ivf_nprobe2_us":$medianAnnTmplN2Us,"warm_ann_ivfpq_served_us":$medianPqServedUs,"warm_ann_ivfpq_template_us":$medianPqTmplUs,"warm_bm25_multi_us":$medianBm25MultiUs,"warm_bm25_pruned_us":$medianBm25PrunedUs,"ann_conc8_probes_per_s":$annConc8PerS}"""
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadAll,"gc_sec":$gcAll,"resampled":$resampledAll,"sf":"$sfDir","failed":$nFailed,"index_docs_per_s":${docsPerS.round},"warm_search_us":$medianUs,"warm_search_template_us":$medianTemplateUs,"warm_rm3_us":$medianRm3Us,"warm_rm3_template_us":$medianRm3TemplateUs,"warm_search_loaded_us":$medianLoadedUs,"warm_search_loaded_routed_us":$medianLoadedRoutedUs,"warm_phrase_us":$medianPhraseUs,"warm_phrase_template_us":$medianPhraseTemplateUs,"warm_phrase3_template_us":$medianPhrase3TemplateUs,"warm_near_template_us":$medianNearTemplateUs,"warm_phrase_loaded_routed_us":$medianPhraseLoadedRoutedUs,"warm_near_loaded_routed_us":$medianNearLoadedRoutedUs,"warm_ann_ivf_probe_us":$medianAnnProbeUs,"warm_ann_ivf_served_us":$medianAnnServedUs,"warm_ann_ivf_template_us":$medianAnnTmplUs,"warm_ann_ivf_nprobe2_us":$medianAnnTmplN2Us,"warm_ann_ivfpq_served_us":$medianPqServedUs,"warm_ann_ivfpq_template_us":$medianPqTmplUs,"warm_bm25_multi_us":$medianBm25MultiUs,"warm_bm25_pruned_us":$medianBm25PrunedUs,"warm_bm25_served_us":$medianBm25ServedUs,"warm_bm25_template_us":$medianBm25TmplUs,"calib_cpu_ms":$calibCpuMs,"calib_shuffle_ms":$calibShuffleMs,"ann_conc8_probes_per_s":$annConc8PerS}"""
     println(jsonLine)
     // the stdout line survives only as a 2000-char tail in the
     // driver's BENCH_r{N}.json (parsed: null every round) — persist

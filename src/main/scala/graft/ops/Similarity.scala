@@ -128,7 +128,8 @@ object Similarity {
     * [[remapDense]] renumbering in front for exactly that case). The
     * `coarse` knob routes the cell assignment through the two-level
     * router ([[semDedupCellsOf]]; `None` auto-selects past
-    * [[CoarseAssignCrossover]]). */
+    * [[CoarseConsumerCrossover]] — the CONSUMER ledger, not the
+    * bare-assignment [[CoarseAssignCrossover]]). */
   def negatives(spark: SparkSession, dir: String, k: Int = 3,
                 coarse: Option[Boolean] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -331,16 +332,20 @@ object Similarity {
   def quantRecallEval(spark: SparkSession, dir: String,
                       k: Int = 10): DataFrame = {
     val truth = broadcast(annTopK(spark, dir, k).select(col("vec_id")))
+    // k threads into EVERY arm (r11 ADVICE: the arms previously ran at
+    // their default k=10, so k != 10 silently divided a top-10 arm's
+    // hits by k), and the recall column is named for the k actually
+    // evaluated — the default panel keeps the oracle's `recall10`
     val arms: Seq[(String, DataFrame)] = Seq(
-      "binary" -> annBinary(spark, dir),
-      "int8" -> annQuantized(spark, dir),
-      "mrl8" -> annMrl(spark, dir),
-      "pq_adc" -> Pq.annPq(spark, dir))
+      "binary" -> annBinary(spark, dir, k),
+      "int8" -> annQuantized(spark, dir, k),
+      "mrl8" -> annMrl(spark, dir, k),
+      "pq_adc" -> Pq.annPq(spark, dir, k))
     arms.map { case (name, df) =>
       df.select(col("vec_id")).join(truth, Seq("vec_id"))
         .agg(count(lit(1)).as("hits"))
         .select(lit(name).as("method"), col("hits"),
-          round(col("hits").cast("double") / k, 4).as("recall10"))
+          round(col("hits").cast("double") / k, 4).as(s"recall$k"))
     }.reduce(_ unionByName _).orderBy("method")
   }
 
@@ -838,8 +843,10 @@ object Similarity {
     * corpus), so candidate volume stays linear at any scale; the
     * `coarse` knob routes the assignment itself through the 2n·√k
     * two-level router (`None` auto-selects past
-    * [[CoarseAssignCrossover]] — past there the flat n·k argmax IS
-    * the query). At the test SFs (n ≤ 1024) the dynamic k equals the
+    * [[CoarseConsumerCrossover]] — the consumer ledger: this query
+    * stages + self-joins the assignment, where the coarse cut pays
+    * off far below the bare-assignment crossover, past which the
+    * flat n·k argmax IS the query). At the test SFs (n ≤ 1024) the dynamic k equals the
     * fixed store k. Boundary neighbors (nearest vector in a DIFFERENT
     * cell) are missed — the standard IVF recall trade; nProbe-style
     * widening composes if needed. */
@@ -1485,6 +1492,16 @@ object Similarity {
   def maintainIvfStore(spark: SparkSession, storeDir: String,
                        maxFilesPerCell: Int = 8,
                        driftFactor: Double = 2.0): (Int, Long) = {
+    // finish any crashed re-clustering FIRST (r11 ADVICE medium):
+    // without this entry pass, a moved-marker crash state would be
+    // compacted and counted as a PARTIAL store — drift/k computed from
+    // the partial view, and when the drift gate doesn't fire the store
+    // keeps serving missing rows until some later reclusterIvfStore
+    {
+      val root = new org.apache.hadoop.fs.Path(storeDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      recoverRecluster(spark, fs, root, storeDir)
+    }
     val compacted = compactIvfStore(spark, storeDir, maxFilesPerCell)
     val n = spark.read.parquet(storeDir).count()
     val k = storeK(spark, storeDir)
@@ -1508,7 +1525,21 @@ object Similarity {
                      delta: DataFrame): Unit = {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
-    val seeds = storeSeeds(spark, storeDir).toSeq
+    val seedRows = storeSeeds(spark, storeDir)
+    // the seed system is DERIVED ('k smallest vec_ids'): a delta id at
+    // or below the current max seed id would change what a later
+    // session derives as the seed set, silently mis-routing every
+    // probe against rows assigned under the old system (r11 ADVICE) —
+    // ids must grow monotonically past the frozen seed range
+    val maxSeedId = seedRows.map(_._1).max
+    val minRow = delta.agg(min(col("vec_id"))).head()
+    if (minRow.isNullAt(0)) return // empty delta: nothing to append
+    val minDelta = minRow.getLong(0)
+    require(minDelta > maxSeedId,
+      s"delta vec_id $minDelta intrudes into the store's seed range " +
+        s"(max seed id $maxSeedId): appended ids must exceed every " +
+        "seed id or the derived seed set changes under later sessions")
+    val seeds = seedRows.toSeq
       .toDF("cid", "cvec")
       .select(col("cid"), col("cvec").cast("array<float>").as("cvec"))
     argmaxCellsAgainst(delta, seeds)
@@ -1651,7 +1682,7 @@ object Similarity {
         .select(col("vec_id")).join(truth, Seq("vec_id"))
         .agg(count(lit(1)).as("hits"))
         .select(lit(s"nprobe$np").as("method"), col("hits"),
-          round(col("hits").cast("double") / k, 4).as("recall10"))
+          round(col("hits").cast("double") / k, 4).as(s"recall$k"))
     }.reduce(_ unionByName _).orderBy("method")
   }
 

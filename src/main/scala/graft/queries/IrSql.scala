@@ -36,14 +36,20 @@ object IrSql {
              bound: Option[Long] = None): DataFrame = {
     val base = docs(spark, dir)
     val lim = bound.fold(base)(b => base.filter(col("doc_id") < b))
-    lim
+    tokensOf(lim)
+  }
+
+  /** [[tokens]] over an arbitrary (doc_id, text) frame — the shared
+    * tokenize expression, factored so the BM25 store's incremental
+    * merge tokenizes a DELTA corpus with byte-identical semantics. */
+  private[graft] def tokensOf(df: DataFrame): DataFrame =
+    df
       .select(col("doc_id"),
         posexplode(split(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "),
           " ")).as(Seq("pos0", "term")))
       .filter(col("term") =!= "")
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
         col("term"))
-  }
 
   /** Q2: TREC docid extraction semantics (SURVEY §2.1 "TREC record
     * decode") over a corpus synthesized from documents. */
@@ -468,6 +474,11 @@ object IrSql {
     * ONE definition shared by the full scorer, the impact-bound
     * builder, and the θ pass, so the pruning-safety arithmetic can
     * never fork from the scoring arithmetic. */
+  /** [[bm25S]] at the default constants, exposed for the
+    * driver-vs-column arithmetic parity spec. */
+  private[graft] def bm25SForSpec: org.apache.spark.sql.Column =
+    bm25S(Bm25K1, Bm25B)
+
   private def bm25S(k1: Double, b: Double): org.apache.spark.sql.Column =
     log((col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
       + lit(1.0)) *
@@ -515,31 +526,202 @@ object IrSql {
     *    maps prune non-query terms' row groups — the
     *    [[graft.index.InvertedIndex]] layout discipline),
     *  - `doclen/` (doc_id, dl),
-    *  - `stats/` (term, df, impact, tt, nd): impact = the term's MAX
-    *    exact posting score — the per-term upper bound MaxScore
-    *    orders terms by (Turtle & Flood's original uses exactly this
-    *    index-time statistic).
+    *  - `corpus/` ONE row (tt, nd) — the only artifact whose values
+    *    shift globally on every ingest, so it lives alone,
+    *  - `stats/` (term, df, pairs ARRAY<STRUCT<tf, dl>>): pairs = the
+    *    PARETO FRONTIER of the term's (tf, dl) postings (keep a pair
+    *    iff no other posting has tf' ≥ tf AND dl' ≤ dl). The BM25
+    *    posting score is monotone ↑tf ↓dl, so max-over-frontier ==
+    *    max-over-all-postings EXACTLY, for ANY (df, tt, nd) — the
+    *    per-term impact bound is computed at QUERY time from the
+    *    frontier with the corpus stats current then (Lucene's
+    *    (freq, norm) impact-pair discipline). That avgdl/N
+    *    independence is what makes [[mergeBm25Stats]] sound: a global
+    *    stat shift re-prices every bound for free, while untouched
+    *    terms' stored rows stay byte-identical.
     * Vocab-bounded stats, corpus-bounded narrow doclen; built once per
-    * corpus (session-memoized in [[q10Bm25Pruned]]). */
-  def writeBm25Stats(spark: SparkSession, dir: String, outDir: String,
-                     k1: Double = Bm25K1, b: Double = Bm25B): Unit = {
+    * corpus (session-memoized in [[q10Bm25Pruned]]). Frontier size per
+    * term is bounded by the term's distinct tf values (zipf-small in
+    * practice); a corpus with adversarial tf spread would quantize dl
+    * to a byte first, exactly as Lucene norms do. */
+  def writeBm25Stats(spark: SparkSession, dir: String,
+                     outDir: String): Unit = {
     val len = tokens(spark, dir)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
       .stage()
-    val stats = len.agg(sum(col("dl")).as("tt"), count(lit(1)).as("nd"))
     val tf = termTf(spark, dir).stage()
     tf.repartitionByRange(col("term"))
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode("overwrite").parquet(s"$outDir/postings")
     len.write.mode("overwrite").parquet(s"$outDir/doclen")
-    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tf.join(dfs, "term").join(len, "doc_id").join(broadcast(stats))
-      .select(col("term"), col("df"), bm25S(k1, b).as("s"),
-        col("tt"), col("nd"))
-      .groupBy(col("term"))
-      .agg(max(col("df")).as("df"), max(col("s")).as("impact"),
-        max(col("tt")).as("tt"), max(col("nd")).as("nd"))
+    len.agg(sum(col("dl")).as("tt"), count(lit(1)).as("nd"))
+      .write.mode("overwrite").parquet(s"$outDir/corpus")
+    val tfl = tf.join(len, "doc_id")
+      .select(col("term"), col("tf"), col("dl"))
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .join(paretoPairs(tfl), "term")
       .write.mode("overwrite").parquet(s"$outDir/stats")
+  }
+
+  /** The per-term (tf, dl) pareto frontier over a (term, tf, dl)
+    * posting frame, in CANONICAL form (sorted tf asc — dl is then
+    * strictly ascending too, by the dominance rule), so a rebuilt and
+    * a merged store produce identical arrays. One window pass per
+    * term: sort (tf desc, dl asc), keep a row iff its dl is strictly
+    * below every previously seen dl (rows before it are exactly the
+    * higher-tf ones plus lower-dl ties, i.e. its potential
+    * dominators). Term-partitioned shuffle — the same class as the
+    * df aggregate it rides beside. */
+  private def paretoPairs(tfl: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("tf").desc, col("dl").asc)
+    tfl
+      .withColumn("minPrev", min(col("dl"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("minPrev").isNull || col("dl") < col("minPrev"))
+      .groupBy(col("term"))
+      .agg(sort_array(collect_list(struct(col("tf"), col("dl"))))
+        .as("pairs"))
+  }
+
+  /** The exact BM25 posting score as DRIVER arithmetic — the same
+    * operations in the same order as the [[bm25S]] column expression
+    * (both bottom out in java.lang.Math.log and IEEE doubles), used to
+    * price a stats row's frontier pairs into the per-term impact bound
+    * at query time. A last-ulp divergence between the two paths only
+    * matters at the essential-split boundary, where [[ThetaEps]]
+    * dwarfs it. */
+  private[graft] def bm25Score(tf: Long, dl: Long, df: Long,
+                               tt: Long, nd: Long,
+                               k1: Double = Bm25K1,
+                               b: Double = Bm25B): Double =
+    math.log((nd - df + 0.5) / (df + 0.5) + 1.0) *
+      (tf * (k1 + 1)) /
+      (tf + k1 * ((1 - b) + b * dl / (tt.toDouble / nd)))
+
+  /** A store's (tt, nd) corpus row. */
+  private[graft] def readCorpusStats(spark: SparkSession,
+                                     storeDir: String): (Long, Long) = {
+    val r = spark.read.parquet(s"$storeDir/corpus").head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** One collected stats row: term, df, and the impact bound priced
+    * from its frontier pairs under the CURRENT corpus stats. */
+  private[graft] def statsRowsFor(spark: SparkSession, storeDir: String,
+                                  terms: Seq[String], tt: Long,
+                                  nd: Long): Array[(String, Long, Double)] =
+    spark.read.parquet(s"$storeDir/stats")
+      .filter(col("term").isin(terms: _*))
+      .collect().map { r =>
+        val df = r.getLong(1)
+        val impact = r.getSeq[org.apache.spark.sql.Row](2)
+          .map(p => bm25Score(p.getLong(0), p.getLong(1), df, tt, nd))
+          .max
+        (r.getString(0), df, impact)
+      }
+
+  /** INCREMENTAL MERGE of a delta corpus into a [[writeBm25Stats]]
+    * store — the maintenance path an ingest-heavy corpus runs instead
+    * of a full rebuild (mirrors [[graft.index.InvertedIndex.merge]]
+    * for the postings/doclen/stats/corpus quadruple): tokenize ONLY
+    * the delta (the term that dominates a rebuild at corpus scale),
+    * APPEND its postings (range-laid and sorted within the new files,
+    * so zone maps keep pruning) and doc lengths, bump the one-row
+    * corpus stats, and rewrite stats rows for TOUCHED terms only —
+    * df adds (delta doc_ids are new, enforced), and the frontier of
+    * (old frontier ∪ delta postings) equals the frontier of the full
+    * union (dominance is transitive), so merge == rebuild
+    * content-identically (spec-pinned). Untouched terms' rows are
+    * carried over byte-identical; bounds involving avgdl/N need no
+    * recompute because impacts are priced at query time from the
+    * frontier ([[writeBm25Stats]]).
+    *
+    * The stats/corpus swaps go through hidden tmp dirs + renames.
+    * Like every store maintenance op, run it behind the serving
+    * path's quiesce; both rewritten artifacts are DERIVED from
+    * postings+doclen, so a crash between swaps is repaired by
+    * [[repairBm25Stats]] (or caught by the content stamp, which keys
+    * the session cache on the source corpus). */
+  def mergeBm25Stats(spark: SparkSession, storeDir: String,
+                     delta: DataFrame): Unit = {
+    val dTok = tokensOf(delta)
+    val dLen = dTok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .stage()
+    val dTf = dTok.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf")).stage()
+    val oldLen = spark.read.parquet(s"$storeDir/doclen")
+    require(dLen.join(oldLen, Seq("doc_id"), "left_semi")
+        .limit(1).count() == 0,
+      "delta doc_ids must be disjoint from the store's (df would " +
+        "double-count a re-ingested doc — dedup upstream)")
+    val (dtt, dnd) = {
+      val r = dLen.agg(sum(col("dl")), count(lit(1))).head()
+      (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
+    }
+    if (dnd == 0L) return
+    val (tt0, nd0) = readCorpusStats(spark, storeDir)
+    // appends first: stats/corpus are derived artifacts, so any crash
+    // from here on leaves a store repairBm25Stats reconstructs
+    dTf.repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("append").parquet(s"$storeDir/postings")
+    dLen.write.mode("append").parquet(s"$storeDir/doclen")
+    // touched stats rows: old df + delta df; frontier of the union of
+    // the OLD FRONTIER and the delta's postings (== full-union frontier)
+    val oldStats = spark.read.parquet(s"$storeDir/stats")
+    val deltaDf = dTf.groupBy(col("term")).agg(count(lit(1)).as("df_d"))
+    val dTfl = dTf.join(dLen, "doc_id")
+      .select(col("term"), col("tf"), col("dl"))
+    val oldTouchedPairs = oldStats
+      .join(deltaDf.select(col("term")), Seq("term"), "left_semi")
+      .select(col("term"), explode(col("pairs")).as("p"))
+      .select(col("term"), col("p.tf").as("tf"), col("p.dl").as("dl"))
+    val touched = paretoPairs(oldTouchedPairs.unionByName(dTfl))
+      .join(deltaDf, "term")
+      .join(oldStats.select(col("term"), col("df").as("df_old")),
+        Seq("term"), "left")
+      .select(col("term"),
+        (coalesce(col("df_old"), lit(0L)) + col("df_d")).as("df"),
+        col("pairs"))
+    val untouched = oldStats
+      .join(deltaDf.select(col("term")), Seq("term"), "left_anti")
+    swapIn(spark, s"$storeDir/stats",
+      untouched.unionByName(
+        touched.select(untouched.columns.toIndexedSeq.map(col): _*)))
+    swapIn(spark, s"$storeDir/corpus", {
+      import spark.implicits._
+      Seq((tt0 + dtt, nd0 + dnd)).toDF("tt", "nd")
+    })
+  }
+
+  /** Rebuild the DERIVED store artifacts (stats/, corpus/) from the
+    * authoritative postings/ + doclen/ — the recovery path for a crash
+    * between [[mergeBm25Stats]]'s swaps. */
+  def repairBm25Stats(spark: SparkSession, storeDir: String): Unit = {
+    val len = spark.read.parquet(s"$storeDir/doclen").stage()
+    val tf = spark.read.parquet(s"$storeDir/postings").stage()
+    swapIn(spark, s"$storeDir/corpus",
+      len.agg(sum(col("dl")).as("tt"), count(lit(1)).as("nd")))
+    swapIn(spark, s"$storeDir/stats",
+      tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .join(paretoPairs(tf.join(len, "doc_id")
+          .select(col("term"), col("tf"), col("dl"))), "term"))
+  }
+
+  /** Replace a store artifact dir with a freshly-written frame: write
+    * to a hidden sibling tmp, delete the target, rename in. The frame
+    * may READ the target (the tmp write materializes it first). */
+  private def swapIn(spark: SparkSession, target: String,
+                     df: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val t = new Path(target)
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(t.getParent, s"_graft_swap_${t.getName}")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(t, true)
+    fs.rename(tmp, t)
+    ()
   }
 
   private val bm25StatsCache =
@@ -567,19 +749,35 @@ object IrSql {
     s"$dir|$stamp"
   }
 
+  /** Safety margin subtracted from θ before the essential split —
+    * closes the QUANTIZATION-TIE hole in the exact-parity claim (r11
+    * ADVICE): θ and the impacts are unrounded doubles, but published
+    * scores quantize per-posting to 1e-9 ([[Bm25Scale]]) and round to
+    * 4 decimals, so a doc whose unrounded score sits just under θ can
+    * still TIE the k-th kept doc at the 4-decimal level and win the
+    * doc_id tiebreak in the unpruned ranking. The margin must exceed
+    * the worst rounding gap: 4-dp rounding moves a value by ≤ 5e-5,
+    * per-posting quantization by ≤ |terms|·5e-10 — 2e-4 covers both
+    * with ~2× headroom, at the cost of (rarely) one extra essential
+    * term. With it, every pruned doc's unrounded score is < θ − 2e-4,
+    * so its ROUNDED score is strictly below the kept k-th's rounded
+    * score — no tie can form. */
+  val ThetaEps: Double = 2e-4
+
   /** The MaxScore essential/non-essential split, as a pure function
     * spec-testable in isolation: given (term, impact) DESCENDING by
     * impact and a score threshold θ, return the ESSENTIAL prefix —
     * the non-essential suffix is the maximal tail whose summed bounds
-    * stay strictly below θ (a doc containing only those terms scores
-    * < θ and can never enter the top-k). θ = -∞ (under-filled θ pass)
-    * keeps every term essential — pruning degrades to the full scan,
-    * never to a wrong answer. */
+    * stay strictly below θ − [[ThetaEps]] (a doc containing only those
+    * terms scores < θ − ε, so after quantization it can never tie or
+    * displace the top-k). θ = -∞ (under-filled θ pass) keeps every
+    * term essential — pruning degrades to the full scan, never to a
+    * wrong answer. */
   private[graft] def maxScoreEssential(byImpactDesc: Seq[(String, Double)],
                                        theta: Double): Seq[String] = {
     var tailSum = 0.0
     var cut = byImpactDesc.length
-    while (cut > 1 && tailSum + byImpactDesc(cut - 1)._2 < theta) {
+    while (cut > 1 && tailSum + byImpactDesc(cut - 1)._2 < theta - ThetaEps) {
       tailSum += byImpactDesc(cut - 1)._2
       cut -= 1
     }
@@ -606,21 +804,21 @@ object IrSql {
     * precisely the low-impact ones the split drops. */
   def q10Bm25Pruned(spark: SparkSession, dir: String,
                     terms: Seq[String] = ExpandedQueryTerms,
-                    k: Int = 10): DataFrame = {
-    val store = bm25StatsCache.computeIfAbsent(bm25StoreKey(dir), _ => {
-      val o = graft.TempDirs.scratch("graft_bm25_stats")
-      writeBm25Stats(spark, dir, o)
-      o
-    })
-    val stats = spark.read.parquet(s"$store/stats")
-      .filter(col("term").isin(terms: _*))
-    val rows = stats.collect().map(r => (r.getString(0), r.getLong(1),
-        r.getDouble(2), r.getLong(3), r.getLong(4)))
-      .sortBy { case (t, _, imp, _, _) => (-imp, t) }
+                    k: Int = 10): DataFrame =
+    q10Bm25PrunedAt(spark, bm25StatsStore(spark, dir), terms, k)
+
+  /** [[q10Bm25Pruned]] against an EXPLICIT store dir — the spec hook
+    * that proves a [[mergeBm25Stats]]-maintained store serves the
+    * exact unpruned ranking. */
+  private[graft] def q10Bm25PrunedAt(spark: SparkSession, store: String,
+                                     terms: Seq[String],
+                                     k: Int): DataFrame = {
+    val (tt, nd) = readCorpusStats(spark, store)
+    val rows = statsRowsFor(spark, store, terms, tt, nd)
+      .sortBy { case (t, _, imp) => (-imp, t) }
     if (rows.isEmpty)
       return spark.emptyDataFrame
         .select(lit(0L).as("doc_id"), lit(0.0).as("score")).limit(0)
-    val (tt, nd) = (rows.head._4, rows.head._5)
     val postings = spark.read.parquet(s"$store/postings")
     val doclen = spark.read.parquet(s"$store/doclen")
     val topTerm = rows.head._1
@@ -643,9 +841,24 @@ object IrSql {
         postings.filter(col("term").isin(ess: _*))
           .select(col("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
-    val dfCols = stats.select(col("term"), col("df"))
+    val dfCols = {
+      import spark.implicits._
+      rows.toSeq.map(r => (r._1, r._2)).toDF("term", "df")
+    }
     bm25Top(
       pruned.join(broadcast(dfCols), "term").join(doclen, "doc_id")
         .withColumn("tt", lit(tt)).withColumn("nd", lit(nd)), k)
   }
+
+  /** The session-memoized per-corpus stats store ([[writeBm25Stats]]),
+    * keyed on corpus CONTENT ([[bm25StoreKey]]); exposed so a serving
+    * node ([[graft.query.Bm25Server]]) holds the same artifact the
+    * batch path checks. */
+  private[graft] def bm25StatsStore(spark: SparkSession,
+                                    dir: String): String =
+    bm25StatsCache.computeIfAbsent(bm25StoreKey(dir), _ => {
+      val o = graft.TempDirs.scratch("graft_bm25_stats")
+      writeBm25Stats(spark, dir, o)
+      o
+    })
 }

@@ -1,0 +1,213 @@
+package graft.query
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.queries.IrSql
+
+/** term → long lookup against a DRIVER-UPDATED map reference — the
+  * per-term df feed of the prepared BM25 scoring template (a literal
+  * df column would force a fresh plan per query; a join against a df
+  * table would put an exchange in the template). The map is captured
+  * when a job's tasks are serialized, so each execution sees the
+  * value current at submit time (the [[RefSetContains]] discipline).
+  * A term absent from the map yields 0 — unreachable behind the
+  * term-set filter, whose set only ever holds terms the stats
+  * dictionary knows. */
+private[query] case class RefMapLookup(
+    child: Expression,
+    ref: AtomicReference[java.util.HashMap[UTF8String, java.lang.Long]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("ref_map_lookup expects string")
+
+  override def prettyName: String = "graft_ref_map_lookup"
+
+  override def nullSafeEval(v: Any): Any = {
+    val r = ref.get.get(v.asInstanceOf[UTF8String])
+    if (r == null) 0L else r.longValue()
+  }
+
+  override protected def withNewChildInternal(c: Expression): RefMapLookup =
+    copy(child = c)
+}
+
+/** PREPARED MULTI-TERM BM25 serving — the [[PointServer]] discipline
+  * applied to the MaxScore-pruned ranked-retrieval path (the most
+  * common real query shape; the fresh
+  * [[graft.queries.IrSql.q10Bm25Pruned]] plan pays two sequential
+  * driver round-trips of mostly Catalyst tax per query — measured
+  * 569 ms warm at sf0.1 in round 11).
+  *
+  * Held once per corpus (construction):
+  *  - the store's postings ⨝ doclen, joined ONCE and cached — the
+  *    per-query templates then run exchange-free over the in-memory
+  *    relation (the join is the one operation a reusable plan could
+  *    not legally contain: exchanges cache their first result);
+  *  - the FULL stats dictionary collected to a driver map
+  *    (term → (df, frontier pairs)) — vocab-bounded, the term
+  *    dictionary every real serving node holds in RAM; impact bounds
+  *    are priced from the frontier pairs at lookup time
+  *    ([[graft.queries.IrSql.bm25Score]]), so they are always
+  *    current against the corpus stats;
+  *  - the one-row corpus stats (tt, nd), baked into the templates as
+  *    literals.
+  *
+  * Per query, ONE pooled template instance executes the whole
+  * MaxScore protocol with zero Catalyst work:
+  *  1. θ pass: the term-set ref holds just the top-impact term; its
+  *     postings score through the shared arithmetic; top-k collect →
+  *     θ (≤ k rows to the driver);
+  *  2. driver essential split
+  *     ([[graft.queries.IrSql.maxScoreEssential]], ε-margined);
+  *  3. scoring pass: term-set ref = the query's known terms, df map
+  *     ref = their df's, essential-set ref = the split; per-doc
+  *     fixed-point sums and an `any essential term` flag come out of
+  *     ONE single-partition aggregate, and docs with no essential
+  *     term drop POST-aggregate — output-identical to the pruned
+  *     plan's pre-aggregate semi-join (both restrict the same doc
+  *     set; scores of surviving docs are full either way), without
+  *     its exchange.
+  *
+  * Results are IDENTICAL to [[graft.queries.IrSql.q10Bm25Pruned]] /
+  * `q10Bm25Multi` (spec-pinned: served == fresh == multi). Intended
+  * for the CACHED store (a serving node's working set); a
+  * parquet-backed deployment at vocab sizes past driver RAM keeps
+  * the fresh path's literal predicates and store lookups
+  * ([[graft.queries.IrSql.q10Bm25Pruned]]), exactly as
+  * [[PointServer]] defers to `serveSearch` for loaded indexes.
+  * Concurrency: each query borrows a pooled instance — the
+  * set-refs-then-collect window is private per caller
+  * ([[TemplatePool]]). */
+final class Bm25Server(spark: SparkSession, storeDir: String,
+                       topK: Int = 10) {
+
+  private val joined = spark.read.parquet(s"$storeDir/postings")
+    .join(spark.read.parquet(s"$storeDir/doclen"), "doc_id")
+    .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private val (tt, nd) = IrSql.readCorpusStats(spark, storeDir)
+
+  /** term → (df, frontier pairs) — the in-RAM dictionary. */
+  private val stats: Map[String, (Long, Seq[(Long, Long)])] =
+    spark.read.parquet(s"$storeDir/stats").collect().map { r =>
+      r.getString(0) -> (r.getLong(1),
+        r.getSeq[org.apache.spark.sql.Row](2)
+          .map(p => (p.getLong(0), p.getLong(1))))
+    }.toMap
+
+  joined.count() // materialize the cached relation at construction
+
+  private def impact(term: String): Double = {
+    val (df, pairs) = stats(term)
+    pairs.map(p => IrSql.bm25Score(p._1, p._2, df, tt, nd)).max
+  }
+
+  private final case class Tmpl(
+      thetaTerms: AtomicReference[java.util.HashSet[UTF8String]],
+      scoreTerms: AtomicReference[java.util.HashSet[UTF8String]],
+      essTerms: AtomicReference[java.util.HashSet[UTF8String]],
+      dfMap: AtomicReference[java.util.HashMap[UTF8String, java.lang.Long]],
+      thetaDf: DataFrame, scoreDf: DataFrame)
+
+  /** The shared scoring arithmetic with df read from the map ref and
+    * (tt, nd) as literals — the same expression tree as the fresh
+    * plan's `bm25S` column, so the doubles are identical. */
+  private def sExpr(dfRef: AtomicReference[
+      java.util.HashMap[UTF8String, java.lang.Long]]) = {
+    val dfc = Bridge.column(
+      RefMapLookup(Bridge.expression(col("term")), dfRef))
+    val (k1, b) = (IrSql.Bm25K1, IrSql.Bm25B)
+    log((lit(nd) - dfc + lit(0.5)) / (dfc + lit(0.5)) + lit(1.0)) *
+      (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") /
+        (lit(tt).cast("double") / lit(nd))))
+  }
+
+  private def buildTmpl(): Tmpl = {
+    val thetaRef = new AtomicReference(new java.util.HashSet[UTF8String])
+    val termsRef = new AtomicReference(new java.util.HashSet[UTF8String])
+    val essRef = new AtomicReference(new java.util.HashSet[UTF8String])
+    val dfRef = new AtomicReference(
+      new java.util.HashMap[UTF8String, java.lang.Long])
+    def inSet(ref: AtomicReference[java.util.HashSet[UTF8String]]) =
+      Bridge.column(RefSetContains(Bridge.expression(col("term")), ref))
+    val thetaDf = joined.filter(inSet(thetaRef)).coalesce(1)
+      .select(sExpr(dfRef).as("s"), col("doc_id"))
+      .orderBy(col("s").desc, col("doc_id"))
+      .limit(topK)
+    val scoreDf = joined.filter(inSet(termsRef)).coalesce(1)
+      .select(col("doc_id"),
+        round(sExpr(dfRef) * IrSql.Bm25Scale).cast("long").as("s9"),
+        when(inSet(essRef), 1L).otherwise(0L).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("s9")).as("ss"), max(col("e")).as("me"))
+      .filter(col("me") === 1)
+      .select(col("doc_id"),
+        round(col("ss").cast("double") / IrSql.Bm25Scale, 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+    // plan + codegen at build, not on the instance's first query
+    thetaDf.queryExecution.executedPlan
+    scoreDf.queryExecution.executedPlan
+    Tmpl(thetaRef, termsRef, essRef, dfRef, thetaDf, scoreDf)
+  }
+
+  private val pool = new TemplatePool[Unit, Tmpl](_ => buildTmpl(),
+    maxKeys = 1)
+
+  pool.withInstance(())(_ => ()) // plan + codegen at construction
+
+  /** Both reused physical plans, exposed so the spec can assert the
+    * exchange-free invariant (an exchange here is the stale-result
+    * trap the [[PointServer]] doc describes). */
+  private[graft] def templatePlans
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    pool.withInstance(())(t => Seq(
+      t.thetaDf.queryExecution.executedPlan,
+      t.scoreDf.queryExecution.executedPlan))
+
+  /** (doc_id, score) rows, score desc then doc_id asc — identical to
+    * [[graft.queries.IrSql.q10Bm25Pruned]] on the same store.
+    * Unknown terms are ignored; a query with no known term returns
+    * empty without running a job. */
+  def search(terms: Seq[String]): Seq[(Long, Double)] = {
+    val known = terms.distinct.filter(stats.contains)
+    if (known.isEmpty) return Seq.empty
+    val byImpact = known.map(t => t -> impact(t))
+      .sortBy { case (t, imp) => (-imp, t) }
+    val dfm = new java.util.HashMap[UTF8String, java.lang.Long]
+    known.foreach(t =>
+      dfm.put(UTF8String.fromString(t), java.lang.Long.valueOf(stats(t)._1)))
+    def setOf(ts: Seq[String]) = {
+      val s = new java.util.HashSet[UTF8String]
+      ts.foreach(t => s.add(UTF8String.fromString(t)))
+      s
+    }
+    pool.withInstance(()) { t =>
+      t.dfMap.set(dfm)
+      t.thetaTerms.set(setOf(Seq(byImpact.head._1)))
+      val thetaRows = t.thetaDf.collect()
+      val theta =
+        if (thetaRows.length < topK) Double.NegativeInfinity
+        else thetaRows.last.getDouble(0)
+      val ess = IrSql.maxScoreEssential(byImpact, theta)
+      t.scoreTerms.set(setOf(known))
+      t.essTerms.set(setOf(ess))
+      t.scoreDf.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+  }
+}

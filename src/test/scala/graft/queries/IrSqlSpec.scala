@@ -155,4 +155,82 @@ class IrSqlSpec extends SparkSpec {
       assert(full < theta, s"doc $d bound violated: $full >= $theta")
     }
   }
+
+  test("maxScoreEssential keeps a term whose tail bound sits inside " +
+    "the ThetaEps quantization margin") {
+    val imps = Seq("a" -> 5.0, "b" -> 1.0)
+    // tail b = 1.0 is below θ but within ε of it: a doc holding only b
+    // could round into a tie with the kept k-th — b must stay essential
+    assert(IrSql.maxScoreEssential(imps, 1.0 + 1e-5) == Seq("a", "b"))
+    // comfortably past the margin the tail prunes as before
+    assert(IrSql.maxScoreEssential(imps, 1.0 + 1e-3) == Seq("a"))
+  }
+
+  test("driver bm25Score == the bm25S column expression, value for " +
+    "value, over a (tf, dl, df) grid") {
+    import spark.implicits._
+    val grid = for {
+      tf <- Seq(1L, 2L, 7L, 40L)
+      dl <- Seq(5L, 60L, 400L)
+      df <- Seq(1L, 13L, 90L)
+    } yield (tf, dl, df, 12345L, 100L)
+    val fromCol = grid.toDF("tf", "dl", "df", "tt", "nd")
+      .select(col("tf"), col("dl"), col("df"),
+        IrSql.bm25SForSpec.as("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    grid.foreach { case (tf, dl, df, tt, nd) =>
+      assert(IrSql.bm25Score(tf, dl, df, tt, nd) == fromCol((tf, dl, df)),
+        s"driver/column divergence at tf=$tf dl=$dl df=$df")
+    }
+  }
+
+  test("bm25 stats-store incremental merge == full rebuild, content-" +
+    "identical on every artifact; the merged store serves the exact " +
+    "unpruned ranking; repair reconstructs the derived artifacts") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bm25_merge").toString
+    val full = spark.read.parquet(s"$dir/documents.parquet")
+    val half = full.count() / 2
+    full.filter(col("doc_id") < half)
+      .write.mode("overwrite").parquet(s"$root/base/documents.parquet")
+    // rebuilt-from-everything reference store
+    val fullStore = s"$root/store_full"
+    IrSql.writeBm25Stats(spark, dir, fullStore)
+    // base store + delta merge
+    val mergedStore = s"$root/store_merged"
+    IrSql.writeBm25Stats(spark, s"$root/base", mergedStore)
+    IrSql.mergeBm25Stats(spark, mergedStore,
+      full.filter(col("doc_id") >= half).select("doc_id", "text"))
+    def rows(store: String, art: String): Seq[String] =
+      spark.read.parquet(s"$store/$art").collect()
+        .map(_.toString).sorted.toSeq
+    Seq("postings", "doclen", "corpus", "stats").foreach { art =>
+      assert(rows(fullStore, art) == rows(mergedStore, art),
+        s"merge != rebuild on $art")
+    }
+    // the merged store answers the exact unpruned ranking
+    def top(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(IrSql.q10Bm25PrunedAt(spark, mergedStore,
+        IrSql.ExpandedQueryTerms, 10)) ==
+      top(IrSql.q10Bm25Multi(spark, dir)))
+    // disjointness guard: re-merging the same delta must refuse
+    intercept[IllegalArgumentException] {
+      IrSql.mergeBm25Stats(spark, mergedStore,
+        full.filter(col("doc_id") >= half).select("doc_id", "text"))
+    }
+    // repair: wipe the derived artifacts, reconstruct from
+    // postings+doclen, compare against the rebuilt reference
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$mergedStore/stats"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$mergedStore/corpus"), true)
+    IrSql.repairBm25Stats(spark, mergedStore)
+    Seq("corpus", "stats").foreach { art =>
+      assert(rows(fullStore, art) == rows(mergedStore, art),
+        s"repair != rebuild on $art")
+    }
+  }
 }

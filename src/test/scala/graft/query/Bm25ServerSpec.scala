@@ -1,0 +1,105 @@
+package graft.query
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.queries.IrSql
+
+/** Pins [[Bm25Server]] to the fresh pruned plan and the full
+  * multi-term scorer: served == fresh == multi for every query in a
+  * sequence (the exchange-free reuse trap would surface as query 2+
+  * returning query 1's ranking), plus the exchange-free invariant
+  * itself and pooled-template concurrency. */
+class Bm25ServerSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val store = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_bm25_srv").toString
+    IrSql.writeBm25Stats(spark, dir, out)
+    out
+  }
+
+  private lazy val srv = new Bm25Server(spark, store)
+
+  private val querySet: Seq[Seq[String]] = Seq(
+    IrSql.ExpandedQueryTerms,
+    Seq("dup", "data", "table", "scan", "row", "key", "value", "batch"),
+    Seq("merge", "stream"),
+    IrSql.ExpandedQueryTerms, // repeat: reused template, same answer
+    Seq("spark", "query", "group", "column"))
+
+  test("served == fresh pruned == full multi across a query sequence") {
+    querySet.foreach { terms =>
+      val multi = IrSql.q10Bm25Multi(spark, dir, terms).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val fresh = IrSql.q10Bm25PrunedAt(spark, store, terms, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = srv.search(terms)
+      assert(fresh == multi, s"$terms: fresh pruned diverged from multi")
+      assert(got == multi, s"$terms: served=$got multi=$multi")
+    }
+  }
+
+  test("unknown-term and empty queries return empty; known terms mixed " +
+    "with unknown ones still rank correctly") {
+    assert(srv.search(Seq("zzzqqqxx")).isEmpty)
+    assert(srv.search(Nil).isEmpty)
+    val want = IrSql.q10Bm25Multi(spark, dir, Seq("merge", "stream"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(srv.search(Seq("merge", "zzzqqqxx", "stream")) == want)
+  }
+
+  test("both templates are exchange-free under the session conf") {
+    // the cached postings⨝doclen relation legitimately holds its
+    // ONE-TIME construction join (with its broadcast exchange) inside
+    // the InMemoryRelation leaf — what must stay exchange-free is the
+    // re-executed template ABOVE the cache, i.e. every plan line
+    // before the first InMemoryRelation in the rendered tree (a bare
+    // tree-collect would not descend through the AQE root)
+    srv.templatePlans.foreach { p =>
+      val s = p.toString
+      val above = s.linesIterator
+        .takeWhile(!_.contains("InMemoryRelation")).mkString("\n")
+      assert(above.contains("InMemoryTableScan"),
+        s"template does not read the cached relation:\n$s")
+      assert(!above.contains("Exchange"),
+        s"exchange leaked into a reused template:\n$above")
+    }
+  }
+
+  test("8 concurrent searches each return their own correct ranking " +
+    "(pooled templates, no shared-ref race)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val qs = querySet ++ querySet.take(3)
+    val want = qs.map(t => t -> srv.search(t)).toMap
+    (1 to 3).foreach { _ =>
+      val got = Await.result(
+        Future.sequence(qs.map(t => Future(t -> srv.search(t)))),
+        120.seconds).toMap
+      qs.foreach(t =>
+        assert(got(t) == want(t), s"concurrent bm25 [$t] diverged"))
+    }
+  }
+
+  test("impact bounds re-price after a store merge (frontier pairs + " +
+    "current corpus stats): a merged store's server matches the " +
+    "merged corpus's full scorer") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bm25_srv_m").toString
+    val full = spark.read.parquet(s"$dir/documents.parquet")
+    val half = full.count() / 2
+    full.filter(col("doc_id") < half)
+      .write.mode("overwrite").parquet(s"$root/base/documents.parquet")
+    val st = s"$root/store"
+    IrSql.writeBm25Stats(spark, s"$root/base", st)
+    IrSql.mergeBm25Stats(spark, st,
+      full.filter(col("doc_id") >= half).select("doc_id", "text"))
+    val want = IrSql.q10Bm25Multi(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(new Bm25Server(spark, st)
+      .search(IrSql.ExpandedQueryTerms) == want)
+  }
+}
