@@ -44,10 +44,15 @@ object Repl {
     * exactly as `InvertedIndex.build` documents for its own artifacts. */
   /** Everything a serving session needs: ranked index, optional
     * wildcard char-gram table, optional positional index for quoted
-    * phrase queries. */
+    * phrase queries, and (corpus-dir sessions only) the multi-term
+    * BM25 server over the index-time stats store plus the filtered
+    * vector-search context (the session-cached durable IVF store +
+    * the corpus dir its metadata predicate reads). */
   case class Session(ix: InvertedIndex.Index,
                      chargrams: Option[DataFrame],
-                     positional: Option[PositionalIndex.PIndex])
+                     positional: Option[PositionalIndex.PIndex],
+                     bm25: Option[graft.query.Bm25Server] = None,
+                     ann: Option[(SparkSession, String, String)] = None)
 
   def open(spark: SparkSession, dir: String): Session =
     if (Files.isDirectory(Paths.get(dir, "postings"))) {
@@ -70,7 +75,13 @@ object Repl {
       val corpus = graft.queries.IrEngine.corpus(spark, dir)
       Session(InvertedIndex.build(spark, corpus, k = 1),
         Some(CharKGramIndex.build(spark, corpus, k = 3)),
-        Some(PositionalIndex.build(spark, corpus)))
+        Some(PositionalIndex.build(spark, corpus)),
+        Some(new graft.query.Bm25Server(spark,
+          graft.queries.IrSql.bm25StatsStore(spark, dir))),
+        if (Files.exists(Paths.get(dir, "embeddings.parquet")))
+          Some((spark,
+            graft.ops.Similarity.cachedIvfStore(spark, dir), dir))
+        else None)
     }
 
   /** Persist a fully servable index directory: the inverted-index
@@ -107,7 +118,7 @@ object Repl {
     s.positional.foreach(p => { p.postings.count(); () })
     loop(ix, chargrams,
       new BufferedReader(new java.io.InputStreamReader(System.in)),
-      System.out, positional = s.positional)
+      System.out, positional = s.positional, bm25 = s.bm25, ann = s.ann)
     spark.stop()
   }
 
@@ -123,7 +134,9 @@ object Repl {
   def loop(ix: InvertedIndex.Index, chargrams: Option[DataFrame],
            in: BufferedReader, out: PrintStream,
            usePointServer: Boolean = true,
-           positional: Option[PositionalIndex.PIndex] = None): Unit = {
+           positional: Option[PositionalIndex.PIndex] = None,
+           bm25: Option[graft.query.Bm25Server] = None,
+           ann: Option[(SparkSession, String, String)] = None): Unit = {
     val server =
       if (usePointServer) Some(new graft.query.PointServer(ix)) else None
     // quoted phrases (any length up to PhraseServer.MaxSlots) get the
@@ -135,7 +148,8 @@ object Repl {
       else None
     out.println("graft search — 1-2 word query; '*' patterns for " +
       "wildcards; \"quoted phrases\" for exact phrase; a NEAR/3 b for " +
-      "proximity; empty line quits")
+      "proximity; bm25 t1 t2 ... for ranked multi-term retrieval; " +
+      "ann <vec_id> for filtered vector search; empty line quits")
     out.print("query > "); out.flush()
     var line = in.readLine()
     while (line != null) {
@@ -185,6 +199,41 @@ object Repl {
           case None => out.println(
             "proximity search needs a positional index (build from a " +
               "corpus dir, or persist one alongside the written index)")
+        }
+      } else if (q.matches("(?i)^bm25(\\s+\\S+)+$")) {
+        // multi-term ranked retrieval through the prepared Bm25Server
+        // (MaxScore bound-pruned, exact unpruned ranking) — the query
+        // shape the 1-2-word arity cap can't serve
+        bm25 match {
+          case Some(srv) =>
+            val hits = srv.search(q.split("\\s+").toSeq.tail)
+            if (hits.isEmpty) out.println(s"$q: No results ...")
+            else hits.foreach { case (d, sc) =>
+              out.println(f"$d%d $sc%.4f") }
+          case None => out.println(
+            "bm25 search needs the index-time stats store (open a " +
+              "corpus dir, not a written index)")
+        }
+      } else if (q.matches("(?i)^ann\\s+\\d+$")) {
+        // filtered vector search (WHERE-clause ANN) over the durable
+        // cell-partitioned store — adaptive nProbe escalation
+        ann match {
+          case Some((sp, store, corpusDir)) =>
+            try {
+              val qid = q.split("\\s+")(1).toLong
+              val hits = graft.ops.Similarity
+                .probeIvfStoreFilteredAuto(sp, store, corpusDir,
+                  qId = qid)
+                .collect().map(r => (r.getLong(0), r.getDouble(1)))
+              if (hits.isEmpty) out.println(s"$q: No results ...")
+              else hits.foreach { case (v, c) =>
+                out.println(f"$v%d $c%.4f") }
+            } catch { case _: java.util.NoSuchElementException =>
+              out.println("no such vec_id in the vector store")
+            }
+          case None => out.println(
+            "ann search needs the vector store (open a corpus dir " +
+              "with an embeddings table)")
         }
       } else if (q.contains("*")) {
         chargrams match {

@@ -121,6 +121,12 @@ object SparkEntry {
     "q25_ann_filtered_loaded" ->
       ((s: SparkSession, d: String) =>
         Similarity.annIvfFilteredLoaded(s, d)),
+    "q25_ann_filtered_auto" ->
+      ((s: SparkSession, d: String) =>
+        Similarity.annIvfFilteredAuto(s, d)),
+    "q25_ann_filtered_auto_loaded" ->
+      ((s: SparkSession, d: String) =>
+        Similarity.annIvfFilteredAutoLoaded(s, d)),
     "q25_ann_filtered_recall" ->
       ((s: SparkSession, d: String) =>
         Similarity.annFilteredRecallEval(s, d)),
@@ -276,7 +282,10 @@ object SparkEntry {
       ("q25_ann_ivfpq_loaded" -> base("q25_ann_ivfpq")) +
       // the durable-store filtered probe == the in-memory filtered
       // nProbe ranking (same seeds, routing order, and predicate)
-      ("q25_ann_filtered_loaded" -> base("q25_ann_ivf_filtered"))
+      ("q25_ann_filtered_loaded" -> base("q25_ann_ivf_filtered")) +
+      // the adaptive probe over the durable store == the in-memory
+      // adaptive probe (same seeds, ranking, ladder rule, predicate)
+      ("q25_ann_filtered_auto_loaded" -> base("q25_ann_filtered_auto"))
   }
 
   /** The BM25 ranking oracle — shared by q10_bm25 and the lexical arm

@@ -347,9 +347,14 @@ object Pq {
     * SAME oracle (the q25_ann_ivf_loaded pattern applied to the
     * compressed store). */
   def annIvfPqLoaded(spark: SparkSession, dir: String, k: Int = TopK,
-                     nProbe: Int = 2): DataFrame = {
-    val out = graft.TempDirs.scratch("graft_ivfpq_store")
-    writeIvfPqStore(spark, dir, out)
-    probeIvfPqStore(spark, dir, out, k, nProbe)
-  }
+                     nProbe: Int = 2): DataFrame =
+    // one store build per source table per session, content-stamped —
+    // the Similarity.loadedStoreCache discipline (probes are read-only)
+    probeIvfPqStore(spark, dir,
+      Similarity.loadedStoreCache.computeIfAbsent(
+        s"$dir|ivfpq|${Similarity.loadedStampOf(dir)}", _ => {
+          val out = graft.TempDirs.scratch("graft_ivfpq_store")
+          writeIvfPqStore(spark, dir, out)
+          out
+        }), k, nProbe)
 }

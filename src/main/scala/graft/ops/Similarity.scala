@@ -1139,16 +1139,55 @@ object Similarity {
       .sortBy { case (cid, cv) => (-cosSeqInf(qv, cv), cid) }
       .take(nProbe).map(_._1).toSeq
 
+  /** Session cache of the HARNESS-SHAPE durable stores the
+    * `*Loaded` entry points build (one [[writeIvfLayout]] per source
+    * table per session instead of per call — r11 VERDICT hardening:
+    * the per-call write was correct but invited copying the build
+    * into a serving path). Keyed on the source table's CONTENT stamp
+    * (file names + sizes + mtimes — the [[graft.queries.IrSql]]
+    * bm25StoreKey discipline), so a corpus rewritten at the same
+    * path builds a fresh store. Probes are read-only, so sharing one
+    * store across entries is sound; mutation specs build their own
+    * scratch stores directly. */
+  private[graft] val loadedStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The embeddings-table content stamp, shared with [[Pq]]'s loaded
+    * store cache key. */
+  private[graft] def loadedStampOf(dir: String): String =
+    tableStamp(dir, "embeddings")
+
+  private def tableStamp(dir: String, table: String): String = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(dir, s"$table.parquet")
+    if (Files.isDirectory(p)) {
+      val ls = Files.list(p)
+      try ls.iterator().asScala.toSeq.sortBy(_.toString)
+        .filter(_.toString.endsWith(".parquet"))
+        .map(f => s"${f.getFileName}:${Files.size(f)}:" +
+          s"${Files.getLastModifiedTime(f).toMillis}")
+        .mkString(",")
+      finally ls.close()
+    } else s"${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+  }
+
+  private[graft] def cachedIvfStore(spark: SparkSession,
+                                    dir: String): String =
+    loadedStoreCache.computeIfAbsent(
+      s"$dir|ivf|${tableStamp(dir, "embeddings")}", _ => {
+        val out = graft.TempDirs.scratch("graft_ivf_store")
+        writeIvfLayout(spark, dir, out)
+        out
+      })
+
   /** [[annIvfProbe]] served from the durable store — the nProbe recall
     * knob on the partition-pruned path. Output-identical to the
     * in-memory [[annIvfProbe]] by construction; the driver checks it
     * against the SAME oracle. */
   def annIvfLoadedNprobe(spark: SparkSession, dir: String,
-                         k: Int = 10, nProbe: Int = 2): DataFrame = {
-    val out = graft.TempDirs.scratch("graft_ivf_store")
-    writeIvfLayout(spark, dir, out)
-    probeIvfStore(spark, out, k, nProbe = nProbe)
-  }
+                         k: Int = 10, nProbe: Int = 2): DataFrame =
+    probeIvfStore(spark, cachedIvfStore(spark, dir), k, nProbe = nProbe)
 
   /** [[probeIvfStore]] with the metadata pre-filter applied INSIDE the
     * partition-pruned cell scan — the durable-store form of
@@ -1178,11 +1217,9 @@ object Similarity {
     * same filter predicate), so the driver checks it against the SAME
     * oracle (the annIvfLoaded pattern). */
   def annIvfFilteredLoaded(spark: SparkSession, dir: String,
-                           k: Int = 10, nProbe: Int = 2): DataFrame = {
-    val out = graft.TempDirs.scratch("graft_ivf_store")
-    writeIvfLayout(spark, dir, out)
-    probeIvfStoreFiltered(spark, out, dir, k, nProbe = nProbe)
-  }
+                           k: Int = 10, nProbe: Int = 2): DataFrame =
+    probeIvfStoreFiltered(spark, cachedIvfStore(spark, dir), dir, k,
+      nProbe = nProbe)
 
   /** COMPACT a [[writeIvfLayout]] store in place: each
     * [[appendIvfLayout]] delta lands one small file per touched cell,
@@ -1551,11 +1588,8 @@ object Similarity {
     * NO cached corpus. Output-identical to [[annIvf]] by
     * construction — the driver checks it against the SAME oracle. */
   def annIvfLoaded(spark: SparkSession, dir: String,
-                   k: Int = 10): DataFrame = {
-    val out = graft.TempDirs.scratch("graft_ivf_store")
-    writeIvfLayout(spark, dir, out)
-    probeIvfStore(spark, out, k)
-  }
+                   k: Int = 10): DataFrame =
+    probeIvfStore(spark, cachedIvfStore(spark, dir), k)
 
   /** IVF ANN with nProbe > 1 — the recall knob the [[annIvf]] scaladoc
     * documents, made real: rank ALL centroids by cosine against the
@@ -1664,24 +1698,148 @@ object Similarity {
       .select(col("vec_id"), round(col("c"), 4).as("cos"))
   }
 
+  /** Survivor oversample factor for the ADAPTIVE filtered probe: the
+    * escalation stops once the probed cells hold `oversample × k`
+    * filter survivors (or every cell is probed). Plain `≥ k` stops at
+    * the first cell whenever the filter is dense there — exactly the
+    * regime where nProbe=1 recall is lowest — so the production rule
+    * over-fetches (the standard filtered-search practice); shared
+    * with the oracle generator. */
+  val FilteredAutoOversample = 3
+
+  /** The escalation ladder: nProbe doubles from 1 and is capped at
+    * the cell count (the cap itself is always a rung, so a filter too
+    * selective for any prefix degrades to the exact pre-filtered scan
+    * rather than an under-filled answer). */
+  private[graft] def autoLadder(nCells: Int): Seq[Int] =
+    (Iterator.iterate(1)(_ * 2).takeWhile(_ < nCells).toSeq
+      :+ nCells).distinct
+
+  /** ADAPTIVE-nProbe filtered ANN — closes the operational hole the
+    * recall panel measures (a selective filter starves the probed
+    * cells; a FIXED nProbe silently returns an under-recalled or
+    * under-filled list): rank the cells against the query once, then
+    * walk the doubling ladder, counting filter SURVIVORS in each
+    * newly probed slice, until the probed prefix holds
+    * [[FilteredAutoOversample]]·k survivors or every cell is probed —
+    * then exact-rank inside the chosen prefix (the same scoring and
+    * rounding as [[annIvfFiltered]], so at an equal nProbe the two
+    * are output-identical, spec-pinned). Each escalation step touches
+    * only the NEW cells (on the durable layout, new partition dirs —
+    * [[probeIvfStoreFilteredAuto]]), so the worst case costs one
+    * ladder walk of the same directories a fixed cap-level probe
+    * reads once. When the filter leaves fewer than the target
+    * survivors corpus-wide, the cap rung makes the answer the EXACT
+    * pre-filtered truth (recall 1.0 — spec-pinned on a constructed
+    * starved corpus). The DuckDB oracle replicates the ladder rule
+    * itself, so the escalation CHOICE is hash-checked, not just the
+    * final ranking. */
+  def annIvfFilteredAuto(spark: SparkSession, dir: String, k: Int = 10,
+                         minSurvivors: Option[Int] = None): DataFrame = {
+    val target = minSurvivors.getOrElse(FilteredAutoOversample * k)
+    val cells = ivfCells(spark, dir).stage()
+    val e = emb(spark, dir)
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val cents = e.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val ranked = cents
+      .sortBy { case (cid, cv) => (-cosSeqInf(qv, cv), cid) }
+      .map(_._1).toSeq
+    val chosen = escalate(ranked, target) { newCells =>
+      cells.filter(col("cell").isin(newCells: _*) && col("vec_id") =!= 0)
+        .join(filterIds(spark, dir), Seq("vec_id")).count()
+    }
+    cells.filter(col("cell").isin(chosen: _*) && col("vec_id") =!= 0)
+      .join(filterIds(spark, dir), Seq("vec_id"))
+      .select(col("vec_id"),
+        cosine(col("embedding"), typedLit(qv)).as("c"))
+      .orderBy(col("c").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("c"), 4).as("cos"))
+  }
+
+  /** The ladder walk shared by the in-memory and durable-store auto
+    * probes: count survivors slice by slice (each rung's count job
+    * touches only the cells the previous rung didn't), stop at the
+    * first rung whose cumulative count reaches `target`, else the
+    * cap. Returns the chosen cell prefix. */
+  private def escalate(ranked: Seq[Long], target: Long)
+                      (countIn: Seq[Long] => Long): Seq[Long] = {
+    val ladder = autoLadder(ranked.length)
+    var probed = 0
+    var survivors = 0L
+    var i = 0
+    while (i < ladder.length &&
+        (survivors < target && probed < ranked.length)) {
+      val np = ladder(i)
+      survivors += countIn(ranked.slice(probed, np))
+      probed = np
+      i += 1
+    }
+    ranked.take(probed)
+  }
+
+  /** [[annIvfFilteredAuto]] against the durable store: cell ranking
+    * from the store's own seeds, each ladder rung's survivor count a
+    * PARTITION-PRUNED scan of only the newly probed `cell=` dirs, the
+    * final ranking [[probeIvfStoreFiltered]]'s plan over the chosen
+    * prefix. Output-identical to the in-memory form on the same
+    * corpus (same seeds, routing order, rule, and predicate). */
+  def probeIvfStoreFilteredAuto(spark: SparkSession, storeDir: String,
+                                dir: String, k: Int = 10, qId: Long = 0L,
+                                minSurvivors: Option[Int] = None)
+      : DataFrame = {
+    val target = minSurvivors.getOrElse(FilteredAutoOversample * k)
+    val stored = spark.read.parquet(storeDir)
+    val qv = stored.filter(col("vec_id") === qId)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val ranked = storeSeeds(spark, storeDir)
+      .sortBy { case (cid, cv) => (-cosSeqInf(qv, cv), cid) }
+      .map(_._1).toSeq
+    val chosen = escalate(ranked, target) { newCells =>
+      stored.filter(col("cell").isin(newCells: _*) &&
+          col("vec_id") =!= qId)
+        .join(filterIds(spark, dir), Seq("vec_id")).count()
+    }
+    stored.filter(col("cell").isin(chosen: _*) && col("vec_id") =!= qId)
+      .join(filterIds(spark, dir), Seq("vec_id"))
+      .select(col("vec_id"),
+        cosine(col("embedding"), typedLit(qv)).as("c"))
+      .orderBy(col("c").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("c"), 4).as("cos"))
+  }
+
+  /** The auto probe over the session-cached harness store — the
+    * loaded driver entry (shares the in-memory form's oracle). */
+  def annIvfFilteredAutoLoaded(spark: SparkSession, dir: String,
+                               k: Int = 10): DataFrame =
+    probeIvfStoreFilteredAuto(spark, cachedIvfStore(spark, dir), dir, k)
+
   /** FILTERED-ANN recall panel — the operational question of filtered
     * vector search measured: does the metadata filter empty the probed
     * cells, and does raising nProbe recover it? One row per nProbe
-    * (1, 2): hits of [[annIvfFiltered]]'s top-k within the exact
-    * pre-filtered truth ([[annFiltered]]). Recall is MONOTONE in
-    * nProbe by construction (a truth vector inside the candidate set
-    * is always inside its top-k — fewer than k corpus vectors beat
-    * it), so the panel reads as the knob's recovery curve. Arms ARE
-    * the standalone oracle-checked queries; the truth list broadcasts
-    * (k rows). */
+    * (1, 2) plus the ADAPTIVE probe ([[annIvfFilteredAuto]] — the
+    * rule's landing point on this corpus): hits of each arm's top-k
+    * within the exact pre-filtered truth ([[annFiltered]]). Recall is
+    * MONOTONE in nProbe by construction (a truth vector inside the
+    * candidate set is always inside its top-k — fewer than k corpus
+    * vectors beat it), so the panel reads as the knob's recovery
+    * curve. Arms ARE the standalone oracle-checked queries; the truth
+    * list broadcasts (k rows). */
   def annFilteredRecallEval(spark: SparkSession, dir: String,
                             k: Int = 10): DataFrame = {
     val truth = broadcast(annFiltered(spark, dir, k).select(col("vec_id")))
-    Seq(1, 2).map { np =>
-      annIvfFiltered(spark, dir, k, nProbe = np)
-        .select(col("vec_id")).join(truth, Seq("vec_id"))
+    val arms: Seq[(String, DataFrame)] =
+      Seq(1, 2).map(np =>
+        s"nprobe$np" -> annIvfFiltered(spark, dir, k, nProbe = np)) :+
+        ("auto" -> annIvfFilteredAuto(spark, dir, k))
+    arms.map { case (name, df) =>
+      df.select(col("vec_id")).join(truth, Seq("vec_id"))
         .agg(count(lit(1)).as("hits"))
-        .select(lit(s"nprobe$np").as("method"), col("hits"),
+        .select(lit(name).as("method"), col("hits"),
           round(col("hits").cast("double") / k, 4).as(s"recall$k"))
     }.reduce(_ unionByName _).orderBy("method")
   }

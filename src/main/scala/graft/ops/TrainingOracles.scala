@@ -167,6 +167,52 @@ object TrainingOracles {
        SELECT vec_id, round(c, 4) AS cos FROM s
        ORDER BY c DESC, vec_id LIMIT 10"""
 
+  /** The ADAPTIVE filtered probe's SQL — the escalation RULE itself
+    * replicated (mirrors [[Similarity.annIvfFilteredAuto]]): rank the
+    * cells against the query, compute cumulative filter-survivor
+    * counts along the cell ranking, choose the smallest rung of the
+    * doubling ladder (capped at the cell count) whose prefix holds
+    * `oversample × k` survivors (else the cap), rank inside the
+    * chosen prefix. Hash-checking this checks the escalation CHOICE,
+    * not just a fixed-nProbe ranking. */
+  private def annIvfFilteredAutoSql: String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                   WHERE vec_id < ${Similarity.IvfCentroids}),
+       a AS (SELECT e.vec_id, e.embedding, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${cos("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+             FROM embeddings e CROSS JOIN c),
+       cells AS (SELECT vec_id, embedding, cid AS cell FROM a WHERE rn = 1),
+       f AS (SELECT doc_id AS vec_id FROM documents
+             WHERE lang = '${Similarity.FilterLang}'
+               AND n_chars >= ${Similarity.FilterMinChars}),
+       q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       qrank AS (SELECT c.cid,
+                        row_number() OVER (
+                          ORDER BY ${cos("q.qv", "c.cvec")} DESC, c.cid) AS crank
+                 FROM c CROSS JOIN q),
+       surv AS (SELECT qr.crank, count(*) AS cnt
+                FROM cells x JOIN f ON x.vec_id = f.vec_id
+                     JOIN qrank qr ON x.cell = qr.cid
+                WHERE x.vec_id <> 0 GROUP BY qr.crank),
+       lad AS (SELECT DISTINCT
+                      least(CAST(pow(2, i) AS BIGINT),
+                            (SELECT count(*) FROM c)) AS np
+               FROM range(0, 30) t(i)),
+       cum AS (SELECT lad.np, coalesce(sum(s.cnt), 0) AS cum
+               FROM lad LEFT JOIN surv s ON s.crank <= lad.np
+               GROUP BY lad.np),
+       chosen AS (SELECT coalesce(min(np), (SELECT count(*) FROM c)) AS np
+                  FROM cum
+                  WHERE cum >= ${Similarity.FilteredAutoOversample * 10}),
+       s AS (SELECT x.vec_id, ${cos("x.embedding", "q.qv")} AS c
+             FROM cells x JOIN f ON x.vec_id = f.vec_id
+                  JOIN qrank qr ON x.cell = qr.cid
+                  CROSS JOIN q CROSS JOIN chosen
+             WHERE x.vec_id <> 0 AND qr.crank <= chosen.np)
+       SELECT vec_id, round(c, 4) AS cos FROM s
+       ORDER BY c DESC, vec_id LIMIT 10"""
+
   private def annIvfFilteredSql(nProbe: Int): String =
     s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
                    WHERE vec_id < ${Similarity.IvfCentroids}),
@@ -1324,17 +1370,26 @@ object TrainingOracles {
     // (mirrors Similarity.annIvfFiltered)
     "q25_ann_ivf_filtered" -> annIvfFilteredSql(2),
 
-    // filtered-ANN recall panel: both arms wrap the SAME SQL the
-    // standalone entries run (annIvfFilteredSql at nProbe 1 and 2)
-    // against the exact pre-filtered truth — mirrors
-    // Similarity.annFilteredRecallEval
+    // adaptive filtered probe: the escalation rule replicated in SQL
+    // (ladder choice hash-checked, not just the final ranking)
+    "q25_ann_filtered_auto" -> annIvfFilteredAutoSql,
+
+    // filtered-ANN recall panel: every arm wraps the SAME SQL the
+    // standalone entries run (annIvfFilteredSql at nProbe 1 and 2,
+    // plus the adaptive probe) against the exact pre-filtered truth —
+    // mirrors Similarity.annFilteredRecallEval
     "q25_ann_filtered_recall" -> {
-      val arms = Seq(1, 2).map { np =>
+      val arms = (Seq(1, 2).map { np =>
         s"""SELECT 'nprobe$np' AS method,
               CAST((SELECT count(*)
                     FROM (${annIvfFilteredSql(np)}) m$np
                     JOIN truth USING (vec_id)) AS BIGINT) AS hits"""
-      }.mkString(" UNION ALL ")
+      } :+
+        s"""SELECT 'auto' AS method,
+              CAST((SELECT count(*)
+                    FROM ($annIvfFilteredAutoSql) ma
+                    JOIN truth USING (vec_id)) AS BIGINT) AS hits""")
+        .mkString(" UNION ALL ")
       s"""WITH truth AS (SELECT vec_id FROM ($annFilteredSql) tt),
          h AS ($arms)
          SELECT method, hits,

@@ -16,11 +16,15 @@ class ReplSpec extends SparkSpec {
   lazy val positional = graft.index.PositionalIndex.build(spark, corpus)
 
   private def run(input: String, withWildcards: Boolean = true,
-                  withPositional: Boolean = true): String = {
+                  withPositional: Boolean = true,
+                  bm25: Option[graft.query.Bm25Server] = None,
+                  ann: Option[(org.apache.spark.sql.SparkSession,
+                    String, String)] = None): String = {
     val out = new ByteArrayOutputStream()
     Repl.loop(ix, if (withWildcards) Some(chargrams) else None,
       new BufferedReader(new StringReader(input)), new PrintStream(out, true),
-      positional = if (withPositional) Some(positional) else None)
+      positional = if (withPositional) Some(positional) else None,
+      bm25 = bm25, ann = ann)
     out.toString("UTF-8")
   }
 
@@ -97,7 +101,8 @@ class ReplSpec extends SparkSpec {
   test("persist + open serves ranked AND wildcard queries from the written index") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ixstore").toString
     Repl.persist(ix, Some(chargrams), dir, Some(positional))
-    val Repl.Session(lx, lcg, lpos) = Repl.open(spark, dir)
+    val opened = Repl.open(spark, dir)
+    val (lx, lcg, lpos) = (opened.ix, opened.chargrams, opened.positional)
     assert(lcg.isDefined, "durable char-gram table not loaded")
     assert(lpos.isDefined, "durable positional index not loaded")
     // phrase parity on the loaded positional artifacts
@@ -129,5 +134,49 @@ class ReplSpec extends SparkSpec {
       new PrintStream(out, true), usePointServer = false)
     assert(out.toString("UTF-8").contains("FT911-0013 "),
       s"wildcard miss on loaded index:\n$out")
+  }
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("bm25 queries route through the prepared multi-term server " +
+    "and print the exact unpruned ranking") {
+    val srv = new graft.query.Bm25Server(spark,
+      graft.queries.IrSql.bm25StatsStore(spark, sfDir))
+    val terms = graft.queries.IrSql.ExpandedQueryTerms
+    val want = graft.queries.IrSql.q10Bm25Multi(spark, sfDir, terms)
+      .collect().map(r => f"${r.getLong(0)}%d ${r.getDouble(1)}%.4f")
+    val got = run(s"bm25 ${terms.mkString(" ")}\n\n", bm25 = Some(srv))
+    want.foreach(line =>
+      assert(got.contains(line), s"missing [$line] in:\n$got"))
+    // a bm25 query longer than 2 words must NOT trip the arity exit:
+    // the loop keeps serving afterwards
+    val got2 = run(s"bm25 merge stream data\nmerge\n\n", bm25 = Some(srv))
+    assert(got2.contains("FT911-0017"), "loop died after a bm25 query")
+    // all-unknown terms report no results instead of erroring
+    assert(run("bm25 zzzqqq xxyy\n\n", bm25 = Some(srv))
+      .contains("No results"))
+  }
+
+  test("ann queries route through the adaptive filtered probe over " +
+    "the durable store") {
+    val store = graft.ops.Similarity.cachedIvfStore(spark, sfDir)
+    val annCtx = Some((spark, store, sfDir))
+    val want = graft.ops.Similarity
+      .probeIvfStoreFilteredAuto(spark, store, sfDir, qId = 0L)
+      .collect().map(r => f"${r.getLong(0)}%d ${r.getDouble(1)}%.4f")
+    assert(want.nonEmpty)
+    val got = run("ann 0\n\n", ann = annCtx)
+    want.foreach(line =>
+      assert(got.contains(line), s"missing [$line] in:\n$got"))
+    // unknown vec_id reports cleanly and the loop survives
+    val got2 = run("ann 99999999\nmerge\n\n", ann = annCtx)
+    assert(got2.contains("no such vec_id"))
+    assert(got2.contains("FT911-0017"), "loop died after the ann error")
+  }
+
+  test("bm25 and ann degrade gracefully without their serving state") {
+    assert(run("bm25 merge stream data\n\n")
+      .contains("needs the index-time stats store"))
+    assert(run("ann 0\n\n").contains("needs the vector store"))
   }
 }

@@ -800,15 +800,16 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("filtered ANN recall panel: hits reproduce from the component " +
-    "queries and recall is monotone in nProbe") {
+    "queries (adaptive arm included) and recall is monotone in nProbe") {
     val rows = Similarity.annFilteredRecallEval(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
-    assert(rows.map(_._1).toSeq == Seq("nprobe1", "nprobe2"))
+    assert(rows.map(_._1).toSeq == Seq("auto", "nprobe1", "nprobe2"))
     val truth = Similarity.annFiltered(spark, dir).collect()
       .map(_.getLong(0)).toSet
     rows.foreach { case (m, hits, rec) =>
-      val np = m.stripPrefix("nprobe").toInt
-      val arm = Similarity.annIvfFiltered(spark, dir, nProbe = np)
+      val arm = (if (m == "auto") Similarity.annIvfFilteredAuto(spark, dir)
+        else Similarity.annIvfFiltered(spark, dir,
+          nProbe = m.stripPrefix("nprobe").toInt))
         .collect().map(_.getLong(0)).toSet
       assert(hits == (arm & truth).size.toLong,
         s"$m hits diverged from component recompute")
@@ -817,6 +818,111 @@ class DedupSimilaritySpec extends SparkSpec {
     val byM = rows.map(r => r._1 -> r._2).toMap
     assert(byM("nprobe2") >= byM("nprobe1"),
       "recall must be monotone in nProbe")
+    assert(byM("auto") >= byM("nprobe1"),
+      "the adaptive probe can never see fewer cells than nProbe=1")
+  }
+
+  test("adaptive filtered probe: ladder choice reproduces from a " +
+    "driver recompute, equals the fixed-nProbe ranking at its chosen " +
+    "rung, and the loaded form matches the in-memory form") {
+    // driver recompute of the escalation rule
+    val vecs = graft.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val qv = vecs.find(_._1 == 0L).get._2
+    val pass = graft.Tables.load(spark, dir, "documents")
+      .filter(col("lang") === Similarity.FilterLang &&
+        col("n_chars") >= Similarity.FilterMinChars)
+      .collect().map(_.getLong(0)).toSet
+    val cents = vecs.filter(_._1 < Similarity.IvfCentroids)
+    def cellOf(v: Seq[Float]): Long =
+      cents.map(c => (c._1, Similarity.cosSeqInf(v, c._2)))
+        .maxBy { case (cid, s) => (s, -cid) }._1
+    val ranked = cents.map(c => (c._1, Similarity.cosSeqInf(qv, c._2)))
+      .sortBy { case (cid, s) => (-s, cid) }.map(_._1).toSeq
+    val byCell = vecs.filter(v => v._1 != 0L && pass(v._1))
+      .groupBy(v => cellOf(v._2)).view.mapValues(_.length).toMap
+    val ladder = Similarity.autoLadder(ranked.length)
+    val target = Similarity.FilteredAutoOversample * 10
+    val chosenNp = ladder.find(np =>
+      ranked.take(np).map(c => byCell.getOrElse(c, 0)).sum >= target)
+      .getOrElse(ranked.length)
+    val probedSet = ranked.take(chosenNp).toSet
+    val wantIds = vecs
+      .filter(v => v._1 != 0L && pass(v._1) && probedSet(cellOf(v._2)))
+      .map(v => (v._1, Similarity.cosSeqInf(v._2, qv)))
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSeq
+    val auto = Similarity.annIvfFilteredAuto(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(auto.map(_._1) == wantIds,
+      s"adaptive probe diverged from the rule recompute (np=$chosenNp)")
+    // at its chosen rung the adaptive ranking == the fixed-nProbe one
+    assert(auto == Similarity.annIvfFiltered(spark, dir,
+        nProbe = chosenNp)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+      "auto != fixed nProbe at the same rung")
+    // durable-store form: identical output
+    val out = graft.TempDirs.scratch("graft_fann_auto")
+    Similarity.writeIvfLayout(spark, dir, out)
+    assert(Similarity.probeIvfStoreFilteredAuto(spark, out, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == auto,
+      "loaded adaptive probe diverged from the in-memory form")
+  }
+
+  test("loaded-ANN harness stores are session-cached on corpus " +
+    "content: repeat calls reuse one store, a rewritten corpus gets " +
+    "a fresh one") {
+    val s1 = Similarity.cachedIvfStore(spark, dir)
+    assert(Similarity.cachedIvfStore(spark, dir) == s1,
+      "second call must reuse the session store")
+    // the loaded entries answer from it (and still match in-memory)
+    assert(Similarity.annIvfLoaded(spark, dir).collect().toSeq ==
+      Similarity.annIvf(spark, dir).collect().toSeq)
+    // rewrite a corpus copy in place: content stamp changes → new store
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_store_cache").toString
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .write.mode("overwrite").parquet(s"$root/embeddings.parquet")
+    val c1 = Similarity.cachedIvfStore(spark, root)
+    assert(Similarity.cachedIvfStore(spark, root) == c1)
+    Thread.sleep(1100) // mtime granularity
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .limit(400).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/embeddings.parquet")
+    assert(Similarity.cachedIvfStore(spark, root) != c1,
+      "rewritten corpus must not serve the stale store")
+  }
+
+  test("adaptive filtered probe stops at the cap on a starved corpus " +
+    "and then IS the exact pre-filtered truth (recall 1.0)") {
+    // constructed corpus: copy sf0.001 but leave < target qualifying
+    // docs, so every ladder rung under-fills and the rule must walk to
+    // the cap (all cells probed == exact pre-filter scan)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_fann_starve").toString
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val qualifying = docs
+      .filter(col("lang") === Similarity.FilterLang &&
+        col("n_chars") >= Similarity.FilterMinChars)
+      .select("doc_id").orderBy("doc_id").limit(7)
+      .collect().map(_.getLong(0)).toSet
+    // demote every other qualifying doc below the length gate
+    docs.withColumn("n_chars",
+        when(col("lang") === Similarity.FilterLang &&
+          col("n_chars") >= Similarity.FilterMinChars &&
+          !col("doc_id").isin(qualifying.toSeq: _*),
+          lit(0L)).otherwise(col("n_chars")))
+      .write.mode("overwrite").parquet(s"$root/documents.parquet")
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .write.mode("overwrite").parquet(s"$root/embeddings.parquet")
+    val auto = Similarity.annIvfFilteredAuto(spark, root)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = Similarity.annFiltered(spark, root)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(exact.nonEmpty && exact.size < 10,
+      "fixture must actually starve the filter")
+    assert(auto == exact,
+      "cap-level adaptive probe must equal the exact filtered truth")
   }
 
   test("filtered ANN durable-store probe == in-memory filtered " +
