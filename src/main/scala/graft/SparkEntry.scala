@@ -92,6 +92,8 @@ object SparkEntry {
     "q24_dedup_jaccard" -> ((s: SparkSession, d: String) => Dedup.jaccard(s, d)),
     "q24_dedup_minhash" -> (Dedup.minhashLsh _),
     "q24_dedup_eval" -> (Dedup.dedupEval _),
+    "q24_dedup_eval_sampled" ->
+      ((s: SparkSession, d: String) => Dedup.dedupEvalSampled(s, d)),
     "q24_neardup_probe" -> (Dedup.neardupProbe _),
     "q24_dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
     "q24_dedup_survivors" -> ((s: SparkSession, d: String) => Dedup.survivors(s, d)),
@@ -183,6 +185,7 @@ object SparkEntry {
     "q29_neardup_stream" -> (IrEngine.q29NeardupStream _),
     "q29_ann_stream" -> (IrEngine.q29AnnStream _),
     "q29_decontam_stream" -> (IrEngine.q29DecontamStream _),
+    "q29_funnel_stream" -> (IrEngine.q29FunnelStream _),
     "q32_sessions" -> (IrEngine.q32Sessions _),
     // Temporal joins (as-of / range) — operators Spark lacks natively
     "q30_asof" -> (Temporal.q30AsOf _),
@@ -285,7 +288,11 @@ object SparkEntry {
       ("q25_ann_filtered_loaded" -> base("q25_ann_ivf_filtered")) +
       // the adaptive probe over the durable store == the in-memory
       // adaptive probe (same seeds, ranking, ladder rule, predicate)
-      ("q25_ann_filtered_auto_loaded" -> base("q25_ann_filtered_auto"))
+      ("q25_ann_filtered_auto_loaded" -> base("q25_ann_filtered_auto")) +
+      // the one-pass streaming funnel's gate decisions == the batch
+      // curation funnel's row-for-row (range-chunk staging makes the
+      // stream's first-arrival keeper the batch's global-min keeper)
+      ("q29_funnel_stream" -> base("q27_funnel"))
   }
 
   /** The BM25 ranking oracle — shared by q10_bm25 and the lexical arm

@@ -335,6 +335,121 @@ object Dedup {
           .as("lsh_recall"))
   }
 
+  /** Sample percentage (of 100) for [[dedupEvalSampled]]'s
+    * deterministic content-hash doc sample — shared with the
+    * oracle. */
+  val DedupEvalSamplePct = 20L
+
+  /** SAMPLED-TRUTH dedup monitoring panel — the scale-viable form of
+    * [[dedupEval]] (whose exact-truth arm was the dedup family's one
+    * remaining super-linear term, so no quality number survived to
+    * production scale): restrict BOTH arms to pairs TOUCHING a
+    * deterministic content-hash sample (polyhash(text) mod 100 <
+    * `pct` — the q27_split stable-hash discipline, so the draw is
+    * reproducible run-over-run and engine-over-engine):
+    *  - LSH arm: the sample's band rows probe the FULL band table
+    *    (the [[neardupProbe]] shape — a sample-bounded equi-join,
+    *    never the full self-join),
+    *  - truth arm: the sample's prefix rows probe the full prefix
+    *    table; the prefix + length pruning stays lossless for
+    *    touching pairs (a J ≥ t pair shares a prefix shingle
+    *    whichever side is sampled) and the exact intersection verify
+    *    stays candidate-bounded, as in [[jaccard]].
+    * Touching precision/recall estimate the full panel: under the
+    * content-hash draw each pair is touched with probability
+    * ≈ 2p − p² independent of its Jaccard (the hash is uniform over
+    * content), so both ratios are unbiased with binomial
+    * O(1/√n_touching) confidence width — n_true/n_candidates are in
+    * the row exactly so an operator can read that width. The
+    * exact-truth [[dedupEval]] stays as the test-scale fidelity
+    * check. */
+  def dedupEvalSampled(spark: SparkSession, dir: String,
+                       pct: Long = DedupEvalSamplePct): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val smp = docs(spark, dir)
+      .select(col("doc_id"),
+        pmod(graft.functions.GraftFunctions.polyhash(col("text"), P),
+          lit(100L)).as("h"))
+      .filter(col("h") < pct)
+      .select("doc_id")
+      .stage()
+    val nS = smp.count()
+    // LSH candidates touching the sample: sample bands probe all bands
+    val bands = bandTable(minhashWide(spark, dir)).stage()
+    val bandsS = bands.join(smp, Seq("doc_id"), "left_semi")
+    val lsh = bandsS.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
+      .stage()
+    val truth = jaccardTouching(spark, dir, smp, 0.5)
+      .select("doc_a", "doc_b").stage()
+    val nL = lsh.count()
+    val nT = truth.count()
+    val hit = lsh.join(truth, Seq("doc_a", "doc_b")).count()
+    import spark.implicits._
+    Seq((nS, nL, nT, hit))
+      .toDF("n_sample", "n_candidates", "n_true", "n_hit")
+      .select(col("n_sample"), col("n_candidates"), col("n_true"),
+        col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_candidates"), 4)
+          .as("lsh_precision"),
+        round(col("n_hit").cast("double") / col("n_true"), 4)
+          .as("lsh_recall"))
+  }
+
+  /** [[jaccard]]'s candidate machinery with generation restricted to
+    * pairs touching `smp`: the sample's prefix rows probe the full
+    * prefix table (sample-bounded), the exact verify is unchanged.
+    * Output == the full [[jaccard]] pair set filtered to touching
+    * pairs (the join condition is symmetric), spec-pinned. */
+  private def jaccardTouching(spark: SparkSession, dir: String,
+                              smp: DataFrame,
+                              threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val sets = docShingleSets(spark, dir)
+      .withColumn("n", size(col("sh_set")))
+      .stage()
+    val sh = sets.select(col("doc_id"), col("n"),
+      explode(col("sh_set")).as("shingle"))
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
+    val prefix = sh
+      .join(dfreq, "shingle")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("sdf"), col("shingle"))))
+      .filter(col("pos") <=
+        col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("doc_id"), col("shingle"), col("n"))
+      .stage()
+    val prefixS = prefix.join(smp, Seq("doc_id"), "left_semi")
+    val cand = prefixS.as("a")
+      .join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") =!= col("b.doc_id") &&
+          col("a.n") * threshold <= col("b.n") &&
+          col("b.n") * threshold <= col("a.n"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sets.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.GraftFunctions
+          .intersectSize(col("x.sh_hash"), col("x.sh_set"),
+            col("y.sh_hash"), col("y.sh_set")).as("inter"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("j"))
+      .filter(col("j") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+  }
+
   /** The jaccard pipeline with its reusable stages exposed: (scored
     * near-dup pairs ≥ threshold, UNordered; the persisted per-doc set
     * table (doc_id, sh_hash, sh_set, n, n_tokens)). [[survivors]] and
@@ -430,11 +545,7 @@ object Dedup {
     * straight off the wide vectors (no per-component join). */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sig = minhashWide(spark, dir)
-    val bandKeys = (0 until Bands).map { b =>
-      concat_ws(",", (b * RowsPerBand until (b + 1) * RowsPerBand)
-        .map(i => col(s"mh$i").cast("string")): _*) }
-    val bands = sig.select(col("doc_id"),
-      posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+    val bands = bandTable(sig)
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -477,11 +588,7 @@ object Dedup {
   def neardupProbe(spark: SparkSession, dir: String): DataFrame = {
     val sig = minhashWide(spark, dir).stage()
     val half = docs(spark, dir).count() / 2
-    val bandKeys = (0 until Bands).map { b =>
-      concat_ws(",", (b * RowsPerBand until (b + 1) * RowsPerBand)
-        .map(i => col(s"mh$i").cast("string")): _*) }
-    val bands = sig.select(col("doc_id"),
-      posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+    val bands = bandTable(sig)
     val cand = bands.filter(col("doc_id") >= half).as("y")
       .join(bands.filter(col("doc_id") < half).as("x"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key"))
@@ -498,6 +605,17 @@ object Dedup {
         round(matches / lit(MinhashPerms.size.toDouble), 4)
           .as("est_jaccard"))
       .orderBy("delta_doc", "base_doc")
+  }
+
+  /** The (doc_id, band, key) banding of a wide minhash signature —
+    * ONE definition of the band-key rendering shared by the LSH
+    * self-join, the delta probe, and the sampled eval's probe. */
+  private def bandTable(sig: DataFrame): DataFrame = {
+    val bandKeys = (0 until Bands).map { b =>
+      concat_ws(",", (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(i => col(s"mh$i").cast("string")): _*) }
+    sig.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
   }
 
   /** Minhash band-key rows over an arbitrary (doc_id, text) frame,

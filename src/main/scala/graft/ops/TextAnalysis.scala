@@ -25,7 +25,13 @@ object TextAnalysis {
     * words; ≥ 0.03 → 'en'. (An n-gram-profile classifier would slot in
     * the same shape: per-token feature → per-doc ratio → argmax.) */
   def langId(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+    langIdOf(docs(spark, dir)).orderBy("doc_id")
+
+  /** [[langId]] over an arbitrary (doc_id, text) frame — the shared
+    * expression, so the streaming funnel gate's per-batch language
+    * decisions are the batch operator's by construction. */
+  private[graft] def langIdOf(df: DataFrame): DataFrame =
+    df
       .select(col("doc_id"), explode(tokensArrayFast(col("text"))).as("term"))
       .groupBy(col("doc_id"))
       .agg(round(
@@ -33,11 +39,15 @@ object TextAnalysis {
           count(lit(1)).cast("double"), 4).as("stop_ratio"))
       .withColumn("lang_pred",
         when(col("stop_ratio") >= 0.03, "en").otherwise("other"))
-      .orderBy("doc_id")
 
   /** Quality scoring: length / token / character-class ratios per doc. */
   def quality(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+    qualityOf(docs(spark, dir)).orderBy("doc_id")
+
+  /** [[quality]] over an arbitrary (doc_id, text) frame (the
+    * [[langIdOf]] stream/batch-parity discipline). */
+  private[graft] def qualityOf(df: DataFrame): DataFrame =
+    df
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars_raw"),
         tokensArrayFast(col("text")).as("toks"))
@@ -48,7 +58,6 @@ object TextAnalysis {
             .cast("double") / size(col("toks")), 4).as("avg_token_len"),
         round((length(concat_ws(" ", col("toks"))) + 1).cast("double") /
           (col("n_chars_raw") + 1), 4).as("alnum_ratio"))
-      .orderBy("doc_id")
 
   /** Per-domain quality-gate percentile (keep the top quarter of each
     * source by score — the CCNet/FineWeb "best p% per dump" shape). */

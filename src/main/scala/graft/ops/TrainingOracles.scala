@@ -787,6 +787,49 @@ object TrainingOracles {
                 round(CAST(nh AS DOUBLE) / nt, 4) AS lsh_recall
          FROM m""",
 
+    // sampled-truth dedup monitoring: the q24_dedup_eval panel with
+    // BOTH arms restricted to pairs touching a deterministic
+    // content-hash sample (polyhash(text) % 100 < pct — the q27_split
+    // stable-hash discipline); mirrors Dedup.dedupEvalSampled
+    "q24_dedup_eval_sampled" ->
+      s"""$docShingles,
+         smp AS (SELECT doc_id FROM documents
+                 WHERE ${ddbPolyHash("text", P)} % 100
+                       < ${Dedup.DedupEvalSamplePct}),
+         hh AS (SELECT doc_id, ${ddbPolyHash("shingle", PM)} AS h FROM sh),
+         sig AS (SELECT doc_id, i, min((a * h + b) % $PM) AS mh
+                 FROM hh CROSS JOIN $ddbPermValues GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // $RowsPerBand AS band,
+                          string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+                   FROM sig GROUP BY doc_id, i // $RowsPerBand),
+         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                  FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+                  WHERE x.doc_id IN (SELECT doc_id FROM smp)
+                     OR y.doc_id IN (SELECT doc_id FROM smp)),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         truth AS (SELECT doc_a, doc_b
+                   FROM inter JOIN sz x ON doc_a = x.doc_id
+                              JOIN sz y ON doc_b = y.doc_id
+                   WHERE i / (x.n + y.n - i) >= 0.5
+                     AND (doc_a IN (SELECT doc_id FROM smp)
+                          OR doc_b IN (SELECT doc_id FROM smp))),
+         m AS (SELECT (SELECT count(*) FROM smp) AS ns,
+                      (SELECT count(*) FROM cand) AS nl,
+                      (SELECT count(*) FROM truth) AS nt,
+                      (SELECT count(*) FROM cand
+                       JOIN truth USING (doc_a, doc_b)) AS nh)
+         SELECT CAST(ns AS BIGINT) AS n_sample,
+                CAST(nl AS BIGINT) AS n_candidates,
+                CAST(nt AS BIGINT) AS n_true,
+                CAST(nh AS BIGINT) AS n_hit,
+                round(CAST(nh AS DOUBLE) / nl, 4) AS lsh_precision,
+                round(CAST(nh AS DOUBLE) / nt, 4) AS lsh_recall
+         FROM m""",
+
     // near-dup DELTA probe: delta band keys joined into the base's
     // banded signature table (same half split as q24_dedup_delta,
     // same banding as q24_dedup_minhash)

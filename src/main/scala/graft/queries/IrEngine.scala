@@ -762,6 +762,153 @@ object IrEngine {
             "contam_ratio DOUBLE"))
   }
 
+  /** ONE-PASS STREAMING CURATION FUNNEL — the three document gates
+    * composed the way a real ingest runs them: each arriving doc is
+    * decided by language-ID, quality, exact-dedup keeper AND
+    * benchmark decontamination inside ONE `foreachBatch` over ONE
+    * staged stream (previously each gate was its own pass), with a
+    * per-doc audit row (the four gate flags) appended to a parquet
+    * sink; the emitted result is [[graft.ops.TextAnalysis
+    * .curationFunnel]]'s one-row cumulative survivor report computed
+    * from the audit table — stream decisions == batch decisions
+    * row-for-row, so the two entries share ONE oracle (q27_funnel).
+    *
+    * Parity argument, gate by gate: language, quality and
+    * decontamination are per-doc functions of (content, id) computed
+    * by the BATCH OPERATORS' own expressions ([[graft.ops
+    * .TextAnalysis.langIdOf]]/`qualityOf`, [[graft.ops.Dedup
+    * .docShinglesOf]] against the static benchmark trigram table), so
+    * they cannot differ. The dedup-keeper gate is the one with
+    * cross-doc state: the batch keeper is the GLOBAL min doc_id per
+    * digest, while a stream can only admit first-arrivals — so this
+    * gate stages the corpus as doc_id-RANGE chunks (not the mod-3
+    * routing of the single-gate streams): ranges arrive in id order,
+    * hence a digest's first arrival IS its global minimum, and
+    * "not in the accumulated digest index, min within batch" equals
+    * the batch keeper exactly.
+    *
+    * Channels are all tables (the r9/r10 gate discipline): the digest
+    * index accumulates per batch, the audit sink appends per batch,
+    * nothing lives on the driver. Per-batch work: two token passes +
+    * one shingle pass over the batch, a broadcast join against the
+    * (eval-suite-sized) benchmark trigrams, and a digest anti-join
+    * against the index — each linear in the batch. */
+  def q29FunnelStream(spark: SparkSession, dir: String): DataFrame =
+    q29FunnelAudit(spark, dir)
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("g1"), 1L).otherwise(0L)).as("n_lang"),
+        sum(when(col("g1") && col("g2"), 1L).otherwise(0L))
+          .as("n_quality"),
+        sum(when(col("g1") && col("g2") && col("g3"), 1L).otherwise(0L))
+          .as("n_dedup"),
+        sum(when(col("g1") && col("g2") && col("g3") && col("g4"), 1L)
+          .otherwise(0L)).as("n_final"))
+
+  /** The funnel gate's per-doc audit table (doc_id, g1..g4) — the
+    * spec surface proving stream decisions == the batch operators'
+    * per doc, not only in aggregate. */
+  private[graft] def q29FunnelAudit(spark: SparkSession,
+                                    dir: String): DataFrame = {
+    import graft.ops.TextAnalysis.{ContamMod, ContamDropThreshold}
+    graft.functions.GraftFunctions.register(spark)
+    val staged = stagedOnce(dir, "fnl", sourceStamp(dir, "documents")) {
+      root =>
+        import java.nio.file.Files
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        // contiguous doc_id ranges (see keeper-parity argument above);
+        // exact tertile boundaries via approxQuantile at zero error
+        val b = d.stat.approxQuantile("doc_id",
+          Array(1.0 / 3, 2.0 / 3), 0.0)
+        val preds = Seq(col("doc_id") < b(0),
+          col("doc_id") >= b(0) && col("doc_id") < b(1),
+          col("doc_id") >= b(1))
+        Files.createDirectories(root)
+        preds.zipWithIndex.foreach { case (p, i) =>
+          val tmp = root.resolve(s"_build$i")
+          d.filter(p).coalesce(1)
+            .write.mode("overwrite").parquet(tmp.toString)
+          val ls = Files.list(tmp)
+          val part =
+            try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+            finally ls.close()
+          val dst = root.resolve(s"chunk-$i.parquet")
+          Files.move(part, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.toFile.setLastModified(1000000000000L + i * 60000L)
+          val wk = Files.walk(tmp)
+          try wk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p2 => { Files.deleteIfExists(p2); () })
+          finally wk.close()
+        }
+    }
+    // static benchmark trigram set (an eval suite doesn't grow with
+    // the corpus) — same build as the standalone decontamination gate
+    val benchDir = graft.TempDirs.scratch("graft_fnl_bench")
+    graft.ops.Dedup.docShingles(spark, dir)
+      .filter(pmod(col("doc_id"), lit(ContamMod)) === 0)
+      .select("shingle").distinct()
+      .write.mode("overwrite").parquet(benchDir)
+    val digestDir = graft.TempDirs.scratch("graft_fnl_digests")
+    val auditDir = graft.TempDirs.scratch("graft_fnl_audit")
+    var indexNonEmpty = false
+    val q = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bs = batch.sparkSession
+        graft.functions.GraftFunctions.register(bs)
+        val b = batch
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val lid = graft.ops.TextAnalysis.langIdOf(b)
+            .select(col("doc_id"), col("lang_pred"))
+          val qual = graft.ops.TextAnalysis.qualityOf(b)
+            .select(col("doc_id"), col("n_tokens"), col("alnum_ratio"))
+          val bd = b.select(col("doc_id"), md5(col("text")).as("digest"))
+          val batchKeepers = bd.groupBy(col("digest"))
+            .agg(min(col("doc_id")).as("doc_id"))
+          val keepers =
+            (if (indexNonEmpty)
+              batchKeepers.join(bs.read.parquet(digestDir),
+                Seq("digest"), "left_anti")
+            else batchKeepers)
+              .select(col("doc_id"), lit(1L).as("k"))
+          val sh = graft.ops.Dedup.docShinglesOf(
+            b.filter(pmod(col("doc_id"), lit(ContamMod)) =!= 0))
+          val tot = sh.groupBy("doc_id")
+            .agg(count(lit(1)).as("n_trigrams"))
+          val hit = sh.join(broadcast(bs.read.parquet(benchDir)),
+              "shingle")
+            .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+          val dec = tot.join(hit, Seq("doc_id"), "left")
+            .na.fill(0L, Seq("n_shared"))
+            .filter(round(col("n_shared").cast("double") /
+              col("n_trigrams"), 4) < ContamDropThreshold)
+            .select(col("doc_id"), lit(1L).as("c"))
+          lid.join(qual, "doc_id")
+            .join(keepers, Seq("doc_id"), "left")
+            .join(dec, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              (col("lang_pred") === "en").as("g1"),
+              (col("n_tokens").between(20, 1000) &&
+                col("alnum_ratio") >= 0.7).as("g2"),
+              col("k").isNotNull.as("g3"),
+              col("c").isNotNull.as("g4"))
+            .write.mode("append").parquet(auditDir)
+          bd.select("digest").distinct()
+            .write.mode("append").parquet(digestDir)
+          indexNonEmpty = true
+        } finally { b.unpersist(); () }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(auditDir)
+  }
+
   /** True iff a gate's results sink holds at least one parquet part —
     * the guard the typed-empty fallback keys on. [[graft.TempDirs
     * .scratch]] PRE-CREATES the sink directory, so a bare

@@ -959,6 +959,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(c.getLong(1) == nt, "truth arm must not depend on the knob")
   }
 
+  test("sampled dedup eval: both arms equal the full arms filtered " +
+    "to sample-touching pairs, and the counts reproduce") {
+    import graft.functions.GraftFunctions
+    val smp = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        pmod(GraftFunctions.polyhash(col("text"), graft.ops.CrossHash.P),
+          lit(100L)).as("h"))
+      .filter(col("h") < Dedup.DedupEvalSamplePct)
+      .collect().map(_.getLong(0)).toSet
+    assert(smp.nonEmpty && smp.size <
+      graft.Tables.load(spark, dir, "documents").count(),
+      "sample must be a proper subset")
+    def touching(ps: Seq[(Long, Long)]): Set[(Long, Long)] =
+      ps.filter(p => smp(p._1) || smp(p._2)).toSet
+    val fullLsh = Dedup.minhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val fullTruth = Dedup.jaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val wantL = touching(fullLsh)
+    val wantT = touching(fullTruth)
+    val row = Dedup.dedupEvalSampled(spark, dir).head()
+    assert(row.getLong(0) == smp.size.toLong, "n_sample diverged")
+    assert(row.getLong(1) == wantL.size.toLong,
+      s"n_candidates ${row.getLong(1)} != touching LSH ${wantL.size}")
+    assert(row.getLong(2) == wantT.size.toLong,
+      s"n_true ${row.getLong(2)} != touching truth ${wantT.size}")
+    assert(row.getLong(3) == (wantL & wantT).size.toLong)
+    assert(wantT.nonEmpty, "fixture must produce touching truth pairs")
+  }
+
   test("dedup eval: one-row panel consistent with the two pair sets " +
     "it compares") {
     val r = Dedup.dedupEval(spark, dir).collect()

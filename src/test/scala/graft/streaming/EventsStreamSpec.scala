@@ -372,6 +372,68 @@ class EventsStreamSpec extends SparkSpec {
       s"no doc rejected (${got.size} of $trainDocs)")
   }
 
+  test("one-pass streaming curation funnel: per-doc gate decisions " +
+    "equal the batch operators' (keeper gate included) and the " +
+    "summary equals the batch funnel") {
+    val dir = "/root/testdata/sf0.001"
+    val audit = graft.queries.IrEngine.q29FunnelAudit(spark, dir)
+    assert(audit.inputFiles.nonEmpty &&
+      audit.inputFiles.forall(_.contains("graft_fnl_audit")),
+      "audit channel must be the sink table, not driver memory")
+    val got = audit.collect().map(r => r.getLong(0) ->
+      (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4))).toMap
+    // batch recompute of all four gates
+    val lid = graft.ops.TextAnalysis.langId(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val qual = graft.ops.TextAnalysis.quality(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getDouble(4)))).toMap
+    val keepers = graft.Tables.load(spark, dir, "documents")
+      .groupBy(md5(col("text"))).agg(min(col("doc_id")).as("k"))
+      .collect().map(_.getLong(1)).toSet
+    val dec = graft.ops.TextAnalysis.decontaminate(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.keySet == lid.keySet, "audit must cover every doc")
+    got.foreach { case (d, (g1, g2, g3, g4)) =>
+      assert(g1 == (lid(d) == "en"), s"doc $d g1")
+      val (nt, ar) = qual(d)
+      assert(g2 == (nt >= 20 && nt <= 1000 && ar >= 0.7), s"doc $d g2")
+      assert(g3 == keepers(d),
+        s"doc $d g3: stream keeper != batch global-min keeper")
+      assert(g4 == dec(d), s"doc $d g4")
+    }
+    // summary row == the batch funnel's
+    assert(graft.queries.IrEngine.q29FunnelStream(spark, dir)
+      .collect().map(_.toSeq).toSeq ==
+      graft.ops.TextAnalysis.curationFunnel(spark, dir)
+        .collect().map(_.toSeq).toSeq)
+    // keeper-REJECT path: sf0.001 holds no exact duplicates, so build
+    // a corpus with one late-arriving duplicate of an early doc (it
+    // lands in a LATER chunk) and pin that the stream demotes exactly
+    // the late copy — the first-arrival == global-min argument live
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_fnl_dup").toString
+    val d0 = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val maxId = d0.agg(max(col("doc_id"))).head().getLong(0)
+    d0.unionByName(
+        d0.orderBy("doc_id").limit(1)
+          .withColumn("doc_id", lit(maxId + 1)))
+      .write.mode("overwrite").parquet(s"$root/documents.parquet")
+    val dupAudit = graft.queries.IrEngine.q29FunnelAudit(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val firstId = d0.agg(min(col("doc_id"))).head().getLong(0)
+    assert(dupAudit(firstId), "the original must stay the keeper")
+    assert(!dupAudit(maxId + 1),
+      "the late duplicate must be demoted by the digest index")
+    // and the summary still equals the batch funnel on that corpus
+    assert(graft.queries.IrEngine.q29FunnelStream(spark, root)
+      .collect().map(_.toSeq).toSeq ==
+      graft.ops.TextAnalysis.curationFunnel(spark, root)
+        .collect().map(_.toSeq).toSeq)
+  }
+
   test("streaming ANN ingest gate: pairs come from the parquet sink " +
     "and match the same-cell cross-chunk batch recompute") {
     val dir = "/root/testdata/sf0.001"
