@@ -228,6 +228,8 @@ object SparkEntry {
     "q25_knn_graph_coarse" ->
       ((s: SparkSession, d: String) =>
         Similarity.knnGraph(s, d, coarse = Some(true))),
+    "q25_knn_graph_balanced" ->
+      ((s: SparkSession, d: String) => Similarity.knnGraphBalanced(s, d)),
     "q25_ann_mrl" ->
       ((s: SparkSession, d: String) => Similarity.annMrl(s, d)),
     "q25_negatives" ->

@@ -859,6 +859,11 @@ object Similarity {
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("nbr"),
         cosine(col("a.embedding"), col("b.embedding")).as("c"))
+    knnTop(scored, k)
+  }
+
+  /** The shared per-source top-k tail of the k-NN graph family. */
+  private def knnTop(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("src"))
       .agg(graft.functions.GraftFunctions
         .topkBy(col("c"), col("nbr"), k).as("top"))
@@ -867,6 +872,81 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rn"),
         col("col.id").as("nbr"), round(col("col.score"), 4).as("cos"))
       .orderBy("vec_id", "rn")
+
+  /** Occupancy past which [[balancedCellsOf]] re-splits a cell: 4×
+    * the [[SemDedupCellSize]] target — small drift is normal argmax
+    * variance, a 4× cell is the Σocc² skew that breaks the family's
+    * linear-work argument (shared with the oracle generator). */
+  val BalancedCellCap: Long = 4L * SemDedupCellSize
+
+  /** OCCUPANCY-BALANCED dynamic-k assignment — the answer to the
+    * measured knn-graph pair skew (round-12 KnnGraphProf at 26×:
+    * median cell 62 but max 1,823 on the amplified corpus, so
+    * candidate pairs grow with Σocc² — ×147 for ×26 data — while the
+    * ÷128 sizing only controls the MEAN): cells whose occupancy
+    * exceeds [[BalancedCellCap]] are re-seeded INSIDE the cell (its
+    * m = ⌈occ/[[SemDedupCellSize]]⌉ smallest vec_ids, numbered by id
+    * rank — the store-family seed discipline) and their vectors
+    * argmax-assigned to sub-cells with the family's (cos desc, seed
+    * asc) tie rule; under-cap cells keep sub = 0. The re-split is the
+    * standard balanced-IVF maintenance (FAISS-style): work per split
+    * cell is occ × m, i.e. bounded by the skew it removes, and the
+    * recall trade is the same boundary-miss class the base recipe
+    * already accepts (near-copies of one vector stay co-located —
+    * they argmax to the same sub-seed). Returns
+    * (vec_id, embedding, cell, sub). */
+  private[graft] def balancedCellsOf(spark: SparkSession, dir: String,
+                                     coarse: Option[Boolean]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = semDedupCellsOf(spark, dir, coarse).stage()
+    val occ = cells.groupBy(col("cell")).agg(count(lit(1)).as("occ"))
+    val big = occ.filter(col("occ") > BalancedCellCap)
+      .select(col("cell"),
+        ceil(col("occ").cast("double") / SemDedupCellSize)
+          .cast("long").as("m"))
+    val small = cells
+      .join(broadcast(big.select("cell")), Seq("cell"), "left_anti")
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        lit(0L).as("sub"))
+    val bigVecs = cells.join(broadcast(big), Seq("cell")).stage()
+    val subSeeds = bigVecs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col("vec_id"))))
+      .filter(col("rk") <= col("m"))
+      .select(col("cell"), (col("rk") - 1).cast("long").as("sid"),
+        col("embedding").as("svec"))
+    val bigAssigned = bigVecs
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .join(subSeeds, Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        struct(
+          cosine(col("embedding"), col("svec")).as("s"),
+          (-col("sid")).as("neg_sid"),
+          col("embedding").as("embedding")).as("cand"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("cell"), (-col("best.neg_sid")).as("sub"))
+    small.unionByName(bigAssigned)
+  }
+
+  /** [[knnGraph]] over the occupancy-BALANCED assignment — neighbors
+    * come from the (cell, sub) bucket, so candidate volume stays
+    * ~n·occupancy even when the embedding space clusters (the
+    * amplified-corpus regime where the plain graph's pairs grew
+    * ×147 for ×26 data). On a corpus with no over-cap cell the
+    * assignment is untouched (every sub = 0) and this IS
+    * [[knnGraph]]. */
+  def knnGraphBalanced(spark: SparkSession, dir: String, k: Int = 3,
+                       coarse: Option[Boolean] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val cells = balancedCellsOf(spark, dir, coarse).stage()
+    val scored = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.sub") === col("b.sub") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("nbr"),
+        cosine(col("a.embedding"), col("b.embedding")).as("c"))
+    knnTop(scored, k)
   }
 
   /** CORPUS-SCALE SemDeDup candidate pairs: exact cosine ≥

@@ -1018,6 +1018,48 @@ object TrainingOracles {
                 round(c, 4) AS cos
          FROM r WHERE rn <= 3 ORDER BY vec_id, rn""",
 
+    // the k-NN graph over the occupancy-BALANCED assignment: cells
+    // past the cap re-seed on their m smallest vec_ids (sub-seed id =
+    // id rank - 1) and re-argmax with the family (cos desc, sid asc)
+    // tie rule; under-cap cells keep sub = 0 — mirrors
+    // Similarity.balancedCellsOf + knnGraphBalanced exactly
+    "q25_knn_graph_balanced" ->
+      s"""WITH ${flatCellCtes("embeddings")},
+         occ AS (SELECT cell, count(*) AS occ FROM cells GROUP BY cell),
+         big AS (SELECT cell,
+                        CAST(ceil(occ / ${Similarity.SemDedupCellSize}.0) AS BIGINT) AS m
+                 FROM occ WHERE occ > ${Similarity.BalancedCellCap}),
+         small AS (SELECT vec_id, embedding, cell, CAST(0 AS BIGINT) AS sub
+                   FROM cells WHERE cell NOT IN (SELECT cell FROM big)),
+         bv AS (SELECT cells.vec_id, cells.embedding, cells.cell, big.m
+                FROM cells JOIN big USING (cell)),
+         ss AS (SELECT cell, svec, sid FROM (
+                  SELECT cell, embedding AS svec, m,
+                         CAST(row_number() OVER (PARTITION BY cell
+                           ORDER BY vec_id) - 1 AS BIGINT) AS sid
+                  FROM bv)
+                WHERE sid < m),
+         asg AS (SELECT bv.vec_id, bv.embedding, bv.cell, ss.sid,
+                        row_number() OVER (PARTITION BY bv.vec_id
+                          ORDER BY ${cos("bv.embedding", "ss.svec")} DESC,
+                                   ss.sid) AS rn
+                 FROM bv JOIN ss USING (cell)),
+         bigc AS (SELECT vec_id, embedding, cell, sid AS sub
+                  FROM asg WHERE rn = 1),
+         c2 AS (SELECT * FROM small UNION ALL SELECT * FROM bigc),
+         p AS (SELECT x.vec_id AS src, y.vec_id AS nbr,
+                      ${cos("x.embedding", "y.embedding")} AS c
+               FROM c2 x JOIN c2 y
+                 ON x.cell = y.cell AND x.sub = y.sub
+                AND x.vec_id <> y.vec_id),
+         r AS (SELECT src, nbr, c,
+                      row_number() OVER (PARTITION BY src
+                        ORDER BY c DESC, nbr) AS rn
+               FROM p)
+         SELECT src AS vec_id, CAST(rn AS BIGINT) AS rn, nbr,
+                round(c, 4) AS cos
+         FROM r WHERE rn <= 3 ORDER BY vec_id, rn""",
+
     // the k-NN graph with the cell assignment routed through the
     // COARSE two-level argmax — the past-crossover production shape;
     // same same-cell candidate generation and top-3 contract over the

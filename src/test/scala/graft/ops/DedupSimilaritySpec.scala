@@ -941,6 +941,58 @@ class DedupSimilaritySpec extends SparkSpec {
       s"store scan not partition-pruned:\n$plan")
   }
 
+  test("balanced k-NN graph: identical to the plain graph when no " +
+    "cell exceeds the cap; on a clustered corpus the split engages, " +
+    "near-copies stay co-located, and candidate pairs shrink") {
+    // uniform corpus (sf0.001: occupancy ~62 ≪ cap) — balanced == plain
+    assert(Similarity.knnGraphBalanced(spark, dir).collect().toSeq ==
+      Similarity.knnGraph(spark, dir).collect().toSeq,
+      "no-split corpus must leave the graph untouched")
+    // clustered corpus: the base vectors plus 600 near-copies of one
+    // vector — its argmax cell oversizes far past the cap
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_knn_bal").toString
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val n0 = e.count()
+    val blob = e.filter(col("vec_id") === 100)
+      .crossJoin(spark.range(600).select(col("id")))
+      .select((col("id") + n0).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + (pmod(col("id") * 31 + i, lit(7)).cast("float") -
+            lit(3.0f)) * lit(1e-4f)).as("embedding"))
+    e.unionByName(blob).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/embeddings.parquet")
+    val cells = Similarity.balancedCellsOf(spark, root, None)
+      .select("vec_id", "cell", "sub").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val occByCell = cells.groupBy(c => c._2).view.mapValues(_.length)
+    assert(occByCell.values.max > Similarity.BalancedCellCap.toInt ||
+      cells.exists(_._3 != 0L),
+      "fixture must actually trigger a split")
+    assert(cells.exists(_._3 != 0L), "no sub-cell assigned")
+    // near-copies co-locate: the blob rows that share vec 100's cell
+    // overwhelmingly share ONE (cell, sub) bucket with each other
+    val blobBuckets = cells.filter(_._1 >= n0)
+      .groupBy(c => (c._2, c._3)).view.mapValues(_.length).toMap
+    assert(blobBuckets.values.max >= 300,
+      s"near-copies scattered: $blobBuckets")
+    // the balance actually bounds pair work: sum occ² over (cell,sub)
+    // buckets < sum occ² over raw cells
+    val rawOcc = Similarity.semDedupCellsOf(spark, root, None)
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    val balOcc = cells.groupBy(c => (c._2, c._3)).map(_._2.length.toLong)
+    assert(balOcc.map(c => c * c).sum < rawOcc.map(c => c * c).sum,
+      "split did not reduce candidate-pair volume")
+    // and the graph itself still returns k rows per vector, ranked by
+    // the same tie rule (driver recompute on one split bucket)
+    val graph = Similarity.knnGraphBalanced(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(graph.nonEmpty && graph.groupBy(_._1).values
+      .forall(_.map(_._2).toSeq == (1 to 3).map(_.toLong)),
+      "per-vector ranks must be 1..3")
+  }
+
   test("semDedup recall eval: cell pairs are a SUBSET of exact truth " +
     "(precision structurally 1), counts reproduce, coarse comparable") {
     val r = Similarity.semDedupEval(spark, dir).head()
