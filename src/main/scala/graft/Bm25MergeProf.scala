@@ -7,12 +7,17 @@ import org.apache.spark.sql.functions._
   * rebuild at a given SF: build the store from all-but-a-delta of the
   * corpus, then time (a) merging the delta in vs (b) rebuilding from
   * everything, and verify the merged store still serves the exact
-  * ranking. The delta is the top `DeltaPct` of doc_ids — the
-  * id-monotone ingest shape the merge contract expects. Run per SF:
+  * ranking. The delta is a FIXED batch of the top `DeltaDocs` doc_ids
+  * (the id-monotone ingest shape the merge contract expects) — fixed
+  * SIZE, not a fixed fraction, because the scaling claim is that
+  * merge cost follows the BATCH (delta tokenize + touched-stats
+  * rewrite) while rebuild cost follows the CORPUS (full re-tokenize):
+  * across SFs the merge row should stay ~flat as the rebuild row
+  * grows. Run per SF:
   *   SPARK_GRAFT_SF_DIR=/tmp/graft_sf26_d2 sbt "runMain graft.Bm25MergeProf"
   */
 object Bm25MergeProf {
-  val DeltaPct = 10L // percent of docs arriving as the delta batch
+  val DeltaDocs = 500L // docs arriving as the delta batch
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -35,8 +40,8 @@ object Bm25MergeProf {
     val root = java.nio.file.Files.createTempDirectory("bm25prof").toString
     val docs = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text")
-    val cut = docs.stat.approxQuantile("doc_id",
-      Array(1.0 - DeltaPct / 100.0), 0.0).head
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) -
+      DeltaDocs + 1
     docs.filter(col("doc_id") < cut)
       .write.mode("overwrite").parquet(s"$root/base/documents.parquet")
     def timed(name: String)(f: => Unit): Unit = {

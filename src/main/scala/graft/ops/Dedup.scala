@@ -335,18 +335,29 @@ object Dedup {
           .as("lsh_recall"))
   }
 
-  /** Sample percentage (of 100) for [[dedupEvalSampled]]'s
-    * deterministic content-hash doc sample — shared with the
-    * oracle. */
-  val DedupEvalSamplePct = 20L
+  /** Target sample SIZE (docs) for [[dedupEvalSampled]] — a FIXED
+    * size, not a rate: a fixed-rate sample keeps touching-pair volume
+    * a constant fraction of the (super-linear) full pair space
+    * (measured: 0.58 exponent at 20%), while a fixed-size sample's
+    * touching pairs grow only with per-doc pair density — the whole
+    * point of a monitoring panel a 100×-scale pipeline can afford on
+    * every run. Shared with the oracle. */
+  val DedupEvalSampleTarget = 2000L
+
+  /** The sample-threshold arithmetic shared bit-for-bit with the
+    * oracle SQL: keep docs whose content hash mod 10000 falls below
+    * ⌈target·10000/n⌉ (integer ceil), capped at the whole corpus. */
+  private[graft] def sampleThreshold(target: Long, n: Long): Long =
+    math.min(10000L, (target * 10000L + n - 1) / n)
 
   /** SAMPLED-TRUTH dedup monitoring panel — the scale-viable form of
     * [[dedupEval]] (whose exact-truth arm was the dedup family's one
     * remaining super-linear term, so no quality number survived to
     * production scale): restrict BOTH arms to pairs TOUCHING a
-    * deterministic content-hash sample (polyhash(text) mod 100 <
-    * `pct` — the q27_split stable-hash discipline, so the draw is
-    * reproducible run-over-run and engine-over-engine):
+    * deterministic FIXED-SIZE content-hash sample (~`target` docs via
+    * polyhash(text) mod 10000 under a count-derived threshold — the
+    * q27_split stable-hash discipline, so the draw is reproducible
+    * run-over-run and engine-over-engine):
     *  - LSH arm: the sample's band rows probe the FULL band table
     *    (the [[neardupProbe]] shape — a sample-bounded equi-join,
     *    never the full self-join),
@@ -357,25 +368,43 @@ object Dedup {
     *    stays candidate-bounded, as in [[jaccard]].
     * Touching precision/recall estimate the full panel: under the
     * content-hash draw each pair is touched with probability
-    * ≈ 2p − p² independent of its Jaccard (the hash is uniform over
+    * 2p − p² independent of its Jaccard (the hash is uniform over
     * content), so both ratios are unbiased with binomial
-    * O(1/√n_touching) confidence width — n_true/n_candidates are in
-    * the row exactly so an operator can read that width. The
-    * exact-truth [[dedupEval]] stays as the test-scale fidelity
-    * check. */
+    * O(1/√n_touching) confidence width — n_sample/n_true/n_candidates
+    * are in the row exactly so an operator can read that width. On a
+    * corpus at or below the target the threshold caps at the whole
+    * table and the panel IS [[dedupEval]]; the exact-truth entry
+    * stays as the test-scale fidelity check. */
   def dedupEvalSampled(spark: SparkSession, dir: String,
-                       pct: Long = DedupEvalSamplePct): DataFrame = {
+                       target: Long = DedupEvalSampleTarget): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val smp = docs(spark, dir)
+    val d = docs(spark, dir)
+    val thr = sampleThreshold(target, d.count())
+    val smp = d
       .select(col("doc_id"),
         pmod(graft.functions.GraftFunctions.polyhash(col("text"), P),
-          lit(100L)).as("h"))
-      .filter(col("h") < pct)
+          lit(10000L)).as("h"))
+      .filter(col("h") < thr)
       .select("doc_id")
       .stage()
     val nS = smp.count()
-    // LSH candidates touching the sample: sample bands probe all bands
-    val bands = bandTable(minhashWide(spark, dir)).stage()
+    // ONE tokenize/shingle pass feeds BOTH arms: the truth arm's
+    // staged per-doc shingle sets re-explode into the minhash
+    // incidence (same distinct shingles, min is order-independent ⇒
+    // signatures identical to minhashWide's) instead of a second
+    // full-corpus tokenization — at 26× the two corpus scans were the
+    // panel's dominant term
+    val sets = docShingleSets(spark, dir)
+      .withColumn("n", size(col("sh_set")))
+      .stage()
+    val inc = sets.select(col("doc_id"),
+        explode(col("sh_set")).as("shingle"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.polyhash(col("shingle"), PM).as("h"))
+    val mins = MinhashPerms.map { case (i, a, b) =>
+      min((lit(a) * col("h") + lit(b)) % PM).as(s"mh$i") }
+    val bands = bandTable(
+      inc.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)).stage()
     val bandsS = bands.join(smp, Seq("doc_id"), "left_semi")
     val lsh = bandsS.as("x")
       .join(bands.as("y"),
@@ -385,7 +414,7 @@ object Dedup {
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
       .distinct()
       .stage()
-    val truth = jaccardTouching(spark, dir, smp, 0.5)
+    val truth = jaccardTouchingOf(sets, smp, 0.5)
       .select("doc_a", "doc_b").stage()
     val nL = lsh.count()
     val nT = truth.count()
@@ -402,22 +431,26 @@ object Dedup {
   }
 
   /** [[jaccard]]'s candidate machinery with generation restricted to
-    * pairs touching `smp`: the sample's prefix rows probe the full
-    * prefix table (sample-bounded), the exact verify is unchanged.
-    * Output == the full [[jaccard]] pair set filtered to touching
-    * pairs (the join condition is symmetric), spec-pinned. */
-  private def jaccardTouching(spark: SparkSession, dir: String,
-                              smp: DataFrame,
-                              threshold: Double): DataFrame = {
+    * pairs touching `smp`, via ONE-SIDED prefix filtering: only the
+    * SAMPLE's shingles get the rarity-ranked prefix cut (the window
+    * sorts ~|sample| docs, never the corpus — the full-corpus per-doc
+    * window was the panel's residual super-linear term); partners
+    * join as raw incidence rows. Lossless for touching pairs: with
+    * the length filter t·|A| ≤ |B|, J ≥ t ⟹ |A∩B| ≥ t(|A|+|B|)/(1+t)
+    * ≥ t·|A| ⟹ |A∩B| ≥ ⌈t|A|⌉ > |A| − prefixLen, so the
+    * intersection must hit ANY (|A|−⌈t|A|⌉+1)-subset of A — rarity
+    * ordering is purely the join-fan-out heuristic (global df keeps
+    * hot shingles out of the probe side). The exact verify is
+    * unchanged. Output == the full [[jaccard]] pair set filtered to
+    * touching pairs, spec-pinned. */
+  private def jaccardTouchingOf(sets: DataFrame, smp: DataFrame,
+                                threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    graft.functions.GraftFunctions.register(spark)
-    val sets = docShingleSets(spark, dir)
-      .withColumn("n", size(col("sh_set")))
-      .stage()
     val sh = sets.select(col("doc_id"), col("n"),
       explode(col("sh_set")).as("shingle"))
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
-    val prefix = sh
+    val prefixS = sh
+      .join(smp, Seq("doc_id"), "left_semi")
       .join(dfreq, "shingle")
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id"))
@@ -425,10 +458,8 @@ object Dedup {
       .filter(col("pos") <=
         col("n") - ceil(lit(threshold) * col("n")) + 1)
       .select(col("doc_id"), col("shingle"), col("n"))
-      .stage()
-    val prefixS = prefix.join(smp, Seq("doc_id"), "left_semi")
     val cand = prefixS.as("a")
-      .join(prefix.as("b"),
+      .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") =!= col("b.doc_id") &&
           col("a.n") * threshold <= col("b.n") &&

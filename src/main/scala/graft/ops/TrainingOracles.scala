@@ -789,13 +789,17 @@ object TrainingOracles {
 
     // sampled-truth dedup monitoring: the q24_dedup_eval panel with
     // BOTH arms restricted to pairs touching a deterministic
-    // content-hash sample (polyhash(text) % 100 < pct — the q27_split
+    // FIXED-SIZE content-hash sample (~target docs: hash % 10000
+    // under a count-derived integer-ceil threshold — the q27_split
     // stable-hash discipline); mirrors Dedup.dedupEvalSampled
     "q24_dedup_eval_sampled" ->
       s"""$docShingles,
          smp AS (SELECT doc_id FROM documents
-                 WHERE ${ddbPolyHash("text", P)} % 100
-                       < ${Dedup.DedupEvalSamplePct}),
+                 WHERE ${ddbPolyHash("text", P)} % 10000
+                       < least(10000,
+                           (${Dedup.DedupEvalSampleTarget} * 10000
+                            + (SELECT count(*) FROM documents) - 1)
+                           // (SELECT count(*) FROM documents))),
          hh AS (SELECT doc_id, ${ddbPolyHash("shingle", PM)} AS h FROM sh),
          sig AS (SELECT doc_id, i, min((a * h + b) % $PM) AS mh
                  FROM hh CROSS JOIN $ddbPermValues GROUP BY doc_id, i),

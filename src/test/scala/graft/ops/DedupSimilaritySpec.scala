@@ -1012,17 +1012,20 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("sampled dedup eval: both arms equal the full arms filtered " +
-    "to sample-touching pairs, and the counts reproduce") {
+    "to sample-touching pairs, the counts reproduce, and an " +
+    "at-or-below-target corpus degrades to the full panel") {
     import graft.functions.GraftFunctions
+    // a target below the corpus size so the touching logic engages
+    val target = 100L
+    val n = graft.Tables.load(spark, dir, "documents").count()
+    val thr = (target * 10000L + n - 1) / n
     val smp = graft.Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
         pmod(GraftFunctions.polyhash(col("text"), graft.ops.CrossHash.P),
-          lit(100L)).as("h"))
-      .filter(col("h") < Dedup.DedupEvalSamplePct)
+          lit(10000L)).as("h"))
+      .filter(col("h") < thr)
       .collect().map(_.getLong(0)).toSet
-    assert(smp.nonEmpty && smp.size <
-      graft.Tables.load(spark, dir, "documents").count(),
-      "sample must be a proper subset")
+    assert(smp.nonEmpty && smp.size < n, "sample must be a proper subset")
     def touching(ps: Seq[(Long, Long)]): Set[(Long, Long)] =
       ps.filter(p => smp(p._1) || smp(p._2)).toSet
     val fullLsh = Dedup.minhashLsh(spark, dir).collect()
@@ -1031,7 +1034,7 @@ class DedupSimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     val wantL = touching(fullLsh)
     val wantT = touching(fullTruth)
-    val row = Dedup.dedupEvalSampled(spark, dir).head()
+    val row = Dedup.dedupEvalSampled(spark, dir, target).head()
     assert(row.getLong(0) == smp.size.toLong, "n_sample diverged")
     assert(row.getLong(1) == wantL.size.toLong,
       s"n_candidates ${row.getLong(1)} != touching LSH ${wantL.size}")
@@ -1039,6 +1042,12 @@ class DedupSimilaritySpec extends SparkSpec {
       s"n_true ${row.getLong(2)} != touching truth ${wantT.size}")
     assert(row.getLong(3) == (wantL & wantT).size.toLong)
     assert(wantT.nonEmpty, "fixture must produce touching truth pairs")
+    // default target ≥ this corpus: threshold caps, panel == dedupEval
+    val capped = Dedup.dedupEvalSampled(spark, dir).head()
+    val full = Dedup.dedupEval(spark, dir).head()
+    assert(capped.getLong(0) == n)
+    assert((1 to 5).forall(i => capped.get(i) == full.get(i - 1)),
+      s"capped panel must BE the full panel: $capped vs $full")
   }
 
   test("dedup eval: one-row panel consistent with the two pair sets " +
