@@ -327,11 +327,15 @@ object TextAnalysis {
   /** CURATION FUNNEL — the per-stage observability row every
     * large-scale data-prep run reports: how many docs survive each
     * gate CUMULATIVELY (language-ID → quality → exact-dedup keeper →
-    * benchmark decontamination), the numbers a pipeline owner reads
-    * before anything ships. Computed as per-doc gate FLAGS on one
-    * joined frame + ONE conditional single-row aggregate — adding a
-    * gate adds a flag column and a sum, never a pass, and no gate
-    * materializes an intermediate corpus. Counts are monotone
+    * NEAR-dup representative → benchmark decontamination), the
+    * numbers a pipeline owner reads before anything ships. Computed
+    * as per-doc gate FLAGS on one joined frame + ONE conditional
+    * single-row aggregate — adding a gate adds a flag column and a
+    * sum, never a pass, and no gate materializes an intermediate
+    * corpus. The near-dup gate keeps a doc iff it is not the LARGER
+    * id of any MinHash-LSH candidate pair ([[Dedup.minhashLsh]]'s
+    * banded collisions — the first arrival represents its near-dup
+    * group, the r12 streaming-funnel contract). Counts are monotone
     * non-increasing by construction (each sum conjoins the previous
     * gates). Gate constants are [[filterApply]]'s defaults and
     * [[ContamDropThreshold]], shared with the oracle. */
@@ -343,21 +347,29 @@ object TextAnalysis {
       .groupBy(md5(col("text")).as("digest"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), lit(1L).as("k"))
+    val ndDrop = Dedup.minhashLsh(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .select(col("doc_id"), lit(1L).as("nd"))
     val dec = decontaminate(spark, dir)
       .select(col("doc_id"), lit(1L).as("c"))
     val g1 = col("lang_pred") === "en"
     val g2 = col("n_tokens").between(20, 1000) &&
       col("alnum_ratio") >= 0.7
     val g3 = col("k").isNotNull
-    val g4 = col("c").isNotNull
+    val g4 = col("nd").isNull
+    val g5 = col("c").isNotNull
     lid.join(qual, "doc_id")
       .join(keepers, Seq("doc_id"), "left")
+      .join(ndDrop, Seq("doc_id"), "left")
       .join(dec, Seq("doc_id"), "left")
       .agg(count(lit(1)).as("n_total"),
         sum(when(g1, 1L).otherwise(0L)).as("n_lang"),
         sum(when(g1 && g2, 1L).otherwise(0L)).as("n_quality"),
         sum(when(g1 && g2 && g3, 1L).otherwise(0L)).as("n_dedup"),
-        sum(when(g1 && g2 && g3 && g4, 1L).otherwise(0L)).as("n_final"))
+        sum(when(g1 && g2 && g3 && g4, 1L).otherwise(0L))
+          .as("n_neardup"),
+        sum(when(g1 && g2 && g3 && g4 && g5, 1L).otherwise(0L))
+          .as("n_final"))
   }
 
   /** Email/phone regexes shared by the Spark plan and the DuckDB

@@ -1710,10 +1710,23 @@ object TrainingOracles {
     "q29_decontam_stream" -> decontaminateSql,
 
     // curation funnel: cumulative per-gate survivor counts (lang →
-    // quality → dedup keeper → decontamination) as one conditional
-    // aggregate — mirrors TextAnalysis.curationFunnel flag for flag
+    // quality → dedup keeper → NEAR-dup representative →
+    // decontamination) as one conditional aggregate — mirrors
+    // TextAnalysis.curationFunnel flag for flag (near-dup drop set =
+    // the larger id of every LSH band-collision pair, same banding as
+    // q24_dedup_minhash)
     "q27_funnel" ->
       s"""$docShingles,
+         hh AS (SELECT doc_id, ${ddbPolyHash("shingle", PM)} AS h FROM sh),
+         sig AS (SELECT doc_id, i, min((a * h + b) % $PM) AS mh
+                 FROM hh CROSS JOIN $ddbPermValues GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // $RowsPerBand AS band,
+                          string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+                   FROM sig GROUP BY doc_id, i // $RowsPerBand),
+         nd AS (SELECT DISTINCT y.doc_id
+                FROM bands x JOIN bands y
+                ON x.band = y.band AND x.bkey = y.bkey
+               AND x.doc_id < y.doc_id),
          bench AS (SELECT DISTINCT shingle FROM sh
                    WHERE doc_id % ${TextAnalysis.ContamMod} = 0),
          train AS (SELECT * FROM sh
@@ -1745,15 +1758,18 @@ object TrainingOracles {
                        (n_tokens BETWEEN 20 AND 1000
                         AND alnum_ratio >= 0.7) AS g2,
                        (keep.doc_id IS NOT NULL) AS g3,
-                       (dec.doc_id IS NOT NULL) AS g4
+                       (nd.doc_id IS NULL) AS g4,
+                       (dec.doc_id IS NOT NULL) AS g5
                 FROM lid JOIN qual ON lid.doc_id = qual.doc_id
                 LEFT JOIN keep ON lid.doc_id = keep.doc_id
+                LEFT JOIN nd ON lid.doc_id = nd.doc_id
                 LEFT JOIN dec ON lid.doc_id = dec.doc_id)
          SELECT CAST(count(*) AS BIGINT) AS n_total,
                 CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
                 CAST(sum(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
                 CAST(sum(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
-                CAST(sum(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+                CAST(sum(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
+                CAST(sum(CASE WHEN g1 AND g2 AND g3 AND g4 AND g5 THEN 1 ELSE 0 END) AS BIGINT) AS n_final
          FROM fl""",
 
     // multi-benchmark decontamination: one broadcast-suite join, a

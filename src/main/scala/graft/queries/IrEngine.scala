@@ -762,37 +762,40 @@ object IrEngine {
             "contam_ratio DOUBLE"))
   }
 
-  /** ONE-PASS STREAMING CURATION FUNNEL — the three document gates
+  /** ONE-PASS STREAMING CURATION FUNNEL — the document gates
     * composed the way a real ingest runs them: each arriving doc is
-    * decided by language-ID, quality, exact-dedup keeper AND
-    * benchmark decontamination inside ONE `foreachBatch` over ONE
-    * staged stream (previously each gate was its own pass), with a
-    * per-doc audit row (the four gate flags) appended to a parquet
-    * sink; the emitted result is [[graft.ops.TextAnalysis
-    * .curationFunnel]]'s one-row cumulative survivor report computed
-    * from the audit table — stream decisions == batch decisions
-    * row-for-row, so the two entries share ONE oracle (q27_funnel).
+    * decided by language-ID, quality, exact-dedup keeper, NEAR-dup
+    * representative AND benchmark decontamination inside ONE
+    * `foreachBatch` over ONE staged stream (previously each gate was
+    * its own pass), with a per-doc audit row (the five gate flags)
+    * appended to a parquet sink; the emitted result is [[graft.ops
+    * .TextAnalysis.curationFunnel]]'s one-row cumulative survivor
+    * report computed from the audit table — stream decisions == batch
+    * decisions row-for-row, so the two entries share ONE oracle
+    * (q27_funnel).
     *
     * Parity argument, gate by gate: language, quality and
     * decontamination are per-doc functions of (content, id) computed
     * by the BATCH OPERATORS' own expressions ([[graft.ops
     * .TextAnalysis.langIdOf]]/`qualityOf`, [[graft.ops.Dedup
     * .docShinglesOf]] against the static benchmark trigram table), so
-    * they cannot differ. The dedup-keeper gate is the one with
-    * cross-doc state: the batch keeper is the GLOBAL min doc_id per
-    * digest, while a stream can only admit first-arrivals — so this
-    * gate stages the corpus as doc_id-RANGE chunks (not the mod-3
-    * routing of the single-gate streams): ranges arrive in id order,
-    * hence a digest's first arrival IS its global minimum, and
-    * "not in the accumulated digest index, min within batch" equals
-    * the batch keeper exactly.
+    * they cannot differ. The two gates with cross-doc state lean on
+    * the same staging property: the corpus stages as doc_id-RANGE
+    * chunks (not the mod-3 routing of the single-gate streams), so
+    * ids arrive in order — a digest's first arrival IS its global
+    * minimum ("not in the accumulated digest index, min within batch"
+    * == the batch keeper), and a doc's smaller-id band-collision
+    * partners are exactly the accumulated band index plus this
+    * batch's smaller ids (== the batch [[graft.ops.Dedup.minhashLsh]]
+    * doc_b drop set).
     *
     * Channels are all tables (the r9/r10 gate discipline): the digest
-    * index accumulates per batch, the audit sink appends per batch,
-    * nothing lives on the driver. Per-batch work: two token passes +
-    * one shingle pass over the batch, a broadcast join against the
-    * (eval-suite-sized) benchmark trigrams, and a digest anti-join
-    * against the index — each linear in the batch. */
+    * and band indexes accumulate per batch, the audit sink appends
+    * per batch, nothing lives on the driver. Per-batch work: two
+    * token passes + two shingle passes over the batch, a broadcast
+    * join against the (eval-suite-sized) benchmark trigrams, a digest
+    * anti-join and a band-key equi-join against the indexes — each
+    * linear-or-collision-bounded in the batch. */
   def q29FunnelStream(spark: SparkSession, dir: String): DataFrame =
     q29FunnelAudit(spark, dir)
       .agg(count(lit(1)).as("n_total"),
@@ -802,7 +805,9 @@ object IrEngine {
         sum(when(col("g1") && col("g2") && col("g3"), 1L).otherwise(0L))
           .as("n_dedup"),
         sum(when(col("g1") && col("g2") && col("g3") && col("g4"), 1L)
-          .otherwise(0L)).as("n_final"))
+          .otherwise(0L)).as("n_neardup"),
+        sum(when(col("g1") && col("g2") && col("g3") && col("g4") &&
+          col("g5"), 1L).otherwise(0L)).as("n_final"))
 
   /** The funnel gate's per-doc audit table (doc_id, g1..g4) — the
     * spec surface proving stream decisions == the batch operators'
@@ -850,6 +855,7 @@ object IrEngine {
       .select("shingle").distinct()
       .write.mode("overwrite").parquet(benchDir)
     val digestDir = graft.TempDirs.scratch("graft_fnl_digests")
+    val bandDir = graft.TempDirs.scratch("graft_fnl_bands")
     val auditDir = graft.TempDirs.scratch("graft_fnl_audit")
     var indexNonEmpty = false
     val q = spark.readStream
@@ -876,6 +882,30 @@ object IrEngine {
                 Seq("digest"), "left_anti")
             else batchKeepers)
               .select(col("doc_id"), lit(1L).as("k"))
+          // NEAR-DUP gate: a doc is its group's representative iff no
+          // band collision with a SMALLER doc_id exists. Range chunks
+          // order ids, so smaller-id partners live in the accumulated
+          // band index (earlier chunks) or in this batch — union of
+          // an index probe and a within-batch self-join == the batch
+          // operator's doc_b drop set exactly.
+          val bands = graft.ops.Dedup.bandRowsOf(b)
+            .select(col("doc_id"), col("band"), col("key"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val inBatch = bands.as("x").join(bands.as("y"),
+              col("x.band") === col("y.band") &&
+                col("x.key") === col("y.key") &&
+                col("x.doc_id") < col("y.doc_id"))
+            .select(col("y.doc_id"))
+          val ndDrop =
+            (if (indexNonEmpty)
+              bands.as("y").join(bs.read.parquet(bandDir).as("x"),
+                  col("x.band") === col("y.band") &&
+                    col("x.key") === col("y.key"))
+                .select(col("y.doc_id"))
+                .unionByName(inBatch)
+            else inBatch)
+              .distinct()
+              .select(col("doc_id"), lit(1L).as("nd"))
           val sh = graft.ops.Dedup.docShinglesOf(
             b.filter(pmod(col("doc_id"), lit(ContamMod)) =!= 0))
           val tot = sh.groupBy("doc_id")
@@ -890,16 +920,20 @@ object IrEngine {
             .select(col("doc_id"), lit(1L).as("c"))
           lid.join(qual, "doc_id")
             .join(keepers, Seq("doc_id"), "left")
+            .join(ndDrop, Seq("doc_id"), "left")
             .join(dec, Seq("doc_id"), "left")
             .select(col("doc_id"),
               (col("lang_pred") === "en").as("g1"),
               (col("n_tokens").between(20, 1000) &&
                 col("alnum_ratio") >= 0.7).as("g2"),
               col("k").isNotNull.as("g3"),
-              col("c").isNotNull.as("g4"))
+              col("nd").isNull.as("g4"),
+              col("c").isNotNull.as("g5"))
             .write.mode("append").parquet(auditDir)
           bd.select("digest").distinct()
             .write.mode("append").parquet(digestDir)
+          bands.write.mode("append").parquet(bandDir)
+          bands.unpersist()
           indexNonEmpty = true
         } finally { b.unpersist(); () }
         ()

@@ -475,11 +475,11 @@ class TextAnalysisSpec extends SparkSpec {
   test("curation funnel: one monotone row whose stage counts " +
     "reproduce from the standalone component queries") {
     val r = TextAnalysis.curationFunnel(spark, dir).head()
-    val (nTotal, nLang, nQual, nDedup, nFinal) =
+    val (nTotal, nLang, nQual, nDedup, nNd, nFinal) =
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4))
+        r.getLong(4), r.getLong(5))
     assert(nTotal >= nLang && nLang >= nQual && nQual >= nDedup &&
-      nDedup >= nFinal, s"funnel not monotone: $r")
+      nDedup >= nNd && nNd >= nFinal, s"funnel not monotone: $r")
     assert(nTotal ==
       graft.Tables.load(spark, dir, "documents").count())
     assert(nLang == TextAnalysis.langId(spark, dir)
@@ -493,9 +493,14 @@ class TextAnalysisSpec extends SparkSpec {
       .groupBy(md5(col("text"))).agg(min(col("doc_id")).as("d"))
       .collect().map(_.getLong(1)).toSet
     assert(nDedup == (kept & keeperSet).size.toLong)
+    // near-dup representatives: not the larger id of any LSH pair
+    val ndDrop = graft.ops.Dedup.minhashLsh(spark, dir)
+      .select("doc_b").collect().map(_.getLong(0)).toSet
+    assert(nNd == ((kept & keeperSet) -- ndDrop).size.toLong)
     val decSet = TextAnalysis.decontaminate(spark, dir)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(nFinal == (kept & keeperSet & decSet).size.toLong)
+    assert(nFinal ==
+      (((kept & keeperSet) -- ndDrop) & decSet).size.toLong)
     // the funnel must actually discriminate at every stage on this
     // corpus — all-equal counts would mean the gates test nothing
     assert(nFinal < nTotal)

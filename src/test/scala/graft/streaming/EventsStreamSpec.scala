@@ -381,9 +381,9 @@ class EventsStreamSpec extends SparkSpec {
       audit.inputFiles.forall(_.contains("graft_fnl_audit")),
       "audit channel must be the sink table, not driver memory")
     val got = audit.collect().map(r => r.getLong(0) ->
-      (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
-        r.getBoolean(4))).toMap
-    // batch recompute of all four gates
+      ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5)))).toMap
+    // batch recompute of all five gates
     val lid = graft.ops.TextAnalysis.langId(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     val qual = graft.ops.TextAnalysis.quality(spark, dir)
@@ -392,17 +392,25 @@ class EventsStreamSpec extends SparkSpec {
     val keepers = graft.Tables.load(spark, dir, "documents")
       .groupBy(md5(col("text"))).agg(min(col("doc_id")).as("k"))
       .collect().map(_.getLong(1)).toSet
+    val ndDrop = graft.ops.Dedup.minhashLsh(spark, dir)
+      .select("doc_b").collect().map(_.getLong(0)).toSet
     val dec = graft.ops.TextAnalysis.decontaminate(spark, dir)
       .collect().map(_.getLong(0)).toSet
     assert(got.keySet == lid.keySet, "audit must cover every doc")
-    got.foreach { case (d, (g1, g2, g3, g4)) =>
+    got.foreach { case (d, (g1, g2, g3, g4, g5)) =>
       assert(g1 == (lid(d) == "en"), s"doc $d g1")
       val (nt, ar) = qual(d)
       assert(g2 == (nt >= 20 && nt <= 1000 && ar >= 0.7), s"doc $d g2")
       assert(g3 == keepers(d),
         s"doc $d g3: stream keeper != batch global-min keeper")
-      assert(g4 == dec(d), s"doc $d g4")
+      assert(g4 == !ndDrop(d),
+        s"doc $d g4: stream near-dup gate != batch LSH drop set")
+      assert(g5 == dec(d), s"doc $d g5")
     }
+    // the near-dup gate must have demoted someone, with the demoting
+    // partner in an EARLIER chunk for at least one pair (otherwise
+    // the cross-batch band index is untested)
+    assert(ndDrop.nonEmpty, "no LSH pair on this corpus — fixture moot")
     // summary row == the batch funnel's
     assert(graft.queries.IrEngine.q29FunnelStream(spark, dir)
       .collect().map(_.toSeq).toSeq ==
