@@ -645,6 +645,7 @@ object IrSql {
     * the session cache on the source corpus). */
   def mergeBm25Stats(spark: SparkSession, storeDir: String,
                      delta: DataFrame): Unit = {
+    recoverBm25Store(spark, storeDir) // finish any crashed swap first
     val dTok = tokensOf(delta)
     val dLen = dTok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
       .stage()
@@ -699,6 +700,7 @@ object IrSql {
     * authoritative postings/ + doclen/ — the recovery path for a crash
     * between [[mergeBm25Stats]]'s swaps. */
   def repairBm25Stats(spark: SparkSession, storeDir: String): Unit = {
+    recoverBm25Store(spark, storeDir) // finish any crashed swap first
     val len = spark.read.parquet(s"$storeDir/doclen").stage()
     val tf = spark.read.parquet(s"$storeDir/postings").stage()
     swapIn(spark, s"$storeDir/corpus",
@@ -709,19 +711,115 @@ object IrSql {
           .select(col("term"), col("tf"), col("dl"))), "term"))
   }
 
-  /** Replace a store artifact dir with a freshly-written frame: write
-    * to a hidden sibling tmp, delete the target, rename in. The frame
-    * may READ the target (the tmp write materializes it first). */
+  /** Replace a store artifact dir with a freshly-written frame,
+    * CRASH-SAFELY (renames only — at every instant the rows live in
+    * exactly one complete location):
+    *  1. write the replacement into `_graft_new_<name>` (Spark leaves
+    *     a `_SUCCESS` marker) — the frame may READ the target, the
+    *     write materializes it first,
+    *  2. rename `<name>` → `_graft_old_<name>`,
+    *  3. rename the replacement in as `<name>`,
+    *  4. delete the old dir.
+    * [[recoverArtifact]] (run at every merge/compact/repair entry)
+    * finishes or rolls back from the markers: renames are atomic, so
+    * target and old can only BOTH exist after step 3 (→ finish 4);
+    * target absent + complete new → redo 3; target absent +
+    * incomplete new → roll the old dir back. */
   private def swapIn(spark: SparkSession, target: String,
                      df: DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
     val t = new Path(target)
     val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(t.getParent, s"_graft_swap_${t.getName}")
-    df.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(t, true)
-    fs.rename(tmp, t)
+    val neu = new Path(t.getParent, s"_graft_new_${t.getName}")
+    val old = new Path(t.getParent, s"_graft_old_${t.getName}")
+    df.write.mode("overwrite").parquet(neu.toString)
+    // a missing target (repairing a wiped artifact) skips step 2 —
+    // local-fs rename throws on a missing source instead of no-op'ing
+    if (fs.exists(t)) { fs.rename(t, old); () }
+    fs.rename(neu, t)
+    fs.delete(old, true)
     ()
+  }
+
+  /** Crash recovery for [[swapIn]] on one artifact name (see its
+    * protocol). Safe to call when no swap was in flight. */
+  private[graft] def recoverArtifact(spark: SparkSession,
+                                     storeDir: String,
+                                     name: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t = new Path(root, name)
+    val neu = new Path(root, s"_graft_new_$name")
+    val old = new Path(root, s"_graft_old_$name")
+    if (fs.exists(t)) {
+      // target present: any leftover old/new dirs are completed or
+      // abandoned attempts — the target is authoritative
+      fs.delete(old, true)
+      fs.delete(neu, true)
+      ()
+    } else if (fs.exists(old)) {
+      if (fs.exists(new Path(neu, "_SUCCESS"))) {
+        // crash between steps 2 and 3 with a complete replacement
+        fs.rename(neu, t)
+        fs.delete(old, true)
+        ()
+      } else {
+        // no usable replacement — roll the old artifact back
+        fs.delete(neu, true)
+        fs.rename(old, t)
+        ()
+      }
+    }
+  }
+
+  /** All swap-managed artifact names of a [[writeBm25Stats]] store. */
+  private val Bm25Artifacts = Seq("postings", "doclen", "stats", "corpus")
+
+  private def recoverBm25Store(spark: SparkSession,
+                               storeDir: String): Unit =
+    Bm25Artifacts.foreach(recoverArtifact(spark, storeDir, _))
+
+  /** COMPACT a [[mergeBm25Stats]]-maintained store: every merge
+    * appends its delta as new files whose term ranges OVERLAP the
+    * base's (each delta is range-laid within itself, not against the
+    * base), so after many merges a query-term row-group prune touches
+    * every generation's files. When `postings/` exceeds
+    * `maxFiles` parquet parts, rewrite it as ONE global
+    * range-partitioned sorted layout (the [[writeBm25Stats]] shape —
+    * zone maps prune to one file per term again); `doclen/` likewise
+    * re-ranges on doc_id past the bound. Row content is untouched
+    * (spec: pruned ranking identical pre/post, merge == rebuild
+    * equality preserved), and both rewrites go through the
+    * crash-safe [[swapIn]] protocol — like every store maintenance
+    * op, run it behind the serving path's quiesce; a crash at any
+    * point is repaired by the recovery pass at the next
+    * merge/compact/repair entry. Returns the number of artifacts
+    * rewritten. */
+  def compactBm25Store(spark: SparkSession, storeDir: String,
+                       maxFiles: Int = 8): Int = {
+    import org.apache.hadoop.fs.Path
+    recoverBm25Store(spark, storeDir)
+    val fs = new Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parts(name: String): Int =
+      fs.listStatus(new Path(storeDir, name))
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    var rewritten = 0
+    if (parts("postings") > maxFiles) {
+      swapIn(spark, s"$storeDir/postings",
+        spark.read.parquet(s"$storeDir/postings")
+          .repartitionByRange(col("term"))
+          .sortWithinPartitions(col("term"), col("doc_id")))
+      rewritten += 1
+    }
+    if (parts("doclen") > maxFiles) {
+      swapIn(spark, s"$storeDir/doclen",
+        spark.read.parquet(s"$storeDir/doclen")
+          .repartitionByRange(col("doc_id")))
+      rewritten += 1
+    }
+    rewritten
   }
 
   private val bm25StatsCache =

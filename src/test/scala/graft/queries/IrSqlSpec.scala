@@ -233,4 +233,58 @@ class IrSqlSpec extends SparkSpec {
         s"repair != rebuild on $art")
     }
   }
+
+  test("bm25 store compaction: repeated merges fragment the postings " +
+    "layout, compaction restores one global range layout with results " +
+    "unchanged, and both mid-swap crash states recover") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bm25_compact").toString
+    val full = spark.read.parquet(s"$dir/documents.parquet")
+    val n = full.count()
+    full.filter(col("doc_id") < n / 2)
+      .write.mode("overwrite").parquet(s"$root/base/documents.parquet")
+    val store = s"$root/store"
+    IrSql.writeBm25Stats(spark, s"$root/base", store)
+    IrSql.mergeBm25Stats(spark, store,
+      full.filter(col("doc_id") >= n / 2 && col("doc_id") < 3 * n / 4)
+        .select("doc_id", "text"))
+    IrSql.mergeBm25Stats(spark, store,
+      full.filter(col("doc_id") >= 3 * n / 4).select("doc_id", "text"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def files(name: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/$name"))
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    def top(): Seq[(Long, Double)] =
+      IrSql.q10Bm25PrunedAt(spark, store, IrSql.ExpandedQueryTerms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = files("postings")
+    val want = top()
+    assert(want == IrSql.q10Bm25Multi(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // force compaction with a bound below the merged file count
+    val rewritten = IrSql.compactBm25Store(spark, store,
+      maxFiles = math.max(1, before - 1))
+    assert(rewritten >= 1, s"compaction did not trigger (files=$before)")
+    assert(files("postings") < before, "postings not consolidated")
+    assert(top() == want, "compaction changed the ranking")
+    // crash state A: between swap steps 2 and 3 with a COMPLETE new
+    // dir — recovery must finish the swap
+    val p = new org.apache.hadoop.fs.Path(s"$store/postings")
+    val neu = new org.apache.hadoop.fs.Path(s"$store/_graft_new_postings")
+    val old = new org.apache.hadoop.fs.Path(s"$store/_graft_old_postings")
+    spark.read.parquet(p.toString).write.parquet(neu.toString)
+    fs.rename(p, old)
+    IrSql.recoverArtifact(spark, store, "postings")
+    assert(fs.exists(p) && !fs.exists(neu) && !fs.exists(old))
+    assert(top() == want, "recovery (finish) lost rows")
+    // crash state B: same point but the new dir is INCOMPLETE (no
+    // _SUCCESS) — recovery must roll the old layout back
+    spark.read.parquet(p.toString).write.parquet(neu.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(neu, "_SUCCESS"), false)
+    fs.rename(p, old)
+    IrSql.recoverArtifact(spark, store, "postings")
+    assert(fs.exists(p) && !fs.exists(neu) && !fs.exists(old))
+    assert(top() == want, "recovery (rollback) lost rows")
+  }
 }
