@@ -70,6 +70,30 @@ object Bm25MergeProf {
       graft.queries.IrSql.ExpandedQueryTerms, 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     println(s"[bm25prof] merged_serves_exact=${merged == want}")
+    // fragmentation → compaction: append 7 more fixed-size deltas from
+    // disjoint id ranges (re-keyed copies of the delta batch), price
+    // the warm pruned query on the fragmented store, compact, re-price
+    (1 to 7).foreach { i =>
+      graft.queries.IrSql.mergeBm25Stats(spark, store,
+        docs.filter(col("doc_id") >= cut)
+          .select((col("doc_id") + i * DeltaDocs).as("doc_id"),
+            col("text")))
+    }
+    def warmQ(name: String): Unit = {
+      graft.queries.IrSql.q10Bm25PrunedAt(spark, store,
+        graft.queries.IrSql.ExpandedQueryTerms, 10).count() // warm
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        graft.queries.IrSql.q10Bm25PrunedAt(spark, store,
+          graft.queries.IrSql.ExpandedQueryTerms, 10).count()
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      println(f"[bm25prof] $name%-18s ${ts(1)}%8.1f ms (median of 3)")
+    }
+    warmQ("warm_fragmented")
+    val rewrote = graft.queries.IrSql.compactBm25Store(spark, store)
+    println(s"[bm25prof] compacted_artifacts=$rewrote")
+    warmQ("warm_compacted")
     spark.stop()
   }
 }

@@ -259,6 +259,10 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Pq.annIvfPq(s, d)),
     "q25_ann_ivfpq_loaded" ->
       ((s: SparkSession, d: String) => Pq.annIvfPqLoaded(s, d)),
+    "q25_ann_ivfpq_filtered" ->
+      ((s: SparkSession, d: String) => Pq.annIvfPqFiltered(s, d)),
+    "q25_ann_ivfpq_filtered_loaded" ->
+      ((s: SparkSession, d: String) => Pq.annIvfPqFilteredLoaded(s, d)),
     "q33_pagerank" -> (Graph.q33PageRank _),
     "q33_triangles" -> (Graph.q33Triangles _),
     "q33_clustering" -> (Graph.q33Clustering _),
@@ -291,6 +295,9 @@ object SparkEntry {
       // the adaptive probe over the durable store == the in-memory
       // adaptive probe (same seeds, ranking, ladder rule, predicate)
       ("q25_ann_filtered_auto_loaded" -> base("q25_ann_filtered_auto")) +
+      // the filtered probe over the PQ-coded store == the in-memory
+      // filtered IVF-PQ (same routing, codes, table, predicate)
+      ("q25_ann_ivfpq_filtered_loaded" -> base("q25_ann_ivfpq_filtered")) +
       // the one-pass streaming funnel's gate decisions == the batch
       // curation funnel's row-for-row (range-chunk staging makes the
       // stream's first-arrival keeper the batch's global-min keeper)

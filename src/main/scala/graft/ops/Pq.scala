@@ -262,6 +262,78 @@ object Pq {
       .select(col("vec_id"), (round(col("d"), 4) + 0.0).as("pq_dist"))
   }
 
+  /** FILTERED IVF-PQ — the WHERE-clause form of [[annIvfPq]],
+    * completing the filtered-ANN × quantization matrix: the coarse
+    * quantizer routes the query, the metadata pre-filter
+    * ([[Similarity.filterIds]] — pushed-down documents predicate)
+    * equi-joins the already cell-restricted candidates, ADC scores
+    * only the survivors. At store scale the probe reads nProbe
+    * directories of m-byte CODES and the filter join touches only
+    * those candidates — the compressed first stage of a filtered
+    * two-stage pipeline. Same nProbe recall trade as every IVF query;
+    * escalation composes as in [[Similarity.annIvfFilteredAuto]]. */
+  def annIvfPqFiltered(spark: SparkSession, dir: String, k: Int = TopK,
+                       nProbe: Int = 2): DataFrame = {
+    val cents = codebooks(spark, dir)
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0)
+    val probed = coarseProbeCells(e, q, nProbe)
+    val score = adcScore(spark, cents, q)
+    Similarity.ivfCells(spark, dir)
+      .filter(col("cell").isin(probed.map(Long.box): _*) &&
+        col("vec_id") =!= 0)
+      .join(Similarity.filterIds(spark, dir), Seq("vec_id"))
+      .select(col("vec_id"), score(col("embedding")).as("d"))
+      .orderBy(col("d"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), (round(col("d"), 4) + 0.0).as("pq_dist"))
+  }
+
+  /** [[annIvfPqFiltered]] against the durable PQ-coded store: the
+    * probed cells are literal partition filters over the CODES-ONLY
+    * layout, the pushed-down filtered documents scan joins the
+    * cell-restricted candidates — no fp32 is read anywhere.
+    * Output-identical to the in-memory form (same routing, distance
+    * table, fold order, predicate). */
+  def probeIvfPqStoreFiltered(spark: SparkSession, dir: String,
+                              storeDir: String, k: Int = TopK,
+                              nProbe: Int = 2): DataFrame = {
+    val cents = codebooks(spark, dir)
+    val sd = cents(0)(0)._2.length
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0)
+    val probed = coarseProbeCells(e, q, nProbe)
+    val dtable: Array[Map[Long, Double]] =
+      Array.tabulate(Subspaces) { s =>
+        cents(s).map { case (cid, cv) => cid -> l2(q, s * sd, cv) }.toMap
+      }
+    val score = (0 until Subspaces)
+      .map(s => element_at(typedLit(dtable(s)), col(s"c$s")))
+      .reduce(_ + _)
+    spark.read.parquet(storeDir)
+      .filter(col("cell").isin(probed.map(Long.box): _*) &&
+        col("vec_id") =!= 0)
+      .join(Similarity.filterIds(spark, dir), Seq("vec_id"))
+      .select(col("vec_id"), score.as("d"))
+      .orderBy(col("d"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), (round(col("d"), 4) + 0.0).as("pq_dist"))
+  }
+
+  /** The filtered probe over the session-cached compressed store —
+    * the loaded driver entry (shares the in-memory form's oracle). */
+  def annIvfPqFilteredLoaded(spark: SparkSession, dir: String,
+                             k: Int = TopK): DataFrame =
+    probeIvfPqStoreFiltered(spark, dir,
+      Similarity.loadedStoreCache.computeIfAbsent(
+        s"$dir|ivfpq|${Similarity.loadedStampOf(dir)}", _ => {
+          val out = graft.TempDirs.scratch("graft_ivfpq_store")
+          writeIvfPqStore(spark, dir, out)
+          out
+        }), k)
+
   /** The coarse quantizer's probe-cell choice: rank the seed
     * centroids by cosine against the query driver-side (k rows —
     * bounded at any corpus size), same (cosine desc, cid asc) order as

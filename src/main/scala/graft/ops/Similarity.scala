@@ -1713,7 +1713,7 @@ object Similarity {
     * attributes — `PushedFilters` in the plan, spec-pinned) projecting
     * only the id. vec_id aligns 1:1 with doc_id in the testdata; a
     * corpus with separate id spaces swaps in its mapping join here. */
-  private def filterIds(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def filterIds(spark: SparkSession, dir: String): DataFrame =
     graft.Tables.load(spark, dir, "documents")
       .filter(col("lang") === FilterLang &&
         col("n_chars") >= FilterMinChars)

@@ -535,29 +535,12 @@ object TrainingOracles {
 
     // IVF-PQ composition: coarse argmax-cosine routing to the query's
     // top-2 cells, then ADC scoring only over those cells' candidates
-    "q25_ann_ivfpq" -> {
-      val joins = (0 until Pq.Subspaces).map(s =>
-        s"JOIN code_$s ON code_$s.vec_id = cand.vec_id " +
-          s"JOIN qd_$s ON qd_$s.cid = code_$s.cid").mkString(" ")
-      val total = (0 until Pq.Subspaces).map(s => s"qd_$s.d").mkString(" + ")
-      s"""WITH $pqCtes,
-         co AS (SELECT vec_id AS ccid, v AS cvec FROM e
-                WHERE vec_id < ${Similarity.IvfCentroids}),
-         asg AS (SELECT e.vec_id, co.ccid,
-                   row_number() OVER (PARTITION BY e.vec_id
-                     ORDER BY ${cos("e.v", "co.cvec")} DESC, co.ccid) AS rn
-                 FROM e CROSS JOIN co),
-         cells AS (SELECT vec_id, ccid AS cell FROM asg WHERE rn = 1),
-         qc AS (SELECT co.ccid FROM co
-                     CROSS JOIN (SELECT v FROM e WHERE vec_id = 0) q
-                ORDER BY ${cos("q.v", "co.cvec")} DESC, co.ccid LIMIT 2),
-         cand AS (SELECT cells.vec_id AS vec_id FROM cells
-                  JOIN qc ON cells.cell = qc.ccid
-                  WHERE cells.vec_id <> 0)
-         SELECT cand.vec_id, round($total, 4) + 0.0 AS pq_dist
-         FROM cand $joins
-         ORDER BY $total, cand.vec_id LIMIT ${Pq.TopK}"""
-    },
+    "q25_ann_ivfpq" -> annIvfPqSql(filtered = false),
+
+    // the WHERE-clause IVF-PQ: same routing/codes/distance table with
+    // the metadata pre-filter joined into the probed candidates
+    // (mirrors Pq.annIvfPqFiltered; shared by the loaded entry)
+    "q25_ann_ivfpq_filtered" -> annIvfPqSql(filtered = true),
 
     // heavy hitters: exact top-k terms + the two checked CMS bounds
     "q14_heavy_hitters" ->
@@ -1986,6 +1969,42 @@ object TrainingOracles {
     * Lloyd iterations (argmin-L2 assignment + 2^40 fixed-point means),
     * final code assignment `code_s`, and the query's ADC distance
     * table `qd_s`. */
+  /** The IVF-PQ probe SQL (mirrors [[Pq.annIvfPq]] /
+    * [[Pq.annIvfPqFiltered]]): coarse routing + per-subspace ADC
+    * joins; `filtered` adds the metadata pre-filter into the probed
+    * candidate set. */
+  private def annIvfPqSql(filtered: Boolean): String = {
+    val joins = (0 until Pq.Subspaces).map(s =>
+      s"JOIN code_$s ON code_$s.vec_id = cand.vec_id " +
+        s"JOIN qd_$s ON qd_$s.cid = code_$s.cid").mkString(" ")
+    val total = (0 until Pq.Subspaces).map(s => s"qd_$s.d").mkString(" + ")
+    val fCte =
+      if (filtered)
+        s""",
+         f AS (SELECT doc_id AS vec_id FROM documents
+               WHERE lang = '${Similarity.FilterLang}'
+                 AND n_chars >= ${Similarity.FilterMinChars})"""
+      else ""
+    val fJoin = if (filtered) " JOIN f ON cells.vec_id = f.vec_id" else ""
+    s"""WITH $pqCtes,
+       co AS (SELECT vec_id AS ccid, v AS cvec FROM e
+              WHERE vec_id < ${Similarity.IvfCentroids}),
+       asg AS (SELECT e.vec_id, co.ccid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cos("e.v", "co.cvec")} DESC, co.ccid) AS rn
+               FROM e CROSS JOIN co),
+       cells AS (SELECT vec_id, ccid AS cell FROM asg WHERE rn = 1),
+       qc AS (SELECT co.ccid FROM co
+                   CROSS JOIN (SELECT v FROM e WHERE vec_id = 0) q
+              ORDER BY ${cos("q.v", "co.cvec")} DESC, co.ccid LIMIT 2)$fCte,
+       cand AS (SELECT cells.vec_id AS vec_id FROM cells
+                JOIN qc ON cells.cell = qc.ccid$fJoin
+                WHERE cells.vec_id <> 0)
+       SELECT cand.vec_id, round($total, 4) + 0.0 AS pq_dist
+       FROM cand $joins
+       ORDER BY $total, cand.vec_id LIMIT ${Pq.TopK}"""
+  }
+
   private lazy val pqCtes: String = {
     val m = Pq.Subspaces
     val k = Pq.Codebook

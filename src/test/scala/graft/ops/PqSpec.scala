@@ -90,6 +90,28 @@ class PqSpec extends SparkSpec {
     assert(ds == ds.sorted)
   }
 
+  test("filtered IVF-PQ: exactly the unfiltered probed candidates " +
+    "that pass the metadata predicate, scores unchanged; loaded == " +
+    "in-memory; nothing filtered-out leaks") {
+    val pass = graft.Tables.load(spark, dir, "documents")
+      .filter(col("lang") === Similarity.FilterLang &&
+        col("n_chars") >= Similarity.FilterMinChars)
+      .collect().map(_.getLong(0)).toSet
+    // unfiltered probed-cell ADC ranking, deep enough to cover top-k
+    // of the filtered subset
+    val probedAll = Pq.annIvfPq(spark, dir, k = 1000).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val want = probedAll.filter(p => pass(p._1)).take(Pq.TopK).toSeq
+    val got = Pq.annIvfPqFiltered(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want,
+      "filtered IVF-PQ != predicate-filtered probed ADC ranking")
+    assert(got.forall(p => pass(p._1)), "a filtered-out vector leaked")
+    assert(Pq.annIvfPqFilteredLoaded(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq == got,
+      "loaded filtered probe diverged from the in-memory form")
+  }
+
   test("PQ-coded durable store: schema is codes-only (no embedding), " +
     "probe is partition-pruned and == in-memory IVF-PQ at nProbe 1 and 2") {
     val out = java.nio.file.Files
