@@ -228,8 +228,12 @@ object Repl {
               if (hits.isEmpty) out.println(s"$q: No results ...")
               else hits.foreach { case (v, c) =>
                 out.println(f"$v%d $c%.4f") }
-            } catch { case _: java.util.NoSuchElementException =>
-              out.println("no such vec_id in the vector store")
+            } catch {
+              // NumberFormatException: a digit string past
+              // Long.MaxValue parses as no id at all
+              case _: java.util.NoSuchElementException |
+                   _: NumberFormatException =>
+                out.println("no such vec_id in the vector store")
             }
           case None => out.println(
             "ann search needs the vector store (open a corpus dir " +

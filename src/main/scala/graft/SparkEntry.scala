@@ -225,6 +225,8 @@ object SparkEntry {
     "q25_joint_dedup" -> (Similarity.jointDedup _),
     "q25_knn_graph" ->
       ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
+    "q25_knn_graph_plain" ->
+      ((s: SparkSession, d: String) => Similarity.knnGraphPlain(s, d)),
     "q25_knn_graph_coarse" ->
       ((s: SparkSession, d: String) =>
         Similarity.knnGraph(s, d, coarse = Some(true))),
@@ -263,6 +265,10 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Pq.annIvfPqFiltered(s, d)),
     "q25_ann_ivfpq_filtered_loaded" ->
       ((s: SparkSession, d: String) => Pq.annIvfPqFilteredLoaded(s, d)),
+    "q25_ann_ivfpq_filtered_auto" ->
+      ((s: SparkSession, d: String) => Pq.annIvfPqFilteredAuto(s, d)),
+    "q25_ann_ivfpq_filtered_auto_loaded" ->
+      ((s: SparkSession, d: String) => Pq.annIvfPqFilteredAutoLoaded(s, d)),
     "q33_pagerank" -> (Graph.q33PageRank _),
     "q33_triangles" -> (Graph.q33Triangles _),
     "q33_clustering" -> (Graph.q33Clustering _),
@@ -298,6 +304,10 @@ object SparkEntry {
       // the filtered probe over the PQ-coded store == the in-memory
       // filtered IVF-PQ (same routing, codes, table, predicate)
       ("q25_ann_ivfpq_filtered_loaded" -> base("q25_ann_ivfpq_filtered")) +
+      // the adaptive coded probe over the durable store == the
+      // in-memory adaptive coded probe (same ladder rule + table)
+      ("q25_ann_ivfpq_filtered_auto_loaded" ->
+        base("q25_ann_ivfpq_filtered_auto")) +
       // the one-pass streaming funnel's gate decisions == the batch
       // curation funnel's row-for-row (range-chunk staging makes the
       // stream's first-arrival keeper the batch's global-min keeper)

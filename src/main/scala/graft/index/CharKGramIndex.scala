@@ -26,6 +26,43 @@ object CharKGramIndex {
       .agg(sort_array(collect_set(col("term"))).as("terms"))
   }
 
+  /** Incremental maintenance: merge a DELTA corpus's vocabulary into
+    * an existing chargram table without re-tokenizing the old
+    * collection — the delta path the other three index artifacts
+    * already have ([[InvertedIndex.merge]], [[PositionalIndex.merge]],
+    * [[graft.queries.IrSql.mergeBm25Stats]]); without it, terms new
+    * to a merged corpus were wildcard-UNREACHABLE until a full
+    * rebuild. Only the delta is tokenized; grams whose term lists the
+    * delta doesn't touch are carried through UNCHANGED (left-anti —
+    * at store scale the rewrite cost is proportional to the delta's
+    * gram footprint, not the corpus vocabulary); touched grams union
+    * the new terms into the sorted distinct list. Term lists are
+    * VOCABULARY-level (no counts), so merge == full rebuild
+    * content-identically: the rebuilt list for a gram is the sorted
+    * distinct union of both sides' term sets (spec-pinned). Deleting
+    * terms is out of scope, exactly as for the reference's
+    * rebuild-only indexer (SURVEY §2.1 R4). */
+  def merge(spark: SparkSession, base: DataFrame, delta: DataFrame,
+            k: Int = 3): DataFrame = {
+    TextPipeline.register(spark)
+    val vocabD = delta
+      .select(explode(expr("graft_tokenize_raw(content)")).as("term"))
+      .distinct()
+    val dLists = grams(vocabD, k)
+      .groupBy(col("gram"))
+      .agg(collect_set(col("term")).as("new_terms"))
+    val untouched = base
+      .join(dLists.select(col("gram")), Seq("gram"), "left_anti")
+    val touched = dLists
+      .join(base, Seq("gram"), "left")
+      .select(col("gram"),
+        sort_array(array_distinct(concat(
+          coalesce(col("terms"),
+            array().cast("array<string>")),
+          col("new_terms")))).as("terms"))
+    untouched.unionByName(touched)
+  }
+
   /** Persist / load the chargram table (parquet, repartitioned by gram
     * so a pattern's gram lookups touch few files). */
   def write(chargrams: DataFrame, dir: String): Unit =

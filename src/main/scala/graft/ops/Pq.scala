@@ -271,7 +271,8 @@ object Pq {
     * directories of m-byte CODES and the filter join touches only
     * those candidates — the compressed first stage of a filtered
     * two-stage pipeline. Same nProbe recall trade as every IVF query;
-    * escalation composes as in [[Similarity.annIvfFilteredAuto]]. */
+    * [[annIvfPqFilteredAuto]] is the escalating form (the
+    * [[Similarity.annIvfFilteredAuto]] ladder over the coded path). */
   def annIvfPqFiltered(spark: SparkSession, dir: String, k: Int = TopK,
                        nProbe: Int = 2): DataFrame = {
     val cents = codebooks(spark, dir)
@@ -284,6 +285,48 @@ object Pq {
       .filter(col("cell").isin(probed.map(Long.box): _*) &&
         col("vec_id") =!= 0)
       .join(Similarity.filterIds(spark, dir), Seq("vec_id"))
+      .select(col("vec_id"), score(col("embedding")).as("d"))
+      .orderBy(col("d"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), (round(col("d"), 4) + 0.0).as("pq_dist"))
+  }
+
+  /** ADAPTIVE-nProbe filtered IVF-PQ — [[Similarity.escalate]]'s
+    * doubling ladder applied to the CODED path, closing the recall
+    * hole the fixed-nProbe [[annIvfPqFiltered]] inherits (a selective
+    * filter starves the probed cells): rank every cell against the
+    * query once (driver-side, seed-bounded), count filter SURVIVORS
+    * in each newly probed slice until the prefix holds
+    * [[Similarity.FilteredAutoOversample]]·k, else the cap — at the
+    * cap the candidate set is the whole filtered corpus, so the
+    * answer is the exact PQ-distance ranking of every survivor
+    * (spec-pinned on a starved corpus). At an equal landing rung the
+    * output is identical to [[annIvfPqFiltered]] (same routing,
+    * distance table, fold order, predicate — spec-pinned). The
+    * DuckDB oracle replicates the ladder rule, so the escalation
+    * CHOICE is hash-checked. */
+  def annIvfPqFilteredAuto(spark: SparkSession, dir: String,
+                           k: Int = TopK,
+                           minSurvivors: Option[Int] = None): DataFrame = {
+    val target = minSurvivors
+      .getOrElse(Similarity.FilteredAutoOversample * k)
+    val cents = codebooks(spark, dir)
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0)
+    val ranked = coarseProbeCells(e, q, Similarity.IvfCentroids)
+    import graft.ops.Stage.StageOps
+    val cells = Similarity.ivfCells(spark, dir).stage()
+    val f = Similarity.filterIds(spark, dir)
+    val chosen = Similarity.escalate(ranked, target) { newCells =>
+      cells.filter(col("cell").isin(newCells.map(Long.box): _*) &&
+          col("vec_id") =!= 0)
+        .join(f, Seq("vec_id")).count()
+    }
+    val score = adcScore(spark, cents, q)
+    cells.filter(col("cell").isin(chosen.map(Long.box): _*) &&
+        col("vec_id") =!= 0)
+      .join(f, Seq("vec_id"))
       .select(col("vec_id"), score(col("embedding")).as("d"))
       .orderBy(col("d"), col("vec_id"))
       .limit(k)
@@ -326,13 +369,70 @@ object Pq {
     * the loaded driver entry (shares the in-memory form's oracle). */
   def annIvfPqFilteredLoaded(spark: SparkSession, dir: String,
                              k: Int = TopK): DataFrame =
-    probeIvfPqStoreFiltered(spark, dir,
-      Similarity.loadedStoreCache.computeIfAbsent(
-        s"$dir|ivfpq|${Similarity.loadedStampOf(dir)}", _ => {
-          val out = graft.TempDirs.scratch("graft_ivfpq_store")
-          writeIvfPqStore(spark, dir, out)
-          out
-        }), k)
+    probeIvfPqStoreFiltered(spark, dir, cachedPqStore(spark, dir), k)
+
+  /** [[annIvfPqFilteredAuto]] against the durable PQ-coded store:
+    * each ladder rung's survivor count is a PARTITION-PRUNED scan of
+    * only the newly probed `cell=` dirs (codes only — the rung walk
+    * never reads fp32), and the final ranking is
+    * [[probeIvfPqStoreFiltered]]'s plan over the chosen prefix.
+    * Output-identical to the in-memory [[annIvfPqFilteredAuto]] on
+    * the same corpus (same seeds, routing order, rule, distance
+    * table, fold order, predicate) — worst case costs one walk of
+    * the directories a fixed cap-level probe reads once. */
+  def probeIvfPqStoreFilteredAuto(spark: SparkSession, dir: String,
+                                  storeDir: String, k: Int = TopK,
+                                  minSurvivors: Option[Int] = None)
+      : DataFrame = {
+    val target = minSurvivors
+      .getOrElse(Similarity.FilteredAutoOversample * k)
+    val cents = codebooks(spark, dir)
+    val sd = cents(0)(0)._2.length
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0)
+    val ranked = coarseProbeCells(e, q, Similarity.IvfCentroids)
+    val stored = spark.read.parquet(storeDir)
+    val f = Similarity.filterIds(spark, dir)
+    val chosen = Similarity.escalate(ranked, target) { newCells =>
+      stored.filter(col("cell").isin(newCells.map(Long.box): _*) &&
+          col("vec_id") =!= 0)
+        .join(f, Seq("vec_id")).count()
+    }
+    val dtable: Array[Map[Long, Double]] =
+      Array.tabulate(Subspaces) { s =>
+        cents(s).map { case (cid, cv) => cid -> l2(q, s * sd, cv) }.toMap
+      }
+    val score = (0 until Subspaces)
+      .map(s => element_at(typedLit(dtable(s)), col(s"c$s")))
+      .reduce(_ + _)
+    stored.filter(col("cell").isin(chosen.map(Long.box): _*) &&
+        col("vec_id") =!= 0)
+      .join(f, Seq("vec_id"))
+      .select(col("vec_id"), score.as("d"))
+      .orderBy(col("d"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), (round(col("d"), 4) + 0.0).as("pq_dist"))
+  }
+
+  /** The adaptive filtered probe over the session-cached compressed
+    * store — the loaded driver entry (shares the in-memory form's
+    * oracle). */
+  def annIvfPqFilteredAutoLoaded(spark: SparkSession, dir: String,
+                                 k: Int = TopK): DataFrame =
+    probeIvfPqStoreFilteredAuto(spark, dir, cachedPqStore(spark, dir), k)
+
+  /** One PQ-coded store build per source table per session,
+    * content-stamped — the [[Similarity.loadedStoreCache]] discipline
+    * (probes are read-only), factored so the loaded entries can't
+    * drift on the cache key. */
+  private def cachedPqStore(spark: SparkSession, dir: String): String =
+    Similarity.loadedStoreCache.computeIfAbsent(
+      s"$dir|ivfpq|${Similarity.loadedStampOf(dir)}", _ => {
+        val out = graft.TempDirs.scratch("graft_ivfpq_store")
+        writeIvfPqStore(spark, dir, out)
+        out
+      })
 
   /** The coarse quantizer's probe-cell choice: rank the seed
     * centroids by cosine against the query driver-side (k rows —
@@ -422,11 +522,5 @@ object Pq {
                      nProbe: Int = 2): DataFrame =
     // one store build per source table per session, content-stamped —
     // the Similarity.loadedStoreCache discipline (probes are read-only)
-    probeIvfPqStore(spark, dir,
-      Similarity.loadedStoreCache.computeIfAbsent(
-        s"$dir|ivfpq|${Similarity.loadedStampOf(dir)}", _ => {
-          val out = graft.TempDirs.scratch("graft_ivfpq_store")
-          writeIvfPqStore(spark, dir, out)
-          out
-        }), k, nProbe)
+    probeIvfPqStore(spark, dir, cachedPqStore(spark, dir), k, nProbe)
 }

@@ -174,8 +174,11 @@ object TrainingOracles {
     * doubling ladder (capped at the cell count) whose prefix holds
     * `oversample × k` survivors (else the cap), rank inside the
     * chosen prefix. Hash-checking this checks the escalation CHOICE,
-    * not just a fixed-nProbe ranking. */
-  private def annIvfFilteredAutoSql: String =
+    * not just a fixed-nProbe ranking. `k` threads through to BOTH the
+    * survivor target (oversample × k) and the final LIMIT, so the
+    * oracle can never check a different escalation rule than the
+    * entry's [[Similarity.annIvfFilteredAuto]] call runs. */
+  private def annIvfFilteredAutoSql(k: Int = 10): String =
     s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
                    WHERE vec_id < ${Similarity.IvfCentroids}),
        a AS (SELECT e.vec_id, e.embedding, c.cid,
@@ -204,14 +207,14 @@ object TrainingOracles {
                GROUP BY lad.np),
        chosen AS (SELECT coalesce(min(np), (SELECT count(*) FROM c)) AS np
                   FROM cum
-                  WHERE cum >= ${Similarity.FilteredAutoOversample * 10}),
+                  WHERE cum >= ${Similarity.FilteredAutoOversample * k}),
        s AS (SELECT x.vec_id, ${cos("x.embedding", "q.qv")} AS c
              FROM cells x JOIN f ON x.vec_id = f.vec_id
                   JOIN qrank qr ON x.cell = qr.cid
                   CROSS JOIN q CROSS JOIN chosen
              WHERE x.vec_id <> 0 AND qr.crank <= chosen.np)
        SELECT vec_id, round(c, 4) AS cos FROM s
-       ORDER BY c DESC, vec_id LIMIT 10"""
+       ORDER BY c DESC, vec_id LIMIT $k"""
 
   private def annIvfFilteredSql(nProbe: Int): String =
     s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
@@ -234,6 +237,52 @@ object TrainingOracles {
              WHERE x.vec_id <> 0)
        SELECT vec_id, round(c, 4) AS cos FROM s
        ORDER BY c DESC, vec_id LIMIT 10"""
+
+  /** The occupancy-BALANCED k-NN graph SQL over any cell-assignment
+    * CTE block (flat or coarse) — mirrors
+    * [[Similarity.balancedCellsOf]] + the shared top-3 contract:
+    * cells past [[Similarity.BalancedCellCap]] re-seed on their m
+    * smallest vec_ids (sub-seed id = id rank - 1) and re-argmax with
+    * the family (cos desc, sid asc) tie rule; under-cap cells keep
+    * sub = 0. ONE generator feeds q25_knn_graph (the default entry),
+    * q25_knn_graph_balanced, and q25_knn_graph_coarse, so the three
+    * arms can't drift from each other. */
+  private def knnGraphBalancedSqlOver(cellCtes: String): String =
+    s"""WITH $cellCtes,
+       occ AS (SELECT cell, count(*) AS occ FROM cells GROUP BY cell),
+       big AS (SELECT cell,
+                      CAST(ceil(occ / ${Similarity.SemDedupCellSize}.0) AS BIGINT) AS m
+               FROM occ WHERE occ > ${Similarity.BalancedCellCap}),
+       small AS (SELECT vec_id, embedding, cell, CAST(0 AS BIGINT) AS sub
+                 FROM cells WHERE cell NOT IN (SELECT cell FROM big)),
+       bv AS (SELECT cells.vec_id, cells.embedding, cells.cell, big.m
+              FROM cells JOIN big USING (cell)),
+       ss AS (SELECT cell, svec, sid FROM (
+                SELECT cell, embedding AS svec, m,
+                       CAST(row_number() OVER (PARTITION BY cell
+                         ORDER BY vec_id) - 1 AS BIGINT) AS sid
+                FROM bv)
+              WHERE sid < m),
+       asg AS (SELECT bv.vec_id, bv.embedding, bv.cell, ss.sid,
+                      row_number() OVER (PARTITION BY bv.vec_id
+                        ORDER BY ${cos("bv.embedding", "ss.svec")} DESC,
+                                 ss.sid) AS rn
+               FROM bv JOIN ss USING (cell)),
+       bigc AS (SELECT vec_id, embedding, cell, sid AS sub
+                FROM asg WHERE rn = 1),
+       c2 AS (SELECT * FROM small UNION ALL SELECT * FROM bigc),
+       p AS (SELECT x.vec_id AS src, y.vec_id AS nbr,
+                    ${cos("x.embedding", "y.embedding")} AS c
+             FROM c2 x JOIN c2 y
+               ON x.cell = y.cell AND x.sub = y.sub
+              AND x.vec_id <> y.vec_id),
+       r AS (SELECT src, nbr, c,
+                    row_number() OVER (PARTITION BY src
+                      ORDER BY c DESC, nbr) AS rn
+             FROM p)
+       SELECT src AS vec_id, CAST(rn AS BIGINT) AS rn, nbr,
+              round(c, 4) AS cos
+       FROM r WHERE rn <= 3 ORDER BY vec_id, rn"""
 
   private val oracleMain: Map[String, String] = Map(
     "q24_dedup_exact" ->
@@ -541,6 +590,12 @@ object TrainingOracles {
     // the metadata pre-filter joined into the probed candidates
     // (mirrors Pq.annIvfPqFiltered; shared by the loaded entry)
     "q25_ann_ivfpq_filtered" -> annIvfPqSql(filtered = true),
+
+    // the ADAPTIVE coded probe: the annIvfFilteredAutoSql ladder rule
+    // verbatim over the PQ candidate path — escalation choice AND the
+    // ADC ranking both hash-checked
+    "q25_ann_ivfpq_filtered_auto" ->
+      annIvfPqSql(filtered = true, auto = true),
 
     // heavy hitters: exact top-k terms + the two checked CMS bounds
     "q14_heavy_hitters" ->
@@ -986,12 +1041,12 @@ object TrainingOracles {
          SELECT vec_id, round(c, 4) AS cos FROM s
          ORDER BY c DESC, vec_id LIMIT 10""",
 
-    // cell-bounded k-NN graph: the engine's bounded-heap top-k per
-    // vector vs the WINDOW form over the same same-cell candidates —
-    // the compare re-proves heap == row_number on this shape. Cells
-    // use the DYNAMIC k (n/128, the semdedup discipline) so the
-    // oracle stays correct at any SF
-    "q25_knn_graph" ->
+    // PLAIN cell-bounded k-NN graph (the reference arm): the engine's
+    // bounded-heap top-k per vector vs the WINDOW form over the same
+    // same-cell candidates — the compare re-proves heap == row_number
+    // on this shape. Cells use the DYNAMIC k (n/128, the semdedup
+    // discipline) so the oracle stays correct at any SF
+    "q25_knn_graph_plain" ->
       s"""WITH ${flatCellCtes("embeddings")},
          p AS (SELECT x.vec_id AS src, y.vec_id AS nbr,
                       ${cos("x.embedding", "y.embedding")} AS c
@@ -1004,6 +1059,13 @@ object TrainingOracles {
          SELECT src AS vec_id, CAST(rn AS BIGINT) AS rn, nbr,
                 round(c, 4) AS cos
          FROM r WHERE rn <= 3 ORDER BY vec_id, rn""",
+
+    // the DEFAULT k-NN graph now routes through the occupancy-
+    // BALANCED assignment (r12 VERDICT: plain was super-linear under
+    // skew) — the oracle replicates the balanced rule over the flat
+    // cells, shared verbatim with q25_knn_graph_balanced so the two
+    // entries cannot drift
+    "q25_knn_graph" -> knnGraphBalancedSqlOver(flatCellCtes("embeddings")),
 
     // the k-NN graph over the occupancy-BALANCED assignment: cells
     // past the cap re-seed on their m smallest vec_ids (sub-seed id =
@@ -1011,59 +1073,15 @@ object TrainingOracles {
     // tie rule; under-cap cells keep sub = 0 — mirrors
     // Similarity.balancedCellsOf + knnGraphBalanced exactly
     "q25_knn_graph_balanced" ->
-      s"""WITH ${flatCellCtes("embeddings")},
-         occ AS (SELECT cell, count(*) AS occ FROM cells GROUP BY cell),
-         big AS (SELECT cell,
-                        CAST(ceil(occ / ${Similarity.SemDedupCellSize}.0) AS BIGINT) AS m
-                 FROM occ WHERE occ > ${Similarity.BalancedCellCap}),
-         small AS (SELECT vec_id, embedding, cell, CAST(0 AS BIGINT) AS sub
-                   FROM cells WHERE cell NOT IN (SELECT cell FROM big)),
-         bv AS (SELECT cells.vec_id, cells.embedding, cells.cell, big.m
-                FROM cells JOIN big USING (cell)),
-         ss AS (SELECT cell, svec, sid FROM (
-                  SELECT cell, embedding AS svec, m,
-                         CAST(row_number() OVER (PARTITION BY cell
-                           ORDER BY vec_id) - 1 AS BIGINT) AS sid
-                  FROM bv)
-                WHERE sid < m),
-         asg AS (SELECT bv.vec_id, bv.embedding, bv.cell, ss.sid,
-                        row_number() OVER (PARTITION BY bv.vec_id
-                          ORDER BY ${cos("bv.embedding", "ss.svec")} DESC,
-                                   ss.sid) AS rn
-                 FROM bv JOIN ss USING (cell)),
-         bigc AS (SELECT vec_id, embedding, cell, sid AS sub
-                  FROM asg WHERE rn = 1),
-         c2 AS (SELECT * FROM small UNION ALL SELECT * FROM bigc),
-         p AS (SELECT x.vec_id AS src, y.vec_id AS nbr,
-                      ${cos("x.embedding", "y.embedding")} AS c
-               FROM c2 x JOIN c2 y
-                 ON x.cell = y.cell AND x.sub = y.sub
-                AND x.vec_id <> y.vec_id),
-         r AS (SELECT src, nbr, c,
-                      row_number() OVER (PARTITION BY src
-                        ORDER BY c DESC, nbr) AS rn
-               FROM p)
-         SELECT src AS vec_id, CAST(rn AS BIGINT) AS rn, nbr,
-                round(c, 4) AS cos
-         FROM r WHERE rn <= 3 ORDER BY vec_id, rn""",
+      knnGraphBalancedSqlOver(flatCellCtes("embeddings")),
 
     // the k-NN graph with the cell assignment routed through the
     // COARSE two-level argmax — the past-crossover production shape;
-    // same same-cell candidate generation and top-3 contract over the
-    // coarse cells
+    // the balanced re-split applies over the coarse cells exactly as
+    // the entry (knnGraph(coarse=true) routes balanced too)
     "q25_knn_graph_coarse" ->
-      s"""WITH ${coarseCellCtes("embeddings")},
-         p AS (SELECT x.vec_id AS src, y.vec_id AS nbr,
-                      ${cos("x.embedding", "y.embedding")} AS c
-               FROM cells x JOIN cells y
-                 ON x.cell = y.cell AND x.vec_id <> y.vec_id),
-         r AS (SELECT src, nbr, c,
-                      row_number() OVER (PARTITION BY src
-                        ORDER BY c DESC, nbr) AS rn
-               FROM p)
-         SELECT src AS vec_id, CAST(rn AS BIGINT) AS rn, nbr,
-                round(c, 4) AS cos
-         FROM r WHERE rn <= 3 ORDER BY vec_id, rn""",
+      knnGraphBalancedSqlOver(coarseCellCtes("embeddings")),
+
 
     // streaming ANN ingest gate: vectors arrive in chunk order
     // vec_id % 3; a pair reports iff both land in the SAME IVF cell
@@ -1444,7 +1462,7 @@ object TrainingOracles {
 
     // adaptive filtered probe: the escalation rule replicated in SQL
     // (ladder choice hash-checked, not just the final ranking)
-    "q25_ann_filtered_auto" -> annIvfFilteredAutoSql,
+    "q25_ann_filtered_auto" -> annIvfFilteredAutoSql(k = 10),
 
     // filtered-ANN recall panel: every arm wraps the SAME SQL the
     // standalone entries run (annIvfFilteredSql at nProbe 1 and 2,
@@ -1459,7 +1477,7 @@ object TrainingOracles {
       } :+
         s"""SELECT 'auto' AS method,
               CAST((SELECT count(*)
-                    FROM ($annIvfFilteredAutoSql) ma
+                    FROM (${annIvfFilteredAutoSql(k = 10)}) ma
                     JOIN truth USING (vec_id)) AS BIGINT) AS hits""")
         .mkString(" UNION ALL ")
       s"""WITH truth AS (SELECT vec_id FROM ($annFilteredSql) tt),
@@ -1973,7 +1991,9 @@ object TrainingOracles {
     * [[Pq.annIvfPqFiltered]]): coarse routing + per-subspace ADC
     * joins; `filtered` adds the metadata pre-filter into the probed
     * candidate set. */
-  private def annIvfPqSql(filtered: Boolean): String = {
+  private def annIvfPqSql(filtered: Boolean,
+                          auto: Boolean = false): String = {
+    require(!auto || filtered, "the auto ladder is the filtered form")
     val joins = (0 until Pq.Subspaces).map(s =>
       s"JOIN code_$s ON code_$s.vec_id = cand.vec_id " +
         s"JOIN qd_$s ON qd_$s.cid = code_$s.cid").mkString(" ")
@@ -1986,6 +2006,41 @@ object TrainingOracles {
                  AND n_chars >= ${Similarity.FilterMinChars})"""
       else ""
     val fJoin = if (filtered) " JOIN f ON cells.vec_id = f.vec_id" else ""
+    // the candidate CTE: a fixed nProbe=2 prefix, or the adaptive
+    // doubling-ladder choice (the annIvfFilteredAutoSql rule verbatim
+    // over the coded path — escalation CHOICE hash-checked)
+    val candCtes =
+      if (!auto)
+        s"""qc AS (SELECT co.ccid FROM co
+                   CROSS JOIN (SELECT v FROM e WHERE vec_id = 0) q
+              ORDER BY ${cos("q.v", "co.cvec")} DESC, co.ccid LIMIT 2)$fCte,
+       cand AS (SELECT cells.vec_id AS vec_id FROM cells
+                JOIN qc ON cells.cell = qc.ccid$fJoin
+                WHERE cells.vec_id <> 0)"""
+      else
+        s"""qrank AS (SELECT co.ccid,
+                      row_number() OVER (
+                        ORDER BY ${cos("q.v", "co.cvec")} DESC, co.ccid) AS crank
+               FROM co CROSS JOIN (SELECT v FROM e WHERE vec_id = 0) q)$fCte,
+       surv AS (SELECT qr.crank, count(*) AS cnt
+                FROM cells x JOIN f ON x.vec_id = f.vec_id
+                     JOIN qrank qr ON x.cell = qr.ccid
+                WHERE x.vec_id <> 0 GROUP BY qr.crank),
+       lad AS (SELECT DISTINCT
+                      least(CAST(pow(2, i) AS BIGINT),
+                            (SELECT count(*) FROM co)) AS np
+               FROM range(0, 30) t(i)),
+       cum AS (SELECT lad.np, coalesce(sum(s.cnt), 0) AS cum
+               FROM lad LEFT JOIN surv s ON s.crank <= lad.np
+               GROUP BY lad.np),
+       chosen AS (SELECT coalesce(min(np), (SELECT count(*) FROM co)) AS np
+                  FROM cum
+                  WHERE cum >= ${Similarity.FilteredAutoOversample * Pq.TopK}),
+       cand AS (SELECT x.vec_id FROM cells x
+                JOIN f ON x.vec_id = f.vec_id
+                JOIN qrank qr ON x.cell = qr.ccid
+                CROSS JOIN chosen
+                WHERE x.vec_id <> 0 AND qr.crank <= chosen.np)"""
     s"""WITH $pqCtes,
        co AS (SELECT vec_id AS ccid, v AS cvec FROM e
               WHERE vec_id < ${Similarity.IvfCentroids}),
@@ -1994,12 +2049,7 @@ object TrainingOracles {
                    ORDER BY ${cos("e.v", "co.cvec")} DESC, co.ccid) AS rn
                FROM e CROSS JOIN co),
        cells AS (SELECT vec_id, ccid AS cell FROM asg WHERE rn = 1),
-       qc AS (SELECT co.ccid FROM co
-                   CROSS JOIN (SELECT v FROM e WHERE vec_id = 0) q
-              ORDER BY ${cos("q.v", "co.cvec")} DESC, co.ccid LIMIT 2)$fCte,
-       cand AS (SELECT cells.vec_id AS vec_id FROM cells
-                JOIN qc ON cells.cell = qc.ccid$fJoin
-                WHERE cells.vec_id <> 0)
+       $candCtes
        SELECT cand.vec_id, round($total, 4) + 0.0 AS pq_dist
        FROM cand $joins
        ORDER BY $total, cand.vec_id LIMIT ${Pq.TopK}"""

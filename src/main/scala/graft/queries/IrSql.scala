@@ -637,15 +637,27 @@ object IrSql {
     * recompute because impacts are priced at query time from the
     * frontier ([[writeBm25Stats]]).
     *
-    * The stats/corpus swaps go through hidden tmp dirs + renames.
-    * Like every store maintenance op, run it behind the serving
-    * path's quiesce; both rewritten artifacts are DERIVED from
-    * postings+doclen, so a crash between swaps is repaired by
-    * [[repairBm25Stats]] (or caught by the content stamp, which keys
-    * the session cache on the source corpus). */
+    * Crash safety: the two authoritative appends (postings, doclen)
+    * COMMIT ATOMICALLY. Both deltas are first STAGED into hidden
+    * `_graft_delta_*` dirs (the store proper untouched); only after
+    * both staged writes complete is the `_graft_merge_inflight`
+    * marker created — the commit point — and the staged part files
+    * renamed in. [[recoverBm25Merge]] (run at every
+    * merge/compact/repair entry) rolls an uncommitted attempt back
+    * (marker absent → delete staged dirs) or completes a committed
+    * one (marker present → move any remaining staged files in,
+    * rebuild the derived stats/corpus from the authoritative pair,
+    * clear the marker). So a crash can never leave postings without
+    * their doc lengths (or vice versa), and RETRYING a crashed merge
+    * is safe: rollback restores the exact pre-merge store, and the
+    * doclen-based disjointness guard below stays sound because
+    * postings and doclen only ever land together. Like every store
+    * maintenance op, run it behind the serving path's quiesce
+    * (a live [[graft.query.Bm25Server]] detects the mutation via its
+    * store stamp and refreshes). */
   def mergeBm25Stats(spark: SparkSession, storeDir: String,
                      delta: DataFrame): Unit = {
-    recoverBm25Store(spark, storeDir) // finish any crashed swap first
+    recoverBm25Store(spark, storeDir) // finish any crashed swap/merge
     val dTok = tokensOf(delta)
     val dLen = dTok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
       .stage()
@@ -662,12 +674,22 @@ object IrSql {
     }
     if (dnd == 0L) return
     val (tt0, nd0) = readCorpusStats(spark, storeDir)
-    // appends first: stats/corpus are derived artifacts, so any crash
-    // from here on leaves a store repairBm25Stats reconstructs
+    // stage BOTH delta appends outside the store proper, then commit
+    // atomically: marker, rename the parts in, derive, clear marker
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dpDir = new Path(root, DeltaPostingsDir)
+    val dlDir = new Path(root, DeltaDoclenDir)
     dTf.repartitionByRange(col("term"))
       .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.mode("append").parquet(s"$storeDir/postings")
-    dLen.write.mode("append").parquet(s"$storeDir/doclen")
+      .write.mode("overwrite").parquet(dpDir.toString)
+    dLen.write.mode("overwrite").parquet(dlDir.toString)
+    fs.create(new Path(root, MergeMarker), false).close() // COMMIT
+    moveParts(fs, dpDir, new Path(root, "postings"))
+    moveParts(fs, dlDir, new Path(root, "doclen"))
+    fs.delete(dpDir, true)
+    fs.delete(dlDir, true)
     // touched stats rows: old df + delta df; frontier of the union of
     // the OLD FRONTIER and the delta's postings (== full-union frontier)
     val oldStats = spark.read.parquet(s"$storeDir/stats")
@@ -694,13 +716,71 @@ object IrSql {
       import spark.implicits._
       Seq((tt0 + dtt, nd0 + dnd)).toDF("tt", "nd")
     })
+    fs.delete(new Path(root, MergeMarker), false)
+    ()
+  }
+
+  /** [[mergeBm25Stats]] staging/commit names (see its crash-safety
+    * contract). */
+  private val DeltaPostingsDir = "_graft_delta_postings"
+  private val DeltaDoclenDir = "_graft_delta_doclen"
+  private val MergeMarker = "_graft_merge_inflight"
+
+  /** Move every parquet part file of `from` into `to` — each rename
+    * is atomic and part names embed a per-job UUID, so replaying the
+    * loop after a crash moves exactly the files the first attempt
+    * didn't (a file lives in precisely one of the two dirs). */
+  private def moveParts(fs: org.apache.hadoop.fs.FileSystem,
+                        from: org.apache.hadoop.fs.Path,
+                        to: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(from))
+      fs.listStatus(from)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .foreach(f =>
+          fs.rename(f.getPath, new org.apache.hadoop.fs.Path(
+            to, f.getPath.getName)))
+
+  /** Crash recovery for [[mergeBm25Stats]]'s staged-append commit:
+    * marker ABSENT → any staged delta dirs are an uncommitted attempt,
+    * roll back by deleting them (the store proper was never touched);
+    * marker PRESENT → both staged writes completed before the crash,
+    * so finish the merge — move remaining staged parts in, rebuild
+    * the derived stats/corpus from the authoritative postings+doclen
+    * (the crash may have landed anywhere between commit and the final
+    * swap), and clear the marker. Safe to call when no merge was in
+    * flight. */
+  private[graft] def recoverBm25Merge(spark: SparkSession,
+                                      storeDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dpDir = new Path(root, DeltaPostingsDir)
+    val dlDir = new Path(root, DeltaDoclenDir)
+    if (!fs.exists(new Path(root, MergeMarker))) {
+      fs.delete(dpDir, true)
+      fs.delete(dlDir, true)
+      ()
+    } else {
+      moveParts(fs, dpDir, new Path(root, "postings"))
+      moveParts(fs, dlDir, new Path(root, "doclen"))
+      fs.delete(dpDir, true)
+      fs.delete(dlDir, true)
+      rebuildDerived(spark, storeDir)
+      fs.delete(new Path(root, MergeMarker), false)
+      ()
+    }
   }
 
   /** Rebuild the DERIVED store artifacts (stats/, corpus/) from the
     * authoritative postings/ + doclen/ — the recovery path for a crash
     * between [[mergeBm25Stats]]'s swaps. */
   def repairBm25Stats(spark: SparkSession, storeDir: String): Unit = {
-    recoverBm25Store(spark, storeDir) // finish any crashed swap first
+    recoverBm25Store(spark, storeDir) // finish any crashed swap/merge
+    rebuildDerived(spark, storeDir)
+  }
+
+  private def rebuildDerived(spark: SparkSession,
+                             storeDir: String): Unit = {
     val len = spark.read.parquet(s"$storeDir/doclen").stage()
     val tf = spark.read.parquet(s"$storeDir/postings").stage()
     swapIn(spark, s"$storeDir/corpus",
@@ -777,8 +857,10 @@ object IrSql {
   private val Bm25Artifacts = Seq("postings", "doclen", "stats", "corpus")
 
   private def recoverBm25Store(spark: SparkSession,
-                               storeDir: String): Unit =
+                               storeDir: String): Unit = {
     Bm25Artifacts.foreach(recoverArtifact(spark, storeDir, _))
+    recoverBm25Merge(spark, storeDir)
+  }
 
   /** COMPACT a [[mergeBm25Stats]]-maintained store: every merge
     * appends its delta as new files whose term ranges OVERLAP the
@@ -826,26 +908,13 @@ object IrSql {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Cache key for the per-corpus stats store: the documents table's
-    * file names + sizes + mtimes ride along with the path, so a
+    * content stamp ([[graft.StoreStamp]] — file names + sizes +
+    * mtimes + footer-tail CRC) rides along with the path, so a
     * corpus rewritten at the same dir builds a FRESH store instead of
     * serving stale index-time statistics (the storeSeedCache lesson —
     * 'built once per corpus' must mean corpus CONTENT, not path). */
-  private def bm25StoreKey(dir: String): String = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val p = Paths.get(dir, "documents.parquet")
-    val stamp =
-      if (Files.isDirectory(p)) {
-        val ls = Files.list(p)
-        try ls.iterator().asScala.toSeq.sortBy(_.toString)
-          .filter(_.toString.endsWith(".parquet"))
-          .map(f => s"${f.getFileName}:${Files.size(f)}:" +
-            s"${Files.getLastModifiedTime(f).toMillis}")
-          .mkString(",")
-        finally ls.close()
-      } else s"${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
-    s"$dir|$stamp"
-  }
+  private def bm25StoreKey(dir: String): String =
+    s"$dir|${graft.StoreStamp.of(dir, "documents")}"
 
   /** Safety margin subtracted from θ before the essential split —
     * closes the QUANTIZATION-TIE hole in the exact-parity claim (r11

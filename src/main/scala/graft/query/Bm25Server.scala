@@ -89,30 +89,73 @@ private[query] case class RefMapLookup(
   * [[PointServer]] defers to `serveSearch` for loaded indexes.
   * Concurrency: each query borrows a pooled instance — the
   * set-refs-then-collect window is private per caller
-  * ([[TemplatePool]]). */
+  * ([[TemplatePool]]).
+  *
+  * STALENESS: the snapshot (cached join, driver dictionary, (tt, nd)
+  * literals) carries a VERSION STAMP of the store's four artifact
+  * dirs (per-dir parquet file names + sizes + mtimes — the
+  * [[CellVersion]] discipline applied to the BM25 quadruple). Every
+  * [[search]] revalidates the stamp (driver-side metadata only, four
+  * listings) and REBUILDS the snapshot when the store moved under it
+  * — so [[graft.queries.IrSql.mergeBm25Stats]] /
+  * `compactBm25Store` / `repairBm25Stats` against a live server are
+  * detected, never silently served stale. [[refresh]] stays the
+  * explicit hammer for layouts where listings can lag (eventually
+  * consistent object stores). As everywhere in the serving layer,
+  * run mutations behind a quiesce for cutover-exact semantics: a
+  * query IN FLIGHT during the mutation may race the file swap; the
+  * stamp guarantees every query STARTED after the mutation completes
+  * sees the new store. */
 final class Bm25Server(spark: SparkSession, storeDir: String,
                        topK: Int = 10) {
 
-  private val joined = spark.read.parquet(s"$storeDir/postings")
-    .join(spark.read.parquet(s"$storeDir/doclen"), "doc_id")
-    .select(col("term"), col("doc_id"), col("tf"), col("dl"))
-    .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private val hfs = new org.apache.hadoop.fs.Path(storeDir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private val (tt, nd) = IrSql.readCorpusStats(spark, storeDir)
+  /** Stamp of the four artifact dirs — file names, sizes, mtimes. */
+  private def storeVersion(): Long =
+    Seq("postings", "doclen", "stats", "corpus").foldLeft(17L) {
+      (acc, name) =>
+        val h =
+          try {
+            val fsx = hfs.listStatus(
+              new org.apache.hadoop.fs.Path(s"$storeDir/$name"))
+              .filter(f => f.isFile &&
+                f.getPath.getName.endsWith(".parquet"))
+              .sortBy(_.getPath.getName)
+            fsx.foldLeft(fsx.length.toLong)((a, f) =>
+              ((a * 31 + f.getPath.getName.hashCode) * 31 +
+                f.getModificationTime) * 31 + f.getLen)
+          } catch { case _: java.io.FileNotFoundException => -1L }
+        acc * 1000003 + h
+    }
 
-  /** term → (df, frontier pairs) — the in-RAM dictionary. */
-  private val stats: Map[String, (Long, Seq[(Long, Long)])] =
-    spark.read.parquet(s"$storeDir/stats").collect().map { r =>
-      r.getString(0) -> (r.getLong(1),
-        r.getSeq[org.apache.spark.sql.Row](2)
-          .map(p => (p.getLong(0), p.getLong(1))))
-    }.toMap
+  /** One immutable store snapshot: everything a query touches. */
+  private final class State(val version: Long) {
+    val joined: DataFrame = spark.read.parquet(s"$storeDir/postings")
+      .join(spark.read.parquet(s"$storeDir/doclen"), "doc_id")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  joined.count() // materialize the cached relation at construction
+    val (tt, nd) = IrSql.readCorpusStats(spark, storeDir)
 
-  private def impact(term: String): Double = {
-    val (df, pairs) = stats(term)
-    pairs.map(p => IrSql.bm25Score(p._1, p._2, df, tt, nd)).max
+    /** term → (df, frontier pairs) — the in-RAM dictionary. */
+    val stats: Map[String, (Long, Seq[(Long, Long)])] =
+      spark.read.parquet(s"$storeDir/stats").collect().map { r =>
+        r.getString(0) -> (r.getLong(1),
+          r.getSeq[org.apache.spark.sql.Row](2)
+            .map(p => (p.getLong(0), p.getLong(1))))
+      }.toMap
+
+    joined.count() // materialize the cached relation at construction
+
+    def impact(term: String): Double = {
+      val (df, pairs) = stats(term)
+      pairs.map(p => IrSql.bm25Score(p._1, p._2, df, tt, nd)).max
+    }
+
+    val pool = new TemplatePool[Unit, Tmpl](_ => buildTmpl(this),
+      maxKeys = 1)
   }
 
   private final case class Tmpl(
@@ -125,18 +168,18 @@ final class Bm25Server(spark: SparkSession, storeDir: String,
   /** The shared scoring arithmetic with df read from the map ref and
     * (tt, nd) as literals — the same expression tree as the fresh
     * plan's `bm25S` column, so the doubles are identical. */
-  private def sExpr(dfRef: AtomicReference[
+  private def sExpr(st: State, dfRef: AtomicReference[
       java.util.HashMap[UTF8String, java.lang.Long]]) = {
     val dfc = Bridge.column(
       RefMapLookup(Bridge.expression(col("term")), dfRef))
     val (k1, b) = (IrSql.Bm25K1, IrSql.Bm25B)
-    log((lit(nd) - dfc + lit(0.5)) / (dfc + lit(0.5)) + lit(1.0)) *
+    log((lit(st.nd) - dfc + lit(0.5)) / (dfc + lit(0.5)) + lit(1.0)) *
       (col("tf") * lit(k1 + 1)) /
       (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") /
-        (lit(tt).cast("double") / lit(nd))))
+        (lit(st.tt).cast("double") / lit(st.nd))))
   }
 
-  private def buildTmpl(): Tmpl = {
+  private def buildTmpl(st: State): Tmpl = {
     val thetaRef = new AtomicReference(new java.util.HashSet[UTF8String])
     val termsRef = new AtomicReference(new java.util.HashSet[UTF8String])
     val essRef = new AtomicReference(new java.util.HashSet[UTF8String])
@@ -144,13 +187,13 @@ final class Bm25Server(spark: SparkSession, storeDir: String,
       new java.util.HashMap[UTF8String, java.lang.Long])
     def inSet(ref: AtomicReference[java.util.HashSet[UTF8String]]) =
       Bridge.column(RefSetContains(Bridge.expression(col("term")), ref))
-    val thetaDf = joined.filter(inSet(thetaRef)).coalesce(1)
-      .select(sExpr(dfRef).as("s"), col("doc_id"))
+    val thetaDf = st.joined.filter(inSet(thetaRef)).coalesce(1)
+      .select(sExpr(st, dfRef).as("s"), col("doc_id"))
       .orderBy(col("s").desc, col("doc_id"))
       .limit(topK)
-    val scoreDf = joined.filter(inSet(termsRef)).coalesce(1)
+    val scoreDf = st.joined.filter(inSet(termsRef)).coalesce(1)
       .select(col("doc_id"),
-        round(sExpr(dfRef) * IrSql.Bm25Scale).cast("long").as("s9"),
+        round(sExpr(st, dfRef) * IrSql.Bm25Scale).cast("long").as("s9"),
         when(inSet(essRef), 1L).otherwise(0L).as("e"))
       .groupBy(col("doc_id"))
       .agg(sum(col("s9")).as("ss"), max(col("e")).as("me"))
@@ -165,38 +208,71 @@ final class Bm25Server(spark: SparkSession, storeDir: String,
     Tmpl(thetaRef, termsRef, essRef, dfRef, thetaDf, scoreDf)
   }
 
-  private val pool = new TemplatePool[Unit, Tmpl](_ => buildTmpl(),
-    maxKeys = 1)
+  private val stateRef = new AtomicReference[State](
+    new State(storeVersion()))
 
-  pool.withInstance(())(_ => ()) // plan + codegen at construction
+  stateRef.get.pool.withInstance(())(_ => ()) // plan+codegen at ctor
+
+  /** The snapshot current against the store's on-disk version —
+    * rebuilds (once, double-checked) when the stamp moved. */
+  private def current(): State = {
+    val st = stateRef.get
+    if (st.version == storeVersion()) st
+    else this.synchronized {
+      val held = stateRef.get
+      val v = storeVersion()
+      if (held.version == v) held
+      else {
+        val fresh = new State(v)
+        stateRef.set(fresh)
+        held.joined.unpersist(blocking = false)
+        fresh
+      }
+    }
+  }
+
+  /** Drop the snapshot and rebuild from the store NOW — the explicit
+    * hammer for layouts where directory listings can lag a mutation
+    * (eventually consistent object stores); routine staleness after
+    * [[graft.queries.IrSql.mergeBm25Stats]] / `compactBm25Store` is
+    * already caught per [[search]] by the version stamp. */
+  def refresh(): Unit = this.synchronized {
+    val held = stateRef.get
+    stateRef.set(new State(storeVersion()))
+    held.joined.unpersist(blocking = false)
+    ()
+  }
 
   /** Both reused physical plans, exposed so the spec can assert the
     * exchange-free invariant (an exchange here is the stale-result
     * trap the [[PointServer]] doc describes). */
   private[graft] def templatePlans
-      : Seq[org.apache.spark.sql.execution.SparkPlan] =
-    pool.withInstance(())(t => Seq(
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val st = current()
+    st.pool.withInstance(())(t => Seq(
       t.thetaDf.queryExecution.executedPlan,
       t.scoreDf.queryExecution.executedPlan))
+  }
 
   /** (doc_id, score) rows, score desc then doc_id asc — identical to
     * [[graft.queries.IrSql.q10Bm25Pruned]] on the same store.
     * Unknown terms are ignored; a query with no known term returns
     * empty without running a job. */
   def search(terms: Seq[String]): Seq[(Long, Double)] = {
-    val known = terms.distinct.filter(stats.contains)
+    val st = current()
+    val known = terms.distinct.filter(st.stats.contains)
     if (known.isEmpty) return Seq.empty
-    val byImpact = known.map(t => t -> impact(t))
+    val byImpact = known.map(t => t -> st.impact(t))
       .sortBy { case (t, imp) => (-imp, t) }
     val dfm = new java.util.HashMap[UTF8String, java.lang.Long]
-    known.foreach(t =>
-      dfm.put(UTF8String.fromString(t), java.lang.Long.valueOf(stats(t)._1)))
+    known.foreach(t => dfm.put(UTF8String.fromString(t),
+      java.lang.Long.valueOf(st.stats(t)._1)))
     def setOf(ts: Seq[String]) = {
       val s = new java.util.HashSet[UTF8String]
       ts.foreach(t => s.add(UTF8String.fromString(t)))
       s
     }
-    pool.withInstance(()) { t =>
+    st.pool.withInstance(()) { t =>
       t.dfMap.set(dfm)
       t.thetaTerms.set(setOf(Seq(byImpact.head._1)))
       val thetaRows = t.thetaDf.collect()

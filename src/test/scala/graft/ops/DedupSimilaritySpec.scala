@@ -570,10 +570,16 @@ class DedupSimilaritySpec extends SparkSpec {
     }
     // every vector with a non-singleton cell appears
     assert(byVec.keySet == cells.keySet.filter(v => occupancy(cells(v)) > 1))
-    val plan = Similarity.knnGraph(spark, dir, k)
+    // the top-k tail must be the bounded heap in BOTH arms; the
+    // no-window pin lives on the PLAIN reference arm (the balanced
+    // default's assignment legitimately ranks sub-seeds in a window)
+    val plan = Similarity.knnGraphPlain(spark, dir, k)
       .queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"), s"no bounded heap:\n$plan")
     assert(!plan.contains("Window"), s"window exec leaked:\n$plan")
+    assert(Similarity.knnGraph(spark, dir, k)
+      .queryExecution.executedPlan.toString
+      .contains("ObjectHashAggregate"), "default arm lost the heap")
   }
 
   test("negative sampling: cross-cell only, first-k by probe order, " +
@@ -885,7 +891,8 @@ class DedupSimilaritySpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$root/embeddings.parquet")
     val c1 = Similarity.cachedIvfStore(spark, root)
     assert(Similarity.cachedIvfStore(spark, root) == c1)
-    Thread.sleep(1100) // mtime granularity
+    // NO sleep: the stamp's footer-tail CRC (StoreStamp) must catch a
+    // rewrite landing inside one mtime tick
     spark.read.parquet(s"$dir/embeddings.parquet")
       .limit(400).coalesce(1)
       .write.mode("overwrite").parquet(s"$root/embeddings.parquet")

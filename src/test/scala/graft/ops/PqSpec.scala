@@ -144,4 +144,75 @@ class PqSpec extends SparkSpec {
     assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange "),
       s"unexpected exchange in ADC plan:\n$plan")
   }
+
+  test("adaptive filtered IVF-PQ: matches a driver recompute of the " +
+    "ladder rule, == the fixed form at its landing rung, durable form " +
+    "identical and partition-pruned") {
+    val vecs = embTable.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val qv = vecs.find(_._1 == 0L).get._2
+    val pass = graft.Tables.load(spark, dir, "documents")
+      .filter(col("lang") === Similarity.FilterLang &&
+        col("n_chars") >= Similarity.FilterMinChars)
+      .collect().map(_.getLong(0)).toSet
+    val cents = vecs.filter(_._1 < Similarity.IvfCentroids)
+    def cellOf(v: Seq[Float]): Long =
+      cents.map(c => (c._1, Similarity.cosSeqInf(v, c._2)))
+        .maxBy { case (cid, s) => (s, -cid) }._1
+    val ranked = cents.map(c => (c._1, Similarity.cosSeqInf(qv, c._2)))
+      .sortBy { case (cid, s) => (-s, cid) }.map(_._1).toSeq
+    val byCell = vecs.filter(v => v._1 != 0L && pass(v._1))
+      .groupBy(v => cellOf(v._2)).view.mapValues(_.length).toMap
+    val target = Similarity.FilteredAutoOversample * Pq.TopK
+    val chosenNp = Similarity.autoLadder(ranked.length).find(np =>
+      ranked.take(np).map(c => byCell.getOrElse(c, 0)).sum >= target)
+      .getOrElse(ranked.length)
+    val auto = Pq.annIvfPqFilteredAuto(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(auto == Pq.annIvfPqFiltered(spark, dir, nProbe = chosenNp)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+      s"auto != fixed IVF-PQ at the landing rung (np=$chosenNp)")
+    // durable form: identical output; rung counts + final ranking
+    // prune to cell directories
+    val out = graft.TempDirs.scratch("graft_ivfpq_auto")
+    Pq.writeIvfPqStore(spark, dir, out)
+    assert(Pq.probeIvfPqStoreFilteredAuto(spark, dir, out).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq == auto,
+      "loaded adaptive coded probe diverged from the in-memory form")
+    val plan = Pq.probeIvfPqStoreFilteredAuto(spark, dir, out)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"adaptive coded probe did not partition-prune:\n$plan")
+  }
+
+  test("adaptive filtered IVF-PQ walks to the cap on a starved corpus " +
+    "and then ranks EVERY filter survivor by ADC (the full-filtered " +
+    "coded scan — recall 1.0 of the coded ranking)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_starve").toString
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val qualifying = docs
+      .filter(col("lang") === Similarity.FilterLang &&
+        col("n_chars") >= Similarity.FilterMinChars)
+      .select("doc_id").orderBy("doc_id").limit(7)
+      .collect().map(_.getLong(0)).toSet
+    docs.withColumn("n_chars",
+        when(col("lang") === Similarity.FilterLang &&
+          col("n_chars") >= Similarity.FilterMinChars &&
+          !col("doc_id").isin(qualifying.toSeq: _*),
+          lit(0L)).otherwise(col("n_chars")))
+      .write.mode("overwrite").parquet(s"$root/documents.parquet")
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .write.mode("overwrite").parquet(s"$root/embeddings.parquet")
+    val auto = Pq.annIvfPqFilteredAuto(spark, root).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // cap rung == all cells probed == the filtered corpus-wide ADC scan
+    val capScan = Pq.annIvfPqFiltered(spark, root,
+        nProbe = Similarity.IvfCentroids.toInt).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(capScan.nonEmpty && capScan.size < Pq.TopK,
+      "fixture must actually starve the filter")
+    assert(auto == capScan,
+      "cap-level adaptive coded probe must rank every survivor")
+  }
 }

@@ -287,4 +287,75 @@ class IrSqlSpec extends SparkSpec {
     assert(fs.exists(p) && !fs.exists(neu) && !fs.exists(old))
     assert(top() == want, "recovery (rollback) lost rows")
   }
+
+  test("bm25 merge crash states: an UNCOMMITTED merge (staged deltas, " +
+    "no marker) rolls back and the retried merge == rebuild; a " +
+    "COMMITTED merge (marker, parts half-moved) completes to the " +
+    "rebuild store") {
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bm25_crash").toString
+    val full = spark.read.parquet(s"$dir/documents.parquet")
+    val n = full.count()
+    val base = full.filter(col("doc_id") < n / 2)
+      .select("doc_id", "text")
+    val delta = full.filter(col("doc_id") >= n / 2)
+      .select("doc_id", "text")
+    base.write.mode("overwrite").parquet(s"$root/base/documents.parquet")
+    delta.write.mode("overwrite")
+      .parquet(s"$root/delta/documents.parquet")
+    val fullStore = s"$root/store_full"
+    IrSql.writeBm25Stats(spark, dir, fullStore)
+    // a store whose postings/doclen ARE exactly the staged delta
+    // artifacts a crashed merge leaves behind
+    val deltaStore = s"$root/store_delta"
+    IrSql.writeBm25Stats(spark, s"$root/delta", deltaStore)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def stageDeltas(store: String): Unit = {
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new Path(s"$deltaStore/postings"),
+        fs, new Path(s"$store/_graft_delta_postings"), false, conf)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new Path(s"$deltaStore/doclen"),
+        fs, new Path(s"$store/_graft_delta_doclen"), false, conf)
+      ()
+    }
+    def rows(store: String, art: String): Seq[String] =
+      spark.read.parquet(s"$store/$art").collect()
+        .map(_.toString).sorted.toSeq
+    // --- state A: staged deltas, NO marker (crash before commit) ---
+    val sa = s"$root/store_a"
+    IrSql.writeBm25Stats(spark, s"$root/base", sa)
+    val baseCorpus = rows(sa, "corpus")
+    stageDeltas(sa)
+    IrSql.repairBm25Stats(spark, sa) // any maintenance entry recovers
+    assert(!fs.exists(new Path(s"$sa/_graft_delta_postings")) &&
+      !fs.exists(new Path(s"$sa/_graft_delta_doclen")),
+      "uncommitted staged deltas not rolled back")
+    assert(rows(sa, "corpus") == baseCorpus,
+      "rollback changed the store's content")
+    IrSql.mergeBm25Stats(spark, sa, delta) // the RETRY must be clean
+    Seq("postings", "doclen", "corpus", "stats").foreach { art =>
+      assert(rows(fullStore, art) == rows(sa, art),
+        s"retry-after-rollback != rebuild on $art (double-append?)")
+    }
+    // --- state B: marker present, postings parts HALF-moved ---
+    val sb = s"$root/store_b"
+    IrSql.writeBm25Stats(spark, s"$root/base", sb)
+    stageDeltas(sb)
+    fs.create(new Path(s"$sb/_graft_merge_inflight"), false).close()
+    val staged = fs.listStatus(new Path(s"$sb/_graft_delta_postings"))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    staged.headOption.foreach(f => fs.rename(f.getPath,
+      new Path(s"$sb/postings/${f.getPath.getName}")))
+    IrSql.repairBm25Stats(spark, sb)
+    assert(!fs.exists(new Path(s"$sb/_graft_merge_inflight")),
+      "merge marker not cleared after completion")
+    Seq("postings", "doclen", "corpus", "stats").foreach { art =>
+      assert(rows(fullStore, art) == rows(sb, art),
+        s"completed crashed merge != rebuild on $art")
+    }
+  }
 }

@@ -102,4 +102,40 @@ class Bm25ServerSpec extends SparkSpec {
     assert(new Bm25Server(spark, st)
       .search(IrSql.ExpandedQueryTerms) == want)
   }
+
+  test("a store merge under a LIVE server is detected by the version " +
+    "stamp: post-merge searches serve the merged corpus with no " +
+    "explicit refresh; compaction is detected too; refresh() works") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bm25_srv_stale").toString
+    val full = spark.read.parquet(s"$dir/documents.parquet")
+    val n = full.count()
+    full.filter(col("doc_id") < n / 2)
+      .write.mode("overwrite").parquet(s"$root/base/documents.parquet")
+    val st = s"$root/store"
+    IrSql.writeBm25Stats(spark, s"$root/base", st)
+    val live = new Bm25Server(spark, st)
+    def fresh(): Seq[(Long, Double)] =
+      IrSql.q10Bm25PrunedAt(spark, st, IrSql.ExpandedQueryTerms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = live.search(IrSql.ExpandedQueryTerms)
+    assert(before == fresh(), "pre-merge served != fresh")
+    // mutate the store the server holds open — NO refresh call
+    IrSql.mergeBm25Stats(spark, st,
+      full.filter(col("doc_id") >= n / 2).select("doc_id", "text"))
+    val wantMerged = IrSql.q10Bm25Multi(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(before != wantMerged,
+      "test corpus too small to distinguish pre/post-merge rankings")
+    assert(live.search(IrSql.ExpandedQueryTerms) == wantMerged,
+      "live server served a stale ranking after mergeBm25Stats")
+    // compaction rewrites the artifact files: the stamp must move and
+    // the rebuilt snapshot keep serving the same (content-equal) rows
+    val compacted = IrSql.compactBm25Store(spark, st, maxFiles = 1)
+    assert(compacted >= 1, "compaction did not trigger")
+    assert(live.search(IrSql.ExpandedQueryTerms) == wantMerged,
+      "live server diverged after compactBm25Store")
+    live.refresh() // the explicit hammer stays available
+    assert(live.search(IrSql.ExpandedQueryTerms) == wantMerged)
+  }
 }
