@@ -52,7 +52,9 @@ object Repl {
                      chargrams: Option[DataFrame],
                      positional: Option[PositionalIndex.PIndex],
                      bm25: Option[graft.query.Bm25Server] = None,
-                     ann: Option[(SparkSession, String, String)] = None)
+                     ann: Option[(SparkSession, String, String)] = None,
+                     hybrid: Option[(graft.query.HybridServer,
+                       Seq[Float])] = None)
 
   def open(spark: SparkSession, dir: String): Session =
     if (Files.isDirectory(Paths.get(dir, "postings"))) {
@@ -73,15 +75,28 @@ object Repl {
         } else None)
     } else {
       val corpus = graft.queries.IrEngine.corpus(spark, dir)
-      Session(InvertedIndex.build(spark, corpus, k = 1),
-        Some(CharKGramIndex.build(spark, corpus, k = 3)),
-        Some(PositionalIndex.build(spark, corpus)),
-        Some(new graft.query.Bm25Server(spark,
-          graft.queries.IrSql.bm25StatsStore(spark, dir))),
+      val bsrv = new graft.query.Bm25Server(spark,
+        graft.queries.IrSql.bm25StatsStore(spark, dir))
+      val annCtx =
         if (Files.exists(Paths.get(dir, "embeddings.parquet")))
           Some((spark,
             graft.ops.Similarity.cachedIvfStore(spark, dir), dir))
-        else None)
+        else None
+      // hybrid fusion shares the ONE Bm25Server (its cached join) and
+      // serves the corpus demo query vector (vec 0, the family
+      // convention) as the semantic arm's query
+      val hyb = annCtx.map { case (sp, store, d) =>
+        import org.apache.spark.sql.functions.col
+        val qv = sp.read.parquet(s"$d/embeddings.parquet")
+          .filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0)
+        (new graft.query.HybridServer(bsrv,
+          new graft.query.IvfServer(sp, store)), qv)
+      }
+      Session(InvertedIndex.build(spark, corpus, k = 1),
+        Some(CharKGramIndex.build(spark, corpus, k = 3)),
+        Some(PositionalIndex.build(spark, corpus)),
+        Some(bsrv), annCtx, hyb)
     }
 
   /** Persist a fully servable index directory: the inverted-index
@@ -118,7 +133,8 @@ object Repl {
     s.positional.foreach(p => { p.postings.count(); () })
     loop(ix, chargrams,
       new BufferedReader(new java.io.InputStreamReader(System.in)),
-      System.out, positional = s.positional, bm25 = s.bm25, ann = s.ann)
+      System.out, positional = s.positional, bm25 = s.bm25, ann = s.ann,
+      hybrid = s.hybrid)
     spark.stop()
   }
 
@@ -136,7 +152,9 @@ object Repl {
            usePointServer: Boolean = true,
            positional: Option[PositionalIndex.PIndex] = None,
            bm25: Option[graft.query.Bm25Server] = None,
-           ann: Option[(SparkSession, String, String)] = None): Unit = {
+           ann: Option[(SparkSession, String, String)] = None,
+           hybrid: Option[(graft.query.HybridServer,
+             Seq[Float])] = None): Unit = {
     val server =
       if (usePointServer) Some(new graft.query.PointServer(ix)) else None
     // quoted phrases (any length up to PhraseServer.MaxSlots) get the
@@ -149,7 +167,8 @@ object Repl {
     out.println("graft search — 1-2 word query; '*' patterns for " +
       "wildcards; \"quoted phrases\" for exact phrase; a NEAR/3 b for " +
       "proximity; bm25 t1 t2 ... for ranked multi-term retrieval; " +
-      "ann <vec_id> for filtered vector search; empty line quits")
+      "ann <vec_id> for filtered vector search; hybrid t1 t2 ... for " +
+      "fused lexical+vector retrieval; empty line quits")
     out.print("query > "); out.flush()
     var line = in.readLine()
     while (line != null) {
@@ -213,6 +232,23 @@ object Repl {
           case None => out.println(
             "bm25 search needs the index-time stats store (open a " +
               "corpus dir, not a written index)")
+        }
+      } else if (q.matches("(?i)^hybrid(\\s+\\S+)+$")) {
+        // fused lexical+vector retrieval through the prepared
+        // HybridServer (BM25 MaxScore arm + exact-scan IVF arm +
+        // driver-side RRF — the q37_hybrid_rrf serving shape); the
+        // semantic arm queries the corpus demo vector (vec 0)
+        hybrid match {
+          case Some((srv, qv)) =>
+            val rows = srv.search(q.split("\\s+").toSeq.tail, qv)
+            if (rows.isEmpty) out.println(s"$q: No results ...")
+            else rows.foreach { case (d, lr, sr, rrf) =>
+              out.println(s"$d rrf=$rrf lex=${lr.getOrElse("-")} " +
+                s"sem=${sr.getOrElse("-")}")
+            }
+          case None => out.println(
+            "hybrid search needs both the stats store and the vector " +
+              "store (open a corpus dir with an embeddings table)")
         }
       } else if (q.matches("(?i)^ann\\s+\\d+$")) {
         // filtered vector search (WHERE-clause ANN) over the durable

@@ -105,6 +105,10 @@ final class IvfServer(spark: SparkSession, storeDir: String) {
     }.sortBy { case (cid, c) => (-c, cid) }
       .take(nProbe).map(_._1).toSeq
 
+  /** Cell count of the store — the cap rung of any probe (probing
+    * every cell is the exact scan; [[HybridServer]]'s parity form). */
+  private[query] def nCells: Int = seeds.length
+
   /** The constructed cell paths that EXIST — a ranked centroid's cell
     * can be empty (`partitionBy` writes no directory for it, e.g. a
     * duplicate seed whose ties all break to the lower cid), and a

@@ -19,12 +19,14 @@ class ReplSpec extends SparkSpec {
                   withPositional: Boolean = true,
                   bm25: Option[graft.query.Bm25Server] = None,
                   ann: Option[(org.apache.spark.sql.SparkSession,
-                    String, String)] = None): String = {
+                    String, String)] = None,
+                  hybrid: Option[(graft.query.HybridServer,
+                    Seq[Float])] = None): String = {
     val out = new ByteArrayOutputStream()
     Repl.loop(ix, if (withWildcards) Some(chargrams) else None,
       new BufferedReader(new StringReader(input)), new PrintStream(out, true),
       positional = if (withPositional) Some(positional) else None,
-      bm25 = bm25, ann = ann)
+      bm25 = bm25, ann = ann, hybrid = hybrid)
     out.toString("UTF-8")
   }
 
@@ -178,5 +180,26 @@ class ReplSpec extends SparkSpec {
     assert(run("bm25 merge stream data\n\n")
       .contains("needs the index-time stats store"))
     assert(run("ann 0\n\n").contains("needs the vector store"))
+  }
+
+  test("hybrid queries fuse the two prepared arms and print the RRF " +
+    "rows; degrade gracefully without the servers") {
+    import org.apache.spark.sql.functions.col
+    val srv = graft.query.HybridServer.forCorpus(spark, sfDir)
+    val qv = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val terms = graft.queries.IrSql.DefaultQueryTerms
+    val want = srv.search(terms, qv).map { case (d, lr, sr, rrf) =>
+      s"$d rrf=$rrf lex=${lr.getOrElse("-")} sem=${sr.getOrElse("-")}"
+    }
+    assert(want.nonEmpty)
+    val got = run(s"hybrid ${terms.mkString(" ")}\nmerge\n\n",
+      hybrid = Some((srv, qv)))
+    want.foreach(line =>
+      assert(got.contains(line), s"missing [$line] in:\n$got"))
+    assert(got.contains("FT911-0017"), "loop died after a hybrid query")
+    assert(run("hybrid merge stream\n\n")
+      .contains("needs both the stats store and the vector store"))
   }
 }
