@@ -218,6 +218,12 @@ object SparkEntry {
     "q27_packing" ->
       ((s: SparkSession, d: String) => TextAnalysis.packSequences(s, d)),
     "q27_chunk" -> (TextAnalysis.chunk _),
+    "q27_funnel_apply" ->
+      ((s: SparkSession, d: String) =>
+        TextAnalysis.curationFunnelApply(s, d)),
+    "q27_funnel_apply_longest" ->
+      ((s: SparkSession, d: String) =>
+        TextAnalysis.curationFunnelApply(s, d, keepLongest = true)),
     "q27_upsample" -> (TextAnalysis.upsample _),
     "q24_dedup_delta" -> (Dedup.deltaDedup _),
     "q24_bloom_probe" ->

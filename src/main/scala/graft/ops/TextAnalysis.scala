@@ -340,28 +340,9 @@ object TextAnalysis {
     * gates). Gate constants are [[filterApply]]'s defaults and
     * [[ContamDropThreshold]], shared with the oracle. */
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val lid = langId(spark, dir).select(col("doc_id"), col("lang_pred"))
-    val qual = quality(spark, dir)
-      .select(col("doc_id"), col("n_tokens"), col("alnum_ratio"))
-    val keepers = docs(spark, dir)
-      .groupBy(md5(col("text")).as("digest"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"), lit(1L).as("k"))
-    val ndDrop = Dedup.minhashLsh(spark, dir)
-      .select(col("doc_b").as("doc_id")).distinct()
-      .select(col("doc_id"), lit(1L).as("nd"))
-    val dec = decontaminate(spark, dir)
-      .select(col("doc_id"), lit(1L).as("c"))
-    val g1 = col("lang_pred") === "en"
-    val g2 = col("n_tokens").between(20, 1000) &&
-      col("alnum_ratio") >= 0.7
-    val g3 = col("k").isNotNull
-    val g4 = col("nd").isNull
-    val g5 = col("c").isNotNull
-    lid.join(qual, "doc_id")
-      .join(keepers, Seq("doc_id"), "left")
-      .join(ndDrop, Seq("doc_id"), "left")
-      .join(dec, Seq("doc_id"), "left")
+    val g1 = col("g1"); val g2 = col("g2"); val g3 = col("g3")
+    val g4 = col("g4"); val g5 = col("g5")
+    curationFunnelFlags(spark, dir)
       .agg(count(lit(1)).as("n_total"),
         sum(when(g1, 1L).otherwise(0L)).as("n_lang"),
         sum(when(g1 && g2, 1L).otherwise(0L)).as("n_quality"),
@@ -371,6 +352,74 @@ object TextAnalysis {
         sum(when(g1 && g2 && g3 && g4 && g5, 1L).otherwise(0L))
           .as("n_final"))
   }
+
+  /** The funnel's per-doc gate flags (doc_id, g1..g5) — the batch
+    * twin of the streaming audit table. The `keepLongest` knob
+    * selects the NEAR-dup representative policy:
+    *  - `false` (default — the streaming funnel's contract): a doc is
+    *    dropped iff it is the LARGER id of any banded-LSH candidate
+    *    pair (first-arrival keeps the group);
+    *  - `true` (the [[Dedup.survivors]] heuristic): each pair's
+    *    representative is the member with MORE tokens, ties to the
+    *    smaller id — near-dup groups usually hold truncated variants
+    *    of one document, and a pipeline wants the fullest copy. A doc
+    *    is dropped iff it loses ANY pair (the pairwise form of the
+    *    cluster heuristic, so the policy swap changes exactly one
+    *    drop-set definition, not the funnel's shape). */
+  private[graft] def curationFunnelFlags(spark: SparkSession, dir: String,
+                                         keepLongest: Boolean = false)
+      : DataFrame = {
+    val lid = langId(spark, dir).select(col("doc_id"), col("lang_pred"))
+    val qual = quality(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("alnum_ratio"))
+    val keepers = docs(spark, dir)
+      .groupBy(md5(col("text")).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("k"))
+    val pairs = Dedup.minhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val ndDrop =
+      (if (!keepLongest) pairs.select(col("doc_b").as("doc_id"))
+      else {
+        val nt = qual.select(col("doc_id"), col("n_tokens"))
+        pairs
+          .join(nt.select(col("doc_id").as("doc_a"),
+            col("n_tokens").as("nt_a")), "doc_a")
+          .join(nt.select(col("doc_id").as("doc_b"),
+            col("n_tokens").as("nt_b")), "doc_b")
+          .select(when(col("nt_a") > col("nt_b") ||
+              (col("nt_a") === col("nt_b") &&
+                col("doc_a") < col("doc_b")),
+              col("doc_b")).otherwise(col("doc_a")).as("doc_id"))
+      }).distinct()
+        .select(col("doc_id"), lit(1L).as("nd"))
+    val dec = decontaminate(spark, dir)
+      .select(col("doc_id"), lit(1L).as("c"))
+    lid.join(qual, "doc_id")
+      .join(keepers, Seq("doc_id"), "left")
+      .join(ndDrop, Seq("doc_id"), "left")
+      .join(dec, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("lang_pred") === "en").as("g1"),
+        (col("n_tokens").between(20, 1000) &&
+          col("alnum_ratio") >= 0.7).as("g2"),
+        col("k").isNotNull.as("g3"),
+        col("nd").isNull.as("g4"),
+        col("c").isNotNull.as("g5"))
+  }
+
+  /** FUNNEL APPLY — materialize the kept corpus the five-gate funnel
+    * reports: the doc_ids passing every gate, under either near-dup
+    * survivor policy ([[curationFunnelFlags]]). The default policy's
+    * kept set equals the STREAMING funnel's final-gate audit rows
+    * exactly (spec-pinned — stream == batch kept-set parity). */
+  def curationFunnelApply(spark: SparkSession, dir: String,
+                          keepLongest: Boolean = false): DataFrame =
+    curationFunnelFlags(spark, dir, keepLongest)
+      .filter(col("g1") && col("g2") && col("g3") && col("g4") &&
+        col("g5"))
+      .select(col("doc_id"))
+      .orderBy("doc_id")
 
   /** Email/phone regexes shared by the Spark plan and the DuckDB
     * oracle (simple enough to mean the same thing in java.util.regex

@@ -238,6 +238,79 @@ object TrainingOracles {
        SELECT vec_id, round(c, 4) AS cos FROM s
        ORDER BY c DESC, vec_id LIMIT 10"""
 
+  /** The five-gate funnel's per-doc flags as a WITH chain ending at
+    * `fl(doc_id, g1..g5)` — ONE generator feeding q27_funnel (counts)
+    * and both q27_funnel_apply arms (kept sets), so the gate
+    * definitions can't drift across the three entries. `keepLongest`
+    * swaps the near-dup drop-set rule exactly as
+    * [[TextAnalysis.curationFunnelFlags]] does: default = the larger
+    * id of any banded candidate pair drops (first-arrival); longest =
+    * each pair's loser by (n_tokens desc, doc_id asc) drops. */
+  private def funnelFlagsCtes(keepLongest: Boolean): String = {
+    val nd =
+      if (!keepLongest)
+        s"""nd AS (SELECT DISTINCT y.doc_id
+                FROM bands x JOIN bands y
+                ON x.band = y.band AND x.bkey = y.bkey
+               AND x.doc_id < y.doc_id)"""
+      else
+        s"""ndp AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                 FROM bands x JOIN bands y
+                 ON x.band = y.band AND x.bkey = y.bkey
+                AND x.doc_id < y.doc_id),
+         nd AS (SELECT DISTINCT
+                       CASE WHEN qa.n_tokens > qb.n_tokens
+                              OR (qa.n_tokens = qb.n_tokens AND a < b)
+                            THEN b ELSE a END AS doc_id
+                FROM ndp JOIN qual qa ON qa.doc_id = ndp.a
+                     JOIN qual qb ON qb.doc_id = ndp.b)"""
+    s"""$docShingles,
+         hh AS (SELECT doc_id, ${ddbPolyHash("shingle", PM)} AS h FROM sh),
+         sig AS (SELECT doc_id, i, min((a * h + b) % $PM) AS mh
+                 FROM hh CROSS JOIN $ddbPermValues GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // $RowsPerBand AS band,
+                          string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+                   FROM sig GROUP BY doc_id, i // $RowsPerBand),
+         q2 AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw,
+                       $toks AS toks2
+                FROM documents),
+         qual AS (SELECT doc_id, CAST(len(toks2) AS BIGINT) AS n_tokens,
+                         round(CAST(length(array_to_string(toks2, ' ')) + 1 AS DOUBLE)
+                               / (n_chars_raw + 1), 4) AS alnum_ratio
+                  FROM q2),
+         $nd,
+         bench AS (SELECT DISTINCT shingle FROM sh
+                   WHERE doc_id % ${TextAnalysis.ContamMod} = 0),
+         train AS (SELECT * FROM sh
+                   WHERE doc_id % ${TextAnalysis.ContamMod} <> 0),
+         tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams
+                 FROM train GROUP BY doc_id),
+         hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+                 FROM train JOIN bench USING (shingle) GROUP BY doc_id),
+         dec AS (SELECT tot.doc_id FROM tot LEFT JOIN hit USING (doc_id)
+                 WHERE round(CAST(coalesce(n_shared, 0) AS DOUBLE)
+                         / n_trigrams, 4)
+                       < ${TextAnalysis.ContamDropThreshold}),
+         tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         lid AS (SELECT doc_id,
+                        round(sum(CASE WHEN term IN (${TextAnalysis.EnStopwords.map("'" + _ + "'").mkString(", ")}) THEN 1 ELSE 0 END)
+                              / CAST(count(*) AS DOUBLE), 4) AS stop_ratio
+                 FROM tok GROUP BY doc_id),
+         keep AS (SELECT min(doc_id) AS doc_id FROM documents
+                  GROUP BY md5(text)),
+         fl AS (SELECT lid.doc_id,
+                       (stop_ratio >= 0.03) AS g1,
+                       (n_tokens BETWEEN 20 AND 1000
+                        AND alnum_ratio >= 0.7) AS g2,
+                       (keep.doc_id IS NOT NULL) AS g3,
+                       (nd.doc_id IS NULL) AS g4,
+                       (dec.doc_id IS NOT NULL) AS g5
+                FROM lid JOIN qual ON lid.doc_id = qual.doc_id
+                LEFT JOIN keep ON lid.doc_id = keep.doc_id
+                LEFT JOIN nd ON lid.doc_id = nd.doc_id
+                LEFT JOIN dec ON lid.doc_id = dec.doc_id)"""
+  }
+
   /** The occupancy-BALANCED k-NN graph SQL over any cell-assignment
     * CTE block (flat or coarse) — mirrors
     * [[Similarity.balancedCellsOf]] + the shared top-3 contract:
@@ -1717,54 +1790,7 @@ object TrainingOracles {
     // the larger id of every LSH band-collision pair, same banding as
     // q24_dedup_minhash)
     "q27_funnel" ->
-      s"""$docShingles,
-         hh AS (SELECT doc_id, ${ddbPolyHash("shingle", PM)} AS h FROM sh),
-         sig AS (SELECT doc_id, i, min((a * h + b) % $PM) AS mh
-                 FROM hh CROSS JOIN $ddbPermValues GROUP BY doc_id, i),
-         bands AS (SELECT doc_id, i // $RowsPerBand AS band,
-                          string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
-                   FROM sig GROUP BY doc_id, i // $RowsPerBand),
-         nd AS (SELECT DISTINCT y.doc_id
-                FROM bands x JOIN bands y
-                ON x.band = y.band AND x.bkey = y.bkey
-               AND x.doc_id < y.doc_id),
-         bench AS (SELECT DISTINCT shingle FROM sh
-                   WHERE doc_id % ${TextAnalysis.ContamMod} = 0),
-         train AS (SELECT * FROM sh
-                   WHERE doc_id % ${TextAnalysis.ContamMod} <> 0),
-         tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams
-                 FROM train GROUP BY doc_id),
-         hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
-                 FROM train JOIN bench USING (shingle) GROUP BY doc_id),
-         dec AS (SELECT tot.doc_id FROM tot LEFT JOIN hit USING (doc_id)
-                 WHERE round(CAST(coalesce(n_shared, 0) AS DOUBLE)
-                         / n_trigrams, 4)
-                       < ${TextAnalysis.ContamDropThreshold}),
-         tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
-         lid AS (SELECT doc_id,
-                        round(sum(CASE WHEN term IN (${TextAnalysis.EnStopwords.map("'" + _ + "'").mkString(", ")}) THEN 1 ELSE 0 END)
-                              / CAST(count(*) AS DOUBLE), 4) AS stop_ratio
-                 FROM tok GROUP BY doc_id),
-         q2 AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw,
-                       $toks AS toks2
-                FROM documents),
-         qual AS (SELECT doc_id, CAST(len(toks2) AS BIGINT) AS n_tokens,
-                         round(CAST(length(array_to_string(toks2, ' ')) + 1 AS DOUBLE)
-                               / (n_chars_raw + 1), 4) AS alnum_ratio
-                  FROM q2),
-         keep AS (SELECT min(doc_id) AS doc_id FROM documents
-                  GROUP BY md5(text)),
-         fl AS (SELECT lid.doc_id,
-                       (stop_ratio >= 0.03) AS g1,
-                       (n_tokens BETWEEN 20 AND 1000
-                        AND alnum_ratio >= 0.7) AS g2,
-                       (keep.doc_id IS NOT NULL) AS g3,
-                       (nd.doc_id IS NULL) AS g4,
-                       (dec.doc_id IS NOT NULL) AS g5
-                FROM lid JOIN qual ON lid.doc_id = qual.doc_id
-                LEFT JOIN keep ON lid.doc_id = keep.doc_id
-                LEFT JOIN nd ON lid.doc_id = nd.doc_id
-                LEFT JOIN dec ON lid.doc_id = dec.doc_id)
+      s"""${funnelFlagsCtes(keepLongest = false)}
          SELECT CAST(count(*) AS BIGINT) AS n_total,
                 CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
                 CAST(sum(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
@@ -1772,6 +1798,18 @@ object TrainingOracles {
                 CAST(sum(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
                 CAST(sum(CASE WHEN g1 AND g2 AND g3 AND g4 AND g5 THEN 1 ELSE 0 END) AS BIGINT) AS n_final
          FROM fl""",
+
+    // FUNNEL APPLY: the kept corpus under each survivor policy — the
+    // same flags CTEs as q27_funnel (one generator, the arms cannot
+    // drift), filtered to all-gates-pass
+    "q27_funnel_apply" ->
+      s"""${funnelFlagsCtes(keepLongest = false)}
+         SELECT doc_id FROM fl
+         WHERE g1 AND g2 AND g3 AND g4 AND g5 ORDER BY doc_id""",
+    "q27_funnel_apply_longest" ->
+      s"""${funnelFlagsCtes(keepLongest = true)}
+         SELECT doc_id FROM fl
+         WHERE g1 AND g2 AND g3 AND g4 AND g5 ORDER BY doc_id""",
 
     // multi-benchmark decontamination: one broadcast-suite join, a
     // conditional aggregate per benchmark, keep-if-ALL-below gate —

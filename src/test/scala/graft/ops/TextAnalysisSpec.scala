@@ -505,4 +505,40 @@ class TextAnalysisSpec extends SparkSpec {
     // corpus — all-equal counts would mean the gates test nothing
     assert(nFinal < nTotal)
   }
+
+  test("funnel apply: kept set == all-gates-pass flags under BOTH " +
+    "survivor policies; keep-longest keeps each pair's (max tokens, " +
+    "min id) member") {
+    val pairs = Dedup.minhashLsh(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.nonEmpty, "no LSH pair on this corpus — fixture moot")
+    val nt = TextAnalysis.quality(spark, dir)
+      .select(col("doc_id"), col("n_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver recompute of each policy's drop set
+    val dropFirst = pairs.map(_._2).toSet
+    val dropLongest = pairs.map { case (a, b) =>
+      if (nt(a) > nt(b) || (nt(a) == nt(b) && a < b)) b else a
+    }.toSet
+    Seq(false -> dropFirst, true -> dropLongest).foreach {
+      case (kl, drop) =>
+        val flags = TextAnalysis.curationFunnelFlags(spark, dir, kl)
+          .collect().map(r => r.getLong(0) ->
+            ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+              r.getBoolean(4), r.getBoolean(5)))).toMap
+        flags.foreach { case (d, (_, _, _, g4, _)) =>
+          assert(g4 == !drop(d), s"keepLongest=$kl doc $d g4") }
+        val kept = TextAnalysis.curationFunnelApply(spark, dir, kl)
+          .collect().map(_.getLong(0)).toSeq
+        val want = flags.collect {
+          case (d, (a, b, c, e, f)) if a && b && c && e && f => d
+        }.toSeq.sorted
+        assert(kept == want, s"keepLongest=$kl kept set != flags")
+    }
+    // the knob must be observable: some pair's longer member carries
+    // the larger id, so the two policies keep different docs
+    assert(dropFirst != dropLongest,
+      "fixture cannot distinguish the survivor policies")
+  }
 }

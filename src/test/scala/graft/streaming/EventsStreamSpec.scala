@@ -416,6 +416,16 @@ class EventsStreamSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq ==
       graft.ops.TextAnalysis.curationFunnel(spark, dir)
         .collect().map(_.toSeq).toSeq)
+    // stream == batch KEPT-SET parity: the audit's all-gates-pass
+    // docs are exactly the batch APPLY's kept corpus (default
+    // first-arrival policy)
+    val streamKept = got.collect {
+      case (d, (g1, g2, g3, g4, g5)) if g1 && g2 && g3 && g4 && g5 => d
+    }.toSeq.sorted
+    assert(streamKept ==
+      graft.ops.TextAnalysis.curationFunnelApply(spark, dir)
+        .collect().map(_.getLong(0)).toSeq,
+      "stream kept set != batch funnel apply")
     // keeper-REJECT path: sf0.001 holds no exact duplicates, so build
     // a corpus with one late-arriving duplicate of an early doc (it
     // lands in a LATER chunk) and pin that the stream demotes exactly
