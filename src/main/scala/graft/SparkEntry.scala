@@ -233,6 +233,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
     "q25_knn_graph_plain" ->
       ((s: SparkSession, d: String) => Similarity.knnGraphPlain(s, d)),
+    "q25_semdedup_pairs_plain" ->
+      ((s: SparkSession, d: String) => Similarity.semDedupPairsPlain(s, d)),
     "q25_knn_graph_coarse" ->
       ((s: SparkSession, d: String) =>
         Similarity.knnGraph(s, d, coarse = Some(true))),

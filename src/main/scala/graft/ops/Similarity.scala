@@ -979,8 +979,36 @@ object Similarity {
     * cell). */
   def semDedupPairs(spark: SparkSession, dir: String,
                     coarse: Option[Boolean] = None): DataFrame = {
-    // stage(): the self-join reads the assignment blocks twice; without
-    // the cut the n×k argmax scan would run once per side
+    // DEFAULT ROUTING IS THE BALANCED ASSIGNMENT (the knnGraph
+    // decision applied to the whole pair family — the r12
+    // KnnGraphProf decomposition measured the same-cell pair term at
+    // Σocc², ×147 for ×26 data on the amplified corpus, and this is
+    // the same self-join shape): candidates come from the (cell, sub)
+    // bucket, so pair volume stays ~n·occupancy under embedding skew.
+    // On a corpus with no over-cap cell every sub = 0 and this IS the
+    // plain recipe ([[semDedupPairsPlain]], the oracle reference
+    // arm). Derivatives ([[semDedupFull]], [[semDedupSurvivors]],
+    // [[semDedupEval]]) ride the default. stage(): the self-join
+    // reads the assignment blocks twice; without the cut the n×k
+    // argmax scan would run once per side.
+    val cells = balancedCellsOf(spark, dir, coarse).stage()
+    cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.sub") === col("b.sub") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .filter(col("c") >= SemDedupThreshold)
+      .select(col("vec_a"), col("vec_b"), round(col("c"), 4).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** The PLAIN cell-only SemDeDup pairs — the reference arm beside
+    * the balanced default ([[semDedupPairs]]), kept so the unsplit
+    * candidate shape stays oracle-pinned (the knnGraphPlain
+    * discipline). Super-linear under embedding skew. */
+  def semDedupPairsPlain(spark: SparkSession, dir: String,
+                         coarse: Option[Boolean] = None): DataFrame = {
     val cells = semDedupCellsOf(spark, dir, coarse).stage()
     cells.as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))

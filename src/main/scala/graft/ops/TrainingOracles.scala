@@ -320,9 +320,12 @@ object TrainingOracles {
     * sub = 0. ONE generator feeds q25_knn_graph (the default entry),
     * q25_knn_graph_balanced, and q25_knn_graph_coarse, so the three
     * arms can't drift from each other. */
-  private def knnGraphBalancedSqlOver(cellCtes: String): String =
-    s"""WITH $cellCtes,
-       occ AS (SELECT cell, count(*) AS occ FROM cells GROUP BY cell),
+  /** The occupancy-balanced re-split chain, `cells(vec_id, embedding,
+    * cell)` → `c2(vec_id, embedding, cell, sub)` — mirrors
+    * [[Similarity.balancedCellsOf]] and is shared by the k-NN graph
+    * and semdedup-pair oracle families (one definition, no drift). */
+  private lazy val balancedC2Ctes: String =
+    s"""occ AS (SELECT cell, count(*) AS occ FROM cells GROUP BY cell),
        big AS (SELECT cell,
                       CAST(ceil(occ / ${Similarity.SemDedupCellSize}.0) AS BIGINT) AS m
                FROM occ WHERE occ > ${Similarity.BalancedCellCap}),
@@ -343,7 +346,23 @@ object TrainingOracles {
                FROM bv JOIN ss USING (cell)),
        bigc AS (SELECT vec_id, embedding, cell, sid AS sub
                 FROM asg WHERE rn = 1),
-       c2 AS (SELECT * FROM small UNION ALL SELECT * FROM bigc),
+       c2 AS (SELECT * FROM small UNION ALL SELECT * FROM bigc)"""
+
+  /** The balanced SemDeDup candidate-pair chain over any cell CTE
+    * block — ends in `p(vec_a, vec_b, c)`; mirrors
+    * [[Similarity.semDedupPairs]]' (cell, sub) bucket join. */
+  private def balancedPairCtes(cellCtes: String): String =
+    s"""$cellCtes,
+       $balancedC2Ctes,
+       p AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+                    ${cos("x.embedding", "y.embedding")} AS c
+             FROM c2 x JOIN c2 y
+               ON x.cell = y.cell AND x.sub = y.sub
+              AND x.vec_id < y.vec_id)"""
+
+  private def knnGraphBalancedSqlOver(cellCtes: String): String =
+    s"""WITH $cellCtes,
+       $balancedC2Ctes,
        p AS (SELECT x.vec_id AS src, y.vec_id AS nbr,
                     ${cos("x.embedding", "y.embedding")} AS c
              FROM c2 x JOIN c2 y
@@ -1350,7 +1369,15 @@ object TrainingOracles {
          SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM a1 WHERE rn = 1
          ORDER BY vec_id""",
 
+    // the DEFAULT pairs now route through the occupancy-balanced
+    // (cell, sub) buckets (the knnGraph decision applied to the pair
+    // family); the plain cell-only shape stays pinned as its own arm
     "q25_semdedup_pairs" ->
+      s"""WITH ${balancedPairCtes(flatCellCtes("embeddings"))}
+         SELECT vec_a, vec_b, round(c, 4) AS cos FROM p
+         WHERE c >= ${Similarity.SemDedupThreshold} ORDER BY vec_a, vec_b""",
+
+    "q25_semdedup_pairs_plain" ->
       s"""WITH $semDedupPairCtes
          SELECT vec_a, vec_b, round(c, 4) AS cos FROM p
          WHERE c >= ${Similarity.SemDedupThreshold} ORDER BY vec_a, vec_b""",
@@ -1360,7 +1387,7 @@ object TrainingOracles {
     // (precision is structurally 1: cell pairs are exact-scored, a
     // subset of truth)
     "q25_semdedup_eval" ->
-      s"""WITH $semDedupPairCtes,
+      s"""WITH ${balancedPairCtes(flatCellCtes("embeddings"))},
          cp AS (SELECT vec_a, vec_b FROM p
                 WHERE c >= ${Similarity.SemDedupThreshold}
                   AND vec_a < 200 AND vec_b < 200),
@@ -1384,11 +1411,7 @@ object TrainingOracles {
     // knob hash-checked through the pipeline's candidate generation,
     // not just the assignment artifact
     "q25_semdedup_pairs_coarse" ->
-      s"""WITH ${coarseCellCtes("embeddings")},
-         p AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-                      ${cos("x.embedding", "y.embedding")} AS c
-               FROM cells x JOIN cells y
-                 ON x.cell = y.cell AND x.vec_id < y.vec_id)
+      s"""WITH ${balancedPairCtes(coarseCellCtes("embeddings"))}
          SELECT vec_a, vec_b, round(c, 4) AS cos FROM p
          WHERE c >= ${Similarity.SemDedupThreshold} ORDER BY vec_a, vec_b""",
 
@@ -1396,7 +1419,7 @@ object TrainingOracles {
     // the cell-bounded pair graph (same cluster CTE shape as
     // q25_semantic_clusters; mirrors Similarity.semDedupFull)
     "q25_semdedup_full" ->
-      s"""WITH RECURSIVE $semDedupPairCtes,
+      s"""WITH RECURSIVE ${balancedPairCtes(flatCellCtes("embeddings"))},
          g AS (SELECT vec_a AS u0, vec_b AS v0 FROM p
                WHERE c >= ${Similarity.SemDedupThreshold}),
          e AS (SELECT u0 AS u, v0 AS v FROM g
@@ -1414,7 +1437,7 @@ object TrainingOracles {
     // (drop = non-keeper cluster members; vec_id aligns 1:1 with
     // doc_id in the testdata — mirrors Similarity.semDedupSurvivors)
     "q25_semdedup_survivors" ->
-      s"""WITH RECURSIVE $semDedupPairCtes,
+      s"""WITH RECURSIVE ${balancedPairCtes(flatCellCtes("embeddings"))},
          g AS (SELECT vec_a AS u0, vec_b AS v0 FROM p
                WHERE c >= ${Similarity.SemDedupThreshold}),
          e AS (SELECT u0 AS u, v0 AS v FROM g

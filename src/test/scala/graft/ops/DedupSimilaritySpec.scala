@@ -998,6 +998,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(graph.nonEmpty && graph.groupBy(_._1).values
       .forall(_.map(_._2).toSeq == (1 to 3).map(_.toLong)),
       "per-vector ranks must be 1..3")
+    // the semdedup PAIR family rides the same routing decision:
+    // balanced default == plain on the no-skew corpus, and on the
+    // clustered corpus the bucket pairs are a strict SUBSET of the
+    // plain cell pairs (the split can only separate, never invent)
+    def pairRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairRows(Similarity.semDedupPairs(spark, dir)) ==
+      pairRows(Similarity.semDedupPairsPlain(spark, dir)),
+      "no-split corpus must leave the pair set untouched")
+    // (the COST shrink is the Σocc² assert above; the reported pair
+    // set shrinks only when an over-threshold pair straddles subs —
+    // near-copies co-locate by design, so subset is the contract)
+    assert(pairRows(Similarity.semDedupPairs(spark, root)).subsetOf(
+      pairRows(Similarity.semDedupPairsPlain(spark, root))),
+      "balanced pairs must be a subset of the plain cell pairs")
   }
 
   test("semDedup recall eval: cell pairs are a SUBSET of exact truth " +
