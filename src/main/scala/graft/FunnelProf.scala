@@ -31,6 +31,7 @@ object FunnelProf {
       .config("spark.cleaner.periodicGC.interval", "1min"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
     import graft.ops.Stage.StageOps
     val d = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))

@@ -1946,8 +1946,13 @@ object Similarity {
     val truth = broadcast(annFiltered(spark, dir, k).select(col("vec_id")))
     val arms: Seq[(String, DataFrame)] =
       Seq(1, 2).map(np =>
-        s"nprobe$np" -> annIvfFiltered(spark, dir, k, nProbe = np)) :+
-        ("auto" -> annIvfFilteredAuto(spark, dir, k))
+        s"nprobe$np" -> annIvfFiltered(spark, dir, k, nProbe = np)) ++
+        Seq("auto" -> annIvfFilteredAuto(spark, dir, k),
+          // the CODED adaptive arm (r13): its top-k ranks by ADC
+          // distance, so its recall vs the exact-cosine truth also
+          // prices the quantization loss, beside the ladder's
+          // routing loss the fp32 auto arm isolates
+          "auto_pq" -> Pq.annIvfPqFilteredAuto(spark, dir, k))
     arms.map { case (name, df) =>
       df.select(col("vec_id")).join(truth, Seq("vec_id"))
         .agg(count(lit(1)).as("hits"))

@@ -1570,11 +1570,17 @@ object TrainingOracles {
               CAST((SELECT count(*)
                     FROM (${annIvfFilteredSql(np)}) m$np
                     JOIN truth USING (vec_id)) AS BIGINT) AS hits"""
-      } :+
+      } ++ Seq(
         s"""SELECT 'auto' AS method,
               CAST((SELECT count(*)
                     FROM (${annIvfFilteredAutoSql(k = 10)}) ma
-                    JOIN truth USING (vec_id)) AS BIGINT) AS hits""")
+                    JOIN truth USING (vec_id)) AS BIGINT) AS hits""",
+        // the coded adaptive arm wraps the SAME SQL the standalone
+        // q25_ann_ivfpq_filtered_auto entry hash-checks
+        s"""SELECT 'auto_pq' AS method,
+              CAST((SELECT count(*)
+                    FROM (${annIvfPqSql(filtered = true, auto = true)}) mq
+                    JOIN truth USING (vec_id)) AS BIGINT) AS hits"""))
         .mkString(" UNION ALL ")
       s"""WITH truth AS (SELECT vec_id FROM ($annFilteredSql) tt),
          h AS ($arms)

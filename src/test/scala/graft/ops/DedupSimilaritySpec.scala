@@ -809,11 +809,13 @@ class DedupSimilaritySpec extends SparkSpec {
     "queries (adaptive arm included) and recall is monotone in nProbe") {
     val rows = Similarity.annFilteredRecallEval(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
-    assert(rows.map(_._1).toSeq == Seq("auto", "nprobe1", "nprobe2"))
+    assert(rows.map(_._1).toSeq ==
+      Seq("auto", "auto_pq", "nprobe1", "nprobe2"))
     val truth = Similarity.annFiltered(spark, dir).collect()
       .map(_.getLong(0)).toSet
     rows.foreach { case (m, hits, rec) =>
       val arm = (if (m == "auto") Similarity.annIvfFilteredAuto(spark, dir)
+        else if (m == "auto_pq") Pq.annIvfPqFilteredAuto(spark, dir)
         else Similarity.annIvfFiltered(spark, dir,
           nProbe = m.stripPrefix("nprobe").toInt))
         .collect().map(_.getLong(0)).toSet
