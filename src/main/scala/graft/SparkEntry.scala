@@ -162,6 +162,7 @@ object SparkEntry {
     "q26_ir_search" -> (IrEngine.q26Search _),
     "q26_ir_rm3" -> (IrEngine.q26Rm3 _),
     "q26_ir_wildcard" -> (IrEngine.q26Wildcard _),
+    "q26_ir_merged_wildcard" -> (IrEngine.q26MergedWildcard _),
     "q28_multimodal" -> (IrEngine.q28Multimodal _),
     "q28_resize" -> (IrEngine.q28Resize _),
     "q28_features" -> (IrEngine.q28Features _),
@@ -170,6 +171,7 @@ object SparkEntry {
     "q35_rewrite_wildcard" -> (IrEngine.q35RewriteWildcard _),
     "q36_phrase" -> (IrEngine.q36Phrase _),
     "q36_phrase_compressed" -> (IrEngine.q36PhraseCompressed _),
+    "q36_phrase_merged" -> (IrEngine.q36PhraseMerged _),
     "q36_near" -> (IrEngine.q36Near _),
     "q36_near_ordered" -> (IrEngine.q36NearOrdered _),
     "q36_near_topk" -> (IrEngine.q36NearTopK _),
@@ -948,6 +950,10 @@ object SparkEntry {
       """SELECT * FROM '/root/repo/golden/q26_ir_rm3.parquet'""",
     "q26_ir_wildcard" ->
       """SELECT * FROM '/root/repo/golden/q26_ir_wildcard.parquet'""",
+    // a delta-merged chargram table must serve the same wildcard
+    // answer as the rebuilt one
+    "q26_ir_merged_wildcard" ->
+      """SELECT * FROM '/root/repo/golden/q26_ir_wildcard.parquet'""",
     // golden generated from the UN-rewritten fallback evaluation, so
     // the compare proves the index rewrite == per-row predicate
     "q35_rewrite_wildcard" ->
@@ -959,6 +965,10 @@ object SparkEntry {
       """SELECT * FROM '/root/repo/golden/q36_phrase.parquet'""",
     // same golden: proves the varint-gap compressed layout round-trips
     "q36_phrase_compressed" ->
+      """SELECT * FROM '/root/repo/golden/q36_phrase.parquet'""",
+    // same golden again: a delta-merged positional index must serve
+    // the same phrase answer as the rebuilt one
+    "q36_phrase_merged" ->
       """SELECT * FROM '/root/repo/golden/q36_phrase.parquet'""",
     "q36_near" ->
       """SELECT * FROM '/root/repo/golden/q36_near.parquet'""",

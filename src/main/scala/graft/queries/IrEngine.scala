@@ -234,6 +234,28 @@ object IrEngine {
     QueryEngine.wildcardTerms(cg, "st*am")
   }
 
+  /** [[q26Wildcard]] against a chargram table maintained by the
+    * INCREMENTAL delta path ([[CharKGramIndex.merge]]) instead of a
+    * full rebuild — the q26_ir_merged pattern applied to the wildcard
+    * artifact: build on the first half (median docid split, same
+    * boundary discipline as [[q26MergedIndex]]), merge the second
+    * half's vocabulary in, answer the same pattern. Checked against
+    * q26_ir_wildcard's oracle: the driver gate itself proves the
+    * delta-maintained table serves identical wildcard results. */
+  def q26MergedWildcard(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val dm = graft.corpus.TrecCorpus.docnoMappingScalable(spark, c)
+    val half = dm.count() / 2
+    val boundary =
+      if (half == 0) ""
+      else dm.filter(col("docno") === half).select("docid")
+        .head().getString(0)
+    val merged = CharKGramIndex.merge(spark,
+      CharKGramIndex.build(spark, c.filter(col("docid") <= boundary)),
+      c.filter(col("docid") > boundary))
+    QueryEngine.wildcardTerms(merged, "st*am")
+  }
+
   /** Index-aware WILDCARD predicate planning end-to-end: a SQL query
     * with `graft_matches_term_like(content, 'st*am')` over a view with
     * a registered inverted + char-gram index pair. [[graft.plans
@@ -278,6 +300,27 @@ object IrEngine {
   def q36Phrase(spark: SparkSession, dir: String): DataFrame = {
     val ix = PositionalIndex.build(spark, corpus(spark, dir))
     PositionalIndex.phrase(ix, PhraseQuery)
+  }
+
+  /** The q36 phrase answered by a positional index maintained through
+    * the INCREMENTAL delta path ([[PositionalIndex.merge]]) — the
+    * q26_ir_merged pattern applied to the phrase artifact (and the
+    * q26_ir_merged_wildcard twin for positions): build on the first
+    * half, merge the second half, answer the same phrase. Checked
+    * against q36_phrase's golden oracle, so the driver gate proves
+    * the merged positional index serves identical phrase results. */
+  def q36PhraseMerged(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val dm = graft.corpus.TrecCorpus.docnoMappingScalable(spark, c)
+    val half = dm.count() / 2
+    val boundary =
+      if (half == 0) ""
+      else dm.filter(col("docno") === half).select("docid")
+        .head().getString(0)
+    val merged = PositionalIndex.merge(spark,
+      PositionalIndex.build(spark, c.filter(col("docid") <= boundary)),
+      c.filter(col("docid") > boundary))
+    PositionalIndex.phrase(merged, PhraseQuery)
   }
 
   /** The q36 phrase served through the COMPRESSED durable layout:
