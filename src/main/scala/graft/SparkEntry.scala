@@ -264,6 +264,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => TextAnalysis.dsirSelect(s, d)),
     "q37_hybrid_rrf" ->
       ((s: SparkSession, d: String) => Similarity.hybridRrf(s, d)),
+    "q37_hybrid_rrf_filtered" ->
+      ((s: SparkSession, d: String) => Similarity.hybridRrfFiltered(s, d)),
     "q25_pq_codes" -> (Pq.pqCodes _),
     "q25_ann_pq" ->
       ((s: SparkSession, d: String) => Pq.annPq(s, d)),
@@ -325,8 +327,19 @@ object SparkEntry {
   }
 
   /** The BM25 ranking oracle — shared by q10_bm25 and the lexical arm
-    * of q37_hybrid_rrf. */
-  private def bm25Sql: String =
+    * of q37_hybrid_rrf. `filtered` restricts the CANDIDATES (after
+    * the df window — term statistics stay collection-global) to the
+    * metadata survivors, mirroring `IrSql.q10Bm25Filtered` for the
+    * filtered fusion's lexical arm. */
+  private def bm25Sql(filtered: Boolean = false): String = {
+    val fCte =
+      if (filtered)
+        s""",
+       fset AS (SELECT doc_id FROM documents
+                WHERE lang = '${graft.ops.Similarity.FilterLang}'
+                  AND n_chars >= ${graft.ops.Similarity.FilterMinChars})"""
+      else ""
+    val fJoin = if (filtered) " JOIN fset USING (doc_id)" else ""
     s"""WITH tok AS (
          SELECT doc_id, unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS term
          FROM documents),
@@ -335,12 +348,13 @@ object SparkEntry {
        st AS (SELECT CAST(sum(dl) AS BIGINT) AS tt, count(*) AS nd FROM len),
        tf AS (SELECT term, doc_id, count(*) AS tf FROM t
               WHERE term IN (${IrSql.DefaultQueryTerms.map("'" + _ + "'").mkString(", ")}) GROUP BY term, doc_id),
-       wdf AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf)
+       wdf AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf)$fCte
        SELECT doc_id,
               round(sum(ln((nd - df + 0.5) / (df + 0.5) + 1.0) * (tf * ${IrSql.Bm25K1 + 1}) /
                         (tf + ${IrSql.Bm25K1} * (${1 - IrSql.Bm25B} + ${IrSql.Bm25B} * dl / (CAST(tt AS DOUBLE) / nd)))), 4) AS score
-       FROM wdf JOIN len USING (doc_id) CROSS JOIN st
+       FROM wdf JOIN len USING (doc_id)$fJoin CROSS JOIN st
        GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"""
+  }
 
   /** The MULTI-TERM BM25 oracle (q10_bm25_multi == q10_bm25_pruned —
     * pruning is result-invariant, so both entries share this one SQL):
@@ -535,7 +549,7 @@ object SparkEntry {
 
     // constants genuinely interpolated from IrSql.Bm25K1/Bm25B and
     // DefaultQueryTerms — the same Scala values the plan uses
-    "q10_bm25" -> bm25Sql,
+    "q10_bm25" -> bm25Sql(),
     // the pruned plan is result-invariant ⇒ one oracle for both
     "q10_bm25_multi" -> bm25MultiSql,
     "q10_bm25_pruned" -> bm25MultiSql,
@@ -579,7 +593,7 @@ object SparkEntry {
     "q37_hybrid_rrf" ->
       s"""WITH lex AS (SELECT doc_id,
                        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
-                FROM ($bm25Sql)),
+                FROM (${bm25Sql()})),
          semall AS (SELECT vec_id, round(c, 4) AS cos
                 FROM (SELECT vec_id,
                              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -600,6 +614,25 @@ object SparkEntry {
          sem AS (SELECT vec_id AS doc_id,
                        CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS sem_rank
                 FROM semall),
+         f AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+                      coalesce(CAST(floor(1000000 / (lex_rank + 60)) AS BIGINT), 0) +
+                      coalesce(CAST(floor(1000000 / (sem_rank + 60)) AS BIGINT), 0) AS rrf
+               FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+         SELECT doc_id, lex_rank, sem_rank, rrf FROM f
+         ORDER BY rrf DESC, doc_id LIMIT 10""",
+
+    // FILTERED hybrid fusion: the lexical arm is the filtered BM25
+    // oracle (candidates restricted after the df window), the
+    // semantic arm is the ADAPTIVE filtered probe's SQL — the very
+    // ladder rule q25_ann_filtered_auto hash-checks — fused by the
+    // same RRF arithmetic as q37_hybrid_rrf
+    "q37_hybrid_rrf_filtered" ->
+      s"""WITH lex AS (SELECT doc_id,
+                       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+                FROM (${bm25Sql(filtered = true)})),
+         sem AS (SELECT vec_id AS doc_id,
+                       CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS sem_rank
+                FROM (${graft.ops.TrainingOracles.annIvfFilteredAutoSql(k = 10)})),
          f AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
                       coalesce(CAST(floor(1000000 / (lex_rank + 60)) AS BIGINT), 0) +
                       coalesce(CAST(floor(1000000 / (sem_rank + 60)) AS BIGINT), 0) AS rrf

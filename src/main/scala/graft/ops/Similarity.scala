@@ -2138,6 +2138,42 @@ object Similarity {
     * rank windows and the fusion join run over ≤topK-row bounded
     * frames — the single-partition window is bounded by construction,
     * never corpus-sized. */
+  /** FILTERED hybrid retrieval — the plain [[hybridRrf]] fusion under
+    * a metadata WHERE clause on BOTH arms (the real deployment shape:
+    * "retrieve, but only documents passing the filter"): the lexical
+    * arm is filtered BM25 ([[graft.queries.IrSql.q10Bm25Filtered]] —
+    * candidates restricted before the top-k, term statistics still
+    * collection-global), the semantic arm is the ADAPTIVE filtered
+    * probe ([[annIvfFilteredAuto]] — the escalating production path,
+    * its ladder rule independently hash-checked by
+    * q25_ann_filtered_auto). Same RRF arithmetic and bounded rank
+    * windows as the plain fusion. */
+  def hybridRrfFiltered(spark: SparkSession, dir: String, k: Int = 10,
+                        kRrf: Int = 60): DataFrame = {
+    require(k <= 10,
+      s"hybridRrfFiltered fuses top-10 arms; k=$k would read past them")
+    import org.apache.spark.sql.expressions.Window
+    val keep = filterIds(spark, dir)
+      .select(col("vec_id").as("doc_id"))
+    val lex = graft.queries.IrSql.q10Bm25Filtered(spark, dir, keep)
+      .withColumn("lex_rank", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id")))
+        .cast("long"))
+    val sem = annIvfFilteredAuto(spark, dir, k = 10)
+      .withColumn("sem_rank", row_number()
+        .over(Window.orderBy(col("cos").desc, col("vec_id")))
+        .cast("long"))
+    def contrib(r: Column): Column =
+      coalesce(floor(lit(1000000.0) / (r + lit(kRrf))).cast("long"), lit(0L))
+    lex.select(col("doc_id"), col("lex_rank"))
+      .join(sem.select(col("vec_id").as("doc_id"), col("sem_rank")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        (contrib(col("lex_rank")) + contrib(col("sem_rank"))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
   def hybridRrf(spark: SparkSession, dir: String, k: Int = 10,
                 kRrf: Int = 60): DataFrame = {
     // both arms are top-10 (q10Bm25's fixed LIMIT); fusing deeper than

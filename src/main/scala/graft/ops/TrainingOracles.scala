@@ -178,7 +178,7 @@ object TrainingOracles {
     * survivor target (oversample × k) and the final LIMIT, so the
     * oracle can never check a different escalation rule than the
     * entry's [[Similarity.annIvfFilteredAuto]] call runs. */
-  private def annIvfFilteredAutoSql(k: Int = 10): String =
+  private[graft] def annIvfFilteredAutoSql(k: Int = 10): String =
     s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
                    WHERE vec_id < ${Similarity.IvfCentroids}),
        a AS (SELECT e.vec_id, e.embedding, c.cid,

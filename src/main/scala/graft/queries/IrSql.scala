@@ -453,6 +453,45 @@ object IrSql {
       .limit(10)
   }
 
+  /** [[q10Bm25]] with the result set RESTRICTED to a survivor id
+    * frame (column `doc_id`) BEFORE the top-k — the lexical arm of
+    * filtered hybrid retrieval ([[graft.ops.Similarity
+    * .hybridRrfFiltered]]). The restriction is a left-semi join at
+    * the candidate stage so the top-k can never under-fill; corpus
+    * statistics (dl, df, tt, nd) stay GLOBAL — a filter narrows what
+    * may be returned, not what the collection is (the standard
+    * filtered-retrieval semantics, mirrored in the oracle). */
+  private[graft] def q10Bm25Filtered(spark: SparkSession, dir: String,
+                                     keep: DataFrame,
+                                     terms: Seq[String] =
+                                       DefaultQueryTerms,
+                                     k1: Double = Bm25K1,
+                                     b: Double = Bm25B): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 2,
+      "reference accepts 1-2 word queries (SURVEY §2.2 arity predicate)")
+    val len = tokens(spark, dir)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = len.agg(sum(col("dl")).as("tt"), count(lit(1)).as("nd"))
+    val tf = termTf(spark, dir).filter(col("term").isin(terms: _*))
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
+    // restrict AFTER df: the window above must see every posting so
+    // term statistics stay collection-global
+    withDf.join(keep.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .join(len, "doc_id").join(broadcast(stats))
+      .select(col("doc_id"),
+        (log((col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") /
+            (col("tt").cast("double") / col("nd"))))).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("s")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
   /** Expanded multi-term query for the MaxScore family — the
     * RM3-expanded shape (one discriminative term + a tail of common
     * terms) where bound pruning has real work to do; the 2-term

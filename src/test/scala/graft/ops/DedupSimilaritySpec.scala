@@ -1188,4 +1188,43 @@ class DedupSimilaritySpec extends SparkSpec {
     val scores = rows.map(_.getLong(3)).toSeq
     assert(scores == scores.sorted.reverse)
   }
+
+  test("FILTERED hybrid RRF: every fused doc passes the metadata " +
+    "filter, arms reproduce from their components, fusion arithmetic " +
+    "holds") {
+    val rows = Similarity.hybridRrfFiltered(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val pass = graft.Tables.load(spark, dir, "documents")
+      .filter(col("lang") === Similarity.FilterLang &&
+        col("n_chars") >= Similarity.FilterMinChars)
+      .collect().map(_.getLong(0)).toSet
+    rows.foreach(r => assert(pass(r.getLong(0)),
+      s"doc ${r.getLong(0)} leaked past the filter"))
+    // arm recomputes: ranks re-derived by the entry's own window rule
+    // (rounded score desc, id asc) over each arm's top-10 output
+    val lexIds = graft.queries.IrSql.q10Bm25Filtered(spark, dir,
+        Similarity.filterIds(spark, dir)
+          .select(col("vec_id").as("doc_id")))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (d, s) => (-s, d) }.map(_._1).toSeq
+    val semIds = Similarity.annIvfFilteredAuto(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (d, s) => (-s, d) }.map(_._1).toSeq
+    def c(r: Any): Long = r match {
+      case null    => 0L
+      case l: Long => 1000000L / (l + 60L)
+    }
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      val (lr, sr) = (r.get(1), r.get(2))
+      assert(lr != null || sr != null)
+      if (lr != null)
+        assert(lexIds(lr.asInstanceOf[Long].toInt - 1) == d,
+          s"doc $d lex_rank mismatch")
+      if (sr != null)
+        assert(semIds(sr.asInstanceOf[Long].toInt - 1) == d,
+          s"doc $d sem_rank mismatch")
+      assert(r.getLong(3) == c(lr) + c(sr))
+    }
+  }
 }
