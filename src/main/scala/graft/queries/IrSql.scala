@@ -775,9 +775,14 @@ object IrSql {
     if (fs.exists(from))
       fs.listStatus(from)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .foreach(f =>
-          fs.rename(f.getPath, new org.apache.hadoop.fs.Path(
-            to, f.getPath.getName)))
+        .foreach { f =>
+          // rename returns false instead of throwing on some
+          // filesystems — a silent false here would strand committed
+          // delta rows in the staging dir, so check it
+          require(fs.rename(f.getPath, new org.apache.hadoop.fs.Path(
+              to, f.getPath.getName)),
+            s"rename ${f.getPath} -> $to failed mid-merge-commit")
+        }
 
   /** Crash recovery for [[mergeBm25Stats]]'s staged-append commit:
     * marker ABSENT → any staged delta dirs are an uncommitted attempt,
