@@ -32,4 +32,33 @@ class HybridServerSpec extends SparkSpec {
     assert(srv.search(graft.queries.IrSql.DefaultQueryTerms, qv) == want,
       "repeat query diverged (template reuse)")
   }
+
+  test("8 concurrent hybrid searches each return their own fused " +
+    "list (both arms' pools, no shared-ref race)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val srv = HybridServer.forCorpus(spark, dir)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    def vec(id: Long): Seq[Float] = e
+      .filter(org.apache.spark.sql.functions.col("vec_id") === id)
+      .select("embedding").head().getSeq[Float](0)
+    val qs: Seq[(Seq[String], Seq[Float], Long)] = Seq(
+      (graft.queries.IrSql.DefaultQueryTerms, vec(0), 0L),
+      (Seq("merge"), vec(1), 1L),
+      (Seq("stream", "data"), vec(2), 2L),
+      (Seq("spark", "query"), vec(3), 3L),
+      (graft.queries.IrSql.DefaultQueryTerms, vec(4), 4L),
+      (Seq("merge", "data"), vec(5), 5L),
+      (Seq("stream"), vec(6), 6L),
+      (Seq("query", "merge"), vec(7), 7L))
+    val want = qs.map { case (t, v, ex) => srv.search(t, v, ex) }
+    (1 to 3).foreach { _ =>
+      val got = Await.result(
+        Future.sequence(qs.map { case (t, v, ex) =>
+          Future(srv.search(t, v, ex)) }), 120.seconds)
+      qs.indices.foreach(i =>
+        assert(got(i) == want(i), s"concurrent hybrid [$i] diverged"))
+    }
+  }
 }
