@@ -519,17 +519,54 @@ object TextAnalysis {
     * row-group sizes for every future scan. */
   def compact(spark: SparkSession, dir: String,
               targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    recoverCompact(spark, dir) // finish/roll back a crashed compact
     val df = spark.read.parquet(dir)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val files = math.max(1L, ((bytes + targetBytes - 1) / targetBytes).toLong)
     val tmp = dir + "_compacting"
     df.repartition(files.toInt).write.mode("overwrite").parquet(tmp)
-    // atomic-ish swap: the rewrite lands complete or not at all
+    // CRASH-SAFE swap (renames only, the IrSql swapIn protocol): at
+    // every instant the rows live in exactly one complete location —
+    // the old delete-then-rename left a window where the dir was
+    // simply gone
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(dir)
-    fs.delete(dst, true)
+    val old = new org.apache.hadoop.fs.Path(dir + "_precompact")
+    fs.rename(dst, old)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    fs.delete(old, true)
+    ()
+  }
+
+  /** Crash recovery for [[compact]]'s swap, run at every compact
+    * entry (safe when no compact was in flight): target present →
+    * any leftover staging/old dirs are completed or abandoned
+    * attempts, delete them; target absent + COMPLETE staging
+    * (`_SUCCESS`) → finish the swap; target absent + incomplete
+    * staging → roll the old layout back. */
+  def recoverCompact(spark: SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val t = new Path(dir)
+    val neu = new Path(dir + "_compacting")
+    val old = new Path(dir + "_precompact")
+    if (fs.exists(t)) {
+      fs.delete(neu, true)
+      fs.delete(old, true)
+      ()
+    } else if (fs.exists(old)) {
+      if (fs.exists(new Path(neu, "_SUCCESS"))) {
+        fs.rename(neu, t)
+        fs.delete(old, true)
+        ()
+      } else {
+        fs.delete(neu, true)
+        fs.rename(old, t)
+        ()
+      }
+    }
   }
 
   /** One-row corpus report — the summary panel a pipeline publishes

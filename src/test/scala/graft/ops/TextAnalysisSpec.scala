@@ -133,6 +133,27 @@ class TextAnalysisSpec extends SparkSpec {
     val after = spark.read.parquet(out)
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(after == before)
+    // both mid-swap crash states recover (the swapIn protocol):
+    // A — target renamed away, COMPLETE staging dir → finish the swap
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val t = new org.apache.hadoop.fs.Path(out)
+    val neu = new org.apache.hadoop.fs.Path(out + "_compacting")
+    val old = new org.apache.hadoop.fs.Path(out + "_precompact")
+    spark.read.parquet(out).write.parquet(neu.toString)
+    fs.rename(t, old)
+    TextAnalysis.recoverCompact(spark, out)
+    assert(fs.exists(t) && !fs.exists(neu) && !fs.exists(old))
+    assert(spark.read.parquet(out).collect()
+      .map(_.getLong(0)).sorted.toSeq == before, "recovery (finish)")
+    // B — same point but INCOMPLETE staging (no _SUCCESS) → roll back
+    spark.read.parquet(out).write.parquet(neu.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(neu, "_SUCCESS"), false)
+    fs.rename(t, old)
+    TextAnalysis.recoverCompact(spark, out)
+    assert(fs.exists(t) && !fs.exists(neu) && !fs.exists(old))
+    assert(spark.read.parquet(out).collect()
+      .map(_.getLong(0)).sorted.toSeq == before, "recovery (rollback)")
   }
 
   test("hash-bucket sample keeps roughly keep/buckets of the corpus") {
