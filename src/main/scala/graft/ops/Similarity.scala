@@ -920,6 +920,15 @@ object Similarity {
       .select(col("cell"),
         ceil(col("occ").cast("double") / SemDedupCellSize)
           .cast("long").as("m"))
+      .stage()
+    // the no-skew common case: zero over-cap cells means the balanced
+    // assignment IS the plain one (every sub = 0, spec-pinned), so
+    // skip the re-split machinery (anti-join, seed window, re-argmax)
+    // entirely — the default-routed families then pay only this one
+    // cells-count-sized aggregate over the plain recipe
+    if (big.limit(1).count() == 0)
+      return cells.select(col("vec_id"), col("embedding"), col("cell"),
+        lit(0L).as("sub"))
     val small = cells
       .join(broadcast(big.select("cell")), Seq("cell"), "left_anti")
       .select(col("vec_id"), col("embedding"), col("cell"),
