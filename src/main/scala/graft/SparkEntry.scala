@@ -41,6 +41,8 @@ object SparkEntry {
     "q09_chargram_terms" -> (IrSql.q09CharGramTerms _),
     "q10_tfidf" -> ((s: SparkSession, d: String) => IrSql.q10TfIdf(s, d)),
     "q10_bm25" -> ((s: SparkSession, d: String) => IrSql.q10Bm25(s, d)),
+    "q10_bm25_batch" ->
+      ((s: SparkSession, d: String) => IrSql.q10Bm25Batch(s, d)),
     "q10_bm25_multi" ->
       ((s: SparkSession, d: String) => IrSql.q10Bm25Multi(s, d)),
     "q10_bm25_pruned" ->
@@ -380,6 +382,44 @@ object SparkEntry {
        SELECT doc_id, round(CAST(sum(s9) AS DOUBLE) / ${IrSql.Bm25Scale}, 4) AS score
        FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"""
 
+  /** The BATCH multi-term BM25 oracle (q10_bm25_batch): the VALUES
+    * query table comes verbatim from [[IrSql.BatchQueries]], scoring
+    * is [[bm25MultiSql]]'s quantized arithmetic per (qid, doc), and
+    * the per-qid rank window re-proves the bounded heap. */
+  private def bm25BatchSql: String = {
+    val values = IrSql.BatchQueries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    val allTerms = IrSql.BatchQueries.flatMap(_._2).distinct
+      .map("'" + _ + "'").mkString(", ")
+    s"""WITH qq(qid, term) AS (VALUES $values),
+       tok AS (
+         SELECT doc_id, unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS term
+         FROM documents),
+       t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+       len AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+       st AS (SELECT CAST(sum(dl) AS BIGINT) AS tt, count(*) AS nd FROM len),
+       tf AS (SELECT term, doc_id, count(*) AS tf FROM t
+              WHERE term IN ($allTerms) GROUP BY term, doc_id),
+       wdf AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+       s AS (SELECT qq.qid, wdf.doc_id,
+                    CAST(round(ln((nd - df + 0.5) / (df + 0.5) + 1.0) * (tf * ${IrSql.Bm25K1 + 1}) /
+                               (tf + ${IrSql.Bm25K1} * (${1 - IrSql.Bm25B} + ${IrSql.Bm25B} * dl / (CAST(tt AS DOUBLE) / nd)))
+                               * ${IrSql.Bm25Scale}) AS BIGINT) AS s9
+             FROM wdf JOIN len USING (doc_id) CROSS JOIN st
+                  JOIN qq ON qq.term = wdf.term),
+       g AS (SELECT qid, doc_id,
+                    round(CAST(sum(s9) AS DOUBLE) / ${IrSql.Bm25Scale}, 4) AS score
+             FROM s GROUP BY qid, doc_id),
+       r AS (SELECT qid, doc_id, score,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY score DESC, doc_id) AS rank
+             FROM g)
+       SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+              doc_id, score
+       FROM r WHERE rank <= 10 ORDER BY qid, rank"""
+  }
+
   private def oracleBase: Map[String, String] = Map(
     "q01_scan_filter" ->
       """SELECT doc_id, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id""",
@@ -553,6 +593,7 @@ object SparkEntry {
     // the pruned plan is result-invariant ⇒ one oracle for both
     "q10_bm25_multi" -> bm25MultiSql,
     "q10_bm25_pruned" -> bm25MultiSql,
+    "q10_bm25_batch" -> bm25BatchSql,
 
     // interchange round-trips: the engine must write+read each format;
     // the oracle computes the expected (count, order-free content

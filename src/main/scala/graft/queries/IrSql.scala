@@ -557,6 +557,62 @@ object IrSql {
         .join(broadcast(stats)), k)
   }
 
+  /** The fixed query batch for [[q10Bm25Batch]] — an eval-suite
+    * shape (qid, terms), shared verbatim with the oracle's VALUES
+    * table so the two engines score the same queries. */
+  val BatchQueries: Seq[(Long, Seq[String])] = Seq(
+    1L -> DefaultQueryTerms,
+    2L -> Seq("dup", "data", "table", "scan"),
+    3L -> Seq("spark", "query", "group", "column"),
+    4L -> ExpandedQueryTerms)
+
+  /** BATCH multi-term BM25 retrieval — the run-the-whole-eval-suite
+    * shape (TREC batch retrieval: a topics FILE in, one ranking per
+    * topic out) the per-query forms don't cover: score a SET of
+    * multi-term queries in ONE pass over the postings. Plan: the
+    * (qid, term) table broadcasts into the union-of-terms-pruned
+    * postings scan (ONE scan for the whole batch — at 100 TB this is
+    * what makes 10k eval queries one job instead of 10k), per-term df
+    * and the one-row corpus stats broadcast in as in [[q10Bm25Multi]],
+    * per-(qid, doc) sums ride the same 1e-9 fixed-point discipline
+    * (aggregation-order-exact across engines), and per-qid top-k is
+    * the bounded-heap `graft_topk` (O(k) state per query — no window
+    * shuffle-and-sort over the batch's scored space). Scores round
+    * BEFORE ranking (the q39 tie-stability discipline). Per query the
+    * rankings equal the standalone scorer (qid 4 IS
+    * [[ExpandedQueryTerms]] — spec-pinned == q10Bm25Multi). */
+  def q10Bm25Batch(spark: SparkSession, dir: String,
+                   queries: Seq[(Long, Seq[String])] = BatchQueries,
+                   k: Int = 10): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val q = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("qid", "term")
+    val allTerms = queries.flatMap(_._2).distinct
+    val len = tokens(spark, dir)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .stage()
+    val stats = len.agg(sum(col("dl")).as("tt"), count(lit(1)).as("nd"))
+    val tf = termTf(spark, dir).filter(col("term").isin(allTerms: _*))
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfs), "term").join(len, "doc_id")
+      .join(broadcast(stats))
+      .join(broadcast(q), "term")
+      .select(col("qid"), col("doc_id"),
+        round(bm25S(Bm25K1, Bm25B) * Bm25Scale).cast("long").as("s9"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(round(sum(col("s9")).cast("double") / Bm25Scale, 4)
+        .as("score"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.GraftFunctions
+        .topkBy(col("score"), col("doc_id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("doc_id"), col("col.score").as("score"))
+      .orderBy("qid", "rank")
+  }
+
   /** INDEX-TIME artifacts for MaxScore retrieval, written as a durable
     * store (the side files a real index carries so query time never
     * rescans the corpus):

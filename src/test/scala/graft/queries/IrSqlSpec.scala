@@ -288,6 +288,29 @@ class IrSqlSpec extends SparkSpec {
     assert(top() == want, "recovery (rollback) lost rows")
   }
 
+  test("batch bm25: each qid's ranking equals the standalone " +
+    "multi-term scorer on the same terms (qid 4 IS the expanded set)") {
+    val batch = IrSql.q10Bm25Batch(spark, dir).collect()
+      .groupBy(_.getLong(0))
+    assert(batch.keySet == IrSql.BatchQueries.map(_._1).toSet)
+    IrSql.BatchQueries.foreach { case (qid, terms) =>
+      val want = IrSql.q10Bm25Multi(spark, dir, terms).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = batch(qid).sortBy(_.getLong(1))
+        .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+      assert(got == want, s"qid=$qid: batch != standalone multi")
+      // ranks dense from 1
+      assert(batch(qid).map(_.getLong(1)).sorted.toSeq ==
+        (1L to batch(qid).length))
+    }
+    // the whole batch rides ONE postings scan: the heap aggregate is
+    // present and no window exec ranks the scored space
+    val plan = IrSql.q10Bm25Batch(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"no bounded heap:\n$plan")
+    assert(!plan.contains("Window"), s"window exec leaked:\n$plan")
+  }
+
   test("bm25 merge crash states: an UNCOMMITTED merge (staged deltas, " +
     "no marker) rolls back and the retried merge == rebuild; a " +
     "COMMITTED merge (marker, parts half-moved) completes to the " +
