@@ -43,6 +43,8 @@ object SparkEntry {
     "q10_bm25" -> ((s: SparkSession, d: String) => IrSql.q10Bm25(s, d)),
     "q10_bm25_batch" ->
       ((s: SparkSession, d: String) => IrSql.q10Bm25Batch(s, d)),
+    "q10_bm25_batch_stored" ->
+      ((s: SparkSession, d: String) => IrSql.q10Bm25BatchStored(s, d)),
     "q10_bm25_multi" ->
       ((s: SparkSession, d: String) => IrSql.q10Bm25Multi(s, d)),
     "q10_bm25_pruned" ->
@@ -594,6 +596,8 @@ object SparkEntry {
     "q10_bm25_multi" -> bm25MultiSql,
     "q10_bm25_pruned" -> bm25MultiSql,
     "q10_bm25_batch" -> bm25BatchSql,
+    // the store-served batch == the corpus-scored batch by design
+    "q10_bm25_batch_stored" -> bm25BatchSql,
 
     // interchange round-trips: the engine must write+read each format;
     // the oracle computes the expected (count, order-free content

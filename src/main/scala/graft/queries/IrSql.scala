@@ -613,6 +613,52 @@ object IrSql {
       .orderBy("qid", "rank")
   }
 
+  /** [[q10Bm25Batch]] answered from the DURABLE [[writeBm25Stats]]
+    * store — the serving twin (never a corpus rescan): postings come
+    * from the range-laid store scan (zone maps prune to the batch's
+    * term union), doc lengths from `doclen/`, per-term df from the
+    * vocab-bounded `stats/` rows, (tt, nd) from the one-row corpus
+    * artifact. Output-identical to the corpus form (same arithmetic,
+    * same fixed-point sums, same heap — checked against the SAME
+    * oracle). */
+  def q10Bm25BatchStored(spark: SparkSession, dir: String,
+                         queries: Seq[(Long, Seq[String])] = BatchQueries,
+                         k: Int = 10): DataFrame =
+    q10Bm25BatchAt(spark, bm25StatsStore(spark, dir), queries, k)
+
+  private[graft] def q10Bm25BatchAt(spark: SparkSession, store: String,
+                                    queries: Seq[(Long, Seq[String])],
+                                    k: Int): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val q = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("qid", "term")
+    val allTerms = queries.flatMap(_._2).distinct
+    val (tt, nd) = readCorpusStats(spark, store)
+    val dfs = spark.read.parquet(s"$store/stats")
+      .filter(col("term").isin(allTerms: _*))
+      .select(col("term"), col("df"))
+    val tf = spark.read.parquet(s"$store/postings")
+      .filter(col("term").isin(allTerms: _*))
+    tf.join(broadcast(dfs), "term")
+      .join(spark.read.parquet(s"$store/doclen"), "doc_id")
+      .withColumn("tt", lit(tt)).withColumn("nd", lit(nd))
+      .join(broadcast(q), "term")
+      .select(col("qid"), col("doc_id"),
+        round(bm25S(Bm25K1, Bm25B) * Bm25Scale).cast("long").as("s9"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(round(sum(col("s9")).cast("double") / Bm25Scale, 4)
+        .as("score"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.GraftFunctions
+        .topkBy(col("score"), col("doc_id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("doc_id"), col("col.score").as("score"))
+      .orderBy("qid", "rank")
+  }
+
   /** INDEX-TIME artifacts for MaxScore retrieval, written as a durable
     * store (the side files a real index carries so query time never
     * rescans the corpus):

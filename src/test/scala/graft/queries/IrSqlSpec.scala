@@ -309,6 +309,12 @@ class IrSqlSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"), s"no bounded heap:\n$plan")
     assert(!plan.contains("Window"), s"window exec leaked:\n$plan")
+    // the store-served batch answers identically (df from the stats
+    // store, stats from the corpus artifact — never a corpus rescan)
+    assert(IrSql.q10Bm25BatchStored(spark, dir).collect()
+        .map(_.toSeq).toSeq ==
+      IrSql.q10Bm25Batch(spark, dir).collect().map(_.toSeq).toSeq,
+      "stored batch != corpus batch")
   }
 
   test("bm25 merge crash states: an UNCOMMITTED merge (staged deltas, " +
