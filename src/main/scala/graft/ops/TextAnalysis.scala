@@ -533,8 +533,13 @@ object TextAnalysis {
       spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(dir)
     val old = new org.apache.hadoop.fs.Path(dir + "_precompact")
-    fs.rename(dst, old)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    // rename returns FALSE (not throw) on some filesystems — a
+    // silent false followed by the delete below would destroy the
+    // pre-compact copy while the table dir is absent (the IrSql
+    // moveParts discipline: check the boolean, loudly)
+    require(fs.rename(dst, old), s"compact: rename $dst -> $old failed")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+      s"compact: rename $tmp -> $dst failed")
     fs.delete(old, true)
     ()
   }
@@ -543,8 +548,10 @@ object TextAnalysis {
     * entry (safe when no compact was in flight): target present →
     * any leftover staging/old dirs are completed or abandoned
     * attempts, delete them; target absent + COMPLETE staging
-    * (`_SUCCESS`) → finish the swap; target absent + incomplete
-    * staging → roll the old layout back. */
+    * (`_SUCCESS`) → finish the swap (whether or not the pre-compact
+    * copy is still around — covers a crash between the two renames
+    * AND one after the old-copy delete started); target absent +
+    * incomplete staging → roll the old layout back. */
   def recoverCompact(spark: SparkSession, dir: String): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -556,16 +563,19 @@ object TextAnalysis {
       fs.delete(neu, true)
       fs.delete(old, true)
       ()
+    } else if (fs.exists(new Path(neu, "_SUCCESS"))) {
+      // complete staging + no target: finish the swap. The old copy
+      // may be present (crash between the two renames) or already
+      // gone (rename(tmp,dst) itself failed after old was moved, or
+      // a crash mid-delete) — either way the staged rows are the
+      // complete current table, promote them and drop the old copy.
+      require(fs.rename(neu, t), s"recoverCompact: rename $neu -> $t failed")
+      fs.delete(old, true)
+      ()
     } else if (fs.exists(old)) {
-      if (fs.exists(new Path(neu, "_SUCCESS"))) {
-        fs.rename(neu, t)
-        fs.delete(old, true)
-        ()
-      } else {
-        fs.delete(neu, true)
-        fs.rename(old, t)
-        ()
-      }
+      fs.delete(neu, true)
+      require(fs.rename(old, t), s"recoverCompact: rename $old -> $t failed")
+      ()
     }
   }
 

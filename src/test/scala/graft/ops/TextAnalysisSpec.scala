@@ -154,6 +154,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fs.exists(t) && !fs.exists(neu) && !fs.exists(old))
     assert(spark.read.parquet(out).collect()
       .map(_.getLong(0)).sorted.toSeq == before, "recovery (rollback)")
+    // C — target absent, old copy ALSO absent, COMPLETE staging (the
+    // rename(tmp,dst)-returned-false-then-old-deleted hazard, or a
+    // crash after the old-copy delete began): the staged rows are the
+    // only complete copy — recovery must promote them, not strand them
+    spark.read.parquet(out).write.parquet(neu.toString)
+    fs.delete(t, true)
+    TextAnalysis.recoverCompact(spark, out)
+    assert(fs.exists(t) && !fs.exists(neu) && !fs.exists(old))
+    assert(spark.read.parquet(out).collect()
+      .map(_.getLong(0)).sorted.toSeq == before, "recovery (promote staged)")
   }
 
   test("hash-bucket sample keeps roughly keep/buckets of the corpus") {
