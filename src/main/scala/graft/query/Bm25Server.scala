@@ -93,8 +93,8 @@ private[query] case class RefMapLookup(
   *
   * STALENESS: the snapshot (cached join, driver dictionary, (tt, nd)
   * literals) carries a VERSION STAMP of the store's four artifact
-  * dirs (per-dir parquet file names + sizes + mtimes — the
-  * [[CellVersion]] discipline applied to the BM25 quadruple). Every
+  * dirs (per-dir parquet file names + sizes + mtimes + footer-tail
+  * CRCs — [[DirVersion]], the serving layer's shared stamp). Every
   * [[search]] revalidates the stamp (driver-side metadata only, four
   * listings) and REBUILDS the snapshot when the store moved under it
   * — so [[graft.queries.IrSql.mergeBm25Stats]] /
@@ -112,23 +112,13 @@ final class Bm25Server(spark: SparkSession, storeDir: String,
   private val hfs = new org.apache.hadoop.fs.Path(storeDir)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Stamp of the four artifact dirs — file names, sizes, mtimes. */
+  /** Stamp of the four artifact dirs — file names, sizes, mtimes AND
+    * per-file footer-tail CRCs ([[DirVersion]]): a repair/rewrite
+    * that reuses part names within one mtime tick is still caught. */
   private def storeVersion(): Long =
-    Seq("postings", "doclen", "stats", "corpus").foldLeft(17L) {
-      (acc, name) =>
-        val h =
-          try {
-            val fsx = hfs.listStatus(
-              new org.apache.hadoop.fs.Path(s"$storeDir/$name"))
-              .filter(f => f.isFile &&
-                f.getPath.getName.endsWith(".parquet"))
-              .sortBy(_.getPath.getName)
-            fsx.foldLeft(fsx.length.toLong)((a, f) =>
-              ((a * 31 + f.getPath.getName.hashCode) * 31 +
-                f.getModificationTime) * 31 + f.getLen)
-          } catch { case _: java.io.FileNotFoundException => -1L }
-        acc * 1000003 + h
-    }
+    DirVersion.of(hfs,
+      Seq("postings", "doclen", "stats", "corpus")
+        .map(n => s"$storeDir/$n"))
 
   /** One immutable store snapshot: everything a query touches. */
   private final class State(val version: Long) {

@@ -45,16 +45,29 @@ import graft.text.TextPipeline
   * pruning, so the fallback is file-bounded too, just re-planned per
   * query.
   *
+  * STALENESS: the snapshot (range manifests, loaded frames, plan
+  * pools) lives in a versioned State revalidated per public call
+  * against a [[DirVersion]] stamp of the five positional artifact
+  * dirs — a [[PositionalIndex.merge]]-then-write of the same
+  * directory under a live server is detected and the manifests
+  * re-read (previously they were read ONCE at open, so a merged index
+  * was silently routed with the pre-merge ranges — exactly the hazard
+  * the q36_phrase_merged delta path arms). [[refresh]] stays the
+  * explicit hammer for layouts where listings can lag.
+  *
   * Safe for concurrent callers: templates live in per-(file set,
   * shape) [[TemplatePool]]s — each query borrows its own instance
   * for the set-refs-then-collect window. */
 final class LoadedPhraseServer(spark: SparkSession, dir: String,
                                topK: Int = 10, maxPlans: Int = 64) {
 
-  private val pix = PositionalIndex.load(spark, dir)
+  private val hfs = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private val postRanges = Routing.stringRanges(spark, s"$dir/pos_postings_ranges")
-  private val docRanges = Routing.longRanges(spark, s"$dir/doc_map_ranges")
+  private def storeVersion(): Long =
+    DirVersion.of(hfs,
+      Seq("pos_postings", "doc_map", "corpus_stats",
+        "pos_postings_ranges", "doc_map_ranges").map(n => s"$dir/$n"))
 
   private def newRef() =
     new AtomicReference[java.util.HashSet[UTF8String]](new java.util.HashSet)
@@ -65,15 +78,34 @@ final class LoadedPhraseServer(spark: SparkSession, dir: String,
       df: DataFrame)
   private final case class ResolveTmpl(
       ref: AtomicReference[java.util.HashSet[java.lang.Long]], df: DataFrame)
+  private final case class NearTmpl(
+      both: AtomicReference[java.util.HashSet[UTF8String]],
+      slotA: AtomicReference[java.util.HashSet[UTF8String]],
+      slotB: AtomicReference[java.util.HashSet[UTF8String]],
+      df: DataFrame)
 
-  private val phrasePlans =
-    new TemplatePool[(Seq[String], Int), PhraseTmpl](
-      { case (files, n) => buildPhrase(files, n) }, maxKeys = maxPlans)
-  private val resolvePlans =
-    new TemplatePool[Seq[String], ResolveTmpl](buildResolve,
+  /** One immutable snapshot of the on-disk index: loaded frames,
+    * routing manifests, plan pools (keyed by file names, which a
+    * rewrite changes). */
+  private final class State(val version: Long) {
+    val pix: PositionalIndex.PIndex = PositionalIndex.load(spark, dir)
+
+    val postRanges: Array[(String, String, String)] =
+      Routing.stringRanges(spark, s"$dir/pos_postings_ranges")
+    val docRanges: Array[(Long, Long, String)] =
+      Routing.longRanges(spark, s"$dir/doc_map_ranges")
+
+    val phrasePlans = new TemplatePool[(Seq[String], Int), PhraseTmpl](
+      { case (files, n) => buildPhrase(this, files, n) }, maxKeys = maxPlans)
+    val resolvePlans = new TemplatePool[Seq[String], ResolveTmpl](
+      fs => buildResolve(this, fs), maxKeys = maxPlans)
+    val nearPlans = new TemplatePool[(Seq[String], Int, Boolean), NearTmpl](
+      { case (files, w, o) => buildNear(this, files, w, o) },
       maxKeys = maxPlans)
+  }
 
-  private def buildPhrase(files: Seq[String], n: Int): PhraseTmpl = {
+  private def buildPhrase(st: State, files: Seq[String],
+                          n: Int): PhraseTmpl = {
     val both = newRef()
     val slots = IndexedSeq.fill(n)(newRef())
     def in(ref: AtomicReference[java.util.HashSet[UTF8String]]) =
@@ -88,7 +120,7 @@ final class LoadedPhraseServer(spark: SparkSession, dir: String,
       array_intersect(acc, transform(col(s"p$i"), x => x - i))
     }
     // explicit schema: no inference job when the plan is first built
-    val df = spark.read.schema(pix.postings.schema).parquet(files: _*)
+    val df = spark.read.schema(st.pix.postings.schema).parquet(files: _*)
       .filter(in(both)).coalesce(1)
       .groupBy(col("docno"))
       .agg(slotAggs.head, slotAggs.tail: _*)
@@ -101,44 +133,26 @@ final class LoadedPhraseServer(spark: SparkSession, dir: String,
     PhraseTmpl(both, slots, df)
   }
 
-  private def buildResolve(files: Seq[String]): ResolveTmpl = {
+  private def buildResolve(st: State, files: Seq[String]): ResolveTmpl = {
     val ref = new AtomicReference[java.util.HashSet[java.lang.Long]](
       new java.util.HashSet)
     val inDocs =
       Bridge.column(RefLongSetContains(Bridge.expression(col("docno")), ref))
-    val df = spark.read.schema(pix.docMap.schema).parquet(files: _*)
+    val df = spark.read.schema(st.pix.docMap.schema).parquet(files: _*)
       .filter(inDocs).coalesce(1)
       .select(col("docno"), col("docid"))
     df.queryExecution.executedPlan
     ResolveTmpl(ref, df)
   }
 
-  /** The loaded index, for callers that also want analytic plans (near/
-    * nearOrdered/snippet — literal-filtered, parquet-pruned) over the
-    * same artifacts. */
-  def index: PositionalIndex.PIndex = pix
-
-  // near/nearOrdered routed templates: same slot-aggregate shape, the
-  // window bound baked in as a literal — keyed by (file set, window,
-  // ordered); see PhraseServer.near for the semantics contract
-  private final case class NearTmpl(
-      both: AtomicReference[java.util.HashSet[UTF8String]],
-      slotA: AtomicReference[java.util.HashSet[UTF8String]],
-      slotB: AtomicReference[java.util.HashSet[UTF8String]],
-      df: DataFrame)
-
-  private val nearPlans =
-    new TemplatePool[(Seq[String], Int, Boolean), NearTmpl](
-      { case (files, w, o) => buildNear(files, w, o) }, maxKeys = maxPlans)
-
-  private def buildNear(files: Seq[String], window: Int,
+  private def buildNear(st: State, files: Seq[String], window: Int,
                         ordered: Boolean): NearTmpl = {
     val both = newRef()
     val slotA = newRef()
     val slotB = newRef()
     def in(ref: AtomicReference[java.util.HashSet[UTF8String]]) =
       Bridge.column(RefSetContains(Bridge.expression(col("term")), ref))
-    val df = spark.read.schema(pix.postings.schema).parquet(files: _*)
+    val df = spark.read.schema(st.pix.postings.schema).parquet(files: _*)
       .filter(in(both)).coalesce(1)
       .groupBy(col("docno"))
       .agg(
@@ -157,6 +171,39 @@ final class LoadedPhraseServer(spark: SparkSession, dir: String,
     NearTmpl(both, slotA, slotB, df)
   }
 
+  private val stateRef = new AtomicReference[State](
+    new State(storeVersion()))
+
+  /** The snapshot current against the on-disk version — rebuilds
+    * (once, double-checked) when the stamp moved. */
+  private def current(): State = {
+    val st = stateRef.get
+    if (st.version == storeVersion()) st
+    else this.synchronized {
+      val held = stateRef.get
+      val v = storeVersion()
+      if (held.version == v) held
+      else {
+        val fresh = new State(v)
+        stateRef.set(fresh)
+        fresh
+      }
+    }
+  }
+
+  /** Drop the snapshot and re-read the manifests NOW — the explicit
+    * hammer for layouts where directory listings can lag a mutation;
+    * routine staleness is already caught per query by the stamp. */
+  def refresh(): Unit = this.synchronized {
+    stateRef.set(new State(storeVersion()))
+    ()
+  }
+
+  /** The loaded index, for callers that also want analytic plans (near/
+    * nearOrdered/snippet — literal-filtered, parquet-pruned) over the
+    * same artifacts. */
+  def index: PositionalIndex.PIndex = current().pix
+
   /** Top-k (docid, near_tf), tf desc then docid asc — the
     * [[PositionalIndex.nearTopK]] RANKED serving contract from pure
     * parquet through routed exchange-free templates. `limit(topK)` is
@@ -165,11 +212,13 @@ final class LoadedPhraseServer(spark: SparkSession, dir: String,
     * term pair's corpus frequency. */
   def near(termA: String, termB: String, window: Int,
            ordered: Boolean = false): Seq[(String, Long)] = {
+    val st = current()
     val ta = TextPipeline.processContent(termA)
     val tb = TextPipeline.processContent(termB)
     require(ta.size == 1 && tb.size == 1,
       s"near takes single non-stopword terms, got '$termA'/'$termB'")
-    val routed = Seq(ta.head, tb.head).map(t => Routing.route(postRanges, t))
+    val routed = Seq(ta.head, tb.head)
+      .map(t => Routing.route(st.postRanges, t))
     if (routed.exists(_.isEmpty)) return Seq.empty
     val files = routed.flatten.distinct.sorted
     def set(ts: String*) = {
@@ -177,43 +226,52 @@ final class LoadedPhraseServer(spark: SparkSession, dir: String,
       ts.foreach(x => s.add(UTF8String.fromString(x)))
       s
     }
-    val top = nearPlans.withInstance((files, window, ordered)) { t =>
+    val top = st.nearPlans.withInstance((files, window, ordered)) { t =>
       t.both.set(set(ta.head, tb.head))
       t.slotA.set(set(ta.head))
       t.slotB.set(set(tb.head))
       t.df.collect().map(r => (r.getLong(0), r.getLong(1)))
     }
-    if (top.isEmpty) return Seq.empty
-    val docFiles = top.map(_._1).toSeq
-      .flatMap(Routing.route(docRanges, _)).distinct.sorted
-    if (docFiles.isEmpty) return Seq.empty
-    val dset = new java.util.HashSet[java.lang.Long]()
-    top.foreach(x => dset.add(x._1))
-    val ids = resolvePlans.withInstance(docFiles) { rt =>
-      rt.ref.set(dset)
-      rt.df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    }
-    top.toSeq.flatMap { case (d, tf) => ids.get(d).map(id => (id, tf)) }
-      .sortBy { case (docid, tf) => (-tf, docid) }
+    resolve(st, top.toSeq)
   }
 
   /** Exposed for the exchange-free plan-walk assertion (see
     * [[PointServer.templatePlan]]). */
   private[graft] def templatePlan(files: Seq[String], n: Int = 2)
       : org.apache.spark.sql.execution.SparkPlan =
-    phrasePlans.withInstance((files, n))(_.df.queryExecution.executedPlan)
+    current().phrasePlans.withInstance((files, n))(
+      _.df.queryExecution.executedPlan)
+
+  /** Route the ≤topK docnos to their map files and resolve to docids,
+    * dropping unresolved rows (inner-join semantics). */
+  private def resolve(st: State,
+                      top: Seq[(Long, Long)]): Seq[(String, Long)] = {
+    if (top.isEmpty) return Seq.empty
+    val docFiles = top.map(_._1)
+      .flatMap(d => Routing.route(st.docRanges, d)).distinct.sorted
+    if (docFiles.isEmpty) return Seq.empty
+    val dset = new java.util.HashSet[java.lang.Long]()
+    top.foreach(x => dset.add(x._1))
+    val ids = st.resolvePlans.withInstance(docFiles) { rt =>
+      rt.ref.set(dset)
+      rt.df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    top.flatMap { case (d, tf) => ids.get(d).map(id => (id, tf)) }
+      .sortBy { case (docid, tf) => (-tf, docid) }
+  }
 
   /** Top-k (docid, phrase_tf), tf desc then docid asc — the
     * [[PhraseServer.phrase]] output contract, served from pure parquet
     * artifacts. */
   def phrase(phraseText: String): Seq[(String, Long)] = {
+    val st = current()
     val terms = TextPipeline.processContent(phraseText)
     if (terms.isEmpty) return Seq.empty
     if (terms.size > PhraseServer.MaxSlots)
-      return PositionalIndex.phrase(pix, phraseText)
+      return PositionalIndex.phrase(st.pix, phraseText)
         .limit(topK).collect()
         .map(r => (r.getString(0), r.getLong(1))).toSeq
-    val routed = terms.map(t => Routing.route(postRanges, t))
+    val routed = terms.map(t => Routing.route(st.postRanges, t))
     // a term outside every file's range has no postings, so no doc can
     // hold the phrase — answer without running any job
     if (routed.exists(_.isEmpty)) return Seq.empty
@@ -223,22 +281,11 @@ final class LoadedPhraseServer(spark: SparkSession, dir: String,
       ts.foreach(x => s.add(UTF8String.fromString(x)))
       s
     }
-    val top = phrasePlans.withInstance((files, terms.size)) { t =>
+    val top = st.phrasePlans.withInstance((files, terms.size)) { t =>
       t.both.set(set(terms: _*))
       terms.indices.foreach(i => t.slots(i).set(set(terms(i))))
       t.df.collect().map(r => (r.getLong(0), r.getLong(1)))
     }
-    if (top.isEmpty) return Seq.empty
-    val docFiles = top.map(_._1).toSeq
-      .flatMap(Routing.route(docRanges, _)).distinct.sorted
-    if (docFiles.isEmpty) return Seq.empty
-    val dset = new java.util.HashSet[java.lang.Long]()
-    top.foreach(x => dset.add(x._1))
-    val ids = resolvePlans.withInstance(docFiles) { rt =>
-      rt.ref.set(dset)
-      rt.df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    }
-    top.toSeq.flatMap { case (d, tf) => ids.get(d).map(id => (id, tf)) }
-      .sortBy { case (docid, tf) => (-tf, docid) }
+    resolve(st, top.toSeq)
   }
 }

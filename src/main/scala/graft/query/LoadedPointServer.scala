@@ -71,48 +71,69 @@ private[query] case class RefLongSetContains(
   * one per query. Results are spec-pinned identical to
   * [[QueryEngine.serveSearch]] on the same loaded index.
   *
+  * STALENESS: the snapshot (zone-map manifests, nDocs, plan pools)
+  * lives in a versioned State revalidated per [[search]] against a
+  * [[DirVersion]] stamp of the five index artifact dirs — an
+  * [[graft.index.InvertedIndex.merge]]-then-[[graft.index
+  * .InvertedIndex.write]] of the SAME directory under a live server
+  * is detected and the manifests re-read (the [[Bm25Server]]
+  * discipline; previously the manifests were read once at open, so a
+  * merged index was silently routed with the PRE-merge ranges).
+  * [[refresh]] stays the explicit hammer for layouts where listings
+  * can lag (eventually consistent object stores).
+  *
   * Safe for concurrent callers: templates live in per-file-set
   * [[TemplatePool]]s — each query borrows its own instance for the
   * set-refs-then-collect window. */
 final class LoadedPointServer(spark: SparkSession, dir: String,
                               topK: Int = 10, maxPlans: Int = 64) {
 
-  private val ix = graft.index.InvertedIndex.load(spark, dir)
+  private val hfs = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  // write-time zone-map manifests → driver-side routing ([[Routing]])
-  private val postRanges = Routing.stringRanges(spark, s"$dir/postings_ranges")
-  private val docRanges = Routing.longRanges(spark, s"$dir/doc_map_ranges")
-
-  private def routeTerm(t: String): Seq[String] =
-    Routing.route(postRanges, t)
-
-  private def routeDocno(d: Long): Seq[String] =
-    Routing.route(docRanges, d)
+  private def storeVersion(): Long =
+    DirVersion.of(hfs,
+      Seq("postings", "doc_map", "corpus_stats", "postings_ranges",
+        "doc_map_ranges").map(n => s"$dir/$n"))
 
   private final case class ScoreTmpl(
       ref: AtomicReference[java.util.HashSet[UTF8String]], df: DataFrame)
   private final case class ResolveTmpl(
       ref: AtomicReference[java.util.HashSet[java.lang.Long]], df: DataFrame)
 
-  private val scorePlans =
-    new TemplatePool[Seq[String], ScoreTmpl](buildScore, maxKeys = maxPlans)
-  private val resolvePlans =
-    new TemplatePool[Seq[String], ResolveTmpl](buildResolve,
-      maxKeys = maxPlans)
+  /** One immutable snapshot of the on-disk index: loaded frames,
+    * routing manifests, and the plan pools keyed by their file names
+    * (a rewrite changes file names, so stale plans can't be reused
+    * across a State swap even by accident). */
+  private final class State(val version: Long) {
+    val ix: graft.index.InvertedIndex.Index =
+      graft.index.InvertedIndex.load(spark, dir)
 
-  private def buildScore(files: Seq[String]): ScoreTmpl = {
+    // write-time zone-map manifests → driver-side routing ([[Routing]])
+    val postRanges: Array[(String, String, String)] =
+      Routing.stringRanges(spark, s"$dir/postings_ranges")
+    val docRanges: Array[(Long, Long, String)] =
+      Routing.longRanges(spark, s"$dir/doc_map_ranges")
+
+    val scorePlans = new TemplatePool[Seq[String], ScoreTmpl](
+      fs => buildScore(this, fs), maxKeys = maxPlans)
+    val resolvePlans = new TemplatePool[Seq[String], ResolveTmpl](
+      fs => buildResolve(this, fs), maxKeys = maxPlans)
+  }
+
+  private def buildScore(st: State, files: Seq[String]): ScoreTmpl = {
     val ref =
       new AtomicReference[java.util.HashSet[UTF8String]](new java.util.HashSet)
     val inTerms =
       Bridge.column(RefSetContains(Bridge.expression(col("kgram")), ref))
     // explicit schema: no inference job when the plan is first built
-    val df = spark.read.schema(ix.postings.schema).parquet(files: _*)
+    val df = spark.read.schema(st.ix.postings.schema).parquet(files: _*)
       .filter(inTerms).coalesce(1)
       .withColumn("df",
         count(lit(1)).over(Window.partitionBy(col("kgram"))))
       .groupBy(col("docno"))
       .agg(sum((lit(1.0) + log(col("tf"))) *
-        log10(lit(ix.nDocs.toDouble) / col("df").cast("double"))).as("s0"))
+        log10(lit(st.ix.nDocs.toDouble) / col("df").cast("double"))).as("s0"))
       .select(col("docno"), round(col("s0"), 4).as("score"))
       .orderBy(col("score").desc, col("docno"))
       .limit(topK)
@@ -120,51 +141,84 @@ final class LoadedPointServer(spark: SparkSession, dir: String,
     ScoreTmpl(ref, df)
   }
 
-  private def buildResolve(files: Seq[String]): ResolveTmpl = {
+  private def buildResolve(st: State, files: Seq[String]): ResolveTmpl = {
     val ref = new AtomicReference[java.util.HashSet[java.lang.Long]](
       new java.util.HashSet)
     val inDocs =
       Bridge.column(RefLongSetContains(Bridge.expression(col("docno")), ref))
-    val df = spark.read.schema(ix.docMap.schema).parquet(files: _*)
+    val df = spark.read.schema(st.ix.docMap.schema).parquet(files: _*)
       .filter(inDocs).coalesce(1)
       .select(col("docno"), col("docid"))
     df.queryExecution.executedPlan
     ResolveTmpl(ref, df)
   }
 
+  private val stateRef = new AtomicReference[State](
+    new State(storeVersion()))
+
+  /** The snapshot current against the on-disk version — rebuilds
+    * (once, double-checked) when the stamp moved. */
+  private def current(): State = {
+    val st = stateRef.get
+    if (st.version == storeVersion()) st
+    else this.synchronized {
+      val held = stateRef.get
+      val v = storeVersion()
+      if (held.version == v) held
+      else {
+        val fresh = new State(v)
+        stateRef.set(fresh)
+        fresh
+      }
+    }
+  }
+
+  /** Drop the snapshot and re-read the manifests NOW — the explicit
+    * hammer for layouts where directory listings can lag a mutation;
+    * routine staleness is already caught per [[search]] by the
+    * version stamp. */
+  def refresh(): Unit = this.synchronized {
+    stateRef.set(new State(storeVersion()))
+    ()
+  }
+
   /** The loaded index, for callers that also want analytic plans over
     * the same artifacts. */
-  def index: graft.index.InvertedIndex.Index = ix
+  def index: graft.index.InvertedIndex.Index = current().ix
 
   /** The score template's executed plan for a term's file set (spec
     * hook: the exchange-free invariant that makes plan reuse safe). */
   private[graft] def templatePlan(query: String)
       : org.apache.spark.sql.execution.SparkPlan = {
+    val st = current()
     val files = QueryEngine.requireArity(query)
-      .flatMap(routeTerm).distinct.sorted
-    scorePlans.withInstance(files)(_.df.queryExecution.executedPlan)
+      .flatMap(t => Routing.route(st.postRanges, t)).distinct.sorted
+    st.scorePlans.withInstance(files)(_.df.queryExecution.executedPlan)
   }
 
   /** (docno, docid, score) rows, score desc then docno asc — the same
     * output contract as [[QueryEngine.serveSearch]] /
     * [[PointServer.search]]. */
   def search(query: String): Seq[(Long, String, Double)] = {
+    val st = current()
     val terms = QueryEngine.requireArity(query)
     if (terms.isEmpty) return Seq.empty // stopword-only: no job at all
-    val files = terms.flatMap(routeTerm).distinct.sorted
+    val files = terms.flatMap(t => Routing.route(st.postRanges, t))
+      .distinct.sorted
     if (files.isEmpty) return Seq.empty // no term in any file's range
     val set = new java.util.HashSet[UTF8String]()
     terms.foreach(t => set.add(UTF8String.fromString(t)))
-    val top = scorePlans.withInstance(files) { st =>
-      st.ref.set(set)
-      st.df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val top = st.scorePlans.withInstance(files) { s =>
+      s.ref.set(set)
+      s.df.collect().map(r => (r.getLong(0), r.getDouble(1)))
     }
     if (top.isEmpty) return Seq.empty
-    val docFiles = top.map(_._1).toSeq.flatMap(routeDocno).distinct.sorted
+    val docFiles = top.map(_._1).toSeq
+      .flatMap(d => Routing.route(st.docRanges, d)).distinct.sorted
     if (docFiles.isEmpty) return Seq.empty
     val dset = new java.util.HashSet[java.lang.Long]()
     top.foreach(t => dset.add(t._1))
-    val ids = resolvePlans.withInstance(docFiles) { rt =>
+    val ids = st.resolvePlans.withInstance(docFiles) { rt =>
       rt.ref.set(dset)
       rt.df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     }

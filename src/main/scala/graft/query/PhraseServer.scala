@@ -2,7 +2,7 @@ package graft.query
 
 import java.util.concurrent.atomic.AtomicReference
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.unsafe.types.UTF8String
@@ -55,15 +55,24 @@ import graft.index.PositionalIndex.PIndex
   * For a big WRITTEN index, serve through [[LoadedPhraseServer]],
   * whose driver-side zone-map routing bounds each query's scan to the
   * 1-2 files holding its terms.
-  */
-final class PhraseServer(pix: PIndex, topK: Int = 10,
-                         maxTemplateDocs: Long = PhraseServer.MaxTemplateDocs) {
+  *
+  * STALENESS: a server handed an in-memory [[PIndex]] serves that
+  * SNAPSHOT (the struct is immutable; a merge builds a new PIndex).
+  * The store-backed form ([[PhraseServer.overStore]]) revalidates a
+  * [[DirVersion]] stamp of the written artifacts per query and
+  * rebuilds the snapshot when the directory moved — a
+  * [[PositionalIndex.merge]]-then-write under a live server is
+  * detected, never silently served stale. [[refresh]] is the explicit
+  * hammer for listing-lagging layouts. */
+final class PhraseServer private (
+    pix0: PIndex, topK: Int, maxTemplateDocs: Long,
+    reload: Option[() => PIndex], version: Option[() => Long]) {
   import PhraseServer.MaxSlots
 
-  /** Whether prepared templates serve queries (corpus under the
-    * guard); past the bound everything routes to the fresh plans.
-    * Exposed for the guard spec. */
-  private[graft] val usesTemplates: Boolean = pix.nDocs <= maxTemplateDocs
+  /** Snapshot-serving constructor over a caller-owned (cached) index. */
+  def this(pix: PIndex, topK: Int = 10,
+           maxTemplateDocs: Long = PhraseServer.MaxTemplateDocs) =
+    this(pix, topK, maxTemplateDocs, None, None)
 
   private def newRef() =
     new AtomicReference[java.util.HashSet[UTF8String]](new java.util.HashSet)
@@ -73,15 +82,33 @@ final class PhraseServer(pix: PIndex, topK: Int = 10,
       slots: IndexedSeq[AtomicReference[java.util.HashSet[UTF8String]]],
       df: DataFrame)
 
-  // phrase length → POOLED templates (round 9): each query borrows
-  // its own instance for the set-refs-then-collect window, so
-  // concurrent callers don't race on shared reference cells
-  private val templates = new TemplatePool[Int, Tmpl](build)
+  private final case class NearTmpl(
+      both: AtomicReference[java.util.HashSet[UTF8String]],
+      slotA: AtomicReference[java.util.HashSet[UTF8String]],
+      slotB: AtomicReference[java.util.HashSet[UTF8String]],
+      df: DataFrame)
 
   private def in(ref: AtomicReference[java.util.HashSet[UTF8String]]): Column =
     Bridge.column(RefSetContains(Bridge.expression(col("term")), ref))
 
-  private def build(n: Int): Tmpl = {
+  // phrase length → POOLED templates (round 9): each query borrows
+  // its own instance for the set-refs-then-collect window, so
+  // concurrent callers don't race on shared reference cells.
+  // near/nearOrdered share the slot-aggregate shape; the window bound
+  // is baked into the plan as a LITERAL (codegen-friendly, and the
+  // per-doc scoring is then identical to PositionalIndex.nearTopK's),
+  // so templates key on (window, ordered). Interactive use touches a
+  // handful of window values; each builds once, lazily.
+  private final class State(val version: Long, val pix: PIndex) {
+    /** Whether prepared templates serve queries (corpus under the
+      * guard); past the bound everything routes to the fresh plans. */
+    val usesTemplates: Boolean = pix.nDocs <= maxTemplateDocs
+    val templates = new TemplatePool[Int, Tmpl](n => buildTmpl(pix, n))
+    val nearTemplates = new TemplatePool[(Int, Boolean), NearTmpl](
+      { case (w, o) => buildNear(pix, w, o) })
+  }
+
+  private def buildTmpl(pix: PIndex, n: Int): Tmpl = {
     val both = newRef()
     val slots = IndexedSeq.fill(n)(newRef())
     val slotAggs = (0 until n).map { i =>
@@ -107,22 +134,8 @@ final class PhraseServer(pix: PIndex, topK: Int = 10,
     Tmpl(both, slots, df)
   }
 
-  // ---- proximity templates -------------------------------------------
-  // near/nearOrdered share the slot-aggregate shape; the window bound
-  // is baked into the plan as a LITERAL (codegen-friendly, and the
-  // per-doc scoring is then identical to PositionalIndex.nearTopK's),
-  // so templates key on (window, ordered). Interactive use touches a
-  // handful of window values; each builds once, lazily.
-  private final case class NearTmpl(
-      both: AtomicReference[java.util.HashSet[UTF8String]],
-      slotA: AtomicReference[java.util.HashSet[UTF8String]],
-      slotB: AtomicReference[java.util.HashSet[UTF8String]],
-      df: DataFrame)
-
-  private val nearTemplates = new TemplatePool[(Int, Boolean), NearTmpl](
-    { case (w, o) => buildNear(w, o) })
-
-  private def buildNear(window: Int, ordered: Boolean): NearTmpl = {
+  private def buildNear(pix: PIndex, window: Int,
+                        ordered: Boolean): NearTmpl = {
     val both = newRef()
     val slotA = newRef()
     val slotB = newRef()
@@ -144,6 +157,46 @@ final class PhraseServer(pix: PIndex, topK: Int = 10,
     NearTmpl(both, slotA, slotB, df)
   }
 
+  private def storeVersion(): Long = version.fold(0L)(_())
+
+  private val stateRef = new AtomicReference[State](
+    new State(storeVersion(), pix0))
+
+  /** The snapshot current against the store version — rebuilds (once,
+    * double-checked) when the stamp moved; constant for the
+    * snapshot-serving form. */
+  private def current(): State = {
+    val st = stateRef.get
+    if (st.version == storeVersion()) st
+    else this.synchronized {
+      val held = stateRef.get
+      val v = storeVersion()
+      if (held.version == v) held
+      else {
+        val fresh = new State(v, reload.get())
+        stateRef.set(fresh)
+        held.pix.postings.unpersist(blocking = false)
+        held.pix.docMap.unpersist(blocking = false)
+        fresh
+      }
+    }
+  }
+
+  /** Drop the snapshot and reload from the store NOW (store-backed
+    * form only — a no-op snapshot rebuild otherwise). */
+  def refresh(): Unit = this.synchronized {
+    reload.foreach { r =>
+      val held = stateRef.get
+      stateRef.set(new State(storeVersion(), r()))
+      held.pix.postings.unpersist(blocking = false)
+      held.pix.docMap.unpersist(blocking = false)
+    }
+  }
+
+  /** Whether prepared templates serve queries on the CURRENT snapshot
+    * (corpus under the guard). Exposed for the guard spec. */
+  private[graft] def usesTemplates: Boolean = current().usesTemplates
+
   /** Top-k (docid, near_tf) for docs holding `termA` within `window`
     * tokens of `termB` (`ordered`: termB strictly after), near_tf =
     * qualifying-pair count, tf desc then docid asc — the
@@ -156,6 +209,7 @@ final class PhraseServer(pix: PIndex, topK: Int = 10,
     * Safe for concurrent callers (pooled templates). */
   def near(termA: String, termB: String, window: Int,
            ordered: Boolean = false): Seq[(String, Long)] = {
+    val st = current()
     val ta = graft.text.TextPipeline.processContent(termA)
     val tb = graft.text.TextPipeline.processContent(termB)
     require(ta.size == 1 && tb.size == 1,
@@ -165,46 +219,54 @@ final class PhraseServer(pix: PIndex, topK: Int = 10,
       ts.foreach(t => s.add(UTF8String.fromString(t)))
       s
     }
-    if (!usesTemplates)
-      return PositionalIndex.nearTopK(pix, termA, termB, window,
+    if (!st.usesTemplates)
+      return PositionalIndex.nearTopK(st.pix, termA, termB, window,
           ordered, topK)
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val top = nearTemplates.withInstance((window, ordered)) { t =>
+    val top = st.nearTemplates.withInstance((window, ordered)) { t =>
       t.both.set(set(ta.head, tb.head))
       t.slotA.set(set(ta.head))
       t.slotB.set(set(tb.head))
       t.df.collect().map(r => (r.getLong(0), r.getLong(1)))
     }
-    if (top.isEmpty) return Seq.empty
-    val ids = pix.docMap
-      .filter(col("docno").isin(top.map(_._1).toSeq: _*))
-      .select(col("docno"), col("docid"))
-      .collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
-    top.flatMap { case (docno, tf) => ids.get(docno).map((_, tf)) }
-      .sortBy { case (docid, tf) => (-tf, docid) }.toSeq
+    resolve(st, top.toSeq)
   }
 
   /** Exposed for the exchange-free plan-walk assertion (see
     * [[PointServer.templatePlan]]). */
   private[graft] def templatePlan(n: Int = 2)
       : org.apache.spark.sql.execution.SparkPlan =
-    templates.withInstance(n)(_.df.queryExecution.executedPlan)
+    current().templates.withInstance(n)(_.df.queryExecution.executedPlan)
 
   /** The proximity template's plan, for the same assertion. */
   private[graft] def nearTemplatePlan(window: Int, ordered: Boolean)
       : org.apache.spark.sql.execution.SparkPlan =
-    nearTemplates.withInstance((window, ordered))(
+    current().nearTemplates.withInstance((window, ordered))(
       _.df.queryExecution.executedPlan)
+
+  /** Fresh tiny literal-isin resolution (the PointServer rationale),
+    * then (docid, tf) by tf desc, docid asc. */
+  private def resolve(st: State,
+                      top: Seq[(Long, Long)]): Seq[(String, Long)] = {
+    if (top.isEmpty) return Seq.empty
+    val ids = st.pix.docMap
+      .filter(col("docno").isin(top.map(_._1): _*))
+      .select(col("docno"), col("docid"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    top.flatMap { case (docno, tf) => ids.get(docno).map((_, tf)) }
+      .sortBy { case (docid, tf) => (-tf, docid) }
+  }
 
   /** Top-k (docid, phrase_tf), tf desc then docid asc — the same
     * ordering contract as [[PositionalIndex.phrase]] limited to topK.
     * Safe for concurrent callers (pooled templates). */
   def phrase(phraseText: String): Seq[(String, Long)] = {
+    val st = current()
     val terms = graft.text.TextPipeline.processContent(phraseText)
     if (terms.isEmpty) return Seq.empty
-    if (terms.size > MaxSlots || !usesTemplates)
-      return PositionalIndex.phrase(pix, phraseText)
+    if (terms.size > MaxSlots || !st.usesTemplates)
+      return PositionalIndex.phrase(st.pix, phraseText)
         .limit(topK).collect()
         .map(r => (r.getString(0), r.getLong(1))).toSeq
     def set(ts: String*) = {
@@ -212,19 +274,12 @@ final class PhraseServer(pix: PIndex, topK: Int = 10,
       ts.foreach(t => s.add(UTF8String.fromString(t)))
       s
     }
-    val top = templates.withInstance(terms.size) { t =>
+    val top = st.templates.withInstance(terms.size) { t =>
       t.both.set(set(terms: _*))
       terms.indices.foreach(i => t.slots(i).set(set(terms(i))))
       t.df.collect().map(r => (r.getLong(0), r.getLong(1)))
     }
-    if (top.isEmpty) return Seq.empty
-    val ids = pix.docMap
-      .filter(col("docno").isin(top.map(_._1).toSeq: _*))
-      .select(col("docno"), col("docid"))
-      .collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
-    top.flatMap { case (docno, tf) => ids.get(docno).map((_, tf)) }
-      .sortBy { case (docid, tf) => (-tf, docid) }.toSeq
+    resolve(st, top.toSeq)
   }
 }
 
@@ -244,4 +299,27 @@ object PhraseServer {
     * [[graft.index.InvertedIndex.BroadcastDocs]] — both guard a
     * convenience that is only cheap while the corpus is. */
   val MaxTemplateDocs = 10000000L
+
+  /** STORE-BACKED form: load a written [[PositionalIndex.write]]
+    * layout, cache its frames (the cached-only contract), and serve
+    * with per-query [[DirVersion]] staleness revalidation — a
+    * merge/rewrite of `dir` under the live server rebuilds the
+    * snapshot before the next query runs. */
+  def overStore(spark: SparkSession, dir: String, topK: Int = 10,
+                maxTemplateDocs: Long = MaxTemplateDocs): PhraseServer = {
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stamp(): Long = DirVersion.of(hfs,
+      Seq("pos_postings", "doc_map", "corpus_stats").map(n => s"$dir/$n"))
+    def loadCached(): PIndex = {
+      val pix = PositionalIndex.load(spark, dir)
+      pix.postings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pix.docMap.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pix.postings.count() // materialize at (re)build, not first query
+      pix.docMap.count()
+      pix
+    }
+    new PhraseServer(loadCached(), topK, maxTemplateDocs,
+      Some(() => loadCached()), Some(() => stamp()))
+  }
 }

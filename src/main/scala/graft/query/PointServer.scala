@@ -2,7 +2,7 @@ package graft.query
 
 import java.util.concurrent.atomic.AtomicReference
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Predicate, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
+import graft.index.InvertedIndex
 import graft.index.InvertedIndex.Index
 
 /** Set-membership predicate against a DRIVER-UPDATED reference,
@@ -84,13 +85,30 @@ private[query] case class RefSetContains(
   * full postings per query — there, [[QueryEngine.serveSearch]]'s
   * literal filters keep file/row-group pruning (Repl selects
   * accordingly).
-  */
-final class PointServer(ix: Index, topK: Int = 10) {
+  *
+  * STALENESS: a server handed an in-memory [[Index]] serves that
+  * SNAPSHOT — the struct is immutable, there is no shared store to go
+  * stale against (a caller that merges builds a new Index and a new
+  * server). The store-backed form ([[PointServer.overStore]]) is
+  * where mutation is real: it loads + caches the written artifacts
+  * and revalidates a [[DirVersion]] stamp per [[search]], rebuilding
+  * the snapshot (and its templates) when the directory moved — so an
+  * [[InvertedIndex.merge]]-then-write under a live server is
+  * detected, never silently served stale ([[Bm25Server]]'s
+  * discipline). [[refresh]] is the explicit hammer for layouts where
+  * listings can lag. */
+final class PointServer private (
+    ix0: Index, topK: Int,
+    reload: Option[() => Index],
+    version: Option[() => Long]) {
+
+  /** Snapshot-serving constructor over a caller-owned (cached) index. */
+  def this(ix: Index, topK: Int = 10) = this(ix, topK, None, None)
 
   private final case class Tmpl(
       ref: AtomicReference[java.util.HashSet[UTF8String]], df: DataFrame)
 
-  private def buildTmpl(): Tmpl = {
+  private def buildTmpl(ix: Index): Tmpl = {
     val termsRef = new AtomicReference[java.util.HashSet[UTF8String]](
       new java.util.HashSet)
     val inTerms =
@@ -114,40 +132,106 @@ final class PointServer(ix: Index, topK: Int = 10) {
   // window, so concurrent callers can't race on a shared reference
   // cell (previously a class-wide `synchronized`, one in-flight query
   // per server). Single shape → single key.
-  private val pool = new TemplatePool[Unit, Tmpl](_ => buildTmpl(),
-    maxKeys = 1)
+  private final class State(val version: Long, val ix: Index) {
+    val pool = new TemplatePool[Unit, Tmpl](_ => buildTmpl(ix),
+      maxKeys = 1)
+  }
 
-  pool.withInstance(())(_ => ()) // plan + codegen at construction
+  private def storeVersion(): Long = version.fold(0L)(_())
+
+  private val stateRef = new AtomicReference[State](
+    new State(storeVersion(), ix0))
+
+  stateRef.get.pool.withInstance(())(_ => ()) // plan+codegen at ctor
+
+  /** The snapshot current against the store version — rebuilds (once,
+    * double-checked) when the stamp moved; constant for the
+    * snapshot-serving form. */
+  private def current(): State = {
+    val st = stateRef.get
+    if (st.version == storeVersion()) st
+    else this.synchronized {
+      val held = stateRef.get
+      val v = storeVersion()
+      if (held.version == v) held
+      else {
+        val fresh = new State(v, reload.get())
+        stateRef.set(fresh)
+        held.ix.postings.unpersist(blocking = false)
+        held.ix.docMap.unpersist(blocking = false)
+        fresh
+      }
+    }
+  }
+
+  /** Drop the snapshot and reload from the store NOW (store-backed
+    * form only — a no-op snapshot rebuild otherwise). */
+  def refresh(): Unit = this.synchronized {
+    reload.foreach { r =>
+      val held = stateRef.get
+      stateRef.set(new State(storeVersion(), r()))
+      held.ix.postings.unpersist(blocking = false)
+      held.ix.docMap.unpersist(blocking = false)
+    }
+  }
 
   /** The reused physical plan, exposed so specs can assert the
     * exchange-free invariant under any session conf (AQE, partition
     * counts) — an exchange sneaking in here is the stale-result trap
     * the class doc describes. */
   private[graft] def templatePlan: org.apache.spark.sql.execution.SparkPlan =
-    pool.withInstance(())(_.df.queryExecution.executedPlan)
+    current().pool.withInstance(())(_.df.queryExecution.executedPlan)
 
   /** (docno, docid, score) rows, score desc then docno asc — the same
     * output (and arity contract) as [[QueryEngine.serveSearch]].
     * Safe for concurrent callers: each borrows a pooled template
     * instance (see [[TemplatePool]]). */
   def search(query: String): Seq[(Long, String, Double)] = {
+    val st = current()
     val terms = QueryEngine.requireArity(query)
     if (terms.isEmpty) return Seq.empty // stopword-only: no job at all
     val set = new java.util.HashSet[UTF8String]()
     terms.foreach(t => set.add(UTF8String.fromString(t)))
-    val top = pool.withInstance(()) { t =>
+    val top = st.pool.withInstance(()) { t =>
       t.ref.set(set)
       t.df.collect().map(r => (r.getLong(0), r.getDouble(1)))
     }
     if (top.isEmpty) return Seq.empty
     // fresh tiny plan per query — literal isin keeps stat/row-group
     // pruning (see class doc); ≤ topK rows, planning cost is noise
-    val ids = ix.docMap
+    val ids = st.ix.docMap
       .filter(col("docno").isin(top.map(_._1).toSeq: _*))
       .select(col("docno"), col("docid"))
       .collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     // inner-join semantics: a docno the map cannot resolve is dropped
     top.toSeq.flatMap { case (d, s) => ids.get(d).map(id => (d, id, s)) }
+  }
+}
+
+object PointServer {
+
+  /** STORE-BACKED form: load a written [[InvertedIndex.write]] layout,
+    * cache postings + doc_map in memory (the cached-only contract the
+    * class doc requires), and serve with per-search [[DirVersion]]
+    * staleness revalidation — a merge/rewrite of `dir` under the live
+    * server rebuilds the snapshot before the next query runs. */
+  def overStore(spark: SparkSession, dir: String,
+                topK: Int = 10): PointServer = {
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stamp(): Long = DirVersion.of(hfs,
+      Seq("postings", "term_stats", "doc_map", "corpus_stats")
+        .map(n => s"$dir/$n"))
+    def loadCached(): Index = {
+      val ix = InvertedIndex.load(spark, dir)
+      ix.postings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ix.docMap.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ix.postings.count() // materialize at (re)build, not first query
+      ix.docMap.count()
+      ix
+    }
+    new PointServer(loadCached(), topK,
+      Some(() => loadCached()), Some(() => stamp()))
   }
 }

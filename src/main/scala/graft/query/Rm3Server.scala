@@ -91,10 +91,17 @@ private[query] case class RefLongDoubleLookup(
   * CONCURRENCY: all three plans + their references live in ONE pooled
   * instance, borrowed for the query's whole three-stage window
   * ([[TemplatePool]] — concurrent callers each get their own). */
-final class Rm3Server(ix: Index, topK: Int = 10, fbDocs: Int = 5,
-                      fbTerms: Int = 10, lambda: Double = 0.5) {
+final class Rm3Server private (
+    ix0: Index, topK: Int, fbDocs: Int, fbTerms: Int, lambda: Double,
+    reload: Option[() => Index], version: Option[() => Long]) {
 
-  private val nDocs = ix.nDocs.toDouble
+  /** Snapshot-serving constructor over a caller-owned (cached) index
+    * — the struct is immutable, so there is nothing to go stale
+    * against (the store-backed [[Rm3Server.overStore]] form is where
+    * mutation is real and stamped). */
+  def this(ix: Index, topK: Int = 10, fbDocs: Int = 5,
+           fbTerms: Int = 10, lambda: Double = 0.5) =
+    this(ix, topK, fbDocs, fbTerms, lambda, None, None)
 
   private final case class Tmpl(
       qRef: AtomicReference[java.util.HashSet[UTF8String]],
@@ -112,7 +119,7 @@ final class Rm3Server(ix: Index, topK: Int = 10, fbDocs: Int = 5,
     * single task → window df → per-doc weighted tf-idf → top-`limitN`.
     * `weight` is 1 for pass 1, the RM3 blend lookup for the final
     * pass. */
-  private def scorePlan(
+  private def scorePlan(ix: Index,
       termRef: AtomicReference[java.util.HashSet[UTF8String]],
       weight: org.apache.spark.sql.Column, limitN: Int): DataFrame =
     ix.postings
@@ -123,15 +130,15 @@ final class Rm3Server(ix: Index, topK: Int = 10, fbDocs: Int = 5,
         count(lit(1)).over(Window.partitionBy(col("kgram"))))
       .groupBy(col("docno"))
       .agg(sum(weight * (lit(1.0) + log(col("tf"))) *
-        log10(lit(nDocs) / col("df").cast("double"))).as("s0"))
+        log10(lit(ix.nDocs.toDouble) / col("df").cast("double"))).as("s0"))
       .select(col("docno"), round(col("s0"), 4).as("score"))
       .orderBy(col("score").desc, col("docno"))
       .limit(limitN)
 
-  private def buildTmpl(): Tmpl = {
+  private def buildTmpl(ix: Index): Tmpl = {
     val qRef = new AtomicReference[java.util.HashSet[UTF8String]](
       new java.util.HashSet)
-    val pass1 = scorePlan(qRef, lit(1.0), fbDocs)
+    val pass1 = scorePlan(ix, qRef, lit(1.0), fbDocs)
     val fbDocRef = new AtomicReference[java.util.HashSet[java.lang.Long]](
       new java.util.HashSet)
     val fbScoreRef = new AtomicReference[
@@ -157,7 +164,7 @@ final class Rm3Server(ix: Index, topK: Int = 10, fbDocs: Int = 5,
     val wRef = new AtomicReference[
       java.util.HashMap[UTF8String, java.lang.Double]](
       new java.util.HashMap)
-    val fin = scorePlan(wTermRef,
+    val fin = scorePlan(ix, wTermRef,
       Bridge.column(RefStringDoubleLookup(
         Bridge.expression(col("kgram")), wRef)), topK)
     // force planning + codegen at build, not on the first query
@@ -167,15 +174,53 @@ final class Rm3Server(ix: Index, topK: Int = 10, fbDocs: Int = 5,
     Tmpl(qRef, pass1, fbDocRef, fbScoreRef, fb, wTermRef, wRef, fin)
   }
 
-  private val pool = new TemplatePool[Unit, Tmpl](_ => buildTmpl(),
-    maxKeys = 1)
+  private final class State(val version: Long, val ix: Index) {
+    val pool = new TemplatePool[Unit, Tmpl](_ => buildTmpl(ix),
+      maxKeys = 1)
+  }
 
-  pool.withInstance(())(_ => ()) // plan + codegen at construction
+  private def storeVersion(): Long = version.fold(0L)(_())
+
+  private val stateRef = new AtomicReference[State](
+    new State(storeVersion(), ix0))
+
+  stateRef.get.pool.withInstance(())(_ => ()) // plan+codegen at ctor
+
+  /** The snapshot current against the store version — rebuilds (once,
+    * double-checked) when the [[DirVersion]] stamp moved; constant
+    * for the snapshot-serving form. */
+  private def current(): State = {
+    val st = stateRef.get
+    if (st.version == storeVersion()) st
+    else this.synchronized {
+      val held = stateRef.get
+      val v = storeVersion()
+      if (held.version == v) held
+      else {
+        val fresh = new State(v, reload.get())
+        stateRef.set(fresh)
+        held.ix.postings.unpersist(blocking = false)
+        held.ix.docMap.unpersist(blocking = false)
+        fresh
+      }
+    }
+  }
+
+  /** Drop the snapshot and reload from the store NOW (store-backed
+    * form only — a no-op snapshot rebuild otherwise). */
+  def refresh(): Unit = this.synchronized {
+    reload.foreach { r =>
+      val held = stateRef.get
+      stateRef.set(new State(storeVersion(), r()))
+      held.ix.postings.unpersist(blocking = false)
+      held.ix.docMap.unpersist(blocking = false)
+    }
+  }
 
   /** The three reused physical plans (spec hook: the exchange-free
     * invariant that makes re-execution safe). */
   private[graft] def templatePlans: Seq[org.apache.spark.sql.execution.SparkPlan] =
-    pool.withInstance(())(t => Seq(t.pass1, t.fb, t.fin)
+    current().pool.withInstance(())(t => Seq(t.pass1, t.fb, t.fin)
       .map(_.queryExecution.executedPlan))
 
   private def utf8Set(ts: Iterable[String]) = {
@@ -188,9 +233,10 @@ final class Rm3Server(ix: Index, topK: Int = 10, fbDocs: Int = 5,
     * output contract as [[QueryEngine.rm3Search]], from the prepared
     * plans. Safe for concurrent callers. */
   def search(query: String): Seq[(Long, String, Double)] = {
+    val st = current()
     val qTerms = QueryEngine.requireArity(query).distinct
     if (qTerms.isEmpty) return Seq.empty
-    val top = pool.withInstance(()) { t =>
+    val top = st.pool.withInstance(()) { t =>
       t.qRef.set(utf8Set(qTerms))
       val fbRows = t.pass1.collect()
         .map(r => (r.getLong(0), r.getDouble(1)))
@@ -214,11 +260,40 @@ final class Rm3Server(ix: Index, topK: Int = 10, fbDocs: Int = 5,
     if (top.isEmpty) return Seq.empty
     // fresh tiny plan per query — literal isin keeps stat/row-group
     // pruning (the PointServer resolve rationale); ≤ topK rows
-    val ids = ix.docMap
+    val ids = st.ix.docMap
       .filter(col("docno").isin(top.map(_._1): _*))
       .select(col("docno"), col("docid"))
       .collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     top.flatMap { case (d, s) => ids.get(d).map(id => (d, id, s)) }
+  }
+}
+
+object Rm3Server {
+
+  /** STORE-BACKED form: load a written [[graft.index.InvertedIndex
+    * .write]] layout, cache postings + doc_map (the cached-only
+    * contract), and serve with per-search [[DirVersion]] staleness
+    * revalidation — a merge/rewrite of `dir` under the live server
+    * rebuilds the snapshot (and all three templates) before the next
+    * query runs. */
+  def overStore(spark: org.apache.spark.sql.SparkSession, dir: String,
+                topK: Int = 10, fbDocs: Int = 5, fbTerms: Int = 10,
+                lambda: Double = 0.5): Rm3Server = {
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stamp(): Long = DirVersion.of(hfs,
+      Seq("postings", "term_stats", "doc_map", "corpus_stats")
+        .map(n => s"$dir/$n"))
+    def loadCached(): Index = {
+      val ix = graft.index.InvertedIndex.load(spark, dir)
+      ix.postings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ix.docMap.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ix.postings.count() // materialize at (re)build, not first query
+      ix.docMap.count()
+      ix
+    }
+    new Rm3Server(loadCached(), topK, fbDocs, fbTerms, lambda,
+      Some(() => loadCached()), Some(() => stamp()))
   }
 }
