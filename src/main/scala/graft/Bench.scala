@@ -470,19 +470,30 @@ object Bench {
         i => { bsrv.search(bm25Queries(i.toInt)); () }))
       (mMulti, mPruned, mServed, mTmpl)
     }
-    // hybrid retrieval template: BM25 MaxScore arm + exact-scan IVF
-    // arm + driver-side RRF — three prepared jobs per query, zero
-    // Catalyst work (the q37_hybrid_rrf serving shape)
-    val medianHybridTmplUs = {
+    // hybrid retrieval template: BM25 MaxScore arm + ROUTED adaptive
+    // IVF arm (the production default — r13 verdict replaced the
+    // cap-probe full-store scan) + driver-side RRF — three prepared
+    // jobs per query, zero Catalyst work (the q37_hybrid_rrf_auto
+    // serving shape); plus the FILTERED fusion (keep-set refs on both
+    // arms, the q37_hybrid_rrf_filtered serving shape)
+    val (medianHybridTmplUs, medianHybridFilteredTmplUs) = {
       val hsrv = graft.query.HybridServer.forCorpus(spark, sfDir)
       import org.apache.spark.sql.functions.col
       val qv = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0)
       hsrv.search(bm25Queries.head, qv)
-      sweep3("warm_hybrid_template_us",
+      val m = sweep3("warm_hybrid_template_us",
         sweepOf(bm25Queries.indices.map(_.toString),
           i => { hsrv.search(bm25Queries(i.toInt), qv); () }))
+      val keep = new java.util.HashSet[java.lang.Long]()
+      graft.ops.Similarity.filterIds(spark, sfDir).collect()
+        .foreach(r => keep.add(r.getLong(0)))
+      hsrv.searchFiltered(bm25Queries.head, qv, keep)
+      val mf = sweep3("warm_hybrid_filtered_template_us",
+        sweepOf(bm25Queries.indices.map(_.toString),
+          i => { hsrv.searchFiltered(bm25Queries(i.toInt), qv, keep); () }))
+      (m, mf)
     }
     // CALIBRATION rows (r11 VERDICT #6): two fixed-work baselines so a
     // round-over-round warm-row swing is attributable from the artifact
@@ -535,7 +546,7 @@ object Bench {
     val spreadAll = mergeJson(spread, warmSpread.toSeq)
     val gcAll = mergeJson(gc, warmGc.toSeq)
     val resampledAll = mergeArr(resampled, warmResampled.toSeq)
-    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadAll,"gc_sec":$gcAll,"resampled":$resampledAll,"sf":"$sfDir","failed":$nFailed,"index_docs_per_s":${docsPerS.round},"warm_search_us":$medianUs,"warm_search_template_us":$medianTemplateUs,"warm_rm3_us":$medianRm3Us,"warm_rm3_template_us":$medianRm3TemplateUs,"warm_search_loaded_us":$medianLoadedUs,"warm_search_loaded_routed_us":$medianLoadedRoutedUs,"warm_phrase_us":$medianPhraseUs,"warm_phrase_template_us":$medianPhraseTemplateUs,"warm_phrase3_template_us":$medianPhrase3TemplateUs,"warm_near_template_us":$medianNearTemplateUs,"warm_phrase_loaded_routed_us":$medianPhraseLoadedRoutedUs,"warm_near_loaded_routed_us":$medianNearLoadedRoutedUs,"warm_ann_ivf_probe_us":$medianAnnProbeUs,"warm_ann_ivf_served_us":$medianAnnServedUs,"warm_ann_ivf_template_us":$medianAnnTmplUs,"warm_ann_ivf_nprobe2_us":$medianAnnTmplN2Us,"warm_ann_ivfpq_served_us":$medianPqServedUs,"warm_ann_ivfpq_template_us":$medianPqTmplUs,"warm_bm25_multi_us":$medianBm25MultiUs,"warm_bm25_pruned_us":$medianBm25PrunedUs,"warm_bm25_served_us":$medianBm25ServedUs,"warm_bm25_template_us":$medianBm25TmplUs,"warm_hybrid_template_us":$medianHybridTmplUs,"calib_cpu_ms":$calibCpuMs,"calib_shuffle_ms":$calibShuffleMs,"ann_conc8_probes_per_s":$annConc8PerS}"""
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadAll,"gc_sec":$gcAll,"resampled":$resampledAll,"sf":"$sfDir","failed":$nFailed,"index_docs_per_s":${docsPerS.round},"warm_search_us":$medianUs,"warm_search_template_us":$medianTemplateUs,"warm_rm3_us":$medianRm3Us,"warm_rm3_template_us":$medianRm3TemplateUs,"warm_search_loaded_us":$medianLoadedUs,"warm_search_loaded_routed_us":$medianLoadedRoutedUs,"warm_phrase_us":$medianPhraseUs,"warm_phrase_template_us":$medianPhraseTemplateUs,"warm_phrase3_template_us":$medianPhrase3TemplateUs,"warm_near_template_us":$medianNearTemplateUs,"warm_phrase_loaded_routed_us":$medianPhraseLoadedRoutedUs,"warm_near_loaded_routed_us":$medianNearLoadedRoutedUs,"warm_ann_ivf_probe_us":$medianAnnProbeUs,"warm_ann_ivf_served_us":$medianAnnServedUs,"warm_ann_ivf_template_us":$medianAnnTmplUs,"warm_ann_ivf_nprobe2_us":$medianAnnTmplN2Us,"warm_ann_ivfpq_served_us":$medianPqServedUs,"warm_ann_ivfpq_template_us":$medianPqTmplUs,"warm_bm25_multi_us":$medianBm25MultiUs,"warm_bm25_pruned_us":$medianBm25PrunedUs,"warm_bm25_served_us":$medianBm25ServedUs,"warm_bm25_template_us":$medianBm25TmplUs,"warm_hybrid_template_us":$medianHybridTmplUs,"warm_hybrid_filtered_template_us":$medianHybridFilteredTmplUs,"calib_cpu_ms":$calibCpuMs,"calib_shuffle_ms":$calibShuffleMs,"ann_conc8_probes_per_s":$annConc8PerS}"""
     println(jsonLine)
     // the stdout line survives only as a 2000-char tail in the
     // driver's BENCH_r{N}.json (parsed: null every round) — persist

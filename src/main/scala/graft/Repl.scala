@@ -157,6 +157,9 @@ object Repl {
              Seq[Float])] = None): Unit = {
     val server =
       if (usePointServer) Some(new graft.query.PointServer(ix)) else None
+    // per-corpus filter keep set for `hybridf`, collected on first use
+    val hybridKeep = scala.collection.mutable.Map
+      .empty[String, java.util.HashSet[java.lang.Long]]
     // quoted phrases (any length up to PhraseServer.MaxSlots) get the
     // prepared per-length template on cached indexes; the fresh-plan
     // path stays for loaded/pushdown serving
@@ -168,7 +171,8 @@ object Repl {
       "wildcards; \"quoted phrases\" for exact phrase; a NEAR/3 b for " +
       "proximity; bm25 t1 t2 ... for ranked multi-term retrieval; " +
       "ann <vec_id> for filtered vector search; hybrid t1 t2 ... for " +
-      "fused lexical+vector retrieval; empty line quits")
+      "fused lexical+vector retrieval (hybridf: under the metadata " +
+      "filter); empty line quits")
     out.print("query > "); out.flush()
     var line = in.readLine()
     while (line != null) {
@@ -249,6 +253,30 @@ object Repl {
           case None => out.println(
             "hybrid search needs both the stats store and the vector " +
               "store (open a corpus dir with an embeddings table)")
+        }
+      } else if (q.matches("(?i)^hybridf(\\s+\\S+)+$")) {
+        // FILTERED fused retrieval: both prepared arms restricted to
+        // the corpus metadata keep set (lang + length — the
+        // q37_hybrid_rrf_filtered serving shape); the keep set is
+        // collected once per session and reused across queries
+        (hybrid, ann) match {
+          case (Some((srv, qv)), Some((sp, _, d))) =>
+            val keep = hybridKeep.getOrElseUpdate(d, {
+              val s = new java.util.HashSet[java.lang.Long]()
+              graft.ops.Similarity.filterIds(sp, d).collect()
+                .foreach(r => s.add(r.getLong(0)))
+              s
+            })
+            val rows =
+              srv.searchFiltered(q.split("\\s+").toSeq.tail, qv, keep)
+            if (rows.isEmpty) out.println(s"$q: No results ...")
+            else rows.foreach { case (dd, lr, sr, rrf) =>
+              out.println(s"$dd rrf=$rrf lex=${lr.getOrElse("-")} " +
+                s"sem=${sr.getOrElse("-")}")
+            }
+          case _ => out.println(
+            "hybridf needs the stats store, the vector store, AND the " +
+              "corpus metadata (open a corpus dir)")
         }
       } else if (q.matches("(?i)^ann\\s+\\d+$")) {
         // filtered vector search (WHERE-clause ANN) over the durable

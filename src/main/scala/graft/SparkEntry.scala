@@ -270,6 +270,12 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Similarity.hybridRrf(s, d)),
     "q37_hybrid_rrf_filtered" ->
       ((s: SparkSession, d: String) => Similarity.hybridRrfFiltered(s, d)),
+    "q37_hybrid_rrf_auto" ->
+      ((s: SparkSession, d: String) => Similarity.hybridRrfAuto(s, d)),
+    "q37_hybrid_recall" ->
+      ((s: SparkSession, d: String) => Similarity.hybridRecallEval(s, d)),
+    "q25_ann_ivf_auto" ->
+      ((s: SparkSession, d: String) => Similarity.annIvfAuto(s, d)),
     "q25_pq_codes" -> (Pq.pqCodes _),
     "q25_ann_pq" ->
       ((s: SparkSession, d: String) => Pq.annPq(s, d)),
@@ -327,7 +333,19 @@ object SparkEntry {
       // the one-pass streaming funnel's gate decisions == the batch
       // curation funnel's row-for-row (range-chunk staging makes the
       // stream's first-arrival keeper the batch's global-min keeper)
-      ("q29_funnel_stream" -> base("q27_funnel"))
+      ("q29_funnel_stream" -> base("q27_funnel")) +
+      // hybrid recall panel: hits of the ROUTED fusion's top-10 in
+      // the cap-probe fused truth — both arms ARE the two pinned
+      // hybrid entries' SQL, wrapped as derived tables (the
+      // q25_quant_recall discipline), so the panel cannot drift
+      ("q37_hybrid_recall" ->
+        s"""WITH truth AS (SELECT doc_id FROM (${base("q37_hybrid_rrf")})),
+           auto AS (SELECT doc_id FROM (${base("q37_hybrid_rrf_auto")})),
+           h AS (SELECT CAST(count(*) AS BIGINT) AS hits
+                 FROM auto JOIN truth USING (doc_id))
+           SELECT 'auto' AS method, hits,
+                  round(CAST(hits AS DOUBLE) / 10, 4) AS recall10
+           FROM h""")
   }
 
   /** The BM25 ranking oracle — shared by q10_bm25 and the lexical arm
@@ -678,6 +696,28 @@ object SparkEntry {
          sem AS (SELECT vec_id AS doc_id,
                        CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS sem_rank
                 FROM (${graft.ops.TrainingOracles.annIvfFilteredAutoSql(k = 10)})),
+         f AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+                      coalesce(CAST(floor(1000000 / (lex_rank + 60)) AS BIGINT), 0) +
+                      coalesce(CAST(floor(1000000 / (sem_rank + 60)) AS BIGINT), 0) AS rrf
+               FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+         SELECT doc_id, lex_rank, sem_rank, rrf FROM f
+         ORDER BY rrf DESC, doc_id LIMIT 10""",
+
+    // the ROUTED adaptive probe, unfiltered — the serving default's
+    // vector arm (ladder rule replicated in SQL, filter-free)
+    "q25_ann_ivf_auto" ->
+      graft.ops.TrainingOracles.annIvfAutoSql(k = 10),
+
+    // ROUTED hybrid fusion: exact BM25 arm + the adaptive unfiltered
+    // probe's SQL, fused by the same RRF arithmetic — the batch twin
+    // of HybridServer's production default
+    "q37_hybrid_rrf_auto" ->
+      s"""WITH lex AS (SELECT doc_id,
+                       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+                FROM (${bm25Sql()})),
+         sem AS (SELECT vec_id AS doc_id,
+                       CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS sem_rank
+                FROM (${graft.ops.TrainingOracles.annIvfAutoSql(k = 10)})),
          f AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
                       coalesce(CAST(floor(1000000 / (lex_rank + 60)) AS BIGINT), 0) +
                       coalesce(CAST(floor(1000000 / (sem_rank + 60)) AS BIGINT), 0) AS rrf

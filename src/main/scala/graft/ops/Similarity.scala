@@ -1881,12 +1881,50 @@ object Similarity {
       .select(col("vec_id"), round(col("c"), 4).as("cos"))
   }
 
+  /** [[annIvfFilteredAuto]] WITHOUT the metadata filter — the
+    * routed-probe production default of the UNFILTERED serving path
+    * ([[graft.query.HybridServer]]'s vector arm): rank the cells
+    * against the query, walk the doubling ladder until the probed
+    * prefix holds `oversample × k` candidates (survivor = any corpus
+    * vector, so the ladder escalates only out of SMALL cells — the
+    * clustered-corpus case where nProbe=1 under-fills), then
+    * exact-rank inside the chosen prefix. At an equal landing nProbe
+    * this is output-identical to [[annIvfProbe]]; the DuckDB oracle
+    * replicates the ladder rule, so the escalation choice is
+    * hash-checked (the annIvfFilteredAuto discipline, filter-free). */
+  def annIvfAuto(spark: SparkSession, dir: String, k: Int = 10,
+                 minSurvivors: Option[Int] = None): DataFrame = {
+    val target = minSurvivors.getOrElse(FilteredAutoOversample * k)
+    val cells = ivfCells(spark, dir).stage()
+    val e = emb(spark, dir)
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val cents = e.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val ranked = cents
+      .sortBy { case (cid, cv) => (-cosSeqInf(qv, cv), cid) }
+      .map(_._1).toSeq
+    val chosen = escalate(ranked, target) { newCells =>
+      cells.filter(col("cell").isin(newCells: _*) && col("vec_id") =!= 0)
+        .count()
+    }
+    cells.filter(col("cell").isin(chosen: _*) && col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        cosine(col("embedding"), typedLit(qv)).as("c"))
+      .orderBy(col("c").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("c"), 4).as("cos"))
+  }
+
   /** The ladder walk shared by the in-memory and durable-store auto
     * probes: count survivors slice by slice (each rung's count job
     * touches only the cells the previous rung didn't), stop at the
     * first rung whose cumulative count reaches `target`, else the
-    * cap. Returns the chosen cell prefix. */
-  private[ops] def escalate(ranked: Seq[Long], target: Long)
+    * cap. Returns the chosen cell prefix. Driver-side callers with a
+    * per-cell count dictionary ([[graft.query.IvfServer]]) pass a
+    * map-sum `countIn` — zero Spark jobs for the walk. */
+  private[graft] def escalate(ranked: Seq[Long], target: Long)
                            (countIn: Seq[Long] => Long): Seq[Long] = {
     val ladder = autoLadder(ranked.length)
     var probed = 0
@@ -2181,6 +2219,54 @@ object Similarity {
         (contrib(col("lex_rank")) + contrib(col("sem_rank"))).as("rrf"))
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** [[hybridRrf]] with the semantic arm ROUTED — the batch twin of
+    * [[graft.query.HybridServer]]'s production default: the exact
+    * BM25 lexical arm fused with [[annIvfAuto]] (doubling-ladder
+    * escalation from nProbe=1) instead of the brute-force scan. Same
+    * RRF arithmetic, same bounded rank windows; where the routed arm
+    * lands on the full cell set the two fusions are identical, and
+    * where it does not, the difference is exactly the IVF recall
+    * trade the q37_hybrid_recall panel prices. */
+  def hybridRrfAuto(spark: SparkSession, dir: String, k: Int = 10,
+                    kRrf: Int = 60): DataFrame = {
+    require(k <= 10,
+      s"hybridRrfAuto fuses top-10 arms; k=$k would read past them")
+    import org.apache.spark.sql.expressions.Window
+    val lex = graft.queries.IrSql.q10Bm25(spark, dir)
+      .withColumn("lex_rank", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id")))
+        .cast("long"))
+    val sem = annIvfAuto(spark, dir, k = 10)
+      .withColumn("sem_rank", row_number()
+        .over(Window.orderBy(col("cos").desc, col("vec_id")))
+        .cast("long"))
+    def contrib(r: Column): Column =
+      coalesce(floor(lit(1000000.0) / (r + lit(kRrf))).cast("long"), lit(0L))
+    lex.select(col("doc_id"), col("lex_rank"))
+      .join(sem.select(col("vec_id").as("doc_id"), col("sem_rank")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        (contrib(col("lex_rank")) + contrib(col("sem_rank"))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** HYBRID recall panel — the operational price of routing the
+    * fused ranking's vector arm: hits of the ROUTED fusion's top-k
+    * ([[hybridRrfAuto]] — the serving default's batch twin) within
+    * the cap-probe fused truth ([[hybridRrf]], whose semantic arm is
+    * the exact scan). Both arms ARE the standalone oracle-checked
+    * entries (q25_ann_recall's discipline applied to the fusion). */
+  def hybridRecallEval(spark: SparkSession, dir: String,
+                       k: Int = 10): DataFrame = {
+    val truth = broadcast(hybridRrf(spark, dir, k).select(col("doc_id")))
+    hybridRrfAuto(spark, dir, k)
+      .select(col("doc_id")).join(truth, Seq("doc_id"))
+      .agg(count(lit(1)).as("hits"))
+      .select(lit("auto").as("method"), col("hits"),
+        round(col("hits").cast("double") / k, 4).as(s"recall$k"))
   }
 
   def hybridRrf(spark: SparkSession, dir: String, k: Int = 10,

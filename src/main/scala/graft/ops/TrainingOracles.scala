@@ -216,6 +216,44 @@ object TrainingOracles {
        SELECT vec_id, round(c, 4) AS cos FROM s
        ORDER BY c DESC, vec_id LIMIT $k"""
 
+  /** [[annIvfFilteredAutoSql]] WITHOUT the metadata filter — the
+    * ladder rule of [[Similarity.annIvfAuto]] replicated: survivors
+    * are ALL corpus vectors (query excluded), so the cumulative walk
+    * escalates only out of small cells. Shared by the standalone
+    * q25_ann_ivf_auto entry and the q37_hybrid_rrf_auto fusion. */
+  private[graft] def annIvfAutoSql(k: Int = 10): String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                   WHERE vec_id < ${Similarity.IvfCentroids}),
+       a AS (SELECT e.vec_id, e.embedding, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${cos("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+             FROM embeddings e CROSS JOIN c),
+       cells AS (SELECT vec_id, embedding, cid AS cell FROM a WHERE rn = 1),
+       q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       qrank AS (SELECT c.cid,
+                        row_number() OVER (
+                          ORDER BY ${cos("q.qv", "c.cvec")} DESC, c.cid) AS crank
+                 FROM c CROSS JOIN q),
+       surv AS (SELECT qr.crank, count(*) AS cnt
+                FROM cells x JOIN qrank qr ON x.cell = qr.cid
+                WHERE x.vec_id <> 0 GROUP BY qr.crank),
+       lad AS (SELECT DISTINCT
+                      least(CAST(pow(2, i) AS BIGINT),
+                            (SELECT count(*) FROM c)) AS np
+               FROM range(0, 30) t(i)),
+       cum AS (SELECT lad.np, coalesce(sum(s.cnt), 0) AS cum
+               FROM lad LEFT JOIN surv s ON s.crank <= lad.np
+               GROUP BY lad.np),
+       chosen AS (SELECT coalesce(min(np), (SELECT count(*) FROM c)) AS np
+                  FROM cum
+                  WHERE cum >= ${Similarity.FilteredAutoOversample * k}),
+       s AS (SELECT x.vec_id, ${cos("x.embedding", "q.qv")} AS c
+             FROM cells x JOIN qrank qr ON x.cell = qr.cid
+                  CROSS JOIN q CROSS JOIN chosen
+             WHERE x.vec_id <> 0 AND qr.crank <= chosen.np)
+       SELECT vec_id, round(c, 4) AS cos FROM s
+       ORDER BY c DESC, vec_id LIMIT $k"""
+
   private def annIvfFilteredSql(nProbe: Int): String =
     s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
                    WHERE vec_id < ${Similarity.IvfCentroids}),

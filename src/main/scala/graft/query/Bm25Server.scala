@@ -144,8 +144,11 @@ final class Bm25Server(spark: SparkSession, storeDir: String,
       pairs.map(p => IrSql.bm25Score(p._1, p._2, df, tt, nd)).max
     }
 
-    val pool = new TemplatePool[Unit, Tmpl](_ => buildTmpl(this),
-      maxKeys = 1)
+    // pool key: FILTERED shape? — the filtered twin adds a
+    // driver-updated keep-set predicate on doc_id to both plans (the
+    // q10Bm25Filtered candidate restriction; stats stay global)
+    val pool = new TemplatePool[Boolean, Tmpl](f => buildTmpl(this, f),
+      maxKeys = 2)
   }
 
   private final case class Tmpl(
@@ -153,6 +156,7 @@ final class Bm25Server(spark: SparkSession, storeDir: String,
       scoreTerms: AtomicReference[java.util.HashSet[UTF8String]],
       essTerms: AtomicReference[java.util.HashSet[UTF8String]],
       dfMap: AtomicReference[java.util.HashMap[UTF8String, java.lang.Long]],
+      keep: AtomicReference[java.util.HashSet[java.lang.Long]],
       thetaDf: DataFrame, scoreDf: DataFrame)
 
   /** The shared scoring arithmetic with df read from the map ref and
@@ -169,19 +173,34 @@ final class Bm25Server(spark: SparkSession, storeDir: String,
         (lit(st.tt).cast("double") / lit(st.nd))))
   }
 
-  private def buildTmpl(st: State): Tmpl = {
+  private def buildTmpl(st: State, filtered: Boolean): Tmpl = {
     val thetaRef = new AtomicReference(new java.util.HashSet[UTF8String])
     val termsRef = new AtomicReference(new java.util.HashSet[UTF8String])
     val essRef = new AtomicReference(new java.util.HashSet[UTF8String])
     val dfRef = new AtomicReference(
       new java.util.HashMap[UTF8String, java.lang.Long])
+    val keepRef = new AtomicReference(
+      new java.util.HashSet[java.lang.Long])
     def inSet(ref: AtomicReference[java.util.HashSet[UTF8String]]) =
       Bridge.column(RefSetContains(Bridge.expression(col("term")), ref))
-    val thetaDf = st.joined.filter(inSet(thetaRef)).coalesce(1)
+    // the filtered shape restricts CANDIDATES to the keep set right on
+    // the scan (doc-granular, stats stay global — exactly
+    // q10Bm25Filtered's left-semi placement); the keep set is a
+    // driver-updated ref like every other template input, so one plan
+    // serves ANY per-query filter with zero Catalyst work
+    def candidates(src: DataFrame,
+                   termRef: AtomicReference[java.util.HashSet[UTF8String]]) = {
+      val scan = src.filter(inSet(termRef))
+      if (filtered)
+        scan.filter(Bridge.column(RefLongSetContains(
+          Bridge.expression(col("doc_id")), keepRef)))
+      else scan
+    }
+    val thetaDf = candidates(st.joined, thetaRef).coalesce(1)
       .select(sExpr(st, dfRef).as("s"), col("doc_id"))
       .orderBy(col("s").desc, col("doc_id"))
       .limit(topK)
-    val scoreDf = st.joined.filter(inSet(termsRef)).coalesce(1)
+    val scoreDf = candidates(st.joined, termsRef).coalesce(1)
       .select(col("doc_id"),
         round(sExpr(st, dfRef) * IrSql.Bm25Scale).cast("long").as("s9"),
         when(inSet(essRef), 1L).otherwise(0L).as("e"))
@@ -195,13 +214,13 @@ final class Bm25Server(spark: SparkSession, storeDir: String,
     // plan + codegen at build, not on the instance's first query
     thetaDf.queryExecution.executedPlan
     scoreDf.queryExecution.executedPlan
-    Tmpl(thetaRef, termsRef, essRef, dfRef, thetaDf, scoreDf)
+    Tmpl(thetaRef, termsRef, essRef, dfRef, keepRef, thetaDf, scoreDf)
   }
 
   private val stateRef = new AtomicReference[State](
     new State(storeVersion()))
 
-  stateRef.get.pool.withInstance(())(_ => ()) // plan+codegen at ctor
+  stateRef.get.pool.withInstance(false)(_ => ()) // plan+codegen at ctor
 
   /** The snapshot current against the store's on-disk version —
     * rebuilds (once, double-checked) when the stamp moved. */
@@ -239,7 +258,7 @@ final class Bm25Server(spark: SparkSession, storeDir: String,
   private[graft] def templatePlans
       : Seq[org.apache.spark.sql.execution.SparkPlan] = {
     val st = current()
-    st.pool.withInstance(())(t => Seq(
+    st.pool.withInstance(false)(t => Seq(
       t.thetaDf.queryExecution.executedPlan,
       t.scoreDf.queryExecution.executedPlan))
   }
@@ -262,7 +281,7 @@ final class Bm25Server(spark: SparkSession, storeDir: String,
       ts.foreach(t => s.add(UTF8String.fromString(t)))
       s
     }
-    st.pool.withInstance(()) { t =>
+    st.pool.withInstance(false) { t =>
       t.dfMap.set(dfm)
       t.thetaTerms.set(setOf(Seq(byImpact.head._1)))
       val thetaRows = t.thetaDf.collect()
@@ -272,6 +291,38 @@ final class Bm25Server(spark: SparkSession, storeDir: String,
       val ess = IrSql.maxScoreEssential(byImpact, theta)
       t.scoreTerms.set(setOf(known))
       t.essTerms.set(setOf(ess))
+      t.scoreDf.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+  }
+
+  /** [[search]] with the CANDIDATES restricted to `keep` — the served
+    * twin of [[graft.queries.IrSql.q10Bm25Filtered]] (term statistics
+    * stay collection-global; the filter narrows what may be returned,
+    * not what the collection is). One prepared job: every known term
+    * is scored in full over the kept docs (no MaxScore θ pass — the
+    * filtered entry it must equal scores all candidate postings, and
+    * a filtered arity-bounded query has at most two terms to prune).
+    * `keep` is the caller's per-query filter working set — a
+    * driver-held id set, the selective-filter serving shape; a
+    * corpus-dense predicate belongs on the batch path
+    * ([[graft.ops.Similarity.hybridRrfFiltered]]). */
+  def searchFiltered(terms: Seq[String],
+                     keep: java.util.HashSet[java.lang.Long])
+      : Seq[(Long, Double)] = {
+    val st = current()
+    val known = terms.distinct.filter(st.stats.contains)
+    if (known.isEmpty) return Seq.empty
+    val dfm = new java.util.HashMap[UTF8String, java.lang.Long]
+    known.foreach(t => dfm.put(UTF8String.fromString(t),
+      java.lang.Long.valueOf(st.stats(t)._1)))
+    val set = new java.util.HashSet[UTF8String]
+    known.foreach(t => set.add(UTF8String.fromString(t)))
+    st.pool.withInstance(true) { t =>
+      t.dfMap.set(dfm)
+      t.keep.set(keep)
+      t.scoreTerms.set(set)
+      t.essTerms.set(set) // all essential: full scoring, no pruning
       t.scoreDf.collect()
         .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     }

@@ -159,6 +159,7 @@ final class IvfServer(spark: SparkSession, storeDir: String) {
   private final case class Tmpl(
       ref: AtomicReference[Array[Float]],
       exclude: AtomicReference[java.util.HashSet[java.lang.Long]],
+      keep: AtomicReference[java.util.HashSet[java.lang.Long]],
       df: DataFrame, version: Long)
 
   private val hfs = new org.apache.hadoop.fs.Path(storeDir)
@@ -172,35 +173,79 @@ final class IvfServer(spark: SparkSession, storeDir: String) {
   private def cellsVersion(cells: Seq[Long]): Long =
     CellVersion.of(hfs, storeDir, cells)
 
-  private val pools = new TemplatePool[(Seq[Long], Int), Tmpl](
-    { case (cells, k) => buildTmpl(cells, k) }, maxKeys = 32)
+  // key: (cell set, k, FILTERED shape?) — the filtered twin adds a
+  // driver-updated keep-set predicate to the scan (the served form of
+  // probeIvfStoreFiltered's candidate restriction)
+  private val pools = new TemplatePool[(Seq[Long], Int, Boolean), Tmpl](
+    { case (cells, k, f) => buildTmpl(cells, k, f) }, maxKeys = 32)
+
+  // survivor-count templates for the FILTERED ladder walk: one
+  // single-partition count plan per cell slice (keep ∩ slice, query
+  // row excluded) — each escalation rung is a prepared job over only
+  // the newly probed directories, mirroring probeIvfStoreFilteredAuto
+  private final case class CountTmpl(
+      keep: AtomicReference[java.util.HashSet[java.lang.Long]],
+      exclude: AtomicReference[java.util.HashSet[java.lang.Long]],
+      df: DataFrame, version: Long)
+
+  private val countPools = new TemplatePool[Seq[Long], CountTmpl](
+    buildCount, maxKeys = 32)
+
+  private def buildCount(cells: Seq[Long]): CountTmpl = {
+    val version = cellsVersion(cells)
+    val keep = new AtomicReference(new java.util.HashSet[java.lang.Long])
+    val ex = new AtomicReference(new java.util.HashSet[java.lang.Long])
+    val paths = existingCellPaths(cells)
+    val df =
+      if (paths.isEmpty)
+        spark.range(0).agg(count(lit(1)).as("n"))
+      else spark.read.parquet(paths: _*)
+        .filter(Bridge.column(RefLongSetContains(
+            Bridge.expression(col("vec_id")), keep)) &&
+          !Bridge.column(RefLongSetContains(
+            Bridge.expression(col("vec_id")), ex)))
+        .coalesce(1)
+        .agg(count(lit(1)).as("n"))
+    df.queryExecution.executedPlan
+    CountTmpl(keep, ex, df, version)
+  }
 
   /** Drop every pooled template. Staleness after a store mutation is
     * normally caught by the per-borrow version stamp (see the pool
     * comment); call this where directory modification times can't
     * reflect mutations, or to release plans eagerly. */
-  def refresh(): Unit = pools.clear()
+  def refresh(): Unit = { pools.clear(); countPools.clear() }
 
-  private def buildTmpl(cells: Seq[Long], k: Int): Tmpl = {
+  private def buildTmpl(cells: Seq[Long], k: Int,
+                        filtered: Boolean): Tmpl = {
     // version BEFORE the read: see the staleness note above
     val version = cellsVersion(cells)
     val ref = new AtomicReference[Array[Float]](Array.empty[Float])
     val ex = new AtomicReference[java.util.HashSet[java.lang.Long]](
       new java.util.HashSet)
+    val keep = new AtomicReference[java.util.HashSet[java.lang.Long]](
+      new java.util.HashSet)
     val paths = existingCellPaths(cells)
     val df =
       if (paths.isEmpty) emptyResult
-      else spark.read.parquet(paths: _*)
-        .filter(!Bridge.column(RefLongSetContains(
-          Bridge.expression(col("vec_id")), ex)))
-        .select(col("vec_id"),
-          Bridge.column(RefVecCosine(
-            Bridge.expression(col("embedding")), ref)).as("c"))
-        .orderBy(col("c").desc, col("vec_id"))
-        .limit(k)
-        .select(col("vec_id"), round(col("c"), 4).as("cos"))
+      else {
+        val scan = spark.read.parquet(paths: _*)
+          .filter(!Bridge.column(RefLongSetContains(
+            Bridge.expression(col("vec_id")), ex)))
+        val kept =
+          if (filtered)
+            scan.filter(Bridge.column(RefLongSetContains(
+              Bridge.expression(col("vec_id")), keep)))
+          else scan
+        kept.select(col("vec_id"),
+            Bridge.column(RefVecCosine(
+              Bridge.expression(col("embedding")), ref)).as("c"))
+          .orderBy(col("c").desc, col("vec_id"))
+          .limit(k)
+          .select(col("vec_id"), round(col("c"), 4).as("cos"))
+      }
     df.queryExecution.executedPlan // plan + codegen now, not per query
-    Tmpl(ref, ex, df, version)
+    Tmpl(ref, ex, keep, df, version)
   }
 
   /** [[probe]] through a borrowed prepared plan — zero per-query
@@ -215,16 +260,111 @@ final class IvfServer(spark: SparkSession, storeDir: String) {
     * the pool, so callers always see k distinct neighbors when the
     * probed cells hold that many. */
   def probeTemplate(qv: Seq[Float], k: Int = 10, excludeId: Long = -1L,
-                    nProbe: Int = 1): Seq[(Long, Double)] = {
-    val cells = cellsOf(qv, nProbe)
+                    nProbe: Int = 1): Seq[(Long, Double)] =
+    probeTemplateCells(cellsOf(qv, nProbe), qv, k, excludeId)
+
+  // ---- routed adaptive probe: per-cell row counts cached with a
+  // CellVersion stamp over ALL cells (k-bounded driver state; ONE
+  // count job per store generation), so the escalation ladder of
+  // [[graft.ops.Similarity.escalate]] walks as pure driver
+  // arithmetic — a routed auto probe costs the same single Spark job
+  // as a fixed-nProbe probe, plus one listing pass for the stamp.
+  private val countsRef =
+    new AtomicReference[(Long, Map[Long, Long])](null)
+
+  /** Per-cell row counts of the CURRENT store generation. */
+  private def cellCounts(): Map[Long, Long] = {
+    val all = seeds.map(_._1).toSeq
+    val v = CellVersion.of(hfs, storeDir, all)
+    val cached = countsRef.get
+    if (cached != null && cached._1 == v) cached._2
+    else {
+      val m = spark.read.parquet(storeDir)
+        .groupBy(col("cell")).count().collect()
+        .map(r => (r.getAs[Number]("cell").longValue, r.getLong(1)))
+        .toMap
+      countsRef.set((v, m))
+      m
+    }
+  }
+
+  /** ROUTED-nProbe probe with escalation — the production default of
+    * the unfiltered serving path ([[HybridServer]]'s vector arm):
+    * walk the doubling ladder over the query's cell ranking until the
+    * probed prefix holds `minSurvivors` candidates (default
+    * [[Similarity.FilteredAutoOversample]]·k — the shared rule), then
+    * rank inside the chosen prefix through the prepared template.
+    * Output-identical to [[graft.ops.Similarity.annIvfAuto]] on the
+    * same corpus (same seeds, ranking order, ladder rule, arithmetic
+    * — spec-pinned). The ladder itself runs on the driver against the
+    * cached per-cell counts, so the whole probe is ONE template job.
+    * `excludeId` must be the query's OWN stored id (or -1): its row
+    * is subtracted from its cell's count, which is exact precisely
+    * because the store assigned it by the same argmax rule that ranks
+    * the cells here. */
+  def probeAutoTemplate(qv: Seq[Float], k: Int = 10,
+                        excludeId: Long = -1L,
+                        minSurvivors: Option[Int] = None)
+      : Seq[(Long, Double)] = {
+    val target =
+      minSurvivors.getOrElse(Similarity.FilteredAutoOversample * k)
+    val ranked = cellsOf(qv, nCells)
+    val counts = cellCounts()
+    val own = ranked.head // the query vector's own assignment
+    val chosen = Similarity.escalate(ranked, target.toLong) { slice =>
+      slice.iterator.map { c =>
+        counts.getOrElse(c, 0L) -
+          (if (excludeId != -1L && c == own) 1L else 0L)
+      }.sum
+    }
+    probeTemplateCells(chosen, qv, k, excludeId)
+  }
+
+  /** [[probeAutoTemplate]] under a metadata filter — the served twin
+    * of [[graft.ops.Similarity.annIvfFilteredAuto]] /
+    * `probeIvfStoreFilteredAuto` (same seeds, cell ranking, ladder
+    * rule, survivor predicate, arithmetic — spec-pinned): each ladder
+    * rung's survivor count is a prepared single-partition job over
+    * only the newly probed cell directories, the final ranking a
+    * prepared filtered template over the chosen prefix. `keep` is the
+    * caller's per-query filter working set (a driver-held id set —
+    * the [[Bm25Server.searchFiltered]] shape; corpus-dense predicates
+    * belong on the batch path). */
+  def probeFilteredAutoTemplate(qv: Seq[Float],
+                                keep: java.util.HashSet[java.lang.Long],
+                                k: Int = 10, excludeId: Long = -1L,
+                                minSurvivors: Option[Int] = None)
+      : Seq[(Long, Double)] = {
+    val target =
+      minSurvivors.getOrElse(Similarity.FilteredAutoOversample * k)
+    val ranked = cellsOf(qv, nCells)
+    val ex = new java.util.HashSet[java.lang.Long]()
+    if (excludeId != -1L) ex.add(excludeId)
+    val chosen = Similarity.escalate(ranked, target.toLong) { slice =>
+      countPools.withInstance(slice,
+          (t: CountTmpl) => t.version == cellsVersion(slice)) { t =>
+        t.keep.set(keep)
+        t.exclude.set(ex)
+        t.df.head().getLong(0)
+      }
+    }
+    probeTemplateCells(chosen, qv, k, excludeId, Some(keep))
+  }
+
+  private def probeTemplateCells(cells: Seq[Long], qv: Seq[Float],
+                                 k: Int, excludeId: Long,
+                                 keep: Option[java.util.HashSet[
+                                   java.lang.Long]] = None)
+      : Seq[(Long, Double)] = {
     var fetch = k
     while (true) {
-      val rows = pools.withInstance((cells, fetch),
+      val rows = pools.withInstance((cells, fetch, keep.isDefined),
           (t: Tmpl) => t.version == cellsVersion(cells)) { t =>
         t.ref.set(qv.toArray)
         val ex = new java.util.HashSet[java.lang.Long]()
         if (excludeId != -1L) ex.add(excludeId)
         t.exclude.set(ex)
+        keep.foreach(t.keep.set)
         t.df.collect().iterator
           .map(r => (r.getLong(0), r.getDouble(1))).toSeq
       }
@@ -241,6 +381,6 @@ final class IvfServer(spark: SparkSession, storeDir: String) {
   /** The executed plan of `qv`'s cell template (spec hook: the
     * exchange-free invariant that makes plan reuse safe). */
   private[query] def templatePlan(qv: Seq[Float]): String =
-    pools.withInstance((cellsOf(qv, 1), 10))(
+    pools.withInstance((cellsOf(qv, 1), 10, false))(
       _.df.queryExecution.executedPlan.toString)
 }

@@ -202,4 +202,31 @@ class ReplSpec extends SparkSpec {
     assert(run("hybrid merge stream\n\n")
       .contains("needs both the stats store and the vector store"))
   }
+
+  test("hybridf serves the FILTERED fusion (== searchFiltered under " +
+    "the corpus keep set); degrades gracefully without the stores") {
+    import org.apache.spark.sql.functions.col
+    val srv = graft.query.HybridServer.forCorpus(spark, sfDir)
+    val qv = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val keep = new java.util.HashSet[java.lang.Long]()
+    graft.ops.Similarity.filterIds(spark, sfDir).collect()
+      .foreach(r => keep.add(r.getLong(0)))
+    val terms = graft.queries.IrSql.DefaultQueryTerms
+    val want = srv.searchFiltered(terms, qv, keep)
+      .map { case (d, lr, sr, rrf) =>
+        s"$d rrf=$rrf lex=${lr.getOrElse("-")} sem=${sr.getOrElse("-")}"
+      }
+    assert(want.nonEmpty)
+    val got = run(s"hybridf ${terms.mkString(" ")}\nmerge\n\n",
+      hybrid = Some((srv, qv)),
+      ann = Some((spark, graft.ops.Similarity.cachedIvfStore(spark, sfDir),
+        sfDir)))
+    want.foreach(line =>
+      assert(got.contains(line), s"missing [$line] in:\n$got"))
+    assert(got.contains("FT911-0017"), "loop died after a hybridf query")
+    assert(run("hybridf merge stream\n\n")
+      .contains("hybridf needs"))
+  }
 }

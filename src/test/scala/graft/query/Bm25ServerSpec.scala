@@ -41,6 +41,34 @@ class Bm25ServerSpec extends SparkSpec {
     }
   }
 
+  test("served FILTERED == fresh q10Bm25Filtered (candidates " +
+    "restricted, statistics global), across keep sets") {
+    val keepAll = graft.ops.Similarity.filterIds(spark, dir)
+      .select(col("vec_id").as("doc_id"))
+    def keepSet(ids: Seq[Long]) = {
+      val s = new java.util.HashSet[java.lang.Long]()
+      ids.foreach(i => s.add(i))
+      s
+    }
+    val filterDocs = keepAll.collect().map(_.getLong(0)).toSeq
+    // the metadata filter, and a narrow hand-picked set (forces the
+    // keep predicate to actually bite on the top of the ranking)
+    Seq(filterDocs, filterDocs.sorted.take(40)).foreach { ids =>
+      val keepDf = spark.createDataFrame(
+        java.util.Arrays.asList(ids.map(org.apache.spark.sql.Row(_)): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType))))
+      val want = IrSql.q10Bm25Filtered(spark, dir, keepDf).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = srv.searchFiltered(IrSql.DefaultQueryTerms, keepSet(ids))
+      assert(got == want, s"filtered served=$got fresh=$want")
+    }
+    // empty keep set: nothing may be returned
+    assert(srv.searchFiltered(IrSql.DefaultQueryTerms,
+      keepSet(Seq.empty)).isEmpty)
+  }
+
   test("unknown-term and empty queries return empty; known terms mixed " +
     "with unknown ones still rank correctly") {
     assert(srv.search(Seq("zzzqqqxx")).isEmpty)

@@ -190,6 +190,39 @@ class IvfServerSpec extends SparkSpec {
     assert(servedTpl.map(_._2).sum >= one.map(_._2).sum - 1e-9)
   }
 
+  test("routed auto probe == the in-memory annIvfAuto ranking; a " +
+    "corpus-sized survivor target escalates to the cap probe; the " +
+    "count cache revalidates after an append with NO refresh") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ivf_auto").toString
+    val e = graft.Tables.load(spark, dir, "embeddings")
+    Similarity.writeIvfLayout(spark, dir, out)
+    val srv = new IvfServer(spark, out)
+    val qv = spark.read.parquet(out).filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    // parity: same seeds, ranking, ladder rule, counts, arithmetic
+    val auto = srv.probeAutoTemplate(qv, excludeId = 0L)
+    val want = Similarity.annIvfAuto(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(auto == want, s"auto=$auto want=$want")
+    // a target no prefix can satisfy forces the ladder to the cap —
+    // the exact-scan parity arm
+    val n = spark.read.parquet(out).count().toInt
+    val capped = srv.probeAutoTemplate(qv, excludeId = 0L,
+      minSurvivors = Some(n + 1))
+    val cap = srv.probeTemplate(qv, excludeId = 0L, nProbe = srv.nCells)
+    assert(capped == cap, "cap-forced auto diverged from the cap probe")
+    // append under the live server: the next auto probe must walk the
+    // ladder against the NEW counts (stamped count cache), not stale
+    val dupRow = spark.read.parquet(out)
+      .filter(col("vec_id") === auto.head._1)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.appendIvfLayout(spark, dir, out, dupRow)
+    val post = srv.probeAutoTemplate(qv, excludeId = 0L)
+    assert(post == auto,
+      "replaying an existing row changed the auto-probed neighbor set")
+  }
+
   test("8 concurrent template probes return each its own correct " +
     "results (pooled templates, no shared-ref race)") {
     import scala.concurrent.{Await, Future}
