@@ -444,7 +444,7 @@ object Bench {
       Seq("dup", "merge", "data", "spark", "big", "join", "scan",
         "window"))
     val (medianBm25MultiUs, medianBm25PrunedUs,
-        medianBm25ServedUs, medianBm25TmplUs) = {
+        medianBm25ServedUs, medianBm25TmplUs, medianBm25BatchUs) = {
       // one unmeasured call builds + memoizes the stats store (the
       // index-time artifact a serving node holds before traffic)
       graft.queries.IrSql.q10Bm25Pruned(spark, sfDir).count()
@@ -468,7 +468,12 @@ object Bench {
       bsrv.search(bm25Queries.head)
       val mTmpl = sweep3("warm_bm25_template_us", sweepOf(idx,
         i => { bsrv.search(bm25Queries(i.toInt)); () }))
-      (mMulti, mPruned, mServed, mTmpl)
+      // the whole eval batch through ONE prepared job (vs the
+      // fresh-planned q10_bm25_batch_stored row, ~0.68 s at sf0.1)
+      bsrv.searchBatch(graft.queries.IrSql.BatchQueries)
+      val mBatch = sweep3("warm_bm25_batch_us", sweepOf(idx,
+        _ => { bsrv.searchBatch(graft.queries.IrSql.BatchQueries); () }))
+      (mMulti, mPruned, mServed, mTmpl, mBatch)
     }
     // hybrid retrieval template: BM25 MaxScore arm + ROUTED adaptive
     // IVF arm (the production default — r13 verdict replaced the
@@ -546,7 +551,7 @@ object Bench {
     val spreadAll = mergeJson(spread, warmSpread.toSeq)
     val gcAll = mergeJson(gc, warmGc.toSeq)
     val resampledAll = mergeArr(resampled, warmResampled.toSeq)
-    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadAll,"gc_sec":$gcAll,"resampled":$resampledAll,"sf":"$sfDir","failed":$nFailed,"index_docs_per_s":${docsPerS.round},"warm_search_us":$medianUs,"warm_search_template_us":$medianTemplateUs,"warm_rm3_us":$medianRm3Us,"warm_rm3_template_us":$medianRm3TemplateUs,"warm_search_loaded_us":$medianLoadedUs,"warm_search_loaded_routed_us":$medianLoadedRoutedUs,"warm_phrase_us":$medianPhraseUs,"warm_phrase_template_us":$medianPhraseTemplateUs,"warm_phrase3_template_us":$medianPhrase3TemplateUs,"warm_near_template_us":$medianNearTemplateUs,"warm_phrase_loaded_routed_us":$medianPhraseLoadedRoutedUs,"warm_near_loaded_routed_us":$medianNearLoadedRoutedUs,"warm_ann_ivf_probe_us":$medianAnnProbeUs,"warm_ann_ivf_served_us":$medianAnnServedUs,"warm_ann_ivf_template_us":$medianAnnTmplUs,"warm_ann_ivf_nprobe2_us":$medianAnnTmplN2Us,"warm_ann_ivfpq_served_us":$medianPqServedUs,"warm_ann_ivfpq_template_us":$medianPqTmplUs,"warm_bm25_multi_us":$medianBm25MultiUs,"warm_bm25_pruned_us":$medianBm25PrunedUs,"warm_bm25_served_us":$medianBm25ServedUs,"warm_bm25_template_us":$medianBm25TmplUs,"warm_hybrid_template_us":$medianHybridTmplUs,"warm_hybrid_filtered_template_us":$medianHybridFilteredTmplUs,"calib_cpu_ms":$calibCpuMs,"calib_shuffle_ms":$calibShuffleMs,"ann_conc8_probes_per_s":$annConc8PerS}"""
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadAll,"gc_sec":$gcAll,"resampled":$resampledAll,"sf":"$sfDir","failed":$nFailed,"index_docs_per_s":${docsPerS.round},"warm_search_us":$medianUs,"warm_search_template_us":$medianTemplateUs,"warm_rm3_us":$medianRm3Us,"warm_rm3_template_us":$medianRm3TemplateUs,"warm_search_loaded_us":$medianLoadedUs,"warm_search_loaded_routed_us":$medianLoadedRoutedUs,"warm_phrase_us":$medianPhraseUs,"warm_phrase_template_us":$medianPhraseTemplateUs,"warm_phrase3_template_us":$medianPhrase3TemplateUs,"warm_near_template_us":$medianNearTemplateUs,"warm_phrase_loaded_routed_us":$medianPhraseLoadedRoutedUs,"warm_near_loaded_routed_us":$medianNearLoadedRoutedUs,"warm_ann_ivf_probe_us":$medianAnnProbeUs,"warm_ann_ivf_served_us":$medianAnnServedUs,"warm_ann_ivf_template_us":$medianAnnTmplUs,"warm_ann_ivf_nprobe2_us":$medianAnnTmplN2Us,"warm_ann_ivfpq_served_us":$medianPqServedUs,"warm_ann_ivfpq_template_us":$medianPqTmplUs,"warm_bm25_multi_us":$medianBm25MultiUs,"warm_bm25_pruned_us":$medianBm25PrunedUs,"warm_bm25_served_us":$medianBm25ServedUs,"warm_bm25_template_us":$medianBm25TmplUs,"warm_bm25_batch_us":$medianBm25BatchUs,"warm_hybrid_template_us":$medianHybridTmplUs,"warm_hybrid_filtered_template_us":$medianHybridFilteredTmplUs,"calib_cpu_ms":$calibCpuMs,"calib_shuffle_ms":$calibShuffleMs,"ann_conc8_probes_per_s":$annConc8PerS}"""
     println(jsonLine)
     // the stdout line survives only as a 2000-char tail in the
     // driver's BENCH_r{N}.json (parsed: null every round) — persist

@@ -43,6 +43,36 @@ private[query] case class RefMapLookup(
     copy(child = c)
 }
 
+/** term → ARRAY<BIGINT> lookup against a driver-updated map — the
+  * batch-retrieval fan-out: each posting row explodes to the qids
+  * whose query contains its term, so ONE postings pass scores a whole
+  * (qid, terms) evaluation suite (the [[RefMapLookup]] discipline,
+  * array-valued). A term absent from the map yields null (explode
+  * drops it) — unreachable behind the term-set filter. */
+private[query] case class RefMapQidsLookup(
+    child: Expression,
+    ref: AtomicReference[java.util.HashMap[UTF8String, Array[Long]]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("ref_map_qids_lookup expects string")
+
+  override def prettyName: String = "graft_ref_map_qids_lookup"
+
+  override def nullSafeEval(v: Any): Any = {
+    val r = ref.get.get(v.asInstanceOf[UTF8String])
+    if (r == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(r)
+  }
+
+  override protected def withNewChildInternal(c: Expression): RefMapQidsLookup =
+    copy(child = c)
+}
+
 /** PREPARED MULTI-TERM BM25 serving — the [[PointServer]] discipline
   * applied to the MaxScore-pruned ranked-retrieval path (the most
   * common real query shape; the fresh
@@ -149,6 +179,11 @@ final class Bm25Server(spark: SparkSession, storeDir: String,
     // q10Bm25Filtered candidate restriction; stats stay global)
     val pool = new TemplatePool[Boolean, Tmpl](f => buildTmpl(this, f),
       maxKeys = 2)
+
+    // the BATCH template builds lazily on the first searchBatch (an
+    // interactive-only deployment never pays its plan)
+    val batchPool = new TemplatePool[Unit, BatchTmpl](
+      _ => buildBatchTmpl(this), maxKeys = 1)
   }
 
   private final case class Tmpl(
@@ -158,6 +193,12 @@ final class Bm25Server(spark: SparkSession, storeDir: String,
       dfMap: AtomicReference[java.util.HashMap[UTF8String, java.lang.Long]],
       keep: AtomicReference[java.util.HashSet[java.lang.Long]],
       thetaDf: DataFrame, scoreDf: DataFrame)
+
+  private final case class BatchTmpl(
+      terms: AtomicReference[java.util.HashSet[UTF8String]],
+      dfMap: AtomicReference[java.util.HashMap[UTF8String, java.lang.Long]],
+      qids: AtomicReference[java.util.HashMap[UTF8String, Array[Long]]],
+      df: DataFrame)
 
   /** The shared scoring arithmetic with df read from the map ref and
     * (tt, nd) as literals — the same expression tree as the fresh
@@ -215,6 +256,41 @@ final class Bm25Server(spark: SparkSession, storeDir: String,
     thetaDf.queryExecution.executedPlan
     scoreDf.queryExecution.executedPlan
     Tmpl(thetaRef, termsRef, essRef, dfRef, keepRef, thetaDf, scoreDf)
+  }
+
+  /** The batch-retrieval template — [[graft.queries.IrSql
+    * .q10Bm25Batch]]'s plan shape over the CACHED postings⨝doclen,
+    * all inputs driver refs: one term-union-pruned pass, per-posting
+    * qid fan-out ([[RefMapQidsLookup]] + explode), fixed-point
+    * per-(qid, doc) sums, bounded-heap per-qid top-k. Single
+    * partition throughout — no exchange, safe to re-execute. */
+  private def buildBatchTmpl(st: State): BatchTmpl = {
+    graft.functions.GraftFunctions.register(spark)
+    val termsRef = new AtomicReference(new java.util.HashSet[UTF8String])
+    val dfRef = new AtomicReference(
+      new java.util.HashMap[UTF8String, java.lang.Long])
+    val qidsRef = new AtomicReference(
+      new java.util.HashMap[UTF8String, Array[Long]])
+    val inTerms = Bridge.column(
+      RefSetContains(Bridge.expression(col("term")), termsRef))
+    val qids = Bridge.column(
+      RefMapQidsLookup(Bridge.expression(col("term")), qidsRef))
+    val df = st.joined.filter(inTerms).coalesce(1)
+      .select(col("doc_id"),
+        round(sExpr(st, dfRef) * IrSql.Bm25Scale).cast("long").as("s9"),
+        explode(qids).as("qid"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(round(sum(col("s9")).cast("double") / IrSql.Bm25Scale, 4)
+        .as("score"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.GraftFunctions
+        .topkBy(col("score"), col("doc_id"), topK).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("doc_id"), col("col.score").as("score"))
+      .orderBy("qid", "rank")
+    df.queryExecution.executedPlan // plan + codegen at build
+    BatchTmpl(termsRef, dfRef, qidsRef, df)
   }
 
   private val stateRef = new AtomicReference[State](
@@ -295,6 +371,50 @@ final class Bm25Server(spark: SparkSession, storeDir: String,
         .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     }
   }
+
+  /** WARM BATCH retrieval — the whole (qid, terms) evaluation suite
+    * through ONE prepared job over the server's cached postings⨝doclen
+    * (the TREC batch-retrieval shape [[graft.queries.IrSql
+    * .q10Bm25Batch]] serves fresh-planned; here the plan, the cache,
+    * and the driver dictionary are all already hot, so a 10k-query
+    * eval suite costs one template execution, not one Catalyst pass +
+    * store scan). Rows are (qid, rank, doc_id, score) by (qid, rank)
+    * — identical to the batch entry on the same corpus (spec-pinned,
+    * shared oracle): same term-union pruning, same fixed-point
+    * per-(qid, doc) sums, same bounded-heap top-k. Unknown terms are
+    * dropped (no postings either way); a qid with no known term
+    * yields no rows. */
+  def searchBatch(queries: Seq[(Long, Seq[String])])
+      : Seq[(Long, Long, Long, Double)] = {
+    val st = current()
+    val termQids = new java.util.HashMap[UTF8String, Array[Long]]()
+    val dfm = new java.util.HashMap[UTF8String, java.lang.Long]
+    val tset = new java.util.HashSet[UTF8String]
+    queries.foreach { case (qid, ts) =>
+      ts.distinct.filter(st.stats.contains).foreach { t =>
+        val u = UTF8String.fromString(t)
+        val prev = termQids.get(u)
+        termQids.put(u, if (prev == null) Array(qid) else prev :+ qid)
+        dfm.put(u, java.lang.Long.valueOf(st.stats(t)._1))
+        tset.add(u)
+        ()
+      }
+    }
+    if (tset.isEmpty) return Seq.empty
+    st.batchPool.withInstance(()) { t =>
+      t.terms.set(tset)
+      t.dfMap.set(dfm)
+      t.qids.set(termQids)
+      t.df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    }
+  }
+
+  /** The batch template's reused plan (spec hook: exchange-free). */
+  private[graft] def batchTemplatePlan
+      : org.apache.spark.sql.execution.SparkPlan =
+    current().batchPool.withInstance(())(
+      _.df.queryExecution.executedPlan)
 
   /** [[search]] with the CANDIDATES restricted to `keep` — the served
     * twin of [[graft.queries.IrSql.q10Bm25Filtered]] (term statistics

@@ -78,6 +78,28 @@ class Bm25ServerSpec extends SparkSpec {
     assert(srv.search(Seq("merge", "zzzqqqxx", "stream")) == want)
   }
 
+  test("warm batch == q10Bm25Batch row for row (shared plan shape); " +
+    "unknown-only qids yield no rows; repeat batch identical") {
+    val want = IrSql.q10Bm25Batch(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val got = srv.searchBatch(IrSql.BatchQueries)
+    assert(got == want, s"batch served=$got\nfresh=$want")
+    assert(srv.searchBatch(IrSql.BatchQueries) == want,
+      "repeat batch diverged (template reuse)")
+    // a qid of only unknown terms contributes nothing; the rest of
+    // the batch is unaffected
+    val withGhost = IrSql.BatchQueries :+ (99L -> Seq("zzzqqqxx"))
+    assert(srv.searchBatch(withGhost) == want)
+    assert(srv.searchBatch(Seq(99L -> Seq("zzzqqqxx"))).isEmpty)
+    // the batch template is exchange-free above the cached relation
+    val s = srv.batchTemplatePlan.toString
+    val above = s.linesIterator
+      .takeWhile(!_.contains("InMemoryRelation")).mkString("\n")
+    assert(above.contains("InMemoryTableScan") &&
+      !above.contains("Exchange"),
+      s"batch template must stay exchange-free:\n$above")
+  }
+
   test("both templates are exchange-free under the session conf") {
     // the cached postings⨝doclen relation legitimately holds its
     // ONE-TIME construction join (with its broadcast exchange) inside
