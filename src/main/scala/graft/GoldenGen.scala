@@ -27,7 +27,7 @@ object GoldenGen {
       "q26_ir_wildcard",
       "q35_rewrite_wildcard", "q36_phrase", "q36_near",
       "q36_near_ordered", "q36_near_topk", "q36_snippet",
-      "q36_phrase_wildcard")
+      "q36_phrase_wildcard", "q36_phrase_deleted")
 
   /** Golden generators. Most goldens come from the query itself (the
     * pipeline is vector-pinned by the conformance specs); the rewrite
@@ -39,6 +39,8 @@ object GoldenGen {
       (s, d) => graft.queries.IrEngine.q35Fallback(s, d)
     else if (name == "q36_phrase")
       (s, d) => graft.queries.IrEngine.q36PhraseBrute(s, d)
+    else if (name == "q36_phrase_deleted")
+      (s, d) => graft.queries.IrEngine.q36PhraseDeletedBrute(s, d)
     else if (name == "q36_near")
       (s, d) => graft.queries.IrEngine.q36NearBrute(s, d)
     else if (name == "q36_near_ordered")

@@ -174,6 +174,9 @@ object SparkEntry {
     "q28_video" -> (IrEngine.q28Video _),
     "q35_rewrite_wildcard" -> (IrEngine.q35RewriteWildcard _),
     "q36_phrase" -> (IrEngine.q36Phrase _),
+    "q36_phrase_deleted" -> (IrEngine.q36PhraseDeleted _),
+    "q10_bm25_deleted" ->
+      ((s: SparkSession, d: String) => IrSql.q10Bm25Deleted(s, d)),
     "q36_phrase_compressed" -> (IrEngine.q36PhraseCompressed _),
     "q36_phrase_merged" -> (IrEngine.q36PhraseMerged _),
     "q36_near" -> (IrEngine.q36Near _),
@@ -384,10 +387,16 @@ object SparkEntry {
     * contributions quantized to 1e-9 and integer-summed
     * ([[IrSql.Bm25Scale]]) so the 8-term per-doc total is
     * aggregation-order-exact on both engines. */
-  private def bm25MultiSql: String =
+  private def bm25MultiSql: String = bm25MultiSqlOver("documents")
+
+  /** [[bm25MultiSql]] over an arbitrary documents relation — the
+    * deletion oracle recomputes full BM25 over the corpus WITHOUT the
+    * deleted docs (df/tt/nd all shift, unlike the filtered oracle
+    * where statistics stay global). */
+  private def bm25MultiSqlOver(docsRel: String): String =
     s"""WITH tok AS (
          SELECT doc_id, unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS term
-         FROM documents),
+         FROM $docsRel),
        t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
        len AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
        st AS (SELECT CAST(sum(dl) AS BIGINT) AS tt, count(*) AS nd FROM len),
@@ -613,6 +622,13 @@ object SparkEntry {
     // the pruned plan is result-invariant ⇒ one oracle for both
     "q10_bm25_multi" -> bm25MultiSql,
     "q10_bm25_pruned" -> bm25MultiSql,
+
+    // tombstoned retrieval == rebuild-without-docs: full BM25
+    // recomputed over the corpus minus the fixed takedown set (the
+    // engine side serves it from a store with PENDING tombstones)
+    "q10_bm25_deleted" -> bm25MultiSqlOver(
+      s"""(SELECT * FROM documents
+           WHERE NOT (doc_id % ${IrSql.DeletedDocsMod} = ${IrSql.DeletedDocsRem}))"""),
     "q10_bm25_batch" -> bm25BatchSql,
     // the store-served batch == the corpus-scored batch by design
     "q10_bm25_batch_stored" -> bm25BatchSql,
@@ -1088,6 +1104,11 @@ object SparkEntry {
     // the same phrase answer as the rebuilt one
     "q36_phrase_merged" ->
       """SELECT * FROM '/root/repo/golden/q36_phrase.parquet'""",
+    // golden from the brute phrase count over the corpus MINUS the
+    // fixed takedown set: a store with pending tombstones must serve
+    // exactly the rebuild-without-docs answer
+    "q36_phrase_deleted" ->
+      """SELECT * FROM '/root/repo/golden/q36_phrase_deleted.parquet'""",
     "q36_near" ->
       """SELECT * FROM '/root/repo/golden/q36_near.parquet'""",
     "q36_near_ordered" ->

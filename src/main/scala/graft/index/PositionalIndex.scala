@@ -203,7 +203,13 @@ object PositionalIndex {
   }
 
   /** Load a [[write]]-layout index; scans stay parquet-pruned (no
-    * caching here — the caller decides what to pin). */
+    * caching here — the caller decides what to pin). A store with
+    * PENDING DELETIONS ([[deleteDocs]]) loads as its LIVE view: both
+    * frames anti-join the tombstoned docnos (broadcast — a takedown
+    * set is request-sized; [[compactDeletes]] reclaims it), and
+    * corpus_stats is already live (deleteDocs maintains it), so every
+    * query path over the loaded index honors deletions without
+    * knowing they exist. */
   def load(spark: SparkSession, dir: String): PIndex = {
     val n = spark.read.parquet(s"$dir/corpus_stats")
       .head().getAs[Long]("n_docs")
@@ -215,7 +221,147 @@ object PositionalIndex {
         raw.select(col("term"), col("docno"),
           posDec(col("pos_z")).as("positions"), col("tf"))
       else raw
-    PIndex(post, spark.read.parquet(s"$dir/doc_map"), n)
+    readTombs(spark, dir) match {
+      case Some(t) =>
+        PIndex(post.join(broadcast(t), Seq("docno"), "left_anti"),
+          spark.read.parquet(s"$dir/doc_map")
+            .join(broadcast(t), Seq("docno"), "left_anti"), n)
+      case None =>
+        PIndex(post, spark.read.parquet(s"$dir/doc_map"), n)
+    }
+  }
+
+  private val TombstonesDir = "tombstones"
+  private val DeleteStaging = "_graft_tomb_new"
+  private val DeleteMarker = "_graft_delete_inflight"
+
+  /** The store's tombstoned docnos, if any deletions are pending. */
+  private[graft] def readTombs(spark: SparkSession,
+                               dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$TombstonesDir")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p)
+        .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
+      Some(spark.read.parquet(p.toString).select(col("docno")))
+    else None
+  }
+
+  /** TAKEDOWN-SHAPED DELETION from a written positional index: the
+    * docids' docnos are TOMBSTONED (rows stay on disk until
+    * [[compactDeletes]] reclaims them; [[load]] serves the live view
+    * through an anti-join) and corpus_stats is recomputed to the live
+    * doc count. Crash safety: staged tombstones + marker commit (the
+    * [[graft.queries.IrSql.deleteBm25Docs]] protocol) —
+    * [[recoverPosDelete]] at every maintenance entry completes a
+    * committed delete (corpus_stats recomputed idempotently from the
+    * FULL tombstone set) or rolls an uncommitted one back. Run behind
+    * the serving quiesce; the stamped servers detect the mutation. */
+  def deleteDocs(spark: SparkSession, dir: String,
+                 docids: DataFrame): Unit = {
+    recoverPosDelete(spark, dir)
+    import org.apache.hadoop.fs.Path
+    import graft.ops.Stage.StageOps
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val del0 = spark.read.parquet(s"$dir/doc_map")
+      .join(docids.select(col("docid")).distinct(), Seq("docid"),
+        "left_semi")
+      .select(col("docno"))
+    val del = readTombs(spark, dir)
+      .fold(del0)(t => del0.join(t, Seq("docno"), "left_anti"))
+      .stage()
+    if (del.limit(1).count() == 0) return
+    del.write.mode("overwrite")
+      .parquet(new Path(root, DeleteStaging).toString)
+    fs.create(new Path(root, DeleteMarker), false).close() // COMMIT
+    graft.queries.IrSql.moveParts(fs, new Path(root, DeleteStaging),
+      new Path(root, TombstonesDir))
+    fs.delete(new Path(root, DeleteStaging), true)
+    finishPosDelete(spark, dir)
+  }
+
+  /** Recompute corpus_stats to the live count from the FULL tombstone
+    * set (idempotent), then clear the marker. */
+  private def finishPosDelete(spark: SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readTombs(spark, dir).foreach { t =>
+      graft.queries.IrSql.swapIn(spark, s"$dir/corpus_stats",
+        spark.read.parquet(s"$dir/doc_map")
+          .join(broadcast(t), Seq("docno"), "left_anti")
+          .agg(count(lit(1)).as("n_docs")))
+    }
+    fs.delete(new Path(root, DeleteMarker), false)
+    ()
+  }
+
+  /** Crash recovery for [[deleteDocs]] (the marker protocol). */
+  private[graft] def recoverPosDelete(spark: SparkSession,
+                                      dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.queries.IrSql.recoverArtifact(spark, dir, "corpus_stats")
+    if (!fs.exists(new Path(root, DeleteMarker))) {
+      fs.delete(new Path(root, DeleteStaging), true)
+      ()
+    } else {
+      graft.queries.IrSql.moveParts(fs, new Path(root, DeleteStaging),
+        new Path(root, TombstonesDir))
+      fs.delete(new Path(root, DeleteStaging), true)
+      finishPosDelete(spark, dir)
+    }
+  }
+
+  /** Physically reclaim tombstoned rows: rewrite the two
+    * authoritative artifacts without them ([[graft.queries.IrSql
+    * .swapIn]] — crash-safe, range layout preserved), refresh the two
+    * zone-map manifests from the rewritten files, then drop the
+    * tombstones. The read view is identical at every instant (the
+    * anti-join becomes a no-op as rows leave disk), and corpus_stats
+    * is already live — still far below a rebuild, which re-tokenizes
+    * the corpus. */
+  def compactDeletes(spark: SparkSession, dir: String,
+                     rowsPerFile: Long =
+                       InvertedIndex.WriteRowsPerFile): Unit = {
+    recoverPosDelete(spark, dir)
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // rewrite from the RAW files (not load()'s decoded view) so a
+    // compressed store stays compressed; a crash mid-way replays —
+    // tombstones drop LAST, so re-entry redoes the (now no-op) swaps
+    // and refreshes the manifests
+    val tombOpt = readTombs(spark, dir)
+    if (tombOpt.isEmpty) return
+    val tomb = tombOpt.get
+    val rawLive = spark.read.parquet(s"$dir/pos_postings")
+      .join(broadcast(tomb), Seq("docno"), "left_anti")
+    val nPost = math.max(1L,
+      (rawLive.count() + rowsPerFile - 1) / rowsPerFile).toInt
+    graft.queries.IrSql.swapIn(spark, s"$dir/pos_postings",
+      rawLive.repartitionByRange(nPost, col("term"))
+        .sortWithinPartitions("term"))
+    val mapLive = spark.read.parquet(s"$dir/doc_map")
+      .join(broadcast(tomb), Seq("docno"), "left_anti")
+    val nDoc = math.max(1L,
+      (mapLive.count() + rowsPerFile - 1) / rowsPerFile).toInt
+    graft.queries.IrSql.swapIn(spark, s"$dir/doc_map",
+      mapLive.repartitionByRange(nDoc, col("docno"))
+        .sortWithinPartitions("docno"))
+    graft.queries.IrSql.swapIn(spark, s"$dir/pos_postings_ranges",
+      spark.read.parquet(s"$dir/pos_postings")
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col("term")).as("lo"), max(col("term")).as("hi"))
+        .coalesce(1))
+    graft.queries.IrSql.swapIn(spark, s"$dir/doc_map_ranges",
+      spark.read.parquet(s"$dir/doc_map")
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col("docno")).as("lo"), max(col("docno")).as("hi"))
+        .coalesce(1))
+    fs.delete(new Path(root, TombstonesDir), true)
+    ()
   }
 
   /** Exact phrase search: documents containing the query terms at

@@ -338,10 +338,14 @@ object IrEngine {
     * m-token window of the pipeline token sequence, string-compared to
     * the phrase — the independent path the golden is generated from. */
   private[graft] def q36PhraseBrute(spark: SparkSession,
-                                    dir: String): DataFrame = {
+                                    dir: String): DataFrame =
+    phraseBruteOver(spark, corpus(spark, dir))
+
+  private def phraseBruteOver(spark: SparkSession,
+                              c: DataFrame): DataFrame = {
     graft.text.TextPipeline.register(spark)
     val terms = graft.text.TextPipeline.processContent(PhraseQuery)
-    val toks = corpus(spark, dir).select(col("docid"),
+    val toks = c.select(col("docid"),
       expr("graft_tokenize(content)").as("toks"))
     toks.select(col("docid"),
         explode(InvertedIndex.kgramWindows(col("toks"), terms.size))
@@ -350,6 +354,49 @@ object IrEngine {
       .groupBy(col("docid"))
       .agg(count(lit(1)).as("phrase_tf"))
       .orderBy(col("phrase_tf").desc, col("docid"))
+  }
+
+  /** The deletion entries' corpus view: the fixed takedown set
+    * ([[graft.queries.IrSql.DeletedDocsMod]]) removed. */
+  private def corpusMinusDeleted(spark: SparkSession,
+                                 dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(IrSql.DeletedDocsMod)) =!=
+        lit(IrSql.DeletedDocsRem))
+      .select(format_string("D%05d", col("doc_id")).as("docid"),
+        col("text").as("content"))
+
+  /** The golden generator for q36_phrase_deleted: the index-free
+    * brute phrase count over the corpus WITHOUT the deleted docs —
+    * so the entry proves tombstoned phrase retrieval ==
+    * rebuild-without-docs. */
+  private[graft] def q36PhraseDeletedBrute(spark: SparkSession,
+                                           dir: String): DataFrame =
+    phraseBruteOver(spark, corpusMinusDeleted(spark, dir))
+
+  private val posDeletedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The q36 phrase answered from a WRITTEN positional store with the
+    * fixed takedown set TOMBSTONED ([[PositionalIndex.deleteDocs]] —
+    * pending, not compacted, so the entry exercises the query-time
+    * anti-join view). Checked against the brute-over-live-corpus
+    * golden: tombstoned phrase retrieval == rebuild-without-docs. */
+  def q36PhraseDeleted(spark: SparkSession, dir: String): DataFrame = {
+    val store = posDeletedCache.computeIfAbsent(
+      s"$dir|posdel|${sourceStamp(dir, "documents")}", _ => {
+        val o = graft.TempDirs.scratch("graft_pos_del")
+        PositionalIndex.write(
+          PositionalIndex.build(spark, corpus(spark, dir)), o)
+        val delIds = Tables.load(spark, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(IrSql.DeletedDocsMod)) ===
+            lit(IrSql.DeletedDocsRem))
+          .select(format_string("D%05d", col("doc_id")).as("docid"))
+        PositionalIndex.deleteDocs(spark, o, delIds)
+        o
+      })
+    PositionalIndex.phrase(
+      PositionalIndex.load(spark, store), PhraseQuery)
   }
 
   /** Wildcard-phrase parameters: `s*` expands to six surface terms of

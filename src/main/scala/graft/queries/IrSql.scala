@@ -639,10 +639,12 @@ object IrSql {
     val dfs = spark.read.parquet(s"$store/stats")
       .filter(col("term").isin(allTerms: _*))
       .select(col("term"), col("df"))
-    val tf = spark.read.parquet(s"$store/postings")
-      .filter(col("term").isin(allTerms: _*))
+    val tf = liveView(spark, store,
+      spark.read.parquet(s"$store/postings")
+        .filter(col("term").isin(allTerms: _*)))
     tf.join(broadcast(dfs), "term")
-      .join(spark.read.parquet(s"$store/doclen"), "doc_id")
+      .join(liveView(spark, store,
+        spark.read.parquet(s"$store/doclen")), "doc_id")
       .withColumn("tt", lit(tt)).withColumn("nd", lit(nd))
       .join(broadcast(q), "term")
       .select(col("qid"), col("doc_id"),
@@ -867,11 +869,170 @@ object IrSql {
   private val DeltaDoclenDir = "_graft_delta_doclen"
   private val MergeMarker = "_graft_merge_inflight"
 
+  /** [[deleteBm25Docs]] artifact/staging/commit names. */
+  private val TombstonesDir = "tombstones"
+  private val DeleteStaging = "_graft_tomb_new"
+  private val DeleteMarker = "_graft_delete_inflight"
+
+  /** The store's tombstone set (doc_id rows), if any deletions are
+    * pending compaction. */
+  private[graft] def readTombs(spark: SparkSession,
+                               storeDir: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$storeDir/$TombstonesDir")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p)
+        .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
+      Some(spark.read.parquet(p.toString).select(col("doc_id")))
+    else None
+  }
+
+  /** `df` minus tombstoned docs — the query-time read view of a store
+    * with pending deletions. The tombstone side broadcasts: a
+    * takedown set is request-sized, not corpus-sized (compaction
+    * reclaims it; a corpus-scale purge is a rebuild, not a delete). */
+  private def liveView(spark: SparkSession, storeDir: String,
+                       df: DataFrame): DataFrame =
+    readTombs(spark, storeDir).fold(df)(t =>
+      df.join(broadcast(t), Seq("doc_id"), "left_anti"))
+
+  /** TAKEDOWN-SHAPED DELETION from a [[writeBm25Stats]] store — the
+    * inverse of [[mergeBm25Stats]], without a rebuild: doc_ids are
+    * TOMBSTONED (postings/doclen rows stay on disk until
+    * [[compactBm25Deletes]] reclaims them; every query path reads the
+    * store through a tombstone anti-join), while the DERIVED
+    * statistics are made EXACT immediately — per-term df and frontier
+    * pairs are recomputed for the TOUCHED terms only (the terms the
+    * tombstoned docs contain — delta-proportional, the merge
+    * discipline inverted), and the one-row corpus stats recomputed
+    * from the live doc lengths. Post-delete, every ranking equals a
+    * store rebuilt without the docs (spec-pinned + oracle-checked by
+    * q10_bm25_deleted): same tf/dl rows, same df, same (tt, nd);
+    * frontier pairs of UNtouched terms are unchanged and remain exact
+    * (no tombstoned doc contains those terms).
+    *
+    * Crash safety (the [[mergeBm25Stats]] marker protocol): the new
+    * tombstones are staged, the marker is the commit point, and the
+    * derived recompute runs from the FULL tombstone set — so replay
+    * after a crash is idempotent (no double-subtraction; recovery at
+    * every maintenance entry completes a committed delete or rolls an
+    * uncommitted one back). Run behind the serving quiesce, as all
+    * store maintenance; a live [[graft.query.Bm25Server]] detects the
+    * mutation via its store stamp. */
+  def deleteBm25Docs(spark: SparkSession, storeDir: String,
+                     docs: DataFrame): Unit = {
+    recoverBm25Store(spark, storeDir)
+    import org.apache.hadoop.fs.Path
+    import graft.ops.Stage.StageOps
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val doclen = spark.read.parquet(s"$storeDir/doclen")
+    val del0 = docs.select(col("doc_id")).distinct()
+      .join(doclen, Seq("doc_id"), "left_semi")
+    val del = readTombs(spark, storeDir)
+      .fold(del0)(t => del0.join(t, Seq("doc_id"), "left_anti"))
+      .stage()
+    if (del.limit(1).count() == 0) return
+    del.write.mode("overwrite")
+      .parquet(new Path(root, DeleteStaging).toString)
+    fs.create(new Path(root, DeleteMarker), false).close() // COMMIT
+    moveParts(fs, new Path(root, DeleteStaging),
+      new Path(root, TombstonesDir))
+    fs.delete(new Path(root, DeleteStaging), true)
+    finishBm25Delete(spark, storeDir)
+  }
+
+  /** Recompute the derived artifacts' TOUCHED region from the full
+    * tombstone set (idempotent — the crash-replay property), then
+    * clear the delete marker. */
+  private def finishBm25Delete(spark: SparkSession,
+                               storeDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.ops.Stage.StageOps
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombs = readTombs(spark, storeDir).getOrElse {
+      fs.delete(new Path(root, DeleteMarker), false); return
+    }
+    val postings = spark.read.parquet(s"$storeDir/postings")
+    val touchedTerms = postings
+      .join(tombs, Seq("doc_id"), "left_semi")
+      .select(col("term")).distinct().stage()
+    val liveLen = liveView(spark, storeDir,
+      spark.read.parquet(s"$storeDir/doclen")).stage()
+    val livePost = liveView(spark, storeDir, postings)
+      .join(touchedTerms, Seq("term"), "left_semi")
+    val tfl = livePost.join(liveLen, "doc_id")
+      .select(col("term"), col("tf"), col("dl"))
+    val newTouched = livePost.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .join(paretoPairs(tfl), "term")
+    val oldStats = spark.read.parquet(s"$storeDir/stats")
+    val untouched = oldStats
+      .join(touchedTerms, Seq("term"), "left_anti")
+    swapIn(spark, s"$storeDir/stats",
+      untouched.unionByName(
+        newTouched.select(untouched.columns.toIndexedSeq.map(col): _*)))
+    swapIn(spark, s"$storeDir/corpus",
+      liveLen.agg(sum(col("dl")).as("tt"), count(lit(1)).as("nd")))
+    fs.delete(new Path(root, DeleteMarker), false)
+    ()
+  }
+
+  /** Crash recovery for [[deleteBm25Docs]]: marker ABSENT → staged
+    * tombstones are an uncommitted attempt, delete them; marker
+    * PRESENT → finish the delete (move remaining staged tombstones
+    * in, recompute the touched derived region from the full set,
+    * clear). */
+  private[graft] def recoverBm25Delete(spark: SparkSession,
+                                       storeDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(root, DeleteMarker))) {
+      fs.delete(new Path(root, DeleteStaging), true)
+      ()
+    } else {
+      moveParts(fs, new Path(root, DeleteStaging),
+        new Path(root, TombstonesDir))
+      fs.delete(new Path(root, DeleteStaging), true)
+      finishBm25Delete(spark, storeDir)
+    }
+  }
+
+  /** Physically reclaim tombstoned rows: rewrite postings/doclen
+    * without them (crash-safe [[swapIn]]s, range layout preserved),
+    * then drop the tombstones. The derived stats/corpus are ALREADY
+    * exact ([[deleteBm25Docs]] maintains them), and the read view is
+    * identical before and after (the anti-join was a no-op the moment
+    * the rows left disk) — so a crash anywhere in between leaves
+    * every query correct; replay completes the reclaim. Cost: one
+    * rewrite of the two authoritative artifacts — still far below a
+    * rebuild, which re-tokenizes the corpus. */
+  def compactBm25Deletes(spark: SparkSession, storeDir: String): Unit = {
+    recoverBm25Store(spark, storeDir)
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (readTombs(spark, storeDir).isEmpty) return
+    swapIn(spark, s"$storeDir/postings",
+      liveView(spark, storeDir,
+        spark.read.parquet(s"$storeDir/postings"))
+        .repartitionByRange(col("term"))
+        .sortWithinPartitions(col("term"), col("doc_id")))
+    swapIn(spark, s"$storeDir/doclen",
+      liveView(spark, storeDir,
+        spark.read.parquet(s"$storeDir/doclen"))
+        .repartitionByRange(col("doc_id")))
+    fs.delete(new Path(root, TombstonesDir), true)
+    ()
+  }
+
   /** Move every parquet part file of `from` into `to` — each rename
     * is atomic and part names embed a per-job UUID, so replaying the
     * loop after a crash moves exactly the files the first attempt
     * didn't (a file lives in precisely one of the two dirs). */
-  private def moveParts(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def moveParts(fs: org.apache.hadoop.fs.FileSystem,
                         from: org.apache.hadoop.fs.Path,
                         to: org.apache.hadoop.fs.Path): Unit =
     if (fs.exists(from))
@@ -951,7 +1112,7 @@ object IrSql {
     * target and old can only BOTH exist after step 3 (→ finish 4);
     * target absent + complete new → redo 3; target absent +
     * incomplete new → roll the old dir back. */
-  private def swapIn(spark: SparkSession, target: String,
+  private[graft] def swapIn(spark: SparkSession, target: String,
                      df: DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
     val t = new Path(target)
@@ -1006,6 +1167,7 @@ object IrSql {
                                storeDir: String): Unit = {
     Bm25Artifacts.foreach(recoverArtifact(spark, storeDir, _))
     recoverBm25Merge(spark, storeDir)
+    recoverBm25Delete(spark, storeDir)
   }
 
   /** COMPACT a [[mergeBm25Stats]]-maintained store: every merge
@@ -1132,8 +1294,13 @@ object IrSql {
     if (rows.isEmpty)
       return spark.emptyDataFrame
         .select(lit(0L).as("doc_id"), lit(0.0).as("score")).limit(0)
-    val postings = spark.read.parquet(s"$store/postings")
-    val doclen = spark.read.parquet(s"$store/doclen")
+    // pending deletions read through the tombstone anti-join (stats
+    // and corpus rows are already exact — deleteBm25Docs maintains
+    // them at delete time)
+    val postings = liveView(spark, store,
+      spark.read.parquet(s"$store/postings"))
+    val doclen = liveView(spark, store,
+      spark.read.parquet(s"$store/doclen"))
     val topTerm = rows.head._1
     val thetaRows = postings.filter(col("term") === topTerm)
       .join(doclen, "doc_id")
@@ -1174,4 +1341,43 @@ object IrSql {
       writeBm25Stats(spark, dir, o)
       o
     })
+
+  /** The fixed takedown set of the deletion entries — shared with the
+    * oracles (DuckDB `doc_id % mod = rem`) so the two engines delete
+    * the same docs. */
+  val DeletedDocsMod: Long = 13L
+  val DeletedDocsRem: Long = 5L
+
+  /** The deletion entries' doc_id frame over a corpus dir. */
+  private[graft] def deletedDocIds(spark: SparkSession,
+                                   dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(pmod(col("doc_id"), lit(DeletedDocsMod)) ===
+        lit(DeletedDocsRem))
+      .select(col("doc_id"))
+
+  private val bm25DeletedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A per-corpus scratch store with the fixed takedown set DELETED
+    * (tombstones pending — NOT compacted, so the entry exercises the
+    * query-time anti-join and the delete-exact derived stats). */
+  private[graft] def bm25DeletedStore(spark: SparkSession,
+                                      dir: String): String =
+    bm25DeletedCache.computeIfAbsent(s"${bm25StoreKey(dir)}|del", _ => {
+      val o = graft.TempDirs.scratch("graft_bm25_del")
+      writeBm25Stats(spark, dir, o)
+      deleteBm25Docs(spark, o, deletedDocIds(spark, dir))
+      o
+    })
+
+  /** Q10g: the MaxScore-pruned ranking over a store with PENDING
+    * DELETIONS — oracle-checked against full BM25 recomputed over the
+    * corpus WITHOUT the deleted docs, so the driver gate proves
+    * tombstoned retrieval == rebuild-without-docs (df, tt, nd, and
+    * the candidate set all delete-exact). */
+  def q10Bm25Deleted(spark: SparkSession, dir: String,
+                     terms: Seq[String] = ExpandedQueryTerms,
+                     k: Int = 10): DataFrame =
+    q10Bm25PrunedAt(spark, bm25DeletedStore(spark, dir), terms, k)
 }

@@ -147,12 +147,22 @@ final class Bm25Server(spark: SparkSession, storeDir: String,
     * that reuses part names within one mtime tick is still caught. */
   private def storeVersion(): Long =
     DirVersion.of(hfs,
-      Seq("postings", "doclen", "stats", "corpus")
+      Seq("postings", "doclen", "stats", "corpus", "tombstones")
         .map(n => s"$storeDir/$n"))
 
   /** One immutable store snapshot: everything a query touches. */
   private final class State(val version: Long) {
-    val joined: DataFrame = spark.read.parquet(s"$storeDir/postings")
+    // pending deletions drop at SNAPSHOT build (tombstone anti-join
+    // before the cache — zero per-query cost); the stats dictionary
+    // and (tt, nd) are already delete-exact on disk
+    // ([[graft.queries.IrSql.deleteBm25Docs]] maintains them), and
+    // the tombstones dir rides in the version stamp, so a delete
+    // under a live server rebuilds this snapshot like any mutation
+    val joined: DataFrame = IrSql
+      .readTombs(spark, storeDir)
+      .foldLeft(spark.read.parquet(s"$storeDir/postings"))((p, t) =>
+        p.join(org.apache.spark.sql.functions.broadcast(t),
+          Seq("doc_id"), "left_anti"))
       .join(spark.read.parquet(s"$storeDir/doclen"), "doc_id")
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -67,7 +67,8 @@ final class LoadedPhraseServer(spark: SparkSession, dir: String,
   private def storeVersion(): Long =
     DirVersion.of(hfs,
       Seq("pos_postings", "doc_map", "corpus_stats",
-        "pos_postings_ranges", "doc_map_ranges").map(n => s"$dir/$n"))
+        "pos_postings_ranges", "doc_map_ranges", "tombstones")
+        .map(n => s"$dir/$n"))
 
   private def newRef() =
     new AtomicReference[java.util.HashSet[UTF8String]](new java.util.HashSet)
@@ -95,6 +96,19 @@ final class LoadedPhraseServer(spark: SparkSession, dir: String,
     val docRanges: Array[(Long, Long, String)] =
       Routing.longRanges(spark, s"$dir/doc_map_ranges")
 
+    // PENDING DELETIONS: the templates scan part files directly
+    // (bypassing load()'s anti-join), so the tombstoned docnos load
+    // into a driver set here and every template built under this
+    // State filters them out ([[PositionalIndex.deleteDocs]] keeps
+    // the set request-sized; the tombstones dir rides in the stamp,
+    // so a delete under a live server rebuilds the State)
+    val tombs: java.util.HashSet[java.lang.Long] = {
+      val s = new java.util.HashSet[java.lang.Long]()
+      PositionalIndex.readTombs(spark, dir).foreach(
+        _.collect().foreach(r => s.add(r.getLong(0))))
+      s
+    }
+
     val phrasePlans = new TemplatePool[(Seq[String], Int), PhraseTmpl](
       { case (files, n) => buildPhrase(this, files, n) }, maxKeys = maxPlans)
     val resolvePlans = new TemplatePool[Seq[String], ResolveTmpl](
@@ -120,7 +134,7 @@ final class LoadedPhraseServer(spark: SparkSession, dir: String,
       array_intersect(acc, transform(col(s"p$i"), x => x - i))
     }
     // explicit schema: no inference job when the plan is first built
-    val df = spark.read.schema(st.pix.postings.schema).parquet(files: _*)
+    val df = liveScan(st, files)
       .filter(in(both)).coalesce(1)
       .groupBy(col("docno"))
       .agg(slotAggs.head, slotAggs.tail: _*)
@@ -131,6 +145,19 @@ final class LoadedPhraseServer(spark: SparkSession, dir: String,
       .limit(topK)
     df.queryExecution.executedPlan // plan + codegen now, not per query
     PhraseTmpl(both, slots, df)
+  }
+
+  /** A postings-file scan minus the State's tombstoned docnos (the
+    * filter is added only when deletions are pending, so the common
+    * tombstone-free plan is unchanged). */
+  private def liveScan(st: State,
+                       files: Seq[String]): DataFrame = {
+    val scan = spark.read.schema(st.pix.postings.schema)
+      .parquet(files: _*)
+    if (st.tombs.isEmpty) scan
+    else scan.filter(!Bridge.column(RefLongSetContains(
+      Bridge.expression(col("docno")),
+      new AtomicReference(st.tombs))))
   }
 
   private def buildResolve(st: State, files: Seq[String]): ResolveTmpl = {
@@ -152,7 +179,7 @@ final class LoadedPhraseServer(spark: SparkSession, dir: String,
     val slotB = newRef()
     def in(ref: AtomicReference[java.util.HashSet[UTF8String]]) =
       Bridge.column(RefSetContains(Bridge.expression(col("term")), ref))
-    val df = spark.read.schema(st.pix.postings.schema).parquet(files: _*)
+    val df = liveScan(st, files)
       .filter(in(both)).coalesce(1)
       .groupBy(col("docno"))
       .agg(

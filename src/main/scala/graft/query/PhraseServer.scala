@@ -310,7 +310,8 @@ object PhraseServer {
     val hfs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def stamp(): Long = DirVersion.of(hfs,
-      Seq("pos_postings", "doc_map", "corpus_stats").map(n => s"$dir/$n"))
+      Seq("pos_postings", "doc_map", "corpus_stats", "tombstones")
+        .map(n => s"$dir/$n"))
     def loadCached(): PIndex = {
       val pix = PositionalIndex.load(spark, dir)
       pix.postings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -1,0 +1,195 @@
+package graft.index
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.queries.IrSql
+
+/** Round-14 takedown-shaped deletion: tombstones honored at query
+  * time (post-delete == rebuild-without-docs — the oracle entries
+  * q10_bm25_deleted / q36_phrase_deleted prove the absolute answer;
+  * these specs pin the maintenance machinery), reclaimed by
+  * compaction, crash-safe at both protocol states, and detected by
+  * the live servers' stamps. */
+class DeletionSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+
+  // ---- BM25 store ------------------------------------------------
+
+  private def freshBm25Store(): String = {
+    val o = tmp("graft_del_bm25")
+    IrSql.writeBm25Stats(spark, dir, o)
+    o
+  }
+
+  private def ranked(store: String): Seq[(Long, Double)] =
+    IrSql.q10Bm25PrunedAt(spark, store, IrSql.ExpandedQueryTerms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("bm25 delete changes the ranking to the rebuild-without-docs " +
+    "answer; compaction reclaims tombstones without changing it; " +
+    "re-deleting and deleting unknown ids are no-ops") {
+    val store = freshBm25Store()
+    val pre = ranked(store)
+    val del = IrSql.deletedDocIds(spark, dir)
+    IrSql.deleteBm25Docs(spark, store, del)
+    val post = ranked(store)
+    assert(post != pre, "deleting docs left the ranking unchanged — " +
+      "fixture takedown set missed the top-10 entirely?")
+    // == a store BUILT without the docs (the ground truth)
+    val truthDir = tmp("graft_del_bm25_truth")
+    val live = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(IrSql.DeletedDocsMod)) =!=
+        lit(IrSql.DeletedDocsRem))
+    val corpusDir = tmp("graft_del_bm25_corpus")
+    live.write.mode("overwrite")
+      .parquet(s"$corpusDir/documents.parquet")
+    IrSql.writeBm25Stats(spark, corpusDir, truthDir)
+    assert(post == ranked(truthDir),
+      "tombstoned ranking != rebuild-without-docs")
+    // derived artifacts are delete-exact on disk too
+    val (tt, nd) = {
+      val r = spark.read.parquet(s"$store/corpus").head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val rt = spark.read.parquet(s"$truthDir/corpus").head()
+    assert((tt, nd) == ((rt.getLong(0), rt.getLong(1))),
+      "corpus stats not delete-exact")
+    // no-ops: re-delete the same ids, delete ids the store never had
+    IrSql.deleteBm25Docs(spark, store, del)
+    import spark.implicits._
+    IrSql.deleteBm25Docs(spark, store,
+      Seq(999999901L, 999999902L).toDF("doc_id"))
+    assert(ranked(store) == post)
+    // compaction physically reclaims and preserves every answer
+    val rowsBefore = spark.read.parquet(s"$store/postings").count()
+    IrSql.compactBm25Deletes(spark, store)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/tombstones")),
+      "compaction left the tombstones dir")
+    assert(spark.read.parquet(s"$store/postings").count() < rowsBefore,
+      "compaction reclaimed nothing")
+    assert(ranked(store) == post, "compaction changed the ranking")
+  }
+
+  test("bm25 delete crash states: uncommitted staging rolls back; a " +
+    "committed marker replays to the exact post-delete store") {
+    val store = freshBm25Store()
+    val pre = ranked(store)
+    val del = IrSql.deletedDocIds(spark, dir)
+    // A: staged tombstones, NO marker → rollback (store untouched)
+    del.write.parquet(s"$store/_graft_tomb_new")
+    IrSql.recoverBm25Delete(spark, store)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$store/_graft_tomb_new")))
+    assert(ranked(store) == pre, "rollback changed the store")
+    // B: committed (marker present) with staged tombstones → replay
+    // completes the delete, including the derived recompute
+    del.write.parquet(s"$store/_graft_tomb_new")
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$store/_graft_delete_inflight"), false).close()
+    IrSql.recoverBm25Delete(spark, store)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$store/_graft_delete_inflight")))
+    val replayed = ranked(store)
+    val direct = freshBm25Store()
+    IrSql.deleteBm25Docs(spark, direct, del)
+    assert(replayed == ranked(direct),
+      "crash replay != direct delete")
+  }
+
+  test("a delete under a LIVE Bm25Server is detected by the stamp " +
+    "(post-delete served == fresh, no refresh)") {
+    val store = freshBm25Store()
+    val srv = new graft.query.Bm25Server(spark, store)
+    val preServed = srv.search(IrSql.ExpandedQueryTerms)
+    assert(preServed == ranked(store))
+    IrSql.deleteBm25Docs(spark, store, IrSql.deletedDocIds(spark, dir))
+    val postServed = srv.search(IrSql.ExpandedQueryTerms)
+    assert(postServed != preServed, "fixture delete missed the top-10")
+    assert(postServed == ranked(store),
+      "stale served ranking after a delete (stamp missed it)")
+    // compaction under the live server too
+    IrSql.compactBm25Deletes(spark, store)
+    assert(srv.search(IrSql.ExpandedQueryTerms) == postServed)
+  }
+
+  // ---- positional index ------------------------------------------
+
+  test("positional delete serves the live view through load() and a " +
+    "LIVE LoadedPhraseServer; compaction reclaims and preserves") {
+    val posDir = tmp("graft_del_pos")
+    val corpus = graft.queries.IrEngine.corpus(spark, dir)
+    PositionalIndex.write(PositionalIndex.build(spark, corpus), posDir)
+    val srv = new graft.query.LoadedPhraseServer(spark, posDir)
+    val phrase = graft.queries.IrEngine.PhraseQuery
+    val pre = srv.phrase(phrase)
+    assert(pre.nonEmpty)
+    // delete exactly the top hit
+    import spark.implicits._
+    PositionalIndex.deleteDocs(spark, posDir,
+      Seq(pre.head._1).toDF("docid"))
+    // fresh load() excludes it...
+    val fresh = PositionalIndex
+      .phrase(PositionalIndex.load(spark, posDir), phrase)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(!fresh.map(_._1).contains(pre.head._1))
+    assert(fresh == pre.tail, "live view != pre-delete minus the doc")
+    // ...and the LIVE routed server detects the delete via its stamp
+    val served = srv.phrase(phrase)
+    assert(served == fresh, s"stale served phrase after delete: " +
+      s"served=$served fresh=$fresh")
+    // corpus_stats went live
+    val n = spark.read.parquet(s"$posDir/corpus_stats")
+      .head().getAs[Long]("n_docs")
+    assert(n == corpus.count() - 1)
+    // compaction: tombstones reclaimed, answers preserved, the live
+    // server keeps serving (manifests refreshed, stamp rebuild)
+    val rowsBefore = spark.read.parquet(s"$posDir/pos_postings").count()
+    PositionalIndex.compactDeletes(spark, posDir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$posDir/tombstones")))
+    assert(spark.read.parquet(s"$posDir/pos_postings").count()
+      < rowsBefore)
+    assert(srv.phrase(phrase) == fresh,
+      "post-compaction served phrase diverged")
+    assert(PositionalIndex
+      .phrase(PositionalIndex.load(spark, posDir), phrase)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      == fresh)
+  }
+
+  test("positional delete crash states recover (rollback and replay)") {
+    val posDir = tmp("graft_del_pos_crash")
+    val corpus = graft.queries.IrEngine.corpus(spark, dir)
+    PositionalIndex.write(PositionalIndex.build(spark, corpus), posDir)
+    val phrase = graft.queries.IrEngine.PhraseQuery
+    def hits() = PositionalIndex
+      .phrase(PositionalIndex.load(spark, posDir), phrase)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val pre = hits()
+    val victimDocno = spark.read.parquet(s"$posDir/doc_map")
+      .filter(col("docid") === pre.head._1)
+      .head().getAs[Long]("docno")
+    import spark.implicits._
+    // A: staged, no marker → rollback
+    Seq(victimDocno).toDF("docno").write
+      .parquet(s"$posDir/_graft_tomb_new")
+    PositionalIndex.recoverPosDelete(spark, posDir)
+    assert(hits() == pre)
+    // B: staged + marker → replay completes (doc gone, stats live)
+    Seq(victimDocno).toDF("docno").write
+      .parquet(s"$posDir/_graft_tomb_new")
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$posDir/_graft_delete_inflight"), false).close()
+    PositionalIndex.recoverPosDelete(spark, posDir)
+    assert(hits() == pre.tail)
+    assert(spark.read.parquet(s"$posDir/corpus_stats")
+      .head().getAs[Long]("n_docs") == corpus.count() - 1)
+  }
+}
