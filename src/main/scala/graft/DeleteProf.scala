@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Prices the round-14 deletion path against the rebuild it replaces,
+  * at the ambient SF: for the BM25 stats store and the positional
+  * index, measure (a) a full from-corpus build, (b) tombstoning the
+  * fixed takedown set ([[graft.queries.IrSql.DeletedDocsMod]] — ~1/13
+  * of the corpus, far LARGER than a real takedown batch, so the
+  * numbers are conservative), (c) compaction reclaiming the
+  * tombstones. The SCALING.md claim "delete+compact ≪ rebuild" is
+  * then a measured row, not an assertion.
+  *
+  * Usage: `SPARK_GRAFT_SF_DIR=... sbt "runMain graft.DeleteProf"` */
+object DeleteProf {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = ExtraConf(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "1min"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def tmp(tag: String) =
+      java.nio.file.Files.createTempDirectory(tag).toString
+
+    // JIT warmup at the smallest SF (the Prof discipline)
+    locally {
+      val w = tmp("graft_delprof_warm")
+      graft.queries.IrSql.writeBm25Stats(spark, "/root/testdata/sf0.001", w)
+      graft.queries.IrSql.deleteBm25Docs(spark, w,
+        graft.queries.IrSql.deletedDocIds(spark, "/root/testdata/sf0.001"))
+      graft.queries.IrSql.compactBm25Deletes(spark, w)
+    }
+
+    // the TAKEDOWN shape: a fixed 100-doc batch. (The oracle entries
+    // delete 1/13 of the corpus — a bulk purge; on this synthetic
+    // corpus, whose docs share one vocabulary, that touches nearly
+    // every term's stats, so its delete cost approaches a derived
+    // rebuild by construction. A takedown batch is fixed-size, so its
+    // cost must stay ~flat while rebuild grows with the corpus —
+    // that's the exponent this prof prices.)
+    val TakedownDocs = 100
+
+    // ---- BM25 stats store
+    val bmDir = tmp("graft_delprof_bm25")
+    val tBuild = time {
+      graft.queries.IrSql.writeBm25Stats(spark, sfDir, bmDir) }
+    val del = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id")).orderBy(col("doc_id"))
+      .limit(TakedownDocs)
+    val tDelete = time {
+      graft.queries.IrSql.deleteBm25Docs(spark, bmDir, del) }
+    val tCompact = time {
+      graft.queries.IrSql.compactBm25Deletes(spark, bmDir) }
+    println(f"[deleteprof] bm25  rebuild=$tBuild%.2f s " +
+      f"delete=$tDelete%.2f s compact=$tCompact%.2f s " +
+      f"(docs_deleted=$TakedownDocs%d, delete+compact/rebuild=" +
+      f"${(tDelete + tCompact) / tBuild}%.2f)")
+
+    // ---- positional index
+    val posDir = tmp("graft_delprof_pos")
+    val corpus = graft.queries.IrEngine.corpus(spark, sfDir)
+    val tBuildP = time {
+      graft.index.PositionalIndex.write(
+        graft.index.PositionalIndex.build(spark, corpus), posDir) }
+    val delIds = Tables.load(spark, sfDir, "documents")
+      .orderBy(col("doc_id")).limit(TakedownDocs)
+      .select(format_string("D%05d", col("doc_id")).as("docid"))
+    val tDeleteP = time {
+      graft.index.PositionalIndex.deleteDocs(spark, posDir, delIds) }
+    val tCompactP = time {
+      graft.index.PositionalIndex.compactDeletes(spark, posDir) }
+    println(f"[deleteprof] pos   rebuild=$tBuildP%.2f s " +
+      f"delete=$tDeleteP%.2f s compact=$tCompactP%.2f s " +
+      f"(delete+compact/rebuild=${(tDeleteP + tCompactP) / tBuildP}%.2f)")
+    spark.stop()
+  }
+}

@@ -65,6 +65,65 @@ object FunnelProf {
       if (nd < 0 || kd < 0) println("") // keep both live
       (System.nanoTime() - t0) / 1e9
     }
+    // ---- ONE-BATCH decomposition at the ambient SF (r14): where a
+    // funnel batch's wall actually goes — per-gate compute vs
+    // accumulated-state probes vs index appends vs a compaction
+    // event — so the stream row's sf-level constant is attributable
+    // from numbers, not guessed from the end-to-end time (the r13
+    // verdict item; the r13 regression itself turned out to be
+    // un-coalesced appends tripping the file bound every batch)
+    locally {
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_funnelprof_batch").toString
+      val bandDir = s"$root/bands"
+      val digestDir = s"$root/digests"
+      val benchDir = s"$root/bench"
+      val prefix = d.filter(col("doc_id") < n - BatchDocs)
+      graft.ops.Dedup.bandRowsOf(prefix)
+        .select(col("doc_id"), col("band"), col("key"))
+        .write.mode("overwrite").parquet(bandDir)
+      prefix.select(md5(col("text")).as("digest")).distinct()
+        .write.mode("overwrite").parquet(digestDir)
+      graft.ops.Dedup.docShingles(spark, sfDir)
+        .filter(pmod(col("doc_id"),
+          lit(graft.ops.TextAnalysis.ContamMod)) === 0)
+        .select("shingle").distinct()
+        .write.mode("overwrite").parquet(benchDir)
+      def run(tag: String)(f: => Unit): Unit =
+        println(f"[funnelprof_batch] $tag%-14s ${(1 to 3).map(_ =>
+          time(f)).min}%.3f s")
+      run("gate_langid") {
+        graft.ops.TextAnalysis.langIdOf(batch).count(); () }
+      run("gate_quality") {
+        graft.ops.TextAnalysis.qualityOf(batch).count(); () }
+      run("gate_exact") {
+        bDigests.join(spark.read.parquet(digestDir),
+          Seq("digest"), "left_anti").count(); () }
+      run("gate_neardup") {
+        bBands.as("y").join(spark.read.parquet(bandDir).as("x"),
+            col("x.band") === col("y.band") &&
+              col("x.key") === col("y.key"))
+          .select(col("y.doc_id")).distinct().count(); () }
+      run("gate_decontam") {
+        val sh = graft.ops.Dedup.docShinglesOf(batch)
+        sh.join(broadcast(spark.read.parquet(benchDir)), "shingle")
+          .groupBy("doc_id").agg(count(lit(1))).count(); () }
+      run("index_append") {
+        bDigests.select("digest")
+          .coalesce(1).write.mode("append").parquet(digestDir)
+        bBands.coalesce(1).write.mode("append").parquet(bandDir) }
+      run("compact_check") {
+        Seq(digestDir, bandDir).foreach(parts); () }
+      println(f"[funnelprof_batch] compact_pass   ${time {
+        graft.ops.TextAnalysis.compact(spark, digestDir)
+        graft.ops.TextAnalysis.compact(spark, bandDir)
+      }}%.3f s (the amortized event: once per ~" +
+        s"${graft.queries.IrEngine.FunnelIndexMaxFiles} batches)")
+    }
+
     // accumulate prefixes in BatchDocs-sized appends (one file set
     // per append — the standing-ingest fragmentation shape)
     val levels = Seq(n / 26, n / 26 * 10, n - BatchDocs)

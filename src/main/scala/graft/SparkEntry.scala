@@ -164,6 +164,7 @@ object SparkEntry {
     "q26_ir_merged" -> (IrEngine.q26MergedIndex _),
     "q26_ir_stream" -> (IrEngine.q26StreamedIndex _),
     "q26_ir_search" -> (IrEngine.q26Search _),
+    "q26_ir_search_deleted" -> (IrEngine.q26SearchDeleted _),
     "q26_ir_rm3" -> (IrEngine.q26Rm3 _),
     "q26_ir_wildcard" -> (IrEngine.q26Wildcard _),
     "q26_ir_merged_wildcard" -> (IrEngine.q26MergedWildcard _),
@@ -1109,6 +1110,11 @@ object SparkEntry {
     // exactly the rebuild-without-docs answer
     "q36_phrase_deleted" ->
       """SELECT * FROM '/root/repo/golden/q36_phrase_deleted.parquet'""",
+    // golden from the engine run on the reduced corpus: tombstoned
+    // tf-idf retrieval from the written ranked index ==
+    // rebuild-without-docs (df and nDocs delete-exact)
+    "q26_ir_search_deleted" ->
+      """SELECT * FROM '/root/repo/golden/q26_ir_search_deleted.parquet'""",
     "q36_near" ->
       """SELECT * FROM '/root/repo/golden/q36_near.parquet'""",
     "q36_near_ordered" ->

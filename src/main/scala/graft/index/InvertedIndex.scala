@@ -289,12 +289,169 @@ object InvertedIndex {
       .format("parquet").saveAsTable(s"${table}_term_stats")
   }
 
+  /** Load a [[write]]-layout index. A store with PENDING DELETIONS
+    * ([[deleteDocs]]) loads as its LIVE view: postings and doc_map
+    * anti-join the tombstoned docnos (broadcast — takedown-sized;
+    * [[compactDeletes]] reclaims), while term_stats and corpus_stats
+    * are already delete-exact on disk (deleteDocs maintains them), so
+    * every ranked/wildcard/RM3 path over the loaded index honors
+    * deletions without knowing they exist. */
   def load(spark: SparkSession, dir: String): Index = {
     val n = spark.read.parquet(s"$dir/corpus_stats")
       .head().getLong(0)
-    Index(
-      spark.read.parquet(s"$dir/postings"),
-      spark.read.parquet(s"$dir/term_stats"),
-      spark.read.parquet(s"$dir/doc_map"), n)
+    val post = spark.read.parquet(s"$dir/postings")
+    val dm = spark.read.parquet(s"$dir/doc_map")
+    readTombs(spark, dir) match {
+      case Some(t) =>
+        Index(post.join(broadcast(t), Seq("docno"), "left_anti"),
+          spark.read.parquet(s"$dir/term_stats"),
+          dm.join(broadcast(t), Seq("docno"), "left_anti"), n)
+      case None =>
+        Index(post, spark.read.parquet(s"$dir/term_stats"), dm, n)
+    }
+  }
+
+  private val TombstonesDir = "tombstones"
+  private val DeleteStaging = "_graft_tomb_new"
+  private val DeleteMarker = "_graft_delete_inflight"
+
+  /** The store's tombstoned docnos, if any deletions are pending. */
+  private[graft] def readTombs(spark: SparkSession,
+                               dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$TombstonesDir")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p)
+        .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
+      Some(spark.read.parquet(p.toString).select(col("docno")))
+    else None
+  }
+
+  /** TAKEDOWN-SHAPED DELETION from a written ranked index — the
+    * [[graft.queries.IrSql.deleteBm25Docs]] discipline for the
+    * tf-idf quadruple: docids' docnos are TOMBSTONED (rows reclaimed
+    * by [[compactDeletes]]; [[load]] serves the live view), and the
+    * DERIVED statistics go exact at delete time — per-kgram df
+    * recomputed for the TOUCHED kgrams only from the live postings
+    * (kgrams with no surviving posting DROP from the stats, exactly
+    * as a rebuild would), corpus_stats recomputed to the live count.
+    * Post-delete, every ranking equals an index rebuilt without the
+    * docs (scores read df from term_stats or a live postings window —
+    * both delete-exact — and nDocs from corpus_stats). Staged
+    * tombstones + marker commit; [[recoverDelete]] replays or rolls
+    * back. (The chargram artifact stays rebuild-only: its term lists
+    * are VOCABULARY-level, so doc-granular deletion is a vocabulary
+    * recount — the reference's own semantics.) */
+  def deleteDocs(spark: SparkSession, dir: String,
+                 docids: DataFrame): Unit = {
+    recoverDelete(spark, dir)
+    import org.apache.hadoop.fs.Path
+    import graft.ops.Stage.StageOps
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val del0 = spark.read.parquet(s"$dir/doc_map")
+      .join(docids.select(col("docid")).distinct(), Seq("docid"),
+        "left_semi")
+      .select(col("docno"))
+    val del = readTombs(spark, dir)
+      .fold(del0)(t => del0.join(t, Seq("docno"), "left_anti"))
+      .stage()
+    if (del.limit(1).count() == 0) return
+    del.write.mode("overwrite")
+      .parquet(new Path(root, DeleteStaging).toString)
+    fs.create(new Path(root, DeleteMarker), false).close() // COMMIT
+    graft.queries.IrSql.moveParts(fs, new Path(root, DeleteStaging),
+      new Path(root, TombstonesDir))
+    fs.delete(new Path(root, DeleteStaging), true)
+    finishDelete(spark, dir)
+  }
+
+  /** Recompute the derived artifacts' touched region from the FULL
+    * tombstone set (idempotent), then clear the marker. */
+  private def finishDelete(spark: SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.ops.Stage.StageOps
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readTombs(spark, dir).foreach { t =>
+      val post = spark.read.parquet(s"$dir/postings")
+      val touched = post.join(broadcast(t), Seq("docno"), "left_semi")
+        .select(col("kgram")).distinct().stage()
+      val liveTouched = post
+        .join(broadcast(t), Seq("docno"), "left_anti")
+        .join(touched, Seq("kgram"), "left_semi")
+        .groupBy(col("kgram")).agg(count(lit(1)).as("df"))
+      val oldStats = spark.read.parquet(s"$dir/term_stats")
+      val untouched = oldStats
+        .join(touched, Seq("kgram"), "left_anti")
+      graft.queries.IrSql.swapIn(spark, s"$dir/term_stats",
+        untouched.unionByName(liveTouched
+          .select(untouched.columns.toIndexedSeq.map(col): _*)))
+      graft.queries.IrSql.swapIn(spark, s"$dir/corpus_stats",
+        spark.read.parquet(s"$dir/doc_map")
+          .join(broadcast(t), Seq("docno"), "left_anti")
+          .agg(count(lit(1)).as("n_docs")))
+    }
+    fs.delete(new Path(root, DeleteMarker), false)
+    ()
+  }
+
+  /** Crash recovery for [[deleteDocs]] (the marker protocol). */
+  private[graft] def recoverDelete(spark: SparkSession,
+                                   dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.queries.IrSql.recoverArtifact(spark, dir, "term_stats")
+    graft.queries.IrSql.recoverArtifact(spark, dir, "corpus_stats")
+    if (!fs.exists(new Path(root, DeleteMarker))) {
+      fs.delete(new Path(root, DeleteStaging), true)
+      ()
+    } else {
+      graft.queries.IrSql.moveParts(fs, new Path(root, DeleteStaging),
+        new Path(root, TombstonesDir))
+      fs.delete(new Path(root, DeleteStaging), true)
+      finishDelete(spark, dir)
+    }
+  }
+
+  /** Physically reclaim tombstoned rows (crash-safe swaps, range
+    * layouts + zone-map manifests refreshed), then drop the
+    * tombstones — the read view is identical at every instant, and a
+    * replay completes an interrupted pass (tombstones drop LAST). */
+  def compactDeletes(spark: SparkSession, dir: String,
+                     rowsPerFile: Long = WriteRowsPerFile): Unit = {
+    recoverDelete(spark, dir)
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombOpt = readTombs(spark, dir)
+    if (tombOpt.isEmpty) return
+    val tomb = tombOpt.get
+    val livePost = spark.read.parquet(s"$dir/postings")
+      .join(broadcast(tomb), Seq("docno"), "left_anti")
+    val nPost = math.max(1L,
+      (livePost.count() + rowsPerFile - 1) / rowsPerFile).toInt
+    graft.queries.IrSql.swapIn(spark, s"$dir/postings",
+      livePost.repartitionByRange(nPost, col("kgram"))
+        .sortWithinPartitions("kgram"))
+    val liveMap = spark.read.parquet(s"$dir/doc_map")
+      .join(broadcast(tomb), Seq("docno"), "left_anti")
+    val nDoc = math.max(1L,
+      (liveMap.count() + rowsPerFile - 1) / rowsPerFile).toInt
+    graft.queries.IrSql.swapIn(spark, s"$dir/doc_map",
+      liveMap.repartitionByRange(nDoc, col("docno"))
+        .sortWithinPartitions("docno"))
+    graft.queries.IrSql.swapIn(spark, s"$dir/postings_ranges",
+      spark.read.parquet(s"$dir/postings")
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col("kgram")).as("lo"), max(col("kgram")).as("hi"))
+        .coalesce(1))
+    graft.queries.IrSql.swapIn(spark, s"$dir/doc_map_ranges",
+      spark.read.parquet(s"$dir/doc_map")
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col("docno")).as("lo"), max(col("docno")).as("hi"))
+        .coalesce(1))
+    fs.delete(new Path(root, TombstonesDir), true)
+    ()
   }
 }

@@ -217,6 +217,48 @@ object IrEngine {
     QueryEngine.search(ix, "merge stream")
   }
 
+  private val invDeletedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The q26 ranked search answered from a WRITTEN inverted index
+    * with the fixed takedown set TOMBSTONED
+    * ([[InvertedIndex.deleteDocs]] — pending, not compacted).
+    * Projected to (docid, score): surviving docs keep their original
+    * docnos while a rebuild renumbers, so the docno column is the one
+    * legitimate difference. Checked against a golden from the engine
+    * run on the corpus WITHOUT the docs — tombstoned tf-idf retrieval
+    * == rebuild-without-docs (df, nDocs both delete-exact). */
+  def q26SearchDeleted(spark: SparkSession, dir: String): DataFrame = {
+    val store = invDeletedCache.computeIfAbsent(
+      s"$dir|invdel|${sourceStamp(dir, "documents")}", _ => {
+        val o = graft.TempDirs.scratch("graft_inv_del")
+        InvertedIndex.write(
+          InvertedIndex.build(spark, corpus(spark, dir), k = 1), o)
+        val delIds = Tables.load(spark, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(IrSql.DeletedDocsMod)) ===
+            lit(IrSql.DeletedDocsRem))
+          .select(format_string("D%05d", col("doc_id")).as("docid"))
+        InvertedIndex.deleteDocs(spark, o, delIds)
+        o
+      })
+    QueryEngine.serveSearch(InvertedIndex.load(spark, store),
+        "merge stream")
+      .select(col("docid"), col("score"))
+      .orderBy(col("score").desc, col("docid"))
+  }
+
+  /** Golden generator for q26_ir_search_deleted: the engine run on
+    * the reduced corpus (docnos projected away — a rebuild
+    * renumbers). */
+  private[graft] def q26SearchDeletedBrute(spark: SparkSession,
+                                           dir: String): DataFrame = {
+    val ix = InvertedIndex.build(spark,
+      corpusMinusDeleted(spark, dir), k = 1)
+    QueryEngine.search(ix, "merge stream")
+      .select(col("docid"), col("score"))
+      .orderBy(col("score").desc, col("docid"))
+  }
+
   /** RM3 pseudo-relevance-feedback search through the full engine
     * (build → initial tf-idf pass → relevance-model expansion →
     * weighted re-ranking; [[graft.query.QueryEngine.rm3Search]]).
@@ -1019,33 +1061,53 @@ object IrEngine {
               col("k").isNotNull.as("g3"),
               col("nd").isNull.as("g4"),
               col("c").isNotNull.as("g5"))
-            .write.mode("append").parquet(auditDir)
+            .coalesce(1).write.mode("append").parquet(auditDir)
+          // ONE file per batch per channel (coalesce before append):
+          // an un-coalesced append lands one file PER SHUFFLE
+          // PARTITION (~32), blowing through the compaction bound on
+          // the very first batches — r13's q29_funnel_stream constant
+          // was the in-loop compaction firing near-every batch for
+          // exactly this reason. A batch's index delta is
+          // batch-sized; one part file is its natural unit.
           bd.select("digest").distinct()
-            .write.mode("append").parquet(digestDir)
-          bands.write.mode("append").parquet(bandDir)
+            .coalesce(1).write.mode("append").parquet(digestDir)
+          bands.coalesce(1).write.mode("append").parquet(bandDir)
           bands.unpersist()
           indexNonEmpty = true
           // AUTO-COMPACTION of the accumulated gate indexes — the
           // q29AnnStream in-loop discipline applied to the funnel's
-          // two append channels: every batch adds one file set, and
-          // at standing-ingest batch counts the digest anti-join and
+          // two append channels: every batch adds ONE file, and at
+          // standing-ingest batch counts the digest anti-join and
           // band equi-join degrade with file COUNT (FunnelProf
           // measures it), so the loop itself bounds fragmentation
           // instead of relying on post-hoc maintenance. Cheap no-op
-          // listing per batch while under the bound; safe here
+          // listing per batch while under the bound; when EITHER
+          // channel exceeds it, BOTH compact in the one maintenance
+          // pass (they accumulate in lockstep — amortized to one
+          // rewrite pair per ~FunnelIndexMaxFiles batches). Safe here
           // because foreachBatch serializes with the next batch's
           // reads.
-          Seq(digestDir, bandDir).foreach { d =>
-            if (parquetPartCount(d) > FunnelIndexMaxFiles)
-              graft.ops.TextAnalysis.compact(bs, d)
-          }
+          if (Seq(digestDir, bandDir)
+              .exists(parquetPartCount(_) > FunnelIndexMaxFiles))
+            Seq(digestDir, bandDir)
+              .foreach(graft.ops.TextAnalysis.compact(bs, _))
         } finally { b.unpersist(); () }
         ()
       }
       .start()
+    val paa0 = System.nanoTime()
     try q.processAllAvailable() finally q.stop()
+    // the trigger-scheduler wall of THIS run, exposed so the bench
+    // artifact can attribute session scheduler noise (r13: the row
+    // swung 3× across same-code sessions with flat GC) — the bench
+    // prints it beside the row's end-to-end time
+    lastFunnelStreamWallSec = (System.nanoTime() - paa0) / 1e9
     spark.read.parquet(auditDir)
   }
+
+  /** Wall seconds of the last [[q29FunnelAudit]]
+    * `processAllAvailable` (see its note). */
+  @volatile var lastFunnelStreamWallSec: Double = -1.0
 
   /** File-count bound on the funnel's accumulated digest/band indexes
     * before the in-loop compaction rewrites them (the

@@ -94,7 +94,7 @@ final class LoadedPointServer(spark: SparkSession, dir: String,
   private def storeVersion(): Long =
     DirVersion.of(hfs,
       Seq("postings", "doc_map", "corpus_stats", "postings_ranges",
-        "doc_map_ranges").map(n => s"$dir/$n"))
+        "doc_map_ranges", "tombstones").map(n => s"$dir/$n"))
 
   private final case class ScoreTmpl(
       ref: AtomicReference[java.util.HashSet[UTF8String]], df: DataFrame)
@@ -119,6 +119,18 @@ final class LoadedPointServer(spark: SparkSession, dir: String,
       fs => buildScore(this, fs), maxKeys = maxPlans)
     val resolvePlans = new TemplatePool[Seq[String], ResolveTmpl](
       fs => buildResolve(this, fs), maxKeys = maxPlans)
+
+    // PENDING DELETIONS: the templates scan part files directly
+    // (bypassing load()'s anti-join), so the tombstoned docnos load
+    // into a driver set and every template built under this State
+    // filters them out (the LoadedPhraseServer discipline; the
+    // tombstones dir rides in the stamp)
+    val tombs: java.util.HashSet[java.lang.Long] = {
+      val s = new java.util.HashSet[java.lang.Long]()
+      graft.index.InvertedIndex.readTombs(spark, dir).foreach(
+        _.collect().foreach(r => s.add(r.getLong(0))))
+      s
+    }
   }
 
   private def buildScore(st: State, files: Seq[String]): ScoreTmpl = {
@@ -126,8 +138,17 @@ final class LoadedPointServer(spark: SparkSession, dir: String,
       new AtomicReference[java.util.HashSet[UTF8String]](new java.util.HashSet)
     val inTerms =
       Bridge.column(RefSetContains(Bridge.expression(col("kgram")), ref))
-    // explicit schema: no inference job when the plan is first built
-    val df = spark.read.schema(st.ix.postings.schema).parquet(files: _*)
+    // explicit schema: no inference job when the plan is first built;
+    // pending deletions filter out at the scan (tombstone-free States
+    // keep the unfiltered plan)
+    val scan0 = spark.read.schema(st.ix.postings.schema)
+      .parquet(files: _*)
+    val scan =
+      if (st.tombs.isEmpty) scan0
+      else scan0.filter(!Bridge.column(RefLongSetContains(
+        Bridge.expression(col("docno")),
+        new AtomicReference(st.tombs))))
+    val df = scan
       .filter(inTerms).coalesce(1)
       .withColumn("df",
         count(lit(1)).over(Window.partitionBy(col("kgram"))))

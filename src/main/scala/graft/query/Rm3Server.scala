@@ -283,8 +283,8 @@ object Rm3Server {
     val hfs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def stamp(): Long = DirVersion.of(hfs,
-      Seq("postings", "term_stats", "doc_map", "corpus_stats")
-        .map(n => s"$dir/$n"))
+      Seq("postings", "term_stats", "doc_map", "corpus_stats",
+        "tombstones").map(n => s"$dir/$n"))
     def loadCached(): Index = {
       val ix = graft.index.InvertedIndex.load(spark, dir)
       ix.postings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -164,6 +164,55 @@ class DeletionSpec extends SparkSpec {
       == fresh)
   }
 
+  test("inverted-index delete: load() serves rebuild-without-docs " +
+    "rankings; a LIVE LoadedPointServer detects it; compaction " +
+    "reclaims; crash states recover") {
+    val ixDir = tmp("graft_del_inv")
+    val corpus = graft.queries.IrEngine.corpus(spark, dir)
+    InvertedIndex.write(
+      InvertedIndex.build(spark, corpus, k = 1), ixDir)
+    val lps = new graft.query.LoadedPointServer(spark, ixDir)
+    val pre = lps.search("merge stream")
+    assert(pre.nonEmpty)
+    import spark.implicits._
+    val victim = pre.head._2 // top docid
+    InvertedIndex.deleteDocs(spark, ixDir, Seq(victim).toDF("docid"))
+    // fresh load == engine over the corpus minus the doc (df/nDocs
+    // exact, docnos preserved so full-row compare works here)
+    val fresh = graft.query.QueryEngine
+      .serveSearch(InvertedIndex.load(spark, ixDir), "merge stream")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(!fresh.map(_._2).contains(victim))
+    val rebuilt = graft.query.QueryEngine
+      .search(InvertedIndex.build(spark,
+        corpus.filter(col("docid") =!= victim), k = 1), "merge stream")
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toSeq
+    assert(fresh.map(t => (t._2, t._3)) == rebuilt,
+      "tombstoned ranking != rebuild-without-doc")
+    // the LIVE routed server detects the delete via its stamp
+    assert(lps.search("merge stream") == fresh,
+      "stale served ranking after an inverted-index delete")
+    // crash replay: stage + marker for a second victim, recover
+    val victim2 = fresh.head._1
+    Seq(victim2).toDF("docno").write
+      .parquet(s"$ixDir/_graft_tomb_new")
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$ixDir/_graft_delete_inflight"), false).close()
+    InvertedIndex.recoverDelete(spark, ixDir)
+    val afterReplay = lps.search("merge stream")
+    assert(!afterReplay.map(_._1).contains(victim2),
+      "crash replay did not apply the staged tombstone")
+    // compaction reclaims and preserves (server keeps serving)
+    val rowsBefore = spark.read.parquet(s"$ixDir/postings").count()
+    InvertedIndex.compactDeletes(spark, ixDir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$ixDir/tombstones")))
+    assert(spark.read.parquet(s"$ixDir/postings").count() < rowsBefore)
+    assert(lps.search("merge stream") == afterReplay,
+      "compaction changed the served ranking")
+  }
+
   test("positional delete crash states recover (rollback and replay)") {
     val posDir = tmp("graft_del_pos_crash")
     val corpus = graft.queries.IrEngine.corpus(spark, dir)
