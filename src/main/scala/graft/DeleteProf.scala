@@ -81,6 +81,27 @@ object DeleteProf {
     println(f"[deleteprof] pos   rebuild=$tBuildP%.2f s " +
       f"delete=$tDeleteP%.2f s compact=$tCompactP%.2f s " +
       f"(delete+compact/rebuild=${(tDeleteP + tCompactP) / tBuildP}%.2f)")
+
+    // ---- durable IVF vector store: tombstone append vs the layout
+    // rebuild it replaces; reclaim surgery rewrites only the cells a
+    // dead NON-seed row lives in (a fixed batch touches at most
+    // |batch| cells — the cost follows the takedown, not the corpus)
+    val ivfDir = tmp("graft_delprof_ivf")
+    val tBuildV = time {
+      graft.ops.Similarity.writeIvfLayout(spark, sfDir, ivfDir) }
+    val delV = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id")).orderBy(col("vec_id").desc) // non-seeds
+      .limit(TakedownDocs)
+    val tDeleteV = time {
+      graft.ops.Similarity.deleteIvfVectors(spark, ivfDir, delV) }
+    var cellsRewritten = 0
+    val tCompactV = time {
+      cellsRewritten =
+        graft.ops.Similarity.compactIvfDeletes(spark, ivfDir) }
+    println(f"[deleteprof] ivf   rebuild=$tBuildV%.2f s " +
+      f"delete=$tDeleteV%.2f s compact=$tCompactV%.2f s " +
+      f"(cells_rewritten=$cellsRewritten%d, delete+compact/rebuild=" +
+      f"${(tDeleteV + tCompactV) / tBuildV}%.2f)")
     spark.stop()
   }
 }

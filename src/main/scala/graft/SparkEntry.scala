@@ -280,6 +280,11 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Similarity.hybridRecallEval(s, d)),
     "q25_ann_ivf_auto" ->
       ((s: SparkSession, d: String) => Similarity.annIvfAuto(s, d)),
+    "q25_ann_ivf_deleted" ->
+      ((s: SparkSession, d: String) => Similarity.annIvfDeleted(s, d)),
+    "q25_ann_ivf_deleted_compacted" ->
+      ((s: SparkSession, d: String) =>
+        Similarity.annIvfDeletedCompacted(s, d)),
     "q25_pq_codes" -> (Pq.pqCodes _),
     "q25_ann_pq" ->
       ((s: SparkSession, d: String) => Pq.annPq(s, d)),
@@ -334,6 +339,9 @@ object SparkEntry {
       // in-memory adaptive coded probe (same ladder rule + table)
       ("q25_ann_ivfpq_filtered_auto_loaded" ->
         base("q25_ann_ivfpq_filtered_auto")) +
+      // physical reclaim of tombstoned vectors must not change any
+      // answer: the compacted probe == the tombstoned probe's oracle
+      ("q25_ann_ivf_deleted_compacted" -> base("q25_ann_ivf_deleted")) +
       // the one-pass streaming funnel's gate decisions == the batch
       // curation funnel's row-for-row (range-chunk staging makes the
       // stream's first-arrival keeper the batch's global-min keeper)

@@ -1219,7 +1219,7 @@ object Similarity {
   def probeIvfStore(spark: SparkSession, storeDir: String,
                     k: Int = 10, qId: Long = 0L,
                     nProbe: Int = 1): DataFrame = {
-    val stored = spark.read.parquet(storeDir)
+    val stored = liveIvfStore(spark, storeDir)
     val qRow = stored.filter(col("vec_id") === qId)
       .select(col("cell"), col("embedding")).head()
     val qv = qRow.getSeq[Float](1)
@@ -1320,7 +1320,7 @@ object Similarity {
   def probeIvfStoreFiltered(spark: SparkSession, storeDir: String,
                             dir: String, k: Int = 10, qId: Long = 0L,
                             nProbe: Int = 2): DataFrame = {
-    val stored = spark.read.parquet(storeDir)
+    val stored = liveIvfStore(spark, storeDir)
     val qv = stored.filter(col("vec_id") === qId)
       .select(col("embedding")).head().getSeq[Float](0)
     val cells = probeCellsOf(spark, storeDir, qv, nProbe)
@@ -1341,6 +1341,51 @@ object Similarity {
                            k: Int = 10, nProbe: Int = 2): DataFrame =
     probeIvfStoreFiltered(spark, cachedIvfStore(spark, dir), dir, k,
       nProbe = nProbe)
+
+  /** The fixed synthetic takedown rule for the deletion oracle
+    * entries: every vec_id ≡ [[DeletedVecsRem]] (mod
+    * [[DeletedVecsMod]]) is deleted — deliberately includes a SEED id
+    * (5 < [[IvfCentroids]]), so the oracle also pins the
+    * retained-coordinate semantics, and never the query vector 0. */
+  val DeletedVecsMod = 13
+  val DeletedVecsRem = 5
+
+  /** Session-cached harness store WITH the fixed takedown applied —
+    * the [[cachedIvfStore]] discipline for the deletion entries
+    * (store built once per embeddings-table content stamp; both
+    * deleted entries and repeat bench passes reuse it). */
+  private[graft] def cachedDeletedStore(spark: SparkSession,
+                                        dir: String): String =
+    loadedStoreCache.computeIfAbsent(
+      s"$dir|ivfdel|${tableStamp(dir, "embeddings")}", _ => {
+        val out = graft.TempDirs.scratch("graft_ivf_del")
+        writeIvfLayout(spark, dir, out)
+        deleteIvfVectors(spark, out,
+          emb(spark, dir)
+            .filter(col("vec_id") % DeletedVecsMod === DeletedVecsRem)
+            .select(col("vec_id")))
+        out
+      })
+
+  /** IVF probe over a store with PENDING tombstones — the takedown
+    * contract for vectors: results == the same probe over a corpus
+    * that never held the deleted ids (oracle-checked; cell routing
+    * still uses every seed centroid, deleted or not — the
+    * retained-coordinate rule). */
+  def annIvfDeleted(spark: SparkSession, dir: String,
+                    k: Int = 10): DataFrame =
+    probeIvfStore(spark, cachedDeletedStore(spark, dir), k)
+
+  /** [[annIvfDeleted]] after [[compactIvfDeletes]] physically
+    * reclaimed the tombstoned rows — same oracle (reclaim must not
+    * change any answer); dead non-seed rows are gone from disk, dead
+    * seeds retained as coordinates and still excluded. */
+  def annIvfDeletedCompacted(spark: SparkSession, dir: String,
+                             k: Int = 10): DataFrame = {
+    val store = cachedDeletedStore(spark, dir)
+    compactIvfDeletes(spark, store)
+    probeIvfStore(spark, store, k)
+  }
 
   /** COMPACT a [[writeIvfLayout]] store in place: each
     * [[appendIvfLayout]] delta lands one small file per touched cell,
@@ -1389,7 +1434,30 @@ object Similarity {
     * Probe results are IDENTICAL pre/post (spec-pinned). Returns the
     * number of cells rewritten. */
   def compactIvfStore(spark: SparkSession, storeDir: String,
-                      maxFilesPerCell: Int = 8): Int = {
+                      maxFilesPerCell: Int = 8): Int =
+    sweepCells(spark, storeDir,
+      (_, files) => files.length > maxFilesPerCell, identity)
+
+  /** Bound on concurrent per-cell rewrite jobs in [[sweepCells]] —
+    * each is one small coalesce(1) write, so the sweep's wall time is
+    * ceil(touched / this) job rounds instead of `touched` rounds. */
+  private val SweepRewriteThreads = 8
+
+  /** Per-cell crash-safe rewrite sweep shared by [[compactIvfStore]]
+    * (file-count coalesce) and [[compactIvfDeletes]] (tombstone
+    * reclaim): recovery of any crashed swap runs for EVERY cell dir
+    * first (sequential — driver-side metadata ops), then cells passing
+    * `shouldRewrite` are replaced by `transform` of their contents
+    * under the swap protocol documented at [[compactIvfStore]]. The
+    * rewrites run CONCURRENTLY (bounded pool): each swap touches only
+    * its own cell directory, so the protocol's crash states compose —
+    * a crash mid-sweep leaves each cell in one of the states the next
+    * sweep's recovery pass handles. */
+  private def sweepCells(
+      spark: SparkSession, storeDir: String,
+      shouldRewrite: (org.apache.hadoop.fs.Path,
+        Array[org.apache.hadoop.fs.FileStatus]) => Boolean,
+      transform: DataFrame => DataFrame): Int = {
     import org.apache.hadoop.fs.Path
     val root = new Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1397,26 +1465,27 @@ object Similarity {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
     def parquets(p: Path) = fs.listStatus(p)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    var rewritten = 0
-    cellDirs.foreach { cd =>
-      val tmp = new Path(cd.getPath, "_graft_compact_tmp")
-      val swap = new Path(cd.getPath, "_graft_swap")
-      val manifest = new Path(cd.getPath, "_graft_swap_manifest")
-      def cleanup(): Unit = {
-        fs.delete(swap, true); fs.delete(tmp, true)
-        fs.delete(manifest, false); ()
-      }
-      // RECOVERY from a previous crash (see protocol above)
+    def cleanup(cd: Path): Unit = {
+      fs.delete(new Path(cd, "_graft_swap"), true)
+      fs.delete(new Path(cd, "_graft_compact_tmp"), true)
+      fs.delete(new Path(cd, "_graft_swap_manifest"), false); ()
+    }
+    // RECOVERY from a previous crash (see protocol above)
+    cellDirs.foreach { cds =>
+      val cd = cds.getPath
+      val tmp = new Path(cd, "_graft_compact_tmp")
+      val swap = new Path(cd, "_graft_swap")
+      val manifest = new Path(cd, "_graft_swap_manifest")
       if (fs.exists(manifest) && !fs.exists(swap)) {
         // manifest written, nothing moved yet — abandon the attempt
-        cleanup()
+        cleanup(cd)
       } else if (fs.exists(swap) && fs.exists(manifest)) {
         val in = fs.open(manifest)
         val lines =
           try scala.io.Source.fromInputStream(in, "UTF-8")
             .getLines().toVector
           finally in.close()
-        val target = new Path(cd.getPath, lines.head)
+        val target = new Path(cd, lines.head)
         val listed = lines.tail
         val tmpComplete = fs.exists(new Path(tmp, "_SUCCESS"))
         if (fs.exists(target)) {
@@ -1424,24 +1493,24 @@ object Similarity {
           // manifest-listed straggler still visible holds rows the
           // replacement already carries — park it in swap, clean up
           listed.foreach { n =>
-            val p = new Path(cd.getPath, n)
+            val p = new Path(cd, n)
             if (fs.exists(p)) { fs.rename(p, new Path(swap, n)); () }
           }
-          cleanup()
+          cleanup(cd)
         } else if (tmpComplete) {
           // finish step 3 for every still-visible listed file (a bare
           // rename-in here would duplicate their rows), then redo 4
           listed.foreach { n =>
-            val p = new Path(cd.getPath, n)
+            val p = new Path(cd, n)
             if (fs.exists(p)) { fs.rename(p, new Path(swap, n)); () }
           }
           fs.rename(parquets(tmp).head.getPath, target)
-          cleanup()
+          cleanup(cd)
         } else {
           // no usable replacement — roll the moved files back
           parquets(swap).foreach(f =>
-            fs.rename(f.getPath, new Path(cd.getPath, f.getPath.getName)))
-          cleanup()
+            fs.rename(f.getPath, new Path(cd, f.getPath.getName)))
+          cleanup(cd)
         }
       } else if (fs.exists(swap)) {
         // swap without a manifest (pre-manifest layout). That protocol
@@ -1459,37 +1528,213 @@ object Similarity {
           parquets(tmp).isEmpty
         if (!renamedIn)
           parquets(swap).foreach(f =>
-            fs.rename(f.getPath, new Path(cd.getPath, f.getPath.getName)))
-        cleanup()
+            fs.rename(f.getPath, new Path(cd, f.getPath.getName)))
+        cleanup(cd)
       } else if (fs.exists(tmp)) fs.delete(tmp, true)
-      val dataFiles = parquets(cd.getPath)
-      if (dataFiles.length > maxFilesPerCell) {
-        // 1. replacement (hidden)
-        spark.read.parquet(cd.getPath.toString)
-          .coalesce(1)
-          .write.mode("overwrite").parquet(tmp.toString)
-        val newFile = parquets(tmp).head.getPath
-        // 2. manifest: the attempt's unique target name + exactly the
-        //    files being swapped out (closed before any file moves)
-        val mo = fs.create(manifest, true)
-        try mo.write(
-          (s"compact-${newFile.getName}" +:
-            dataFiles.map(_.getPath.getName).toVector)
-            .mkString("\n").getBytes("UTF-8"))
-        finally mo.close()
-        // 3. old files move (not delete) into the hidden swap dir
-        fs.mkdirs(swap)
-        dataFiles.foreach(f =>
-          fs.rename(f.getPath, new Path(swap, f.getPath.getName)))
-        // 4. replacement becomes visible under the manifest's name
-        fs.rename(newFile,
-          new Path(cd.getPath, s"compact-${newFile.getName}"))
-        // 5. cleanup — only now is anything deleted
-        cleanup()
-        rewritten += 1
+    }
+    // REWRITE the selected cells — each swap is cell-dir-local, so
+    // the writes fan out across a bounded pool
+    def rewrite(cd: Path, dataFiles: Array[org.apache.hadoop.fs
+        .FileStatus]): Unit = {
+      val tmp = new Path(cd, "_graft_compact_tmp")
+      val swap = new Path(cd, "_graft_swap")
+      val manifest = new Path(cd, "_graft_swap_manifest")
+      // 1. replacement (hidden)
+      transform(spark.read.parquet(cd.toString))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val newFile = parquets(tmp).head.getPath
+      // 2. manifest: the attempt's unique target name + exactly the
+      //    files being swapped out (closed before any file moves)
+      val mo = fs.create(manifest, true)
+      try mo.write(
+        (s"compact-${newFile.getName}" +:
+          dataFiles.map(_.getPath.getName).toVector)
+          .mkString("\n").getBytes("UTF-8"))
+      finally mo.close()
+      // 3. old files move (not delete) into the hidden swap dir
+      fs.mkdirs(swap)
+      dataFiles.foreach(f =>
+        fs.rename(f.getPath, new Path(swap, f.getPath.getName)))
+      // 4. replacement becomes visible under the manifest's name
+      fs.rename(newFile, new Path(cd, s"compact-${newFile.getName}"))
+      // 5. cleanup — only now is anything deleted
+      cleanup(cd)
+    }
+    val selected = cellDirs.iterator
+      .map(cds => (cds.getPath, parquets(cds.getPath)))
+      .filter { case (cd, files) => shouldRewrite(cd, files) }
+      .toVector
+    if (selected.isEmpty) 0
+    else if (selected.length == 1) {
+      rewrite(selected.head._1, selected.head._2); 1
+    } else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(SweepRewriteThreads, selected.length))
+      try selected.map { case (cd, files) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = rewrite(cd, files)
+        })
+      }.foreach(_.get())
+      finally { pool.shutdown(); () }
+      selected.length
+    }
+  }
+
+  // ---- takedown deletion for the durable vector store -------------
+
+  /** Tombstones directory of a durable IVF store: underscore-prefixed
+    * (invisible to Spark parquet readers of the store itself), holding
+    * append-only parquet batches of deleted vec_ids. */
+  private[graft] val IvfTombstonesName = "_graft_tombstones"
+
+  /** TAKEDOWN-shaped deletion for a [[writeIvfLayout]] store (the
+    * embeddings half of a curation pipeline's removal request — the
+    * [[graft.queries.IrSql.deleteBm25Docs]] discipline applied to
+    * vectors): `ids` (a `vec_id` column; takedown-sized) are
+    * TOMBSTONED — appended as one parquet batch under
+    * [[IvfTombstonesName]] — and every probe path reads the store
+    * through [[liveIvfStore]]'s anti-join, so tombstoned vectors stop
+    * appearing in results immediately, with NO data rewrite at delete
+    * time. [[compactIvfDeletes]] physically reclaims them; a SEED
+    * vector (the store's coordinate system is derived as its k
+    * smallest vec_ids) is excluded from results like any other id but
+    * its row survives compaction as a retained centroid until the
+    * next [[reclusterIvfStore]] purges it with the rest.
+    *
+    * Idempotent on the SET: replaying a delete appends a duplicate
+    * batch, and every reader dedups. Appending a batch is the only
+    * mutation — a crash mid-write leaves staging garbage Spark
+    * readers never see. Re-ingesting a previously tombstoned id is
+    * NOT supported until a re-clustering has cleared its tombstone
+    * (the takedown contract: removal wins). */
+  def deleteIvfVectors(spark: SparkSession, storeDir: String,
+                       ids: DataFrame): Unit = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverTombstoneShrink(fs, root)
+    ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
+      .coalesce(1)
+      .write.mode("append")
+      .parquet(s"$storeDir/$IvfTombstonesName")
+  }
+
+  /** The store's pending tombstone set (deduped across batches), or
+    * None when no deletions are pending. Runs the shrink-swap
+    * recovery first, so a crashed [[compactIvfDeletes]] can never
+    * hide tombstones from a reader. */
+  private[graft] def ivfTombstones(spark: SparkSession,
+                                   storeDir: String): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverTombstoneShrink(fs, root)
+    val t = new org.apache.hadoop.fs.Path(root, IvfTombstonesName)
+    if (fs.exists(t) && fs.listStatus(t).exists(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet")))
+      Some(spark.read.parquet(t.toString)
+        .select(col("vec_id")).distinct())
+    else None
+  }
+
+  /** A durable store's LIVE view: its contents minus pending
+    * tombstones. The anti side is takedown-sized and broadcasts, so
+    * the view costs one hash-lookup per scanned row — partition
+    * pruning on `cell` still reaches the file scan underneath. */
+  private[graft] def liveIvfStore(spark: SparkSession,
+                                  storeDir: String): DataFrame = {
+    val stored = spark.read.parquet(storeDir)
+    ivfTombstones(spark, storeDir) match {
+      case Some(t) => stored.join(broadcast(t), Seq("vec_id"), "left_anti")
+      case None => stored
+    }
+  }
+
+  /** Replace (or drop) the tombstones dir under a crash-safe rename
+    * swap: stage the remainder, park the current dir, swap in, delete
+    * the parked copy. Every crash state is recovered by
+    * [[recoverTombstoneShrink]], and every intermediate state
+    * OVER-filters at worst (a rolled-back shrink re-hides ids whose
+    * rows are already gone — a no-op anti-join), never under. */
+  private def replaceTombstones(
+      spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      remaining: Option[DataFrame]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val cur = new Path(root, IvfTombstonesName)
+    val old = new Path(root, IvfTombstonesName + "_old")
+    remaining match {
+      case Some(df) =>
+        val next = new Path(root, IvfTombstonesName + "_next")
+        df.coalesce(1).write.mode("overwrite").parquet(next.toString)
+        require(fs.rename(cur, old), s"rename $cur -> $old failed")
+        require(fs.rename(next, cur), s"rename $next -> $cur failed")
+      case None =>
+        require(fs.rename(cur, old), s"rename $cur -> $old failed")
+    }
+    fs.delete(old, true)
+    ()
+  }
+
+  /** Recovery for [[replaceTombstones]]: finish a complete staged
+    * shrink forward, else roll the parked dir back. */
+  private def recoverTombstoneShrink(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    val cur = new Path(root, IvfTombstonesName)
+    val next = new Path(root, IvfTombstonesName + "_next")
+    val old = new Path(root, IvfTombstonesName + "_old")
+    if (fs.exists(old)) {
+      if (fs.exists(cur)) { fs.delete(old, true); () }
+      else if (fs.exists(next) &&
+          fs.exists(new Path(next, "_SUCCESS"))) {
+        require(fs.rename(next, cur), s"rename $next -> $cur failed")
+        fs.delete(old, true); ()
+      } else {
+        require(fs.rename(old, cur), s"rename $old -> $cur failed")
       }
     }
-    rewritten
+    if (fs.exists(next)) { fs.delete(next, true); () }
+  }
+
+  /** Physically reclaim tombstoned vectors: rewrite ONLY the cell
+    * directories that hold a dead non-seed row (each under
+    * [[sweepCells]]'s crash-safe swap — untouched cells stay
+    * byte-identical), then shrink the tombstone set to the retained
+    * remainder (dead SEEDS — rows kept as the derived coordinate
+    * system until a re-clustering; the shrink itself swaps under
+    * [[replaceTombstones]]). Probe results are identical pre/post
+    * (spec-pinned). Returns the number of cells rewritten.
+    *
+    * At store scale the reclaim cost follows the takedown's CELL
+    * footprint (one batch touches at most |batch| of the k cells),
+    * never the corpus — the [[graft.queries.IrSql.compactBm25Deletes]]
+    * posture for vectors. */
+  def compactIvfDeletes(spark: SparkSession, storeDir: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ivfTombstones(spark, storeDir) match {
+      case None => 0
+      case Some(dead) =>
+        import spark.implicits._
+        val seedDf = storeSeeds(spark, storeDir).map(_._1).toSeq
+          .toDF("vec_id")
+        val deadGone = dead.join(seedDf, Seq("vec_id"), "left_anti")
+        val touched = spark.read.parquet(storeDir)
+          .join(broadcast(deadGone), Seq("vec_id"), "left_semi")
+          .select(col("cell")).distinct()
+          .collect().map(_.getAs[Number](0).longValue).toSet
+        val rewritten =
+          if (touched.isEmpty) 0
+          else sweepCells(spark, storeDir,
+            (p, _) => p.getName.startsWith("cell=") &&
+              touched.contains(p.getName.stripPrefix("cell=").toLong),
+            df => df.join(broadcast(deadGone), Seq("vec_id"), "left_anti"))
+        val remaining = dead.join(seedDf, Seq("vec_id"), "left_semi")
+        replaceTombstones(spark, fs, root,
+          if (remaining.isEmpty) None else Some(remaining))
+        rewritten
+    }
   }
 
   /** RE-CLUSTER a durable store in place — the maintenance step the
@@ -1533,7 +1778,19 @@ object Similarity {
     val root = new Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverRecluster(spark, fs, root, storeDir)
-    val stored = spark.read.parquet(storeDir)
+    // a re-clustering is the full-purge point of the deletion story:
+    // it rebuilds from the LIVE view, so tombstoned rows (including
+    // dead seed remnants compaction retained) never reach the new
+    // layout. Snapshot the tombstone batches NOW — only these are
+    // cleared after the swap (a takedown arriving mid-rebuild keeps
+    // its tombstone; a crash before the trim leaves stale tombstones
+    // that over-filter ids no longer present, a harmless no-op).
+    val tombPath = new Path(root, IvfTombstonesName)
+    val tombBatches: Seq[Path] =
+      if (fs.exists(tombPath))
+        fs.listStatus(tombPath).filter(_.isFile).map(_.getPath).toSeq
+      else Nil
+    val stored = liveIvfStore(spark, storeDir)
       .select(col("vec_id"), col("embedding"))
     val n = stored.count()
     val newK = k.getOrElse(math.max(IvfCentroids.toLong,
@@ -1568,6 +1825,12 @@ object Similarity {
     fs.create(moved, true).close()
     // 4.–5. new dirs in, meta, cache invalidation, cleanup
     finishRecluster(fs, root, storeDir, newK)
+    // trim exactly the tombstone batches the rebuild consumed
+    tombBatches.foreach(p => fs.delete(p, false))
+    if (fs.exists(tombPath) &&
+        fs.listStatus(tombPath).forall(f =>
+          !f.isFile || !f.getPath.getName.endsWith(".parquet")))
+      fs.delete(tombPath, true)
     newK
   }
 
@@ -1660,8 +1923,11 @@ object Similarity {
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       recoverRecluster(spark, fs, root, storeDir)
     }
+    compactIvfDeletes(spark, storeDir)
     val compacted = compactIvfStore(spark, storeDir, maxFilesPerCell)
-    val n = spark.read.parquet(storeDir).count()
+    // LIVE count: retained dead-seed rows and any tombstones that
+    // arrived since the reclaim must not inflate the drift math
+    val n = liveIvfStore(spark, storeDir).count()
     val k = storeK(spark, storeDir)
     val target = math.max(IvfCentroids.toLong,
       (n + SemDedupCellSize - 1) / SemDedupCellSize)
@@ -1951,7 +2217,7 @@ object Similarity {
                                 minSurvivors: Option[Int] = None)
       : DataFrame = {
     val target = minSurvivors.getOrElse(FilteredAutoOversample * k)
-    val stored = spark.read.parquet(storeDir)
+    val stored = liveIvfStore(spark, storeDir)
     val qv = stored.filter(col("vec_id") === qId)
       .select(col("embedding")).head().getSeq[Float](0)
     val ranked = storeSeeds(spark, storeDir)

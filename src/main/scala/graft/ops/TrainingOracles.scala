@@ -1584,6 +1584,29 @@ object TrainingOracles {
          WHERE x.vec_id <> 0
          ORDER BY ${cos("x.embedding", "qv")} DESC, x.vec_id LIMIT 10""",
 
+    // IVF probe over a store with the fixed takedown tombstoned
+    // (Similarity.annIvfDeleted): results == the same probe over a
+    // corpus that never held the deleted ids. Assignment is per-row
+    // (independent of other rows), so the cells CTE is q25_ann_ivf's
+    // verbatim — including DELETED seeds as coordinates (the
+    // retained-coordinate rule) — and only the final ranking excludes
+    // the takedown set. q25_ann_ivf_deleted_compacted shares this SQL:
+    // physical reclaim must not change any answer.
+    "q25_ann_ivf_deleted" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                     WHERE vec_id < ${Similarity.IvfCentroids}),
+         a AS (SELECT e.vec_id, e.embedding, c.cid,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY ${cos("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+               FROM embeddings e CROSS JOIN c),
+         cells AS (SELECT vec_id, embedding, cid AS cell FROM a WHERE rn = 1),
+         q AS (SELECT cell AS qcell, embedding AS qv FROM cells WHERE vec_id = 0)
+         SELECT x.vec_id, round(${cos("x.embedding", "qv")}, 4) AS cos
+         FROM cells x JOIN q ON x.cell = q.qcell
+         WHERE x.vec_id <> 0
+           AND x.vec_id % ${Similarity.DeletedVecsMod} <> ${Similarity.DeletedVecsRem}
+         ORDER BY ${cos("x.embedding", "qv")} DESC, x.vec_id LIMIT 10""",
+
     // filtered exact ANN: pre-filter semantics — rank only vectors
     // whose 1:1 document passes the metadata predicate (mirrors
     // Similarity.annFiltered; predicate constants shared)

@@ -131,7 +131,14 @@ final class IvfServer(spark: SparkSession, storeDir: String) {
             nProbe: Int = 1): DataFrame = {
     val paths = existingCellPaths(cellsOf(qv, nProbe))
     if (paths.isEmpty) return emptyResult
-    spark.read.parquet(paths: _*)
+    val ts = tombstones()._2
+    val scan = spark.read.parquet(paths: _*)
+    (if (ts.isEmpty) scan
+     else {
+       import scala.jdk.CollectionConverters._
+       scan.filter(!col("vec_id").isInCollection(
+         ts.asScala.map(_.longValue).toSeq))
+     })
       .filter(col("vec_id") =!= excludeId)
       .select(col("vec_id"),
         Similarity.cosine(col("embedding"), typedLit(qv)).as("c"))
@@ -214,7 +221,45 @@ final class IvfServer(spark: SparkSession, storeDir: String) {
     * normally caught by the per-borrow version stamp (see the pool
     * comment); call this where directory modification times can't
     * reflect mutations, or to release plans eagerly. */
-  def refresh(): Unit = { pools.clear(); countPools.clear() }
+  def refresh(): Unit = {
+    pools.clear(); countPools.clear()
+    tombRef.set(null); countsRef.set(null)
+  }
+
+  // ---- takedown awareness: the store's pending tombstone set held
+  // driver-side (takedown-sized by the [[Similarity.deleteIvfVectors]]
+  // contract) and revalidated per probe against a [[DirVersion]] stamp
+  // of the tombstones dir — so a delete under a LIVE server is honored
+  // on the very next probe with ZERO template rebuilds: the exclusion
+  // rides the same driver-updated [[RefLongSetContains]] set that
+  // drops the query's own row. A physical reclaim
+  // ([[Similarity.compactIvfDeletes]]) additionally rewrites cell
+  // files, which the per-borrow cellsVersion stamp catches — the two
+  // stamps compose, and every intermediate state over-excludes at
+  // worst (a reclaimed id still in the exclude set has no row left to
+  // drop), never serves a deleted vector.
+  private val tombRef =
+    new AtomicReference[(Long, java.util.HashSet[java.lang.Long])](null)
+
+  private def tombVersion(): Long =
+    DirVersion.of(hfs,
+      Seq(s"$storeDir/${Similarity.IvfTombstonesName}"))
+
+  /** (stamp, ids) of the pending tombstones — stamp taken BEFORE the
+    * read (the template discipline's safe race direction). */
+  private def tombstones(): (Long, java.util.HashSet[java.lang.Long]) = {
+    val v = tombVersion()
+    val cached = tombRef.get
+    if (cached != null && cached._1 == v) cached
+    else {
+      val s = new java.util.HashSet[java.lang.Long]
+      Similarity.ivfTombstones(spark, storeDir).foreach(
+        _.collect().foreach(r => s.add(r.getLong(0))))
+      val snap = (v, s)
+      tombRef.set(snap)
+      snap
+    }
+  }
 
   private def buildTmpl(cells: Seq[Long], k: Int,
                         filtered: Boolean): Tmpl = {
@@ -272,14 +317,26 @@ final class IvfServer(spark: SparkSession, storeDir: String) {
   private val countsRef =
     new AtomicReference[(Long, Map[Long, Long])](null)
 
-  /** Per-cell row counts of the CURRENT store generation. */
+  /** Per-cell LIVE row counts of the CURRENT store generation —
+    * tombstoned rows excluded (the stamp folds the tombstones dir, so
+    * a takedown re-counts), keeping the driver-side ladder arithmetic
+    * exact against what the templates will actually scan. */
   private def cellCounts(): Map[Long, Long] = {
     val all = seeds.map(_._1).toSeq
-    val v = CellVersion.of(hfs, storeDir, all)
+    val (tv, ts) = tombstones()
+    val v = CellVersion.of(hfs, storeDir, all) * 31 + tv
     val cached = countsRef.get
     if (cached != null && cached._1 == v) cached._2
     else {
-      val m = spark.read.parquet(storeDir)
+      val scan = spark.read.parquet(storeDir)
+      val live =
+        if (ts.isEmpty) scan
+        else {
+          import scala.jdk.CollectionConverters._
+          scan.filter(!col("vec_id").isInCollection(
+            ts.asScala.map(_.longValue).toSeq))
+        }
+      val m = live
         .groupBy(col("cell")).count().collect()
         .map(r => (r.getAs[Number]("cell").longValue, r.getLong(1)))
         .toMap
@@ -311,10 +368,13 @@ final class IvfServer(spark: SparkSession, storeDir: String) {
     val ranked = cellsOf(qv, nCells)
     val counts = cellCounts()
     val own = ranked.head // the query vector's own assignment
+    // a tombstoned excludeId is already out of the live counts — don't
+    // subtract its row twice
+    val ownDead = excludeId != -1L && tombstones()._2.contains(excludeId)
     val chosen = Similarity.escalate(ranked, target.toLong) { slice =>
       slice.iterator.map { c =>
         counts.getOrElse(c, 0L) -
-          (if (excludeId != -1L && c == own) 1L else 0L)
+          (if (excludeId != -1L && !ownDead && c == own) 1L else 0L)
       }.sum
     }
     probeTemplateCells(chosen, qv, k, excludeId)
@@ -338,7 +398,7 @@ final class IvfServer(spark: SparkSession, storeDir: String) {
     val target =
       minSurvivors.getOrElse(Similarity.FilteredAutoOversample * k)
     val ranked = cellsOf(qv, nCells)
-    val ex = new java.util.HashSet[java.lang.Long]()
+    val ex = new java.util.HashSet[java.lang.Long](tombstones()._2)
     if (excludeId != -1L) ex.add(excludeId)
     val chosen = Similarity.escalate(ranked, target.toLong) { slice =>
       countPools.withInstance(slice,
@@ -361,7 +421,7 @@ final class IvfServer(spark: SparkSession, storeDir: String) {
       val rows = pools.withInstance((cells, fetch, keep.isDefined),
           (t: Tmpl) => t.version == cellsVersion(cells)) { t =>
         t.ref.set(qv.toArray)
-        val ex = new java.util.HashSet[java.lang.Long]()
+        val ex = new java.util.HashSet[java.lang.Long](tombstones()._2)
         if (excludeId != -1L) ex.add(excludeId)
         t.exclude.set(ex)
         keep.foreach(t.keep.set)

@@ -623,4 +623,47 @@ class IvfServerSpec extends SparkSpec {
     assert(plan.contains(s"cell=${srv.cellOf(qv)}"),
       s"scan not bounded to the routed cell dir:\n$plan")
   }
+
+  test("a takedown under a LIVE server is honored on the next probe " +
+    "with NO refresh — plain, template, routed-auto, and filtered " +
+    "paths (deletion beats the caller's keep set); the physical " +
+    "reclaim changes no answer") {
+    import spark.implicits._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ivf_live_del").toString
+    Similarity.writeIvfLayout(spark, dir, out)
+    val srv = new IvfServer(spark, out)
+    val qv = spark.read.parquet(out).filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    // warm every path pre-delete, then tombstone the top neighbor
+    val pre = srv.probeTemplate(qv, excludeId = 0L)
+    srv.probeAutoTemplate(qv, excludeId = 0L)
+    val victim = pre.head._1
+    Similarity.deleteIvfVectors(spark, out, Seq(victim).toDF("vec_id"))
+    val checked = Similarity.probeIvfStore(spark, out, qId = 0L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(!checked.exists(_._1 == victim))
+    val post = srv.probeTemplate(qv, excludeId = 0L)
+    assert(post == checked, "warm template served the deleted vector")
+    val postPlain = srv.probe(qv, excludeId = 0L).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(postPlain == checked, "plain probe served the deleted vector")
+    val postAuto = srv.probeAutoTemplate(qv, excludeId = 0L)
+    assert(!postAuto.exists(_._1 == victim),
+      "routed auto probe served the deleted vector")
+    // filtered path: the keep set EXPLICITLY includes the victim —
+    // takedown wins over the caller's filter
+    val keep = new java.util.HashSet[java.lang.Long]()
+    (pre.map(_._1) :+ victim).foreach(i => keep.add(i))
+    val postFiltered = srv.probeFilteredAutoTemplate(qv, keep,
+      excludeId = 0L)
+    assert(!postFiltered.exists(_._1 == victim),
+      "filtered probe let a kept-but-deleted vector through")
+    // physical reclaim under the live server: cell stamp catches the
+    // rewrite, answers stay the tombstoned ones
+    assert(Similarity.compactIvfDeletes(spark, out) > 0)
+    assert(srv.probeTemplate(qv, excludeId = 0L) == post)
+    assert(srv.probe(qv, excludeId = 0L).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq == checked)
+  }
 }
