@@ -403,6 +403,8 @@ object InvertedIndex {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.queries.IrSql.recoverArtifact(spark, dir, "term_stats")
     graft.queries.IrSql.recoverArtifact(spark, dir, "corpus_stats")
+    StoreSurgery.recover(spark, s"$dir/postings")
+    StoreSurgery.recover(spark, s"$dir/doc_map")
     if (!fs.exists(new Path(root, DeleteMarker))) {
       fs.delete(new Path(root, DeleteStaging), true)
       ()
@@ -418,8 +420,7 @@ object InvertedIndex {
     * layouts + zone-map manifests refreshed), then drop the
     * tombstones — the read view is identical at every instant, and a
     * replay completes an interrupted pass (tombstones drop LAST). */
-  def compactDeletes(spark: SparkSession, dir: String,
-                     rowsPerFile: Long = WriteRowsPerFile): Unit = {
+  def compactDeletes(spark: SparkSession, dir: String): Unit = {
     recoverDelete(spark, dir)
     import org.apache.hadoop.fs.Path
     val root = new Path(dir)
@@ -427,20 +428,12 @@ object InvertedIndex {
     val tombOpt = readTombs(spark, dir)
     if (tombOpt.isEmpty) return
     val tomb = tombOpt.get
-    val livePost = spark.read.parquet(s"$dir/postings")
-      .join(broadcast(tomb), Seq("docno"), "left_anti")
-    val nPost = math.max(1L,
-      (livePost.count() + rowsPerFile - 1) / rowsPerFile).toInt
-    graft.queries.IrSql.swapIn(spark, s"$dir/postings",
-      livePost.repartitionByRange(nPost, col("kgram"))
-        .sortWithinPartitions("kgram"))
-    val liveMap = spark.read.parquet(s"$dir/doc_map")
-      .join(broadcast(tomb), Seq("docno"), "left_anti")
-    val nDoc = math.max(1L,
-      (liveMap.count() + rowsPerFile - 1) / rowsPerFile).toInt
-    graft.queries.IrSql.swapIn(spark, s"$dir/doc_map",
-      liveMap.repartitionByRange(nDoc, col("docno"))
-        .sortWithinPartitions("docno"))
+    // surgical per-file reclaim — see [[StoreSurgery]] and the
+    // positional twin's rationale
+    StoreSurgery.reclaim(spark, s"$dir/postings", "docno", tomb,
+      layoutKey = "kgram")
+    StoreSurgery.reclaim(spark, s"$dir/doc_map", "docno", tomb,
+      layoutKey = "docno")
     graft.queries.IrSql.swapIn(spark, s"$dir/postings_ranges",
       spark.read.parquet(s"$dir/postings")
         .groupBy(input_file_name().as("file"))

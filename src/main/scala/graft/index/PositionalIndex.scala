@@ -303,6 +303,8 @@ object PositionalIndex {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.queries.IrSql.recoverArtifact(spark, dir, "corpus_stats")
+    StoreSurgery.recover(spark, s"$dir/pos_postings")
+    StoreSurgery.recover(spark, s"$dir/doc_map")
     if (!fs.exists(new Path(root, DeleteMarker))) {
       fs.delete(new Path(root, DeleteStaging), true)
       ()
@@ -314,42 +316,35 @@ object PositionalIndex {
     }
   }
 
-  /** Physically reclaim tombstoned rows: rewrite the two
-    * authoritative artifacts without them ([[graft.queries.IrSql
-    * .swapIn]] — crash-safe, range layout preserved), refresh the two
-    * zone-map manifests from the rewritten files, then drop the
-    * tombstones. The read view is identical at every instant (the
-    * anti-join becomes a no-op as rows leave disk), and corpus_stats
-    * is already live — still far below a rebuild, which re-tokenizes
-    * the corpus. */
-  def compactDeletes(spark: SparkSession, dir: String,
-                     rowsPerFile: Long =
-                       InvertedIndex.WriteRowsPerFile): Unit = {
+  /** Physically reclaim tombstoned rows: SURGICALLY rewrite only the
+    * part files of the two authoritative artifacts that hold a dead
+    * row ([[StoreSurgery.reclaim]] — staged marker commit, range
+    * layout preserved, untouched files byte-identical), refresh the
+    * two zone-map manifests, then drop the tombstones. The read view
+    * is identical outside the swap window (the anti-join becomes a
+    * no-op as rows leave disk), corpus_stats is already live, and the
+    * cost follows the takedown's file footprint — the prior
+    * full-table repartition measured MORE than a rebuild at 26×. */
+  def compactDeletes(spark: SparkSession, dir: String): Unit = {
     recoverPosDelete(spark, dir)
     import org.apache.hadoop.fs.Path
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // rewrite from the RAW files (not load()'s decoded view) so a
-    // compressed store stays compressed; a crash mid-way replays —
-    // tombstones drop LAST, so re-entry redoes the (now no-op) swaps
-    // and refreshes the manifests
+    // SURGICAL reclaim from the RAW files (not load()'s decoded view,
+    // so a compressed store stays compressed): only the part files
+    // holding a dead row rewrite ([[StoreSurgery]] — the r13
+    // full-table repartition here measured MORE expensive than a
+    // rebuild at 26×; the file footprint of a takedown is what a
+    // reclaim should cost). A crash mid-way replays — tombstones drop
+    // LAST, so re-entry redoes the (now no-op) surgeries and
+    // refreshes the manifests
     val tombOpt = readTombs(spark, dir)
     if (tombOpt.isEmpty) return
     val tomb = tombOpt.get
-    val rawLive = spark.read.parquet(s"$dir/pos_postings")
-      .join(broadcast(tomb), Seq("docno"), "left_anti")
-    val nPost = math.max(1L,
-      (rawLive.count() + rowsPerFile - 1) / rowsPerFile).toInt
-    graft.queries.IrSql.swapIn(spark, s"$dir/pos_postings",
-      rawLive.repartitionByRange(nPost, col("term"))
-        .sortWithinPartitions("term"))
-    val mapLive = spark.read.parquet(s"$dir/doc_map")
-      .join(broadcast(tomb), Seq("docno"), "left_anti")
-    val nDoc = math.max(1L,
-      (mapLive.count() + rowsPerFile - 1) / rowsPerFile).toInt
-    graft.queries.IrSql.swapIn(spark, s"$dir/doc_map",
-      mapLive.repartitionByRange(nDoc, col("docno"))
-        .sortWithinPartitions("docno"))
+    StoreSurgery.reclaim(spark, s"$dir/pos_postings", "docno", tomb,
+      layoutKey = "term")
+    StoreSurgery.reclaim(spark, s"$dir/doc_map", "docno", tomb,
+      layoutKey = "docno")
     graft.queries.IrSql.swapIn(spark, s"$dir/pos_postings_ranges",
       spark.read.parquet(s"$dir/pos_postings")
         .groupBy(input_file_name().as("file"))

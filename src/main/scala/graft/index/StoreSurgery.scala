@@ -1,0 +1,113 @@
+package graft.index
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-surgical tombstone reclaim for range-laid parquet tables —
+  * the [[CharKGramIndex.mergeIntoStore]] staged-commit protocol
+  * applied to DELETION: rewrite ONLY the part files that hold a dead
+  * row, leave every other file byte-identical, so the reclaim cost
+  * follows the takedown's FILE footprint, not the table.
+  *
+  * Which files a takedown touches is a property of the table's
+  * layout key: a docno-ranged table (doc_map) localizes a dead docno
+  * to one file; a term-ranged postings table scatters it across the
+  * files covering the dead doc's terms — still a subset proportional
+  * to the takedown's VOCABULARY at corpus scale (the full-rewrite
+  * path this replaces scaled with the table instead, measured at 26×
+  * costing MORE than a rebuild for the positional store).
+  *
+  * Protocol per table dir (all state lives inside it):
+  *  1. probe: one key-column-pruned scan finds the files holding dead
+  *     rows (`input_file_name` ⨝ dead — the broadcast is
+  *     takedown-sized);
+  *  2. stage: the touched files' live remainder, re-range-laid over
+  *     the touched row span only, lands in a hidden dir;
+  *  3. COMMIT: a marker file lists the replaced part files; then
+  *     delete listed, rename staged in, clear marker.
+  * [[recover]] (run at every maintenance entry) rolls an uncommitted
+  * attempt back or completes a committed one. Run behind the serving
+  * quiesce like all store maintenance; the stamped servers detect
+  * the rewrite. */
+private[graft] object StoreSurgery {
+
+  private val StagedDir = "_graft_rc_new"
+  private val Marker = "_graft_rc_inflight"
+
+  /** Rewrite `tableDir`'s dead-holding part files to their live
+    * remainder (anti-join on `key` against `dead`, which must be a
+    * one-column takedown-sized frame of that key), preserving the
+    * `layoutKey` range layout at the existing file granularity.
+    * Returns the number of part files replaced. */
+  def reclaim(spark: SparkSession, tableDir: String, key: String,
+              dead: DataFrame, layoutKey: String): Int = {
+    recover(spark, tableDir)
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val touched = spark.read.parquet(tableDir)
+      .select(col(key), input_file_name().as("__file"))
+      .join(broadcast(dead.select(col(key)).distinct()), Seq(key),
+        "left_semi")
+      .select(col("__file")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    if (touched.isEmpty) return 0
+    val replacement = spark.read.parquet(touched: _*)
+      .join(broadcast(dead.select(col(key)).distinct()), Seq(key),
+        "left_anti")
+    val staged = new Path(root, StagedDir)
+    replacement.repartitionByRange(touched.length, col(layoutKey))
+      .sortWithinPartitions(layoutKey)
+      .write.mode("overwrite").parquet(staged.toString)
+    // COMMIT POINT
+    val out = fs.create(new Path(root, Marker), false)
+    try out.write(touched.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    finishSwap(fs, root, touched)
+    touched.length
+  }
+
+  /** Delete the replaced files, move the staged parts in, clear the
+    * marker — each step idempotent, so a crash anywhere replays. */
+  private def finishSwap(fs: org.apache.hadoop.fs.FileSystem,
+                         root: Path, touched: Seq[String]): Unit = {
+    touched.foreach { f => fs.delete(new Path(f), false); () }
+    val staged = new Path(root, StagedDir)
+    if (fs.exists(staged))
+      fs.listStatus(staged)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .foreach { f =>
+          require(fs.rename(f.getPath,
+              new Path(root, f.getPath.getName)),
+            s"rename ${f.getPath} -> $root failed mid-reclaim-swap")
+        }
+    fs.delete(staged, true)
+    fs.delete(new Path(root, Marker), false)
+    ()
+  }
+
+  /** Marker ABSENT → any staging dir is an uncommitted attempt, roll
+    * back by deleting it (the table was never touched); marker
+    * PRESENT → the staged replacement completed before the commit,
+    * finish the swap from the marker's file list. Safe when no
+    * reclaim was in flight. */
+  def recover(spark: SparkSession, tableDir: String): Unit = {
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(root, Marker)
+    if (!fs.exists(marker)) {
+      fs.delete(new Path(root, StagedDir), true)
+      ()
+    } else {
+      val in = fs.open(marker)
+      val touched =
+        try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").toSeq.filter(_.nonEmpty)
+        finally in.close()
+      finishSwap(fs, root, touched)
+    }
+  }
+}

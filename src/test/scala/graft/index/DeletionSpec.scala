@@ -241,4 +241,92 @@ class DeletionSpec extends SparkSpec {
     assert(spark.read.parquet(s"$posDir/corpus_stats")
       .head().getAs[Long]("n_docs") == corpus.count() - 1)
   }
+
+  test("surgical reclaim rewrites only the part files holding a dead " +
+    "row (docno-ranged doc_map localizes the takedown; untouched " +
+    "files stay byte-identical) and a crashed committed swap replays") {
+    val posDir = tmp("graft_del_pos_surg")
+    val corpus = graft.queries.IrEngine.corpus(spark, dir)
+    // force many files so "untouched" is a real set on sf0.001
+    PositionalIndex.write(PositionalIndex.build(spark, corpus), posDir,
+      rowsPerFile = 100L) // 500 docs → 5 doc_map files
+    val phrase = graft.queries.IrEngine.PhraseQuery
+    def hits() = PositionalIndex
+      .phrase(PositionalIndex.load(spark, posDir), phrase)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val pre = hits()
+    import spark.implicits._
+    PositionalIndex.deleteDocs(spark, posDir,
+      Seq(pre.head._1).toDF("docid"))
+    val post = hits()
+    // which doc_map files hold the dead docno — the rest must survive
+    // the reclaim byte-identical (name, size, mtime)
+    // compare by file NAME (input_file_name URIs differ in scheme
+    // slashes from FileSystem listings)
+    def snap(table: String, touched: Set[String]) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$posDir/$table"))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .filter(f => !touched.contains(f.getPath.getName))
+        .map(f => (f.getPath.getName, f.getLen, f.getModificationTime))
+        .sortBy(_._1).toSeq
+    val deadNo = spark.read.parquet(s"$posDir/tombstones")
+      .collect().map(_.getLong(0)).toSet
+    def touchedOf(table: String, key: String): Set[String] =
+      spark.read.parquet(s"$posDir/$table")
+        .filter(col(key).isInCollection(deadNo.toSeq))
+        .select(input_file_name()).distinct()
+        .collect().map(_.getString(0).split("/").last).toSet
+    val mapTouched = touchedOf("doc_map", "docno")
+    val postTouched = touchedOf("pos_postings", "docno")
+    val mapBefore = snap("doc_map", mapTouched)
+    val postBefore = snap("pos_postings", postTouched)
+    assert(mapBefore.nonEmpty && mapTouched.nonEmpty,
+      "fixture needs both touched and untouched doc_map files")
+    PositionalIndex.compactDeletes(spark, posDir)
+    // every untouched file survives byte-identical; every touched
+    // (dead-holding) file is gone, replaced by new parts
+    val mapAfter = snap("doc_map", Set.empty)
+    assert(mapBefore.forall(mapAfter.contains),
+      "an untouched doc_map file was rewritten")
+    assert(!mapAfter.exists(f => mapTouched.contains(f._1)),
+      "a dead-holding doc_map file survived the reclaim")
+    val postAfter = snap("pos_postings", Set.empty)
+    assert(postBefore.forall(postAfter.contains),
+      "an untouched pos_postings file was rewritten")
+    assert(!postAfter.exists(f => postTouched.contains(f._1)),
+      "a dead-holding pos_postings file survived the reclaim")
+    assert(hits() == post, "surgical reclaim changed the answer")
+    // zone-map manifests refreshed: every live file listed
+    val files = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$posDir/doc_map"))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
+    val manifest = spark.read.parquet(s"$posDir/doc_map_ranges")
+      .select("file").collect()
+      .map(_.getString(0).split("/").last).toSet
+    assert(manifest == files, "doc_map_ranges out of sync with files")
+    // crashed COMMITTED swap: stage a replacement for one file, write
+    // the marker, "crash" — recovery must finish the swap
+    val victimFile = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$posDir/doc_map"))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .head.getPath
+    spark.read.parquet(victimFile.toString)
+      .write.parquet(s"$posDir/doc_map/_graft_rc_new")
+    val mo = fs.create(new org.apache.hadoop.fs.Path(
+      s"$posDir/doc_map/_graft_rc_inflight"), false)
+    mo.write(victimFile.toString.getBytes("UTF-8")); mo.close()
+    StoreSurgery.recover(spark, s"$posDir/doc_map")
+    assert(!fs.exists(victimFile), "listed file survived the replay")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$posDir/doc_map/_graft_rc_inflight")))
+    assert(hits() == post, "swap replay changed the answer")
+    // uncommitted staging (no marker) rolls back
+    spark.read.parquet(s"$posDir/doc_map")
+      .write.parquet(s"$posDir/doc_map/_graft_rc_new")
+    StoreSurgery.recover(spark, s"$posDir/doc_map")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$posDir/doc_map/_graft_rc_new")))
+    assert(hits() == post, "staging rollback changed the answer")
+  }
 }

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.index.{InvertedIndex, PositionalIndex}
+import graft.queries.{IrEngine, IrSql}
+import graft.query.QueryEngine
+
+/** The unified takedown orchestrator: one `doc_id` request reaches
+  * every artifact (BM25 store, positional index, inverted index, IVF
+  * vector store) with the SAME effect as each store's own delete API
+  * (the per-store oracle entries carry the absolute answers; this
+  * pins the fan-out wiring — id-space translation above all), and the
+  * whole request is replay-idempotent and compactable in one call. */
+class TakedownSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  private def buildAll(): TakedownStores = {
+    val corpus = IrEngine.corpus(spark, dir)
+    val bm = tmp("graft_td_bm25"); IrSql.writeBm25Stats(spark, dir, bm)
+    val pos = tmp("graft_td_pos")
+    PositionalIndex.write(PositionalIndex.build(spark, corpus), pos)
+    val inv = tmp("graft_td_inv")
+    InvertedIndex.write(InvertedIndex.build(spark, corpus, k = 1), inv)
+    val ivf = tmp("graft_td_ivf")
+    Similarity.writeIvfLayout(spark, dir, ivf)
+    TakedownStores(bm25 = Some(bm), positional = Some(pos),
+      inverted = Some(inv), vectors = Some(ivf))
+  }
+
+  private def surfaces(s: TakedownStores)
+      : (Seq[(Long, Double)], Seq[String], Seq[String], Seq[Long]) = {
+    val bm25 = IrSql.q10Bm25PrunedAt(spark, s.bm25.get,
+        IrSql.ExpandedQueryTerms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val phrase = PositionalIndex.phrase(
+        PositionalIndex.load(spark, s.positional.get), IrEngine.PhraseQuery)
+      .select("docid").collect().map(_.getString(0)).toSeq
+    val search = QueryEngine.serveSearch(
+        InvertedIndex.load(spark, s.inverted.get), "merge stream")
+      .select("docid").collect().map(_.getString(0)).toSeq
+    val ann = Similarity.probeIvfStore(spark, s.vectors.get, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    (bm25, phrase, search, ann)
+  }
+
+  test("one takedown call == each store's own delete API (id-space " +
+    "translation pinned); replay is a no-op; one compact call " +
+    "reclaims every store without changing an answer") {
+    val viaOrch = buildAll()
+    val viaStores = buildAll()
+    val ids = IrSql.deletedDocIds(spark, dir) // the fixed mod-13 set
+    Takedown.delete(spark, viaOrch, ids)
+    // the same request through each store's own API
+    IrSql.deleteBm25Docs(spark, viaStores.bm25.get, ids)
+    val asDocid = ids
+      .select(format_string("D%05d", col("doc_id")).as("docid"))
+    PositionalIndex.deleteDocs(spark, viaStores.positional.get, asDocid)
+    InvertedIndex.deleteDocs(spark, viaStores.inverted.get, asDocid)
+    Similarity.deleteIvfVectors(spark, viaStores.vectors.get,
+      ids.select(col("doc_id").as("vec_id")))
+    val a = surfaces(viaOrch)
+    assert(a == surfaces(viaStores),
+      "orchestrated takedown diverged from the per-store APIs")
+    // the deleted docs are gone from every surface
+    val dead = ids.collect().map(_.getLong(0)).toSet
+    val deadDocids = dead.map(i => f"D$i%05d")
+    assert(a._1.forall { case (id, _) => !dead.contains(id) })
+    assert(a._2.forall(d => !deadDocids.contains(d)))
+    assert(a._3.forall(d => !deadDocids.contains(d)))
+    assert(a._4.forall(v => !dead.contains(v)))
+    // replay: every store no-ops
+    Takedown.delete(spark, viaOrch, ids)
+    assert(surfaces(viaOrch) == a, "replaying the takedown changed answers")
+    // one compact call reclaims all four; answers unchanged
+    Takedown.compact(spark, viaOrch)
+    assert(surfaces(viaOrch) == a, "compaction changed an answer")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def gone(p: String) =
+      !fs.exists(new org.apache.hadoop.fs.Path(p))
+    assert(gone(s"${viaOrch.bm25.get}/tombstones"),
+      "bm25 tombstones survived compact")
+    // positional/inverted reclaim leaves only dead-doc-free rows;
+    // the vector store may legitimately retain dead SEEDS
+    val pend = Similarity.ivfTombstones(spark, viaOrch.vectors.get)
+      .map(_.collect().map(_.getLong(0)).toSet).getOrElse(Set.empty)
+    val seeds = Similarity.storeSeeds(spark, viaOrch.vectors.get)
+      .map(_._1).toSet
+    assert(pend.subsetOf(seeds),
+      "non-seed vector tombstones survived compact")
+  }
+
+  test("absent stores are skipped: a partial deployment takes the " +
+    "takedown only where it has artifacts") {
+    val bm = tmp("graft_td_only_bm25")
+    IrSql.writeBm25Stats(spark, dir, bm)
+    val stores = TakedownStores(bm25 = Some(bm))
+    Takedown.delete(spark, stores, IrSql.deletedDocIds(spark, dir))
+    val dead = IrSql.deletedDocIds(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val ranked = IrSql.q10Bm25PrunedAt(spark, bm,
+        IrSql.ExpandedQueryTerms, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ranked.forall(!dead.contains(_)))
+    Takedown.compact(spark, stores) // must not touch absent stores
+  }
+}
