@@ -29,6 +29,7 @@ object SparkEntry {
     "q02_trectext_full" -> (IrSql.q02TrecTextFull _),
     "q09_wildcard" -> ((s: SparkSession, d: String) => IrSql.q09Wildcard(s, d)),
     "q09_wildcard_multi" -> (IrSql.q09WildcardMulti _),
+    "q09_wildcard_deleted" -> (IrSql.q09WildcardDeleted _),
     "q03_docno_assign" -> (IrSql.q03DocnoAssign _),
     "q04_tokenize" -> (IrSql.q04Tokenize _),
     "q05_term_tf" -> (IrSql.q05TermTf _),
@@ -488,6 +489,24 @@ object SparkEntry {
            SELECT DISTINCT term FROM (
              SELECT unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS term
              FROM documents)
+           WHERE term <> ''),
+         grams AS (
+           SELECT DISTINCT substring('$' || term || '$', CAST(i AS INT), 3) AS gram, term
+           FROM (SELECT term, unnest(range(1, CAST(len(term) AS BIGINT) + 1)) AS i FROM terms))
+         SELECT term FROM grams WHERE gram IN ('$st', 'am$')
+         GROUP BY term
+         HAVING count(*) = 2 AND term LIKE 'st%am'
+         ORDER BY term""",
+
+    // the vocabulary RECOUNT ground truth for the surgically-deleted
+    // chargram store: rebuild the q09 vocabulary from the corpus
+    // minus the fixed takedown set — a term survives iff some live
+    // doc still contains it, exactly the df-sidecar rule
+    "q09_wildcard_deleted" ->
+      """WITH terms AS (
+           SELECT DISTINCT term FROM (
+             SELECT unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS term
+             FROM documents WHERE doc_id % 13 <> 5)
            WHERE term <> ''),
          grams AS (
            SELECT DISTINCT substring('$' || term || '$', CAST(i AS INT), 3) AS gram, term

@@ -162,6 +162,19 @@ object CharKGramIndex {
     replacement.repartitionByRange(nRep, col("gram"))
       .sortWithinPartitions("gram")
       .write.mode("overwrite").parquet(staged.toString)
+    // a df sidecar stays exact across merges: the delta docs (new
+    // ids, the merge contract) add their per-term doc counts —
+    // staged under the SAME commit as the gram surgery
+    readVocabDf(spark, dir, fs).foreach { base =>
+      val inc = docTermsOf(spark, delta)
+        .groupBy(col("term")).agg(count(lit(1)).as("inc"))
+      base.join(inc, Seq("term"), "full_outer")
+        .select(col("term"),
+          (coalesce(col("df"), lit(0L)) +
+            coalesce(col("inc"), lit(0L))).as("df"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(new Path(staged, "_df").toString)
+    }
     // COMMIT POINT: the marker records which files the swap replaces
     val out = fs.create(new Path(root, Marker), false)
     try out.write(touchedFiles.mkString("\n")
@@ -170,13 +183,15 @@ object CharKGramIndex {
     finishCgSwap(fs, root, touchedFiles)
   }
 
-  /** Delete the replaced files, move the staged parts in, clear the
-    * marker — each step idempotent, so a crash anywhere replays. */
+  /** Delete the replaced files, move the staged parts in, commit any
+    * staged sidecars (`_df` replaces the vocab-df table; `_deleted`
+    * appends a replay-guard batch), clear the marker — each step
+    * idempotent, so a crash anywhere replays. */
   private def finishCgSwap(fs: org.apache.hadoop.fs.FileSystem,
                            root: Path, touched: Seq[String]): Unit = {
     touched.foreach { f => fs.delete(new Path(f), false); () }
     val staged = new Path(root, StagedDir)
-    if (fs.exists(staged))
+    if (fs.exists(staged)) {
       fs.listStatus(staged)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         .foreach { f =>
@@ -184,6 +199,26 @@ object CharKGramIndex {
               new Path(root, f.getPath.getName)),
             s"rename ${f.getPath} -> $root failed mid-cg-swap")
         }
+      val stDf = new Path(staged, "_df")
+      if (fs.exists(stDf)) {
+        val cur = new Path(root, VocabDfDir)
+        fs.delete(cur, true)
+        require(fs.rename(stDf, cur),
+          s"rename $stDf -> $cur failed mid-cg-swap")
+      }
+      val stDel = new Path(staged, "_deleted")
+      if (fs.exists(stDel)) {
+        val dst = new Path(root, DeletedDocsDir)
+        fs.mkdirs(dst)
+        fs.listStatus(stDel)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .foreach { f =>
+            require(fs.rename(f.getPath,
+                new Path(dst, f.getPath.getName)),
+              s"rename ${f.getPath} -> $dst failed mid-cg-swap")
+          }
+      }
+    }
     fs.delete(staged, true)
     fs.delete(new Path(root, Marker), false)
     ()
@@ -226,4 +261,144 @@ object CharKGramIndex {
         explode(transform(sequence(lit(1), length(col("term")) + 2 - (k - 1)),
           i => col("wrapped").substr(i, lit(k)))).as("gram"))
       .distinct()
+
+  // ---- takedown deletion: the vocabulary recount, incremental -----
+  //
+  // The chargram artifact is VOCABULARY-level (gram → term lists, no
+  // doc attribution), so deleting a DOC is defined as the vocabulary
+  // recount: a term leaves the lists exactly when its last containing
+  // doc leaves the corpus. The reference rebuilds for this; the
+  // incremental path keeps one underscore-hidden sidecar per store —
+  // a raw-vocabulary document-frequency table — so the recount is
+  // takedown-bounded arithmetic instead of a corpus re-tokenization.
+
+  /** Sidecar: (term, df) at the store's own tokenizer level —
+    * underscore-prefixed so the store's root read never sees it. */
+  private[graft] val VocabDfDir = "_graft_vocab_df"
+
+  /** Sidecar: ids of docs already deleted (replay guard). */
+  private[graft] val DeletedDocsDir = "_graft_deleted_docs"
+
+  /** Per-doc DISTINCT raw tokens of a corpus frame — the (doc_id,
+    * term) shape [[writeVocabDf]] and [[deleteDocs]] consume, under
+    * THIS store family's tokenizer ([[TextPipeline.tokenizeOnly]]).
+    * Stores built from a different vocabulary generator (e.g. the
+    * SQL-subset q09 family) must supply their own doc-terms frame —
+    * the df sidecar is only exact under the tokenizer that built the
+    * store. */
+  def docTermsOf(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    TextPipeline.register(spark)
+    corpus.select(col("docid").as("doc_id"),
+        explode(expr("graft_tokenize_raw(content)")).as("term"))
+      .distinct()
+  }
+
+  /** Write the df sidecar for a store whose vocabulary came from
+    * `docTerms` ((doc_id, term), distinct per doc). Call once at
+    * store creation; [[mergeIntoStore]] and [[deleteDocs]] keep it
+    * exact from then on. */
+  def writeVocabDf(spark: SparkSession, dir: String,
+                   docTerms: DataFrame): Unit =
+    docTerms.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$dir/$VocabDfDir")
+
+  private def readVocabDf(spark: SparkSession, dir: String,
+                          fs: org.apache.hadoop.fs.FileSystem)
+      : Option[DataFrame] = {
+    val p = new Path(dir, VocabDfDir)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** TAKEDOWN-shaped doc deletion — the vocabulary recount done
+    * incrementally: `docTerms` is the dead docs' (doc_id, term) frame
+    * under the store's own tokenizer (takedown-bounded). The df
+    * sidecar decrements; terms whose df reaches zero leave the gram
+    * lists SURGICALLY (only part files whose ranges cover a dead
+    * term's grams rewrite — the [[mergeIntoStore]] staged-commit
+    * protocol; grams whose whole list dies drop their row, exactly as
+    * a rebuild of the reduced vocabulary would). Replays are no-ops
+    * (a deleted-docs sidecar filters ids already taken down), and the
+    * new df table + deleted-ids batch commit under the SAME marker as
+    * the gram surgery, so a crash anywhere replays or rolls back the
+    * whole delete. Requires the df sidecar ([[writeVocabDf]]) —
+    * without it the recount needs the corpus, i.e. a rebuild. */
+  def deleteDocs(spark: SparkSession, dir: String,
+                 docTerms: DataFrame): Unit = {
+    recoverCgMerge(spark, dir)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vocabDf = readVocabDf(spark, dir, fs).getOrElse(
+      throw new IllegalStateException(
+        s"$dir has no $VocabDfDir sidecar — write it at store " +
+          "creation (writeVocabDf); without df the vocabulary " +
+          "recount requires a rebuild"))
+    import graft.ops.Stage.StageOps
+    // replay guard: drop docs already deleted
+    val deletedDir = new Path(root, DeletedDocsDir)
+    val already =
+      if (fs.exists(deletedDir) && fs.listStatus(deletedDir).exists(f =>
+          f.isFile && f.getPath.getName.endsWith(".parquet")))
+        Some(spark.read.parquet(deletedDir.toString))
+      else None
+    val fresh0 = docTerms.select(
+      col("doc_id").cast("string").as("doc_id"), col("term"))
+    val fresh = already.fold(fresh0)(d =>
+      fresh0.join(d.select(col("doc_id").cast("string").as("doc_id")),
+        Seq("doc_id"), "left_anti")).stage()
+    if (fresh.limit(1).count() == 0) return
+    // the recount: df decrements; <=0 → the term leaves the lists
+    val dec = fresh.groupBy(col("term")).agg(count(lit(1)).as("dec"))
+    val newDf = vocabDf.join(dec, Seq("term"), "left")
+      .select(col("term"),
+        (col("df") - coalesce(col("dec"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+      .stage()
+    val deadTerms = vocabDf.join(dec, Seq("term"), "left_semi")
+      .join(newDf, Seq("term"), "left_anti")
+      .select(col("term"))
+      .stage()
+    // surgical gram-list removal for the dead terms (may be empty —
+    // then only the sidecars change)
+    val deadGrams = grams(deadTerms, storeK(spark, dir))
+      .select(col("gram")).distinct()
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("gram")).as("lo"), max(col("gram")).as("hi"))
+    val touchedFiles = deadGrams
+      .join(broadcast(ranges),
+        col("gram") >= col("lo") && col("gram") <= col("hi"))
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val staged = new Path(root, StagedDir)
+    if (touchedFiles.nonEmpty) {
+      val replacement = spark.read.parquet(touchedFiles: _*)
+        .select(col("gram"), explode(col("terms")).as("term"))
+        .join(broadcast(deadTerms), Seq("term"), "left_anti")
+        .groupBy(col("gram"))
+        .agg(sort_array(collect_set(col("term"))).as("terms"))
+      replacement.repartitionByRange(
+          math.max(1, touchedFiles.length), col("gram"))
+        .sortWithinPartitions("gram")
+        .write.mode("overwrite").parquet(staged.toString)
+    } else fs.mkdirs(staged)
+    // stage the sidecars under the same commit
+    newDf.coalesce(1).write.mode("overwrite")
+      .parquet(new Path(staged, "_df").toString)
+    fresh.select(col("doc_id")).distinct().coalesce(1)
+      .write.mode("overwrite")
+      .parquet(new Path(staged, "_deleted").toString)
+    // COMMIT POINT (the mergeIntoStore marker)
+    val out = fs.create(new Path(root, Marker), false)
+    try out.write(touchedFiles.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    finishCgSwap(fs, root, touchedFiles)
+  }
+
+  /** The k this store was built at, from an existing gram's length
+    * (every row's gram is exactly k chars). */
+  private def storeK(spark: SparkSession, dir: String): Int =
+    spark.read.parquet(dir).select(length(col("gram")))
+      .head().getInt(0)
 }

@@ -10,18 +10,21 @@ final case class TakedownStores(
     bm25: Option[String] = None,
     positional: Option[String] = None,
     inverted: Option[String] = None,
-    vectors: Option[String] = None)
+    vectors: Option[String] = None,
+    chargram: Option[String] = None)
 
 /** ONE removal request fanned across every index artifact built from
   * the corpus — the curation pipeline's takedown entry point. Each
-  * store keeps its own tombstone protocol (staged-marker commits,
+  * store keeps its own deletion protocol (staged-marker commits,
   * crash recovery, live-view reads, stamped servers — see
   * [[graft.queries.IrSql.deleteBm25Docs]],
   * [[graft.index.PositionalIndex.deleteDocs]],
   * [[graft.index.InvertedIndex.deleteDocs]],
-  * [[Similarity.deleteIvfVectors]]); this object only translates the
-  * request into each store's id space and applies them in a fixed
-  * order.
+  * [[Similarity.deleteIvfVectors]],
+  * [[graft.index.CharKGramIndex.deleteDocs]] — the last is an
+  * immediate vocabulary recount, not a tombstone, so it has no
+  * compact step); this object only translates the request into each
+  * store's id space and applies them in a fixed order.
   *
   * Id spaces: the corpus contract is 1:1 `doc_id` == `vec_id` (one
   * embedding per document) and `docid` == `D%05d`-formatted `doc_id`
@@ -38,9 +41,17 @@ final case class TakedownStores(
   * is indistinguishable from one still in flight. */
 object Takedown {
 
-  /** Tombstone `docIds` (a `doc_id` column) in every present store. */
+  /** Tombstone `docIds` (a `doc_id` column) in every present store.
+    * `corpus` is the (docid, content) frame the chargram store was
+    * built from — required when `stores.chargram` is set, because its
+    * vocabulary recount tokenizes the DEAD docs (takedown-bounded;
+    * [[graft.index.CharKGramIndex.docTermsOf]]'s tokenizer — stores
+    * built from a different vocabulary generator call
+    * `CharKGramIndex.deleteDocs` directly with their own doc-terms
+    * frame). */
   def delete(spark: SparkSession, stores: TakedownStores,
-             docIds: DataFrame): Unit = {
+             docIds: DataFrame,
+             corpus: Option[DataFrame] = None): Unit = {
     val ids = docIds.select(col("doc_id").cast("long").as("doc_id"))
       .distinct()
     stores.bm25.foreach(d =>
@@ -54,6 +65,14 @@ object Takedown {
     stores.vectors.foreach(d =>
       Similarity.deleteIvfVectors(spark, d,
         ids.select(col("doc_id").as("vec_id"))))
+    stores.chargram.foreach { d =>
+      val c = corpus.getOrElse(throw new IllegalArgumentException(
+        "a chargram takedown needs the corpus frame (the vocabulary " +
+          "recount tokenizes the dead docs)"))
+      val dead = c.join(asDocid, Seq("docid"), "left_semi")
+      graft.index.CharKGramIndex.deleteDocs(spark, d,
+        graft.index.CharKGramIndex.docTermsOf(spark, dead))
+    }
   }
 
   /** Physically reclaim every present store's tombstones (each

@@ -322,6 +322,41 @@ object IrSql {
   def q09WildcardMulti(spark: SparkSession, dir: String): DataFrame =
     q09Wildcard(spark, dir, pattern = "str*ea*m")
 
+  private val cgDeletedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A per-corpus chargram STORE (SQL-subset vocabulary, so the
+    * oracle stays pure SQL) with its df sidecar, after the fixed
+    * takedown set's docs were DELETED through
+    * [[graft.index.CharKGramIndex.deleteDocs]] — the incremental
+    * vocabulary recount. */
+  private[graft] def cgDeletedStore(spark: SparkSession,
+                                    dir: String): String =
+    cgDeletedCache.computeIfAbsent(s"${bm25StoreKey(dir)}|cgdel", _ => {
+      val o = graft.TempDirs.scratch("graft_cg_del")
+      graft.index.CharKGramIndex.write(
+        q08CharGrams(spark, dir)
+          .groupBy(col("gram"))
+          .agg(sort_array(collect_set(col("term"))).as("terms")), o)
+      val docTerms = tokens(spark, dir)
+        .select(col("doc_id"), col("term")).distinct()
+      graft.index.CharKGramIndex.writeVocabDf(spark, o, docTerms)
+      graft.index.CharKGramIndex.deleteDocs(spark, o,
+        docTerms.filter(pmod(col("doc_id"), lit(DeletedDocsMod)) ===
+          lit(DeletedDocsRem)))
+      o
+    })
+
+  /** Q9d: the wildcard lookup over the surgically-deleted chargram
+    * store — oracle-checked against the vocabulary REBUILT from the
+    * corpus minus the takedown set (the recount ground truth: a term
+    * leaves the lists exactly when its last doc leaves), so the
+    * driver gate itself proves incremental delete == recount. */
+  def q09WildcardDeleted(spark: SparkSession, dir: String): DataFrame =
+    graft.query.QueryEngine.wildcardTerms(
+      graft.index.CharKGramIndex.load(spark,
+        cgDeletedStore(spark, dir)), "st*am")
+
   /** Default demo query terms — present in the synthetic vocabulary. */
   val DefaultQueryTerms: Seq[String] = Seq("merge", "stream")
 

@@ -149,4 +149,141 @@ class CharKGramIndexSpec extends SparkSpec {
     assert(rows(CharKGramIndex.load(spark, dir)) == rows(rebuilt),
       "crash recovery changed the store's content")
   }
+
+  private def rows2(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("doc deletion == the vocabulary recount: the deleted store's " +
+    "content equals a rebuild from the reduced corpus; terms whose " +
+    "last doc left are wildcard-unreachable; shared terms survive; " +
+    "replaying the delete is a no-op; untouched files byte-identical") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cg_docdel").toString
+    // many small files so surgery has untouched files to spare
+    CharKGramIndex.write(CharKGramIndex.build(spark, corpus), dir,
+      rowsPerFile = 32L)
+    val docTerms = CharKGramIndex.docTermsOf(spark, corpus)
+    CharKGramIndex.writeVocabDf(spark, dir, docTerms)
+    // victim: the doc with the FEWEST exclusive terms (≥1 — some term
+    // must die for the fixture to prove anything; few, so their grams
+    // leave part files untouched on this small corpus)
+    val victim = docTerms.groupBy("term")
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc"))
+      .filter(col("df") === 1)
+      .groupBy(col("doc")).agg(count(lit(1)).as("nexcl"))
+      .orderBy(col("nexcl"), col("doc")).head().getString(0)
+    val deadDocTerms = docTerms.filter(col("doc_id") === victim)
+    val preFiles = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => (f.getPath.getName, f.getLen, f.getModificationTime))
+      .sortBy(_._1).toSeq
+    CharKGramIndex.deleteDocs(spark, dir, deadDocTerms)
+    // == rebuild from the reduced corpus, row for row
+    val rebuilt = CharKGramIndex.build(spark,
+      corpus.filter(col("docid") =!= victim))
+    assert(rows2(CharKGramIndex.load(spark, dir)) == rows2(rebuilt),
+      "deleted store != vocabulary recount rebuild")
+    // files not covering a dead term's grams stayed byte-identical
+    val deadTerms = deadDocTerms.select("term")
+      .join(docTerms.filter(col("doc_id") =!= victim).select("term"),
+        Seq("term"), "left_anti")
+    assert(deadTerms.count() > 0, "victim doc had no exclusive terms")
+    val postFiles = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => (f.getPath.getName, f.getLen, f.getModificationTime))
+      .sortBy(_._1).toSeq
+    val kept = postFiles.toSet.intersect(preFiles.toSet)
+    assert(kept.nonEmpty, "every part file rewrote — no surgery")
+    assert(postFiles.size < preFiles.size + 8,
+      "unexpected file explosion")
+    // replay: no-op (the deleted-docs sidecar guards it)
+    val snapshot = rows2(CharKGramIndex.load(spark, dir))
+    CharKGramIndex.deleteDocs(spark, dir, deadDocTerms)
+    assert(rows2(CharKGramIndex.load(spark, dir)) == snapshot,
+      "replaying the delete changed the store")
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => (f.getPath.getName, f.getLen, f.getModificationTime))
+      .sortBy(_._1).toSeq == postFiles,
+      "replay rewrote files")
+  }
+
+  test("df sidecar survives a store-level merge: a term whose only " +
+    "doc arrived in the DELTA dies when that doc is deleted after " +
+    "the merge") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cg_mergedel").toString
+    val ids = corpus.select("docid").orderBy("docid").collect()
+      .map(_.getString(0))
+    val half = ids(ids.length / 2)
+    val base = corpus.filter(col("docid") < half)
+    val delta = corpus.filter(col("docid") >= half)
+    CharKGramIndex.write(CharKGramIndex.build(spark, base), dir)
+    CharKGramIndex.writeVocabDf(spark, dir,
+      CharKGramIndex.docTermsOf(spark, base))
+    CharKGramIndex.mergeIntoStore(spark, dir, delta)
+    // df sidecar must now cover the merged corpus exactly
+    val expectDf = CharKGramIndex.docTermsOf(spark, corpus)
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    assert(rows2(spark.read.parquet(s"$dir/_graft_vocab_df"))
+      == rows2(expectDf), "merge left the df sidecar stale")
+    // delete a delta doc holding a delta-exclusive term
+    val docTerms = CharKGramIndex.docTermsOf(spark, corpus)
+    val deltaDocs = delta.select(col("docid")).collect()
+      .map(_.getString(0)).toSet
+    val exclusive = docTerms.groupBy("term")
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc"))
+      .filter(col("df") === 1)
+      .collect().filter(r => deltaDocs.contains(r.getString(2)))
+    assert(exclusive.nonEmpty, "no delta-exclusive single-doc term")
+    val victim = exclusive.minBy(_.getString(0)).getString(2)
+    CharKGramIndex.deleteDocs(spark, dir,
+      docTerms.filter(col("doc_id") === victim))
+    val rebuilt = CharKGramIndex.build(spark,
+      corpus.filter(col("docid") =!= victim))
+    assert(rows2(CharKGramIndex.load(spark, dir)) == rows2(rebuilt),
+      "post-merge delete != recount rebuild")
+  }
+
+  test("delete crash states: an uncommitted staged delete rolls " +
+    "back (store, df, and replay guard untouched); a committed one " +
+    "replays to completion") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cg_delcrash").toString
+    CharKGramIndex.write(CharKGramIndex.build(spark, corpus), dir)
+    val docTerms = CharKGramIndex.docTermsOf(spark, corpus)
+    CharKGramIndex.writeVocabDf(spark, dir, docTerms)
+    val pre = rows2(CharKGramIndex.load(spark, dir))
+    val preDf = rows2(spark.read.parquet(s"$dir/_graft_vocab_df"))
+    val victim = docTerms.groupBy("term")
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc"))
+      .filter(col("df") === 1).orderBy("term").head().getString(2)
+    val dead = docTerms.filter(col("doc_id") === victim)
+    // A: stage sidecars but no marker → recovery rolls back
+    import spark.implicits._
+    Seq(("ghost", 1L)).toDF("term", "df").write
+      .parquet(s"$dir/_graft_cg_new/_df")
+    Seq(victim).toDF("doc_id").write
+      .parquet(s"$dir/_graft_cg_new/_deleted")
+    CharKGramIndex.recoverCgMerge(spark, dir)
+    assert(rows2(CharKGramIndex.load(spark, dir)) == pre)
+    assert(rows2(spark.read.parquet(s"$dir/_graft_vocab_df")) == preDf,
+      "rollback leaked a staged df")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/_graft_deleted_docs")), "rollback leaked the guard batch")
+    // B: a real delete, then REPLAY the finished state via recovery
+    CharKGramIndex.deleteDocs(spark, dir, dead)
+    val post = rows2(CharKGramIndex.load(spark, dir))
+    CharKGramIndex.recoverCgMerge(spark, dir) // idle recovery: no-op
+    assert(rows2(CharKGramIndex.load(spark, dir)) == post)
+    // the guard batch exists and blocks the replay
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/_graft_deleted_docs")))
+    CharKGramIndex.deleteDocs(spark, dir, dead)
+    assert(rows2(CharKGramIndex.load(spark, dir)) == post)
+  }
 }

@@ -329,4 +329,36 @@ class DeletionSpec extends SparkSpec {
       s"$posDir/doc_map/_graft_rc_new")))
     assert(hits() == post, "staging rollback changed the answer")
   }
+
+  test("a takedown under a LIVE HybridServer reaches BOTH arms with " +
+    "no refresh: the fused ranking drops the doc and equals a fresh " +
+    "server over the same mutated stores") {
+    import graft.query.{Bm25Server, HybridServer, IvfServer}
+    import graft.ops.{Similarity, Takedown, TakedownStores}
+    val bm = tmp("graft_del_hyb_bm25")
+    IrSql.writeBm25Stats(spark, dir, bm)
+    val ivf = tmp("graft_del_hyb_ivf")
+    Similarity.writeIvfLayout(spark, dir, ivf)
+    val srv = new HybridServer(
+      new Bm25Server(spark, bm), new IvfServer(spark, ivf))
+    val qv = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val terms = IrSql.DefaultQueryTerms
+    val pre = srv.search(terms, qv)
+    assert(pre.nonEmpty)
+    val victim = pre.head._1 // fused top doc (doc_id == vec_id)
+    import spark.implicits._
+    Takedown.delete(spark,
+      TakedownStores(bm25 = Some(bm), vectors = Some(ivf)),
+      Seq(victim).toDF("doc_id"))
+    val post = srv.search(terms, qv)
+    assert(!post.exists(_._1 == victim),
+      "the live hybrid server still serves the deleted doc")
+    val fresh = new HybridServer(
+      new Bm25Server(spark, bm), new IvfServer(spark, ivf))
+      .search(terms, qv)
+    assert(post == fresh,
+      "live-server post-takedown fusion != fresh server")
+  }
 }

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
-import graft.index.{InvertedIndex, PositionalIndex}
+import graft.index.{CharKGramIndex, InvertedIndex, PositionalIndex}
 import graft.queries.{IrEngine, IrSql}
 import graft.query.QueryEngine
 
@@ -28,12 +28,17 @@ class TakedownSpec extends SparkSpec {
     InvertedIndex.write(InvertedIndex.build(spark, corpus, k = 1), inv)
     val ivf = tmp("graft_td_ivf")
     Similarity.writeIvfLayout(spark, dir, ivf)
+    val cg = tmp("graft_td_cg")
+    CharKGramIndex.write(CharKGramIndex.build(spark, corpus), cg)
+    CharKGramIndex.writeVocabDf(spark, cg,
+      CharKGramIndex.docTermsOf(spark, corpus))
     TakedownStores(bm25 = Some(bm), positional = Some(pos),
-      inverted = Some(inv), vectors = Some(ivf))
+      inverted = Some(inv), vectors = Some(ivf), chargram = Some(cg))
   }
 
   private def surfaces(s: TakedownStores)
-      : (Seq[(Long, Double)], Seq[String], Seq[String], Seq[Long]) = {
+      : (Seq[(Long, Double)], Seq[String], Seq[String], Seq[Long],
+         Seq[String]) = {
     val bm25 = IrSql.q10Bm25PrunedAt(spark, s.bm25.get,
         IrSql.ExpandedQueryTerms, 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
@@ -45,7 +50,10 @@ class TakedownSpec extends SparkSpec {
       .select("docid").collect().map(_.getString(0)).toSeq
     val ann = Similarity.probeIvfStore(spark, s.vectors.get, k = 10)
       .collect().map(_.getLong(0)).toSeq
-    (bm25, phrase, search, ann)
+    val wild = QueryEngine.wildcardTerms(
+        CharKGramIndex.load(spark, s.chargram.get), "s*m")
+      .collect().map(_.getString(0)).toSeq
+    (bm25, phrase, search, ann, wild)
   }
 
   test("one takedown call == each store's own delete API (id-space " +
@@ -53,8 +61,9 @@ class TakedownSpec extends SparkSpec {
     "reclaims every store without changing an answer") {
     val viaOrch = buildAll()
     val viaStores = buildAll()
+    val corpus = IrEngine.corpus(spark, dir)
     val ids = IrSql.deletedDocIds(spark, dir) // the fixed mod-13 set
-    Takedown.delete(spark, viaOrch, ids)
+    Takedown.delete(spark, viaOrch, ids, corpus = Some(corpus))
     // the same request through each store's own API
     IrSql.deleteBm25Docs(spark, viaStores.bm25.get, ids)
     val asDocid = ids
@@ -63,6 +72,9 @@ class TakedownSpec extends SparkSpec {
     InvertedIndex.deleteDocs(spark, viaStores.inverted.get, asDocid)
     Similarity.deleteIvfVectors(spark, viaStores.vectors.get,
       ids.select(col("doc_id").as("vec_id")))
+    CharKGramIndex.deleteDocs(spark, viaStores.chargram.get,
+      CharKGramIndex.docTermsOf(spark,
+        corpus.join(asDocid, Seq("docid"), "left_semi")))
     val a = surfaces(viaOrch)
     assert(a == surfaces(viaStores),
       "orchestrated takedown diverged from the per-store APIs")
@@ -74,7 +86,7 @@ class TakedownSpec extends SparkSpec {
     assert(a._3.forall(d => !deadDocids.contains(d)))
     assert(a._4.forall(v => !dead.contains(v)))
     // replay: every store no-ops
-    Takedown.delete(spark, viaOrch, ids)
+    Takedown.delete(spark, viaOrch, ids, corpus = Some(corpus))
     assert(surfaces(viaOrch) == a, "replaying the takedown changed answers")
     // one compact call reclaims all four; answers unchanged
     Takedown.compact(spark, viaOrch)
