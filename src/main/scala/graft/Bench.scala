@@ -234,7 +234,7 @@ object Bench {
         medianPhraseUs, medianPhraseTemplateUs, medianPhrase3TemplateUs,
         medianNearTemplateUs, medianPhraseLoadedRoutedUs,
         medianNearLoadedRoutedUs, medianAnnProbeUs, medianAnnServedUs,
-        medianAnnTmplUs, medianAnnTmplN2Us,
+        medianAnnTmplUs, medianAnnTmplN2Us, medianAnnDelTmplUs,
         medianPqServedUs, medianPqTmplUs, annConc8PerS) =
       try {
         spark.conf.set(aqeKey, "false")
@@ -330,7 +330,7 @@ object Bench {
         // number
         val annPath = java.nio.file.Files.createTempDirectory("graft_bench_ann")
         val (mAnnProbeUs, mAnnServedUs, mAnnTmplUs, mAnnTmplN2Us,
-            mPqServedUs, mPqTmplUs, mAnnConc8) = try {
+            mAnnDelTmplUs, mPqServedUs, mPqTmplUs, mAnnConc8) = try {
           graft.ops.Similarity.writeIvfLayout(spark, sfDir, annPath.toString)
           graft.ops.Similarity.probeIvfStore(spark, annPath.toString).count()
           val qids = Seq("0", "11", "23", "47", "89", "101", "131",
@@ -413,7 +413,20 @@ object Bench {
             val secs = (System.nanoTime() - t0) / 1e9
             math.rint(8 * rounds * qids.size / secs * 10) / 10
           }
-          (fresh, served, tmpl, tmplN2, mPqServed, mPqTmpl, conc8)
+          // serving over a TOMBSTONED store (LAST — it mutates): the
+          // takedown rides the driver-updated exclude set plus one
+          // tombstones-dir listing per borrow; the delta vs
+          // warm_ann_ivf_template_us prices the r14 deletion path's
+          // entire warm-serving overhead
+          import spark.implicits._
+          graft.ops.Similarity.deleteIvfVectors(spark, annPath.toString,
+            Seq(999L, 1001L, 1003L, 1005L, 1007L).toDF("vec_id"))
+          srv.probeTemplate(qvecs(qids.head))
+          val tmplDel = sweep3("warm_ann_deleted_template_us",
+            sweepOf(qids, q => { srv.probeTemplate(qvecs(q),
+              excludeId = q.toLong); () }))
+          (fresh, served, tmpl, tmplN2, tmplDel, mPqServed, mPqTmpl,
+            conc8)
         } finally {
           val wk = java.nio.file.Files.walk(annPath)
           try wk.sorted(java.util.Comparator.reverseOrder())
@@ -423,7 +436,8 @@ object Bench {
         (mUs, mTmplUs, mRm3Us, mRm3TmplUs, mLoadUs, mRoutedUs,
           mPhraseUs, mPhraseTmplUs, mPhrase3TmplUs, mNearTmplUs,
           mPhraseRoutedUs, mNearRoutedUs, mAnnProbeUs, mAnnServedUs,
-          mAnnTmplUs, mAnnTmplN2Us, mPqServedUs, mPqTmplUs, mAnnConc8)
+          mAnnTmplUs, mAnnTmplN2Us, mAnnDelTmplUs, mPqServedUs,
+          mPqTmplUs, mAnnConc8)
       } finally spark.conf.set(aqeKey, prevAqe)
     // MaxScore serving pair: the full multi-term scorer (re-tokenizes
     // the corpus every query) vs the bound-pruned plan over the
@@ -551,7 +565,7 @@ object Bench {
     val spreadAll = mergeJson(spread, warmSpread.toSeq)
     val gcAll = mergeJson(gc, warmGc.toSeq)
     val resampledAll = mergeArr(resampled, warmResampled.toSeq)
-    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadAll,"gc_sec":$gcAll,"resampled":$resampledAll,"sf":"$sfDir","failed":$nFailed,"index_docs_per_s":${docsPerS.round},"warm_search_us":$medianUs,"warm_search_template_us":$medianTemplateUs,"warm_rm3_us":$medianRm3Us,"warm_rm3_template_us":$medianRm3TemplateUs,"warm_search_loaded_us":$medianLoadedUs,"warm_search_loaded_routed_us":$medianLoadedRoutedUs,"warm_phrase_us":$medianPhraseUs,"warm_phrase_template_us":$medianPhraseTemplateUs,"warm_phrase3_template_us":$medianPhrase3TemplateUs,"warm_near_template_us":$medianNearTemplateUs,"warm_phrase_loaded_routed_us":$medianPhraseLoadedRoutedUs,"warm_near_loaded_routed_us":$medianNearLoadedRoutedUs,"warm_ann_ivf_probe_us":$medianAnnProbeUs,"warm_ann_ivf_served_us":$medianAnnServedUs,"warm_ann_ivf_template_us":$medianAnnTmplUs,"warm_ann_ivf_nprobe2_us":$medianAnnTmplN2Us,"warm_ann_ivfpq_served_us":$medianPqServedUs,"warm_ann_ivfpq_template_us":$medianPqTmplUs,"warm_bm25_multi_us":$medianBm25MultiUs,"warm_bm25_pruned_us":$medianBm25PrunedUs,"warm_bm25_served_us":$medianBm25ServedUs,"warm_bm25_template_us":$medianBm25TmplUs,"warm_bm25_batch_us":$medianBm25BatchUs,"warm_hybrid_template_us":$medianHybridTmplUs,"warm_hybrid_filtered_template_us":$medianHybridFilteredTmplUs,"calib_cpu_ms":$calibCpuMs,"calib_shuffle_ms":$calibShuffleMs,"ann_conc8_probes_per_s":$annConc8PerS,"funnel_stream_paa_s":${math.rint(graft.queries.IrEngine.lastFunnelStreamWallSec * 100) / 100}}"""
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadAll,"gc_sec":$gcAll,"resampled":$resampledAll,"sf":"$sfDir","failed":$nFailed,"index_docs_per_s":${docsPerS.round},"warm_search_us":$medianUs,"warm_search_template_us":$medianTemplateUs,"warm_rm3_us":$medianRm3Us,"warm_rm3_template_us":$medianRm3TemplateUs,"warm_search_loaded_us":$medianLoadedUs,"warm_search_loaded_routed_us":$medianLoadedRoutedUs,"warm_phrase_us":$medianPhraseUs,"warm_phrase_template_us":$medianPhraseTemplateUs,"warm_phrase3_template_us":$medianPhrase3TemplateUs,"warm_near_template_us":$medianNearTemplateUs,"warm_phrase_loaded_routed_us":$medianPhraseLoadedRoutedUs,"warm_near_loaded_routed_us":$medianNearLoadedRoutedUs,"warm_ann_ivf_probe_us":$medianAnnProbeUs,"warm_ann_ivf_served_us":$medianAnnServedUs,"warm_ann_ivf_template_us":$medianAnnTmplUs,"warm_ann_ivf_nprobe2_us":$medianAnnTmplN2Us,"warm_ann_deleted_template_us":$medianAnnDelTmplUs,"warm_ann_ivfpq_served_us":$medianPqServedUs,"warm_ann_ivfpq_template_us":$medianPqTmplUs,"warm_bm25_multi_us":$medianBm25MultiUs,"warm_bm25_pruned_us":$medianBm25PrunedUs,"warm_bm25_served_us":$medianBm25ServedUs,"warm_bm25_template_us":$medianBm25TmplUs,"warm_bm25_batch_us":$medianBm25BatchUs,"warm_hybrid_template_us":$medianHybridTmplUs,"warm_hybrid_filtered_template_us":$medianHybridFilteredTmplUs,"calib_cpu_ms":$calibCpuMs,"calib_shuffle_ms":$calibShuffleMs,"ann_conc8_probes_per_s":$annConc8PerS,"funnel_stream_paa_s":${math.rint(graft.queries.IrEngine.lastFunnelStreamWallSec * 100) / 100}}"""
     println(jsonLine)
     // the stdout line survives only as a 2000-char tail in the
     // driver's BENCH_r{N}.json (parsed: null every round) — persist

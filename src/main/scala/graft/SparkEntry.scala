@@ -301,6 +301,10 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Pq.annIvfPqFilteredAuto(s, d)),
     "q25_ann_ivfpq_filtered_auto_loaded" ->
       ((s: SparkSession, d: String) => Pq.annIvfPqFilteredAutoLoaded(s, d)),
+    "q25_ann_ivfpq_deleted" ->
+      ((s: SparkSession, d: String) => Pq.annIvfPqDeleted(s, d)),
+    "q25_ann_ivfpq_deleted_compacted" ->
+      ((s: SparkSession, d: String) => Pq.annIvfPqDeletedCompacted(s, d)),
     "q33_pagerank" -> (Graph.q33PageRank _),
     "q33_triangles" -> (Graph.q33Triangles _),
     "q33_clustering" -> (Graph.q33Clustering _),
@@ -343,6 +347,11 @@ object SparkEntry {
       // physical reclaim of tombstoned vectors must not change any
       // answer: the compacted probe == the tombstoned probe's oracle
       ("q25_ann_ivf_deleted_compacted" -> base("q25_ann_ivf_deleted")) +
+      // the coded store's reclaim drops every dead row (no retained
+      // seeds — its coordinates live in the embeddings table): same
+      // oracle as the tombstoned coded probe
+      ("q25_ann_ivfpq_deleted_compacted" ->
+        base("q25_ann_ivfpq_deleted")) +
       // the one-pass streaming funnel's gate decisions == the batch
       // curation funnel's row-for-row (range-chunk staging makes the
       // stream's first-arrival keeper the batch's global-min keeper)

@@ -355,7 +355,7 @@ object Pq {
     val score = (0 until Subspaces)
       .map(s => element_at(typedLit(dtable(s)), col(s"c$s")))
       .reduce(_ + _)
-    spark.read.parquet(storeDir)
+    Similarity.liveIvfStore(spark, storeDir)
       .filter(col("cell").isin(probed.map(Long.box): _*) &&
         col("vec_id") =!= 0)
       .join(Similarity.filterIds(spark, dir), Seq("vec_id"))
@@ -392,7 +392,7 @@ object Pq {
     val q = e.filter(col("vec_id") === 0).select(col("embedding"))
       .head().getSeq[Float](0)
     val ranked = coarseProbeCells(e, q, Similarity.IvfCentroids)
-    val stored = spark.read.parquet(storeDir)
+    val stored = Similarity.liveIvfStore(spark, storeDir)
     val f = Similarity.filterIds(spark, dir)
     val chosen = Similarity.escalate(ranked, target) { newCells =>
       stored.filter(col("cell").isin(newCells.map(Long.box): _*) &&
@@ -433,6 +433,60 @@ object Pq {
         writeIvfPqStore(spark, dir, out)
         out
       })
+
+  // ---- takedown deletion for the CODED store ----------------------
+  // The same tombstone protocol as the fp32 layout ([[Similarity
+  // .deleteIvfVectors]] — one appended batch, probes read the live
+  // view), with ONE simplification: the PQ store's coordinate system
+  // (coarse seeds + codebooks) lives in the embeddings table, not in
+  // its rows, so there is no retained-seed rule — reclaim drops every
+  // tombstoned row and the tombstone dir with it.
+
+  /** Tombstone `ids` (a `vec_id` column) in a [[writeIvfPqStore]]
+    * layout. */
+  def deletePqVectors(spark: SparkSession, storeDir: String,
+                      ids: DataFrame): Unit =
+    Similarity.deleteIvfVectors(spark, storeDir, ids)
+
+  /** Physically reclaim the coded store's tombstones: only cells
+    * holding a dead row rewrite (crash-safe per-cell swaps); returns
+    * cells rewritten. */
+  def compactPqDeletes(spark: SparkSession, storeDir: String): Int =
+    Similarity.compactCellDeletes(spark, storeDir, retainSeeds = false)
+
+  /** Session-cached coded store WITH the fixed takedown applied — the
+    * [[Similarity.cachedDeletedStore]] discipline for codes. */
+  private def cachedDeletedPqStore(spark: SparkSession,
+                                   dir: String): String =
+    Similarity.loadedStoreCache.computeIfAbsent(
+      s"$dir|ivfpqdel|${Similarity.loadedStampOf(dir)}", _ => {
+        val out = graft.TempDirs.scratch("graft_ivfpq_del")
+        writeIvfPqStore(spark, dir, out)
+        deletePqVectors(spark, out,
+          emb(spark, dir)
+            .filter(col("vec_id") % Similarity.DeletedVecsMod ===
+              Similarity.DeletedVecsRem)
+            .select(col("vec_id")))
+        out
+      })
+
+  /** The coded probe over a store with PENDING tombstones — results
+    * == the ADC ranking over a corpus that never held the deleted ids
+    * (oracle-checked; coarse routing still derives from the full
+    * embeddings table, so cell choice is unchanged). */
+  def annIvfPqDeleted(spark: SparkSession, dir: String,
+                      k: Int = TopK): DataFrame =
+    probeIvfPqStore(spark, dir, cachedDeletedPqStore(spark, dir), k)
+
+  /** [[annIvfPqDeleted]] after the physical reclaim — same oracle
+    * (reclaim must not change any answer; the tombstone dir is gone,
+    * every dead row with it). */
+  def annIvfPqDeletedCompacted(spark: SparkSession, dir: String,
+                               k: Int = TopK): DataFrame = {
+    val store = cachedDeletedPqStore(spark, dir)
+    compactPqDeletes(spark, store)
+    probeIvfPqStore(spark, dir, store, k)
+  }
 
   /** The coarse quantizer's probe-cell choice: rank the seed
     * centroids by cosine against the query driver-side (k rows —
@@ -504,7 +558,7 @@ object Pq {
     val score = (0 until Subspaces)
       .map(s => element_at(typedLit(dtable(s)), col(s"c$s")))
       .reduce(_ + _)
-    spark.read.parquet(storeDir)
+    Similarity.liveIvfStore(spark, storeDir)
       .filter(col("cell").isin(probed.map(Long.box): _*) &&
         col("vec_id") =!= 0)
       .select(col("vec_id"), score.as("d"))

@@ -1710,15 +1710,27 @@ object Similarity {
     * footprint (one batch touches at most |batch| of the k cells),
     * never the corpus — the [[graft.queries.IrSql.compactBm25Deletes]]
     * posture for vectors. */
-  def compactIvfDeletes(spark: SparkSession, storeDir: String): Int = {
+  def compactIvfDeletes(spark: SparkSession, storeDir: String): Int =
+    compactCellDeletes(spark, storeDir, retainSeeds = true)
+
+  /** The reclaim shared with the PQ codes-only layout
+    * ([[Pq.compactPqDeletes]]): `retainSeeds = false` for stores
+    * whose coordinate system lives OUTSIDE the store (the PQ coarse
+    * seeds come from the embeddings table), so every tombstoned row
+    * reclaims and the tombstone dir drops entirely. */
+  private[graft] def compactCellDeletes(spark: SparkSession,
+                                        storeDir: String,
+                                        retainSeeds: Boolean): Int = {
     val root = new org.apache.hadoop.fs.Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     ivfTombstones(spark, storeDir) match {
       case None => 0
       case Some(dead) =>
         import spark.implicits._
-        val seedDf = storeSeeds(spark, storeDir).map(_._1).toSeq
-          .toDF("vec_id")
+        val seedDf =
+          if (retainSeeds) storeSeeds(spark, storeDir).map(_._1).toSeq
+            .toDF("vec_id")
+          else Seq.empty[Long].toDF("vec_id")
         val deadGone = dead.join(seedDf, Seq("vec_id"), "left_anti")
         val touched = spark.read.parquet(storeDir)
           .join(broadcast(deadGone), Seq("vec_id"), "left_semi")

@@ -716,6 +716,13 @@ object TrainingOracles {
     // top-2 cells, then ADC scoring only over those cells' candidates
     "q25_ann_ivfpq" -> annIvfPqSql(filtered = false),
 
+    // the coded probe over a takedown'd store == the ADC ranking of a
+    // corpus that never held the ids (codebooks + routing unchanged —
+    // they live in the embeddings table, not the store's rows);
+    // q25_ann_ivfpq_deleted_compacted shares this SQL
+    "q25_ann_ivfpq_deleted" ->
+      annIvfPqSql(filtered = false, deleted = true),
+
     // the WHERE-clause IVF-PQ: same routing/codes/distance table with
     // the metadata pre-filter joined into the probed candidates
     // (mirrors Pq.annIvfPqFiltered; shared by the loaded entry)
@@ -2120,8 +2127,19 @@ object TrainingOracles {
     * joins; `filtered` adds the metadata pre-filter into the probed
     * candidate set. */
   private def annIvfPqSql(filtered: Boolean,
-                          auto: Boolean = false): String = {
+                          auto: Boolean = false,
+                          deleted: Boolean = false): String = {
     require(!auto || filtered, "the auto ladder is the filtered form")
+    require(!deleted || (!filtered && !auto),
+      "the deleted arm is the plain nProbe=2 form")
+    // the takedown exclusion: candidates only — coarse routing and
+    // codebooks derive from the full embeddings table (the PQ store's
+    // coordinate system lives outside its rows)
+    val delPred =
+      if (deleted)
+        s" AND cells.vec_id % ${Similarity.DeletedVecsMod} <> " +
+          s"${Similarity.DeletedVecsRem}"
+      else ""
     val joins = (0 until Pq.Subspaces).map(s =>
       s"JOIN code_$s ON code_$s.vec_id = cand.vec_id " +
         s"JOIN qd_$s ON qd_$s.cid = code_$s.cid").mkString(" ")
@@ -2144,7 +2162,7 @@ object TrainingOracles {
               ORDER BY ${cos("q.v", "co.cvec")} DESC, co.ccid LIMIT 2)$fCte,
        cand AS (SELECT cells.vec_id AS vec_id FROM cells
                 JOIN qc ON cells.cell = qc.ccid$fJoin
-                WHERE cells.vec_id <> 0)"""
+                WHERE cells.vec_id <> 0$delPred)"""
       else
         s"""qrank AS (SELECT co.ccid,
                       row_number() OVER (

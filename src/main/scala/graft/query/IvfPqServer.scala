@@ -94,6 +94,30 @@ final class IvfPqServer(spark: SparkSession, dir: String,
     cells.map(c => s"$storeDir/cell=$c")
       .filter(p => hfs.exists(new org.apache.hadoop.fs.Path(p)))
 
+  // takedown awareness — the [[IvfServer]] discipline verbatim: the
+  // pending tombstone set rides the driver-updated exclude set behind
+  // a [[DirVersion]] stamp of the tombstones dir, so a
+  // [[Pq.deletePqVectors]] under a live server is honored on the next
+  // probe with zero template rebuilds; the physical reclaim's cell
+  // rewrites are caught by the per-borrow [[CellVersion]] stamp.
+  private val tombRef = new java.util.concurrent.atomic.AtomicReference[
+    (Long, java.util.HashSet[java.lang.Long])](null)
+
+  private def tombstones(): (Long, java.util.HashSet[java.lang.Long]) = {
+    val v = DirVersion.of(hfs,
+      Seq(s"$storeDir/${Similarity.IvfTombstonesName}"))
+    val cached = tombRef.get
+    if (cached != null && cached._1 == v) cached
+    else {
+      val s = new java.util.HashSet[java.lang.Long]
+      Similarity.ivfTombstones(spark, storeDir).foreach(
+        _.collect().foreach(r => s.add(r.getLong(0))))
+      val snap = (v, s)
+      tombRef.set(snap)
+      snap
+    }
+  }
+
   private def emptyResult: DataFrame =
     spark.range(0).selectExpr("id AS vec_id",
       "CAST(0.0 AS DOUBLE) AS pq_dist")
@@ -118,7 +142,14 @@ final class IvfPqServer(spark: SparkSession, dir: String,
     val score = (0 until Pq.Subspaces)
       .map(s => element_at(typedLit(dt(s)), col(s"c$s")))
       .reduce(_ + _)
-    spark.read.parquet(paths: _*)
+    val ts = tombstones()._2
+    val scan = spark.read.parquet(paths: _*)
+    (if (ts.isEmpty) scan
+     else {
+       import scala.jdk.CollectionConverters._
+       scan.filter(!col("vec_id").isInCollection(
+         ts.asScala.map(_.longValue).toSeq))
+     })
       .filter(col("vec_id") =!= excludeId)
       .select(col("vec_id"), score.as("d"))
       .orderBy(col("d"), col("vec_id"))
@@ -136,7 +167,7 @@ final class IvfPqServer(spark: SparkSession, dir: String,
     { case (cells, k) => buildTmpl(cells, k) }, maxKeys = 32)
 
   /** Drop every pooled template (see the staleness note above). */
-  def refresh(): Unit = pools.clear()
+  def refresh(): Unit = { pools.clear(); tombRef.set(null) }
 
   private def buildTmpl(cells: Seq[Long], k: Int): Tmpl = {
     // version BEFORE the read, so a mutation racing the build leaves
@@ -188,7 +219,7 @@ final class IvfPqServer(spark: SparkSession, dir: String,
             t.dt(s).set(m)
             s += 1
           }
-          val ex = new java.util.HashSet[java.lang.Long]()
+          val ex = new java.util.HashSet[java.lang.Long](tombstones()._2)
           if (excludeId != -1L) ex.add(excludeId)
           t.exclude.set(ex)
           t.df.collect().iterator

@@ -105,4 +105,39 @@ class IvfPqServerSpec extends SparkSpec {
       assert(rs == want(id), s"concurrent query $id diverged")
     }
   }
+
+  test("a takedown under a LIVE coded server is honored on the next " +
+    "probe with NO refresh (plain + template); the physical reclaim " +
+    "drops every dead row and the tombstone dir, changing no answer") {
+    import spark.implicits._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_live_del").toString
+    Pq.writeIvfPqStore(spark, dir, out)
+    val srv = new IvfPqServer(spark, dir, out)
+    val qv = vecOf(0L)
+    val pre = srv.probeTemplate(qv, excludeId = 0L) // warm the pool
+    val victim = pre.head._1
+    Pq.deletePqVectors(spark, out, Seq(victim).toDF("vec_id"))
+    val checked = Pq.probeIvfPqStore(spark, dir, out)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(!checked.exists(_._1 == victim))
+    assert(srv.probeTemplate(qv, excludeId = 0L) == checked,
+      "warm coded template served the deleted vector")
+    assert(srv.probe(qv, excludeId = 0L).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq == checked,
+      "plain coded probe served the deleted vector")
+    // reclaim: no retained seeds in a codes-only store — dead row and
+    // tombstone dir both gone, answers identical (cell stamp catches
+    // the rewrite under the live server)
+    assert(Pq.compactPqDeletes(spark, out) > 0)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$out/${graft.ops.Similarity.IvfTombstonesName}")),
+      "codes-only reclaim left the tombstone dir")
+    assert(spark.read.parquet(out).filter(col("vec_id") === victim)
+      .count() == 0, "the dead code row survived reclaim")
+    assert(srv.probeTemplate(qv, excludeId = 0L) == checked,
+      "reclaim changed the served coded answer")
+  }
 }
