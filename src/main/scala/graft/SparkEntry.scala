@@ -179,6 +179,7 @@ object SparkEntry {
     "q36_phrase_deleted" -> (IrEngine.q36PhraseDeleted _),
     "q10_bm25_deleted" ->
       ((s: SparkSession, d: String) => IrSql.q10Bm25Deleted(s, d)),
+    "q29_takedown_stream" -> (IrEngine.q29TakedownStream _),
     "q36_phrase_compressed" -> (IrEngine.q36PhraseCompressed _),
     "q36_phrase_merged" -> (IrEngine.q36PhraseMerged _),
     "q36_near" -> (IrEngine.q36Near _),
@@ -664,6 +665,11 @@ object SparkEntry {
     // recomputed over the corpus minus the fixed takedown set (the
     // engine side serves it from a store with PENDING tombstones)
     "q10_bm25_deleted" -> bm25MultiSqlOver(
+      s"""(SELECT * FROM documents
+           WHERE NOT (doc_id % ${IrSql.DeletedDocsMod} = ${IrSql.DeletedDocsRem}))"""),
+    // the streaming takedown feed composes to the one-shot batch
+    // delete: same reduced-corpus ground truth
+    "q29_takedown_stream" -> bm25MultiSqlOver(
       s"""(SELECT * FROM documents
            WHERE NOT (doc_id % ${IrSql.DeletedDocsMod} = ${IrSql.DeletedDocsRem}))"""),
     "q10_bm25_batch" -> bm25BatchSql,

@@ -1179,6 +1179,48 @@ object IrEngine {
   def q29AnnStream(spark: SparkSession, dir: String): DataFrame =
     annStreamGate(spark, dir, graft.ops.Similarity.IvfCentroids.toLong)
 
+  /** STREAMING TAKEDOWN FEED — removal requests arriving as a stream,
+    * the operational shape of a curation pipeline's deletion queue
+    * (takedowns trickle in; each must be honored when it lands, not
+    * in a quarterly rebuild). The fixed takedown set streams in THREE
+    * id chunks into a per-run BM25 stats store; each micro-batch is
+    * one [[graft.queries.IrSql.deleteBm25Docs]] — a crash-safe
+    * staged-marker delete whose derived stats go exact at delete
+    * time — so the incremental feed COMPOSES to exactly the one-shot
+    * batch delete: the final ranking shares q10_bm25_deleted's oracle
+    * (full BM25 recomputed over the corpus minus the whole set).
+    * Chunks are disjoint id slices, so per-batch deletes never
+    * overlap; the replay-idempotence each store's protocol guarantees
+    * makes an at-least-once feed safe too (spec-pinned in
+    * DeletionSpec's no-op replays). */
+  def q29TakedownStream(spark: SparkSession, dir: String): DataFrame = {
+    val store = graft.TempDirs.scratch("graft_tds_bm25")
+    IrSql.writeBm25Stats(spark, dir, store)
+    val staged = graft.TempDirs.scratch("graft_tds_ids")
+    val ids = Tables.load(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(IrSql.DeletedDocsMod)) ===
+        lit(IrSql.DeletedDocsRem))
+      .select(col("doc_id"))
+    // one parquet file per chunk (append lands one coalesced part
+    // per write) — maxFilesPerTrigger=1 then feeds them one per batch
+    (0 until 3).foreach { i =>
+      ids.filter(pmod(col("doc_id"), lit(3)) === lit(i))
+        .coalesce(1).write.mode("append").parquet(staged)
+    }
+    val q = spark.readStream
+      .schema("doc_id BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        IrSql.deleteBm25Docs(batch.sparkSession, store, batch)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    IrSql.q10Bm25PrunedAt(spark, store, IrSql.ExpandedQueryTerms, 10)
+  }
+
   /** [[q29AnnStream]] with the centroid count as a knob — the scale
     * study runs the gate at the fixed store k AND at corpus-sized k
     * (n/128) to measure the occupancy term the scaladoc describes.
