@@ -82,6 +82,19 @@ object DeleteProf {
       f"delete=$tDeleteP%.2f s compact=$tCompactP%.2f s " +
       f"(delete+compact/rebuild=${(tDeleteP + tCompactP) / tBuildP}%.2f)")
 
+    // ---- inverted index store
+    val invDir = tmp("graft_delprof_inv")
+    val tBuildI = time {
+      graft.index.InvertedIndex.write(
+        graft.index.InvertedIndex.build(spark, corpus, k = 1), invDir) }
+    val tDeleteI = time {
+      graft.index.InvertedIndex.deleteDocs(spark, invDir, delIds) }
+    val tCompactI = time {
+      graft.index.InvertedIndex.compactDeletes(spark, invDir) }
+    println(f"[deleteprof] inv   rebuild=$tBuildI%.2f s " +
+      f"delete=$tDeleteI%.2f s compact=$tCompactI%.2f s " +
+      f"(delete+compact/rebuild=${(tDeleteI + tCompactI) / tBuildI}%.2f)")
+
     // ---- durable IVF vector store: tombstone append vs the layout
     // rebuild it replaces; reclaim surgery rewrites only the cells a
     // dead NON-seed row lives in (a fixed batch touches at most

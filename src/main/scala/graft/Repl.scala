@@ -303,6 +303,29 @@ object Repl {
             "ann search needs the vector store (open a corpus dir " +
               "with an embeddings table)")
         }
+      } else if (q.matches("(?i)^takedown(\\s+\\d+)+$")) {
+        // removal request against the LIVE serving session: the
+        // orchestrator fans the doc ids across the durable stores this
+        // session serves (BM25 stats + vector); the stamped servers
+        // pick the mutation up on their next search, no reopen
+        ann match {
+          case Some((sp, store, corpusDir)) =>
+            try {
+              val ids = q.trim.split("\\s+").tail.map(_.toLong).toSeq
+              import sp.implicits._
+              graft.ops.Takedown.delete(sp, graft.ops.TakedownStores(
+                bm25 = Some(
+                  graft.queries.IrSql.bm25StatsStore(sp, corpusDir)),
+                vectors = Some(store)), ids.toDF("doc_id"))
+              out.println(s"takedown: ${ids.length} doc(s) removed " +
+                "from the bm25 + vector stores (serving continues)")
+            } catch {
+              case _: NumberFormatException =>
+                out.println("takedown ids must be doc_id longs")
+            }
+          case None => out.println(
+            "takedown needs the durable stores (open a corpus dir)")
+        }
       } else if (q.contains("*")) {
         chargrams match {
           case Some(cg) => print10(out, q,

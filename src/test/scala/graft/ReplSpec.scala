@@ -229,4 +229,41 @@ class ReplSpec extends SparkSpec {
     assert(run("hybridf merge stream\n\n")
       .contains("hybridf needs"))
   }
+
+  test("takedown removes docs from the live serving state: the next " +
+    "bm25 and ann queries exclude them, no reopen") {
+    // a DEDICATED corpus copy: the takedown mutates its stores, and
+    // the shared session-cached stores must stay untouched
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val td = Files.createTempDirectory("graft_repl_td").toString
+    Seq("documents.parquet", "embeddings.parquet").foreach { f =>
+      Files.copy(Paths.get(s"$sfDir/$f"), Paths.get(s"$td/$f"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val bmSrv = new graft.query.Bm25Server(spark,
+      graft.queries.IrSql.bm25StatsStore(spark, td))
+    val ivf = Files.createTempDirectory("graft_repl_td_ivf").toString
+    graft.ops.Similarity.writeIvfLayout(spark, td, ivf)
+    val annCtx = Some((spark, ivf, td))
+    val terms = graft.queries.IrSql.ExpandedQueryTerms
+    val preTop = bmSrv.search(terms).head._1
+    val preAnnTop = graft.ops.Similarity
+      .probeIvfStoreFilteredAuto(spark, ivf, td, qId = 0L)
+      .collect().map(_.getLong(0)).head
+    val victims = Seq(preTop, preAnnTop).distinct
+    val got = run(
+      s"takedown ${victims.mkString(" ")}\n" +
+        s"bm25 ${terms.mkString(" ")}\nann 0\n\n",
+      bm25 = Some(bmSrv), ann = annCtx)
+    assert(got.contains("takedown:"), s"no takedown ack in:\n$got")
+    // the post-takedown outputs must not rank the victims
+    val post = got.substring(got.indexOf("takedown:"))
+    victims.foreach { v =>
+      assert(!post.linesIterator.exists(_.startsWith(s"$v ")),
+        s"victim $v still served after takedown in:\n$post")
+    }
+    // and both surfaces still return results (serving continues)
+    assert(post.linesIterator.count(_.matches("\\d+ -?\\d.*")) >= 2,
+      s"serving died after the takedown in:\n$post")
+  }
 }
