@@ -1194,8 +1194,23 @@ object IrEngine {
     * makes an at-least-once feed safe too (spec-pinned in
     * DeletionSpec's no-op replays). */
   def q29TakedownStream(spark: SparkSession, dir: String): DataFrame = {
+    // per-run MUTABLE copy of the session-cached stats store (the
+    // stream deletes from it): a file copy is ~free next to the
+    // from-corpus build it replaces, and the shared cache stays
+    // pristine for every other entry
     val store = graft.TempDirs.scratch("graft_tds_bm25")
-    IrSql.writeBm25Stats(spark, dir, store)
+    locally {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val src = new org.apache.hadoop.fs.Path(
+        IrSql.bm25StatsStore(spark, dir))
+      val dst = new org.apache.hadoop.fs.Path(store)
+      val fs = src.getFileSystem(conf)
+      fs.listStatus(src).foreach { s =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, s.getPath, fs,
+          new org.apache.hadoop.fs.Path(dst, s.getPath.getName),
+          false, conf)
+      }
+    }
     val staged = graft.TempDirs.scratch("graft_tds_ids")
     val ids = Tables.load(spark, dir, "documents")
       .filter(pmod(col("doc_id"), lit(IrSql.DeletedDocsMod)) ===

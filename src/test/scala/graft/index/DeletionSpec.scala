@@ -114,6 +114,18 @@ class DeletionSpec extends SparkSpec {
     assert(postServed != preServed, "fixture delete missed the top-10")
     assert(postServed == ranked(store),
       "stale served ranking after a delete (stamp missed it)")
+    // the warm BATCH path rides the same snapshot: a deleted doc is
+    // gone from every qid's ranking too
+    val dead = IrSql.deletedDocIds(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val batch = srv.searchBatch(Seq(
+      1L -> IrSql.ExpandedQueryTerms, 2L -> IrSql.DefaultQueryTerms))
+    assert(batch.nonEmpty)
+    assert(batch.forall { case (_, _, doc, _) => !dead.contains(doc) },
+      "the warm batch path served a deleted doc")
+    assert(batch.filter(_._1 == 1L).map(r => (r._3, r._4)) ==
+      postServed.map { case (d, s) => (d, s) },
+      "batch qid ranking != the served post-delete ranking")
     // compaction under the live server too
     IrSql.compactBm25Deletes(spark, store)
     assert(srv.search(IrSql.ExpandedQueryTerms) == postServed)
