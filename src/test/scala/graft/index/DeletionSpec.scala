@@ -131,6 +131,63 @@ class DeletionSpec extends SparkSpec {
     assert(srv.search(IrSql.ExpandedQueryTerms) == postServed)
   }
 
+  test("delete then MERGE composes: the maintenance lifecycle — " +
+    "post-merge ranking == a store built from (corpus minus takedown) " +
+    "plus the delta; re-ingesting a tombstoned id is rejected until " +
+    "compaction reclaims it") {
+    import spark.implicits._
+    val store = freshBm25Store()
+    val del = IrSql.deletedDocIds(spark, dir)
+    IrSql.deleteBm25Docs(spark, store, del)
+    // a delta of NEW docs over the shared vocabulary
+    val delta = Seq(
+      (10001L, "merge stream data table"),
+      (10002L, "stream filter window sort"),
+      (10003L, "merge join hash scan")).toDF("doc_id", "text")
+    IrSql.mergeBm25Stats(spark, store, delta)
+    // truth: build from (reduced corpus) ∪ delta
+    val truthCorpus = tmp("graft_del_merge_corpus")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(IrSql.DeletedDocsMod)) =!=
+        lit(IrSql.DeletedDocsRem))
+      .select(col("doc_id"), col("text"))
+      .unionByName(delta)
+      .write.mode("overwrite").parquet(s"$truthCorpus/documents.parquet")
+    val truthStore = tmp("graft_del_merge_truth")
+    IrSql.writeBm25Stats(spark, truthCorpus, truthStore)
+    assert(ranked(store) == ranked(truthStore),
+      "delete+merge != rebuild from (reduced ∪ delta)")
+    // corpus stats delete-and-merge exact on disk
+    val got = spark.read.parquet(s"$store/corpus").head()
+    val want = spark.read.parquet(s"$truthStore/corpus").head()
+    assert((got.getLong(0), got.getLong(1)) ==
+      ((want.getLong(0), want.getLong(1))),
+      "corpus stats drifted across delete+merge")
+    // re-ingesting a TOMBSTONED id: rejected while the tombstone
+    // pends (removal wins) ...
+    val deadId = del.orderBy("doc_id").head().getLong(0)
+    val reIngest = Seq((deadId, "merge stream")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      IrSql.mergeBm25Stats(spark, store, reIngest)
+    }
+    // ... and accepted after compaction physically reclaims the rows
+    IrSql.compactBm25Deletes(spark, store)
+    IrSql.mergeBm25Stats(spark, store, reIngest)
+    val post = ranked(store)
+    assert(post.nonEmpty)
+    // the re-ingested doc is a live doc again: a store built from
+    // (reduced ∪ delta ∪ re-ingest) agrees
+    val truth2Corpus = tmp("graft_del_merge_corpus2")
+    spark.read.parquet(s"$truthCorpus/documents.parquet")
+      .unionByName(reIngest)
+      .write.mode("overwrite")
+      .parquet(s"$truth2Corpus/documents.parquet")
+    val truth2 = tmp("graft_del_merge_truth2")
+    IrSql.writeBm25Stats(spark, truth2Corpus, truth2)
+    assert(post == ranked(truth2),
+      "post-compaction re-ingest != rebuild truth")
+  }
+
   // ---- positional index ------------------------------------------
 
   test("positional delete serves the live view through load() and a " +
