@@ -95,6 +95,24 @@ object DeleteProf {
       f"delete=$tDeleteI%.2f s compact=$tCompactI%.2f s " +
       f"(delete+compact/rebuild=${(tDeleteI + tCompactI) / tBuildI}%.2f)")
 
+    // ---- chargram store: the incremental vocabulary recount
+    // (tokenize ONLY the dead docs + df arithmetic + surgical gram
+    // rewrite) vs the full re-tokenize + rebuild it replaces; no
+    // separate compact step (the recount deletes eagerly)
+    val cgDir = tmp("graft_delprof_cg")
+    val tBuildC = time {
+      graft.index.CharKGramIndex.write(
+        graft.index.CharKGramIndex.build(spark, corpus), cgDir)
+      graft.index.CharKGramIndex.writeVocabDf(spark, cgDir,
+        graft.index.CharKGramIndex.docTermsOf(spark, corpus)) }
+    val deadDocs = corpus.join(delIds, Seq("docid"), "left_semi")
+    val tDeleteC = time {
+      graft.index.CharKGramIndex.deleteDocs(spark, cgDir,
+        graft.index.CharKGramIndex.docTermsOf(spark, deadDocs)) }
+    println(f"[deleteprof] cgram rebuild=$tBuildC%.2f s " +
+      f"delete=$tDeleteC%.2f s compact=0.00 s " +
+      f"(delete/rebuild=${tDeleteC / tBuildC}%.2f)")
+
     // ---- durable IVF vector store: tombstone append vs the layout
     // rebuild it replaces; reclaim surgery rewrites only the cells a
     // dead NON-seed row lives in (a fixed batch touches at most
