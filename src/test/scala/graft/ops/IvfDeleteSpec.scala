@@ -177,6 +177,21 @@ class IvfDeleteSpec extends SparkSpec {
     assert(fs.exists(cur) && !fs.exists(next))
   }
 
+  test("the deleted probe's plan keeps partition pruning under the " +
+    "anti-join: the scan reads one cell with pushed filters, the " +
+    "tombstone side broadcasts") {
+    val store = freshStore()
+    import spark.implicits._
+    Similarity.deleteIvfVectors(spark, store, Seq(3L, 17L).toDF("vec_id"))
+    val plan = Similarity.probeIvfStore(spark, store, k = 10, qId = 0L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(cell"),
+      s"no partition filter in the deleted probe plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"),
+      s"tombstone side is not a broadcast anti-join:\n$plan")
+  }
+
   test("reclusterIvfStore purges tombstones entirely: the new layout " +
     "never holds a deleted row (dead seeds included) and the " +
     "tombstone dir is gone") {
