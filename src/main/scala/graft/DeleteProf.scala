@@ -38,6 +38,11 @@ object DeleteProf {
       graft.queries.IrSql.deleteBm25Docs(spark, w,
         graft.queries.IrSql.deletedDocIds(spark, "/root/testdata/sf0.001"))
       graft.queries.IrSql.compactBm25Deletes(spark, w)
+      val wl = tmp("graft_delprof_warml")
+      graft.queries.IrSql.writeBm25Stats(spark, "/root/testdata/sf0.001", wl)
+      graft.queries.IrSql.deleteBm25DocsLazy(spark, wl,
+        graft.queries.IrSql.deletedDocIds(spark, "/root/testdata/sf0.001"))
+      graft.queries.IrSql.compactBm25Deletes(spark, wl)
     }
 
     // the TAKEDOWN shape: a fixed 100-doc batch. (The oracle entries
@@ -64,6 +69,24 @@ object DeleteProf {
       f"delete=$tDelete%.2f s compact=$tCompact%.2f s " +
       f"(docs_deleted=$TakedownDocs%d, delete+compact/rebuild=" +
       f"${(tDelete + tCompact) / tBuild}%.2f)")
+
+    // ---- BM25 stats store, LAZY leg: the takedown only tombstones
+    // and re-sums the sidecar (a broadcast semi-join agg over the
+    // batch) — the touched-term stats recompute that dominates the
+    // eager leg on this shared-vocabulary corpus is deferred to
+    // compaction, where it amortizes across every takedown since the
+    // last reclaim
+    val bmlDir = tmp("graft_delprof_bm25l")
+    graft.queries.IrSql.writeBm25Stats(spark, sfDir, bmlDir)
+    val tDeleteL = time {
+      graft.queries.IrSql.deleteBm25DocsLazy(spark, bmlDir, del) }
+    val tCompactL = time {
+      graft.queries.IrSql.compactBm25Deletes(spark, bmlDir) }
+    println(f"[deleteprof] bm25L rebuild=$tBuild%.2f s " +
+      f"delete=$tDeleteL%.2f s compact=$tCompactL%.2f s " +
+      f"(docs_deleted=$TakedownDocs%d, lazy delete vs eager=" +
+      f"${tDeleteL / tDelete}%.2f, delete+compact/rebuild=" +
+      f"${(tDeleteL + tCompactL) / tBuild}%.2f)")
 
     // ---- positional index
     val posDir = tmp("graft_delprof_pos")

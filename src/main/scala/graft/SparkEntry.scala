@@ -179,6 +179,11 @@ object SparkEntry {
     "q36_phrase_deleted" -> (IrEngine.q36PhraseDeleted _),
     "q10_bm25_deleted" ->
       ((s: SparkSession, d: String) => IrSql.q10Bm25Deleted(s, d)),
+    "q10_bm25_deleted_lazy" ->
+      ((s: SparkSession, d: String) => IrSql.q10Bm25DeletedLazy(s, d)),
+    "q10_bm25_deleted_lazy_compacted" ->
+      ((s: SparkSession, d: String) =>
+        IrSql.q10Bm25DeletedLazyCompacted(s, d)),
     "q29_takedown_stream" -> (IrEngine.q29TakedownStream _),
     "q36_phrase_compressed" -> (IrEngine.q36PhraseCompressed _),
     "q36_phrase_merged" -> (IrEngine.q36PhraseMerged _),
@@ -665,6 +670,15 @@ object SparkEntry {
     // recomputed over the corpus minus the fixed takedown set (the
     // engine side serves it from a store with PENDING tombstones)
     "q10_bm25_deleted" -> bm25MultiSqlOver(
+      s"""(SELECT * FROM documents
+           WHERE NOT (doc_id % ${IrSql.DeletedDocsMod} = ${IrSql.DeletedDocsRem}))"""),
+    // the LAZY delete defers the touched-term stats recompute to
+    // compaction; both its read paths (sidecar-corrected pending
+    // store, compacted store) must hit the same reduced-corpus truth
+    "q10_bm25_deleted_lazy" -> bm25MultiSqlOver(
+      s"""(SELECT * FROM documents
+           WHERE NOT (doc_id % ${IrSql.DeletedDocsMod} = ${IrSql.DeletedDocsRem}))"""),
+    "q10_bm25_deleted_lazy_compacted" -> bm25MultiSqlOver(
       s"""(SELECT * FROM documents
            WHERE NOT (doc_id % ${IrSql.DeletedDocsMod} = ${IrSql.DeletedDocsRem}))"""),
     // the streaming takedown feed composes to the one-shot batch

@@ -81,7 +81,15 @@ object CharKGramIndex {
     * lookups prune to single files via parquet min/max — and
     * [[mergeIntoStore]]'s file surgery has disjoint ranges to route
     * against; the previous hash layout scattered every range across
-    * all files, defeating both). */
+    * all files, defeating both).
+    *
+    * Overwrite semantics double as sidecar hygiene: Spark's overwrite
+    * deletes the WHOLE target dir first, so a full rewrite over an
+    * existing store also removes any `_graft_*` sidecars — a gram
+    * table written from a frame carries no df information, so a
+    * surviving df sidecar would be silently stale. Spec-pinned: after
+    * a frame-level rewrite, [[deleteDocs]] fails loudly until
+    * [[writeVocabDf]] is re-run. */
   def write(chargrams: DataFrame, dir: String,
             rowsPerFile: Long = InvertedIndex.WriteRowsPerFile): Unit = {
     // explicit file count (the InvertedIndex.write discipline): an

@@ -785,18 +785,28 @@ object IrSql {
   }
 
   /** One collected stats row: term, df, and the impact bound priced
-    * from its frontier pairs under the CURRENT corpus stats. */
+    * from its frontier pairs under the CURRENT corpus stats. With
+    * `dfOverride` (a lazy-deleted store's live counts), the stored df
+    * is replaced per term — a term whose live df is 0 drops out — and
+    * impacts price the STALE frontier with the LIVE df: the frontier
+    * covers a superset of the live postings, so the bound stays an
+    * upper bound (MaxScore stays sound, merely less tight). */
   private[graft] def statsRowsFor(spark: SparkSession, storeDir: String,
-                                  terms: Seq[String], tt: Long,
-                                  nd: Long): Array[(String, Long, Double)] =
+                                  terms: Seq[String], tt: Long, nd: Long,
+                                  dfOverride: Option[Map[String, Long]] =
+                                    None): Array[(String, Long, Double)] =
     spark.read.parquet(s"$storeDir/stats")
       .filter(col("term").isin(terms: _*))
-      .collect().map { r =>
-        val df = r.getLong(1)
-        val impact = r.getSeq[org.apache.spark.sql.Row](2)
-          .map(p => bm25Score(p.getLong(0), p.getLong(1), df, tt, nd))
-          .max
-        (r.getString(0), df, impact)
+      .collect().flatMap { r =>
+        val term = r.getString(0)
+        val df = dfOverride.fold(r.getLong(1))(_.getOrElse(term, 0L))
+        if (df == 0L) None
+        else {
+          val impact = r.getSeq[org.apache.spark.sql.Row](2)
+            .map(p => bm25Score(p.getLong(0), p.getLong(1), df, tt, nd))
+            .max
+          Some((term, df, impact))
+        }
       }
 
   /** INCREMENTAL MERGE of a delta corpus into a [[writeBm25Stats]]
@@ -909,12 +919,21 @@ object IrSql {
   private val DeleteStaging = "_graft_tomb_new"
   private val DeleteMarker = "_graft_delete_inflight"
 
-  /** The store's tombstone set (doc_id rows), if any deletions are
-    * pending compaction. */
-  private[graft] def readTombs(spark: SparkSession,
-                               storeDir: String): Option[DataFrame] = {
+  /** [[deleteBm25DocsLazy]] artifact/staging/commit names. The LAZY
+    * tombstone set lives in its own dir because its invariant differs
+    * from [[TombstonesDir]]'s: exact tombstones are already priced
+    * into stats/corpus, lazy ones are NOT — the `tomb_corpus` sidecar
+    * (one row: tt_dead, nd_dead over exactly the lazy set) carries
+    * the only correction computed at delete time. */
+  private val LazyTombstonesDir = "tombstones_lazy"
+  private val TombCorpusDir = "tomb_corpus"
+  private val LazyDeleteStaging = "_graft_tomb_lazy_new"
+  private val LazyDeleteMarker = "_graft_delete_lazy_inflight"
+
+  private def readTombsAt(spark: SparkSession, storeDir: String,
+                          name: String): Option[DataFrame] = {
     import org.apache.hadoop.fs.Path
-    val p = new Path(s"$storeDir/$TombstonesDir")
+    val p = new Path(s"$storeDir/$name")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p) && fs.listStatus(p)
         .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
@@ -922,13 +941,52 @@ object IrSql {
     else None
   }
 
-  /** `df` minus tombstoned docs — the query-time read view of a store
-    * with pending deletions. The tombstone side broadcasts: a
-    * takedown set is request-sized, not corpus-sized (compaction
-    * reclaims it; a corpus-scale purge is a rebuild, not a delete). */
-  private def liveView(spark: SparkSession, storeDir: String,
-                       df: DataFrame): DataFrame =
-    readTombs(spark, storeDir).fold(df)(t =>
+  /** The store's EXACT tombstone set (doc_id rows priced into the
+    * derived stats at delete time), if any are pending compaction. */
+  private[graft] def readTombs(spark: SparkSession,
+                               storeDir: String): Option[DataFrame] =
+    readTombsAt(spark, storeDir, TombstonesDir)
+
+  /** The store's LAZY tombstone set ([[deleteBm25DocsLazy]] — derived
+    * stats still count these docs; only the sidecar corrects). */
+  private[graft] def readLazyTombs(spark: SparkSession,
+                                   storeDir: String): Option[DataFrame] =
+    readTombsAt(spark, storeDir, LazyTombstonesDir)
+
+  /** Union of both tombstone sets — everything the read view drops. */
+  private[graft] def readAllTombs(spark: SparkSession,
+                                  storeDir: String): Option[DataFrame] =
+    (readTombs(spark, storeDir), readLazyTombs(spark, storeDir)) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b)             => a.orElse(b)
+    }
+
+  /** The lazy sidecar's (tt_dead, nd_dead), present iff the store has
+    * LAZY deletions pending — the signal that per-term df and the
+    * corpus row are STALE and a query path must correct them
+    * ([[q10Bm25PrunedAt]] live-counts its query terms' df;
+    * [[graft.query.Bm25Server]] live-counts the vocabulary once per
+    * snapshot). */
+  private[graft] def lazyDeadStats(spark: SparkSession,
+                                   storeDir: String): Option[(Long, Long)] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$storeDir/$TombCorpusDir")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p)
+        .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))) {
+      val r = spark.read.parquet(p.toString).head()
+      Some((r.getLong(0), r.getLong(1)))
+    } else None
+  }
+
+  /** `df` minus tombstoned docs (BOTH sets) — the query-time read
+    * view of a store with pending deletions. The tombstone side
+    * broadcasts: a takedown set is request-sized, not corpus-sized
+    * (compaction reclaims it; a corpus-scale purge is a rebuild, not
+    * a delete). */
+  private[graft] def liveView(spark: SparkSession, storeDir: String,
+                              df: DataFrame): DataFrame =
+    readAllTombs(spark, storeDir).fold(df)(t =>
       df.join(broadcast(t), Seq("doc_id"), "left_anti"))
 
   /** TAKEDOWN-SHAPED DELETION from a [[writeBm25Stats]] store — the
@@ -964,29 +1022,134 @@ object IrSql {
     val doclen = spark.read.parquet(s"$storeDir/doclen")
     val del0 = docs.select(col("doc_id")).distinct()
       .join(doclen, Seq("doc_id"), "left_semi")
-    val del = readTombs(spark, storeDir)
+    val del = readAllTombs(spark, storeDir)
       .fold(del0)(t => del0.join(t, Seq("doc_id"), "left_anti"))
       .stage()
-    if (del.limit(1).count() == 0) return
-    del.write.mode("overwrite")
-      .parquet(new Path(root, DeleteStaging).toString)
-    fs.create(new Path(root, DeleteMarker), false).close() // COMMIT
-    moveParts(fs, new Path(root, DeleteStaging),
-      new Path(root, TombstonesDir))
-    fs.delete(new Path(root, DeleteStaging), true)
+    if (del.limit(1).count() == 0 &&
+        readLazyTombs(spark, storeDir).isEmpty) return
+    if (del.limit(1).count() > 0) {
+      del.write.mode("overwrite")
+        .parquet(new Path(root, DeleteStaging).toString)
+      fs.create(new Path(root, DeleteMarker), false).close() // COMMIT
+      moveParts(fs, new Path(root, DeleteStaging),
+        new Path(root, TombstonesDir))
+      fs.delete(new Path(root, DeleteStaging), true)
+    } else {
+      // nothing new, but pending LAZY tombstones exist: an eager
+      // delete call is a request for exact derived stats — pay the
+      // deferred bill now (marker guards the replay)
+      fs.create(new Path(root, DeleteMarker), false).close()
+    }
     finishBm25Delete(spark, storeDir)
   }
 
+  /** LAZY-STATS TAKEDOWN from a [[writeBm25Stats]] store — the FLAT
+    * delete leg: doc_ids are tombstoned into [[LazyTombstonesDir]]
+    * and the ONLY derived work at delete time is the one-row
+    * `tomb_corpus` sidecar ((tt_dead, nd_dead) over the full lazy
+    * set — a broadcast semi-join aggregate over the request-sized
+    * tombstones, independent of how many TERMS the dead docs touch).
+    * [[deleteBm25Docs]] instead recomputes the touched terms' stats
+    * rows at delete time, which on a shared-vocabulary corpus means
+    * ~the whole stats table per takedown (the r14 DeleteProf 4.3 s
+    * leg); lazy defers exactly that bill to [[compactBm25Deletes]]
+    * (or to the next eager delete), where it amortizes across every
+    * takedown since the last reclaim.
+    *
+    * While the sidecar is present, per-term `df` in `stats/` and the
+    * `corpus/` row still COUNT the lazy-dead docs. Query paths stay
+    * EXACT by correcting at read time: [[q10Bm25PrunedAt]] live-counts
+    * df for its query terms off the partition-pruned postings scan it
+    * performs anyway, and prices (tt, nd) as corpus − sidecar;
+    * [[graft.query.Bm25Server]] live-counts the vocabulary once per
+    * snapshot from its cached live relation. MaxScore pruning stays
+    * SOUND: stale frontier pairs are a frontier over a SUPERSET of
+    * the live postings, so impacts priced from them with the LIVE
+    * (df, tt, nd) upper-bound the live maximum.
+    *
+    * Crash safety mirrors [[deleteBm25Docs]]: staged tombstones, a
+    * marker as the commit point, and the sidecar recomputed from the
+    * FULL lazy set — replay after a crash is idempotent. Run behind
+    * the serving quiesce; a live server detects the mutation via its
+    * store stamp (the lazy dirs ride in it). */
+  def deleteBm25DocsLazy(spark: SparkSession, storeDir: String,
+                         docs: DataFrame): Unit = {
+    recoverBm25Store(spark, storeDir)
+    import org.apache.hadoop.fs.Path
+    import graft.ops.Stage.StageOps
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val doclen = spark.read.parquet(s"$storeDir/doclen")
+    val del = readAllTombs(spark, storeDir)
+      .foldLeft(docs.select(col("doc_id")).distinct()
+        .join(doclen, Seq("doc_id"), "left_semi"))((d, t) =>
+        d.join(t, Seq("doc_id"), "left_anti"))
+      .stage()
+    if (del.limit(1).count() == 0) return
+    del.write.mode("overwrite")
+      .parquet(new Path(root, LazyDeleteStaging).toString)
+    fs.create(new Path(root, LazyDeleteMarker), false).close() // COMMIT
+    moveParts(fs, new Path(root, LazyDeleteStaging),
+      new Path(root, LazyTombstonesDir))
+    fs.delete(new Path(root, LazyDeleteStaging), true)
+    finishBm25LazyDelete(spark, storeDir)
+  }
+
+  /** Recompute the `tomb_corpus` sidecar from the FULL lazy tombstone
+    * set (idempotent — the crash-replay property), then clear the
+    * lazy delete marker. */
+  private def finishBm25LazyDelete(spark: SparkSession,
+                                   storeDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readLazyTombs(spark, storeDir) match {
+      case None =>
+        fs.delete(new Path(root, LazyDeleteMarker), false)
+        ()
+      case Some(lt) =>
+        val dead = spark.read.parquet(s"$storeDir/doclen")
+          .join(broadcast(lt), Seq("doc_id"), "left_semi")
+          .agg(coalesce(sum(col("dl")), lit(0L)).as("tt_dead"),
+            count(lit(1)).as("nd_dead"))
+        swapIn(spark, s"$storeDir/$TombCorpusDir", dead)
+        fs.delete(new Path(root, LazyDeleteMarker), false)
+        ()
+    }
+  }
+
+  /** Crash recovery for [[deleteBm25DocsLazy]]: marker ABSENT →
+    * staged lazy tombstones are an uncommitted attempt, delete them;
+    * marker PRESENT → finish (move remaining staged tombstones in,
+    * recompute the sidecar from the full lazy set, clear). */
+  private[graft] def recoverBm25LazyDelete(spark: SparkSession,
+                                           storeDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(root, LazyDeleteMarker))) {
+      fs.delete(new Path(root, LazyDeleteStaging), true)
+      ()
+    } else {
+      moveParts(fs, new Path(root, LazyDeleteStaging),
+        new Path(root, LazyTombstonesDir))
+      fs.delete(new Path(root, LazyDeleteStaging), true)
+      finishBm25LazyDelete(spark, storeDir)
+    }
+  }
+
   /** Recompute the derived artifacts' TOUCHED region from the full
-    * tombstone set (idempotent — the crash-replay property), then
-    * clear the delete marker. */
+    * tombstone set — BOTH dirs (idempotent — the crash-replay
+    * property), absorb any lazy tombstones into the exact set (their
+    * stats are exact once this runs) and drop the sidecar, then clear
+    * the delete marker. */
   private def finishBm25Delete(spark: SparkSession,
                                storeDir: String): Unit = {
     import org.apache.hadoop.fs.Path
     import graft.ops.Stage.StageOps
     val root = new Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tombs = readTombs(spark, storeDir).getOrElse {
+    val tombs = readAllTombs(spark, storeDir).getOrElse {
       fs.delete(new Path(root, DeleteMarker), false); return
     }
     val postings = spark.read.parquet(s"$storeDir/postings")
@@ -1010,6 +1173,13 @@ object IrSql {
         newTouched.select(untouched.columns.toIndexedSeq.map(col): _*)))
     swapIn(spark, s"$storeDir/corpus",
       liveLen.agg(sum(col("dl")).as("tt"), count(lit(1)).as("nd")))
+    // every tombstone is now priced into the derived stats: lazy
+    // tombstones graduate to the exact dir and the sidecar goes (a
+    // crash in this tail replays the recompute — still exact)
+    moveParts(fs, new Path(root, LazyTombstonesDir),
+      new Path(root, TombstonesDir))
+    fs.delete(new Path(root, LazyTombstonesDir), true)
+    fs.delete(new Path(root, TombCorpusDir), true)
     fs.delete(new Path(root, DeleteMarker), false)
     ()
   }
@@ -1049,6 +1219,14 @@ object IrSql {
     import org.apache.hadoop.fs.Path
     val root = new Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (readLazyTombs(spark, storeDir).nonEmpty) {
+      // the deferred lazy-stats bill comes due HERE: recompute the
+      // touched derived region exactly, graduate the lazy tombstones,
+      // drop the sidecar (the eager finish does all three; its marker
+      // guards the replay)
+      fs.create(new Path(root, DeleteMarker), false).close()
+      finishBm25Delete(spark, storeDir)
+    }
     if (readTombs(spark, storeDir).isEmpty) return
     swapIn(spark, s"$storeDir/postings",
       liveView(spark, storeDir,
@@ -1195,13 +1373,18 @@ object IrSql {
     }
   }
 
-  /** All swap-managed artifact names of a [[writeBm25Stats]] store. */
-  private val Bm25Artifacts = Seq("postings", "doclen", "stats", "corpus")
+  /** All swap-managed artifact names of a [[writeBm25Stats]] store
+    * (the lazy-delete sidecar goes through [[swapIn]] too). */
+  private val Bm25Artifacts =
+    Seq("postings", "doclen", "stats", "corpus", TombCorpusDir)
 
   private def recoverBm25Store(spark: SparkSession,
                                storeDir: String): Unit = {
     Bm25Artifacts.foreach(recoverArtifact(spark, storeDir, _))
     recoverBm25Merge(spark, storeDir)
+    // lazy first, so an in-flight eager delete's replay prices every
+    // committed lazy tombstone as well
+    recoverBm25LazyDelete(spark, storeDir)
     recoverBm25Delete(spark, storeDir)
   }
 
@@ -1323,8 +1506,23 @@ object IrSql {
   private[graft] def q10Bm25PrunedAt(spark: SparkSession, store: String,
                                      terms: Seq[String],
                                      k: Int): DataFrame = {
-    val (tt, nd) = readCorpusStats(spark, store)
-    val rows = statsRowsFor(spark, store, terms, tt, nd)
+    // a LAZY-deleted store's stats/corpus still count the dead docs:
+    // correct (tt, nd) from the sidecar and df by live-counting the
+    // query terms' postings — the same partition-pruned scan the
+    // final scoring re-reads, one tiny extra job only when the
+    // sidecar is present
+    val lazyDead = lazyDeadStats(spark, store)
+    val (tt, nd) = {
+      val (tt0, nd0) = readCorpusStats(spark, store)
+      lazyDead.fold((tt0, nd0)) { case (td, ndd) => (tt0 - td, nd0 - ndd) }
+    }
+    val dfOverride = lazyDead.map { _ =>
+      liveView(spark, store, spark.read.parquet(s"$store/postings"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val rows = statsRowsFor(spark, store, terms, tt, nd, dfOverride)
       .sortBy { case (t, _, imp) => (-imp, t) }
     if (rows.isEmpty)
       return spark.emptyDataFrame
@@ -1415,4 +1613,45 @@ object IrSql {
                      terms: Seq[String] = ExpandedQueryTerms,
                      k: Int = 10): DataFrame =
     q10Bm25PrunedAt(spark, bm25DeletedStore(spark, dir), terms, k)
+
+  /** A per-corpus scratch store with the fixed takedown set deleted
+    * LAZILY ([[deleteBm25DocsLazy]] — sidecar present, stats/corpus
+    * stale on disk, so the entry exercises the query-time df/corpus
+    * correction). */
+  private[graft] def bm25LazyDeletedStore(spark: SparkSession,
+                                          dir: String): String =
+    bm25DeletedCache.computeIfAbsent(s"${bm25StoreKey(dir)}|lazy", _ => {
+      val o = graft.TempDirs.scratch("graft_bm25_ldel")
+      writeBm25Stats(spark, dir, o)
+      deleteBm25DocsLazy(spark, o, deletedDocIds(spark, dir))
+      o
+    })
+
+  /** Q10h: the MaxScore-pruned ranking over a LAZY-deleted store —
+    * same reduced-corpus oracle as [[q10Bm25Deleted]], so the driver
+    * gate proves the deferred-stats read path (live df for the query
+    * terms, sidecar-corrected (tt, nd), superset frontiers) equals
+    * rebuild-without-docs exactly. */
+  def q10Bm25DeletedLazy(spark: SparkSession, dir: String,
+                         terms: Seq[String] = ExpandedQueryTerms,
+                         k: Int = 10): DataFrame =
+    q10Bm25PrunedAt(spark, bm25LazyDeletedStore(spark, dir), terms, k)
+
+  /** Q10i: lazy-deleted then COMPACTED — [[compactBm25Deletes]] pays
+    * the deferred stats bill (touched-term recompute, sidecar drop,
+    * physical reclaim), after which the plain stored read path must
+    * already be exact with NO query-time correction. Same oracle. */
+  def q10Bm25DeletedLazyCompacted(spark: SparkSession, dir: String,
+                                  terms: Seq[String] = ExpandedQueryTerms,
+                                  k: Int = 10): DataFrame = {
+    val store = bm25DeletedCache.computeIfAbsent(
+      s"${bm25StoreKey(dir)}|lazyc", _ => {
+        val o = graft.TempDirs.scratch("graft_bm25_ldelc")
+        writeBm25Stats(spark, dir, o)
+        deleteBm25DocsLazy(spark, o, deletedDocIds(spark, dir))
+        compactBm25Deletes(spark, o)
+        o
+      })
+    q10Bm25PrunedAt(spark, store, terms, k)
+  }
 }

@@ -147,19 +147,18 @@ final class Bm25Server(spark: SparkSession, storeDir: String,
     * that reuses part names within one mtime tick is still caught. */
   private def storeVersion(): Long =
     DirVersion.of(hfs,
-      Seq("postings", "doclen", "stats", "corpus", "tombstones")
+      Seq("postings", "doclen", "stats", "corpus", "tombstones",
+        "tombstones_lazy", "tomb_corpus")
         .map(n => s"$storeDir/$n"))
 
   /** One immutable store snapshot: everything a query touches. */
   private final class State(val version: Long) {
-    // pending deletions drop at SNAPSHOT build (tombstone anti-join
-    // before the cache — zero per-query cost); the stats dictionary
-    // and (tt, nd) are already delete-exact on disk
-    // ([[graft.queries.IrSql.deleteBm25Docs]] maintains them), and
-    // the tombstones dir rides in the version stamp, so a delete
-    // under a live server rebuilds this snapshot like any mutation
+    // pending deletions drop at SNAPSHOT build (tombstone anti-join —
+    // BOTH sets — before the cache; zero per-query cost); the
+    // tombstone dirs ride in the version stamp, so a delete under a
+    // live server rebuilds this snapshot like any mutation
     val joined: DataFrame = IrSql
-      .readTombs(spark, storeDir)
+      .readAllTombs(spark, storeDir)
       .foldLeft(spark.read.parquet(s"$storeDir/postings"))((p, t) =>
         p.join(org.apache.spark.sql.functions.broadcast(t),
           Seq("doc_id"), "left_anti"))
@@ -167,17 +166,43 @@ final class Bm25Server(spark: SparkSession, storeDir: String,
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val (tt, nd) = IrSql.readCorpusStats(spark, storeDir)
+    // EXACT tombstones ([[IrSql.deleteBm25Docs]]) leave stats/corpus
+    // delete-exact on disk; LAZY ones ([[IrSql.deleteBm25DocsLazy]])
+    // do not — the sidecar corrects (tt, nd) here, and the stats
+    // dictionary below live-counts df once per snapshot
+    private val lazyDead = IrSql.lazyDeadStats(spark, storeDir)
 
-    /** term → (df, frontier pairs) — the in-RAM dictionary. */
-    val stats: Map[String, (Long, Seq[(Long, Long)])] =
-      spark.read.parquet(s"$storeDir/stats").collect().map { r =>
+    val (tt, nd) = {
+      val (tt0, nd0) = IrSql.readCorpusStats(spark, storeDir)
+      lazyDead.fold((tt0, nd0)) { case (td, ndd) =>
+        (tt0 - td, nd0 - ndd)
+      }
+    }
+
+    joined.count() // materialize the cached relation at construction
+
+    /** term → (df, frontier pairs) — the in-RAM dictionary. On a
+      * lazy-deleted store, df comes from one vocabulary-bounded agg
+      * over the cached LIVE relation (terms whose live df is 0 drop
+      * out); the stale frontier pairs stay — a frontier over a
+      * superset of the live postings keeps every impact an upper
+      * bound, so MaxScore stays sound. */
+    val stats: Map[String, (Long, Seq[(Long, Long)])] = {
+      val base = spark.read.parquet(s"$storeDir/stats").collect().map { r =>
         r.getString(0) -> (r.getLong(1),
           r.getSeq[org.apache.spark.sql.Row](2)
             .map(p => (p.getLong(0), p.getLong(1))))
       }.toMap
-
-    joined.count() // materialize the cached relation at construction
+      lazyDead.fold(base) { _ =>
+        val liveDf = joined.groupBy(col("term"))
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("df"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        base.flatMap { case (t, (_, pairs)) =>
+          liveDf.get(t).map(ldf => t -> (ldf, pairs))
+        }
+      }
+    }
 
     def impact(term: String): Double = {
       val (df, pairs) = stats(term)

@@ -210,6 +210,46 @@ class CharKGramIndexSpec extends SparkSpec {
       "replay rewrote files")
   }
 
+  test("a frame-level full rewrite cannot leave a stale df sidecar: " +
+    "write() over the store dir clears every sidecar (overwrite " +
+    "deletes the whole dir), and deleteDocs then fails loudly until " +
+    "writeVocabDf is re-run") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cg_stale").toString
+    CharKGramIndex.write(CharKGramIndex.build(spark, corpus), dir)
+    val docTerms = CharKGramIndex.docTermsOf(spark, corpus)
+    CharKGramIndex.writeVocabDf(spark, dir, docTerms)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      dir, CharKGramIndex.VocabDfDir)))
+    // the discouraged path: frame-level merge materialized by a full
+    // write() over the same store dir (instead of mergeIntoStore)
+    import spark.implicits._
+    val delta = Seq(("DX1", "zyzzyva quagga")).toDF("docid", "content")
+    val merged = CharKGramIndex.merge(spark,
+      CharKGramIndex.load(spark, dir), delta)
+    CharKGramIndex.write(merged, dir)
+    // the sidecar did NOT survive to go stale — overwrite cleared it
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      dir, CharKGramIndex.VocabDfDir)),
+      "full rewrite left the df sidecar behind (stale-df hazard)")
+    // and the recount path refuses until a fresh sidecar is written
+    intercept[IllegalStateException] {
+      CharKGramIndex.deleteDocs(spark, dir,
+        docTerms.limit(1))
+    }
+    CharKGramIndex.writeVocabDf(spark, dir, CharKGramIndex.docTermsOf(
+      spark, corpus.unionByName(delta.withColumnRenamed("docid", "docid"))))
+    CharKGramIndex.deleteDocs(spark, dir,
+      CharKGramIndex.docTermsOf(spark, delta))
+    // back on the maintained path: the delta doc's exclusive terms die
+    assert(CharKGramIndex.load(spark, dir)
+      .select(explode(col("terms")).as("t"))
+      .filter(col("t") === "zyzzyva").count() == 0,
+      "recount after re-seeding the sidecar missed the dead term")
+  }
+
   test("df sidecar survives a store-level merge: a term whose only " +
     "doc arrived in the DELTA dies when that doc is deleted after " +
     "the merge") {

@@ -188,6 +188,164 @@ class DeletionSpec extends SparkSpec {
       "post-compaction re-ingest != rebuild truth")
   }
 
+  // ---- BM25 store: LAZY-stats deletion -----------------------------
+
+  test("lazy delete serves the rebuild-without-docs ranking while " +
+    "leaving stats/corpus untouched on disk; compaction pays the " +
+    "deferred bill (stats == rebuild truth, sidecar and tombstones " +
+    "gone) without changing any answer") {
+    val store = freshBm25Store()
+    val statsBefore = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$store/stats"))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(f => (f.getPath.getName, f.getLen, f.getModificationTime))
+      .toSeq.sorted
+    val corpusRaw = {
+      val r = spark.read.parquet(s"$store/corpus").head()
+      (r.getLong(0), r.getLong(1))
+    }
+    IrSql.deleteBm25DocsLazy(spark, store,
+      IrSql.deletedDocIds(spark, dir))
+    // stats and corpus artifacts byte-level untouched — the whole
+    // point of the lazy leg
+    val statsAfter = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$store/stats"))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(f => (f.getPath.getName, f.getLen, f.getModificationTime))
+      .toSeq.sorted
+    assert(statsAfter == statsBefore,
+      "lazy delete rewrote the stats artifact")
+    val corpusAfter = {
+      val r = spark.read.parquet(s"$store/corpus").head()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(corpusAfter == corpusRaw,
+      "lazy delete rewrote the corpus row")
+    // the served ranking is already the rebuild-without-docs answer
+    val truthDir = tmp("graft_ldel_truth")
+    val corpusDir = tmp("graft_ldel_corpus")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(IrSql.DeletedDocsMod)) =!=
+        lit(IrSql.DeletedDocsRem))
+      .write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+    IrSql.writeBm25Stats(spark, corpusDir, truthDir)
+    val truth = ranked(truthDir)
+    assert(ranked(store) == truth,
+      "lazy-deleted ranking != rebuild-without-docs")
+    // the sidecar carries exactly the dead mass
+    val (ttd, ndd) = IrSql.lazyDeadStats(spark, store).get
+    val truthCorpus = spark.read.parquet(s"$truthDir/corpus").head()
+    assert((corpusRaw._1 - ttd, corpusRaw._2 - ndd) ==
+      ((truthCorpus.getLong(0), truthCorpus.getLong(1))),
+      "sidecar (tt_dead, nd_dead) not exact")
+    // idempotence: re-lazy-deleting the same ids is a no-op
+    IrSql.deleteBm25DocsLazy(spark, store,
+      IrSql.deletedDocIds(spark, dir))
+    assert(ranked(store) == truth)
+    // compaction: deferred recompute + reclaim, answers preserved
+    IrSql.compactBm25Deletes(spark, store)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$store/tombstones_lazy")), "compaction left lazy tombstones")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$store/tomb_corpus")), "compaction left the sidecar")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$store/tombstones")), "compaction left graduated tombstones")
+    assert(ranked(store) == truth, "compaction changed the ranking")
+    // the deferred bill was actually paid: derived artifacts now
+    // equal the rebuild truth exactly
+    val gotStats = spark.read.parquet(s"$store/stats")
+      .orderBy("term").collect().map(_.toString).toSeq
+    val wantStats = spark.read.parquet(s"$truthDir/stats")
+      .orderBy("term").collect().map(_.toString).toSeq
+    assert(gotStats == wantStats,
+      "post-compaction stats != rebuild-without-docs stats")
+    val gotCorpus = spark.read.parquet(s"$store/corpus").head()
+    assert((gotCorpus.getLong(0), gotCorpus.getLong(1)) ==
+      ((truthCorpus.getLong(0), truthCorpus.getLong(1))),
+      "post-compaction corpus != rebuild-without-docs corpus")
+  }
+
+  test("lazy delete crash states: uncommitted staging rolls back; a " +
+    "committed marker replays to the exact post-delete state; an " +
+    "EAGER delete after lazy heals everything (sidecar gone, stats " +
+    "exact for the union)") {
+    val store = freshBm25Store()
+    val pre = ranked(store)
+    val del = IrSql.deletedDocIds(spark, dir)
+    // A: staged lazy tombstones, NO marker → rollback
+    del.write.parquet(s"$store/_graft_tomb_lazy_new")
+    IrSql.recoverBm25LazyDelete(spark, store)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$store/_graft_tomb_lazy_new")))
+    assert(IrSql.lazyDeadStats(spark, store).isEmpty)
+    assert(ranked(store) == pre, "rollback changed the store")
+    // B: committed marker with staged tombstones → replay completes
+    // (tombstones land, sidecar computed from the full set)
+    del.write.parquet(s"$store/_graft_tomb_lazy_new")
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$store/_graft_delete_lazy_inflight"), false).close()
+    IrSql.recoverBm25LazyDelete(spark, store)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$store/_graft_delete_lazy_inflight")))
+    val direct = freshBm25Store()
+    IrSql.deleteBm25DocsLazy(spark, direct, del)
+    assert(ranked(store) == ranked(direct),
+      "crash replay != direct lazy delete")
+    // C: an eager delete of MORE docs over the lazy store prices the
+    // whole union into the derived stats and retires the lazy state
+    import spark.implicits._
+    val extra = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(IrSql.DeletedDocsMod)) ===
+        lit(7L)).select(col("doc_id"))
+    IrSql.deleteBm25Docs(spark, store, extra)
+    assert(IrSql.lazyDeadStats(spark, store).isEmpty,
+      "eager delete left the lazy sidecar")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$store/tombstones_lazy")),
+      "eager delete left lazy tombstones ungraduated")
+    val unionTruthCorpus = tmp("graft_ldel_union_corpus")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(IrSql.DeletedDocsMod)) =!=
+        lit(IrSql.DeletedDocsRem))
+      .filter(pmod(col("doc_id"), lit(IrSql.DeletedDocsMod)) =!= lit(7L))
+      .write.mode("overwrite")
+      .parquet(s"$unionTruthCorpus/documents.parquet")
+    val unionTruth = tmp("graft_ldel_union_truth")
+    IrSql.writeBm25Stats(spark, unionTruthCorpus, unionTruth)
+    assert(ranked(store) == ranked(unionTruth),
+      "eager-after-lazy != rebuild without the union")
+    val got = spark.read.parquet(s"$store/corpus").head()
+    val want = spark.read.parquet(s"$unionTruth/corpus").head()
+    assert((got.getLong(0), got.getLong(1)) ==
+      ((want.getLong(0), want.getLong(1))),
+      "corpus row not exact after eager-after-lazy")
+  }
+
+  test("a LAZY delete under a LIVE Bm25Server is detected by the " +
+    "stamp and served exactly (snapshot live-counts df, corrects " +
+    "(tt, nd) from the sidecar) — interactive, batch, and filtered " +
+    "paths all delete-exact") {
+    val store = freshBm25Store()
+    val srv = new graft.query.Bm25Server(spark, store)
+    val preServed = srv.search(IrSql.ExpandedQueryTerms)
+    IrSql.deleteBm25DocsLazy(spark, store,
+      IrSql.deletedDocIds(spark, dir))
+    val postServed = srv.search(IrSql.ExpandedQueryTerms)
+    assert(postServed != preServed, "fixture delete missed the top-10")
+    assert(postServed == ranked(store),
+      "served lazy-deleted ranking != batch pruned path")
+    val dead = IrSql.deletedDocIds(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val batch = srv.searchBatch(Seq(
+      1L -> IrSql.ExpandedQueryTerms, 2L -> IrSql.DefaultQueryTerms))
+    assert(batch.nonEmpty)
+    assert(batch.forall { case (_, _, doc, _) => !dead.contains(doc) },
+      "warm batch served a lazy-deleted doc")
+    assert(batch.filter(_._1 == 1L).map(r => (r._3, r._4)) ==
+      postServed.map { case (d, s) => (d, s) },
+      "batch qid ranking != served post-delete ranking")
+  }
+
   // ---- positional index ------------------------------------------
 
   test("positional delete serves the live view through load() and a " +
