@@ -217,6 +217,180 @@ object InvertedIndex {
     ix.postings.count(); ix.termStats.count(); ix.docMap.count(); ()
   }
 
+  // ---- store-level delta APPEND (the re-crawl / update write path) --
+
+  private val AppendPostingsDir = "_graft_delta_postings"
+  private val AppendDocMapDir = "_graft_delta_doc_map"
+  private val AppendMarker = "_graft_append_inflight"
+
+  /** Incremental maintenance, STORE level: append a DELTA corpus
+    * directly to a [[write]]-layout store — [[merge]]'s semantics
+    * with a delta-proportional WRITE (persisting a merged frame
+    * rewrites the whole store; this lands only the delta's part
+    * files). Docnos continue after the store's RAW max (tombstoned
+    * docnos never reused), the delta's postings/doc_map files are
+    * range-laid within themselves (zone maps prune per generation —
+    * the documented LSM shape, bounded by the same compaction
+    * discipline as the BM25 store), manifests extend by exactly the
+    * added files ([[StoreSurgery.extendRanges]]), per-kgram df
+    * re-derives for the DELTA's kgrams only (from the live postings —
+    * idempotent, the [[deleteDocs]] touched-term discipline in
+    * reverse), and corpus_stats goes to the live count.
+    *
+    * Contract: delta docids disjoint from the store's LIVE docids
+    * (enforced). A RE-INGEST is [[deleteDocs]] then this append — the
+    * pending tombstone hides the old version while the new serves.
+    *
+    * Crash safety: staged delta dirs + a marker recording the added
+    * file names; [[recoverAppend]] at every maintenance entry rolls
+    * back or completes. Run behind the serving quiesce; the stamped
+    * servers detect the mutation. */
+  def appendToStore(spark: SparkSession, dir: String, delta: DataFrame,
+                    k: Int = 1,
+                    rowsPerFile: Long = WriteRowsPerFile): Unit = {
+    recoverAppend(spark, dir)
+    recoverDelete(spark, dir)
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rawMap = spark.read.parquet(s"$dir/doc_map")
+    val liveMap = readTombs(spark, dir)
+      .fold(rawMap)(t =>
+        rawMap.join(broadcast(t), Seq("docno"), "left_anti"))
+    require(delta.join(liveMap, Seq("docid"), "left_semi")
+        .limit(1).count() == 0,
+      "delta docids must be disjoint from the store's LIVE docids — " +
+        "a re-ingest deletes the old version first (deleteDocs)")
+    val base = {
+      val r = rawMap.agg(max(col("docno"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val dIx = build(spark, delta, k)
+    try {
+      if (dIx.nDocs == 0) return
+      val nPost = math.max(1L,
+        (dIx.postings.count() + rowsPerFile - 1) / rowsPerFile).toInt
+      dIx.postings.withColumn("docno", col("docno") + base)
+        .repartitionByRange(nPost, col("kgram"))
+        .sortWithinPartitions("kgram")
+        .write.mode("overwrite")
+        .parquet(new Path(root, AppendPostingsDir).toString)
+      val nDoc = math.max(1L,
+        (dIx.nDocs + rowsPerFile - 1) / rowsPerFile).toInt
+      dIx.docMap.withColumn("docno", col("docno") + base)
+        .repartitionByRange(nDoc, col("docno"))
+        .sortWithinPartitions("docno")
+        .write.mode("overwrite")
+        .parquet(new Path(root, AppendDocMapDir).toString)
+      val added = stagedAppendNames(fs, root)
+      // COMMIT POINT: the marker lists the added file names
+      val out = fs.create(new Path(root, AppendMarker), false)
+      try out.write(added.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      finishAppend(spark, dir, added)
+    } finally {
+      unpersist(dIx)
+    }
+  }
+
+  /** Staged part names as target-relative paths (`table/part-…`). */
+  private def stagedAppendNames(fs: org.apache.hadoop.fs.FileSystem,
+                                root: org.apache.hadoop.fs.Path)
+      : Seq[String] = {
+    def names(staged: String, target: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(root, staged)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => s"$target/${f.getPath.getName}")
+    }
+    names(AppendPostingsDir, "postings") ++
+      names(AppendDocMapDir, "doc_map")
+  }
+
+  /** Move the staged parts in, extend the manifests, re-derive df for
+    * the kgrams the added files carry (from the live postings — kgrams
+    * new to the store INSERT, existing ones re-sum; idempotent), set
+    * corpus_stats to the live count, clear the marker. */
+  private def finishAppend(spark: SparkSession, dir: String,
+                           added: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.ops.Stage.StageOps
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.queries.IrSql.moveParts(fs, new Path(root, AppendPostingsDir),
+      new Path(root, "postings"))
+    graft.queries.IrSql.moveParts(fs, new Path(root, AppendDocMapDir),
+      new Path(root, "doc_map"))
+    fs.delete(new Path(root, AppendPostingsDir), true)
+    fs.delete(new Path(root, AppendDocMapDir), true)
+    val addedPost = added.collect {
+      case n if n.startsWith("postings/") => n.stripPrefix("postings/")
+    }
+    StoreSurgery.extendRanges(spark, dir, "postings",
+      "postings_ranges", "kgram", addedPost)
+    StoreSurgery.extendRanges(spark, dir, "doc_map",
+      "doc_map_ranges", "docno",
+      added.collect { case n if n.startsWith("doc_map/") =>
+        n.stripPrefix("doc_map/") })
+    if (addedPost.nonEmpty) {
+      // touched = the delta's kgrams, read back from exactly the
+      // added files (delta-bounded); df re-derives from the full live
+      // postings for those kgrams, so a replay lands the same rows
+      val touched = spark.read
+        .parquet(addedPost.map(n => s"$dir/postings/$n"): _*)
+        .select(col("kgram")).distinct().stage()
+      val post = spark.read.parquet(s"$dir/postings")
+      val livePost = readTombs(spark, dir)
+        .fold(post)(t => post.join(broadcast(t), Seq("docno"),
+          "left_anti"))
+      val touchedDf = livePost
+        .join(touched, Seq("kgram"), "left_semi")
+        .groupBy(col("kgram")).agg(count(lit(1)).as("df"))
+      val oldStats = spark.read.parquet(s"$dir/term_stats")
+      val untouched = oldStats.join(touched, Seq("kgram"), "left_anti")
+      graft.queries.IrSql.swapIn(spark, s"$dir/term_stats",
+        untouched.unionByName(touchedDf
+          .select(untouched.columns.toIndexedSeq.map(col): _*)))
+    }
+    val dm = spark.read.parquet(s"$dir/doc_map")
+    val live = readTombs(spark, dir)
+      .fold(dm)(t => dm.join(broadcast(t), Seq("docno"), "left_anti"))
+    graft.queries.IrSql.swapIn(spark, s"$dir/corpus_stats",
+      live.agg(count(lit(1)).as("n_docs")))
+    fs.delete(new Path(root, AppendMarker), false)
+    ()
+  }
+
+  /** Crash recovery for [[appendToStore]]: marker ABSENT → staged
+    * delta dirs roll back; marker PRESENT → finish from its file
+    * list. Safe when no append was in flight. */
+  private[graft] def recoverAppend(spark: SparkSession,
+                                   dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("postings_ranges", "doc_map_ranges", "term_stats",
+        "corpus_stats")
+      .foreach(graft.queries.IrSql.recoverArtifact(spark, dir, _))
+    val marker = new Path(root, AppendMarker)
+    if (!fs.exists(marker)) {
+      fs.delete(new Path(root, AppendPostingsDir), true)
+      fs.delete(new Path(root, AppendDocMapDir), true)
+      ()
+    } else {
+      val in = fs.open(marker)
+      val added =
+        try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").toSeq.filter(_.nonEmpty)
+        finally in.close()
+      finishAppend(spark, dir, added)
+    }
+  }
+
   /** Persist as parquet, postings repartitioned+sorted by kgram so each
     * file covers a term range (row-group min/max pruning serves point
     * lookups — replaces the reference's byte-offset forward index R5,
@@ -343,6 +517,7 @@ object InvertedIndex {
     * recount — the reference's own semantics.) */
   def deleteDocs(spark: SparkSession, dir: String,
                  docids: DataFrame): Unit = {
+    recoverAppend(spark, dir)
     recoverDelete(spark, dir)
     import org.apache.hadoop.fs.Path
     import graft.ops.Stage.StageOps
@@ -421,6 +596,7 @@ object InvertedIndex {
     * tombstones — the read view is identical at every instant, and a
     * replay completes an interrupted pass (tombstones drop LAST). */
   def compactDeletes(spark: SparkSession, dir: String): Unit = {
+    recoverAppend(spark, dir)
     recoverDelete(spark, dir)
     import org.apache.hadoop.fs.Path
     val root = new Path(dir)

@@ -104,6 +104,179 @@ object PositionalIndex {
       ix.nDocs + deltaIx.nDocs)
   }
 
+  // ---- store-level delta APPEND (the re-crawl / update write path) --
+
+  private val AppendPostingsDir = "_graft_delta_postings"
+  private val AppendDocMapDir = "_graft_delta_doc_map"
+  private val AppendMarker = "_graft_append_inflight"
+
+  /** Incremental maintenance, STORE level: append a DELTA corpus
+    * directly to a [[write]]-layout store — the delta-proportional
+    * write path the frame-level [[merge]] cannot offer (persisting a
+    * merged frame rewrites the whole store). Only the delta is
+    * tokenized; its docnos continue densely after the store's RAW max
+    * (tombstoned docnos are NEVER reused — a reused docno would
+    * inherit its tombstone and vanish from the live view); its
+    * postings/doc_map part files land beside the existing ones,
+    * range-laid WITHIN the delta (zone-map routing stays file-pruned —
+    * a term lookup touches ≤1 file per append generation, the LSM
+    * read-amplification shape the BM25 store already documents, with
+    * the same remedy: periodic global re-range via a rebuild-style
+    * compaction when generations accumulate); the two zone-map
+    * manifests extend by exactly the added files' ranges
+    * ([[StoreSurgery.extendRanges]] — no store-wide rescan); and
+    * corpus_stats goes to the live count.
+    *
+    * Contract: delta docids are disjoint from the store's LIVE docids
+    * (enforced). A RE-INGEST (takedown-then-replace, the re-crawl
+    * shape) is [[deleteDocs]] of the old version followed by this
+    * append of the new: the pending tombstone hides the old row at
+    * docno n while the new version serves at a fresh docno — no
+    * reclaim required between the two ([[compactDeletes]] collects
+    * the dead rows whenever maintenance next runs).
+    *
+    * Crash safety (the [[graft.queries.IrSql.mergeBm25Stats]] staged
+    * protocol, with the marker recording the ADDED file names so the
+    * manifest derive replays exactly): stage both delta artifacts
+    * inside the store, COMMIT by writing the marker, rename the parts
+    * in, derive (manifest extension + live doc count — both
+    * idempotent), clear the marker. [[recoverAppend]] at every
+    * maintenance entry rolls an uncommitted attempt back or completes
+    * a committed one. Run behind the serving quiesce; the stamped
+    * servers ([[graft.query.LoadedPhraseServer]]) detect the mutation. */
+  def appendToStore(spark: SparkSession, dir: String, delta: DataFrame,
+                    rowsPerFile: Long = InvertedIndex.WriteRowsPerFile)
+      : Unit = {
+    recoverAppend(spark, dir)
+    recoverPosDelete(spark, dir)
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rawMap = spark.read.parquet(s"$dir/doc_map")
+    val liveMap = readTombs(spark, dir)
+      .fold(rawMap)(t =>
+        rawMap.join(broadcast(t), Seq("docno"), "left_anti"))
+    require(delta.join(liveMap, Seq("docid"), "left_semi")
+        .limit(1).count() == 0,
+      "delta docids must be disjoint from the store's LIVE docids — " +
+        "a re-ingest deletes the old version first (deleteDocs)")
+    val base = {
+      val r = rawMap.agg(max(col("docno"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val dIx = build(spark, delta)
+    try {
+      if (dIx.nDocs == 0) return
+      // the store's footer schema decides the postings layout (the
+      // load() branch): a compressed store gets varint-gap delta rows
+      val compressed = spark.read.parquet(s"$dir/pos_postings")
+        .columns.contains("pos_z")
+      val post0 = dIx.postings.withColumn("docno", col("docno") + base)
+      val post =
+        if (compressed)
+          post0.select(col("term"), col("docno"),
+            posEnc(col("positions")).as("pos_z"), col("tf"))
+        else post0
+      val nPost = math.max(1L,
+        (dIx.postings.count() + rowsPerFile - 1) / rowsPerFile).toInt
+      post.repartitionByRange(nPost, col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(new Path(root, AppendPostingsDir).toString)
+      val nDoc = math.max(1L,
+        (dIx.nDocs + rowsPerFile - 1) / rowsPerFile).toInt
+      dIx.docMap.withColumn("docno", col("docno") + base)
+        .repartitionByRange(nDoc, col("docno"))
+        .sortWithinPartitions("docno")
+        .write.mode("overwrite")
+        .parquet(new Path(root, AppendDocMapDir).toString)
+      val added = stagedAppendNames(fs, root)
+      // COMMIT POINT: the marker lists the added file names
+      val out = fs.create(new Path(root, AppendMarker), false)
+      try out.write(added.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      finishAppend(spark, dir, added)
+    } finally {
+      dIx.postings.unpersist(); dIx.docMap.unpersist(); ()
+    }
+  }
+
+  /** Staged part names as target-relative paths (`table/part-…`). */
+  private def stagedAppendNames(fs: org.apache.hadoop.fs.FileSystem,
+                                root: org.apache.hadoop.fs.Path)
+      : Seq[String] = {
+    def names(staged: String, target: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(root, staged)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => s"$target/${f.getPath.getName}")
+    }
+    names(AppendPostingsDir, "pos_postings") ++
+      names(AppendDocMapDir, "doc_map")
+  }
+
+  /** Move the staged parts in, extend the manifests by the added
+    * files, recompute the live doc count, clear the marker — every
+    * step idempotent from the marker's file list + full store state,
+    * so a crash anywhere replays. */
+  private def finishAppend(spark: SparkSession, dir: String,
+                           added: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.queries.IrSql.moveParts(fs, new Path(root, AppendPostingsDir),
+      new Path(root, "pos_postings"))
+    graft.queries.IrSql.moveParts(fs, new Path(root, AppendDocMapDir),
+      new Path(root, "doc_map"))
+    fs.delete(new Path(root, AppendPostingsDir), true)
+    fs.delete(new Path(root, AppendDocMapDir), true)
+    StoreSurgery.extendRanges(spark, dir, "pos_postings",
+      "pos_postings_ranges", "term",
+      added.collect { case n if n.startsWith("pos_postings/") =>
+        n.stripPrefix("pos_postings/") })
+    StoreSurgery.extendRanges(spark, dir, "doc_map",
+      "doc_map_ranges", "docno",
+      added.collect { case n if n.startsWith("doc_map/") =>
+        n.stripPrefix("doc_map/") })
+    val dm = spark.read.parquet(s"$dir/doc_map")
+    val live = readTombs(spark, dir)
+      .fold(dm)(t => dm.join(broadcast(t), Seq("docno"), "left_anti"))
+    graft.queries.IrSql.swapIn(spark, s"$dir/corpus_stats",
+      live.agg(count(lit(1)).as("n_docs")))
+    fs.delete(new Path(root, AppendMarker), false)
+    ()
+  }
+
+  /** Crash recovery for [[appendToStore]]: marker ABSENT → staged
+    * delta dirs are an uncommitted attempt, roll back; marker PRESENT
+    * → finish from its file list. Safe when no append was in
+    * flight. */
+  private[graft] def recoverAppend(spark: SparkSession,
+                                   dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("pos_postings_ranges", "doc_map_ranges", "corpus_stats")
+      .foreach(graft.queries.IrSql.recoverArtifact(spark, dir, _))
+    val marker = new Path(root, AppendMarker)
+    if (!fs.exists(marker)) {
+      fs.delete(new Path(root, AppendPostingsDir), true)
+      fs.delete(new Path(root, AppendDocMapDir), true)
+      ()
+    } else {
+      val in = fs.open(marker)
+      val added =
+        try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").toSeq.filter(_.nonEmpty)
+        finally in.close()
+      finishAppend(spark, dir, added)
+    }
+  }
+
   /** Varint delta-encode a SORTED ascending position array: first
     * value absolute, then gaps — all non-negative, so each fits 1–2
     * bytes for typical in-doc offsets (the classic gap + vbyte
@@ -258,6 +431,7 @@ object PositionalIndex {
     * the serving quiesce; the stamped servers detect the mutation. */
   def deleteDocs(spark: SparkSession, dir: String,
                  docids: DataFrame): Unit = {
+    recoverAppend(spark, dir)
     recoverPosDelete(spark, dir)
     import org.apache.hadoop.fs.Path
     import graft.ops.Stage.StageOps
@@ -326,6 +500,7 @@ object PositionalIndex {
     * cost follows the takedown's file footprint — the prior
     * full-table repartition measured MORE than a rebuild at 26×. */
   def compactDeletes(spark: SparkSession, dir: String): Unit = {
+    recoverAppend(spark, dir)
     recoverPosDelete(spark, dir)
     import org.apache.hadoop.fs.Path
     val root = new Path(dir)

@@ -110,4 +110,38 @@ private[graft] object StoreSurgery {
       finishSwap(fs, root, touched)
     }
   }
+
+  /** Extend a zone-map manifest by exactly the ADDED files' ranges —
+    * the delta-proportional manifest maintenance a store-level append
+    * needs (the full recompute in `write()` rescans the whole table's
+    * key column; an append should pay only for what it added). Rows
+    * for files not in `addedNames` carry over untouched; the added
+    * files are read directly. IDEMPOTENT: rows are keyed by file
+    * basename (part names are job-unique), so a replay REPLACES the
+    * added rows instead of duplicating them — the derive step of a
+    * marker-committed append can re-run from the marker's file list
+    * after a crash. Goes through [[graft.queries.IrSql.swapIn]]
+    * (callers recover the manifest artifact at every entry). */
+  def extendRanges(spark: SparkSession, storeDir: String,
+                   table: String, manifest: String, key: String,
+                   addedNames: Seq[String]): Unit = {
+    if (addedNames.isEmpty) return
+    val fs = new Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paths = addedNames.map(n => s"$storeDir/$table/$n")
+      .filter(p => fs.exists(new Path(p)))
+    require(paths.size == addedNames.size,
+      s"append derive: ${addedNames.size - paths.size} added part " +
+        s"file(s) missing under $storeDir/$table — the commit moved " +
+        "them in before the marker cleared, so this is store damage, " +
+        "not a crash state")
+    val newRows = spark.read.parquet(paths: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(key)).as("lo"), max(col(key)).as("hi"))
+    val carried = spark.read.parquet(s"$storeDir/$manifest")
+      .filter(!element_at(split(col("file"), "/"), -1)
+        .isin(addedNames: _*))
+    graft.queries.IrSql.swapIn(spark, s"$storeDir/$manifest",
+      carried.unionByName(newRows).coalesce(1))
+  }
 }
