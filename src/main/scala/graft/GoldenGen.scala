@@ -28,7 +28,8 @@ object GoldenGen {
       "q35_rewrite_wildcard", "q36_phrase", "q36_near",
       "q36_near_ordered", "q36_near_topk", "q36_snippet",
       "q36_phrase_wildcard", "q36_phrase_deleted",
-      "q26_ir_search_deleted")
+      "q26_ir_search_deleted", "q36_phrase_updated",
+      "q26_ir_search_updated")
 
   /** Golden generators. Most goldens come from the query itself (the
     * pipeline is vector-pinned by the conformance specs); the rewrite
@@ -44,6 +45,10 @@ object GoldenGen {
       (s, d) => graft.queries.IrEngine.q36PhraseDeletedBrute(s, d)
     else if (name == "q26_ir_search_deleted")
       (s, d) => graft.queries.IrEngine.q26SearchDeletedBrute(s, d)
+    else if (name == "q36_phrase_updated")
+      (s, d) => graft.queries.IrEngine.q36PhraseUpdatedBrute(s, d)
+    else if (name == "q26_ir_search_updated")
+      (s, d) => graft.queries.IrEngine.q26SearchUpdatedBrute(s, d)
     else if (name == "q36_near")
       (s, d) => graft.queries.IrEngine.q36NearBrute(s, d)
     else if (name == "q36_near_ordered")

@@ -177,6 +177,10 @@ object SparkEntry {
     "q35_rewrite_wildcard" -> (IrEngine.q35RewriteWildcard _),
     "q36_phrase" -> (IrEngine.q36Phrase _),
     "q36_phrase_deleted" -> (IrEngine.q36PhraseDeleted _),
+    "q36_phrase_updated" -> (IrEngine.q36PhraseUpdated _),
+    "q26_ir_search_updated" -> (IrEngine.q26SearchUpdated _),
+    "q10_bm25_updated" ->
+      ((s: SparkSession, d: String) => IrSql.q10Bm25Updated(s, d)),
     "q10_bm25_deleted" ->
       ((s: SparkSession, d: String) => IrSql.q10Bm25Deleted(s, d)),
     "q10_bm25_deleted_lazy" ->
@@ -672,6 +676,16 @@ object SparkEntry {
     "q10_bm25_deleted" -> bm25MultiSqlOver(
       s"""(SELECT * FROM documents
            WHERE NOT (doc_id % ${IrSql.DeletedDocsMod} = ${IrSql.DeletedDocsRem}))"""),
+    // recomputed over the corpus with the re-crawl set's text
+    // REPLACED (suffix appended): update-in-place (delete → reclaim →
+    // merge) must equal a rebuild over the updated corpus — df, tf,
+    // dl, tt, nd all exact
+    "q10_bm25_updated" -> bm25MultiSqlOver(
+      s"""(SELECT doc_id,
+             CASE WHEN doc_id % ${IrSql.UpdatedDocsMod} = ${IrSql.UpdatedDocsRem}
+                  THEN text || '${IrSql.UpdateSuffix}'
+                  ELSE text END AS text
+           FROM documents)"""),
     // the LAZY delete defers the touched-term stats recompute to
     // compaction; both its read paths (sidecar-corrected pending
     // store, compacted store) must hit the same reduced-corpus truth
@@ -1166,11 +1180,22 @@ object SparkEntry {
     // exactly the rebuild-without-docs answer
     "q36_phrase_deleted" ->
       """SELECT * FROM '/root/repo/golden/q36_phrase_deleted.parquet'""",
+    // golden from the brute phrase count over the UPDATED corpus
+    // (the re-crawl set's text gains one phrase occurrence): a store
+    // updated in place (delete + store-level delta append) must serve
+    // exactly the rebuild-over-updated-corpus answer
+    "q36_phrase_updated" ->
+      """SELECT * FROM '/root/repo/golden/q36_phrase_updated.parquet'""",
     // golden from the engine run on the reduced corpus: tombstoned
     // tf-idf retrieval from the written ranked index ==
     // rebuild-without-docs (df and nDocs delete-exact)
     "q26_ir_search_deleted" ->
       """SELECT * FROM '/root/repo/golden/q26_ir_search_deleted.parquet'""",
+    // golden from the engine run on the updated corpus; the query
+    // terms are ones the update suffix CONTAINS, so df and tf both
+    // shift — update-in-place == rebuild (term_stats exact)
+    "q26_ir_search_updated" ->
+      """SELECT * FROM '/root/repo/golden/q26_ir_search_updated.parquet'""",
     "q36_near" ->
       """SELECT * FROM '/root/repo/golden/q36_near.parquet'""",
     "q36_near_ordered" ->

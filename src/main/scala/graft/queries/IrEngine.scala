@@ -416,6 +416,99 @@ object IrEngine {
                                            dir: String): DataFrame =
     phraseBruteOver(spark, corpusMinusDeleted(spark, dir))
 
+  /** The update entries' corpus view: the fixed re-crawl set
+    * ([[graft.queries.IrSql.UpdatedDocsMod]]) with
+    * [[graft.queries.IrSql.UpdateSuffix]] appended. */
+  private def corpusUpdated(spark: SparkSession,
+                            dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(format_string("D%05d", col("doc_id")).as("docid"),
+        when(pmod(col("doc_id"), lit(IrSql.UpdatedDocsMod)) ===
+            lit(IrSql.UpdatedDocsRem),
+          concat(col("text"), lit(IrSql.UpdateSuffix)))
+          .otherwise(col("text")).as("content"))
+
+  /** The re-crawl set's NEW versions as a (docid, content) frame. */
+  private def updatedDocsNewCorpus(spark: SparkSession,
+                                   dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(IrSql.UpdatedDocsMod)) ===
+        lit(IrSql.UpdatedDocsRem))
+      .select(format_string("D%05d", col("doc_id")).as("docid"),
+        concat(col("text"), lit(IrSql.UpdateSuffix)).as("content"))
+
+  private val posUpdatedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The q36 phrase over a positional store with the fixed re-crawl
+    * set UPDATED IN PLACE — [[PositionalIndex.deleteDocs]] of the old
+    * versions, then the store-level delta append
+    * ([[PositionalIndex.appendToStore]]) of the new ones; tombstones
+    * stay pending, so the entry exercises the live-view read over a
+    * store holding BOTH versions physically. The suffix contains one
+    * more occurrence of the phrase, so every updated doc must appear
+    * (or move) in the answer. Golden from [[q36PhraseUpdatedBrute]]:
+    * update-in-place == rebuild-over-updated-corpus. */
+  def q36PhraseUpdated(spark: SparkSession, dir: String): DataFrame = {
+    val store = posUpdatedCache.computeIfAbsent(
+      s"$dir|posupd|${sourceStamp(dir, "documents")}", _ => {
+        val o = graft.TempDirs.scratch("graft_pos_upd")
+        PositionalIndex.write(
+          PositionalIndex.build(spark, corpus(spark, dir)), o)
+        val upd = updatedDocsNewCorpus(spark, dir)
+        PositionalIndex.deleteDocs(spark, o, upd.select(col("docid")))
+        PositionalIndex.appendToStore(spark, o, upd)
+        o
+      })
+    PositionalIndex.phrase(
+      PositionalIndex.load(spark, store), PhraseQuery)
+  }
+
+  /** Golden generator for q36_phrase_updated: the index-free brute
+    * phrase count over the UPDATED corpus. */
+  private[graft] def q36PhraseUpdatedBrute(spark: SparkSession,
+                                           dir: String): DataFrame =
+    phraseBruteOver(spark, corpusUpdated(spark, dir))
+
+  private val invUpdatedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Ranked search over a ranked-index store with the re-crawl set
+    * UPDATED IN PLACE (delete + store-level append, tombstones
+    * pending). The query terms are two the suffix CONTAINS, so the
+    * updated docs' tf and the terms' df both shift — the driver gate
+    * proves the appended store's term_stats maintenance equals a
+    * rebuild, not just its postings. Golden from
+    * [[q26SearchUpdatedBrute]]. */
+  def q26SearchUpdated(spark: SparkSession, dir: String): DataFrame = {
+    val store = invUpdatedCache.computeIfAbsent(
+      s"$dir|invupd|${sourceStamp(dir, "documents")}", _ => {
+        val o = graft.TempDirs.scratch("graft_inv_upd")
+        InvertedIndex.write(
+          InvertedIndex.build(spark, corpus(spark, dir), k = 1), o)
+        val upd = updatedDocsNewCorpus(spark, dir)
+        InvertedIndex.deleteDocs(spark, o, upd.select(col("docid")))
+        InvertedIndex.appendToStore(spark, o, upd, k = 1)
+        o
+      })
+    QueryEngine.serveSearch(InvertedIndex.load(spark, store),
+        "hash window")
+      .select(col("docid"), col("score"))
+      .orderBy(col("score").desc, col("docid"))
+  }
+
+  /** Golden generator for q26_ir_search_updated: the engine run on
+    * the updated corpus (docnos projected away — a rebuild
+    * renumbers). */
+  private[graft] def q26SearchUpdatedBrute(spark: SparkSession,
+                                           dir: String): DataFrame = {
+    val ix = InvertedIndex.build(spark,
+      corpusUpdated(spark, dir), k = 1)
+    QueryEngine.search(ix, "hash window")
+      .select(col("docid"), col("score"))
+      .orderBy(col("score").desc, col("docid"))
+  }
+
   private val posDeletedCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 

@@ -1654,4 +1654,84 @@ object IrSql {
       })
     q10Bm25PrunedAt(spark, store, terms, k)
   }
+
+  // ---- UPDATE (re-ingest / re-crawl) -----------------------------
+
+  /** The fixed RE-CRAWL set of the update entries — shared with the
+    * oracles (DuckDB `doc_id % mod = rem`) so both engines update the
+    * same docs. Chosen co-prime with [[DeletedDocsMod]]: the two
+    * fixture sets overlap on some docs without being nested. */
+  val UpdatedDocsMod: Long = 17L
+  val UpdatedDocsRem: Long = 3L
+
+  /** What a re-crawled doc gains: one more occurrence of the q36
+    * phrase (positional answers must move), a vocabulary term
+    * matching the q09 `st*am` wildcard that exists ONLY in updated
+    * docs (the chargram recount must ADD vocabulary), and two
+    * [[ExpandedQueryTerms]] members (per-term df/tf shift, so the
+    * BM25 oracle exercises the stats maintenance, not just doclen). */
+  val UpdateSuffix: String = " agg hash window stqzam"
+
+  /** The update set's NEW versions, (doc_id, text). */
+  private[graft] def updatedDocsNew(spark: SparkSession,
+                                    dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(pmod(col("doc_id"), lit(UpdatedDocsMod)) ===
+        lit(UpdatedDocsRem))
+      .select(col("doc_id"),
+        concat(col("text"), lit(UpdateSuffix)).as("text"))
+
+  /** UPDATE a [[writeBm25Stats]] store in place: replace each of
+    * `newDocs`' doc_ids with its new text — the re-crawl write path,
+    * composed from the three store primitives:
+    * [[deleteBm25Docs]] (tombstone + delete-exact stats) →
+    * [[compactBm25Deletes]] (physical reclaim) →
+    * [[mergeBm25Stats]] (delta append + touched-term stats).
+    *
+    * The reclaim BETWEEN delete and merge is REQUIRED for this store,
+    * unlike the positional/inverted append-beside-tombstone path:
+    * BM25 tombstones are doc_id-keyed (the store has no docno
+    * indirection), so an appended new version would be hidden by its
+    * own pending tombstone — and mergeBm25Stats refuses doc_ids still
+    * physically present. The reclaim also collects any UNRELATED
+    * pending tombstones (documented compaction semantics — it
+    * amortizes every takedown since the last pass).
+    *
+    * Docs in `newDocs` but ABSENT from the store insert (upsert
+    * semantics: their delete leg no-ops). Each leg carries its own
+    * crash protocol (staged commits, markers, recovery at every
+    * entry), and the COMPOSITION replays: re-running the same update
+    * deletes the already-updated doc and re-adds the same new version
+    * — the final state is identical (spec-pinned), so a re-crawl
+    * ledger can re-drive a crashed update with no cross-leg marker. */
+  def updateBm25Docs(spark: SparkSession, storeDir: String,
+                     newDocs: DataFrame): Unit = {
+    deleteBm25Docs(spark, storeDir, newDocs.select(col("doc_id")))
+    compactBm25Deletes(spark, storeDir)
+    mergeBm25Stats(spark, storeDir, newDocs)
+  }
+
+  private val bm25UpdatedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A per-corpus scratch store with the fixed re-crawl set UPDATED
+    * in place through [[updateBm25Docs]]. */
+  private[graft] def bm25UpdatedStore(spark: SparkSession,
+                                      dir: String): String =
+    bm25UpdatedCache.computeIfAbsent(s"${bm25StoreKey(dir)}|upd", _ => {
+      val o = graft.TempDirs.scratch("graft_bm25_upd")
+      writeBm25Stats(spark, dir, o)
+      updateBm25Docs(spark, o, updatedDocsNew(spark, dir))
+      o
+    })
+
+  /** Q10j: the MaxScore-pruned ranking over an UPDATED store — the
+    * oracle recomputes BM25 over the corpus with the re-crawl set's
+    * text replaced, so the driver gate proves update-in-place ==
+    * rebuild-over-updated-corpus (df, tf, dl, tt and nd all exact
+    * after the delete→reclaim→merge composition). */
+  def q10Bm25Updated(spark: SparkSession, dir: String,
+                     terms: Seq[String] = ExpandedQueryTerms,
+                     k: Int = 10): DataFrame =
+    q10Bm25PrunedAt(spark, bm25UpdatedStore(spark, dir), terms, k)
 }
