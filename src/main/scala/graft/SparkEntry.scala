@@ -30,6 +30,7 @@ object SparkEntry {
     "q09_wildcard" -> ((s: SparkSession, d: String) => IrSql.q09Wildcard(s, d)),
     "q09_wildcard_multi" -> (IrSql.q09WildcardMulti _),
     "q09_wildcard_deleted" -> (IrSql.q09WildcardDeleted _),
+    "q09_wildcard_updated" -> (IrSql.q09WildcardUpdated _),
     "q03_docno_assign" -> (IrSql.q03DocnoAssign _),
     "q04_tokenize" -> (IrSql.q04Tokenize _),
     "q05_term_tf" -> (IrSql.q05TermTf _),
@@ -293,6 +294,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Similarity.annIvfAuto(s, d)),
     "q25_ann_ivf_deleted" ->
       ((s: SparkSession, d: String) => Similarity.annIvfDeleted(s, d)),
+    "q25_ann_ivf_updated" ->
+      ((s: SparkSession, d: String) => Similarity.annIvfUpdated(s, d)),
     "q25_ann_ivf_deleted_compacted" ->
       ((s: SparkSession, d: String) =>
         Similarity.annIvfDeletedCompacted(s, d)),
@@ -526,6 +529,28 @@ object SparkEntry {
            SELECT DISTINCT term FROM (
              SELECT unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS term
              FROM documents WHERE doc_id % 13 <> 5)
+           WHERE term <> ''),
+         grams AS (
+           SELECT DISTINCT substring('$' || term || '$', CAST(i AS INT), 3) AS gram, term
+           FROM (SELECT term, unnest(range(1, CAST(len(term) AS BIGINT) + 1)) AS i FROM terms))
+         SELECT term FROM grams WHERE gram IN ('$st', 'am$')
+         GROUP BY term
+         HAVING count(*) = 2 AND term LIKE 'st%am'
+         ORDER BY term""",
+
+    // the vocabulary ground truth for the UPDATED chargram store:
+    // rebuild the q09 vocabulary from the corpus with the re-crawl
+    // set's text replaced (17/3 + suffix == IrSql.UpdatedDocsMod/Rem
+    // + UpdateSuffix) — the suffix's stqzam matches st*am and exists
+    // only in updated docs, so the gate proves the incremental
+    // update ADDS vocabulary
+    "q09_wildcard_updated" ->
+      """WITH terms AS (
+           SELECT DISTINCT term FROM (
+             SELECT unnest(string_split(regexp_replace(lower(
+               CASE WHEN doc_id % 17 = 3 THEN text || ' agg hash window stqzam' ELSE text END),
+               '[^a-z0-9]+', ' ', 'g'), ' ')) AS term
+             FROM documents)
            WHERE term <> ''),
          grams AS (
            SELECT DISTINCT substring('$' || term || '$', CAST(i AS INT), 3) AS gram, term

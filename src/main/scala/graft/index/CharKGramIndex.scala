@@ -193,7 +193,9 @@ object CharKGramIndex {
 
   /** Delete the replaced files, move the staged parts in, commit any
     * staged sidecars (`_df` replaces the vocab-df table; `_deleted`
-    * appends a replay-guard batch), clear the marker — each step
+    * appends a replay-guard batch; `_deleted_new` REPLACES the
+    * deleted-docs ledger — an update re-admits ids; `_ops` appends an
+    * applied-operation batch), clear the marker — each step
     * idempotent, so a crash anywhere replays. */
   private def finishCgSwap(fs: org.apache.hadoop.fs.FileSystem,
                            root: Path, touched: Seq[String]): Unit = {
@@ -219,6 +221,25 @@ object CharKGramIndex {
         val dst = new Path(root, DeletedDocsDir)
         fs.mkdirs(dst)
         fs.listStatus(stDel)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .foreach { f =>
+            require(fs.rename(f.getPath,
+                new Path(dst, f.getPath.getName)),
+              s"rename ${f.getPath} -> $dst failed mid-cg-swap")
+          }
+      }
+      val stDelNew = new Path(staged, "_deleted_new")
+      if (fs.exists(stDelNew)) {
+        val cur = new Path(root, DeletedDocsDir)
+        fs.delete(cur, true)
+        require(fs.rename(stDelNew, cur),
+          s"rename $stDelNew -> $cur failed mid-cg-swap")
+      }
+      val stOps = new Path(staged, "_ops")
+      if (fs.exists(stOps)) {
+        val dst = new Path(root, AppliedOpsDir)
+        fs.mkdirs(dst)
+        fs.listStatus(stOps)
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
           .foreach { f =>
             require(fs.rename(f.getPath,
@@ -409,4 +430,138 @@ object CharKGramIndex {
   private def storeK(spark: SparkSession, dir: String): Int =
     spark.read.parquet(dir).select(length(col("gram")))
       .head().getInt(0)
+
+  // ---- takedown UPDATE: the vocabulary re-count for a re-crawl ----
+
+  /** Sidecar: applied update operation ids — the replay guard for
+    * [[updateDocs]]. The chargram artifact has NO doc membership to
+    * derive "already applied" from (unlike the four row stores, where
+    * replaying delete+append converges by construction), and its
+    * delete/merge arithmetic is caller-supplied — replaying it blind
+    * would double-count df. So an update is keyed by an explicit
+    * caller-chosen operation id, recorded under the SAME marker
+    * commit as the surgery; a replay sees the id and no-ops. */
+  private[graft] val AppliedOpsDir = "_graft_applied_ops"
+
+  private def appliedOps(spark: SparkSession, dir: String,
+                         fs: org.apache.hadoop.fs.FileSystem)
+      : Set[String] = {
+    val p = new Path(dir, AppliedOpsDir)
+    if (fs.exists(p) && fs.listStatus(p).exists(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet")))
+      spark.read.parquet(p.toString)
+        .collect().map(_.getString(0)).toSet
+    else Set.empty
+  }
+
+  /** UPDATE docs in place — the re-crawl shape for the vocabulary
+    * artifact, ONE staged-marker transaction: df adjusts by
+    * (−oldTerms +newTerms) per raw term; terms whose df reaches zero
+    * leave the gram lists and terms NEW to the vocabulary enter them,
+    * in a single file surgery over exactly the part files their grams
+    * touch; the new df table, the applied-ops replay batch and the
+    * deleted-docs ledger (minus the re-admitted ids — an updated doc
+    * is deletable again) all commit under the SAME marker, so a crash
+    * anywhere replays or rolls back the WHOLE update.
+    *
+    * `oldDocTerms` / `newDocTerms` are the updated docs' (doc_id,
+    * term) frames under the store's own tokenizer (takedown-bounded —
+    * only the updated docs tokenize). Docs currently in the DELETED
+    * ledger contribute no decrement (their terms already left the df
+    * at delete time) and re-enter as pure inserts — update doubles as
+    * the un-delete path. Replays of `opId` are no-ops. Requires the
+    * df sidecar ([[writeVocabDf]]). */
+  def updateDocs(spark: SparkSession, dir: String, opId: String,
+                 oldDocTerms: DataFrame,
+                 newDocTerms: DataFrame): Unit = {
+    recoverCgMerge(spark, dir)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (appliedOps(spark, dir, fs).contains(opId)) return
+    val vocabDf = readVocabDf(spark, dir, fs).getOrElse(
+      throw new IllegalStateException(
+        s"$dir has no $VocabDfDir sidecar — write it at store " +
+          "creation (writeVocabDf); without df the vocabulary " +
+          "recount requires a rebuild"))
+    import graft.ops.Stage.StageOps
+    val deletedDir = new Path(root, DeletedDocsDir)
+    val ledger =
+      if (fs.exists(deletedDir) && fs.listStatus(deletedDir).exists(f =>
+          f.isFile && f.getPath.getName.endsWith(".parquet")))
+        Some(spark.read.parquet(deletedDir.toString)
+          .select(col("doc_id").cast("string").as("doc_id")))
+      else None
+    val old0 = oldDocTerms.select(
+      col("doc_id").cast("string").as("doc_id"), col("term"))
+    val old1 = ledger.fold(old0)(d =>
+      old0.join(d, Seq("doc_id"), "left_anti"))
+    val neu = newDocTerms.select(
+      col("doc_id").cast("string").as("doc_id"), col("term")).stage()
+    val dec = old1.groupBy(col("term")).agg(count(lit(1)).as("dec"))
+    val inc = neu.groupBy(col("term")).agg(count(lit(1)).as("inc"))
+    val delta = dec.join(inc, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("inc"), lit(0L)) -
+          coalesce(col("dec"), lit(0L))).as("d"))
+      .filter(col("d") =!= 0L)
+    val newDf = vocabDf.join(delta, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) +
+          coalesce(col("d"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+      .stage()
+    // dead = had a df row, none survives; born = new to the vocabulary
+    val deadTerms = vocabDf.join(newDf, Seq("term"), "left_anti")
+      .select(col("term")).stage()
+    val bornTerms = newDf.join(vocabDf, Seq("term"), "left_anti")
+      .select(col("term")).stage()
+    val k = storeK(spark, dir)
+    val bornPairs = grams(bornTerms, k).stage() // (term, gram)
+    val touchGrams = grams(deadTerms, k).select(col("gram"))
+      .unionByName(bornPairs.select(col("gram"))).distinct()
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("gram")).as("lo"), max(col("gram")).as("hi"))
+    val touchedFiles = touchGrams
+      .join(broadcast(ranges),
+        col("gram") >= col("lo") && col("gram") <= col("hi"))
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val staged = new Path(root, StagedDir)
+    val anyBorn = bornPairs.limit(1).count() > 0
+    if (touchedFiles.nonEmpty || anyBorn) {
+      val baseTouched =
+        if (touchedFiles.isEmpty)
+          spark.read.parquet(dir).limit(0)
+        else spark.read.parquet(touchedFiles: _*)
+      val replacement = baseTouched
+        .select(col("gram"), explode(col("terms")).as("term"))
+        .join(broadcast(deadTerms), Seq("term"), "left_anti")
+        .unionByName(bornPairs.select(col("gram"), col("term")))
+        .groupBy(col("gram"))
+        .agg(sort_array(collect_set(col("term"))).as("terms"))
+      replacement.repartitionByRange(
+          math.max(1, touchedFiles.length), col("gram"))
+        .sortWithinPartitions("gram")
+        .write.mode("overwrite").parquet(staged.toString)
+    } else fs.mkdirs(staged)
+    // sidecars, all under the one commit
+    newDf.coalesce(1).write.mode("overwrite")
+      .parquet(new Path(staged, "_df").toString)
+    spark.range(1).select(lit(opId).as("op_id"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new Path(staged, "_ops").toString)
+    ledger.foreach { d =>
+      d.join(neu.select(col("doc_id")).distinct(), Seq("doc_id"),
+          "left_anti")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(new Path(staged, "_deleted_new").toString)
+    }
+    // COMMIT POINT (the mergeIntoStore marker)
+    val out = fs.create(new Path(root, Marker), false)
+    try out.write(touchedFiles.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    finishCgSwap(fs, root, touchedFiles)
+  }
 }

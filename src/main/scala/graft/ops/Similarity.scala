@@ -1387,6 +1387,83 @@ object Similarity {
     probeIvfStore(spark, store, k)
   }
 
+  /** UPDATE vectors in a durable IVF store — the re-crawl shape for
+    * embeddings (a re-embedded doc keeps its vec_id, its vector
+    * changes): tombstone the old versions ([[deleteIvfVectors]]),
+    * reclaim them ([[compactIvfDeletes]] — required before a same-id
+    * re-add: tombstones are vec_id-keyed, so an appended new version
+    * would be hidden by its own pending tombstone), then route the
+    * new versions back in by the cheapest safe leg:
+    *
+    *  - every updated id ABOVE the seed range → [[appendIvfStore]]
+    *    (delta-bounded; the coordinate system is untouched);
+    *  - any updated id INSIDE the seed range → the seed's vector IS a
+    *    routing coordinate, and the derived-seed rule ("k smallest
+    *    vec_ids") would silently re-derive a DIFFERENT system under
+    *    later sessions if the row changed in place — so this leg
+    *    re-clusters at the store's CURRENT k with the new versions as
+    *    the rebuild [[reclusterIvfStore replacement]] (a full
+    *    re-coordinate, the documented cost of mutating a seed; an
+    *    update never resizes the store — resizing stays recluster's
+    *    own knob).
+    *
+    * REPLAY: re-running the same update converges — delete tombstones
+    * the already-updated rows, reclaim drops them, and the same new
+    * versions land again (spec-pinned). Run behind the serving
+    * quiesce; a serving [[graft.query.IvfServer]] detects either leg
+    * through its version stamps. */
+  def updateIvfVectors(spark: SparkSession, storeDir: String,
+                       newVecs: DataFrame): Unit = {
+    val minRow = newVecs.agg(min(col("vec_id"))).head()
+    if (minRow.isNullAt(0)) return // empty update
+    deleteIvfVectors(spark, storeDir,
+      newVecs.select(col("vec_id")))
+    compactIvfDeletes(spark, storeDir)
+    val maxSeedId = storeSeeds(spark, storeDir).map(_._1).max
+    if (minRow.getLong(0) > maxSeedId)
+      appendIvfStore(spark, storeDir, newVecs)
+    else {
+      reclusterIvfStore(spark, storeDir,
+        Some(storeK(spark, storeDir)), Some(newVecs))
+      ()
+    }
+  }
+
+  /** The fixed re-crawl set of the vector update entries — shared
+    * with the oracle (`vec_id % mod = rem`), deliberately including a
+    * SEED id (3 < [[IvfCentroids]]) so the entry exercises the
+    * re-coordinate leg; the transform (negation) is norm-preserving
+    * and exactly representable, so Spark and DuckDB agree bit-for-bit. */
+  val UpdatedVecsMod = 17
+  val UpdatedVecsRem = 3
+
+  /** The update set's NEW versions: the embedding negated. */
+  private[graft] def updatedVecsNew(spark: SparkSession,
+                                    dir: String): DataFrame =
+    emb(spark, dir)
+      .filter(col("vec_id") % UpdatedVecsMod === UpdatedVecsRem)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+
+  private[graft] def cachedUpdatedStore(spark: SparkSession,
+                                        dir: String): String =
+    loadedStoreCache.computeIfAbsent(
+      s"$dir|ivfupd|${tableStamp(dir, "embeddings")}", _ => {
+        val out = graft.TempDirs.scratch("graft_ivf_upd")
+        writeIvfLayout(spark, dir, out)
+        updateIvfVectors(spark, out, updatedVecsNew(spark, dir))
+        out
+      })
+
+  /** IVF probe over a store whose fixed re-crawl set was UPDATED in
+    * place (one updated id is a seed → the re-coordinate leg ran):
+    * oracle-checked against the probe computed over the embeddings
+    * table with the update set's vectors replaced — update-in-place
+    * == rebuild-over-updated-embeddings, coordinate system included. */
+  def annIvfUpdated(spark: SparkSession, dir: String,
+                    k: Int = 10): DataFrame =
+    probeIvfStore(spark, cachedUpdatedStore(spark, dir), k)
+
   /** COMPACT a [[writeIvfLayout]] store in place: each
     * [[appendIvfLayout]] delta lands one small file per touched cell,
     * so a long-lived store's partition-pruned probe degrades from a
@@ -1783,9 +1860,18 @@ object Similarity {
     * CONCURRENCY: like compaction, a maintenance operation — run it
     * behind the serving path's quiesce; a serving
     * [[graft.query.IvfServer]] notices the mutation through its
-    * version stamps. Returns the new k. */
+    * version stamps. Returns the new k.
+    *
+    * `replacement` (the [[updateIvfVectors]] seed-range leg): extra
+    * (vec_id, embedding) rows unioned into the rebuild SOURCE beside
+    * the live view — re-ingested versions of ids whose OLD rows are
+    * tombstoned. The new coordinate system derives over live ∪
+    * replacement, exactly as a from-scratch build over the updated
+    * corpus would; their tombstones are among the batches the rebuild
+    * consumes and trims. */
   def reclusterIvfStore(spark: SparkSession, storeDir: String,
-                        k: Option[Long] = None): Long = {
+                        k: Option[Long] = None,
+                        replacement: Option[DataFrame] = None): Long = {
     import org.apache.hadoop.fs.Path
     val root = new Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1802,8 +1888,12 @@ object Similarity {
       if (fs.exists(tombPath))
         fs.listStatus(tombPath).filter(_.isFile).map(_.getPath).toSeq
       else Nil
-    val stored = liveIvfStore(spark, storeDir)
-      .select(col("vec_id"), col("embedding"))
+    val stored = {
+      val live = liveIvfStore(spark, storeDir)
+        .select(col("vec_id"), col("embedding"))
+      replacement.fold(live)(r =>
+        live.unionByName(r.select(col("vec_id"), col("embedding"))))
+    }
     val n = stored.count()
     val newK = k.getOrElse(math.max(IvfCentroids.toLong,
       (n + SemDedupCellSize - 1) / SemDedupCellSize))

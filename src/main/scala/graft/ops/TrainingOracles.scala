@@ -1614,6 +1614,31 @@ object TrainingOracles {
            AND x.vec_id % ${Similarity.DeletedVecsMod} <> ${Similarity.DeletedVecsRem}
          ORDER BY ${cos("x.embedding", "qv")} DESC, x.vec_id LIMIT 10""",
 
+    // IVF probe over a store with the fixed re-crawl set UPDATED in
+    // place (Similarity.annIvfUpdated): the probe computed over the
+    // embeddings table with the update set's vectors REPLACED
+    // (negated). One updated id (3) is a seed, so the coordinate
+    // system itself re-derives — the seeds CTE reads the UPDATED
+    // vectors, exactly what the entry's re-coordinate leg produces.
+    "q25_ann_ivf_updated" ->
+      s"""WITH emb2 AS (SELECT vec_id,
+                CASE WHEN vec_id % ${Similarity.UpdatedVecsMod} = ${Similarity.UpdatedVecsRem}
+                     THEN list_transform(embedding, v -> -v)
+                     ELSE embedding END AS embedding
+              FROM embeddings),
+         c AS (SELECT vec_id AS cid, embedding AS cvec FROM emb2
+               WHERE vec_id < ${Similarity.IvfCentroids}),
+         a AS (SELECT e.vec_id, e.embedding, c.cid,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY ${cos("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+               FROM emb2 e CROSS JOIN c),
+         cells AS (SELECT vec_id, embedding, cid AS cell FROM a WHERE rn = 1),
+         q AS (SELECT cell AS qcell, embedding AS qv FROM cells WHERE vec_id = 0)
+         SELECT x.vec_id, round(${cos("x.embedding", "qv")}, 4) AS cos
+         FROM cells x JOIN q ON x.cell = q.qcell
+         WHERE x.vec_id <> 0
+         ORDER BY ${cos("x.embedding", "qv")} DESC, x.vec_id LIMIT 10""",
+
     // filtered exact ANN: pre-filter semantics — rank only vectors
     // whose 1:1 document passes the metadata predicate (mirrors
     // Similarity.annFiltered; predicate constants shared)

@@ -357,6 +357,46 @@ object IrSql {
       graft.index.CharKGramIndex.load(spark,
         cgDeletedStore(spark, dir)), "st*am")
 
+  private val cgUpdatedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A per-corpus chargram STORE (SQL-subset vocabulary) with the
+    * fixed re-crawl set UPDATED through
+    * [[graft.index.CharKGramIndex.updateDocs]] — the one-transaction
+    * incremental recount (df −old +new, dead terms leave, born terms
+    * enter, op-ledger replay guard). */
+  private[graft] def cgUpdatedStore(spark: SparkSession,
+                                    dir: String): String =
+    cgUpdatedCache.computeIfAbsent(s"${bm25StoreKey(dir)}|cgupd", _ => {
+      val o = graft.TempDirs.scratch("graft_cg_upd")
+      graft.index.CharKGramIndex.write(
+        q08CharGrams(spark, dir)
+          .groupBy(col("gram"))
+          .agg(sort_array(collect_set(col("term"))).as("terms")), o)
+      val docTerms = tokens(spark, dir)
+        .select(col("doc_id"), col("term")).distinct()
+      graft.index.CharKGramIndex.writeVocabDf(spark, o, docTerms)
+      val oldTerms = docTerms
+        .filter(pmod(col("doc_id"), lit(UpdatedDocsMod)) ===
+          lit(UpdatedDocsRem))
+      val newTerms = tokensOf(updatedDocsNew(spark, dir))
+        .select(col("doc_id"), col("term")).distinct()
+      graft.index.CharKGramIndex.updateDocs(spark, o,
+        "q09-upd-fixture", oldTerms, newTerms)
+      o
+    })
+
+  /** Q9e: the wildcard lookup over the UPDATED chargram store —
+    * oracle-checked against the vocabulary rebuilt from the corpus
+    * with the re-crawl set's text replaced. The update suffix's
+    * `stqzam` matches the pattern and exists ONLY in updated docs, so
+    * the gate proves the incremental update ADDS vocabulary (and
+    * keeps everything else recount-exact). */
+  def q09WildcardUpdated(spark: SparkSession, dir: String): DataFrame =
+    graft.query.QueryEngine.wildcardTerms(
+      graft.index.CharKGramIndex.load(spark,
+        cgUpdatedStore(spark, dir)), "st*am")
+
   /** Default demo query terms — present in the synthetic vocabulary. */
   val DefaultQueryTerms: Seq[String] = Seq("merge", "stream")
 

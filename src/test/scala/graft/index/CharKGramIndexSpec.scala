@@ -326,4 +326,96 @@ class CharKGramIndexSpec extends SparkSpec {
     CharKGramIndex.deleteDocs(spark, dir, dead)
     assert(rows2(CharKGramIndex.load(spark, dir)) == post)
   }
+
+  test("updateDocs: update == rebuild over the updated corpus; born " +
+    "terms wildcard-reachable; dead terms gone; untouched files " +
+    "byte-identical; same-op replay is a no-op") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cg_upd").toString
+    CharKGramIndex.write(CharKGramIndex.build(spark, corpus), dir,
+      rowsPerFile = 32L)
+    val docTerms = CharKGramIndex.docTermsOf(spark, corpus)
+    CharKGramIndex.writeVocabDf(spark, dir, docTerms)
+    // victim: a doc with at least one exclusive term (it must DIE
+    // when the content is replaced outright)
+    val victim = docTerms.groupBy("term")
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc"))
+      .filter(col("df") === 1)
+      .groupBy(col("doc")).agg(count(lit(1)).as("nexcl"))
+      .orderBy(col("nexcl"), col("doc")).head().getString(0)
+    val updatedCorpus = corpus.select(col("docid"),
+      when(col("docid") === victim, lit("zzqborn shared"))
+        .otherwise(col("content")).as("content"))
+    val oldTerms = docTerms.filter(col("doc_id") === victim)
+    val newTerms = CharKGramIndex.docTermsOf(spark,
+      updatedCorpus.filter(col("docid") === victim))
+    val preFiles = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => (f.getPath.getName, f.getLen, f.getModificationTime))
+      .sortBy(_._1).toSeq
+    CharKGramIndex.updateDocs(spark, dir, "op-1", oldTerms, newTerms)
+    val rebuilt = CharKGramIndex.build(spark, updatedCorpus)
+    assert(rows2(CharKGramIndex.load(spark, dir)) == rows2(rebuilt),
+      "updated store != rebuild over updated corpus")
+    // the born term is wildcard-reachable through the updated store
+    val hits = graft.query.QueryEngine.wildcardTerms(
+      CharKGramIndex.load(spark, dir), "zz*orn")
+      .collect().map(_.getString(0)).toSeq
+    assert(hits == Seq("zzqborn"), s"born term unreachable: $hits")
+    // surgery, not a rewrite: some files byte-identical
+    val postFiles = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => (f.getPath.getName, f.getLen, f.getModificationTime))
+      .sortBy(_._1).toSeq
+    assert(postFiles.toSet.intersect(preFiles.toSet).nonEmpty,
+      "every part file rewrote - no surgery")
+    // replaying the SAME operation id is a no-op
+    val pre = rows2(CharKGramIndex.load(spark, dir))
+    val preDf = rows2(spark.read.parquet(s"$dir/_graft_vocab_df"))
+    CharKGramIndex.updateDocs(spark, dir, "op-1", oldTerms, newTerms)
+    assert(rows2(CharKGramIndex.load(spark, dir)) == pre,
+      "op replay changed the store")
+    assert(rows2(spark.read.parquet(s"$dir/_graft_vocab_df")) == preDf,
+      "op replay changed the df sidecar")
+  }
+
+  test("updateDocs un-deletes: updating a doc in the deleted ledger " +
+    "re-admits it as a pure insert, and a LATER delete of the " +
+    "re-added doc applies (the ledger was cleaned)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cg_undel").toString
+    CharKGramIndex.write(CharKGramIndex.build(spark, corpus), dir,
+      rowsPerFile = 32L)
+    val docTerms = CharKGramIndex.docTermsOf(spark, corpus)
+    CharKGramIndex.writeVocabDf(spark, dir, docTerms)
+    val victim = docTerms.groupBy("term")
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc"))
+      .filter(col("df") === 1)
+      .groupBy(col("doc")).agg(count(lit(1)).as("nexcl"))
+      .orderBy(col("nexcl").desc, col("doc")).head().getString(0)
+    val victimTerms = docTerms.filter(col("doc_id") === victim)
+    CharKGramIndex.deleteDocs(spark, dir, victimTerms)
+    val reduced = corpus.filter(col("docid") =!= victim)
+    assert(rows2(CharKGramIndex.load(spark, dir)) ==
+      rows2(CharKGramIndex.build(spark, reduced)))
+    // re-crawl the deleted doc with fresh content: the old terms
+    // contribute no decrement (already out), the new ones insert
+    val reborn = reduced.unionByName(
+      corpus.filter(col("docid") === victim)
+        .select(col("docid"), lit("zzqreborn shared").as("content")))
+    val rebornTerms = CharKGramIndex.docTermsOf(spark,
+      reborn.filter(col("docid") === victim))
+    CharKGramIndex.updateDocs(spark, dir, "op-undel",
+      victimTerms, rebornTerms)
+    assert(rows2(CharKGramIndex.load(spark, dir)) ==
+      rows2(CharKGramIndex.build(spark, reborn)),
+      "un-delete update != rebuild over reborn corpus")
+    // the re-added doc is deletable again (ledger cleaned)
+    CharKGramIndex.deleteDocs(spark, dir, rebornTerms)
+    assert(rows2(CharKGramIndex.load(spark, dir)) ==
+      rows2(CharKGramIndex.build(spark, reduced)),
+      "post-update delete of the re-added doc did not apply")
+  }
 }
