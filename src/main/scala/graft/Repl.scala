@@ -326,6 +326,34 @@ object Repl {
           case None => out.println(
             "takedown needs the durable stores (open a corpus dir)")
         }
+      } else if (q.matches("(?i)^recrawl\\s+\\d+\\s+.+$")) {
+        // re-crawl request against the LIVE serving session: the doc's
+        // new text replaces its old version in the BM25 store
+        // (delete → reclaim → merge); the stamped server picks the
+        // mutation up on its next search, no reopen. The vector arm
+        // keeps the old embedding until a re-embedding lands through
+        // Similarity.updateIvfVectors — the REPL has no encoder.
+        ann match {
+          case Some((sp, _, corpusDir)) =>
+            try {
+              val parts = q.trim.split("\\s+", 3)
+              val id = parts(1).toLong
+              import sp.implicits._
+              graft.ops.Takedown.update(sp, graft.ops.TakedownStores(
+                  bm25 = Some(
+                    graft.queries.IrSql.bm25StatsStore(sp, corpusDir))),
+                Seq((id, parts(2))).toDF("doc_id", "text"),
+                opId = s"repl-recrawl-$id-${parts(2).hashCode}")
+              out.println(s"recrawl: doc $id replaced in the bm25 " +
+                "store (vector arm keeps its old embedding until " +
+                "re-embedded)")
+            } catch {
+              case _: NumberFormatException =>
+                out.println("recrawl needs: recrawl <doc_id> <text>")
+            }
+          case None => out.println(
+            "recrawl needs the durable stores (open a corpus dir)")
+        }
       } else if (q.contains("*")) {
         chargrams match {
           case Some(cg) => print10(out, q,

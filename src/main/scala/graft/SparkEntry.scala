@@ -190,6 +190,7 @@ object SparkEntry {
       ((s: SparkSession, d: String) =>
         IrSql.q10Bm25DeletedLazyCompacted(s, d)),
     "q29_takedown_stream" -> (IrEngine.q29TakedownStream _),
+    "q29_update_stream" -> (IrEngine.q29UpdateStream _),
     "q36_phrase_compressed" -> (IrEngine.q36PhraseCompressed _),
     "q36_phrase_merged" -> (IrEngine.q36PhraseMerged _),
     "q36_near" -> (IrEngine.q36Near _),
@@ -725,6 +726,14 @@ object SparkEntry {
     "q29_takedown_stream" -> bm25MultiSqlOver(
       s"""(SELECT * FROM documents
            WHERE NOT (doc_id % ${IrSql.DeletedDocsMod} = ${IrSql.DeletedDocsRem}))"""),
+    // the streaming re-crawl feed composes to the one-shot batch
+    // update: same updated-corpus ground truth as q10_bm25_updated
+    "q29_update_stream" -> bm25MultiSqlOver(
+      s"""(SELECT doc_id,
+             CASE WHEN doc_id % ${IrSql.UpdatedDocsMod} = ${IrSql.UpdatedDocsRem}
+                  THEN text || '${IrSql.UpdateSuffix}'
+                  ELSE text END AS text
+           FROM documents)"""),
     "q10_bm25_batch" -> bm25BatchSql,
     // the store-served batch == the corpus-scored batch by design
     "q10_bm25_batch_stored" -> bm25BatchSql,

@@ -337,7 +337,12 @@ object InvertedIndex {
     if (addedPost.nonEmpty) {
       // touched = the delta's kgrams, read back from exactly the
       // added files (delta-bounded); df re-derives from the full live
-      // postings for those kgrams, so a replay lands the same rows
+      // postings for those kgrams, so a replay lands the same rows.
+      // A takedown-sized delta vocabulary collects to LITERALS so the
+      // postings scan row-group-prunes on the kgram-sorted layout (a
+      // join side gets no min/max pruning); past the cap the
+      // vocabulary is corpus-delta-scale and the semi-join is the
+      // right plan anyway
       val touched = spark.read
         .parquet(addedPost.map(n => s"$dir/postings/$n"): _*)
         .select(col("kgram")).distinct().stage()
@@ -345,8 +350,15 @@ object InvertedIndex {
       val livePost = readTombs(spark, dir)
         .fold(post)(t => post.join(broadcast(t), Seq("docno"),
           "left_anti"))
-      val touchedDf = livePost
-        .join(touched, Seq("kgram"), "left_semi")
+      val litCap = 10000
+      val touchedLits = touched.limit(litCap + 1).collect()
+        .map(_.getString(0))
+      val touchedPost =
+        if (touchedLits.length <= litCap)
+          livePost.filter(col("kgram").isin(
+            touchedLits.toIndexedSeq: _*))
+        else livePost.join(touched, Seq("kgram"), "left_semi")
+      val touchedDf = touchedPost
         .groupBy(col("kgram")).agg(count(lit(1)).as("df"))
       val oldStats = spark.read.parquet(s"$dir/term_stats")
       val untouched = oldStats.join(touched, Seq("kgram"), "left_anti")

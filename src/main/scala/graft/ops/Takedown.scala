@@ -88,4 +88,65 @@ object Takedown {
       Similarity.compactIvfDeletes(spark, d); ()
     })
   }
+
+  /** ONE re-crawl request fanned across every present store — the
+    * UPDATE twin of [[delete]]: each updated doc's old version leaves
+    * and its new version serves, by each store's own update protocol
+    * ([[graft.queries.IrSql.updateBm25Docs]] delete→reclaim→merge;
+    * positional/inverted deleteDocs + store-level
+    * [[graft.index.PositionalIndex.appendToStore]] — tombstone hides
+    * the old row while the new serves at a fresh docno;
+    * [[Similarity.updateIvfVectors]] append or re-coordinate leg;
+    * [[graft.index.CharKGramIndex.updateDocs]] one-transaction
+    * recount keyed by `opId`).
+    *
+    * `newDocs` is the updated docs' NEW (doc_id, text); `corpus` the
+    * CURRENT (pre-update) (docid, content) frame — required for the
+    * chargram leg, whose decrement tokenizes the OLD versions.
+    * `newVectors` the re-embedded (vec_id, embedding) rows — required
+    * when `stores.vectors` is set (an engine re-embeds what it
+    * re-crawls). Docs absent from a store INSERT (upsert).
+    *
+    * Crash mid-fan-out: replay the SAME request (same opId, same
+    * content). Every leg converges — the four row stores by
+    * composition (delete of the already-updated doc + re-add of the
+    * same content lands the identical final state), the chargram leg
+    * by its op ledger. Stores stay independently consistent at every
+    * instant, exactly as [[delete]]. */
+  def update(spark: SparkSession, stores: TakedownStores,
+             newDocs: DataFrame, opId: String,
+             corpus: Option[DataFrame] = None,
+             newVectors: Option[DataFrame] = None): Unit = {
+    val neu = newDocs
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    stores.bm25.foreach(d =>
+      graft.queries.IrSql.updateBm25Docs(spark, d, neu))
+    val newCorpus = neu
+      .select(format_string("D%05d", col("doc_id")).as("docid"),
+        col("text").as("content"))
+    val asDocid = newCorpus.select(col("docid"))
+    stores.positional.foreach { d =>
+      graft.index.PositionalIndex.deleteDocs(spark, d, asDocid)
+      graft.index.PositionalIndex.appendToStore(spark, d, newCorpus)
+    }
+    stores.inverted.foreach { d =>
+      graft.index.InvertedIndex.deleteDocs(spark, d, asDocid)
+      graft.index.InvertedIndex.appendToStore(spark, d, newCorpus)
+    }
+    stores.vectors.foreach { d =>
+      val v = newVectors.getOrElse(throw new IllegalArgumentException(
+        "a vector-store update needs the re-embedded (vec_id, " +
+          "embedding) rows — an engine re-embeds what it re-crawls"))
+      Similarity.updateIvfVectors(spark, d, v)
+    }
+    stores.chargram.foreach { d =>
+      val c = corpus.getOrElse(throw new IllegalArgumentException(
+        "a chargram update needs the pre-update corpus frame (the " +
+          "recount's decrement tokenizes the OLD versions)"))
+      val old = c.join(asDocid, Seq("docid"), "left_semi")
+      graft.index.CharKGramIndex.updateDocs(spark, d, opId,
+        graft.index.CharKGramIndex.docTermsOf(spark, old),
+        graft.index.CharKGramIndex.docTermsOf(spark, newCorpus))
+    }
+  }
 }

@@ -1286,24 +1286,28 @@ object IrEngine {
     * overlap; the replay-idempotence each store's protocol guarantees
     * makes an at-least-once feed safe too (spec-pinned in
     * DeletionSpec's no-op replays). */
-  def q29TakedownStream(spark: SparkSession, dir: String): DataFrame = {
-    // per-run MUTABLE copy of the session-cached stats store (the
-    // stream deletes from it): a file copy is ~free next to the
-    // from-corpus build it replaces, and the shared cache stays
-    // pristine for every other entry
-    val store = graft.TempDirs.scratch("graft_tds_bm25")
-    locally {
-      val conf = spark.sparkContext.hadoopConfiguration
-      val src = new org.apache.hadoop.fs.Path(
-        IrSql.bm25StatsStore(spark, dir))
-      val dst = new org.apache.hadoop.fs.Path(store)
-      val fs = src.getFileSystem(conf)
-      fs.listStatus(src).foreach { s =>
-        org.apache.hadoop.fs.FileUtil.copy(fs, s.getPath, fs,
-          new org.apache.hadoop.fs.Path(dst, s.getPath.getName),
-          false, conf)
-      }
+  /** Per-run MUTABLE copy of the session-cached stats store (a
+    * mutation stream drives it): a file copy is ~free next to the
+    * from-corpus build it replaces, and the shared cache stays
+    * pristine for every other entry. */
+  private def scratchBm25Copy(spark: SparkSession, dir: String,
+                              tag: String): String = {
+    val store = graft.TempDirs.scratch(tag)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(
+      IrSql.bm25StatsStore(spark, dir))
+    val dst = new org.apache.hadoop.fs.Path(store)
+    val fs = src.getFileSystem(conf)
+    fs.listStatus(src).foreach { s =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, s.getPath, fs,
+        new org.apache.hadoop.fs.Path(dst, s.getPath.getName),
+        false, conf)
     }
+    store
+  }
+
+  def q29TakedownStream(spark: SparkSession, dir: String): DataFrame = {
+    val store = scratchBm25Copy(spark, dir, "graft_tds_bm25")
     val staged = graft.TempDirs.scratch("graft_tds_ids")
     val ids = Tables.load(spark, dir, "documents")
       .filter(pmod(col("doc_id"), lit(IrSql.DeletedDocsMod)) ===
@@ -1322,6 +1326,37 @@ object IrEngine {
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         IrSql.deleteBm25Docs(batch.sparkSession, store, batch)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    IrSql.q10Bm25PrunedAt(spark, store, IrSql.ExpandedQueryTerms, 10)
+  }
+
+  /** Re-crawl requests as a STREAM — the update queue's operational
+    * shape, the q29_takedown_stream twin for UPDATES: the fixed
+    * re-crawl set's new versions arrive as three disjoint chunk files
+    * (one micro-batch each), and foreachBatch drives
+    * [[IrSql.updateBm25Docs]] per batch — delete → reclaim → merge
+    * per arrival, the standing loop of a store tracking a live crawl.
+    * The incremental feed must compose to exactly the one-shot batch
+    * update: the oracle is q10_bm25_updated's (BM25 recomputed over
+    * the updated corpus). */
+  def q29UpdateStream(spark: SparkSession, dir: String): DataFrame = {
+    val store = scratchBm25Copy(spark, dir, "graft_ups_bm25")
+    val staged = graft.TempDirs.scratch("graft_ups_docs")
+    val upd = IrSql.updatedDocsNew(spark, dir)
+    (0 until 3).foreach { i =>
+      upd.filter(pmod(col("doc_id"), lit(3)) === lit(i))
+        .coalesce(1).write.mode("append").parquet(staged)
+    }
+    val q = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        IrSql.updateBm25Docs(batch.sparkSession, store, batch)
         ()
       }
       .start()

@@ -266,4 +266,28 @@ class ReplSpec extends SparkSpec {
     assert(post.linesIterator.count(_.matches("\\d+ -?\\d.*")) >= 2,
       s"serving died after the takedown in:\n$post")
   }
+
+  test("recrawl replaces a doc's text in the live bm25 serving state: " +
+    "the next search ranks the new content, no reopen") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val td = Files.createTempDirectory("graft_repl_rc").toString
+    Seq("documents.parquet", "embeddings.parquet").foreach { f =>
+      Files.copy(Paths.get(s"$sfDir/$f"), Paths.get(s"$td/$f"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val bmSrv = new graft.query.Bm25Server(spark,
+      graft.queries.IrSql.bm25StatsStore(spark, td))
+    val ivf = Files.createTempDirectory("graft_repl_rc_ivf").toString
+    graft.ops.Similarity.writeIvfLayout(spark, td, ivf)
+    val got = run(
+      "recrawl 42 zzqfresh zzqfresh content\n" +
+        "bm25 zzqfresh\n\n",
+      bm25 = Some(bmSrv), ann = Some((spark, ivf, td)))
+    assert(got.contains("recrawl: doc 42 replaced"),
+      s"no recrawl ack in:\n$got")
+    val post = got.substring(got.indexOf("recrawl:"))
+    assert(post.linesIterator.exists(
+        _.replaceFirst("^query > ", "").startsWith("42 ")),
+      s"re-crawled doc not served for its new term in:\n$post")
+  }
 }

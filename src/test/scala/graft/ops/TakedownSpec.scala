@@ -121,4 +121,56 @@ class TakedownSpec extends SparkSpec {
     assert(ranked.forall(!dead.contains(_)))
     Takedown.compact(spark, stores) // must not touch absent stores
   }
+
+  test("one update call reaches every store: the new content serves " +
+    "on all five surfaces; replaying the same request (same op id, " +
+    "same content) converges") {
+    val stores = buildAll()
+    val corpus = IrEngine.corpus(spark, dir)
+    // re-crawl two docs above the vector seed range (the append leg)
+    val updIds = Seq(20L, 33L)
+    import spark.implicits._
+    val newDocs = updIds.map(i =>
+        (i, s"zzqrecrawl agg hash window stqzam doc $i"))
+      .toDF("doc_id", "text")
+    val newVecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id").isin(updIds: _*))
+      .select(col("vec_id"),
+        transform(col("embedding"), v => -v).as("embedding"))
+    Takedown.update(spark, stores, newDocs, "td-upd-1",
+      corpus = Some(corpus), newVectors = Some(newVecs))
+    val a = surfaces(stores)
+    val docids = updIds.map(i => f"D$i%05d").toSet
+    // bm25: the re-crawl-only term returns exactly the updated set
+    val hits = IrSql.q10Bm25PrunedAt(spark, stores.bm25.get,
+        Seq("zzqrecrawl"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == updIds.toSet, s"bm25 new-term hits: $hits")
+    // positional: the new content contains the q36 phrase
+    assert(docids.subsetOf(a._2.toSet),
+      "updated docs missing from the phrase answer")
+    // inverted: a search for the new term finds exactly both docs
+    val s2 = QueryEngine.serveSearch(
+        InvertedIndex.load(spark, stores.inverted.get), "zzqrecrawl")
+      .select("docid").collect().map(_.getString(0)).toSet
+    assert(s2 == docids, s"inverted new-term hits: $s2")
+    // vectors: the stored rows are the new embeddings, no tombstones
+    assert(Similarity.ivfTombstones(spark, stores.vectors.get).isEmpty)
+    val stored = Similarity.liveIvfStore(spark, stores.vectors.get)
+      .filter(col("vec_id").isin(updIds: _*))
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    val want = newVecs.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    assert(stored == want, "vector store rows != the new embeddings")
+    // chargram: the born vocabulary term is wildcard-reachable
+    val w = QueryEngine.wildcardTerms(
+        CharKGramIndex.load(spark, stores.chargram.get), "zzqrec*")
+      .collect().map(_.getString(0)).toSeq
+    assert(w == Seq("zzqrecrawl"), s"chargram born term: $w")
+    // replay the whole request: every surface identical
+    Takedown.update(spark, stores, newDocs, "td-upd-1",
+      corpus = Some(corpus), newVectors = Some(newVecs))
+    assert(surfaces(stores) == a, "update replay changed answers")
+  }
 }
