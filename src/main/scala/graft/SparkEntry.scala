@@ -319,6 +319,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Pq.annIvfPqDeleted(s, d)),
     "q25_ann_ivfpq_deleted_compacted" ->
       ((s: SparkSession, d: String) => Pq.annIvfPqDeletedCompacted(s, d)),
+    "q25_ann_ivfpq_updated" ->
+      ((s: SparkSession, d: String) => Pq.annIvfPqUpdated(s, d)),
     "q33_pagerank" -> (Graph.q33PageRank _),
     "q33_triangles" -> (Graph.q33Triangles _),
     "q33_clustering" -> (Graph.q33Clustering _),

@@ -342,12 +342,12 @@ object Pq {
   def probeIvfPqStoreFiltered(spark: SparkSession, dir: String,
                               storeDir: String, k: Int = TopK,
                               nProbe: Int = 2): DataFrame = {
-    val cents = codebooks(spark, dir)
+    val (cents, seeds) = storeQuantizer(spark, dir, storeDir)
     val sd = cents(0)(0)._2.length
     val e = emb(spark, dir)
     val q = e.filter(col("vec_id") === 0).select(col("embedding"))
       .head().getSeq[Float](0)
-    val probed = coarseProbeCells(e, q, nProbe)
+    val probed = coarseProbeCellsOf(seeds, q, nProbe)
     val dtable: Array[Map[Long, Double]] =
       Array.tabulate(Subspaces) { s =>
         cents(s).map { case (cid, cv) => cid -> l2(q, s * sd, cv) }.toMap
@@ -386,12 +386,12 @@ object Pq {
       : DataFrame = {
     val target = minSurvivors
       .getOrElse(Similarity.FilteredAutoOversample * k)
-    val cents = codebooks(spark, dir)
+    val (cents, seeds) = storeQuantizer(spark, dir, storeDir)
     val sd = cents(0)(0)._2.length
     val e = emb(spark, dir)
     val q = e.filter(col("vec_id") === 0).select(col("embedding"))
       .head().getSeq[Float](0)
-    val ranked = coarseProbeCells(e, q, Similarity.IvfCentroids)
+    val ranked = coarseProbeCellsOf(seeds, q, seeds.length)
     val stored = Similarity.liveIvfStore(spark, storeDir)
     val f = Similarity.filterIds(spark, dir)
     val chosen = Similarity.escalate(ranked, target) { newCells =>
@@ -488,6 +488,40 @@ object Pq {
     probeIvfPqStore(spark, dir, store, k)
   }
 
+  /** The coded update set: the fixed re-crawl ids ABOVE the
+    * coarse-seed range (an updated seed is a rebuild, not an update —
+    * [[updatePqVectors]]), vectors negated. */
+  private[graft] def updatedPqVecsNew(spark: SparkSession,
+                                      dir: String): DataFrame =
+    emb(spark, dir)
+      .filter(col("vec_id") % Similarity.UpdatedVecsMod ===
+          Similarity.UpdatedVecsRem &&
+        col("vec_id") >= Similarity.IvfCentroids)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+
+  /** Session-cached coded store with the fixed re-crawl set UPDATED
+    * through [[updatePqVectors]] (frozen-quantizer encode). */
+  private def cachedUpdatedPqStore(spark: SparkSession,
+                                   dir: String): String =
+    Similarity.loadedStoreCache.computeIfAbsent(
+      s"$dir|ivfpqupd|${Similarity.loadedStampOf(dir)}", _ => {
+        val out = graft.TempDirs.scratch("graft_ivfpq_upd")
+        writeIvfPqStore(spark, dir, out)
+        updatePqVectors(spark, out, updatedPqVecsNew(spark, dir))
+        out
+      })
+
+  /** The coded probe over a store whose re-crawl set was UPDATED in
+    * place: the oracle re-derives codes and cells for the updated ids
+    * from their NEW vectors under the FROZEN (original-table)
+    * codebooks and seeds — exactly what the sidecar encode produces —
+    * so the driver gate proves frozen-quantizer update ==
+    * re-encode-under-build-coordinates. */
+  def annIvfPqUpdated(spark: SparkSession, dir: String,
+                      k: Int = TopK): DataFrame =
+    probeIvfPqStore(spark, dir, cachedUpdatedPqStore(spark, dir), k)
+
   /** The coarse quantizer's probe-cell choice: rank the seed
     * centroids by cosine against the query driver-side (k rows —
     * bounded at any corpus size), same (cosine desc, cid asc) order as
@@ -531,6 +565,155 @@ object Pq {
           element_at(col("cs"), s + 1).as(s"c$s")) :+
         col("cell"): _*)
       .write.partitionBy("cell").mode("overwrite").parquet(outDir)
+    writeQuantizer(spark, dir, outDir, cents)
+  }
+
+  // ---- the FROZEN quantizer sidecar --------------------------------
+  //
+  // The coded store is LOSSY: its rows are meaningless without the
+  // exact codebooks and coarse seeds they were encoded under. Until
+  // round 14 every store probe re-derived both from the source
+  // embeddings TABLE (content-stamped cache) — correct while the
+  // table never changes after the build, but a table UPDATE would
+  // silently retrain the codebooks and re-rank against codes encoded
+  // under the OLD ones. The store now carries its quantizer as an
+  // underscore sidecar written at build time (the production shape:
+  // the quantizer is part of the index artifact); store probes and
+  // the server read the sidecar, and the table-derived path remains
+  // only as the pre-sidecar fallback.
+
+  private[graft] val QuantizerDir = "_graft_quantizer"
+
+  private def writeQuantizer(spark: SparkSession, dir: String,
+      outDir: String,
+      cents: Array[Array[(Long, Array[Double])]]): Unit = {
+    import spark.implicits._
+    val rows = for {
+      s <- 0 until Subspaces
+      (cid, cv) <- cents(s)
+    } yield (s, cid, cv.toSeq)
+    rows.toDF("sub", "cid", "cvec").coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"$outDir/$QuantizerDir/codebooks")
+    emb(spark, dir)
+      .filter(col("vec_id") < Similarity.IvfCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/$QuantizerDir/seeds")
+    quantizerCache.remove(outDir)
+    ()
+  }
+
+  private val quantizerCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[(Array[Array[(Long, Array[Double])]],
+      Array[(Long, Seq[Float])])]]
+
+  /** The store's frozen quantizer, if it carries one. Immutable once
+    * written (updates never touch it; a rebuild rewrites it), so the
+    * per-path cache needs no stamp. */
+  private[graft] def readQuantizer(spark: SparkSession, storeDir: String)
+      : Option[(Array[Array[(Long, Array[Double])]],
+                Array[(Long, Seq[Float])])] =
+    quantizerCache.computeIfAbsent(storeDir, _ => {
+      val p = new org.apache.hadoop.fs.Path(storeDir, QuantizerDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val cb = spark.read.parquet(s"$storeDir/$QuantizerDir/codebooks")
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1),
+            r.getSeq[Double](2).toArray))
+        val cents = Array.tabulate(Subspaces)(s =>
+          cb.filter(_._1 == s).sortBy(_._2).map(t => (t._2, t._3)))
+        val seeds = spark.read
+          .parquet(s"$storeDir/$QuantizerDir/seeds")
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1)))
+          .sortBy(_._1)
+        Some((cents, seeds))
+      }
+    })
+
+  /** The quantizer a STORE probe must rank and score with: the
+    * store's frozen sidecar, else (pre-sidecar stores) the
+    * table-derived pair the build used. */
+  private[graft] def storeQuantizer(spark: SparkSession, dir: String,
+                                    storeDir: String)
+      : (Array[Array[(Long, Array[Double])]],
+         Array[(Long, Seq[Float])]) =
+    readQuantizer(spark, storeDir).getOrElse {
+      val e = emb(spark, dir)
+      val seeds = e.filter(col("vec_id") < Similarity.IvfCentroids)
+        .orderBy("vec_id")
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      (codebooks(spark, dir), seeds)
+    }
+
+  /** [[coarseProbeCells]] over an explicit seed array (the frozen
+    * sidecar's) — same (cosine desc, cid asc) order. */
+  private def coarseProbeCellsOf(seeds: Array[(Long, Seq[Float])],
+                                 q: Seq[Float], nProbe: Int): Seq[Long] =
+    seeds
+      .map { case (cid, cv) => (cid, Similarity.cosSeqInf(q, cv)) }
+      .sortBy { case (cid, c) => (-c, cid) }
+      .take(nProbe).map(_._1).toSeq
+
+  /** UPDATE vectors in a coded store — the re-crawl shape for the
+    * compressed layout (a re-embedded doc keeps its vec_id): tombstone
+    * the old rows, reclaim them ([[compactPqDeletes]] — same-id
+    * re-adds would hide behind their own pending tombstones), then
+    * encode the new versions against the store's FROZEN quantizer
+    * (cell = argmax cosine over the sidecar seeds, codes = nearest
+    * sidecar centroids per subspace — byte-compatible with every row
+    * already stored) and partition-append them.
+    *
+    * REFUSED when an updated id is one of the frozen coarse seeds:
+    * the seed's vector IS a routing coordinate shared by every stored
+    * row, so changing it means re-encoding the store — rebuild
+    * [[writeIvfPqStore]] from the updated source table (the fp32
+    * originals live there; this store is lossy and cannot
+    * re-coordinate itself). Requires the quantizer sidecar — a
+    * pre-sidecar store has no frozen coordinates to encode against.
+    * Replaying the same update converges (delete + reclaim + same
+    * append). */
+  def updatePqVectors(spark: SparkSession, storeDir: String,
+                      newVecs: DataFrame): Unit = {
+    val (cents, seeds) = readQuantizer(spark, storeDir).getOrElse(
+      throw new IllegalStateException(
+        s"$storeDir has no $QuantizerDir sidecar — pre-sidecar " +
+          "stores must rebuild (writeIvfPqStore) to update"))
+    val minRow = newVecs.agg(min(col("vec_id"))).head()
+    if (minRow.isNullAt(0)) return
+    val maxSeed = seeds.map(_._1).max
+    require(minRow.getLong(0) > maxSeed,
+      s"updated vec_id ${minRow.getLong(0)} is a frozen coarse-seed " +
+        s"coordinate (max seed id $maxSeed): changing a seed's vector " +
+        "re-encodes the store — rebuild writeIvfPqStore from the " +
+        "updated source table")
+    deletePqVectors(spark, storeDir,
+      newVecs.select(col("vec_id")))
+    compactPqDeletes(spark, storeDir)
+    import spark.implicits._
+    val sd = cents(0)(0)._2.length
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcS = spark.sparkContext.broadcast(seeds)
+    val cellOf = udf((v: Seq[Float]) =>
+      bcS.value
+        .map { case (cid, cv) => (cid, Similarity.cosSeqInf(v, cv)) }
+        .maxBy { case (cid, c) => (c, -cid) }._1)
+    val codes = udf((v: Seq[Float]) =>
+      (0 until Subspaces).map(s => assignOne(v, s * sd, bcC.value(s))))
+    newVecs
+      .select(col("vec_id"), col("embedding"),
+        cellOf(col("embedding")).as("cell"),
+        codes(col("embedding")).as("cs"))
+      .select(col("vec_id") +:
+        (0 until Subspaces).map(s =>
+          element_at(col("cs"), s + 1).as(s"c$s")) :+
+        col("cell"): _*)
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("append").parquet(storeDir)
   }
 
   /** Probe a [[writeIvfPqStore]] store: the coarse quantizer routes
@@ -545,12 +728,12 @@ object Pq {
     * driver checks it against the SAME oracle. */
   def probeIvfPqStore(spark: SparkSession, dir: String, storeDir: String,
                       k: Int = TopK, nProbe: Int = 2): DataFrame = {
-    val cents = codebooks(spark, dir)
+    val (cents, seeds) = storeQuantizer(spark, dir, storeDir)
     val sd = cents(0)(0)._2.length
     val e = emb(spark, dir)
     val q = e.filter(col("vec_id") === 0).select(col("embedding"))
       .head().getSeq[Float](0)
-    val probed = coarseProbeCells(e, q, nProbe)
+    val probed = coarseProbeCellsOf(seeds, q, nProbe)
     val dtable: Array[Map[Long, Double]] =
       Array.tabulate(Subspaces) { s =>
         cents(s).map { case (cid, cv) => cid -> l2(q, s * sd, cv) }.toMap

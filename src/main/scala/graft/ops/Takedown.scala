@@ -5,13 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** The queryable artifacts one corpus feeds — a takedown request must
   * reach every one of them. Absent stores are skipped (a deployment
-  * doesn't have to build all four). */
+  * doesn't have to build all six). */
 final case class TakedownStores(
     bm25: Option[String] = None,
     positional: Option[String] = None,
     inverted: Option[String] = None,
     vectors: Option[String] = None,
-    chargram: Option[String] = None)
+    chargram: Option[String] = None,
+    pq: Option[String] = None)
 
 /** ONE removal request fanned across every index artifact built from
   * the corpus — the curation pipeline's takedown entry point. Each
@@ -29,7 +30,7 @@ final case class TakedownStores(
   * Id spaces: the corpus contract is 1:1 `doc_id` == `vec_id` (one
   * embedding per document) and `docid` == `D%05d`-formatted `doc_id`
   * (the [[graft.corpus.TrecCorpus]] assignment) — so one `doc_id`
-  * column drives all four artifacts.
+  * column drives every artifact.
   *
   * Crash mid-fan-out: some stores hold the tombstones, others don't
   * yet. Every per-store delete is IDEMPOTENT on the set (replaying
@@ -65,6 +66,9 @@ object Takedown {
     stores.vectors.foreach(d =>
       Similarity.deleteIvfVectors(spark, d,
         ids.select(col("doc_id").as("vec_id"))))
+    stores.pq.foreach(d =>
+      Pq.deletePqVectors(spark, d,
+        ids.select(col("doc_id").as("vec_id"))))
     stores.chargram.foreach { d =>
       val c = corpus.getOrElse(throw new IllegalArgumentException(
         "a chargram takedown needs the corpus frame (the vocabulary " +
@@ -87,6 +91,7 @@ object Takedown {
     stores.vectors.foreach(d => {
       Similarity.compactIvfDeletes(spark, d); ()
     })
+    stores.pq.foreach(d => { Pq.compactPqDeletes(spark, d); () })
   }
 
   /** ONE re-crawl request fanned across every present store — the
@@ -133,12 +138,13 @@ object Takedown {
       graft.index.InvertedIndex.deleteDocs(spark, d, asDocid)
       graft.index.InvertedIndex.appendToStore(spark, d, newCorpus)
     }
-    stores.vectors.foreach { d =>
-      val v = newVectors.getOrElse(throw new IllegalArgumentException(
+    def vecs(): DataFrame =
+      newVectors.getOrElse(throw new IllegalArgumentException(
         "a vector-store update needs the re-embedded (vec_id, " +
           "embedding) rows — an engine re-embeds what it re-crawls"))
-      Similarity.updateIvfVectors(spark, d, v)
-    }
+    stores.vectors.foreach(d =>
+      Similarity.updateIvfVectors(spark, d, vecs()))
+    stores.pq.foreach(d => Pq.updatePqVectors(spark, d, vecs()))
     stores.chargram.foreach { d =>
       val c = corpus.getOrElse(throw new IllegalArgumentException(
         "a chargram update needs the pre-update corpus frame (the " +

@@ -723,6 +723,13 @@ object TrainingOracles {
     "q25_ann_ivfpq_deleted" ->
       annIvfPqSql(filtered = false, deleted = true),
 
+    // the coded probe over a store whose re-crawl set was UPDATED in
+    // place: codes and cells of the updated ids re-derive from their
+    // NEW vectors under the FROZEN (original-table) codebooks and
+    // seeds — the sidecar-encode semantics of Pq.updatePqVectors
+    "q25_ann_ivfpq_updated" ->
+      annIvfPqSql(filtered = false, updated = true),
+
     // the WHERE-clause IVF-PQ: same routing/codes/distance table with
     // the metadata pre-filter joined into the probed candidates
     // (mirrors Pq.annIvfPqFiltered; shared by the loaded entry)
@@ -2153,10 +2160,13 @@ object TrainingOracles {
     * candidate set. */
   private def annIvfPqSql(filtered: Boolean,
                           auto: Boolean = false,
-                          deleted: Boolean = false): String = {
+                          deleted: Boolean = false,
+                          updated: Boolean = false): String = {
     require(!auto || filtered, "the auto ladder is the filtered form")
     require(!deleted || (!filtered && !auto),
       "the deleted arm is the plain nProbe=2 form")
+    require(!updated || (!filtered && !auto && !deleted),
+      "the updated arm is the plain nProbe=2 form")
     // the takedown exclusion: candidates only — coarse routing and
     // codebooks derive from the full embeddings table (the PQ store's
     // coordinate system lives outside its rows)
@@ -2212,13 +2222,13 @@ object TrainingOracles {
                 JOIN qrank qr ON x.cell = qr.ccid
                 CROSS JOIN chosen
                 WHERE x.vec_id <> 0 AND qr.crank <= chosen.np)"""
-    s"""WITH $pqCtes,
+    s"""WITH ${pqCtesFor(updated)},
        co AS (SELECT vec_id AS ccid, v AS cvec FROM e
               WHERE vec_id < ${Similarity.IvfCentroids}),
        asg AS (SELECT e.vec_id, co.ccid,
                  row_number() OVER (PARTITION BY e.vec_id
                    ORDER BY ${cos("e.v", "co.cvec")} DESC, co.ccid) AS rn
-               FROM e CROSS JOIN co),
+               FROM ${if (updated) "e2" else "e"} e CROSS JOIN co),
        cells AS (SELECT vec_id, ccid AS cell FROM asg WHERE rn = 1),
        $candCtes
        SELECT cand.vec_id, round($total, 4) + 0.0 AS pq_dist
@@ -2226,9 +2236,18 @@ object TrainingOracles {
        ORDER BY $total, cand.vec_id LIMIT ${Pq.TopK}"""
   }
 
-  private lazy val pqCtes: String = {
+  /** The PQ training + coding CTE chain. `updated = true` adds the
+    * re-crawl view `e2` (the fixed update set's vectors negated, ids
+    * restricted ABOVE the coarse-seed range) and derives CODES and
+    * cell assignments from it, while the codebooks, coarse seeds and
+    * query keep training on the ORIGINAL `e` — the frozen-quantizer
+    * semantics the store's update path implements (codes of new
+    * versions encoded under build-time coordinates). */
+  private def pqCtesFor(updated: Boolean): String = {
     val m = Pq.Subspaces
     val k = Pq.Codebook
+    // which per-sub sliced view the FINAL code assignment reads
+    def codeSrc(s: Int): String = if (updated) s"f2_$s" else s"e_$s"
     def sub(s: Int): String = {
       def iter(i: Int): String =
         s"""a${i}_$s AS (SELECT e.vec_id, e.v, c.cid,
@@ -2242,25 +2261,43 @@ object TrainingOracles {
                  round(CAST(sum(l) AS DOUBLE) / ${Similarity.CentroidScale} / count(*), 4) + 0.0 AS c
                FROM x${i}_$s GROUP BY cid, dim),
            c${i}_$s AS (SELECT cid, list(c ORDER BY dim) AS cvec FROM m${i}_$s GROUP BY cid)"""
+      val f2 =
+        if (updated)
+          s""",
+         f2_$s AS (SELECT vec_id,
+               list_slice(v, $s * (len(v) // $m) + 1, ${s + 1} * (len(v) // $m)) AS v
+             FROM e2)"""
+        else ""
       s"""e_$s AS (SELECT vec_id,
                list_slice(v, $s * (len(v) // $m) + 1, ${s + 1} * (len(v) // $m)) AS v
-             FROM e),
+             FROM e)$f2,
          c0_$s AS (SELECT vec_id AS cid, v AS cvec FROM e_$s WHERE vec_id < $k),
          ${(1 to Pq.Iters).map(iter).mkString(",\n         ")},
          code_$s AS (SELECT vec_id, cid FROM
                (SELECT e.vec_id, c.cid,
                        row_number() OVER (PARTITION BY e.vec_id
                          ORDER BY ${ddbL2("e.v", "c.cvec")}, c.cid) AS rn
-                FROM e_$s e CROSS JOIN c${Pq.Iters}_$s c) WHERE rn = 1),
+                FROM ${codeSrc(s)} e CROSS JOIN c${Pq.Iters}_$s c) WHERE rn = 1),
          qd_$s AS (SELECT c.cid, ${ddbL2("q.v", "c.cvec")} AS d
                FROM c${Pq.Iters}_$s c
                     CROSS JOIN (SELECT v FROM e_$s WHERE vec_id = 0) q)"""
     }
+    val e2 =
+      if (updated)
+        s""",
+       e2 AS (SELECT vec_id,
+              CASE WHEN vec_id % ${Similarity.UpdatedVecsMod} = ${Similarity.UpdatedVecsRem}
+                        AND vec_id >= ${Similarity.IvfCentroids}
+                   THEN list_transform(v, x -> -x) ELSE v END AS v
+            FROM e)"""
+      else ""
     s"""e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings),
+           FROM embeddings)$e2,
        ${(0 until m).map(sub).mkString(",\n       ")}"""
   }
+
+  private lazy val pqCtes: String = pqCtesFor(updated = false)
 
   /** q25_quant_recall: the quantization-ladder recall panel, built by
     * WRAPPING the four already-hash-checked per-method oracles as

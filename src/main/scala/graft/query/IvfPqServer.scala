@@ -62,18 +62,16 @@ private[query] object CellVersion {
 final class IvfPqServer(spark: SparkSession, dir: String,
                         storeDir: String) {
 
-  private val cents = Pq.codebooks(spark, dir)
+  // the quantizer the STORE was encoded under: its frozen sidecar
+  // (falls back to table-derived for pre-sidecar stores) — a table
+  // update can no longer silently desync the distance tables and the
+  // coarse routing from the stored codes
+  private val quantizer = Pq.storeQuantizer(spark, dir, storeDir)
+  private val cents = quantizer._1
   private val sd = cents(0)(0)._2.length
 
-  // the coarse seed system: the same vec_id < IvfCentroids rows every
-  // assignment path uses ([[Similarity.assignCells]] wrote the store
-  // with them) — collected once
   private val seeds: Array[(Long, Array[Float])] =
-    graft.Tables.load(spark, dir, "embeddings")
-      .filter(col("vec_id") < Similarity.IvfCentroids)
-      .orderBy("vec_id")
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    quantizer._2.map { case (cid, cv) => (cid, cv.toArray) }
 
   require(seeds.nonEmpty, s"no seed centroids found under $dir")
 

@@ -32,13 +32,16 @@ class TakedownSpec extends SparkSpec {
     CharKGramIndex.write(CharKGramIndex.build(spark, corpus), cg)
     CharKGramIndex.writeVocabDf(spark, cg,
       CharKGramIndex.docTermsOf(spark, corpus))
+    val pq = tmp("graft_td_pq")
+    Pq.writeIvfPqStore(spark, dir, pq)
     TakedownStores(bm25 = Some(bm), positional = Some(pos),
-      inverted = Some(inv), vectors = Some(ivf), chargram = Some(cg))
+      inverted = Some(inv), vectors = Some(ivf), chargram = Some(cg),
+      pq = Some(pq))
   }
 
   private def surfaces(s: TakedownStores)
       : (Seq[(Long, Double)], Seq[String], Seq[String], Seq[Long],
-         Seq[String]) = {
+         Seq[String], Seq[Long]) = {
     val bm25 = IrSql.q10Bm25PrunedAt(spark, s.bm25.get,
         IrSql.ExpandedQueryTerms, 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
@@ -53,7 +56,9 @@ class TakedownSpec extends SparkSpec {
     val wild = QueryEngine.wildcardTerms(
         CharKGramIndex.load(spark, s.chargram.get), "s*m")
       .collect().map(_.getString(0)).toSeq
-    (bm25, phrase, search, ann, wild)
+    val pq = Pq.probeIvfPqStore(spark, dir, s.pq.get, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    (bm25, phrase, search, ann, wild, pq)
   }
 
   test("one takedown call == each store's own delete API (id-space " +
@@ -72,6 +77,8 @@ class TakedownSpec extends SparkSpec {
     InvertedIndex.deleteDocs(spark, viaStores.inverted.get, asDocid)
     Similarity.deleteIvfVectors(spark, viaStores.vectors.get,
       ids.select(col("doc_id").as("vec_id")))
+    Pq.deletePqVectors(spark, viaStores.pq.get,
+      ids.select(col("doc_id").as("vec_id")))
     CharKGramIndex.deleteDocs(spark, viaStores.chargram.get,
       CharKGramIndex.docTermsOf(spark,
         corpus.join(asDocid, Seq("docid"), "left_semi")))
@@ -85,6 +92,8 @@ class TakedownSpec extends SparkSpec {
     assert(a._2.forall(d => !deadDocids.contains(d)))
     assert(a._3.forall(d => !deadDocids.contains(d)))
     assert(a._4.forall(v => !dead.contains(v)))
+    assert(a._6.forall(v => !dead.contains(v)),
+      "a deleted doc survived in the coded-store probe")
     // replay: every store no-ops
     Takedown.delete(spark, viaOrch, ids, corpus = Some(corpus))
     assert(surfaces(viaOrch) == a, "replaying the takedown changed answers")
@@ -156,6 +165,15 @@ class TakedownSpec extends SparkSpec {
     assert(s2 == docids, s"inverted new-term hits: $s2")
     // vectors: the stored rows are the new embeddings, no tombstones
     assert(Similarity.ivfTombstones(spark, stores.vectors.get).isEmpty)
+    // coded store: updated rows re-encoded (cells/codes present,
+    // exactly one row per updated id, no tombstones)
+    assert(Similarity.ivfTombstones(spark, stores.pq.get).isEmpty)
+    val pqRows = spark.read.parquet(stores.pq.get)
+      .filter(col("vec_id").isin(updIds: _*))
+      .groupBy(col("vec_id")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(pqRows == updIds.map(_ -> 1L).toMap,
+      s"coded store updated-row multiplicity: $pqRows")
     val stored = Similarity.liveIvfStore(spark, stores.vectors.get)
       .filter(col("vec_id").isin(updIds: _*))
       .select(col("vec_id"), col("embedding"))
