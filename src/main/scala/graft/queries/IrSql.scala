@@ -1724,9 +1724,19 @@ object IrSql {
   /** UPDATE a [[writeBm25Stats]] store in place: replace each of
     * `newDocs`' doc_ids with its new text — the re-crawl write path,
     * composed from the three store primitives:
-    * [[deleteBm25Docs]] (tombstone + delete-exact stats) →
-    * [[compactBm25Deletes]] (physical reclaim) →
+    * [[deleteBm25DocsLazy]] (tombstone + one-row sidecar) →
+    * [[compactBm25Deletes]] (physical reclaim + the deferred
+    * touched-term stats bill, paid ONCE) →
     * [[mergeBm25Stats]] (delta append + touched-term stats).
+    * The LAZY delete leg is deliberate: the eager delete's immediate
+    * derived-stats exactness buys nothing here — the reclaim follows
+    * within the same call, so the deferred touched-term bill is paid
+    * exactly once, in the compact leg. MEASURED cost-neutral on this
+    * corpus (the bill moves between legs, it does not shrink:
+    * UpdateProf bm25 ~5.4–5.9 s at sf0.1 under either leg); lazy is
+    * kept because it makes the delete sub-second, which is the right
+    * half to be cheap if a caller ever batches several updates before
+    * one shared reclaim.
     *
     * The reclaim BETWEEN delete and merge is REQUIRED for this store,
     * unlike the positional/inverted append-beside-tombstone path:
@@ -1746,7 +1756,7 @@ object IrSql {
     * ledger can re-drive a crashed update with no cross-leg marker. */
   def updateBm25Docs(spark: SparkSession, storeDir: String,
                      newDocs: DataFrame): Unit = {
-    deleteBm25Docs(spark, storeDir, newDocs.select(col("doc_id")))
+    deleteBm25DocsLazy(spark, storeDir, newDocs.select(col("doc_id")))
     compactBm25Deletes(spark, storeDir)
     mergeBm25Stats(spark, storeDir, newDocs)
   }
