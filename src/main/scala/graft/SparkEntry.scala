@@ -543,22 +543,21 @@ object SparkEntry {
 
     // the vocabulary ground truth for the UPDATED chargram store:
     // rebuild the q09 vocabulary from the corpus with the re-crawl
-    // set's text replaced (17/3 + suffix == IrSql.UpdatedDocsMod/Rem
-    // + UpdateSuffix) — the suffix's stqzam matches st*am and exists
-    // only in updated docs, so the gate proves the incremental
+    // set's text replaced — the suffix's stqzam matches st*am and
+    // exists only in updated docs, so the gate proves the incremental
     // update ADDS vocabulary
     "q09_wildcard_updated" ->
-      """WITH terms AS (
+      s"""WITH terms AS (
            SELECT DISTINCT term FROM (
              SELECT unnest(string_split(regexp_replace(lower(
-               CASE WHEN doc_id % 17 = 3 THEN text || ' agg hash window stqzam' ELSE text END),
+               CASE WHEN doc_id % ${IrSql.UpdatedDocsMod} = ${IrSql.UpdatedDocsRem} THEN text || '${IrSql.UpdateSuffix}' ELSE text END),
                '[^a-z0-9]+', ' ', 'g'), ' ')) AS term
              FROM documents)
            WHERE term <> ''),
          grams AS (
-           SELECT DISTINCT substring('$' || term || '$', CAST(i AS INT), 3) AS gram, term
+           SELECT DISTINCT substring('$$' || term || '$$', CAST(i AS INT), 3) AS gram, term
            FROM (SELECT term, unnest(range(1, CAST(len(term) AS BIGINT) + 1)) AS i FROM terms))
-         SELECT term FROM grams WHERE gram IN ('$st', 'am$')
+         SELECT term FROM grams WHERE gram IN ('$$st', 'am$$')
          GROUP BY term
          HAVING count(*) = 2 AND term LIKE 'st%am'
          ORDER BY term""",

@@ -194,9 +194,9 @@ object CharKGramIndex {
   /** Delete the replaced files, move the staged parts in, commit any
     * staged sidecars (`_df` replaces the vocab-df table; `_deleted`
     * appends a replay-guard batch; `_deleted_new` REPLACES the
-    * deleted-docs ledger — an update re-admits ids; `_ops` appends an
-    * applied-operation batch), clear the marker — each step
-    * idempotent, so a crash anywhere replays. */
+    * deleted-docs ledger — an update re-admits ids; `_ops_new`
+    * REPLACES the applied-operations ledger), clear the marker — each
+    * step idempotent, so a crash anywhere replays. */
   private def finishCgSwap(fs: org.apache.hadoop.fs.FileSystem,
                            root: Path, touched: Seq[String]): Unit = {
     touched.foreach { f => fs.delete(new Path(f), false); () }
@@ -235,17 +235,15 @@ object CharKGramIndex {
         require(fs.rename(stDelNew, cur),
           s"rename $stDelNew -> $cur failed mid-cg-swap")
       }
-      val stOps = new Path(staged, "_ops")
+      val stOps = new Path(staged, "_ops_new")
       if (fs.exists(stOps)) {
-        val dst = new Path(root, AppliedOpsDir)
-        fs.mkdirs(dst)
-        fs.listStatus(stOps)
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .foreach { f =>
-            require(fs.rename(f.getPath,
-                new Path(dst, f.getPath.getName)),
-              s"rename ${f.getPath} -> $dst failed mid-cg-swap")
-          }
+        // the ledger REPLACES (old ops ∪ new op, staged as one file) —
+        // an append-per-op ledger would accumulate one tiny parquet
+        // file per update forever with no compaction path
+        val cur = new Path(root, AppliedOpsDir)
+        fs.delete(cur, true)
+        require(fs.rename(stOps, cur),
+          s"rename $stOps -> $cur failed mid-cg-swap")
       }
     }
     fs.delete(staged, true)
@@ -545,12 +543,21 @@ object CharKGramIndex {
         .sortWithinPartitions("gram")
         .write.mode("overwrite").parquet(staged.toString)
     } else fs.mkdirs(staged)
-    // sidecars, all under the one commit
+    // sidecars, all under the one commit. The ops ledger stages as
+    // its FULL replacement (old ops ∪ this op, one file) so the store
+    // never accumulates one parquet part per update
     newDf.coalesce(1).write.mode("overwrite")
       .parquet(new Path(staged, "_df").toString)
-    spark.range(1).select(lit(opId).as("op_id"))
+    val opsDir = new Path(root, AppliedOpsDir)
+    val oldOps =
+      if (fs.exists(opsDir) && fs.listStatus(opsDir).exists(f =>
+          f.isFile && f.getPath.getName.endsWith(".parquet")))
+        spark.read.parquet(opsDir.toString)
+      else spark.range(0).select(lit("").as("op_id")).limit(0)
+    oldOps.unionByName(
+        spark.range(1).select(lit(opId).as("op_id")))
       .coalesce(1).write.mode("overwrite")
-      .parquet(new Path(staged, "_ops").toString)
+      .parquet(new Path(staged, "_ops_new").toString)
     ledger.foreach { d =>
       d.join(neu.select(col("doc_id")).distinct(), Seq("doc_id"),
           "left_anti")

@@ -190,31 +190,14 @@ object PositionalIndex {
         .sortWithinPartitions("docno")
         .write.mode("overwrite")
         .parquet(new Path(root, AppendDocMapDir).toString)
-      val added = stagedAppendNames(fs, root)
-      // COMMIT POINT: the marker lists the added file names
-      val out = fs.create(new Path(root, AppendMarker), false)
-      try out.write(added.mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      val added = StoreSurgery.stagedAppendNames(fs, root,
+        Seq(AppendPostingsDir -> "pos_postings",
+          AppendDocMapDir -> "doc_map"))
+      StoreSurgery.commitAppendMarker(fs, root, AppendMarker, added)
       finishAppend(spark, dir, added)
     } finally {
       dIx.postings.unpersist(); dIx.docMap.unpersist(); ()
     }
-  }
-
-  /** Staged part names as target-relative paths (`table/part-…`). */
-  private def stagedAppendNames(fs: org.apache.hadoop.fs.FileSystem,
-                                root: org.apache.hadoop.fs.Path)
-      : Seq[String] = {
-    def names(staged: String, target: String): Seq[String] = {
-      val p = new org.apache.hadoop.fs.Path(root, staged)
-      if (!fs.exists(p)) Seq.empty
-      else fs.listStatus(p).toSeq
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .map(f => s"$target/${f.getPath.getName}")
-    }
-    names(AppendPostingsDir, "pos_postings") ++
-      names(AppendDocMapDir, "doc_map")
   }
 
   /** Move the staged parts in, extend the manifests by the added
@@ -249,10 +232,9 @@ object PositionalIndex {
     ()
   }
 
-  /** Crash recovery for [[appendToStore]]: marker ABSENT → staged
-    * delta dirs are an uncommitted attempt, roll back; marker PRESENT
-    * → finish from its file list. Safe when no append was in
-    * flight. */
+  /** Crash recovery for [[appendToStore]] — the shared
+    * [[StoreSurgery.recoverAppend]] branching over this store's
+    * artifacts. Safe when no append was in flight. */
   private[graft] def recoverAppend(spark: SparkSession,
                                    dir: String): Unit = {
     import org.apache.hadoop.fs.Path
@@ -260,21 +242,9 @@ object PositionalIndex {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq("pos_postings_ranges", "doc_map_ranges", "corpus_stats")
       .foreach(graft.queries.IrSql.recoverArtifact(spark, dir, _))
-    val marker = new Path(root, AppendMarker)
-    if (!fs.exists(marker)) {
-      fs.delete(new Path(root, AppendPostingsDir), true)
-      fs.delete(new Path(root, AppendDocMapDir), true)
-      ()
-    } else {
-      val in = fs.open(marker)
-      val added =
-        try new String(
-          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-          java.nio.charset.StandardCharsets.UTF_8)
-          .split("\n").toSeq.filter(_.nonEmpty)
-        finally in.close()
-      finishAppend(spark, dir, added)
-    }
+    StoreSurgery.recoverAppend(fs, root, AppendMarker,
+      Seq(AppendPostingsDir, AppendDocMapDir),
+      added => finishAppend(spark, dir, added))
   }
 
   /** Varint delta-encode a SORTED ascending position array: first

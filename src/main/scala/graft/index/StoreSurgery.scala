@@ -111,6 +111,59 @@ private[graft] object StoreSurgery {
     }
   }
 
+  // ---- staged-append plumbing shared by the row-store delta appends
+  // ([[InvertedIndex.appendToStore]], [[PositionalIndex
+  // .appendToStore]]): staged part names, the marker commit, and the
+  // rollback-or-replay recovery branching. The derive step (manifest
+  // extension, stats, counts) stays per-store and must be idempotent
+  // from the marker's file list.
+
+  /** Staged part names as target-relative paths (`table/part-…`),
+    * for (stagedDir → targetTable) pairs under `root`. */
+  def stagedAppendNames(fs: org.apache.hadoop.fs.FileSystem,
+                        root: Path,
+                        pairs: Seq[(String, String)]): Seq[String] =
+    pairs.flatMap { case (stagedDir, target) =>
+      val p = new Path(root, stagedDir)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => s"$target/${f.getPath.getName}")
+    }
+
+  /** COMMIT POINT: write the marker listing the added file names, so
+    * the derive step replays exactly. */
+  def commitAppendMarker(fs: org.apache.hadoop.fs.FileSystem,
+                         root: Path, marker: String,
+                         added: Seq[String]): Unit = {
+    val out = fs.create(new Path(root, marker), false)
+    try out.write(added.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Marker ABSENT → staged dirs are an uncommitted attempt, roll
+    * back; marker PRESENT → `finish` from its file list (the caller's
+    * finish moves remaining parts, derives, and clears the marker).
+    * Safe when no append was in flight. */
+  def recoverAppend(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+                    marker: String, stagedDirs: Seq[String],
+                    finish: Seq[String] => Unit): Unit = {
+    val m = new Path(root, marker)
+    if (!fs.exists(m)) {
+      stagedDirs.foreach { d => fs.delete(new Path(root, d), true); () }
+    } else {
+      val in = fs.open(m)
+      val added =
+        try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").toSeq.filter(_.nonEmpty)
+        finally in.close()
+      finish(added)
+    }
+  }
+
   /** Extend a zone-map manifest by exactly the ADDED files' ranges —
     * the delta-proportional manifest maintenance a store-level append
     * needs (the full recompute in `write()` rescans the whole table's

@@ -488,17 +488,14 @@ object Pq {
     probeIvfPqStore(spark, dir, store, k)
   }
 
-  /** The coded update set: the fixed re-crawl ids ABOVE the
-    * coarse-seed range (an updated seed is a rebuild, not an update —
-    * [[updatePqVectors]]), vectors negated. */
+  /** The coded update set: [[Similarity.updatedVecsNew]] (the ONE
+    * negated-fixture definition, shared with the fp32 entry and both
+    * oracles) restricted ABOVE the coarse-seed range — an updated
+    * seed is a rebuild, not an update ([[updatePqVectors]]). */
   private[graft] def updatedPqVecsNew(spark: SparkSession,
                                       dir: String): DataFrame =
-    emb(spark, dir)
-      .filter(col("vec_id") % Similarity.UpdatedVecsMod ===
-          Similarity.UpdatedVecsRem &&
-        col("vec_id") >= Similarity.IvfCentroids)
-      .select(col("vec_id"),
-        transform(col("embedding"), x => -x).as("embedding"))
+    Similarity.updatedVecsNew(spark, dir)
+      .filter(col("vec_id") >= Similarity.IvfCentroids)
 
   /** Session-cached coded store with the fixed re-crawl set UPDATED
     * through [[updatePqVectors]] (frozen-quantizer encode). */

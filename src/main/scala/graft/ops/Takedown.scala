@@ -136,7 +136,10 @@ object Takedown {
     }
     stores.inverted.foreach { d =>
       graft.index.InvertedIndex.deleteDocs(spark, d, asDocid)
-      graft.index.InvertedIndex.appendToStore(spark, d, newCorpus)
+      // k derives from the store itself (a k=2 word-kgram store must
+      // not silently receive unigram postings for the new versions)
+      graft.index.InvertedIndex.appendToStore(spark, d, newCorpus,
+        k = graft.index.InvertedIndex.storeK(spark, d))
     }
     def vecs(): DataFrame =
       newVectors.getOrElse(throw new IllegalArgumentException(

@@ -416,26 +416,26 @@ object IrEngine {
                                            dir: String): DataFrame =
     phraseBruteOver(spark, corpusMinusDeleted(spark, dir))
 
-  /** The update entries' corpus view: the fixed re-crawl set
-    * ([[graft.queries.IrSql.UpdatedDocsMod]]) with
-    * [[graft.queries.IrSql.UpdateSuffix]] appended. */
-  private def corpusUpdated(spark: SparkSession,
-                            dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
-      .select(format_string("D%05d", col("doc_id")).as("docid"),
-        when(pmod(col("doc_id"), lit(IrSql.UpdatedDocsMod)) ===
-            lit(IrSql.UpdatedDocsRem),
-          concat(col("text"), lit(IrSql.UpdateSuffix)))
-          .otherwise(col("text")).as("content"))
-
-  /** The re-crawl set's NEW versions as a (docid, content) frame. */
+  /** The re-crawl set's NEW versions as a (docid, content) frame —
+    * the ONE fixture definition ([[graft.queries.IrSql
+    * .updatedDocsNew]]) mapped through the corpus projection, so the
+    * q36/q26 entries, their brute goldens and the q10 oracle can
+    * never drift on which docs update or what they gain. */
   private def updatedDocsNewCorpus(spark: SparkSession,
                                    dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
-      .filter(pmod(col("doc_id"), lit(IrSql.UpdatedDocsMod)) ===
-        lit(IrSql.UpdatedDocsRem))
+    IrSql.updatedDocsNew(spark, dir)
       .select(format_string("D%05d", col("doc_id")).as("docid"),
-        concat(col("text"), lit(IrSql.UpdateSuffix)).as("content"))
+        col("text").as("content"))
+
+  /** The update entries' corpus view: the corpus with the re-crawl
+    * set's rows replaced by [[updatedDocsNewCorpus]]. */
+  private def corpusUpdated(spark: SparkSession,
+                            dir: String): DataFrame = {
+    val upd = updatedDocsNewCorpus(spark, dir)
+    corpus(spark, dir)
+      .join(upd.select(col("docid")), Seq("docid"), "left_anti")
+      .unionByName(upd)
+  }
 
   private val posUpdatedCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -191,4 +191,28 @@ class TakedownSpec extends SparkSpec {
       corpus = Some(corpus), newVectors = Some(newVecs))
     assert(surfaces(stores) == a, "update replay changed answers")
   }
+
+  test("the inverted update leg derives the store's word-k: a k=2 " +
+    "store receives BIGRAM postings for the new versions, never " +
+    "unigrams") {
+    val corpus = IrEngine.corpus(spark, dir)
+    val inv = tmp("graft_td_inv2")
+    InvertedIndex.write(
+      InvertedIndex.build(spark, corpus, k = 2), inv)
+    import spark.implicits._
+    val newDocs = Seq((20L, "zzqone zzqtwo zzqone zzqtwo"))
+      .toDF("doc_id", "text")
+    Takedown.update(spark, TakedownStores(inverted = Some(inv)),
+      newDocs, "td-k2")
+    val ix = InvertedIndex.load(spark, inv)
+    val newNo = ix.docMap.filter(col("docid") === "D00020")
+      .select("docno").head().getLong(0)
+    val kgrams = ix.postings.filter(col("docno") === newNo)
+      .select("kgram").collect().map(_.getString(0)).toSeq
+    assert(kgrams.nonEmpty, "no postings for the re-ingested doc")
+    assert(kgrams.forall(_.split(" ", -1).length == 2),
+      s"non-bigram postings appended into a k=2 store: $kgrams")
+    assert(kgrams.contains("zzqone zzqtwo"),
+      s"expected bigram missing: $kgrams")
+  }
 }
