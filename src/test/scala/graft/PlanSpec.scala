@@ -170,4 +170,29 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"),
       s"centroids not broadcast in:\n$p")
   }
+
+  test("phrase over an APPENDED positional store: term filters still " +
+    "reach the parquet scan (zone-map pruning survives the " +
+    "multi-generation layout)") {
+    import org.apache.spark.sql.functions._
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .select(format_string("D%05d", col("doc_id")).as("docid"),
+        col("text").as("content"))
+    val ids = corpus.select("docid").orderBy("docid").collect()
+      .map(_.getString(0))
+    val half = ids(ids.length / 2)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_plan_app").toString
+    graft.index.PositionalIndex.write(
+      graft.index.PositionalIndex.build(spark,
+        corpus.filter(col("docid") <= half)), store)
+    graft.index.PositionalIndex.appendToStore(spark, store,
+      corpus.filter(col("docid") > half))
+    val p = plan(graft.index.PositionalIndex.phrase(
+      graft.index.PositionalIndex.load(spark, store), "agg hash window"))
+    Seq("agg", "hash", "window").foreach { t =>
+      assert(p.contains(s"EqualTo(term,$t)"),
+        s"term filter for '$t' not pushed over the appended store:\n$p")
+    }
+  }
 }
