@@ -54,7 +54,8 @@ object Repl {
                      bm25: Option[graft.query.Bm25Server] = None,
                      ann: Option[(SparkSession, String, String)] = None,
                      hybrid: Option[(graft.query.HybridServer,
-                       Seq[Float])] = None)
+                       Seq[Float])] = None,
+                     cgDir: Option[String] = None)
 
   def open(spark: SparkSession, dir: String): Session =
     if (Files.isDirectory(Paths.get(dir, "postings"))) {
@@ -72,7 +73,9 @@ object Repl {
           val p = PositionalIndex.load(spark, pos.toString)
           Some(p.copy(postings = p.postings.persist(MEMORY_AND_DISK),
             docMap = p.docMap.persist(MEMORY_AND_DISK)))
-        } else None)
+        } else None,
+        cgDir =
+          if (Files.isDirectory(cg)) Some(cg.toString) else None)
     } else {
       val corpus = graft.queries.IrEngine.corpus(spark, dir)
       val bsrv = new graft.query.Bm25Server(spark,
@@ -134,7 +137,7 @@ object Repl {
     loop(ix, chargrams,
       new BufferedReader(new java.io.InputStreamReader(System.in)),
       System.out, positional = s.positional, bm25 = s.bm25, ann = s.ann,
-      hybrid = s.hybrid)
+      hybrid = s.hybrid, cgDir = s.cgDir)
     spark.stop()
   }
 
@@ -154,9 +157,21 @@ object Repl {
            bm25: Option[graft.query.Bm25Server] = None,
            ann: Option[(SparkSession, String, String)] = None,
            hybrid: Option[(graft.query.HybridServer,
-             Seq[Float])] = None): Unit = {
+             Seq[Float])] = None,
+           cgDir: Option[String] = None): Unit = {
     val server =
       if (usePointServer) Some(new graft.query.PointServer(ix)) else None
+    // store-backed chargram dir → prepared wildcard serving (lookup
+    // template + the PointServer scoring tail); in-session chargram
+    // frames keep the fresh-planned path
+    val wcServer = (cgDir, server) match {
+      case (Some(d), Some(ps)) =>
+        Some(new graft.query.WildcardServer(ix.docMap.sparkSession, d,
+          point = Some(ps)))
+      case _ => None
+    }
+    // session ledger for the takedown/recrawl fan-out ('ops' command)
+    lazy val opsLedger = graft.TempDirs.scratch("graft_repl_ops")
     // per-corpus filter keep set for `hybridf`, collected on first use
     val hybridKeep = scala.collection.mutable.Map
       .empty[String, java.util.HashSet[java.lang.Long]]
@@ -303,6 +318,19 @@ object Repl {
             "ann search needs the vector store (open a corpus dir " +
               "with an embeddings table)")
         }
+      } else if (q.equalsIgnoreCase("ops")) {
+        // the fan-out ledger: which stores has each takedown/recrawl
+        // request reached (after a crash, 'pending' rows are exactly
+        // the replay's remaining legs)
+        val sp = ix.docMap.sparkSession
+        val ops = graft.ops.Takedown.listOps(sp, opsLedger)
+        if (ops.isEmpty)
+          out.println("no takedown/recrawl ops this session")
+        else ops.foreach { op =>
+          val st = graft.ops.Takedown.opStatus(sp, opsLedger, op)
+          out.println(s"$op: " +
+            st.map { case (s, t) => s"$s=$t" }.mkString(" "))
+        }
       } else if (q.matches("(?i)^takedown(\\s+\\d+)+$")) {
         // removal request against the LIVE serving session: the
         // orchestrator fans the doc ids across the durable stores this
@@ -313,12 +341,15 @@ object Repl {
             try {
               val ids = q.trim.split("\\s+").tail.map(_.toLong).toSeq
               import sp.implicits._
+              val op = s"repl-takedown-${ids.mkString("-")}"
               graft.ops.Takedown.delete(sp, graft.ops.TakedownStores(
                 bm25 = Some(
                   graft.queries.IrSql.bm25StatsStore(sp, corpusDir)),
-                vectors = Some(store)), ids.toDF("doc_id"))
+                vectors = Some(store)), ids.toDF("doc_id"),
+                opId = Some(op), ledgerDir = Some(opsLedger))
               out.println(s"takedown: ${ids.length} doc(s) removed " +
-                "from the bm25 + vector stores (serving continues)")
+                "from the bm25 + vector stores (serving continues; " +
+                s"'ops' shows $op)")
             } catch {
               case _: NumberFormatException =>
                 out.println("takedown ids must be doc_id longs")
@@ -343,7 +374,8 @@ object Repl {
                   bm25 = Some(
                     graft.queries.IrSql.bm25StatsStore(sp, corpusDir))),
                 Seq((id, parts(2))).toDF("doc_id", "text"),
-                opId = s"repl-recrawl-$id-${parts(2).hashCode}")
+                opId = s"repl-recrawl-$id-${parts(2).hashCode}",
+                ledgerDir = Some(opsLedger))
               out.println(s"recrawl: doc $id replaced in the bm25 " +
                 "store (vector arm keeps its old embedding until " +
                 "re-embedded)")
@@ -355,11 +387,13 @@ object Repl {
             "recrawl needs the durable stores (open a corpus dir)")
         }
       } else if (q.contains("*")) {
-        chargrams match {
-          case Some(cg) => print10(out, q,
+        (wcServer, chargrams) match {
+          case (Some(ws), _) => print10(out, q,
+            ws.search(q).map(t => (t._2, t._3)).toArray)
+          case (None, Some(cg)) => print10(out, q,
             QueryEngine.wildcardSearch(ix, cg, q).collect()
               .map(r => (r.getAs[String]("docid"), r.getAs[Double]("score"))))
-          case None => out.println(
+          case _ => out.println(
             "wildcard search needs a char-gram index (build from a " +
               "corpus dir, or persist one alongside the written index)")
         }

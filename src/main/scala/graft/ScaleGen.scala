@@ -48,7 +48,22 @@ import org.apache.spark.sql.functions._
   *    grows by more orders per customer, not more customers).
   *  - dims (`region nation customer supplier part`): copied verbatim.
   *
-  * Usage: `sbt "runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/graft_sf1 10 [dupCopies]"`
+  *  - optional 5th argument `vocabSlices` (default 1 = off) slices
+  *    the DOCUMENT vocabulary per doc group: every token of a doc in
+  *    group g (= doc_id % slices) gains a `zq<g>` suffix, so terms
+  *    are shared only WITHIN a group. The synthetic corpus's one
+  *    shared vocabulary makes every doc touch every term — an
+  *    adversarial worst case for touched-term index maintenance
+  *    (deleting ANY batch recomputes ~the whole stats table; the
+  *    SCALING caveat on the r14 DeleteProf/UpdateProf BM25 rows).
+  *    Real corpora have document-local vocabularies; with slices, a
+  *    takedown batch's touched-term count follows the BATCH (its
+  *    docs' groups), not the corpus — the honest maintenance
+  *    fixture. Token lengths change, so `n_chars` and the dedup
+  *    density invariants do NOT survive this knob: use it for the
+  *    maintenance profs only.
+  *
+  * Usage: `sbt "runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/graft_sf1 10 [dupCopies] [vocabSlices]"`
   */
 object ScaleGen {
 
@@ -62,6 +77,8 @@ object ScaleGen {
     // dimension-rotated. Default = factor, i.e. the historical
     // all-duplicates behavior.
     val dupCopies = if (args.length > 3) args(3).toInt else factor
+    val vocabSlices = if (args.length > 4) args(4).toInt else 1
+    require(vocabSlices >= 1, "vocabSlices must be >= 1")
     // rot(i) wraps at 26: copy 26 would be byte-identical to copy 0,
     // silently injecting a full corpus of exact duplicates
     require(factor >= 1 && factor <= 26,
@@ -92,11 +109,24 @@ object ScaleGen {
 
     val docs = Tables.load(spark, in, "documents")
     requireIdsUnder(docs, "doc_id", "documents")
-    (0 until factor).map { i =>
+    val amplified = (0 until factor).map { i =>
       docs.select((col("doc_id") + lit(i * IdStride)).as("doc_id"),
         translate(col("text"), az, rot(i)).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
+    val sliced =
+      if (vocabSlices == 1) amplified
+      else (0 until vocabSlices).map { g =>
+        // group by the ORIGINAL id (mod the stride) so every rotated
+        // copy of a doc lands in the same group — group vocabularies
+        // stay disjoint across copies AND groups
+        amplified
+          .filter(pmod(pmod(col("doc_id"), lit(IdStride)),
+            lit(vocabSlices.toLong)) === lit(g.toLong))
+          .withColumn("text", regexp_replace(col("text"),
+            "([a-z0-9]+)", "$1zq" + g.toString))
+      }.reduce(_ unionByName _)
+    sliced
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 

@@ -182,6 +182,9 @@ object SparkEntry {
     "q26_ir_search_updated" -> (IrEngine.q26SearchUpdated _),
     "q10_bm25_updated" ->
       ((s: SparkSession, d: String) => IrSql.q10Bm25Updated(s, d)),
+    "q10_bm25_updated_compacted" ->
+      ((s: SparkSession, d: String) =>
+        IrSql.q10Bm25UpdatedCompacted(s, d)),
     "q10_bm25_deleted" ->
       ((s: SparkSession, d: String) => IrSql.q10Bm25Deleted(s, d)),
     "q10_bm25_deleted_lazy" ->
@@ -704,10 +707,18 @@ object SparkEntry {
       s"""(SELECT * FROM documents
            WHERE NOT (doc_id % ${IrSql.DeletedDocsMod} = ${IrSql.DeletedDocsRem}))"""),
     // recomputed over the corpus with the re-crawl set's text
-    // REPLACED (suffix appended): update-in-place (delete → reclaim →
-    // merge) must equal a rebuild over the updated corpus — df, tf,
-    // dl, tt, nd all exact
+    // REPLACED (suffix appended): update-in-place must equal a
+    // rebuild over the updated corpus — df, tf, dl, tt, nd all
+    // exact. `updated` serves the UNCOMPACTED generation-versioned
+    // store (deferred-read corrections); `updated_compacted` the
+    // folded plain store — same ground truth either way
     "q10_bm25_updated" -> bm25MultiSqlOver(
+      s"""(SELECT doc_id,
+             CASE WHEN doc_id % ${IrSql.UpdatedDocsMod} = ${IrSql.UpdatedDocsRem}
+                  THEN text || '${IrSql.UpdateSuffix}'
+                  ELSE text END AS text
+           FROM documents)"""),
+    "q10_bm25_updated_compacted" -> bm25MultiSqlOver(
       s"""(SELECT doc_id,
              CASE WHEN doc_id % ${IrSql.UpdatedDocsMod} = ${IrSql.UpdatedDocsRem}
                   THEN text || '${IrSql.UpdateSuffix}'

@@ -100,6 +100,11 @@ object CharKGramIndex {
     chargrams.repartitionByRange(n, col("gram"))
       .sortWithinPartitions("gram")
       .write.mode("overwrite").parquet(dir)
+    // the overwrite wiped any prior generation marker with the dir:
+    // start the O(1) staleness generation fresh
+    graft.StoreGen.bump(new Path(dir).getFileSystem(
+      chargrams.sparkSession.sparkContext.hadoopConfiguration),
+      new Path(dir))
   }
 
   def load(spark: SparkSession, dir: String): DataFrame =
@@ -247,6 +252,11 @@ object CharKGramIndex {
       }
     }
     fs.delete(staged, true)
+    // the chargram STORE ROOT is the gram table itself: its O(1)
+    // staleness generation lives inside it (`_`-prefixed — invisible
+    // to the parquet reader). Bumped BEFORE the marker clears, so a
+    // crash in between replays the finish and re-bumps.
+    graft.StoreGen.bump(fs, root)
     fs.delete(new Path(root, Marker), false)
     ()
   }
@@ -325,10 +335,13 @@ object CharKGramIndex {
     * store creation; [[mergeIntoStore]] and [[deleteDocs]] keep it
     * exact from then on. */
   def writeVocabDf(spark: SparkSession, dir: String,
-                   docTerms: DataFrame): Unit =
+                   docTerms: DataFrame): Unit = {
     docTerms.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$dir/$VocabDfDir")
+    graft.StoreGen.bump(new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration), new Path(dir))
+  }
 
   private def readVocabDf(spark: SparkSession, dir: String,
                           fs: org.apache.hadoop.fs.FileSystem)
@@ -427,7 +440,10 @@ object CharKGramIndex {
     * (every row's gram is exactly k chars). */
   private def storeK(spark: SparkSession, dir: String): Int =
     spark.read.parquet(dir).select(length(col("gram")))
-      .head().getInt(0)
+      .limit(1).collect().headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalStateException(
+        s"$dir has no gram rows — the store's k cannot be derived " +
+          "from an emptied vocabulary; rebuild it from the corpus"))
 
   // ---- takedown UPDATE: the vocabulary re-count for a re-crawl ----
 
@@ -443,13 +459,33 @@ object CharKGramIndex {
 
   private def appliedOps(spark: SparkSession, dir: String,
                          fs: org.apache.hadoop.fs.FileSystem)
-      : Set[String] = {
+      : Map[String, Long] = {
     val p = new Path(dir, AppliedOpsDir)
     if (fs.exists(p) && fs.listStatus(p).exists(f =>
         f.isFile && f.getPath.getName.endsWith(".parquet")))
       spark.read.parquet(p.toString)
-        .collect().map(_.getString(0)).toSet
-    else Set.empty
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    else Map.empty
+  }
+
+  /** Order-independent content fingerprint of an update request (the
+    * old/new doc-term frames), bound into the ops ledger so the
+    * 'same opId, same content' replay contract is ENFORCED: a reused
+    * opId with different content fails loudly instead of silently
+    * no-op'ing this leg while the other stores apply the new content
+    * (cross-store vocabulary drift). XOR-folded per-row xxhash64
+    * (paired with the row count) — frame order and partitioning
+    * cannot move it, and the fold cannot overflow under ANSI. */
+  private def requestHash(oldDocTerms: DataFrame,
+                          newDocTerms: DataFrame): Long = {
+    def h(df: DataFrame, tag: Int): Long = {
+      val r = df.agg(
+        coalesce(bit_xor(xxhash64(col("doc_id").cast("string"),
+          col("term"), lit(tag))), lit(0L)),
+        count(lit(1))).head()
+      r.getLong(0) ^ (r.getLong(1) * 0x9e3779b97f4a7c15L)
+    }
+    h(oldDocTerms, 0) ^ java.lang.Long.rotateLeft(h(newDocTerms, 1), 17)
   }
 
   /** UPDATE docs in place — the re-crawl shape for the vocabulary
@@ -475,7 +511,16 @@ object CharKGramIndex {
     recoverCgMerge(spark, dir)
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (appliedOps(spark, dir, fs).contains(opId)) return
+    val reqHash = requestHash(oldDocTerms, newDocTerms)
+    appliedOps(spark, dir, fs).get(opId) match {
+      case Some(h) if h == reqHash => return // true replay: no-op
+      case Some(h) => throw new IllegalStateException(
+        s"update op '$opId' was already applied with DIFFERENT " +
+          s"content (ledger hash $h, request hash $reqHash) — an " +
+          "opId reuse would silently skip this store while the " +
+          "other stores apply the new content; choose a fresh opId")
+      case None => ()
+    }
     val vocabDf = readVocabDf(spark, dir, fs).getOrElse(
       throw new IllegalStateException(
         s"$dir has no $VocabDfDir sidecar — write it at store " +
@@ -553,9 +598,12 @@ object CharKGramIndex {
       if (fs.exists(opsDir) && fs.listStatus(opsDir).exists(f =>
           f.isFile && f.getPath.getName.endsWith(".parquet")))
         spark.read.parquet(opsDir.toString)
-      else spark.range(0).select(lit("").as("op_id")).limit(0)
+      else spark.range(0)
+        .select(lit("").as("op_id"), lit(0L).as("content_hash"))
+        .limit(0)
     oldOps.unionByName(
-        spark.range(1).select(lit(opId).as("op_id")))
+        spark.range(1).select(lit(opId).as("op_id"),
+          lit(reqHash).as("content_hash")))
       .coalesce(1).write.mode("overwrite")
       .parquet(new Path(staged, "_ops_new").toString)
     ledger.foreach { d =>

@@ -257,7 +257,11 @@ object InvertedIndex {
     val liveMap = readTombs(spark, dir)
       .fold(rawMap)(t =>
         rawMap.join(broadcast(t), Seq("docno"), "left_anti"))
-    require(delta.join(liveMap, Seq("docid"), "left_semi")
+    // stage the delta ONCE: the disjointness pass below fully
+    // evaluates it, and build() re-reads it — an expensive delta
+    // frame must not pay its lineage twice
+    val d = { import graft.ops.Stage.StageOps; delta.stage() }
+    require(d.join(liveMap, Seq("docid"), "left_semi")
         .limit(1).count() == 0,
       "delta docids must be disjoint from the store's LIVE docids — " +
         "a re-ingest deletes the old version first (deleteDocs)")
@@ -265,7 +269,7 @@ object InvertedIndex {
       val r = rawMap.agg(max(col("docno"))).head()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
-    val dIx = build(spark, delta, k)
+    val dIx = build(spark, d, k)
     try {
       if (dIx.nDocs == 0) return
       val nPost = math.max(1L,
@@ -299,8 +303,12 @@ object InvertedIndex {
     * cannot silently append at the wrong granularity. */
   private[graft] def storeK(spark: SparkSession, dir: String): Int =
     spark.read.parquet(s"$dir/postings")
-      .select(col("kgram")).head().getString(0)
-      .split(" ", -1).length
+      .select(col("kgram")).limit(1).collect().headOption
+      .map(_.getString(0).split(" ", -1).length)
+      .getOrElse(throw new IllegalStateException(
+        s"$dir/postings has no rows — the store's word-k cannot be " +
+          "derived from an emptied (fully deleted + compacted) " +
+          "index; pass k explicitly to append/rebuild"))
 
   /** Move the staged parts in, extend the manifests, re-derive df for
     * the kgrams the added files carry (from the live postings — kgrams
@@ -440,6 +448,12 @@ object InvertedIndex {
       .agg(min(col("docno")).as("lo"), max(col("docno")).as("hi"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/doc_map_ranges")
+    // start (or advance) the O(1) staleness generation: a REBUILD at
+    // a previously-mutated dir must move the stamp even though the
+    // artifact overwrites bypass the bumping commit helpers
+    graft.StoreGen.bump(new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(dir))
   }
 
   /** Catalog-table persistence with BUCKETING on the term key: joins

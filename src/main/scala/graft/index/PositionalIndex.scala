@@ -156,7 +156,11 @@ object PositionalIndex {
     val liveMap = readTombs(spark, dir)
       .fold(rawMap)(t =>
         rawMap.join(broadcast(t), Seq("docno"), "left_anti"))
-    require(delta.join(liveMap, Seq("docid"), "left_semi")
+    // stage the delta ONCE: the disjointness pass below fully
+    // evaluates it, and build() re-reads it (the InvertedIndex
+    // appendToStore discipline)
+    val d = { import graft.ops.Stage.StageOps; delta.stage() }
+    require(d.join(liveMap, Seq("docid"), "left_semi")
         .limit(1).count() == 0,
       "delta docids must be disjoint from the store's LIVE docids — " +
         "a re-ingest deletes the old version first (deleteDocs)")
@@ -164,7 +168,7 @@ object PositionalIndex {
       val r = rawMap.agg(max(col("docno"))).head()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
-    val dIx = build(spark, delta)
+    val dIx = build(spark, d)
     try {
       if (dIx.nDocs == 0) return
       // the store's footer schema decides the postings layout (the
@@ -343,6 +347,11 @@ object PositionalIndex {
       .agg(min(col("docno")).as("lo"), max(col("docno")).as("hi"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/doc_map_ranges")
+    // start (or advance) the O(1) staleness generation (the
+    // InvertedIndex.write rationale: rebuilds at a mutated dir)
+    graft.StoreGen.bump(new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(dir))
   }
 
   /** Load a [[write]]-layout index; scans stay parquet-pruned (no

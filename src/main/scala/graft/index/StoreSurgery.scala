@@ -42,22 +42,38 @@ private[graft] object StoreSurgery {
     * Returns the number of part files replaced. */
   def reclaim(spark: SparkSession, tableDir: String, key: String,
               dead: DataFrame, layoutKey: String): Int = {
+    val deadKeys = dead.select(col(key)).distinct()
+    reclaimWith(spark, tableDir, key, deadKeys, layoutKey,
+      rows => rows.join(broadcast(deadKeys), Seq(key), "left_anti"),
+      Seq(layoutKey))
+  }
+
+  /** The generalized surgery: `touchKeys` (a one-column `key` frame,
+    * takedown-sized) selects the part files to rewrite — any file
+    * holding a row of those keys — and `live` maps the touched files'
+    * rows to their replacement (the caller's full liveness rule: an
+    * anti-join, a generation filter, a column rewrite). The caller
+    * must guarantee every row `live` would CHANGE or DROP belongs to
+    * a `touchKeys` key (rows in untouched files pass through
+    * verbatim). Same staged-marker protocol and crash story as
+    * [[reclaim]]. */
+  def reclaimWith(spark: SparkSession, tableDir: String, key: String,
+                  touchKeys: DataFrame, layoutKey: String,
+                  live: DataFrame => DataFrame,
+                  sortCols: Seq[String]): Int = {
     recover(spark, tableDir)
     val root = new Path(tableDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val touched = spark.read.parquet(tableDir)
       .select(col(key), input_file_name().as("__file"))
-      .join(broadcast(dead.select(col(key)).distinct()), Seq(key),
-        "left_semi")
+      .join(broadcast(touchKeys), Seq(key), "left_semi")
       .select(col("__file")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     if (touched.isEmpty) return 0
-    val replacement = spark.read.parquet(touched: _*)
-      .join(broadcast(dead.select(col(key)).distinct()), Seq(key),
-        "left_anti")
+    val replacement = live(spark.read.parquet(touched: _*))
     val staged = new Path(root, StagedDir)
     replacement.repartitionByRange(touched.length, col(layoutKey))
-      .sortWithinPartitions(layoutKey)
+      .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(staged.toString)
     // COMMIT POINT
     val out = fs.create(new Path(root, Marker), false)
@@ -83,6 +99,11 @@ private[graft] object StoreSurgery {
             s"rename ${f.getPath} -> $root failed mid-reclaim-swap")
         }
     fs.delete(staged, true)
+    // table files were replaced: bump the store's O(1) staleness
+    // generation (tables live one level under the store root) —
+    // BEFORE the marker clears, so a crash in between replays the
+    // finish and re-bumps instead of leaving a stale generation
+    graft.StoreGen.bump(fs, root.getParent)
     fs.delete(new Path(root, Marker), false)
     ()
   }

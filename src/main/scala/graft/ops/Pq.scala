@@ -676,18 +676,9 @@ object Pq {
     * append). */
   def updatePqVectors(spark: SparkSession, storeDir: String,
                       newVecs: DataFrame): Unit = {
-    val (cents, seeds) = readQuantizer(spark, storeDir).getOrElse(
-      throw new IllegalStateException(
-        s"$storeDir has no $QuantizerDir sidecar — pre-sidecar " +
-          "stores must rebuild (writeIvfPqStore) to update"))
-    val minRow = newVecs.agg(min(col("vec_id"))).head()
-    if (minRow.isNullAt(0)) return
-    val maxSeed = seeds.map(_._1).max
-    require(minRow.getLong(0) > maxSeed,
-      s"updated vec_id ${minRow.getLong(0)} is a frozen coarse-seed " +
-        s"coordinate (max seed id $maxSeed): changing a seed's vector " +
-        "re-encodes the store — rebuild writeIvfPqStore from the " +
-        "updated source table")
+    requireUpdatable(spark, storeDir, newVecs)
+    val (cents, seeds) = readQuantizer(spark, storeDir).get
+    if (newVecs.agg(min(col("vec_id"))).head().isNullAt(0)) return
     deletePqVectors(spark, storeDir,
       newVecs.select(col("vec_id")))
     compactPqDeletes(spark, storeDir)
@@ -711,6 +702,32 @@ object Pq {
         col("cell"): _*)
       .repartition(col("cell"))
       .write.partitionBy("cell").mode("append").parquet(storeDir)
+  }
+
+  /** Pre-flight for an update of this store: raises exactly the
+    * refusals [[updatePqVectors]] would (missing quantizer sidecar;
+    * an updated id inside the frozen coarse-seed range) WITHOUT
+    * mutating anything — so a multi-store orchestrator
+    * ([[graft.ops.Takedown.update]]) can fail the whole request
+    * BEFORE any leg applies, keeping the fan-out
+    * everywhere-or-nowhere: without this check, the IVF leg would
+    * re-cluster and then the pq leg would throw on every replay,
+    * leaving the stores permanently split on which content they
+    * serve. */
+  def requireUpdatable(spark: SparkSession, storeDir: String,
+                       newVecs: DataFrame): Unit = {
+    val (_, seeds) = readQuantizer(spark, storeDir).getOrElse(
+      throw new IllegalStateException(
+        s"$storeDir has no $QuantizerDir sidecar — pre-sidecar " +
+          "stores must rebuild (writeIvfPqStore) to update"))
+    val minRow = newVecs.agg(min(col("vec_id"))).head()
+    if (minRow.isNullAt(0)) return
+    val maxSeed = seeds.map(_._1).max
+    require(minRow.getLong(0) > maxSeed,
+      s"updated vec_id ${minRow.getLong(0)} is a frozen coarse-seed " +
+        s"coordinate (max seed id $maxSeed): changing a seed's vector " +
+        "re-encodes the store — rebuild writeIvfPqStore from the " +
+        "updated source table")
   }
 
   /** Probe a [[writeIvfPqStore]] store: the coarse quantizer routes

@@ -52,23 +52,36 @@ object Takedown {
     * frame). */
   def delete(spark: SparkSession, stores: TakedownStores,
              docIds: DataFrame,
-             corpus: Option[DataFrame] = None): Unit = {
+             corpus: Option[DataFrame] = None,
+             opId: Option[String] = None,
+             ledgerDir: Option[String] = None): Unit = {
+    val ledger = Ledger.open(spark, ledgerDir, opId, stores)
     val ids = docIds.select(col("doc_id").cast("long").as("doc_id"))
       .distinct()
-    stores.bm25.foreach(d =>
-      graft.queries.IrSql.deleteBm25Docs(spark, d, ids))
+    stores.bm25.foreach { d =>
+      graft.queries.IrSql.deleteBm25Docs(spark, d, ids)
+      ledger.done("bm25")
+    }
     val asDocid = ids
       .select(format_string("D%05d", col("doc_id")).as("docid"))
-    stores.positional.foreach(d =>
-      graft.index.PositionalIndex.deleteDocs(spark, d, asDocid))
-    stores.inverted.foreach(d =>
-      graft.index.InvertedIndex.deleteDocs(spark, d, asDocid))
-    stores.vectors.foreach(d =>
+    stores.positional.foreach { d =>
+      graft.index.PositionalIndex.deleteDocs(spark, d, asDocid)
+      ledger.done("positional")
+    }
+    stores.inverted.foreach { d =>
+      graft.index.InvertedIndex.deleteDocs(spark, d, asDocid)
+      ledger.done("inverted")
+    }
+    stores.vectors.foreach { d =>
       Similarity.deleteIvfVectors(spark, d,
-        ids.select(col("doc_id").as("vec_id"))))
-    stores.pq.foreach(d =>
+        ids.select(col("doc_id").as("vec_id")))
+      ledger.done("vectors")
+    }
+    stores.pq.foreach { d =>
       Pq.deletePqVectors(spark, d,
-        ids.select(col("doc_id").as("vec_id"))))
+        ids.select(col("doc_id").as("vec_id")))
+      ledger.done("pq")
+    }
     stores.chargram.foreach { d =>
       val c = corpus.getOrElse(throw new IllegalArgumentException(
         "a chargram takedown needs the corpus frame (the vocabulary " +
@@ -76,6 +89,7 @@ object Takedown {
       val dead = c.join(asDocid, Seq("docid"), "left_semi")
       graft.index.CharKGramIndex.deleteDocs(spark, d,
         graft.index.CharKGramIndex.docTermsOf(spark, dead))
+      ledger.done("chargram")
     }
   }
 
@@ -121,18 +135,39 @@ object Takedown {
   def update(spark: SparkSession, stores: TakedownStores,
              newDocs: DataFrame, opId: String,
              corpus: Option[DataFrame] = None,
-             newVectors: Option[DataFrame] = None): Unit = {
+             newVectors: Option[DataFrame] = None,
+             ledgerDir: Option[String] = None): Unit = {
+    import graft.ops.Stage.StageOps
+    val ledger = Ledger.open(spark, ledgerDir, Some(opId), stores)
+    // staged once: every row-store leg below re-reads these frames
     val neu = newDocs
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-    stores.bm25.foreach(d =>
-      graft.queries.IrSql.updateBm25Docs(spark, d, neu))
+      .stage()
+    // PRE-FLIGHT before any store mutates: the coded store refuses
+    // updates it cannot express (frozen coarse-seed ids; missing
+    // quantizer sidecar), and that refusal must fail the WHOLE
+    // request — otherwise the earlier legs apply, every replay
+    // throws at the same point, and the fan-out is permanently
+    // inconsistent (five stores serving the new content while the pq
+    // store serves the stale vector)
+    stores.pq.foreach(d =>
+      Pq.requireUpdatable(spark, d,
+        newVectors.getOrElse(throw new IllegalArgumentException(
+          "a vector-store update needs the re-embedded (vec_id, " +
+            "embedding) rows — an engine re-embeds what it re-crawls"))))
+    stores.bm25.foreach { d =>
+      graft.queries.IrSql.updateBm25Docs(spark, d, neu)
+      ledger.done("bm25")
+    }
     val newCorpus = neu
       .select(format_string("D%05d", col("doc_id")).as("docid"),
         col("text").as("content"))
+      .stage()
     val asDocid = newCorpus.select(col("docid"))
     stores.positional.foreach { d =>
       graft.index.PositionalIndex.deleteDocs(spark, d, asDocid)
       graft.index.PositionalIndex.appendToStore(spark, d, newCorpus)
+      ledger.done("positional")
     }
     stores.inverted.foreach { d =>
       graft.index.InvertedIndex.deleteDocs(spark, d, asDocid)
@@ -140,14 +175,20 @@ object Takedown {
       // not silently receive unigram postings for the new versions)
       graft.index.InvertedIndex.appendToStore(spark, d, newCorpus,
         k = graft.index.InvertedIndex.storeK(spark, d))
+      ledger.done("inverted")
     }
     def vecs(): DataFrame =
       newVectors.getOrElse(throw new IllegalArgumentException(
         "a vector-store update needs the re-embedded (vec_id, " +
           "embedding) rows — an engine re-embeds what it re-crawls"))
-    stores.vectors.foreach(d =>
-      Similarity.updateIvfVectors(spark, d, vecs()))
-    stores.pq.foreach(d => Pq.updatePqVectors(spark, d, vecs()))
+    stores.vectors.foreach { d =>
+      Similarity.updateIvfVectors(spark, d, vecs())
+      ledger.done("vectors")
+    }
+    stores.pq.foreach { d =>
+      Pq.updatePqVectors(spark, d, vecs())
+      ledger.done("pq")
+    }
     stores.chargram.foreach { d =>
       val c = corpus.getOrElse(throw new IllegalArgumentException(
         "a chargram update needs the pre-update corpus frame (the " +
@@ -156,6 +197,88 @@ object Takedown {
       graft.index.CharKGramIndex.updateDocs(spark, d, opId,
         graft.index.CharKGramIndex.docTermsOf(spark, old),
         graft.index.CharKGramIndex.docTermsOf(spark, newCorpus))
+      ledger.done("chargram")
     }
+  }
+
+  // ---- cross-store op-status ledger --------------------------------
+
+  /** The UNIFIED fan-out ledger: which stores has request `opId`
+    * reached? Per-store protocols already make a replay converge, but
+    * after a crash mid-fan-out nothing answered "which legs remain" —
+    * this does, with two fs primitives: at op entry a `_stores` file
+    * records the targeted legs; after each leg durably commits, a
+    * `<store>.done` marker lands. [[opStatus]] reads them back;
+    * replaying the op re-marks (idempotent). Pure driver-side
+    * metadata — no Spark job, no new commit protocol (the markers
+    * observe the stores' own protocols, they don't replace them). */
+  private[graft] final class Ledger(
+      fs: Option[org.apache.hadoop.fs.FileSystem],
+      dir: Option[org.apache.hadoop.fs.Path]) {
+    def done(store: String): Unit =
+      for (f <- fs; d <- dir) {
+        f.create(new org.apache.hadoop.fs.Path(d, s"$store.done"), true)
+          .close()
+      }
+  }
+
+  private[graft] object Ledger {
+    /** Targeted legs of a request, in fan-out order. */
+    def legsOf(stores: TakedownStores): Seq[String] =
+      Seq("bm25" -> stores.bm25, "positional" -> stores.positional,
+        "inverted" -> stores.inverted, "vectors" -> stores.vectors,
+        "pq" -> stores.pq, "chargram" -> stores.chargram)
+        .collect { case (n, Some(_)) => n }
+
+    def open(spark: SparkSession, ledgerDir: Option[String],
+             opId: Option[String],
+             stores: TakedownStores): Ledger =
+      (ledgerDir, opId) match {
+        case (Some(ld), Some(op)) =>
+          val d = new org.apache.hadoop.fs.Path(ld, op)
+          val fs = d.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          fs.mkdirs(d)
+          val sf = new org.apache.hadoop.fs.Path(d, "_stores")
+          if (!fs.exists(sf)) {
+            val out = fs.create(sf, false)
+            try out.write(legsOf(stores).mkString("\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+          }
+          new Ledger(Some(fs), Some(d))
+        case _ => new Ledger(None, None)
+      }
+  }
+
+  /** Per-leg status of `opId`: (store, "applied" | "pending"), in
+    * fan-out order — after a crash mid-fan-out, the pending rows ARE
+    * the replay's remaining work. Unknown opId → empty. */
+  def opStatus(spark: SparkSession, ledgerDir: String,
+               opId: String): Seq[(String, String)] = {
+    val d = new org.apache.hadoop.fs.Path(ledgerDir, opId)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sf = new org.apache.hadoop.fs.Path(d, "_stores")
+    if (!fs.exists(sf)) return Seq.empty
+    val in = fs.open(sf)
+    val legs =
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").toSeq.filter(_.nonEmpty)
+      finally in.close()
+    legs.map { n =>
+      n -> (if (fs.exists(new org.apache.hadoop.fs.Path(d, s"$n.done")))
+        "applied" else "pending")
+    }
+  }
+
+  /** All op ids in a ledger dir (newest last by name sort). */
+  def listOps(spark: SparkSession, ledgerDir: String): Seq[String] = {
+    val d = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) return Seq.empty
+    fs.listStatus(d).filter(_.isDirectory)
+      .map(_.getPath.getName).sorted.toSeq
   }
 }

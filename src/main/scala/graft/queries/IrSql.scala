@@ -710,16 +710,20 @@ object IrSql {
       .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
       .toDF("qid", "term")
     val allTerms = queries.flatMap(_._2).distinct
-    val (tt, nd) = readCorpusStats(spark, store)
-    val dfs = spark.read.parquet(s"$store/stats")
+    val (tt, nd) = liveCorpusStats(spark, store)
+    val tf = livePostings(spark, store)
       .filter(col("term").isin(allTerms: _*))
-      .select(col("term"), col("df"))
-    val tf = liveView(spark, store,
-      spark.read.parquet(s"$store/postings")
-        .filter(col("term").isin(allTerms: _*)))
+    // deferred-state stores (lazy deletes / pending updates) carry
+    // stale per-term df rows: live-count off the term-pruned scan the
+    // batch reads anyway
+    val dfs =
+      if (!hasPendingBm25State(spark, store))
+        spark.read.parquet(s"$store/stats")
+          .filter(col("term").isin(allTerms: _*))
+          .select(col("term"), col("df"))
+      else tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfs), "term")
-      .join(liveView(spark, store,
-        spark.read.parquet(s"$store/doclen")), "doc_id")
+      .join(liveDoclen(spark, store), "doc_id")
       .withColumn("tt", lit(tt)).withColumn("nd", lit(nd))
       .join(broadcast(q), "term")
       .select(col("qid"), col("doc_id"),
@@ -768,10 +772,16 @@ object IrSql {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
       .stage()
     val tf = termTf(spark, dir).stage()
-    tf.repartitionByRange(col("term"))
+    // every row carries a doc GENERATION (0 at build): an in-place
+    // UPDATE appends the new version at gen+1 and the read view keeps
+    // each doc's live gen only ([[updateBm25Docs]]) — constant columns
+    // RLE away to nothing in parquet
+    tf.withColumn("gen", lit(0L))
+      .repartitionByRange(col("term"))
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode("overwrite").parquet(s"$outDir/postings")
-    len.write.mode("overwrite").parquet(s"$outDir/doclen")
+    len.withColumn("gen", lit(0L))
+      .write.mode("overwrite").parquet(s"$outDir/doclen")
     len.agg(sum(col("dl")).as("tt"), count(lit(1)).as("nd"))
       .write.mode("overwrite").parquet(s"$outDir/corpus")
     val tfl = tf.join(len, "doc_id")
@@ -779,6 +789,11 @@ object IrSql {
     tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .join(paretoPairs(tfl), "term")
       .write.mode("overwrite").parquet(s"$outDir/stats")
+    // start (or advance) the O(1) staleness generation (the
+    // InvertedIndex.write rationale: rebuilds at a mutated dir)
+    graft.StoreGen.bump(new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(outDir))
   }
 
   /** The per-term (tf, dl) pareto frontier over a (term, tf, dl)
@@ -834,20 +849,52 @@ object IrSql {
   private[graft] def statsRowsFor(spark: SparkSession, storeDir: String,
                                   terms: Seq[String], tt: Long, nd: Long,
                                   dfOverride: Option[Map[String, Long]] =
-                                    None): Array[(String, Long, Double)] =
-    spark.read.parquet(s"$storeDir/stats")
-      .filter(col("term").isin(terms: _*))
-      .collect().flatMap { r =>
-        val term = r.getString(0)
-        val df = dfOverride.fold(r.getLong(1))(_.getOrElse(term, 0L))
-        if (df == 0L) None
-        else {
-          val impact = r.getSeq[org.apache.spark.sql.Row](2)
-            .map(p => bm25Score(p.getLong(0), p.getLong(1), df, tt, nd))
-            .max
-          Some((term, df, impact))
-        }
+                                    None): Array[(String, Long, Double)] = {
+    val base: Map[String, (Long, Seq[(Long, Long)])] =
+      spark.read.parquet(s"$storeDir/stats")
+        .filter(col("term").isin(terms: _*))
+        .collect().map { r =>
+          r.getString(0) -> (r.getLong(1),
+            r.getSeq[org.apache.spark.sql.Row](2)
+              .map(p => (p.getLong(0), p.getLong(1))))
+        }.toMap
+    // pending updates: the appended generations' pairs ride in the
+    // stats_upd overlay (and a term INTRODUCED by an update has no
+    // base row at all — its df comes from the live count the caller
+    // passes as dfOverride, which is always set when updates pend)
+    val extra = statsUpdPairs(spark, storeDir, Some(terms))
+    (base.keySet ++ extra.keySet).toArray.flatMap { term =>
+      val (df0, pairs0) =
+        base.getOrElse(term, (0L, Seq.empty[(Long, Long)]))
+      val df = dfOverride.fold(df0)(_.getOrElse(term, 0L))
+      val pairs = pairs0 ++ extra.getOrElse(term, Seq.empty)
+      if (df == 0L || pairs.isEmpty) None
+      else {
+        val impact =
+          pairs.map(p => bm25Score(p._1, p._2, df, tt, nd)).max
+        Some((term, df, impact))
       }
+    }
+  }
+
+  /** The stats_upd overlay's per-term frontier pairs (optionally
+    * restricted to `terms`), empty when no updates pend. Frontiers
+    * over ALL gen>0 postings — a superset of the live appended rows,
+    * so `stored pairs ∪ overlay pairs` upper-bounds every live
+    * posting of the term (MaxScore stays sound at any pending
+    * state). */
+  private[graft] def statsUpdPairs(spark: SparkSession, storeDir: String,
+                                   terms: Option[Seq[String]] = None)
+      : Map[String, Seq[(Long, Long)]] =
+    if (!artifactNonEmpty(spark, storeDir, StatsUpdDir)) Map.empty
+    else {
+      val all = spark.read.parquet(s"$storeDir/$StatsUpdDir")
+      terms.fold(all)(ts => all.filter(col("term").isin(ts: _*)))
+        .collect().map { r =>
+          r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+            .map(p => (p.getLong(0), p.getLong(1))).toSeq
+        }.toMap
+    }
 
   /** INCREMENTAL MERGE of a delta corpus into a [[writeBm25Stats]]
     * store — the maintenance path an ingest-heavy corpus runs instead
@@ -909,10 +956,12 @@ object IrSql {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dpDir = new Path(root, DeltaPostingsDir)
     val dlDir = new Path(root, DeltaDoclenDir)
-    dTf.repartitionByRange(col("term"))
+    dTf.withColumn("gen", lit(0L))
+      .repartitionByRange(col("term"))
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode("overwrite").parquet(dpDir.toString)
-    dLen.write.mode("overwrite").parquet(dlDir.toString)
+    dLen.withColumn("gen", lit(0L))
+      .write.mode("overwrite").parquet(dlDir.toString)
     fs.create(new Path(root, MergeMarker), false).close() // COMMIT
     moveParts(fs, dpDir, new Path(root, "postings"))
     moveParts(fs, dlDir, new Path(root, "doclen"))
@@ -970,6 +1019,47 @@ object IrSql {
   private val LazyDeleteStaging = "_graft_tomb_lazy_new"
   private val LazyDeleteMarker = "_graft_delete_lazy_inflight"
 
+  /** [[updateBm25Docs]] artifact/staging/commit names. `doc_gen` maps
+    * each UPDATED doc_id to its live generation (docs never updated
+    * stay implicit at gen 0); `sup_corpus` is the one-row (tt, nd)
+    * mass of the SUPERSEDED rows (gen < live, not tombstoned) still
+    * physical in postings/doclen; `stats_upd` carries the pareto
+    * pairs of all gen>0 postings so MaxScore bounds stay sound while
+    * per-term stats rows are stale (frontier of a superset). */
+  private val DocGenDir = "doc_gen"
+  private val SupCorpusDir = "sup_corpus"
+  private val StatsUpdDir = "stats_upd"
+  private val UpdPostingsStaging = "_graft_upd_postings"
+  private val UpdDoclenStaging = "_graft_upd_doclen"
+  private val UpdateMarker = "_graft_update_inflight"
+  private val CompactMarker = "_graft_compact_inflight"
+
+  private def artifactNonEmpty(spark: SparkSession, storeDir: String,
+                               name: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$storeDir/$name")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p)
+      .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** The store's (doc_id, gen) live-generation map — present iff
+    * UPDATES are pending compaction. Pending-update-sized (only
+    * updated docs have rows), so it broadcasts into the read view. */
+  private[graft] def readDocGen(spark: SparkSession,
+                                storeDir: String): Option[DataFrame] =
+    if (artifactNonEmpty(spark, storeDir, DocGenDir))
+      Some(spark.read.parquet(s"$storeDir/$DocGenDir")
+        .select(col("doc_id"), col("gen")))
+    else None
+
+  /** Whether the store has ANY deferred-stats state a read path must
+    * correct for: lazy-delete sidecar or pending updates. */
+  private[graft] def hasPendingBm25State(spark: SparkSession,
+                                         storeDir: String): Boolean =
+    artifactNonEmpty(spark, storeDir, TombCorpusDir) ||
+      artifactNonEmpty(spark, storeDir, DocGenDir)
+
   private def readTombsAt(spark: SparkSession, storeDir: String,
                           name: String): Option[DataFrame] = {
     import org.apache.hadoop.fs.Path
@@ -1019,15 +1109,67 @@ object IrSql {
     } else None
   }
 
-  /** `df` minus tombstoned docs (BOTH sets) — the query-time read
-    * view of a store with pending deletions. The tombstone side
-    * broadcasts: a takedown set is request-sized, not corpus-sized
-    * (compaction reclaims it; a corpus-scale purge is a rebuild, not
-    * a delete). */
+  /** `df` minus tombstoned docs (BOTH sets), keeping only each doc's
+    * LIVE generation — the query-time read view of a store with
+    * pending deletions/updates. Both correction frames broadcast: a
+    * takedown/re-crawl set is request-sized, not corpus-sized
+    * (compaction reclaims them; a corpus-scale purge is a rebuild,
+    * not a delete). `df` must carry the row-store `gen` column. */
   private[graft] def liveView(spark: SparkSession, storeDir: String,
-                              df: DataFrame): DataFrame =
+                              df: DataFrame): DataFrame = {
+    val t = readAllTombs(spark, storeDir).fold(df)(tb =>
+      df.join(broadcast(tb), Seq("doc_id"), "left_anti"))
+    readDocGen(spark, storeDir).fold(t) { dg =>
+      t.join(broadcast(dg.select(col("doc_id"),
+          col("gen").as("__live_gen"))), Seq("doc_id"), "left")
+        .filter(coalesce(col("__live_gen"), lit(0L)) === col("gen"))
+        .drop("__live_gen")
+    }
+  }
+
+  /** `df` minus tombstoned docs only (no generation filter) — the
+    * view the CORPUS-row invariant is defined over: `corpus/` counts
+    * every physical row except exact-tombstoned ones, superseded
+    * generations included (their mass is carried by `sup_corpus`). */
+  private def tombFreeView(spark: SparkSession, storeDir: String,
+                           df: DataFrame): DataFrame =
     readAllTombs(spark, storeDir).fold(df)(t =>
       df.join(broadcast(t), Seq("doc_id"), "left_anti"))
+
+  /** The store's live postings/doclen with the maintenance `gen`
+    * column dropped — what every QUERY path reads. */
+  private[graft] def livePostings(spark: SparkSession,
+                                  storeDir: String): DataFrame =
+    liveView(spark, storeDir,
+      spark.read.parquet(s"$storeDir/postings")).drop("gen")
+
+  private[graft] def liveDoclen(spark: SparkSession,
+                                storeDir: String): DataFrame =
+    liveView(spark, storeDir,
+      spark.read.parquet(s"$storeDir/doclen")).drop("gen")
+
+  /** The sup_corpus sidecar's (tt_sup, nd_sup) — the superseded-row
+    * mass still physical after updates, present iff updates pend. */
+  private[graft] def supCorpusStats(spark: SparkSession,
+                                    storeDir: String): Option[(Long, Long)] =
+    if (!artifactNonEmpty(spark, storeDir, SupCorpusDir)) None
+    else {
+      val r = spark.read.parquet(s"$storeDir/$SupCorpusDir").head()
+      Some((r.getLong(0), r.getLong(1)))
+    }
+
+  /** The LIVE (tt, nd): the stored corpus row corrected by both
+    * deferred-state sidecars (lazy-dead mass, superseded-row mass).
+    * Exact at every maintenance state — the one (tt, nd) a query may
+    * price scores with. */
+  private[graft] def liveCorpusStats(spark: SparkSession,
+                                     storeDir: String): (Long, Long) = {
+    val (tt0, nd0) = readCorpusStats(spark, storeDir)
+    val (tt1, nd1) = lazyDeadStats(spark, storeDir)
+      .fold((tt0, nd0)) { case (td, ndd) => (tt0 - td, nd0 - ndd) }
+    supCorpusStats(spark, storeDir)
+      .fold((tt1, nd1)) { case (ts, ns) => (tt1 - ts, nd1 - ns) }
+  }
 
   /** TAKEDOWN-SHAPED DELETION from a [[writeBm25Stats]] store — the
     * inverse of [[mergeBm25Stats]], without a rebuild: doc_ids are
@@ -1153,6 +1295,10 @@ object IrSql {
           .agg(coalesce(sum(col("dl")), lit(0L)).as("tt_dead"),
             count(lit(1)).as("nd_dead"))
         swapIn(spark, s"$storeDir/$TombCorpusDir", dead)
+        // a lazy-deleted doc with pending updates leaves the
+        // superseded set (its WHOLE multi-gen mass now rides the
+        // sidecar above — double-subtraction otherwise)
+        recomputeSupCorpus(spark, storeDir)
         fs.delete(new Path(root, LazyDeleteMarker), false)
         ()
     }
@@ -1196,6 +1342,9 @@ object IrSql {
     val touchedTerms = postings
       .join(tombs, Seq("doc_id"), "left_semi")
       .select(col("term")).distinct().stage()
+    // stats recompute from the FULL live view (tombstones out, live
+    // generation only) — exact df/frontier for the touched terms at
+    // any pending-update state
     val liveLen = liveView(spark, storeDir,
       spark.read.parquet(s"$storeDir/doclen")).stage()
     val livePost = liveView(spark, storeDir, postings)
@@ -1211,8 +1360,14 @@ object IrSql {
     swapIn(spark, s"$storeDir/stats",
       untouched.unionByName(
         newTouched.select(untouched.columns.toIndexedSeq.map(col): _*)))
+    // the corpus row's invariant is TOMBSTONE-free, not gen-live:
+    // superseded generations stay counted here (sup_corpus carries
+    // their mass until compaction reclaims them)
     swapIn(spark, s"$storeDir/corpus",
-      liveLen.agg(sum(col("dl")).as("tt"), count(lit(1)).as("nd")))
+      tombFreeView(spark, storeDir,
+        spark.read.parquet(s"$storeDir/doclen"))
+        .agg(coalesce(sum(col("dl")), lit(0L)).as("tt"),
+          count(lit(1)).as("nd")))
     // every tombstone is now priced into the derived stats: lazy
     // tombstones graduate to the exact dir and the sidecar goes (a
     // crash in this tail replays the recompute — still exact)
@@ -1220,8 +1375,62 @@ object IrSql {
       new Path(root, TombstonesDir))
     fs.delete(new Path(root, LazyTombstonesDir), true)
     fs.delete(new Path(root, TombCorpusDir), true)
+    // newly tombstoned docs leave the superseded set (their whole
+    // mass is now priced by the exact corpus recompute above)
+    recomputeSupCorpus(spark, storeDir)
     fs.delete(new Path(root, DeleteMarker), false)
     ()
+  }
+
+  /** Recompute the `sup_corpus` sidecar from the CURRENT physical
+    * doclen + doc_gen + tombstone state (idempotent): the (dl, row)
+    * mass of superseded generations of non-tombstoned docs. Dropped
+    * when no updates pend. */
+  private def recomputeSupCorpus(spark: SparkSession,
+                                 storeDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readDocGen(spark, storeDir) match {
+      case None =>
+        fs.delete(new Path(root, SupCorpusDir), true)
+        ()
+      case Some(dg) =>
+        val sup = spark.read.parquet(s"$storeDir/doclen")
+          .join(broadcast(dg.select(col("doc_id"),
+            col("gen").as("__live_gen"))), Seq("doc_id"))
+          .filter(col("gen") < col("__live_gen"))
+        val supLive = readAllTombs(spark, storeDir).fold(sup)(t =>
+          sup.join(broadcast(t), Seq("doc_id"), "left_anti"))
+        swapIn(spark, s"$storeDir/$SupCorpusDir",
+          supLive.agg(coalesce(sum(col("dl")), lit(0L)).as("tt_sup"),
+            count(lit(1)).as("nd_sup")))
+    }
+  }
+
+  /** Recompute the `stats_upd` overlay (idempotent): pareto frontiers
+    * over ALL gen>0 postings (each joined to its own generation's doc
+    * length). The gen>0 scan prunes to the appended part files via
+    * parquet row-group stats (base files are constant gen=0). Dropped
+    * when no updates pend. */
+  private def recomputeStatsUpd(spark: SparkSession,
+                                storeDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (readDocGen(spark, storeDir).isEmpty) {
+      fs.delete(new Path(root, StatsUpdDir), true)
+      ()
+    } else {
+      val p = spark.read.parquet(s"$storeDir/postings")
+        .filter(col("gen") > 0)
+      val l = spark.read.parquet(s"$storeDir/doclen")
+        .filter(col("gen") > 0)
+        .select(col("doc_id"), col("dl"), col("gen"))
+      swapIn(spark, s"$storeDir/$StatsUpdDir",
+        paretoPairs(p.join(l, Seq("doc_id", "gen"))
+          .select(col("term"), col("tf"), col("dl"))))
+    }
   }
 
   /** Crash recovery for [[deleteBm25Docs]]: marker ABSENT → staged
@@ -1245,15 +1454,26 @@ object IrSql {
     }
   }
 
-  /** Physically reclaim tombstoned rows: rewrite postings/doclen
-    * without them (crash-safe [[swapIn]]s, range layout preserved),
-    * then drop the tombstones. The derived stats/corpus are ALREADY
-    * exact ([[deleteBm25Docs]] maintains them), and the read view is
-    * identical before and after (the anti-join was a no-op the moment
-    * the rows left disk) — so a crash anywhere in between leaves
-    * every query correct; replay completes the reclaim. Cost: one
-    * rewrite of the two authoritative artifacts — still far below a
-    * rebuild, which re-tokenizes the corpus. */
+  /** Physically reclaim every pending tombstone AND pending update:
+    * SURGICALLY rewrite only the part files holding a dead or
+    * superseded row ([[graft.index.StoreSurgery]] — every other part
+    * file stays byte-identical, so the reclaim cost follows the
+    * takedown/re-crawl FILE footprint, not the table; the r14
+    * full-table [[swapIn]] rewrite this replaces cost 0.85× a rebuild
+    * at 26×, the file-bounded discipline prices like the
+    * positional/inverted stores' 0.35–0.5), pay the deferred stats
+    * bills (lazy-delete touched terms via [[finishBm25Delete]];
+    * update-touched terms here), fold the appended generations into
+    * the base (rewritten rows reset to gen 0), and drop every
+    * maintenance sidecar. After this, the plain stored read path is
+    * exact with NO query-time correction.
+    *
+    * Crash safety: a [[CompactMarker]] brackets the pass and
+    * [[replayCompact]] re-runs it at the next maintenance entry; each
+    * step recomputes from CURRENT physical state (live generations
+    * derive from max physical gen, not the droppable doc_gen
+    * artifact), so replay from any crash point converges. Run behind
+    * the serving quiesce like all store maintenance. */
   def compactBm25Deletes(spark: SparkSession, storeDir: String): Unit = {
     recoverBm25Store(spark, storeDir)
     import org.apache.hadoop.fs.Path
@@ -1267,17 +1487,99 @@ object IrSql {
       fs.create(new Path(root, DeleteMarker), false).close()
       finishBm25Delete(spark, storeDir)
     }
-    if (readTombs(spark, storeDir).isEmpty) return
-    swapIn(spark, s"$storeDir/postings",
-      liveView(spark, storeDir,
-        spark.read.parquet(s"$storeDir/postings"))
-        .repartitionByRange(col("term"))
-        .sortWithinPartitions(col("term"), col("doc_id")))
-    swapIn(spark, s"$storeDir/doclen",
-      liveView(spark, storeDir,
-        spark.read.parquet(s"$storeDir/doclen"))
-        .repartitionByRange(col("doc_id")))
-    fs.delete(new Path(root, TombstonesDir), true)
+    if (readTombs(spark, storeDir).isEmpty &&
+        readDocGen(spark, storeDir).isEmpty) return
+    fs.create(new Path(root, CompactMarker), false).close()
+    replayCompact(spark, storeDir)
+  }
+
+  /** Keep each doc's max-generation row only — the live view derived
+    * from PHYSICAL state alone, which is what a crashed compact's
+    * replay must use (the doc_gen artifact may already be gone, and
+    * mid-reclaim the two tables can disagree on labels while agreeing
+    * on content). */
+  private def maxGenLive(df: DataFrame): DataFrame = {
+    val mx = df.groupBy(col("doc_id")).agg(max(col("gen")).as("__mx"))
+    df.join(mx, "doc_id").filter(col("gen") === col("__mx"))
+      .drop("__mx")
+  }
+
+  /** The [[compactBm25Deletes]] body, idempotent under the
+    * [[CompactMarker]]: (1) update-touched stats recompute from the
+    * max-gen live view, (2) surgical reclaim of dead + superseded
+    * rows with gen reset, (3) corpus recompute, (4) sidecar drops,
+    * marker cleared last. */
+  private[graft] def replayCompact(spark: SparkSession,
+                                   storeDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.ops.Stage.StageOps
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val post = spark.read.parquet(s"$storeDir/postings")
+    val dlen = spark.read.parquet(s"$storeDir/doclen")
+    val updIds = post.filter(col("gen") > 0).select(col("doc_id"))
+      .unionByName(dlen.filter(col("gen") > 0).select(col("doc_id")))
+      .distinct().stage()
+    val tombs = readTombs(spark, storeDir)
+    // 1. the deferred UPDATE stats bill (delete-touched terms were
+    //    priced at delete time): exact df + frontier for every term
+    //    any pending generation touches, from the max-gen live view
+    if (updIds.limit(1).count() > 0) {
+      val touchedTerms = post
+        .join(broadcast(updIds), Seq("doc_id"), "left_semi")
+        .select(col("term")).distinct().stage()
+      val livePost = {
+        val p = maxGenLive(post)
+        tombs.fold(p)(t =>
+          p.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      }.join(touchedTerms, Seq("term"), "left_semi")
+      val liveLen = {
+        val l = maxGenLive(dlen)
+        tombs.fold(l)(t =>
+          l.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      }
+      val tfl = livePost.join(liveLen.select(col("doc_id"), col("dl")),
+        "doc_id").select(col("term"), col("tf"), col("dl"))
+      val newTouched = livePost.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"))
+        .join(paretoPairs(tfl), "term")
+      val oldStats = spark.read.parquet(s"$storeDir/stats")
+      val untouched = oldStats
+        .join(touchedTerms, Seq("term"), "left_anti")
+      swapIn(spark, s"$storeDir/stats",
+        untouched.unionByName(newTouched
+          .select(untouched.columns.toIndexedSeq.map(col): _*)))
+    }
+    // 2. surgical reclaim: any file holding a row of a tombstoned or
+    //    updated doc rewrites to its live remainder (max-gen rows of
+    //    untombstoned docs, gen reset to 0 so the doc_gen map can
+    //    drop); every other file stays byte-identical
+    val deadIds = tombs.fold(updIds)(t =>
+      updIds.unionByName(t.select(col("doc_id"))).distinct()).stage()
+    if (deadIds.limit(1).count() > 0) {
+      def liveRows(rows: DataFrame): DataFrame = {
+        val kept = tombs.fold(rows)(t =>
+          rows.join(broadcast(t), Seq("doc_id"), "left_anti"))
+        maxGenLive(kept).withColumn("gen", lit(0L))
+      }
+      graft.index.StoreSurgery.reclaimWith(spark,
+        s"$storeDir/postings", "doc_id", deadIds, "term",
+        liveRows, Seq("term", "doc_id"))
+      graft.index.StoreSurgery.reclaimWith(spark,
+        s"$storeDir/doclen", "doc_id", deadIds, "doc_id",
+        liveRows, Seq("doc_id"))
+    }
+    // 3. post-reclaim the physical store IS the live store: the
+    //    corpus row recomputes from it (idempotent on replay)
+    swapIn(spark, s"$storeDir/corpus",
+      spark.read.parquet(s"$storeDir/doclen")
+        .agg(coalesce(sum(col("dl")), lit(0L)).as("tt"),
+          count(lit(1)).as("nd")))
+    // 4. every deferred-state artifact is now folded in
+    Seq(TombstonesDir, LazyTombstonesDir, TombCorpusDir, DocGenDir,
+      SupCorpusDir, StatsUpdDir)
+      .foreach(n => fs.delete(new Path(root, n), true))
+    fs.delete(new Path(root, CompactMarker), false)
     ()
   }
 
@@ -1288,17 +1590,22 @@ object IrSql {
   private[graft] def moveParts(fs: org.apache.hadoop.fs.FileSystem,
                         from: org.apache.hadoop.fs.Path,
                         to: org.apache.hadoop.fs.Path): Unit =
-    if (fs.exists(from))
-      fs.listStatus(from)
+    if (fs.exists(from)) {
+      val parts = fs.listStatus(from)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .foreach { f =>
-          // rename returns false instead of throwing on some
-          // filesystems — a silent false here would strand committed
-          // delta rows in the staging dir, so check it
-          require(fs.rename(f.getPath, new org.apache.hadoop.fs.Path(
-              to, f.getPath.getName)),
-            s"rename ${f.getPath} -> $to failed mid-merge-commit")
-        }
+      parts.foreach { f =>
+        // rename returns false instead of throwing on some
+        // filesystems — a silent false here would strand committed
+        // delta rows in the staging dir, so check it
+        require(fs.rename(f.getPath, new org.apache.hadoop.fs.Path(
+            to, f.getPath.getName)),
+          s"rename ${f.getPath} -> $to failed mid-merge-commit")
+      }
+      // the store moved: bump the O(1) staleness generation (no-op
+      // replays with nothing to move don't — idle recovery passes
+      // must not churn live servers' snapshots)
+      if (parts.nonEmpty) graft.StoreGen.bump(fs, to.getParent)
+    }
 
   /** Crash recovery for [[mergeBm25Stats]]'s staged-append commit:
     * marker ABSENT → any staged delta dirs are an uncommitted attempt,
@@ -1341,13 +1648,25 @@ object IrSql {
 
   private def rebuildDerived(spark: SparkSession,
                              storeDir: String): Unit = {
-    val len = spark.read.parquet(s"$storeDir/doclen").stage()
-    val tf = spark.read.parquet(s"$storeDir/postings").stage()
+    // corpus invariant: minus EXACT tombstones only; stats rebuild
+    // from the full live view (delete-exact df, live generations).
+    // The deferred-state sidecars need no recompute here: a crashed
+    // MERGE only appended gen-0 rows, so doc_gen/sup_corpus/stats_upd
+    // membership is unchanged
+    val rawLen = spark.read.parquet(s"$storeDir/doclen")
     swapIn(spark, s"$storeDir/corpus",
-      len.agg(sum(col("dl")).as("tt"), count(lit(1)).as("nd")))
+      readTombs(spark, storeDir).fold(rawLen)(et =>
+        rawLen.join(broadcast(et), Seq("doc_id"), "left_anti"))
+        .agg(coalesce(sum(col("dl")), lit(0L)).as("tt"),
+          count(lit(1)).as("nd")))
+    val len = liveView(spark, storeDir,
+      spark.read.parquet(s"$storeDir/doclen")).stage()
+    val tf = liveView(spark, storeDir,
+      spark.read.parquet(s"$storeDir/postings")).stage()
     swapIn(spark, s"$storeDir/stats",
       tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        .join(paretoPairs(tf.join(len, "doc_id")
+        .join(paretoPairs(tf.join(len.select(col("doc_id"), col("dl")),
+          "doc_id")
           .select(col("term"), col("tf"), col("dl"))), "term"))
   }
 
@@ -1378,7 +1697,7 @@ object IrSql {
     if (fs.exists(t)) { fs.rename(t, old); () }
     fs.rename(neu, t)
     fs.delete(old, true)
-    ()
+    graft.StoreGen.bump(fs, t.getParent)
   }
 
   /** Crash recovery for [[swapIn]] on one artifact name (see its
@@ -1403,6 +1722,8 @@ object IrSql {
         // crash between steps 2 and 3 with a complete replacement
         fs.rename(neu, t)
         fs.delete(old, true)
+        // the completed swap is a mutation the O(1) stamp must see
+        graft.StoreGen.bump(fs, root)
         ()
       } else {
         // no usable replacement — roll the old artifact back
@@ -1414,18 +1735,62 @@ object IrSql {
   }
 
   /** All swap-managed artifact names of a [[writeBm25Stats]] store
-    * (the lazy-delete sidecar goes through [[swapIn]] too). */
+    * (the deferred-state sidecars and the revive-rewritten tombstone
+    * sets go through [[swapIn]] too). */
   private val Bm25Artifacts =
-    Seq("postings", "doclen", "stats", "corpus", TombCorpusDir)
+    Seq("postings", "doclen", "stats", "corpus", TombCorpusDir,
+      TombstonesDir, LazyTombstonesDir, DocGenDir, SupCorpusDir,
+      StatsUpdDir)
+
+  /** Crash recovery for [[updateBm25Docs]]'s staged-append commit:
+    * marker ABSENT → staged deltas roll back; marker PRESENT → finish
+    * (move remaining staged parts in, re-derive every generation
+    * artifact from physical state, clear). */
+  private[graft] def recoverBm25Update(spark: SparkSession,
+                                       storeDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pDir = new Path(root, UpdPostingsStaging)
+    val lDir = new Path(root, UpdDoclenStaging)
+    if (!fs.exists(new Path(root, UpdateMarker))) {
+      fs.delete(pDir, true)
+      fs.delete(lDir, true)
+      ()
+    } else {
+      moveParts(fs, pDir, new Path(root, "postings"))
+      moveParts(fs, lDir, new Path(root, "doclen"))
+      fs.delete(pDir, true)
+      fs.delete(lDir, true)
+      refreshGenDerived(spark, storeDir)
+      fs.delete(new Path(root, UpdateMarker), false)
+      ()
+    }
+  }
+
+  /** Crash recovery for [[compactBm25Deletes]]: marker present →
+    * replay the whole idempotent pass. */
+  private[graft] def recoverBm25Compact(spark: SparkSession,
+                                        storeDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(root, CompactMarker)))
+      replayCompact(spark, storeDir)
+  }
 
   private def recoverBm25Store(spark: SparkSession,
                                storeDir: String): Unit = {
     Bm25Artifacts.foreach(recoverArtifact(spark, storeDir, _))
+    graft.index.StoreSurgery.recover(spark, s"$storeDir/postings")
+    graft.index.StoreSurgery.recover(spark, s"$storeDir/doclen")
     recoverBm25Merge(spark, storeDir)
+    recoverBm25Update(spark, storeDir)
     // lazy first, so an in-flight eager delete's replay prices every
     // committed lazy tombstone as well
     recoverBm25LazyDelete(spark, storeDir)
     recoverBm25Delete(spark, storeDir)
+    recoverBm25Compact(spark, storeDir)
   }
 
   /** COMPACT a [[mergeBm25Stats]]-maintained store: every merge
@@ -1546,34 +1911,29 @@ object IrSql {
   private[graft] def q10Bm25PrunedAt(spark: SparkSession, store: String,
                                      terms: Seq[String],
                                      k: Int): DataFrame = {
-    // a LAZY-deleted store's stats/corpus still count the dead docs:
-    // correct (tt, nd) from the sidecar and df by live-counting the
-    // query terms' postings — the same partition-pruned scan the
-    // final scoring re-reads, one tiny extra job only when the
-    // sidecar is present
-    val lazyDead = lazyDeadStats(spark, store)
-    val (tt, nd) = {
-      val (tt0, nd0) = readCorpusStats(spark, store)
-      lazyDead.fold((tt0, nd0)) { case (td, ndd) => (tt0 - td, nd0 - ndd) }
-    }
-    val dfOverride = lazyDead.map { _ =>
-      liveView(spark, store, spark.read.parquet(s"$store/postings"))
+    // a LAZY-deleted or pending-UPDATE store's stats/corpus still
+    // count dead/superseded rows: correct (tt, nd) from the sidecars
+    // and df by live-counting the query terms' postings — the same
+    // partition-pruned scan the final scoring re-reads, one tiny
+    // extra job only when deferred state is present
+    val pending = hasPendingBm25State(spark, store)
+    val (tt, nd) = liveCorpusStats(spark, store)
+    val dfOverride =
+      if (!pending) None
+      else Some(livePostings(spark, store)
         .filter(col("term").isin(terms: _*))
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    }
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
     val rows = statsRowsFor(spark, store, terms, tt, nd, dfOverride)
       .sortBy { case (t, _, imp) => (-imp, t) }
     if (rows.isEmpty)
       return spark.emptyDataFrame
         .select(lit(0L).as("doc_id"), lit(0.0).as("score")).limit(0)
-    // pending deletions read through the tombstone anti-join (stats
-    // and corpus rows are already exact — deleteBm25Docs maintains
-    // them at delete time)
-    val postings = liveView(spark, store,
-      spark.read.parquet(s"$store/postings"))
-    val doclen = liveView(spark, store,
-      spark.read.parquet(s"$store/doclen"))
+    // pending deletions/updates read through the live view (stats
+    // and corpus rows are already exact for EAGER deletes —
+    // deleteBm25Docs maintains them at delete time)
+    val postings = livePostings(spark, store)
+    val doclen = liveDoclen(spark, store)
     val topTerm = rows.head._1
     val thetaRows = postings.filter(col("term") === topTerm)
       .join(doclen, "doc_id")
@@ -1723,42 +2083,174 @@ object IrSql {
 
   /** UPDATE a [[writeBm25Stats]] store in place: replace each of
     * `newDocs`' doc_ids with its new text — the re-crawl write path,
-    * composed from the three store primitives:
-    * [[deleteBm25DocsLazy]] (tombstone + one-row sidecar) →
-    * [[compactBm25Deletes]] (physical reclaim + the deferred
-    * touched-term stats bill, paid ONCE) →
-    * [[mergeBm25Stats]] (delta append + touched-term stats).
-    * The LAZY delete leg is deliberate: the eager delete's immediate
-    * derived-stats exactness buys nothing here — the reclaim follows
-    * within the same call, so the deferred touched-term bill is paid
-    * exactly once, in the compact leg. MEASURED cost-neutral on this
-    * corpus (the bill moves between legs, it does not shrink:
-    * UpdateProf bm25 ~5.4–5.9 s at sf0.1 under either leg); lazy is
-    * kept because it makes the delete sub-second, which is the right
-    * half to be cheap if a caller ever batches several updates before
-    * one shared reclaim.
+    * GENERATION-VERSIONED (r15; the r14 form was delete → full-table
+    * reclaim → merge, which rewrote the whole store per call — the
+    * one maintenance path that priced at-or-above a rebuild at 26×):
+    * the new versions APPEND as (doc_id, gen+1) rows beside the old
+    * ones, the `doc_gen` map flips each doc's live generation, and
+    * every read path keeps only live-gen rows ([[liveView]]) with
+    * (tt, nd) corrected from `sup_corpus` ([[liveCorpusStats]]),
+    * per-term df live-counted ([[q10Bm25PrunedAt]],
+    * [[graft.query.Bm25Server]]) and MaxScore frontiers extended by
+    * the `stats_upd` overlay ([[statsRowsFor]]) — so an uncompacted
+    * updated store already serves EXACTLY the
+    * rebuild-over-updated-corpus answers (oracle q10_bm25_updated).
+    * [[compactBm25Deletes]] later folds the generations back to a
+    * plain store (surgical touched-file rewrite, stats bill paid
+    * once, amortized over every update since the last pass) — the
+    * IVF store's tombstone→append→compact shape.
     *
-    * The reclaim BETWEEN delete and merge is REQUIRED for this store,
-    * unlike the positional/inverted append-beside-tombstone path:
-    * BM25 tombstones are doc_id-keyed (the store has no docno
-    * indirection), so an appended new version would be hidden by its
-    * own pending tombstone — and mergeBm25Stats refuses doc_ids still
-    * physically present. The reclaim also collects any UNRELATED
-    * pending tombstones (documented compaction semantics — it
-    * amortizes every takedown since the last pass).
+    * Per-call cost: tokenize the delta, append two takedown-sized
+    * file sets, and refresh three one-row/overlay sidecars (narrow
+    * doclen scans + a gen>0-pruned postings scan) — no store rewrite,
+    * no touched-term recompute, no stats-table rewrite.
     *
-    * Docs in `newDocs` but ABSENT from the store insert (upsert
-    * semantics: their delete leg no-ops). Each leg carries its own
-    * crash protocol (staged commits, markers, recovery at every
-    * entry), and the COMPOSITION replays: re-running the same update
-    * deletes the already-updated doc and re-adds the same new version
-    * — the final state is identical (spec-pinned), so a re-crawl
-    * ledger can re-drive a crashed update with no cross-leg marker. */
+    * Docs ABSENT from the store insert (upsert: gen 1 with no prior
+    * rows). Docs currently TOMBSTONED revive (an update of a deleted
+    * doc is the re-add path): they leave the tombstone sets and only
+    * their new generation serves.
+    *
+    * Crash safety (the [[mergeBm25Stats]] marker discipline): both
+    * deltas stage outside the store, the [[UpdateMarker]] is the
+    * commit point, and every derived artifact recomputes from
+    * PHYSICAL state ([[refreshGenDerived]]) — replay from any crash
+    * point converges. Re-driving the SAME request appends another
+    * identical generation: rankings unchanged, compaction folds to
+    * the identical store (spec-pinned). Run behind the serving
+    * quiesce; live servers detect the mutation via their stamps. */
   def updateBm25Docs(spark: SparkSession, storeDir: String,
                      newDocs: DataFrame): Unit = {
-    deleteBm25DocsLazy(spark, storeDir, newDocs.select(col("doc_id")))
-    compactBm25Deletes(spark, storeDir)
-    mergeBm25Stats(spark, storeDir, newDocs)
+    recoverBm25Store(spark, storeDir)
+    import org.apache.hadoop.fs.Path
+    import graft.ops.Stage.StageOps
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val neu = newDocs
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .stage()
+    if (neu.limit(1).count() == 0) return
+    reviveTombstoned(spark, storeDir, neu.select(col("doc_id")))
+    val dTok = tokensOf(neu)
+    val dLen = dTok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl")).stage()
+    val dTf = dTok.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf")).stage()
+    // next generation per doc = live gen + 1 (absent → 0 → insert
+    // lands at gen 1); the map is pending-update-sized → broadcast
+    val baseGen = readDocGen(spark, storeDir).getOrElse {
+      import spark.implicits._
+      Seq.empty[(Long, Long)].toDF("doc_id", "gen")
+    }
+    val gens = neu.select(col("doc_id")).distinct()
+      .join(baseGen.select(col("doc_id"), col("gen").as("__g")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("__g"), lit(0L)) + lit(1L)).as("gen"))
+    // stage BOTH deltas outside the store, then commit atomically
+    dTf.join(broadcast(gens), "doc_id")
+      .select(col("term"), col("doc_id"), col("tf"), col("gen"))
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("overwrite")
+      .parquet(new Path(root, UpdPostingsStaging).toString)
+    dLen.join(broadcast(gens), "doc_id")
+      .select(col("doc_id"), col("dl"), col("gen"))
+      .write.mode("overwrite")
+      .parquet(new Path(root, UpdDoclenStaging).toString)
+    fs.create(new Path(root, UpdateMarker), false).close() // COMMIT
+    moveParts(fs, new Path(root, UpdPostingsStaging),
+      new Path(root, "postings"))
+    moveParts(fs, new Path(root, UpdDoclenStaging),
+      new Path(root, "doclen"))
+    fs.delete(new Path(root, UpdPostingsStaging), true)
+    fs.delete(new Path(root, UpdDoclenStaging), true)
+    refreshGenDerived(spark, storeDir)
+    fs.delete(new Path(root, UpdateMarker), false)
+    ()
+  }
+
+  /** Refresh every generation-state artifact from PHYSICAL store
+    * state (all idempotent — the [[UpdateMarker]] replay path):
+    * `doc_gen` = max physical gen per doc (gen-0-only docs stay
+    * implicit), `corpus` = tombstone-free physical totals, then the
+    * two deferred-state sidecars. */
+  private def refreshGenDerived(spark: SparkSession,
+                                storeDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dg = spark.read.parquet(s"$storeDir/doclen")
+      .groupBy(col("doc_id")).agg(max(col("gen")).as("gen"))
+      .filter(col("gen") > 0)
+    if (dg.limit(1).count() == 0)
+      fs.delete(new Path(root, DocGenDir), true)
+    else swapIn(spark, s"$storeDir/$DocGenDir", dg.coalesce(1))
+    // corpus invariant: physical totals minus EXACT tombstones only
+    // (lazy-dead mass stays priced by the tomb_corpus sidecar)
+    swapIn(spark, s"$storeDir/corpus", {
+      val dl = spark.read.parquet(s"$storeDir/doclen")
+      readTombs(spark, storeDir).fold(dl)(et =>
+        dl.join(broadcast(et), Seq("doc_id"), "left_anti"))
+        .agg(coalesce(sum(col("dl")), lit(0L)).as("tt"),
+          count(lit(1)).as("nd"))
+    })
+    recomputeSupCorpus(spark, storeDir)
+    recomputeStatsUpd(spark, storeDir)
+  }
+
+  /** An update of a TOMBSTONED doc revives it (the re-add path): the
+    * ids leave both tombstone sets; the exact-priced corpus re-admits
+    * their physical rows (about to be superseded by the incoming
+    * generation) and the lazy sidecar re-prices from the remaining
+    * set. No stats work: the revived docs' terms stay stale and every
+    * pending-state read live-counts df. */
+  private def reviveTombstoned(spark: SparkSession, storeDir: String,
+                               ids: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.ops.Stage.StageOps
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val req = ids.select(col("doc_id")).distinct().stage()
+    readTombs(spark, storeDir).foreach { t =>
+      if (t.join(broadcast(req), Seq("doc_id"), "left_semi")
+          .limit(1).count() > 0) {
+        val rest = t.join(broadcast(req), Seq("doc_id"), "left_anti")
+          .stage()
+        if (rest.limit(1).count() == 0)
+          fs.delete(new Path(root, TombstonesDir), true)
+        else swapIn(spark, s"$storeDir/$TombstonesDir",
+          rest.coalesce(1))
+        // re-admit the revived rows to the exact-priced corpus row —
+        // EXACT tombstones only (lazy-dead mass stays priced by the
+        // tomb_corpus sidecar, lazy rows stay counted here)
+        swapIn(spark, s"$storeDir/corpus", {
+          val dl = spark.read.parquet(s"$storeDir/doclen")
+          readTombs(spark, storeDir).fold(dl)(et =>
+            dl.join(broadcast(et), Seq("doc_id"), "left_anti"))
+            .agg(coalesce(sum(col("dl")), lit(0L)).as("tt"),
+              count(lit(1)).as("nd"))
+        })
+      }
+    }
+    readLazyTombs(spark, storeDir).foreach { t =>
+      if (t.join(broadcast(req), Seq("doc_id"), "left_semi")
+          .limit(1).count() > 0) {
+        val rest = t.join(broadcast(req), Seq("doc_id"), "left_anti")
+          .stage()
+        if (rest.limit(1).count() == 0) {
+          fs.delete(new Path(root, LazyTombstonesDir), true)
+          fs.delete(new Path(root, TombCorpusDir), true)
+        } else {
+          swapIn(spark, s"$storeDir/$LazyTombstonesDir",
+            rest.coalesce(1))
+          val dead = spark.read.parquet(s"$storeDir/doclen")
+            .join(broadcast(rest), Seq("doc_id"), "left_semi")
+            .agg(coalesce(sum(col("dl")), lit(0L)).as("tt_dead"),
+              count(lit(1)).as("nd_dead"))
+          swapIn(spark, s"$storeDir/$TombCorpusDir", dead)
+        }
+      }
+    }
   }
 
   private val bm25UpdatedCache =
@@ -1778,10 +2270,30 @@ object IrSql {
   /** Q10j: the MaxScore-pruned ranking over an UPDATED store — the
     * oracle recomputes BM25 over the corpus with the re-crawl set's
     * text replaced, so the driver gate proves update-in-place ==
-    * rebuild-over-updated-corpus (df, tf, dl, tt and nd all exact
-    * after the delete→reclaim→merge composition). */
+    * rebuild-over-updated-corpus. The store is UNCOMPACTED (pending
+    * generations on disk), so this entry exercises the whole
+    * deferred-read machinery: gen-filtered live view, sidecar (tt,
+    * nd), live df, overlay frontiers. */
   def q10Bm25Updated(spark: SparkSession, dir: String,
                      terms: Seq[String] = ExpandedQueryTerms,
                      k: Int = 10): DataFrame =
     q10Bm25PrunedAt(spark, bm25UpdatedStore(spark, dir), terms, k)
+
+  /** Q10k: updated then COMPACTED — [[compactBm25Deletes]] folds the
+    * pending generations (surgical reclaim, deferred stats bill,
+    * sidecars dropped), after which the PLAIN stored read path must
+    * already be exact with no query-time correction. Same oracle. */
+  def q10Bm25UpdatedCompacted(spark: SparkSession, dir: String,
+                              terms: Seq[String] = ExpandedQueryTerms,
+                              k: Int = 10): DataFrame = {
+    val store = bm25UpdatedCache.computeIfAbsent(
+      s"${bm25StoreKey(dir)}|updc", _ => {
+        val o = graft.TempDirs.scratch("graft_bm25_updc")
+        writeBm25Stats(spark, dir, o)
+        updateBm25Docs(spark, o, updatedDocsNew(spark, dir))
+        compactBm25Deletes(spark, o)
+        o
+      })
+    q10Bm25PrunedAt(spark, store, terms, k)
+  }
 }

@@ -142,58 +142,61 @@ final class Bm25Server(spark: SparkSession, storeDir: String,
   private val hfs = new org.apache.hadoop.fs.Path(storeDir)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Stamp of the four artifact dirs — file names, sizes, mtimes AND
+  /** Stamp of every artifact dir — file names, sizes, mtimes AND
     * per-file footer-tail CRCs ([[DirVersion]]): a repair/rewrite
     * that reuses part names within one mtime tick is still caught. */
   private def storeVersion(): Long =
-    DirVersion.of(hfs,
+    DirVersion.of(hfs, storeDir,
       Seq("postings", "doclen", "stats", "corpus", "tombstones",
-        "tombstones_lazy", "tomb_corpus")
+        "tombstones_lazy", "tomb_corpus", "doc_gen", "sup_corpus",
+        "stats_upd")
         .map(n => s"$storeDir/$n"))
 
   /** One immutable store snapshot: everything a query touches. */
   private final class State(val version: Long) {
-    // pending deletions drop at SNAPSHOT build (tombstone anti-join —
-    // BOTH sets — before the cache; zero per-query cost); the
-    // tombstone dirs ride in the version stamp, so a delete under a
-    // live server rebuilds this snapshot like any mutation
-    val joined: DataFrame = IrSql
-      .readAllTombs(spark, storeDir)
-      .foldLeft(spark.read.parquet(s"$storeDir/postings"))((p, t) =>
-        p.join(org.apache.spark.sql.functions.broadcast(t),
-          Seq("doc_id"), "left_anti"))
-      .join(spark.read.parquet(s"$storeDir/doclen"), "doc_id")
+    // pending deletions AND superseded update generations drop at
+    // SNAPSHOT build (the shared gen-aware live view — before the
+    // cache; zero per-query cost); every maintenance dir rides in
+    // the version stamp, so a delete/update under a live server
+    // rebuilds this snapshot like any mutation
+    val joined: DataFrame = IrSql.livePostings(spark, storeDir)
+      .join(IrSql.liveDoclen(spark, storeDir), "doc_id")
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // EXACT tombstones ([[IrSql.deleteBm25Docs]]) leave stats/corpus
     // delete-exact on disk; LAZY ones ([[IrSql.deleteBm25DocsLazy]])
-    // do not — the sidecar corrects (tt, nd) here, and the stats
-    // dictionary below live-counts df once per snapshot
-    private val lazyDead = IrSql.lazyDeadStats(spark, storeDir)
+    // and pending UPDATES ([[IrSql.updateBm25Docs]]) do not — the
+    // sidecars correct (tt, nd) here, and the stats dictionary below
+    // live-counts df once per snapshot
+    private val pending = IrSql.hasPendingBm25State(spark, storeDir)
 
-    val (tt, nd) = {
-      val (tt0, nd0) = IrSql.readCorpusStats(spark, storeDir)
-      lazyDead.fold((tt0, nd0)) { case (td, ndd) =>
-        (tt0 - td, nd0 - ndd)
-      }
-    }
+    val (tt, nd) = IrSql.liveCorpusStats(spark, storeDir)
 
     joined.count() // materialize the cached relation at construction
 
     /** term → (df, frontier pairs) — the in-RAM dictionary. On a
-      * lazy-deleted store, df comes from one vocabulary-bounded agg
-      * over the cached LIVE relation (terms whose live df is 0 drop
-      * out); the stale frontier pairs stay — a frontier over a
-      * superset of the live postings keeps every impact an upper
-      * bound, so MaxScore stays sound. */
+      * deferred-state store (lazy deletes / pending updates), df
+      * comes from one vocabulary-bounded agg over the cached LIVE
+      * relation (terms whose live df is 0 drop out, terms a pending
+      * update INTRODUCED enter); frontier pairs are the stored rows
+      * extended by the stats_upd overlay — a frontier over a superset
+      * of the live postings keeps every impact an upper bound, so
+      * MaxScore stays sound. */
     val stats: Map[String, (Long, Seq[(Long, Long)])] = {
-      val base = spark.read.parquet(s"$storeDir/stats").collect().map { r =>
+      val stored = spark.read.parquet(s"$storeDir/stats").collect().map { r =>
         r.getString(0) -> (r.getLong(1),
           r.getSeq[org.apache.spark.sql.Row](2)
             .map(p => (p.getLong(0), p.getLong(1))))
       }.toMap
-      lazyDead.fold(base) { _ =>
+      val overlay = IrSql.statsUpdPairs(spark, storeDir)
+      val base = (stored.keySet ++ overlay.keySet).map { t =>
+        val (df0, pairs0) =
+          stored.getOrElse(t, (0L, Seq.empty[(Long, Long)]))
+        t -> (df0, pairs0 ++ overlay.getOrElse(t, Seq.empty))
+      }.toMap
+      if (!pending) base
+      else {
         val liveDf = joined.groupBy(col("term"))
           .agg(org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)).as("df"))

@@ -27,6 +27,24 @@ private[query] object DirVersion {
   def of(hfs: FileSystem, dirs: Seq[String]): Long =
     dirs.foldLeft(17L)((acc, d) => acc * 1000003 + dirHash(hfs, d))
 
+  /** [[of]] with an O(1) fast path: when `storeRoot` carries a
+    * [[graft.StoreGen]] generation marker (bumped by every shared
+    * maintenance commit helper), the stamp is ONE tiny read — flat in
+    * part-file count, the 100 TB object-store posture. Marker absent
+    * or unparsable (fresh never-mutated store; an out-of-band rewrite
+    * that removed it) → the per-file fold with its tail-CRC defense.
+    * The two regimes can never alias a mutation away: a transition
+    * between them changes which branch computes, and within each
+    * branch mutations move the value (the gen is strictly
+    * increasing; the fold sees the files). */
+  def of(hfs: FileSystem, storeRoot: String,
+         dirs: Seq[String]): Long =
+    graft.StoreGen.read(hfs,
+        new org.apache.hadoop.fs.Path(storeRoot)) match {
+      case Some(g) => 0x5bd1e995L * 1000003L + g
+      case None    => of(hfs, dirs)
+    }
+
   private def dirHash(hfs: FileSystem, dir: String): Long =
     try {
       val fsx = hfs.listStatus(new Path(dir))

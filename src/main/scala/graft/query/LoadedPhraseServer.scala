@@ -65,7 +65,7 @@ final class LoadedPhraseServer(spark: SparkSession, dir: String,
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def storeVersion(): Long =
-    DirVersion.of(hfs,
+    DirVersion.of(hfs, dir,
       Seq("pos_postings", "doc_map", "corpus_stats",
         "pos_postings_ranges", "doc_map_ranges", "tombstones")
         .map(n => s"$dir/$n"))

@@ -92,7 +92,7 @@ final class LoadedPointServer(spark: SparkSession, dir: String,
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def storeVersion(): Long =
-    DirVersion.of(hfs,
+    DirVersion.of(hfs, dir,
       Seq("postings", "doc_map", "corpus_stats", "postings_ranges",
         "doc_map_ranges", "tombstones").map(n => s"$dir/$n"))
 

@@ -309,7 +309,7 @@ object PhraseServer {
                 maxTemplateDocs: Long = MaxTemplateDocs): PhraseServer = {
     val hfs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def stamp(): Long = DirVersion.of(hfs,
+    def stamp(): Long = DirVersion.of(hfs, dir,
       Seq("pos_postings", "doc_map", "corpus_stats", "tombstones")
         .map(n => s"$dir/$n"))
     def loadCached(): PIndex = {

@@ -186,9 +186,17 @@ final class PointServer private (
     * output (and arity contract) as [[QueryEngine.serveSearch]].
     * Safe for concurrent callers: each borrows a pooled template
     * instance (see [[TemplatePool]]). */
-  def search(query: String): Seq[(Long, String, Double)] = {
+  def search(query: String): Seq[(Long, String, Double)] =
+    searchTerms(QueryEngine.requireArity(query))
+
+  /** [[search]] over an already-analyzed term set with NO arity cap —
+    * the scoring tail of a WILDCARD expansion
+    * ([[WildcardServer.search]]): the pooled template's ref set takes
+    * any number of terms (the arity rule is the interactive client's
+    * contract, not the plan's). Same output and ordering. */
+  private[query] def searchTerms(terms: Seq[String])
+      : Seq[(Long, String, Double)] = {
     val st = current()
-    val terms = QueryEngine.requireArity(query)
     if (terms.isEmpty) return Seq.empty // stopword-only: no job at all
     val set = new java.util.HashSet[UTF8String]()
     terms.foreach(t => set.add(UTF8String.fromString(t)))
@@ -220,7 +228,7 @@ object PointServer {
                 topK: Int = 10): PointServer = {
     val hfs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def stamp(): Long = DirVersion.of(hfs,
+    def stamp(): Long = DirVersion.of(hfs, dir,
       Seq("postings", "term_stats", "doc_map", "corpus_stats",
         "tombstones").map(n => s"$dir/$n"))
     def loadCached(): Index = {

@@ -282,7 +282,7 @@ object Rm3Server {
                 lambda: Double = 0.5): Rm3Server = {
     val hfs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def stamp(): Long = DirVersion.of(hfs,
+    def stamp(): Long = DirVersion.of(hfs, dir,
       Seq("postings", "term_stats", "doc_map", "corpus_stats",
         "tombstones").map(n => s"$dir/$n"))
     def loadCached(): Index = {

