@@ -88,6 +88,29 @@ object DeleteProf {
       f"${tDeleteL / tDelete}%.2f, delete+compact/rebuild=" +
       f"${(tDeleteL + tCompactL) / tBuild}%.2f)")
 
+    // ---- BM25 stats store, LOCALIZED batch: 100 docs from ONE
+    // vocabulary slice (doc_id % 64 == 0 — group 0 of a
+    // vocabSlices=64 ScaleGen fixture; the id stride is ≡ 0 mod 64,
+    // so amplified copies keep their group). On the sliced fixture
+    // the takedown's touched terms live in ONE contiguous term range
+    // → the surgical reclaim's touched-file set follows the BATCH.
+    // On an unsliced fixture this is just another diffuse batch —
+    // the row then measures the same shape as `bm25` above.
+    val bmgDir = tmp("graft_delprof_bm25g")
+    graft.queries.IrSql.writeBm25Stats(spark, sfDir, bmgDir)
+    val delG = Tables.load(spark, sfDir, "documents")
+      .filter(pmod(col("doc_id"), lit(64L)) === lit(0L))
+      .select(col("doc_id")).orderBy(col("doc_id"))
+      .limit(TakedownDocs)
+    val tDeleteG = time {
+      graft.queries.IrSql.deleteBm25DocsLazy(spark, bmgDir, delG) }
+    val tCompactG = time {
+      graft.queries.IrSql.compactBm25Deletes(spark, bmgDir) }
+    println(f"[deleteprof] bm25G rebuild=$tBuild%.2f s " +
+      f"delete=$tDeleteG%.2f s compact=$tCompactG%.2f s " +
+      f"(docs_deleted=$TakedownDocs%d LOCALIZED, " +
+      f"delete+compact/rebuild=${(tDeleteG + tCompactG) / tBuild}%.2f)")
+
     // ---- positional index
     val posDir = tmp("graft_delprof_pos")
     val corpus = graft.queries.IrEngine.corpus(spark, sfDir)

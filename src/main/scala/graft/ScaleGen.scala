@@ -50,18 +50,21 @@ import org.apache.spark.sql.functions._
   *
   *  - optional 5th argument `vocabSlices` (default 1 = off) slices
   *    the DOCUMENT vocabulary per doc group: every token of a doc in
-  *    group g (= doc_id % slices) gains a `zq<g>` suffix, so terms
-  *    are shared only WITHIN a group. The synthetic corpus's one
-  *    shared vocabulary makes every doc touch every term — an
-  *    adversarial worst case for touched-term index maintenance
-  *    (deleting ANY batch recomputes ~the whole stats table; the
-  *    SCALING caveat on the r14 DeleteProf/UpdateProf BM25 rows).
-  *    Real corpora have document-local vocabularies; with slices, a
-  *    takedown batch's touched-term count follows the BATCH (its
-  *    docs' groups), not the corpus — the honest maintenance
-  *    fixture. Token lengths change, so `n_chars` and the dedup
-  *    density invariants do NOT survive this knob: use it for the
-  *    maintenance profs only.
+  *    group g (= doc_id % slices) gains a fixed-width `zq<gg>`
+  *    PREFIX, so terms are shared only WITHIN a group AND each
+  *    group's vocabulary is a CONTIGUOUS range of the term sort
+  *    order (a suffix would interleave every group's variants of a
+  *    word, defeating term-ranged file surgery). The synthetic
+  *    corpus's one shared vocabulary makes every doc touch every
+  *    term — an adversarial worst case for touched-term index
+  *    maintenance (deleting ANY batch recomputes ~the whole stats
+  *    table; the SCALING caveat on the r14 DeleteProf/UpdateProf
+  *    BM25 rows). Real corpora have document-local vocabularies;
+  *    with slices, a takedown batch's touched-term and touched-file
+  *    counts follow the BATCH (its docs' groups), not the corpus —
+  *    the honest maintenance fixture. Token lengths change, so
+  *    `n_chars` and the dedup density invariants do NOT survive this
+  *    knob: use it for the maintenance profs only.
   *
   * Usage: `sbt "runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/graft_sf1 10 [dupCopies] [vocabSlices]"`
   */
@@ -78,7 +81,8 @@ object ScaleGen {
     // all-duplicates behavior.
     val dupCopies = if (args.length > 3) args(3).toInt else factor
     val vocabSlices = if (args.length > 4) args(4).toInt else 1
-    require(vocabSlices >= 1, "vocabSlices must be >= 1")
+    require(vocabSlices >= 1 && vocabSlices <= 100,
+      "vocabSlices must be in [1, 100] (two-digit group prefixes)")
     // rot(i) wraps at 26: copy 26 would be byte-identical to copy 0,
     // silently injecting a full corpus of exact duplicates
     require(factor >= 1 && factor <= 26,
@@ -124,7 +128,7 @@ object ScaleGen {
           .filter(pmod(pmod(col("doc_id"), lit(IdStride)),
             lit(vocabSlices.toLong)) === lit(g.toLong))
           .withColumn("text", regexp_replace(col("text"),
-            "([a-z0-9]+)", "$1zq" + g.toString))
+            "([a-z0-9]+)", f"zq$g%02dx$$1"))
       }.reduce(_ unionByName _)
     sliced
       .repartition(cpus.toInt)

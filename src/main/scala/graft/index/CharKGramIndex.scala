@@ -511,7 +511,14 @@ object CharKGramIndex {
     recoverCgMerge(spark, dir)
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val reqHash = requestHash(oldDocTerms, newDocTerms)
+    import graft.ops.Stage.StageOps
+    // staged ONCE: the content-hash guard, the df decrement and the
+    // gram surgery all re-read these batch-sized frames
+    val old0 = oldDocTerms.select(
+      col("doc_id").cast("string").as("doc_id"), col("term")).stage()
+    val neu = newDocTerms.select(
+      col("doc_id").cast("string").as("doc_id"), col("term")).stage()
+    val reqHash = requestHash(old0, neu)
     appliedOps(spark, dir, fs).get(opId) match {
       case Some(h) if h == reqHash => return // true replay: no-op
       case Some(h) => throw new IllegalStateException(
@@ -526,7 +533,6 @@ object CharKGramIndex {
         s"$dir has no $VocabDfDir sidecar — write it at store " +
           "creation (writeVocabDf); without df the vocabulary " +
           "recount requires a rebuild"))
-    import graft.ops.Stage.StageOps
     val deletedDir = new Path(root, DeletedDocsDir)
     val ledger =
       if (fs.exists(deletedDir) && fs.listStatus(deletedDir).exists(f =>
@@ -534,12 +540,8 @@ object CharKGramIndex {
         Some(spark.read.parquet(deletedDir.toString)
           .select(col("doc_id").cast("string").as("doc_id")))
       else None
-    val old0 = oldDocTerms.select(
-      col("doc_id").cast("string").as("doc_id"), col("term"))
     val old1 = ledger.fold(old0)(d =>
       old0.join(d, Seq("doc_id"), "left_anti"))
-    val neu = newDocTerms.select(
-      col("doc_id").cast("string").as("doc_id"), col("term")).stage()
     val dec = old1.groupBy(col("term")).agg(count(lit(1)).as("dec"))
     val inc = neu.groupBy(col("term")).agg(count(lit(1)).as("inc"))
     val delta = dec.join(inc, Seq("term"), "full_outer")

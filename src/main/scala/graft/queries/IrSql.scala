@@ -1339,16 +1339,18 @@ object IrSql {
       fs.delete(new Path(root, DeleteMarker), false); return
     }
     val postings = spark.read.parquet(s"$storeDir/postings")
-    val touchedTerms = postings
-      .join(tombs, Seq("doc_id"), "left_semi")
+    val touchedTerms = semiByKey(postings, "doc_id", tombs)
       .select(col("term")).distinct().stage()
     // stats recompute from the FULL live view (tombstones out, live
     // generation only) — exact df/frontier for the touched terms at
-    // any pending-update state
+    // any pending-update state. The term restriction goes FIRST and
+    // as literals where takedown-sized: the postings table is
+    // term-ranged, so the scan zone-map-prunes to the touched terms'
+    // files instead of reading the table through the join
     val liveLen = liveView(spark, storeDir,
       spark.read.parquet(s"$storeDir/doclen")).stage()
-    val livePost = liveView(spark, storeDir, postings)
-      .join(touchedTerms, Seq("term"), "left_semi")
+    val livePost = liveView(spark, storeDir,
+      semiByKey(postings, "term", touchedTerms))
     val tfl = livePost.join(liveLen, "doc_id")
       .select(col("term"), col("tf"), col("dl"))
     val newTouched = livePost.groupBy(col("term"))
@@ -1490,7 +1492,23 @@ object IrSql {
     if (readTombs(spark, storeDir).isEmpty &&
         readDocGen(spark, storeDir).isEmpty) return
     fs.create(new Path(root, CompactMarker), false).close()
-    replayCompact(spark, storeDir)
+    // the doc_gen artifact is authoritative here (recovery already
+    // ran, no compact was in flight) — only a crash REPLAY needs the
+    // physical gen scan
+    replayCompact(spark, storeDir, physicalGenScan = false)
+  }
+
+  /** Semi-restrict `df` to rows whose `key` is in `keys` — literal
+    * `isin` when the key set is takedown-sized (a codegen'd predicate
+    * the scan can push), broadcast semi-join otherwise (the
+    * [[graft.index.InvertedIndex]] litCap discipline). */
+  private def semiByKey(df: DataFrame, key: String,
+                        keys: DataFrame): DataFrame = {
+    val litCap = 10000
+    val lits = keys.limit(litCap + 1).collect().map(_.get(0))
+    if (lits.length <= litCap)
+      df.filter(col(key).isin(lits.toIndexedSeq: _*))
+    else df.join(broadcast(keys), Seq(key), "left_semi")
   }
 
   /** Keep each doc's max-generation row only — the live view derived
@@ -1510,23 +1528,30 @@ object IrSql {
     * rows with gen reset, (3) corpus recompute, (4) sidecar drops,
     * marker cleared last. */
   private[graft] def replayCompact(spark: SparkSession,
-                                   storeDir: String): Unit = {
+                                   storeDir: String,
+                                   physicalGenScan: Boolean = true)
+      : Unit = {
     import org.apache.hadoop.fs.Path
     import graft.ops.Stage.StageOps
     val root = new Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val post = spark.read.parquet(s"$storeDir/postings")
     val dlen = spark.read.parquet(s"$storeDir/doclen")
-    val updIds = post.filter(col("gen") > 0).select(col("doc_id"))
-      .unionByName(dlen.filter(col("gen") > 0).select(col("doc_id")))
-      .distinct().stage()
+    val updIds = (if (physicalGenScan)
+        post.filter(col("gen") > 0).select(col("doc_id"))
+          .unionByName(dlen.filter(col("gen") > 0)
+            .select(col("doc_id")))
+          .distinct()
+      else readDocGen(spark, storeDir).fold {
+        import spark.implicits._
+        Seq.empty[Long].toDF("doc_id")
+      }(_.select(col("doc_id")))).stage()
     val tombs = readTombs(spark, storeDir)
     // 1. the deferred UPDATE stats bill (delete-touched terms were
     //    priced at delete time): exact df + frontier for every term
     //    any pending generation touches, from the max-gen live view
     if (updIds.limit(1).count() > 0) {
-      val touchedTerms = post
-        .join(broadcast(updIds), Seq("doc_id"), "left_semi")
+      val touchedTerms = semiByKey(post, "doc_id", updIds)
         .select(col("term")).distinct().stage()
       val livePost = {
         val p = maxGenLive(post)
@@ -1556,11 +1581,15 @@ object IrSql {
     //    drop); every other file stays byte-identical
     val deadIds = tombs.fold(updIds)(t =>
       updIds.unionByName(t.select(col("doc_id"))).distinct()).stage()
+    val hasUpd = updIds.limit(1).count() > 0
     if (deadIds.limit(1).count() > 0) {
       def liveRows(rows: DataFrame): DataFrame = {
         val kept = tombs.fold(rows)(t =>
           rows.join(broadcast(t), Seq("doc_id"), "left_anti"))
-        maxGenLive(kept).withColumn("gen", lit(0L))
+        // delete-only reclaim: every row is already gen 0 — the
+        // max-gen self-join would shuffle the touched set for nothing
+        if (!hasUpd) kept
+        else maxGenLive(kept).withColumn("gen", lit(0L))
       }
       graft.index.StoreSurgery.reclaimWith(spark,
         s"$storeDir/postings", "doc_id", deadIds, "term",
