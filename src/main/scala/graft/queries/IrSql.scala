@@ -1029,8 +1029,7 @@ object IrSql {
   private val DocGenDir = "doc_gen"
   private val SupCorpusDir = "sup_corpus"
   private val StatsUpdDir = "stats_upd"
-  private val UpdPostingsStaging = "_graft_upd_postings"
-  private val UpdDoclenStaging = "_graft_upd_doclen"
+  private val UpdStageDir = "_graft_upd_stage"
   private val UpdateMarker = "_graft_update_inflight"
   private val CompactMarker = "_graft_compact_inflight"
 
@@ -1290,8 +1289,11 @@ object IrSql {
         fs.delete(new Path(root, LazyDeleteMarker), false)
         ()
       case Some(lt) =>
-        val dead = spark.read.parquet(s"$storeDir/doclen")
-          .join(broadcast(lt), Seq("doc_id"), "left_semi")
+        // literal ids where takedown-sized: the doc-keyed doclen scan
+        // row-group-prunes instead of reading the table through the
+        // broadcast join
+        val dead = semiByKey(spark.read.parquet(s"$storeDir/doclen"),
+            "doc_id", lt)
           .agg(coalesce(sum(col("dl")), lit(0L)).as("tt_dead"),
             count(lit(1)).as("nd_dead"))
         swapIn(spark, s"$storeDir/$TombCorpusDir", dead)
@@ -1398,7 +1400,11 @@ object IrSql {
         fs.delete(new Path(root, SupCorpusDir), true)
         ()
       case Some(dg) =>
-        val sup = spark.read.parquet(s"$storeDir/doclen")
+        // only updated docs can hold superseded rows: restrict the
+        // scan to their ids first (literal isin under the cap — the
+        // doc-keyed doclen layout prunes), then the gen comparison
+        val sup = semiByKey(spark.read.parquet(s"$storeDir/doclen"),
+            "doc_id", dg.select(col("doc_id")))
           .join(broadcast(dg.select(col("doc_id"),
             col("gen").as("__live_gen"))), Seq("doc_id"))
           .filter(col("gen") < col("__live_gen"))
@@ -1771,30 +1777,20 @@ object IrSql {
       TombstonesDir, LazyTombstonesDir, DocGenDir, SupCorpusDir,
       StatsUpdDir)
 
-  /** Crash recovery for [[updateBm25Docs]]'s staged-append commit:
-    * marker ABSENT → staged deltas roll back; marker PRESENT → finish
-    * (move remaining staged parts in, re-derive every generation
-    * artifact from physical state, clear). */
+  /** Crash recovery for [[updateBm25Docs]]'s staged commit: marker
+    * ABSENT → the staged payload is an uncommitted attempt, roll back
+    * (the store proper was never touched); marker PRESENT → finish
+    * consuming the staged payload (absolute values — replay from any
+    * point converges). */
   private[graft] def recoverBm25Update(spark: SparkSession,
                                        storeDir: String): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val pDir = new Path(root, UpdPostingsStaging)
-    val lDir = new Path(root, UpdDoclenStaging)
     if (!fs.exists(new Path(root, UpdateMarker))) {
-      fs.delete(pDir, true)
-      fs.delete(lDir, true)
+      fs.delete(new Path(root, UpdStageDir), true)
       ()
-    } else {
-      moveParts(fs, pDir, new Path(root, "postings"))
-      moveParts(fs, lDir, new Path(root, "doclen"))
-      fs.delete(pDir, true)
-      fs.delete(lDir, true)
-      refreshGenDerived(spark, storeDir)
-      fs.delete(new Path(root, UpdateMarker), false)
-      ()
-    }
+    } else finishBm25UpdateStage(spark, storeDir)
   }
 
   /** Crash recovery for [[compactBm25Deletes]]: marker present →
@@ -2130,28 +2126,36 @@ object IrSql {
     * IVF store's tombstone→append→compact shape.
     *
     * Per-call cost: tokenize the delta, append two takedown-sized
-    * file sets, and refresh three one-row/overlay sidecars (narrow
-    * doclen scans + a gen>0-pruned postings scan) — no store rewrite,
-    * no touched-term recompute, no stats-table rewrite.
+    * file sets, and swap in four derived replacements computed from
+    * BATCH-sized inputs only (the previous generation's rows read
+    * through a literal-pruned doclen scan; everything else from the
+    * request and the old one-row/overlay artifacts) — no store
+    * rewrite, no touched-term recompute, no stats-table rewrite, no
+    * full-table scan of any kind: at 100 TB even a "narrow doclen
+    * scan" is corpus-sized, so the derive step must follow the batch.
     *
     * Docs ABSENT from the store insert (upsert: gen 1 with no prior
     * rows). Docs currently TOMBSTONED revive (an update of a deleted
     * doc is the re-add path): they leave the tombstone sets and only
     * their new generation serves.
     *
-    * Crash safety (the [[mergeBm25Stats]] marker discipline): both
-    * deltas stage outside the store, the [[UpdateMarker]] is the
-    * commit point, and every derived artifact recomputes from
-    * PHYSICAL state ([[refreshGenDerived]]) — replay from any crash
-    * point converges. Re-driving the SAME request appends another
-    * identical generation: rankings unchanged, compaction folds to
-    * the identical store (spec-pinned). Run behind the serving
-    * quiesce; live servers detect the mutation via their stamps. */
+    * Crash safety: the WHOLE payload — both deltas AND the four
+    * derived replacements as ABSOLUTE values — stages under
+    * [[UpdStageDir]] before the [[UpdateMarker]] commit point;
+    * [[finishBm25UpdateStage]] then moves the deltas in and swaps the
+    * replacements wholesale. Because the staged derived values are
+    * absolute (not increments), replaying the finish from any crash
+    * point converges — consumed pieces are simply absent. Re-driving
+    * the SAME request appends another identical generation: rankings
+    * unchanged, compaction folds to the identical store
+    * (spec-pinned). Run behind the serving quiesce; live servers
+    * detect the mutation via their stamps. */
   def updateBm25Docs(spark: SparkSession, storeDir: String,
                      newDocs: DataFrame): Unit = {
     recoverBm25Store(spark, storeDir)
     import org.apache.hadoop.fs.Path
     import graft.ops.Stage.StageOps
+    import spark.implicits._
     val root = new Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val neu = newDocs
@@ -2166,65 +2170,110 @@ object IrSql {
       .agg(count(lit(1)).as("tf")).stage()
     // next generation per doc = live gen + 1 (absent → 0 → insert
     // lands at gen 1); the map is pending-update-sized → broadcast
-    val baseGen = readDocGen(spark, storeDir).getOrElse {
-      import spark.implicits._
-      Seq.empty[(Long, Long)].toDF("doc_id", "gen")
-    }
+    val baseGen = readDocGen(spark, storeDir).getOrElse(
+      Seq.empty[(Long, Long)].toDF("doc_id", "gen")).stage()
     val gens = neu.select(col("doc_id")).distinct()
       .join(baseGen.select(col("doc_id"), col("gen").as("__g")),
         Seq("doc_id"), "left")
       .select(col("doc_id"),
         (coalesce(col("__g"), lit(0L)) + lit(1L)).as("gen"))
-    // stage BOTH deltas outside the store, then commit atomically
+      .stage()
+    val stage = new Path(root, UpdStageDir)
+    fs.delete(stage, true)
+    // ---- stage the two authoritative deltas
     dTf.join(broadcast(gens), "doc_id")
       .select(col("term"), col("doc_id"), col("tf"), col("gen"))
       .repartitionByRange(col("term"))
       .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.mode("overwrite")
-      .parquet(new Path(root, UpdPostingsStaging).toString)
+      .write.parquet(new Path(stage, "postings").toString)
     dLen.join(broadcast(gens), "doc_id")
       .select(col("doc_id"), col("dl"), col("gen"))
-      .write.mode("overwrite")
-      .parquet(new Path(root, UpdDoclenStaging).toString)
+      .write.parquet(new Path(stage, "doclen").toString)
+    // ---- stage the four derived replacements as ABSOLUTE values
+    // doc_gen: carried map with the batch's rows flipped to the new
+    // generation
+    baseGen.join(gens.select(col("doc_id")), Seq("doc_id"),
+        "left_anti")
+      .unionByName(gens)
+      .coalesce(1).write.parquet(new Path(stage, DocGenDir).toString)
+    // corpus: physical-minus-exact-tombs totals grow by exactly the
+    // appended rows (revive already re-priced any resurrected ones)
+    val (dtt, dnd) = {
+      val r = dLen.agg(coalesce(sum(col("dl")), lit(0L)),
+        count(lit(1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (tt0, nd0) = readCorpusStats(spark, storeDir)
+    Seq((tt0 + dtt, nd0 + dnd)).toDF("tt", "nd")
+      .coalesce(1).write.parquet(new Path(stage, "corpus").toString)
+    // sup_corpus: the batch docs' CURRENT live rows become superseded
+    // the moment the generation flips — their mass is read through a
+    // literal-pruned, batch-sized doclen scan (tombstones cannot hide
+    // them: revive just cleared the batch's ids)
+    val (bt, bn) = {
+      val r = semiByKey(spark.read.parquet(s"$storeDir/doclen"),
+          "doc_id", neu.select(col("doc_id")))
+        .join(broadcast(baseGen.select(col("doc_id"),
+          col("gen").as("__lg"))), Seq("doc_id"), "left")
+        .filter(coalesce(col("__lg"), lit(0L)) === col("gen"))
+        .agg(coalesce(sum(col("dl")), lit(0L)), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (st0, sn0) = supCorpusStats(spark, storeDir).getOrElse((0L, 0L))
+    Seq((st0 + bt, sn0 + bn)).toDF("tt_sup", "nd_sup")
+      .coalesce(1).write
+      .parquet(new Path(stage, SupCorpusDir).toString)
+    // stats_upd: the delta terms' frontiers merge the old overlay
+    // pairs with the new rows' (tf, dl); untouched overlay rows carry
+    val deltaTfl = dTf.join(dLen, "doc_id")
+      .select(col("term"), col("tf"), col("dl"))
+    val newOverlay =
+      if (!artifactNonEmpty(spark, storeDir, StatsUpdDir))
+        paretoPairs(deltaTfl)
+      else {
+        val oldUpd = spark.read.parquet(s"$storeDir/$StatsUpdDir")
+        val touched = dTf.select(col("term")).distinct()
+        val oldTouched = oldUpd
+          .join(touched, Seq("term"), "left_semi")
+          .select(col("term"), explode(col("pairs")).as("p"))
+          .select(col("term"), col("p.tf").as("tf"),
+            col("p.dl").as("dl"))
+        val untouched = oldUpd.join(touched, Seq("term"), "left_anti")
+        untouched.unionByName(
+          paretoPairs(oldTouched.unionByName(deltaTfl))
+            .select(untouched.columns.toIndexedSeq.map(col): _*))
+      }
+    newOverlay.write.parquet(new Path(stage, StatsUpdDir).toString)
     fs.create(new Path(root, UpdateMarker), false).close() // COMMIT
-    moveParts(fs, new Path(root, UpdPostingsStaging),
-      new Path(root, "postings"))
-    moveParts(fs, new Path(root, UpdDoclenStaging),
-      new Path(root, "doclen"))
-    fs.delete(new Path(root, UpdPostingsStaging), true)
-    fs.delete(new Path(root, UpdDoclenStaging), true)
-    refreshGenDerived(spark, storeDir)
-    fs.delete(new Path(root, UpdateMarker), false)
-    ()
+    finishBm25UpdateStage(spark, storeDir)
   }
 
-  /** Refresh every generation-state artifact from PHYSICAL store
-    * state (all idempotent — the [[UpdateMarker]] replay path):
-    * `doc_gen` = max physical gen per doc (gen-0-only docs stay
-    * implicit), `corpus` = tombstone-free physical totals, then the
-    * two deferred-state sidecars. */
-  private def refreshGenDerived(spark: SparkSession,
-                                storeDir: String): Unit = {
+  /** Consume the staged update payload (idempotent — the
+    * [[UpdateMarker]] replay path): move the two deltas' parts into
+    * the authoritative tables, swap each staged derived replacement
+    * in WHOLESALE (absent staged dir = already consumed by an earlier
+    * attempt), bump the staleness generation, clear the marker. */
+  private def finishBm25UpdateStage(spark: SparkSession,
+                                    storeDir: String): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dg = spark.read.parquet(s"$storeDir/doclen")
-      .groupBy(col("doc_id")).agg(max(col("gen")).as("gen"))
-      .filter(col("gen") > 0)
-    if (dg.limit(1).count() == 0)
-      fs.delete(new Path(root, DocGenDir), true)
-    else swapIn(spark, s"$storeDir/$DocGenDir", dg.coalesce(1))
-    // corpus invariant: physical totals minus EXACT tombstones only
-    // (lazy-dead mass stays priced by the tomb_corpus sidecar)
-    swapIn(spark, s"$storeDir/corpus", {
-      val dl = spark.read.parquet(s"$storeDir/doclen")
-      readTombs(spark, storeDir).fold(dl)(et =>
-        dl.join(broadcast(et), Seq("doc_id"), "left_anti"))
-        .agg(coalesce(sum(col("dl")), lit(0L)).as("tt"),
-          count(lit(1)).as("nd"))
-    })
-    recomputeSupCorpus(spark, storeDir)
-    recomputeStatsUpd(spark, storeDir)
+    val stage = new Path(root, UpdStageDir)
+    moveParts(fs, new Path(stage, "postings"),
+      new Path(root, "postings"))
+    moveParts(fs, new Path(stage, "doclen"), new Path(root, "doclen"))
+    Seq(DocGenDir, "corpus", SupCorpusDir, StatsUpdDir).foreach { n =>
+      val s = new Path(stage, n)
+      if (fs.exists(s)) {
+        fs.delete(new Path(root, n), true)
+        require(fs.rename(s, new Path(root, n)),
+          s"rename $s -> $root/$n failed mid-update-finish")
+      }
+    }
+    fs.delete(stage, true)
+    graft.StoreGen.bump(fs, root)
+    fs.delete(new Path(root, UpdateMarker), false)
+    ()
   }
 
   /** An update of a TOMBSTONED doc revives it (the re-add path): the

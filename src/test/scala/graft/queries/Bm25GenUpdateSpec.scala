@@ -95,16 +95,16 @@ class Bm25GenUpdateSpec extends SparkSpec {
     val direct = freshStore()
     IrSql.updateBm25Docs(spark, direct, upd)
     val want = ranked(direct)
-    // stage plausible deltas by hand (content does not matter for the
-    // rollback branch — recovery must delete them unexamined)
+    // stage a plausible payload by hand (content does not matter for
+    // the rollback branch — recovery must delete it unexamined)
     spark.range(1).selectExpr("'x' as term", "id as doc_id",
       "1L as tf", "1L as gen")
-      .write.parquet(s"$store/_graft_upd_postings")
+      .write.parquet(s"$store/_graft_upd_stage/postings")
     spark.range(1).selectExpr("id as doc_id", "1L as dl", "1L as gen")
-      .write.parquet(s"$store/_graft_upd_doclen")
+      .write.parquet(s"$store/_graft_upd_stage/doclen")
     IrSql.recoverBm25Update(spark, store)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(
-      s"$store/_graft_upd_postings")), "rollback left staged postings")
+      s"$store/_graft_upd_stage")), "rollback left the staged payload")
     assert(ranked(store) == pre, "rollback changed the store")
     // B: a real update interrupted AFTER the commit point — replay
     // from the marker must land the exact post-update state. Simulate
