@@ -170,8 +170,19 @@ object Repl {
           point = Some(ps)))
       case _ => None
     }
-    // session ledger for the takedown/recrawl fan-out ('ops' command)
-    lazy val opsLedger = graft.TempDirs.scratch("graft_repl_ops")
+    // ledger for the takedown/recrawl fan-out ('ops' command) — a
+    // STABLE per-corpus location (tmpdir keyed by the corpus path,
+    // NOT an exit-deleted scratch dir), so a crashed session's
+    // pending legs are visible to the next session's 'ops'
+    lazy val opsLedger = ann match {
+      case Some((_, _, corpusDir)) =>
+        val p = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          "graft_ops_" + Integer.toHexString(corpusDir.hashCode))
+        java.nio.file.Files.createDirectories(p)
+        p.toString
+      case None => graft.TempDirs.scratch("graft_repl_ops")
+    }
     // per-corpus filter keep set for `hybridf`, collected on first use
     val hybridKeep = scala.collection.mutable.Map
       .empty[String, java.util.HashSet[java.lang.Long]]

@@ -26,13 +26,20 @@ private[graft] object StoreGen {
 
   val GenFile = "_graft_store_gen"
 
-  /** Bump the store's generation (create at 1 if absent). Called by
-    * the shared commit helpers — possibly several times per logical
-    * maintenance op, which is fine: any strictly-increasing sequence
-    * of writes changes the stamp. */
+  /** Bump the store's generation. Called by the shared commit
+    * helpers — possibly several times per logical maintenance op,
+    * which is fine: any strictly-increasing sequence of writes
+    * changes the stamp. The value is max(previous + 1, now-millis),
+    * NOT a counter from 1: a rebuild that wipes the store dir (and
+    * the marker with it) or a corrupted marker would restart a plain
+    * counter and could climb back to a generation a live server
+    * already cached — the wall-clock floor makes post-wipe values
+    * land above every pre-wipe value, so the fast path cannot alias
+    * a rebuild away. */
   def bump(fs: FileSystem, storeRoot: Path): Unit = {
     val p = new Path(storeRoot, GenFile)
-    val next = read(fs, storeRoot).getOrElse(0L) + 1L
+    val next = math.max(read(fs, storeRoot).getOrElse(0L) + 1L,
+      System.currentTimeMillis())
     val out = fs.create(p, true)
     try out.write(next.toString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))

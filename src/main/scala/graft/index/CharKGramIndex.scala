@@ -457,15 +457,30 @@ object CharKGramIndex {
     * commit as the surgery; a replay sees the id and no-ops. */
   private[graft] val AppliedOpsDir = "_graft_applied_ops"
 
+  /** Ledger hash value meaning "applied before content binding
+    * existed" — replays of such ops are accepted unverified (the
+    * pre-r15 contract), never failed. */
+  private val LegacyHash = 0L
+
   private def appliedOps(spark: SparkSession, dir: String,
                          fs: org.apache.hadoop.fs.FileSystem)
       : Map[String, Long] = {
     val p = new Path(dir, AppliedOpsDir)
     if (fs.exists(p) && fs.listStatus(p).exists(f =>
         f.isFile && f.getPath.getName.endsWith(".parquet")))
-      spark.read.parquet(p.toString)
+      readOpsLedger(spark, p)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     else Map.empty
+  }
+
+  /** The ops ledger with the content-hash column backfilled for
+    * stores written before it existed (their ops read as
+    * [[LegacyHash]] — accepted on replay, migrated on next write). */
+  private def readOpsLedger(spark: SparkSession,
+                            p: Path): DataFrame = {
+    val raw = spark.read.parquet(p.toString)
+    if (raw.columns.contains("content_hash")) raw
+    else raw.withColumn("content_hash", lit(LegacyHash))
   }
 
   /** Order-independent content fingerprint of an update request (the
@@ -521,6 +536,7 @@ object CharKGramIndex {
     val reqHash = requestHash(old0, neu)
     appliedOps(spark, dir, fs).get(opId) match {
       case Some(h) if h == reqHash => return // true replay: no-op
+      case Some(LegacyHash) => return // pre-binding op: accept replay
       case Some(h) => throw new IllegalStateException(
         s"update op '$opId' was already applied with DIFFERENT " +
           s"content (ledger hash $h, request hash $reqHash) — an " +
@@ -599,7 +615,7 @@ object CharKGramIndex {
     val oldOps =
       if (fs.exists(opsDir) && fs.listStatus(opsDir).exists(f =>
           f.isFile && f.getPath.getName.endsWith(".parquet")))
-        spark.read.parquet(opsDir.toString)
+        readOpsLedger(spark, opsDir) // legacy rows migrate on rewrite
       else spark.range(0)
         .select(lit("").as("op_id"), lit(0L).as("content_hash"))
         .limit(0)

@@ -66,17 +66,13 @@ private[graft] object StoreSurgery {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a takedown-sized key set collects to LITERALS so the probe scan
     // row-group-prunes on the key's min/max instead of reading the
-    // whole column through a join (the InvertedIndex litCap
-    // discipline); a corpus-scale purge keeps the join probe
-    val litCap = 10000
-    val keyLits = touchKeys.limit(litCap + 1).collect().map(_.get(0))
-    val probeSrc = spark.read.parquet(tableDir)
-      .select(col(key), input_file_name().as("__file"))
-    val probed =
-      if (keyLits.length <= litCap)
-        probeSrc.filter(col(key).isin(keyLits.toIndexedSeq: _*))
-      else probeSrc.join(broadcast(touchKeys), Seq(key), "left_semi")
-    val touched = probed
+    // whole column through a join (graft.queries.IrSql.semiByKey —
+    // the shared litCap discipline); a corpus-scale purge keeps the
+    // join probe
+    val touched = graft.queries.IrSql.semiByKey(
+        spark.read.parquet(tableDir)
+          .select(col(key), input_file_name().as("__file")),
+        key, touchKeys)
       .select(col("__file")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     if (touched.isEmpty) return 0

@@ -676,9 +676,8 @@ object Pq {
     * append). */
   def updatePqVectors(spark: SparkSession, storeDir: String,
                       newVecs: DataFrame): Unit = {
-    requireUpdatable(spark, storeDir, newVecs)
-    val (cents, seeds) = readQuantizer(spark, storeDir).get
-    if (newVecs.agg(min(col("vec_id"))).head().isNullAt(0)) return
+    val (cents, seeds) = requireQuantizer(spark, storeDir)
+    if (!checkSeedRange(seeds, newVecs)) return // empty batch
     deletePqVectors(spark, storeDir,
       newVecs.select(col("vec_id")))
     compactPqDeletes(spark, storeDir)
@@ -716,18 +715,32 @@ object Pq {
     * serve. */
   def requireUpdatable(spark: SparkSession, storeDir: String,
                        newVecs: DataFrame): Unit = {
-    val (_, seeds) = readQuantizer(spark, storeDir).getOrElse(
+    checkSeedRange(requireQuantizer(spark, storeDir)._2, newVecs)
+    ()
+  }
+
+  /** The store's frozen quantizer, or the standard refusal. */
+  private def requireQuantizer(spark: SparkSession, storeDir: String)
+      : (Array[Array[(Long, Array[Double])]],
+         Array[(Long, Seq[Float])]) =
+    readQuantizer(spark, storeDir).getOrElse(
       throw new IllegalStateException(
         s"$storeDir has no $QuantizerDir sidecar — pre-sidecar " +
           "stores must rebuild (writeIvfPqStore) to update"))
+
+  /** False = empty batch (nothing to do); throws when an updated id
+    * sits in the frozen coarse-seed range. */
+  private def checkSeedRange(seeds: Array[(Long, Seq[Float])],
+                             newVecs: DataFrame): Boolean = {
     val minRow = newVecs.agg(min(col("vec_id"))).head()
-    if (minRow.isNullAt(0)) return
+    if (minRow.isNullAt(0)) return false
     val maxSeed = seeds.map(_._1).max
     require(minRow.getLong(0) > maxSeed,
       s"updated vec_id ${minRow.getLong(0)} is a frozen coarse-seed " +
         s"coordinate (max seed id $maxSeed): changing a seed's vector " +
         "re-encodes the store — rebuild writeIvfPqStore from the " +
         "updated source table")
+    true
   }
 
   /** Probe a [[writeIvfPqStore]] store: the coarse quantizer routes

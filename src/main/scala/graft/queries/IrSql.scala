@@ -1032,6 +1032,12 @@ object IrSql {
   private val UpdStageDir = "_graft_upd_stage"
   private val UpdateMarker = "_graft_update_inflight"
   private val CompactMarker = "_graft_compact_inflight"
+  // staged DROP sentinels for the revive half of an update: "this
+  // artifact's replacement is ITS ABSENCE" (an empty parquet dir
+  // cannot say that — the readers treat any parquet file as presence)
+  private val DropTombstones = "_drop_tombstones"
+  private val DropLazyTombstones = "_drop_tombstones_lazy"
+  private val DropTombCorpus = "_drop_tomb_corpus"
 
   private def artifactNonEmpty(spark: SparkSession, storeDir: String,
                                name: String): Boolean = {
@@ -1507,9 +1513,10 @@ object IrSql {
   /** Semi-restrict `df` to rows whose `key` is in `keys` — literal
     * `isin` when the key set is takedown-sized (a codegen'd predicate
     * the scan can push), broadcast semi-join otherwise (the
-    * [[graft.index.InvertedIndex]] litCap discipline). */
-  private def semiByKey(df: DataFrame, key: String,
-                        keys: DataFrame): DataFrame = {
+    * [[graft.index.InvertedIndex]] litCap discipline; shared with
+    * [[graft.index.StoreSurgery.reclaimWith]]'s probe). */
+  private[graft] def semiByKey(df: DataFrame, key: String,
+                               keys: DataFrame): DataFrame = {
     val litCap = 10000
     val lits = keys.limit(litCap + 1).collect().map(_.get(0))
     if (lits.length <= litCap)
@@ -1804,11 +1811,32 @@ object IrSql {
       replayCompact(spark, storeDir)
   }
 
+  /** One-time migration for stores written before rows carried a
+    * generation column (pre-r15): stamp gen 0 onto both row tables
+    * through crash-safe swaps. Without this, the first update's
+    * delta append would create MIXED-schema dirs whose reads either
+    * fail to resolve `gen` or silently null-filter every base row.
+    * Queries never need it (the gen filter only engages once a
+    * doc_gen map exists, which implies migrated tables) — only
+    * maintenance entries pay the schema check. */
+  private def ensureGenColumns(spark: SparkSession,
+                               storeDir: String): Unit = {
+    val post = spark.read.parquet(s"$storeDir/postings")
+    if (!post.columns.contains("gen"))
+      swapIn(spark, s"$storeDir/postings",
+        post.withColumn("gen", lit(0L)))
+    val dlen = spark.read.parquet(s"$storeDir/doclen")
+    if (!dlen.columns.contains("gen"))
+      swapIn(spark, s"$storeDir/doclen",
+        dlen.withColumn("gen", lit(0L)))
+  }
+
   private def recoverBm25Store(spark: SparkSession,
                                storeDir: String): Unit = {
     Bm25Artifacts.foreach(recoverArtifact(spark, storeDir, _))
     graft.index.StoreSurgery.recover(spark, s"$storeDir/postings")
     graft.index.StoreSurgery.recover(spark, s"$storeDir/doclen")
+    ensureGenColumns(spark, storeDir)
     recoverBm25Merge(spark, storeDir)
     recoverBm25Update(spark, storeDir)
     // lazy first, so an in-flight eager delete's replay prices every
@@ -2162,7 +2190,6 @@ object IrSql {
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .stage()
     if (neu.limit(1).count() == 0) return
-    reviveTombstoned(spark, storeDir, neu.select(col("doc_id")))
     val dTok = tokensOf(neu)
     val dLen = dTok.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("dl")).stage()
@@ -2180,6 +2207,49 @@ object IrSql {
       .stage()
     val stage = new Path(root, UpdStageDir)
     fs.delete(stage, true)
+    val reqIds = neu.select(col("doc_id")).distinct().stage()
+    val dlenTable = spark.read.parquet(s"$storeDir/doclen")
+    def massOf(ids: DataFrame): (Long, Long) = {
+      val r = semiByKey(dlenTable, "doc_id", ids)
+        .agg(coalesce(sum(col("dl")), lit(0L)), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // ---- the REVIVE half, computed pre-commit without mutating:
+    // batch docs currently TOMBSTONED re-add — the new tombstone
+    // sets, the lazy sidecar and the corpus/sup corrections all
+    // stage as ABSOLUTE values and land only under the marker (a
+    // pre-marker revive would resurrect a taken-down doc's OLD
+    // content if the update crashed before committing)
+    val exactT = readTombs(spark, storeDir)
+    val lazyT = readLazyTombs(spark, storeDir)
+    def revivedOf(t: Option[DataFrame]): Option[DataFrame] =
+      t.map(_.join(broadcast(reqIds), Seq("doc_id"), "left_semi")
+        .stage())
+        .filter(_.limit(1).count() > 0)
+    val revivedExact = revivedOf(exactT)
+    val revivedLazy = revivedOf(lazyT)
+    def stageRest(t: DataFrame, name: String,
+                  dropMarker: String): Unit = {
+      val rest = t.join(broadcast(reqIds), Seq("doc_id"), "left_anti")
+        .stage()
+      if (rest.limit(1).count() == 0)
+        fs.create(new Path(stage, dropMarker), false).close()
+      else rest.coalesce(1).write
+        .parquet(new Path(stage, name).toString)
+    }
+    revivedExact.foreach(_ =>
+      stageRest(exactT.get, TombstonesDir, DropTombstones))
+    revivedLazy.foreach { _ =>
+      stageRest(lazyT.get, LazyTombstonesDir, DropLazyTombstones)
+      val rest = lazyT.get
+        .join(broadcast(reqIds), Seq("doc_id"), "left_anti")
+      val (rt, rn) = massOf(rest)
+      if (rn == 0L)
+        fs.create(new Path(stage, DropTombCorpus), false).close()
+      else Seq((rt, rn)).toDF("tt_dead", "nd_dead")
+        .coalesce(1).write
+        .parquet(new Path(stage, TombCorpusDir).toString)
+    }
     // ---- stage the two authoritative deltas
     dTf.join(broadcast(gens), "doc_id")
       .select(col("term"), col("doc_id"), col("tf"), col("gen"))
@@ -2196,27 +2266,39 @@ object IrSql {
         "left_anti")
       .unionByName(gens)
       .coalesce(1).write.parquet(new Path(stage, DocGenDir).toString)
-    // corpus: physical-minus-exact-tombs totals grow by exactly the
-    // appended rows (revive already re-priced any resurrected ones)
+    // corpus (physical minus EXACT tombs): grows by the appended rows
+    // plus the full physical mass of exact-revived docs (their rows
+    // re-enter the moment the tombstone set swaps)
     val (dtt, dnd) = {
       val r = dLen.agg(coalesce(sum(col("dl")), lit(0L)),
         count(lit(1))).head()
       (r.getLong(0), r.getLong(1))
     }
+    val (ret, ren) = revivedExact.fold((0L, 0L))(massOf)
     val (tt0, nd0) = readCorpusStats(spark, storeDir)
-    Seq((tt0 + dtt, nd0 + dnd)).toDF("tt", "nd")
+    Seq((tt0 + ret + dtt, nd0 + ren + dnd)).toDF("tt", "nd")
       .coalesce(1).write.parquet(new Path(stage, "corpus").toString)
-    // sup_corpus: the batch docs' CURRENT live rows become superseded
-    // the moment the generation flips — their mass is read through a
-    // literal-pruned, batch-sized doclen scan (tombstones cannot hide
-    // them: revive just cleared the batch's ids)
+    // sup_corpus: the NON-revived batch docs' current live rows
+    // become superseded when the generation flips; a REVIVED doc
+    // contributes its WHOLE physical mass (every gen it has is below
+    // the incoming one, and nothing tombstones it anymore)
+    val revivedIds = (revivedExact, revivedLazy) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b)             => a.orElse(b)
+    }
     val (bt, bn) = {
-      val r = semiByKey(spark.read.parquet(s"$storeDir/doclen"),
-          "doc_id", neu.select(col("doc_id")))
+      val batchRows = semiByKey(dlenTable, "doc_id", reqIds)
         .join(broadcast(baseGen.select(col("doc_id"),
           col("gen").as("__lg"))), Seq("doc_id"), "left")
-        .filter(coalesce(col("__lg"), lit(0L)) === col("gen"))
-        .agg(coalesce(sum(col("dl")), lit(0L)), count(lit(1))).head()
+      val keep = revivedIds.fold(
+          batchRows.filter(coalesce(col("__lg"), lit(0L)) ===
+            col("gen")))(rv =>
+          batchRows.join(broadcast(rv), Seq("doc_id"), "left_anti")
+            .filter(coalesce(col("__lg"), lit(0L)) === col("gen"))
+            .unionByName(batchRows.join(broadcast(rv), Seq("doc_id"),
+              "left_semi")))
+      val r = keep.agg(coalesce(sum(col("dl")), lit(0L)),
+        count(lit(1))).head()
       (r.getLong(0), r.getLong(1))
     }
     val (st0, sn0) = supCorpusStats(spark, storeDir).getOrElse((0L, 0L))
@@ -2259,6 +2341,24 @@ object IrSql {
     val root = new Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = new Path(root, UpdStageDir)
+    // the revive half first: tombstone-set replacements or drops (a
+    // drop sentinel in the stage means "the replacement is absence")
+    def swapOrDrop(name: String, dropMarker: String): Unit = {
+      if (fs.exists(new Path(stage, dropMarker))) {
+        fs.delete(new Path(root, name), true)
+        ()
+      } else {
+        val s = new Path(stage, name)
+        if (fs.exists(s)) {
+          fs.delete(new Path(root, name), true)
+          require(fs.rename(s, new Path(root, name)),
+            s"rename $s -> $root/$name failed mid-update-finish")
+        }
+      }
+    }
+    swapOrDrop(TombstonesDir, DropTombstones)
+    swapOrDrop(LazyTombstonesDir, DropLazyTombstones)
+    swapOrDrop(TombCorpusDir, DropTombCorpus)
     moveParts(fs, new Path(stage, "postings"),
       new Path(root, "postings"))
     moveParts(fs, new Path(stage, "doclen"), new Path(root, "doclen"))
@@ -2274,61 +2374,6 @@ object IrSql {
     graft.StoreGen.bump(fs, root)
     fs.delete(new Path(root, UpdateMarker), false)
     ()
-  }
-
-  /** An update of a TOMBSTONED doc revives it (the re-add path): the
-    * ids leave both tombstone sets; the exact-priced corpus re-admits
-    * their physical rows (about to be superseded by the incoming
-    * generation) and the lazy sidecar re-prices from the remaining
-    * set. No stats work: the revived docs' terms stay stale and every
-    * pending-state read live-counts df. */
-  private def reviveTombstoned(spark: SparkSession, storeDir: String,
-                               ids: DataFrame): Unit = {
-    import org.apache.hadoop.fs.Path
-    import graft.ops.Stage.StageOps
-    val root = new Path(storeDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val req = ids.select(col("doc_id")).distinct().stage()
-    readTombs(spark, storeDir).foreach { t =>
-      if (t.join(broadcast(req), Seq("doc_id"), "left_semi")
-          .limit(1).count() > 0) {
-        val rest = t.join(broadcast(req), Seq("doc_id"), "left_anti")
-          .stage()
-        if (rest.limit(1).count() == 0)
-          fs.delete(new Path(root, TombstonesDir), true)
-        else swapIn(spark, s"$storeDir/$TombstonesDir",
-          rest.coalesce(1))
-        // re-admit the revived rows to the exact-priced corpus row —
-        // EXACT tombstones only (lazy-dead mass stays priced by the
-        // tomb_corpus sidecar, lazy rows stay counted here)
-        swapIn(spark, s"$storeDir/corpus", {
-          val dl = spark.read.parquet(s"$storeDir/doclen")
-          readTombs(spark, storeDir).fold(dl)(et =>
-            dl.join(broadcast(et), Seq("doc_id"), "left_anti"))
-            .agg(coalesce(sum(col("dl")), lit(0L)).as("tt"),
-              count(lit(1)).as("nd"))
-        })
-      }
-    }
-    readLazyTombs(spark, storeDir).foreach { t =>
-      if (t.join(broadcast(req), Seq("doc_id"), "left_semi")
-          .limit(1).count() > 0) {
-        val rest = t.join(broadcast(req), Seq("doc_id"), "left_anti")
-          .stage()
-        if (rest.limit(1).count() == 0) {
-          fs.delete(new Path(root, LazyTombstonesDir), true)
-          fs.delete(new Path(root, TombCorpusDir), true)
-        } else {
-          swapIn(spark, s"$storeDir/$LazyTombstonesDir",
-            rest.coalesce(1))
-          val dead = spark.read.parquet(s"$storeDir/doclen")
-            .join(broadcast(rest), Seq("doc_id"), "left_semi")
-            .agg(coalesce(sum(col("dl")), lit(0L)).as("tt_dead"),
-              count(lit(1)).as("nd_dead"))
-          swapIn(spark, s"$storeDir/$TombCorpusDir", dead)
-        }
-      }
-    }
   }
 
   private val bm25UpdatedCache =

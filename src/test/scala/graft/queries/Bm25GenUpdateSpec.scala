@@ -164,13 +164,22 @@ class Bm25GenUpdateSpec extends SparkSpec {
   }
 
   test("updating a DELETED doc revives it (the re-add path), for " +
-    "both tombstone flavors; the revived doc serves its NEW content " +
-    "only, and compaction folds to the rebuild truth") {
+    "both tombstone flavors — INCLUDING a doc with pending " +
+    "generations from an earlier update (its superseded mass must " +
+    "rejoin sup_corpus, not inflate (tt, nd)); the revived doc " +
+    "serves its NEW content only, and compaction folds to the " +
+    "rebuild truth") {
     import spark.implicits._
     for (lazyLeg <- Seq(false, true)) {
       val store = freshStore()
       val victim = ranked(store).head._1
       val ids = Seq(victim).toDF("doc_id")
+      // FIRST update the doc (so it carries a superseded generation),
+      // THEN delete it, THEN re-add — the r15 review's
+      // update→delete→update accounting sequence
+      IrSql.updateBm25Docs(spark, store,
+        Seq((victim, "interim crawl text merge")).toDF(
+          "doc_id", "text"))
       if (lazyLeg) IrSql.deleteBm25DocsLazy(spark, store, ids)
       else IrSql.deleteBm25Docs(spark, store, ids)
       assert(!ranked(store).exists(_._1 == victim))
@@ -198,5 +207,32 @@ class Bm25GenUpdateSpec extends SparkSpec {
       assert(ranked(store) == ranked(truth),
         s"post-compaction revive (lazy=$lazyLeg) drifted")
     }
+  }
+
+  test("an UNCOMMITTED update of a deleted doc does NOT resurrect " +
+    "it: the revive rides the staged payload, so rollback leaves " +
+    "the tombstone (and the dead ranking) untouched") {
+    import spark.implicits._
+    val store = freshStore()
+    val victim = ranked(store).head._1
+    IrSql.deleteBm25Docs(spark, store, Seq(victim).toDF("doc_id"))
+    val dead = ranked(store)
+    assert(!dead.exists(_._1 == victim))
+    // a crashed pre-commit update attempt: staged payload present
+    // (including the tombstone-drop sentinel), NO marker
+    fs.mkdirs(new org.apache.hadoop.fs.Path(
+      s"$store/_graft_upd_stage"))
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$store/_graft_upd_stage/_drop_tombstones"), false).close()
+    spark.range(1).selectExpr("id as doc_id", "1L as dl", "1L as gen")
+      .write.parquet(s"$store/_graft_upd_stage/doclen")
+    IrSql.recoverBm25Update(spark, store)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$store/_graft_upd_stage")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$store/tombstones")),
+      "rollback consumed the staged tombstone drop — the deleted " +
+        "doc would serve its OLD content again")
+    assert(ranked(store) == dead, "rollback changed the ranking")
   }
 }
