@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// No trailing "[success] Total time ..." line after runMain: the
+// bench driver parses the LAST line of this process's output as
+// JSON, and sbt's success banner was shadowing graft.Bench's summary
+// line every round (exit codes are unaffected).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

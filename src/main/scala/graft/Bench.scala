@@ -610,12 +610,12 @@ object Bench {
     // rows without reconstructing them from /tmp logs. The round is
     // inferred from the committed BENCH_r*.json set (max + 1): a
     // driver bench for round N runs before BENCH_rN.json is written.
+    val rnd = Option(new java.io.File(".").listFiles()).toSeq.flatten
+      .map(_.getName)
+      .collect { case s if s.matches("BENCH_r\\d+\\.json") =>
+        s.stripPrefix("BENCH_r").stripSuffix(".json").toInt }
+      .sorted.lastOption.getOrElse(0) + 1
     try {
-      val rnd = Option(new java.io.File(".").listFiles()).toSeq.flatten
-        .map(_.getName)
-        .collect { case s if s.matches("BENCH_r\\d+\\.json") =>
-          s.stripPrefix("BENCH_r").stripSuffix(".json").toInt }
-        .sorted.lastOption.getOrElse(0) + 1
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(f"BENCH_LOCAL_r$rnd%02d.json"),
         jsonLine + "\n")
@@ -623,5 +623,17 @@ object Bench {
       System.err.println(s"[bench] local artifact write failed: $e")
     }
     spark.stop()
+    // The driver keeps only a ~2000-char tail of this run's combined
+    // output and parses its LAST line as JSON; the full line above
+    // (200+ per-query entries, ~9k chars) overflows that tail, which
+    // is why BENCH_r*.json carried "parsed": null every round. Emit
+    // a COMPACT summary that fits whole inside the tail as the
+    // absolute final line (build.sbt suppresses sbt's trailing
+    // [success] banner): headline totals, the slowest rows, and the
+    // committed full artifact's name.
+    val slowest = results.filter(_._2.size == runsPer)
+      .map(r => (r._1, median(r._2))).sortBy(-_._2).take(10)
+      .map { case (k, s) => s""""$k":$s""" }.mkString(",")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":{$slowest},"queries_shown":"10 slowest of ${results.size}","failed":$nFailed,"index_docs_per_s":${docsPerS.round},"calib_cpu_ms":$calibCpuMs,"calib_shuffle_ms":$calibShuffleMs,"full_artifact":${f"\"BENCH_LOCAL_r$rnd%02d.json\""}}""")
   }
 }

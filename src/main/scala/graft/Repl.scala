@@ -171,14 +171,23 @@ object Repl {
       case _ => None
     }
     // ledger for the takedown/recrawl fan-out ('ops' command) — a
-    // STABLE per-corpus location (tmpdir keyed by the corpus path,
-    // NOT an exit-deleted scratch dir), so a crashed session's
-    // pending legs are visible to the next session's 'ops'
+    // STABLE per-corpus location (NOT an exit-deleted scratch dir),
+    // so a crashed session's pending legs are visible to the next
+    // session's 'ops'. Keyed by a SHA-256 prefix of the corpus path
+    // (String.hashCode collides across paths and would interleave
+    // two corpora's ledgers). Deployments that need the ledger to
+    // survive tmp cleaners set GRAFT_OPS_LEDGER to a durable dir —
+    // the default stays OUTSIDE the corpus dir because a corpus is
+    // often a read-only shared dataset this session must not write.
     lazy val opsLedger = ann match {
       case Some((_, _, corpusDir)) =>
-        val p = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"),
-          "graft_ops_" + Integer.toHexString(corpusDir.hashCode))
+        val key = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(corpusDir.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          .take(8).map("%02x".format(_)).mkString
+        val base = sys.env.getOrElse("GRAFT_OPS_LEDGER",
+          System.getProperty("java.io.tmpdir"))
+        val p = java.nio.file.Paths.get(base, s"graft_ops_$key")
         java.nio.file.Files.createDirectories(p)
         p.toString
       case None => graft.TempDirs.scratch("graft_repl_ops")

@@ -40,10 +40,21 @@ private[graft] object StoreGen {
     val p = new Path(storeRoot, GenFile)
     val next = math.max(read(fs, storeRoot).getOrElse(0L) + 1L,
       System.currentTimeMillis())
-    val out = fs.create(p, true)
+    // write-to-temp + rename (the repo-wide commit discipline), NOT
+    // truncate-in-place: a server stamping concurrently with an
+    // in-place rewrite observes an empty/partial file, parses None,
+    // and pays the per-file fold the marker exists to avoid — on
+    // object stores without atomic create that window is every bump.
+    // The delete→rename gap can only read as ABSENT (fallback fold),
+    // never as a stale or torn value.
+    val tmp = new Path(storeRoot, s"$GenFile.tmp")
+    val out = fs.create(tmp, true)
     try out.write(next.toString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    fs.delete(p, false)
+    require(fs.rename(tmp, p),
+      s"rename $tmp -> $p failed mid-generation-bump")
     ()
   }
 

@@ -35,6 +35,18 @@ private[graft] object StoreSurgery {
   private val StagedDir = "_graft_rc_new"
   private val Marker = "_graft_rc_inflight"
 
+  /** Committed-reclaim witness: written inside the table dir
+    * (`_`-prefixed, invisible to parquet readers) by the swap finish
+    * BEFORE the marker clears, and consumed at the next
+    * [[reclaimWith]] entry — so its presence means "the most recent
+    * reclaim pass on this table committed, and no newer one
+    * started". A multi-table maintenance pass
+    * ([[graft.queries.IrSql.replayCompact]]) replays each table by
+    * its own committed state through it: a crash between two
+    * tables' reclaims must not re-apply a liveness rule to rows the
+    * committed leg already rewrote (generation labels reset). */
+  val DoneSentinel = "_graft_rc_done"
+
   /** Rewrite `tableDir`'s dead-holding part files to their live
     * remainder (anti-join on `key` against `dead`, which must be a
     * one-column takedown-sized frame of that key), preserving the
@@ -64,6 +76,10 @@ private[graft] object StoreSurgery {
     recover(spark, tableDir)
     val root = new Path(tableDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a new pass consumes the previous pass's committed witness — if
+    // THIS pass crashes pre-commit, the table replays as untouched
+    // (re-probing a committed prior pass is idempotent)
+    fs.delete(new Path(root, DoneSentinel), false)
     // a takedown-sized key set collects to LITERALS so the probe scan
     // row-group-prunes on the key's min/max instead of reading the
     // whole column through a join (graft.queries.IrSql.semiByKey —
@@ -105,6 +121,11 @@ private[graft] object StoreSurgery {
             s"rename ${f.getPath} -> $root failed mid-reclaim-swap")
         }
     fs.delete(staged, true)
+    // the committed witness lands BEFORE the marker clears (a crash
+    // in between replays the finish and re-writes it), so whenever
+    // the marker is gone and a reclaim committed, the sentinel is
+    // there — the invariant replayCompact's per-table branch needs
+    fs.create(new Path(root, DoneSentinel), true).close()
     // table files were replaced: bump the store's O(1) staleness
     // generation (tables live one level under the store root) —
     // BEFORE the marker clears, so a crash in between replays the

@@ -49,17 +49,43 @@ object Takedown {
     * [[graft.index.CharKGramIndex.docTermsOf]]'s tokenizer — stores
     * built from a different vocabulary generator call
     * `CharKGramIndex.deleteDocs` directly with their own doc-terms
-    * frame). */
+    * frame).
+    *
+    * `lazyBm25`: a one-shot request wants the default EAGER BM25 leg
+    * (stats exact at delete time, no deferred state left behind); a
+    * high-rate takedown QUEUE should pass true — per-request cost
+    * drops to the tombstone write + request-sized sidecar, and one
+    * [[graft.queries.IrSql.compactBm25Deletes]] on the maintenance
+    * cadence pays the whole stats bill amortized (the
+    * q29_takedown_stream shape). Every OTHER store's delete is
+    * already takedown-bounded per call (tombstone or
+    * vocabulary-bounded recount), so only BM25 carries the knob. */
+  /** All targeted store roots of a request — the dirs an epoch's
+    * pointer markers land in. */
+  private def rootsOf(stores: TakedownStores): Seq[String] =
+    Seq(stores.bm25, stores.positional, stores.inverted,
+      stores.vectors, stores.pq, stores.chargram).flatten
+
   def delete(spark: SparkSession, stores: TakedownStores,
              docIds: DataFrame,
              corpus: Option[DataFrame] = None,
              opId: Option[String] = None,
-             ledgerDir: Option[String] = None): Unit = {
+             ledgerDir: Option[String] = None,
+             lazyBm25: Boolean = false,
+             epochFile: Option[String] = None): Unit = {
     val ledger = Ledger.open(spark, ledgerDir, opId, stores)
+    // optional read-coherence epoch ([[Epoch]]): live multi-store
+    // consumers serve all-old until the single commit after the last
+    // leg — never arm-mixed. Deliberately NOT try/finally: a crash
+    // mid-fan-out must LEAVE the epoch open (old view) until the
+    // request replays to completion.
+    val conf = spark.sparkContext.hadoopConfiguration
+    epochFile.foreach(Epoch.begin(conf, _, rootsOf(stores)))
     val ids = docIds.select(col("doc_id").cast("long").as("doc_id"))
       .distinct()
     stores.bm25.foreach { d =>
-      graft.queries.IrSql.deleteBm25Docs(spark, d, ids)
+      if (lazyBm25) graft.queries.IrSql.deleteBm25DocsLazy(spark, d, ids)
+      else graft.queries.IrSql.deleteBm25Docs(spark, d, ids)
       ledger.done("bm25")
     }
     val asDocid = ids
@@ -91,6 +117,8 @@ object Takedown {
         graft.index.CharKGramIndex.docTermsOf(spark, dead))
       ledger.done("chargram")
     }
+    // all legs committed: one atomic delete flips every arm at once
+    epochFile.foreach(Epoch.end(conf, _, rootsOf(stores)))
   }
 
   /** Physically reclaim every present store's tombstones (each
@@ -136,9 +164,13 @@ object Takedown {
              newDocs: DataFrame, opId: String,
              corpus: Option[DataFrame] = None,
              newVectors: Option[DataFrame] = None,
-             ledgerDir: Option[String] = None): Unit = {
+             ledgerDir: Option[String] = None,
+             epochFile: Option[String] = None): Unit = {
     import graft.ops.Stage.StageOps
     val ledger = Ledger.open(spark, ledgerDir, Some(opId), stores)
+    // read-coherence epoch, same contract as [[delete]]'s (opened
+    // AFTER the pq pre-flight below would be wrong — a refused
+    // request must leave no epoch behind — so it opens after it)
     // staged once: every row-store leg below re-reads these frames
     val neu = newDocs
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
@@ -155,6 +187,8 @@ object Takedown {
         newVectors.getOrElse(throw new IllegalArgumentException(
           "a vector-store update needs the re-embedded (vec_id, " +
             "embedding) rows — an engine re-embeds what it re-crawls"))))
+    val conf = spark.sparkContext.hadoopConfiguration
+    epochFile.foreach(Epoch.begin(conf, _, rootsOf(stores)))
     stores.bm25.foreach { d =>
       graft.queries.IrSql.updateBm25Docs(spark, d, neu)
       ledger.done("bm25")
@@ -199,6 +233,7 @@ object Takedown {
         graft.index.CharKGramIndex.docTermsOf(spark, newCorpus))
       ledger.done("chargram")
     }
+    epochFile.foreach(Epoch.end(conf, _, rootsOf(stores)))
   }
 
   // ---- cross-store op-status ledger --------------------------------
@@ -240,11 +275,36 @@ object Takedown {
             spark.sparkContext.hadoopConfiguration)
           fs.mkdirs(d)
           val sf = new org.apache.hadoop.fs.Path(d, "_stores")
-          if (!fs.exists(sf)) {
-            val out = fs.create(sf, false)
-            try out.write(legsOf(stores).mkString("\n")
+          // MERGE the currently-targeted legs into any prior list —
+          // a replay of the same opId may widen the store set (e.g.
+          // the chargram leg added on retry), and opStatus must name
+          // every leg the op has EVER targeted, not the first
+          // attempt's snapshot. Canonical fan-out order first, then
+          // any names this build doesn't know (forward compat).
+          val prior: Seq[String] =
+            if (!fs.exists(sf)) Seq.empty
+            else {
+              val in = fs.open(sf)
+              try new String(
+                org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+                java.nio.charset.StandardCharsets.UTF_8)
+                .split("\n").toSeq.filter(_.nonEmpty)
+              finally in.close()
+            }
+          val all = (prior ++ legsOf(stores)).distinct
+          val canonical = Seq("bm25", "positional", "inverted",
+            "vectors", "pq", "chargram")
+          val merged = canonical.filter(all.contains) ++
+            all.filterNot(canonical.contains)
+          if (merged != prior) {
+            val tmp = new org.apache.hadoop.fs.Path(d, "_stores.tmp")
+            val out = fs.create(tmp, true)
+            try out.write(merged.mkString("\n")
               .getBytes(java.nio.charset.StandardCharsets.UTF_8))
             finally out.close()
+            fs.delete(sf, false)
+            require(fs.rename(tmp, sf),
+              s"rename $tmp -> $sf failed mid-ledger-open")
           }
           new Ledger(Some(fs), Some(d))
         case _ => new Ledger(None, None)

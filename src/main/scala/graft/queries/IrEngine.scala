@@ -1277,10 +1277,19 @@ object IrEngine {
     * (takedowns trickle in; each must be honored when it lands, not
     * in a quarterly rebuild). The fixed takedown set streams in THREE
     * id chunks into a per-run BM25 stats store; each micro-batch is
-    * one [[graft.queries.IrSql.deleteBm25Docs]] — a crash-safe
-    * staged-marker delete whose derived stats go exact at delete
-    * time — so the incremental feed COMPOSES to exactly the one-shot
-    * batch delete: the final ranking shares q10_bm25_deleted's oracle
+    * one [[graft.queries.IrSql.deleteBm25DocsLazy]] — a crash-safe
+    * staged-marker TOMBSTONE whose only delete-time work is the
+    * request-sized sidecar (the doc disappears from every read
+    * immediately, df/corpus corrections ride the deferred-read
+    * path) — and ONE [[graft.queries.IrSql.compactBm25Deletes]] on
+    * the maintenance cadence (here: after the feed drains) pays the
+    * whole stats bill amortized over every batch since the last
+    * pass. The r15 shape ran the EAGER delete per micro-batch,
+    * paying the touched-term stats recompute on every trigger — the
+    * one per-batch bill the lazy leg exists to defer (the update
+    * stream made the same eager→staged move in r15 for 2×). The
+    * incremental feed still COMPOSES to exactly the one-shot batch
+    * delete: the final ranking shares q10_bm25_deleted's oracle
     * (full BM25 recomputed over the corpus minus the whole set).
     * Chunks are disjoint id slices, so per-batch deletes never
     * overlap; the replay-idempotence each store's protocol guarantees
@@ -1325,11 +1334,14 @@ object IrEngine {
       .parquet(staged)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        IrSql.deleteBm25Docs(batch.sparkSession, store, batch)
+        IrSql.deleteBm25DocsLazy(batch.sparkSession, store, batch)
         ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
+    // the amortized maintenance pass: one touched-term stats bill
+    // for the whole feed (per-batch cost stays tombstone-sized)
+    IrSql.compactBm25Deletes(spark, store)
     IrSql.q10Bm25PrunedAt(spark, store, IrSql.ExpandedQueryTerms, 10)
   }
 

@@ -1422,30 +1422,11 @@ object IrSql {
     }
   }
 
-  /** Recompute the `stats_upd` overlay (idempotent): pareto frontiers
-    * over ALL gen>0 postings (each joined to its own generation's doc
-    * length). The gen>0 scan prunes to the appended part files via
-    * parquet row-group stats (base files are constant gen=0). Dropped
-    * when no updates pend. */
-  private def recomputeStatsUpd(spark: SparkSession,
-                                storeDir: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(storeDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (readDocGen(spark, storeDir).isEmpty) {
-      fs.delete(new Path(root, StatsUpdDir), true)
-      ()
-    } else {
-      val p = spark.read.parquet(s"$storeDir/postings")
-        .filter(col("gen") > 0)
-      val l = spark.read.parquet(s"$storeDir/doclen")
-        .filter(col("gen") > 0)
-        .select(col("doc_id"), col("dl"), col("gen"))
-      swapIn(spark, s"$storeDir/$StatsUpdDir",
-        paretoPairs(p.join(l, Seq("doc_id", "gen"))
-          .select(col("term"), col("tf"), col("dl"))))
-    }
-  }
+  // NOTE: the stats_upd overlay needs no standalone recompute: the
+  // update path maintains it incrementally (staged ABSOLUTE
+  // replacement), compaction drops it wholesale, and deletions only
+  // shrink true frontiers — the overlay stays an upper-bound-sound
+  // superset for MaxScore in between.
 
   /** Crash recovery for [[deleteBm25Docs]]: marker ABSENT → staged
     * tombstones are an uncommitted attempt, delete them; marker
@@ -1503,6 +1484,11 @@ object IrSql {
     }
     if (readTombs(spark, storeDir).isEmpty &&
         readDocGen(spark, storeDir).isEmpty) return
+    // consume any PREVIOUS pass's committed-reclaim witnesses before
+    // this pass's marker exists — a stale sentinel read by this
+    // pass's crash replay would skip a reclaim that never ran
+    Seq("postings", "doclen").foreach(t => fs.delete(new Path(root,
+      s"$t/${graft.index.StoreSurgery.DoneSentinel}"), false))
     fs.create(new Path(root, CompactMarker), false).close()
     // the doc_gen artifact is authoritative here (recovery already
     // ran, no compact was in flight) — only a crash REPLAY needs the
@@ -1524,25 +1510,86 @@ object IrSql {
     else df.join(broadcast(keys), Seq(key), "left_semi")
   }
 
-  /** Keep each doc's max-generation row only — the live view derived
-    * from PHYSICAL state alone, which is what a crashed compact's
-    * replay must use (the doc_gen artifact may already be gone, and
-    * mid-reclaim the two tables can disagree on labels while agreeing
-    * on content). */
+  /** Keep each doc's max-generation row only — PHYSICAL-state
+    * liveness, blind to zero-row generations. Legacy fallback ONLY:
+    * a pre-r16 crashed compact whose doc_gen artifact is already
+    * gone (r16 replays consult doc_gen — a re-crawl to EMPTY text
+    * flips the live generation without appending a single physical
+    * row, so physical max-gen would resurrect its old content). */
   private def maxGenLive(df: DataFrame): DataFrame = {
     val mx = df.groupBy(col("doc_id")).agg(max(col("gen")).as("__mx"))
     df.join(mx, "doc_id").filter(col("gen") === col("__mx"))
       .drop("__mx")
   }
 
+  /** The per-row liveness rule of one compact pass, branched on
+    * where the live-generation truth can live at that point:
+    * identity for a table whose surgical reclaim already COMMITTED
+    * this pass (rows rewritten to gen 0 — the caller's witness is
+    * [[graft.index.StoreSurgery.DoneSentinel]]); else the broadcast
+    * `doc_gen` rule (the [[liveView]] discipline — no whole-table
+    * aggregation, and exact for zero-row generations); else (no
+    * doc_gen left — only a pre-r16 crash can land here) the physical
+    * max-gen fold. */
+  private def compactGenLive(docGen: Option[DataFrame],
+                             tableReclaimed: Boolean)
+      (df: DataFrame): DataFrame =
+    if (tableReclaimed) df
+    else docGen match {
+      case Some(dg) =>
+        df.join(broadcast(dg.select(col("doc_id"),
+            col("gen").as("__live_gen"))), Seq("doc_id"), "left")
+          .filter(coalesce(col("__live_gen"), lit(0L)) === col("gen"))
+          .drop("__live_gen")
+      case None => maxGenLive(df)
+    }
+
+  /** One table's surgical-reclaim leg of [[replayCompact]] (factored
+    * so the mid-crash spec can land the real "one table reclaimed,
+    * the other not" intermediate state): rewrite any file holding a
+    * row of `deadIds` to its live remainder — tombstone anti-join,
+    * the pass's generation-liveness rule, gen reset to 0 so the
+    * doc_gen map can drop. */
+  private def compactReclaimLeg(spark: SparkSession, storeDir: String,
+                                table: String, deadIds: DataFrame,
+                                hasUpd: Boolean,
+                                docGen: Option[DataFrame],
+                                tombs: Option[DataFrame]): Unit = {
+    def liveRows(rows: DataFrame): DataFrame = {
+      val kept = tombs.fold(rows)(t =>
+        rows.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      // delete-only reclaim: every row is already gen 0 — the gen
+      // filter would broadcast-join the touched set for nothing
+      if (!hasUpd) kept
+      else compactGenLive(docGen, tableReclaimed = false)(kept)
+        .withColumn("gen", lit(0L))
+    }
+    val (layoutKey, sortCols) =
+      if (table == "postings") ("term", Seq("term", "doc_id"))
+      else ("doc_id", Seq("doc_id"))
+    graft.index.StoreSurgery.reclaimWith(spark, s"$storeDir/$table",
+      "doc_id", deadIds, layoutKey, liveRows, sortCols)
+    ()
+  }
+
   /** The [[compactBm25Deletes]] body, idempotent under the
     * [[CompactMarker]]: (1) update-touched stats recompute from the
-    * max-gen live view, (2) surgical reclaim of dead + superseded
-    * rows with gen reset, (3) corpus recompute, (4) sidecar drops,
-    * marker cleared last. */
+    * generation-live view, (2) surgical reclaim of dead + superseded
+    * rows with gen reset — per table, each replayed by its own
+    * committed state, (3) corpus recompute, (4) sidecar drops,
+    * marker cleared last.
+    *
+    * Liveness NEVER runs a whole-table aggregation on the normal
+    * path: the broadcast `doc_gen` rule ([[compactGenLive]]) is a
+    * broadcast join + filter, and the stats leg semi-restricts
+    * postings to the touched terms BEFORE any liveness work (the
+    * [[semiByKey]] literal probe row-group-prunes the term-ranged
+    * layout). The physical max-gen fold survives only as the legacy
+    * replay fallback for a pre-r16 crash with no doc_gen artifact. */
   private[graft] def replayCompact(spark: SparkSession,
                                    storeDir: String,
-                                   physicalGenScan: Boolean = true)
+                                   physicalGenScan: Boolean = true,
+                                   crashAfter: Option[String] = None)
       : Unit = {
     import org.apache.hadoop.fs.Path
     import graft.ops.Stage.StageOps
@@ -1550,32 +1597,46 @@ object IrSql {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val post = spark.read.parquet(s"$storeDir/postings")
     val dlen = spark.read.parquet(s"$storeDir/doclen")
+    val docGen = readDocGen(spark, storeDir)
+    val genIds = docGen.fold {
+      import spark.implicits._
+      Seq.empty[Long].toDF("doc_id")
+    }(_.select(col("doc_id")))
+    // the crash replay unions the doc_gen ids into the physical
+    // gen>0 scan: a re-crawl to EMPTY text flips doc_gen without
+    // appending any physical row, so the physical scan alone would
+    // never visit such a doc and its old content would resurrect
+    // (doc_gen is only dropped in step 4, after both reclaims)
     val updIds = (if (physicalGenScan)
         post.filter(col("gen") > 0).select(col("doc_id"))
           .unionByName(dlen.filter(col("gen") > 0)
             .select(col("doc_id")))
+          .unionByName(genIds)
           .distinct()
-      else readDocGen(spark, storeDir).fold {
-        import spark.implicits._
-        Seq.empty[Long].toDF("doc_id")
-      }(_.select(col("doc_id")))).stage()
+      else genIds).stage()
     val tombs = readTombs(spark, storeDir)
+    def reclaimed(table: String): Boolean = fs.exists(new Path(root,
+      s"$table/${graft.index.StoreSurgery.DoneSentinel}"))
+    def tombFree(df: DataFrame): DataFrame =
+      tombs.fold(df)(t =>
+        df.join(broadcast(t), Seq("doc_id"), "left_anti"))
+    val hasUpd = updIds.limit(1).count() > 0
     // 1. the deferred UPDATE stats bill (delete-touched terms were
     //    priced at delete time): exact df + frontier for every term
-    //    any pending generation touches, from the max-gen live view
-    if (updIds.limit(1).count() > 0) {
+    //    any pending generation touches — postings restricted to the
+    //    touched terms FIRST, then the generation-live view. A
+    //    committed reclaim witness on EITHER table proves this step
+    //    already committed in the crashed pass (the legs run in
+    //    order, stats first) — and its touched-term derivation is
+    //    only valid over PRE-reclaim postings, so the replay must
+    //    skip it, not re-run it.
+    if (hasUpd && !reclaimed("postings") && !reclaimed("doclen")) {
       val touchedTerms = semiByKey(post, "doc_id", updIds)
         .select(col("term")).distinct().stage()
-      val livePost = {
-        val p = maxGenLive(post)
-        tombs.fold(p)(t =>
-          p.join(broadcast(t), Seq("doc_id"), "left_anti"))
-      }.join(touchedTerms, Seq("term"), "left_semi")
-      val liveLen = {
-        val l = maxGenLive(dlen)
-        tombs.fold(l)(t =>
-          l.join(broadcast(t), Seq("doc_id"), "left_anti"))
-      }
+      val livePost = tombFree(compactGenLive(docGen,
+        tableReclaimed = false)(semiByKey(post, "term", touchedTerms)))
+      val liveLen = tombFree(compactGenLive(docGen,
+        tableReclaimed = false)(dlen))
       val tfl = livePost.join(liveLen.select(col("doc_id"), col("dl")),
         "doc_id").select(col("term"), col("tf"), col("dl"))
       val newTouched = livePost.groupBy(col("term"))
@@ -1588,40 +1649,33 @@ object IrSql {
         untouched.unionByName(newTouched
           .select(untouched.columns.toIndexedSeq.map(col): _*)))
     }
-    // 2. surgical reclaim: any file holding a row of a tombstoned or
-    //    updated doc rewrites to its live remainder (max-gen rows of
-    //    untombstoned docs, gen reset to 0 so the doc_gen map can
-    //    drop); every other file stays byte-identical
+    if (crashAfter.contains("stats")) return // TEST crash simulation
+    // 2. surgical reclaim per table, each leg skipped when its
+    //    committed-state witness shows this pass already ran it
     val deadIds = tombs.fold(updIds)(t =>
       updIds.unionByName(t.select(col("doc_id"))).distinct()).stage()
-    val hasUpd = updIds.limit(1).count() > 0
-    if (deadIds.limit(1).count() > 0) {
-      def liveRows(rows: DataFrame): DataFrame = {
-        val kept = tombs.fold(rows)(t =>
-          rows.join(broadcast(t), Seq("doc_id"), "left_anti"))
-        // delete-only reclaim: every row is already gen 0 — the
-        // max-gen self-join would shuffle the touched set for nothing
-        if (!hasUpd) kept
-        else maxGenLive(kept).withColumn("gen", lit(0L))
+    if (deadIds.limit(1).count() > 0)
+      Seq("postings", "doclen").foreach { t =>
+        if (!reclaimed(t))
+          compactReclaimLeg(spark, storeDir, t, deadIds, hasUpd,
+            docGen, tombs)
+        if (crashAfter.contains(t)) return // TEST crash simulation
       }
-      graft.index.StoreSurgery.reclaimWith(spark,
-        s"$storeDir/postings", "doc_id", deadIds, "term",
-        liveRows, Seq("term", "doc_id"))
-      graft.index.StoreSurgery.reclaimWith(spark,
-        s"$storeDir/doclen", "doc_id", deadIds, "doc_id",
-        liveRows, Seq("doc_id"))
-    }
     // 3. post-reclaim the physical store IS the live store: the
     //    corpus row recomputes from it (idempotent on replay)
     swapIn(spark, s"$storeDir/corpus",
       spark.read.parquet(s"$storeDir/doclen")
         .agg(coalesce(sum(col("dl")), lit(0L)).as("tt"),
           count(lit(1)).as("nd")))
-    // 4. every deferred-state artifact is now folded in
+    // 4. every deferred-state artifact is now folded in; the
+    //    reclaim witnesses clear AFTER the marker (a crash in
+    //    between is healed by the next compact's pre-marker sweep)
     Seq(TombstonesDir, LazyTombstonesDir, TombCorpusDir, DocGenDir,
       SupCorpusDir, StatsUpdDir)
       .foreach(n => fs.delete(new Path(root, n), true))
     fs.delete(new Path(root, CompactMarker), false)
+    Seq("postings", "doclen").foreach(t => fs.delete(new Path(root,
+      s"$t/${graft.index.StoreSurgery.DoneSentinel}"), false))
     ()
   }
 

@@ -337,10 +337,16 @@ final class Bm25Server(spark: SparkSession, storeDir: String,
   stateRef.get.pool.withInstance(false)(_ => ()) // plan+codegen at ctor
 
   /** The snapshot current against the store's on-disk version —
-    * rebuilds (once, double-checked) when the stamp moved. */
+    * rebuilds (once, double-checked) when the stamp moved. EXCEPT
+    * inside a read-coherence epoch ([[graft.ops.Epoch]] — checked
+    * only on this already-off-the-warm-path branch): a multi-store
+    * fan-out is mid-flight, so HOLD the pre-request snapshot until
+    * the epoch's single commit point makes every arm's new state
+    * visible in the same instant. */
   private def current(): State = {
     val st = stateRef.get
     if (st.version == storeVersion()) st
+    else if (graft.ops.Epoch.pending(hfs, storeDir)) st
     else this.synchronized {
       val held = stateRef.get
       val v = storeVersion()

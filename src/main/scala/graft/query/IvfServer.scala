@@ -180,6 +180,15 @@ final class IvfServer(spark: SparkSession, storeDir: String) {
   private def cellsVersion(cells: Seq[Long]): Long =
     CellVersion.of(hfs, storeDir, cells)
 
+  // read-coherence epoch hold ([[graft.ops.Epoch]]): a multi-store
+  // fan-out is mid-flight, so every stale-stamp branch below KEEPS
+  // its cached value (template, tombstone set, cell counts) — the
+  // arm serves the pre-request state until the epoch's single commit
+  // flips all arms at once. Checked only where a stamp already
+  // moved; the warm path pays nothing.
+  private def epochHold(): Boolean =
+    graft.ops.Epoch.pending(hfs, storeDir)
+
   // key: (cell set, k, FILTERED shape?) — the filtered twin adds a
   // driver-updated keep-set predicate to the scan (the served form of
   // probeIvfStoreFiltered's candidate restriction)
@@ -250,7 +259,7 @@ final class IvfServer(spark: SparkSession, storeDir: String) {
   private def tombstones(): (Long, java.util.HashSet[java.lang.Long]) = {
     val v = tombVersion()
     val cached = tombRef.get
-    if (cached != null && cached._1 == v) cached
+    if (cached != null && (cached._1 == v || epochHold())) cached
     else {
       val s = new java.util.HashSet[java.lang.Long]
       Similarity.ivfTombstones(spark, storeDir).foreach(
@@ -326,7 +335,7 @@ final class IvfServer(spark: SparkSession, storeDir: String) {
     val (tv, ts) = tombstones()
     val v = CellVersion.of(hfs, storeDir, all) * 31 + tv
     val cached = countsRef.get
-    if (cached != null && cached._1 == v) cached._2
+    if (cached != null && (cached._1 == v || epochHold())) cached._2
     else {
       val scan = spark.read.parquet(storeDir)
       val live =
@@ -402,7 +411,8 @@ final class IvfServer(spark: SparkSession, storeDir: String) {
     if (excludeId != -1L) ex.add(excludeId)
     val chosen = Similarity.escalate(ranked, target.toLong) { slice =>
       countPools.withInstance(slice,
-          (t: CountTmpl) => t.version == cellsVersion(slice)) { t =>
+          (t: CountTmpl) => t.version == cellsVersion(slice) ||
+            epochHold()) { t =>
         t.keep.set(keep)
         t.exclude.set(ex)
         t.df.head().getLong(0)
@@ -419,7 +429,8 @@ final class IvfServer(spark: SparkSession, storeDir: String) {
     var fetch = k
     while (true) {
       val rows = pools.withInstance((cells, fetch, keep.isDefined),
-          (t: Tmpl) => t.version == cellsVersion(cells)) { t =>
+          (t: Tmpl) => t.version == cellsVersion(cells) ||
+            epochHold()) { t =>
         t.ref.set(qv.toArray)
         val ex = new java.util.HashSet[java.lang.Long](tombstones()._2)
         if (excludeId != -1L) ex.add(excludeId)

@@ -588,4 +588,61 @@ class DeletionSpec extends SparkSpec {
     assert(post == fresh,
       "live-server post-takedown fusion != fresh server")
   }
+
+  test("a read-coherence EPOCH makes a multi-store takedown atomic " +
+    "to a live HybridServer: searches issued between legs serve " +
+    "ALL-OLD (never arm-mixed) and the single epoch commit flips " +
+    "both arms at once; Takedown.delete(epochFile) drives it " +
+    "end-to-end and cleans up") {
+    import graft.query.{Bm25Server, HybridServer, IvfServer}
+    import graft.ops.{Epoch, Similarity, Takedown, TakedownStores}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bm = tmp("graft_ep_bm25")
+    IrSql.writeBm25Stats(spark, dir, bm)
+    val ivf = tmp("graft_ep_ivf")
+    Similarity.writeIvfLayout(spark, dir, ivf)
+    val srv = new HybridServer(
+      new Bm25Server(spark, bm), new IvfServer(spark, ivf))
+    val qv = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val terms = IrSql.DefaultQueryTerms
+    val pre = srv.search(terms, qv) // warms BOTH arms' snapshots
+    val victim = pre.head._1
+    import spark.implicits._
+    // hand-driven legs with the epoch open, observing BETWEEN them
+    val ef = tmp("graft_ep_file") + "/epoch"
+    Epoch.begin(conf, ef, Seq(bm, ivf))
+    IrSql.deleteBm25Docs(spark, bm, Seq(victim).toDF("doc_id"))
+    assert(srv.search(terms, qv) == pre,
+      "between legs (bm25 committed, vector pending) the hybrid " +
+        "serve must be ALL-OLD, not arm-mixed")
+    Similarity.deleteIvfVectors(spark, ivf,
+      Seq(victim).toDF("vec_id"))
+    assert(srv.search(terms, qv) == pre,
+      "all legs committed but epoch open: still all-old")
+    Epoch.end(conf, ef, Seq(bm, ivf))
+    val post = srv.search(terms, qv)
+    assert(!post.exists(_._1 == victim),
+      "the epoch commit did not flip the live server to all-new")
+    assert(post == new HybridServer(
+      new Bm25Server(spark, bm), new IvfServer(spark, ivf))
+      .search(terms, qv),
+      "post-epoch fusion != fresh server over the mutated stores")
+    // end-to-end: the fan-out drives the same epoch itself
+    val victim2 = post.head._1
+    val ef2 = tmp("graft_ep_file2") + "/epoch"
+    Takedown.delete(spark,
+      TakedownStores(bm25 = Some(bm), vectors = Some(ivf)),
+      Seq(victim2).toDF("doc_id"), epochFile = Some(ef2))
+    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(ef2)),
+      "Takedown.delete left the epoch file")
+    for (s <- Seq(bm, ivf))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s, Epoch.Marker)), s"epoch pointer left in $s")
+    val post2 = srv.search(terms, qv)
+    assert(!post2.exists(_._1 == victim2),
+      "the epoch-driven takedown is invisible to the live server")
+  }
 }

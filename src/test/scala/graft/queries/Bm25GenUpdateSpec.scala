@@ -235,4 +235,127 @@ class Bm25GenUpdateSpec extends SparkSpec {
         "doc would serve its OLD content again")
     assert(ranked(store) == dead, "rollback changed the ranking")
   }
+
+  test("a RE-CRAWL TO EMPTY text (zero tokens) removes the doc " +
+    "everywhere: pending reads, the NORMAL compact, a crash-replay " +
+    "compact from the marker, and a replay after one table was " +
+    "already reclaimed all equal rebuild-without-the-doc") {
+    import spark.implicits._
+    // the doc's new generation has NO physical rows (doc_gen flips,
+    // nothing appends) — the one update shape where physical max-gen
+    // liveness is blind; BM25-wise an empty doc == a deleted doc
+    val probe = freshStore()
+    val victim = ranked(probe).head._1
+    val oracle = freshStore()
+    IrSql.deleteBm25Docs(spark, oracle, Seq(victim).toDF("doc_id"))
+    IrSql.compactBm25Deletes(spark, oracle)
+    val want = ranked(oracle)
+    assert(!want.exists(_._1 == victim))
+    val empty = Seq((victim, "... !!! ???")).toDF("doc_id", "text")
+    def oldRows(s: String): Long = spark.read.parquet(s"$s/doclen")
+      .filter(col("doc_id") === victim).count()
+    // arm 1: pending reads, then the NORMAL compact path
+    val s1 = freshStore()
+    IrSql.updateBm25Docs(spark, s1, empty)
+    assert(ranked(s1) == want, "pending zero-token update read wrong")
+    IrSql.compactBm25Deletes(spark, s1)
+    assert(oldRows(s1) == 0,
+      "normal compact resurrected the empty-updated doc's old rows")
+    assert(ranked(s1) == want, "normal compact changed the answer")
+    // arm 2: crash right after the CompactMarker commit — the replay
+    // (physical-gen scan) must still see the zero-row generation
+    val s2 = freshStore()
+    IrSql.updateBm25Docs(spark, s2, empty)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$s2/_graft_compact_inflight"), false).close()
+    IrSql.recoverBm25Compact(spark, s2)
+    assert(oldRows(s2) == 0,
+      "crash-replay compact resurrected the empty-updated doc")
+    assert(ranked(s2) == want, "crash-replay changed the answer")
+    // arm 3: crash BETWEEN the two table reclaims (postings already
+    // rewritten to gen 0, doclen not) — the replay must treat each
+    // table by its own committed-reclaim state, also for a normal
+    // (non-empty) pending update in the same batch
+    val s3 = freshStore()
+    IrSql.updateBm25Docs(spark, s3, empty.unionByName(
+      Seq((want.head._1, "agg hash window extra text")) // a scoring doc
+        .toDF("doc_id", "text")))
+    val s3want = {
+      val tw = freshStore()
+      IrSql.deleteBm25Docs(spark, tw, Seq(victim).toDF("doc_id"))
+      IrSql.updateBm25Docs(spark, tw,
+        Seq((want.head._1, "agg hash window extra text"))
+          .toDF("doc_id", "text"))
+      IrSql.compactBm25Deletes(spark, tw)
+      ranked(tw)
+    }
+    assert(ranked(s3) == s3want, "pending mixed-batch read wrong")
+    // the REAL pass, stopped right after the postings reclaim leg
+    // committed (stats recomputed, postings rewritten + witnessed,
+    // doclen untouched, sidecars + marker still present)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$s3/_graft_compact_inflight"), false).close()
+    IrSql.replayCompact(spark, s3, physicalGenScan = false,
+      crashAfter = Some("postings"))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$s3/postings/_graft_rc_done")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(
+        s"$s3/doclen/_graft_rc_done")),
+      "crash simulation did not land the mid-reclaim state")
+    IrSql.recoverBm25Compact(spark, s3)
+    assert(oldRows(s3) == 0,
+      "mid-reclaim replay resurrected the empty-updated doc")
+    assert(ranked(s3) == s3want, "mid-reclaim replay changed the answer")
+    for (d <- Seq("doc_gen", "sup_corpus", "stats_upd"))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$s3/$d")))
+  }
+
+  test("the compact never aggregates a whole table for liveness on " +
+    "the doc_gen-authoritative path: no executed plan during a " +
+    "normal OR crash-replay compact contains the physical max-gen " +
+    "fold (it survives only as the pre-r16 legacy fallback)") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    def plansOf(body: => Unit): Seq[String] = {
+      val plans =
+        new java.util.concurrent.CopyOnWriteArrayList[String]()
+      val l = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            d: Long): Unit = { plans.add(qe.executedPlan.toString); () }
+        override def onFailure(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(l)
+      try {
+        body
+        // listener delivery is async: wait until the recorded set
+        // stabilizes (bounded)
+        var last = -1
+        var spins = 0
+        while (plans.size() != last && spins < 40) {
+          last = plans.size(); spins += 1; Thread.sleep(250)
+        }
+      } finally spark.listenerManager.unregister(l)
+      plans.asScala.toSeq
+    }
+    val s1 = freshStore()
+    IrSql.updateBm25Docs(spark, s1,
+      Seq((7L, "agg hash plan pin text")).toDF("doc_id", "text"))
+    val normal = plansOf(IrSql.compactBm25Deletes(spark, s1))
+    assert(normal.nonEmpty, "listener recorded nothing")
+    assert(normal.forall(!_.contains("max(gen")),
+      "the NORMAL compact ran the whole-table max-gen fold")
+    val s2 = freshStore()
+    IrSql.updateBm25Docs(spark, s2,
+      Seq((7L, "agg hash plan pin text")).toDF("doc_id", "text"))
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$s2/_graft_compact_inflight"), false).close()
+    val replay = plansOf(IrSql.recoverBm25Compact(spark, s2))
+    assert(replay.nonEmpty, "listener recorded nothing on replay")
+    assert(replay.forall(!_.contains("max(gen")),
+      "the crash REPLAY ran the whole-table max-gen fold despite " +
+        "an authoritative doc_gen artifact")
+  }
 }
