@@ -445,7 +445,7 @@ object Bench {
     // expansion + search over the same store
     val wildcardPatterns = Seq("st*am", "mer*e", "*ream", "fil*er",
       "ta*le", "w*dow", "qu*ry", "ba*ch", "sc*n", "jo*n", "ve*tor")
-    val (medianWildcardUs, medianWildcardTmplUs) = {
+    val (medianWildcardUs, medianWildcardTmplUs, medianWildcardLoadedUs) = {
       spark.conf.set(aqeKey, "false")
       try {
         val wcPath =
@@ -467,7 +467,17 @@ object Bench {
           ws.search("st*am")
           val tmpl = sweep3("warm_wildcard_template_us",
             sweepOf(wildcardPatterns, p => { ws.search(p); () }))
-          (fresh, tmpl)
+          // the LOADED arm: no cached vocabulary working set — per
+          // query the routed file subset is scanned through a pooled
+          // per-file-set plan (serving nodes that can't hold the
+          // dictionary)
+          val wsl = new graft.query.LoadedWildcardServer(spark,
+            wcPath.toString,
+            point = Some(new graft.query.PointServer(ix)))
+          wsl.search("st*am")
+          val loaded = sweep3("warm_wildcard_loaded_us",
+            sweepOf(wildcardPatterns, p => { wsl.search(p); () }))
+          (fresh, tmpl, loaded)
         } finally {
           val wk = java.nio.file.Files.walk(wcPath)
           try wk.sorted(java.util.Comparator.reverseOrder())
@@ -602,7 +612,7 @@ object Bench {
     val spreadAll = mergeJson(spread, warmSpread.toSeq)
     val gcAll = mergeJson(gc, warmGc.toSeq)
     val resampledAll = mergeArr(resampled, warmResampled.toSeq)
-    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadAll,"gc_sec":$gcAll,"resampled":$resampledAll,"sf":"$sfDir","failed":$nFailed,"index_docs_per_s":${docsPerS.round},"warm_search_us":$medianUs,"warm_search_template_us":$medianTemplateUs,"warm_rm3_us":$medianRm3Us,"warm_rm3_template_us":$medianRm3TemplateUs,"warm_search_loaded_us":$medianLoadedUs,"warm_search_loaded_routed_us":$medianLoadedRoutedUs,"warm_phrase_us":$medianPhraseUs,"warm_phrase_template_us":$medianPhraseTemplateUs,"warm_phrase3_template_us":$medianPhrase3TemplateUs,"warm_near_template_us":$medianNearTemplateUs,"warm_phrase_loaded_routed_us":$medianPhraseLoadedRoutedUs,"warm_near_loaded_routed_us":$medianNearLoadedRoutedUs,"warm_ann_ivf_probe_us":$medianAnnProbeUs,"warm_ann_ivf_served_us":$medianAnnServedUs,"warm_ann_ivf_template_us":$medianAnnTmplUs,"warm_ann_ivf_nprobe2_us":$medianAnnTmplN2Us,"warm_ann_deleted_template_us":$medianAnnDelTmplUs,"warm_ann_ivfpq_served_us":$medianPqServedUs,"warm_ann_ivfpq_template_us":$medianPqTmplUs,"warm_bm25_multi_us":$medianBm25MultiUs,"warm_bm25_pruned_us":$medianBm25PrunedUs,"warm_bm25_served_us":$medianBm25ServedUs,"warm_bm25_template_us":$medianBm25TmplUs,"warm_bm25_batch_us":$medianBm25BatchUs,"warm_wildcard_us":$medianWildcardUs,"warm_wildcard_template_us":$medianWildcardTmplUs,"warm_hybrid_template_us":$medianHybridTmplUs,"warm_hybrid_filtered_template_us":$medianHybridFilteredTmplUs,"calib_cpu_ms":$calibCpuMs,"calib_shuffle_ms":$calibShuffleMs,"ann_conc8_probes_per_s":$annConc8PerS,"funnel_stream_paa_s":${math.rint(graft.queries.IrEngine.lastFunnelStreamWallSec * 100) / 100}}"""
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadAll,"gc_sec":$gcAll,"resampled":$resampledAll,"sf":"$sfDir","failed":$nFailed,"index_docs_per_s":${docsPerS.round},"warm_search_us":$medianUs,"warm_search_template_us":$medianTemplateUs,"warm_rm3_us":$medianRm3Us,"warm_rm3_template_us":$medianRm3TemplateUs,"warm_search_loaded_us":$medianLoadedUs,"warm_search_loaded_routed_us":$medianLoadedRoutedUs,"warm_phrase_us":$medianPhraseUs,"warm_phrase_template_us":$medianPhraseTemplateUs,"warm_phrase3_template_us":$medianPhrase3TemplateUs,"warm_near_template_us":$medianNearTemplateUs,"warm_phrase_loaded_routed_us":$medianPhraseLoadedRoutedUs,"warm_near_loaded_routed_us":$medianNearLoadedRoutedUs,"warm_ann_ivf_probe_us":$medianAnnProbeUs,"warm_ann_ivf_served_us":$medianAnnServedUs,"warm_ann_ivf_template_us":$medianAnnTmplUs,"warm_ann_ivf_nprobe2_us":$medianAnnTmplN2Us,"warm_ann_deleted_template_us":$medianAnnDelTmplUs,"warm_ann_ivfpq_served_us":$medianPqServedUs,"warm_ann_ivfpq_template_us":$medianPqTmplUs,"warm_bm25_multi_us":$medianBm25MultiUs,"warm_bm25_pruned_us":$medianBm25PrunedUs,"warm_bm25_served_us":$medianBm25ServedUs,"warm_bm25_template_us":$medianBm25TmplUs,"warm_bm25_batch_us":$medianBm25BatchUs,"warm_wildcard_us":$medianWildcardUs,"warm_wildcard_template_us":$medianWildcardTmplUs,"warm_wildcard_loaded_us":$medianWildcardLoadedUs,"warm_hybrid_template_us":$medianHybridTmplUs,"warm_hybrid_filtered_template_us":$medianHybridFilteredTmplUs,"calib_cpu_ms":$calibCpuMs,"calib_shuffle_ms":$calibShuffleMs,"ann_conc8_probes_per_s":$annConc8PerS,"funnel_stream_paa_s":${math.rint(graft.queries.IrEngine.lastFunnelStreamWallSec * 100) / 100}}"""
     println(jsonLine)
     // the stdout line survives only as a 2000-char tail in the
     // driver's BENCH_r{N}.json (parsed: null every round) — persist

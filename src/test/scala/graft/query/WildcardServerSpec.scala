@@ -100,4 +100,87 @@ class WildcardServerSpec extends SparkSpec {
     assert(got == want, s"served=$got fresh=$want")
     assert(got.nonEmpty)
   }
+
+  private def freshCgStoreFanned(nFiles: Int = 8): String = {
+    val o = tmp("graft_wc_cgf")
+    val grams = IrSql.q08CharGrams(spark, dir)
+      .groupBy(col("gram"))
+      .agg(sort_array(collect_set(col("term"))).as("terms"))
+    // small rowsPerFile so the gram-ranged layout lands many files
+    // and the routed prune is observable
+    CharKGramIndex.write(grams, o,
+      rowsPerFile = math.max(1L, grams.count() / nFiles))
+    CharKGramIndex.writeVocabDf(spark, o,
+      IrSql.tokens(spark, dir)
+        .select(col("doc_id"), col("term")).distinct())
+    o
+  }
+
+  test("LOADED wildcard serving == batch wildcardTerms for every " +
+    "pattern shape, routes to a strict part-file subset, and a " +
+    "store UPDATE under the live server is seen with no refresh") {
+    val store = freshCgStoreFanned()
+    val srv = new LoadedWildcardServer(spark, store)
+    for (pat <- Seq("st*am", "str*ea*m", "a*b", "*zzqnotfound*")) {
+      val want = batchTerms(store, pat)
+      assert(srv.lookup(pat) == want, s"pattern $pat diverged")
+      assert(srv.lookup(pat) == want, s"pattern $pat repeat diverged")
+    }
+    assert(srv.lookup("st*am").nonEmpty)
+    // the routed prune: a narrow pattern's grams must not touch the
+    // whole fanned store
+    val all = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val routed = srv.routedFiles("st*am")
+    assert(routed.nonEmpty && routed.size < all,
+      s"no file-level prune: ${routed.size} of $all files routed")
+    // live mutation: the stamp re-derives ranges, no refresh call
+    val docTerms = IrSql.tokens(spark, dir)
+      .select(col("doc_id"), col("term")).distinct()
+    val oldTerms = docTerms
+      .filter(pmod(col("doc_id"), lit(IrSql.UpdatedDocsMod)) ===
+        lit(IrSql.UpdatedDocsRem))
+    val newTerms = IrSql.updatedDocsNew(spark, dir)
+      .select(col("doc_id"),
+        explode(split(regexp_replace(lower(col("text")),
+          "[^a-z0-9]+", " "), " ")).as("term"))
+      .filter(col("term") =!= "").distinct()
+    CharKGramIndex.updateDocs(spark, store, "wc-loaded-live-upd",
+      oldTerms, newTerms)
+    val post = srv.lookup("st*am")
+    assert(post.contains("stqzam"),
+      "loaded server missed the update-introduced vocabulary term")
+    assert(post == batchTerms(store, "st*am"),
+      "loaded post-update expansion != fresh batch expansion")
+    // a live mergeIntoStore (the incremental WRITE path — file
+    // surgery may split/replace the routed range files) re-derives
+    // the ranges through the same stamp, no refresh call
+    val delta = spark.createDataFrame(Seq(
+      ("dX1", "stgridam strozam data"))).toDF("docid", "content")
+    CharKGramIndex.mergeIntoStore(spark, store, delta)
+    val merged = srv.lookup("st*am")
+    assert(merged.contains("stgridam") && merged.contains("strozam"),
+      "loaded server missed merge-introduced vocabulary")
+    assert(merged == batchTerms(store, "st*am"),
+      "loaded post-merge expansion != fresh batch expansion")
+  }
+
+  test("LOADED wildcard RETRIEVAL == QueryEngine.wildcardSearch on " +
+    "the same index + store") {
+    val store = freshCgStoreFanned()
+    val corpus = graft.queries.IrEngine.corpus(spark, dir)
+    val ix = InvertedIndex.build(spark, corpus, k = 1)
+    val srv = new LoadedWildcardServer(spark, store,
+      point = Some(new PointServer(ix)))
+    val want = QueryEngine.wildcardSearch(ix,
+        CharKGramIndex.load(spark, store), "st*am")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDouble(2))).toSeq
+    val got = srv.search("st*am")
+    assert(got == want, s"served=$got fresh=$want")
+    assert(got.nonEmpty)
+  }
+
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
 }
