@@ -66,7 +66,15 @@ import org.apache.spark.sql.functions._
   *    `n_chars` and the dedup density invariants do NOT survive this
   *    knob: use it for the maintenance profs only.
   *
-  * Usage: `sbt "runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/graft_sf1 10 [dupCopies] [vocabSlices]"`
+  * Usage: `sbt "runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/graft_sf1 10 [dupCopies] [vocabSlices] [idStride]"`
+  *
+  * Factors past 26 CHAIN: run ScaleGen over a ScaleGen output with
+  * `idStride` raised past the first pass's id ceiling (e.g.
+  * 26× then ×4 at stride 1e9 = 104×). Rotation keys repeat across
+  * passes, so chained fixtures carry exact-duplicate TEXT across
+  * distinct doc_ids — fine for the index/BM25 maintenance profs,
+  * fatal for the dedup density invariants (which vocabSlices already
+  * breaks; same profs-only caveat).
   */
 object ScaleGen {
 
@@ -83,6 +91,14 @@ object ScaleGen {
     val vocabSlices = if (args.length > 4) args(4).toInt else 1
     require(vocabSlices >= 1 && vocabSlices <= 100,
       "vocabSlices must be in [1, 100] (two-digit group prefixes)")
+    // CHAINED amplification (a >26× fixture = ScaleGen over a
+    // ScaleGen output, the rotation cipher's keyspace composing
+    // across passes) carries ids above the default stride — pass a
+    // larger one. Powers of ten ≥ 1e6 are ≡ 0 (mod 64), preserving
+    // the vocabSlices copies-stay-in-group invariant.
+    val stride = if (args.length > 5) args(5).toLong else IdStride
+    require(stride >= IdStride && stride % 64 == 0,
+      s"idStride must be >= $IdStride and ≡ 0 (mod 64), got $stride")
     // rot(i) wraps at 26: copy 26 would be byte-identical to copy 0,
     // silently injecting a full corpus of exact duplicates
     require(factor >= 1 && factor <= 26,
@@ -99,22 +115,22 @@ object ScaleGen {
     val az = "abcdefghijklmnopqrstuvwxyz"
     def rot(i: Int): String = az.drop(i % 26) + az.take(i % 26)
 
-    // the i·IdStride offsets are collision-free only if every input id
+    // the i·stride offsets are collision-free only if every input id
     // fits under the stride — an oversized id would silently land in
     // another copy's range (duplicate keys, phantom exact-dup pairs)
     def requireIdsUnder(df: org.apache.spark.sql.DataFrame,
                         idCol: String, table: String): Unit = {
       val mx = df.agg(max(col(idCol))).collect()(0)
       if (!mx.isNullAt(0))
-        require(mx.getLong(0) < IdStride,
-          s"$table.$idCol max ${mx.getLong(0)} >= IdStride $IdStride: " +
-            "copy offsets would collide; raise IdStride")
+        require(mx.getLong(0) < stride,
+          s"$table.$idCol max ${mx.getLong(0)} >= stride $stride: " +
+            "copy offsets would collide; raise stride")
     }
 
     val docs = Tables.load(spark, in, "documents")
     requireIdsUnder(docs, "doc_id", "documents")
     val amplified = (0 until factor).map { i =>
-      docs.select((col("doc_id") + lit(i * IdStride)).as("doc_id"),
+      docs.select((col("doc_id") + lit(i * stride)).as("doc_id"),
         translate(col("text"), az, rot(i)).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
@@ -125,7 +141,7 @@ object ScaleGen {
         // copy of a doc lands in the same group — group vocabularies
         // stay disjoint across copies AND groups
         amplified
-          .filter(pmod(pmod(col("doc_id"), lit(IdStride)),
+          .filter(pmod(pmod(col("doc_id"), lit(stride)),
             lit(vocabSlices.toLong)) === lit(g.toLong))
           .withColumn("text", regexp_replace(col("text"),
             "([a-z0-9]+)", f"zq$g%02dx$$1"))
@@ -164,7 +180,7 @@ object ScaleGen {
           concat(slice(col("embedding"), shift + 1, dims - shift),
             slice(col("embedding"), 1, shift))
         }
-      emb.select((col("vec_id") + lit(i * IdStride)).as("vec_id"),
+      emb.select((col("vec_id") + lit(i * stride)).as("vec_id"),
         v.as("embedding"), col("label"))
     }.reduce(_ unionByName _)
       .repartition(cpus.toInt)
@@ -181,9 +197,9 @@ object ScaleGen {
     requireIdsUnder(ev, "event_id", "events")
     requireIdsUnder(ev, "user_id", "events")
     val evOut = (0 until factor).map { i =>
-      ev.select((col("event_id") + lit(i * IdStride)).as("event_id"),
+      ev.select((col("event_id") + lit(i * stride)).as("event_id"),
         col("ts"),
-        (col("user_id") + lit(i * IdStride)).as("user_id"),
+        (col("user_id") + lit(i * stride)).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _)
     val evTmp = Paths.get(out, "_events_build")
@@ -209,7 +225,7 @@ object ScaleGen {
     val ord = Tables.load(spark, in, "orders")
     requireIdsUnder(ord, "o_orderkey", "orders")
     (0 until factor).map { i =>
-      ord.select((col("o_orderkey") + lit(i * IdStride)).as("o_orderkey"),
+      ord.select((col("o_orderkey") + lit(i * stride)).as("o_orderkey"),
         col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
         col("o_orderdate"), col("o_orderpriority"))
     }.reduce(_ unionByName _)
@@ -219,7 +235,7 @@ object ScaleGen {
     val li = Tables.load(spark, in, "lineitem")
     requireIdsUnder(li, "l_orderkey", "lineitem")
     (0 until factor).map { i =>
-      li.select((col("l_orderkey") + lit(i * IdStride)).as("l_orderkey"),
+      li.select((col("l_orderkey") + lit(i * stride)).as("l_orderkey"),
         col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
         col("l_quantity"), col("l_extendedprice"), col("l_discount"),
         col("l_tax"), col("l_returnflag"), col("l_linestatus"),

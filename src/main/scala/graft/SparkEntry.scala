@@ -192,6 +192,8 @@ object SparkEntry {
     "q10_bm25_deleted_lazy_compacted" ->
       ((s: SparkSession, d: String) =>
         IrSql.q10Bm25DeletedLazyCompacted(s, d)),
+    "q10_bm25_emptied" ->
+      ((s: SparkSession, d: String) => IrSql.q10Bm25Emptied(s, d)),
     "q29_takedown_stream" -> (IrEngine.q29TakedownStream _),
     "q29_update_stream" -> (IrEngine.q29UpdateStream _),
     "q36_phrase_compressed" -> (IrEngine.q36PhraseCompressed _),
@@ -731,6 +733,13 @@ object SparkEntry {
       s"""(SELECT * FROM documents
            WHERE NOT (doc_id % ${IrSql.DeletedDocsMod} = ${IrSql.DeletedDocsRem}))"""),
     "q10_bm25_deleted_lazy_compacted" -> bm25MultiSqlOver(
+      s"""(SELECT * FROM documents
+           WHERE NOT (doc_id % ${IrSql.DeletedDocsMod} = ${IrSql.DeletedDocsRem}))"""),
+    // re-crawl to EMPTY text (zero tokens) then compact: for BM25 an
+    // empty doc == an absent doc, so the ground truth is the same
+    // reduced-corpus recompute — pins that a zero-row generation is
+    // never resurrected by the compaction
+    "q10_bm25_emptied" -> bm25MultiSqlOver(
       s"""(SELECT * FROM documents
            WHERE NOT (doc_id % ${IrSql.DeletedDocsMod} = ${IrSql.DeletedDocsRem}))"""),
     // the streaming takedown feed composes to the one-shot batch

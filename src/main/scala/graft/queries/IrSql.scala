@@ -2162,6 +2162,32 @@ object IrSql {
     q10Bm25PrunedAt(spark, store, terms, k)
   }
 
+  /** Q10j: RE-CRAWL TO EMPTY — every doc of the fixed takedown set
+    * is UPDATED with text that tokenizes to ZERO tokens (the
+    * blank-page re-crawl: `doc_gen` flips with no physical row
+    * appended — the one update shape where liveness cannot be read
+    * off physical generations) and the store then COMPACTS. For BM25
+    * an empty doc is indistinguishable from an absent one, so the
+    * oracle is q10_bm25_deleted's reduced-corpus recompute: the
+    * driver gate pins that neither the pending-read path nor the
+    * compaction resurrects the old content (the zero-row-generation
+    * bug class Bm25GenUpdateSpec covers at the protocol level). */
+  def q10Bm25Emptied(spark: SparkSession, dir: String,
+                     terms: Seq[String] = ExpandedQueryTerms,
+                     k: Int = 10): DataFrame = {
+    val store = bm25DeletedCache.computeIfAbsent(
+      s"${bm25StoreKey(dir)}|emptied", _ => {
+        val o = graft.TempDirs.scratch("graft_bm25_empt")
+        writeBm25Stats(spark, dir, o)
+        updateBm25Docs(spark, o,
+          deletedDocIds(spark, dir)
+            .select(col("doc_id"), lit("... !!!").as("text")))
+        compactBm25Deletes(spark, o)
+        o
+      })
+    q10Bm25PrunedAt(spark, store, terms, k)
+  }
+
   // ---- UPDATE (re-ingest / re-crawl) -----------------------------
 
   /** The fixed RE-CRAWL set of the update entries — shared with the
