@@ -170,6 +170,15 @@ object Repl {
           point = Some(ps)))
       case _ => None
     }
+    // loaded/pushdown serving mode keeps its no-cached-working-set
+    // discipline for wildcards too: routed per-file-set expansion,
+    // fresh-planned scoring
+    val wcLoaded = (cgDir, server) match {
+      case (Some(d), None) =>
+        Some(new graft.query.LoadedWildcardServer(
+          ix.docMap.sparkSession, d))
+      case _ => None
+    }
     // ledger for the takedown/recrawl fan-out ('ops' command) — a
     // STABLE per-corpus location (NOT an exit-deleted scratch dir),
     // so a crashed session's pending legs are visible to the next
@@ -407,10 +416,14 @@ object Repl {
             "recrawl needs the durable stores (open a corpus dir)")
         }
       } else if (q.contains("*")) {
-        (wcServer, chargrams) match {
-          case (Some(ws), _) => print10(out, q,
+        (wcServer, wcLoaded, chargrams) match {
+          case (Some(ws), _, _) => print10(out, q,
             ws.search(q).map(t => (t._2, t._3)).toArray)
-          case (None, Some(cg)) => print10(out, q,
+          case (None, Some(lws), _) => print10(out, q,
+            QueryEngine.wildcardSearchExpanded(ix, lws.lookup(q))
+              .collect()
+              .map(r => (r.getAs[String]("docid"), r.getAs[Double]("score"))))
+          case (None, None, Some(cg)) => print10(out, q,
             QueryEngine.wildcardSearch(ix, cg, q).collect()
               .map(r => (r.getAs[String]("docid"), r.getAs[Double]("score"))))
           case _ => out.println(

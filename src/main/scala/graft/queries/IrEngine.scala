@@ -1279,18 +1279,21 @@ object IrEngine {
     * id chunks into a per-run BM25 stats store; each micro-batch is
     * one [[graft.queries.IrSql.deleteBm25DocsLazy]] — a crash-safe
     * staged-marker TOMBSTONE whose only delete-time work is the
-    * request-sized sidecar (the doc disappears from every read
-    * immediately, df/corpus corrections ride the deferred-read
-    * path) — and ONE [[graft.queries.IrSql.compactBm25Deletes]] on
-    * the maintenance cadence (here: after the feed drains) pays the
-    * whole stats bill amortized over every batch since the last
-    * pass. The r15 shape ran the EAGER delete per micro-batch,
-    * paying the touched-term stats recompute on every trigger — the
-    * one per-batch bill the lazy leg exists to defer (the update
-    * stream made the same eager→staged move in r15 for 2×). The
+    * request-sized sidecar: the doc disappears from every read
+    * immediately, df/corpus corrections ride the deferred-read path
+    * (exactly the update stream's shape, which serves the
+    * uncompacted store). The r15 shape ran the EAGER delete per
+    * micro-batch, paying the touched-term stats recompute on every
+    * trigger — the one per-batch bill the lazy leg exists to defer.
+    * [[graft.queries.IrSql.compactBm25Deletes]] belongs to the
+    * maintenance CADENCE, not the ingest loop (running it per feed
+    * would bill the whole surgical reclaim to the stream — measured
+    * costlier than the eager legs it replaced on a diffuse takedown
+    * set); q10_bm25_deleted_lazy_compacted owns that oracle. The
     * incremental feed still COMPOSES to exactly the one-shot batch
     * delete: the final ranking shares q10_bm25_deleted's oracle
-    * (full BM25 recomputed over the corpus minus the whole set).
+    * (full BM25 recomputed over the corpus minus the whole set),
+    * served through the pending-tombstone read path.
     * Chunks are disjoint id slices, so per-batch deletes never
     * overlap; the replay-idempotence each store's protocol guarantees
     * makes an at-least-once feed safe too (spec-pinned in
@@ -1339,9 +1342,6 @@ object IrEngine {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    // the amortized maintenance pass: one touched-term stats bill
-    // for the whole feed (per-batch cost stays tombstone-sized)
-    IrSql.compactBm25Deletes(spark, store)
     IrSql.q10Bm25PrunedAt(spark, store, IrSql.ExpandedQueryTerms, 10)
   }
 

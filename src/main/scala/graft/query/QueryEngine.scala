@@ -268,13 +268,34 @@ object QueryEngine {
     val expanded = wildcardTerms(chargrams, pattern, k)
       .select(explode(expr("graft_tokenize(term)")).as("kgram"))
       .distinct()
-    // the expansion-bounded stats (vocabulary subset) restrict the
-    // corpus-sized postings in ONE broadcast probe — a separate
-    // postings⋈expansion join would re-probe the same scan for rows
-    // the stats join already bounds (r4 review)
+    scoreExpanded(ix, expanded, topK)
+  }
+
+  /** [[wildcardSearch]] with the expansion already resolved (a
+    * [[LoadedWildcardServer.lookup]] on a serving node that can't
+    * hold the vocabulary) — same analysis and scoring tail, so
+    * `wildcardSearchExpanded(ix, lookup(p))` == `wildcardSearch(ix,
+    * store, p)` (spec-pinned). */
+  def wildcardSearchExpanded(ix: Index, terms: Seq[String],
+                             topK: Int = 10): DataFrame = {
+    val spark = ix.docMap.sparkSession
+    TextPipeline.register(spark)
+    import spark.implicits._
+    val expanded = terms.toDF("term")
+      .select(explode(expr("graft_tokenize(term)")).as("kgram"))
+      .distinct()
+    scoreExpanded(ix, expanded, topK)
+  }
+
+  /** The shared wildcard scoring tail: the expansion-bounded stats
+    * (vocabulary subset) restrict the corpus-sized postings in ONE
+    * broadcast probe — a separate postings⋈expansion join would
+    * re-probe the same scan for rows the stats join already bounds
+    * (r4 review). Top-k/resolve as the non-wildcard path — one place
+    * for the tf-idf formula, tiebreak and rounding. */
+  private def scoreExpanded(ix: Index, expanded: DataFrame,
+                            topK: Int): DataFrame = {
     val stats = ix.termStats.join(broadcast(expanded), "kgram")
-    // same scoring/top-k/resolve tail as the non-wildcard path — one
-    // place for the tf-idf formula, tiebreak and rounding
     topAndResolve(ix, ix.postings.join(broadcast(stats), "kgram"), topK,
       log10(lit(ix.nDocs.toDouble) / col("df").cast("double")),
       serve = false)

@@ -166,7 +166,8 @@ class WildcardServerSpec extends SparkSpec {
   }
 
   test("LOADED wildcard RETRIEVAL == QueryEngine.wildcardSearch on " +
-    "the same index + store") {
+    "the same index + store; the fresh-planned expanded-scoring " +
+    "path (the loaded REPL mode) agrees too") {
     val store = freshCgStoreFanned()
     val corpus = graft.queries.IrEngine.corpus(spark, dir)
     val ix = InvertedIndex.build(spark, corpus, k = 1)
@@ -179,6 +180,13 @@ class WildcardServerSpec extends SparkSpec {
     val got = srv.search("st*am")
     assert(got == want, s"served=$got fresh=$want")
     assert(got.nonEmpty)
+    // lookup + fresh-planned scoring (no PointServer arm) — the
+    // loaded/pushdown REPL's wildcard path
+    val expanded = QueryEngine.wildcardSearchExpanded(ix,
+        srv.lookup("st*am"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDouble(2))).toSeq
+    assert(expanded == want, s"expanded=$expanded fresh=$want")
   }
 
   private def fs = org.apache.hadoop.fs.FileSystem.get(
