@@ -177,15 +177,29 @@ object CharKGramIndex {
       .write.mode("overwrite").parquet(staged.toString)
     // a df sidecar stays exact across merges: the delta docs (new
     // ids, the merge contract) add their per-term doc counts —
-    // staged under the SAME commit as the gram surgery
+    // staged under the SAME commit as the gram surgery. DELTA-
+    // bounded: the old full-outer join shuffled the whole
+    // vocabulary per merge; now the sidecar is probed for only the
+    // delta's terms (literal-pruned batch-sized hit set), those rows
+    // adjust, born terms append, and the untouched rows carry
+    // through one broadcast-anti pass — no vocabulary-scale shuffle
     readVocabDf(spark, dir, fs).foreach { base =>
+      import graft.ops.Stage.StageOps
       val inc = docTermsOf(spark, delta)
-        .groupBy(col("term")).agg(count(lit(1)).as("inc"))
-      base.join(inc, Seq("term"), "full_outer")
-        .select(col("term"),
-          (coalesce(col("df"), lit(0L)) +
-            coalesce(col("inc"), lit(0L))).as("df"))
-        .coalesce(1).write.mode("overwrite")
+        .groupBy(col("term")).agg(count(lit(1)).as("inc")).stage()
+      val incTerms = inc.select(col("term"))
+      val hit = graft.queries.IrSql.semiByKey(base, "term", incTerms)
+        .stage()
+      val adjusted = hit.join(broadcast(inc), Seq("term"))
+        .select(col("term"), (col("df") + col("inc")).as("df"))
+      val born = inc
+        .join(broadcast(hit.select(col("term"))), Seq("term"),
+          "left_anti")
+        .select(col("term"), col("inc").as("df"))
+      base.join(broadcast(incTerms), Seq("term"), "left_anti")
+        .unionByName(adjusted).unionByName(born)
+        .coalesce(1).sortWithinPartitions("term")
+        .write.mode("overwrite")
         .parquet(new Path(staged, "_df").toString)
     }
     // COMMIT POINT: the marker records which files the swap replaces
@@ -336,8 +350,13 @@ object CharKGramIndex {
     * exact from then on. */
   def writeVocabDf(spark: SparkSession, dir: String,
                    docTerms: DataFrame): Unit = {
+    // term-sorted so the maintenance paths' literal-pruned batch
+    // probes (semiByKey) row-group-prune instead of scanning the
+    // whole vocabulary
     docTerms.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$dir/$VocabDfDir")
     graft.StoreGen.bump(new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration), new Path(dir))
@@ -387,17 +406,26 @@ object CharKGramIndex {
       fresh0.join(d.select(col("doc_id").cast("string").as("doc_id")),
         Seq("doc_id"), "left_anti")).stage()
     if (fresh.limit(1).count() == 0) return
-    // the recount: df decrements; <=0 → the term leaves the lists
+    // the recount: df decrements; <=0 → the term leaves the lists.
+    // DELTA-bounded: probe the sidecar for the batch's terms only
+    // (literal-pruned, batch-sized hit set) — the old anti-join of
+    // the vocabulary against its own adjusted twin shuffled two
+    // vocabulary-scale tables to find a batch-sized dead set
     val dec = fresh.groupBy(col("term")).agg(count(lit(1)).as("dec"))
-    val newDf = vocabDf.join(dec, Seq("term"), "left")
-      .select(col("term"),
-        (col("df") - coalesce(col("dec"), lit(0L))).as("df"))
-      .filter(col("df") > 0)
       .stage()
-    val deadTerms = vocabDf.join(dec, Seq("term"), "left_semi")
-      .join(newDf, Seq("term"), "left_anti")
-      .select(col("term"))
+    val decTerms = dec.select(col("term"))
+    val hit = graft.queries.IrSql.semiByKey(vocabDf, "term", decTerms)
       .stage()
+    val adjusted = hit.join(broadcast(dec), Seq("term"))
+      .select(col("term"), (col("df") - col("dec")).as("df"))
+      .stage()
+    val deadTerms = adjusted.filter(col("df") <= 0)
+      .select(col("term")).stage()
+    // untouched rows carry through one broadcast-anti pass (no
+    // shuffle), evaluated once by the staged `_df` write below
+    val newDf = vocabDf.join(broadcast(decTerms), Seq("term"),
+        "left_anti")
+      .unionByName(adjusted.filter(col("df") > 0))
     // surgical gram-list removal for the dead terms (may be empty —
     // then only the sidecars change)
     val deadGrams = grams(deadTerms, storeK(spark, dir))
@@ -422,8 +450,10 @@ object CharKGramIndex {
         .sortWithinPartitions("gram")
         .write.mode("overwrite").parquet(staged.toString)
     } else fs.mkdirs(staged)
-    // stage the sidecars under the same commit
-    newDf.coalesce(1).write.mode("overwrite")
+    // stage the sidecars under the same commit (the df replacement
+    // term-sorted so future batch probes row-group-prune)
+    newDf.coalesce(1).sortWithinPartitions("term")
+      .write.mode("overwrite")
       .parquet(new Path(staged, "_df").toString)
     fresh.select(col("doc_id")).distinct().coalesce(1)
       .write.mode("overwrite")
@@ -565,17 +595,32 @@ object CharKGramIndex {
         (coalesce(col("inc"), lit(0L)) -
           coalesce(col("dec"), lit(0L))).as("d"))
       .filter(col("d") =!= 0L)
-    val newDf = vocabDf.join(delta, Seq("term"), "full_outer")
+    // DELTA-bounded recount: the old shape shuffled the vocabulary
+    // FOUR times per update (a full-outer adjust, its staged
+    // materialization, and two vocabulary-vs-vocabulary anti-joins
+    // for the dead/born sets) — at 104× that priced the 100-doc
+    // update ABOVE a rebuild (1.42×). Probe the sidecar for the
+    // delta's terms only (literal-pruned, batch-sized hit set);
+    // dead = had a df row, none survives; born = new to the
+    // vocabulary — all derived from the batch
+    val deltaTerms = delta.select(col("term"))
+    val hit = graft.queries.IrSql.semiByKey(vocabDf, "term",
+      deltaTerms).stage()
+    val adj = delta.join(broadcast(hit), Seq("term"), "left")
       .select(col("term"),
-        (coalesce(col("df"), lit(0L)) +
-          coalesce(col("d"), lit(0L))).as("df"))
-      .filter(col("df") > 0)
+        (coalesce(col("df"), lit(0L)) + col("d")).as("df"),
+        col("df").isNotNull.as("had"))
       .stage()
-    // dead = had a df row, none survives; born = new to the vocabulary
-    val deadTerms = vocabDf.join(newDf, Seq("term"), "left_anti")
+    val deadTerms = adj.filter(col("had") && col("df") <= 0)
       .select(col("term")).stage()
-    val bornTerms = newDf.join(vocabDf, Seq("term"), "left_anti")
+    val bornTerms = adj.filter(!col("had") && col("df") > 0)
       .select(col("term")).stage()
+    // untouched rows carry through one broadcast-anti pass (no
+    // shuffle), evaluated once by the staged `_df` write below
+    val newDf = vocabDf.join(broadcast(deltaTerms), Seq("term"),
+        "left_anti")
+      .unionByName(adj.filter(col("df") > 0)
+        .select(col("term"), col("df")))
     val k = storeK(spark, dir)
     val bornPairs = grams(bornTerms, k).stage() // (term, gram)
     val touchGrams = grams(deadTerms, k).select(col("gram"))
@@ -609,7 +654,8 @@ object CharKGramIndex {
     // sidecars, all under the one commit. The ops ledger stages as
     // its FULL replacement (old ops ∪ this op, one file) so the store
     // never accumulates one parquet part per update
-    newDf.coalesce(1).write.mode("overwrite")
+    newDf.coalesce(1).sortWithinPartitions("term")
+      .write.mode("overwrite")
       .parquet(new Path(staged, "_df").toString)
     val opsDir = new Path(root, AppliedOpsDir)
     val oldOps =
