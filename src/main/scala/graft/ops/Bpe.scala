@@ -79,15 +79,111 @@ object Bpe {
       .agg(count(lit(1)).as("cnt"))
       .withColumn("seq", initSeq(col("word")))
 
+  /** Word-count cap for the LOCAL merge loop: at or below it the
+    * word-frequency table collects to the driver ONCE and the
+    * `merges`-iteration argmax loop runs in memory — above it the
+    * distributed per-iteration loop runs unchanged. Rationale (guide
+    * §1.2): each distributed iteration is one vocab-size shuffle + a
+    * 1-row collect, which on a small vocabulary is pure scheduling
+    * constant (measured ~0.1 s/iteration at sf0.1 — the train loop was
+    * 10 jobs over a table of a few hundred rows); the vocabulary is
+    * Heaps-law sublinear in corpus size, but the guard keeps the
+    * collect bounded regardless (the [[graft.ops.Graph]] size-guarded
+    * single-task discipline). Identical rules by construction: same
+    * pair counts, same (pc desc, lhs, rhs) tie-break under UTF-8 byte
+    * order — BpeSpec pins the invariants and bpeApply/bpePack ride
+    * the same rule chain either way. */
+  val LocalTrainMaxWords = 65536
+
+  /** The in-memory merge loop over a collected (cnt, seq) vocabulary —
+    * step-for-step [[train]]'s distributed iteration: symbol arrays
+    * are the `'|'`-split interior, pair counts weight by word count,
+    * the argmax tie-breaks on (lhs, rhs) ascending in UTF-8 byte order
+    * (Spark's UTF8String ordering), and each rule applies as
+    * [[ReplacePasses]] left-to-right non-overlapping literal replaces
+    * (`String.replace` == Spark `replace`, the [[subwordCounter]]
+    * parity). */
+  private def trainLocal(words: Array[(Long, String)],
+                         merges: Int): Seq[Rule] = {
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    val cnts = words.map(_._1)
+    val seqs = words.map(_._2)
+    val rules = Seq.newBuilder[Rule]
+    for (rank <- 1 to merges) {
+      val pc = new scala.collection.mutable.HashMap[(String, String), Long]
+      var w = 0
+      while (w < seqs.length) {
+        val arr = seqs(w).split("\\|", -1) // keep trailing empties (Spark split parity)
+        // interior symbols: drop the leading/trailing delimiter empties
+        var i = 1
+        while (i < arr.length - 2) {
+          val k = (arr(i), arr(i + 1))
+          pc.update(k, pc.getOrElse(k, 0L) + cnts(w))
+          i += 1
+        }
+        w += 1
+      }
+      require(pc.nonEmpty,
+        s"BPE ran out of pairs at rank $rank — corpus too small for $merges merges")
+      var best: ((String, String), Long) = null
+      pc.foreach { kv =>
+        if (best == null || kv._2 > best._2 ||
+            (kv._2 == best._2 && (utf8Lt(kv._1._1, best._1._1) ||
+              (kv._1._1 == best._1._1 && utf8Lt(kv._1._2, best._1._2)))))
+          best = kv
+      }
+      val ((l, r), c) = best
+      rules += Rule(rank, l, r, c)
+      val pat = s"|$l|$r|"
+      val rep = s"|$l$r|"
+      w = 0
+      while (w < seqs.length) {
+        var s = seqs(w)
+        var p = 0
+        while (p < ReplacePasses) { s = s.replace(pat, rep); p += 1 }
+        seqs(w) = s
+        w += 1
+      }
+    }
+    rules.result()
+  }
+
   /** Train `merges` BPE rules. Returns the learned rules (rank order)
-    * and the final per-word sequence table. Each iteration materializes
-    * the rewritten vocab through [[Stage.cut]] (lineage stays constant-
-    * depth; blocks are executor-resident and cleaner-reclaimed). The
-    * per-iteration collect is ONE row — the argmax pair. */
+    * and the final per-word sequence table. Below [[LocalTrainMaxWords]]
+    * the merge loop runs driver-side over the collected vocabulary (see
+    * there); above it, each iteration materializes the rewritten vocab
+    * through [[Stage.cut]] (lineage stays constant-depth; blocks are
+    * executor-resident and cleaner-reclaimed) and the per-iteration
+    * collect is ONE row — the argmax pair. */
   def train(spark: SparkSession, dir: String,
             merges: Int = Merges): (Seq[Rule], DataFrame) = {
     require(merges >= 1, s"train needs merges >= 1, got $merges")
-    var seqs = Stage.cut(wordSeqs(spark, dir), eager = false)
+    val ws = wordSeqs(spark, dir)
+    val local = ws.select(col("cnt"), col("seq"))
+      .limit(LocalTrainMaxWords + 1).collect()
+    if (local.length <= LocalTrainMaxWords) {
+      val rules = trainLocal(
+        local.map(r => (r.getLong(0), r.getString(1))), merges)
+      // the returned sequence table = the rule chain folded over the
+      // initial sequences — identical to the iterative rewrite by
+      // construction (the bpeApply identity, spec-pinned)
+      val seqFinal = rules.foldLeft(col("seq"))(
+        (c, r) => applyRule(c, r.lhs, r.rhs))
+      return (rules, Stage.cut(ws.withColumn("seq", seqFinal),
+        eager = false))
+    }
+    var seqs = Stage.cut(ws, eager = false)
     val rules = Seq.newBuilder[Rule]
     for (rank <- 1 to merges) {
       // adjacent symbol pairs of each word, weighted by word count;

@@ -317,10 +317,9 @@ object Dedup {
     // the jaccardStages lifecycle rationale: no release point exists
     // for a CacheManager pin, checkpointed blocks are
     // ContextCleaner-reclaimed once the counts and join complete)
-    val lsh = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
-      .stage()
-    val truth = jaccard(spark, dir).select(col("doc_a"), col("doc_b"))
-      .stage()
+    val (lsh0, truth0) = dedupEvalArms(spark, dir)
+    val lsh = lsh0.stage()
+    val truth = truth0.stage()
     val nL = lsh.count()
     val nT = truth.count()
     val hit = lsh.join(truth, Seq("doc_a", "doc_b")).count()
@@ -333,6 +332,46 @@ object Dedup {
           .as("lsh_precision"),
         round(col("n_hit").cast("double") / col("n_true"), 4)
           .as("lsh_recall"))
+  }
+
+  /** The two pair arms [[dedupEval]] compares — (LSH candidates,
+    * exact-Jaccard truth), each as an unordered (doc_a, doc_b) frame.
+    * Exposed for the plan-evidence dump ([[graft.PlanDump]]).
+    *
+    * ONE tokenize/shingle pass feeds BOTH arms (the
+    * [[dedupEvalSampled]] discipline backported to the exact panel —
+    * guide §1.2: the two corpus scans were the panel's dominant
+    * independent term): the truth arm is the [[jaccard]] pair stage
+    * over the staged set table, and the LSH arm re-derives the
+    * minhash incidence by exploding the SAME staged sets — identical
+    * signatures to [[minhashWide]]'s, since the per-doc shingle set
+    * is the same and `min` is order-independent. The LSH arm stops at
+    * the band-collision candidate pair set: [[minhashLsh]]'s
+    * signature re-join only decorates the same pairs with
+    * `est_jaccard`, which the panel never reads, and its global
+    * `orderBy` orders a frame this panel only counts. */
+  private[graft] def dedupEvalArms(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(spark)
+    val sets = docShingleSets(spark, dir)
+      .withColumn("n", size(col("sh_set")))
+      .stage()
+    val inc = sets.select(col("doc_id"),
+        explode(col("sh_set")).as("shingle"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.polyhash(col("shingle"), PM).as("h"))
+    val mins = MinhashPerms.map { case (i, a, b) =>
+      min((lit(a) * col("h") + lit(b)) % PM).as(s"mh$i") }
+    val bands = bandTable(
+      inc.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)).stage()
+    val lsh = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    (lsh, jaccardPairsOver(sets, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b")))
   }
 
   /** Target sample SIZE (docs) for [[dedupEvalSampled]] — a FIXED
@@ -489,7 +528,6 @@ object Dedup {
     * re-tokenizing cluster members. */
   private[graft] def jaccardStages(spark: SparkSession, dir: String,
                                    threshold: Double): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
     // one shingling pass feeds everything (sizes, df, prefix, verify).
     // Lazy localCheckpoint, not persist: the returned pair/set frames
@@ -499,6 +537,15 @@ object Dedup {
     val sets = docShingleSets(spark, dir)
       .withColumn("n", size(col("sh_set")))
       .stage()
+    (jaccardPairsOver(sets, threshold), sets)
+  }
+
+  /** The pair stage of [[jaccardStages]] over a PRE-STAGED per-doc
+    * set table (doc_id, sh_hash, sh_set, n_tokens, n) — split out so
+    * [[dedupEval]] can feed BOTH its arms from one shingling pass. */
+  private def jaccardPairsOver(sets: DataFrame,
+                               threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = sets.select(col("doc_id"), col("n"),
       explode(col("sh_set")).as("shingle"))
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
@@ -544,7 +591,7 @@ object Dedup {
       // boundary; the oracle filters unrounded too
       .filter(col("j") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
-    (scored, sets)
+    scored
   }
 
   /** WIDE MinHash signature: (doc_id, mh0..mh15) — all 16 affine

@@ -2629,9 +2629,39 @@ object Similarity {
     * entries (q25_ann_recall's discipline applied to the fusion). */
   def hybridRecallEval(spark: SparkSession, dir: String,
                        k: Int = 10): DataFrame = {
-    val truth = broadcast(hybridRrf(spark, dir, k).select(col("doc_id")))
-    hybridRrfAuto(spark, dir, k)
-      .select(col("doc_id")).join(truth, Seq("doc_id"))
+    require(k <= 10,
+      s"hybridRecallEval fuses top-10 arms; k=$k would read past them")
+    import org.apache.spark.sql.expressions.Window
+    val kRrf = 60
+    // ONE lexical pass: both fusions rank the SAME q10Bm25 frame, so
+    // stage it instead of letting [[hybridRrf]] and [[hybridRrfAuto]]
+    // each re-run the corpus-tokenizing BM25 arm (guide §1.2 — the
+    // panel's two arms shared half their work); the fusion arithmetic
+    // below is [[hybridRrf]]'s verbatim, and only the top-k doc_id
+    // set (identical ordering, identical ties) feeds the compare
+    val lex = graft.queries.IrSql.q10Bm25(spark, dir)
+      .withColumn("lex_rank", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+      .stage()
+    def contrib(r: Column): Column =
+      coalesce(floor(lit(1000000.0) / (r + lit(kRrf))).cast("long"), lit(0L))
+    def fuse(sem: DataFrame): DataFrame = {
+      val semR = sem.withColumn("sem_rank", row_number()
+          .over(Window.orderBy(col("cos").desc, col("vec_id")))
+          .cast("long"))
+        .select(col("vec_id").as("doc_id"), col("sem_rank"))
+      lex.join(semR, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (contrib(col("lex_rank")) + contrib(col("sem_rank"))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(k)
+        .select(col("doc_id"))
+    }
+    val truth = broadcast(fuse(annTopK(spark, dir, k = 10)))
+    fuse(annIvfAuto(spark, dir, k = 10))
+      .join(truth, Seq("doc_id"))
       .agg(count(lit(1)).as("hits"))
       .select(lit("auto").as("method"), col("hits"),
         round(col("hits").cast("double") / k, 4).as(s"recall$k"))

@@ -1038,15 +1038,22 @@ object TextAnalysis {
     // The pre-agg shuffle costs more than it saves at sf0.1 (4.7 s vs
     // 3.5 s) but wins 1.6× at 26× data (15.1 s vs 23.7 s, exponent
     // 0.59 → 0.36) — the occurrence-row form re-crossed every
-    // occurrence with every language, which is the term that grows
-    val cnt = t
+    // occurrence with every language, which is the term that grows.
+    // SCALE-ADAPTIVE (guide §2: derive the shape from input size, not
+    // a constant tuned for one scale): below [[LangIdPreAggCrossover]]
+    // docs the pre-agg shuffle is pure overhead, so occurrence rows
+    // (n = 1) feed the identical downstream directly — sums of the
+    // same fixed-point terms, results bit-identical either way.
+    val occ = t
       .select(col("doc_id"), col("lang"),
         explode(when(length(col("s")) >= 3,
           transform(sequence(lit(1), length(col("s")) - 2),
             i => col("s").substr(i, lit(3))))
           .otherwise(array().cast("array<string>"))).as("g"))
-      .groupBy(col("doc_id"), col("lang"), col("g"))
-      .agg(count(lit(1)).as("n"))
+    val cnt = (if (t.count() >= LangIdPreAggCrossover)
+        occ.groupBy(col("doc_id"), col("lang"), col("g"))
+          .agg(count(lit(1)).as("n"))
+      else occ.withColumn("n", lit(1L)))
       .stageEager() // read by profiles, totals, vocab AND scoring
     val profile = cnt.groupBy(col("lang").as("plang"), col("g"))
       .agg(sum(col("n")).as("c"))
@@ -1071,6 +1078,16 @@ object TextAnalysis {
         (col("m.pl") === col("lang")).as("match"))
       .orderBy("doc_id")
   }
+
+  /** Doc-count crossover for [[langIdNgram]]'s per-(doc, lang, gram)
+    * pre-aggregation: at or above it the pre-agg halves the
+    * cross-with-languages volume (26× measured 15.1 s vs 23.7 s,
+    * exponent 0.36 vs 0.59); below it the extra shuffle is pure
+    * overhead (sf0.1 ≈ 5k docs measured 3.5 s occurrence-rows vs
+    * 4.7 s pre-agg'd). 26× of sf0.1 ≈ 130k docs sits well above, the
+    * bench SFs well below — the [[graft.ops
+    * .Similarity]] CoarseConsumerCrossover discipline. */
+  val LangIdPreAggCrossover = 50000L
 
   /** Vocabulary size for [[vocabCoverage]], shared with the oracle.
     * 20 of the synthetic corpus's 31 distinct terms → real OOV rates

@@ -1594,7 +1594,13 @@ object IrEngine {
     * ([[graft.multimodal.Multimodal.AviCodec.paramsFor]]). */
   def q28Video(spark: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.Multimodal
-    val media = Multimodal.videoFromDocuments(spark, dir)
+    import graft.ops.Stage.StageOps
+    // stage the synthesized media ONCE: the decode branch and the
+    // frame-sampling branch both consume it, and unstaged each branch
+    // re-runs the AVI/JPEG ENCODE UDF over every payload (the plan
+    // showed the encode Project under BOTH scans — guide §1.2 "don't
+    // compute things twice"); measured 7.43 → ~4.4 s isolated at sf0.1
+    val media = Multimodal.videoFromDocuments(spark, dir).stage()
     val sampled = Multimodal.sampleVideoFrames(media, stride = 2)
       .groupBy(col("media_id")).agg(count(lit(1)).as("sampled"))
     Multimodal.decodeVideo(media).toDF()
