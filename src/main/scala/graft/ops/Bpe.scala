@@ -95,6 +95,15 @@ object Bpe {
     * the same rule chain either way. */
   val LocalTrainMaxWords = 65536
 
+  /** Conf override for [[LocalTrainMaxWords]] — set it to 0 to force
+    * the distributed loop at any vocabulary size (the cluster-shaped
+    * conf's knob, and how BpeSpec pins distributed == local). */
+  val LocalTrainMaxWordsKey = "spark.graft.bpe.localTrainMaxWords"
+
+  private def localTrainCap(spark: SparkSession): Int =
+    spark.conf.get(LocalTrainMaxWordsKey,
+      LocalTrainMaxWords.toString).toInt
+
   /** The in-memory merge loop over a collected (cnt, seq) vocabulary —
     * step-for-step [[train]]'s distributed iteration: symbol arrays
     * are the `'|'`-split interior, pair counts weight by word count,
@@ -170,9 +179,11 @@ object Bpe {
             merges: Int = Merges): (Seq[Rule], DataFrame) = {
     require(merges >= 1, s"train needs merges >= 1, got $merges")
     val ws = wordSeqs(spark, dir)
-    val local = ws.select(col("cnt"), col("seq"))
-      .limit(LocalTrainMaxWords + 1).collect()
-    if (local.length <= LocalTrainMaxWords) {
+    val cap = localTrainCap(spark)
+    val local =
+      if (cap <= 0) Array.empty[org.apache.spark.sql.Row]
+      else ws.select(col("cnt"), col("seq")).limit(cap + 1).collect()
+    if (cap > 0 && local.length <= cap) {
       val rules = trainLocal(
         local.map(r => (r.getLong(0), r.getString(1))), merges)
       // the returned sequence table = the rule chain folded over the

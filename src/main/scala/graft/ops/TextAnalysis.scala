@@ -1050,7 +1050,7 @@ object TextAnalysis {
           transform(sequence(lit(1), length(col("s")) - 2),
             i => col("s").substr(i, lit(3))))
           .otherwise(array().cast("array<string>"))).as("g"))
-    val cnt = (if (t.count() >= LangIdPreAggCrossover)
+    val cnt = (if (t.count() >= langIdPreAggCap(spark))
         occ.groupBy(col("doc_id"), col("lang"), col("g"))
           .agg(count(lit(1)).as("n"))
       else occ.withColumn("n", lit(1L)))
@@ -1088,6 +1088,15 @@ object TextAnalysis {
     * bench SFs well below — the [[graft.ops
     * .Similarity]] CoarseConsumerCrossover discipline. */
   val LangIdPreAggCrossover = 50000L
+
+  /** Conf override for [[LangIdPreAggCrossover]] — 0 forces the
+    * pre-agg'd shape at any size (the cluster-shaped conf's knob, and
+    * how TextAnalysisSpec pins the two shapes identical). */
+  val LangIdPreAggCrossoverKey = "spark.graft.langid.preAggCrossover"
+
+  private def langIdPreAggCap(spark: SparkSession): Long =
+    spark.conf.get(LangIdPreAggCrossoverKey,
+      LangIdPreAggCrossover.toString).toLong
 
   /** Vocabulary size for [[vocabCoverage]], shared with the oracle.
     * 20 of the synthetic corpus's 31 distinct terms → real OOV rates

@@ -30,6 +30,21 @@ class BpeSpec extends SparkSpec {
     assert(got == Seq("|t|h|e|", "|x|"))
   }
 
+  test("local merge loop == distributed merge loop (rules AND final " +
+    "sequence table)") {
+    // the default cap routes this corpus through the driver-side loop;
+    // cap 0 forces the distributed per-iteration loop — both must
+    // learn identical rules and produce an identical sequence table
+    val (localRules, localSeqs) = Bpe.train(spark, dir)
+    spark.conf.set(Bpe.LocalTrainMaxWordsKey, "0")
+    val (distRules, distSeqs) =
+      try Bpe.train(spark, dir)
+      finally spark.conf.unset(Bpe.LocalTrainMaxWordsKey)
+    assert(localRules == distRules)
+    assert(localSeqs.exceptAll(distSeqs).isEmpty &&
+      distSeqs.exceptAll(localSeqs).isEmpty)
+  }
+
   test("training learns Merges ranked rules with non-increasing counts") {
     val rules = Bpe.train(spark, dir)._1
     assert(rules.map(_.rank) == (1 to Bpe.Merges))

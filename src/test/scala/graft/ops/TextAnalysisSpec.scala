@@ -297,6 +297,20 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("langIdNgram: pre-agg'd shape == occurrence-row shape " +
+    "(the scale crossover changes cost only)") {
+    // default crossover (50k docs) picks occurrence rows at this SF;
+    // crossover 0 forces the pre-agg'd 26×-shape — results must be
+    // bit-identical (same fixed-point sums, grouped or not)
+    val occ = TextAnalysis.langIdNgram(spark, dir).collect().toSeq
+    spark.conf.set(TextAnalysis.LangIdPreAggCrossoverKey, "0")
+    try {
+      val pre = TextAnalysis.langIdNgram(spark, dir).collect().toSeq
+      assert(occ == pre)
+    } finally
+      spark.conf.unset(TextAnalysis.LangIdPreAggCrossoverKey)
+  }
+
   test("vocab coverage: OOV vanishes once the vocabulary holds every term") {
     val full = TextAnalysis.vocabCoverage(spark, dir, v = 100000).collect()
     assert(full.nonEmpty)
