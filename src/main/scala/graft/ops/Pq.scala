@@ -308,6 +308,17 @@ object Pq {
   def annIvfPqFilteredAuto(spark: SparkSession, dir: String,
                            k: Int = TopK,
                            minSurvivors: Option[Int] = None): DataFrame = {
+    import graft.ops.Stage.StageOps
+    annIvfPqFilteredAutoOver(spark, dir,
+      Similarity.ivfCells(spark, dir).stage(), k, minSurvivors)
+  }
+
+  /** [[annIvfPqFilteredAuto]] over a PRE-STAGED cell assignment (see
+    * [[Similarity.annIvfFilteredOver]] — the filtered-recall panel's
+    * shared pass). */
+  private[graft] def annIvfPqFilteredAutoOver(spark: SparkSession,
+      dir: String, cells: DataFrame, k: Int,
+      minSurvivors: Option[Int]): DataFrame = {
     val target = minSurvivors
       .getOrElse(Similarity.FilteredAutoOversample * k)
     val cents = codebooks(spark, dir)
@@ -315,8 +326,6 @@ object Pq {
     val q = e.filter(col("vec_id") === 0).select(col("embedding"))
       .head().getSeq[Float](0)
     val ranked = coarseProbeCells(e, q, Similarity.IvfCentroids)
-    import graft.ops.Stage.StageOps
-    val cells = Similarity.ivfCells(spark, dir).stage()
     val f = Similarity.filterIds(spark, dir)
     val chosen = Similarity.escalate(ranked, target) { newCells =>
       cells.filter(col("cell").isin(newCells.map(Long.box): _*) &&

@@ -2165,9 +2165,17 @@ object Similarity {
     * layout, where the cell restriction is literal partition
     * pruning. */
   def annIvfFiltered(spark: SparkSession, dir: String, k: Int = 10,
-                     nProbe: Int = 2): DataFrame = {
+                     nProbe: Int = 2): DataFrame =
     // lazy localCheckpoint, not persist — see annIvf
-    val cells = ivfCells(spark, dir).stage()
+    annIvfFilteredOver(spark, dir, ivfCells(spark, dir).stage(), k, nProbe)
+
+  /** [[annIvfFiltered]] over a PRE-STAGED cell assignment — split out
+    * so [[annFilteredRecallEval]] feeds every IVF arm from ONE
+    * assignment pass (the dedupEval shared-pass discipline): standalone
+    * the arm stages its own cells, in the panel all arms read the same
+    * checkpointed frame. Output-identical either way. */
+  private[graft] def annIvfFilteredOver(spark: SparkSession, dir: String,
+      cells: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val e = emb(spark, dir)
     val cents = e.filter(col("vec_id") < IvfCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
@@ -2224,9 +2232,16 @@ object Similarity {
     * itself, so the escalation CHOICE is hash-checked, not just the
     * final ranking. */
   def annIvfFilteredAuto(spark: SparkSession, dir: String, k: Int = 10,
-                         minSurvivors: Option[Int] = None): DataFrame = {
+                         minSurvivors: Option[Int] = None): DataFrame =
+    annIvfFilteredAutoOver(spark, dir, ivfCells(spark, dir).stage(), k,
+      minSurvivors)
+
+  /** [[annIvfFilteredAuto]] over a PRE-STAGED cell assignment (see
+    * [[annIvfFilteredOver]] — the recall panel's shared pass). */
+  private[graft] def annIvfFilteredAutoOver(spark: SparkSession,
+      dir: String, cells: DataFrame, k: Int,
+      minSurvivors: Option[Int]): DataFrame = {
     val target = minSurvivors.getOrElse(FilteredAutoOversample * k)
-    val cells = ivfCells(spark, dir).stage()
     val e = emb(spark, dir)
     val qv = e.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)
@@ -2358,16 +2373,25 @@ object Similarity {
     * list broadcasts (k rows). */
   def annFilteredRecallEval(spark: SparkSession, dir: String,
                             k: Int = 10): DataFrame = {
+    // ONE cell-assignment pass: all four IVF arms read the same staged
+    // [[ivfCells]] frame instead of each re-running the broadcast-
+    // centroid scored scan + argmax shuffle (guide §1.2 — the panel's
+    // dominant repeated term; the dedupEval/hybridRecallEval shared-
+    // pass discipline). Each arm's plan past the assignment is the
+    // standalone oracle-checked query, unchanged.
+    val cells = ivfCells(spark, dir).stage()
     val truth = broadcast(annFiltered(spark, dir, k).select(col("vec_id")))
     val arms: Seq[(String, DataFrame)] =
       Seq(1, 2).map(np =>
-        s"nprobe$np" -> annIvfFiltered(spark, dir, k, nProbe = np)) ++
-        Seq("auto" -> annIvfFilteredAuto(spark, dir, k),
+        s"nprobe$np" -> annIvfFilteredOver(spark, dir, cells, k,
+          nProbe = np)) ++
+        Seq("auto" -> annIvfFilteredAutoOver(spark, dir, cells, k, None),
           // the CODED adaptive arm (r13): its top-k ranks by ADC
           // distance, so its recall vs the exact-cosine truth also
           // prices the quantization loss, beside the ladder's
           // routing loss the fp32 auto arm isolates
-          "auto_pq" -> Pq.annIvfPqFilteredAuto(spark, dir, k))
+          "auto_pq" -> Pq.annIvfPqFilteredAutoOver(spark, dir, cells, k,
+            None))
     arms.map { case (name, df) =>
       df.select(col("vec_id")).join(truth, Seq("vec_id"))
         .agg(count(lit(1)).as("hits"))

@@ -151,19 +151,7 @@ object QueryEngine {
       .select(col("docno"), col("score")).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
     if (fb.isEmpty) return search(ix, query, topK)
-    val fbPost = ix.postings
-      .filter(col("docno").isin(fb.map(_._1).toSeq: _*))
-    val dlen = fbPost.groupBy(col("docno"))
-      .agg(sum(col("tf")).as("dlen"))
-    val sdf = fb.toSeq.toDF("docno", "s")
-    val rm = fbPost
-      .join(broadcast(dlen), "docno")
-      .join(broadcast(sdf), "docno")
-      .groupBy(col("kgram"))
-      .agg(sum(col("tf").cast("double") / col("dlen") * col("s"))
-        .as("rm0"))
-      .orderBy(col("rm0").desc, col("kgram"))
-      .limit(fbTerms)
+    val rm = rm3Model(ix, fb.toSeq, fbTerms)
       .collect().map(r => (r.getString(0), r.getDouble(1)))
     val weights = rm3Weights(qTerms, rm.toSeq, lambda)
     val wDf = weights.toDF("kgram", "w")
@@ -181,6 +169,34 @@ object QueryEngine {
     ix.docMap.join(broadcast(top), "docno")
       .select(col("docno"), col("docid"), col("score"))
       .orderBy(col("score").desc, col("docno"))
+  }
+
+  /** Pass 2 of [[rm3Search]] — the relevance-model frame
+    * rm(t) = Σ_d tf(t,d)/len(d)·s(d) over the feedback rows, top
+    * `fbTerms` by (rm desc, term asc). Split out so the plan is
+    * independently dumpable (plans/r16 evidence). dlen rides a window
+    * over the already-filtered postings: the previous
+    * groupBy+broadcast-join shape evaluated the fbPost subtree twice
+    * (two postings scans for a fbDocs-bounded aggregate — guide §2.4);
+    * the window computes the identical per-doc sum in ONE pass,
+    * shuffling only the fbDocs-bounded rows (the [[Rm3Server]]
+    * feedback template's shape, minus the single-task coalesce the
+    * analytic form doesn't want). */
+  private[graft] def rm3Model(ix: Index, fb: Seq[(Long, Double)],
+                              fbTerms: Int): DataFrame = {
+    val spark = ix.docMap.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    ix.postings
+      .filter(col("docno").isin(fb.map(_._1): _*))
+      .withColumn("dlen",
+        sum(col("tf")).over(Window.partitionBy(col("docno"))))
+      .join(broadcast(fb.toDF("docno", "s")), "docno")
+      .groupBy(col("kgram"))
+      .agg(sum(col("tf").cast("double") / col("dlen") * col("s"))
+        .as("rm0"))
+      .orderBy(col("rm0").desc, col("kgram"))
+      .limit(fbTerms)
   }
 
   /** RM3 driver-side weight merge (normalize the relevance model to

@@ -182,4 +182,32 @@ class QueryEngineSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       QueryEngine.rm3Search(ix, "one two three"))
   }
+
+  test("rm3Model: the window-dlen relevance model reproduces the " +
+    "groupBy-join recompute (the pre-r16 two-scan shape) term for term") {
+    val fb = QueryEngine.search(ix, "merge stream", 5)
+      .select("docno", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = QueryEngine.rm3Model(ix, fb, 10).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    // driver recompute with the OLD arithmetic: dlen = Σ tf per
+    // feedback doc (the groupBy aggregate), rm0 = Σ_d tf/dlen·s(d)
+    val posts = ix.postings
+      .filter(col("docno").isin(fb.map(_._1): _*))
+      .select("kgram", "docno", "tf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val dlen = posts.groupBy(_._2).map { case (d, rs) =>
+      d -> rs.map(_._3).sum }
+    val s = fb.toMap
+    val want = posts.groupBy(_._1).map { case (t, rs) =>
+      t -> rs.map(r => r._3.toDouble / dlen(r._2) * s(r._2)).sum }
+    assert(got.length == math.min(10, want.size))
+    got.foreach { case (t, v) =>
+      assert(math.abs(v - want(t)) < 1e-12,
+        s"rm0($t): $v vs recomputed ${want(t)}") }
+    // the returned rows are the top slice by (rm0 desc, term asc)
+    val wantOrder = want.toSeq.sortBy { case (t, v) => (-v, t) }
+      .take(10).map(_._1)
+    assert(got.map(_._1).toSeq == wantOrder)
+  }
 }
