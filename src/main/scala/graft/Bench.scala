@@ -593,6 +593,23 @@ object Bench {
       val ts = (1 to 3).map(_ => once()).sorted
       math.rint(ts(1) * 10) / 10
     }
+    // CALIBRATION-NORMALIZED per-query columns (r16 VERDICT task 8;
+    // ADDITIVE ONLY — no existing key and no timed action changes):
+    // value·(ref/now) for each calibration row, refs pinned to the r16
+    // driver run's calibration (calib_cpu 439.7 / calib_shuffle 260.3)
+    // so a normalized value reads directly against BENCH_r16's raw
+    // rows. Read the cpu-normalized column for compute-bound rows and
+    // the shuffle-normalized one for exchange/scheduler-bound rows; a
+    // row that moves raw but is flat in its normalized column moved
+    // with the HOST, not the plan (the r15→r16 false-regression mode).
+    val RefCalibCpuMs = 439.7
+    val RefCalibShuffleMs = 260.3
+    def normJson(f: Double): String = results.collect {
+      case (k, ts, _, _) if ts.size == runsPer =>
+        s"\"" + k + "\":" + math.rint(median(ts) * f * 1000) / 1000
+    }.mkString("{", ",", "}")
+    val normCpuAll = normJson(RefCalibCpuMs / calibCpuMs)
+    val normShuffleAll = normJson(RefCalibShuffleMs / calibShuffleMs)
     // warm rows join the per-query attribution maps under their metric
     // names, so a driver-vs-local delta is diagnosable from the
     // artifact alone (spread/gc/resampled for EVERY published number)
@@ -612,7 +629,7 @@ object Bench {
     val spreadAll = mergeJson(spread, warmSpread.toSeq)
     val gcAll = mergeJson(gc, warmGc.toSeq)
     val resampledAll = mergeArr(resampled, warmResampled.toSeq)
-    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadAll,"gc_sec":$gcAll,"resampled":$resampledAll,"sf":"$sfDir","failed":$nFailed,"index_docs_per_s":${docsPerS.round},"warm_search_us":$medianUs,"warm_search_template_us":$medianTemplateUs,"warm_rm3_us":$medianRm3Us,"warm_rm3_template_us":$medianRm3TemplateUs,"warm_search_loaded_us":$medianLoadedUs,"warm_search_loaded_routed_us":$medianLoadedRoutedUs,"warm_phrase_us":$medianPhraseUs,"warm_phrase_template_us":$medianPhraseTemplateUs,"warm_phrase3_template_us":$medianPhrase3TemplateUs,"warm_near_template_us":$medianNearTemplateUs,"warm_phrase_loaded_routed_us":$medianPhraseLoadedRoutedUs,"warm_near_loaded_routed_us":$medianNearLoadedRoutedUs,"warm_ann_ivf_probe_us":$medianAnnProbeUs,"warm_ann_ivf_served_us":$medianAnnServedUs,"warm_ann_ivf_template_us":$medianAnnTmplUs,"warm_ann_ivf_nprobe2_us":$medianAnnTmplN2Us,"warm_ann_deleted_template_us":$medianAnnDelTmplUs,"warm_ann_ivfpq_served_us":$medianPqServedUs,"warm_ann_ivfpq_template_us":$medianPqTmplUs,"warm_bm25_multi_us":$medianBm25MultiUs,"warm_bm25_pruned_us":$medianBm25PrunedUs,"warm_bm25_served_us":$medianBm25ServedUs,"warm_bm25_template_us":$medianBm25TmplUs,"warm_bm25_batch_us":$medianBm25BatchUs,"warm_wildcard_us":$medianWildcardUs,"warm_wildcard_template_us":$medianWildcardTmplUs,"warm_wildcard_loaded_us":$medianWildcardLoadedUs,"warm_hybrid_template_us":$medianHybridTmplUs,"warm_hybrid_filtered_template_us":$medianHybridFilteredTmplUs,"calib_cpu_ms":$calibCpuMs,"calib_shuffle_ms":$calibShuffleMs,"ann_conc8_probes_per_s":$annConc8PerS,"funnel_stream_paa_s":${math.rint(graft.queries.IrEngine.lastFunnelStreamWallSec * 100) / 100}}"""
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadAll,"gc_sec":$gcAll,"resampled":$resampledAll,"sf":"$sfDir","failed":$nFailed,"index_docs_per_s":${docsPerS.round},"warm_search_us":$medianUs,"warm_search_template_us":$medianTemplateUs,"warm_rm3_us":$medianRm3Us,"warm_rm3_template_us":$medianRm3TemplateUs,"warm_search_loaded_us":$medianLoadedUs,"warm_search_loaded_routed_us":$medianLoadedRoutedUs,"warm_phrase_us":$medianPhraseUs,"warm_phrase_template_us":$medianPhraseTemplateUs,"warm_phrase3_template_us":$medianPhrase3TemplateUs,"warm_near_template_us":$medianNearTemplateUs,"warm_phrase_loaded_routed_us":$medianPhraseLoadedRoutedUs,"warm_near_loaded_routed_us":$medianNearLoadedRoutedUs,"warm_ann_ivf_probe_us":$medianAnnProbeUs,"warm_ann_ivf_served_us":$medianAnnServedUs,"warm_ann_ivf_template_us":$medianAnnTmplUs,"warm_ann_ivf_nprobe2_us":$medianAnnTmplN2Us,"warm_ann_deleted_template_us":$medianAnnDelTmplUs,"warm_ann_ivfpq_served_us":$medianPqServedUs,"warm_ann_ivfpq_template_us":$medianPqTmplUs,"warm_bm25_multi_us":$medianBm25MultiUs,"warm_bm25_pruned_us":$medianBm25PrunedUs,"warm_bm25_served_us":$medianBm25ServedUs,"warm_bm25_template_us":$medianBm25TmplUs,"warm_bm25_batch_us":$medianBm25BatchUs,"warm_wildcard_us":$medianWildcardUs,"warm_wildcard_template_us":$medianWildcardTmplUs,"warm_wildcard_loaded_us":$medianWildcardLoadedUs,"warm_hybrid_template_us":$medianHybridTmplUs,"warm_hybrid_filtered_template_us":$medianHybridFilteredTmplUs,"calib_cpu_ms":$calibCpuMs,"calib_shuffle_ms":$calibShuffleMs,"calib_ref_cpu_ms":$RefCalibCpuMs,"calib_ref_shuffle_ms":$RefCalibShuffleMs,"queries_norm_cpu":$normCpuAll,"queries_norm_shuffle":$normShuffleAll,"ann_conc8_probes_per_s":$annConc8PerS,"funnel_stream_paa_s":${math.rint(graft.queries.IrEngine.lastFunnelStreamWallSec * 100) / 100}}"""
     println(jsonLine)
     // the stdout line survives only as a 2000-char tail in the
     // driver's BENCH_r{N}.json (parsed: null every round) — persist
@@ -641,9 +658,15 @@ object Bench {
     // absolute final line (build.sbt suppresses sbt's trailing
     // [success] banner): headline totals, the slowest rows, and the
     // committed full artifact's name.
-    val slowest = results.filter(_._2.size == runsPer)
+    val slowRows = results.filter(_._2.size == runsPer)
       .map(r => (r._1, median(r._2))).sortBy(-_._2).take(10)
+    val slowest = slowRows
       .map { case (k, s) => s""""$k":$s""" }.mkString(",")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":{$slowest},"queries_shown":"10 slowest of ${results.size}","failed":$nFailed,"index_docs_per_s":${docsPerS.round},"calib_cpu_ms":$calibCpuMs,"calib_shuffle_ms":$calibShuffleMs,"full_artifact":${f"\"BENCH_LOCAL_r$rnd%02d.json\""}}""")
+    // the same 10 rows shuffle-calibration-normalized (additive key;
+    // see the normJson note above) — fits the driver's ~2000-char tail
+    val slowestNorm = slowRows.map { case (k, s) =>
+      s""""$k":${math.rint(s * RefCalibShuffleMs / calibShuffleMs * 1000) / 1000}"""
+    }.mkString(",")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":{$slowest},"queries_shown":"10 slowest of ${results.size}","failed":$nFailed,"index_docs_per_s":${docsPerS.round},"calib_cpu_ms":$calibCpuMs,"calib_shuffle_ms":$calibShuffleMs,"calib_ref_shuffle_ms":$RefCalibShuffleMs,"queries_norm_shuffle":{$slowestNorm},"full_artifact":${f"\"BENCH_LOCAL_r$rnd%02d.json\""}}""")
   }
 }

@@ -46,15 +46,16 @@ object PlanDump {
           case (lsh, truth) => Seq("lsh-arm" -> lsh, "truth-arm" -> truth)
         }
       case "q26_ir_rm3" =>
-        // the returned frame is only pass 3; the round's change is in
-        // pass 2 (the relevance-model frame), so dump both
+        // the returned frame is only pass 3; the r16/r17 changes are
+        // in pass 2 (the relevance-model frame — r17 fuses pass 1
+        // into it as a broadcast subtree), so dump both
         val ix = graft.index.InvertedIndex.build(spark,
           graft.queries.IrEngine.corpus(spark, sfDir), k = 1)
-        val fb = graft.query.QueryEngine.search(ix, "merge stream", 5)
-          .select("docno", "score").collect()
-          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val terms =
+          graft.query.QueryEngine.requireArity("merge stream").distinct
         Seq("rm-model-arm" ->
-            graft.query.QueryEngine.rm3Model(ix, fb, 10),
+            graft.query.QueryEngine.rm3ModelOver(ix,
+              graft.query.QueryEngine.searchTop(ix, terms, 5), 10),
           "returned-frame" -> SparkEntry.queries(name)(spark, sfDir))
       case _ =>
         Seq("returned-frame" -> SparkEntry.queries(name)(spark, sfDir))

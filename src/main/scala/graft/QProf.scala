@@ -42,19 +42,35 @@ object QProf {
       (1 to 3).map(_ => spin()).sorted.apply(1)
     }
     println(f"[qprof] calib_cpu_ms=$calib%.1f sf=$sfDir reps=$reps")
+    // per-query shuffle-write bytes (task metrics, JVM-wide) — the
+    // codec sweep's bytes column (guide §2.3: report bytes AND wall)
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null)
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      })
     names.foreach { n =>
       val q = SparkEntry.queries.getOrElse(n,
         sys.error(s"unknown query '$n'"))
       q(spark, sfDir).count() // warmup (plan + caches)
+      val b0 = shuffleBytes.get()
       val times = (1 to reps).map { _ =>
         System.gc()
         val t0 = System.nanoTime()
         q(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      val mb = (shuffleBytes.get() - b0) / 1e6 / reps
       val med = times(times.size / 2)
       println(f"[qprof] $n%s median=$med%.3f s " +
-        f"min=${times.head}%.3f max=${times.last}%.3f")
+        f"min=${times.head}%.3f max=${times.last}%.3f " +
+        f"shuffle_mb_per_run=$mb%.2f")
     }
     spark.stop()
   }

@@ -85,6 +85,31 @@ object Tables {
     * inference has nothing to read) and to [[graft.ScaleGen]]'s
     * pass-through copy. Matches the current testdata layout (µs
     * TIMESTAMP ts). */
+  /** Row count of a parquet file (or directory of part files) from
+    * the FOOTER metadata alone — no Spark job, no data pages read.
+    * The shape probes that pick a plan by input size (e.g.
+    * [[graft.ops.TextAnalysis.langIdNgram]]'s pre-agg crossover) use
+    * this instead of a `count()`: at 100 TB a probe must not cost a
+    * corpus pass before the real work starts (guide §6 — the
+    * statistics are already in the files). Returns None when the path
+    * isn't readable parquet (callers fall back to counting). */
+  def parquetRowCount(spark: SparkSession, path: String): Option[Long] =
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet"))
+        else Array(p)
+      Some(files.map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try r.getRecordCount finally r.close()
+      }.sum)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   val eventsRawSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     StructType(Seq(

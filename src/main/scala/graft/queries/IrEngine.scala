@@ -71,6 +71,16 @@ object IrEngine {
     } else one(p)
   }
 
+  /** Stream shuffle partitions derived from the staged inputs' size
+    * (guide §2.2 — see [[graft.streaming.StreamShuffle]]): every
+    * stream run wraps in this so its stateful exchanges and
+    * foreachBatch jobs stop paying a core-count-sized task fan over
+    * trigger-sized data. */
+  private def withStreamShuffle[T](spark: SparkSession,
+                                   paths: String*)(body: => T): T =
+    graft.streaming.StreamShuffle
+      .withInputSizedShuffle(spark, paths.toSeq)(body)
+
   /** Faithful-pipeline token stream: (docid, pos, term). */
   def q26PipelineTerms(spark: SparkSession, dir: String): DataFrame = {
     graft.text.TextPipeline.register(spark)
@@ -182,27 +192,29 @@ object IrEngine {
     // the outer session BEFORE the clone is taken, and batch-side plans
     // must resolve against the batch's own (cloned) session
     graft.text.TextPipeline.register(spark)
-    val q = spark.readStream
-      .schema("docid STRING, content STRING")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(staged)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val bs = batch.sparkSession
-        if (ix == null) ix = InvertedIndex.build(bs, batch, k = 1)
-        else {
-          // eager merge materializes the new generation and drops its
-          // delta caches; releasing the superseded base keeps the
-          // standing ingest's footprint at ONE cumulative index
-          val next = InvertedIndex.merge(bs, ix, batch, k = 1,
-            eager = true)
-          InvertedIndex.unpersist(ix)
-          ix = next
+    withStreamShuffle(spark, staged) {
+      val q = spark.readStream
+        .schema("docid STRING, content STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bs = batch.sparkSession
+          if (ix == null) ix = InvertedIndex.build(bs, batch, k = 1)
+          else {
+            // eager merge materializes the new generation and drops its
+            // delta caches; releasing the superseded base keeps the
+            // standing ingest's footprint at ONE cumulative index
+            val next = InvertedIndex.merge(bs, ix, batch, k = 1,
+              eager = true)
+            InvertedIndex.unpersist(ix)
+            ix = next
+          }
+          ()
         }
-        ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     InvertedIndex.nested(ix)
       .select(col("kgram"), col("df"),
         array_join(transform(col("postings"),
@@ -733,16 +745,18 @@ object IrEngine {
     // fixed sink name: each run REPLACES the temp view, so repeated
     // invocations pin at most one result copy (r4 review)
     val name = "q29_sink"
-    val q = EventsStream.tumblingCounts(
-        EventsStream.readEvents(spark, staged),
-        windowLen = "1 hour", watermark = "0 seconds")
-      .writeStream.format("memory").queryName(name)
-      // complete mode: a bounded replay must also emit the windows the
-      // final watermark hasn't closed yet (append would hold them back)
-      .outputMode("complete").start()
-    // stop in finally: with fixed sink names, a failure that left the
-    // query active would block every later invocation in this JVM
-    try q.processAllAvailable() finally q.stop()
+    withStreamShuffle(spark, staged) {
+      val q = EventsStream.tumblingCounts(
+          EventsStream.readEvents(spark, staged),
+          windowLen = "1 hour", watermark = "0 seconds")
+        .writeStream.format("memory").queryName(name)
+        // complete mode: a bounded replay must also emit the windows the
+        // final watermark hasn't closed yet (append would hold them back)
+        .outputMode("complete").start()
+      // stop in finally: with fixed sink names, a failure that left the
+      // query active would block every later invocation in this JVM
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name)
       .select(unix_timestamp(col("w_start")).as("w_sec"), col("user_id"),
         col("n_events"), col("total_value"))
@@ -761,12 +775,14 @@ object IrEngine {
     import graft.streaming.EventsStream
     val staged = stagedEvents(dir)
     val name = "q29t_sink"
-    val q = EventsStream.tumblingCounts(
-        EventsStream.readEvents(spark, staged),
-        windowLen = "1 hour", watermark = "0 seconds")
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete").start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamShuffle(spark, staged) {
+      val q = EventsStream.tumblingCounts(
+          EventsStream.readEvents(spark, staged),
+          windowLen = "1 hour", watermark = "0 seconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name)
       .select(unix_timestamp(col("w_start")).as("w_sec"),
         col("user_id"), col("n_events"))
@@ -788,13 +804,15 @@ object IrEngine {
     import graft.streaming.EventsStream
     val staged = stagedEvents(dir)
     val name = "q29d_sink"
-    val q = EventsStream.dedupKeys(
-        EventsStream.readEvents(spark, staged))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    // stop in finally: with fixed sink names, a failure that left the
-    // query active would block every later invocation in this JVM
-    try q.processAllAvailable() finally q.stop()
+    withStreamShuffle(spark, staged) {
+      val q = EventsStream.dedupKeys(
+          EventsStream.readEvents(spark, staged))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      // stop in finally: with fixed sink names, a failure that left the
+      // query active would block every later invocation in this JVM
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name).orderBy("user_id", "min_sec")
   }
 
@@ -813,14 +831,17 @@ object IrEngine {
     // state-bounding layout that IS right for an unbounded stream —
     // 3× WORSE here (23.8s: micro-batch scheduling dominates a
     // bounded replay of this size)
-    val q = EventsStream.followJoin(
-        EventsStream.readEvents(spark, staged),
-        EventsStream.readEvents(spark, staged))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    // stop in finally: with fixed sink names, a failure that left the
-    // query active would block every later invocation in this JVM
-    try q.processAllAvailable() finally q.stop()
+    // both join inputs stream the staged dir, so the basis is 2× it
+    withStreamShuffle(spark, staged, staged) {
+      val q = EventsStream.followJoin(
+          EventsStream.readEvents(spark, staged),
+          EventsStream.readEvents(spark, staged))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      // stop in finally: with fixed sink names, a failure that left the
+      // query active would block every later invocation in this JVM
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name).orderBy("user_id", "a_id", "b_id")
   }
 
@@ -883,35 +904,37 @@ object IrEngine {
     val ixDir = graft.TempDirs.scratch("graft_nds_ix")
     val pairsDir = graft.TempDirs.scratch("graft_nds_pairs")
     var indexNonEmpty = false
-    val q = spark.readStream
-      .schema("doc_id BIGINT, text STRING")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(staged)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val bs = batch.sparkSession
-        graft.functions.GraftFunctions.register(bs)
-        val bands = graft.ops.Dedup.bandRowsOf(batch)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          if (indexNonEmpty) {
-            val base = bs.read.parquet(ixDir)
-            bands.as("y").join(base.as("x"),
-                col("x.band") === col("y.band") &&
-                  col("x.key") === col("y.key"))
-              .select(col("y.doc_id").as("delta_doc"),
-                col("x.doc_id").as("base_doc"),
-                graft.ops.Dedup.bandMatchFraction.as("est_jaccard"))
-              .distinct()
-              .write.mode("append").parquet(pairsDir)
-          }
-          bands.write.mode("append").parquet(ixDir)
-          indexNonEmpty = true
-        } finally { bands.unpersist(); () }
-        ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamShuffle(spark, staged) {
+      val q = spark.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bs = batch.sparkSession
+          graft.functions.GraftFunctions.register(bs)
+          val bands = graft.ops.Dedup.bandRowsOf(batch)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            if (indexNonEmpty) {
+              val base = bs.read.parquet(ixDir)
+              bands.as("y").join(base.as("x"),
+                  col("x.band") === col("y.band") &&
+                    col("x.key") === col("y.key"))
+                .select(col("y.doc_id").as("delta_doc"),
+                  col("x.doc_id").as("base_doc"),
+                  graft.ops.Dedup.bandMatchFraction.as("est_jaccard"))
+                .distinct()
+                .write.mode("append").parquet(pairsDir)
+            }
+            bands.write.mode("append").parquet(ixDir)
+            indexNonEmpty = true
+          } finally { bands.unpersist(); () }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     if (sinkHasParquet(pairsDir))
       spark.read.parquet(pairsDir).orderBy("delta_doc", "base_doc")
     else
@@ -948,35 +971,37 @@ object IrEngine {
       .select("shingle").distinct()
       .write.mode("overwrite").parquet(benchDir)
     val keptDir = graft.TempDirs.scratch("graft_dec_kept")
-    val q = spark.readStream
-      .schema("doc_id BIGINT, text STRING")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(staged)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val bs = batch.sparkSession
-        graft.functions.GraftFunctions.register(bs)
-        val sh = graft.ops.Dedup.docShinglesOf(
-            batch.filter(pmod(col("doc_id"), lit(ContamMod)) =!= 0))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val bench = bs.read.parquet(benchDir)
-          val tot = sh.groupBy("doc_id")
-            .agg(count(lit(1)).as("n_trigrams"))
-          val hit = sh.join(broadcast(bench), "shingle")
-            .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-          tot.join(hit, Seq("doc_id"), "left")
-            .na.fill(0L, Seq("n_shared"))
-            .select(col("doc_id"), col("n_trigrams"), col("n_shared"),
-              round(col("n_shared").cast("double") / col("n_trigrams"), 4)
-                .as("contam_ratio"))
-            .filter(col("contam_ratio") < ContamDropThreshold)
-            .write.mode("append").parquet(keptDir)
-        } finally { sh.unpersist(); () }
-        ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamShuffle(spark, staged) {
+      val q = spark.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bs = batch.sparkSession
+          graft.functions.GraftFunctions.register(bs)
+          val sh = graft.ops.Dedup.docShinglesOf(
+              batch.filter(pmod(col("doc_id"), lit(ContamMod)) =!= 0))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val bench = bs.read.parquet(benchDir)
+            val tot = sh.groupBy("doc_id")
+              .agg(count(lit(1)).as("n_trigrams"))
+            val hit = sh.join(broadcast(bench), "shingle")
+              .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+            tot.join(hit, Seq("doc_id"), "left")
+              .na.fill(0L, Seq("n_shared"))
+              .select(col("doc_id"), col("n_trigrams"), col("n_shared"),
+                round(col("n_shared").cast("double") / col("n_trigrams"), 4)
+                  .as("contam_ratio"))
+              .filter(col("contam_ratio") < ContamDropThreshold)
+              .write.mode("append").parquet(keptDir)
+          } finally { sh.unpersist(); () }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     if (sinkHasParquet(keptDir))
       spark.read.parquet(keptDir).orderBy("doc_id")
     else
@@ -1083,7 +1108,7 @@ object IrEngine {
     val bandDir = graft.TempDirs.scratch("graft_fnl_bands")
     val auditDir = graft.TempDirs.scratch("graft_fnl_audit")
     var indexNonEmpty = false
-    val q = spark.readStream
+    val writer = spark.readStream
       .schema("doc_id BIGINT, text STRING")
       .option("maxFilesPerTrigger", "1")
       .parquet(staged)
@@ -1187,14 +1212,16 @@ object IrEngine {
         } finally { b.unpersist(); () }
         ()
       }
-      .start()
-    val paa0 = System.nanoTime()
-    try q.processAllAvailable() finally q.stop()
-    // the trigger-scheduler wall of THIS run, exposed so the bench
-    // artifact can attribute session scheduler noise (r13: the row
-    // swung 3× across same-code sessions with flat GC) — the bench
-    // prints it beside the row's end-to-end time
-    lastFunnelStreamWallSec = (System.nanoTime() - paa0) / 1e9
+    withStreamShuffle(spark, staged) {
+      val q = writer.start()
+      val paa0 = System.nanoTime()
+      try q.processAllAvailable() finally q.stop()
+      // the trigger-scheduler wall of THIS run, exposed so the bench
+      // artifact can attribute session scheduler noise (r13: the row
+      // swung 3× across same-code sessions with flat GC) — the bench
+      // prints it beside the row's end-to-end time
+      lastFunnelStreamWallSec = (System.nanoTime() - paa0) / 1e9
+    }
     spark.read.parquet(auditDir)
   }
 
@@ -1327,21 +1354,25 @@ object IrEngine {
       .select(col("doc_id"))
     // one parquet file per chunk (append lands one coalesced part
     // per write) — maxFilesPerTrigger=1 then feeds them one per batch
+    // (a one-job partitioned-write variant was A/B'd in r17 and
+    // measured no faster: three trivial writes ≈ one shuffle write)
     (0 until 3).foreach { i =>
       ids.filter(pmod(col("doc_id"), lit(3)) === lit(i))
         .coalesce(1).write.mode("append").parquet(staged)
     }
-    val q = spark.readStream
-      .schema("doc_id BIGINT")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(staged)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        IrSql.deleteBm25DocsLazy(batch.sparkSession, store, batch)
-        ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamShuffle(spark, staged) {
+      val q = spark.readStream
+        .schema("doc_id BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          IrSql.deleteBm25DocsLazy(batch.sparkSession, store, batch)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     IrSql.q10Bm25PrunedAt(spark, store, IrSql.ExpandedQueryTerms, 10)
   }
 
@@ -1362,17 +1393,19 @@ object IrEngine {
       upd.filter(pmod(col("doc_id"), lit(3)) === lit(i))
         .coalesce(1).write.mode("append").parquet(staged)
     }
-    val q = spark.readStream
-      .schema("doc_id BIGINT, text STRING")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(staged)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        IrSql.updateBm25Docs(batch.sparkSession, store, batch)
-        ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamShuffle(spark, staged) {
+      val q = spark.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          IrSql.updateBm25Docs(batch.sparkSession, store, batch)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     IrSql.q10Bm25PrunedAt(spark, store, IrSql.ExpandedQueryTerms, 10)
   }
 
@@ -1423,7 +1456,7 @@ object IrEngine {
     val storeDir = graft.TempDirs.scratch("graft_ans_store")
     val pairsDir = graft.TempDirs.scratch("graft_ans_pairs")
     var storeNonEmpty = false
-    val q = spark.readStream
+    val writer = spark.readStream
       .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
       .option("maxFilesPerTrigger", "1")
       .parquet(staged)
@@ -1471,8 +1504,10 @@ object IrEngine {
         } finally { assigned.unpersist(); () }
         ()
       }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamShuffle(spark, staged) {
+      val q = writer.start()
+      try q.processAllAvailable() finally q.stop()
+    }
     val pairs =
       if (sinkHasParquet(pairsDir))
         spark.read.parquet(pairsDir).orderBy("delta_vec", "base_vec")

@@ -2271,14 +2271,23 @@ object IrSql {
       .stage()
     if (neu.limit(1).count() == 0) return
     val dTok = tokensOf(neu)
-    val dLen = dTok.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("dl")).stage()
     val dTf = dTok.groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf")).stage()
+    // doc length FROM the tf table (dl = Σ tf — the same token count
+    // by definition): one tokenize pass feeds both deltas instead of
+    // two independent aggregations over dTok (guide §1.2; r17 — the
+    // per-trigger job count is what the update STREAM pays for)
+    val dLen = dTf.groupBy(col("doc_id"))
+      .agg(coalesce(sum(col("tf")), lit(0L)).as("dl")).stage()
     // next generation per doc = live gen + 1 (absent → 0 → insert
-    // lands at gen 1); the map is pending-update-sized → broadcast
+    // lands at gen 1); the map is pending-update-sized → broadcast.
+    // baseGen / reqIds are deliberately UN-staged (r17): both are
+    // tiny (pending-map / request-sized) and re-derive from a footer
+    // read or the neu checkpoint per consumer — a localCheckpoint
+    // would cost a planning pass + a materialization job each, more
+    // than the re-reads it saves.
     val baseGen = readDocGen(spark, storeDir).getOrElse(
-      Seq.empty[(Long, Long)].toDF("doc_id", "gen")).stage()
+      Seq.empty[(Long, Long)].toDF("doc_id", "gen"))
     val gens = neu.select(col("doc_id")).distinct()
       .join(baseGen.select(col("doc_id"), col("gen").as("__g")),
         Seq("doc_id"), "left")
@@ -2287,7 +2296,7 @@ object IrSql {
       .stage()
     val stage = new Path(root, UpdStageDir)
     fs.delete(stage, true)
-    val reqIds = neu.select(col("doc_id")).distinct().stage()
+    val reqIds = neu.select(col("doc_id")).distinct()
     val dlenTable = spark.read.parquet(s"$storeDir/doclen")
     def massOf(ids: DataFrame): (Long, Long) = {
       val r = semiByKey(dlenTable, "doc_id", ids)
@@ -2330,34 +2339,17 @@ object IrSql {
         .coalesce(1).write
         .parquet(new Path(stage, TombCorpusDir).toString)
     }
-    // ---- stage the two authoritative deltas
-    dTf.join(broadcast(gens), "doc_id")
-      .select(col("term"), col("doc_id"), col("tf"), col("gen"))
-      .repartitionByRange(col("term"))
-      .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.parquet(new Path(stage, "postings").toString)
-    dLen.join(broadcast(gens), "doc_id")
-      .select(col("doc_id"), col("dl"), col("gen"))
-      .write.parquet(new Path(stage, "doclen").toString)
-    // ---- stage the four derived replacements as ABSOLUTE values
-    // doc_gen: carried map with the batch's rows flipped to the new
-    // generation
-    baseGen.join(gens.select(col("doc_id")), Seq("doc_id"),
-        "left_anti")
-      .unionByName(gens)
-      .coalesce(1).write.parquet(new Path(stage, DocGenDir).toString)
-    // corpus (physical minus EXACT tombs): grows by the appended rows
-    // plus the full physical mass of exact-revived docs (their rows
-    // re-enter the moment the tombstone set swaps)
-    val (dtt, dnd) = {
-      val r = dLen.agg(coalesce(sum(col("dl")), lit(0L)),
-        count(lit(1))).head()
-      (r.getLong(0), r.getLong(1))
-    }
+    // ---- the stage build's INDEPENDENT actions overlap (guide §2.6
+    // — actions are only sequential because driver code calls them
+    // sequentially): the two delta writes, the doc_gen replacement,
+    // the overlay rewrite and the fused mass aggregate share no data
+    // dependency, so they run as concurrent jobs and the trigger pays
+    // max(job) instead of Σ(job); only the two one-row sidecar writes
+    // wait on the mass values. Each job's rows are byte-identical to
+    // the sequential form — this reorders ACTIONS, not data. The
+    // first concurrent reader of a shared staged frame materializes
+    // it; the rest block on the block locks (Spark cache semantics).
     val (ret, ren) = revivedExact.fold((0L, 0L))(massOf)
-    val (tt0, nd0) = readCorpusStats(spark, storeDir)
-    Seq((tt0 + ret + dtt, nd0 + ren + dnd)).toDF("tt", "nd")
-      .coalesce(1).write.parquet(new Path(stage, "corpus").toString)
     // sup_corpus: the NON-revived batch docs' current live rows
     // become superseded when the generation flips; a REVIVED doc
     // contributes its WHOLE physical mass (every gen it has is below
@@ -2366,7 +2358,62 @@ object IrSql {
       case (Some(a), Some(b)) => Some(a.unionByName(b))
       case (a, b)             => a.orElse(b)
     }
-    val (bt, bn) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext = stageEc
+    // the two authoritative deltas
+    val fPostings = Future {
+      dTf.join(broadcast(gens), "doc_id")
+        .select(col("term"), col("doc_id"), col("tf"), col("gen"))
+        .repartitionByRange(col("term"))
+        .sortWithinPartitions(col("term"), col("doc_id"))
+        .write.parquet(new Path(stage, "postings").toString)
+    }
+    val fDoclen = Future {
+      dLen.join(broadcast(gens), "doc_id")
+        .select(col("doc_id"), col("dl"), col("gen"))
+        .write.parquet(new Path(stage, "doclen").toString)
+    }
+    // doc_gen: carried map with the batch's rows flipped to the new
+    // generation
+    val fDocGen = Future {
+      baseGen.join(gens.select(col("doc_id")), Seq("doc_id"),
+          "left_anti")
+        .unionByName(gens)
+        .coalesce(1).write.parquet(new Path(stage, DocGenDir).toString)
+    }
+    // stats_upd: the delta terms' frontiers merge the old overlay
+    // pairs with the new rows' (tf, dl); untouched overlay rows carry
+    val fOverlay = Future {
+      val deltaTfl = dTf.join(dLen, "doc_id")
+        .select(col("term"), col("tf"), col("dl"))
+      val newOverlay =
+        if (!artifactNonEmpty(spark, storeDir, StatsUpdDir))
+          paretoPairs(deltaTfl)
+        else {
+          val oldUpd = spark.read.parquet(s"$storeDir/$StatsUpdDir")
+          val touched = dTf.select(col("term")).distinct()
+          val oldTouched = oldUpd
+            .join(touched, Seq("term"), "left_semi")
+            .select(col("term"), explode(col("pairs")).as("p"))
+            .select(col("term"), col("p.tf").as("tf"),
+              col("p.dl").as("dl"))
+          val untouched = oldUpd.join(touched, Seq("term"), "left_anti")
+          untouched.unionByName(
+            paretoPairs(oldTouched.unionByName(deltaTfl))
+              .select(untouched.columns.toIndexedSeq.map(col): _*))
+        }
+      newOverlay.write.parquet(new Path(stage, StatsUpdDir).toString)
+    }
+    // the delta mass (corpus replacement) and the superseded batch
+    // mass (sup_corpus replacement) are two one-row aggregates over
+    // independent inputs, fused into ONE job via a cross join of the
+    // two one-row frames (r16 shape had one head() each); the two
+    // one-row sidecar writes chain off it
+    val fSidecars = Future {
+      val dAgg = dLen.agg(
+        coalesce(sum(col("dl")), lit(0L)).as("dtt"),
+        count(lit(1)).as("dnd"))
       val batchRows = semiByKey(dlenTable, "doc_id", reqIds)
         .join(broadcast(baseGen.select(col("doc_id"),
           col("gen").as("__lg"))), Seq("doc_id"), "left")
@@ -2377,38 +2424,44 @@ object IrSql {
             .filter(coalesce(col("__lg"), lit(0L)) === col("gen"))
             .unionByName(batchRows.join(broadcast(rv), Seq("doc_id"),
               "left_semi")))
-      val r = keep.agg(coalesce(sum(col("dl")), lit(0L)),
-        count(lit(1))).head()
-      (r.getLong(0), r.getLong(1))
+      val bAgg = keep.agg(coalesce(sum(col("dl")), lit(0L)).as("bt"),
+        count(lit(1)).as("bn"))
+      val r = dAgg.crossJoin(bAgg).head()
+      val (dtt, dnd, bt, bn) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      // corpus (physical minus EXACT tombs): grows by the appended
+      // rows plus the full physical mass of exact-revived docs (their
+      // rows re-enter the moment the tombstone set swaps)
+      val (tt0, nd0) = readCorpusStats(spark, storeDir)
+      Seq((tt0 + ret + dtt, nd0 + ren + dnd)).toDF("tt", "nd")
+        .coalesce(1).write.parquet(new Path(stage, "corpus").toString)
+      val (st0, sn0) = supCorpusStats(spark, storeDir).getOrElse((0L, 0L))
+      Seq((st0 + bt, sn0 + bn)).toDF("tt_sup", "nd_sup")
+        .coalesce(1).write
+        .parquet(new Path(stage, SupCorpusDir).toString)
     }
-    val (st0, sn0) = supCorpusStats(spark, storeDir).getOrElse((0L, 0L))
-    Seq((st0 + bt, sn0 + bn)).toDF("tt_sup", "nd_sup")
-      .coalesce(1).write
-      .parquet(new Path(stage, SupCorpusDir).toString)
-    // stats_upd: the delta terms' frontiers merge the old overlay
-    // pairs with the new rows' (tf, dl); untouched overlay rows carry
-    val deltaTfl = dTf.join(dLen, "doc_id")
-      .select(col("term"), col("tf"), col("dl"))
-    val newOverlay =
-      if (!artifactNonEmpty(spark, storeDir, StatsUpdDir))
-        paretoPairs(deltaTfl)
-      else {
-        val oldUpd = spark.read.parquet(s"$storeDir/$StatsUpdDir")
-        val touched = dTf.select(col("term")).distinct()
-        val oldTouched = oldUpd
-          .join(touched, Seq("term"), "left_semi")
-          .select(col("term"), explode(col("pairs")).as("p"))
-          .select(col("term"), col("p.tf").as("tf"),
-            col("p.dl").as("dl"))
-        val untouched = oldUpd.join(touched, Seq("term"), "left_anti")
-        untouched.unionByName(
-          paretoPairs(oldTouched.unionByName(deltaTfl))
-            .select(untouched.columns.toIndexedSeq.map(col): _*))
-      }
-    newOverlay.write.parquet(new Path(stage, StatsUpdDir).toString)
+    Await.result(
+      Future.sequence(Seq(fPostings, fDoclen, fDocGen, fOverlay,
+        fSidecars)), 1800.seconds)
     fs.create(new Path(root, UpdateMarker), false).close() // COMMIT
     finishBm25UpdateStage(spark, storeDir)
   }
+
+  /** Small daemon pool for overlapping a store mutation's independent
+    * per-call actions (guide §2.6): jobs submitted concurrently
+    * back-fill the FIFO scheduler instead of paying each tiny job's
+    * fixed latency in sequence. */
+  private lazy val stageEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(5,
+        new java.util.concurrent.ThreadFactory {
+          private val n = new java.util.concurrent.atomic.AtomicInteger
+          def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"graft-stage-${n.incrementAndGet()}")
+            t.setDaemon(true)
+            t
+          }
+        }))
 
   /** Consume the staged update payload (idempotent — the
     * [[UpdateMarker]] replay path): move the two deltas' parts into

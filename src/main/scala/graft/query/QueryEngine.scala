@@ -95,12 +95,7 @@ object QueryEngine {
   private def topAndResolve(ix: Index, scoreInput: DataFrame, topK: Int,
                             idf: org.apache.spark.sql.Column,
                             serve: Boolean): DataFrame = {
-    val top = scoreInput
-      .groupBy(col("docno"))
-      .agg(sum((lit(1.0) + log(col("tf"))) * idf).as("score0"))
-      .select(col("docno"), round(col("score0"), 4).as("score"))
-      .orderBy(col("score").desc, col("docno"))
-      .limit(topK)
+    val top = topOf(scoreInput, topK, idf)
     val resolved = ix.docMap.join(broadcast(top), "docno")
       .select(col("docno"), col("docid"), col("score"))
     if (serve)
@@ -112,6 +107,31 @@ object QueryEngine {
         .sortWithinPartitions(col("score").desc, col("docno"))
     else
       resolved.orderBy(col("score").desc, col("docno"))
+  }
+
+  /** The ranked (docno, score) top-k — [[topAndResolve]]'s scoring
+    * head without the docid-resolution tail. Shared with
+    * [[rm3Search]]'s pass 1, which consumes it as a FRAME. */
+  private def topOf(scoreInput: DataFrame, topK: Int,
+                    idf: org.apache.spark.sql.Column): DataFrame =
+    scoreInput
+      .groupBy(col("docno"))
+      .agg(sum((lit(1.0) + log(col("tf"))) * idf).as("score0"))
+      .select(col("docno"), round(col("score0"), 4).as("score"))
+      .orderBy(col("score").desc, col("docno"))
+      .limit(topK)
+
+  /** [[rank]]'s analytic (serve=false) scoring as a (docno, score)
+    * top-k frame — no docid resolution (an inner docMap join is a
+    * row-content no-op on these rows, so skipping it is free). Pass 1
+    * of [[rm3Search]]. */
+  private[graft] def searchTop(ix: Index, terms: Seq[String],
+                               topK: Int): DataFrame = {
+    val stats = ix.termStats.filter(col("kgram").isin(terms: _*))
+    val hits = ix.postings.filter(col("kgram").isin(terms: _*))
+      .join(broadcast(stats), "kgram")
+    topOf(hits, topK,
+      log10(lit(ix.nDocs.toDouble) / col("df").cast("double")))
   }
 
   /** RM3 PSEUDO-RELEVANCE FEEDBACK — the classic query-expansion
@@ -147,12 +167,18 @@ object QueryEngine {
     import spark.implicits._
     val qTerms = requireArity(query).distinct
     if (qTerms.isEmpty) return search(ix, query, topK)
-    val fb = search(ix, query, fbDocs)
-      .select(col("docno"), col("score")).collect()
-      .map(r => (r.getLong(0), r.getDouble(1)))
-    if (fb.isEmpty) return search(ix, query, topK)
-    val rm = rm3Model(ix, fb.toSeq, fbTerms)
+    // PASS 1 + PASS 2 fused into ONE action (r17; previously two
+    // sequential collects): the feedback top-fbDocs ride into the
+    // relevance model as a broadcast FRAME instead of a driver round
+    // trip + isin literals. Same rows (pass 1's docMap resolve was an
+    // inner join on docno — a row-content no-op), same arithmetic
+    // (rm3Model delegates to the same rm3ModelOver); one job and one
+    // driver hop where there were two.
+    val rm = rm3ModelOver(ix, searchTop(ix, qTerms, fbDocs), fbTerms)
       .collect().map(r => (r.getString(0), r.getDouble(1)))
+    // empty relevance model ⟺ empty feedback set (every feedback doc
+    // carries ≥ 1 posting row), so this IS the old fb.isEmpty fallback
+    if (rm.isEmpty) return search(ix, query, topK)
     val weights = rm3Weights(qTerms, rm.toSeq, lambda)
     val wDf = weights.toDF("kgram", "w")
     val terms = weights.map(_._1)
@@ -186,12 +212,24 @@ object QueryEngine {
                               fbTerms: Int): DataFrame = {
     val spark = ix.docMap.sparkSession
     import spark.implicits._
+    rm3ModelOver(ix, fb.toDF("docno", "s"), fbTerms)
+  }
+
+  /** [[rm3Model]] over a (docno, score) FRAME: the broadcast inner
+    * join both selects the feedback docs' postings (the literal-isin
+    * filter's job — fb docnos are distinct, so row sets are identical)
+    * and attaches their scores, letting [[rm3Search]] run pass 1 and
+    * pass 2 as one job. The per-doc dlen window moves after the join —
+    * the join neither adds nor drops rows per docno, so the window
+    * sums are unchanged (QueryEngineSpec pins the arithmetic against
+    * the pre-r16 groupBy recompute). */
+  private[graft] def rm3ModelOver(ix: Index, fb: DataFrame,
+                                  fbTerms: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     ix.postings
-      .filter(col("docno").isin(fb.map(_._1): _*))
+      .join(broadcast(fb.toDF("docno", "s")), "docno")
       .withColumn("dlen",
         sum(col("tf")).over(Window.partitionBy(col("docno"))))
-      .join(broadcast(fb.toDF("docno", "s")), "docno")
       .groupBy(col("kgram"))
       .agg(sum(col("tf").cast("double") / col("dlen") * col("s"))
         .as("rm0"))

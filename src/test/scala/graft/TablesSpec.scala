@@ -106,4 +106,19 @@ class TablesSpec extends SparkSpec {
     val bad = ev.filter(expr("unix_micros(ts) * 1000L != ts_ns")).count()
     assert(bad == 0L)
   }
+
+  test("parquetRowCount: footer metadata equals the scanned count, " +
+    "for a single file and a part directory; unreadable paths → None") {
+    // single-file table (the testdata layout the shape probes read)
+    val single = "/root/testdata/sf0.001/documents.parquet"
+    assert(Tables.parquetRowCount(spark, single) ===
+      Some(spark.read.parquet(single).count()))
+    // multi-part directory
+    val dir = Files.createTempDirectory("prc").toString
+    spark.range(0, 1000).repartition(3)
+      .write.mode("overwrite").parquet(dir)
+    assert(Tables.parquetRowCount(spark, dir) === Some(1000L))
+    // missing path falls back to None (callers then count())
+    assert(Tables.parquetRowCount(spark, dir + "/nope") === None)
+  }
 }

@@ -203,6 +203,7 @@ class QueryEngineSpec extends SparkSpec {
       t -> rs.map(r => r._3.toDouble / dlen(r._2) * s(r._2)).sum }
     assert(got.length == math.min(10, want.size))
     got.foreach { case (t, v) =>
+      assert(want.contains(t), s"unexpected term $t in rm3Model output")
       assert(math.abs(v - want(t)) < 1e-12,
         s"rm0($t): $v vs recomputed ${want(t)}") }
     // the returned rows are the top slice by (rm0 desc, term asc)
