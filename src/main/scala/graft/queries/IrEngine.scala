@@ -202,13 +202,23 @@ object IrEngine {
           val bs = batch.sparkSession
           if (ix == null) ix = InvertedIndex.build(bs, batch, k = 1)
           else {
-            // eager merge materializes the new generation and drops its
-            // delta caches; releasing the superseded base keeps the
-            // standing ingest's footprint at ONE cumulative index
-            val next = InvertedIndex.merge(bs, ix, batch, k = 1,
-              eager = true)
-            InvertedIndex.unpersist(ix)
-            ix = next
+            // DEFERRED merge (r17, the union-view the r16 round left
+            // unattempted): the lazy chain appends each batch's build
+            // to the cumulative union WITHOUT materializing it — the
+            // eager form re-cached the whole cumulative postings per
+            // batch (O(cumulative) per trigger, quadratic over the
+            // stream), where the only per-batch actions a merge needs
+            // are the delta numbering and the base docno max. The
+            // cumulative index materializes ONCE, at the first read
+            // (here the final nested presentation) — total work one
+            // tokenize pass over everything ingested, like the
+            // from-scratch build it must equal. A STANDING ingest
+            // (unbounded batches) would cut the chain every K batches
+            // (eager merge + unpersist — the r16 footprint
+            // discipline) so neither the plan depth nor the pinned
+            // delta caches grow without bound; the bounded replay
+            // here is exactly one such window.
+            ix = InvertedIndex.merge(bs, ix, batch, k = 1)
           }
           ()
         }
