@@ -1197,6 +1197,13 @@ object IrEngine {
           // was the in-loop compaction firing near-every batch for
           // exactly this reason. A batch's index delta is
           // batch-sized; one part file is its natural unit.
+          // (r17 A/B'd overlapping the audit write with the index
+          // appends per guide §2.6: inconclusive — adjacent
+          // single-query sessions swing ±30% on this row (6.0–8.7 s
+          // on IDENTICAL code), larger than any overlap effect, so
+          // the simpler sequential body stays. The update stream's
+          // overlap DID land: its win was proven within one session
+          // by instrumented segment timings.)
           bd.select("digest").distinct()
             .coalesce(1).write.mode("append").parquet(digestDir)
           bands.coalesce(1).write.mode("append").parquet(bandDir)
